@@ -1,0 +1,223 @@
+"""Physical plan → ``pyspark.sql.DataFrame``.
+
+Plays the role of ``to_df_physical`` in the reference
+(``datafusion-dolomite-integration/src/conversion/physical.rs:48-113``):
+walk the optimized plan bottom-up and build the executor's native plan.
+Our executor is Spark itself — we compose declarative DataFrame lineage
+(``spark.read.parquet → .filter → .select → .join → ...``) and let
+Catalyst/Tungsten do physical planning, codegen and AQE on top.  Golden
+tests assert OUR plan; oracle tests assert the DATA (SURVEY §7 risk
+register: Spark re-optimizes our emitted plan, and that is by design).
+
+Scale notes, per operator:
+* Scan: pruned columns + pushed filters are applied adjacent to the read
+  so Catalyst turns them into parquet ``PushedFilters``/``ReadSchema`` —
+  verified by ``tests/test_execute.py::test_scan_pushdown_reaches_parquet``.
+* BroadcastHashJoin → ``F.broadcast`` (no shuffle of the probe side).
+* HashJoin → ``shuffle_hash`` hint; SortMergeJoin → ``merge`` hint.
+* TopK → ``.orderBy().limit()`` which Spark executes as
+  ``TakeOrderedAndProject`` (per-partition top-k + driver merge, no global
+  sort shuffle).
+* Exchange → ``.repartition(cols)`` (Spark elides redundant exchanges).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .operators import logical as L
+from .operators import physical as P
+from .operators.logical import JoinType
+from .plans.plan import Plan, PlanNode
+from .sources.catalog import Catalog
+
+__all__ = ["to_spark", "SparkExecutor"]
+
+
+_JOIN_HOW = {
+    JoinType.INNER: "inner",
+    JoinType.LEFT: "left",
+    JoinType.RIGHT: "right",
+    JoinType.FULL: "full",
+    JoinType.LEFT_SEMI: "left_semi",
+    JoinType.LEFT_ANTI: "left_anti",
+}
+
+
+class SparkExecutor:
+    def __init__(self, spark, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+
+    def execute(self, plan: Plan):
+        return self._node(plan.root)
+
+    # ------------------------------------------------------------------
+    def _node(self, node: PlanNode):
+        op = node.operator
+        handler = _HANDLERS.get(type(op))
+        if handler is None:
+            raise NotImplementedError(f"no Spark execution for {op.pretty()}")
+        return handler(self, node)
+
+    # -- leaves ---------------------------------------------------------
+    def _scan(self, node: PlanNode):
+        op = node.operator
+        df = self.spark.read.parquet(self.catalog.path(op.table_name))
+        # Filter/prune adjacent to the read → Catalyst pushes them into the
+        # parquet scan (PushedFilters / ReadSchema).
+        for f in op.filters:
+            df = df.filter(f.to_column())
+        if op.columns is not None:
+            df = df.select(*op.columns)
+        if op.limit is not None:
+            df = df.limit(op.limit)
+        return df
+
+    # -- unary ----------------------------------------------------------
+    def _filter(self, node: PlanNode):
+        op = node.operator
+        df = self._node(node.inputs[0]).filter(op.predicate.to_column())
+        if op.projected_columns:
+            df = df.select(*op.projected_columns)
+        return df
+
+    def _projection(self, node: PlanNode):
+        op = node.operator
+        return self._node(node.inputs[0]).select(*[e.to_column() for e in op.exprs])
+
+    def _limit(self, node: PlanNode):
+        return self._node(node.inputs[0]).limit(node.operator.limit)
+
+    def _aggregate(self, node: PlanNode):
+        op = node.operator
+        df = self._node(node.inputs[0])
+        aggs = [a.to_column() for a in op.agg_exprs]
+        if op.group_exprs:
+            return df.groupBy(*[e.to_column() for e in op.group_exprs]).agg(*aggs)
+        return df.agg(*aggs)
+
+    def _sort(self, node: PlanNode):
+        op = node.operator
+        return self._node(node.inputs[0]).orderBy(*[k.to_column() for k in op.keys])
+
+    def _topk(self, node: PlanNode):
+        op = node.operator
+        # orderBy().limit() compiles to TakeOrderedAndProject — per
+        # partition top-k, merged on the driver; no global sort.
+        return (
+            self._node(node.inputs[0])
+            .orderBy(*[k.to_column() for k in op.keys])
+            .limit(op.limit)
+        )
+
+    def _distinct(self, node: PlanNode):
+        op = node.operator
+        df = self._node(node.inputs[0])
+        if op.columns:
+            return df.dropDuplicates(list(op.columns))
+        return df.distinct()
+
+    def _exchange(self, node: PlanNode):
+        from .operators.properties import DistributionKind
+
+        op = node.operator
+        df = self._node(node.inputs[0])
+        if op.dist.kind is DistributionKind.HASHED:
+            return df.repartition(*op.dist.columns)
+        if op.dist.kind is DistributionKind.SINGLETON:
+            return df.coalesce(1)
+        return df
+
+    # -- binary ---------------------------------------------------------
+    def _join(self, node: PlanNode, hint: Optional[str] = None, broadcast: bool = False):
+        from pyspark.sql import functions as F
+
+        op = node.operator
+        left = self._node(node.inputs[0])
+        right = self._node(node.inputs[1])
+        if broadcast:
+            right = F.broadcast(right)
+        elif hint:
+            right = right.hint(hint)
+        cond = _join_condition(op, left, right)
+        return left.join(right, on=cond, how=_JOIN_HOW[op.join_type])
+
+    def _hash_join(self, node: PlanNode):
+        return self._join(node, hint="shuffle_hash")
+
+    def _broadcast_join(self, node: PlanNode):
+        return self._join(node, broadcast=True)
+
+    def _smj(self, node: PlanNode):
+        return self._join(node, hint="merge")
+
+    def _logical_join(self, node: PlanNode):
+        # Unoptimized logical plan: let Spark's JoinSelection decide.
+        return self._join(node)
+
+    def _union(self, node: PlanNode):
+        dfs = [self._node(c) for c in node.inputs]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionAll(d)
+        return out
+
+
+def _join_condition(op, left_df, right_df):
+    """Build the join condition resolving each side's columns against the
+    correct DataFrame (needed when both sides share column names)."""
+    keys = op.equi_keys() if hasattr(op, "equi_keys") else None
+    if keys is None and hasattr(op, "left_keys") and op.left_keys:
+        keys = tuple(zip(op.left_keys, op.right_keys))
+    if keys is not None and keys:
+        conds = None
+        for lk, rk in keys:
+            c = left_df[lk] == right_df[rk]
+            conds = c if conds is None else (conds & c)
+        return conds
+    return op.condition.to_column()
+
+
+def _extract_equi(op):
+    """equi_keys for physical joins (same shape as LogicalJoin's)."""
+    return L.LogicalJoin(op.join_type, op.condition).equi_keys()
+
+
+# Give physical joins an equi_keys() so _join_condition can resolve sides.
+for _cls in (P.PhysicalHashJoin, P.PhysicalBroadcastHashJoin, P.PhysicalSortMergeJoin):
+    _cls.equi_keys = _extract_equi  # type: ignore[attr-defined]
+
+
+_HANDLERS = {
+    # physical
+    P.PhysicalTableScan: SparkExecutor._scan,
+    P.PhysicalFilter: SparkExecutor._filter,
+    P.PhysicalProjection: SparkExecutor._projection,
+    P.PhysicalLimit: SparkExecutor._limit,
+    P.PhysicalHashAggregate: SparkExecutor._aggregate,
+    P.PhysicalSort: SparkExecutor._sort,
+    P.PhysicalTopK: SparkExecutor._topk,
+    P.PhysicalDistinct: SparkExecutor._distinct,
+    P.PhysicalHashJoin: SparkExecutor._hash_join,
+    P.PhysicalBroadcastHashJoin: SparkExecutor._broadcast_join,
+    P.PhysicalSortMergeJoin: SparkExecutor._smj,
+    P.PhysicalUnion: SparkExecutor._union,
+    P.Exchange: SparkExecutor._exchange,
+    # logical fallbacks — lets UNOPTIMIZED plans execute for differential
+    # testing (optimized vs unoptimized row sets must match).
+    L.LogicalScan: SparkExecutor._scan,
+    L.LogicalFilter: SparkExecutor._filter,
+    L.LogicalProjection: SparkExecutor._projection,
+    L.LogicalLimit: SparkExecutor._limit,
+    L.LogicalAggregate: SparkExecutor._aggregate,
+    L.LogicalSort: SparkExecutor._sort,
+    L.LogicalDistinct: SparkExecutor._distinct,
+    L.LogicalJoin: SparkExecutor._logical_join,
+    L.LogicalUnion: SparkExecutor._union,
+}
+
+
+def to_spark(plan: Plan, spark, catalog: Catalog):
+    """Execute a (physical or logical) plan, returning a DataFrame."""
+    return SparkExecutor(spark, catalog).execute(plan)

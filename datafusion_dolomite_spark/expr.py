@@ -1,0 +1,311 @@
+"""Tiny immutable expression IR.
+
+The reference borrows DataFusion's ``Expr`` wholesale (re-exported at
+``dolomite/src/lib.rs:47``; join conditions are DF ``Expr``,
+``dolomite/src/operator/join.rs:17``).  We cannot reuse
+``pyspark.sql.Column`` the same way because ``Column`` is neither hashable
+nor comparable, and the cascades memo dedups group expressions by hash
+(``dolomite/src/cascades/memo.rs:713-719``).  So we keep a minimal frozen
+dataclass IR that
+
+* implements stable ``__hash__`` / ``__eq__`` (memo requirement),
+* converts to a ``pyspark.sql.Column`` for execution, and
+* pretty-prints deterministically for golden explain tests.
+
+Only the surface the engine needs is modelled: column refs, literals,
+binary ops, scalar/aggregate function calls, casts and aliases.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+__all__ = [
+    "Expr",
+    "Col",
+    "Lit",
+    "BinOp",
+    "Func",
+    "Cast",
+    "Alias",
+    "SortKey",
+    "col",
+    "lit",
+]
+
+
+class Expr:
+    """Base class for all expression nodes."""
+
+    # -- builder sugar --------------------------------------------------
+    def _bin(self, op: str, other: "Expr | Any") -> "BinOp":
+        return BinOp(op, self, _wrap(other))
+
+    def __eq__(self, other: object):  # type: ignore[override]
+        # dataclass subclasses override with field equality; this base
+        # method is only reached via the fluent builder on the class.
+        return NotImplemented
+
+    def eq(self, other: "Expr | Any") -> "BinOp":
+        return self._bin("=", other)
+
+    def ne(self, other: "Expr | Any") -> "BinOp":
+        return self._bin("!=", other)
+
+    def lt(self, other: "Expr | Any") -> "BinOp":
+        return self._bin("<", other)
+
+    def le(self, other: "Expr | Any") -> "BinOp":
+        return self._bin("<=", other)
+
+    def gt(self, other: "Expr | Any") -> "BinOp":
+        return self._bin(">", other)
+
+    def ge(self, other: "Expr | Any") -> "BinOp":
+        return self._bin(">=", other)
+
+    def and_(self, other: "Expr | Any") -> "BinOp":
+        return self._bin("and", other)
+
+    def or_(self, other: "Expr | Any") -> "BinOp":
+        return self._bin("or", other)
+
+    def add(self, other: "Expr | Any") -> "BinOp":
+        return self._bin("+", other)
+
+    def sub(self, other: "Expr | Any") -> "BinOp":
+        return self._bin("-", other)
+
+    def mul(self, other: "Expr | Any") -> "BinOp":
+        return self._bin("*", other)
+
+    def div(self, other: "Expr | Any") -> "BinOp":
+        return self._bin("/", other)
+
+    def alias(self, name: str) -> "Alias":
+        return Alias(self, name)
+
+    def cast(self, to_type: str) -> "Cast":
+        return Cast(self, to_type)
+
+    # -- interface ------------------------------------------------------
+    def to_column(self):
+        """Convert to a ``pyspark.sql.Column`` (imported lazily so plan
+        construction works without a JVM)."""
+        raise NotImplementedError
+
+    def columns(self) -> Tuple[str, ...]:
+        """All column names referenced by this expression."""
+        raise NotImplementedError
+
+    def pretty(self) -> str:
+        raise NotImplementedError
+
+
+def _wrap(v: "Expr | Any") -> "Expr":
+    return v if isinstance(v, Expr) else Lit(v)
+
+
+@dataclass(frozen=True)
+class Col(Expr):
+    """Qualified column reference (reference: DF ``Expr::Column``)."""
+
+    name: str
+    qualifier: str | None = None
+
+    def to_column(self):
+        from pyspark.sql import functions as F
+
+        return F.col(self.name)
+
+    def columns(self) -> Tuple[str, ...]:
+        return (self.name,)
+
+    def pretty(self) -> str:
+        return f"{self.qualifier}.{self.name}" if self.qualifier else self.name
+
+
+@dataclass(frozen=True)
+class Lit(Expr):
+    value: Any = None
+
+    def to_column(self):
+        from pyspark.sql import functions as F
+
+        return F.lit(self.value)
+
+    def columns(self) -> Tuple[str, ...]:
+        return ()
+
+    def pretty(self) -> str:
+        if isinstance(self.value, str):
+            return f"'{self.value}'"
+        return repr(self.value)
+
+
+_SPARK_BIN = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "and": lambda a, b: a & b,
+    "or": lambda a, b: a | b,
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+}
+
+
+@dataclass(frozen=True)
+class BinOp(Expr):
+    op: str
+    left: Expr = field(default=None)  # type: ignore[assignment]
+    right: Expr = field(default=None)  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.op not in _SPARK_BIN:
+            raise ValueError(f"unsupported binary op {self.op!r}")
+
+    def to_column(self):
+        return _SPARK_BIN[self.op](self.left.to_column(), self.right.to_column())
+
+    def columns(self) -> Tuple[str, ...]:
+        return tuple(dict.fromkeys(self.left.columns() + self.right.columns()))
+
+    def pretty(self) -> str:
+        return f"({self.left.pretty()} {self.op} {self.right.pretty()})"
+
+    def conjuncts(self) -> Tuple["Expr", ...]:
+        """Split a conjunction into its AND-ed parts."""
+        if self.op == "and":
+            out: list[Expr] = []
+            for side in (self.left, self.right):
+                if isinstance(side, BinOp):
+                    out.extend(side.conjuncts())
+                else:
+                    out.append(side)
+            return tuple(out)
+        return (self,)
+
+
+#: scalar/aggregate function names → pyspark.sql.functions factory.
+#: Everything stays JVM-side (whole-stage codegen); no Python UDFs here.
+_AGG_FUNCS = {"sum", "avg", "count", "min", "max", "count_distinct", "approx_count_distinct", "stddev", "first"}
+
+
+@dataclass(frozen=True)
+class Func(Expr):
+    """Scalar or aggregate function call, resolved against
+    ``pyspark.sql.functions`` at execution time (JVM-side, codegen'd)."""
+
+    name: str
+    args: Tuple[Expr, ...] = ()
+
+    def __post_init__(self):
+        object.__setattr__(self, "args", tuple(_wrap(a) for a in self.args))
+
+    @property
+    def is_aggregate(self) -> bool:
+        return self.name in _AGG_FUNCS
+
+    def to_column(self):
+        from pyspark.sql import functions as F
+
+        cols = [a.to_column() for a in self.args]
+        if self.name == "count_distinct":
+            return F.count_distinct(*cols)
+        if self.name == "count" and not cols:
+            return F.count(F.lit(1))
+        fn = getattr(F, self.name, None)
+        if fn is None:
+            raise ValueError(f"unknown function {self.name!r}")
+        return fn(*cols)
+
+    def columns(self) -> Tuple[str, ...]:
+        out: list[str] = []
+        for a in self.args:
+            out.extend(a.columns())
+        return tuple(dict.fromkeys(out))
+
+    def pretty(self) -> str:
+        return f"{self.name}({', '.join(a.pretty() for a in self.args)})"
+
+
+@dataclass(frozen=True)
+class Cast(Expr):
+    expr: Expr = field(default=None)  # type: ignore[assignment]
+    to_type: str = "string"
+
+    def to_column(self):
+        return self.expr.to_column().cast(self.to_type)
+
+    def columns(self) -> Tuple[str, ...]:
+        return self.expr.columns()
+
+    def pretty(self) -> str:
+        return f"cast({self.expr.pretty()} as {self.to_type})"
+
+
+@dataclass(frozen=True)
+class Alias(Expr):
+    expr: Expr = field(default=None)  # type: ignore[assignment]
+    name: str = ""
+
+    def to_column(self):
+        return self.expr.to_column().alias(self.name)
+
+    def columns(self) -> Tuple[str, ...]:
+        return self.expr.columns()
+
+    def pretty(self) -> str:
+        return f"{self.expr.pretty()} as {self.name}"
+
+    def output_name(self) -> str:
+        return self.name
+
+
+@dataclass(frozen=True)
+class SortKey:
+    """Sort key: expression + direction + null ordering.
+
+    Mirrors the reference's physical ``OrderSpec {column, asc, null_first}``
+    (``dolomite/src/properties/order.rs:5-25``) but is usable as a logical
+    sort operator field too (the reference has no Sort operator; we add one
+    — SURVEY §2.4 'sorts absent').
+    """
+
+    expr: Expr
+    asc: bool = True
+    nulls_first: bool = True
+
+    def to_column(self):
+        c = self.expr.to_column()
+        if self.asc:
+            return c.asc_nulls_first() if self.nulls_first else c.asc_nulls_last()
+        return c.desc_nulls_first() if self.nulls_first else c.desc_nulls_last()
+
+    def pretty(self) -> str:
+        d = "asc" if self.asc else "desc"
+        n = "nulls_first" if self.nulls_first else "nulls_last"
+        return f"{self.expr.pretty()} {d} {n}"
+
+
+def col(name: str, qualifier: str | None = None) -> Col:
+    return Col(name, qualifier)
+
+
+def lit(value: Any) -> Lit:
+    return Lit(value)
+
+
+def output_name(e: Expr) -> str:
+    """Name a projection/aggregation output column gets in Spark."""
+    if isinstance(e, Alias):
+        return e.name
+    if isinstance(e, Col):
+        return e.name
+    return e.pretty()

@@ -1,0 +1,331 @@
+"""Physical operators.
+
+The reference reuses the logical structs under a ``Physical`` enum variant
+(``dolomite/src/operator/physical.rs:15-20``) and adds a
+``derive_properties`` trait (required child props + output prop,
+``physical.rs:34-41``).  We model each physical choice as its own
+dataclass, because — unlike the reference, which has exactly one join
+strategy (``PhysicalHashJoin``) and no physical Limit at all (SURVEY
+§2.2) — a Spark-backed engine must distinguish strategies that differ by
+orders of magnitude at scale:
+
+* shuffle hash join vs **broadcast** hash join vs sort-merge join,
+* global sort vs **top-k** (Spark ``TakeOrderedAndProject``),
+* hash aggregate (map-side partial agg comes free from Spark).
+
+``derive_properties(children_props) -> (required_child_props, output_prop)``
+mirrors the reference trait; ``Exchange``/``SortEnforcer`` are the enforcer
+operators the reference declares but never emits
+(``properties/physical.rs:16-25``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+from ..expr import Alias, Expr, SortKey
+from .logical import JoinType, Operator
+from .properties import DistributionSpec, OrderSpec, PhysicalPropertySet
+
+__all__ = [
+    "PhysicalOperator",
+    "PhysicalTableScan",
+    "PhysicalFilter",
+    "PhysicalProjection",
+    "PhysicalHashJoin",
+    "PhysicalBroadcastHashJoin",
+    "PhysicalSortMergeJoin",
+    "PhysicalLimit",
+    "PhysicalHashAggregate",
+    "PhysicalSort",
+    "PhysicalTopK",
+    "PhysicalDistinct",
+    "PhysicalUnion",
+    "Exchange",
+]
+
+_DEFAULT = PhysicalPropertySet()
+
+
+class PhysicalOperator(Operator):
+    def derive_properties(
+        self, children_props: Tuple[PhysicalPropertySet, ...]
+    ) -> Tuple[Tuple[PhysicalPropertySet, ...], PhysicalPropertySet]:
+        """Return (required properties per child, output property).
+
+        Default: no requirements, Random/unordered output — matching the
+        reference's scan derivation (``table_scan.rs:43-53``).
+        """
+        return tuple(_DEFAULT for _ in children_props), _DEFAULT
+
+
+@dataclass(frozen=True)
+class PhysicalTableScan(PhysicalOperator):
+    table_name: str
+    limit: Optional[int] = None
+    filters: Tuple[Expr, ...] = ()
+    columns: Optional[Tuple[str, ...]] = None
+
+    def pretty(self) -> str:
+        parts = [f'table_name: "{self.table_name}"']
+        if self.limit is not None:
+            parts.append(f"limit: {self.limit}")
+        if self.filters:
+            parts.append(f"filters: [{', '.join(f.pretty() for f in self.filters)}]")
+        if self.columns is not None:
+            parts.append(f"columns: [{', '.join(self.columns)}]")
+        return "PhysicalTableScan { " + ", ".join(parts) + " }"
+
+
+@dataclass(frozen=True)
+class PhysicalFilter(PhysicalOperator):
+    predicate: Expr
+    projected_columns: Tuple[str, ...] = ()
+
+    def derive_properties(self, children_props):
+        # Filter preserves child distribution/order.
+        return (_DEFAULT,), (children_props[0] if children_props else _DEFAULT)
+
+    def pretty(self) -> str:
+        return f"PhysicalFilter {{ expr: {self.predicate.pretty()} }}"
+
+
+@dataclass(frozen=True)
+class PhysicalProjection(PhysicalOperator):
+    exprs: Tuple[Expr, ...]
+
+    def derive_properties(self, children_props):
+        return (_DEFAULT,), (children_props[0] if children_props else _DEFAULT)
+
+    def pretty(self) -> str:
+        return (
+            "PhysicalProjection { expr: ["
+            + ", ".join(e.pretty() for e in self.exprs)
+            + "] }"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalHashJoin(PhysicalOperator):
+    """Shuffle hash join: both sides hash-partitioned on the join keys.
+
+    Ref ``PhysicalHashJoin`` requires default child props
+    (``operator/join.rs:34-47``); ours states the real requirement —
+    ``Hashed(left_keys)`` / ``Hashed(right_keys)`` — which Spark's
+    ``EnsureRequirements`` satisfies with shuffle exchanges.
+    """
+
+    join_type: JoinType
+    condition: Expr
+    left_keys: Tuple[str, ...] = ()
+    right_keys: Tuple[str, ...] = ()
+
+    def derive_properties(self, children_props):
+        if self.left_keys:
+            req = (
+                PhysicalPropertySet(dist=DistributionSpec.hashed(self.left_keys)),
+                PhysicalPropertySet(dist=DistributionSpec.hashed(self.right_keys)),
+            )
+            out = PhysicalPropertySet(dist=DistributionSpec.hashed(self.left_keys))
+        else:
+            req = (_DEFAULT, _DEFAULT)
+            out = _DEFAULT
+        return req, out
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalHashJoin {{ join_type: {self.join_type.name.title()}, "
+            f"expr: {self.condition.pretty()} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalBroadcastHashJoin(PhysicalOperator):
+    """Broadcast the (small) right side to every executor — no shuffle of
+    the big side.  THE key join strategy at 100 TB: a dimension table a few
+    MB wide must never force a 100 TB fact-table shuffle.  Emitted when the
+    cost model sees build-side row count under the broadcast threshold.
+    Equivalent of DataFusion's ``HashJoinExec mode=CollectLeft``
+    (``datafusion-dolomite-integration/src/planner.rs:206``) — Spark's
+    ``BroadcastHashJoinExec`` via ``F.broadcast`` hint.
+    """
+
+    join_type: JoinType
+    condition: Expr
+
+    def derive_properties(self, children_props):
+        # Probe side streams through unchanged; its distribution survives.
+        return (_DEFAULT, _DEFAULT), (
+            children_props[0] if children_props else _DEFAULT
+        )
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalBroadcastHashJoin {{ join_type: {self.join_type.name.title()}, "
+            f"expr: {self.condition.pretty()} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalSortMergeJoin(PhysicalOperator):
+    """Sort-merge join: requires hash distribution + sort on keys.
+    Spark's default for large-large equi-joins; spills gracefully where a
+    hash join would OOM — the safe strategy when BOTH sides are huge."""
+
+    join_type: JoinType
+    condition: Expr
+    left_keys: Tuple[str, ...] = ()
+    right_keys: Tuple[str, ...] = ()
+
+    def derive_properties(self, children_props):
+        lreq = PhysicalPropertySet(
+            dist=DistributionSpec.hashed(self.left_keys),
+            order=OrderSpec(tuple((k, True, True) for k in self.left_keys)),
+        )
+        rreq = PhysicalPropertySet(
+            dist=DistributionSpec.hashed(self.right_keys),
+            order=OrderSpec(tuple((k, True, True) for k in self.right_keys)),
+        )
+        out = PhysicalPropertySet(dist=DistributionSpec.hashed(self.left_keys))
+        return (lreq, rreq), out
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalSortMergeJoin {{ join_type: {self.join_type.name.title()}, "
+            f"expr: {self.condition.pretty()} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalLimit(PhysicalOperator):
+    """The reference has NO physical limit (cascades cannot implement Limit
+    plans — SURVEY §2.2 flags the gap and tells us not to copy it)."""
+
+    limit: int
+
+    def derive_properties(self, children_props):
+        # Global limit gathers to a single partition.
+        return (_DEFAULT,), PhysicalPropertySet(dist=DistributionSpec.singleton())
+
+    def pretty(self) -> str:
+        return f"PhysicalLimit {{ limit: {self.limit} }}"
+
+
+@dataclass(frozen=True)
+class PhysicalHashAggregate(PhysicalOperator):
+    """Hash aggregate; Spark performs the partial (map-side) aggregation
+    automatically, so one node covers partial+final."""
+
+    group_exprs: Tuple[Expr, ...] = ()
+    agg_exprs: Tuple[Alias, ...] = ()
+
+    def derive_properties(self, children_props):
+        keys = tuple(
+            e.name for e in self.group_exprs if hasattr(e, "name") and isinstance(getattr(e, "name"), str)
+        )
+        if keys:
+            out = PhysicalPropertySet(dist=DistributionSpec.hashed(keys))
+        else:
+            out = PhysicalPropertySet(dist=DistributionSpec.singleton())
+        return (_DEFAULT,), out
+
+    def pretty(self) -> str:
+        return (
+            "PhysicalHashAggregate { group: ["
+            + ", ".join(e.pretty() for e in self.group_exprs)
+            + "], agg: ["
+            + ", ".join(e.pretty() for e in self.agg_exprs)
+            + "] }"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalSort(PhysicalOperator):
+    """Global (range-partitioned) sort."""
+
+    keys: Tuple[SortKey, ...]
+
+    def derive_properties(self, children_props):
+        from ..expr import Col
+
+        order = OrderSpec(
+            tuple(
+                (k.expr.name if isinstance(k.expr, Col) else k.expr.pretty(), k.asc, k.nulls_first)
+                for k in self.keys
+            )
+        )
+        return (_DEFAULT,), PhysicalPropertySet(order=order)
+
+    def pretty(self) -> str:
+        return "PhysicalSort { keys: [" + ", ".join(k.pretty() for k in self.keys) + "] }"
+
+
+@dataclass(frozen=True)
+class PhysicalTopK(PhysicalOperator):
+    """Fused Sort+Limit → Spark ``TakeOrderedAndProject``: each partition
+    keeps k rows, driver merges — no global sort shuffle.  At 100 TB a
+    global sort for a LIMIT 100 would be catastrophic; this is the plan a
+    scale-aware optimizer must pick."""
+
+    keys: Tuple[SortKey, ...]
+    limit: int = 0
+
+    def derive_properties(self, children_props):
+        from ..expr import Col
+
+        order = OrderSpec(
+            tuple(
+                (k.expr.name if isinstance(k.expr, Col) else k.expr.pretty(), k.asc, k.nulls_first)
+                for k in self.keys
+            )
+        )
+        return (_DEFAULT,), PhysicalPropertySet(
+            dist=DistributionSpec.singleton(), order=order
+        )
+
+    def pretty(self) -> str:
+        return (
+            "PhysicalTopK { keys: ["
+            + ", ".join(k.pretty() for k in self.keys)
+            + f"], limit: {self.limit} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalDistinct(PhysicalOperator):
+    columns: Tuple[str, ...] = ()
+
+    def derive_properties(self, children_props):
+        if self.columns:
+            out = PhysicalPropertySet(dist=DistributionSpec.hashed(self.columns))
+        else:
+            out = _DEFAULT
+        return (_DEFAULT,), out
+
+    def pretty(self) -> str:
+        if self.columns:
+            return f"PhysicalDistinct {{ columns: [{', '.join(self.columns)}] }}"
+        return "PhysicalDistinct"
+
+
+@dataclass(frozen=True)
+class PhysicalUnion(PhysicalOperator):
+    def pretty(self) -> str:
+        return "PhysicalUnion"
+
+
+@dataclass(frozen=True)
+class Exchange(PhysicalOperator):
+    """Distribution enforcer (ref declares the mechanism but returns no
+    enforcers, ``properties/physical.rs:16-25``; consumed at
+    ``cascades/task.rs:431-462``).  Execution maps it to
+    ``df.repartition(cols)`` — Spark elides it when redundant."""
+
+    dist: DistributionSpec = None  # type: ignore[assignment]
+
+    def derive_properties(self, children_props):
+        return (_DEFAULT,), PhysicalPropertySet(dist=self.dist)
+
+    def pretty(self) -> str:
+        return f"Exchange {{ dist: {self.dist.pretty()} }}"

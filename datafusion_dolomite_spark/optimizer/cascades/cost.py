@@ -1,0 +1,182 @@
+"""Cost models.
+
+Reference: ``Cost`` = newtype f64 with INF sentinel
+(``dolomite/src/cost/mod.rs:11-22``); ``CostModel::estimate_cost`` costs
+one operator WITHOUT its children — children accumulate inside the
+``OptimizeInputs`` task (``cost/mod.rs:30-35``).  The reference ships only
+``SimpleCostModel``: every physical operator costs 1.0
+(``cost/trivial.rs:12-30``), i.e. the CBO minimizes operator count.
+
+We keep that trivial model as the default for golden-plan determinism and
+add ``SparkCostModel``, a cardinality-aware model fed by parquet row
+counts (the statistics the reference declares but never derives,
+``cascades/memo.rs:781``).  Its job at 100 TB: prefer broadcast joins when
+the build side is small, never broadcast a big table, charge shuffles by
+rows moved, and make TopK beat Sort+Limit.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from ...operators import physical as P
+from ...operators.logical import Operator
+from ...operators.properties import Statistics
+
+__all__ = ["INF", "CostModel", "SimpleCostModel", "SparkCostModel"]
+
+INF = math.inf
+
+
+class CostModel:
+    def estimate_cost(self, op: Operator, input_stats, ctx=None) -> float:
+        """Cost of ``op`` itself (children excluded, ref cost/mod.rs:30-35)."""
+        raise NotImplementedError
+
+
+class SimpleCostModel(CostModel):
+    """Ref ``cost/trivial.rs``: physical op = 1.0; logical op = error."""
+
+    def estimate_cost(self, op: Operator, input_stats, ctx=None) -> float:
+        if op.is_logical():
+            raise ValueError(f"cannot cost logical operator {op.pretty()}")
+        return 1.0
+
+
+#: rows below which a build side is broadcastable.  ~1M rows of a narrow
+#: dim table ≈ tens of MB serialized — comfortably under Spark's default
+#: 10 MB auto threshold only for smaller dims, but we pin broadcasts
+#: explicitly so we use a bigger budget (64 MB, see session.py).
+BROADCAST_ROW_THRESHOLD = 1_000_000
+
+
+class SparkCostModel(CostModel):
+    """Cardinality-aware cost. Unit = 'row touches'.
+
+    shuffle(n) costs 3·n (serialize + network + deserialize),
+    broadcast(n) costs 3·n·log-ish penalty but saves shuffling the probe
+    side entirely; sort adds n·log(n)/10.  Constants are crude but the
+    ORDERING of plans is what matters: broadcast beats shuffle iff build
+    side is small, TopK beats global sort, pushed-down scans beat wide
+    scans.
+    """
+
+    def __init__(self, broadcast_row_threshold: int = BROADCAST_ROW_THRESHOLD):
+        self.broadcast_row_threshold = broadcast_row_threshold
+
+    def estimate_cost(self, op: Operator, input_stats, ctx=None) -> float:
+        if op.is_logical():
+            raise ValueError(f"cannot cost logical operator {op.pretty()}")
+        rows = [s.row_count if s is not None else 1e6 for s in input_stats]
+        out = _output_rows(op, rows, ctx)
+
+        if isinstance(op, P.PhysicalTableScan):
+            return max(out, 1.0)
+        if isinstance(op, (P.PhysicalFilter, P.PhysicalProjection)):
+            return 0.1 * (rows[0] if rows else 1.0)
+        if isinstance(op, P.PhysicalLimit):
+            return 1.0
+        # NOTE: shuffle cost for the join inputs is NOT charged here — the
+        # required Hashed(child) properties surface as Exchange enforcers,
+        # each costed 3·rows (see tasks.py).  A child that is ALREADY
+        # hash-partitioned on the keys skips its Exchange: partitioning
+        # reuse is rewarded exactly where it happens.
+        if isinstance(op, P.PhysicalHashJoin):
+            # build hash table on right (memory-pressure penalty) + probe
+            return 1.5 * (rows[0] + 2.0 * rows[1])
+        if isinstance(op, P.PhysicalSortMergeJoin):
+            # per-partition sorts (Spark inserts them) + linear merge
+            n0, n1 = max(rows[0], 2.0), max(rows[1], 2.0)
+            return 0.5 * (n0 + n1) + 0.2 * (n0 * math.log2(n0) + n1 * math.log2(n1))
+        if isinstance(op, P.PhysicalBroadcastHashJoin):
+            build = rows[1]
+            if build > self.broadcast_row_threshold:
+                return INF  # never broadcast a big table
+            # ship the build side to every worker + probe in place.  The
+            # ship factor is deliberately below the per-row shuffle cost
+            # ratio: like Spark's own JoinSelection, any build side under
+            # the threshold should win against shuffling the probe side.
+            return 8.0 * build + rows[0]
+        if isinstance(op, P.PhysicalHashAggregate):
+            # map-side partial agg then shuffle the (smaller) partials
+            return rows[0] + 3.0 * out
+        if isinstance(op, P.PhysicalSort):
+            n = max(rows[0] if rows else 2.0, 2.0)
+            return 3.0 * n + 0.2 * n * math.log2(n)
+        if isinstance(op, P.PhysicalTopK):
+            # per-partition heap: one pass, no shuffle
+            return rows[0] if rows else 1.0
+        if isinstance(op, P.PhysicalDistinct):
+            return rows[0] + 3.0 * out
+        if isinstance(op, P.PhysicalUnion):
+            return 0.01 * sum(rows)
+        if isinstance(op, P.Exchange):
+            return 3.0 * (rows[0] if rows else 1.0)
+        return 1.0
+
+
+def _output_rows(op: Operator, input_rows, ctx=None) -> float:
+    """Crude output-cardinality estimate; also used as the derived
+    statistics for parent operators (the reference's ``derive_statistics``
+    is ``todo!()`` — this is our working version).  Accepts logical OR
+    physical operators (groups derive stats from their logical exprs)."""
+    from ...operators import logical as L
+
+    if isinstance(op, L.LogicalScan):
+        op = P.PhysicalTableScan(op.table_name, op.limit, op.filters, op.columns)
+    elif isinstance(op, L.LogicalFilter):
+        op = P.PhysicalFilter(op.predicate, op.projected_columns)
+    elif isinstance(op, L.LogicalProjection):
+        op = P.PhysicalProjection(op.exprs)
+    elif isinstance(op, L.LogicalJoin):
+        op = P.PhysicalHashJoin(op.join_type, op.condition)
+    elif isinstance(op, L.LogicalLimit):
+        op = P.PhysicalLimit(op.limit)
+    elif isinstance(op, L.LogicalAggregate):
+        op = P.PhysicalHashAggregate(op.group_exprs, op.agg_exprs)
+    elif isinstance(op, L.LogicalSort):
+        op = P.PhysicalSort(op.keys)
+    elif isinstance(op, L.LogicalDistinct):
+        op = P.PhysicalDistinct(op.columns)
+    elif isinstance(op, L.LogicalUnion):
+        op = P.PhysicalUnion()
+    if isinstance(op, P.PhysicalTableScan):
+        base = 1e6
+        if ctx is not None and getattr(ctx, "catalog", None) is not None:
+            try:
+                base = ctx.catalog.statistics(op.table_name).row_count
+            except Exception:
+                pass
+        if op.filters:
+            base *= 0.25 ** len(op.filters)  # classic 1/4 selectivity each
+        if op.limit is not None:
+            base = min(base, float(op.limit))
+        return max(base, 1.0)
+    if isinstance(op, (P.PhysicalFilter,)):
+        return max(input_rows[0] * 0.25, 1.0)
+    if isinstance(op, (P.PhysicalProjection, P.PhysicalSort, P.Exchange)):
+        return input_rows[0] if input_rows else 1.0
+    if isinstance(op, P.PhysicalLimit):
+        return min(input_rows[0] if input_rows else INF, float(op.limit))
+    if isinstance(op, P.PhysicalTopK):
+        return float(op.limit)
+    if isinstance(
+        op, (P.PhysicalHashJoin, P.PhysicalBroadcastHashJoin, P.PhysicalSortMergeJoin)
+    ):
+        # equi-join: assume FK→PK, output ≈ probe side
+        return max(input_rows[0], 1.0)
+    if isinstance(op, P.PhysicalHashAggregate):
+        n = input_rows[0] if input_rows else 1.0
+        return max(1.0, n ** 0.5) if op.group_exprs else 1.0
+    if isinstance(op, P.PhysicalDistinct):
+        n = input_rows[0] if input_rows else 1.0
+        return max(1.0, 0.5 * n)
+    if isinstance(op, P.PhysicalUnion):
+        return sum(input_rows) if input_rows else 1.0
+    return input_rows[0] if input_rows else 1.0
+
+
+def derive_stats(op: Operator, input_stats, ctx=None) -> Statistics:
+    rows = [s.row_count if s is not None else 1e6 for s in input_stats]
+    return Statistics(row_count=_output_rows(op, rows, ctx))

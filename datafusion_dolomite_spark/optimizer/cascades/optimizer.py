@@ -1,0 +1,51 @@
+"""Cascades optimizer entry point.
+
+Reference: ``dolomite/src/cascades/optimizer.rs`` —
+``CascadesOptimizer::new`` ingests the plan into the memo
+(``memo.rs:331-366``); ``find_best_plan`` runs the task scheduler until
+the stack drains (``optimizer.rs:39-52``) and extracts the min-cost
+physical plan from per-group winners (``memo.rs:66-82``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from ...operators.properties import PhysicalPropertySet
+from ...plans.plan import Plan
+from ..rule import OptimizerContext, Rule
+from .cost import CostModel, SimpleCostModel
+from .memo import Memo
+from .tasks import TaskRunner
+
+__all__ = ["CascadesOptimizer"]
+
+
+class CascadesOptimizer:
+    def __init__(
+        self,
+        rules: Sequence[Rule],
+        ctx: Optional[OptimizerContext] = None,
+        cost_model: Optional[CostModel] = None,
+        required: Optional[PhysicalPropertySet] = None,
+    ):
+        self.rules: List[Rule] = list(rules)
+        self.ctx = ctx or OptimizerContext()
+        self.cost_model = cost_model or SimpleCostModel()
+        self.required = required or PhysicalPropertySet()
+        self.memo: Optional[Memo] = None  # exposed for tests / explain
+
+    def find_best_plan(self, plan: Plan) -> Plan:
+        self.memo = Memo.from_plan(plan, self.ctx)
+        runner = TaskRunner(self.memo, self.rules, self.cost_model, self.ctx)
+        runner.run(self.required)
+        best = self.memo.best_plan(self.required)
+        if best is None:
+            raise ValueError(
+                "cascades found no physical plan — is an implementation rule "
+                "missing for some operator? (the reference has this exact gap "
+                "for Limit, SURVEY §2.2; we ship impl rules for every operator)"
+            )
+        return best
+
+    optimize = find_best_plan

@@ -1,0 +1,134 @@
+"""Join rules.
+
+* ``CommutateJoinRule`` (exploration) — swap inputs of an INNER join
+  (ref ``dolomite/src/rules/join.rs:28-69``; inner-only check at
+  ``join.rs:36-42``).  The one rule that exercises multi-expression memo
+  groups in cascades.
+* ``Join2HashJoinRule`` (implementation) — ``LogicalJoin →
+  PhysicalHashJoin`` (ref ``join.rs:71-114``).
+* ``Join2BroadcastHashJoinRule`` / ``Join2SortMergeJoinRule`` — our
+  scale-aware extensions: alternative physical strategies the cost model
+  chooses among.  The reference has exactly one join strategy; at 100 TB
+  broadcasting the small side or merge-joining two huge sides is the
+  difference between minutes and days, so the search space must contain
+  them.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ...expr import BinOp, Col
+from ...operators.logical import JoinType, LogicalJoin
+from ...operators.physical import (
+    PhysicalBroadcastHashJoin,
+    PhysicalHashJoin,
+    PhysicalSortMergeJoin,
+)
+from ..pattern import Pattern, pattern_of
+from ..rule import OptExpression, OptimizerContext, Rule, RulePromise, RuleResult
+
+__all__ = [
+    "CommutateJoinRule",
+    "Join2HashJoinRule",
+    "Join2BroadcastHashJoinRule",
+    "Join2SortMergeJoinRule",
+]
+
+
+def _swap_condition(cond: BinOp) -> BinOp:
+    """`l = r` → `r = l` so the condition still reads left-to-right after
+    the inputs swap (the reference keeps the expr unchanged because DF
+    equality is symmetric; our executor resolves sides positionally)."""
+    if isinstance(cond, BinOp) and cond.op == "=":
+        return BinOp("=", cond.right, cond.left)
+    if isinstance(cond, BinOp) and cond.op == "and":
+        return BinOp("and", _swap_condition(cond.left), _swap_condition(cond.right))
+    return cond
+
+
+class CommutateJoinRule(Rule):
+    name = "CommutateJoinRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(LogicalJoin)  # single join node (ref join.rs:17-20)
+
+    def promise(self) -> RulePromise:
+        return RulePromise.LOW
+
+    def apply(self, input: OptExpression, ctx: OptimizerContext, result: RuleResult) -> None:
+        op: LogicalJoin = input.root.operator
+        if op.join_type is not JoinType.INNER:
+            return  # inner only (ref join.rs:36-42)
+        left, right = input.root.inputs
+        swapped = LogicalJoin(op.join_type, _swap_condition(op.condition))
+        result.add(OptExpression.op(swapped, right, left))
+
+
+def _keys(op: LogicalJoin):
+    pairs = op.equi_keys()
+    if not pairs:
+        return None, None
+    return tuple(p[0] for p in pairs), tuple(p[1] for p in pairs)
+
+
+class Join2HashJoinRule(Rule):
+    """Implementation rule (ref join.rs:71-114): same fields, physical op."""
+
+    name = "Join2HashJoinRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(LogicalJoin)
+
+    def promise(self) -> RulePromise:
+        return RulePromise.MEDIUM
+
+    def apply(self, input: OptExpression, ctx: OptimizerContext, result: RuleResult) -> None:
+        op: LogicalJoin = input.root.operator
+        lk, rk = _keys(op)
+        phys = PhysicalHashJoin(op.join_type, op.condition, lk or (), rk or ())
+        result.add(OptExpression.op(phys, *input.root.inputs))
+
+
+class Join2BroadcastHashJoinRule(Rule):
+    """Extension: broadcast the right (build) side.  Only emitted as an
+    alternative; the cost model prefers it iff the build side's estimated
+    rows are under ``broadcast_row_threshold``."""
+
+    name = "Join2BroadcastHashJoinRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(LogicalJoin)
+
+    def promise(self) -> RulePromise:
+        return RulePromise.MEDIUM
+
+    def apply(self, input: OptExpression, ctx: OptimizerContext, result: RuleResult) -> None:
+        op: LogicalJoin = input.root.operator
+        # Broadcasting the right side is valid for inner/left/left_semi/
+        # left_anti; full outer cannot broadcast either side.
+        if op.join_type in (JoinType.FULL, JoinType.RIGHT):
+            return
+        phys = PhysicalBroadcastHashJoin(op.join_type, op.condition)
+        result.add(OptExpression.op(phys, *input.root.inputs))
+
+
+class Join2SortMergeJoinRule(Rule):
+    """Extension: sort-merge join for large-large equi-joins (spills
+    gracefully; Spark's own default above the broadcast threshold)."""
+
+    name = "Join2SortMergeJoinRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(LogicalJoin)
+
+    def promise(self) -> RulePromise:
+        return RulePromise.LOW
+
+    def apply(self, input: OptExpression, ctx: OptimizerContext, result: RuleResult) -> None:
+        op: LogicalJoin = input.root.operator
+        lk, rk = _keys(op)
+        if not lk:
+            return  # SMJ needs equi keys
+        phys = PhysicalSortMergeJoin(op.join_type, op.condition, lk, rk)
+        result.add(OptExpression.op(phys, *input.root.inputs))

@@ -1,0 +1,85 @@
+"""The three limit rewrite rules (ref ``dolomite/src/rules/limit.rs``).
+
+* ``PushLimitOverProjectionRule`` — ``Limit(Projection(x)) →
+  Projection(Limit(x))`` (``limit.rs:33-71``); Catalyst analog
+  ``LimitPushDown``.
+* ``RemoveLimitRule`` — ``Limit(a, Limit(b, x)) → Limit(min(a,b), x)``
+  (``limit.rs:73-115``); Catalyst ``CombineLimits``.
+* ``PushLimitToTableScanRule`` — ``Limit(n, Scan(t, l?)) →
+  Scan(t, min(n, l))`` (``limit.rs:117-165``); DSv2
+  ``SupportsPushDownLimit``.  At scale this is the difference between
+  reading 100 TB and reading a few row groups.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from ...operators.logical import LogicalLimit, LogicalProjection, LogicalScan
+from ..pattern import Pattern, pattern_of
+from ..rule import OptExpression, OptimizerContext, Rule, RulePromise, RuleResult
+
+__all__ = ["PushLimitOverProjectionRule", "RemoveLimitRule", "PushLimitToTableScanRule"]
+
+
+class PushLimitOverProjectionRule(Rule):
+    name = "PushLimitOverProjectionRule"
+
+    def pattern(self) -> Pattern:
+        # Limit over Projection (ref limit.rs:21-25)
+        return pattern_of(
+            LogicalLimit, children=(pattern_of(LogicalProjection),)
+        )
+
+    def promise(self) -> RulePromise:
+        return RulePromise.MEDIUM
+
+    def apply(self, input: OptExpression, ctx: OptimizerContext, result: RuleResult) -> None:
+        limit_node = input.root
+        proj_node = limit_node.inputs[0]
+        below = proj_node.inputs[0]  # handle
+        result.add(
+            OptExpression.op(
+                proj_node.operator,
+                OptExpression.op(limit_node.operator, below),
+            )
+        )
+
+
+class RemoveLimitRule(Rule):
+    name = "RemoveLimitRule"
+
+    def pattern(self) -> Pattern:
+        # Limit over Limit (ref limit.rs:16-20)
+        return pattern_of(LogicalLimit, children=(pattern_of(LogicalLimit),))
+
+    def promise(self) -> RulePromise:
+        return RulePromise.HIGH
+
+    def apply(self, input: OptExpression, ctx: OptimizerContext, result: RuleResult) -> None:
+        outer = input.root.operator
+        inner = input.root.inputs[0].operator
+        below = input.root.inputs[0].inputs[0]
+        merged = LogicalLimit(min(outer.limit, inner.limit))
+        result.add(OptExpression.op(merged, below))
+
+
+class PushLimitToTableScanRule(Rule):
+    name = "PushLimitToTableScanRule"
+
+    def pattern(self) -> Pattern:
+        # Limit over Scan (ref limit.rs:26-30)
+        return pattern_of(LogicalLimit, children=(pattern_of(LogicalScan),))
+
+    def promise(self) -> RulePromise:
+        return RulePromise.HIGH
+
+    def apply(self, input: OptExpression, ctx: OptimizerContext, result: RuleResult) -> None:
+        limit_op = input.root.operator
+        scan_op = input.root.inputs[0].operator
+        new_limit = (
+            min(limit_op.limit, scan_op.limit)
+            if scan_op.limit is not None
+            else limit_op.limit
+        )
+        result.add(OptExpression.op(replace(scan_op, limit=new_limit)))

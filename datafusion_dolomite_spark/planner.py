@@ -1,0 +1,107 @@
+"""End-to-end query planner facade.
+
+Mirrors the reference's two embedding adapters
+(``datafusion-dolomite-integration/src/planner.rs:22-56`` — cascades as
+the physical planner; ``src/rule.rs:18-56`` — the heuristic embedded as a
+rewrite pass): a query goes
+
+    builder/SQL → logical Plan
+      → HepOptimizer (rewrite: limit pushdown, filter pushdown, pruning)
+      → CascadesOptimizer (implementation + exploration, cost-based)
+      → to_spark → DataFrame   (Spark = our DataFusion)
+
+``QueryPlanner.dataframe(plan)`` is what ``__spark_entry__.queries()``
+calls for every declared query.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from .execute import to_spark
+from .optimizer.cascades.cost import CostModel, SparkCostModel
+from .optimizer.cascades.optimizer import CascadesOptimizer
+from .optimizer.heuristic import HepOptimizer, MatchOrder
+from .optimizer.rule import OptimizerContext, Rule
+from .optimizer.rules.impl_rules import IMPLEMENTATION_RULES
+from .optimizer.rules.join import (
+    CommutateJoinRule,
+    Join2BroadcastHashJoinRule,
+    Join2HashJoinRule,
+    Join2SortMergeJoinRule,
+)
+from .optimizer.rules.limit import (
+    PushLimitOverProjectionRule,
+    PushLimitToTableScanRule,
+    RemoveLimitRule,
+)
+from .optimizer.rules.pushdown import PUSHDOWN_RULES
+from .plans.plan import Plan
+from .sources.catalog import Catalog
+
+__all__ = ["QueryPlanner", "default_rewrite_rules", "default_cascades_rules"]
+
+
+def default_rewrite_rules() -> list[Rule]:
+    """Heuristic (rewrite) phase rules — the reference's three limit rules
+    plus our pushdown/pruning set."""
+    return [
+        RemoveLimitRule(),
+        PushLimitOverProjectionRule(),
+        PushLimitToTableScanRule(),
+        *PUSHDOWN_RULES,
+    ]
+
+
+def default_cascades_rules(enable_join_exploration: bool = True) -> list[Rule]:
+    """Cascades phase: implementation rules for every operator + join
+    strategy alternatives + (optional) join commutation exploration."""
+    rules: list[Rule] = [*IMPLEMENTATION_RULES, Join2HashJoinRule(),
+                         Join2BroadcastHashJoinRule(), Join2SortMergeJoinRule()]
+    if enable_join_exploration:
+        rules.append(CommutateJoinRule())
+    return rules
+
+
+class QueryPlanner:
+    def __init__(
+        self,
+        spark,
+        catalog: Catalog,
+        cost_model: Optional[CostModel] = None,
+        rewrite_rules: Optional[Sequence[Rule]] = None,
+        cascades_rules: Optional[Sequence[Rule]] = None,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.ctx = OptimizerContext(catalog)
+        self.cost_model = cost_model or SparkCostModel()
+        self.rewrite_rules = list(rewrite_rules or default_rewrite_rules())
+        self.cascades_rules = list(cascades_rules or default_cascades_rules())
+
+    def optimize_logical(self, plan: Plan) -> Plan:
+        hep = HepOptimizer(self.rewrite_rules, self.ctx, MatchOrder.TOP_DOWN)
+        return hep.find_best_plan(plan)
+
+    def optimize_physical(self, plan: Plan) -> Plan:
+        cascades = CascadesOptimizer(
+            self.cascades_rules, self.ctx, cost_model=self.cost_model
+        )
+        return cascades.find_best_plan(plan)
+
+    def optimize(self, plan: Plan) -> Plan:
+        return self.optimize_physical(self.optimize_logical(plan))
+
+    def dataframe(self, plan: Plan):
+        """Full pipeline: optimize then hand to Spark."""
+        return to_spark(self.optimize(plan), self.spark, self.catalog)
+
+    def explain(self, plan: Plan) -> str:
+        logical = self.optimize_logical(plan)
+        physical = self.optimize_physical(logical)
+        return (
+            "== Optimized Logical Plan ==\n"
+            + logical.explain()
+            + "\n== Physical Plan ==\n"
+            + physical.explain()
+        )

@@ -1,0 +1,208 @@
+"""Plan DAG + builder.
+
+Reference parity:
+* ``PlanNode`` = id + operator + inputs + optional logical prop / stats /
+  physical props (``dolomite/src/plan/mod.rs:40-63,125-160``).  Like the
+  reference, equality deliberately IGNORES ``id`` (``plan/mod.rs:54-63``).
+* ``Plan`` is a single-root DAG with a BFS iterator
+  (``plan/mod.rs:65-123``); "we use one data structure to represent a
+  plan" across phases (``plan/mod.rs:42-44``) — one class serves logical,
+  optimized-logical and physical plans here too.
+* ``LogicalPlanBuilder`` mirrors ``dolomite/src/plan/logical.rs:19-98``
+  (each call allocates a node and re-roots), extended with
+  aggregate/sort/distinct/union which the reference lacks.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections import deque
+from typing import Iterator, Optional, Sequence, Tuple
+
+from ..expr import Alias, Expr, SortKey, _wrap
+from ..operators.logical import (
+    JoinType,
+    LogicalAggregate,
+    LogicalDistinct,
+    LogicalFilter,
+    LogicalJoin,
+    LogicalLimit,
+    LogicalOperator,
+    LogicalProjection,
+    LogicalScan,
+    LogicalSort,
+    LogicalUnion,
+    Operator,
+)
+from ..operators.properties import LogicalProperty, PhysicalPropertySet, Statistics
+
+__all__ = ["PlanNode", "Plan", "LogicalPlanBuilder", "next_plan_node_id"]
+
+_ids = itertools.count(1)
+
+
+def next_plan_node_id() -> int:
+    return next(_ids)
+
+
+class PlanNode:
+    """Mutable node (the optimizers rewrite in place like the reference's
+    petgraph-based HepOptimizer); hashed by identity, compared by content
+    minus id."""
+
+    __slots__ = ("id", "operator", "inputs", "logical_prop", "stats", "physical_props")
+
+    def __init__(
+        self,
+        operator: Operator,
+        inputs: Sequence["PlanNode"] = (),
+        logical_prop: Optional[LogicalProperty] = None,
+        stats: Optional[Statistics] = None,
+        physical_props: Optional[PhysicalPropertySet] = None,
+        id: Optional[int] = None,
+    ):
+        self.id = next_plan_node_id() if id is None else id
+        self.operator = operator
+        self.inputs: list[PlanNode] = list(inputs)
+        self.logical_prop = logical_prop
+        self.stats = stats
+        self.physical_props = physical_props
+
+    def __repr__(self) -> str:
+        return f"PlanNode#{self.id}({self.operator.pretty()})"
+
+    def semantic_eq(self, other: "PlanNode") -> bool:
+        """Content equality ignoring ids (ref ``plan/mod.rs:54-63``)."""
+        if self.operator != other.operator or len(self.inputs) != len(other.inputs):
+            return False
+        return all(a.semantic_eq(b) for a, b in zip(self.inputs, other.inputs))
+
+
+class Plan:
+    """Single-root DAG (ref ``plan/mod.rs:65-123``)."""
+
+    def __init__(self, root: PlanNode):
+        self.root = root
+
+    def bfs_iterator(self) -> Iterator[PlanNode]:
+        """Breadth-first, de-duplicated (the DAG may share subtrees)."""
+        seen: set[int] = set()
+        q: deque[PlanNode] = deque([self.root])
+        while q:
+            node = q.popleft()
+            if node.id in seen:
+                continue
+            seen.add(node.id)
+            yield node
+            q.extend(node.inputs)
+
+    def nodes_bottom_up(self) -> list[PlanNode]:
+        return list(reversed(list(self.bfs_iterator())))
+
+    def semantic_eq(self, other: "Plan") -> bool:
+        return self.root.semantic_eq(other.root)
+
+    def explain(self) -> str:
+        from .explain import explain_to_string
+
+        return explain_to_string(self)
+
+
+class LogicalPlanBuilder:
+    """Fluent builder (ref ``plan/logical.rs:19-98``).
+
+    Binary ops (``join``/``union``) take the other side as a finished
+    ``Plan`` or builder, matching the reference's
+    ``builder.join(other_root, ...)`` shape (``dolomite/README.md:8-38``).
+    """
+
+    def __init__(self, root: Optional[PlanNode] = None):
+        self._root = root
+
+    def _push(self, op: LogicalOperator, inputs: Sequence[PlanNode]) -> "LogicalPlanBuilder":
+        return LogicalPlanBuilder(PlanNode(op, inputs))
+
+    def scan(
+        self,
+        table_name: str,
+        limit: Optional[int] = None,
+        filters: Sequence[Expr] = (),
+        columns: Optional[Sequence[str]] = None,
+    ) -> "LogicalPlanBuilder":
+        op = LogicalScan(
+            table_name,
+            limit,
+            tuple(filters),
+            tuple(columns) if columns is not None else None,
+        )
+        return self._push(op, [])
+
+    def filter(self, predicate: Expr, projected_columns: Sequence[str] = ()) -> "LogicalPlanBuilder":
+        return self._push(
+            LogicalFilter(predicate, tuple(projected_columns)), [self._require_root()]
+        )
+
+    def projection(self, exprs: Sequence[Expr]) -> "LogicalPlanBuilder":
+        return self._push(
+            LogicalProjection(tuple(_wrap(e) for e in exprs)), [self._require_root()]
+        )
+
+    # alias matching Spark vocabulary
+    select = projection
+
+    def join(
+        self,
+        other: "LogicalPlanBuilder | Plan | PlanNode",
+        join_type: JoinType,
+        condition: Expr,
+    ) -> "LogicalPlanBuilder":
+        return self._push(
+            LogicalJoin(join_type, condition),
+            [self._require_root(), _as_node(other)],
+        )
+
+    def limit(self, n: int) -> "LogicalPlanBuilder":
+        return self._push(LogicalLimit(n), [self._require_root()])
+
+    def aggregate(
+        self, group_exprs: Sequence[Expr], agg_exprs: Sequence[Alias]
+    ) -> "LogicalPlanBuilder":
+        for a in agg_exprs:
+            if not isinstance(a, Alias):
+                raise TypeError(
+                    "agg_exprs must be Alias(Func(...)) so output names are "
+                    f"deterministic; got {a!r}"
+                )
+        return self._push(
+            LogicalAggregate(tuple(group_exprs), tuple(agg_exprs)),
+            [self._require_root()],
+        )
+
+    def sort(self, keys: Sequence[SortKey]) -> "LogicalPlanBuilder":
+        return self._push(LogicalSort(tuple(keys)), [self._require_root()])
+
+    def distinct(self, columns: Sequence[str] = ()) -> "LogicalPlanBuilder":
+        return self._push(LogicalDistinct(tuple(columns)), [self._require_root()])
+
+    def union(self, *others: "LogicalPlanBuilder | Plan | PlanNode") -> "LogicalPlanBuilder":
+        return self._push(
+            LogicalUnion(), [self._require_root(), *(_as_node(o) for o in others)]
+        )
+
+    def build(self) -> Plan:
+        return Plan(self._require_root())
+
+    def _require_root(self) -> PlanNode:
+        if self._root is None:
+            raise ValueError("builder is empty — call .scan() first")
+        return self._root
+
+
+def _as_node(x) -> PlanNode:
+    if isinstance(x, LogicalPlanBuilder):
+        return x._require_root()
+    if isinstance(x, Plan):
+        return x.root
+    if isinstance(x, PlanNode):
+        return x
+    raise TypeError(f"expected builder/Plan/PlanNode, got {type(x)}")

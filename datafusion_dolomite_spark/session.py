@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-aware defaults.
+
+Single place where execution tuning lives.  Local testing runs
+``local[N]``; on a real cluster the same settings apply (AQE re-plans at
+runtime, skew joins get split, shuffle partitions coalesce) — the configs
+below are the ones that matter at 100 TB, not local-only toys.
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["get_spark", "stop_spark"]
+
+
+def get_spark(app_name: str = "datafusion-dolomite-spark", cpus: int | None = None):
+    from pyspark.sql import SparkSession
+
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime re-planning — coalesces shuffle partitions, converts
+        # to broadcast when runtime stats allow, splits skewed partitions.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # One shuffle partition per core locally; a cluster deployment sets
+        # this ~2-3x total cores (AQE coalesces the excess).
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Keep Python<->JVM transfers Arrow-vectorized (pandas UDF path).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,145 @@
+"""Catalog: table name → parquet path + schema + statistics.
+
+Plays the role of DataFusion's ``SchemaProvider`` inside
+``OptimizerContext`` (``dolomite/src/optimizer.rs:10-22``): scans resolve
+table names at property-derivation time and fail if missing
+(``operator/table_scan.rs:61-63``).
+
+Unlike the reference (statistics ``todo!()``, ``cascades/memo.rs:781``),
+we read row counts straight from parquet footers — zero data scan, exact
+counts — because the cost model's broadcast-vs-shuffle decision depends on
+them.  On a real cluster the same numbers come from the metastore or
+``ANALYZE TABLE``; the interface is the same.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+from ..operators.properties import (
+    ColumnStatistics,
+    Field,
+    LogicalProperty,
+    Schema,
+    Statistics,
+)
+
+__all__ = ["Catalog", "testdata_catalog", "TESTDATA_TABLES"]
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _arrow_to_ddl(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_int8(t):
+        return "tinyint"
+    if pa.types.is_int16(t):
+        return "smallint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp_ntz" if t.tz is None else "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_arrow_to_ddl(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{_arrow_to_ddl(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{_arrow_to_ddl(t.key_type)},{_arrow_to_ddl(t.item_type)}>"
+    return "string"
+
+
+class Catalog:
+    """Dict-backed catalog over parquet files/directories."""
+
+    def __init__(self, tables: Optional[Dict[str, str]] = None):
+        self._paths: Dict[str, str] = dict(tables or {})
+        self._schemas: Dict[str, Schema] = {}
+        self._stats: Dict[str, Statistics] = {}
+
+    def register(self, name: str, path: str) -> None:
+        self._paths[name] = path
+        self._schemas.pop(name, None)
+        self._stats.pop(name, None)
+
+    def path(self, name: str) -> str:
+        if name not in self._paths:
+            raise KeyError(f"table {name!r} not registered in catalog")
+        return self._paths[name]
+
+    def table_names(self):
+        return tuple(self._paths)
+
+    def schema(self, name: str) -> Schema:
+        if name not in self._schemas:
+            import pyarrow.parquet as pq
+
+            arrow = pq.read_schema(self._first_file(name))
+            self._schemas[name] = Schema(
+                tuple(Field(f.name, _arrow_to_ddl(f.type), f.nullable, qualifier=name) for f in arrow)
+            )
+        return self._schemas[name]
+
+    def logical_prop(self, name: str) -> LogicalProperty:
+        return LogicalProperty(self.schema(name))
+
+    def statistics(self, name: str) -> Statistics:
+        """Exact row count from parquet footers (no data read)."""
+        if name not in self._stats:
+            import pyarrow.parquet as pq
+
+            rows = 0
+            for f in self._files(name):
+                rows += pq.ParquetFile(f).metadata.num_rows
+            # NDV left 0 (unknown) — a real deployment would fill from
+            # ANALYZE; cost model falls back to heuristics.
+            self._stats[name] = Statistics(row_count=float(rows), columns=())
+        return self._stats[name]
+
+    def _files(self, name: str):
+        p = self.path(name)
+        if os.path.isdir(p):
+            return sorted(
+                os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+            )
+        return [p]
+
+    def _first_file(self, name: str) -> str:
+        files = self._files(name)
+        if not files:
+            raise FileNotFoundError(f"no parquet files for table {name!r}")
+        return files[0]
+
+
+def testdata_catalog(sf_dir: str) -> Catalog:
+    """Catalog over the driver's synthetic tables (TESTDATA.md)."""
+    return Catalog(
+        {t: os.path.join(sf_dir, f"{t}.parquet") for t in TESTDATA_TABLES}
+    )

@@ -1,0 +1,186 @@
+"""Cascades optimizer: memo construction, rule application, end-to-end
+plan choice (tier-1 analog of ``cascades/memo.rs:851-994``,
+``cascades/task.rs:620-694``, ``cascades/optimizer.rs:97-137``)."""
+
+import pytest
+
+from datafusion_dolomite_spark import JoinType, LogicalPlanBuilder, col
+from datafusion_dolomite_spark.operators.physical import (
+    PhysicalBroadcastHashJoin,
+    PhysicalHashJoin,
+    PhysicalTableScan,
+    PhysicalTopK,
+)
+from datafusion_dolomite_spark.optimizer.cascades.cost import (
+    SimpleCostModel,
+    SparkCostModel,
+)
+from datafusion_dolomite_spark.optimizer.cascades.memo import Memo
+from datafusion_dolomite_spark.optimizer.cascades.optimizer import CascadesOptimizer
+from datafusion_dolomite_spark.optimizer.rules.impl_rules import IMPLEMENTATION_RULES
+from datafusion_dolomite_spark.optimizer.rules.join import (
+    CommutateJoinRule,
+    Join2BroadcastHashJoinRule,
+    Join2HashJoinRule,
+)
+from datafusion_dolomite_spark.optimizer.rules.impl_rules import Scan2TableScanRule
+from datafusion_dolomite_spark.planner import default_cascades_rules
+
+
+def _join_plan():
+    return (
+        LogicalPlanBuilder()
+        .scan("customer")
+        .join(
+            LogicalPlanBuilder().scan("nation"),
+            JoinType.INNER,
+            col("c_nationkey").eq(col("n_nationkey")),
+        )
+        .build()
+    )
+
+
+# --- memo construction (ref memo.rs:851-994) ------------------------------
+
+def test_build_memo_from_plan(ctx):
+    memo = Memo.from_plan(_join_plan(), ctx)
+    # one group per distinct (operator, inputs): 2 scans + join = 3 groups
+    assert len(memo.groups) == 3
+    root = memo.group(memo.root_group_id)
+    assert len(root.logical_exprs) == 1
+    assert root.logical_exprs[0].operator.operator_name() == "Join"
+
+
+def test_memo_dedups_identical_subtrees(ctx):
+    # same scan twice → same group (GroupExprKey dedup, memo.rs:713-719)
+    plan = (
+        LogicalPlanBuilder()
+        .scan("nation")
+        .join(
+            LogicalPlanBuilder().scan("nation"),
+            JoinType.INNER,
+            col("n_nationkey").eq(col("n_regionkey")),
+        )
+        .build()
+    )
+    memo = Memo.from_plan(plan, ctx)
+    assert len(memo.groups) == 2  # nation group shared by both join inputs
+
+
+def test_memo_group_stats_from_parquet(ctx):
+    memo = Memo.from_plan(_join_plan(), ctx)
+    stats = {
+        g.logical_exprs[0].operator.operator_name(): g.stats.row_count
+        for g in memo.groups.values()
+    }
+    assert stats["Scan"] in (25.0, 150.0)  # nation=25, customer=150 @sf0.001
+
+
+# --- rule application inside the memo (ref task.rs:620-694) ---------------
+
+def test_commutate_join_adds_second_group_expr(ctx):
+    opt = CascadesOptimizer(
+        [Scan2TableScanRule(), Join2HashJoinRule(), CommutateJoinRule()],
+        ctx,
+        cost_model=SimpleCostModel(),
+    )
+    opt.find_best_plan(_join_plan())
+    root = opt.memo.group(opt.memo.root_group_id)
+    # commutated join appears as a 2nd logical expr with swapped inputs
+    assert len(root.logical_exprs) == 2
+    e1, e2 = root.logical_exprs
+    assert e1.inputs == tuple(reversed(e2.inputs))
+
+
+# --- end-to-end optimize (ref cascades/optimizer.rs:97-137) ---------------
+
+def test_optimize_join_reference_parity(ctx):
+    """Reference rule set + trivial cost → PhysicalHashJoin over two
+    PhysicalTableScans, exactly like ``test_optimize_join``."""
+    opt = CascadesOptimizer(
+        [Scan2TableScanRule(), Join2HashJoinRule(), CommutateJoinRule()],
+        ctx,
+        cost_model=SimpleCostModel(),
+    )
+    best = opt.find_best_plan(_join_plan())
+    ops = [type(n.operator) for n in best.bfs_iterator()
+           if n.operator.operator_name() != "Exchange"]
+    assert ops[0] is PhysicalHashJoin
+    assert ops[1] is PhysicalTableScan and ops[2] is PhysicalTableScan
+
+
+def test_spark_cost_picks_broadcast_for_small_dim(ctx):
+    """nation is 25 rows — broadcasting beats shuffling both sides."""
+    opt = CascadesOptimizer(
+        default_cascades_rules(), ctx, cost_model=SparkCostModel()
+    )
+    best = opt.find_best_plan(_join_plan())
+    assert isinstance(best.root.operator, PhysicalBroadcastHashJoin)
+    # broadcast join needs no exchanges at all
+    assert all(n.operator.operator_name() != "Exchange" for n in best.bfs_iterator())
+
+
+def test_never_broadcast_big_table(ctx):
+    """Build side over the row threshold must not be broadcast (INF cost)."""
+    opt = CascadesOptimizer(
+        default_cascades_rules(),
+        ctx,
+        cost_model=SparkCostModel(broadcast_row_threshold=10),
+    )
+    best = opt.find_best_plan(_join_plan())
+    assert not isinstance(best.root.operator, PhysicalBroadcastHashJoin)
+
+
+def test_sort_limit_fuses_to_topk(ctx):
+    from datafusion_dolomite_spark.expr import SortKey
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("customer")
+        .sort([SortKey(col("c_acctbal"), asc=False)])
+        .limit(10)
+        .build()
+    )
+    best = CascadesOptimizer(
+        default_cascades_rules(), ctx, cost_model=SparkCostModel()
+    ).find_best_plan(plan)
+    assert isinstance(best.root.operator, PhysicalTopK)
+    assert best.root.operator.limit == 10
+
+
+def test_cascades_implements_every_operator(ctx):
+    """The reference cannot implement Limit (no impl rule, SURVEY §2.2).
+    We must be able to implement every logical operator."""
+    from datafusion_dolomite_spark.expr import Alias, Func, SortKey
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("lineitem")
+        .filter(col("l_quantity").lt(30.0))
+        .aggregate(
+            [col("l_returnflag")],
+            [Alias(Func("sum", (col("l_quantity"),)), "sum_qty")],
+        )
+        .sort([SortKey(col("l_returnflag"))])
+        .limit(5)
+        .build()
+    )
+    best = CascadesOptimizer(
+        default_cascades_rules(), ctx, cost_model=SimpleCostModel()
+    ).find_best_plan(plan)
+    assert best.root is not None
+    names = {n.operator.operator_name() for n in best.bfs_iterator()}
+    assert "HashAggregate" in names
+
+
+def test_memo_winner_per_property_reused(ctx):
+    opt = CascadesOptimizer(
+        default_cascades_rules(), ctx, cost_model=SparkCostModel()
+    )
+    opt.find_best_plan(_join_plan())
+    # every group has a winner for the default property
+    from datafusion_dolomite_spark.operators.properties import PhysicalPropertySet
+
+    default = PhysicalPropertySet()
+    for g in opt.memo.groups.values():
+        assert g.winner(default) is not None

@@ -1,0 +1,193 @@
+"""Heuristic optimizer + rewrite rules.
+
+Tier-2 analog of the reference's YAML golden corpus
+(``datafusion-dolomite-integration/resources/limit.yaml`` +
+``rules/limit.rs:167-322`` unit tests): assert exact explain strings of
+optimized plans.
+"""
+
+import pytest
+
+from datafusion_dolomite_spark import JoinType, LogicalPlanBuilder, col, lit
+from datafusion_dolomite_spark.optimizer.heuristic import HepOptimizer, MatchOrder
+from datafusion_dolomite_spark.optimizer.rule import OptimizerContext
+from datafusion_dolomite_spark.optimizer.rules.limit import (
+    PushLimitOverProjectionRule,
+    PushLimitToTableScanRule,
+    RemoveLimitRule,
+)
+from datafusion_dolomite_spark.optimizer.rules.pushdown import PUSHDOWN_RULES
+from datafusion_dolomite_spark.planner import default_rewrite_rules
+
+LIMIT_RULES = [RemoveLimitRule(), PushLimitOverProjectionRule(), PushLimitToTableScanRule()]
+
+
+def _opt(plan, ctx, rules=None):
+    return HepOptimizer(rules or LIMIT_RULES, ctx).find_best_plan(plan)
+
+
+# --- ported limit.yaml golden cases (resources/limit.yaml:1-11) -----------
+
+def test_yaml_case_select_star(ctx):
+    plan = (
+        LogicalPlanBuilder()
+        .scan("region")
+        .projection([col("r_regionkey"), col("r_name")])
+        .build()
+    )
+    assert _opt(plan, ctx).explain() == (
+        "LogicalProjection { expr: [r_regionkey, r_name] }\n"
+        '└── LogicalScan { table_name: "region" }'
+    )
+
+
+def test_yaml_case_select_star_limit_5(ctx):
+    plan = (
+        LogicalPlanBuilder()
+        .scan("region")
+        .projection([col("r_regionkey"), col("r_name")])
+        .limit(5)
+        .build()
+    )
+    # limit pushed below projection, fused into scan (limit.yaml case 2)
+    assert _opt(plan, ctx).explain() == (
+        "LogicalProjection { expr: [r_regionkey, r_name] }\n"
+        '└── LogicalScan { table_name: "region", limit: 5 }'
+    )
+
+
+# --- rule unit tests (ref rules/limit.rs:167-322) -------------------------
+
+def test_remove_limit_keeps_min(ctx):
+    plan = LogicalPlanBuilder().scan("region").limit(10).limit(3).build()
+    out = _opt(plan, ctx)
+    assert out.explain() == 'LogicalScan { table_name: "region", limit: 3 }'
+
+
+def test_remove_limit_outer_smaller(ctx):
+    plan = LogicalPlanBuilder().scan("region").limit(3).limit(10).build()
+    out = _opt(plan, ctx)
+    assert out.explain() == 'LogicalScan { table_name: "region", limit: 3 }'
+
+
+def test_push_limit_to_scan_merges_existing(ctx):
+    plan = LogicalPlanBuilder().scan("region", limit=2).limit(7).build()
+    out = _opt(plan, ctx)
+    assert out.explain() == 'LogicalScan { table_name: "region", limit: 2 }'
+
+
+def test_fixed_point_terminates(ctx):
+    plan = (
+        LogicalPlanBuilder()
+        .scan("region")
+        .projection([col("r_name")])
+        .limit(5)
+        .projection([col("r_name")])
+        .limit(3)
+        .build()
+    )
+    out = _opt(plan, ctx)
+    # both limits pushed through both projections and fused: min(5,3)=3
+    assert out.explain() == (
+        "LogicalProjection { expr: [r_name] }\n"
+        "└── LogicalProjection { expr: [r_name] }\n"
+        '    └── LogicalScan { table_name: "region", limit: 3 }'
+    )
+
+
+# --- pushdown extension rules ---------------------------------------------
+
+def test_filter_pushed_to_scan(ctx):
+    plan = (
+        LogicalPlanBuilder()
+        .scan("lineitem")
+        .filter(col("l_quantity").lt(lit(10.0)))
+        .build()
+    )
+    out = _opt(plan, ctx, PUSHDOWN_RULES)
+    assert out.explain() == (
+        'LogicalScan { table_name: "lineitem", filters: [(l_quantity < 10.0)] }'
+    )
+
+
+def test_combine_filters_then_push(ctx):
+    plan = (
+        LogicalPlanBuilder()
+        .scan("lineitem")
+        .filter(col("l_quantity").lt(lit(10.0)))
+        .filter(col("l_discount").gt(lit(0.01)))
+        .build()
+    )
+    out = _opt(plan, ctx, PUSHDOWN_RULES)
+    assert out.explain() == (
+        'LogicalScan { table_name: "lineitem", '
+        "filters: [(l_quantity < 10.0), (l_discount > 0.01)] }"
+    )
+
+
+def test_filter_split_through_join(ctx):
+    plan = (
+        LogicalPlanBuilder()
+        .scan("customer")
+        .join(
+            LogicalPlanBuilder().scan("nation"),
+            JoinType.INNER,
+            col("c_nationkey").eq(col("n_nationkey")),
+        )
+        .filter(col("c_acctbal").gt(lit(100.0)).and_(col("n_name").eq(lit("NATION_3"))))
+        .build()
+    )
+    out = _opt(plan, ctx, default_rewrite_rules())
+    # each conjunct lands in its own side's scan
+    assert out.explain() == (
+        "LogicalJoin { join_type: Inner, expr: (c_nationkey = n_nationkey) }\n"
+        '├── LogicalScan { table_name: "customer", filters: [(c_acctbal > 100.0)] }\n'
+        '└── LogicalScan { table_name: "nation", filters: [(n_name = \'NATION_3\')] }'
+    )
+
+
+def test_projection_prunes_scan_columns(ctx):
+    plan = (
+        LogicalPlanBuilder()
+        .scan("lineitem")
+        .projection([col("l_orderkey"), col("l_quantity")])
+        .build()
+    )
+    out = _opt(plan, ctx, default_rewrite_rules())
+    assert out.explain() == (
+        "LogicalProjection { expr: [l_orderkey, l_quantity] }\n"
+        '└── LogicalScan { table_name: "lineitem", columns: [l_orderkey, l_quantity] }'
+    )
+
+
+def test_limit_not_reordered_with_filter(ctx):
+    # Filter(Scan(limit)) must NOT push the filter into the scan
+    plan = (
+        LogicalPlanBuilder()
+        .scan("lineitem", limit=100)
+        .filter(col("l_quantity").lt(lit(10.0)))
+        .build()
+    )
+    out = _opt(plan, ctx, default_rewrite_rules())
+    assert "limit: 100" in out.explain()
+    assert out.root.operator.operator_name() == "Filter"
+
+
+def test_heuristic_rejects_multi_result_rule(ctx):
+    from datafusion_dolomite_spark.optimizer.pattern import pattern_of
+    from datafusion_dolomite_spark.optimizer.rule import OptExpression, Rule
+    from datafusion_dolomite_spark.operators.logical import LogicalLimit
+
+    class BadRule(Rule):
+        name = "BadRule"
+
+        def pattern(self):
+            return pattern_of(LogicalLimit)
+
+        def apply(self, input, ctx, result):
+            result.add(OptExpression.op(LogicalLimit(1), *input.root.inputs))
+            result.add(OptExpression.op(LogicalLimit(2), *input.root.inputs))
+
+    plan = LogicalPlanBuilder().scan("region").limit(5).build()
+    with pytest.raises(ValueError, match="at most 1"):
+        HepOptimizer([BadRule()], ctx).find_best_plan(plan)
