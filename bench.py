@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the declared headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Timing = full pipeline per query: our optimizer (heuristic + cascades)
++ Spark execution to a no-op sink (forces complete materialization
+without driver collect overhead).  Each query runs twice; the second
+(warm) time is reported, so JVM/JIT/session startup doesn't drown the
+signal at small scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from datafusion_dolomite_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("ddspark-bench")
+    qs = entry_mod.queries()
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        try:
+            # warm-up run (plan + execute once)
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # keep the harness alive; a missing query is a bug
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = [t for t in timings.values() if t >= 0]
+    total = round(sum(ok), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total warm wall-clock of headline queries (optimizer+execution)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+                "n_failed": len(timings) - len(ok),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,10 @@ def get_spark(app_name: str = "datafusion-dolomite-spark", cpus: int | None = No
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
+        # read as bigint (nanoseconds since epoch) and convert explicitly
+        # in queries that need event time.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
 

@@ -61,6 +61,9 @@ def _arrow_to_ddl(t) -> str:
     if pa.types.is_date(t):
         return "date"
     if pa.types.is_timestamp(t):
+        if t.unit == "ns":
+            # matches spark.sql.legacy.parquet.nanosAsLong=true (session.py)
+            return "bigint"
         return "timestamp_ntz" if t.tz is None else "timestamp"
     if pa.types.is_decimal(t):
         return f"decimal({t.precision},{t.scale})"

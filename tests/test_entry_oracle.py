@@ -1,0 +1,75 @@
+"""Local replica of the driver's t2 correctness gate: run every
+``__spark_entry__.queries()`` entry AND its ``oracle_sql()`` through
+DuckDB at sf0.01, compare row count + column names + values
+(order-insensitive)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    return v
+
+
+def _normalize_rows(rows, colnames):
+    # sort columns by name (driver semantics), then rows
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+QUERIES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(spark, name):
+    fn = entry_mod.queries()[name]
+    oracle = entry_mod.oracle_sql().get(name)
+    df = fn(spark, SF_DIR)
+    spark_cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+    if oracle is None:
+        assert len(spark_rows) >= 0  # weaker rows-only check
+        return
+    con = _duck_con()
+    res = con.execute(oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column names differ: {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
+    )
+    got = _normalize_rows(spark_rows, spark_cols)
+    want = _normalize_rows(duck_rows, duck_cols)
+    assert got == want, f"{name}: values differ\n got[:3]={got[:3]}\nwant[:3]={want[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
