@@ -226,6 +226,461 @@ def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (functions/text.py — all JVM-side expression IR)
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_dolomite_spark.functions import text as T
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .projection(
+            [
+                col("doc_id"),
+                Alias(T.token_count_ws(col("text")), "n_ws_tokens"),
+                Alias(T.token_count_bpeish(col("text")), "n_tokens"),
+                Alias(T.alpha_ratio_1000(col("text")), "alpha_1000"),
+                Alias(T.quality_score_1000(col("text")), "quality_1000"),
+                Alias(T.doc_fingerprint(col("text")), "fingerprint"),
+            ]
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_dolomite_spark.functions import text as T
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .projection(
+            [col("doc_id"), col("lang")]
+            + T.lang_scores(col("text"))
+            + [Alias(T.lang_id(col("text")), "pred_lang")]
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+# ---------------------------------------------------------------------------
+# Dedup operators (first-class plan nodes, operators/extensions.py)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .exact_dedup(["text"], "doc_id")
+        .projection([col("doc_id"), col("lang"), col("n_chars")])
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .minhash_dedup("doc_id", "text", shingle_k=3, num_hashes=12, bands=3,
+                       threshold_1000=300)
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = (
+        LogicalPlanBuilder().scan("documents").simhash("doc_id", "text", bits=32).build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .knn("vec_id", "embedding", n_queries=5, k=10, method="brute")
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .knn("vec_id", "embedding", n_queries=5, k=10, method="ivf", ncells=8, nprobe=3)
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .cosine_near_dup("vec_id", "embedding", nbits=12, threshold_1000=200)
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload + Arrow-batched mapInPandas)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_dolomite_spark.functions.multimodal import (
+        binary_features,
+        with_binary_payload,
+    )
+
+    base = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
+    )
+    return binary_features(with_binary_payload(base), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (events replayed via AvailableNow)
+# ---------------------------------------------------------------------------
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_dolomite_spark.streaming.pipeline import windowed_event_counts
+
+    return windowed_event_counts(spark, sf_dir, "1 hour")
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_dolomite_spark.streaming.pipeline import sessionized_user_activity
+
+    return sessionized_user_activity(spark, sf_dir, "30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction over events.props
+# ---------------------------------------------------------------------------
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .projection(
+            [
+                col("event_type"),
+                Alias(
+                    Cast(
+                        Func("get_json_object", (col("props"), lit("$.k"))), "bigint"
+                    ),
+                    "k",
+                ),
+            ]
+        )
+        .aggregate(
+            [col("event_type")],
+            [
+                Alias(Func("sum", (col("k"),)), "sum_k"),
+                Alias(Func("count", ()), "n"),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL generators (mirror the Spark params exactly)
+# ---------------------------------------------------------------------------
+
+_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _occ_sql(marker: str) -> str:
+    s = "(' ' || lower(text) || ' ')"
+    return (
+        f"((length({s}) - length(replace({s}, '{marker}', ''))) / {len(marker)})::BIGINT"
+    )
+
+
+def _lang_scores_sql() -> dict[str, str]:
+    from datafusion_dolomite_spark.functions.text import LANG_MARKERS
+
+    return {
+        lang: " + ".join(_occ_sql(m) for m in markers)
+        for lang, markers in LANG_MARKERS
+    }
+
+
+def _lang_id_sql() -> str:
+    from datafusion_dolomite_spark.functions.text import LANG_MARKERS
+
+    langs = [l for l, _ in LANG_MARKERS]
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"score_{lang} > 0"]
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"score_{lang} {op} score_{other}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+def _minhash_oracle(k=3, n=12, bands=3, threshold=300) -> str:
+    r = n // bands
+    mins = ",\n        ".join(
+        "min(" + _H60.format(x=f"'{i}|' || s") + f") AS m{i}" for i in range(n)
+    )
+    band_rows = []
+    for b in range(bands):
+        concat = " || ',' || ".join(f"m{b * r + j}" for j in range(r))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_idx, {_H60.format(x=concat)} AS band_hash FROM mh"
+        )
+    bands_sql = "\n      UNION ALL ".join(band_rows)
+    return f"""
+        WITH w AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS wl
+          FROM documents
+        ),
+        docs AS (SELECT * FROM w WHERE len(wl) >= {k}),
+        sh_raw AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(wl) - {k - 2}),
+                        i -> array_to_string(wl[i:i+{k - 1}], ' '))) AS s
+          FROM docs
+        ),
+        sh AS (SELECT DISTINCT doc_id, s FROM sh_raw),
+        mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        bands AS ({bands_sql}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.d1, c.d2, count(*) AS i
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.d1
+          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+          GROUP BY c.d1, c.d2
+        )
+        SELECT d1, d2, jaccard_1000 FROM (
+          SELECT d1, d2,
+                 floor(1000.0 * i / (n1.n + n2.n - i))::BIGINT AS jaccard_1000
+          FROM inter
+          JOIN cnt n1 ON n1.doc_id = d1
+          JOIN cnt n2 ON n2.doc_id = d2
+        ) WHERE jaccard_1000 >= {threshold}
+    """
+
+
+def _simhash_oracle(bits=32) -> str:
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+          FROM documents
+        ),
+        h AS (SELECT doc_id, {_H60.format(x='t')} AS h FROM tok),
+        v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+        SELECT doc_id, ({sim})::BIGINT AS simhash FROM v
+    """
+
+
+_CENTROID = (
+    "list_transform(range(0, 64), d -> "
+    "((('0x' || substr(md5('c' || c || '_d' || d), 1, 15))::BIGINT % 2001 - 1000) / 1000.0))"
+)
+_PLANE = (
+    "list_transform(range(0, 64), d -> "
+    "((('0x' || substr(md5('p' || b || '_d' || d), 1, 15))::BIGINT % 2001 - 1000) / 1000.0))"
+)
+
+
+def _knn_brute_oracle(nq=5, k=10) -> str:
+    return f"""
+        WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < {nq}),
+        c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+        s AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS sim
+              FROM q CROSS JOIN c WHERE nid <> qid),
+        r AS (SELECT qid, nid,
+                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk
+              FROM s)
+        SELECT qid AS query_id, nid AS neighbor_id, rnk::INTEGER AS "rank"
+        FROM r WHERE rnk <= {k}
+    """
+
+
+def _knn_ivf_oracle(nq=5, k=10, ncells=8, nprobe=3) -> str:
+    return f"""
+        WITH cent AS (SELECT c, {_CENTROID} AS cv FROM range(0, {ncells}) t(c)),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        vc AS (SELECT vec_id, c, list_cosine_similarity(ev, cv) AS s
+               FROM v CROSS JOIN cent),
+        cellr AS (SELECT vec_id, c,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rc
+                  FROM vc),
+        corp AS (SELECT v.vec_id AS nid, v.ev AS cv2, cellr.c AS cell
+                 FROM v JOIN cellr ON cellr.vec_id = v.vec_id AND cellr.rc = 1),
+        probe AS (SELECT vec_id AS qid, c AS cell FROM cellr
+                  WHERE rc <= {nprobe} AND vec_id < {nq}),
+        qv AS (SELECT vec_id AS qid, ev AS qv2 FROM v WHERE vec_id < {nq}),
+        sc AS (SELECT p.qid, corp.nid,
+                      list_cosine_similarity(q2.qv2, corp.cv2) AS sim
+               FROM probe p
+               JOIN corp ON corp.cell = p.cell
+               JOIN qv q2 ON q2.qid = p.qid
+               WHERE corp.nid <> p.qid),
+        r AS (SELECT qid, nid,
+                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk
+              FROM sc)
+        SELECT qid AS query_id, nid AS neighbor_id, rnk::INTEGER AS "rank"
+        FROM r WHERE rnk <= {k}
+    """
+
+
+def _near_dup_oracle(nbits=12, threshold=200) -> str:
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        planes AS (SELECT b, {_PLANE} AS p FROM range(0, {nbits}) t(b)),
+        bitvals AS (
+          SELECT vec_id, b,
+                 CASE WHEN list_sum(list_transform(range(1, 65), i -> v.ev[i] * planes.p[i])) > 0
+                      THEN 1 << b ELSE 0 END AS bv
+          FROM v CROSS JOIN planes
+        ),
+        sk AS (SELECT vec_id, sum(bv)::BIGINT AS sketch FROM bitvals GROUP BY vec_id),
+        pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+                  FROM sk a JOIN sk b ON a.sketch = b.sketch AND a.vec_id < b.vec_id)
+        SELECT id1, id2, cos_1000 FROM (
+          SELECT id1, id2,
+                 floor(1000.0 * list_cosine_similarity(x.ev, y.ev))::BIGINT AS cos_1000
+          FROM pairs JOIN v x ON x.vec_id = id1 JOIN v y ON y.vec_id = id2
+        ) WHERE cos_1000 >= {threshold}
+    """
+
+
+def _text_stats_oracle() -> str:
+    s_norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    punct = "length(regexp_replace(text, '[\\w\\s]', '', 'g'))"
+    nd = "greatest(length(text), 1)::DOUBLE"
+    quality = (
+        f"floor(1000.0 * ((0.5 * ({alpha}::DOUBLE / {nd}) "
+        f"+ 0.3 * (least(length(text), 500)::DOUBLE / 500.0)) "
+        f"+ 0.2 * (1.0 - {punct}::DOUBLE / {nd})))::BIGINT"
+    )
+    return f"""
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_ws_tokens,
+               len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_tokens,
+               floor(1000.0 * {alpha}::DOUBLE / {nd})::BIGINT AS alpha_1000,
+               {quality} AS quality_1000,
+               {_H60.format(x=s_norm)} AS fingerprint
+        FROM documents
+    """
+
+
+def _lang_id_oracle() -> str:
+    scores = _lang_scores_sql()
+    score_cols = ",\n               ".join(
+        f"{sql} AS score_{lang}" for lang, sql in scores.items()
+    )
+    return f"""
+        SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+               {_lang_id_sql()} AS pred_lang
+        FROM (
+          SELECT doc_id, lang,
+               {score_cols}
+          FROM documents
+        )
+    """
+
+
+EXTENSION_QUERIES = {
+    "q_text_stats": q_text_stats,
+    "q_lang_id": q_lang_id,
+    "q_exact_dedup": q_exact_dedup,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_simhash": q_simhash,
+    "q_knn_brute": q_knn_brute,
+    "q_knn_ivf": q_knn_ivf,
+    "q_cosine_near_dup": q_cosine_near_dup,
+    "q_multimodal_features": q_multimodal_features,
+    "q_stream_window_counts": q_stream_window_counts,
+    "q_stream_sessions": q_stream_sessions,
+    "q_events_json": q_events_json,
+}
+
+EXTENSION_ORACLES = {
+    "q_text_stats": _text_stats_oracle(),
+    "q_lang_id": _lang_id_oracle(),
+    "q_exact_dedup": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    """,
+    "q_minhash_pairs": _minhash_oracle(3, 12, 3, 300),
+    "q_simhash": _simhash_oracle(32),
+    "q_knn_brute": _knn_brute_oracle(5, 10),
+    "q_knn_ivf": _knn_ivf_oracle(5, 10, 8, 3),
+    "q_cosine_near_dup": _near_dup_oracle(12, 200),
+    "q_multimodal_features": """
+        SELECT doc_id,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               ('0x' || substr(md5(substr(text, 1, 8)), 1, 15))::BIGINT AS head_hash
+        FROM documents
+    """,
+    "q_stream_window_counts": """
+        SELECT ((epoch_ns(ts) // 1000) // 3600000000) * 3600 AS window_start_s,
+               event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    "q_stream_sessions": """
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS us,
+                 lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000) AS pus
+          FROM events
+        ),
+        m AS (
+          SELECT user_id,
+                 CASE WHEN pus IS NULL OR us - pus >= 1800000000 THEN 1 ELSE 0 END AS news
+          FROM e
+        )
+        SELECT user_id, sum(news)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+        FROM m GROUP BY user_id
+    """,
+    "q_events_json": """
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+}
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_join3(spark, "/root/testdata/sf0.001")
@@ -242,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_join": q_semi_join,
         "q_agg_join": q_agg_join,
         "q_events_by_type": q_events_by_type,
+        **EXTENSION_QUERIES,
     }
 
 
@@ -305,4 +761,5 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
         """,
+        **EXTENSION_ORACLES,
     }

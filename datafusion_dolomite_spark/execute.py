@@ -163,6 +163,77 @@ class SparkExecutor:
             out = out.unionAll(d)
         return out
 
+    # -- LLM-pipeline extension operators -------------------------------
+    def _exact_dedup(self, node: PlanNode):
+        from .functions.dedup import exact_dedup
+
+        op = node.operator
+        return exact_dedup(self._node(node.inputs[0]), list(op.key_cols), op.id_col)
+
+    def _minhash_dedup(self, node: PlanNode):
+        from .functions.dedup import minhash_verified_pairs
+
+        op = node.operator
+        return minhash_verified_pairs(
+            self._node(node.inputs[0]),
+            op.id_col,
+            op.text_col,
+            op.shingle_k,
+            op.num_hashes,
+            op.bands,
+            op.threshold_1000,
+        )
+
+    def _simhash(self, node: PlanNode):
+        from pyspark.sql import functions as F
+
+        from .functions.dedup import simhash_fingerprint
+
+        op = node.operator
+        out = simhash_fingerprint(
+            self._node(node.inputs[0]), op.id_col, op.text_col, op.bits
+        )
+        return out.select(F.col("_id").alias(op.id_col), "simhash")
+
+    def _knn_brute(self, node: PlanNode):
+        from .functions.similarity import knn_brute
+
+        op = node.operator
+        return knn_brute(
+            self._node(node.inputs[0]), op.id_col, op.vec_col, op.n_queries, op.k
+        )
+
+    def _knn_ivf(self, node: PlanNode):
+        from .functions.similarity import knn_ivf
+
+        op = node.operator
+        return knn_ivf(
+            self._node(node.inputs[0]),
+            op.id_col,
+            op.vec_col,
+            op.n_queries,
+            op.k,
+            op.ncells,
+            op.nprobe,
+        )
+
+    def _knn_logical(self, node: PlanNode):
+        return (
+            self._knn_ivf(node) if node.operator.method == "ivf" else self._knn_brute(node)
+        )
+
+    def _cosine_near_dup(self, node: PlanNode):
+        from .functions.similarity import cosine_near_dup
+
+        op = node.operator
+        return cosine_near_dup(
+            self._node(node.inputs[0]),
+            op.id_col,
+            op.vec_col,
+            op.nbits,
+            op.threshold_1000,
+        )
+
 
 def _join_condition(op, left_df, right_df):
     """Build the join condition resolving each side's columns against the
@@ -189,7 +260,21 @@ for _cls in (P.PhysicalHashJoin, P.PhysicalBroadcastHashJoin, P.PhysicalSortMerg
     _cls.equi_keys = _extract_equi  # type: ignore[attr-defined]
 
 
+from .operators import extensions as X  # noqa: E402  (avoids import cycle)
+
 _HANDLERS = {
+    # LLM-pipeline extensions (logical fallback executes the same pipeline)
+    X.PhysicalExactDedup: SparkExecutor._exact_dedup,
+    X.LogicalExactDedup: SparkExecutor._exact_dedup,
+    X.PhysicalMinHashDedup: SparkExecutor._minhash_dedup,
+    X.LogicalMinHashDedup: SparkExecutor._minhash_dedup,
+    X.PhysicalSimHash: SparkExecutor._simhash,
+    X.LogicalSimHash: SparkExecutor._simhash,
+    X.PhysicalKnnBrute: SparkExecutor._knn_brute,
+    X.PhysicalKnnIvf: SparkExecutor._knn_ivf,
+    X.LogicalKnn: SparkExecutor._knn_logical,
+    X.PhysicalCosineNearDup: SparkExecutor._cosine_near_dup,
+    X.LogicalCosineNearDup: SparkExecutor._cosine_near_dup,
     # physical
     P.PhysicalTableScan: SparkExecutor._scan,
     P.PhysicalFilter: SparkExecutor._filter,

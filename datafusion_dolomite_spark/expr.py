@@ -212,10 +212,28 @@ class Func(Expr):
     def is_aggregate(self) -> bool:
         return self.name in _AGG_FUNCS
 
+    #: arg positions that must be passed as raw Python values, not Columns
+    #: (the PySpark API wants plain int/str there)
+    _RAW_ARGS = {
+        "conv": (1, 2),
+        "get_json_object": (1,),
+        "substring": (1, 2),
+    }
+
     def to_column(self):
         from pyspark.sql import functions as F
 
-        cols = [a.to_column() for a in self.args]
+        raw_positions = self._RAW_ARGS.get(self.name, ())
+        cols = []
+        for i, a in enumerate(self.args):
+            if i in raw_positions:
+                if not isinstance(a, Lit):
+                    raise ValueError(
+                        f"{self.name} argument {i} must be a literal, got {a!r}"
+                    )
+                cols.append(a.value)
+            else:
+                cols.append(a.to_column())
         if self.name == "count_distinct":
             return F.count_distinct(*cols)
         if self.name == "count" and not cols:
@@ -266,6 +284,67 @@ class Alias(Expr):
 
     def output_name(self) -> str:
         return self.name
+
+
+@dataclass(frozen=True)
+class CaseWhen(Expr):
+    """CASE WHEN c1 THEN v1 [WHEN c2 THEN v2 ...] ELSE e END."""
+
+    branches: Tuple[Tuple[Expr, Expr], ...] = ()
+    otherwise: Expr = field(default=None)  # type: ignore[assignment]
+
+    def to_column(self):
+        from pyspark.sql import functions as F
+
+        col = None
+        for cond, val in self.branches:
+            col = (
+                F.when(cond.to_column(), val.to_column())
+                if col is None
+                else col.when(cond.to_column(), val.to_column())
+            )
+        if self.otherwise is not None:
+            col = col.otherwise(self.otherwise.to_column())
+        return col
+
+    def columns(self) -> Tuple[str, ...]:
+        out: list[str] = []
+        for cond, val in self.branches:
+            out.extend(cond.columns())
+            out.extend(val.columns())
+        if self.otherwise is not None:
+            out.extend(self.otherwise.columns())
+        return tuple(dict.fromkeys(out))
+
+    def pretty(self) -> str:
+        parts = " ".join(
+            f"when {c.pretty()} then {v.pretty()}" for c, v in self.branches
+        )
+        tail = f" else {self.otherwise.pretty()}" if self.otherwise is not None else ""
+        return f"case {parts}{tail} end"
+
+
+@dataclass(frozen=True)
+class RawSql(Expr):
+    """Escape hatch: a Spark SQL expression string (rendered via
+    ``F.expr``).  Used for constructs the tiny IR doesn't model — higher-
+    order functions with lambdas (``transform``, ``aggregate``,
+    ``filter``), generators (``posexplode``).  Still fully JVM-side /
+    codegen'd; referenced columns must be listed for pruning rules."""
+
+    sql: str = ""
+    refs: Tuple[str, ...] = ()
+
+    def to_column(self):
+        from pyspark.sql import functions as F
+
+        return F.expr(self.sql)
+
+    def columns(self) -> Tuple[str, ...]:
+        return self.refs
+
+    def pretty(self) -> str:
+        return self.sql
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,199 @@
+"""Deduplication pipelines: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Everything here is pure DataFrame lineage over built-in SQL functions —
+shingling and signatures are map-side (higher-order functions, codegen),
+and the only shuffles are (a) one groupBy(doc) to fold signatures and
+(b) the band-bucket self-join that LSH exists to make feasible.  That is
+the 100 TB shape: candidate generation never compares all pairs; it
+shuffles each doc once per representation.
+
+Determinism: hashes are the shared 60-bit md5 (same value in DuckDB —
+see ``functions.text.h60``), so every stage has an exact SQL oracle.
+
+Reference: no dedup exists in the reference (SURVEY §2.4); this is
+north-star extension surface, built as first-class plan operators
+(``operators/extensions.py``) executing through these functions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "minhash_signature",
+    "minhash_candidates",
+    "minhash_verified_pairs",
+    "simhash_fingerprint",
+]
+
+
+def _h60_sql(inner: str) -> str:
+    """Spark-SQL string of the shared 60-bit hash of expression ``inner``."""
+    return f"cast(conv(substring(md5({inner}), 1, 15), 16, 10) as bigint)"
+
+
+def exact_dedup(df, key_cols, id_col: str):
+    """Keep exactly one row per key: the one with the smallest id.
+
+    One hash-shuffle on the key columns; deterministic representative
+    (unlike ``dropDuplicates``, whose pick is partition-order dependent —
+    useless for an oracle and irreproducible between runs)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(df, id_col: str, text_col: str, k: int = 3):
+    """→ (id, shingle) DISTINCT word-k-gram pairs; docs with < k words drop
+    out.  Map-side: split/transform/slice are all codegen'd; explode is a
+    generator, no shuffle."""
+    from pyspark.sql import functions as F
+
+    words = f"split(lower(trim({text_col})), '\\\\s+')"
+    sh = (
+        f"array_distinct(transform(sequence(1, size({words}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({words}, i, {k}))))"
+    )
+    return (
+        df.filter(F.expr(f"size({words}) >= {k}"))
+        .select(F.col(id_col).alias("_id"), F.explode(F.expr(sh)).alias("_shingle"))
+    )
+
+
+def minhash_signature(df, id_col: str, text_col: str, k: int = 3, num_hashes: int = 12):
+    """→ (id, m0..m{n-1}) MinHash signature: one groupBy(doc) computing
+    all n mins in a single pass (partial aggregation map-side)."""
+    from pyspark.sql import functions as F
+
+    sh = shingles(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.expr(_h60_sql(f"concat('{i}|', _shingle)"))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("_id").agg(*aggs)
+
+
+def minhash_candidates(
+    df, id_col: str, text_col: str, k: int = 3, num_hashes: int = 12, bands: int = 3
+):
+    """LSH banding → candidate pairs (d1 < d2).
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs agreeing on ANY band hash become candidates.  The self-join keys
+    on (band_index, band_hash): at scale each bucket is tiny, so the
+    shuffle moves (doc × bands) rows, never doc × doc."""
+    from pyspark.sql import functions as F
+
+    r = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, k, num_hashes)
+    band_structs = []
+    for b in range(bands):
+        cols = ", ".join(f"cast(m{b * r + j} as string)" for j in range(r))
+        concat = "concat_ws(',', " + cols + ")"
+        band_structs.append(
+            f"struct({b} as band_idx, {_h60_sql(concat)} as band_hash)"
+        )
+    banded = sig.select(
+        F.col("_id"),
+        F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("_b"),
+    ).select("_id", "_b.band_idx", "_b.band_hash")
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("d1"), F.col("b._id").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_verified_pairs(
+    df,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 3,
+    threshold_1000: int = 300,
+):
+    """Candidates → exact shingle-set Jaccard (×1000, floored) ≥ threshold.
+
+    Verification joins each candidate pair back to its (distinct) shingle
+    sets: |A∩B| via a shingle-equality join, |A∪B| = |A|+|B|−|A∩B|.
+    Integer arithmetic end-to-end → exact oracle parity."""
+    from pyspark.sql import functions as F
+
+    sh = shingles(df, id_col, text_col, k).cache()
+    counts = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    cand = minhash_candidates(df, id_col, text_col, k, num_hashes, bands)
+
+    s1 = sh.select(F.col("_id").alias("d1"), F.col("_shingle").alias("_s1"))
+    s2 = sh.select(F.col("_id").alias("_d2r"), F.col("_shingle").alias("_s2"))
+    inter = (
+        cand.join(s1, "d1")
+        .join(
+            s2,
+            (F.col("d2") == F.col("_d2r")) & (F.col("_s1") == F.col("_s2")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("_inter"))
+    )
+    c1 = counts.select(F.col("_id").alias("d1"), F.col("_n").alias("_n1"))
+    c2 = counts.select(F.col("_id").alias("d2"), F.col("_n").alias("_n2"))
+    return (
+        inter.join(c1, "d1")
+        .join(c2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.floor(
+                1000.0
+                * F.col("_inter")
+                / (F.col("_n1") + F.col("_n2") - F.col("_inter"))
+            )
+            .cast("bigint")
+            .alias("jaccard_1000"),
+        )
+        .filter(F.col("jaccard_1000") >= threshold_1000)
+    )
+
+
+def simhash_fingerprint(df, id_col: str, text_col: str, bits: int = 32):
+    """→ (id, simhash) where simhash is a ``bits``-wide fingerprint.
+
+    Classic SimHash over word unigrams (with multiplicity): each token
+    votes ±1 per bit position of its 60-bit hash; bit set iff the vote
+    sum is positive.  One explode + one groupBy(doc) — all integer ops."""
+    from pyspark.sql import functions as F
+
+    words = f"split(lower(trim({text_col})), '\\\\s+')"
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.expr(words)).alias("_tok"),
+    ).withColumn("_h", F.expr(_h60_sql("_tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("_id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col("_id"), sim.cast("bigint").alias("simhash"))

@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three strategies, all pure DataFrame ops (higher-order functions —
+``zip_with``/``aggregate`` — are JVM codegen; no Python in the hot path):
+
+* ``knn_brute``   — exact top-k by cosine: broadcast the (small) query
+  set against the corpus, score map-side, per-query top-k via window.
+  Baseline + ground truth.
+* ``knn_ivf``     — IVF-style: corpus assigned to deterministic centroid
+  cells; queries probe only the nearest ``nprobe`` cells.  The scale
+  path: at 100 TB the corpus is bucketed once, and each query touches
+  ~nprobe/ncells of the data instead of all of it.
+* ``cosine_near_dup`` — random-hyperplane LSH: sign-bit sketches bucket
+  the corpus; only same-bucket pairs get exact cosine verification.
+
+Determinism: hyperplanes/centroids derive from the shared 60-bit md5
+hash, so even the approximate strategies have exact DuckDB oracles
+implementing the same algorithm.
+
+Reference: similarity search is wholly absent there (SURVEY §2.4);
+north-star extension surface.
+"""
+
+from __future__ import annotations
+
+__all__ = ["cosine_sim_col", "knn_brute", "knn_ivf", "cosine_near_dup"]
+
+DIM = 64  # embeddings table vector width (TESTDATA)
+
+
+def _dvec(colname: str) -> str:
+    """Cast array<float> → array<double> so arithmetic matches DuckDB's
+    ``::DOUBLE[]`` exactly."""
+    return f"transform({colname}, x -> cast(x as double))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine similarity between two double arrays, sequential fold —
+    same accumulation order as a scalar loop in any engine."""
+    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+    na = f"sqrt(aggregate({a}, cast(0.0 as double), (acc, v) -> acc + v * v))"
+    nb = f"sqrt(aggregate({b}, cast(0.0 as double), (acc, v) -> acc + v * v))"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+def _hash_vec_sql(prefix: str, dim: int = DIM) -> str:
+    """Deterministic pseudo-random unit-cube vector: coordinate d is
+    (h60('{prefix}_d{d}') % 2001 - 1000)/1000 ∈ [-1, 1]."""
+    return (
+        f"transform(sequence(0, {dim - 1}), d -> "
+        f"(cast(conv(substring(md5(concat('{prefix}_d', d)), 1, 15), 16, 10) as bigint) % 2001 - 1000) / 1000.0)"
+    )
+
+
+def cosine_sim_col(a_col: str, b_col: str):
+    from pyspark.sql import functions as F
+
+    return F.expr(_cos_sql(_dvec(a_col), _dvec(b_col)))
+
+
+def knn_brute(df, id_col: str, vec_col: str, n_queries: int = 5, k: int = 10):
+    """Exact cosine top-k.  Queries = rows with id < n_queries (a
+    deterministic stand-in for a user-provided query set).  Output
+    (query_id, neighbor_id, rank) — integer-only, so last-ulp float
+    disagreement between engines cannot flip the value hash."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    q = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "_sim", F.expr(_cos_sql(_dvec("_qv"), _dvec("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _with_cell_sims(df, vec_expr: str, ncells: int, prefix: str = "c"):
+    """Add _s0.._s{ncells-1} cosine-to-centroid columns (map-side)."""
+    from pyspark.sql import functions as F
+
+    for c in range(ncells):
+        df = df.withColumn(
+            f"_s{c}", F.expr(_cos_sql(vec_expr, _hash_vec_sql(f"{prefix}{c}")))
+        )
+    return df
+
+
+def _cells_ranked_expr(ncells: int, take: int) -> str:
+    """SQL array of the ``take`` best cell ids by (sim desc, cell asc):
+    sort struct(-sim, cell) ascending, slice, project cell."""
+    structs = ", ".join(f"struct(-_s{c} as ns, {c} as cell)" for c in range(ncells))
+    return f"transform(slice(array_sort(array({structs})), 1, {take}), x -> x.cell)"
+
+
+def knn_ivf(
+    df,
+    id_col: str,
+    vec_col: str,
+    n_queries: int = 5,
+    k: int = 10,
+    ncells: int = 8,
+    nprobe: int = 3,
+):
+    """IVF-bucketed ANN: corpus → nearest-centroid cell (one pass, one
+    shuffle on the cell join), queries probe ``nprobe`` cells only.
+
+    Centroids are hash-derived (see ``_hash_vec_sql``) so the whole
+    pipeline — including the approximation — replays exactly in SQL; a
+    production deployment would substitute k-means centroids without
+    touching the plan shape."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = _with_cell_sims(c, _dvec("_cv"), ncells)
+    c = c.withColumn("_cell", F.expr(f"{_cells_ranked_expr(ncells, 1)}[0]")).select(
+        "neighbor_id", "_cv", "_cell"
+    )
+
+    q = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    q = _with_cell_sims(q, _dvec("_qv"), ncells)
+    q = q.withColumn("_probe", F.expr(_cells_ranked_expr(ncells, nprobe))).select(
+        "query_id", "_qv", F.explode("_probe").alias("_cell")
+    )
+
+    scored = (
+        c.join(F.broadcast(q), ["_cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_sim", F.expr(_cos_sql(_dvec("_qv"), _dvec("_cv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def cosine_near_dup(
+    df, id_col: str, vec_col: str, nbits: int = 12, threshold_1000: int = 900
+):
+    """Near-duplicate vectors by random-hyperplane LSH + exact verify.
+
+    Sketch bit b = sign(v · r_b), r_b hash-derived.  Same-sketch pairs
+    (bucket join — never all-pairs) get exact cosine; keep pairs with
+    ⌊1000·cos⌋ ≥ threshold."""
+    from pyspark.sql import functions as F
+
+    bits = " + ".join(
+        f"if(aggregate(zip_with({_dvec('_v')}, {_hash_vec_sql(f'p{b}')}, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v) > 0, {2 ** b}, 0)"
+        for b in range(nbits)
+    )
+    sk = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
+        "_sketch", F.expr(f"cast({bits} as bigint)")
+    )
+    a = sk.select(
+        F.col("_id").alias("id1"), F.col("_v").alias("_v1"), F.col("_sketch").alias("_s1")
+    )
+    b_ = sk.select(
+        F.col("_id").alias("id2"), F.col("_v").alias("_v2"), F.col("_sketch").alias("_s2")
+    )
+    pairs = a.join(b_, (F.col("_s1") == F.col("_s2")) & (F.col("id1") < F.col("id2")))
+    return (
+        pairs.withColumn(
+            "cos_1000",
+            F.floor(1000.0 * F.expr(_cos_sql(_dvec("_v1"), _dvec("_v2")))).cast("bigint"),
+        )
+        .filter(F.col("cos_1000") >= threshold_1000)
+        .select("id1", "id2", "cos_1000")
+    )

@@ -1,0 +1,263 @@
+"""LLM-data-pipeline plan operators: dedup, similarity search.
+
+These are FIRST-CLASS plan nodes — logical operator + implementation
+rule + physical operator — in the same framework as scan/join/agg
+(SURVEY §7 Phase 3: "additional logical operators + rules in the same
+framework — not ad-hoc DataFrame calls").  Execution delegates to the
+DataFrame pipelines in ``functions/dedup.py`` / ``functions/similarity.py``.
+
+The reference has none of these (SURVEY §2.4); they are the
+BASELINE.json north-star extensions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+from .logical import LogicalOperator
+from .physical import PhysicalOperator, _DEFAULT
+from .properties import DistributionSpec, Field, LogicalProperty, PhysicalPropertySet, Schema
+
+__all__ = [
+    "LogicalExactDedup",
+    "PhysicalExactDedup",
+    "LogicalMinHashDedup",
+    "PhysicalMinHashDedup",
+    "LogicalSimHash",
+    "PhysicalSimHash",
+    "LogicalKnn",
+    "PhysicalKnnBrute",
+    "PhysicalKnnIvf",
+    "LogicalCosineNearDup",
+    "PhysicalCosineNearDup",
+]
+
+
+# -- exact dedup ------------------------------------------------------------
+
+@dataclass(frozen=True)
+class LogicalExactDedup(LogicalOperator):
+    """Keep one row per key (min ``id_col`` representative — deterministic,
+    unlike ``dropDuplicates``).  Schema passthrough."""
+
+    key_cols: Tuple[str, ...]
+    id_col: str
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        (inp,) = input_props
+        return inp
+
+    def pretty(self) -> str:
+        return (
+            f"LogicalExactDedup {{ keys: [{', '.join(self.key_cols)}], "
+            f"id: {self.id_col} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalExactDedup(PhysicalOperator):
+    key_cols: Tuple[str, ...]
+    id_col: str
+
+    def derive_properties(self, children_props):
+        # the window shuffle leaves data hashed on the keys
+        return (_DEFAULT,), PhysicalPropertySet(
+            dist=DistributionSpec.hashed(self.key_cols)
+        )
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalExactDedup {{ keys: [{', '.join(self.key_cols)}], "
+            f"id: {self.id_col} }}"
+        )
+
+
+# -- minhash LSH near-dup ---------------------------------------------------
+
+_PAIR_SCHEMA = Schema(
+    (Field("d1", "bigint", False), Field("d2", "bigint", False),
+     Field("jaccard_1000", "bigint", True))
+)
+
+
+@dataclass(frozen=True)
+class LogicalMinHashDedup(LogicalOperator):
+    """Near-duplicate pairs by word-``k``-shingle MinHash + LSH banding,
+    exact-Jaccard-verified at ``threshold_1000``/1000."""
+
+    id_col: str
+    text_col: str
+    shingle_k: int = 3
+    num_hashes: int = 12
+    bands: int = 3
+    threshold_1000: int = 300
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        return LogicalProperty(_PAIR_SCHEMA)
+
+    def pretty(self) -> str:
+        return (
+            f"LogicalMinHashDedup {{ id: {self.id_col}, text: {self.text_col}, "
+            f"k: {self.shingle_k}, hashes: {self.num_hashes}, bands: {self.bands}, "
+            f"threshold: {self.threshold_1000} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalMinHashDedup(PhysicalOperator):
+    id_col: str
+    text_col: str
+    shingle_k: int = 3
+    num_hashes: int = 12
+    bands: int = 3
+    threshold_1000: int = 300
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalMinHashDedup {{ id: {self.id_col}, text: {self.text_col}, "
+            f"k: {self.shingle_k}, hashes: {self.num_hashes}, bands: {self.bands}, "
+            f"threshold: {self.threshold_1000} }}"
+        )
+
+
+# -- simhash fingerprint ----------------------------------------------------
+
+@dataclass(frozen=True)
+class LogicalSimHash(LogicalOperator):
+    id_col: str
+    text_col: str
+    bits: int = 32
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        (inp,) = input_props
+        idf = inp.schema.field(self.id_col)
+        return LogicalProperty(
+            Schema((idf, Field("simhash", "bigint", True)))
+        )
+
+    def pretty(self) -> str:
+        return (
+            f"LogicalSimHash {{ id: {self.id_col}, text: {self.text_col}, "
+            f"bits: {self.bits} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalSimHash(PhysicalOperator):
+    id_col: str
+    text_col: str
+    bits: int = 32
+
+    def derive_properties(self, children_props):
+        return (_DEFAULT,), PhysicalPropertySet(
+            dist=DistributionSpec.hashed((self.id_col,))
+        )
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalSimHash {{ id: {self.id_col}, text: {self.text_col}, "
+            f"bits: {self.bits} }}"
+        )
+
+
+# -- knn / similarity search ------------------------------------------------
+
+_KNN_SCHEMA = Schema(
+    (Field("query_id", "bigint", False), Field("neighbor_id", "bigint", False),
+     Field("rank", "int", False))
+)
+
+
+@dataclass(frozen=True)
+class LogicalKnn(LogicalOperator):
+    """Top-k cosine neighbors for each query vector (queries = rows with
+    ``id < n_queries``).  ``method`` picks the physical strategy; the
+    cascades search may also choose: brute is exact, ivf is the
+    bucketed approximation."""
+
+    id_col: str
+    vec_col: str
+    n_queries: int = 5
+    k: int = 10
+    method: str = "brute"  # 'brute' | 'ivf'
+    ncells: int = 8
+    nprobe: int = 3
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        return LogicalProperty(_KNN_SCHEMA)
+
+    def pretty(self) -> str:
+        return (
+            f"LogicalKnn {{ id: {self.id_col}, vec: {self.vec_col}, "
+            f"queries: {self.n_queries}, k: {self.k}, method: {self.method} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalKnnBrute(PhysicalOperator):
+    id_col: str
+    vec_col: str
+    n_queries: int
+    k: int
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalKnnBrute {{ id: {self.id_col}, vec: {self.vec_col}, "
+            f"queries: {self.n_queries}, k: {self.k} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalKnnIvf(PhysicalOperator):
+    id_col: str
+    vec_col: str
+    n_queries: int
+    k: int
+    ncells: int
+    nprobe: int
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalKnnIvf {{ id: {self.id_col}, vec: {self.vec_col}, "
+            f"queries: {self.n_queries}, k: {self.k}, cells: {self.ncells}, "
+            f"probe: {self.nprobe} }}"
+        )
+
+
+# -- embedding cosine near-dup ----------------------------------------------
+
+@dataclass(frozen=True)
+class LogicalCosineNearDup(LogicalOperator):
+    id_col: str
+    vec_col: str
+    nbits: int = 12
+    threshold_1000: int = 900
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        return LogicalProperty(
+            Schema(
+                (Field("id1", "bigint", False), Field("id2", "bigint", False),
+                 Field("cos_1000", "bigint", True))
+            )
+        )
+
+    def pretty(self) -> str:
+        return (
+            f"LogicalCosineNearDup {{ id: {self.id_col}, vec: {self.vec_col}, "
+            f"bits: {self.nbits}, threshold: {self.threshold_1000} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalCosineNearDup(PhysicalOperator):
+    id_col: str
+    vec_col: str
+    nbits: int = 12
+    threshold_1000: int = 900
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalCosineNearDup {{ id: {self.id_col}, vec: {self.vec_col}, "
+            f"bits: {self.nbits}, threshold: {self.threshold_1000} }}"
+        )

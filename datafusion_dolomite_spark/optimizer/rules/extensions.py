@@ -1,0 +1,144 @@
+"""Implementation rules for the LLM-pipeline operators.
+
+Note ``Knn2BruteRule`` / ``Knn2IvfRule``: like the join strategies, BOTH
+physical forms enter the memo and the cost model decides — brute is
+exact but touches queries × corpus; IVF touches ~nprobe/ncells of it.
+A ``method`` pin on the logical operator restricts the choice (users
+asking for ground truth get ground truth).
+"""
+
+from __future__ import annotations
+
+from ...operators import extensions as X
+from ..pattern import Pattern, pattern_of
+from ..rule import OptExpression, RuleResult, Rule
+
+__all__ = [
+    "ExactDedupImplRule",
+    "MinHashDedupImplRule",
+    "SimHashImplRule",
+    "Knn2BruteRule",
+    "Knn2IvfRule",
+    "CosineNearDupImplRule",
+    "EXTENSION_RULES",
+]
+
+
+class ExactDedupImplRule(Rule):
+    name = "ExactDedupImplRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalExactDedup)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalExactDedup = input.root.operator
+        result.add(
+            OptExpression.op(
+                X.PhysicalExactDedup(op.key_cols, op.id_col), *input.root.inputs
+            )
+        )
+
+
+class MinHashDedupImplRule(Rule):
+    name = "MinHashDedupImplRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalMinHashDedup)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalMinHashDedup = input.root.operator
+        result.add(
+            OptExpression.op(
+                X.PhysicalMinHashDedup(
+                    op.id_col,
+                    op.text_col,
+                    op.shingle_k,
+                    op.num_hashes,
+                    op.bands,
+                    op.threshold_1000,
+                ),
+                *input.root.inputs,
+            )
+        )
+
+
+class SimHashImplRule(Rule):
+    name = "SimHashImplRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalSimHash)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalSimHash = input.root.operator
+        result.add(
+            OptExpression.op(
+                X.PhysicalSimHash(op.id_col, op.text_col, op.bits),
+                *input.root.inputs,
+            )
+        )
+
+
+class Knn2BruteRule(Rule):
+    name = "Knn2BruteRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalKnn)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalKnn = input.root.operator
+        if op.method not in ("brute", "any"):
+            return
+        result.add(
+            OptExpression.op(
+                X.PhysicalKnnBrute(op.id_col, op.vec_col, op.n_queries, op.k),
+                *input.root.inputs,
+            )
+        )
+
+
+class Knn2IvfRule(Rule):
+    name = "Knn2IvfRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalKnn)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalKnn = input.root.operator
+        if op.method not in ("ivf", "any"):
+            return
+        result.add(
+            OptExpression.op(
+                X.PhysicalKnnIvf(
+                    op.id_col, op.vec_col, op.n_queries, op.k, op.ncells, op.nprobe
+                ),
+                *input.root.inputs,
+            )
+        )
+
+
+class CosineNearDupImplRule(Rule):
+    name = "CosineNearDupImplRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalCosineNearDup)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalCosineNearDup = input.root.operator
+        result.add(
+            OptExpression.op(
+                X.PhysicalCosineNearDup(
+                    op.id_col, op.vec_col, op.nbits, op.threshold_1000
+                ),
+                *input.root.inputs,
+            )
+        )
+
+
+EXTENSION_RULES = [
+    ExactDedupImplRule(),
+    MinHashDedupImplRule(),
+    SimHashImplRule(),
+    Knn2BruteRule(),
+    Knn2IvfRule(),
+    CosineNearDupImplRule(),
+]

@@ -35,6 +35,7 @@ from .optimizer.rules.limit import (
     PushLimitToTableScanRule,
     RemoveLimitRule,
 )
+from .optimizer.rules.extensions import EXTENSION_RULES
 from .optimizer.rules.pushdown import PUSHDOWN_RULES
 from .plans.plan import Plan
 from .sources.catalog import Catalog
@@ -56,7 +57,8 @@ def default_rewrite_rules() -> list[Rule]:
 def default_cascades_rules(enable_join_exploration: bool = True) -> list[Rule]:
     """Cascades phase: implementation rules for every operator + join
     strategy alternatives + (optional) join commutation exploration."""
-    rules: list[Rule] = [*IMPLEMENTATION_RULES, Join2HashJoinRule(),
+    rules: list[Rule] = [*IMPLEMENTATION_RULES, *EXTENSION_RULES,
+                         Join2HashJoinRule(),
                          Join2BroadcastHashJoinRule(), Join2SortMergeJoinRule()]
     if enable_join_exploration:
         rules.append(CommutateJoinRule())

@@ -189,6 +189,66 @@ class LogicalPlanBuilder:
             LogicalUnion(), [self._require_root(), *(_as_node(o) for o in others)]
         )
 
+    # -- LLM-pipeline extension operators (SURVEY §7 Phase 3) ----------
+    def exact_dedup(self, key_cols: Sequence[str], id_col: str) -> "LogicalPlanBuilder":
+        from ..operators.extensions import LogicalExactDedup
+
+        return self._push(
+            LogicalExactDedup(tuple(key_cols), id_col), [self._require_root()]
+        )
+
+    def minhash_dedup(
+        self,
+        id_col: str,
+        text_col: str,
+        shingle_k: int = 3,
+        num_hashes: int = 12,
+        bands: int = 3,
+        threshold_1000: int = 300,
+    ) -> "LogicalPlanBuilder":
+        from ..operators.extensions import LogicalMinHashDedup
+
+        return self._push(
+            LogicalMinHashDedup(
+                id_col, text_col, shingle_k, num_hashes, bands, threshold_1000
+            ),
+            [self._require_root()],
+        )
+
+    def simhash(self, id_col: str, text_col: str, bits: int = 32) -> "LogicalPlanBuilder":
+        from ..operators.extensions import LogicalSimHash
+
+        return self._push(
+            LogicalSimHash(id_col, text_col, bits), [self._require_root()]
+        )
+
+    def knn(
+        self,
+        id_col: str,
+        vec_col: str,
+        n_queries: int = 5,
+        k: int = 10,
+        method: str = "brute",
+        ncells: int = 8,
+        nprobe: int = 3,
+    ) -> "LogicalPlanBuilder":
+        from ..operators.extensions import LogicalKnn
+
+        return self._push(
+            LogicalKnn(id_col, vec_col, n_queries, k, method, ncells, nprobe),
+            [self._require_root()],
+        )
+
+    def cosine_near_dup(
+        self, id_col: str, vec_col: str, nbits: int = 12, threshold_1000: int = 900
+    ) -> "LogicalPlanBuilder":
+        from ..operators.extensions import LogicalCosineNearDup
+
+        return self._push(
+            LogicalCosineNearDup(id_col, vec_col, nbits, threshold_1000),
+            [self._require_root()],
+        )
+
     def build(self) -> Plan:
         return Plan(self._require_root())
 

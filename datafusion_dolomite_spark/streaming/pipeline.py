@@ -1,0 +1,105 @@
+"""Structured Streaming pipelines over the events table.
+
+The reference has NO streaming surface (SURVEY §2.4 'Streaming:
+absent'); this module is north-star extension surface built the
+idiomatic Spark way: ``readStream`` → event-time window aggregation
+with a watermark → ``writeStream``.  Tests/queries drive it with
+``Trigger.AvailableNow`` against the parquet file, which replays the
+table as a bounded stream through the SAME code path a live stream
+would take — results land in a memory sink and are returned as a
+batch DataFrame (so the driver's oracle can check them).
+
+Scale notes: the watermark bounds state (late events beyond 1 day are
+dropped); windowed aggregation state is per (window × event_type),
+partitioned by group key across executors.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+__all__ = ["windowed_event_counts", "sessionized_user_activity"]
+
+
+def _event_stream(spark, sf_dir: str):
+    """events.parquet as a bounded stream.  ts is bigint nanoseconds
+    (see session.py nanosAsLong); convert with integer division — exact."""
+    from pyspark.sql import functions as F
+
+    from ..sources.catalog import testdata_catalog
+
+    schema = testdata_catalog(sf_dir).schema("events").to_struct_type()
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        # the file-stream source only accepts directories; narrow the
+        # directory listing to the events table with a glob filter
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("event_time", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_event_counts(spark, sf_dir: str, window: str = "1 hour"):
+    """Tumbling-window counts per event_type with a 1-day watermark.
+    Returns a BATCH DataFrame (window_start_s bigint, event_type,
+    n_events, n_users) after the AvailableNow replay completes."""
+    from pyspark.sql import functions as F
+
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("event_time", "1 day")
+        .groupBy(F.window("event_time", window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+        )
+    )
+    sink = f"win_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # approx_count_distinct is estimation — drop it from the oracle-checked
+    # surface; it exists to exercise sketch aggregation in streaming state.
+    return spark.table(sink).select("window_start_s", "event_type", "n_events")
+
+
+def sessionized_user_activity(spark, sf_dir: str, gap: str = "30 minutes"):
+    """Session windows per user (gap-based), demonstrating stateful
+    session aggregation; returns (user_id, n_sessions, n_events)."""
+    from pyspark.sql import functions as F
+
+    stream = _event_stream(spark, sf_dir)
+    sess = (
+        stream.withWatermark("event_time", "1 day")
+        .groupBy(F.session_window("event_time", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sink = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+    )
