@@ -256,13 +256,16 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_dolomite_spark.functions import text as T
 
+    score_cols = [col(f"score_{lang}") for lang, _ in T.LANG_MARKERS]
     plan = (
         LogicalPlanBuilder()
         .scan("documents")
+        # stage 1: compute each score once; stage 2: argmax over columns
+        .projection([col("doc_id"), col("lang")] + T.lang_scores(col("text")))
         .projection(
             [col("doc_id"), col("lang")]
-            + T.lang_scores(col("text"))
-            + [Alias(T.lang_id(col("text")), "pred_lang")]
+            + score_cols
+            + [Alias(T.lang_id_from_scores(), "pred_lang")]
         )
         .build()
     )
@@ -439,9 +442,12 @@ def _lang_id_sql() -> str:
 
 
 def _minhash_oracle(k=3, n=12, bands=3, threshold=300) -> str:
+    from datafusion_dolomite_spark.functions.dedup import minhash_params
+
     r = n // bands
+    coeffs, P = minhash_params(n)
     mins = ",\n        ".join(
-        "min(" + _H60.format(x=f"'{i}|' || s") + f") AS m{i}" for i in range(n)
+        f"min(({a} * h30 + {b}) % {P}) AS m{i}" for i, (a, b) in enumerate(coeffs)
     )
     band_rows = []
     for b in range(bands):
@@ -463,7 +469,8 @@ def _minhash_oracle(k=3, n=12, bands=3, threshold=300) -> str:
           FROM docs
         ),
         sh AS (SELECT DISTINCT doc_id, s FROM sh_raw),
-        mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        sh2 AS (SELECT doc_id, s, ({_H60.format(x='s')} % 1073741824) AS h30 FROM sh),
+        mh AS (SELECT doc_id, {mins} FROM sh2 GROUP BY doc_id),
         bands AS ({bands_sql}),
         cand AS (
           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2

@@ -68,15 +68,38 @@ def shingles(df, id_col: str, text_col: str, k: int = 3):
     )
 
 
+def minhash_params(num_hashes: int):
+    """Affine minhash family h_i(x) = (a_i·(h60(x) mod 2³⁰) + b_i) mod P.
+
+    One md5 per shingle, then ``num_hashes`` cheap integer mixes — an
+    order of magnitude cheaper than per-seed md5, and overflow-safe
+    under ANSI mode (a·h < 2⁶⁰ < int64 max).  Coefficients are
+    hash-derived driver-side, so the SQL oracle embeds identical
+    literals."""
+    import hashlib
+
+    def h60py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    P = 1_000_000_007
+    return [
+        (h60py(f"mh_a{i}") % 999_999_000 + 1, h60py(f"mh_b{i}") % P)
+        for i in range(num_hashes)
+    ], P
+
+
 def minhash_signature(df, id_col: str, text_col: str, k: int = 3, num_hashes: int = 12):
     """→ (id, m0..m{n-1}) MinHash signature: one groupBy(doc) computing
     all n mins in a single pass (partial aggregation map-side)."""
     from pyspark.sql import functions as F
 
-    sh = shingles(df, id_col, text_col, k)
+    sh = shingles(df, id_col, text_col, k).withColumn(
+        "_h30", F.expr(f"{_h60_sql('_shingle')} % 1073741824")
+    )
+    coeffs, P = minhash_params(num_hashes)
     aggs = [
-        F.min(F.expr(_h60_sql(f"concat('{i}|', _shingle)"))).alias(f"m{i}")
-        for i in range(num_hashes)
+        F.min(F.expr(f"({a}L * _h30 + {b}L) % {P}L")).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
     ]
     return sh.groupBy("_id").agg(*aggs)
 

@@ -43,13 +43,26 @@ def _cos_sql(a: str, b: str) -> str:
     return f"({dot}) / (({na}) * ({nb}))"
 
 
-def _hash_vec_sql(prefix: str, dim: int = DIM) -> str:
+def _hash_vec(prefix: str, dim: int = DIM) -> list[float]:
     """Deterministic pseudo-random unit-cube vector: coordinate d is
-    (h60('{prefix}_d{d}') % 2001 - 1000)/1000 ∈ [-1, 1]."""
-    return (
-        f"transform(sequence(0, {dim - 1}), d -> "
-        f"(cast(conv(substring(md5(concat('{prefix}_d', d)), 1, 15), 16, 10) as bigint) % 2001 - 1000) / 1000.0)"
-    )
+    (h60('{prefix}_d{d}') % 2001 - 1000)/1000 ∈ [-1, 1].
+
+    Computed DRIVER-SIDE (same md5 → same values as the SQL oracle) and
+    embedded as a literal array: evaluating 64 md5 calls per row per
+    plane would dominate the scan, and the values are row-independent."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{prefix}_d{d}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+        / 1000.0
+        for d in range(dim)
+    ]
+
+
+def _hash_vec_sql(prefix: str, dim: int = DIM) -> str:
+    """The same vector as a SQL literal array of DOUBLEs (the ``D``
+    suffix matters: bare decimal literals parse as DECIMAL in Spark)."""
+    return "array(" + ", ".join(f"{v!r}D" for v in _hash_vec(prefix, dim)) + ")"
 
 
 def cosine_sim_col(a_col: str, b_col: str):
@@ -120,16 +133,18 @@ def knn_ivf(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    c = _with_cell_sims(c, _dvec("_cv"), ncells)
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("_dv", F.expr(_dvec("_cv")))  # double-cast once per row
+    c = _with_cell_sims(c, "_dv", ncells)
     c = c.withColumn("_cell", F.expr(f"{_cells_ranked_expr(ncells, 1)}[0]")).select(
         "neighbor_id", "_cv", "_cell"
     )
 
     q = df.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-    q = _with_cell_sims(q, _dvec("_qv"), ncells)
+    ).withColumn("_dv", F.expr(_dvec("_qv")))
+    q = _with_cell_sims(q, "_dv", ncells)
     q = q.withColumn("_probe", F.expr(_cells_ranked_expr(ncells, nprobe))).select(
         "query_id", "_qv", F.explode("_probe").alias("_cell")
     )
@@ -160,12 +175,15 @@ def cosine_near_dup(
     from pyspark.sql import functions as F
 
     bits = " + ".join(
-        f"if(aggregate(zip_with({_dvec('_v')}, {_hash_vec_sql(f'p{b}')}, (x, y) -> x * y), "
+        f"if(aggregate(zip_with(_dv, {_hash_vec_sql(f'p{b}')}, (x, y) -> x * y), "
         f"cast(0.0 as double), (acc, v) -> acc + v) > 0, {2 ** b}, 0)"
         for b in range(nbits)
     )
-    sk = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
-        "_sketch", F.expr(f"cast({bits} as bigint)")
+    sk = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_dv", F.expr(_dvec("_v")))
+        .withColumn("_sketch", F.expr(f"cast({bits} as bigint)"))
+        .drop("_dv")
     )
     a = sk.select(
         F.col("_id").alias("id1"), F.col("_v").alias("_v1"), F.col("_sketch").alias("_s1")

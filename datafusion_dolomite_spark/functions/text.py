@@ -29,6 +29,7 @@ __all__ = [
     "LANG_MARKERS",
     "lang_scores",
     "lang_id",
+    "lang_id_from_scores",
     "token_count_ws",
     "token_count_bpeish",
     "alpha_ratio_1000",
@@ -87,8 +88,20 @@ def lang_scores(e: Expr) -> list[Alias]:
 
 def lang_id(e: Expr) -> Expr:
     """argmax over language scores; ties broken by LANG_MARKERS order;
-    all-zero → 'und'."""
+    all-zero → 'und'.  Inlines every score into the CASE — prefer
+    ``lang_id_from_scores`` after a projection that computes the scores
+    once (the inline form re-evaluates each score ~4×)."""
     scores = {a.name.removeprefix("score_"): a.expr for a, (_l, _m) in zip(lang_scores(e), LANG_MARKERS)}
+    return _argmax_case(scores)
+
+
+def lang_id_from_scores() -> Expr:
+    """argmax CASE over already-computed ``score_<lang>`` columns — use
+    as a second projection stage so each score is evaluated once."""
+    return _argmax_case({lang: Col(f"score_{lang}") for lang, _ in LANG_MARKERS})
+
+
+def _argmax_case(scores: dict) -> Expr:
     branches = []
     langs = [l for l, _ in LANG_MARKERS]
     for i, lang in enumerate(langs):
