@@ -685,7 +685,91 @@ EXTENSION_ORACLES = {
                count(*) AS n
         FROM events GROUP BY event_type
     """,
+    "q_window_rank": """
+        SELECT o_custkey, o_orderkey, rk FROM (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders
+        ) WHERE rk <= 2
+    """,
+    "q_sql_q3": """
+        SELECT o_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+    """,
+    "q_union_all": """
+        SELECT r_name AS name FROM region
+        UNION ALL
+        SELECT n_name AS name FROM nation
+    """,
 }
+
+
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (absent in the reference): top-2 orders per
+    customer by row_number over (partition by custkey)."""
+    from datafusion_dolomite_spark.operators.logical import WindowExprDef
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("orders")
+        .window(
+            [
+                WindowExprDef(
+                    Func("row_number", ()),
+                    (col("o_custkey"),),
+                    (
+                        SortKey(col("o_totalprice"), asc=False, nulls_first=False),
+                        SortKey(col("o_orderkey")),
+                    ),
+                    "rk",
+                )
+            ]
+        )
+        .filter(col("rk").le(lit(2)))
+        .projection([col("o_custkey"), col("o_orderkey"), col("rk")])
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape through the SQL FRONT DOOR (parse -> optimize ->
+    execute) — the reference's Entry point A, with joins (which its own
+    conversion cannot round-trip, conversion/logical.rs:119-135)."""
+    return _planner(spark, sf_dir).sql(
+        "select o_orderkey, "
+        "cast(sum(cast(l_extendedprice as decimal(12,2)) "
+        "         * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))) as double) as revenue, "
+        "count(*) as n "
+        "from customer join orders on c_custkey = o_custkey "
+        "join lineitem on o_orderkey = l_orderkey "
+        "where c_mktsegment = 'BUILDING' "
+        "group by o_orderkey"
+    )
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = (
+        LogicalPlanBuilder()
+        .scan("region")
+        .projection([Alias(col("r_name"), "name")])
+        .union(
+            LogicalPlanBuilder().scan("nation").projection([Alias(col("n_name"), "name")])
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -704,6 +788,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_join": q_semi_join,
         "q_agg_join": q_agg_join,
         "q_events_by_type": q_events_by_type,
+        "q_window_rank": q_window_rank,
+        "q_sql_q3": q_sql_q3,
+        "q_union_all": q_union_all,
         **EXTENSION_QUERIES,
     }
 

@@ -156,6 +156,17 @@ class SparkExecutor:
         # Unoptimized logical plan: let Spark's JoinSelection decide.
         return self._join(node)
 
+    def _window(self, node: PlanNode):
+        from pyspark.sql import Window as W
+
+        df = self._node(node.inputs[0])
+        for wdef in node.operator.window_exprs:
+            spec = W.partitionBy(*[e.to_column() for e in wdef.partition_by])
+            if wdef.order_by:
+                spec = spec.orderBy(*[k.to_column() for k in wdef.order_by])
+            df = df.withColumn(wdef.name, wdef.func.to_column().over(spec))
+        return df
+
     def _union(self, node: PlanNode):
         dfs = [self._node(c) for c in node.inputs]
         out = dfs[0]
@@ -287,6 +298,8 @@ _HANDLERS = {
     P.PhysicalHashJoin: SparkExecutor._hash_join,
     P.PhysicalBroadcastHashJoin: SparkExecutor._broadcast_join,
     P.PhysicalSortMergeJoin: SparkExecutor._smj,
+    P.PhysicalWindow: SparkExecutor._window,
+    L.LogicalWindow: SparkExecutor._window,
     P.PhysicalUnion: SparkExecutor._union,
     P.Exchange: SparkExecutor._exchange,
     # logical fallbacks — lets UNOPTIMIZED plans execute for differential

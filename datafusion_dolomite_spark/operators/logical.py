@@ -40,6 +40,8 @@ __all__ = [
     "LogicalSort",
     "LogicalDistinct",
     "LogicalUnion",
+    "WindowExprDef",
+    "LogicalWindow",
 ]
 
 
@@ -290,6 +292,52 @@ class LogicalDistinct(LogicalOperator):
         if self.columns:
             return f"LogicalDistinct {{ columns: [{', '.join(self.columns)}] }}"
         return "LogicalDistinct"
+
+
+@dataclass(frozen=True)
+class WindowExprDef:
+    """One windowed column: func OVER (PARTITION BY ... ORDER BY ...)."""
+
+    func: Expr
+    partition_by: Tuple[Expr, ...]
+    order_by: Tuple[SortKey, ...]
+    name: str
+
+    def pretty(self) -> str:
+        parts = ", ".join(e.pretty() for e in self.partition_by)
+        orders = ", ".join(k.pretty() for k in self.order_by)
+        return (
+            f"{self.func.pretty()} over (partition by [{parts}] "
+            f"order by [{orders}]) as {self.name}"
+        )
+
+
+@dataclass(frozen=True)
+class LogicalWindow(LogicalOperator):
+    """Window functions (absent in the reference — SURVEY §2.4 'Window
+    functions: absent').  Appends one column per window expression."""
+
+    window_exprs: Tuple[WindowExprDef, ...]
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        (inp,) = input_props
+        extra = []
+        for w in self.window_exprs:
+            dtype = (
+                "int"
+                if isinstance(w.func, Func)
+                and w.func.name in ("row_number", "rank", "dense_rank")
+                else _infer_dtype(w.func, inp.schema)
+            )
+            extra.append(Field(w.name, dtype))
+        return LogicalProperty(Schema(inp.schema.fields + tuple(extra)))
+
+    def pretty(self) -> str:
+        return (
+            "LogicalWindow { exprs: ["
+            + ", ".join(w.pretty() for w in self.window_exprs)
+            + "] }"
+        )
 
 
 @dataclass(frozen=True)

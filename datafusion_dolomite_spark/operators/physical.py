@@ -41,6 +41,7 @@ __all__ = [
     "PhysicalSort",
     "PhysicalTopK",
     "PhysicalDistinct",
+    "PhysicalWindow",
     "PhysicalUnion",
     "Exchange",
 ]
@@ -307,6 +308,36 @@ class PhysicalDistinct(PhysicalOperator):
         if self.columns:
             return f"PhysicalDistinct {{ columns: [{', '.join(self.columns)}] }}"
         return "PhysicalDistinct"
+
+
+@dataclass(frozen=True)
+class PhysicalWindow(PhysicalOperator):
+    """Window exec: requires hash distribution on the partition keys +
+    sort within partitions (Spark inserts both; stated here so the
+    property framework reflects the real shuffle)."""
+
+    window_exprs: Tuple = ()
+
+    def derive_properties(self, children_props):
+        from ..expr import Col
+
+        keys = []
+        for w in self.window_exprs:
+            for e in w.partition_by:
+                if isinstance(e, Col) and e.name not in keys:
+                    keys.append(e.name)
+        if keys:
+            out = PhysicalPropertySet(dist=DistributionSpec.hashed(tuple(keys)))
+        else:
+            out = PhysicalPropertySet()
+        return (PhysicalPropertySet(),), out
+
+    def pretty(self) -> str:
+        return (
+            "PhysicalWindow { exprs: ["
+            + ", ".join(w.pretty() for w in self.window_exprs)
+            + "] }"
+        )
 
 
 @dataclass(frozen=True)

@@ -25,6 +25,7 @@ __all__ = [
     "Sort2SortRule",
     "SortLimit2TopKRule",
     "Distinct2DistinctRule",
+    "Window2WindowRule",
     "Union2UnionRule",
     "IMPLEMENTATION_RULES",
 ]
@@ -149,6 +150,19 @@ class Distinct2DistinctRule(Rule):
         result.add(OptExpression.op(P.PhysicalDistinct(op.columns), *input.root.inputs))
 
 
+class Window2WindowRule(Rule):
+    name = "Window2WindowRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(L.LogicalWindow)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: L.LogicalWindow = input.root.operator
+        result.add(
+            OptExpression.op(P.PhysicalWindow(op.window_exprs), *input.root.inputs)
+        )
+
+
 class Union2UnionRule(Rule):
     name = "Union2UnionRule"
 
@@ -168,5 +182,6 @@ IMPLEMENTATION_RULES = [
     Sort2SortRule(),
     SortLimit2TopKRule(),
     Distinct2DistinctRule(),
+    Window2WindowRule(),
     Union2UnionRule(),
 ]

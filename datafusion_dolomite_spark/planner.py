@@ -98,6 +98,13 @@ class QueryPlanner:
         """Full pipeline: optimize then hand to Spark."""
         return to_spark(self.optimize(plan), self.spark, self.catalog)
 
+    def sql(self, query: str):
+        """SQL front door: parse → optimize → execute (entry point A of
+        the reference, SURVEY §3)."""
+        from .sql import parse_sql
+
+        return self.dataframe(parse_sql(query, self.catalog))
+
     def explain(self, plan: Plan) -> str:
         logical = self.optimize_logical(plan)
         physical = self.optimize_physical(logical)

@@ -189,6 +189,13 @@ class LogicalPlanBuilder:
             LogicalUnion(), [self._require_root(), *(_as_node(o) for o in others)]
         )
 
+    def window(self, window_exprs) -> "LogicalPlanBuilder":
+        from ..operators.logical import LogicalWindow
+
+        return self._push(
+            LogicalWindow(tuple(window_exprs)), [self._require_root()]
+        )
+
     # -- LLM-pipeline extension operators (SURVEY §7 Phase 3) ----------
     def exact_dedup(self, key_cols: Sequence[str], id_col: str) -> "LogicalPlanBuilder":
         from ..operators.extensions import LogicalExactDedup

@@ -92,6 +92,14 @@ class Catalog:
         self._schemas.pop(name, None)
         self._stats.pop(name, None)
 
+    def register_schema(self, name: str, schema: Schema, row_count: float = 0.0) -> None:
+        """Register a schema-only table (no files) — the analog of the
+        reference tests' ``EmptyTable`` fixtures (``test_utils.rs:36-43``):
+        plan-level tests need binding, not data."""
+        self._schemas[name] = schema
+        self._stats[name] = Statistics(row_count=row_count)
+        self._paths.setdefault(name, f"<schema-only:{name}>")
+
     def path(self, name: str) -> str:
         if name not in self._paths:
             raise KeyError(f"table {name!r} not registered in catalog")

