@@ -710,6 +710,23 @@ EXTENSION_ORACLES = {
         UNION ALL
         SELECT n_name AS name FROM nation
     """,
+    "q_anti_join": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+    """,
+    "q_left_join": """
+        SELECT c_custkey, o_orderkey
+        FROM customer LEFT JOIN (
+            SELECT o_custkey, o_orderkey FROM orders
+            WHERE o_totalprice > 400000.0) o ON c_custkey = o.o_custkey
+    """,
+    "q_global_agg": """
+        SELECT count(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+    """,
 }
 
 
@@ -772,6 +789,63 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with NO order over 300k."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("customer")
+        .join(
+            LogicalPlanBuilder()
+            .scan("orders")
+            .filter(col("o_totalprice").gt(lit(300000.0))),
+            JoinType.LEFT_ANTI,
+            col("c_custkey").eq(col("o_custkey")),
+        )
+        .projection([col("c_custkey")])
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with null-producing right side."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("customer")
+        .join(
+            LogicalPlanBuilder()
+            .scan("orders")
+            .filter(col("o_totalprice").gt(lit(400000.0)))
+            .projection([col("o_custkey"), col("o_orderkey")]),
+            JoinType.LEFT,
+            col("c_custkey").eq(col("o_custkey")),
+        )
+        .projection([col("c_custkey"), col("o_orderkey")])
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (ungrouped) aggregate."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("lineitem")
+        .aggregate(
+            [],
+            [
+                Alias(Func("count", ()), "n_rows"),
+                _dsum(_dec(col("l_quantity")), "total_qty"),
+                Alias(Func("count_distinct", (col("l_orderkey"),)), "n_orders"),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_join3(spark, "/root/testdata/sf0.001")
@@ -791,6 +865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_rank": q_window_rank,
         "q_sql_q3": q_sql_q3,
         "q_union_all": q_union_all,
+        "q_anti_join": q_anti_join,
+        "q_left_join": q_left_join,
+        "q_global_agg": q_global_agg,
         **EXTENSION_QUERIES,
     }
 
