@@ -727,6 +727,11 @@ EXTENSION_ORACLES = {
                COUNT(DISTINCT l_orderkey) AS n_orders
         FROM lineitem
     """,
+    "q_stream_stateful": """
+        SELECT user_id, count(*) AS n_events,
+               SUM(floor(value * 100)::BIGINT) AS total_cents
+        FROM events GROUP BY user_id
+    """,
 }
 
 
@@ -846,6 +851,16 @@ def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+
+
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals over the replayed event stream."""
+    from datafusion_dolomite_spark.streaming.pipeline import stateful_user_totals
+
+    return stateful_user_totals(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_join3(spark, "/root/testdata/sf0.001")
@@ -868,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anti_join": q_anti_join,
         "q_left_join": q_left_join,
         "q_global_agg": q_global_agg,
+        "q_stream_stateful": q_stream_stateful,
         **EXTENSION_QUERIES,
     }
 

@@ -1,0 +1,56 @@
+"""Skew mitigation: salted two-stage aggregation.
+
+When one group key holds a disproportionate share of rows (the classic
+power-law user/url/token), a plain ``groupBy(key)`` sends the whole hot
+key to ONE reducer — at 100 TB that single task runs for hours while the
+rest of the cluster idles.  Salting splits each key into ``n_salts``
+sub-keys for a partial aggregate, then combines the partials in a second
+(tiny) aggregate.  Works for decomposable aggregates (count/sum/min/max).
+
+Join-side skew is handled by AQE (``skewJoin.enabled``, session.py);
+this helper covers aggregation skew, which AQE does not re-balance.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+__all__ = ["salted_aggregate"]
+
+_MERGE = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+
+def salted_aggregate(
+    df,
+    keys: Sequence[str],
+    aggs: Sequence[tuple],  # (func, col, alias), func ∈ count/sum/min/max
+    n_salts: int = 32,
+):
+    """Two-stage skew-proof aggregate.
+
+    ``aggs``: e.g. ``[("count", "*", "n"), ("sum", "value", "total")]``.
+    Stage 1 groups by (keys + salt) — the hot key fans out over
+    ``n_salts`` reducers; stage 2 merges partials by the true keys.
+    """
+    from pyspark.sql import functions as F
+
+    for func, _c, _a in aggs:
+        if func not in _MERGE:
+            raise ValueError(
+                f"{func} is not decomposable; salted_aggregate supports {sorted(_MERGE)}"
+            )
+
+    salted = df.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    partial_aggs = []
+    for func, c, alias in aggs:
+        colexpr = F.lit(1) if c == "*" else F.col(c)
+        partial_aggs.append(getattr(F, "count" if func == "count" else func)(colexpr).alias(f"_p_{alias}"))
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
+
+    final_aggs = [
+        getattr(F, _MERGE[func])(F.col(f"_p_{alias}")).alias(alias)
+        for func, _c, alias in aggs
+    ]
+    return partial.groupBy(*keys).agg(*final_aggs)

@@ -18,7 +18,11 @@ from __future__ import annotations
 
 import uuid
 
-__all__ = ["windowed_event_counts", "sessionized_user_activity"]
+__all__ = [
+    "windowed_event_counts",
+    "sessionized_user_activity",
+    "stateful_user_totals",
+]
 
 
 def _event_stream(spark, sf_dir: str):
@@ -102,4 +106,73 @@ def sessionized_user_activity(spark, sf_dir: str, gap: str = "30 minutes"):
             F.count(F.lit(1)).alias("n_sessions"),
             F.sum("n_events").cast("bigint").alias("n_events"),
         )
+    )
+
+
+def stateful_user_totals(spark, sf_dir: str):
+    """CUSTOM STATEFUL operator via ``applyInPandasWithState``: per-user
+    running totals (event count + exact value sum in integer cents)
+    maintained in explicit GroupState across micro-batches.
+
+    This is the escape hatch for stateful logic Spark's built-in windowed
+    aggregations can't express (per-key custom accumulators, timeouts,
+    eviction policies).  State is partitioned by user_id across
+    executors; each micro-batch updates only the touched keys.  Returns
+    (user_id, n_events, total_cents) after AvailableNow replay.
+    """
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _event_stream(spark, sf_dir)
+
+    out_schema = "user_id bigint, n_events bigint, total_cents bigint"
+    state_schema = "n bigint, cents bigint"
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        import numpy as np
+
+        for pdf in pdfs:
+            n += len(pdf)
+            # integer cents: floor(value * 100) — exact & oracle-checkable
+            # (np.floor, matching SQL floor(); astype would truncate
+            # toward zero and DuckDB's bigint cast rounds)
+            cents += int(np.floor(pdf["value"].to_numpy() * 100).astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    result = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = f"user_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode may emit a row per micro-batch per key — keep the final
+    # (max n_events) row per user
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(sink)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
