@@ -305,6 +305,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-12-gram Jaccard near-dup pairs; candidates via the
+    rare-gram (df ≤ 3) inverted index — never doc × doc."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .ngram_jaccard("doc_id", "text", n=12, max_df=3, threshold_1000=500)
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings)
 # ---------------------------------------------------------------------------
@@ -590,6 +602,42 @@ def _near_dup_oracle(nbits=12, threshold=200) -> str:
     """
 
 
+def _ngram_jaccard_oracle(n=12, max_df=3, threshold=500) -> str:
+    return f"""
+        WITH s AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+          FROM documents
+        ),
+        g0 AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, length(t) - {n - 2}),
+                        i -> substr(t, i, {n})))) AS g
+          FROM s WHERE length(t) >= {n}
+        ),
+        dfq AS (SELECT g, count(*) AS c FROM g0 GROUP BY g),
+        rare AS (SELECT g0.doc_id, g0.g FROM g0 JOIN dfq USING(g) WHERE dfq.c <= {max_df}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+        ),
+        cnt AS (SELECT doc_id, count(*) AS nn FROM g0 GROUP BY doc_id),
+        inter AS (
+          SELECT c.d1, c.d2, count(*) AS i
+          FROM cand c
+          JOIN g0 x ON x.doc_id = c.d1
+          JOIN g0 y ON y.doc_id = c.d2 AND y.g = x.g
+          GROUP BY c.d1, c.d2
+        )
+        SELECT d1, d2, jaccard_1000 FROM (
+          SELECT d1, d2,
+                 floor(1000.0 * i / (n1.nn + n2.nn - i))::BIGINT AS jaccard_1000
+          FROM inter
+          JOIN cnt n1 ON n1.doc_id = d1
+          JOIN cnt n2 ON n2.doc_id = d2
+        ) WHERE jaccard_1000 >= {threshold}
+    """
+
+
 def _text_stats_oracle() -> str:
     s_norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
     alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
@@ -633,6 +681,7 @@ EXTENSION_QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_minhash_pairs": q_minhash_pairs,
     "q_simhash": q_simhash,
+    "q_ngram_jaccard": q_ngram_jaccard,
     "q_knn_brute": q_knn_brute,
     "q_knn_ivf": q_knn_ivf,
     "q_cosine_near_dup": q_cosine_near_dup,
@@ -651,6 +700,7 @@ EXTENSION_ORACLES = {
     """,
     "q_minhash_pairs": _minhash_oracle(3, 12, 3, 300),
     "q_simhash": _simhash_oracle(32),
+    "q_ngram_jaccard": _ngram_jaccard_oracle(12, 3, 500),
     "q_knn_brute": _knn_brute_oracle(5, 10),
     "q_knn_ivf": _knn_ivf_oracle(5, 10, 8, 3),
     "q_cosine_near_dup": _near_dup_oracle(12, 200),
@@ -709,6 +759,16 @@ EXTENSION_ORACLES = {
         SELECT r_name AS name FROM region
         UNION ALL
         SELECT n_name AS name FROM nation
+    """,
+    "q_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "q_except": """
+        SELECT n_nationkey AS nationkey FROM nation
+        EXCEPT
+        SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 7000.0
     """,
     "q_anti_join": """
         SELECT c_custkey FROM customer
@@ -779,6 +839,40 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "where c_mktsegment = 'BUILDING' "
         "group by o_orderkey"
     )
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set op, absent in the reference): nations having both
+    customers and suppliers."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("customer")
+        .projection([Alias(col("c_nationkey"), "nationkey")])
+        .intersect(
+            LogicalPlanBuilder()
+            .scan("supplier")
+            .projection([Alias(col("s_nationkey"), "nationkey")])
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set op): nation keys with no high-balance customer."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("nation")
+        .projection([Alias(col("n_nationkey"), "nationkey")])
+        .except_(
+            LogicalPlanBuilder()
+            .scan("customer")
+            .filter(col("c_acctbal").gt(lit(7000.0)))
+            .projection([Alias(col("c_nationkey"), "nationkey")])
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
 
 
 def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -880,6 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_rank": q_window_rank,
         "q_sql_q3": q_sql_q3,
         "q_union_all": q_union_all,
+        "q_intersect": q_intersect,
+        "q_except": q_except,
         "q_anti_join": q_anti_join,
         "q_left_join": q_left_join,
         "q_global_agg": q_global_agg,

@@ -174,6 +174,15 @@ class SparkExecutor:
             out = out.unionAll(d)
         return out
 
+    def _intersect(self, node: PlanNode):
+        left, right = (self._node(c) for c in node.inputs)
+        return left.intersect(right)
+
+    def _except(self, node: PlanNode):
+        left, right = (self._node(c) for c in node.inputs)
+        # EXCEPT DISTINCT (SQL set semantics) — Spark's subtract()
+        return left.subtract(right)
+
     # -- LLM-pipeline extension operators -------------------------------
     def _exact_dedup(self, node: PlanNode):
         from .functions.dedup import exact_dedup
@@ -192,6 +201,19 @@ class SparkExecutor:
             op.shingle_k,
             op.num_hashes,
             op.bands,
+            op.threshold_1000,
+        )
+
+    def _ngram_jaccard(self, node: PlanNode):
+        from .functions.dedup import ngram_jaccard_pairs
+
+        op = node.operator
+        return ngram_jaccard_pairs(
+            self._node(node.inputs[0]),
+            op.id_col,
+            op.text_col,
+            op.n,
+            op.max_df,
             op.threshold_1000,
         )
 
@@ -286,6 +308,8 @@ _HANDLERS = {
     X.LogicalKnn: SparkExecutor._knn_logical,
     X.PhysicalCosineNearDup: SparkExecutor._cosine_near_dup,
     X.LogicalCosineNearDup: SparkExecutor._cosine_near_dup,
+    X.PhysicalNgramJaccard: SparkExecutor._ngram_jaccard,
+    X.LogicalNgramJaccard: SparkExecutor._ngram_jaccard,
     # physical
     P.PhysicalTableScan: SparkExecutor._scan,
     P.PhysicalFilter: SparkExecutor._filter,
@@ -301,6 +325,8 @@ _HANDLERS = {
     P.PhysicalWindow: SparkExecutor._window,
     L.LogicalWindow: SparkExecutor._window,
     P.PhysicalUnion: SparkExecutor._union,
+    P.PhysicalIntersect: SparkExecutor._intersect,
+    P.PhysicalExcept: SparkExecutor._except,
     P.Exchange: SparkExecutor._exchange,
     # logical fallbacks — lets UNOPTIMIZED plans execute for differential
     # testing (optimized vs unoptimized row sets must match).
@@ -313,6 +339,8 @@ _HANDLERS = {
     L.LogicalDistinct: SparkExecutor._distinct,
     L.LogicalJoin: SparkExecutor._logical_join,
     L.LogicalUnion: SparkExecutor._union,
+    L.LogicalIntersect: SparkExecutor._intersect,
+    L.LogicalExcept: SparkExecutor._except,
 }
 
 

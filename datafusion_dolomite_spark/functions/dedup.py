@@ -26,6 +26,7 @@ __all__ = [
     "minhash_candidates",
     "minhash_verified_pairs",
     "simhash_fingerprint",
+    "ngram_jaccard_pairs",
 ]
 
 
@@ -185,6 +186,80 @@ def minhash_verified_pairs(
                 1000.0
                 * F.col("_inter")
                 / (F.col("_n1") + F.col("_n2") - F.col("_inter"))
+            )
+            .cast("bigint")
+            .alias("jaccard_1000"),
+        )
+        .filter(F.col("jaccard_1000") >= threshold_1000)
+    )
+
+
+def ngram_jaccard_pairs(
+    df,
+    id_col: str,
+    text_col: str,
+    n: int = 12,
+    max_df: int = 3,
+    threshold_1000: int = 500,
+):
+    """Near-duplicate pairs by EXACT character-n-gram Jaccard ≥ threshold.
+
+    PPJoin-style inverted-index candidate generation: only n-grams whose
+    document frequency is ≤ ``max_df`` generate candidates (a "stop-gram"
+    cap — frequent grams carry no signal and would make the index join
+    quadratic).  Verification then computes the exact Jaccard over each
+    doc's FULL distinct n-gram set, so the score itself is uncapped.
+
+    100 TB shape: the self-join key is the rare n-gram, each bucket holds
+    ≤ ``max_df`` docs, so candidate generation moves O(grams·max_df) rows
+    and never doc × doc.  All stages are built-in SQL functions (codegen);
+    the gram table is cached because three stages reuse it.
+
+    Output: (d1, d2, jaccard_1000) with d1 < d2.
+    """
+    from pyspark.sql import functions as F
+
+    t = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    grams = (
+        f"array_distinct(transform(sequence(1, char_length({t}) - {n - 1}), "
+        f"i -> substring({t}, i, {n})))"
+    )
+    g0 = (
+        df.filter(F.expr(f"char_length({t}) >= {n}"))
+        .select(F.col(id_col).alias("_id"), F.explode(F.expr(grams)).alias("_g"))
+        .cache()  # reused by df-counts, candidates, and verification
+    )
+    dfreq = g0.groupBy("_g").agg(F.count("*").alias("_df"))
+    rare = g0.join(dfreq.filter(F.col("_df") <= max_df), "_g").select("_id", "_g")
+    a = rare.select(F.col("_id").alias("d1"), "_g")
+    b = rare.select(F.col("_id").alias("d2"), "_g")
+    cand = (
+        a.join(b, "_g")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    cnt = g0.groupBy("_id").agg(F.count("*").alias("_n"))
+    x = g0.select(F.col("_id").alias("d1"), F.col("_g").alias("_g1"))
+    y = g0.select(F.col("_id").alias("_d2"), F.col("_g").alias("_g2"))
+    inter = (
+        cand.join(x, "d1")
+        .join(y, (F.col("d2") == F.col("_d2")) & (F.col("_g1") == F.col("_g2")))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("_i"))
+    )
+    c1 = cnt.select(F.col("_id").alias("d1"), F.col("_n").alias("_n1"))
+    c2 = cnt.select(F.col("_id").alias("d2"), F.col("_n").alias("_n2"))
+    return (
+        inter.join(c1, "d1")
+        .join(c2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.floor(
+                1000.0
+                * F.col("_i")
+                / (F.col("_n1") + F.col("_n2") - F.col("_i"))
             )
             .cast("bigint")
             .alias("jaccard_1000"),

@@ -31,6 +31,8 @@ __all__ = [
     "PhysicalKnnIvf",
     "LogicalCosineNearDup",
     "PhysicalCosineNearDup",
+    "LogicalNgramJaccard",
+    "PhysicalNgramJaccard",
 ]
 
 
@@ -158,6 +160,46 @@ class PhysicalSimHash(PhysicalOperator):
         return (
             f"PhysicalSimHash {{ id: {self.id_col}, text: {self.text_col}, "
             f"bits: {self.bits} }}"
+        )
+
+
+# -- n-gram Jaccard near-dup (exact score, inverted-index candidates) -------
+
+@dataclass(frozen=True)
+class LogicalNgramJaccard(LogicalOperator):
+    """Near-duplicate pairs by exact character-``n``-gram Jaccard ≥
+    threshold; candidates from rare grams (doc-freq ≤ ``max_df``)."""
+
+    id_col: str
+    text_col: str
+    n: int = 12
+    max_df: int = 3
+    threshold_1000: int = 500
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        return LogicalProperty(_PAIR_SCHEMA)
+
+    def pretty(self) -> str:
+        return (
+            f"LogicalNgramJaccard {{ id: {self.id_col}, text: {self.text_col}, "
+            f"n: {self.n}, max_df: {self.max_df}, "
+            f"threshold: {self.threshold_1000} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalNgramJaccard(PhysicalOperator):
+    id_col: str
+    text_col: str
+    n: int = 12
+    max_df: int = 3
+    threshold_1000: int = 500
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalNgramJaccard {{ id: {self.id_col}, text: {self.text_col}, "
+            f"n: {self.n}, max_df: {self.max_df}, "
+            f"threshold: {self.threshold_1000} }}"
         )
 
 

@@ -40,6 +40,8 @@ __all__ = [
     "LogicalSort",
     "LogicalDistinct",
     "LogicalUnion",
+    "LogicalIntersect",
+    "LogicalExcept",
     "WindowExprDef",
     "LogicalWindow",
 ]
@@ -349,6 +351,30 @@ class LogicalUnion(LogicalOperator):
 
     def pretty(self) -> str:
         return "LogicalUnion"
+
+
+@dataclass(frozen=True)
+class LogicalIntersect(LogicalOperator):
+    """INTERSECT (set semantics, SQL default: distinct rows present in
+    both inputs), by column position (extension)."""
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        return input_props[0]
+
+    def pretty(self) -> str:
+        return "LogicalIntersect"
+
+
+@dataclass(frozen=True)
+class LogicalExcept(LogicalOperator):
+    """EXCEPT (set semantics: distinct rows of the left input absent from
+    the right), by column position (extension)."""
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        return input_props[0]
+
+    def pretty(self) -> str:
+        return "LogicalExcept"
 
 
 # ---------------------------------------------------------------------------

@@ -43,6 +43,8 @@ __all__ = [
     "PhysicalDistinct",
     "PhysicalWindow",
     "PhysicalUnion",
+    "PhysicalIntersect",
+    "PhysicalExcept",
     "Exchange",
 ]
 
@@ -344,6 +346,24 @@ class PhysicalWindow(PhysicalOperator):
 class PhysicalUnion(PhysicalOperator):
     def pretty(self) -> str:
         return "PhysicalUnion"
+
+
+@dataclass(frozen=True)
+class PhysicalIntersect(PhysicalOperator):
+    """INTERSECT (distinct) — hash-shuffle both sides on all columns;
+    Spark plans it as a left-semi aggregate."""
+
+    def pretty(self) -> str:
+        return "PhysicalIntersect"
+
+
+@dataclass(frozen=True)
+class PhysicalExcept(PhysicalOperator):
+    """EXCEPT (distinct) — hash-shuffle both sides on all columns;
+    Spark plans it as a left-anti aggregate."""
+
+    def pretty(self) -> str:
+        return "PhysicalExcept"
 
 
 @dataclass(frozen=True)

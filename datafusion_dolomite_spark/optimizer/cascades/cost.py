@@ -111,6 +111,9 @@ class SparkCostModel(CostModel):
             return rows[0] + 3.0 * out
         if isinstance(op, P.PhysicalUnion):
             return 0.01 * sum(rows)
+        if isinstance(op, (P.PhysicalIntersect, P.PhysicalExcept)):
+            # both sides hash-shuffled on all columns (semi/anti agg)
+            return 3.0 * sum(rows) + out
         if isinstance(op, P.Exchange):
             return 3.0 * (rows[0] if rows else 1.0)
         return 1.0
@@ -141,6 +144,10 @@ def _output_rows(op: Operator, input_rows, ctx=None) -> float:
         op = P.PhysicalDistinct(op.columns)
     elif isinstance(op, L.LogicalUnion):
         op = P.PhysicalUnion()
+    elif isinstance(op, L.LogicalIntersect):
+        op = P.PhysicalIntersect()
+    elif isinstance(op, L.LogicalExcept):
+        op = P.PhysicalExcept()
     if isinstance(op, P.PhysicalTableScan):
         base = 1e6
         if ctx is not None and getattr(ctx, "catalog", None) is not None:
@@ -174,6 +181,10 @@ def _output_rows(op: Operator, input_rows, ctx=None) -> float:
         return max(1.0, 0.5 * n)
     if isinstance(op, P.PhysicalUnion):
         return sum(input_rows) if input_rows else 1.0
+    if isinstance(op, P.PhysicalIntersect):
+        return max(1.0, 0.25 * min(input_rows)) if input_rows else 1.0
+    if isinstance(op, P.PhysicalExcept):
+        return max(1.0, 0.5 * input_rows[0]) if input_rows else 1.0
     return input_rows[0] if input_rows else 1.0
 
 

@@ -20,6 +20,7 @@ __all__ = [
     "Knn2BruteRule",
     "Knn2IvfRule",
     "CosineNearDupImplRule",
+    "NgramJaccardImplRule",
     "EXTENSION_RULES",
 ]
 
@@ -134,6 +135,24 @@ class CosineNearDupImplRule(Rule):
         )
 
 
+class NgramJaccardImplRule(Rule):
+    name = "NgramJaccardImplRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalNgramJaccard)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalNgramJaccard = input.root.operator
+        result.add(
+            OptExpression.op(
+                X.PhysicalNgramJaccard(
+                    op.id_col, op.text_col, op.n, op.max_df, op.threshold_1000
+                ),
+                *input.root.inputs,
+            )
+        )
+
+
 EXTENSION_RULES = [
     ExactDedupImplRule(),
     MinHashDedupImplRule(),
@@ -141,4 +160,5 @@ EXTENSION_RULES = [
     Knn2BruteRule(),
     Knn2IvfRule(),
     CosineNearDupImplRule(),
+    NgramJaccardImplRule(),
 ]

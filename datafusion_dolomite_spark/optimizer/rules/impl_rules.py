@@ -27,6 +27,8 @@ __all__ = [
     "Distinct2DistinctRule",
     "Window2WindowRule",
     "Union2UnionRule",
+    "Intersect2IntersectRule",
+    "Except2ExceptRule",
     "IMPLEMENTATION_RULES",
 ]
 
@@ -173,6 +175,26 @@ class Union2UnionRule(Rule):
         result.add(OptExpression.op(P.PhysicalUnion(), *input.root.inputs))
 
 
+class Intersect2IntersectRule(Rule):
+    name = "Intersect2IntersectRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(L.LogicalIntersect)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        result.add(OptExpression.op(P.PhysicalIntersect(), *input.root.inputs))
+
+
+class Except2ExceptRule(Rule):
+    name = "Except2ExceptRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(L.LogicalExcept)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        result.add(OptExpression.op(P.PhysicalExcept(), *input.root.inputs))
+
+
 IMPLEMENTATION_RULES = [
     Scan2TableScanRule(),
     Filter2FilterRule(),
@@ -184,4 +206,6 @@ IMPLEMENTATION_RULES = [
     Distinct2DistinctRule(),
     Window2WindowRule(),
     Union2UnionRule(),
+    Intersect2IntersectRule(),
+    Except2ExceptRule(),
 ]

@@ -24,7 +24,9 @@ from ..operators.logical import (
     JoinType,
     LogicalAggregate,
     LogicalDistinct,
+    LogicalExcept,
     LogicalFilter,
+    LogicalIntersect,
     LogicalJoin,
     LogicalLimit,
     LogicalOperator,
@@ -189,6 +191,16 @@ class LogicalPlanBuilder:
             LogicalUnion(), [self._require_root(), *(_as_node(o) for o in others)]
         )
 
+    def intersect(self, other: "LogicalPlanBuilder | Plan | PlanNode") -> "LogicalPlanBuilder":
+        return self._push(
+            LogicalIntersect(), [self._require_root(), _as_node(other)]
+        )
+
+    def except_(self, other: "LogicalPlanBuilder | Plan | PlanNode") -> "LogicalPlanBuilder":
+        return self._push(
+            LogicalExcept(), [self._require_root(), _as_node(other)]
+        )
+
     def window(self, window_exprs) -> "LogicalPlanBuilder":
         from ..operators.logical import LogicalWindow
 
@@ -253,6 +265,21 @@ class LogicalPlanBuilder:
 
         return self._push(
             LogicalCosineNearDup(id_col, vec_col, nbits, threshold_1000),
+            [self._require_root()],
+        )
+
+    def ngram_jaccard(
+        self,
+        id_col: str,
+        text_col: str,
+        n: int = 12,
+        max_df: int = 3,
+        threshold_1000: int = 500,
+    ) -> "LogicalPlanBuilder":
+        from ..operators.extensions import LogicalNgramJaccard
+
+        return self._push(
+            LogicalNgramJaccard(id_col, text_col, n, max_df, threshold_1000),
             [self._require_root()],
         )
 

@@ -173,6 +173,52 @@ def test_cascades_implements_every_operator(ctx):
     assert "HashAggregate" in names
 
 
+def test_cascades_implements_set_ops(ctx):
+    """INTERSECT/EXCEPT get physical forms (extension — absent in ref)."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("customer")
+        .projection([col("c_nationkey")])
+        .intersect(
+            LogicalPlanBuilder().scan("supplier").projection([col("s_nationkey")])
+        )
+        .build()
+    )
+    best = CascadesOptimizer(
+        default_cascades_rules(), ctx, cost_model=SimpleCostModel()
+    ).find_best_plan(plan)
+    names = {n.operator.operator_name() for n in best.bfs_iterator()}
+    assert "Intersect" in names
+    plan2 = (
+        LogicalPlanBuilder()
+        .scan("nation")
+        .projection([col("n_nationkey")])
+        .except_(
+            LogicalPlanBuilder().scan("customer").projection([col("c_nationkey")])
+        )
+        .build()
+    )
+    best2 = CascadesOptimizer(
+        default_cascades_rules(), ctx, cost_model=SimpleCostModel()
+    ).find_best_plan(plan2)
+    names2 = {n.operator.operator_name() for n in best2.bfs_iterator()}
+    assert "Except" in names2
+
+
+def test_cascades_implements_ngram_jaccard(ctx):
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .ngram_jaccard("doc_id", "text", n=12, max_df=3, threshold_1000=500)
+        .build()
+    )
+    best = CascadesOptimizer(
+        default_cascades_rules(), ctx, cost_model=SimpleCostModel()
+    ).find_best_plan(plan)
+    names = {n.operator.operator_name() for n in best.bfs_iterator()}
+    assert "NgramJaccard" in names
+
+
 def test_memo_winner_per_property_reused(ctx):
     opt = CascadesOptimizer(
         default_cascades_rules(), ctx, cost_model=SparkCostModel()
