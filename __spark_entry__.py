@@ -317,6 +317,38 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus prep pipeline as ONE optimized plan:
+    score quality → filter → exact-dedup on text → per-language token
+    budget.  The shape every LLM data pipeline runs at 100 TB."""
+    from datafusion_dolomite_spark.functions import text as T
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .projection(
+            [
+                col("doc_id"),
+                col("lang"),
+                col("text"),
+                Alias(T.quality_score_1000(col("text")), "quality_1000"),
+                Alias(T.token_count_bpeish(col("text")), "n_tokens"),
+            ]
+        )
+        .filter(col("quality_1000").ge(lit(750)))
+        .exact_dedup(["text"], "doc_id")
+        .aggregate(
+            [col("lang")],
+            [
+                Alias(Func("count", ()), "n_docs"),
+                Alias(Func("sum", (col("n_tokens"),)), "total_tokens"),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings)
 # ---------------------------------------------------------------------------
@@ -659,6 +691,29 @@ def _text_stats_oracle() -> str:
     """
 
 
+def _corpus_prep_oracle(threshold=750) -> str:
+    alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    punct = "length(regexp_replace(text, '[\\w\\s]', '', 'g'))"
+    nd = "greatest(length(text), 1)::DOUBLE"
+    quality = (
+        f"floor(1000.0 * ((0.5 * ({alpha}::DOUBLE / {nd}) "
+        f"+ 0.3 * (least(length(text), 500)::DOUBLE / 500.0)) "
+        f"+ 0.2 * (1.0 - {punct}::DOUBLE / {nd})))::BIGINT"
+    )
+    return f"""
+        WITH q AS (
+          SELECT doc_id, lang, text,
+                 {quality} AS quality_1000,
+                 len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_tokens
+          FROM documents
+        ),
+        f AS (SELECT * FROM q WHERE quality_1000 >= {threshold}),
+        d AS (SELECT * FROM f WHERE doc_id IN (SELECT min(doc_id) FROM f GROUP BY text))
+        SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+        FROM d GROUP BY lang
+    """
+
+
 def _lang_id_oracle() -> str:
     scores = _lang_scores_sql()
     score_cols = ",\n               ".join(
@@ -682,6 +737,7 @@ EXTENSION_QUERIES = {
     "q_minhash_pairs": q_minhash_pairs,
     "q_simhash": q_simhash,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_corpus_prep": q_corpus_prep,
     "q_knn_brute": q_knn_brute,
     "q_knn_ivf": q_knn_ivf,
     "q_cosine_near_dup": q_cosine_near_dup,
@@ -701,6 +757,7 @@ EXTENSION_ORACLES = {
     "q_minhash_pairs": _minhash_oracle(3, 12, 3, 300),
     "q_simhash": _simhash_oracle(32),
     "q_ngram_jaccard": _ngram_jaccard_oracle(12, 3, 500),
+    "q_corpus_prep": _corpus_prep_oracle(750),
     "q_knn_brute": _knn_brute_oracle(5, 10),
     "q_knn_ivf": _knn_ivf_oracle(5, 10, 8, 3),
     "q_cosine_near_dup": _near_dup_oracle(12, 200),
@@ -759,6 +816,20 @@ EXTENSION_ORACLES = {
         SELECT r_name AS name FROM region
         UNION ALL
         SELECT n_name AS name FROM nation
+    """,
+    "q_sql_q6": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "q_sql_having": """
+        SELECT n_name, COUNT(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name HAVING COUNT(*) > 10
     """,
     "q_intersect": """
         SELECT c_nationkey AS nationkey FROM customer
@@ -838,6 +909,28 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "join lineitem on o_orderkey = l_orderkey "
         "where c_mktsegment = 'BUILDING' "
         "group by o_orderkey"
+    )
+
+
+def q_sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change) through the SQL front door —
+    exercises BETWEEN and timestamp-string comparison."""
+    return _planner(spark, sf_dir).sql(
+        "select cast(sum(cast(l_extendedprice as decimal(12,2)) "
+        "         * cast(l_discount as decimal(12,2))) as double) as revenue, "
+        "count(*) as n "
+        "from lineitem "
+        "where l_shipdate >= '1996-01-01' and l_shipdate < '1997-01-01' "
+        "and l_discount between 0.05 and 0.07 and l_quantity < 24"
+    )
+
+
+def q_sql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING over the aggregate's output through SQL."""
+    return _planner(spark, sf_dir).sql(
+        "select n_name, count(*) as n from customer "
+        "join nation on c_nationkey = n_nationkey "
+        "group by n_name having n > 10"
     )
 
 
@@ -973,6 +1066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_by_type": q_events_by_type,
         "q_window_rank": q_window_rank,
         "q_sql_q3": q_sql_q3,
+        "q_sql_q6": q_sql_q6,
+        "q_sql_having": q_sql_having,
         "q_union_all": q_union_all,
         "q_intersect": q_intersect,
         "q_except": q_except,

@@ -11,7 +11,8 @@ convert; join conversion is commented out,
 ``conversion/logical.rs:119-135``):
 
     SELECT [DISTINCT] exprs FROM t [JOIN t2 ON cond]* [WHERE pred]
-    [GROUP BY exprs] [ORDER BY expr [ASC|DESC] ...] [LIMIT n]
+    [GROUP BY exprs] [HAVING pred] [ORDER BY expr [ASC|DESC] ...] [LIMIT n]
+    [UNION [ALL] | INTERSECT | EXCEPT <select>]
 
 Expressions: qualified columns, numeric/string literals, arithmetic,
 comparisons, AND/OR, function calls (incl. aggregates), ``COUNT(*)``,
@@ -50,6 +51,7 @@ _KEYWORDS = {
     "select", "distinct", "from", "join", "inner", "left", "right", "full",
     "semi", "anti", "on", "where", "group", "by", "order", "limit", "as",
     "and", "or", "asc", "desc", "cast", "having", "union", "all",
+    "intersect", "except", "between", "not",
 }
 
 
@@ -113,9 +115,39 @@ class _Parser:
 
     # -- grammar --------------------------------------------------------
     def parse(self) -> Plan:
-        plan = self._select()
+        plan = self._query()
         self.expect("eof")
         return plan
+
+    def _query(self) -> Plan:
+        """select [(UNION [ALL] | INTERSECT | EXCEPT) select]* —
+        left-associative, equal precedence (like the reference's
+        sqlparser would reject mixed chains anyway; ours folds them)."""
+        from .operators.logical import LogicalExcept, LogicalIntersect, LogicalUnion
+
+        plan = self._select()
+        while True:
+            if self.accept("kw", "union"):
+                distinct = self.accept("kw", "all") is None
+                rhs = self._select()
+                b = LogicalPlanBuilder(plan.root)._push(
+                    LogicalUnion(), [plan.root, rhs.root]
+                )
+                if distinct:
+                    b = b.distinct()
+                plan = b.build()
+            elif self.accept("kw", "intersect"):
+                rhs = self._select()
+                plan = LogicalPlanBuilder(plan.root)._push(
+                    LogicalIntersect(), [plan.root, rhs.root]
+                ).build()
+            elif self.accept("kw", "except"):
+                rhs = self._select()
+                plan = LogicalPlanBuilder(plan.root)._push(
+                    LogicalExcept(), [plan.root, rhs.root]
+                ).build()
+            else:
+                return plan
 
     def _select(self) -> Plan:
         self.expect("kw", "select")
@@ -165,6 +197,10 @@ class _Parser:
                 else:
                     plain.append(e)
             builder = builder.aggregate(group_exprs or plain, tuple(aggs))
+            if self.accept("kw", "having"):
+                # HAVING over the aggregate's OUTPUT (reference output
+                # aliases or group columns) — a plain filter above the agg
+                builder = builder.filter(self._expr())
         elif star:
             builder = builder.projection(self._expand_star(builder))
         else:
@@ -251,6 +287,17 @@ class _Parser:
 
     def _cmp(self) -> Expr:
         e = self._add()
+        negate = self.accept("kw", "not") is not None
+        if self.accept("kw", "between"):
+            lo = self._add()
+            self.expect("kw", "and")
+            hi = self._add()
+            rng = BinOp("and", BinOp(">=", e, lo), BinOp("<=", e, hi))
+            if negate:
+                rng = BinOp("or", BinOp("<", e, lo), BinOp(">", e, hi))
+            return rng
+        if negate:
+            raise SqlError("NOT only supported before BETWEEN")
         t = self.peek()
         if t.kind == "op" and t.value in self._CMP:
             self.next()

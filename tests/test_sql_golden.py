@@ -101,6 +101,49 @@ def test_parse_semi_join():
     assert join.join_type is JoinType.LEFT_SEMI
 
 
+def test_parse_set_ops():
+    plan = parse_sql(
+        "select r_name as name from region union all select n_name as name from nation"
+    )
+    assert plan.root.operator.operator_name() == "Union"
+    plan = parse_sql(
+        "select r_name as name from region union select n_name as name from nation"
+    )
+    # UNION (distinct) = Distinct over Union
+    names = [n.operator.operator_name() for n in plan.bfs_iterator()]
+    assert names[:2] == ["Distinct", "Union"]
+    plan = parse_sql(
+        "select c_nationkey from customer intersect select s_nationkey from supplier"
+    )
+    assert plan.root.operator.operator_name() == "Intersect"
+    plan = parse_sql(
+        "select n_nationkey from nation except select c_nationkey from customer"
+    )
+    assert plan.root.operator.operator_name() == "Except"
+
+
+def test_parse_between():
+    plan = parse_sql("select l_orderkey from lineitem where l_discount between 1 and 2")
+    pred = plan.root.inputs[0].operator.predicate
+    assert pred.op == "and" and pred.left.op == ">=" and pred.right.op == "<="
+    plan = parse_sql(
+        "select l_orderkey from lineitem where l_discount not between 1 and 2"
+    )
+    pred = plan.root.inputs[0].operator.predicate
+    assert pred.op == "or" and pred.left.op == "<" and pred.right.op == ">"
+
+
+def test_parse_having():
+    plan = parse_sql(
+        "select n_name, count(*) as n from customer "
+        "join nation on c_nationkey = n_nationkey group by n_name having n > 10"
+    )
+    names = [n.operator.operator_name() for n in plan.bfs_iterator()]
+    # HAVING = Filter ABOVE the Aggregate (below the final projection-less root)
+    assert "Filter" in names and "Aggregate" in names
+    assert names.index("Filter") < names.index("Aggregate")
+
+
 def test_parse_errors():
     with pytest.raises(SqlError):
         parse_sql("select from t")
