@@ -41,6 +41,11 @@ def main() -> None:
         except Exception as e:  # keep the harness alive; a missing query is a bug
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
+        finally:
+            # pipelines that cache intermediates (dedup/similarity) would
+            # otherwise stack dead cache entries across 30+ queries and
+            # squeeze later queries' execution memory
+            spark.catalog.clearCache()
 
     ok = [t for t in timings.values() if t >= 0]
     total = round(sum(ok), 4)

@@ -52,20 +52,35 @@ def exact_dedup(df, key_cols, id_col: str):
     )
 
 
-def shingles(df, id_col: str, text_col: str, k: int = 3):
-    """→ (id, shingle) DISTINCT word-k-gram pairs; docs with < k words drop
-    out.  Map-side: split/transform/slice are all codegen'd; explode is a
-    generator, no shuffle."""
+def shingle_arrays(df, id_col: str, text_col: str, k: int = 3):
+    """→ (_id, _sarr) DISTINCT word-k-gram array per doc; docs with < k
+    words drop out.  Map-side only: split/transform/slice are codegen'd."""
     from pyspark.sql import functions as F
 
-    words = f"split(lower(trim({text_col})), '\\\\s+')"
-    sh = (
-        f"array_distinct(transform(sequence(1, size({words}) - {k - 1}), "
-        f"i -> concat_ws(' ', slice({words}, i, {k}))))"
+    from ._parallel import ensure_min_parallelism
+
+    # materialize the word array ONCE; inlining the split() into the
+    # transform lambda would re-split per shingle position
+    pre = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"split(lower(trim({text_col})), '\\\\s+')").alias("_w"),
     )
-    return (
-        df.filter(F.expr(f"size({words}) >= {k}"))
-        .select(F.col(id_col).alias("_id"), F.explode(F.expr(sh)).alias("_shingle"))
+    sh = (
+        f"array_distinct(transform(sequence(1, size(_w) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(_w, i, {k}))))"
+    )
+    return pre.filter(F.expr(f"size(_w) >= {k}")).select(
+        "_id", F.expr(sh).alias("_sarr")
+    )
+
+
+def shingles(df, id_col: str, text_col: str, k: int = 3):
+    """→ (id, shingle) DISTINCT word-k-gram pairs (exploded form of
+    ``shingle_arrays``; explode is a generator, no shuffle)."""
+    from pyspark.sql import functions as F
+
+    return shingle_arrays(df, id_col, text_col, k).select(
+        "_id", F.explode("_sarr").alias("_shingle")
     )
 
 
@@ -154,41 +169,25 @@ def minhash_verified_pairs(
 ):
     """Candidates → exact shingle-set Jaccard (×1000, floored) ≥ threshold.
 
-    Verification joins each candidate pair back to its (distinct) shingle
-    sets: |A∩B| via a shingle-equality join, |A∪B| = |A|+|B|−|A∩B|.
+    Verification joins each candidate pair against whole shingle ARRAYS
+    and computes |A∩B| with ``array_intersect`` — one hash pass per pair,
+    no candidates × shingles row explosion, no extra groupBy shuffle.
     Integer arithmetic end-to-end → exact oracle parity."""
     from pyspark.sql import functions as F
 
-    sh = shingles(df, id_col, text_col, k).cache()
-    counts = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    sarr = shingle_arrays(df, id_col, text_col, k).cache()
     cand = minhash_candidates(df, id_col, text_col, k, num_hashes, bands)
-
-    s1 = sh.select(F.col("_id").alias("d1"), F.col("_shingle").alias("_s1"))
-    s2 = sh.select(F.col("_id").alias("_d2r"), F.col("_shingle").alias("_s2"))
-    inter = (
-        cand.join(s1, "d1")
-        .join(
-            s2,
-            (F.col("d2") == F.col("_d2r")) & (F.col("_s1") == F.col("_s2")),
-        )
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("_inter"))
-    )
-    c1 = counts.select(F.col("_id").alias("d1"), F.col("_n").alias("_n1"))
-    c2 = counts.select(F.col("_id").alias("d2"), F.col("_n").alias("_n2"))
+    sa = sarr.select(F.col("_id").alias("d1"), F.col("_sarr").alias("_sa"))
+    sb = sarr.select(F.col("_id").alias("d2"), F.col("_sarr").alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union = F.size("_sa") + F.size("_sb") - inter
     return (
-        inter.join(c1, "d1")
-        .join(c2, "d2")
+        cand.join(sa, "d1")
+        .join(sb, "d2")
         .select(
             "d1",
             "d2",
-            F.floor(
-                1000.0
-                * F.col("_inter")
-                / (F.col("_n1") + F.col("_n2") - F.col("_inter"))
-            )
-            .cast("bigint")
-            .alias("jaccard_1000"),
+            F.floor(1000.0 * inter / union).cast("bigint").alias("jaccard_1000"),
         )
         .filter(F.col("jaccard_1000") >= threshold_1000)
     )
@@ -219,16 +218,26 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import functions as F
 
-    t = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    from ._parallel import ensure_min_parallelism
+
+    # materialize normalized text ONCE — inlining the regexp_replace into
+    # the transform lambda re-runs the regex per gram position (~300×/doc)
+    pre = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.expr(
+            f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+        ).alias("_t"),
+    )
     grams = (
-        f"array_distinct(transform(sequence(1, char_length({t}) - {n - 1}), "
-        f"i -> substring({t}, i, {n})))"
+        f"array_distinct(transform(sequence(1, char_length(_t) - {n - 1}), "
+        f"i -> substring(_t, i, {n})))"
     )
-    g0 = (
-        df.filter(F.expr(f"char_length({t}) >= {n}"))
-        .select(F.col(id_col).alias("_id"), F.explode(F.expr(grams)).alias("_g"))
-        .cache()  # reused by df-counts, candidates, and verification
+    garr = (
+        pre.filter(F.expr(f"char_length(_t) >= {n}"))
+        .select("_id", F.expr(grams).alias("_garr"))
+        .cache()  # reused by the index build and both sides of verification
     )
+    g0 = garr.select("_id", F.explode("_garr").alias("_g"))
     dfreq = g0.groupBy("_g").agg(F.count("*").alias("_df"))
     rare = g0.join(dfreq.filter(F.col("_df") <= max_df), "_g").select("_id", "_g")
     a = rare.select(F.col("_id").alias("d1"), "_g")
@@ -239,30 +248,20 @@ def ngram_jaccard_pairs(
         .select("d1", "d2")
         .distinct()
     )
-    cnt = g0.groupBy("_id").agg(F.count("*").alias("_n"))
-    x = g0.select(F.col("_id").alias("d1"), F.col("_g").alias("_g1"))
-    y = g0.select(F.col("_id").alias("_d2"), F.col("_g").alias("_g2"))
-    inter = (
-        cand.join(x, "d1")
-        .join(y, (F.col("d2") == F.col("_d2")) & (F.col("_g1") == F.col("_g2")))
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("_i"))
-    )
-    c1 = cnt.select(F.col("_id").alias("d1"), F.col("_n").alias("_n1"))
-    c2 = cnt.select(F.col("_id").alias("d2"), F.col("_n").alias("_n2"))
+    # verification joins the (small) candidate set against whole gram
+    # ARRAYS — array_intersect is one hash pass per pair, with no
+    # candidates × grams row explosion and no extra groupBy shuffle
+    ga = garr.select(F.col("_id").alias("d1"), F.col("_garr").alias("_ga"))
+    gb = garr.select(F.col("_id").alias("d2"), F.col("_garr").alias("_gb"))
+    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    union = F.size("_ga") + F.size("_gb") - inter
     return (
-        inter.join(c1, "d1")
-        .join(c2, "d2")
+        cand.join(ga, "d1")
+        .join(gb, "d2")
         .select(
             "d1",
             "d2",
-            F.floor(
-                1000.0
-                * F.col("_i")
-                / (F.col("_n1") + F.col("_n2") - F.col("_i"))
-            )
-            .cast("bigint")
-            .alias("jaccard_1000"),
+            F.floor(1000.0 * inter / union).cast("bigint").alias("jaccard_1000"),
         )
         .filter(F.col("jaccard_1000") >= threshold_1000)
     )
@@ -276,8 +275,10 @@ def simhash_fingerprint(df, id_col: str, text_col: str, bits: int = 32):
     sum is positive.  One explode + one groupBy(doc) — all integer ops."""
     from pyspark.sql import functions as F
 
+    from ._parallel import ensure_min_parallelism
+
     words = f"split(lower(trim({text_col})), '\\\\s+')"
-    tok = df.select(
+    tok = ensure_min_parallelism(df).select(
         F.col(id_col).alias("_id"),
         F.explode(F.expr(words)).alias("_tok"),
     ).withColumn("_h", F.expr(_h60_sql("_tok")))

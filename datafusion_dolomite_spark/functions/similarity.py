@@ -79,10 +79,14 @@ def knn_brute(df, id_col: str, vec_col: str, n_queries: int = 5, k: int = 10):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from ._parallel import ensure_min_parallelism
+
     q = df.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
         "_sim", F.expr(_cos_sql(_dvec("_qv"), _dvec("_cv")))
     )
@@ -133,7 +137,9 @@ def knn_ivf(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    c = df.select(
+    from ._parallel import ensure_min_parallelism
+
+    c = ensure_min_parallelism(df).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).withColumn("_dv", F.expr(_dvec("_cv")))  # double-cast once per row
     c = _with_cell_sims(c, "_dv", ncells)
@@ -179,8 +185,11 @@ def cosine_near_dup(
         f"cast(0.0 as double), (acc, v) -> acc + v) > 0, {2 ** b}, 0)"
         for b in range(nbits)
     )
+    from ._parallel import ensure_min_parallelism
+
     sk = (
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        ensure_min_parallelism(df)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .withColumn("_dv", F.expr(_dvec("_v")))
         .withColumn("_sketch", F.expr(f"cast({bits} as bigint)"))
         .drop("_dv")
