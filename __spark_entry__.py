@@ -831,6 +831,17 @@ EXTENSION_ORACLES = {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name HAVING COUNT(*) > 10
     """,
+    "q_sql_in_subquery": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_acctbal > 5000.0 AND c_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+    """,
+    "q_date_functions": """
+        SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        FROM orders GROUP BY 1, 2
+    """,
     "q_intersect": """
         SELECT c_nationkey AS nationkey FROM customer
         INTERSECT
@@ -932,6 +943,41 @@ def q_sql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         "join nation on c_nationkey = n_nationkey "
         "group by n_name having n > 10"
     )
+
+
+def q_sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (SELECT ...) through the SQL front door — rewritten by the
+    parser into a LEFT SEMI join (uncorrelated, single-column)."""
+    return _planner(spark, sf_dir).sql(
+        "select c_custkey, c_name from customer "
+        "where c_acctbal > 5000.0 and c_custkey in "
+        "(select o_custkey from orders where o_totalprice > 200000.0)"
+    )
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date functions (year/month/quarter/dayofmonth) compiled
+    JVM-side; orders rolled up by order year+quarter."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("orders")
+        .projection(
+            [
+                Alias(Func("year", (col("o_orderdate"),)), "y"),
+                Alias(Func("quarter", (col("o_orderdate"),)), "q"),
+                col("o_totalprice"),
+            ]
+        )
+        .aggregate(
+            [col("y"), col("q")],
+            [
+                Alias(Func("count", ()), "n_orders"),
+                _dsum(_dec(col("o_totalprice")), "total_price"),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
 
 
 def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,6 +1114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_q3": q_sql_q3,
         "q_sql_q6": q_sql_q6,
         "q_sql_having": q_sql_having,
+        "q_sql_in_subquery": q_sql_in_subquery,
+        "q_date_functions": q_date_functions,
         "q_union_all": q_union_all,
         "q_intersect": q_intersect,
         "q_except": q_except,

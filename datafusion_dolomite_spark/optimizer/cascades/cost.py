@@ -96,8 +96,11 @@ class SparkCostModel(CostModel):
             # ship the build side to every worker + probe in place.  The
             # ship factor is deliberately below the per-row shuffle cost
             # ratio: like Spark's own JoinSelection, any build side under
-            # the threshold should win against shuffling the probe side.
-            return 8.0 * build + rows[0]
+            # the threshold should win against shuffling the probe side —
+            # including when the probe side is the smaller one (semi/anti
+            # joins can't commute, so the build side may be the bigger of
+            # the two and broadcasting it still beats two shuffles+sorts).
+            return 2.0 * build + rows[0]
         if isinstance(op, P.PhysicalHashAggregate):
             # map-side partial agg then shuffle the (smaller) partials
             return rows[0] + 3.0 * out

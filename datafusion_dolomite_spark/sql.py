@@ -51,8 +51,22 @@ _KEYWORDS = {
     "select", "distinct", "from", "join", "inner", "left", "right", "full",
     "semi", "anti", "on", "where", "group", "by", "order", "limit", "as",
     "and", "or", "asc", "desc", "cast", "having", "union", "all",
-    "intersect", "except", "between", "not",
+    "intersect", "except", "between", "not", "in",
 }
+
+
+class _InSubquery:
+    """Parser-internal marker: ``expr [NOT] IN (<select>)``.  Never enters
+    the plan — ``_select`` rewrites it into a LEFT SEMI/ANTI join (the
+    decorrelation the reference never implemented; subquery must be
+    uncorrelated and single-column)."""
+
+    __slots__ = ("expr", "subplan", "negated")
+
+    def __init__(self, expr, subplan, negated):
+        self.expr = expr
+        self.subplan = subplan
+        self.negated = negated
 
 
 class _Tok:
@@ -175,7 +189,15 @@ class _Parser:
             builder = builder.join(right, jt, cond)
 
         if self.accept("kw", "where"):
-            builder = builder.filter(self._expr())
+            plain, subs = _split_in_conjuncts(self._expr())
+            if plain is not None:
+                builder = builder.filter(plain)
+            for s in subs:
+                builder = builder.join(
+                    LogicalPlanBuilder(s.subplan.root),
+                    JoinType.LEFT_ANTI if s.negated else JoinType.LEFT_SEMI,
+                    BinOp("=", s.expr, Col(_single_output_col(s.subplan))),
+                )
 
         group_exprs: List[Expr] = []
         if self.accept("kw", "group"):
@@ -296,8 +318,27 @@ class _Parser:
             if negate:
                 rng = BinOp("or", BinOp("<", e, lo), BinOp(">", e, hi))
             return rng
+        if self.accept("kw", "in"):
+            self.expect("op", "(")
+            if self.peek().kind == "kw" and self.peek().value == "select":
+                sub = self._query()
+                self.expect("op", ")")
+                return _InSubquery(e, sub, negate)
+            vals = [self._expr()]
+            while self.accept("op", ","):
+                vals.append(self._expr())
+            self.expect("op", ")")
+            if negate:
+                cond = BinOp("!=", e, vals[0])
+                for v in vals[1:]:
+                    cond = BinOp("and", cond, BinOp("!=", e, v))
+            else:
+                cond = BinOp("=", e, vals[0])
+                for v in vals[1:]:
+                    cond = BinOp("or", cond, BinOp("=", e, v))
+            return cond
         if negate:
-            raise SqlError("NOT only supported before BETWEEN")
+            raise SqlError("NOT only supported before BETWEEN / IN")
         t = self.peek()
         if t.kind == "op" and t.value in self._CMP:
             self.next()
@@ -400,6 +441,62 @@ class _Parser:
                 for f in schema.fields:
                     cols.append(Col(f.name, qualifier=op.table_name))
         return cols
+
+
+def _split_in_conjuncts(pred):
+    """Split a WHERE tree into (plain predicate | None, [_InSubquery...]).
+    IN-subqueries are only supported as top-level AND conjuncts (inside
+    OR/NOT the semi-join rewrite would change semantics)."""
+    if isinstance(pred, _InSubquery):
+        return None, [pred]
+    if isinstance(pred, BinOp) and pred.op == "and":
+        lp, ls = _split_in_conjuncts(pred.left)
+        rp, rs = _split_in_conjuncts(pred.right)
+        if lp is None:
+            plain = rp
+        elif rp is None:
+            plain = lp
+        else:
+            plain = BinOp("and", lp, rp)
+        return plain, ls + rs
+    if _contains_insub(pred):
+        raise SqlError("IN (SELECT ...) only supported as a top-level AND conjunct")
+    return pred, []
+
+
+def _contains_insub(e) -> bool:
+    if isinstance(e, _InSubquery):
+        return True
+    if isinstance(e, BinOp):
+        return _contains_insub(e.left) or _contains_insub(e.right)
+    if isinstance(e, Alias):
+        return _contains_insub(e.expr)
+    if isinstance(e, Cast):
+        return _contains_insub(e.expr)
+    if isinstance(e, Func):
+        return any(_contains_insub(a) for a in e.args)
+    return False
+
+
+def _single_output_col(plan: Plan) -> str:
+    """Name of the subquery's single output column (IN requires one)."""
+    op = plan.root.operator
+    name = op.operator_name()
+    if name == "Distinct":
+        return _single_output_col(Plan(plan.root.inputs[0]))
+    if name == "Projection":
+        exprs = op.exprs
+        if len(exprs) == 1:
+            e = exprs[0]
+            if isinstance(e, Alias):
+                return e.name
+            if isinstance(e, Col):
+                return e.name
+    if name == "Aggregate" and not op.agg_exprs and len(op.group_exprs) == 1:
+        g = op.group_exprs[0]
+        if isinstance(g, Col):
+            return g.name
+    raise SqlError("IN subquery must produce exactly one named column")
 
 
 def _contains_aggregate(e: Expr) -> bool:

@@ -144,6 +144,33 @@ def test_parse_having():
     assert names.index("Filter") < names.index("Aggregate")
 
 
+def test_parse_in_subquery_rewrites_to_semi_join():
+    plan = parse_sql(
+        "select c_custkey from customer where c_custkey in "
+        "(select o_custkey from orders)"
+    )
+    join = plan.root.inputs[0].operator
+    assert join.join_type is JoinType.LEFT_SEMI
+    plan = parse_sql(
+        "select c_custkey from customer where c_custkey not in "
+        "(select o_custkey from orders)"
+    )
+    join = plan.root.inputs[0].operator
+    assert join.join_type is JoinType.LEFT_ANTI
+
+
+def test_parse_in_value_list():
+    plan = parse_sql("select n_name from nation where n_regionkey in (0, 1)")
+    pred = plan.root.inputs[0].operator.predicate
+    assert pred.op == "or"
+    with pytest.raises(SqlError):
+        # IN-subquery under OR would change semantics — rejected
+        parse_sql(
+            "select c_custkey from customer where c_acctbal > 0 or "
+            "c_custkey in (select o_custkey from orders)"
+        )
+
+
 def test_parse_errors():
     with pytest.raises(SqlError):
         parse_sql("select from t")
