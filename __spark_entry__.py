@@ -415,6 +415,18 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionized_user_activity(spark, sf_dir, "30 minutes")
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_dolomite_spark.streaming.pipeline import deduped_event_counts
+
+    return deduped_event_counts(spark, sf_dir)
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_dolomite_spark.streaming.pipeline import enriched_event_counts
+
+    return enriched_event_counts(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # JSON extraction over events.props
 # ---------------------------------------------------------------------------
@@ -744,6 +756,8 @@ EXTENSION_QUERIES = {
     "q_multimodal_features": q_multimodal_features,
     "q_stream_window_counts": q_stream_window_counts,
     "q_stream_sessions": q_stream_sessions,
+    "q_stream_dedup": q_stream_dedup,
+    "q_stream_enrich": q_stream_enrich,
     "q_events_json": q_events_json,
 }
 
@@ -791,6 +805,14 @@ EXTENSION_ORACLES = {
                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
                count(*) AS n
         FROM events GROUP BY event_type
+    """,
+    "q_stream_dedup": """
+        SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+    """,
+    "q_stream_enrich": """
+        SELECT c_mktsegment, event_type, count(*) AS n_events
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment, event_type
     """,
     "q_window_rank": """
         SELECT o_custkey, o_orderkey, rk FROM (

@@ -22,6 +22,8 @@ __all__ = [
     "windowed_event_counts",
     "sessionized_user_activity",
     "stateful_user_totals",
+    "deduped_event_counts",
+    "enriched_event_counts",
 ]
 
 
@@ -107,6 +109,60 @@ def sessionized_user_activity(spark, sf_dir: str, gap: str = "30 minutes"):
             F.sum("n_events").cast("bigint").alias("n_events"),
         )
     )
+
+
+def deduped_event_counts(spark, sf_dir: str):
+    """Streaming DEDUP: the stream is unioned with itself (every event
+    arrives twice — an at-least-once delivery simulation), then
+    ``dropDuplicatesWithinWatermark`` on event_id removes the replays.
+    Counts per event_type must equal the clean table's — verified by the
+    oracle.  Dedup state is bounded by the watermark (1 day), exactly how
+    an at-least-once ingest pipeline bounds memory at scale."""
+    from pyspark.sql import functions as F
+
+    stream = _event_stream(spark, sf_dir)
+    doubled = stream.union(stream)
+    deduped = doubled.withWatermark("event_time", "1 day").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    sink = f"dedup_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def enriched_event_counts(spark, sf_dir: str):
+    """Stream-static join: the event stream enriched against the STATIC
+    customer dimension (broadcast per micro-batch — no stream state),
+    rolled up per (mktsegment, event_type).  The standard pattern for
+    dimension enrichment in a streaming ingest at scale."""
+    from pyspark.sql import functions as F
+
+    stream = _event_stream(spark, sf_dir)
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey, "inner")
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    sink = f"enriched_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
 
 
 def stateful_user_totals(spark, sf_dir: str):
