@@ -63,7 +63,18 @@ class SparkExecutor:
     # -- leaves ---------------------------------------------------------
     def _scan(self, node: PlanNode):
         op = node.operator
-        df = self.spark.read.parquet(self.catalog.path(op.table_name))
+        fmt = self.catalog.format(op.table_name)
+        if fmt == "parquet":
+            df = self.spark.read.parquet(self.catalog.path(op.table_name))
+        else:
+            # explicit schema (sniffed at registration) — no Spark
+            # inference pass, no type drift vs the oracle engine
+            df = (
+                self.spark.read.format(fmt)
+                .schema(self.catalog.schema(op.table_name).to_struct_type())
+                .options(**self.catalog.read_options(op.table_name))
+                .load(self.catalog.path(op.table_name))
+            )
         # Filter/prune adjacent to the read → Catalyst pushes them into the
         # parquet scan (PushedFilters / ReadSchema).
         for f in op.filters:

@@ -79,18 +79,53 @@ def _arrow_to_ddl(t) -> str:
     return "string"
 
 
+_DUCK_TO_DDL = {
+    "TINYINT": "tinyint", "SMALLINT": "smallint", "INTEGER": "int",
+    "BIGINT": "bigint", "HUGEINT": "bigint", "FLOAT": "float",
+    "DOUBLE": "double", "BOOLEAN": "boolean", "DATE": "date",
+    "TIMESTAMP": "timestamp_ntz", "VARCHAR": "string", "BLOB": "binary",
+}
+
+
 class Catalog:
-    """Dict-backed catalog over parquet files/directories."""
+    """Dict-backed catalog over parquet/csv/json files or directories.
+
+    Non-parquet formats sniff their schema through DuckDB at registration
+    time (no Spark session needed during planning); the executor then
+    passes the EXPLICIT schema to ``spark.read`` so the scan never pays
+    Spark's inference pass and types can't drift between engines.
+    """
 
     def __init__(self, tables: Optional[Dict[str, str]] = None):
         self._paths: Dict[str, str] = dict(tables or {})
+        self._formats: Dict[str, str] = {}
+        self._options: Dict[str, Dict[str, str]] = {}
         self._schemas: Dict[str, Schema] = {}
         self._stats: Dict[str, Statistics] = {}
 
-    def register(self, name: str, path: str) -> None:
+    def register(
+        self,
+        name: str,
+        path: str,
+        format: str = "parquet",
+        options: Optional[Dict[str, str]] = None,
+    ) -> None:
+        if format not in ("parquet", "csv", "json"):
+            raise ValueError(f"unsupported source format {format!r}")
         self._paths[name] = path
+        self._formats[name] = format
+        if format == "csv":
+            self._options[name] = {"header": "true", **(options or {})}
+        elif options:
+            self._options[name] = dict(options)
         self._schemas.pop(name, None)
         self._stats.pop(name, None)
+
+    def format(self, name: str) -> str:
+        return self._formats.get(name, "parquet")
+
+    def read_options(self, name: str) -> Dict[str, str]:
+        return self._options.get(name, {})
 
     def register_schema(self, name: str, schema: Schema, row_count: float = 0.0) -> None:
         """Register a schema-only table (no files) — the analog of the
@@ -110,25 +145,56 @@ class Catalog:
 
     def schema(self, name: str) -> Schema:
         if name not in self._schemas:
-            import pyarrow.parquet as pq
+            fmt = self.format(name)
+            if fmt == "parquet":
+                import pyarrow.parquet as pq
 
-            arrow = pq.read_schema(self._first_file(name))
-            self._schemas[name] = Schema(
-                tuple(Field(f.name, _arrow_to_ddl(f.type), f.nullable, qualifier=name) for f in arrow)
-            )
+                arrow = pq.read_schema(self._first_file(name))
+                self._schemas[name] = Schema(
+                    tuple(
+                        Field(f.name, _arrow_to_ddl(f.type), f.nullable, qualifier=name)
+                        for f in arrow
+                    )
+                )
+            else:
+                self._schemas[name] = self._sniff_schema(name, fmt)
         return self._schemas[name]
+
+    def _sniff_schema(self, name: str, fmt: str) -> Schema:
+        import duckdb
+
+        f = self._first_file(name)
+        reader = "read_csv_auto" if fmt == "csv" else "read_json_auto"
+        rows = duckdb.sql(f"describe select * from {reader}('{f}')").fetchall()
+        return Schema(
+            tuple(
+                Field(col, _DUCK_TO_DDL.get(dtype.split("(")[0], "string"), True, qualifier=name)
+                for col, dtype, *_ in rows
+            )
+        )
 
     def logical_prop(self, name: str) -> LogicalProperty:
         return LogicalProperty(self.schema(name))
 
     def statistics(self, name: str) -> Statistics:
-        """Exact row count from parquet footers (no data read)."""
+        """Exact row count — parquet footers (no data read) or a DuckDB
+        count for csv/json (cheap at catalog scale, cached)."""
         if name not in self._stats:
-            import pyarrow.parquet as pq
+            fmt = self.format(name)
+            if fmt == "parquet":
+                import pyarrow.parquet as pq
 
-            rows = 0
-            for f in self._files(name):
-                rows += pq.ParquetFile(f).metadata.num_rows
+                rows = 0
+                for f in self._files(name):
+                    rows += pq.ParquetFile(f).metadata.num_rows
+            else:
+                import duckdb
+
+                reader = "read_csv_auto" if fmt == "csv" else "read_json_auto"
+                rows = sum(
+                    duckdb.sql(f"select count(*) from {reader}('{f}')").fetchone()[0]
+                    for f in self._files(name)
+                )
             # NDV left 0 (unknown) — a real deployment would fill from
             # ANALYZE; cost model falls back to heuristics.
             self._stats[name] = Statistics(row_count=float(rows), columns=())
@@ -136,16 +202,27 @@ class Catalog:
 
     def _files(self, name: str):
         p = self.path(name)
+        suffix = {"parquet": ".parquet", "csv": ".csv", "json": ".json"}[
+            self.format(name)
+        ]
         if os.path.isdir(p):
+            files = sorted(
+                os.path.join(p, f) for f in os.listdir(p) if f.endswith(suffix)
+            )
+            if files:
+                return files
+            # spark sinks write part-* files without tidy suffixes sometimes
             return sorted(
-                os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if f.startswith("part-") and not f.endswith(".crc")
             )
         return [p]
 
     def _first_file(self, name: str) -> str:
         files = self._files(name)
         if not files:
-            raise FileNotFoundError(f"no parquet files for table {name!r}")
+            raise FileNotFoundError(f"no data files for table {name!r}")
         return files[0]
 
 

@@ -40,6 +40,62 @@ def test_write_and_reread_parquet(planner, spark, tmp_path):
     assert any(d.startswith("n_regionkey=") for d in os.listdir(out))
 
 
+def test_csv_json_sources_roundtrip(planner, spark, tmp_path):
+    """CSV/JSON SOURCES: sink → register in catalog (format-aware, schema
+    sniffed via DuckDB) → scan through the FULL optimizer pipeline →
+    join against a parquet table; rows must match the all-parquet run."""
+    from datafusion_dolomite_spark import Catalog, QueryPlanner
+    from datafusion_dolomite_spark.sources.catalog import testdata_catalog
+    from datafusion_dolomite_spark.sources.sinks import write_csv, write_json
+
+    sf = "/root/testdata/sf0.001"
+    base = planner.dataframe(LogicalPlanBuilder().scan("nation").build())
+    csv_path = os.path.join(str(tmp_path), "nation_csv")
+    json_path = os.path.join(str(tmp_path), "nation_json")
+    write_csv(base, csv_path)
+    write_json(base, json_path)
+
+    cat = testdata_catalog(sf)
+    cat.register("nation_csv", csv_path, format="csv")
+    cat.register("nation_json", json_path, format="json")
+    qp = QueryPlanner(spark, cat)
+
+    want = sorted(
+        tuple(r)
+        for r in planner.dataframe(
+            LogicalPlanBuilder()
+            .scan("region")
+            .join(
+                LogicalPlanBuilder().scan("nation"),
+                JoinType.INNER,
+                col("r_regionkey").eq(col("n_regionkey")),
+            )
+            .projection([col("n_name"), col("r_name")])
+            .build()
+        ).collect()
+    )
+    for tbl in ("nation_csv", "nation_json"):
+        got = sorted(
+            tuple(r)
+            for r in qp.dataframe(
+                LogicalPlanBuilder()
+                .scan("region")
+                .join(
+                    LogicalPlanBuilder().scan(tbl),
+                    JoinType.INNER,
+                    col("r_regionkey").eq(col("n_regionkey")),
+                )
+                .projection([col("n_name"), col("r_name")])
+                .build()
+            ).collect()
+        )
+        assert got == want, tbl
+        # schema sniffing got real types, not all-strings
+        assert cat.schema(tbl).field("n_nationkey").dtype == "bigint"
+        # stats flow into the cost model for non-parquet sources too
+        assert cat.statistics(tbl).row_count == 25.0
+
+
 def test_write_csv_json(planner, spark, tmp_path):
     from datafusion_dolomite_spark.sources.sinks import write_csv, write_json
 
