@@ -399,6 +399,30 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_features(with_binary_payload(base), "doc_id")
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_dolomite_spark.functions.multimodal import (
+        resize_meta,
+        with_binary_payload,
+    )
+
+    base = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
+    )
+    return resize_meta(with_binary_payload(base), "doc_id", target=224)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_dolomite_spark.functions.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    base = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
+    )
+    return sample_frames(with_binary_payload(base), "doc_id", frame_bytes=16, every=4)
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming (events replayed via AvailableNow)
 # ---------------------------------------------------------------------------
@@ -754,6 +778,8 @@ EXTENSION_QUERIES = {
     "q_knn_ivf": q_knn_ivf,
     "q_cosine_near_dup": q_cosine_near_dup,
     "q_multimodal_features": q_multimodal_features,
+    "q_multimodal_resize": q_multimodal_resize,
+    "q_multimodal_frames": q_multimodal_frames,
     "q_stream_window_counts": q_stream_window_counts,
     "q_stream_sessions": q_stream_sessions,
     "q_stream_dedup": q_stream_dedup,
@@ -780,6 +806,27 @@ EXTENSION_ORACLES = {
                octet_length(encode(text))::BIGINT AS n_bytes,
                ('0x' || substr(md5(substr(text, 1, 8)), 1, 15))::BIGINT AS head_hash
         FROM documents
+    """,
+    "q_multimodal_resize": """
+        WITH m AS (
+          SELECT doc_id,
+                 (octet_length(encode(text)) % 640) + 1 AS width,
+                 (octet_length(encode(text)) % 480) + 1 AS height
+          FROM documents
+        )
+        SELECT doc_id, width::BIGINT AS width, height::BIGINT AS height,
+               greatest(1, floor(width * least(224.0 / width, 224.0 / height)))::BIGINT AS out_w,
+               greatest(1, floor(height * least(224.0 / width, 224.0 / height)))::BIGINT AS out_h
+        FROM m
+    """,
+    "q_multimodal_frames": """
+        WITH f AS (
+          SELECT doc_id, text, unnest(range(0, octet_length(encode(text)) // 16, 4)) AS frame_idx
+          FROM documents
+        )
+        SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+               ('0x' || substr(md5(substr(text, (frame_idx * 16 + 1)::INTEGER, 16)), 1, 15))::BIGINT AS frame_hash
+        FROM f
     """,
     "q_stream_window_counts": """
         SELECT ((epoch_ns(ts) // 1000) // 3600000000) * 3600 AS window_start_s,

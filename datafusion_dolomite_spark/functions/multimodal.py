@@ -18,7 +18,14 @@ from __future__ import annotations
 
 import hashlib
 
-__all__ = ["with_binary_payload", "binary_features", "decode_image", "fake_decode_meta"]
+__all__ = [
+    "with_binary_payload",
+    "binary_features",
+    "decode_image",
+    "fake_decode_meta",
+    "resize_meta",
+    "sample_frames",
+]
 
 
 def with_binary_payload(df, text_col: str = "text", payload_col: str = "payload"):
@@ -79,3 +86,67 @@ def fake_decode_meta(payload: bytes):
     (w × h) image derived from its bytes."""
     n = len(payload)
     return (n % 640) + 1, (n % 480) + 1, "L"
+
+
+def resize_meta(df, id_col: str, payload_col: str = "payload", target: int = 224):
+    """RESIZE stage: decode (stubbed via ``fake_decode_meta``) → compute
+    aspect-preserving target dimensions to fit ``target``².  A real
+    pipeline would also emit the resized pixels; the dimension math, the
+    Arrow batch shape, and the output schema contract are the real,
+    tested parts.  → (id, width, height, out_w, out_h)."""
+    import math as _math
+
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} bigint, width bigint, height bigint, out_w bigint, out_h bigint"
+    )
+
+    def resize(batches):
+        for pdf in batches:
+            rows = {id_col: [], "width": [], "height": [], "out_w": [], "out_h": []}
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, _ = fake_decode_meta(bytes(b))
+                scale = min(target / w, target / h)
+                rows[id_col].append(i)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_w"].append(max(1, int(_math.floor(w * scale))))
+                rows["out_h"].append(max(1, int(_math.floor(h * scale))))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(resize, schema=out_schema)
+
+
+def sample_frames(
+    df,
+    id_col: str,
+    payload_col: str = "payload",
+    frame_bytes: int = 16,
+    every: int = 4,
+):
+    """FRAME-SAMPLE stage: treat the payload as a video of fixed-size
+    frames and keep every ``every``-th one — the 1→N ``mapInPandas``
+    shape (one input row explodes into many output rows inside the same
+    Arrow batch, no shuffle).  → (id, frame_idx, frame_hash)."""
+    import pandas as pd
+
+    out_schema = f"{id_col} bigint, frame_idx bigint, frame_hash bigint"
+
+    def sample(batches):
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(b)
+                for fi in range(0, len(raw) // frame_bytes, every):
+                    frame = raw[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(i)
+                    idxs.append(fi)
+                    hashes.append(
+                        int(hashlib.md5(frame).hexdigest()[:15], 16)
+                    )
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame_hash": hashes}
+            )
+
+    return df.mapInPandas(sample, schema=out_schema)
