@@ -38,17 +38,19 @@ def _h60_sql(inner: str) -> str:
 def exact_dedup(df, key_cols, id_col: str):
     """Keep exactly one row per key: the one with the smallest id.
 
-    One hash-shuffle on the key columns; deterministic representative
+    ``min_by(struct(row), id)`` aggregation — deterministic representative
     (unlike ``dropDuplicates``, whose pick is partition-order dependent —
-    useless for an oracle and irreproducible between runs)."""
-    from pyspark.sql import Window
+    useless for an oracle and irreproducible between runs).  As an
+    AGGREGATE it gets map-side partial combine: each task pre-reduces its
+    duplicates before the single hash-shuffle, and no per-partition sort
+    is needed (a ``row_number`` window would shuffle every row AND sort)."""
     from pyspark.sql import functions as F
 
-    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    cols = df.columns
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.groupBy(*key_cols)
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_r"))
+        .select("_r.*")
     )
 
 

@@ -17,6 +17,9 @@ before Spark even parses the plan.
   scale the shuffle moves only surviving rows.
 * ``PruneScanColumnsRule`` — ``Projection(Scan)`` → scan reads only the
   referenced columns (→ parquet ``ReadSchema`` pruning).
+* ``PushFilterThroughAggregateRule`` — conjuncts referencing only plain
+  group-key columns move below the aggregate: they filter BEFORE the
+  groupBy shuffle (conjuncts over aggregate outputs stay above — HAVING).
 """
 
 from __future__ import annotations
@@ -24,8 +27,9 @@ from __future__ import annotations
 from dataclasses import replace
 from typing import Optional, Tuple
 
-from ...expr import BinOp, Expr
+from ...expr import BinOp, Col, Expr
 from ...operators.logical import (
+    LogicalAggregate,
     LogicalFilter,
     LogicalJoin,
     LogicalProjection,
@@ -40,6 +44,7 @@ __all__ = [
     "PushFilterToScanRule",
     "PushFilterThroughJoinRule",
     "PruneScanColumnsRule",
+    "PushFilterThroughAggregateRule",
     "PUSHDOWN_RULES",
 ]
 
@@ -199,11 +204,54 @@ class PruneScanColumnsRule(Rule):
         result.add(OptExpression.op(proj, OptExpression.op(new_scan)))
 
 
+class PushFilterThroughAggregateRule(Rule):
+    """``Filter(Aggregate)`` → conjuncts over plain group-key columns run
+    BELOW the aggregate (before its shuffle); conjuncts over aggregate
+    outputs (HAVING) stay above.  At scale this is the difference between
+    shuffling every group and shuffling only surviving ones."""
+
+    name = "PushFilterThroughAggregateRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(LogicalFilter, children=(pattern_of(LogicalAggregate),))
+
+    def promise(self) -> RulePromise:
+        return RulePromise.HIGH
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        filt: LogicalFilter = input.root.operator
+        if filt.projected_columns:
+            return
+        agg_node = input.root.inputs[0]
+        agg: LogicalAggregate = agg_node.operator
+        group_cols = {e.name for e in agg.group_exprs if isinstance(e, Col)}
+        if not group_cols:
+            return
+        below = agg_node.inputs[0]
+        push, keep = [], []
+        for c in _conjuncts(filt.predicate):
+            refs = set(c.columns())
+            if refs and refs <= group_cols:
+                push.append(c)
+            else:
+                keep.append(c)
+        if not push:
+            return
+        new_agg = OptExpression.op(
+            agg, OptExpression.op(LogicalFilter(_and_all(push)), below)
+        )
+        if keep:
+            result.add(OptExpression.op(LogicalFilter(_and_all(keep)), new_agg))
+        else:
+            result.add(new_agg)
+
+
 PUSHDOWN_RULES = [
     CombineFiltersRule(),
     PushFilterToScanRule(),
     PushFilterThroughJoinRule(),
     PruneScanColumnsRule(),
+    PushFilterThroughAggregateRule(),
 ]
 
 

@@ -160,6 +160,29 @@ def test_projection_prunes_scan_columns(ctx):
     )
 
 
+def test_filter_pushed_through_aggregate(ctx):
+    """Group-key conjunct moves below the agg (pre-shuffle); the
+    agg-output conjunct (HAVING) stays above."""
+    from datafusion_dolomite_spark.expr import Alias, Func
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("lineitem")
+        .aggregate(
+            [col("l_returnflag")],
+            [Alias(Func("count", ()), "n")],
+        )
+        .filter(col("l_returnflag").eq(lit("A")).and_(col("n").gt(lit(5))))
+        .build()
+    )
+    out = _opt(plan, ctx, PUSHDOWN_RULES)
+    lines = out.explain().splitlines()
+    # Filter(n > 5) above Aggregate above Scan-with-fused-filter
+    assert "(n > 5)" in lines[0]
+    assert "LogicalAggregate" in lines[1]
+    assert "l_returnflag = 'A'" in lines[2] or "l_returnflag = A" in lines[2]
+
+
 def test_limit_not_reordered_with_filter(ctx):
     # Filter(Scan(limit)) must NOT push the filter into the scan
     plan = (
