@@ -905,6 +905,14 @@ EXTENSION_ORACLES = {
         WHERE c_acctbal > 5000.0 AND c_custkey IN (
             SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
     """,
+    "q_rollup": """
+        SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+               COALESCE(l_linestatus, '(all)') AS linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
     "q_date_functions": """
         SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
                COUNT(*) AS n_orders,
@@ -1012,6 +1020,36 @@ def q_sql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         "join nation on c_nationkey = n_nationkey "
         "group by n_name having n > 10"
     )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP (grouping-set aggregation, absent in the
+    reference): per (returnflag, linestatus) + per returnflag subtotals
+    + grand total, one pass."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("lineitem")
+        .aggregate(
+            [col("l_returnflag"), col("l_linestatus")],
+            [
+                Alias(Func("count", ()), "n"),
+                _dsum(_dec(col("l_quantity")), "sum_qty"),
+            ],
+            mode="rollup",
+        )
+        # subtotal rows carry NULL keys; a sentinel keeps the row set
+        # hash-comparable (the driver sorts rows, NULL < str fails)
+        .projection(
+            [
+                Alias(Func("coalesce", (col("l_returnflag"), lit("(all)"))), "returnflag"),
+                Alias(Func("coalesce", (col("l_linestatus"), lit("(all)"))), "linestatus"),
+                col("n"),
+                col("sum_qty"),
+            ]
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
 
 
 def q_sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1185,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_having": q_sql_having,
         "q_sql_in_subquery": q_sql_in_subquery,
         "q_date_functions": q_date_functions,
+        "q_rollup": q_rollup,
         "q_union_all": q_union_all,
         "q_intersect": q_intersect,
         "q_except": q_except,

@@ -104,8 +104,15 @@ class SparkExecutor:
         op = node.operator
         df = self._node(node.inputs[0])
         aggs = [a.to_column() for a in op.agg_exprs]
+        mode = getattr(op, "mode", "groupby")
         if op.group_exprs:
-            return df.groupBy(*[e.to_column() for e in op.group_exprs]).agg(*aggs)
+            keys = [e.to_column() for e in op.group_exprs]
+            grouped = {
+                "groupby": df.groupBy,
+                "rollup": df.rollup,
+                "cube": df.cube,
+            }[mode](*keys)
+            return grouped.agg(*aggs)
         return df.agg(*aggs)
 
     def _sort(self, node: PlanNode):

@@ -240,6 +240,7 @@ class LogicalAggregate(LogicalOperator):
 
     group_exprs: Tuple[Expr, ...] = ()
     agg_exprs: Tuple[Alias, ...] = ()
+    mode: str = "groupby"  # 'groupby' | 'rollup' | 'cube'
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
         (inp,) = input_props
@@ -251,12 +252,13 @@ class LogicalAggregate(LogicalOperator):
         return LogicalProperty(Schema(tuple(fields)))
 
     def pretty(self) -> str:
+        mode = "" if self.mode == "groupby" else f", mode: {self.mode}"
         return (
             "LogicalAggregate { group: ["
             + ", ".join(e.pretty() for e in self.group_exprs)
             + "], agg: ["
             + ", ".join(e.pretty() for e in self.agg_exprs)
-            + "] }"
+            + f"]{mode} }}"
         )
 
 

@@ -222,6 +222,7 @@ class PhysicalHashAggregate(PhysicalOperator):
 
     group_exprs: Tuple[Expr, ...] = ()
     agg_exprs: Tuple[Alias, ...] = ()
+    mode: str = "groupby"
 
     def derive_properties(self, children_props):
         keys = tuple(

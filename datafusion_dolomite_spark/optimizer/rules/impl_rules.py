@@ -100,7 +100,7 @@ class Aggregate2HashAggregateRule(Rule):
         op: L.LogicalAggregate = input.root.operator
         result.add(
             OptExpression.op(
-                P.PhysicalHashAggregate(op.group_exprs, op.agg_exprs),
+                P.PhysicalHashAggregate(op.group_exprs, op.agg_exprs, op.mode),
                 *input.root.inputs,
             )
         )

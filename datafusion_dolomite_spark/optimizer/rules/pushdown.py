@@ -224,6 +224,11 @@ class PushFilterThroughAggregateRule(Rule):
             return
         agg_node = input.root.inputs[0]
         agg: LogicalAggregate = agg_node.operator
+        if agg.mode != "groupby":
+            # rollup/cube subtotal rows carry NULL keys: pushing a key
+            # filter below would keep (now wrongly-scoped) subtotals that
+            # the above-filter would have dropped
+            return
         group_cols = {e.name for e in agg.group_exprs if isinstance(e, Col)}
         if not group_cols:
             return

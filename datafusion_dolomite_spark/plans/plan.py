@@ -167,7 +167,10 @@ class LogicalPlanBuilder:
         return self._push(LogicalLimit(n), [self._require_root()])
 
     def aggregate(
-        self, group_exprs: Sequence[Expr], agg_exprs: Sequence[Alias]
+        self,
+        group_exprs: Sequence[Expr],
+        agg_exprs: Sequence[Alias],
+        mode: str = "groupby",
     ) -> "LogicalPlanBuilder":
         for a in agg_exprs:
             if not isinstance(a, Alias):
@@ -175,8 +178,10 @@ class LogicalPlanBuilder:
                     "agg_exprs must be Alias(Func(...)) so output names are "
                     f"deterministic; got {a!r}"
                 )
+        if mode not in ("groupby", "rollup", "cube"):
+            raise ValueError(f"unknown aggregate mode {mode!r}")
         return self._push(
-            LogicalAggregate(tuple(group_exprs), tuple(agg_exprs)),
+            LogicalAggregate(tuple(group_exprs), tuple(agg_exprs), mode),
             [self._require_root()],
         )
 
