@@ -363,6 +363,19 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-k as q_knn_brute via the Arrow-vectorized strategy
+    (per-partition numpy matmul + local top-k) — the alternative physical
+    implementation of the SAME logical operator, same oracle."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .knn("vec_id", "embedding", n_queries=5, k=10, method="pandas")
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = (
         LogicalPlanBuilder()
@@ -775,6 +788,7 @@ EXTENSION_QUERIES = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_corpus_prep": q_corpus_prep,
     "q_knn_brute": q_knn_brute,
+    "q_knn_pandas": q_knn_pandas,
     "q_knn_ivf": q_knn_ivf,
     "q_cosine_near_dup": q_cosine_near_dup,
     "q_multimodal_features": q_multimodal_features,
@@ -799,6 +813,7 @@ EXTENSION_ORACLES = {
     "q_ngram_jaccard": _ngram_jaccard_oracle(12, 3, 500),
     "q_corpus_prep": _corpus_prep_oracle(750),
     "q_knn_brute": _knn_brute_oracle(5, 10),
+    "q_knn_pandas": _knn_brute_oracle(5, 10),
     "q_knn_ivf": _knn_ivf_oracle(5, 10, 8, 3),
     "q_cosine_near_dup": _near_dup_oracle(12, 200),
     "q_multimodal_features": """

@@ -254,6 +254,14 @@ class SparkExecutor:
             self._node(node.inputs[0]), op.id_col, op.vec_col, op.n_queries, op.k
         )
 
+    def _knn_pandas(self, node: PlanNode):
+        from .functions.similarity import knn_pandas
+
+        op = node.operator
+        return knn_pandas(
+            self._node(node.inputs[0]), op.id_col, op.vec_col, op.n_queries, op.k
+        )
+
     def _knn_ivf(self, node: PlanNode):
         from .functions.similarity import knn_ivf
 
@@ -322,6 +330,7 @@ _HANDLERS = {
     X.PhysicalSimHash: SparkExecutor._simhash,
     X.LogicalSimHash: SparkExecutor._simhash,
     X.PhysicalKnnBrute: SparkExecutor._knn_brute,
+    X.PhysicalKnnPandas: SparkExecutor._knn_pandas,
     X.PhysicalKnnIvf: SparkExecutor._knn_ivf,
     X.LogicalKnn: SparkExecutor._knn_logical,
     X.PhysicalCosineNearDup: SparkExecutor._cosine_near_dup,

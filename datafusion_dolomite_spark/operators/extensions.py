@@ -31,6 +31,7 @@ __all__ = [
     "PhysicalKnnIvf",
     "LogicalCosineNearDup",
     "PhysicalCosineNearDup",
+    "PhysicalKnnPandas",
     "LogicalNgramJaccard",
     "PhysicalNgramJaccard",
 ]
@@ -215,14 +216,15 @@ _KNN_SCHEMA = Schema(
 class LogicalKnn(LogicalOperator):
     """Top-k cosine neighbors for each query vector (queries = rows with
     ``id < n_queries``).  ``method`` picks the physical strategy; the
-    cascades search may also choose: brute is exact, ivf is the
-    bucketed approximation."""
+    cascades search may also choose: brute (SQL expressions) and pandas
+    (Arrow-vectorized numpy) are exact, ivf is the bucketed
+    approximation."""
 
     id_col: str
     vec_col: str
     n_queries: int = 5
     k: int = 10
-    method: str = "brute"  # 'brute' | 'ivf'
+    method: str = "brute"  # 'brute' | 'pandas' | 'ivf'
     ncells: int = 8
     nprobe: int = 3
 
@@ -246,6 +248,23 @@ class PhysicalKnnBrute(PhysicalOperator):
     def pretty(self) -> str:
         return (
             f"PhysicalKnnBrute {{ id: {self.id_col}, vec: {self.vec_col}, "
+            f"queries: {self.n_queries}, k: {self.k} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalKnnPandas(PhysicalOperator):
+    """Arrow-vectorized exact top-k: broadcast query matrix + per-partition
+    numpy matmul + local top-k (same semantics as brute)."""
+
+    id_col: str
+    vec_col: str
+    n_queries: int
+    k: int
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalKnnPandas {{ id: {self.id_col}, vec: {self.vec_col}, "
             f"queries: {self.n_queries}, k: {self.k} }}"
         )
 

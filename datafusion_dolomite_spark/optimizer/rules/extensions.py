@@ -18,6 +18,7 @@ __all__ = [
     "MinHashDedupImplRule",
     "SimHashImplRule",
     "Knn2BruteRule",
+    "Knn2PandasRule",
     "Knn2IvfRule",
     "CosineNearDupImplRule",
     "NgramJaccardImplRule",
@@ -97,6 +98,27 @@ class Knn2BruteRule(Rule):
         )
 
 
+class Knn2PandasRule(Rule):
+    """Arrow-vectorized exact strategy — same results as brute; wins when
+    per-row SQL scoring is the bottleneck (high-dim vectors)."""
+
+    name = "Knn2PandasRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalKnn)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalKnn = input.root.operator
+        if op.method not in ("pandas", "any"):
+            return
+        result.add(
+            OptExpression.op(
+                X.PhysicalKnnPandas(op.id_col, op.vec_col, op.n_queries, op.k),
+                *input.root.inputs,
+            )
+        )
+
+
 class Knn2IvfRule(Rule):
     name = "Knn2IvfRule"
 
@@ -158,6 +180,7 @@ EXTENSION_RULES = [
     MinHashDedupImplRule(),
     SimHashImplRule(),
     Knn2BruteRule(),
+    Knn2PandasRule(),
     Knn2IvfRule(),
     CosineNearDupImplRule(),
     NgramJaccardImplRule(),
