@@ -876,6 +876,15 @@ EXTENSION_ORACLES = {
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment, event_type
     """,
+    "q_window_running": """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                    AS DOUBLE) AS running_total,
+               lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS prev_price
+        FROM orders
+    """,
     "q_window_rank": """
         SELECT o_custkey, o_orderkey, rk FROM (
           SELECT o_custkey, o_orderkey,
@@ -994,6 +1003,48 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(col("rk").le(lit(2)))
         .projection([col("o_custkey"), col("o_orderkey"), col("rk")])
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + lag over an ordered per-customer window (default
+    frame; the unique (orderdate, orderkey) tie-break makes RANGE and
+    ROWS frames coincide → deterministic, oracle-checkable)."""
+    from datafusion_dolomite_spark.operators.logical import WindowExprDef
+
+    order = (
+        SortKey(col("o_orderdate")),
+        SortKey(col("o_orderkey")),
+    )
+    plan = (
+        LogicalPlanBuilder()
+        .scan("orders")
+        .window(
+            [
+                WindowExprDef(
+                    Func("sum", (_dec(col("o_totalprice")),)),
+                    (col("o_custkey"),),
+                    order,
+                    "running_dec",
+                ),
+                WindowExprDef(
+                    Func("lag", (col("o_totalprice"), lit(1))),
+                    (col("o_custkey"),),
+                    order,
+                    "prev_price",
+                ),
+            ]
+        )
+        .projection(
+            [
+                col("o_custkey"),
+                col("o_orderkey"),
+                Alias(Cast(col("running_dec"), "double"), "running_total"),
+                col("prev_price"),
+            ]
+        )
         .build()
     )
     return _planner(spark, sf_dir).dataframe(plan)
@@ -1233,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_join": q_agg_join,
         "q_events_by_type": q_events_by_type,
         "q_window_rank": q_window_rank,
+        "q_window_running": q_window_running,
         "q_sql_q3": q_sql_q3,
         "q_sql_q6": q_sql_q6,
         "q_sql_having": q_sql_having,

@@ -218,6 +218,9 @@ class Func(Expr):
         "conv": (1, 2),
         "get_json_object": (1,),
         "substring": (1, 2),
+        "lag": (1,),
+        "lead": (1,),
+        "ntile": (0,),
     }
 
     def to_column(self):
