@@ -929,6 +929,12 @@ EXTENSION_ORACLES = {
         WHERE c_acctbal > 5000.0 AND c_custkey IN (
             SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
     """,
+    "q_sql_exists": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_totalprice > 250000.0)
+    """,
     "q_rollup": """
         SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
                COALESCE(l_linestatus, '(all)') AS linestatus,
@@ -1128,6 +1134,17 @@ def q_sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL front door — decorrelated by the
+    parser into a LEFT SEMI join (the correlated conjunct lifts into the
+    join condition; local conjuncts stay below as filters)."""
+    return _planner(spark, sf_dir).sql(
+        "select c_custkey, c_name from customer where not exists "
+        "(select 1 from orders where o_custkey = c_custkey "
+        " and o_totalprice > 250000.0)"
+    )
+
+
 def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar date functions (year/month/quarter/dayofmonth) compiled
     JVM-side; orders rolled up by order year+quarter."""
@@ -1289,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_q6": q_sql_q6,
         "q_sql_having": q_sql_having,
         "q_sql_in_subquery": q_sql_in_subquery,
+        "q_sql_exists": q_sql_exists,
         "q_date_functions": q_date_functions,
         "q_rollup": q_rollup,
         "q_union_all": q_union_all,

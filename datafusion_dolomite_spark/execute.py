@@ -301,8 +301,14 @@ def _join_condition(op, left_df, right_df):
     if keys is None and hasattr(op, "left_keys") and op.left_keys:
         keys = tuple(zip(op.left_keys, op.right_keys))
     if keys is not None and keys:
+        lcols, rcols = set(left_df.columns), set(right_df.columns)
         conds = None
         for lk, rk in keys:
+            # orient by membership — the condition may be written
+            # right-side-first (e.g. a decorrelated EXISTS lifts
+            # `o_custkey = c_custkey` with the outer column on the right)
+            if lk not in lcols and lk in rcols and rk in lcols:
+                lk, rk = rk, lk
             c = left_df[lk] == right_df[rk]
             conds = c if conds is None else (conds & c)
         return conds

@@ -26,7 +26,7 @@ import re
 from typing import List, Optional
 
 from .expr import Alias, BinOp, Cast, Col, Expr, Func, Lit, SortKey
-from .operators.logical import JoinType
+from .operators.logical import JoinType, LogicalFilter
 from .plans.plan import LogicalPlanBuilder, Plan
 
 __all__ = ["parse_sql", "SqlError"]
@@ -51,7 +51,7 @@ _KEYWORDS = {
     "select", "distinct", "from", "join", "inner", "left", "right", "full",
     "semi", "anti", "on", "where", "group", "by", "order", "limit", "as",
     "and", "or", "asc", "desc", "cast", "having", "union", "all",
-    "intersect", "except", "between", "not", "in",
+    "intersect", "except", "between", "not", "in", "exists",
 }
 
 
@@ -65,6 +65,19 @@ class _InSubquery:
 
     def __init__(self, expr, subplan, negated):
         self.expr = expr
+        self.subplan = subplan
+        self.negated = negated
+
+
+class _ExistsSubquery:
+    """Parser-internal marker: ``[NOT] EXISTS (<select>)``.  ``_select``
+    DECORRELATES it: conjuncts in the subquery's WHERE that reference
+    outer columns are lifted into a LEFT SEMI/ANTI join condition; the
+    subquery's select list is discarded (EXISTS ignores it)."""
+
+    __slots__ = ("subplan", "negated")
+
+    def __init__(self, subplan, negated):
         self.subplan = subplan
         self.negated = negated
 
@@ -193,11 +206,16 @@ class _Parser:
             if plain is not None:
                 builder = builder.filter(plain)
             for s in subs:
-                builder = builder.join(
-                    LogicalPlanBuilder(s.subplan.root),
-                    JoinType.LEFT_ANTI if s.negated else JoinType.LEFT_SEMI,
-                    BinOp("=", s.expr, Col(_single_output_col(s.subplan))),
-                )
+                jt = JoinType.LEFT_ANTI if s.negated else JoinType.LEFT_SEMI
+                if isinstance(s, _ExistsSubquery):
+                    subplan, cond = _decorrelate_exists(s.subplan, self.catalog)
+                    builder = builder.join(LogicalPlanBuilder(subplan.root), jt, cond)
+                else:
+                    builder = builder.join(
+                        LogicalPlanBuilder(s.subplan.root),
+                        jt,
+                        BinOp("=", s.expr, Col(_single_output_col(s.subplan))),
+                    )
 
         group_exprs: List[Expr] = []
         if self.accept("kw", "group"):
@@ -366,6 +384,25 @@ class _Parser:
                 return e
 
     def _primary(self) -> Expr:
+        t0 = self.peek()
+        if t0.kind == "kw" and t0.value == "exists":
+            self.next()
+            self.expect("op", "(")
+            sub = self._query()
+            self.expect("op", ")")
+            return _ExistsSubquery(sub, False)
+        if (
+            t0.kind == "kw"
+            and t0.value == "not"
+            and self.toks[self.i + 1].kind == "kw"
+            and self.toks[self.i + 1].value == "exists"
+        ):
+            self.next()
+            self.next()
+            self.expect("op", "(")
+            sub = self._query()
+            self.expect("op", ")")
+            return _ExistsSubquery(sub, True)
         if self.accept("op", "("):
             e = self._expr()
             self.expect("op", ")")
@@ -444,10 +481,11 @@ class _Parser:
 
 
 def _split_in_conjuncts(pred):
-    """Split a WHERE tree into (plain predicate | None, [_InSubquery...]).
-    IN-subqueries are only supported as top-level AND conjuncts (inside
-    OR/NOT the semi-join rewrite would change semantics)."""
-    if isinstance(pred, _InSubquery):
+    """Split a WHERE tree into (plain predicate | None, [subquery
+    markers...]).  IN/EXISTS subqueries are only supported as top-level
+    AND conjuncts (inside OR/NOT the semi-join rewrite would change
+    semantics)."""
+    if isinstance(pred, (_InSubquery, _ExistsSubquery)):
         return None, [pred]
     if isinstance(pred, BinOp) and pred.op == "and":
         lp, ls = _split_in_conjuncts(pred.left)
@@ -465,7 +503,7 @@ def _split_in_conjuncts(pred):
 
 
 def _contains_insub(e) -> bool:
-    if isinstance(e, _InSubquery):
+    if isinstance(e, (_InSubquery, _ExistsSubquery)):
         return True
     if isinstance(e, BinOp):
         return _contains_insub(e.left) or _contains_insub(e.right)
@@ -476,6 +514,72 @@ def _contains_insub(e) -> bool:
     if isinstance(e, Func):
         return any(_contains_insub(a) for a in e.args)
     return False
+
+
+def _conjuncts(e: Expr):
+    return e.conjuncts() if isinstance(e, BinOp) else (e,)
+
+
+def _and_all(parts):
+    out = None
+    for p in parts:
+        out = p if out is None else BinOp("and", out, p)
+    return out
+
+
+def _decorrelate_exists(sub: Plan, catalog):
+    """Rewrite a correlated EXISTS subquery into (subplan, join_cond).
+
+    Conjuncts in the subquery's filters whose columns are NOT all
+    resolvable against the subquery's own scans reference the outer query
+    — they lift into the semi/anti join condition.  The subquery's root
+    projection is discarded (EXISTS ignores the select list, and keeping
+    it would hide the join keys from the right side)."""
+    from .plans.plan import PlanNode
+
+    if catalog is None:
+        raise SqlError("EXISTS requires a catalog to resolve correlation")
+    avail: set = set()
+    for n in sub.nodes_bottom_up():
+        if n.operator.operator_name() == "Scan":
+            try:
+                avail |= set(catalog.schema(n.operator.table_name).names())
+            except KeyError:
+                raise SqlError(
+                    f"unknown table {n.operator.table_name!r} in EXISTS subquery"
+                )
+    lifted: list = []
+
+    def rebuild(node):
+        op = node.operator
+        if op.operator_name() == "Filter":
+            keep, lift = [], []
+            for c in _conjuncts(op.predicate):
+                if set(c.columns()) <= avail:
+                    keep.append(c)
+                else:
+                    lift.append(c)
+            lifted.extend(lift)
+            child = rebuild(node.inputs[0])
+            if keep:
+                return PlanNode(
+                    LogicalFilter(_and_all(keep), op.projected_columns), [child]
+                )
+            return child
+        if node.inputs:
+            return PlanNode(op, [rebuild(c) for c in node.inputs])
+        return node
+
+    root = sub.root
+    if root.operator.operator_name() == "Projection":
+        root = root.inputs[0]  # EXISTS ignores the select list
+    new_root = rebuild(root)
+    if not lifted:
+        raise SqlError(
+            "EXISTS subquery must be correlated (reference an outer column); "
+            "uncorrelated EXISTS is a constant"
+        )
+    return Plan(new_root), _and_all(lifted)
 
 
 def _single_output_col(plan: Plan) -> str:

@@ -159,6 +159,29 @@ def test_parse_in_subquery_rewrites_to_semi_join():
     assert join.join_type is JoinType.LEFT_ANTI
 
 
+def test_parse_exists_decorrelates():
+    from datafusion_dolomite_spark.sources.catalog import testdata_catalog
+
+    cat = testdata_catalog("/root/testdata/sf0.001")
+    plan = parse_sql(
+        "select c_custkey from customer where exists "
+        "(select 1 from orders where o_custkey = c_custkey and o_totalprice > 10)",
+        cat,
+    )
+    join = plan.root.inputs[0].operator
+    assert join.join_type is JoinType.LEFT_SEMI
+    # the correlated conjunct became the join condition...
+    assert "o_custkey = c_custkey" in join.condition.pretty()
+    # ...and the local conjunct stayed below as a filter
+    explains = plan.explain()
+    assert "o_totalprice > 10" in explains
+    with pytest.raises(SqlError):
+        parse_sql(
+            "select c_custkey from customer where exists (select 1 from orders)",
+            cat,
+        )
+
+
 def test_parse_in_value_list():
     plan = parse_sql("select n_name from nation where n_regionkey in (0, 1)")
     pred = plan.root.inputs[0].operator.predicate
