@@ -71,7 +71,10 @@ class Winner:
 
 
 class Group:
-    __slots__ = ("id", "logical_exprs", "physical_exprs", "winners", "explored", "stats")
+    __slots__ = (
+        "id", "logical_exprs", "physical_exprs", "winners", "explored",
+        "stats", "logical_prop",
+    )
 
     def __init__(self, gid: int):
         self.id = gid
@@ -80,6 +83,7 @@ class Group:
         self.winners: Dict[PhysicalPropertySet, Optional[Winner]] = {}
         self.explored = False
         self.stats: Optional[Statistics] = None
+        self.logical_prop = None  # derived schema, like stats
 
     def add(self, expr: GroupExpr) -> None:
         expr.group_id = self.id
@@ -159,6 +163,7 @@ class Memo:
         self.groups[gid].add(expr)
         self.expr_index[key] = gid
         self._derive_group_stats(self.groups[gid], expr)
+        self._derive_group_prop(self.groups[gid], expr)
         return expr, True
 
     def _new_group(self) -> int:
@@ -178,6 +183,25 @@ class Memo:
             group.stats = derive_stats(expr.operator, input_stats, self.ctx)
         except Exception:
             group.stats = None
+
+    def _derive_group_prop(self, group: Group, expr: GroupExpr) -> None:
+        """Derive the group's logical property (schema) from the first
+        logical expr — the analog of the reference's eager property
+        derivation (``optimizer.rs:209-212``), memoized per group."""
+        if group.logical_prop is not None or not expr.is_logical:
+            return
+        try:
+            op = expr.operator
+            if not expr.inputs:
+                catalog = getattr(self.ctx, "catalog", None)
+                group.logical_prop = op.derive_logical_prop((), catalog=catalog)
+                return
+            input_props = [self.groups[g].logical_prop for g in expr.inputs]
+            if any(p is None for p in input_props):
+                return
+            group.logical_prop = op.derive_logical_prop(input_props)
+        except Exception:
+            group.logical_prop = None
 
     # -- OptExpression insertion (rule outputs) -------------------------
     def insert_opt_expression(self, opt_expr, target_group: int) -> List[GroupExpr]:

@@ -259,7 +259,10 @@ def _bindings(memo: Memo, pattern: Pattern, expr: GroupExpr) -> List[OptExprNode
         return [
             OptExprNode(
                 operator=expr.operator,
-                inputs=[OptExprNode(handle=gid) for gid in expr.inputs],
+                inputs=[
+                    OptExprNode(handle=gid, prop=memo.group(gid).logical_prop)
+                    for gid in expr.inputs
+                ],
             )
         ]
     if len(pattern.children) != len(expr.inputs):

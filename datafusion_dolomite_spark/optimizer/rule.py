@@ -40,19 +40,24 @@ class OptExprNode:
       subtree: a ``PlanNode`` (heuristic) or a group id (cascades).
     """
 
-    __slots__ = ("operator", "handle", "inputs")
+    __slots__ = ("operator", "handle", "inputs", "prop")
 
     def __init__(
         self,
         operator: Optional[Operator] = None,
         handle: Any = None,
         inputs: Sequence["OptExprNode"] = (),
+        prop: Any = None,
     ):
         if (operator is None) == (handle is None):
             raise ValueError("exactly one of operator/handle must be set")
         self.operator = operator
         self.handle = handle
         self.inputs: List[OptExprNode] = list(inputs)
+        #: logical property of the subtree behind a handle (populated by
+        #: the cascades binding enumeration; lets rules reason about
+        #: child schemas, e.g. join-condition redistribution)
+        self.prop = prop
 
     @property
     def is_handle(self) -> bool:

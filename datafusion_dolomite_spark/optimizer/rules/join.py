@@ -25,10 +25,11 @@ from ...operators.physical import (
     PhysicalHashJoin,
     PhysicalSortMergeJoin,
 )
-from ..pattern import Pattern, pattern_of
+from ..pattern import Pattern, any_pattern, pattern_of
 from ..rule import OptExpression, OptimizerContext, Rule, RulePromise, RuleResult
 
 __all__ = [
+    "AssociateJoinRule",
     "CommutateJoinRule",
     "Join2HashJoinRule",
     "Join2BroadcastHashJoinRule",
@@ -63,6 +64,83 @@ class CommutateJoinRule(Rule):
         left, right = input.root.inputs
         swapped = LogicalJoin(op.join_type, _swap_condition(op.condition))
         result.add(OptExpression.op(swapped, right, left))
+
+
+class AssociateJoinRule(Rule):
+    """Exploration: ``(x ⋈ y) ⋈ z → x ⋈ (y ⋈ z)`` with condition
+    conjuncts redistributed by column ownership.  Beyond the reference
+    (which only commutes, ``rules/join.rs:28-69``); together with
+    CommutateJoinRule the memo enumerates bushy join orders and the cost
+    model picks — real cost-based join reordering.
+
+    Relies on group logical properties (schemas) carried on binding
+    handles; bails when schemas are unavailable or column names are
+    ambiguous across inputs."""
+
+    name = "AssociateJoinRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(
+            LogicalJoin, children=(pattern_of(LogicalJoin), any_pattern())
+        )
+
+    def promise(self) -> RulePromise:
+        return RulePromise.LOW
+
+    def apply(self, input: OptExpression, ctx: OptimizerContext, result: RuleResult) -> None:
+        from ...expr import BinOp
+
+        outer: LogicalJoin = input.root.operator
+        inner_node = input.root.inputs[0]
+        z_node = input.root.inputs[1]
+        inner: LogicalJoin = inner_node.operator
+        if outer.join_type is not JoinType.INNER or inner.join_type is not JoinType.INNER:
+            return
+        x_node, y_node = inner_node.inputs
+        props = [getattr(n, "prop", None) for n in (x_node, y_node, z_node)]
+        if any(p is None for p in props):
+            return
+        xc, yc, zc = (set(p.schema.names()) for p in props)
+        if xc & yc or yc & zc or xc & zc:
+            return  # ambiguous column names — ownership undecidable
+        conjs = []
+        for cond in (outer.condition, inner.condition):
+            conjs.extend(
+                cond.conjuncts() if isinstance(cond, BinOp) else (cond,)
+            )
+        lower, upper = [], []
+        yz = yc | zc
+        universe = xc | yc | zc
+        for c in conjs:
+            refs = set(c.columns())
+            if not refs or not refs <= universe:
+                return
+            (lower if refs <= yz else upper).append(c)
+        # both new joins need real conditions; the lower one must actually
+        # connect y and z (not just filter one side)
+        if not upper or not any(
+            set(c.columns()) & yc and set(c.columns()) & zc for c in lower
+        ):
+            return
+        lower_cond = _and_chain(lower)
+        upper_cond = _and_chain(upper)
+        new_inner = OptExpression.op(
+            LogicalJoin(JoinType.INNER, lower_cond), y_node, z_node
+        )
+        result.add(
+            OptExpression.op(
+                LogicalJoin(JoinType.INNER, upper_cond), x_node, new_inner
+            )
+        )
+
+
+def _and_chain(parts):
+    from ...expr import BinOp
+
+    out = None
+    for p in parts:
+        out = p if out is None else BinOp("and", out, p)
+    return out
 
 
 def _keys(op: LogicalJoin):

@@ -25,6 +25,7 @@ from .optimizer.heuristic import HepOptimizer, MatchOrder
 from .optimizer.rule import OptimizerContext, Rule
 from .optimizer.rules.impl_rules import IMPLEMENTATION_RULES
 from .optimizer.rules.join import (
+    AssociateJoinRule,
     CommutateJoinRule,
     Join2BroadcastHashJoinRule,
     Join2HashJoinRule,
@@ -62,6 +63,7 @@ def default_cascades_rules(enable_join_exploration: bool = True) -> list[Rule]:
                          Join2BroadcastHashJoinRule(), Join2SortMergeJoinRule()]
     if enable_join_exploration:
         rules.append(CommutateJoinRule())
+        rules.append(AssociateJoinRule())
     return rules
 
 

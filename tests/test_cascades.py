@@ -219,6 +219,45 @@ def test_cascades_implements_ngram_jaccard(ctx):
     assert "NgramJaccard" in names
 
 
+def test_associate_join_enumerates_right_deep(ctx):
+    """AssociateJoinRule puts x ⋈ (y ⋈ z) into the memo alongside the
+    left-deep original — the cost model then picks among real join
+    orders (beyond the reference, which only commutes)."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("lineitem")
+        .join(
+            LogicalPlanBuilder().scan("supplier"),
+            JoinType.INNER,
+            col("l_suppkey").eq(col("s_suppkey")),
+        )
+        .join(
+            LogicalPlanBuilder().scan("nation"),
+            JoinType.INNER,
+            col("s_nationkey").eq(col("n_nationkey")),
+        )
+        .build()
+    )
+    opt = CascadesOptimizer(
+        default_cascades_rules(), ctx, cost_model=SparkCostModel()
+    )
+    best = opt.find_best_plan(plan)
+    assert best.root is not None
+    # somewhere in the memo: a Join expr whose RIGHT input group holds a
+    # Join (the right-deep supplier ⋈ nation variant)
+    found = False
+    for g in opt.memo.groups.values():
+        for e in g.logical_exprs:
+            if e.operator.operator_name() != "Join":
+                continue
+            rg = opt.memo.groups.get(e.inputs[1])
+            if rg and any(
+                x.operator.operator_name() == "Join" for x in rg.logical_exprs
+            ):
+                found = True
+    assert found, "associated (right-deep) join order missing from memo"
+
+
 def test_memo_winner_per_property_reused(ctx):
     opt = CascadesOptimizer(
         default_cascades_rules(), ctx, cost_model=SparkCostModel()
