@@ -317,6 +317,36 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage (salted) aggregation over events: the hot
+    user fans out across 16 reducers in stage 1, partials merge in stage
+    2.  Integer cents keep both stages exact → oracle-identical to a
+    plain GROUP BY."""
+    from datafusion_dolomite_spark.functions.skew import salted_aggregate
+
+    base = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder()
+        .scan("events")
+        .projection(
+            [
+                col("user_id"),
+                Alias(
+                    Cast(Func("floor", (BinOp("*", col("value"), lit(100)),)), "bigint"),
+                    "cents",
+                ),
+            ]
+        )
+        .build()
+    )
+    return salted_aggregate(
+        base,
+        ["user_id"],
+        [("count", "*", "n_events"), ("sum", "cents", "total_cents"),
+         ("max", "cents", "max_cents")],
+        n_salts=16,
+    )
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus prep pipeline as ONE optimized plan:
     score quality → filter → exact-dedup on text → per-language token
@@ -787,6 +817,7 @@ EXTENSION_QUERIES = {
     "q_simhash": q_simhash,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_corpus_prep": q_corpus_prep,
+    "q_salted_agg": q_salted_agg,
     "q_knn_brute": q_knn_brute,
     "q_knn_pandas": q_knn_pandas,
     "q_knn_ivf": q_knn_ivf,
@@ -812,6 +843,12 @@ EXTENSION_ORACLES = {
     "q_simhash": _simhash_oracle(32),
     "q_ngram_jaccard": _ngram_jaccard_oracle(12, 3, 500),
     "q_corpus_prep": _corpus_prep_oracle(750),
+    "q_salted_agg": """
+        SELECT user_id, count(*) AS n_events,
+               sum(floor(value * 100)::BIGINT) AS total_cents,
+               max(floor(value * 100)::BIGINT) AS max_cents
+        FROM events GROUP BY user_id
+    """,
     "q_knn_brute": _knn_brute_oracle(5, 10),
     "q_knn_pandas": _knn_brute_oracle(5, 10),
     "q_knn_ivf": _knn_ivf_oracle(5, 10, 8, 3),
@@ -909,6 +946,22 @@ EXTENSION_ORACLES = {
         SELECT r_name AS name FROM region
         UNION ALL
         SELECT n_name AS name FROM nation
+    """,
+    "q_sql_q5": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                    AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
     """,
     "q_sql_q6": """
         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
@@ -1069,6 +1122,26 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "join lineitem on o_orderkey = l_orderkey "
         "where c_mktsegment = 'BUILDING' "
         "group by o_orderkey"
+    )
+
+
+def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 6-table join through the SQL
+    front door — the query the join commutation+association exploration
+    and broadcast/SMJ cost choice exist for."""
+    return _planner(spark, sf_dir).sql(
+        "select n_name, "
+        "cast(sum(cast(l_extendedprice as decimal(12,2)) "
+        "         * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))) as double) as revenue "
+        "from customer "
+        "join orders on c_custkey = o_custkey "
+        "join lineitem on l_orderkey = o_orderkey "
+        "join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey "
+        "join nation on s_nationkey = n_nationkey "
+        "join region on n_regionkey = r_regionkey "
+        "where r_name = 'ASIA' "
+        "and o_orderdate >= '1996-01-01' and o_orderdate < '1997-01-01' "
+        "group by n_name"
     )
 
 
@@ -1303,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_rank": q_window_rank,
         "q_window_running": q_window_running,
         "q_sql_q3": q_sql_q3,
+        "q_sql_q5": q_sql_q5,
         "q_sql_q6": q_sql_q6,
         "q_sql_having": q_sql_having,
         "q_sql_in_subquery": q_sql_in_subquery,
