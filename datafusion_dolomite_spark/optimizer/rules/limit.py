@@ -15,11 +15,21 @@ from __future__ import annotations
 
 from dataclasses import replace
 
-from ...operators.logical import LogicalLimit, LogicalProjection, LogicalScan
+from ...operators.logical import (
+    LogicalLimit,
+    LogicalProjection,
+    LogicalScan,
+    LogicalUnion,
+)
 from ..pattern import Pattern, pattern_of
 from ..rule import OptExpression, OptimizerContext, Rule, RulePromise, RuleResult
 
-__all__ = ["PushLimitOverProjectionRule", "RemoveLimitRule", "PushLimitToTableScanRule"]
+__all__ = [
+    "PushLimitOverProjectionRule",
+    "RemoveLimitRule",
+    "PushLimitToTableScanRule",
+    "PushLimitThroughUnionRule",
+]
 
 
 class PushLimitOverProjectionRule(Rule):
@@ -83,3 +93,53 @@ class PushLimitToTableScanRule(Rule):
             else limit_op.limit
         )
         result.add(OptExpression.op(replace(scan_op, limit=new_limit)))
+
+
+class PushLimitThroughUnionRule(Rule):
+    """``Limit(n, Union(c...)) → Limit(n, Union(Limit(n, c)...))`` —
+    each branch produces at most n rows BEFORE the union, so at scale
+    every input reads a few row groups instead of its whole table
+    (Catalyst ``LimitPushDown`` through Union; absent in the reference).
+
+    Only fires while some branch lacks a ≤ n limit (heuristic rewrite
+    rules must reach a fixed point)."""
+
+    name = "PushLimitThroughUnionRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(LogicalLimit, children=(pattern_of(LogicalUnion),))
+
+    def promise(self) -> RulePromise:
+        return RulePromise.MEDIUM
+
+    def apply(self, input: OptExpression, ctx: OptimizerContext, result: RuleResult) -> None:
+        n = input.root.operator.limit
+        union_node = input.root.inputs[0]
+
+        def _limited(handle_node) -> bool:
+            node = handle_node.handle
+            op = getattr(node, "operator", None)
+            if isinstance(op, LogicalLimit) and op.limit <= n:
+                return True
+            # a scan the limit already fused into counts too — else this
+            # rule re-wraps it forever and the pass never reaches fixpoint
+            return (
+                isinstance(op, LogicalScan)
+                and op.limit is not None
+                and op.limit <= n
+            )
+
+        if all(_limited(c) for c in union_node.inputs):
+            return  # fixed point
+        new_children = [
+            OptExpression.handle(c.handle)
+            if _limited(c)
+            else OptExpression.op(LogicalLimit(n), c)
+            for c in union_node.inputs
+        ]
+        result.add(
+            OptExpression.op(
+                LogicalLimit(n),
+                OptExpression.op(union_node.operator, *new_children),
+            )
+        )

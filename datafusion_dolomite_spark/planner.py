@@ -33,6 +33,7 @@ from .optimizer.rules.join import (
 )
 from .optimizer.rules.limit import (
     PushLimitOverProjectionRule,
+    PushLimitThroughUnionRule,
     PushLimitToTableScanRule,
     RemoveLimitRule,
 )
@@ -51,6 +52,7 @@ def default_rewrite_rules() -> list[Rule]:
         RemoveLimitRule(),
         PushLimitOverProjectionRule(),
         PushLimitToTableScanRule(),
+        PushLimitThroughUnionRule(),
         *PUSHDOWN_RULES,
     ]
 

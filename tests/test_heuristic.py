@@ -160,6 +160,25 @@ def test_projection_prunes_scan_columns(ctx):
     )
 
 
+def test_limit_pushed_through_union(ctx):
+    """Limit(7, Union(region, nation)) → each branch limited, then the
+    limits fuse into the scans (each input reads ≤ 7 rows)."""
+    from datafusion_dolomite_spark.planner import default_rewrite_rules
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("region")
+        .union(LogicalPlanBuilder().scan("nation"))
+        .limit(7)
+        .build()
+    )
+    out = _opt(plan, ctx, default_rewrite_rules())
+    txt = out.explain()
+    assert txt.count("limit: 7") >= 3  # outer + fused into both scans
+    assert 'LogicalScan { table_name: "region", limit: 7' in txt
+    assert 'LogicalScan { table_name: "nation", limit: 7' in txt
+
+
 def test_filter_pushed_through_aggregate(ctx):
     """Group-key conjunct moves below the agg (pre-shuffle); the
     agg-output conjunct (HAVING) stays above."""
