@@ -988,6 +988,18 @@ EXTENSION_ORACLES = {
             SELECT 1 FROM orders WHERE o_custkey = c_custkey
               AND o_totalprice > 250000.0)
     """,
+    "q_sql_cte": """
+        WITH big_orders AS (
+          SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 250000.0)
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM customer JOIN big_orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """,
+    "q_sql_scalar_subquery": """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
     "q_rollup": """
         SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
                COALESCE(l_linestatus, '(all)') AS linestatus,
@@ -1218,6 +1230,28 @@ def q_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH clause (CTE) through the SQL front door; the CTE is inlined
+    per reference (fresh subtree) and optimized with the main query."""
+    return _planner(spark, sf_dir).sql(
+        "with big_orders as ("
+        "  select o_custkey, o_totalprice from orders where o_totalprice > 250000.0) "
+        "select c_mktsegment, count(*) as n, "
+        "cast(sum(cast(o_totalprice as decimal(12,2))) as double) as total "
+        "from customer join big_orders on c_custkey = o_custkey "
+        "group by c_mktsegment"
+    )
+
+
+def q_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery as a comparison operand — rewritten
+    into an INNER join against the broadcast 1-row aggregate."""
+    return _planner(spark, sf_dir).sql(
+        "select c_custkey, c_acctbal from customer "
+        "where c_acctbal > (select avg(c_acctbal) as a from customer)"
+    )
+
+
 def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar date functions (year/month/quarter/dayofmonth) compiled
     JVM-side; orders rolled up by order year+quarter."""
@@ -1381,6 +1415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_having": q_sql_having,
         "q_sql_in_subquery": q_sql_in_subquery,
         "q_sql_exists": q_sql_exists,
+        "q_sql_cte": q_sql_cte,
+        "q_sql_scalar_subquery": q_sql_scalar_subquery,
         "q_date_functions": q_date_functions,
         "q_rollup": q_rollup,
         "q_union_all": q_union_all,

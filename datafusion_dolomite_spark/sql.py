@@ -51,7 +51,7 @@ _KEYWORDS = {
     "select", "distinct", "from", "join", "inner", "left", "right", "full",
     "semi", "anti", "on", "where", "group", "by", "order", "limit", "as",
     "and", "or", "asc", "desc", "cast", "having", "union", "all",
-    "intersect", "except", "between", "not", "in", "exists",
+    "intersect", "except", "between", "not", "in", "exists", "with",
 }
 
 
@@ -67,6 +67,18 @@ class _InSubquery:
         self.expr = expr
         self.subplan = subplan
         self.negated = negated
+
+
+class _ScalarSubquery:
+    """Parser-internal marker: ``(<select>)`` used as a VALUE (e.g.
+    ``x > (select avg(...) ...)``).  Uncorrelated only; ``_select``
+    rewrites it into an INNER join against the 1-row aggregate (Spark
+    broadcasts it) and replaces the node with a column reference."""
+
+    __slots__ = ("subplan",)
+
+    def __init__(self, subplan):
+        self.subplan = subplan
 
 
 class _ExistsSubquery:
@@ -118,6 +130,7 @@ class _Parser:
         self.toks = _tokenize(sql)
         self.i = 0
         self.catalog = catalog
+        self.ctes: dict[str, Plan] = {}
 
     # -- token helpers --------------------------------------------------
     def peek(self) -> _Tok:
@@ -142,6 +155,15 @@ class _Parser:
 
     # -- grammar --------------------------------------------------------
     def parse(self) -> Plan:
+        if self.accept("kw", "with"):
+            while True:
+                name = self.expect("ident").value
+                self.expect("kw", "as")
+                self.expect("op", "(")
+                self.ctes[name] = self._query()
+                self.expect("op", ")")
+                if not self.accept("op", ","):
+                    break
         plan = self._query()
         self.expect("eof")
         return plan
@@ -202,7 +224,15 @@ class _Parser:
             builder = builder.join(right, jt, cond)
 
         if self.accept("kw", "where"):
-            plain, subs = _split_in_conjuncts(self._expr())
+            pred = self._expr()
+            pred, scalars = _extract_scalars(pred)
+            for alias, sub in scalars:
+                cur = _single_output_col(sub)
+                renamed = LogicalPlanBuilder(sub.root).projection(
+                    [Alias(Col(cur), alias)]
+                )
+                builder = builder.join(renamed, JoinType.INNER, Lit(True))
+            plain, subs = _split_in_conjuncts(pred)
             if plain is not None:
                 builder = builder.filter(plain)
             for s in subs:
@@ -285,6 +315,10 @@ class _Parser:
 
     def _table(self) -> LogicalPlanBuilder:
         name = self.expect("ident").value
+        if name in self.ctes:
+            # fresh copy per reference — the heuristic rewrites in place,
+            # so a shared subtree would alias edits across references
+            return LogicalPlanBuilder(_clone_subtree(self.ctes[name].root))
         return LogicalPlanBuilder().scan(name)
 
     def _select_item(self) -> Expr:
@@ -404,6 +438,10 @@ class _Parser:
             self.expect("op", ")")
             return _ExistsSubquery(sub, True)
         if self.accept("op", "("):
+            if self.peek().kind == "kw" and self.peek().value == "select":
+                sub = self._query()
+                self.expect("op", ")")
+                return _ScalarSubquery(sub)
             e = self._expr()
             self.expect("op", ")")
             return e
@@ -516,6 +554,39 @@ def _contains_insub(e) -> bool:
     return False
 
 
+_scalar_counter = [0]
+
+
+def _extract_scalars(e):
+    """Replace every ``_ScalarSubquery`` in the expression tree with a
+    fresh column reference; return (new expr, [(alias, subplan)...])."""
+    found: list = []
+
+    def walk(x):
+        if isinstance(x, _ScalarSubquery):
+            _scalar_counter[0] += 1
+            alias = f"_scalar_{_scalar_counter[0]}"
+            found.append((alias, x.subplan))
+            return Col(alias)
+        if isinstance(x, BinOp):
+            return BinOp(x.op, walk(x.left), walk(x.right))
+        if isinstance(x, Alias):
+            return Alias(walk(x.expr), x.name)
+        if isinstance(x, Cast):
+            return Cast(walk(x.expr), x.to_type)
+        if isinstance(x, Func):
+            return Func(x.name, tuple(walk(a) for a in x.args))
+        return x
+
+    return walk(e), found
+
+
+def _clone_subtree(node):
+    from .plans.plan import PlanNode
+
+    return PlanNode(node.operator, [_clone_subtree(c) for c in node.inputs])
+
+
 def _conjuncts(e: Expr):
     return e.conjuncts() if isinstance(e, BinOp) else (e,)
 
@@ -600,7 +671,9 @@ def _single_output_col(plan: Plan) -> str:
         g = op.group_exprs[0]
         if isinstance(g, Col):
             return g.name
-    raise SqlError("IN subquery must produce exactly one named column")
+    if name == "Aggregate" and not op.group_exprs and len(op.agg_exprs) == 1:
+        return op.agg_exprs[0].name
+    raise SqlError("subquery must produce exactly one named column")
 
 
 def _contains_aggregate(e: Expr) -> bool:

@@ -182,6 +182,27 @@ def test_parse_exists_decorrelates():
         )
 
 
+def test_parse_cte_inlines_fresh_subtrees():
+    plan = parse_sql(
+        "with t as (select o_custkey from orders where o_totalprice > 5) "
+        "select o_custkey from t union all select o_custkey from t"
+    )
+    scans = [
+        n for n in plan.bfs_iterator() if n.operator.operator_name() == "Scan"
+    ]
+    assert len(scans) == 2  # two independent copies, not a shared node
+    assert scans[0].id != scans[1].id
+
+
+def test_parse_scalar_subquery_rewrites_to_join():
+    plan = parse_sql(
+        "select c_custkey from customer "
+        "where c_acctbal > (select avg(c_acctbal) as a from customer)"
+    )
+    names = [n.operator.operator_name() for n in plan.bfs_iterator()]
+    assert "Join" in names and "Aggregate" in names
+
+
 def test_parse_in_value_list():
     plan = parse_sql("select n_name from nation where n_regionkey in (0, 1)")
     pred = plan.root.inputs[0].operator.predicate
