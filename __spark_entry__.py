@@ -1000,6 +1000,13 @@ EXTENSION_ORACLES = {
         SELECT c_custkey, c_acctbal FROM customer
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
     """,
+    "q_cube": """
+        SELECT COALESCE(event_type, '(all)') AS etype,
+               COALESCE(dayofweek(ts) + 1, -1) AS wd,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY CUBE (event_type, dayofweek(ts) + 1)
+    """,
     "q_rollup": """
         SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
                COALESCE(l_linestatus, '(all)') AS linestatus,
@@ -1202,6 +1209,35 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Alias(Func("coalesce", (col("l_linestatus"), lit("(all)"))), "linestatus"),
                 col("n"),
                 col("sum_qty"),
+            ]
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (event_type, weekday): all four grouping sets
+    in one Expand pass."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .projection(
+            [
+                col("event_type"),
+                Alias(Func("dayofweek", (Func("timestamp_micros", (BinOp("div", col("ts"), lit(1000)),)),)), "weekday"),
+            ]
+        )
+        .aggregate(
+            [col("event_type"), col("weekday")],
+            [Alias(Func("count", ()), "n")],
+            mode="cube",
+        )
+        .projection(
+            [
+                Alias(Func("coalesce", (col("event_type"), lit("(all)"))), "etype"),
+                Alias(Func("coalesce", (col("weekday"), lit(-1))), "wd"),
+                col("n"),
             ]
         )
         .build()
@@ -1419,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_scalar_subquery": q_sql_scalar_subquery,
         "q_date_functions": q_date_functions,
         "q_rollup": q_rollup,
+        "q_cube": q_cube,
         "q_union_all": q_union_all,
         "q_intersect": q_intersect,
         "q_except": q_except,

@@ -157,6 +157,12 @@ _SPARK_BIN = {
     "-": lambda a, b: a - b,
     "*": lambda a, b: a * b,
     "/": lambda a, b: a / b,
+    # integer division — float "/" loses precision above 2^53, which
+    # nanosecond timestamps exceed; decimal division is exact and the
+    # long cast truncates (== floor for non-negative operands)
+    "div": lambda a, b: (
+        a.cast("decimal(38,0)") / b.cast("decimal(38,0)")
+    ).cast("long"),
 }
 
 
