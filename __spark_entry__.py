@@ -131,6 +131,45 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item revenue ranking): 3-way join →
+    group by customer → top-20 by revenue (TakeOrderedAndProject above
+    the aggregate; unique custkey tie-break keeps the limit
+    deterministic)."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("customer")
+        .join(
+            LogicalPlanBuilder().scan("orders"),
+            JoinType.INNER,
+            col("c_custkey").eq(col("o_custkey")),
+        )
+        .join(
+            LogicalPlanBuilder().scan("lineitem"),
+            JoinType.INNER,
+            col("o_orderkey").eq(col("l_orderkey")),
+        )
+        .filter(col("l_returnflag").eq(lit("R")))
+        .aggregate(
+            [col("c_custkey"), col("c_name")],
+            [
+                _dsum(
+                    BinOp(
+                        "*",
+                        _dec(col("l_extendedprice")),
+                        BinOp("-", _dec(lit(1)), _dec(col("l_discount"))),
+                    ),
+                    "revenue",
+                )
+            ],
+        )
+        .sort([SortKey(col("revenue"), asc=False), SortKey(col("c_custkey"))])
+        .limit(20)
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort+Limit fused to TopK (TakeOrderedAndProject, no global sort)."""
     plan = (
@@ -1438,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_projection": q_filter_projection,
         "q_join3": q_join3,
         "q_tpch_q1": q_tpch_q1,
+        "q_tpch_q10": q_tpch_q10,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -1503,6 +1543,19 @@ def oracle_sql() -> dict[str, str]:
         "q_topk": """
             SELECT c_custkey, c_name, c_acctbal
             FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+        """,
+        "q_tpch_q10": """
+            SELECT c_custkey, c_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                        AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """
