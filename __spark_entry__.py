@@ -565,6 +565,161 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-series joins (as-of, range) — first-class operators
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event joined to the user's most recent purchase at-or-before
+    it (backward inclusive as-of join).  Executes as ONE window shuffle
+    (union-merge strategy) — no inequality join, no per-key blowup.
+    Oracle: DuckDB's native ASOF LEFT JOIN (independent implementation).
+    Both sides truncate ts to MICROSECONDS first (DuckDB timestamps are
+    us-precision; ns would disagree in the last digit).  NULL sentinels:
+    -1 = no prior purchase."""
+    purchases = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .filter(col("event_type").eq(lit("purchase")))
+        .projection(
+            [
+                col("user_id"),
+                Alias(BinOp("div", col("ts"), lit(1000)), "p_us"),
+                col("value"),
+            ]
+        )
+        .aggregate(
+            [col("user_id"), col("p_us")],
+            [Alias(Func("max", (col("value"),)), "pval")],
+        )
+    )
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .projection(
+            [
+                col("event_id"),
+                col("event_type"),
+                col("user_id"),
+                Alias(BinOp("div", col("ts"), lit(1000)), "ts_us"),
+            ]
+        )
+        .asof_join(
+            purchases,
+            left_keys=["user_id"],
+            right_keys=["user_id"],
+            left_ts="ts_us",
+            right_ts="p_us",
+            right_cols=["p_us", "pval"],
+        )
+        .projection(
+            [
+                col("event_id"),
+                col("event_type"),
+                Alias(
+                    Func(
+                        "coalesce",
+                        (
+                            BinOp("div", BinOp("-", col("ts_us"), col("p_us")), lit(1000)),
+                            lit(-1),
+                        ),
+                    ),
+                    "gap_ms",
+                ),
+                Alias(
+                    Func(
+                        "coalesce",
+                        (
+                            Cast(
+                                Func("floor", (BinOp("*", col("pval"), lit(100)),)),
+                                "bigint",
+                            ),
+                            lit(-1),
+                        ),
+                    ),
+                    "p_cents",
+                ),
+            ]
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-band attribution: events matched into 5 irregular
+    [4k², 4(k+1)²) bands — a PURE point-in-interval join (no equi key)
+    via the bucketed strategy: intervals explode into width-5 buckets,
+    points hash-join on their single bucket, residual filter exact."""
+    bands = (
+        LogicalPlanBuilder()
+        .scan("region")
+        .projection(
+            [
+                Alias(col("r_regionkey"), "band"),
+                Alias(
+                    Cast(
+                        BinOp(
+                            "*",
+                            BinOp("*", col("r_regionkey"), col("r_regionkey")),
+                            lit(4),
+                        ),
+                        "double",
+                    ),
+                    "lo",
+                ),
+                Alias(
+                    Cast(
+                        BinOp(
+                            "*",
+                            BinOp(
+                                "*",
+                                BinOp("+", col("r_regionkey"), lit(1)),
+                                BinOp("+", col("r_regionkey"), lit(1)),
+                            ),
+                            lit(4),
+                        ),
+                        "double",
+                    ),
+                    "hi",
+                ),
+            ]
+        )
+    )
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .range_join(
+            bands,
+            point="value",
+            lo="lo",
+            hi="hi",
+            right_cols=["band"],
+            bucket_width=5,
+        )
+        .aggregate(
+            [col("band")],
+            [
+                Alias(Func("count", ()), "n_events"),
+                Alias(
+                    Func(
+                        "sum",
+                        (
+                            Cast(
+                                Func("floor", (BinOp("*", col("value"), lit(100)),)),
+                                "bigint",
+                            ),
+                        ),
+                    ),
+                    "total_cents",
+                ),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL generators (mirror the Spark params exactly)
 # ---------------------------------------------------------------------------
 
@@ -869,9 +1024,37 @@ EXTENSION_QUERIES = {
     "q_stream_dedup": q_stream_dedup,
     "q_stream_enrich": q_stream_enrich,
     "q_events_json": q_events_json,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
 }
 
 EXTENSION_ORACLES = {
+    "q_asof_join": """
+        WITH purch AS (
+          SELECT user_id, epoch_us(ts) AS p_us, max(value) AS pval
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, epoch_us(ts)
+        ), ev AS (
+          SELECT event_id, event_type, user_id, epoch_us(ts) AS ts_us FROM events
+        )
+        SELECT e.event_id, e.event_type,
+               coalesce((e.ts_us - p.p_us) // 1000, -1) AS gap_ms,
+               coalesce(CAST(floor(p.pval * 100) AS BIGINT), -1) AS p_cents
+        FROM ev e ASOF LEFT JOIN purch p
+          ON e.user_id = p.user_id AND e.ts_us >= p.p_us
+    """,
+    "q_range_join": """
+        WITH bands AS (
+          SELECT r_regionkey AS band,
+                 CAST(4 * r_regionkey * r_regionkey AS DOUBLE) AS lo,
+                 CAST(4 * (r_regionkey + 1) * (r_regionkey + 1) AS DOUBLE) AS hi
+          FROM region
+        )
+        SELECT band, count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY band
+    """,
     "q_text_stats": _text_stats_oracle(),
     "q_lang_id": _lang_id_oracle(),
     "q_exact_dedup": """

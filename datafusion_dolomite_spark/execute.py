@@ -293,6 +293,87 @@ class SparkExecutor:
             op.threshold_1000,
         )
 
+    # -- time-series joins (operators/extensions.py) --------------------
+    def _asof_join(self, node: PlanNode):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        op = node.operator
+        left = self._node(node.inputs[0])
+        right = self._node(node.inputs[1])
+        keys = [f"__k{i}" for i in range(len(op.left_keys))]
+        ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
+        left_cols = left.columns
+        # tag + align both sides (right rows sort before left at equal ts
+        # -> inclusive backward match), then ONE window pass
+        l = left.select(
+            *left_cols,
+            *[F.col(k).alias(a) for k, a in zip(op.left_keys, keys)],
+            F.col(op.left_ts).alias("__ts"),
+            F.lit(1).alias("__side"),
+            *[F.lit(None).cast(rtypes[c]).alias(c) for c in op.right_cols],
+        )
+        r = right.select(
+            *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_cols],
+            *[F.col(k).alias(a) for k, a in zip(op.right_keys, keys)],
+            F.col(op.right_ts).alias("__ts"),
+            F.lit(0).alias("__side"),
+            *[F.col(c) for c in op.right_cols],
+        )
+        u = l.unionByName(r)
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in op.right_cols:
+            u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        return u.filter(F.col("__side") == 1).select(*left_cols, *op.right_cols)
+
+    @staticmethod
+    def _bucket(c, width: int):
+        """Exact bucket id for non-negative values: floats floor to ints
+        first, then decimal integer division (double division is lossy
+        above 2^53 — nanosecond timestamps exceed that)."""
+        from pyspark.sql import functions as F
+
+        return (
+            F.floor(c).cast("decimal(38,0)")
+            / F.lit(int(width)).cast("decimal(38,0)")
+        ).cast("long")
+
+    def _range_join(self, node: PlanNode):
+        from pyspark.sql import functions as F
+
+        op = node.operator
+        left = self._node(node.inputs[0])
+        right = self._node(node.inputs[1])
+        width = int(op.bucket_width)
+        keys = [f"__k{i}" for i in range(len(op.left_keys))]
+        left_cols = left.columns
+        r = right.select(
+            *[F.col(k).alias(a) for k, a in zip(op.right_keys, keys)],
+            F.col(op.lo).alias("__lo"),
+            F.col(op.hi).alias("__hi"),
+            *[F.col(c) for c in op.right_cols],
+        ).withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    self._bucket(F.col("__lo"), width),
+                    self._bucket(F.col("__hi"), width),
+                )
+            ),
+        )
+        l = left.select(
+            *left_cols,
+            *[F.col(k).alias(a) for k, a in zip(op.left_keys, keys)],
+        ).withColumn("__bucket", self._bucket(F.col(op.point), width))
+        joined = l.join(r, on=keys + ["__bucket"], how="inner").filter(
+            (F.col(op.point) >= F.col("__lo")) & (F.col(op.point) < F.col("__hi"))
+        )
+        return joined.select(*left_cols, *op.right_cols)
+
 
 def _join_condition(op, left_df, right_df):
     """Build the join condition resolving each side's columns against the
@@ -343,6 +424,10 @@ _HANDLERS = {
     X.LogicalCosineNearDup: SparkExecutor._cosine_near_dup,
     X.PhysicalNgramJaccard: SparkExecutor._ngram_jaccard,
     X.LogicalNgramJaccard: SparkExecutor._ngram_jaccard,
+    X.PhysicalAsofJoinUnion: SparkExecutor._asof_join,
+    X.LogicalAsofJoin: SparkExecutor._asof_join,
+    X.PhysicalBucketedRangeJoin: SparkExecutor._range_join,
+    X.LogicalRangeJoin: SparkExecutor._range_join,
     # physical
     P.PhysicalTableScan: SparkExecutor._scan,
     P.PhysicalFilter: SparkExecutor._filter,

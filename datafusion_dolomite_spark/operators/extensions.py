@@ -34,6 +34,10 @@ __all__ = [
     "PhysicalKnnPandas",
     "LogicalNgramJaccard",
     "PhysicalNgramJaccard",
+    "LogicalAsofJoin",
+    "PhysicalAsofJoinUnion",
+    "LogicalRangeJoin",
+    "PhysicalBucketedRangeJoin",
 ]
 
 
@@ -321,4 +325,138 @@ class PhysicalCosineNearDup(PhysicalOperator):
         return (
             f"PhysicalCosineNearDup {{ id: {self.id_col}, vec: {self.vec_col}, "
             f"bits: {self.nbits}, threshold: {self.threshold_1000} }}"
+        )
+
+
+# -- as-of join (time-series point-in-time lookup) --------------------------
+
+@dataclass(frozen=True)
+class LogicalAsofJoin(LogicalOperator):
+    """Backward inclusive as-of join: for each left row, attach the
+    ``right_cols`` of the right row with equal keys and the greatest
+    ``right_ts`` <= ``left_ts`` (NULLs when no such row).
+
+    Absent from the reference (its join surface is inner equi only,
+    ``dolomite/src/operator/join.rs``); this is a BASELINE.json
+    north-star time-series extension.  Right side must be unique per
+    (keys, ts) for deterministic output — pre-aggregate if not.
+    ``right_cols`` names must not collide with left columns.
+    """
+
+    left_keys: Tuple[str, ...]
+    right_keys: Tuple[str, ...]
+    left_ts: str
+    right_ts: str
+    right_cols: Tuple[str, ...]
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        left, right = input_props
+        carried = tuple(
+            Field(f.name, f.dtype, True)
+            for f in (right.schema.field(c) for c in self.right_cols)
+        )
+        return LogicalProperty(Schema(left.schema.fields + carried))
+
+    def pretty(self) -> str:
+        return (
+            f"LogicalAsofJoin {{ keys: [{', '.join(self.left_keys)}]=="
+            f"[{', '.join(self.right_keys)}], ts: {self.left_ts}>={self.right_ts}, "
+            f"carry: [{', '.join(self.right_cols)}] }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalAsofJoinUnion(PhysicalOperator):
+    """Union-merge implementation: tag both sides, union by name, one
+    window ``last(value, ignorenulls) over (partition by keys order by
+    ts, side)``, keep left rows.  ONE shuffle total (the window
+    partitioning) — scale-correct vs. the naive
+    join-on-inequality + argmax which shuffles twice and degenerates to
+    a per-key cross product on hot keys."""
+
+    left_keys: Tuple[str, ...]
+    right_keys: Tuple[str, ...]
+    left_ts: str
+    right_ts: str
+    right_cols: Tuple[str, ...]
+
+    def derive_properties(self, children_props):
+        return (
+            (_DEFAULT, _DEFAULT),
+            PhysicalPropertySet(dist=DistributionSpec.hashed(self.left_keys)),
+        )
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalAsofJoinUnion {{ keys: [{', '.join(self.left_keys)}]=="
+            f"[{', '.join(self.right_keys)}], ts: {self.left_ts}>={self.right_ts}, "
+            f"carry: [{', '.join(self.right_cols)}] }}"
+        )
+
+
+# -- range (interval) join via bucketing ------------------------------------
+
+@dataclass(frozen=True)
+class LogicalRangeJoin(LogicalOperator):
+    """Point-in-interval join: left rows whose ``point`` falls in a right
+    row's ``[lo, hi)``, with optional equi keys.  Output = left schema +
+    ``right_cols`` (inner-join semantics).
+
+    Also absent from the reference; north-star time-series extension.
+    """
+
+    left_keys: Tuple[str, ...]
+    right_keys: Tuple[str, ...]
+    point: str
+    lo: str
+    hi: str
+    right_cols: Tuple[str, ...]
+    bucket_width: float
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        left, right = input_props
+        carried = tuple(
+            Field(f.name, f.dtype, True)
+            for f in (right.schema.field(c) for c in self.right_cols)
+        )
+        return LogicalProperty(Schema(left.schema.fields + carried))
+
+    def pretty(self) -> str:
+        return (
+            f"LogicalRangeJoin {{ keys: [{', '.join(self.left_keys)}]=="
+            f"[{', '.join(self.right_keys)}], {self.point} in "
+            f"[{self.lo}, {self.hi}), w: {self.bucket_width} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalBucketedRangeJoin(PhysicalOperator):
+    """Bucketed implementation: explode each interval into the fixed-width
+    buckets it covers, equi-join on (keys, bucket) — a point lives in
+    exactly ONE bucket, so each matching pair joins exactly once (no
+    dedup pass) — then apply the residual ``lo <= point < hi`` filter.
+    Turns an otherwise O(n·m) theta-join into a shuffled hash join whose
+    cost scales with rows × (interval_span / bucket_width)."""
+
+    left_keys: Tuple[str, ...]
+    right_keys: Tuple[str, ...]
+    point: str
+    lo: str
+    hi: str
+    right_cols: Tuple[str, ...]
+    bucket_width: float
+
+    def derive_properties(self, children_props):
+        return (
+            (_DEFAULT, _DEFAULT),
+            PhysicalPropertySet(
+                dist=DistributionSpec.hashed(self.left_keys + ("__bucket",))
+            ),
+        )
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalBucketedRangeJoin {{ keys: [{', '.join(self.left_keys)}]=="
+            f"[{', '.join(self.right_keys)}], {self.point} in "
+            f"[{self.lo}, {self.hi}), w: {self.bucket_width} }}"
         )

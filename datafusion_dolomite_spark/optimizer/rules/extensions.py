@@ -22,6 +22,8 @@ __all__ = [
     "Knn2IvfRule",
     "CosineNearDupImplRule",
     "NgramJaccardImplRule",
+    "AsofJoinImplRule",
+    "RangeJoinImplRule",
     "EXTENSION_RULES",
 ]
 
@@ -175,7 +177,47 @@ class NgramJaccardImplRule(Rule):
         )
 
 
+class AsofJoinImplRule(Rule):
+    name = "AsofJoinImplRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalAsofJoin)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalAsofJoin = input.root.operator
+        result.add(
+            OptExpression.op(
+                X.PhysicalAsofJoinUnion(
+                    op.left_keys, op.right_keys, op.left_ts, op.right_ts,
+                    op.right_cols,
+                ),
+                *input.root.inputs,
+            )
+        )
+
+
+class RangeJoinImplRule(Rule):
+    name = "RangeJoinImplRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalRangeJoin)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalRangeJoin = input.root.operator
+        result.add(
+            OptExpression.op(
+                X.PhysicalBucketedRangeJoin(
+                    op.left_keys, op.right_keys, op.point, op.lo, op.hi,
+                    op.right_cols, op.bucket_width,
+                ),
+                *input.root.inputs,
+            )
+        )
+
+
 EXTENSION_RULES = [
+    AsofJoinImplRule(),
+    RangeJoinImplRule(),
     ExactDedupImplRule(),
     MinHashDedupImplRule(),
     SimHashImplRule(),

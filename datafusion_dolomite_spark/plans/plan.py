@@ -288,6 +288,48 @@ class LogicalPlanBuilder:
             [self._require_root()],
         )
 
+    def asof_join(
+        self,
+        other: "LogicalPlanBuilder | Plan | PlanNode",
+        left_keys: Sequence[str],
+        right_keys: Sequence[str],
+        left_ts: str,
+        right_ts: str,
+        right_cols: Sequence[str],
+    ) -> "LogicalPlanBuilder":
+        """Backward inclusive as-of join (see LogicalAsofJoin docstring)."""
+        from ..operators.extensions import LogicalAsofJoin
+
+        return self._push(
+            LogicalAsofJoin(
+                tuple(left_keys), tuple(right_keys), left_ts, right_ts,
+                tuple(right_cols),
+            ),
+            [self._require_root(), _as_node(other)],
+        )
+
+    def range_join(
+        self,
+        other: "LogicalPlanBuilder | Plan | PlanNode",
+        point: str,
+        lo: str,
+        hi: str,
+        right_cols: Sequence[str],
+        bucket_width: float,
+        left_keys: Sequence[str] = (),
+        right_keys: Sequence[str] = (),
+    ) -> "LogicalPlanBuilder":
+        """Point-in-interval join (see LogicalRangeJoin docstring)."""
+        from ..operators.extensions import LogicalRangeJoin
+
+        return self._push(
+            LogicalRangeJoin(
+                tuple(left_keys), tuple(right_keys), point, lo, hi,
+                tuple(right_cols), bucket_width,
+            ),
+            [self._require_root(), _as_node(other)],
+        )
+
     def build(self) -> Plan:
         return Plan(self._require_root())
 

@@ -180,3 +180,129 @@ def test_semi_and_anti_join(planner):
 def test_limit_row_count(planner):
     plan = LogicalPlanBuilder().scan("lineitem").limit(17).build()
     assert planner.dataframe(plan).count() == 17
+
+
+# -- time-series joins ------------------------------------------------------
+
+def test_asof_join_semantics(planner):
+    """Plan implements via PhysicalAsofJoinUnion; values match a
+    quadratic DuckDB formulation (greatest right ts <= left ts)."""
+    from datafusion_dolomite_spark.expr import BinOp
+
+    purchases = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .filter(col("event_type").eq(lit("purchase")))
+        .projection(
+            [
+                col("user_id"),
+                Alias(BinOp("div", col("ts"), lit(1000)), "p_us"),
+                col("value"),
+            ]
+        )
+        .aggregate(
+            [col("user_id"), col("p_us")],
+            [Alias(Func("max", (col("value"),)), "pval")],
+        )
+    )
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .projection(
+            [
+                col("event_id"),
+                col("user_id"),
+                Alias(BinOp("div", col("ts"), lit(1000)), "ts_us"),
+            ]
+        )
+        .asof_join(
+            purchases,
+            left_keys=["user_id"],
+            right_keys=["user_id"],
+            left_ts="ts_us",
+            right_ts="p_us",
+            right_cols=["p_us"],
+        )
+        .build()
+    )
+    from datafusion_dolomite_spark.operators.extensions import PhysicalAsofJoinUnion
+
+    physical = planner.optimize(plan)
+    assert isinstance(physical.root.operator, PhysicalAsofJoinUnion)
+    got = _rows(to_spark(physical, planner.spark, planner.catalog))
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT e.event_id, e.user_id, e.ts_us,
+                   (SELECT max(epoch_us(p.ts)) FROM events p
+                    WHERE p.event_type = 'purchase'
+                      AND p.user_id = e.user_id
+                      AND epoch_us(p.ts) <= e.ts_us) AS p_us
+            FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events) e
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_range_join_boundaries(planner):
+    """hi is exclusive, lo inclusive; bucketed join matches each
+    point-interval pair exactly once even when intervals span many
+    buckets."""
+    from datafusion_dolomite_spark.operators.extensions import (
+        PhysicalBucketedRangeJoin,
+    )
+    from datafusion_dolomite_spark.expr import BinOp, Cast
+
+    bands = (
+        LogicalPlanBuilder()
+        .scan("region")
+        .projection(
+            [
+                Alias(col("r_regionkey"), "band"),
+                Alias(Cast(BinOp("*", col("r_regionkey"), lit(10)), "double"), "lo"),
+                Alias(
+                    Cast(BinOp("*", BinOp("+", col("r_regionkey"), lit(1)), lit(10)), "double"),
+                    "hi",
+                ),
+            ]
+        )
+    )
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .range_join(bands, point="value", lo="lo", hi="hi",
+                    right_cols=["band"], bucket_width=3)
+        .projection([col("event_id"), col("band")])
+        .build()
+    )
+    physical = planner.optimize(plan)
+    kinds = [type(n.operator).__name__ for n in physical.bfs_iterator()]
+    assert "PhysicalBucketedRangeJoin" in kinds
+    from datafusion_dolomite_spark.execute import to_spark
+
+    got = _rows(to_spark(physical, planner.spark, planner.catalog))
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from read_parquet('{SF_DIR}/events.parquet')"
+    )
+    con.execute(
+        f"create view region as select * from read_parquet('{SF_DIR}/region.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT e.event_id, r.r_regionkey AS band
+            FROM events e JOIN region r
+              ON e.value >= r.r_regionkey * 10
+             AND e.value <  (r.r_regionkey + 1) * 10
+            """
+        ).fetchall()
+    )
+    assert got == want
