@@ -1222,6 +1222,11 @@ EXTENSION_ORACLES = {
         SELECT c_custkey, c_acctbal FROM customer
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
     """,
+        "q_sql_corr_scalar": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_acctbal > (SELECT 1.5 * avg(s_acctbal)
+                               FROM supplier WHERE s_nationkey = c_nationkey)
+        """,
     "q_cube": """
         SELECT COALESCE(event_type, '(all)') AS etype,
                COALESCE(dayofweek(ts) + 1, -1) AS wd,
@@ -1510,6 +1515,18 @@ def q_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
+    decorrelated into a per-key aggregate + equi-join
+    (sql._try_decorrelate_scalar) — customers above 1.5x their nation's
+    average supplier balance."""
+    return _planner(spark, sf_dir).sql(
+        "select c_custkey, c_name from customer "
+        "where c_acctbal > (select 1.5 * avg(s_acctbal) "
+        "from supplier where s_nationkey = c_nationkey)"
+    )
+
+
 def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar date functions (year/month/quarter/dayofmonth) compiled
     JVM-side; orders rolled up by order year+quarter."""
@@ -1676,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_exists": q_sql_exists,
         "q_sql_cte": q_sql_cte,
         "q_sql_scalar_subquery": q_sql_scalar_subquery,
+        "q_sql_corr_scalar": q_sql_corr_scalar,
         "q_date_functions": q_date_functions,
         "q_rollup": q_rollup,
         "q_cube": q_cube,

@@ -227,6 +227,11 @@ class _Parser:
             pred = self._expr()
             pred, scalars = _extract_scalars(pred)
             for alias, sub in scalars:
+                dec = _try_decorrelate_scalar(sub, self.catalog, alias)
+                if dec is not None:
+                    subb, cond = dec
+                    builder = builder.join(subb, JoinType.INNER, cond)
+                    continue
                 cur = _single_output_col(sub)
                 renamed = LogicalPlanBuilder(sub.root).projection(
                     [Alias(Col(cur), alias)]
@@ -651,6 +656,98 @@ def _decorrelate_exists(sub: Plan, catalog):
             "uncorrelated EXISTS is a constant"
         )
     return Plan(new_root), _and_all(lifted)
+
+
+def _try_decorrelate_scalar(sub: Plan, catalog, alias: str):
+    """Decorrelate a correlated scalar aggregate subquery
+    (``x > (SELECT agg(...) FROM t WHERE t.k = outer.k)``) into
+    (aggregate-per-key subplan builder, equi-join condition) — the
+    rewrite the reference never implemented (its subquery surface is
+    empty, SURVEY §2.4).  Returns None when the subquery is
+    uncorrelated (caller keeps the 1-row broadcast-join path).
+
+    Same correlation detection as ``_decorrelate_exists``: conjuncts
+    whose columns don't all resolve against the subquery's own scans
+    lift out.  Each lifted conjunct must be ``inner_col = outer_col``;
+    inner cols become group keys.  NULL-for-empty scalar semantics
+    (row filtered out) == inner-join-drops-missing-keys; COUNT(*)-over-
+    empty (which yields 0, not NULL) is rejected.
+    """
+    from .operators.logical import LogicalAggregate
+    from .plans.plan import PlanNode
+
+    if catalog is None:
+        return None
+    avail: set = set()
+    for n in sub.nodes_bottom_up():
+        if n.operator.operator_name() == "Scan":
+            try:
+                avail |= set(catalog.schema(n.operator.table_name).names())
+            except KeyError:
+                return None
+    lifted: list = []
+
+    def rebuild(node):
+        op = node.operator
+        if op.operator_name() == "Filter":
+            keep, lift = [], []
+            for c in _conjuncts(op.predicate):
+                if set(c.columns()) <= avail:
+                    keep.append(c)
+                else:
+                    lift.append(c)
+            lifted.extend(lift)
+            child = rebuild(node.inputs[0])
+            if keep:
+                return PlanNode(
+                    LogicalFilter(_and_all(keep), op.projected_columns), [child]
+                )
+            return child
+        if node.inputs:
+            return PlanNode(op, [rebuild(c) for c in node.inputs])
+        return node
+
+    root = sub.root
+    agg = root.operator
+    if agg.operator_name() != "Aggregate" or agg.group_exprs or len(agg.agg_exprs) != 1:
+        return None
+    new_child = rebuild(root.inputs[0])
+    if not lifted:
+        return None
+    if "count" in agg.agg_exprs[0].pretty().lower().split("(")[0]:
+        raise SqlError(
+            "correlated COUNT subquery is not decorrelatable by inner join "
+            "(COUNT over empty is 0, not NULL)"
+        )
+    inner_keys: list = []
+    for c in lifted:
+        ok = (
+            isinstance(c, BinOp)
+            and c.op == "="
+            and isinstance(c.left, Col)
+            and isinstance(c.right, Col)
+        )
+        if not ok:
+            raise SqlError(
+                f"correlated scalar subquery conjunct {c.pretty()} must be "
+                "inner_col = outer_col"
+            )
+        inner = c.left.name if c.left.name in avail else c.right.name
+        if inner not in avail:
+            raise SqlError(f"cannot resolve correlation in {c.pretty()}")
+        inner_keys.append(inner)
+    # re-alias the aggregate to the scalar's marker name directly (the
+    # auto-pretty name can contain dots, which F.col parses as struct
+    # access); aggregate output = group keys + alias, nothing else needed
+    grouped = PlanNode(
+        LogicalAggregate(
+            tuple(Col(k) for k in inner_keys),
+            (Alias(agg.agg_exprs[0].expr, alias),),
+            "groupby",
+        ),
+        [new_child],
+    )
+    return LogicalPlanBuilder(grouped), _and_all(lifted)
 
 
 def _single_output_col(plan: Plan) -> str:

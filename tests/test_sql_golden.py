@@ -238,3 +238,35 @@ def test_sql_select_star(planner):
     df = planner.sql("select * from region order by r_regionkey")
     assert df.columns == ["r_regionkey", "r_name"]
     assert df.count() == 5
+
+
+def test_correlated_scalar_decorrelates(catalog):
+    """x > (SELECT agg FROM t WHERE t.k = outer.k) becomes a per-key
+    aggregate joined on the correlation key; the correlated filter is
+    gone from the subplan."""
+    plan = parse_sql(
+        "select c_custkey from customer where c_acctbal > "
+        "(select 1.5 * avg(s_acctbal) from supplier where s_nationkey = c_nationkey)",
+        catalog,
+    )
+    ops = [n.operator.operator_name() for n in plan.bfs_iterator()]
+    assert "Join" in ops and "Aggregate" in ops
+    for n in plan.bfs_iterator():
+        if n.operator.operator_name() == "Join":
+            assert "s_nationkey" in n.operator.condition.pretty()
+        if n.operator.operator_name() == "Aggregate":
+            assert [g.pretty() for g in n.operator.group_exprs] == ["s_nationkey"]
+        if n.operator.operator_name() == "Filter":
+            # no correlated conjunct survives below the join
+            assert "c_nationkey" not in n.operator.predicate.pretty() or (
+                "avg" not in n.operator.predicate.pretty()
+            )
+
+
+def test_correlated_count_rejected(catalog):
+    with pytest.raises(SqlError):
+        parse_sql(
+            "select c_custkey from customer where c_acctbal > "
+            "(select count(*) from supplier where s_nationkey = c_nationkey)",
+            catalog,
+        )
