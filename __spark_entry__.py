@@ -1515,6 +1515,174 @@ def q_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    order-less customers count as 0, two-level aggregation."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("customer")
+        .join(
+            LogicalPlanBuilder().scan("orders"),
+            JoinType.LEFT,
+            col("c_custkey").eq(col("o_custkey")),
+        )
+        .aggregate(
+            [col("c_custkey")],
+            [Alias(Func("count", (col("o_orderkey"),)), "c_count")],
+        )
+        .aggregate(
+            [col("c_count")],
+            [Alias(Func("count", ()), "custdist")],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share by ship month): conditional
+    aggregation via CASE WHEN, exact decimal sums, ratio as floor-1000."""
+    from datafusion_dolomite_spark.expr import CaseWhen
+
+    disc_price = BinOp(
+        "*", _dec(col("l_extendedprice")), BinOp("-", _dec(lit(1)), _dec(col("l_discount")))
+    )
+    promo = CaseWhen(
+        ((col("p_type").eq(lit("PROMO")), disc_price),), Cast(lit(0), "decimal(12,2)")
+    )
+    plan = (
+        LogicalPlanBuilder()
+        .scan("lineitem")
+        .join(
+            LogicalPlanBuilder().scan("part"),
+            JoinType.INNER,
+            col("l_partkey").eq(col("p_partkey")),
+        )
+        .projection(
+            [
+                Alias(Func("year", (col("l_shipdate"),)), "y"),
+                Alias(Func("month", (col("l_shipdate"),)), "m"),
+                Alias(promo, "promo_part"),
+                Alias(disc_price, "disc_price"),
+            ]
+        )
+        .aggregate(
+            [col("y"), col("m")],
+            [
+                _dsum(col("promo_part"), "promo_rev"),
+                _dsum(col("disc_price"), "total_rev"),
+            ],
+        )
+        .projection(
+            [
+                col("y"),
+                col("m"),
+                col("promo_rev"),
+                col("total_rev"),
+                Alias(
+                    Cast(
+                        Func(
+                            "floor",
+                            (
+                                BinOp(
+                                    "/",
+                                    BinOp("*", lit(1000.0), col("promo_rev")),
+                                    col("total_rev"),
+                                ),
+                            ),
+                        ),
+                        "bigint",
+                    ),
+                    "promo_1000",
+                ),
+            ]
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (OR of conjunctive predicate groups over a join)
+    — single global aggregate; Catalyst turns the OR into a single scan
+    pass with the join-key filter still pushed down."""
+    def band(ptype: str, qlo: float, qhi: float):
+        return BinOp(
+            "and",
+            BinOp(
+                "and",
+                col("p_type").eq(lit(ptype)),
+                col("l_quantity").ge(lit(qlo)),
+            ),
+            col("l_quantity").le(lit(qhi)),
+        )
+
+    pred = BinOp(
+        "or",
+        BinOp("or", band("SMALL", 1.0, 11.0), band("MEDIUM", 10.0, 20.0)),
+        band("LARGE", 20.0, 30.0),
+    )
+    plan = (
+        LogicalPlanBuilder()
+        .scan("lineitem")
+        .join(
+            LogicalPlanBuilder().scan("part"),
+            JoinType.INNER,
+            col("l_partkey").eq(col("p_partkey")),
+        )
+        .filter(pred)
+        .aggregate(
+            [],
+            [
+                _dsum(
+                    BinOp(
+                        "*",
+                        _dec(col("l_extendedprice")),
+                        BinOp("-", _dec(lit(1)), _dec(col("l_discount"))),
+                    ),
+                    "revenue",
+                ),
+                Alias(Func("count", ()), "n_items"),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation: per-user event-type counts as
+    columns (the shuffle-once formulation; Spark's df.pivot is two
+    passes when values aren't pre-declared)."""
+    from datafusion_dolomite_spark.expr import CaseWhen
+
+    def cnt(t: str, name: str):
+        return Alias(
+            Func(
+                "sum",
+                (CaseWhen(((col("event_type").eq(lit(t)), lit(1)),), lit(0)),),
+            ),
+            name,
+        )
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .aggregate(
+            [col("user_id")],
+            [
+                cnt("click", "n_click"),
+                cnt("view", "n_view"),
+                cnt("purchase", "n_purchase"),
+                cnt("error", "n_error"),
+                Alias(Func("count", ()), "n_total"),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -1678,6 +1846,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join3": q_join3,
         "q_tpch_q1": q_tpch_q1,
         "q_tpch_q10": q_tpch_q10,
+        "q_tpch_q13": q_tpch_q13,
+        "q_tpch_q14": q_tpch_q14,
+        "q_tpch_q19": q_tpch_q19,
+        "q_pivot_events": q_pivot_events,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -1757,6 +1929,51 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "q_tpch_q13": """
+            WITH co AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey
+            )
+            SELECT c_count, count(*) AS custdist FROM co GROUP BY c_count
+        """,
+        "q_tpch_q14": """
+            WITH base AS (
+              SELECT year(l_shipdate) AS y, month(l_shipdate) AS m,
+                     CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                          ELSE CAST(0 AS DECIMAL(12,2)) END AS promo_part,
+                     CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS disc_price
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            )
+            SELECT y, m,
+                   CAST(SUM(promo_part) AS DOUBLE) AS promo_rev,
+                   CAST(SUM(disc_price) AS DOUBLE) AS total_rev,
+                   CAST(floor(1000.0 * CAST(SUM(promo_part) AS DOUBLE)
+                              / CAST(SUM(disc_price) AS DOUBLE)) AS BIGINT) AS promo_1000
+            FROM base GROUP BY y, m
+        """,
+        "q_tpch_q19": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_type = 'SMALL'  AND l_quantity BETWEEN 1 AND 11)
+               OR (p_type = 'MEDIUM' AND l_quantity BETWEEN 10 AND 20)
+               OR (p_type = 'LARGE'  AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q_pivot_events": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+                   count(*) AS n_total
+            FROM events GROUP BY user_id
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """
