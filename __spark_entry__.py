@@ -1683,6 +1683,112 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_window_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead / dense_rank / ntile over a per-customer ordered window
+    (unique (orderdate, orderkey) tie-break keeps ntile deterministic).
+    NULL sentinel -1 for lead at partition end."""
+    from datafusion_dolomite_spark.operators.logical import WindowExprDef
+
+    order = (
+        SortKey(col("o_orderdate")),
+        SortKey(col("o_orderkey")),
+    )
+    part = (col("o_custkey"),)
+    plan = (
+        LogicalPlanBuilder()
+        .scan("orders")
+        .projection(
+            [
+                col("o_custkey"),
+                col("o_orderkey"),
+                col("o_orderdate"),
+                Alias(
+                    Cast(Func("floor", (BinOp("*", col("o_totalprice"), lit(100)),)), "bigint"),
+                    "cents",
+                ),
+            ]
+        )
+        .window(
+            [
+                WindowExprDef(Func("lead", (col("cents"), lit(1))), part, order, "next_cents"),
+                WindowExprDef(Func("dense_rank", ()), part, order, "rk"),
+                WindowExprDef(Func("ntile", (lit(4),)), part, order, "quartile"),
+            ]
+        )
+        .projection(
+            [
+                col("o_custkey"),
+                col("o_orderkey"),
+                Alias(Func("coalesce", (col("next_cents"), lit(-1))), "next_cents2"),
+                col("rk"),
+                col("quartile"),
+            ]
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join between a filtered dim and a per-user aggregate —
+    unmatched rows on BOTH sides survive with sentinel keys."""
+    right = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .aggregate([col("user_id")], [Alias(Func("count", ()), "n_events")])
+    )
+    plan = (
+        LogicalPlanBuilder()
+        .scan("customer")
+        .filter(col("c_acctbal").gt(lit(9000.0)))
+        .projection([col("c_custkey"), col("c_name")])
+        .join(right, JoinType.FULL, col("c_custkey").eq(col("user_id")))
+        .projection(
+            [
+                Alias(Func("coalesce", (col("c_custkey"), lit(-1))), "ck"),
+                Alias(Func("coalesce", (col("user_id"), lit(-1))), "uid"),
+                Alias(Func("coalesce", (col("n_events"), lit(-1))), "n_events2"),
+            ]
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median and p90 per event type (linear interpolation — same
+    formula both engines), floor-1000 ints for hash stability."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .aggregate(
+            [col("event_type")],
+            [
+                Alias(
+                    Cast(
+                        Func("floor", (BinOp("*", lit(1000.0), Func("median", (col("value"),))),)),
+                        "bigint",
+                    ),
+                    "median_1000",
+                ),
+                Alias(
+                    Cast(
+                        Func(
+                            "floor",
+                            (BinOp("*", lit(1000.0), Func("percentile", (col("value"), lit(0.9)))),),
+                        ),
+                        "bigint",
+                    ),
+                    "p90_1000",
+                ),
+                Alias(Func("count", ()), "n"),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -1850,6 +1956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q14": q_tpch_q14,
         "q_tpch_q19": q_tpch_q19,
         "q_pivot_events": q_pivot_events,
+        "q_window_lead_ntile": q_window_lead_ntile,
+        "q_full_join": q_full_join,
+        "q_percentiles": q_percentiles,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -1974,6 +2083,37 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
                    count(*) AS n_total
             FROM events GROUP BY user_id
+        """,
+        "q_window_lead_ntile": """
+            WITH base AS (
+              SELECT o_custkey, o_orderkey, o_orderdate,
+                     CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            )
+            SELECT o_custkey, o_orderkey,
+                   coalesce(lead(cents, 1) OVER w, -1) AS next_cents2,
+                   dense_rank() OVER w AS rk,
+                   ntile(4) OVER w AS quartile
+            FROM base
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "q_full_join": """
+            WITH dim AS (
+              SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0
+            ), agg AS (
+              SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+            )
+            SELECT coalesce(c_custkey, -1) AS ck,
+                   coalesce(user_id, -1) AS uid,
+                   coalesce(n_events, -1) AS n_events2
+            FROM dim FULL JOIN agg ON c_custkey = user_id
+        """,
+        "q_percentiles": """
+            SELECT event_type,
+                   CAST(floor(1000.0 * quantile_cont(value, 0.5)) AS BIGINT) AS median_1000,
+                   CAST(floor(1000.0 * quantile_cont(value, 0.9)) AS BIGINT) AS p90_1000,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """
