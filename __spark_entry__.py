@@ -527,6 +527,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped_event_counts(spark, sf_dir)
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_dolomite_spark.streaming.pipeline import purchase_click_pairs
+
+    return purchase_click_pairs(spark, sf_dir, "1 hour")
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_dolomite_spark.streaming.pipeline import enriched_event_counts
 
@@ -1023,6 +1029,7 @@ EXTENSION_QUERIES = {
     "q_stream_sessions": q_stream_sessions,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_enrich": q_stream_enrich,
+    "q_stream_stream_join": q_stream_stream_join,
     "q_events_json": q_events_json,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
@@ -1120,6 +1127,14 @@ EXTENSION_ORACLES = {
         )
         SELECT user_id, sum(news)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
         FROM m GROUP BY user_id
+    """,
+    "q_stream_stream_join": """
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        FROM events p JOIN events c
+          ON p.event_type = 'purchase' AND c.event_type = 'click'
+         AND p.user_id = c.user_id
+         AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+         AND epoch_us(c.ts) <= epoch_us(p.ts)
     """,
     "q_events_json": """
         SELECT event_type,

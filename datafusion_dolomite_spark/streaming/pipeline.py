@@ -24,6 +24,7 @@ __all__ = [
     "stateful_user_totals",
     "deduped_event_counts",
     "enriched_event_counts",
+    "purchase_click_pairs",
 ]
 
 
@@ -158,6 +159,56 @@ def enriched_event_counts(spark, sf_dir: str):
         agg.writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def purchase_click_pairs(spark, sf_dir: str, horizon: str = "1 hour"):
+    """STREAM-STREAM inner join with an event-time range condition:
+    each purchase matched to the same user's clicks in the preceding
+    hour.  Both sides are watermarked, so Spark bounds the join state
+    buffer (clicks older than watermark+horizon are evicted) — the
+    canonical attribution join at scale.  Emits the raw (purchase_id,
+    click_id) pairs in append mode; oracle is the equivalent batch
+    inequality join."""
+    from pyspark.sql import functions as F
+
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("event_time").alias("p_time"),
+        )
+        .withWatermark("p_time", "1 day")
+    )
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("event_time").alias("c_time"),
+        )
+        .withWatermark("c_time", "1 day")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND "
+            f"c_time >= p_time - interval {horizon} AND c_time <= p_time"
+        ),
+        "inner",
+    ).select("purchase_id", "click_id")
+    sink = f"attrib_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
