@@ -1804,6 +1804,35 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS ((status, priority), (status), ()) in one
+    shuffle pass (Spark expands sets map-side); COALESCE sentinels keep
+    subtotal NULL keys hash-comparable."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("orders")
+        .aggregate(
+            [col("o_orderstatus"), col("o_orderpriority")],
+            [
+                Alias(Func("count", ()), "n_orders"),
+                _dsum(_dec(col("o_totalprice")), "total_price"),
+            ],
+            mode="grouping_sets",
+            grouping_sets=[(0, 1), (0,), ()],
+        )
+        .projection(
+            [
+                Alias(Func("coalesce", (col("o_orderstatus"), lit("ALL"))), "status"),
+                Alias(Func("coalesce", (col("o_orderpriority"), lit("ALL"))), "priority"),
+                col("n_orders"),
+                col("total_price"),
+            ]
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -1974,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_lead_ntile": q_window_lead_ntile,
         "q_full_join": q_full_join,
         "q_percentiles": q_percentiles,
+        "q_grouping_sets": q_grouping_sets,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -2129,6 +2159,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(1000.0 * quantile_cont(value, 0.9)) AS BIGINT) AS p90_1000,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "q_grouping_sets": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """

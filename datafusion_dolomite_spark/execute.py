@@ -107,6 +107,12 @@ class SparkExecutor:
         mode = getattr(op, "mode", "groupby")
         if op.group_exprs:
             keys = [e.to_column() for e in op.group_exprs]
+            if mode == "grouping_sets":
+                sets = [
+                    [keys[i] for i in idxs]
+                    for idxs in op.grouping_sets
+                ]
+                return df.groupingSets(sets, *keys).agg(*aggs)
             grouped = {
                 "groupby": df.groupBy,
                 "rollup": df.rollup,

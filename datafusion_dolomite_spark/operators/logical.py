@@ -240,7 +240,10 @@ class LogicalAggregate(LogicalOperator):
 
     group_exprs: Tuple[Expr, ...] = ()
     agg_exprs: Tuple[Alias, ...] = ()
-    mode: str = "groupby"  # 'groupby' | 'rollup' | 'cube'
+    mode: str = "groupby"  # 'groupby' | 'rollup' | 'cube' | 'grouping_sets'
+    #: for mode='grouping_sets': each inner tuple holds indexes into
+    #: ``group_exprs`` naming one grouping set
+    grouping_sets: Tuple[Tuple[int, ...], ...] = ()
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
         (inp,) = input_props
@@ -253,6 +256,8 @@ class LogicalAggregate(LogicalOperator):
 
     def pretty(self) -> str:
         mode = "" if self.mode == "groupby" else f", mode: {self.mode}"
+        if self.mode == "grouping_sets":
+            mode += f" {list(map(list, self.grouping_sets))}"
         return (
             "LogicalAggregate { group: ["
             + ", ".join(e.pretty() for e in self.group_exprs)

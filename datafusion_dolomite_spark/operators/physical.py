@@ -223,6 +223,7 @@ class PhysicalHashAggregate(PhysicalOperator):
     group_exprs: Tuple[Expr, ...] = ()
     agg_exprs: Tuple[Alias, ...] = ()
     mode: str = "groupby"
+    grouping_sets: Tuple[Tuple[int, ...], ...] = ()
 
     def derive_properties(self, children_props):
         keys = tuple(

@@ -100,7 +100,9 @@ class Aggregate2HashAggregateRule(Rule):
         op: L.LogicalAggregate = input.root.operator
         result.add(
             OptExpression.op(
-                P.PhysicalHashAggregate(op.group_exprs, op.agg_exprs, op.mode),
+                P.PhysicalHashAggregate(
+                    op.group_exprs, op.agg_exprs, op.mode, op.grouping_sets
+                ),
                 *input.root.inputs,
             )
         )

@@ -171,6 +171,7 @@ class LogicalPlanBuilder:
         group_exprs: Sequence[Expr],
         agg_exprs: Sequence[Alias],
         mode: str = "groupby",
+        grouping_sets: Sequence[Sequence[int]] = (),
     ) -> "LogicalPlanBuilder":
         for a in agg_exprs:
             if not isinstance(a, Alias):
@@ -178,10 +179,17 @@ class LogicalPlanBuilder:
                     "agg_exprs must be Alias(Func(...)) so output names are "
                     f"deterministic; got {a!r}"
                 )
-        if mode not in ("groupby", "rollup", "cube"):
+        if mode not in ("groupby", "rollup", "cube", "grouping_sets"):
             raise ValueError(f"unknown aggregate mode {mode!r}")
+        if (mode == "grouping_sets") != bool(grouping_sets):
+            raise ValueError("grouping_sets requires mode='grouping_sets'")
         return self._push(
-            LogicalAggregate(tuple(group_exprs), tuple(agg_exprs), mode),
+            LogicalAggregate(
+                tuple(group_exprs),
+                tuple(agg_exprs),
+                mode,
+                tuple(tuple(g) for g in grouping_sets),
+            ),
             [self._require_root()],
         )
 
