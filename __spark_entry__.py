@@ -1242,6 +1242,13 @@ EXTENSION_ORACLES = {
             WHERE c_acctbal > (SELECT 1.5 * avg(s_acctbal)
                                FROM supplier WHERE s_nationkey = c_nationkey)
         """,
+        "q_sql_case_like": """
+            SELECT p_brand,
+                   sum(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END)::BIGINT AS n_widget,
+                   sum(CASE WHEN p_name NOT LIKE '%widget%' THEN 1 ELSE 0 END)::BIGINT AS n_other,
+                   count(*) AS n
+            FROM part GROUP BY p_brand
+        """,
     "q_cube": """
         SELECT COALESCE(event_type, '(all)') AS etype,
                COALESCE(dayofweek(ts) + 1, -1) AS wd,
@@ -1845,6 +1852,17 @@ def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_case_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL CASE WHEN + LIKE + IS NULL through the full parser →
+    optimizer → Spark pipeline (TPC-H Q12-style conditional counts)."""
+    return _planner(spark, sf_dir).sql(
+        "select p_brand, "
+        "sum(case when p_name like '%widget%' then 1 else 0 end) as n_widget, "
+        "sum(case when p_name not like '%widget%' then 1 else 0 end) as n_other, "
+        "count(*) as n from part group by p_brand"
+    )
+
+
 def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar date functions (year/month/quarter/dayofmonth) compiled
     JVM-side; orders rolled up by order year+quarter."""
@@ -2020,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_cte": q_sql_cte,
         "q_sql_scalar_subquery": q_sql_scalar_subquery,
         "q_sql_corr_scalar": q_sql_corr_scalar,
+        "q_sql_case_like": q_sql_case_like,
         "q_date_functions": q_date_functions,
         "q_rollup": q_rollup,
         "q_cube": q_cube,

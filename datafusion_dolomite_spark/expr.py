@@ -243,6 +243,9 @@ class Func(Expr):
                 cols.append(a.value)
             else:
                 cols.append(a.to_column())
+        if self.name == "not":
+            (c,) = cols
+            return ~c
         if self.name == "count_distinct":
             return F.count_distinct(*cols)
         if self.name == "count" and not cols:

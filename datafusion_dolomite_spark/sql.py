@@ -52,6 +52,7 @@ _KEYWORDS = {
     "semi", "anti", "on", "where", "group", "by", "order", "limit", "as",
     "and", "or", "asc", "desc", "cast", "having", "union", "all",
     "intersect", "except", "between", "not", "in", "exists", "with",
+    "like", "case", "when", "then", "else", "end", "is", "null",
 }
 
 
@@ -394,8 +395,18 @@ class _Parser:
                 for v in vals[1:]:
                     cond = BinOp("or", cond, BinOp("=", e, v))
             return cond
+        if self.accept("kw", "like"):
+            pat = self._add()
+            if not isinstance(pat, Lit) or not isinstance(pat.value, str):
+                raise SqlError("LIKE pattern must be a string literal")
+            liked = Func("like", (e, pat))
+            return Func("not", (liked,)) if negate else liked
+        if self.accept("kw", "is"):
+            isneg = self.accept("kw", "not") is not None
+            self.expect("kw", "null")
+            return Func("isnotnull" if isneg else "isnull", (e,))
         if negate:
-            raise SqlError("NOT only supported before BETWEEN / IN")
+            raise SqlError("NOT only supported before BETWEEN / IN / LIKE")
         t = self.peek()
         if t.kind == "op" and t.value in self._CMP:
             self.next()
@@ -462,6 +473,20 @@ class _Parser:
         if t.kind == "string":
             self.next()
             return Lit(t.value[1:-1].replace("''", "'"))
+        if t.kind == "kw" and t.value == "case":
+            self.next()
+            branches = []
+            while self.accept("kw", "when"):
+                cond = self._expr()
+                self.expect("kw", "then")
+                branches.append((cond, self._expr()))
+            otherwise = self._expr() if self.accept("kw", "else") else None
+            self.expect("kw", "end")
+            if not branches:
+                raise SqlError("CASE requires at least one WHEN branch")
+            from .expr import CaseWhen
+
+            return CaseWhen(tuple(branches), otherwise)
         if t.kind == "kw" and t.value == "cast":
             self.next()
             self.expect("op", "(")

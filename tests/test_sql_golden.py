@@ -270,3 +270,17 @@ def test_correlated_count_rejected(catalog):
             "(select count(*) from supplier where s_nationkey = c_nationkey)",
             catalog,
         )
+
+
+def test_sql_case_like_is_null(planner):
+    df = planner.sql(
+        "select count(*) as n from part "
+        "where p_name like 'red%' and p_retailprice is not null"
+    )
+    rows = [tuple(r) for r in df.collect()]
+    assert rows[0][0] > 0
+    df2 = planner.sql(
+        "select case when r_regionkey = 0 then 'zero' else 'other' end as k "
+        "from region order by r_regionkey limit 1"
+    )
+    assert [tuple(r) for r in df2.collect()] == [("zero",)]
