@@ -1840,6 +1840,66 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array unnest (posexplode) of the 64-dim embedding column →
+    per-dimension stats; codegen Generate, no shuffle before the
+    aggregate.  Floats surfaced as floor-1000 ints (order-independent
+    min/max + exact int sum keep the hash stable)."""
+    v = Cast(
+        Func("floor", (BinOp("*", lit(1000.0), Cast(col("val"), "double")),)),
+        "bigint",
+    )
+    plan = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .unnest("embedding", pos_col="pos", val_col="val")
+        .projection([col("pos"), Alias(v, "v1000")])
+        .aggregate(
+            [col("pos")],
+            [
+                Alias(Func("count", ()), "n"),
+                Alias(Func("min", (col("v1000"),)), "min_v1000"),
+                Alias(Func("max", (col("v1000"),)), "max_v1000"),
+                Alias(Func("sum", (col("v1000"),)), "sum_v1000"),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string expressions (upper/length/trim/concat/substring)
+    compiled JVM-side; grouped over derived keys."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("part")
+        .projection(
+            [
+                Alias(Func("upper", (Func("substring", (col("p_name"), lit(1), lit(1))),)), "initial"),
+                Alias(Func("length", (col("p_name"),)), "name_len"),
+                col("p_retailprice"),
+            ]
+        )
+        .aggregate(
+            [col("initial")],
+            [
+                Alias(Func("count", ()), "n"),
+                Alias(Func("max", (col("name_len"),)), "max_len"),
+                Alias(
+                    Func(
+                        "sum",
+                        (Cast(Func("floor", (BinOp("*", col("p_retailprice"), lit(100)),)), "bigint"),),
+                    ),
+                    "total_cents",
+                ),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2022,6 +2082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_full_join": q_full_join,
         "q_percentiles": q_percentiles,
         "q_grouping_sets": q_grouping_sets,
+        "q_unnest": q_unnest,
+        "q_string_functions": q_string_functions,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -2186,6 +2248,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """,
+        "q_unnest": """
+            WITH u AS (
+              SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+                     CAST(floor(1000.0 * CAST(unnest(embedding) AS DOUBLE)) AS BIGINT) AS v1000
+              FROM embeddings
+            )
+            SELECT pos, count(*) AS n, min(v1000) AS min_v1000,
+                   max(v1000) AS max_v1000,
+                   CAST(sum(v1000) AS BIGINT) AS sum_v1000
+            FROM u GROUP BY pos
+        """,
+        "q_string_functions": """
+            SELECT upper(substring(p_name, 1, 1)) AS initial,
+                   count(*) AS n,
+                   max(length(p_name)) AS max_len,
+                   CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM part GROUP BY upper(substring(p_name, 1, 1))
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """

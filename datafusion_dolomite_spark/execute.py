@@ -336,6 +336,16 @@ class SparkExecutor:
             u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
         return u.filter(F.col("__side") == 1).select(*left_cols, *op.right_cols)
 
+    def _unnest(self, node: PlanNode):
+        from pyspark.sql import functions as F
+
+        op = node.operator
+        df = self._node(node.inputs[0])
+        keep = [c for c in df.columns if c != op.array_col]
+        return df.select(
+            *keep, F.posexplode(op.array_col).alias(op.pos_col, op.val_col)
+        )
+
     @staticmethod
     def _bucket(c, width: int):
         """Exact bucket id for non-negative values: floats floor to ints
@@ -434,6 +444,8 @@ _HANDLERS = {
     X.LogicalAsofJoin: SparkExecutor._asof_join,
     X.PhysicalBucketedRangeJoin: SparkExecutor._range_join,
     X.LogicalRangeJoin: SparkExecutor._range_join,
+    X.PhysicalGenerate: SparkExecutor._unnest,
+    X.LogicalUnnest: SparkExecutor._unnest,
     # physical
     P.PhysicalTableScan: SparkExecutor._scan,
     P.PhysicalFilter: SparkExecutor._filter,

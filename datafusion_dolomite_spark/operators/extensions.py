@@ -38,6 +38,8 @@ __all__ = [
     "PhysicalAsofJoinUnion",
     "LogicalRangeJoin",
     "PhysicalBucketedRangeJoin",
+    "LogicalUnnest",
+    "PhysicalGenerate",
 ]
 
 
@@ -459,4 +461,56 @@ class PhysicalBucketedRangeJoin(PhysicalOperator):
             f"PhysicalBucketedRangeJoin {{ keys: [{', '.join(self.left_keys)}]=="
             f"[{', '.join(self.right_keys)}], {self.point} in "
             f"[{self.lo}, {self.hi}), w: {self.bucket_width} }}"
+        )
+
+
+# -- unnest / lateral explode ------------------------------------------------
+
+@dataclass(frozen=True)
+class LogicalUnnest(LogicalOperator):
+    """Explode an array column into one row per element, keeping every
+    other column; emits element position (0-based) + value.  Absent from
+    the reference (no nested types there, SURVEY §1.2); north-star
+    extension for array/embedding processing."""
+
+    array_col: str
+    pos_col: str
+    val_col: str
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        (inp,) = input_props
+        arr = inp.schema.field(self.array_col)
+        elem = arr.dtype.strip()
+        if elem.startswith("array<") and elem.endswith(">"):
+            elem = elem[6:-1]
+        else:
+            raise ValueError(f"{self.array_col} is not an array: {arr.dtype}")
+        keep = tuple(f for f in inp.schema.fields if f.name != self.array_col)
+        return LogicalProperty(
+            Schema(
+                keep
+                + (Field(self.pos_col, "int", False), Field(self.val_col, elem, True))
+            )
+        )
+
+    def pretty(self) -> str:
+        return (
+            f"LogicalUnnest {{ array: {self.array_col}, pos: {self.pos_col}, "
+            f"val: {self.val_col} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalGenerate(PhysicalOperator):
+    """posexplode via Spark's Generate node — stays in whole-stage
+    codegen, no shuffle, output partitioning follows the child."""
+
+    array_col: str
+    pos_col: str
+    val_col: str
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalGenerate {{ array: {self.array_col}, pos: {self.pos_col}, "
+            f"val: {self.val_col} }}"
         )

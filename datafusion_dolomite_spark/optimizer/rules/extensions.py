@@ -24,6 +24,7 @@ __all__ = [
     "NgramJaccardImplRule",
     "AsofJoinImplRule",
     "RangeJoinImplRule",
+    "UnnestImplRule",
     "EXTENSION_RULES",
 ]
 
@@ -215,7 +216,24 @@ class RangeJoinImplRule(Rule):
         )
 
 
+class UnnestImplRule(Rule):
+    name = "UnnestImplRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalUnnest)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalUnnest = input.root.operator
+        result.add(
+            OptExpression.op(
+                X.PhysicalGenerate(op.array_col, op.pos_col, op.val_col),
+                *input.root.inputs,
+            )
+        )
+
+
 EXTENSION_RULES = [
+    UnnestImplRule(),
     AsofJoinImplRule(),
     RangeJoinImplRule(),
     ExactDedupImplRule(),

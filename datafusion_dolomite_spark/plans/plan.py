@@ -338,6 +338,16 @@ class LogicalPlanBuilder:
             [self._require_root(), _as_node(other)],
         )
 
+    def unnest(
+        self, array_col: str, pos_col: str = "pos", val_col: str = "val"
+    ) -> "LogicalPlanBuilder":
+        """Explode an array column (see LogicalUnnest docstring)."""
+        from ..operators.extensions import LogicalUnnest
+
+        return self._push(
+            LogicalUnnest(array_col, pos_col, val_col), [self._require_root()]
+        )
+
     def build(self) -> Plan:
         return Plan(self._require_root())
 
