@@ -9,9 +9,12 @@ asking for ground truth get ground truth).
 
 from __future__ import annotations
 
+from ...expr import Col
 from ...operators import extensions as X
+from ...operators.logical import LogicalFilter, LogicalProjection
 from ..pattern import Pattern, pattern_of
-from ..rule import OptExpression, RuleResult, Rule
+from ..rule import OptExpression, RulePromise, RuleResult, Rule
+from .pushdown import _and_all, _conjuncts, _handle_columns
 
 __all__ = [
     "ExactDedupImplRule",
@@ -25,6 +28,9 @@ __all__ = [
     "AsofJoinImplRule",
     "RangeJoinImplRule",
     "UnnestImplRule",
+    "PushFilterThroughLeftPreservingJoinRule",
+    "PushFilterThroughUnnestRule",
+    "PruneUnnestInputRule",
     "EXTENSION_RULES",
 ]
 
@@ -245,3 +251,126 @@ EXTENSION_RULES = [
     CosineNearDupImplRule(),
     NgramJaccardImplRule(),
 ]
+
+
+# -- pushdown rules through the extension operators -------------------------
+
+class PushFilterThroughLeftPreservingJoinRule(Rule):
+    """Filter above an as-of / range join: conjuncts that reference only
+    LEFT columns commute with the join (both operators emit each left
+    row independently of other left rows), so they push below — at 100TB
+    that's the difference between filtering before or after the shuffle/
+    explode.  Conjuncts touching carried right columns stay above (they
+    depend on the match)."""
+
+    name = "PushFilterThroughLeftPreservingJoinRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(
+            LogicalFilter,
+            children=(pattern_of(X.LogicalAsofJoin, X.LogicalRangeJoin),),
+        )
+
+    def promise(self) -> RulePromise:
+        return RulePromise.HIGH
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        filt: LogicalFilter = input.root.operator
+        if filt.projected_columns:
+            return
+        join_node = input.root.inputs[0]
+        op = join_node.operator
+        left_h, right_h = join_node.inputs
+        left_cols = _handle_columns(left_h)
+        if left_cols is None:
+            return
+        push, keep = [], []
+        for c in _conjuncts(filt.predicate):
+            refs = set(c.columns())
+            if refs and refs <= left_cols:
+                push.append(c)
+            else:
+                keep.append(c)
+        if not push:
+            return
+        new_left = OptExpression.op(LogicalFilter(_and_all(push)), left_h)
+        new_join = OptExpression.op(op, new_left, OptExpression.handle(right_h.handle))
+        if keep:
+            result.add(OptExpression.op(LogicalFilter(_and_all(keep)), new_join))
+        else:
+            result.add(new_join)
+
+
+class PushFilterThroughUnnestRule(Rule):
+    """Filter above Unnest: conjuncts not referencing the generated
+    pos/val columns push below the explode — filtering N rows instead of
+    N × array_len."""
+
+    name = "PushFilterThroughUnnestRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(LogicalFilter, children=(pattern_of(X.LogicalUnnest),))
+
+    def promise(self) -> RulePromise:
+        return RulePromise.HIGH
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        filt: LogicalFilter = input.root.operator
+        if filt.projected_columns:
+            return
+        un_node = input.root.inputs[0]
+        op: X.LogicalUnnest = un_node.operator
+        gen = {op.pos_col, op.val_col}
+        (child_h,) = un_node.inputs
+        push, keep = [], []
+        for c in _conjuncts(filt.predicate):
+            refs = set(c.columns())
+            if refs and not (refs & gen):
+                push.append(c)
+            else:
+                keep.append(c)
+        if not push:
+            return
+        new_child = OptExpression.op(LogicalFilter(_and_all(push)), child_h)
+        new_un = OptExpression.op(op, new_child)
+        if keep:
+            result.add(OptExpression.op(LogicalFilter(_and_all(keep)), new_un))
+        else:
+            result.add(new_un)
+
+
+class PruneUnnestInputRule(Rule):
+    """Projection above Unnest: only the projected passthrough columns
+    plus the array column are needed below — insert the narrowing
+    projection so PruneScanColumns can push it into the parquet read
+    (ReadSchema shrinks from the full table to 2 columns for a typical
+    embedding scan)."""
+
+    name = "PruneUnnestInputRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(LogicalProjection, children=(pattern_of(X.LogicalUnnest),))
+
+    def promise(self) -> RulePromise:
+        return RulePromise.MEDIUM
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        proj: LogicalProjection = input.root.operator
+        un_node = input.root.inputs[0]
+        op: X.LogicalUnnest = un_node.operator
+        (child_h,) = un_node.inputs
+        child_cols = _handle_columns(child_h)
+        if child_cols is None:
+            return
+        used: set = set()
+        for e in proj.exprs:
+            used |= set(e.columns())
+        needed = (used - {op.pos_col, op.val_col}) | {op.array_col}
+        if child_cols <= needed:
+            return  # already minimal — fixed point
+        schema = child_h.handle.logical_prop.schema
+        keep = [n for n in schema.names() if n in needed]
+        new_child = OptExpression.op(
+            LogicalProjection(tuple(Col(n) for n in keep)), child_h
+        )
+        result.add(OptExpression.op(proj, OptExpression.op(op, new_child)))

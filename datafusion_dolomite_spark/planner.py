@@ -37,7 +37,12 @@ from .optimizer.rules.limit import (
     PushLimitToTableScanRule,
     RemoveLimitRule,
 )
-from .optimizer.rules.extensions import EXTENSION_RULES
+from .optimizer.rules.extensions import (
+    EXTENSION_RULES,
+    PruneUnnestInputRule,
+    PushFilterThroughLeftPreservingJoinRule,
+    PushFilterThroughUnnestRule,
+)
 from .optimizer.rules.pushdown import PUSHDOWN_RULES
 from .plans.plan import Plan
 from .sources.catalog import Catalog
@@ -54,6 +59,9 @@ def default_rewrite_rules() -> list[Rule]:
         PushLimitToTableScanRule(),
         PushLimitThroughUnionRule(),
         *PUSHDOWN_RULES,
+        PushFilterThroughLeftPreservingJoinRule(),
+        PushFilterThroughUnnestRule(),
+        PruneUnnestInputRule(),
     ]
 
 

@@ -233,3 +233,60 @@ def test_heuristic_rejects_multi_result_rule(ctx):
     plan = LogicalPlanBuilder().scan("region").limit(5).build()
     with pytest.raises(ValueError, match="at most 1"):
         HepOptimizer([BadRule()], ctx).find_best_plan(plan)
+
+
+def test_filter_pushes_through_unnest(planner):
+    from datafusion_dolomite_spark.expr import BinOp
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .unnest("embedding")
+        .filter(BinOp("and", col("label").eq(lit(1)), col("pos").lt(lit(8))))
+        .projection([col("vec_id"), col("pos"), col("val")])
+        .build()
+    )
+    out = planner.optimize_logical(plan).explain()
+    # label conjunct reaches the scan; pos conjunct stays above the unnest
+    assert "filters: [(label = 1)]" in out
+    assert out.index("(pos < 8)") < out.index("LogicalUnnest")
+
+
+def test_projection_prunes_unnest_input(planner):
+    plan = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .unnest("embedding")
+        .projection([col("pos"), col("val")])
+        .build()
+    )
+    out = planner.optimize_logical(plan).explain()
+    assert 'columns: [embedding]' in out
+
+
+def test_filter_pushes_through_asof_join(planner):
+    from datafusion_dolomite_spark.expr import Alias, BinOp
+
+    purch = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .filter(col("event_type").eq(lit("purchase")))
+        .projection(
+            [
+                Alias(col("user_id"), "p_uid"),
+                Alias(col("ts"), "p_ts"),
+                Alias(col("value"), "pval"),
+            ]
+        )
+    )
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .asof_join(purch, ["user_id"], ["p_uid"], "ts", "p_ts", ["pval"])
+        .filter(BinOp("and", col("event_type").eq(lit("view")), col("pval").gt(lit(1.0))))
+        .build()
+    )
+    out = planner.optimize_logical(plan).explain()
+    # left-only conjunct reaches the left scan; carried-col conjunct stays above
+    assert "filters: [(event_type = 'view')]" in out
+    assert out.index("(pval > 1.0)") < out.index("LogicalAsofJoin")
