@@ -346,6 +346,18 @@ class SparkExecutor:
             *keep, F.posexplode(op.array_col).alias(op.pos_col, op.val_col)
         )
 
+    def _broadcast_range_join(self, node: PlanNode):
+        from pyspark.sql import functions as F
+
+        op = node.operator
+        left = self._node(node.inputs[0])
+        right = F.broadcast(self._node(node.inputs[1]))
+        cond = (F.col(op.point) >= right[op.lo]) & (F.col(op.point) < right[op.hi])
+        for lk, rk in zip(op.left_keys, op.right_keys):
+            cond = (left[lk] == right[rk]) & cond
+        joined = left.join(right, on=cond, how="inner")
+        return joined.select(*left.columns, *op.right_cols)
+
     @staticmethod
     def _bucket(c, width: int):
         """Exact bucket id for non-negative values: floats floor to ints
@@ -443,6 +455,7 @@ _HANDLERS = {
     X.PhysicalAsofJoinUnion: SparkExecutor._asof_join,
     X.LogicalAsofJoin: SparkExecutor._asof_join,
     X.PhysicalBucketedRangeJoin: SparkExecutor._range_join,
+    X.PhysicalBroadcastRangeJoin: SparkExecutor._broadcast_range_join,
     X.LogicalRangeJoin: SparkExecutor._range_join,
     X.PhysicalGenerate: SparkExecutor._unnest,
     X.LogicalUnnest: SparkExecutor._unnest,

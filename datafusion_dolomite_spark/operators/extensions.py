@@ -38,6 +38,7 @@ __all__ = [
     "PhysicalAsofJoinUnion",
     "LogicalRangeJoin",
     "PhysicalBucketedRangeJoin",
+    "PhysicalBroadcastRangeJoin",
     "LogicalUnnest",
     "PhysicalGenerate",
 ]
@@ -461,6 +462,30 @@ class PhysicalBucketedRangeJoin(PhysicalOperator):
             f"PhysicalBucketedRangeJoin {{ keys: [{', '.join(self.left_keys)}]=="
             f"[{', '.join(self.right_keys)}], {self.point} in "
             f"[{self.lo}, {self.hi}), w: {self.bucket_width} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalBroadcastRangeJoin(PhysicalOperator):
+    """Broadcast the (small) interval side and evaluate the range
+    predicate in place — no bucket explode, no shuffle of the point
+    side.  Only viable when the interval side fits in a broadcast; the
+    cost model charges a quadratic probe term so the bucketed strategy
+    takes over as the interval side grows."""
+
+    left_keys: Tuple[str, ...]
+    right_keys: Tuple[str, ...]
+    point: str
+    lo: str
+    hi: str
+    right_cols: Tuple[str, ...]
+    bucket_width: float
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalBroadcastRangeJoin {{ keys: [{', '.join(self.left_keys)}]=="
+            f"[{', '.join(self.right_keys)}], {self.point} in "
+            f"[{self.lo}, {self.hi}) }}"
         )
 
 

@@ -119,6 +119,23 @@ class SparkCostModel(CostModel):
             return 3.0 * sum(rows) + out
         if isinstance(op, P.Exchange):
             return 3.0 * (rows[0] if rows else 1.0)
+
+        from ...operators import extensions as X
+
+        if isinstance(op, X.PhysicalAsofJoinUnion):
+            # union both sides + ONE window shuffle over the merge
+            return 4.0 * (rows[0] + rows[1])
+        if isinstance(op, X.PhysicalBucketedRangeJoin):
+            # shuffle points once, shuffle ~8 exploded buckets per interval
+            return 3.0 * (rows[0] + 8.0 * rows[1]) + rows[0]
+        if isinstance(op, X.PhysicalBroadcastRangeJoin):
+            if rows[1] > self.broadcast_row_threshold:
+                return INF
+            # ship intervals everywhere + per-point probe that degrades
+            # with the number of broadcast intervals (nested-loop-ish)
+            return 2.0 * rows[1] + rows[0] * max(1.0, 0.01 * rows[1])
+        if isinstance(op, X.PhysicalGenerate):
+            return rows[0] if rows else 1.0
         return 1.0
 
 
@@ -188,6 +205,19 @@ def _output_rows(op: Operator, input_rows, ctx=None) -> float:
         return max(1.0, 0.25 * min(input_rows)) if input_rows else 1.0
     if isinstance(op, P.PhysicalExcept):
         return max(1.0, 0.5 * input_rows[0]) if input_rows else 1.0
+
+    from ...operators import extensions as X
+
+    if isinstance(op, (X.LogicalAsofJoin, X.PhysicalAsofJoinUnion)):
+        return input_rows[0] if input_rows else 1.0  # exactly one row per left row
+    if isinstance(
+        op,
+        (X.LogicalRangeJoin, X.PhysicalBucketedRangeJoin, X.PhysicalBroadcastRangeJoin),
+    ):
+        return max(1.0, input_rows[0]) if input_rows else 1.0
+    if isinstance(op, (X.LogicalUnnest, X.PhysicalGenerate)):
+        # nominal array fan-out; real plans carry 32-64-wide embeddings
+        return 32.0 * (input_rows[0] if input_rows else 1.0)
     return input_rows[0] if input_rows else 1.0
 
 

@@ -211,13 +211,19 @@ class RangeJoinImplRule(Rule):
 
     def apply(self, input, ctx, result: RuleResult) -> None:
         op: X.LogicalRangeJoin = input.root.operator
+        fields = (
+            op.left_keys, op.right_keys, op.point, op.lo, op.hi,
+            op.right_cols, op.bucket_width,
+        )
+        # both strategies enter the memo; the cost model decides
         result.add(
             OptExpression.op(
-                X.PhysicalBucketedRangeJoin(
-                    op.left_keys, op.right_keys, op.point, op.lo, op.hi,
-                    op.right_cols, op.bucket_width,
-                ),
-                *input.root.inputs,
+                X.PhysicalBucketedRangeJoin(*fields), *input.root.inputs
+            )
+        )
+        result.add(
+            OptExpression.op(
+                X.PhysicalBroadcastRangeJoin(*fields), *input.root.inputs
             )
         )
 

@@ -269,3 +269,59 @@ def test_memo_winner_per_property_reused(ctx):
     default = PhysicalPropertySet()
     for g in opt.memo.groups.values():
         assert g.winner(default) is not None
+
+
+def test_range_join_strategy_by_interval_side_size(planner):
+    """CBO chooses broadcast for a tiny interval side, bucketed for a
+    large one (quadratic broadcast probe term takes over)."""
+    from datafusion_dolomite_spark.expr import Alias, BinOp, Cast
+    from datafusion_dolomite_spark.operators.extensions import (
+        PhysicalBroadcastRangeJoin,
+        PhysicalBucketedRangeJoin,
+    )
+
+    from datafusion_dolomite_spark import lit
+
+    def bands(table, key, price):
+        return (
+            LogicalPlanBuilder()
+            .scan(table)
+            .projection(
+                [
+                    Alias(col(key), "k"),
+                    Alias(Cast(col(price), "double"), "lo"),
+                    Alias(Cast(BinOp("+", col(price), lit(10.0)), "double"), "hi"),
+                ]
+            )
+        )
+
+    small = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .range_join(bands("region", "r_regionkey", "r_regionkey"),
+                    point="value", lo="lo", hi="hi", right_cols=["k"], bucket_width=3)
+        .build()
+    )
+    big = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .range_join(bands("orders", "o_orderkey", "o_totalprice"),
+                    point="value", lo="lo", hi="hi", right_cols=["k"], bucket_width=100)
+        .build()
+    )
+    assert isinstance(
+        planner.optimize(small).root.operator, PhysicalBroadcastRangeJoin
+    )
+    # at test scale orders is small enough that broadcast legitimately
+    # wins; pin the broadcast budget below it to exercise the guard
+    from datafusion_dolomite_spark import QueryPlanner
+    from datafusion_dolomite_spark.optimizer.cascades.cost import SparkCostModel
+
+    capped = QueryPlanner(
+        planner.spark,
+        planner.catalog,
+        cost_model=SparkCostModel(broadcast_row_threshold=100),
+    )
+    assert isinstance(
+        capped.optimize(big).root.operator, PhysicalBucketedRangeJoin
+    )

@@ -281,7 +281,16 @@ def test_range_join_boundaries(planner):
         .projection([col("event_id"), col("band")])
         .build()
     )
-    physical = planner.optimize(plan)
+    # pin the BUCKETED strategy (broadcast would win at this scale) —
+    # this test exercises the bucketing math's boundary behavior
+    from datafusion_dolomite_spark import QueryPlanner
+    from datafusion_dolomite_spark.optimizer.cascades.cost import SparkCostModel
+
+    bucketed_planner = QueryPlanner(
+        planner.spark, planner.catalog,
+        cost_model=SparkCostModel(broadcast_row_threshold=1),
+    )
+    physical = bucketed_planner.optimize(plan)
     kinds = [type(n.operator).__name__ for n in physical.bfs_iterator()]
     assert "PhysicalBucketedRangeJoin" in kinds
     from datafusion_dolomite_spark.execute import to_spark
