@@ -1900,6 +1900,82 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate (hypertable) pattern: hourly partials roll up
+    into daily aggregates by REAGGREGATION (sum of sums) — the daily pass
+    reads H partial rows, not N raw events.  Oracle computes daily
+    directly from raw + count(distinct hour), independently verifying
+    the partials are lossless."""
+    us_per_hour = 3600 * 1000 * 1000
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .projection(
+            [
+                col("event_type"),
+                Alias(
+                    BinOp("div", BinOp("div", col("ts"), lit(1000)), lit(us_per_hour)),
+                    "hour_bucket",
+                ),
+                Alias(
+                    Cast(Func("floor", (BinOp("*", col("value"), lit(100)),)), "bigint"),
+                    "cents",
+                ),
+            ]
+        )
+        .aggregate(
+            [col("event_type"), col("hour_bucket")],
+            [
+                Alias(Func("count", ()), "n"),
+                Alias(Func("sum", (col("cents"),)), "sum_cents"),
+            ],
+        )
+        .projection(
+            [
+                col("event_type"),
+                Alias(BinOp("div", col("hour_bucket"), lit(24)), "day_bucket"),
+                col("n"),
+                col("sum_cents"),
+            ]
+        )
+        .aggregate(
+            [col("event_type"), col("day_bucket")],
+            [
+                Alias(Func("sum", (col("n"),)), "n_events"),
+                Alias(Func("sum", (col("sum_cents"),)), "total_cents"),
+                Alias(Func("count", ()), "n_hours"),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted replicate join (events' hot user spread over 16
+    reducers, customer dim replicated 16x), rolled up per mktsegment —
+    oracle-identical to the plain join."""
+    from datafusion_dolomite_spark.functions.skew import (
+        salted_broadcast_replicate_join,
+    )
+    from pyspark.sql import functions as F
+
+    pl = _planner(spark, sf_dir)
+    events = pl.dataframe(
+        LogicalPlanBuilder().scan("events", columns=["event_id", "user_id", "value"]).build()
+    )
+    customer = pl.dataframe(
+        LogicalPlanBuilder().scan("customer", columns=["c_custkey", "c_mktsegment"]).build()
+    )
+    joined = salted_broadcast_replicate_join(
+        events, customer, "user_id", "c_custkey", "event_id", n_salts=16
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("total_cents"),
+    )
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2084,6 +2160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": q_grouping_sets,
         "q_unnest": q_unnest,
         "q_string_functions": q_string_functions,
+        "q_hypertable_rollup": q_hypertable_rollup,
+        "q_salted_join": q_salted_join,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -2266,6 +2344,27 @@ def oracle_sql() -> dict[str, str]:
                    max(length(p_name)) AS max_len,
                    CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM part GROUP BY upper(substring(p_name, 1, 1))
+        """,
+        "q_hypertable_rollup": """
+            WITH base AS (
+              SELECT event_type,
+                     epoch_us(ts) // 3600000000 AS hour_bucket,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT event_type,
+                   hour_bucket // 24 AS day_bucket,
+                   count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS total_cents,
+                   count(DISTINCT hour_bucket) AS n_hours
+            FROM base GROUP BY event_type, hour_bucket // 24
+        """,
+        "q_salted_join": """
+            SELECT c_mktsegment,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """

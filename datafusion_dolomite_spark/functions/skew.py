@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-__all__ = ["salted_aggregate"]
+__all__ = ["salted_aggregate", "salted_broadcast_replicate_join"]
 
 _MERGE = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
 
@@ -54,3 +54,35 @@ def salted_aggregate(
         for func, _c, alias in aggs
     ]
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_broadcast_replicate_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    salt_src: str,
+    n_salts: int = 16,
+):
+    """Skew-proof equi-join: replicate the (small) RIGHT side across
+    ``n_salts`` sub-keys and spread each hot left key over ``n_salts``
+    reducers via a deterministic salt (``salt_src % n_salts``).  The
+    standard remedy when one probe-side key dominates and the build side
+    is too big to broadcast outright but small enough to replicate
+    n_salts times.  Returns left ⋈ right with all columns of both sides.
+    """
+    from pyspark.sql import functions as F
+
+    salted_left = left.withColumn(
+        "__salt", (F.col(salt_src) % F.lit(n_salts)).cast("int")
+    )
+    replicated = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_left.join(
+        replicated,
+        on=[salted_left[left_key] == replicated[right_key],
+            salted_left["__salt"] == replicated["__salt"]],
+        how="inner",
+    )
+    return out.drop("__salt")
