@@ -320,6 +320,16 @@ class _Parser:
         return None
 
     def _table(self) -> LogicalPlanBuilder:
+        if self.accept("op", "("):
+            # derived table: FROM (SELECT ...) [AS] alias — columns keep
+            # their subquery output names (no qualifier system, so the
+            # alias only consumes tokens)
+            sub = self._query()
+            self.expect("op", ")")
+            self.accept("kw", "as")
+            if self.peek().kind == "ident":
+                self.next()
+            return LogicalPlanBuilder(sub.root)
         name = self.expect("ident").value
         if name in self.ctes:
             # fresh copy per reference — the heuristic rewrites in place,

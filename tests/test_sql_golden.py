@@ -284,3 +284,15 @@ def test_sql_case_like_is_null(planner):
         "from region order by r_regionkey limit 1"
     )
     assert [tuple(r) for r in df2.collect()] == [("zero",)]
+
+
+def test_sql_derived_table(planner):
+    df = planner.sql(
+        "select c_count, count(*) as custdist from "
+        "(select c_custkey, count(o_orderkey) as c_count "
+        " from customer left join orders on c_custkey = o_custkey "
+        " group by c_custkey) t "
+        "group by c_count order by custdist desc, c_count desc limit 3"
+    )
+    rows = [tuple(r) for r in df.collect()]
+    assert len(rows) == 3 and rows[0][1] >= rows[1][1]
