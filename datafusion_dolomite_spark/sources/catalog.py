@@ -110,7 +110,7 @@ class Catalog:
         format: str = "parquet",
         options: Optional[Dict[str, str]] = None,
     ) -> None:
-        if format not in ("parquet", "csv", "json"):
+        if format not in ("parquet", "orc", "csv", "json"):
             raise ValueError(f"unsupported source format {format!r}")
         self._paths[name] = path
         self._formats[name] = format
@@ -156,6 +156,16 @@ class Catalog:
                         for f in arrow
                     )
                 )
+            elif fmt == "orc":
+                import pyarrow.orc as po
+
+                arrow = po.ORCFile(self._first_file(name)).schema
+                self._schemas[name] = Schema(
+                    tuple(
+                        Field(f.name, _arrow_to_ddl(f.type), f.nullable, qualifier=name)
+                        for f in arrow
+                    )
+                )
             else:
                 self._schemas[name] = self._sniff_schema(name, fmt)
         return self._schemas[name]
@@ -187,6 +197,12 @@ class Catalog:
                 rows = 0
                 for f in self._files(name):
                     rows += pq.ParquetFile(f).metadata.num_rows
+            elif fmt == "orc":
+                import pyarrow.orc as po
+
+                rows = 0
+                for f in self._files(name):
+                    rows += po.ORCFile(f).nrows
             else:
                 import duckdb
 
@@ -202,7 +218,7 @@ class Catalog:
 
     def _files(self, name: str):
         p = self.path(name)
-        suffix = {"parquet": ".parquet", "csv": ".csv", "json": ".json"}[
+        suffix = {"parquet": ".parquet", "orc": ".orc", "csv": ".csv", "json": ".json"}[
             self.format(name)
         ]
         if os.path.isdir(p):

@@ -1,4 +1,4 @@
-"""Sinks: write a plan's result to parquet / csv / json.
+"""Sinks: write a plan's result to parquet / orc / csv / json.
 
 The reference has NO sinks at all (SURVEY §2.4 'no sinks'); this is
 extension surface.  Scale defaults: parquet + snappy, optional
@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-__all__ = ["write_parquet", "write_csv", "write_json"]
+__all__ = ["write_parquet", "write_csv", "write_json", "write_orc"]
 
 
 def _writer(df, mode: str, partition_by: Optional[Sequence[str]]):
@@ -29,6 +29,16 @@ def write_parquet(
     compression: str = "snappy",
 ) -> None:
     _writer(df, mode, partition_by).option("compression", compression).parquet(path)
+
+
+def write_orc(
+    df,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Optional[Sequence[str]] = None,
+    compression: str = "zlib",
+) -> None:
+    _writer(df, mode, partition_by).option("compression", compression).orc(path)
 
 
 def write_csv(

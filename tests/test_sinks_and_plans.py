@@ -158,3 +158,43 @@ def test_multimodal_is_arrow_batched(planner):
     # mapInPandas → MapInPandas (Arrow), NOT row-wise BatchEvalPython
     assert "MapInPandas" in text
     assert "BatchEvalPython" not in text
+
+
+def test_orc_source_roundtrip(planner, spark, tmp_path):
+    """ORC sink → catalog registration (pyarrow-sniffed schema + row
+    stats) → scan through the full pipeline; matches the parquet run."""
+    from datafusion_dolomite_spark import QueryPlanner
+    from datafusion_dolomite_spark.sources.catalog import testdata_catalog
+    from datafusion_dolomite_spark.sources.sinks import write_orc
+
+    sf = "/root/testdata/sf0.001"
+    base = planner.dataframe(LogicalPlanBuilder().scan("nation").build())
+    orc_path = os.path.join(str(tmp_path), "nation_orc")
+    write_orc(base, orc_path)
+
+    cat = testdata_catalog(sf)
+    cat.register("nation_orc", orc_path, format="orc")
+    qp = QueryPlanner(spark, cat)
+    assert cat.statistics("nation_orc").row_count == 25
+
+    got = sorted(
+        tuple(r)
+        for r in qp.dataframe(
+            LogicalPlanBuilder()
+            .scan("nation_orc")
+            .filter(col("n_regionkey").eq(lit(0)))
+            .projection([col("n_nationkey"), col("n_name")])
+            .build()
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in planner.dataframe(
+            LogicalPlanBuilder()
+            .scan("nation")
+            .filter(col("n_regionkey").eq(lit(0)))
+            .projection([col("n_nationkey"), col("n_name")])
+            .build()
+        ).collect()
+    )
+    assert got == want and len(got) > 0
