@@ -46,6 +46,23 @@ def _dsum(e, name):
     return Alias(Cast(Func("sum", (e,)), "double"), name)
 
 
+_SQL_COMMA_Q5 = """select n_name,
+       cast(sum(cast(l_extendedprice as decimal(12,2))
+                * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2))))
+            as double) as revenue
+from customer, orders, lineitem, supplier, nation, region
+where c_custkey = o_custkey
+  and l_orderkey = o_orderkey
+  and l_suppkey = s_suppkey
+  and c_nationkey = s_nationkey
+  and s_nationkey = n_nationkey
+  and n_regionkey = r_regionkey
+  and r_name = 'ASIA'
+  and o_orderdate >= '1996-01-01'
+group by n_name
+order by revenue desc, n_name"""
+
+
 # ---------------------------------------------------------------------------
 # Core relational operators (SURVEY §2.1 parity surface)
 # ---------------------------------------------------------------------------
@@ -1249,6 +1266,7 @@ EXTENSION_ORACLES = {
                    count(*) AS n
             FROM part GROUP BY p_brand
         """,
+        "q_sql_comma_q5": _SQL_COMMA_Q5,
     "q_cube": """
         SELECT COALESCE(event_type, '(all)') AS etype,
                COALESCE(dayofweek(ts) + 1, -1) AS wd,
@@ -1976,6 +1994,17 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+
+def q_sql_comma_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 in TEXTBOOK comma-join syntax — the cross joins become
+    equi hash joins via MergeFilterIntoJoinRule and every filter lands
+    in its scan.  The SAME string is the DuckDB oracle (dialect-neutral
+    by construction)."""
+    return _planner(spark, sf_dir).sql(_SQL_COMMA_Q5)
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2179,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_scalar_subquery": q_sql_scalar_subquery,
         "q_sql_corr_scalar": q_sql_corr_scalar,
         "q_sql_case_like": q_sql_case_like,
+        "q_sql_comma_q5": q_sql_comma_q5,
         "q_date_functions": q_date_functions,
         "q_rollup": q_rollup,
         "q_cube": q_cube,

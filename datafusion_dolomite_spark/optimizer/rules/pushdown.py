@@ -160,6 +160,61 @@ class PushFilterThroughJoinRule(Rule):
             result.add(new_join)
 
 
+class MergeFilterIntoJoinRule(Rule):
+    """Filter(InnerJoin) conjuncts that reference BOTH sides belong in
+    the join condition — without this a comma-join (cross join + WHERE
+    equality) would execute as a cartesian product with a filter on top
+    instead of an equi hash join.  Single-sided conjuncts are left for
+    PushFilterThroughJoinRule."""
+
+    name = "MergeFilterIntoJoinRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(LogicalFilter, children=(pattern_of(LogicalJoin),))
+
+    def promise(self) -> RulePromise:
+        return RulePromise.HIGH
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        from ...expr import Lit
+
+        filt: LogicalFilter = input.root.operator
+        if filt.projected_columns:
+            return
+        join_node = input.root.inputs[0]
+        join_op: LogicalJoin = join_node.operator
+        if join_op.join_type is not JoinType.INNER:
+            return
+        left_h, right_h = join_node.inputs
+        left_cols = _handle_columns(left_h)
+        right_cols = _handle_columns(right_h)
+        if left_cols is None or right_cols is None:
+            return
+        merge, keep = [], []
+        for c in _conjuncts(filt.predicate):
+            refs = set(c.columns())
+            if refs & left_cols and refs & right_cols:
+                merge.append(c)
+            else:
+                keep.append(c)
+        if not merge:
+            return
+        cond = join_op.condition
+        if isinstance(cond, Lit) and cond.value is True:
+            new_cond = _and_all(merge)
+        else:
+            new_cond = _and_all([cond, *merge])
+        new_join = OptExpression.op(
+            LogicalJoin(join_op.join_type, new_cond),
+            OptExpression.handle(left_h.handle),
+            OptExpression.handle(right_h.handle),
+        )
+        if keep:
+            result.add(OptExpression.op(LogicalFilter(_and_all(keep)), new_join))
+        else:
+            result.add(new_join)
+
+
 class PruneScanColumnsRule(Rule):
     """Projection(Scan) → Projection(Scan[columns=referenced]).
 
@@ -253,6 +308,7 @@ class PushFilterThroughAggregateRule(Rule):
 
 PUSHDOWN_RULES = [
     CombineFiltersRule(),
+    MergeFilterIntoJoinRule(),
     PushFilterToScanRule(),
     PushFilterThroughJoinRule(),
     PruneScanColumnsRule(),

@@ -213,6 +213,10 @@ class _Parser:
 
         self.expect("kw", "from")
         builder = self._table()
+        # comma joins (textbook TPC-H style): cross join now, WHERE
+        # equalities merge into the condition via MergeFilterIntoJoinRule
+        while self.accept("op", ","):
+            builder = builder.join(self._table(), JoinType.INNER, Lit(True))
 
         # joins
         while True:

@@ -290,3 +290,20 @@ def test_filter_pushes_through_asof_join(planner):
     # left-only conjunct reaches the left scan; carried-col conjunct stays above
     assert "filters: [(event_type = 'view')]" in out
     assert out.index("(pval > 1.0)") < out.index("LogicalAsofJoin")
+
+
+def test_comma_join_becomes_equi_join(planner):
+    """FROM a, b WHERE a.k = b.k — the cross join disappears; the WHERE
+    equality lands in the join condition and single-sided filters reach
+    their scans."""
+    from datafusion_dolomite_spark.sql import parse_sql
+
+    plan = parse_sql(
+        "select c_name, n_name from customer, nation "
+        "where c_nationkey = n_nationkey and c_acctbal > 5000",
+        planner.catalog,
+    )
+    out = planner.optimize_logical(plan).explain()
+    assert "(c_nationkey = n_nationkey)" in out.split("LogicalJoin")[1].split("\n")[0]
+    assert "filters: [(c_acctbal > 5000)]" in out
+    assert "true" not in out.lower() or "Lit(True)" not in out
