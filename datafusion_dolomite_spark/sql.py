@@ -828,4 +828,5 @@ def _contains_aggregate(e: Expr) -> bool:
 
 def parse_sql(sql: str, catalog=None) -> Plan:
     """Parse a SQL query into an (unoptimized) logical Plan."""
+    _scalar_counter[0] = 0  # aliases only need uniqueness within a query
     return _Parser(sql, catalog).parse()

@@ -296,3 +296,18 @@ def test_sql_derived_table(planner):
     )
     rows = [tuple(r) for r in df.collect()]
     assert len(rows) == 3 and rows[0][1] >= rows[1][1]
+
+
+@pytest.mark.parametrize(
+    "case", _load_corpus("rewrites.yaml"), ids=lambda c: c["name"]
+)
+def test_rewrites_yaml_golden(case, catalog):
+    """Golden plans after the FULL default rewrite phase over the real
+    testdata catalog — pins comma-join merge, filter split, subquery
+    decorrelation, and HAVING placement."""
+    from datafusion_dolomite_spark.planner import default_rewrite_rules
+
+    ctx = OptimizerContext(catalog)
+    plan = parse_sql(case["sql"], catalog)
+    optimized = HepOptimizer(default_rewrite_rules(), ctx).find_best_plan(plan)
+    assert optimized.explain() == case["expected_optimized_plan"].rstrip("\n")
