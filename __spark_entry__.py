@@ -2005,6 +2005,40 @@ def q_sql_comma_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).sql(_SQL_COMMA_Q5)
 
 
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE via Arrow-batched GROUPED_AGG pandas_udf
+    (the reference's UDF surface is empty — tests/utils/schema.rs:53-59
+    returns None for UDFs).  numpy median == DuckDB quantile_cont(0.5)
+    (same linear-interpolation formula on identical doubles), surfaced
+    as floor-1000 ints."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module uses `from __future__ import
+    # annotations`, which stringifies the pd.Series hints Spark would
+    # otherwise infer GROUPED_AGG from
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def np_median(v):
+        import numpy as np
+
+        return float(np.median(v.to_numpy()))
+
+    # Spark disallows mixing pandas and JVM aggregates in one agg — the
+    # row count is a pandas UDAF too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def np_count(v):
+        return len(v)
+
+    pl = _planner(spark, sf_dir)
+    base = pl.dataframe(
+        LogicalPlanBuilder().scan("events", columns=["event_type", "value"]).build()
+    )
+    return base.groupBy("event_type").agg(
+        F.floor(F.lit(1000.0) * np_median(F.col("value"))).cast("bigint").alias("median_1000"),
+        np_count(F.col("value")).alias("n"),
+    )
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2191,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_string_functions": q_string_functions,
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_salted_join": q_salted_join,
+        "q_pandas_udaf": q_pandas_udaf,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -2395,6 +2430,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "q_pandas_udaf": """
+            SELECT event_type,
+                   CAST(floor(1000.0 * quantile_cont(value, 0.5)) AS BIGINT) AS median_1000,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """
