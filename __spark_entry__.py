@@ -2039,6 +2039,33 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined TABLE function (Spark 4 Python UDTF): lateral
+    sentence-split of documents — one input row fans out to N output
+    rows with per-sentence stats.  Oracle replays the split with
+    string_split + unnest."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, n_chars int")
+    class SplitSentences:
+        def eval(self, doc_id, text):
+            for i, sent in enumerate((text or "").split(".")):
+                stripped = sent.strip(" ")
+                if stripped:
+                    yield doc_id, i, len(stripped)
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    pl = _planner(spark, sf_dir)
+    base = pl.dataframe(
+        LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
+    )
+    base.createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        "SELECT s.doc_id, s.sent_idx, s.n_chars "
+        "FROM _docs_for_udtf d, LATERAL split_sentences(d.doc_id, d.text) s"
+    )
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2226,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_salted_join": q_salted_join,
         "q_pandas_udaf": q_pandas_udaf,
+        "q_python_udtf": q_python_udtf,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -2436,6 +2464,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(1000.0 * quantile_cont(value, 0.5)) AS BIGINT) AS median_1000,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "q_python_udtf": """
+            WITH s AS (
+              SELECT doc_id,
+                     generate_subscripts(string_split(text, '.'), 1) - 1 AS sent_idx,
+                     unnest(string_split(text, '.')) AS sent
+              FROM documents
+            )
+            SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx,
+                   CAST(length(trim(sent, ' ')) AS INTEGER) AS n_chars
+            FROM s WHERE length(trim(sent, ' ')) > 0
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """
