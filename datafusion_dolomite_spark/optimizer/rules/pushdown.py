@@ -306,14 +306,7 @@ class PushFilterThroughAggregateRule(Rule):
             result.add(new_agg)
 
 
-PUSHDOWN_RULES = [
-    CombineFiltersRule(),
-    MergeFilterIntoJoinRule(),
-    PushFilterToScanRule(),
-    PushFilterThroughJoinRule(),
-    PruneScanColumnsRule(),
-    PushFilterThroughAggregateRule(),
-]
+
 
 
 def _handle_columns(h) -> Optional[set]:
@@ -321,3 +314,128 @@ def _handle_columns(h) -> Optional[set]:
     if node is None or getattr(node, "logical_prop", None) is None:
         return None
     return set(node.logical_prop.schema.names())
+
+
+# -- constant folding --------------------------------------------------------
+
+_FOLD_OPS = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _fold_expr(e):
+    """Bottom-up constant folding over the expr IR.  Numeric-only ("/"
+    excluded — SQL integer vs float division differs from Python's) plus
+    boolean short-circuits; returns (expr, changed)."""
+    from ...expr import Alias, BinOp, Cast, CaseWhen, Func, Lit
+
+    if isinstance(e, BinOp):
+        l, lc = _fold_expr(e.left)
+        r, rc = _fold_expr(e.right)
+        changed = lc or rc
+        if e.op in ("and", "or"):
+            for const, other in ((l, r), (r, l)):
+                if isinstance(const, Lit) and isinstance(const.value, bool):
+                    if e.op == "and":
+                        return (other, True) if const.value else (Lit(False), True)
+                    return (Lit(True), True) if const.value else (other, True)
+        elif (
+            e.op in _FOLD_OPS
+            and isinstance(l, Lit)
+            and isinstance(r, Lit)
+            and isinstance(l.value, (int, float))
+            and isinstance(r.value, (int, float))
+            and not isinstance(l.value, bool)
+            and not isinstance(r.value, bool)
+        ):
+            return Lit(_FOLD_OPS[e.op](l.value, r.value)), True
+        return (BinOp(e.op, l, r) if changed else e), changed
+    if isinstance(e, Alias):
+        inner, c = _fold_expr(e.expr)
+        return (Alias(inner, e.name) if c else e), c
+    if isinstance(e, Cast):
+        inner, c = _fold_expr(e.expr)
+        return (Cast(inner, e.to_type) if c else e), c
+    if isinstance(e, Func):
+        args = [_fold_expr(a) for a in e.args]
+        if any(c for _, c in args):
+            return Func(e.name, tuple(a for a, _ in args)), True
+        return e, False
+    if isinstance(e, CaseWhen):
+        branches = [(_fold_expr(c), _fold_expr(v)) for c, v in e.branches]
+        oth = _fold_expr(e.otherwise) if e.otherwise is not None else (None, False)
+        if any(cc or vc for (_, cc), (_, vc) in branches) or oth[1]:
+            return (
+                CaseWhen(
+                    tuple((c, v) for (c, _), (v, _) in branches), oth[0]
+                ),
+                True,
+            )
+        return e, False
+    return e, False
+
+
+class ConstantFoldingRule(Rule):
+    """Fold literal arithmetic/comparisons at plan time (Catalyst has
+    this built in — SURVEY §4.1 lists it as 'not in the reference'; we
+    implement it in OUR engine so OUR golden plans and cost estimates
+    see the simplified predicates).  A predicate folding to TRUE removes
+    the filter entirely."""
+
+    name = "ConstantFoldingRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(LogicalFilter, LogicalProjection)
+
+    def promise(self) -> RulePromise:
+        return RulePromise.HIGH
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        from ...expr import Lit
+
+        op = input.root.operator
+        (child_h,) = input.root.inputs
+        if isinstance(op, LogicalFilter):
+            folded, changed = _fold_expr(op.predicate)
+            if not changed:
+                return
+            if (
+                isinstance(folded, Lit)
+                and folded.value is True
+                and not op.projected_columns
+            ):
+                result.add(OptExpression.handle(child_h.handle))
+                return
+            result.add(
+                OptExpression.op(
+                    LogicalFilter(folded, op.projected_columns), child_h
+                )
+            )
+            return
+        exprs = [_fold_expr(e) for e in op.exprs]
+        if not any(c for _, c in exprs):
+            return
+        result.add(
+            OptExpression.op(
+                LogicalProjection(tuple(e for e, _ in exprs)), child_h
+            )
+        )
+
+
+PUSHDOWN_RULES = [
+    ConstantFoldingRule(),
+    CombineFiltersRule(),
+    MergeFilterIntoJoinRule(),
+    PushFilterToScanRule(),
+    PushFilterThroughJoinRule(),
+    PruneScanColumnsRule(),
+    PushFilterThroughAggregateRule(),
+]

@@ -307,3 +307,22 @@ def test_comma_join_becomes_equi_join(planner):
     assert "(c_nationkey = n_nationkey)" in out.split("LogicalJoin")[1].split("\n")[0]
     assert "filters: [(c_acctbal > 5000)]" in out
     assert "true" not in out.lower() or "Lit(True)" not in out
+
+
+def test_constant_folding(planner):
+    from datafusion_dolomite_spark.expr import Alias, BinOp
+
+    # 2*3 < c_acctbal folds to 6 < c_acctbal; TRUE-folding filter vanishes
+    plan = (
+        LogicalPlanBuilder()
+        .scan("customer")
+        .filter(BinOp("<", BinOp("*", lit(2), lit(3)), col("c_acctbal")))
+        .filter(BinOp("or", lit(True), col("c_custkey").gt(lit(0))))
+        .projection([col("c_custkey"), Alias(BinOp("+", lit(1), lit(2)), "three")])
+        .build()
+    )
+    out = planner.optimize_logical(plan).explain()
+    assert "(6 < c_acctbal)" in out or "filters: [(6 < c_acctbal)]" in out
+    assert "(2 * 3)" not in out
+    assert "or" not in out  # the always-true filter is gone
+    assert "1 + 2" not in out and "three" in out
