@@ -2066,6 +2066,29 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Arrow-vectorized pandas UDF (SCALAR type, batch Series →
+    Series): text normalization (lower + collapse whitespace runs) —
+    the 10-100x-over-row-Python path for custom logic Spark lacks.
+    Oracle replays it with lower + regexp_replace."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("string", PandasUDFType.SCALAR)
+    def norm_text(st):
+        return st.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+
+    pl = _planner(spark, sf_dir)
+    base = pl.dataframe(
+        LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
+    )
+    out = base.select(
+        F.col("doc_id"),
+        F.length(norm_text(F.col("text"))).cast("bigint").alias("norm_len"),
+    )
+    return out
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2254,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_join": q_salted_join,
         "q_pandas_udaf": q_pandas_udaf,
         "q_python_udtf": q_python_udtf,
+        "q_pandas_scalar_udf": q_pandas_scalar_udf,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -2475,6 +2499,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx,
                    CAST(length(trim(sent, ' ')) AS INTEGER) AS n_chars
             FROM s WHERE length(trim(sent, ' ')) > 0
+        """,
+        "q_pandas_scalar_udf": """
+            SELECT doc_id,
+                   length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_len
+            FROM documents
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """
