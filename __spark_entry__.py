@@ -2089,6 +2089,34 @@ def q_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE algorithm: connected components (pointer-jumping
+    min-label propagation, functions/graph.py) over the
+    consecutive-same-lang document graph — the dup-clustering step that
+    turns near-dup PAIRS into canonical groups.  Oracle derives the same
+    components independently via run-length window logic (no
+    recursion)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.functions.graph import connected_components
+
+    pl = _planner(spark, sf_dir)
+    docs = pl.dataframe(
+        LogicalPlanBuilder().scan("documents", columns=["doc_id", "lang"]).build()
+    )
+    nxt = docs.select(
+        (F.col("doc_id")).alias("src_id"),
+        F.col("lang").alias("src_lang"),
+    )
+    edges = (
+        docs.join(nxt, docs.doc_id == nxt.src_id + 1)
+        .filter(F.col("lang") == F.col("src_lang"))
+        .select(F.col("src_id").alias("d1"), F.col("doc_id").alias("d2"))
+    )
+    cc = connected_components(edges, "d1", "d2")
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2278,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pandas_udaf": q_pandas_udaf,
         "q_python_udtf": q_python_udtf,
         "q_pandas_scalar_udf": q_pandas_scalar_udf,
+        "q_connected_components": q_connected_components,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -2504,6 +2533,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_len
             FROM documents
+        """,
+        "q_connected_components": """
+            WITH runs AS (
+              SELECT doc_id, lang,
+                     CASE WHEN lag(lang) OVER (ORDER BY doc_id) IS DISTINCT FROM lang
+                          THEN 1 ELSE 0 END AS newrun
+              FROM documents
+            ), clustered AS (
+              SELECT doc_id,
+                     max(CASE WHEN newrun = 1 THEN doc_id END)
+                       OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS component
+              FROM runs
+            ), sizes AS (
+              SELECT component, count(*) AS csize FROM clustered GROUP BY component
+            )
+            SELECT component, csize FROM sizes WHERE csize > 1
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """
