@@ -2117,6 +2117,49 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series GAP FILLING (resample): dense hourly grid per
+    event_type via sequence+explode over the global [min,max] hour
+    range, left-joined against actual counts, missing buckets filled
+    with 0 — the densify step before any rolling-window model.  Oracle
+    rebuilds the grid with generate_series."""
+    from pyspark.sql import functions as F
+
+    pl = _planner(spark, sf_dir)
+    base = pl.dataframe(
+        LogicalPlanBuilder()
+        .scan("events", columns=["event_type", "ts"])
+        .projection(
+            [
+                col("event_type"),
+                Alias(
+                    BinOp("div", BinOp("div", col("ts"), lit(1000)), lit(3600 * 1000 * 1000)),
+                    "hour_bucket",
+                ),
+            ]
+        )
+        .build()
+    )
+    counts = base.groupBy("event_type", "hour_bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = base.agg(
+        F.min("hour_bucket").alias("lo"), F.max("hour_bucket").alias("hi")
+    )
+    grid = (
+        bounds.select(F.explode(F.sequence("lo", "hi")).alias("hour_bucket"))
+        .crossJoin(base.select("event_type").distinct())
+    )
+    return (
+        grid.join(counts, ["event_type", "hour_bucket"], "left")
+        .select(
+            "event_type",
+            "hour_bucket",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2307,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_python_udtf": q_python_udtf,
         "q_pandas_scalar_udf": q_pandas_scalar_udf,
         "q_connected_components": q_connected_components,
+        "q_gap_fill": q_gap_fill,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -2549,6 +2593,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT component, count(*) AS csize FROM clustered GROUP BY component
             )
             SELECT component, csize FROM sizes WHERE csize > 1
+        """,
+        "q_gap_fill": """
+            WITH b AS (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket
+              FROM events
+            ), bounds AS (
+              SELECT min(hour_bucket) AS lo, max(hour_bucket) AS hi FROM b
+            ), grid AS (
+              SELECT t.event_type, g.hour_bucket
+              FROM (SELECT DISTINCT event_type FROM b) t,
+                   (SELECT unnest(generate_series(lo, hi)) AS hour_bucket FROM bounds) g
+            ), counts AS (
+              SELECT event_type, hour_bucket, count(*) AS n
+              FROM b GROUP BY event_type, hour_bucket
+            )
+            SELECT grid.event_type, grid.hour_bucket,
+                   coalesce(counts.n, 0) AS n
+            FROM grid LEFT JOIN counts USING (event_type, hour_bucket)
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """
