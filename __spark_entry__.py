@@ -2160,6 +2160,30 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-hour moving aggregate over the gap-filled hourly series
+    (explicit ROWS BETWEEN 6 PRECEDING AND CURRENT ROW frame) — the
+    windowed-frame feature plus the densify step composed.  Sums of ≤7
+    bigints are exact; surfaced as floor-1000 of the mean."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    dense = q_gap_fill(spark, sf_dir)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(-6, W.currentRow)
+    )
+    return dense.select(
+        "event_type",
+        "hour_bucket",
+        "n",
+        F.floor(F.lit(1000.0) * F.avg(F.col("n")).over(w)).cast("bigint").alias(
+            "avg7_1000"
+        ),
+    )
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2351,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pandas_scalar_udf": q_pandas_scalar_udf,
         "q_connected_components": q_connected_components,
         "q_gap_fill": q_gap_fill,
+        "q_rolling_avg": q_rolling_avg,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -2611,6 +2636,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT grid.event_type, grid.hour_bucket,
                    coalesce(counts.n, 0) AS n
             FROM grid LEFT JOIN counts USING (event_type, hour_bucket)
+        """,
+        "q_rolling_avg": """
+            WITH b AS (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket
+              FROM events
+            ), bounds AS (
+              SELECT min(hour_bucket) AS lo, max(hour_bucket) AS hi FROM b
+            ), grid AS (
+              SELECT t.event_type, g.hour_bucket
+              FROM (SELECT DISTINCT event_type FROM b) t,
+                   (SELECT unnest(generate_series(lo, hi)) AS hour_bucket FROM bounds) g
+            ), counts AS (
+              SELECT event_type, hour_bucket, count(*) AS n
+              FROM b GROUP BY event_type, hour_bucket
+            ), dense AS (
+              SELECT grid.event_type, grid.hour_bucket, coalesce(counts.n, 0) AS n
+              FROM grid LEFT JOIN counts USING (event_type, hour_bucket)
+            )
+            SELECT event_type, hour_bucket, n,
+                   CAST(floor(1000.0 * avg(n) OVER (
+                        PARTITION BY event_type ORDER BY hour_bucket
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS BIGINT) AS avg7_1000
+            FROM dense
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """

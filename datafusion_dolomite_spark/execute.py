@@ -188,6 +188,16 @@ class SparkExecutor:
             spec = W.partitionBy(*[e.to_column() for e in wdef.partition_by])
             if wdef.order_by:
                 spec = spec.orderBy(*[k.to_column() for k in wdef.order_by])
+            frame = getattr(wdef, "frame", None)
+            if frame is not None:
+                kind, start, end = frame
+                lo = W.unboundedPreceding if start is None else start
+                hi = W.unboundedFollowing if end is None else end
+                spec = (
+                    spec.rowsBetween(lo, hi)
+                    if kind == "rows"
+                    else spec.rangeBetween(lo, hi)
+                )
             df = df.withColumn(wdef.name, wdef.func.to_column().over(spec))
         return df
 

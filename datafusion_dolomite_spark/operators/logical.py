@@ -305,19 +305,35 @@ class LogicalDistinct(LogicalOperator):
 
 @dataclass(frozen=True)
 class WindowExprDef:
-    """One windowed column: func OVER (PARTITION BY ... ORDER BY ...)."""
+    """One windowed column: func OVER (PARTITION BY ... ORDER BY ...
+    [ROWS|RANGE BETWEEN s AND e]).  ``frame`` = (kind, start, end) with
+    kind in ('rows', 'range'); start/end are offsets (negative =
+    preceding, 0 = current row, None = unbounded)."""
 
     func: Expr
     partition_by: Tuple[Expr, ...]
     order_by: Tuple[SortKey, ...]
     name: str
+    frame: Optional[Tuple[str, Optional[int], Optional[int]]] = None
 
     def pretty(self) -> str:
         parts = ", ".join(e.pretty() for e in self.partition_by)
         orders = ", ".join(k.pretty() for k in self.order_by)
+        fr = ""
+        if self.frame is not None:
+            kind, s_, e_ = self.frame
+
+            def b(v, side):
+                if v is None:
+                    return f"unbounded {side}"
+                if v == 0:
+                    return "current row"
+                return f"{abs(v)} {'preceding' if v < 0 else 'following'}"
+
+            fr = f" {kind} between {b(s_, 'preceding')} and {b(e_, 'following')}"
         return (
             f"{self.func.pretty()} over (partition by [{parts}] "
-            f"order by [{orders}]) as {self.name}"
+            f"order by [{orders}]{fr}) as {self.name}"
         )
 
 

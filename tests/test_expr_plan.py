@@ -101,3 +101,15 @@ def test_equi_keys_extraction():
     assert j.equi_keys() == (("a", "b"), ("c", "d"))
     j2 = LogicalJoin(JoinType.INNER, col("a").gt(col("b")))
     assert j2.equi_keys() is None
+
+
+def test_window_frame_pretty_and_fields():
+    from datafusion_dolomite_spark.expr import Func
+    from datafusion_dolomite_spark.operators.logical import WindowExprDef
+
+    w = WindowExprDef(
+        Func("sum", ()), (), (), "s", frame=("rows", -6, 0)
+    )
+    assert "rows between 6 preceding and current row" in w.pretty()
+    w2 = WindowExprDef(Func("sum", ()), (), (), "s", frame=("range", None, 0))
+    assert "range between unbounded preceding and current row" in w2.pretty()
