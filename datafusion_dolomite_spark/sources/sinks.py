@@ -27,7 +27,26 @@ def write_parquet(
     mode: str = "overwrite",
     partition_by: Optional[Sequence[str]] = None,
     compression: str = "snappy",
+    cluster_by: Optional[Sequence[str]] = None,
+    n_files: Optional[int] = None,
 ) -> None:
+    """Parquet sink with layout controls that matter at 100 TB:
+
+    * ``cluster_by`` — range-repartition + sort-within-partitions on the
+      given columns, so each file covers a narrow min/max band and
+      later range-predicate scans skip whole files (row-group pruning).
+    * ``n_files`` — compaction: coalesce/repartition to a target file
+      count (the small-files problem kills listing + scheduling at
+      scale; one file per ~128-512 MB is the usual target).
+    """
+    if cluster_by:
+        if n_files:
+            df = df.repartitionByRange(n_files, *cluster_by)
+        else:
+            df = df.repartitionByRange(*cluster_by)
+        df = df.sortWithinPartitions(*cluster_by)
+    elif n_files:
+        df = df.repartition(n_files)
     _writer(df, mode, partition_by).option("compression", compression).parquet(path)
 
 

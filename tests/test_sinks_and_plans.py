@@ -198,3 +198,32 @@ def test_orc_source_roundtrip(planner, spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_clustered_parquet_sink(planner, spark, tmp_path):
+    """cluster_by range-partitions + sorts so each output file covers a
+    narrow key band (file-skipping layout); n_files compacts."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from datafusion_dolomite_spark.sources.sinks import write_parquet
+
+    base = planner.dataframe(LogicalPlanBuilder().scan("orders").build())
+    out = os.path.join(str(tmp_path), "orders_clustered")
+    write_parquet(base, out, cluster_by=["o_totalprice"], n_files=4)
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    assert len(files) == 4
+    # non-overlapping min/max bands across files = the pruning property
+    bands = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+            "o_totalprice"
+        )
+        stats = md.row_group(0).column(idx).statistics
+        bands.append((stats.min, stats.max))
+    bands.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(bands, bands[1:]):
+        assert hi1 <= lo2
+    # row count preserved
+    assert sum(pq.ParquetFile(f).metadata.num_rows for f in files) == base.count()
