@@ -2184,6 +2184,45 @@ def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window through the FULL plan pipeline (scan →
+    aggregate → LogicalWindow with frame=('range',-3,3)): centered
+    7-hour neighborhood sum per event type — value-based frames handle
+    gaps in the series correctly (unlike ROWS)."""
+    from datafusion_dolomite_spark.operators.logical import WindowExprDef
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .projection(
+            [
+                col("event_type"),
+                Alias(
+                    BinOp("div", BinOp("div", col("ts"), lit(1000)), lit(3600 * 1000 * 1000)),
+                    "hour_bucket",
+                ),
+            ]
+        )
+        .aggregate(
+            [col("event_type"), col("hour_bucket")],
+            [Alias(Func("count", ()), "n")],
+        )
+        .window(
+            [
+                WindowExprDef(
+                    Func("sum", (col("n"),)),
+                    (col("event_type"),),
+                    (SortKey(col("hour_bucket")),),
+                    "nbhd7",
+                    frame=("range", -3, 3),
+                )
+            ]
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2376,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_connected_components": q_connected_components,
         "q_gap_fill": q_gap_fill,
         "q_rolling_avg": q_rolling_avg,
+        "q_range_frame_window": q_range_frame_window,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -2659,6 +2699,17 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY event_type ORDER BY hour_bucket
                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS BIGINT) AS avg7_1000
             FROM dense
+        """,
+        "q_range_frame_window": """
+            WITH counts AS (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
+                     count(*) AS n
+              FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+            )
+            SELECT event_type, hour_bucket, n,
+                   CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour_bucket
+                        RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS nbhd7
+            FROM counts
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """
