@@ -63,6 +63,18 @@ group by n_name
 order by revenue desc, n_name"""
 
 
+_SQL_Q18 = """select c_custkey, c_name, ok, total_qty
+from customer, (select o_orderkey as ok, o_custkey as ocust,
+                       cast(sum(cast(l_quantity as decimal(12,2))) as double) as total_qty
+                from orders, lineitem
+                where l_orderkey = o_orderkey
+                group by o_orderkey, o_custkey
+                having total_qty > 150) t
+where c_custkey = ocust
+order by total_qty desc, ok
+limit 20"""
+
+
 # ---------------------------------------------------------------------------
 # Core relational operators (SURVEY §2.1 parity surface)
 # ---------------------------------------------------------------------------
@@ -1267,6 +1279,7 @@ EXTENSION_ORACLES = {
             FROM part GROUP BY p_brand
         """,
         "q_sql_comma_q5": _SQL_COMMA_Q5,
+        "q_sql_q18": _SQL_Q18,
     "q_cube": """
         SELECT COALESCE(event_type, '(all)') AS etype,
                COALESCE(dayofweek(ts) + 1, -1) AS wd,
@@ -2223,6 +2236,16 @@ def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+
+
+
+def q_sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers) in pure SQL: derived
+    table + comma join + HAVING over the aggregate output + ordered
+    top-20 (unique orderkey tie-break).  Same string is the oracle."""
+    return _planner(spark, sf_dir).sql(_SQL_Q18)
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2434,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_corr_scalar": q_sql_corr_scalar,
         "q_sql_case_like": q_sql_case_like,
         "q_sql_comma_q5": q_sql_comma_q5,
+        "q_sql_q18": q_sql_q18,
         "q_date_functions": q_date_functions,
         "q_rollup": q_rollup,
         "q_cube": q_cube,

@@ -281,6 +281,28 @@ class _Parser:
                 # HAVING over the aggregate's OUTPUT (reference output
                 # aliases or group columns) — a plain filter above the agg
                 builder = builder.filter(self._expr())
+            # aliased group keys in the SELECT list (``o_custkey AS x``)
+            # aren't part of the aggregate's natural output — re-project
+            # to the select-list shape when simple column aliases differ
+            plain_simple = all(
+                isinstance(e, Col)
+                or (isinstance(e, Alias) and isinstance(e.expr, Col))
+                for e in plain
+            )
+            wanted = [
+                (e.name if isinstance(e, (Alias, Col)) else None) for e in items
+            ]
+            natural = [
+                (e.name if isinstance(e, (Alias, Col)) else None)
+                for e in (group_exprs or plain)
+            ] + [a.name for a in aggs]
+            if plain_simple and wanted != natural and all(wanted):
+                builder = builder.projection(
+                    [
+                        e if not _contains_aggregate(e) else Col(e.name)
+                        for e in items
+                    ]
+                )
         elif star:
             builder = builder.projection(self._expand_star(builder))
         else:
