@@ -2246,6 +2246,21 @@ def q_sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).sql(_SQL_Q18)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE near-dup pipeline: MinHash-LSH candidate pairs →
+    exact-Jaccard verify → iterative connected components → cluster
+    sizes.  Oracle replays the pair generation in SQL and closes it
+    transitively with a RECURSIVE CTE — two independent implementations
+    of the whole dedup-clustering path."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.functions.graph import connected_components
+
+    pairs = q_minhash_pairs(spark, sf_dir)
+    cc = connected_components(pairs, "d1", "d2")
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2439,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gap_fill": q_gap_fill,
         "q_rolling_avg": q_rolling_avg,
         "q_range_frame_window": q_range_frame_window,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -2473,6 +2489,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_base()
+    # q_dedup_clusters composes the minhash-pair oracle with a recursive
+    # transitive closure — built here so the pair SQL stays single-source
+    out["q_dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS ({out["q_minhash_pairs"].strip()}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
+SELECT component, count(*) AS csize FROM comp GROUP BY component
+"""
+    return out
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "q_scan_limit": "SELECT r_regionkey, r_name FROM region LIMIT 100",
         "q_filter_projection": """
