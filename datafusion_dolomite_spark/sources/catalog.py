@@ -147,9 +147,14 @@ class Catalog:
         if name not in self._schemas:
             fmt = self.format(name)
             if fmt == "parquet":
-                import pyarrow.parquet as pq
+                import pyarrow.dataset as ds
 
-                arrow = pq.read_schema(self._first_file(name))
+                # dataset discovery (hive partitioning) so partition
+                # columns — which live in directory names, not footers —
+                # appear in the schema
+                arrow = ds.dataset(
+                    self.path(name), format="parquet", partitioning="hive"
+                ).schema
                 self._schemas[name] = Schema(
                     tuple(
                         Field(f.name, _arrow_to_ddl(f.type), f.nullable, qualifier=name)
@@ -222,16 +227,21 @@ class Catalog:
             self.format(name)
         ]
         if os.path.isdir(p):
+            # recursive: hive-partitioned sinks nest files under key=value dirs
+            import glob as _glob
+
             files = sorted(
-                os.path.join(p, f) for f in os.listdir(p) if f.endswith(suffix)
+                f
+                for f in _glob.glob(os.path.join(p, "**", f"*{suffix}"), recursive=True)
+                if os.path.isfile(f)
             )
             if files:
                 return files
             # spark sinks write part-* files without tidy suffixes sometimes
             return sorted(
-                os.path.join(p, f)
-                for f in os.listdir(p)
-                if f.startswith("part-") and not f.endswith(".crc")
+                f
+                for f in _glob.glob(os.path.join(p, "**", "part-*"), recursive=True)
+                if os.path.isfile(f) and not f.endswith(".crc")
             )
         return [p]
 

@@ -227,3 +227,36 @@ def test_clustered_parquet_sink(planner, spark, tmp_path):
         assert hi1 <= lo2
     # row count preserved
     assert sum(pq.ParquetFile(f).metadata.num_rows for f in files) == base.count()
+
+
+def test_partition_pruning_on_reread(planner, spark, tmp_path):
+    """A filter on the hive-partition column must become a
+    PartitionFilter (directory pruning — at 100 TB this skips whole
+    prefixes, not just row groups)."""
+    from datafusion_dolomite_spark import QueryPlanner
+    from datafusion_dolomite_spark.sources.catalog import testdata_catalog
+    from datafusion_dolomite_spark.sources.sinks import write_parquet
+
+    base = planner.dataframe(LogicalPlanBuilder().scan("customer").build())
+    out = os.path.join(str(tmp_path), "cust_part")
+    write_parquet(base, out, partition_by=["c_nationkey"])
+
+    cat = testdata_catalog("/root/testdata/sf0.001")
+    cat.register("cust_part", out)
+    qp = QueryPlanner(spark, cat)
+    df = qp.dataframe(
+        LogicalPlanBuilder()
+        .scan("cust_part")
+        .filter(col("c_nationkey").eq(lit(3)))
+        .projection([col("c_custkey")])
+        .build()
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    txt = buf.getvalue()
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
+    assert m and "c_nationkey" in m.group(1), txt[:800]
+    assert df.count() == base.filter("c_nationkey = 3").count()
