@@ -46,6 +46,18 @@ def _dsum(e, name):
     return Alias(Cast(Func("sum", (e,)), "double"), name)
 
 
+_SQL_Q1 = """select l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(12,2))
+                * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2))))
+            as double) as sum_disc_price,
+       count(*) as count_order
+from lineitem
+where l_shipdate <= '1998-09-02'
+group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus"""
+
+
 _SQL_COMMA_Q5 = """select n_name,
        cast(sum(cast(l_extendedprice as decimal(12,2))
                 * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2))))
@@ -1280,6 +1292,7 @@ EXTENSION_ORACLES = {
         """,
         "q_sql_comma_q5": _SQL_COMMA_Q5,
         "q_sql_q18": _SQL_Q18,
+        "q_sql_q1": _SQL_Q1,
     "q_cube": """
         SELECT COALESCE(event_type, '(all)') AS etype,
                COALESCE(dayofweek(ts) + 1, -1) AS wd,
@@ -2010,6 +2023,12 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 through the SQL front door (decimal-exact aggregates,
+    multi-key grouping, total order) — same string is the oracle."""
+    return _planner(spark, sf_dir).sql(_SQL_Q1)
+
+
 def q_sql_comma_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 in TEXTBOOK comma-join syntax — the cross joins become
     equi hash joins via MergeFilterIntoJoinRule and every filter lands
@@ -2474,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_case_like": q_sql_case_like,
         "q_sql_comma_q5": q_sql_comma_q5,
         "q_sql_q18": q_sql_q18,
+        "q_sql_q1": q_sql_q1,
         "q_date_functions": q_date_functions,
         "q_rollup": q_rollup,
         "q_cube": q_cube,
