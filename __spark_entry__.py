@@ -58,6 +58,16 @@ group by l_returnflag, l_linestatus
 order by l_returnflag, l_linestatus"""
 
 
+_SQL_Q12 = """select sum(case when o_orderpriority = '1-URGENT' or o_orderpriority = '2-HIGH'
+                then 1 else 0 end) as high_line_count,
+       sum(case when o_orderpriority = '1-URGENT' or o_orderpriority = '2-HIGH'
+                then 0 else 1 end) as low_line_count,
+       count(*) as n_lines
+from orders, lineitem
+where o_orderkey = l_orderkey
+  and l_shipdate > o_orderdate"""
+
+
 _SQL_COMMA_Q5 = """select n_name,
        cast(sum(cast(l_extendedprice as decimal(12,2))
                 * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2))))
@@ -1293,6 +1303,7 @@ EXTENSION_ORACLES = {
         "q_sql_comma_q5": _SQL_COMMA_Q5,
         "q_sql_q18": _SQL_Q18,
         "q_sql_q1": _SQL_Q1,
+        "q_sql_q12": _SQL_Q12,
     "q_cube": """
         SELECT COALESCE(event_type, '(all)') AS etype,
                COALESCE(dayofweek(ts) + 1, -1) AS wd,
@@ -2029,6 +2040,13 @@ def q_sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).sql(_SQL_Q1)
 
 
+def q_sql_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (priority-class shipping counts): comma join +
+    cross-column date predicate + OR-of-equalities inside CASE — same
+    string is the oracle."""
+    return _planner(spark, sf_dir).sql(_SQL_Q12)
+
+
 def q_sql_comma_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 in TEXTBOOK comma-join syntax — the cross joins become
     equi hash joins via MergeFilterIntoJoinRule and every filter lands
@@ -2494,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_comma_q5": q_sql_comma_q5,
         "q_sql_q18": q_sql_q18,
         "q_sql_q1": q_sql_q1,
+        "q_sql_q12": q_sql_q12,
         "q_date_functions": q_date_functions,
         "q_rollup": q_rollup,
         "q_cube": q_cube,

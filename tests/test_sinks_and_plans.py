@@ -260,3 +260,17 @@ def test_partition_pruning_on_reread(planner, spark, tmp_path):
     m = _re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
     assert m and "c_nationkey" in m.group(1), txt[:800]
     assert df.count() == base.filter("c_nationkey = 3").count()
+
+
+def test_asof_join_is_window_not_join(planner, spark):
+    """The as-of join must execute as union + window — NO join operator,
+    no per-key cross product (the naive inequality-join formulation
+    would show BroadcastNestedLoopJoin / CartesianProduct)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_asof_join(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "Union" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # the only join-free formulation: no SortMergeJoin on the asof path
+    assert "SortMergeJoin" not in plan
