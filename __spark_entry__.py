@@ -2298,6 +2298,33 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
 
 
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100TB-scale profiling: HyperLogLog++
+    distinct counts (constant memory vs exact's O(ndv)) and approximate
+    percentiles per segment.  Engines' sketch algorithms differ, so
+    there is deliberately NO SQL oracle (driver records the weaker
+    rows-only check); Spark-side determinism itself is pinned by the
+    test suite's repeated runs."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .aggregate(
+            [col("event_type")],
+            [
+                Alias(Func("approx_count_distinct", (col("user_id"),)), "approx_users"),
+                Alias(Func("count_distinct", (col("user_id"),)), "exact_users"),
+                Alias(
+                    Func("percentile_approx", (col("value"), lit(0.5), lit(1000))),
+                    "p50_approx",
+                ),
+                Alias(Func("count", ()), "n"),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2492,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_avg": q_rolling_avg,
         "q_range_frame_window": q_range_frame_window,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_approx_sketches": q_approx_sketches,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
