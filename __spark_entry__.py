@@ -702,6 +702,67 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE: purchases more than 1 hour before
+    the event don't count (the practical point-in-time lookup — stale
+    matches are worse than none).  Oracle: DuckDB ASOF + CASE on the
+    gap."""
+    tol_us = 3600 * 1000 * 1000
+    purchases = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .filter(col("event_type").eq(lit("purchase")))
+        .projection(
+            [
+                col("user_id"),
+                Alias(BinOp("div", col("ts"), lit(1000)), "p_us"),
+                col("value"),
+            ]
+        )
+        .aggregate(
+            [col("user_id"), col("p_us")],
+            [Alias(Func("max", (col("value"),)), "pval")],
+        )
+    )
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .projection(
+            [
+                col("event_id"),
+                col("user_id"),
+                Alias(BinOp("div", col("ts"), lit(1000)), "ts_us"),
+            ]
+        )
+        .asof_join(
+            purchases,
+            left_keys=["user_id"],
+            right_keys=["user_id"],
+            left_ts="ts_us",
+            right_ts="p_us",
+            right_cols=["pval"],
+            tolerance=tol_us,
+        )
+        .projection(
+            [
+                col("event_id"),
+                Alias(
+                    Func(
+                        "coalesce",
+                        (
+                            Cast(Func("floor", (BinOp("*", col("pval"), lit(100)),)), "bigint"),
+                            lit(-1),
+                        ),
+                    ),
+                    "recent_p_cents",
+                ),
+            ]
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-band attribution: events matched into 5 irregular
     [4k², 4(k+1)²) bands — a PURE point-in-interval join (no equi key)
@@ -1083,6 +1144,7 @@ EXTENSION_QUERIES = {
     "q_stream_stream_join": q_stream_stream_join,
     "q_events_json": q_events_json,
     "q_asof_join": q_asof_join,
+    "q_asof_tolerance": q_asof_tolerance,
     "q_range_join": q_range_join,
 }
 
@@ -1098,6 +1160,21 @@ EXTENSION_ORACLES = {
         SELECT e.event_id, e.event_type,
                coalesce((e.ts_us - p.p_us) // 1000, -1) AS gap_ms,
                coalesce(CAST(floor(p.pval * 100) AS BIGINT), -1) AS p_cents
+        FROM ev e ASOF LEFT JOIN purch p
+          ON e.user_id = p.user_id AND e.ts_us >= p.p_us
+    """,
+    "q_asof_tolerance": """
+        WITH purch AS (
+          SELECT user_id, epoch_us(ts) AS p_us, max(value) AS pval
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, epoch_us(ts)
+        ), ev AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        )
+        SELECT e.event_id,
+               coalesce(CASE WHEN e.ts_us - p.p_us <= 3600000000
+                             THEN CAST(floor(p.pval * 100) AS BIGINT) END, -1)
+                 AS recent_p_cents
         FROM ev e ASOF LEFT JOIN purch p
           ON e.user_id = p.user_id AND e.ts_us >= p.p_us
     """,

@@ -344,6 +344,17 @@ class SparkExecutor:
         )
         for c in op.right_cols:
             u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        tol = getattr(op, "tolerance", None)
+        if tol is not None:
+            # matched right ts rides along; matches farther back than the
+            # tolerance null out (same units as the ts columns)
+            u = u.withColumn(
+                "__mts",
+                F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w),
+            )
+            within = F.col("__ts") - F.col("__mts") <= F.lit(tol)
+            for c in op.right_cols:
+                u = u.withColumn(c, F.when(within, F.col(c)))
         return u.filter(F.col("__side") == 1).select(*left_cols, *op.right_cols)
 
     def _unnest(self, node: PlanNode):

@@ -351,6 +351,9 @@ class LogicalAsofJoin(LogicalOperator):
     left_ts: str
     right_ts: str
     right_cols: Tuple[str, ...]
+    #: max allowed left_ts - right_ts (same units as the ts columns);
+    #: matches farther back than this yield NULLs.  None = unbounded.
+    tolerance: "int | None" = None
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
         left, right = input_props
@@ -361,10 +364,11 @@ class LogicalAsofJoin(LogicalOperator):
         return LogicalProperty(Schema(left.schema.fields + carried))
 
     def pretty(self) -> str:
+        tol = "" if self.tolerance is None else f", tol: {self.tolerance}"
         return (
             f"LogicalAsofJoin {{ keys: [{', '.join(self.left_keys)}]=="
             f"[{', '.join(self.right_keys)}], ts: {self.left_ts}>={self.right_ts}, "
-            f"carry: [{', '.join(self.right_cols)}] }}"
+            f"carry: [{', '.join(self.right_cols)}]{tol} }}"
         )
 
 
@@ -382,6 +386,7 @@ class PhysicalAsofJoinUnion(PhysicalOperator):
     left_ts: str
     right_ts: str
     right_cols: Tuple[str, ...]
+    tolerance: "int | None" = None
 
     def derive_properties(self, children_props):
         return (

@@ -196,7 +196,7 @@ class AsofJoinImplRule(Rule):
             OptExpression.op(
                 X.PhysicalAsofJoinUnion(
                     op.left_keys, op.right_keys, op.left_ts, op.right_ts,
-                    op.right_cols,
+                    op.right_cols, op.tolerance,
                 ),
                 *input.root.inputs,
             )

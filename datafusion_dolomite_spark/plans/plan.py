@@ -304,6 +304,7 @@ class LogicalPlanBuilder:
         left_ts: str,
         right_ts: str,
         right_cols: Sequence[str],
+        tolerance: "int | None" = None,
     ) -> "LogicalPlanBuilder":
         """Backward inclusive as-of join (see LogicalAsofJoin docstring)."""
         from ..operators.extensions import LogicalAsofJoin
@@ -311,7 +312,7 @@ class LogicalPlanBuilder:
         return self._push(
             LogicalAsofJoin(
                 tuple(left_keys), tuple(right_keys), left_ts, right_ts,
-                tuple(right_cols),
+                tuple(right_cols), tolerance,
             ),
             [self._require_root(), _as_node(other)],
         )
