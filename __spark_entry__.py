@@ -2402,6 +2402,39 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC 10% sample via hash-mod (md5(doc_id) % 10 == 0) —
+    reproducible across runs/engines/cluster sizes, unlike rand()-based
+    sampling; then per-language doc counts over the sample.  The shared
+    60-bit md5 prefix makes the oracle replay the exact same subset."""
+    h = Func(
+        "conv",
+        (Func("substring", (Func("md5", (Cast(col("doc_id"), "string"),)), lit(1), lit(15))), lit(16), lit(10)),
+    )
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .projection(
+            [
+                col("doc_id"),
+                col("lang"),
+                col("n_chars"),
+                Alias(Func("pmod", (Cast(h, "bigint"), lit(10))), "bucket"),
+            ]
+        )
+        .filter(col("bucket").eq(lit(0)))
+        .aggregate(
+            [col("lang")],
+            [
+                Alias(Func("count", ()), "n_docs"),
+                Alias(Func("sum", (col("n_chars"),)), "total_chars"),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2597,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_frame_window": q_range_frame_window,
         "q_dedup_clusters": q_dedup_clusters,
         "q_approx_sketches": q_approx_sketches,
+        "q_hash_sample": q_hash_sample,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -2912,6 +2946,16 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour_bucket
                         RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS nbhd7
             FROM counts
+        """,
+        "q_hash_sample": """
+            WITH sampled AS (
+              SELECT doc_id, lang, n_chars,
+                     (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10) AS bucket
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM sampled WHERE bucket = 0 GROUP BY lang
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """
