@@ -2435,6 +2435,40 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset MIXING with per-stratum weights (the mixture step of
+    corpus prep): English docs at 30%, everything else at 10%, both via
+    deterministic hash-mod sampling, unioned and counted per lang —
+    upsampling/downsampling strata reproducibly."""
+    h = Func(
+        "conv",
+        (Func("substring", (Func("md5", (Cast(col("doc_id"), "string"),)), lit(1), lit(15))), lit(16), lit(10)),
+    )
+    def branch(lang_pred, rate10):
+        return (
+            LogicalPlanBuilder()
+            .scan("documents")
+            .projection(
+                [
+                    col("doc_id"),
+                    col("lang"),
+                    Alias(Func("pmod", (Cast(h, "bigint"), lit(10))), "bucket"),
+                ]
+            )
+            .filter(BinOp("and", lang_pred, col("bucket").lt(lit(rate10))))
+            .projection([col("doc_id"), col("lang")])
+        )
+
+    en = branch(col("lang").eq(lit("en")), 3)
+    rest = branch(col("lang").ne(lit("en")), 1)
+    plan = (
+        en.union(rest)
+        .aggregate([col("lang")], [Alias(Func("count", ()), "n_docs")])
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2631,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_approx_sketches": q_approx_sketches,
         "q_hash_sample": q_hash_sample,
+        "q_corpus_mix": q_corpus_mix,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -2956,6 +2991,19 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM sampled WHERE bucket = 0 GROUP BY lang
+        """,
+        "q_corpus_mix": """
+            WITH hashed AS (
+              SELECT doc_id, lang,
+                     (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10) AS bucket
+              FROM documents
+            ),
+            mixed AS (
+              SELECT doc_id, lang FROM hashed WHERE lang = 'en' AND bucket < 3
+              UNION ALL
+              SELECT doc_id, lang FROM hashed WHERE lang != 'en' AND bucket < 1
+            )
+            SELECT lang, count(*) AS n_docs FROM mixed GROUP BY lang
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """
