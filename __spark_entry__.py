@@ -68,6 +68,17 @@ where o_orderkey = l_orderkey
   and l_shipdate > o_orderdate"""
 
 
+_SQL_Q19 = """select cast(sum(cast(l_extendedprice as decimal(12,2))
+                * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2))))
+            as double) as revenue,
+       count(*) as n_items
+from lineitem, part
+where l_partkey = p_partkey
+  and ((p_type = 'SMALL' and l_quantity between 1 and 11)
+    or (p_type = 'MEDIUM' and l_quantity between 10 and 20)
+    or (p_type = 'LARGE' and l_quantity between 20 and 30))"""
+
+
 _SQL_COMMA_Q5 = """select n_name,
        cast(sum(cast(l_extendedprice as decimal(12,2))
                 * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2))))
@@ -1381,6 +1392,7 @@ EXTENSION_ORACLES = {
         "q_sql_q18": _SQL_Q18,
         "q_sql_q1": _SQL_Q1,
         "q_sql_q12": _SQL_Q12,
+        "q_sql_q19": _SQL_Q19,
     "q_cube": """
         SELECT COALESCE(event_type, '(all)') AS etype,
                COALESCE(dayofweek(ts) + 1, -1) AS wd,
@@ -2124,6 +2136,12 @@ def q_sql_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).sql(_SQL_Q12)
 
 
+def q_sql_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 in SQL: comma join + parenthesized OR of conjunctive
+    groups with BETWEEN — same string is the oracle."""
+    return _planner(spark, sf_dir).sql(_SQL_Q19)
+
+
 def q_sql_comma_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 in TEXTBOOK comma-join syntax — the cross joins become
     equi hash joins via MergeFilterIntoJoinRule and every filter lands
@@ -2687,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_q18": q_sql_q18,
         "q_sql_q1": q_sql_q1,
         "q_sql_q12": q_sql_q12,
+        "q_sql_q19": q_sql_q19,
         "q_date_functions": q_date_functions,
         "q_rollup": q_rollup,
         "q_cube": q_cube,
