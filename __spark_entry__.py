@@ -79,6 +79,17 @@ where l_partkey = p_partkey
     or (p_type = 'LARGE' and l_quantity between 20 and 30))"""
 
 
+_SQL_Q14 = """select year(l_shipdate) as y, month(l_shipdate) as m,
+       cast(sum(case when p_type = 'PROMO'
+                then cast(l_extendedprice as decimal(12,2))
+                     * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))
+                else cast(0 as decimal(12,2)) end) as double) as promo_rev,
+       count(*) as n_lines
+from lineitem, part
+where l_partkey = p_partkey
+group by year(l_shipdate), month(l_shipdate)"""
+
+
 _SQL_COMMA_Q5 = """select n_name,
        cast(sum(cast(l_extendedprice as decimal(12,2))
                 * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2))))
@@ -1393,6 +1404,7 @@ EXTENSION_ORACLES = {
         "q_sql_q1": _SQL_Q1,
         "q_sql_q12": _SQL_Q12,
         "q_sql_q19": _SQL_Q19,
+        "q_sql_q14": _SQL_Q14,
     "q_cube": """
         SELECT COALESCE(event_type, '(all)') AS etype,
                COALESCE(dayofweek(ts) + 1, -1) AS wd,
@@ -2142,6 +2154,12 @@ def q_sql_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).sql(_SQL_Q19)
 
 
+def q_sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 in SQL: CASE-conditional decimal aggregation grouped by
+    date-function expressions — same string is the oracle."""
+    return _planner(spark, sf_dir).sql(_SQL_Q14)
+
+
 def q_sql_comma_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 in TEXTBOOK comma-join syntax — the cross joins become
     equi hash joins via MergeFilterIntoJoinRule and every filter lands
@@ -2706,6 +2724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_q1": q_sql_q1,
         "q_sql_q12": q_sql_q12,
         "q_sql_q19": q_sql_q19,
+        "q_sql_q14": q_sql_q14,
         "q_date_functions": q_date_functions,
         "q_rollup": q_rollup,
         "q_cube": q_cube,

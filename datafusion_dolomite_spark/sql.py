@@ -281,28 +281,35 @@ class _Parser:
                 # HAVING over the aggregate's OUTPUT (reference output
                 # aliases or group columns) — a plain filter above the agg
                 builder = builder.filter(self._expr())
-            # aliased group keys in the SELECT list (``o_custkey AS x``)
-            # aren't part of the aggregate's natural output — re-project
-            # to the select-list shape when simple column aliases differ
-            plain_simple = all(
-                isinstance(e, Col)
-                or (isinstance(e, Alias) and isinstance(e.expr, Col))
-                for e in plain
-            )
+            # aliased group keys in the SELECT list (``o_custkey AS x``,
+            # ``year(d) AS y``) aren't part of the aggregate's natural
+            # output — re-project to the select-list shape when they differ
+            from .operators.logical import output_name as _oname
+
+            def _as_output_ref(e):
+                """Select-list item -> expr over the aggregate's output,
+                or None if not expressible."""
+                if _contains_aggregate(e):
+                    return Col(e.name) if isinstance(e, Alias) else None
+                if isinstance(e, Col):
+                    return e
+                if isinstance(e, Alias):
+                    if isinstance(e.expr, Col):
+                        return e
+                    if e.expr in group_exprs:
+                        return Alias(Col(_oname(e.expr)), e.name)
+                return None
+
             wanted = [
                 (e.name if isinstance(e, (Alias, Col)) else None) for e in items
             ]
             natural = [
-                (e.name if isinstance(e, (Alias, Col)) else None)
+                (_oname(e) if not isinstance(e, str) else e)
                 for e in (group_exprs or plain)
             ] + [a.name for a in aggs]
-            if plain_simple and wanted != natural and all(wanted):
-                builder = builder.projection(
-                    [
-                        e if not _contains_aggregate(e) else Col(e.name)
-                        for e in items
-                    ]
-                )
+            refs = [_as_output_ref(e) for e in items]
+            if all(wanted) and wanted != natural and all(r is not None for r in refs):
+                builder = builder.projection(refs)
         elif star:
             builder = builder.projection(self._expand_star(builder))
         else:
