@@ -52,7 +52,7 @@ _KEYWORDS = {
     "semi", "anti", "on", "where", "group", "by", "order", "limit", "as",
     "and", "or", "asc", "desc", "cast", "having", "union", "all",
     "intersect", "except", "between", "not", "in", "exists", "with",
-    "like", "case", "when", "then", "else", "end", "is", "null",
+    "like", "case", "when", "then", "else", "end", "is", "null", "cross",
 }
 
 
@@ -220,6 +220,10 @@ class _Parser:
 
         # joins
         while True:
+            if self.accept("kw", "cross"):
+                self.expect("kw", "join")
+                builder = builder.join(self._table(), JoinType.INNER, Lit(True))
+                continue
             jt = self._join_type()
             if jt is None:
                 break

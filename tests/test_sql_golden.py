@@ -311,3 +311,12 @@ def test_rewrites_yaml_golden(case, catalog):
     plan = parse_sql(case["sql"], catalog)
     optimized = HepOptimizer(default_rewrite_rules(), ctx).find_best_plan(plan)
     assert optimized.explain() == case["expected_optimized_plan"].rstrip("\n")
+
+
+def test_cross_join_keyword(planner):
+    df = planner.sql(
+        "select r_name, n_name from region cross join nation "
+        "where r_regionkey = n_regionkey and r_name = 'ASIA'"
+    )
+    rows = [tuple(r) for r in df.collect()]
+    assert len(rows) == 5 and all(r[0] == "ASIA" for r in rows)
