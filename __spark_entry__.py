@@ -90,6 +90,26 @@ where l_partkey = p_partkey
 group by year(l_shipdate), month(l_shipdate)"""
 
 
+_SQL_Q10 = """select c_custkey, c_name,
+       cast(sum(cast(l_extendedprice as decimal(12,2))
+                * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2))))
+            as double) as revenue
+from customer, orders, lineitem
+where c_custkey = o_custkey
+  and o_orderkey = l_orderkey
+  and l_returnflag = 'R'
+group by c_custkey, c_name
+order by revenue desc, c_custkey
+limit 20"""
+
+
+_SQL_Q13 = """select c_count, count(*) as custdist
+from (select c_custkey, count(o_orderkey) as c_count
+      from customer left join orders on c_custkey = o_custkey
+      group by c_custkey) t
+group by c_count"""
+
+
 _SQL_COMMA_Q5 = """select n_name,
        cast(sum(cast(l_extendedprice as decimal(12,2))
                 * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2))))
@@ -1405,6 +1425,8 @@ EXTENSION_ORACLES = {
         "q_sql_q12": _SQL_Q12,
         "q_sql_q19": _SQL_Q19,
         "q_sql_q14": _SQL_Q14,
+        "q_sql_q10": _SQL_Q10,
+        "q_sql_q13": _SQL_Q13,
     "q_cube": """
         SELECT COALESCE(event_type, '(all)') AS etype,
                COALESCE(dayofweek(ts) + 1, -1) AS wd,
@@ -2160,6 +2182,18 @@ def q_sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).sql(_SQL_Q14)
 
 
+def q_sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 in SQL: 3-way comma join, decimal aggregate, ordered
+    top-20 — same string is the oracle."""
+    return _planner(spark, sf_dir).sql(_SQL_Q10)
+
+
+def q_sql_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 in SQL: derived table over a LEFT JOIN two-level
+    aggregation — same string is the oracle."""
+    return _planner(spark, sf_dir).sql(_SQL_Q13)
+
+
 def q_sql_comma_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 in TEXTBOOK comma-join syntax — the cross joins become
     equi hash joins via MergeFilterIntoJoinRule and every filter lands
@@ -2725,6 +2759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_q12": q_sql_q12,
         "q_sql_q19": q_sql_q19,
         "q_sql_q14": q_sql_q14,
+        "q_sql_q10": q_sql_q10,
+        "q_sql_q13": q_sql_q13,
         "q_date_functions": q_date_functions,
         "q_rollup": q_rollup,
         "q_cube": q_cube,
