@@ -2539,6 +2539,28 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface: collect_set → sort_array →
+    array_join (deterministic — set dedup + total order erase Spark's
+    accumulation-order nondeterminism) plus array cardinality."""
+    bucket = Func("pmod", (col("user_id"), lit(10)))
+    arr = Func("sort_array", (Func("collect_set", (bucket,)),))
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .aggregate(
+            [col("event_type")],
+            [
+                Alias(Func("array_join", (arr, lit(","))), "buckets"),
+                Alias(Func("size", (arr,)), "n_buckets"),
+                Alias(Func("count", ()), "n"),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2736,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_sketches": q_approx_sketches,
         "q_hash_sample": q_hash_sample,
         "q_corpus_mix": q_corpus_mix,
+        "q_array_agg": q_array_agg,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -3078,6 +3101,13 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT doc_id, lang FROM hashed WHERE lang != 'en' AND bucket < 1
             )
             SELECT lang, count(*) AS n_docs FROM mixed GROUP BY lang
+        """,
+        "q_array_agg": """
+            SELECT event_type,
+                   array_to_string(list_sort(list(DISTINCT user_id % 10)), ',') AS buckets,
+                   len(list(DISTINCT user_id % 10)) AS n_buckets,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """

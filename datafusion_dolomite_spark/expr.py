@@ -227,6 +227,7 @@ class Func(Expr):
         "lag": (1,),
         "lead": (1,),
         "ntile": (0,),
+        "array_join": (1,),
     }
 
     def to_column(self):
