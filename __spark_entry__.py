@@ -2561,6 +2561,37 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregates (max_by / min_by ≡ DuckDB arg_max / arg_min):
+    which user produced each type's highest-value event.  The orderer is
+    (cents, event_id) packed into one bigint so ties are impossible and
+    both engines pick the same row."""
+    ordv = BinOp(
+        "+",
+        BinOp(
+            "*",
+            Cast(Func("floor", (BinOp("*", col("value"), lit(100)),)), "bigint"),
+            lit(10000000),
+        ),
+        col("event_id"),
+    )
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .projection([col("event_type"), col("user_id"), col("event_id"), Alias(ordv, "ordv")])
+        .aggregate(
+            [col("event_type")],
+            [
+                Alias(Func("max_by", (col("user_id"), col("ordv"))), "top_user"),
+                Alias(Func("min_by", (col("user_id"), col("ordv"))), "bottom_user"),
+                Alias(Func("max", (col("ordv"),)), "max_ordv"),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2759,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_sample": q_hash_sample,
         "q_corpus_mix": q_corpus_mix,
         "q_array_agg": q_array_agg,
+        "q_argmax": q_argmax,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -3108,6 +3140,18 @@ def _oracle_sql_base() -> dict[str, str]:
                    len(list(DISTINCT user_id % 10)) AS n_buckets,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "q_argmax": """
+            WITH o AS (
+              SELECT event_type, user_id, event_id,
+                     CAST(floor(value * 100) AS BIGINT) * 10000000 + event_id AS ordv
+              FROM events
+            )
+            SELECT event_type,
+                   arg_max(user_id, ordv) AS top_user,
+                   arg_min(user_id, ordv) AS bottom_user,
+                   CAST(max(ordv) AS BIGINT) AS max_ordv
+            FROM o GROUP BY event_type
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """
