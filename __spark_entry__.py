@@ -29,7 +29,7 @@ from datafusion_dolomite_spark import (
     col,
     lit,
 )
-from datafusion_dolomite_spark.expr import BinOp, SortKey
+from datafusion_dolomite_spark.expr import BinOp, CaseWhen, SortKey
 from datafusion_dolomite_spark.sources.catalog import testdata_catalog
 
 
@@ -2592,6 +2592,69 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH sessionization as one optimized plan: lag → 30-min-gap flag
+    → running sum (= session id) → per-session stats.  Two stacked
+    window passes over the same (user, ts) ordering — one shuffle, the
+    second window reuses the partitioning."""
+    from datafusion_dolomite_spark.operators.logical import WindowExprDef
+
+    part = (col("user_id"),)
+    order = (SortKey(col("ts_us")),)
+    gap_flag = CaseWhen(
+        (
+            (
+                BinOp(
+                    "or",
+                    Func("isnull", (col("prev_us"),)),
+                    BinOp("-", col("ts_us"), col("prev_us")).ge(lit(1800000000)),
+                ),
+                lit(1),
+            ),
+        ),
+        lit(0),
+    )
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .projection(
+            [
+                col("user_id"),
+                Alias(BinOp("div", col("ts"), lit(1000)), "ts_us"),
+            ]
+        )
+        .window([WindowExprDef(Func("lag", (col("ts_us"), lit(1))), part, order, "prev_us")])
+        .projection([col("user_id"), col("ts_us"), Alias(gap_flag, "news")])
+        .window(
+            [
+                WindowExprDef(
+                    Func("sum", (col("news"),)),
+                    part,
+                    order,
+                    "session_id",
+                    frame=("rows", None, 0),
+                )
+            ]
+        )
+        .aggregate(
+            [col("user_id"), col("session_id")],
+            [
+                Alias(Func("count", ()), "n_events"),
+                Alias(
+                    BinOp(
+                        "div",
+                        BinOp("-", Func("max", (col("ts_us"),)), Func("min", (col("ts_us"),))),
+                        lit(1000000),
+                    ),
+                    "duration_s",
+                ),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2791,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_mix": q_corpus_mix,
         "q_array_agg": q_array_agg,
         "q_argmax": q_argmax,
+        "q_sessionize_batch": q_sessionize_batch,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -3152,6 +3216,27 @@ def _oracle_sql_base() -> dict[str, str]:
                    arg_min(user_id, ordv) AS bottom_user,
                    CAST(max(ordv) AS BIGINT) AS max_ordv
             FROM o GROUP BY event_type
+        """,
+        "q_sessionize_batch": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_us
+              FROM events
+            ), flagged AS (
+              SELECT user_id, ts_us,
+                     CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+                          THEN 1 ELSE 0 END AS news
+              FROM e
+            ), sess AS (
+              SELECT user_id, ts_us,
+                     sum(news) OVER (PARTITION BY user_id ORDER BY ts_us
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   (max(ts_us) - min(ts_us)) // 1000000 AS duration_s
+            FROM sess GROUP BY user_id, session_id
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """
