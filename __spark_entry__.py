@@ -2655,6 +2655,72 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users whose first view precedes their first
+    click precedes their first purchase — conditional-min staging in ONE
+    aggregate pass (no self-joins), the standard events-funnel shape."""
+    def first_ts(t):
+        return Func(
+            "min",
+            (CaseWhen(((col("event_type").eq(lit(t)), BinOp("div", col("ts"), lit(1000))),), None),),
+        )
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .aggregate(
+            [col("user_id")],
+            [
+                Alias(first_ts("view"), "first_view"),
+                Alias(first_ts("click"), "first_click"),
+                Alias(first_ts("purchase"), "first_purchase"),
+            ],
+        )
+        .projection(
+            [
+                col("user_id"),
+                Alias(
+                    CaseWhen(
+                        (
+                            (
+                                BinOp(
+                                    "and",
+                                    BinOp(
+                                        "and",
+                                        Func("isnotnull", (col("first_view"),)),
+                                        BinOp(
+                                            "and",
+                                            Func("isnotnull", (col("first_click"),)),
+                                            Func("isnotnull", (col("first_purchase"),)),
+                                        ),
+                                    ),
+                                    BinOp(
+                                        "and",
+                                        col("first_view").lt(col("first_click")),
+                                        col("first_click").lt(col("first_purchase")),
+                                    ),
+                                ),
+                                lit(1),
+                            ),
+                        ),
+                        lit(0),
+                    ),
+                    "converted",
+                ),
+            ]
+        )
+        .aggregate(
+            [],
+            [
+                Alias(Func("sum", (col("converted"),)), "n_converted"),
+                Alias(Func("count", ()), "n_users"),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2855,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_agg": q_array_agg,
         "q_argmax": q_argmax,
         "q_sessionize_batch": q_sessionize_batch,
+        "q_funnel": q_funnel,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -3237,6 +3304,22 @@ def _oracle_sql_base() -> dict[str, str]:
                    count(*) AS n_events,
                    (max(ts_us) - min(ts_us)) // 1000000 AS duration_s
             FROM sess GROUP BY user_id, session_id
+        """,
+        "q_funnel": """
+            WITH stages AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+                     min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click,
+                     min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
+              FROM events GROUP BY user_id
+            )
+            SELECT CAST(sum(CASE WHEN first_view IS NOT NULL AND first_click IS NOT NULL
+                              AND first_purchase IS NOT NULL
+                              AND first_view < first_click
+                              AND first_click < first_purchase
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+                   count(*) AS n_users
+            FROM stages
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """
