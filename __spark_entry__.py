@@ -2721,6 +2721,50 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted per
+    day-offset — dedup to (user, day), window-min for the cohort, one
+    aggregate.  The day-N retention matrix every activity dashboard
+    computes."""
+    from datafusion_dolomite_spark.operators.logical import WindowExprDef
+
+    us_per_day = 86400 * 1000 * 1000
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .projection(
+            [
+                col("user_id"),
+                Alias(
+                    BinOp("div", BinOp("div", col("ts"), lit(1000)), lit(us_per_day)),
+                    "day",
+                ),
+            ]
+        )
+        .distinct()
+        .window(
+            [
+                WindowExprDef(
+                    Func("min", (col("day"),)), (col("user_id"),), (), "cohort"
+                )
+            ]
+        )
+        .projection(
+            [
+                col("cohort"),
+                Alias(BinOp("-", col("day"), col("cohort")), "offset"),
+                col("user_id"),
+            ]
+        )
+        .aggregate(
+            [col("cohort"), col("offset")],
+            [Alias(Func("count_distinct", (col("user_id"),)), "n_users")],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2922,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_argmax": q_argmax,
         "q_sessionize_batch": q_sessionize_batch,
         "q_funnel": q_funnel,
+        "q_retention": q_retention,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -3320,6 +3365,19 @@ def _oracle_sql_base() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
                    count(*) AS n_users
             FROM stages
+        """,
+        "q_retention": """
+            WITH ud AS (
+              SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ), c AS (
+              SELECT user_id, day,
+                     min(day) OVER (PARTITION BY user_id) AS cohort
+              FROM ud
+            )
+            SELECT cohort, day - cohort AS "offset",
+                   count(DISTINCT user_id) AS n_users
+            FROM c GROUP BY cohort, day - cohort
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """
