@@ -2765,6 +2765,34 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column surface: props JSON parsed once into
+    map<string,bigint> (from_json), then element_at + map_keys — typed
+    map access instead of per-field JSON re-parsing."""
+    m = Func("from_json", (col("props"), lit("map<string,bigint>")))
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .projection(
+            [
+                col("event_type"),
+                Alias(Func("element_at", (m, lit("k"))), "k"),
+                Alias(Func("size", (Func("map_keys", (m,)),)), "n_keys"),
+            ]
+        )
+        .aggregate(
+            [col("event_type")],
+            [
+                Alias(Func("sum", (col("k"),)), "sum_k"),
+                Alias(Func("max", (col("n_keys"),)), "max_keys"),
+                Alias(Func("count", ()), "n"),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_sql_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED scalar aggregate subquery (TPC-H Q2/Q17 pattern),
     decorrelated into a per-key aggregate + equi-join
@@ -2967,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize_batch": q_sessionize_batch,
         "q_funnel": q_funnel,
         "q_retention": q_retention,
+        "q_map_functions": q_map_functions,
         "q_topk": q_topk,
         "q_distinct": q_distinct,
         "q_semi_join": q_semi_join,
@@ -3378,6 +3407,13 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT cohort, day - cohort AS "offset",
                    count(DISTINCT user_id) AS n_users
             FROM c GROUP BY cohort, day - cohort
+        """,
+        "q_map_functions": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   max(len(json_keys(props))) AS max_keys,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
         "q_semi_join": """

@@ -228,6 +228,8 @@ class Func(Expr):
         "lead": (1,),
         "ntile": (0,),
         "array_join": (1,),
+        "from_json": (1,),
+        "element_at": (1,),
     }
 
     def to_column(self):
