@@ -47,7 +47,7 @@ def main() -> None:
             # squeeze later queries' execution memory
             spark.catalog.clearCache()
 
-    ok = [t for t in timings.values() if t >= 0]
+    ok = sorted(t for t in timings.values() if t >= 0)
     total = round(sum(ok), 4)
     print(
         json.dumps(
@@ -59,6 +59,8 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_failed": len(timings) - len(ok),
+                "p50_query_sec": round(ok[len(ok) // 2], 4) if ok else -1.0,
+                "max_query_sec": round(ok[-1], 4) if ok else -1.0,
             }
         )
     )
