@@ -34,6 +34,9 @@ from datafusion_dolomite_spark.sources.catalog import testdata_catalog
 
 
 def _planner(spark: SparkSession, sf_dir: str) -> QueryPlanner:
+    # QueryPlanner pins the runtime confs the engine needs (nanosAsLong,
+    # UTC, Arrow) on whatever session the driver hands us — the engine
+    # must work on a session built WITHOUT our session.py factory.
     return QueryPlanner(spark, testdata_catalog(sf_dir))
 
 

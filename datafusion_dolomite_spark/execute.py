@@ -46,6 +46,9 @@ _JOIN_HOW = {
 
 class SparkExecutor:
     def __init__(self, spark, catalog: Catalog):
+        from .session import configure_session
+
+        configure_session(spark)
         self.spark = spark
         self.catalog = catalog
 

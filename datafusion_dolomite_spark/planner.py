@@ -86,6 +86,9 @@ class QueryPlanner:
         rewrite_rules: Optional[Sequence[Rule]] = None,
         cascades_rules: Optional[Sequence[Rule]] = None,
     ):
+        from .session import configure_session
+
+        configure_session(spark)
         self.spark = spark
         self.catalog = catalog
         self.ctx = OptimizerContext(catalog)

@@ -10,7 +10,38 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["get_spark", "stop_spark"]
+__all__ = ["get_spark", "stop_spark", "configure_session"]
+
+# Runtime-settable SQL confs the engine depends on regardless of which
+# SparkSession it is handed.  The driver (and any embedding application)
+# builds its own session without our builder configs, so every entry
+# point re-asserts these defensively before the first read:
+# * nanosAsLong — events.parquet stores TIMESTAMP(NANOS); without this
+#   every events scan dies with PARQUET_TYPE_ILLEGAL (the single cause of
+#   all 17 round-1 driver failures).
+# * UTC session timezone + Arrow — oracle determinism of date/timestamp
+#   queries and the pandas-UDF fast path assume them.
+_REQUIRED_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def configure_session(spark) -> None:
+    """Pin the runtime SQL confs the engine requires on an arbitrary,
+    possibly externally-built SparkSession.  Idempotent and cheap; all
+    keys are runtime-settable (no session restart needed)."""
+    for key, value in _REQUIRED_RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:
+            # A conf unavailable on some Spark build must not take down
+            # the query path; the read will surface any real problem.
+            pass
 
 
 def get_spark(app_name: str = "datafusion-dolomite-spark", cpus: int | None = None):

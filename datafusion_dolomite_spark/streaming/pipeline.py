@@ -33,8 +33,10 @@ def _event_stream(spark, sf_dir: str):
     (see session.py nanosAsLong); convert with integer division — exact."""
     from pyspark.sql import functions as F
 
+    from ..session import configure_session
     from ..sources.catalog import testdata_catalog
 
+    configure_session(spark)
     schema = testdata_catalog(sf_dir).schema("events").to_struct_type()
     raw = (
         spark.readStream.schema(schema)
