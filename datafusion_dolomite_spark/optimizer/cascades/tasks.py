@@ -204,6 +204,14 @@ class OptimizeInputsTask(Task):
         group = r.group(self.expr.group_id)
         cur = group.winner(self.required)
         upper_bound = cur.cost if cur is not None else float("inf")
+        # This task also memoizes under the default (unconstrained)
+        # property; prune on the LOOSER of the two bounds so a candidate
+        # that loses under `required` can still improve the default
+        # winner (otherwise the default winner ends up overcosted).
+        if self.required != _DEFAULT_PROP:
+            cur_def = group.winner(_DEFAULT_PROP)
+            def_bound = cur_def.cost if cur_def is not None else float("inf")
+            upper_bound = max(upper_bound, def_bound)
 
         child_costs = 0.0
         achieved_child_props: List[PhysicalPropertySet] = []

@@ -132,10 +132,16 @@ class PushFilterThroughJoinRule(Rule):
         right_cols = _handle_columns(right_h)
         if left_cols is None or right_cols is None:
             return
+        # A name visible on BOTH sides (self-join) is ambiguous — pushing
+        # such a conjunct to one side silently changes semantics, so it
+        # stays above the join.
+        ambiguous = left_cols & right_cols
         left_push, right_push, keep = [], [], []
         for c in _conjuncts(filt.predicate):
             refs = set(c.columns())
-            if refs and refs <= left_cols:
+            if refs and refs & ambiguous:
+                keep.append(c)
+            elif refs and refs <= left_cols:
                 left_push.append(c)
             elif refs and refs <= right_cols:
                 right_push.append(c)
@@ -190,10 +196,16 @@ class MergeFilterIntoJoinRule(Rule):
         right_cols = _handle_columns(right_h)
         if left_cols is None or right_cols is None:
             return
+        # Same ambiguity guard as PushFilterThroughJoinRule: a name on
+        # BOTH sides (self-join) can't be attributed to either, so a
+        # conjunct touching it is neither merged nor classified two-sided.
+        ambiguous = left_cols & right_cols
         merge, keep = [], []
         for c in _conjuncts(filt.predicate):
             refs = set(c.columns())
-            if refs & left_cols and refs & right_cols:
+            if refs & ambiguous:
+                keep.append(c)
+            elif refs & left_cols and refs & right_cols:
                 merge.append(c)
             else:
                 keep.append(c)

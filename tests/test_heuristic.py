@@ -146,6 +146,28 @@ def test_filter_split_through_join(ctx):
     )
 
 
+def test_filter_not_pushed_on_ambiguous_self_join_column(ctx):
+    """Self-join: both sides expose the same column names, so pushing a
+    conjunct that references them to one side would change semantics.
+    The conjunct must stay ABOVE the join (ADVICE r1, pushdown.py)."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("customer")
+        .join(
+            LogicalPlanBuilder().scan("customer"),
+            JoinType.INNER,
+            col("c_nationkey").eq(col("c_nationkey")),
+        )
+        .filter(col("c_acctbal").gt(lit(100.0)))
+        .build()
+    )
+    out = _opt(plan, ctx, default_rewrite_rules())
+    # the filter survives above the join; neither scan absorbed it
+    text = out.explain()
+    assert text.startswith("LogicalFilter"), text
+    assert "filters: [(c_acctbal > 100.0)]" not in text
+
+
 def test_projection_prunes_scan_columns(ctx):
     plan = (
         LogicalPlanBuilder()
