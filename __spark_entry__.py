@@ -106,6 +106,20 @@ order by revenue desc, c_custkey
 limit 20"""
 
 
+_SQL_WINDOW = """select o_custkey, o_orderkey,
+       rank() over (partition by o_custkey
+                    order by o_totalprice desc, o_orderkey) as rk,
+       cast(sum(cast(o_totalprice as decimal(12,2)))
+            over (partition by o_custkey order by o_orderkey
+                  rows between unbounded preceding and current row)
+            as double) as run_total,
+       lag(o_orderkey, 1) over (partition by o_custkey order by o_orderkey)
+           as prev_key
+from orders
+where o_totalprice > 100000
+order by o_custkey, o_orderkey"""
+
+
 _SQL_Q13 = """select c_count, count(*) as custdist
 from (select c_custkey, count(o_orderkey) as c_count
       from customer left join orders on c_custkey = o_custkey
@@ -1425,6 +1439,7 @@ EXTENSION_ORACLES = {
         "q_sql_comma_q5": _SQL_COMMA_Q5,
         "q_sql_q18": _SQL_Q18,
         "q_sql_q1": _SQL_Q1,
+        "q_sql_window": _SQL_WINDOW,
         "q_sql_q12": _SQL_Q12,
         "q_sql_q19": _SQL_Q19,
         "q_sql_q14": _SQL_Q14,
@@ -2158,6 +2173,16 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+def q_sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions through the SQL front door: rank / running
+    decimal sum with a ROWS frame / lag, lowered onto LogicalWindow
+    (sql.py _window_spec; beyond the reference's SQL conversion surface,
+    conversion/logical.rs:119-135).  Deterministic: every OVER ordering
+    carries the unique o_orderkey tie-break; running sum is decimal-exact
+    then cast to double.  Same string is the oracle."""
+    return _planner(spark, sf_dir).sql(_SQL_WINDOW)
 
 
 def q_sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2989,6 +3014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retention": q_retention,
         "q_map_functions": q_map_functions,
         "q_events_by_type": q_events_by_type,
+        # -- new this round: SQL OVER clause ----------------------------
+        "q_sql_window": q_sql_window,
         # -- never driver-checked: LLM-pipeline extensions --------------
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
@@ -3017,7 +3044,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_intersect": q_intersect,
         "q_except": q_except,
         "q_anti_join": q_anti_join,
-        "q_left_join": q_left_join,
         # -- never driver-checked: streaming (micro-batch fixed cost) --
         "q_stream_window_counts": q_stream_window_counts,
         "q_stream_sessions": q_stream_sessions,
@@ -3026,6 +3052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_stream_join": q_stream_stream_join,
         "q_stream_stateful": q_stream_stateful,
         # -- never driver-checked: SQL front door ----------------------
+        "q_left_join": q_left_join,
         "q_global_agg": q_global_agg,
         "q_sql_case_like": q_sql_case_like,
         "q_sql_comma_q5": q_sql_comma_q5,

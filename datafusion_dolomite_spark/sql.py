@@ -26,7 +26,7 @@ import re
 from typing import List, Optional
 
 from .expr import Alias, BinOp, Cast, Col, Expr, Func, Lit, SortKey
-from .operators.logical import JoinType, LogicalFilter
+from .operators.logical import JoinType, LogicalFilter, WindowExprDef
 from .plans.plan import LogicalPlanBuilder, Plan
 
 __all__ = ["parse_sql", "SqlError"]
@@ -53,6 +53,8 @@ _KEYWORDS = {
     "and", "or", "asc", "desc", "cast", "having", "union", "all",
     "intersect", "except", "between", "not", "in", "exists", "with",
     "like", "case", "when", "then", "else", "end", "is", "null", "cross",
+    "over", "partition", "rows", "range", "unbounded", "preceding",
+    "following", "current", "row",
 }
 
 
@@ -93,6 +95,21 @@ class _ExistsSubquery:
     def __init__(self, subplan, negated):
         self.subplan = subplan
         self.negated = negated
+
+
+class _WindowExpr:
+    """Parser-internal marker: ``func OVER (...)``.  Never enters the
+    plan — ``_select`` lowers each into a ``WindowExprDef`` on a
+    ``LogicalWindow`` node (window evaluation sits between WHERE and the
+    final projection, matching SQL semantics)."""
+
+    __slots__ = ("func", "partition_by", "order_by", "frame")
+
+    def __init__(self, func, partition_by, order_by, frame):
+        self.func = func
+        self.partition_by = partition_by
+        self.order_by = order_by
+        self.frame = frame
 
 
 class _Tok:
@@ -267,6 +284,52 @@ class _Parser:
             group_exprs.append(self._expr())
             while self.accept("op", ","):
                 group_exprs.append(self._expr())
+
+        # -- window functions: lower OVER items onto a LogicalWindow ----
+        # Each _WindowExpr anywhere in a select item becomes a
+        # WindowExprDef column on a LogicalWindow node (evaluated after
+        # WHERE, before the final projection); the item's residual
+        # expression references it by name.  An item that IS an aliased
+        # window takes the alias as the window column name directly.
+        if any(_contains_window(e) for e in items):
+            if star:
+                raise SqlError("SELECT * cannot be combined with window functions")
+            if group_exprs or any(_contains_aggregate(e) for e in items):
+                raise SqlError(
+                    "window functions over GROUP BY output are not supported; "
+                    "compute the aggregate in a derived table first"
+                )
+            defs: List[WindowExprDef] = []
+
+            def _lower_window(x):
+                if isinstance(x, _WindowExpr):
+                    name = f"_w{len(defs)}"
+                    defs.append(
+                        WindowExprDef(
+                            x.func, x.partition_by, x.order_by, name, x.frame
+                        )
+                    )
+                    return Col(name)
+                if isinstance(x, Alias):
+                    if isinstance(x.expr, _WindowExpr):
+                        w = x.expr
+                        defs.append(
+                            WindowExprDef(
+                                w.func, w.partition_by, w.order_by, x.name, w.frame
+                            )
+                        )
+                        return Col(x.name)
+                    return Alias(_lower_window(x.expr), x.name)
+                if isinstance(x, BinOp):
+                    return BinOp(x.op, _lower_window(x.left), _lower_window(x.right))
+                if isinstance(x, Cast):
+                    return Cast(_lower_window(x.expr), x.to_type)
+                if isinstance(x, Func):
+                    return Func(x.name, tuple(_lower_window(a) for a in x.args))
+                return x
+
+            items = [_lower_window(e) for e in items]
+            builder = builder.window(defs)
 
         has_agg = any(_contains_aggregate(e) for e in items)
         if group_exprs or has_agg:
@@ -565,7 +628,10 @@ class _Parser:
             self.expect("op", ")")
             if fname != "count":
                 raise SqlError(f"'*' argument only valid for count, got {name}")
-            return Func("count", ())
+            func = Func("count", ())
+            if self.accept("kw", "over"):
+                return self._window_spec(func)
+            return func
         if self.accept("kw", "distinct"):
             arg = self._expr()
             self.expect("op", ")")
@@ -578,7 +644,59 @@ class _Parser:
             while self.accept("op", ","):
                 args.append(self._expr())
             self.expect("op", ")")
-        return Func(fname, tuple(args))
+        func = Func(fname, tuple(args))
+        if self.accept("kw", "over"):
+            return self._window_spec(func)
+        return func
+
+    def _window_spec(self, func: Func) -> "_WindowExpr":
+        """``OVER (PARTITION BY e, ... ORDER BY k, ...
+        [ROWS|RANGE BETWEEN <bound> AND <bound>])``"""
+        self.expect("op", "(")
+        partition_by: List[Expr] = []
+        if self.accept("kw", "partition"):
+            self.expect("kw", "by")
+            partition_by.append(self._expr())
+            while self.accept("op", ","):
+                partition_by.append(self._expr())
+        order_by: List[SortKey] = []
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            order_by.append(self._sort_key())
+            while self.accept("op", ","):
+                order_by.append(self._sort_key())
+        frame = None
+        kind = None
+        if self.accept("kw", "rows"):
+            kind = "rows"
+        elif self.accept("kw", "range"):
+            kind = "range"
+        if kind is not None:
+            self.expect("kw", "between")
+            start = self._frame_bound()
+            self.expect("kw", "and")
+            end = self._frame_bound()
+            frame = (kind, start, end)
+        self.expect("op", ")")
+        return _WindowExpr(func, tuple(partition_by), tuple(order_by), frame)
+
+    def _frame_bound(self) -> Optional[int]:
+        """UNBOUNDED PRECEDING/FOLLOWING | CURRENT ROW | n PRECEDING |
+        n FOLLOWING → None / 0 / -n / +n (WindowExprDef encoding)."""
+        if self.accept("kw", "unbounded"):
+            if not (self.accept("kw", "preceding") or self.accept("kw", "following")):
+                raise SqlError("expected PRECEDING or FOLLOWING after UNBOUNDED")
+            return None
+        if self.accept("kw", "current"):
+            self.expect("kw", "row")
+            return 0
+        n = self.expect("number")
+        if "." in n.value:
+            raise SqlError("frame offset must be an integer")
+        if self.accept("kw", "preceding"):
+            return -int(n.value)
+        self.expect("kw", "following")
+        return int(n.value)
 
     def _expand_star(self, builder: LogicalPlanBuilder) -> List[Expr]:
         """Expand ``*`` through the catalog (scan binding, like the
@@ -615,6 +733,18 @@ def _split_in_conjuncts(pred):
     if _contains_insub(pred):
         raise SqlError("IN (SELECT ...) only supported as a top-level AND conjunct")
     return pred, []
+
+
+def _contains_window(e) -> bool:
+    if isinstance(e, _WindowExpr):
+        return True
+    if isinstance(e, BinOp):
+        return _contains_window(e.left) or _contains_window(e.right)
+    if isinstance(e, (Alias, Cast)):
+        return _contains_window(e.expr)
+    if isinstance(e, Func):
+        return any(_contains_window(a) for a in e.args)
+    return False
 
 
 def _contains_insub(e) -> bool:

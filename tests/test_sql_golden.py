@@ -320,3 +320,60 @@ def test_cross_join_keyword(planner):
     )
     rows = [tuple(r) for r in df.collect()]
     assert len(rows) == 5 and all(r[0] == "ASIA" for r in rows)
+
+
+def test_sql_window_parses_to_logical_window(catalog):
+    plan = parse_sql(
+        "select o_custkey, "
+        "rank() over (partition by o_custkey order by o_totalprice desc) as rk "
+        "from orders",
+        catalog,
+    )
+    assert plan.explain() == (
+        "LogicalProjection { expr: [o_custkey, rk] }\n"
+        "└── LogicalWindow { exprs: [rank() over (partition by [o_custkey] "
+        "order by [o_totalprice desc nulls_last]) as rk] }\n"
+        '    └── LogicalScan { table_name: "orders" }'
+    )
+
+
+def test_sql_window_frame_and_nested_cast(catalog):
+    plan = parse_sql(
+        "select cast(sum(o_totalprice) over (partition by o_custkey "
+        "order by o_orderkey rows between unbounded preceding and current row) "
+        "as double) as run_total from orders",
+        catalog,
+    )
+    text = plan.explain()
+    assert "rows between unbounded preceding and current row" in text
+    assert "cast(_w0 as double) as run_total" in text
+
+
+def test_sql_window_range_frame_and_count_star(catalog):
+    plan = parse_sql(
+        "select count(*) over (partition by o_custkey order by o_totalprice "
+        "range between 100 preceding and 2 following) as c from orders",
+        catalog,
+    )
+    assert "range between 100 preceding and 2 following" in plan.explain()
+
+
+def test_sql_window_rejects_group_by_mix(catalog):
+    with pytest.raises(SqlError):
+        parse_sql(
+            "select o_custkey, sum(o_totalprice) as s, "
+            "rank() over (order by o_custkey) as rk "
+            "from orders group by o_custkey",
+            catalog,
+        )
+
+
+def test_sql_window_executes_end_to_end(planner):
+    df = planner.sql(
+        "select o_custkey, o_orderkey, "
+        "row_number() over (partition by o_custkey order by o_orderkey) as rn "
+        "from orders where o_totalprice > 100000 order by o_custkey, o_orderkey limit 10"
+    )
+    rows = [tuple(r) for r in df.collect()]
+    assert len(rows) == 10
+    assert rows[0][2] == 1
