@@ -69,7 +69,7 @@ class SparkCostModel(CostModel):
         if op.is_logical():
             raise ValueError(f"cannot cost logical operator {op.pretty()}")
         rows = [s.row_count if s is not None else 1e6 for s in input_stats]
-        out = _output_rows(op, rows, ctx)
+        out = _output_rows(op, rows, ctx, input_stats)
 
         if isinstance(op, P.PhysicalTableScan):
             return max(out, 1.0)
@@ -139,11 +139,54 @@ class SparkCostModel(CostModel):
         return 1.0
 
 
-def _output_rows(op: Operator, input_rows, ctx=None) -> float:
+def _equi_key_ndv_selectivity(condition, left_stats, right_stats):
+    """Join selectivity from per-column ndv: for each equi conjunct
+    ``l = r``, selectivity 1/max(ndv_l, ndv_r) (the textbook System-R
+    estimate; ref declares the ndv field at ``stat.rs:6-21`` but never
+    fills it).  Returns None when no conjunct has usable ndv on a
+    side-attributable column pair."""
+    from ...expr import BinOp, Col
+
+    if left_stats is None or right_stats is None or condition is None:
+        return None
+    lcols = {name for name, _ in left_stats.columns}
+    rcols = {name for name, _ in right_stats.columns}
+    if not lcols and not rcols:
+        return None
+    conjuncts = (
+        condition.conjuncts() if isinstance(condition, BinOp) else (condition,)
+    )
+    sel = None
+    for c in conjuncts:
+        if not (
+            isinstance(c, BinOp)
+            and c.op == "="
+            and isinstance(c.left, Col)
+            and isinstance(c.right, Col)
+        ):
+            continue
+        a, b = c.left.name, c.right.name
+        # attribute each side; skip ambiguous (self-join) names
+        if a in lcols and b in rcols and a not in rcols and b not in lcols:
+            lk, rk = a, b
+        elif b in lcols and a in rcols and b not in rcols and a not in lcols:
+            lk, rk = b, a
+        else:
+            continue
+        ndv = max(left_stats.ndv(lk), right_stats.ndv(rk))
+        if ndv <= 0:
+            continue
+        sel = (sel if sel is not None else 1.0) / ndv
+    return sel
+
+
+def _output_rows(op: Operator, input_rows, ctx=None, input_stats=None) -> float:
     """Crude output-cardinality estimate; also used as the derived
     statistics for parent operators (the reference's ``derive_statistics``
     is ``todo!()`` — this is our working version).  Accepts logical OR
-    physical operators (groups derive stats from their logical exprs)."""
+    physical operators (groups derive stats from their logical exprs).
+    When ``input_stats`` carry per-column ndv, joins use the System-R
+    equi-key estimate and grouped aggregates the group-key ndv product."""
     from ...operators import logical as L
 
     if isinstance(op, L.LogicalScan):
@@ -191,11 +234,31 @@ def _output_rows(op: Operator, input_rows, ctx=None) -> float:
     if isinstance(
         op, (P.PhysicalHashJoin, P.PhysicalBroadcastHashJoin, P.PhysicalSortMergeJoin)
     ):
-        # equi-join: assume FK→PK, output ≈ probe side
+        if input_stats is not None and len(input_stats) == 2:
+            sel = _equi_key_ndv_selectivity(
+                getattr(op, "condition", None), input_stats[0], input_stats[1]
+            )
+            if sel is not None:
+                return max(1.0, input_rows[0] * input_rows[1] * sel)
+        # no ndv: assume FK→PK, output ≈ probe side
         return max(input_rows[0], 1.0)
     if isinstance(op, P.PhysicalHashAggregate):
         n = input_rows[0] if input_rows else 1.0
-        return max(1.0, n ** 0.5) if op.group_exprs else 1.0
+        if not op.group_exprs:
+            return 1.0
+        if input_stats is not None and input_stats and input_stats[0] is not None:
+            from ...expr import Col
+
+            ndvs = [
+                input_stats[0].ndv(g.name) if isinstance(g, Col) else 0.0
+                for g in op.group_exprs
+            ]
+            if all(v > 0 for v in ndvs):
+                prod = 1.0
+                for v in ndvs:
+                    prod *= v
+                return max(1.0, min(n, prod))
+        return max(1.0, n ** 0.5)
     if isinstance(op, P.PhysicalDistinct):
         n = input_rows[0] if input_rows else 1.0
         return max(1.0, 0.5 * n)
@@ -223,4 +286,44 @@ def _output_rows(op: Operator, input_rows, ctx=None) -> float:
 
 def derive_stats(op: Operator, input_stats, ctx=None) -> Statistics:
     rows = [s.row_count if s is not None else 1e6 for s in input_stats]
-    return Statistics(row_count=_output_rows(op, rows, ctx))
+    out_rows = _output_rows(op, rows, ctx, input_stats)
+    return Statistics(
+        row_count=out_rows, columns=_propagate_columns(op, input_stats, ctx, out_rows)
+    )
+
+
+def _propagate_columns(op: Operator, input_stats, ctx, out_rows: float):
+    """Carry per-column ndv up the plan: scans seed from the catalog,
+    joins union both sides, grouped aggregates/distincts keep their key
+    columns; everything else passes its input through.  ndv is capped at
+    the node's output row count (a column can't have more distinct values
+    than rows)."""
+    from ...expr import Col
+    from ...operators.properties import ColumnStatistics
+
+    table = getattr(op, "table_name", None)
+    if table is not None and ctx is not None and getattr(ctx, "catalog", None):
+        try:
+            cols = ctx.catalog.statistics(table).columns
+        except Exception:
+            return ()
+    elif len(input_stats) >= 2:
+        seen: dict = {}
+        for s in input_stats:
+            if s is None:
+                continue
+            for name, cs in s.columns:
+                seen.setdefault(name, cs)
+        cols = tuple(seen.items())
+    elif input_stats and input_stats[0] is not None:
+        cols = input_stats[0].columns
+        group_exprs = getattr(op, "group_exprs", None)
+        if group_exprs is not None:
+            keep = {g.name for g in group_exprs if isinstance(g, Col)}
+            cols = tuple((n, cs) for n, cs in cols if n in keep)
+    else:
+        return ()
+    return tuple(
+        (n, ColumnStatistics(ndv=min(cs.ndv, out_rows)) if cs.ndv > out_rows else cs)
+        for n, cs in cols
+    )

@@ -49,6 +49,14 @@ class Task:
 class TaskRunner:
     """Owns the stack + memo + rules + cost model."""
 
+    #: max NEW logical exprs transformation rules may add per optimize run.
+    #: Join enumeration (commute+associate+exchange) is exponential in the
+    #: join-graph size; past this budget exploration stops and the best
+    #: order found so far is implemented.  500 exprs keeps 6-table TPC-H
+    #: shapes subsecond (the chosen plan matches the one a 4x budget
+    #: finds) while fully enumerating graphs of ≤4 tables.
+    EXPLORATION_BUDGET = 500
+
     def __init__(self, memo: Memo, rules: List[Rule], cost_model, ctx):
         self.memo = memo
         self.rules = sorted(rules, key=lambda r: -int(r.promise()))
@@ -56,6 +64,7 @@ class TaskRunner:
         self.ctx = ctx
         self.stack: List[Task] = []
         self._scheduled_groups: set[Tuple[int, PhysicalPropertySet]] = set()
+        self.transformations_created = 0
 
     # -- scheduler loop (ref task.rs:58-80) -----------------------------
     def run(self, root_required: PhysicalPropertySet) -> None:
@@ -149,12 +158,19 @@ class ApplyRuleTask(Task):
     def execute(self, r: TaskRunner) -> None:
         if self.rule.rule_id() in self.expr.applied_rules:
             return
+        if (
+            self.rule.transformation
+            and r.transformations_created >= r.EXPLORATION_BUDGET
+        ):
+            return  # budget spent — leave the rule re-appliable, skip now
         self.expr.applied_rules.add(self.rule.rule_id())
         for binding in _bindings(r.memo, self.rule.pattern(), self.expr):
             result = RuleResult()
             self.rule.apply(OptExpression(binding), r.ctx, result)
             for produced in result.exprs:
                 created = r.memo.insert_opt_expression(produced, self.expr.group_id)
+                if self.rule.transformation:
+                    r.transformations_created += len(created)
                 for new_expr in created:
                     is_root = new_expr.group_id == self.expr.group_id
                     if new_expr.is_logical:
@@ -263,6 +279,10 @@ def _bindings(memo: Memo, pattern: Pattern, expr: GroupExpr) -> List[OptExprNode
     product across child groups (ref ``cascades/binding.rs:72-122``)."""
     if not pattern.matches_operator(expr.operator):
         return []
+    # operator nodes carry their group's logical prop so multi-level
+    # rules (associate/exchange) can resolve column ownership even when
+    # a sub-pattern bound an operator rather than a handle
+    own_prop = memo.group(expr.group_id).logical_prop
     if pattern.children is None:
         return [
             OptExprNode(
@@ -271,6 +291,7 @@ def _bindings(memo: Memo, pattern: Pattern, expr: GroupExpr) -> List[OptExprNode
                     OptExprNode(handle=gid, prop=memo.group(gid).logical_prop)
                     for gid in expr.inputs
                 ],
+                prop=own_prop,
             )
         ]
     if len(pattern.children) != len(expr.inputs):
@@ -284,6 +305,6 @@ def _bindings(memo: Memo, pattern: Pattern, expr: GroupExpr) -> List[OptExprNode
             return []
         per_child.append(cands)
     return [
-        OptExprNode(operator=expr.operator, inputs=list(combo))
+        OptExprNode(operator=expr.operator, inputs=list(combo), prop=own_prop)
         for combo in itertools.product(*per_child)
     ]

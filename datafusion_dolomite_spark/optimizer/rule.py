@@ -124,6 +124,13 @@ class Rule:
     #: subclasses override
     name: str = "Rule"
 
+    #: True for pure exploration (transformation) rules — logical→logical
+    #: alternatives like join commutation.  The cascades TaskRunner
+    #: budget-limits these on large join graphs (the reference has no
+    #: budget because its only transformation, CommutateJoin, can't blow
+    #: up; bushy enumeration via associate/exchange can).
+    transformation: bool = False
+
     def pattern(self) -> Pattern:
         raise NotImplementedError
 

@@ -31,6 +31,7 @@ from ..rule import OptExpression, OptimizerContext, Rule, RulePromise, RuleResul
 __all__ = [
     "AssociateJoinRule",
     "CommutateJoinRule",
+    "ExchangeJoinRule",
     "Join2HashJoinRule",
     "Join2BroadcastHashJoinRule",
     "Join2SortMergeJoinRule",
@@ -50,6 +51,7 @@ def _swap_condition(cond: BinOp) -> BinOp:
 
 class CommutateJoinRule(Rule):
     name = "CommutateJoinRule"
+    transformation = True
 
     def pattern(self) -> Pattern:
         return pattern_of(LogicalJoin)  # single join node (ref join.rs:17-20)
@@ -78,6 +80,7 @@ class AssociateJoinRule(Rule):
     ambiguous across inputs."""
 
     name = "AssociateJoinRule"
+    transformation = True
 
     def pattern(self) -> Pattern:
         return pattern_of(
@@ -130,6 +133,69 @@ class AssociateJoinRule(Rule):
         result.add(
             OptExpression.op(
                 LogicalJoin(JoinType.INNER, upper_cond), x_node, new_inner
+            )
+        )
+
+
+class ExchangeJoinRule(Rule):
+    """Exploration: ``(x ⋈ y) ⋈ z → (x ⋈ z) ⋈ y`` (inner joins only),
+    redistributing condition conjuncts by column ownership.  This is the
+    transform associate+commutate can NOT express on a star schema —
+    there every join condition references the fact table, so pure
+    rotation never changes which dimension joins first.  With per-column
+    ndv statistics (stat.rs:6-21, never populated in the reference) the
+    cost model uses this to join the most selective dimension first."""
+
+    name = "ExchangeJoinRule"
+    transformation = True
+
+    def pattern(self) -> Pattern:
+        return pattern_of(
+            LogicalJoin, children=(pattern_of(LogicalJoin), any_pattern())
+        )
+
+    def promise(self) -> RulePromise:
+        return RulePromise.LOW
+
+    def apply(self, input: OptExpression, ctx: OptimizerContext, result: RuleResult) -> None:
+        outer: LogicalJoin = input.root.operator
+        inner_node = input.root.inputs[0]
+        z_node = input.root.inputs[1]
+        inner: LogicalJoin = inner_node.operator
+        if outer.join_type is not JoinType.INNER or inner.join_type is not JoinType.INNER:
+            return
+        x_node, y_node = inner_node.inputs
+        props = [getattr(n, "prop", None) for n in (x_node, y_node, z_node)]
+        if any(p is None for p in props):
+            return
+        xc, yc, zc = (set(p.schema.names()) for p in props)
+        if xc & yc or yc & zc or xc & zc:
+            return  # ambiguous column names — ownership undecidable
+        conjs = []
+        for cond in (outer.condition, inner.condition):
+            conjs.extend(
+                cond.conjuncts() if isinstance(cond, BinOp) else (cond,)
+            )
+        xz = xc | zc
+        universe = xc | yc | zc
+        lower, upper = [], []
+        for c in conjs:
+            refs = set(c.columns())
+            if not refs or not refs <= universe:
+                return
+            (lower if refs <= xz else upper).append(c)
+        # the new lower join must genuinely connect x and z, and the new
+        # upper join needs a condition touching y
+        if not upper or not any(
+            set(c.columns()) & xc and set(c.columns()) & zc for c in lower
+        ):
+            return
+        new_inner = OptExpression.op(
+            LogicalJoin(JoinType.INNER, _and_chain(lower)), x_node, z_node
+        )
+        result.add(
+            OptExpression.op(
+                LogicalJoin(JoinType.INNER, _and_chain(upper)), new_inner, y_node
             )
         )
 

@@ -27,6 +27,7 @@ from .optimizer.rules.impl_rules import IMPLEMENTATION_RULES
 from .optimizer.rules.join import (
     AssociateJoinRule,
     CommutateJoinRule,
+    ExchangeJoinRule,
     Join2BroadcastHashJoinRule,
     Join2HashJoinRule,
     Join2SortMergeJoinRule,
@@ -74,6 +75,7 @@ def default_cascades_rules(enable_join_exploration: bool = True) -> list[Rule]:
     if enable_join_exploration:
         rules.append(CommutateJoinRule())
         rules.append(AssociateJoinRule())
+        rules.append(ExchangeJoinRule())
     return rules
 
 

@@ -27,6 +27,10 @@ from ..operators.properties import (
 
 __all__ = ["Catalog", "testdata_catalog", "TESTDATA_TABLES"]
 
+#: process-wide ndv cache — testdata_catalog() builds a fresh Catalog per
+#: query, but the underlying files (and so their ndv) don't change.
+_NDV_CACHE: Dict[tuple, tuple] = {}
+
 TESTDATA_TABLES = (
     "region",
     "nation",
@@ -127,12 +131,20 @@ class Catalog:
     def read_options(self, name: str) -> Dict[str, str]:
         return self._options.get(name, {})
 
-    def register_schema(self, name: str, schema: Schema, row_count: float = 0.0) -> None:
+    def register_schema(
+        self,
+        name: str,
+        schema: Schema,
+        row_count: float = 0.0,
+        columns: tuple = (),
+    ) -> None:
         """Register a schema-only table (no files) — the analog of the
         reference tests' ``EmptyTable`` fixtures (``test_utils.rs:36-43``):
-        plan-level tests need binding, not data."""
+        plan-level tests need binding, not data.  ``columns`` optionally
+        injects per-column ``ColumnStatistics`` (ndv) for cost-model
+        tests."""
         self._schemas[name] = schema
-        self._stats[name] = Statistics(row_count=row_count)
+        self._stats[name] = Statistics(row_count=row_count, columns=tuple(columns))
         self._paths.setdefault(name, f"<schema-only:{name}>")
 
     def path(self, name: str) -> str:
@@ -216,10 +228,77 @@ class Catalog:
                     duckdb.sql(f"select count(*) from {reader}('{f}')").fetchone()[0]
                     for f in self._files(name)
                 )
-            # NDV left 0 (unknown) — a real deployment would fill from
-            # ANALYZE; cost model falls back to heuristics.
-            self._stats[name] = Statistics(row_count=float(rows), columns=())
+            self._stats[name] = Statistics(
+                row_count=float(rows), columns=self._column_ndv(name)
+            )
         return self._stats[name]
+
+    def _column_ndv(self, name: str):
+        """Per-column ndv for scalar columns.  Parquet footers carry
+        ``distinct_count`` when the writer recorded it; otherwise one
+        DuckDB ``approx_count_distinct`` pass fills the gaps.  Cached
+        process-wide by (path, mtime, size) — on a cluster these numbers
+        come from ANALYZE/metastore, the interface is identical."""
+        if self.format(name) != "parquet":
+            return ()
+        try:
+            files = self._files(name)
+            if not files or not os.path.isfile(files[0]):
+                return ()
+            key = tuple(
+                (f, os.path.getmtime(f), os.path.getsize(f)) for f in files
+            )
+        except OSError:
+            return ()
+        cached = _NDV_CACHE.get(key)
+        if cached is not None:
+            return cached
+
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(files[0])
+        arrow_schema = meta.schema_arrow
+        import pyarrow as pa
+
+        def _scalar(t):
+            return not (
+                pa.types.is_list(t) or pa.types.is_large_list(t)
+                or pa.types.is_struct(t) or pa.types.is_map(t)
+                or pa.types.is_binary(t) or pa.types.is_large_binary(t)
+            )
+
+        scalar_cols = [f.name for f in arrow_schema if _scalar(f.type)]
+        ndv: Dict[str, float] = {}
+        # footer distinct_count (exact, free) where the writer recorded it
+        md = meta.metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                st = col.statistics
+                if st is not None and st.has_distinct_count and st.distinct_count:
+                    path = col.path_in_schema
+                    ndv[path] = ndv.get(path, 0.0) + float(st.distinct_count)
+        missing = [c for c in scalar_cols if c not in ndv]
+        if missing and len(files) <= 64:  # bounded catalog-time work
+            try:
+                import duckdb
+
+                exprs = ", ".join(
+                    f'approx_count_distinct("{c}") AS "{c}"' for c in missing
+                )
+                flist = ", ".join(f"'{f}'" for f in files)
+                row = duckdb.sql(
+                    f"SELECT {exprs} FROM read_parquet([{flist}])"
+                ).fetchone()
+                for c, v in zip(missing, row):
+                    ndv[c] = float(v or 0.0)
+            except Exception:
+                pass
+        out = tuple(
+            (c, ColumnStatistics(ndv=ndv[c])) for c in scalar_cols if c in ndv
+        )
+        _NDV_CACHE[key] = out
+        return out
 
     def _files(self, name: str):
         p = self.path(name)

@@ -325,3 +325,109 @@ def test_range_join_strategy_by_interval_side_size(planner):
     assert isinstance(
         capped.optimize(big).root.operator, PhysicalBucketedRangeJoin
     )
+
+
+def _star_ctx(fact_k_ndv, fact_j_ndv):
+    """Schema-only star schema with injected ndv (ref stat.rs:6-21 —
+    declared there, populated here)."""
+    from datafusion_dolomite_spark.operators.properties import (
+        ColumnStatistics,
+        Field,
+        Schema,
+    )
+    from datafusion_dolomite_spark.optimizer.rule import OptimizerContext
+    from datafusion_dolomite_spark.sources.catalog import Catalog
+
+    cat = Catalog()
+    cat.register_schema(
+        "fact",
+        Schema((Field("k", "bigint", False, qualifier="fact"),
+                Field("j", "bigint", False, qualifier="fact"))),
+        row_count=1_000_000.0,
+        columns=(("k", ColumnStatistics(ndv=fact_k_ndv)),
+                 ("j", ColumnStatistics(ndv=fact_j_ndv))),
+    )
+    cat.register_schema(
+        "da", Schema((Field("dk", "bigint", False, qualifier="da"),)),
+        row_count=1000.0, columns=(("dk", ColumnStatistics(ndv=1000.0)),),
+    )
+    cat.register_schema(
+        "db", Schema((Field("dj", "bigint", False, qualifier="db"),)),
+        row_count=1000.0, columns=(("dj", ColumnStatistics(ndv=1000.0)),),
+    )
+    return OptimizerContext(cat)
+
+
+def _star_plan():
+    return (
+        LogicalPlanBuilder()
+        .scan("fact")
+        .join(LogicalPlanBuilder().scan("da"), JoinType.INNER,
+              col("k").eq(col("dk")))
+        .join(LogicalPlanBuilder().scan("db"), JoinType.INNER,
+              col("j").eq(col("dj")))
+        .build()
+    )
+
+
+def _first_join_partner(plan):
+    """Table name of the scan joined directly with 'fact' (deepest join)."""
+    def walk(node):
+        op = node.operator
+        if "Join" in op.operator_name():
+            names = set()
+            for c in node.inputs:
+                if c.operator.operator_name() == "TableScan":
+                    names.add(c.operator.table_name)
+            if "fact" in names:
+                names.discard("fact")
+                if names:
+                    return names.pop()
+            for c in node.inputs:
+                r = walk(c)
+                if r:
+                    return r
+        else:
+            for c in node.inputs:
+                r = walk(c)
+                if r:
+                    return r
+        return None
+    return walk(plan.root)
+
+
+def test_ndv_stats_flip_join_order():
+    """System-R equi-key selectivity from per-column ndv drives join
+    ordering: the most selective dimension joins the fact table first.
+    Flipping which fact column has high ndv flips the chosen order
+    (requires ExchangeJoinRule — associate+commute alone can't reorder
+    a star schema where every condition touches the fact table)."""
+    results = {}
+    for kndv, jndv in ((1_000_000.0, 100.0), (100.0, 1_000_000.0)):
+        ctx = _star_ctx(kndv, jndv)
+        opt = CascadesOptimizer(
+            default_cascades_rules(), ctx, cost_model=SparkCostModel()
+        )
+        best = opt.find_best_plan(_star_plan())
+        results[(kndv, jndv)] = _first_join_partner(best)
+    assert results[(1_000_000.0, 100.0)] == "da"
+    assert results[(100.0, 1_000_000.0)] == "db"
+
+
+def test_exchange_join_rule_enumerates_swapped_dimension():
+    """The memo contains the (fact ⋈ db) ⋈ da variant after exploration."""
+    ctx = _star_ctx(100.0, 1_000_000.0)
+    opt = CascadesOptimizer(
+        default_cascades_rules(), ctx, cost_model=SparkCostModel()
+    )
+    opt.find_best_plan(_star_plan())
+    conds = set()
+    for g in opt.memo.groups.values():
+        for e in g.logical_exprs:
+            if e.operator.operator_name() == "Join":
+                conds.add(e.operator.condition.pretty())
+    assert any("j = dj" in c or "dj = j" in c for c in conds)
+    assert any("k = dk" in c or "dk = k" in c for c in conds)
+    # the swapped lower join (fact, db) exists in some group as a direct
+    # join between the fact group and the db group
+    assert len(opt.memo.groups) > 5  # new groups were created by exchange
