@@ -23,6 +23,7 @@ from ...operators.logical import (
 )
 from ..pattern import Pattern, pattern_of
 from ..rule import OptExpression, OptimizerContext, Rule, RulePromise, RuleResult
+from ..utils import PatternBuilder
 
 __all__ = [
     "PushLimitOverProjectionRule",
@@ -36,10 +37,9 @@ class PushLimitOverProjectionRule(Rule):
     name = "PushLimitOverProjectionRule"
 
     def pattern(self) -> Pattern:
-        # Limit over Projection (ref limit.rs:21-25)
-        return pattern_of(
-            LogicalLimit, children=(pattern_of(LogicalProjection),)
-        )
+        # Limit over Projection (ref limit.rs:21-25), built with the
+        # TreeBuilder port (utils.rs:1-97)
+        return PatternBuilder(LogicalLimit).leaf(LogicalProjection).end()
 
     def promise(self) -> RulePromise:
         return RulePromise.MEDIUM
@@ -61,7 +61,7 @@ class RemoveLimitRule(Rule):
 
     def pattern(self) -> Pattern:
         # Limit over Limit (ref limit.rs:16-20)
-        return pattern_of(LogicalLimit, children=(pattern_of(LogicalLimit),))
+        return PatternBuilder(LogicalLimit).leaf(LogicalLimit).end()
 
     def promise(self) -> RulePromise:
         return RulePromise.HIGH
@@ -79,7 +79,7 @@ class PushLimitToTableScanRule(Rule):
 
     def pattern(self) -> Pattern:
         # Limit over Scan (ref limit.rs:26-30)
-        return pattern_of(LogicalLimit, children=(pattern_of(LogicalScan),))
+        return PatternBuilder(LogicalLimit).leaf(LogicalScan).end()
 
     def promise(self) -> RulePromise:
         return RulePromise.HIGH
