@@ -108,20 +108,24 @@ class Group:
 
 
 class Memo:
-    def __init__(self, ctx=None):
+    def __init__(self, ctx=None, enable_group_merge: bool = False):
         self.ctx = ctx
         self.groups: Dict[int, Group] = {}
         self._next_gid = 0
         #: GroupExprKey → group id (dedup map, ref memo.rs:713-719)
         self.expr_index: Dict[Tuple[Operator, Tuple[int, ...]], int] = {}
-        #: duplicate-group detections, marked but never merged
+        #: duplicate-group detections; marked but not merged by default
+        #: (the reference implements merging but leaves it disabled,
+        #: ``task.rs:146-149``/``memo.rs:159-279`` — flip the flag to run
+        #: the merges eagerly)
         self.pending_merges: List[Tuple[int, int]] = []
+        self.enable_group_merge = enable_group_merge
         self.root_group_id: int = -1
 
     # -- construction ---------------------------------------------------
     @classmethod
-    def from_plan(cls, plan: Plan, ctx=None) -> "Memo":
-        memo = cls(ctx)
+    def from_plan(cls, plan: Plan, ctx=None, enable_group_merge: bool = False) -> "Memo":
+        memo = cls(ctx, enable_group_merge=enable_group_merge)
         memo.root_group_id = memo._ingest(plan.root)
         return memo
 
@@ -143,11 +147,19 @@ class Memo:
         record a pending merge and reuse the existing expr (mark-don't-
         merge, ref ``task.rs:146-149``).
         """
+        input_gids = tuple(self._resolve(g) for g in input_gids)
+        if target_group is not None:
+            target_group = self._resolve(target_group)
         key = (operator, input_gids)
         existing_gid = self.expr_index.get(key)
         if existing_gid is not None:
+            existing_gid = self._resolve(existing_gid)
             if target_group is not None and target_group != existing_gid:
-                self.pending_merges.append((target_group, existing_gid))
+                if self.enable_group_merge:
+                    existing_gid = self._merge_groups(target_group, existing_gid)
+                    key = (operator, tuple(self._resolve(g) for g in input_gids))
+                else:
+                    self.pending_merges.append((target_group, existing_gid))
             group = self.groups[existing_gid]
             for e in group.logical_exprs + group.physical_exprs:
                 if e.key() == key:
@@ -171,6 +183,80 @@ class Memo:
         self._next_gid += 1
         self.groups[gid] = Group(gid)
         return gid
+
+    # -- group merging (ref memo.rs:159-279, disabled there) ------------
+    def _resolve(self, gid: int) -> int:
+        """Follow merge forwarding (union-find style path walk)."""
+        fwd = getattr(self, "_forward", None)
+        if not fwd:
+            return gid
+        while gid in fwd:
+            gid = fwd[gid]
+        return gid
+
+    def _merge_groups(self, a: int, b: int) -> int:
+        """Merge group ``b``'s contents into ``a`` (lower id survives) —
+        the mechanism the reference implements but never turns on
+        (``memo.rs:159-279``, call site disabled at ``task.rs:146-149``).
+        Rewrites every expr referencing the dropped id and cascades any
+        merges that rewriting reveals."""
+        if not hasattr(self, "_forward"):
+            self._forward: Dict[int, int] = {}
+        a, b = self._resolve(a), self._resolve(b)
+        if a == b:
+            return a
+        keep, drop = (a, b) if a < b else (b, a)
+        kg = self.groups[keep]
+        dg = self.groups.pop(drop)
+        self._forward[drop] = keep
+
+        # move the dropped group's exprs (dedup against the survivor)
+        existing_keys = {
+            e.key() for e in kg.logical_exprs + kg.physical_exprs
+        }
+        for e in dg.logical_exprs + dg.physical_exprs:
+            if e.key() in existing_keys:
+                self.expr_index[e.key()] = keep
+                continue
+            e.group_id = keep
+            (kg.logical_exprs if e.is_logical else kg.physical_exprs).append(e)
+            self.expr_index[e.key()] = keep
+            existing_keys.add(e.key())
+
+        # survivors inherit missing stats/props; winners merge min-cost
+        if kg.stats is None:
+            kg.stats = dg.stats
+        if kg.logical_prop is None:
+            kg.logical_prop = dg.logical_prop
+        for prop, w in dg.winners.items():
+            if w is not None:
+                kg.update_winner(prop, w)
+
+        if self.root_group_id == drop:
+            self.root_group_id = keep
+
+        # rewrite exprs whose inputs referenced the dropped group; a
+        # rewritten key can collide with an existing expr in a DIFFERENT
+        # group — that is itself a merge, processed via worklist
+        cascade: List[Tuple[int, int]] = []
+        for g in list(self.groups.values()):
+            for e in list(g.logical_exprs) + list(g.physical_exprs):
+                if drop not in e.inputs:
+                    continue
+                old_key = e.key()
+                e.inputs = tuple(self._resolve(i) for i in e.inputs)
+                self.expr_index.pop(old_key, None)
+                new_key = e.key()
+                other = self.expr_index.get(new_key)
+                if other is None:
+                    self.expr_index[new_key] = e.group_id
+                else:
+                    other = self._resolve(other)
+                    if other != self._resolve(e.group_id):
+                        cascade.append((other, e.group_id))
+        for x, y in cascade:
+            self._merge_groups(x, y)
+        return self._resolve(keep)
 
     def _derive_group_stats(self, group: Group, expr: GroupExpr) -> None:
         if group.stats is not None or not expr.is_logical:
@@ -212,7 +298,7 @@ class Memo:
 
         def walk(n, is_root: bool) -> int:
             if n.is_handle:
-                return int(n.handle)
+                return self._resolve(int(n.handle))
             input_gids = tuple(walk(c, False) for c in n.inputs)
             expr, was_new = self.insert_expr(
                 n.operator, input_gids, target_group if is_root else None
@@ -232,7 +318,7 @@ class Memo:
     def _best_node(self, gid: int, required: PhysicalPropertySet) -> Optional[PlanNode]:
         from ...operators.physical import Exchange
 
-        group = self.groups[gid]
+        group = self.groups[self._resolve(gid)]
         w = group.winner(required)
         if w is None:
             return None
@@ -248,4 +334,5 @@ class Memo:
         return node
 
     def group(self, gid: int) -> Group:
-        return self.groups[gid]
+        # merged-away ids forward to their survivor
+        return self.groups[self._resolve(gid)]

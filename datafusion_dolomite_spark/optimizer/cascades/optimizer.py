@@ -28,15 +28,21 @@ class CascadesOptimizer:
         ctx: Optional[OptimizerContext] = None,
         cost_model: Optional[CostModel] = None,
         required: Optional[PhysicalPropertySet] = None,
+        enable_group_merge: bool = False,
     ):
         self.rules: List[Rule] = list(rules)
         self.ctx = ctx or OptimizerContext()
         self.cost_model = cost_model or SimpleCostModel()
         self.required = required or PhysicalPropertySet()
+        #: execute duplicate-group merges eagerly (the reference ships
+        #: the mechanism disabled, task.rs:146-149; default matches it)
+        self.enable_group_merge = enable_group_merge
         self.memo: Optional[Memo] = None  # exposed for tests / explain
 
     def find_best_plan(self, plan: Plan) -> Plan:
-        self.memo = Memo.from_plan(plan, self.ctx)
+        self.memo = Memo.from_plan(
+            plan, self.ctx, enable_group_merge=self.enable_group_merge
+        )
         runner = TaskRunner(self.memo, self.rules, self.cost_model, self.ctx)
         runner.run(self.required)
         best = self.memo.best_plan(self.required)

@@ -201,3 +201,108 @@ def test_scheduler_budget_guard(ctx):
             steps += 1
             if steps > 2_000_000:
                 raise RuntimeError("cascades task budget exceeded")
+
+
+def _dup_subtree_plan():
+    """Two syntactically different routes to the same subtree: after
+    commutation, Join(region, nation) in one group and Join(nation,
+    region) in another produce identical child exprs — duplicate-group
+    detection territory (ref task.rs:146-149)."""
+    from datafusion_dolomite_spark import JoinType, LogicalPlanBuilder, col
+
+    left = (
+        LogicalPlanBuilder()
+        .scan("nation")
+        .join(
+            LogicalPlanBuilder().scan("region"),
+            JoinType.INNER,
+            col("n_regionkey").eq(col("r_regionkey")),
+        )
+    )
+    return (
+        left.join(
+            LogicalPlanBuilder().scan("customer"),
+            JoinType.INNER,
+            col("n_nationkey").eq(col("c_nationkey")),
+        )
+        .build()
+    )
+
+
+def test_group_merge_flag_off_marks_pending(ctx):
+    from datafusion_dolomite_spark.optimizer.cascades.optimizer import (
+        CascadesOptimizer,
+    )
+    from datafusion_dolomite_spark.optimizer.cascades.cost import SparkCostModel
+    from datafusion_dolomite_spark.planner import default_cascades_rules
+
+    opt = CascadesOptimizer(
+        default_cascades_rules(), ctx, cost_model=SparkCostModel()
+    )
+    opt.find_best_plan(_dup_subtree_plan())
+    # default = the reference's mark-don't-merge behavior
+    assert opt.memo.enable_group_merge is False
+
+
+def test_group_merge_flag_on_merges_and_plan_unchanged(ctx):
+    """With merging enabled: no pending merges remain recorded, the memo
+    has no two groups holding an identical expr key, and the chosen plan
+    equals the flag-off plan (merging dedups the search space, it must
+    not change the winner)."""
+    from datafusion_dolomite_spark.optimizer.cascades.optimizer import (
+        CascadesOptimizer,
+    )
+    from datafusion_dolomite_spark.optimizer.cascades.cost import SparkCostModel
+    from datafusion_dolomite_spark.planner import default_cascades_rules
+
+    off = CascadesOptimizer(
+        default_cascades_rules(), ctx, cost_model=SparkCostModel()
+    )
+    plan_off = off.find_best_plan(_dup_subtree_plan())
+
+    on = CascadesOptimizer(
+        default_cascades_rules(), ctx, cost_model=SparkCostModel(),
+        enable_group_merge=True,
+    )
+    plan_on = on.find_best_plan(_dup_subtree_plan())
+
+    assert plan_on.explain() == plan_off.explain()
+    # structural invariant: each expr key lives in exactly one group
+    seen = {}
+    for gid, g in on.memo.groups.items():
+        for e in g.logical_exprs + g.physical_exprs:
+            assert e.key() not in seen or seen[e.key()] == gid, (
+                f"expr {e} appears in groups {seen[e.key()]} and {gid}"
+            )
+            seen[e.key()] = gid
+    # with merging on, fewer (or equal) groups than with it off
+    assert len(on.memo.groups) <= len(off.memo.groups)
+
+
+def test_group_merge_direct_insert():
+    """Unit-level: inserting the same (operator, inputs) key into two
+    different target groups merges them when the flag is on."""
+    from datafusion_dolomite_spark.operators.logical import LogicalLimit, LogicalScan
+    from datafusion_dolomite_spark.optimizer.cascades.memo import Memo
+
+    m = Memo(enable_group_merge=True)
+    scan_expr, _ = m.insert_expr(LogicalScan("t"), (), None)
+    g_scan = scan_expr.group_id
+    a, _ = m.insert_expr(LogicalLimit(5), (g_scan,), None)
+    b, _ = m.insert_expr(LogicalLimit(7), (g_scan,), None)
+    assert a.group_id != b.group_id
+    # same key as `a` but forced into b's group → groups merge
+    c, _ = m.insert_expr(LogicalLimit(5), (g_scan,), b.group_id)
+    assert m._resolve(a.group_id) == m._resolve(b.group_id) == c.group_id
+    merged = m.group(c.group_id)
+    keys = {e.key() for e in merged.logical_exprs}
+    assert (LogicalLimit(5), (g_scan,)) in keys
+    assert (LogicalLimit(7), (g_scan,)) in keys
+
+    m2 = Memo(enable_group_merge=False)
+    s2, _ = m2.insert_expr(LogicalScan("t"), (), None)
+    x, _ = m2.insert_expr(LogicalLimit(5), (s2.group_id,), None)
+    y, _ = m2.insert_expr(LogicalLimit(7), (s2.group_id,), None)
+    m2.insert_expr(LogicalLimit(5), (s2.group_id,), y.group_id)
+    assert m2.pending_merges  # marked, not merged — reference behavior
+    assert x.group_id != y.group_id
