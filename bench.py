@@ -49,6 +49,16 @@ def main() -> None:
 
     ok = sorted(t for t in timings.values() if t >= 0)
     total = round(sum(ok), 4)
+    # Structured Streaming queries pay a fixed micro-batch startup cost
+    # (~1.5-7 s each locally) unrelated to relational plan quality — group
+    # them separately so a regression in the relational queries isn't
+    # masked by (or blamed on) streaming overhead.
+    stream = sorted(
+        t for n, t in timings.items() if n.startswith("q_stream") and t >= 0
+    )
+    rel = sorted(
+        t for n, t in timings.items() if not n.startswith("q_stream") and t >= 0
+    )
     print(
         json.dumps(
             {
@@ -61,6 +71,10 @@ def main() -> None:
                 "n_failed": len(timings) - len(ok),
                 "p50_query_sec": round(ok[len(ok) // 2], 4) if ok else -1.0,
                 "max_query_sec": round(ok[-1], 4) if ok else -1.0,
+                "relational_total_sec": round(sum(rel), 4),
+                "relational_p50_sec": round(rel[len(rel) // 2], 4) if rel else -1.0,
+                "streaming_total_sec": round(sum(stream), 4),
+                "n_streaming": len(stream),
             }
         )
     )

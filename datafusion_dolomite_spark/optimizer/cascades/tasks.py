@@ -52,10 +52,10 @@ class TaskRunner:
     #: max NEW logical exprs transformation rules may add per optimize run.
     #: Join enumeration (commute+associate+exchange) is exponential in the
     #: join-graph size; past this budget exploration stops and the best
-    #: order found so far is implemented.  500 exprs keeps 6-table TPC-H
-    #: shapes subsecond (the chosen plan matches the one a 4x budget
-    #: finds) while fully enumerating graphs of ≤4 tables.
-    EXPLORATION_BUDGET = 500
+    #: order found so far is implemented.  200 exprs plans the 6-table
+    #: TPC-H comma join in ~0.2 s choosing the same plan a 10x budget
+    #: finds, while fully enumerating graphs of ≤4 tables.
+    EXPLORATION_BUDGET = 200
 
     def __init__(self, memo: Memo, rules: List[Rule], cost_model, ctx):
         self.memo = memo
