@@ -106,6 +106,12 @@ order by revenue desc, c_custkey
 limit 20"""
 
 
+_SQL_OFFSET = """select c_custkey, c_name, c_acctbal
+from customer
+order by c_custkey
+limit 50 offset 100"""
+
+
 _SQL_WINDOW = """select o_custkey, o_orderkey,
        rank() over (partition by o_custkey
                     order by o_totalprice desc, o_orderkey) as rk,
@@ -1440,6 +1446,7 @@ EXTENSION_ORACLES = {
         "q_sql_q18": _SQL_Q18,
         "q_sql_q1": _SQL_Q1,
         "q_sql_window": _SQL_WINDOW,
+        "q_sql_offset": _SQL_OFFSET,
         "q_sql_q12": _SQL_Q12,
         "q_sql_q19": _SQL_Q19,
         "q_sql_q14": _SQL_Q14,
@@ -2173,6 +2180,15 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+def q_sql_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination through the SQL front door (extension —
+    the reference's conversion has no OFFSET, conversion/logical.rs:58-64).
+    The optimizer keeps the offset out of scan fusion and TopK; ordering
+    is total (unique c_custkey) so the page is deterministic.  Same
+    string is the oracle."""
+    return _planner(spark, sf_dir).sql(_SQL_OFFSET)
 
 
 def q_sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3014,8 +3030,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retention": q_retention,
         "q_map_functions": q_map_functions,
         "q_events_by_type": q_events_by_type,
-        # -- new this round: SQL OVER clause ----------------------------
+        # -- new this round: SQL OVER clause + LIMIT/OFFSET -------------
         "q_sql_window": q_sql_window,
+        "q_sql_offset": q_sql_offset,
         # -- never driver-checked: LLM-pipeline extensions --------------
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
@@ -3043,7 +3060,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_union_all": q_union_all,
         "q_intersect": q_intersect,
         "q_except": q_except,
-        "q_anti_join": q_anti_join,
         # -- never driver-checked: streaming (micro-batch fixed cost) --
         "q_stream_window_counts": q_stream_window_counts,
         "q_stream_sessions": q_stream_sessions,
@@ -3052,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_stream_join": q_stream_stream_join,
         "q_stream_stateful": q_stream_stateful,
         # -- never driver-checked: SQL front door ----------------------
+        "q_anti_join": q_anti_join,
         "q_left_join": q_left_join,
         "q_global_agg": q_global_agg,
         "q_sql_case_like": q_sql_case_like,

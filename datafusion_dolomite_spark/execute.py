@@ -101,7 +101,11 @@ class SparkExecutor:
         return self._node(node.inputs[0]).select(*[e.to_column() for e in op.exprs])
 
     def _limit(self, node: PlanNode):
-        return self._node(node.inputs[0]).limit(node.operator.limit)
+        df = self._node(node.inputs[0])
+        offset = getattr(node.operator, "offset", 0)
+        if offset:
+            df = df.offset(offset)
+        return df.limit(node.operator.limit)
 
     def _aggregate(self, node: PlanNode):
         op = node.operator

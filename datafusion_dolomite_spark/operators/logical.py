@@ -215,16 +215,21 @@ class LogicalJoin(LogicalOperator):
 
 @dataclass(frozen=True)
 class LogicalLimit(LogicalOperator):
-    """Keep first N rows; schema passthrough (ref ``operator/limit.rs``).
-    No OFFSET, matching the reference (``conversion/logical.rs:58-64``)."""
+    """Keep first N rows after skipping OFFSET; schema passthrough (ref
+    ``operator/limit.rs``; the reference has no OFFSET,
+    ``conversion/logical.rs:58-64`` — ours is an extension the limit
+    rules respect by only fusing when offset == 0)."""
 
     limit: int
+    offset: int = 0
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
         (inp,) = input_props
         return inp
 
     def pretty(self) -> str:
+        if self.offset:
+            return f"LogicalLimit {{ limit: {self.limit}, offset: {self.offset} }}"
         return f"LogicalLimit {{ limit: {self.limit} }}"
 
 

@@ -206,12 +206,15 @@ class PhysicalLimit(PhysicalOperator):
     plans — SURVEY §2.2 flags the gap and tells us not to copy it)."""
 
     limit: int
+    offset: int = 0
 
     def derive_properties(self, children_props):
         # Global limit gathers to a single partition.
         return (_DEFAULT,), PhysicalPropertySet(dist=DistributionSpec.singleton())
 
     def pretty(self) -> str:
+        if self.offset:
+            return f"PhysicalLimit {{ limit: {self.limit}, offset: {self.offset} }}"
         return f"PhysicalLimit {{ limit: {self.limit} }}"
 
 

@@ -87,7 +87,9 @@ class Limit2LimitRule(Rule):
 
     def apply(self, input, ctx, result: RuleResult) -> None:
         op: L.LogicalLimit = input.root.operator
-        result.add(OptExpression.op(P.PhysicalLimit(op.limit), *input.root.inputs))
+        result.add(
+            OptExpression.op(P.PhysicalLimit(op.limit, op.offset), *input.root.inputs)
+        )
 
 
 class Aggregate2HashAggregateRule(Rule):
@@ -134,6 +136,8 @@ class SortLimit2TopKRule(Rule):
 
     def apply(self, input, ctx, result: RuleResult) -> None:
         limit_op: L.LogicalLimit = input.root.operator
+        if getattr(limit_op, "offset", 0):
+            return  # TopK keeps the first k — wrong rows under OFFSET
         sort_node = input.root.inputs[0]
         sort_op: L.LogicalSort = sort_node.operator
         result.add(

@@ -69,6 +69,8 @@ class RemoveLimitRule(Rule):
     def apply(self, input: OptExpression, ctx: OptimizerContext, result: RuleResult) -> None:
         outer = input.root.operator
         inner = input.root.inputs[0].operator
+        if getattr(outer, "offset", 0) or getattr(inner, "offset", 0):
+            return  # offsets don't compose by min(); leave both
         below = input.root.inputs[0].inputs[0]
         merged = LogicalLimit(min(outer.limit, inner.limit))
         result.add(OptExpression.op(merged, below))
@@ -86,6 +88,8 @@ class PushLimitToTableScanRule(Rule):
 
     def apply(self, input: OptExpression, ctx: OptimizerContext, result: RuleResult) -> None:
         limit_op = input.root.operator
+        if getattr(limit_op, "offset", 0):
+            return  # scans can't skip rows; keep the Limit node
         scan_op = input.root.inputs[0].operator
         new_limit = (
             min(limit_op.limit, scan_op.limit)
@@ -113,6 +117,8 @@ class PushLimitThroughUnionRule(Rule):
         return RulePromise.MEDIUM
 
     def apply(self, input: OptExpression, ctx: OptimizerContext, result: RuleResult) -> None:
+        if getattr(input.root.operator, "offset", 0):
+            return  # branches may not skip rows; the offset is global
         n = input.root.operator.limit
         union_node = input.root.inputs[0]
 

@@ -163,8 +163,8 @@ class LogicalPlanBuilder:
             [self._require_root(), _as_node(other)],
         )
 
-    def limit(self, n: int) -> "LogicalPlanBuilder":
-        return self._push(LogicalLimit(n), [self._require_root()])
+    def limit(self, n: int, offset: int = 0) -> "LogicalPlanBuilder":
+        return self._push(LogicalLimit(n, offset), [self._require_root()])
 
     def aggregate(
         self,

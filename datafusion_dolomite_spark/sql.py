@@ -54,7 +54,8 @@ _KEYWORDS = {
     "intersect", "except", "between", "not", "in", "exists", "with",
     "like", "case", "when", "then", "else", "end", "is", "null", "cross",
     "over", "partition", "rows", "range", "unbounded", "preceding",
-    "following", "current", "row",
+    "following", "current", "row", "outer", "offset", "nulls", "first",
+    "last",
 }
 
 
@@ -394,7 +395,10 @@ class _Parser:
 
         if self.accept("kw", "limit"):
             n = self.expect("number")
-            builder = builder.limit(int(n.value))
+            offset = 0
+            if self.accept("kw", "offset"):
+                offset = int(self.expect("number").value)
+            builder = builder.limit(int(n.value), offset)
 
         return builder.build()
 
@@ -415,6 +419,7 @@ class _Parser:
                     if self.accept("kw", then[2]):
                         self.expect("kw", "join")
                         return then[3]
+                self.accept("kw", "outer")  # LEFT/RIGHT/FULL [OUTER] JOIN
                 self.expect("kw", "join")
                 return jt
         return None
@@ -454,8 +459,16 @@ class _Parser:
             asc = False
         else:
             self.accept("kw", "asc")
-        # match Spark defaults: asc → nulls first, desc → nulls last
-        return SortKey(e, asc=asc, nulls_first=asc)
+        # default matches Spark: asc → nulls first, desc → nulls last;
+        # explicit NULLS FIRST/LAST overrides
+        nulls_first = asc
+        if self.accept("kw", "nulls"):
+            if self.accept("kw", "first"):
+                nulls_first = True
+            else:
+                self.expect("kw", "last")
+                nulls_first = False
+        return SortKey(e, asc=asc, nulls_first=nulls_first)
 
     # expression precedence: or < and < cmp < add < mul < unary/primary
     def _expr(self) -> Expr:

@@ -377,3 +377,61 @@ def test_sql_window_executes_end_to_end(planner):
     rows = [tuple(r) for r in df.collect()]
     assert len(rows) == 10
     assert rows[0][2] == 1
+
+
+def test_sql_outer_keyword_and_nulls_ordering(catalog):
+    plan = parse_sql(
+        "select c_custkey, o_orderkey from customer "
+        "left outer join orders on c_custkey = o_custkey "
+        "order by o_orderkey desc nulls first, c_custkey nulls last",
+        catalog,
+    )
+    text = plan.explain()
+    assert "join_type: Left" in text
+    assert "o_orderkey desc" in text and "c_custkey asc nulls_last" in text
+
+
+def test_sql_limit_offset(catalog):
+    plan = parse_sql(
+        "select r_name from region order by r_name limit 2 offset 1", catalog
+    )
+    assert "LogicalLimit { limit: 2, offset: 1 }" in plan.explain()
+
+
+def test_sql_offset_executes(planner):
+    full = [
+        tuple(r)
+        for r in planner.sql(
+            "select c_custkey from customer order by c_custkey limit 12"
+        ).collect()
+    ]
+    page = [
+        tuple(r)
+        for r in planner.sql(
+            "select c_custkey from customer order by c_custkey limit 5 offset 7"
+        ).collect()
+    ]
+    assert page == full[7:12]
+
+
+def test_offset_not_fused_into_scan_or_topk(catalog):
+    from datafusion_dolomite_spark.optimizer.rule import OptimizerContext
+    from datafusion_dolomite_spark.planner import (
+        default_cascades_rules,
+        default_rewrite_rules,
+    )
+    from datafusion_dolomite_spark.optimizer.heuristic import HepOptimizer
+    from datafusion_dolomite_spark.optimizer.cascades.optimizer import (
+        CascadesOptimizer,
+    )
+
+    ctx = OptimizerContext(catalog)
+    plan = parse_sql(
+        "select r_name from region order by r_name limit 2 offset 1", catalog
+    )
+    rewritten = HepOptimizer(default_rewrite_rules(), ctx).find_best_plan(plan)
+    assert "offset: 1" in rewritten.explain()  # survived the rewrites
+    phys = CascadesOptimizer(default_cascades_rules(), ctx).find_best_plan(rewritten)
+    text = phys.explain()
+    assert "PhysicalTopK" not in text  # TopK would drop the wrong rows
+    assert "PhysicalLimit { limit: 2, offset: 1 }" in text
