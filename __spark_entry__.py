@@ -502,6 +502,36 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (LogicalDocChunk →
+    PhysicalDocChunk, functions/chunking.py): 40-token windows advancing
+    30 tokens — the corpus-prep step before embedding.  Map-only JVM
+    expression pipeline (split/sequence/transform/posexplode), no
+    shuffle.  Fully deterministic: integer arithmetic + string joins."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .doc_chunk("doc_id", "text", chunk_size=40, overlap=10)
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (LogicalStratifiedSample,
+    functions/sampling.py): the 7 smallest-md5-hash docs per
+    (lang, source) stratum.  Unlike sampleBy, the selected set is a pure
+    function of the data — same corpus on any cluster layout, and the
+    oracle recomputes the identical hash in DuckDB."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .stratified_sample(["lang", "source"], "doc_id", k=7)
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus prep pipeline as ONE optimized plan:
     score quality → filter → exact-dedup on text → per-language token
@@ -1214,6 +1244,34 @@ EXTENSION_QUERIES = {
 }
 
 EXTENSION_ORACLES = {
+    "q_doc_chunks": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             t -> t != '') AS tk
+          FROM documents
+        ), info AS (
+          SELECT doc_id, tk, len(tk) AS n,
+                 CASE WHEN len(tk) <= 0 THEN 0
+                      ELSE greatest(1, CAST(ceil((len(tk) - 10) / 30.0) AS INT))
+                 END AS nc
+          FROM toks
+        ), exploded AS (
+          SELECT doc_id, tk, n, unnest(range(nc)) AS i FROM info WHERE nc > 0
+        )
+        SELECT doc_id, CAST(n AS INT) AS n_tokens, CAST(i AS INT) AS chunk_idx,
+               array_to_string(tk[i*30 + 1 : i*30 + 40], ' ') AS chunk_text
+        FROM exploded
+    """,
+    "q_stratified_sample": """
+        SELECT doc_id, text, lang, source, n_chars FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY lang, source
+            ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                     doc_id
+          ) AS rn FROM documents
+        ) WHERE rn <= 7
+    """,
     "q_asof_join": """
         WITH purch AS (
           SELECT user_id, epoch_us(ts) AS p_us, max(value) AS pval
@@ -3037,6 +3095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
         "q_exact_dedup": q_exact_dedup,
+        "q_doc_chunks": q_doc_chunks,
+        "q_stratified_sample": q_stratified_sample,
         "q_minhash_pairs": q_minhash_pairs,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -3056,10 +3116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked: relational --------------------------
         "q_date_functions": q_date_functions,
         "q_rollup": q_rollup,
-        "q_cube": q_cube,
         "q_union_all": q_union_all,
         "q_intersect": q_intersect,
-        "q_except": q_except,
         # -- never driver-checked: streaming (micro-batch fixed cost) --
         "q_stream_window_counts": q_stream_window_counts,
         "q_stream_sessions": q_stream_sessions,
@@ -3068,6 +3126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_stream_join": q_stream_stream_join,
         "q_stream_stateful": q_stream_stateful,
         # -- never driver-checked: SQL front door ----------------------
+        "q_cube": q_cube,
+        "q_except": q_except,
         "q_anti_join": q_anti_join,
         "q_left_join": q_left_join,
         "q_global_agg": q_global_agg,

@@ -231,6 +231,26 @@ class SparkExecutor:
         op = node.operator
         return exact_dedup(self._node(node.inputs[0]), list(op.key_cols), op.id_col)
 
+    def _doc_chunk(self, node: PlanNode):
+        from .functions.chunking import doc_chunks
+
+        op = node.operator
+        return doc_chunks(
+            self._node(node.inputs[0]),
+            op.id_col,
+            op.text_col,
+            op.chunk_size,
+            op.overlap,
+        )
+
+    def _stratified_sample(self, node: PlanNode):
+        from .functions.sampling import stratified_sample
+
+        op = node.operator
+        return stratified_sample(
+            self._node(node.inputs[0]), list(op.stratum_cols), op.id_col, op.k
+        )
+
     def _minhash_dedup(self, node: PlanNode):
         from .functions.dedup import minhash_verified_pairs
 
@@ -486,6 +506,10 @@ _HANDLERS = {
     X.PhysicalBroadcastRangeJoin: SparkExecutor._broadcast_range_join,
     X.LogicalRangeJoin: SparkExecutor._range_join,
     X.PhysicalGenerate: SparkExecutor._unnest,
+    X.PhysicalDocChunk: SparkExecutor._doc_chunk,
+    X.LogicalDocChunk: SparkExecutor._doc_chunk,
+    X.PhysicalStratifiedSample: SparkExecutor._stratified_sample,
+    X.LogicalStratifiedSample: SparkExecutor._stratified_sample,
     X.LogicalUnnest: SparkExecutor._unnest,
     # physical
     P.PhysicalTableScan: SparkExecutor._scan,

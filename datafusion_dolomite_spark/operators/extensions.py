@@ -41,6 +41,10 @@ __all__ = [
     "PhysicalBroadcastRangeJoin",
     "LogicalUnnest",
     "PhysicalGenerate",
+    "LogicalDocChunk",
+    "PhysicalDocChunk",
+    "LogicalStratifiedSample",
+    "PhysicalStratifiedSample",
 ]
 
 
@@ -543,4 +547,119 @@ class PhysicalGenerate(PhysicalOperator):
         return (
             f"PhysicalGenerate {{ array: {self.array_col}, pos: {self.pos_col}, "
             f"val: {self.val_col} }}"
+        )
+
+
+# -- document chunking (training-data prep) ---------------------------------
+
+@dataclass(frozen=True)
+class LogicalDocChunk(LogicalOperator):
+    """Sliding-window token chunking: split ``text_col`` on whitespace and
+    emit overlapping windows of ``chunk_size`` tokens advancing by
+    ``chunk_size - overlap``.  One output row per chunk:
+    (id, n_tokens, chunk_idx, chunk_text).  The standard corpus-prep step
+    before embedding/training; absent in the reference (SURVEY §2.4 —
+    scalar/array functions absent)."""
+
+    id_col: str
+    text_col: str
+    chunk_size: int = 64
+    overlap: int = 16
+
+    def __post_init__(self):
+        if self.overlap >= self.chunk_size:
+            raise ValueError("overlap must be smaller than chunk_size")
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        (inp,) = input_props
+        id_field = next(
+            (f for f in inp.schema.fields if f.name == self.id_col), None
+        )
+        if id_field is None:
+            raise ValueError(f"unknown id column {self.id_col!r}")
+        return LogicalProperty(
+            Schema(
+                (
+                    Field(id_field.name, id_field.dtype, id_field.nullable),
+                    Field("n_tokens", "int", True),
+                    Field("chunk_idx", "int", False),
+                    Field("chunk_text", "string", True),
+                )
+            )
+        )
+
+    def pretty(self) -> str:
+        return (
+            f"LogicalDocChunk {{ id: {self.id_col}, text: {self.text_col}, "
+            f"size: {self.chunk_size}, overlap: {self.overlap} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalDocChunk(PhysicalOperator):
+    """split + sequence + transform + posexplode — all JVM expression
+    codegen, map-only (no shuffle); child partitioning survives because
+    every chunk of a doc stays in the doc's partition."""
+
+    id_col: str
+    text_col: str
+    chunk_size: int = 64
+    overlap: int = 16
+
+    def derive_properties(self, children_props):
+        return (_DEFAULT,), (children_props[0] if children_props else _DEFAULT)
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalDocChunk {{ id: {self.id_col}, text: {self.text_col}, "
+            f"size: {self.chunk_size}, overlap: {self.overlap} }}"
+        )
+
+
+# -- stratified sampling (training-data mixing) -----------------------------
+
+@dataclass(frozen=True)
+class LogicalStratifiedSample(LogicalOperator):
+    """Deterministic per-stratum sample: keep the ``k`` rows with the
+    smallest md5-derived hash of ``id_col`` within each stratum (ties
+    broken by id).  Unlike ``df.sampleBy``, re-running yields the SAME
+    sample on any cluster layout — reproducibility is non-negotiable for
+    training-data pipelines.  Schema passthrough."""
+
+    stratum_cols: Tuple[str, ...]
+    id_col: str
+    k: int = 100
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        (inp,) = input_props
+        return inp
+
+    def pretty(self) -> str:
+        return (
+            f"LogicalStratifiedSample {{ strata: [{', '.join(self.stratum_cols)}], "
+            f"id: {self.id_col}, k: {self.k} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalStratifiedSample(PhysicalOperator):
+    """One window shuffle on the stratum columns (row_number over
+    hash-ordered rows); output stays hashed on the strata so a following
+    per-stratum aggregation reuses the partitioning.  Skewed strata are
+    bounded: only k rows survive per stratum, and AQE splits oversized
+    partitions during the window shuffle."""
+
+    stratum_cols: Tuple[str, ...]
+    id_col: str
+    k: int = 100
+
+    def derive_properties(self, children_props):
+        return (_DEFAULT,), PhysicalPropertySet(
+            dist=DistributionSpec.hashed(self.stratum_cols)
+        )
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalStratifiedSample {{ strata: [{', '.join(self.stratum_cols)}], "
+            f"id: {self.id_col}, k: {self.k} }}"
         )

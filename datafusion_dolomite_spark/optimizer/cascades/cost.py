@@ -136,6 +136,12 @@ class SparkCostModel(CostModel):
             return 2.0 * rows[1] + rows[0] * max(1.0, 0.01 * rows[1])
         if isinstance(op, X.PhysicalGenerate):
             return rows[0] if rows else 1.0
+        if isinstance(op, X.PhysicalDocChunk):
+            # map-only split+explode, no shuffle
+            return rows[0] if rows else 1.0
+        if isinstance(op, X.PhysicalStratifiedSample):
+            # one window shuffle on the strata
+            return 3.0 * (rows[0] if rows else 1.0)
         return 1.0
 
 
@@ -281,6 +287,12 @@ def _output_rows(op: Operator, input_rows, ctx=None, input_stats=None) -> float:
     if isinstance(op, (X.LogicalUnnest, X.PhysicalGenerate)):
         # nominal array fan-out; real plans carry 32-64-wide embeddings
         return 32.0 * (input_rows[0] if input_rows else 1.0)
+    if isinstance(op, (X.LogicalDocChunk, X.PhysicalDocChunk)):
+        # nominal ~4 chunks per document
+        return 4.0 * (input_rows[0] if input_rows else 1.0)
+    if isinstance(op, (X.LogicalStratifiedSample, X.PhysicalStratifiedSample)):
+        n = input_rows[0] if input_rows else 1.0
+        return max(1.0, min(n, float(op.k) * max(1.0, n ** 0.25)))
     return input_rows[0] if input_rows else 1.0
 
 

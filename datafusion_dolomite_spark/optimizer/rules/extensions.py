@@ -28,6 +28,8 @@ __all__ = [
     "AsofJoinImplRule",
     "RangeJoinImplRule",
     "UnnestImplRule",
+    "DocChunkImplRule",
+    "StratifiedSampleImplRule",
     "PushFilterThroughLeftPreservingJoinRule",
     "PushFilterThroughUnnestRule",
     "PruneUnnestInputRule",
@@ -244,6 +246,40 @@ class UnnestImplRule(Rule):
         )
 
 
+class DocChunkImplRule(Rule):
+    name = "DocChunkImplRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalDocChunk)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalDocChunk = input.root.operator
+        result.add(
+            OptExpression.op(
+                X.PhysicalDocChunk(
+                    op.id_col, op.text_col, op.chunk_size, op.overlap
+                ),
+                *input.root.inputs,
+            )
+        )
+
+
+class StratifiedSampleImplRule(Rule):
+    name = "StratifiedSampleImplRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalStratifiedSample)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalStratifiedSample = input.root.operator
+        result.add(
+            OptExpression.op(
+                X.PhysicalStratifiedSample(op.stratum_cols, op.id_col, op.k),
+                *input.root.inputs,
+            )
+        )
+
+
 EXTENSION_RULES = [
     UnnestImplRule(),
     AsofJoinImplRule(),
@@ -256,6 +292,8 @@ EXTENSION_RULES = [
     Knn2IvfRule(),
     CosineNearDupImplRule(),
     NgramJaccardImplRule(),
+    DocChunkImplRule(),
+    StratifiedSampleImplRule(),
 ]
 
 

@@ -254,6 +254,30 @@ class LogicalPlanBuilder:
             LogicalSimHash(id_col, text_col, bits), [self._require_root()]
         )
 
+    def doc_chunk(
+        self,
+        id_col: str,
+        text_col: str,
+        chunk_size: int = 64,
+        overlap: int = 16,
+    ) -> "LogicalPlanBuilder":
+        from ..operators.extensions import LogicalDocChunk
+
+        return self._push(
+            LogicalDocChunk(id_col, text_col, chunk_size, overlap),
+            [self._require_root()],
+        )
+
+    def stratified_sample(
+        self, stratum_cols: Sequence[str], id_col: str, k: int = 100
+    ) -> "LogicalPlanBuilder":
+        from ..operators.extensions import LogicalStratifiedSample
+
+        return self._push(
+            LogicalStratifiedSample(tuple(stratum_cols), id_col, k),
+            [self._require_root()],
+        )
+
     def knn(
         self,
         id_col: str,

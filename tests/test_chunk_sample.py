@@ -1,0 +1,102 @@
+"""DocChunk + StratifiedSample operators: plan shape, schema derivation,
+execution semantics."""
+
+import pytest
+
+from datafusion_dolomite_spark import LogicalPlanBuilder, QueryPlanner, col
+from tests.conftest import SF_DIR
+
+
+def test_doc_chunk_schema_derivation(catalog):
+    from datafusion_dolomite_spark.optimizer.rule import OptimizerContext
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .doc_chunk("doc_id", "text", chunk_size=40, overlap=10)
+        .build()
+    )
+    prop = plan.root.operator.derive_logical_prop(
+        tuple(
+            OptimizerContext(catalog).catalog.logical_prop("documents")
+            for _ in (1,)
+        )
+    )
+    assert prop.schema.names() == ("doc_id", "n_tokens", "chunk_idx", "chunk_text")
+
+
+def test_doc_chunk_rejects_bad_overlap():
+    with pytest.raises(ValueError):
+        LogicalPlanBuilder().scan("documents").doc_chunk(
+            "doc_id", "text", chunk_size=10, overlap=10
+        )
+
+
+def test_doc_chunk_is_map_only_jvm(spark, catalog):
+    """The Spark plan must be Generate over the scan — no Exchange, no
+    Python evals: chunking has to survive a 100 TB corpus as a pure map."""
+    qp = QueryPlanner(spark, catalog)
+    df = qp.dataframe(
+        LogicalPlanBuilder()
+        .scan("documents")
+        .doc_chunk("doc_id", "text", chunk_size=40, overlap=10)
+        .build()
+    )
+    plan_str = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_str
+    assert "Generate" in plan_str
+    assert "Python" not in plan_str
+
+
+def test_doc_chunk_window_arithmetic(spark, catalog):
+    """10-token doc, size 5, overlap 2 → starts 0,3,6: windows of 5,5,4
+    tokens; every token covered; chunk 1 repeats tokens 4-5 (overlap)."""
+    qp = QueryPlanner(spark, catalog)
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")], ["doc_id", "text"]
+    )
+    from datafusion_dolomite_spark.functions.chunking import doc_chunks
+
+    out = {
+        r["chunk_idx"]: r["chunk_text"]
+        for r in doc_chunks(df, "doc_id", "text", 5, 2).collect()
+    }
+    assert out == {
+        0: "t1 t2 t3 t4 t5",
+        1: "t4 t5 t6 t7 t8",
+        2: "t7 t8 t9 t10",
+    }
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, catalog):
+    qp = QueryPlanner(spark, catalog)
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .stratified_sample(["lang"], "doc_id", k=5)
+        .build()
+    )
+    a = sorted(tuple(r) for r in qp.dataframe(plan).collect())
+    b = sorted(tuple(r) for r in qp.dataframe(plan).collect())
+    assert a == b  # same sample on every run
+    from collections import Counter
+
+    per = Counter(r[2] for r in a)  # lang column
+    assert all(v <= 5 for v in per.values())
+    assert len(per) > 1  # multiple strata present
+
+
+def test_stratified_sample_output_hashed_on_strata(catalog):
+    """Physical property: output hashed on strata → downstream per-stratum
+    agg reuses the partitioning (no second shuffle)."""
+    from datafusion_dolomite_spark.operators.extensions import (
+        PhysicalStratifiedSample,
+    )
+    from datafusion_dolomite_spark.operators.properties import (
+        DistributionSpec,
+        PhysicalPropertySet,
+    )
+
+    op = PhysicalStratifiedSample(("lang",), "doc_id", 5)
+    _, out = op.derive_properties((PhysicalPropertySet(),))
+    assert out.dist.satisfies(DistributionSpec.hashed(("lang",)))
