@@ -532,6 +532,77 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top term with corpus document frequency — the tf/df
+    half of tf-idf kept integer-only so the oracle is hash-exact (a
+    float idf would ride on ln() ulp differences across engines).  One
+    optimized plan: scan → tokenize projection → Unnest → two aggregates
+    → equi join → window top-1.  At scale: tokenize+explode are map-only;
+    tf aggregate shuffles on (doc_id, term); df aggregate shuffles on
+    term; the join broadcasts the (small) df side."""
+    tf = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .projection(
+            [
+                col("doc_id"),
+                Alias(
+                    Func("split", (Func("lower", (col("text"),)), lit("[^a-z]+"))),
+                    "toks",
+                ),
+            ]
+        )
+        .unnest("toks", pos_col="pos", val_col="term")
+        .filter(BinOp("!=", col("term"), lit("")))
+        .aggregate([col("doc_id"), col("term")], [Alias(Func("count", ()), "tf")])
+    )
+    dfreq = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .projection(
+            [
+                col("doc_id"),
+                Alias(
+                    Func("split", (Func("lower", (col("text"),)), lit("[^a-z]+"))),
+                    "toks",
+                ),
+            ]
+        )
+        .unnest("toks", pos_col="pos", val_col="term")
+        .filter(BinOp("!=", col("term"), lit("")))
+        .aggregate(
+            [col("term")],
+            [Alias(Func("count_distinct", (col("doc_id"),)), "df")],
+        )
+        .projection([Alias(col("term"), "term_d"), col("df")])
+    )
+    from datafusion_dolomite_spark.expr import SortKey as _SK
+    from datafusion_dolomite_spark.operators.logical import WindowExprDef as _W
+
+    plan = (
+        tf.join(dfreq, JoinType.INNER, BinOp("=", col("term"), col("term_d")))
+        .window(
+            [
+                _W(
+                    Func("row_number", ()),
+                    (col("doc_id"),),
+                    (
+                        _SK(col("tf"), asc=False, nulls_first=False),
+                        _SK(col("term"), asc=True, nulls_first=True),
+                    ),
+                    "rn",
+                )
+            ]
+        )
+        .filter(BinOp("=", col("rn"), lit(1)))
+        .projection(
+            [col("doc_id"), Alias(col("term"), "top_term"), col("tf"), col("df")]
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus prep pipeline as ONE optimized plan:
     score quality → filter → exact-dedup on text → per-language token
@@ -1262,6 +1333,25 @@ EXTENSION_ORACLES = {
         SELECT doc_id, CAST(n AS INT) AS n_tokens, CAST(i AS INT) AS chunk_idx,
                array_to_string(tk[i*30 + 1 : i*30 + 40], ' ') AS chunk_text
         FROM exploded
+    """,
+    "q_term_stats": r"""
+        WITH td AS (
+          SELECT doc_id, t.term
+          FROM documents,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+          WHERE t.term != ''
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM td GROUP BY doc_id, term
+        ), dfreq AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM td GROUP BY term
+        )
+        SELECT doc_id, term AS top_term, tf, df FROM (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term
+                 ) AS rn
+          FROM tf JOIN dfreq USING (term)
+        ) WHERE rn = 1
     """,
     "q_stratified_sample": """
         SELECT doc_id, text, lang, source, n_chars FROM (
@@ -3097,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_doc_chunks": q_doc_chunks,
         "q_stratified_sample": q_stratified_sample,
+        "q_term_stats": q_term_stats,
         "q_minhash_pairs": q_minhash_pairs,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -3117,7 +3208,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_functions": q_date_functions,
         "q_rollup": q_rollup,
         "q_union_all": q_union_all,
-        "q_intersect": q_intersect,
         # -- never driver-checked: streaming (micro-batch fixed cost) --
         "q_stream_window_counts": q_stream_window_counts,
         "q_stream_sessions": q_stream_sessions,
@@ -3126,6 +3216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_stream_join": q_stream_stream_join,
         "q_stream_stateful": q_stream_stateful,
         # -- never driver-checked: SQL front door ----------------------
+        "q_intersect": q_intersect,
         "q_cube": q_cube,
         "q_except": q_except,
         "q_anti_join": q_anti_join,

@@ -446,6 +446,15 @@ def _infer_dtype(e: Expr, schema: Schema) -> str:
             return "bigint"
         if e.name in _NUMERIC_RESULT:
             return _NUMERIC_RESULT[e.name]
+        if e.name == "split":
+            return "array<string>"
+        if e.name == "sequence":
+            return "array<bigint>"
+        if e.name in ("collect_list", "collect_set", "array"):
+            elem = _infer_dtype(e.args[0], schema) if e.args else "string"
+            return f"array<{elem}>"
+        if e.name in ("array_distinct", "array_sort", "slice", "filter") and e.args:
+            return _infer_dtype(e.args[0], schema)  # array in, array out
         if e.args:
             return _infer_dtype(e.args[0], schema)
         return "string"
