@@ -532,6 +532,45 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids as exact integer fractions
+    (sum of milli-scaled components + count per dimension) — the
+    aggregation step of k-means / class-prototype computation.  Unnest
+    fans each vector into (dim, value) rows (map-only Generate), then ONE
+    shuffle on (label, dim).  Integer outputs keep the oracle hash-exact;
+    the caller divides sum_milli/n for the float centroid."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .unnest("embedding", pos_col="dim", val_col="x")
+        .projection(
+            [
+                col("label"),
+                col("dim"),
+                Alias(
+                    Cast(
+                        Func(
+                            "floor",
+                            (BinOp("*", Cast(col("x"), "double"), lit(1000.0)),),
+                        ),
+                        "bigint",
+                    ),
+                    "xm",
+                ),
+            ]
+        )
+        .aggregate(
+            [col("label"), col("dim")],
+            [
+                Alias(Func("sum", (col("xm"),)), "sum_milli"),
+                Alias(Func("count", ()), "n"),
+            ],
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top term with corpus document frequency — the tf/df
     half of tf-idf kept integer-only so the oracle is hash-exact (a
@@ -1333,6 +1372,15 @@ EXTENSION_ORACLES = {
         SELECT doc_id, CAST(n AS INT) AS n_tokens, CAST(i AS INT) AS chunk_idx,
                array_to_string(tk[i*30 + 1 : i*30 + 40], ' ') AS chunk_text
         FROM exploded
+    """,
+    "q_label_centroids": """
+        SELECT label, gs - 1 AS dim,
+               sum(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS sum_milli,
+               count(*) AS n
+        FROM (SELECT label, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS gs
+              FROM embeddings)
+        GROUP BY label, gs
     """,
     "q_term_stats": r"""
         WITH td AS (
@@ -3188,6 +3236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_chunks": q_doc_chunks,
         "q_stratified_sample": q_stratified_sample,
         "q_term_stats": q_term_stats,
+        "q_label_centroids": q_label_centroids,
         "q_minhash_pairs": q_minhash_pairs,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -3207,7 +3256,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked: relational --------------------------
         "q_date_functions": q_date_functions,
         "q_rollup": q_rollup,
-        "q_union_all": q_union_all,
         # -- never driver-checked: streaming (micro-batch fixed cost) --
         "q_stream_window_counts": q_stream_window_counts,
         "q_stream_sessions": q_stream_sessions,
@@ -3216,6 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_stream_join": q_stream_stream_join,
         "q_stream_stateful": q_stream_stateful,
         # -- never driver-checked: SQL front door ----------------------
+        "q_union_all": q_union_all,
         "q_intersect": q_intersect,
         "q_cube": q_cube,
         "q_except": q_except,

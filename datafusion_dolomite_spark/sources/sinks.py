@@ -11,7 +11,40 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-__all__ = ["write_parquet", "write_csv", "write_json", "write_orc"]
+__all__ = [
+    "write_parquet",
+    "write_csv",
+    "write_json",
+    "write_orc",
+    "write_bucketed_table",
+]
+
+
+def write_bucketed_table(
+    df,
+    table_name: str,
+    bucket_by: Sequence[str],
+    n_buckets: int = 32,
+    sort_by: Optional[Sequence[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (goes through the session catalog —
+    Spark persists bucketing metadata only for tables, not raw paths).
+
+    The 100 TB payoff: two tables bucketed on their join key with the
+    same bucket count join WITHOUT any Exchange — each task reads the
+    matching bucket from both sides.  For a fact table joined repeatedly
+    on the same key, that amortizes the shuffle across every future
+    query.  ``sort_by`` additionally pre-sorts each bucket so sort-merge
+    joins skip their sort step."""
+    w = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(int(n_buckets), *bucket_by)
+    )
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table_name)
 
 
 def _writer(df, mode: str, partition_by: Optional[Sequence[str]]):

@@ -68,10 +68,18 @@ def test_bucketed_join_avoids_shuffle(planner, spark, tmp_path):
         .scan("lineitem", columns=["l_orderkey", "l_quantity"])
         .build()
     )
-    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey").saveAsTable(f"{warehouse_db}_orders"))
-    (lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey").saveAsTable(f"{warehouse_db}_lineitem"))
+    from datafusion_dolomite_spark.sources.sinks import write_bucketed_table
+
+    write_bucketed_table(
+        orders, f"{warehouse_db}_orders", ["o_orderkey"], 8, sort_by=["o_orderkey"]
+    )
+    write_bucketed_table(
+        lineitem,
+        f"{warehouse_db}_lineitem",
+        ["l_orderkey"],
+        8,
+        sort_by=["l_orderkey"],
+    )
 
     a = spark.table(f"{warehouse_db}_orders")
     b = spark.table(f"{warehouse_db}_lineitem")
