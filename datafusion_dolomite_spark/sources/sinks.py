@@ -54,6 +54,39 @@ def _writer(df, mode: str, partition_by: Optional[Sequence[str]]):
     return w
 
 
+def _zvalue(df, cols: Sequence[str], bits: int = 16):
+    """Morton (Z-order) value of ``cols`` as a JVM expression column.
+
+    One tiny min/max aggregate normalizes each column to ``bits``-bit
+    ints, then bit-interleaving folds them into a single sortable key —
+    pure shifts/ands, whole-stage codegen.  Rows close in z-value are
+    close in EVERY clustered dimension, so each written file covers a
+    narrow band of all of them (Delta/Iceberg OPTIMIZE ZORDER layout)."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    scale = (1 << bits) - 1
+    quantized = []
+    for i, c in enumerate(cols):
+        mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
+        span = (mx - mn) if (mx is not None and mn is not None and mx > mn) else 1.0
+        q = F.floor(
+            (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(float(scale))
+        ).cast("bigint")
+        quantized.append(F.greatest(F.lit(0), F.least(F.lit(scale), q)))
+    z = F.lit(0).cast("bigint")
+    for bit in range(bits):
+        for j, q in enumerate(quantized):
+            z = z + F.shiftleft(
+                F.shiftright(q, bit).bitwiseAND(F.lit(1)),
+                bit * len(cols) + j,
+            ).cast("bigint")
+    return z
+
+
 def write_parquet(
     df,
     path: str,
@@ -62,17 +95,30 @@ def write_parquet(
     compression: str = "snappy",
     cluster_by: Optional[Sequence[str]] = None,
     n_files: Optional[int] = None,
+    layout: str = "range",
 ) -> None:
     """Parquet sink with layout controls that matter at 100 TB:
 
-    * ``cluster_by`` — range-repartition + sort-within-partitions on the
-      given columns, so each file covers a narrow min/max band and
-      later range-predicate scans skip whole files (row-group pruning).
+    * ``cluster_by`` + ``layout="range"`` — range-repartition +
+      sort-within-partitions on the given columns, so each file covers a
+      narrow min/max band of the FIRST column and later range-predicate
+      scans skip whole files (row-group pruning).
+    * ``cluster_by`` + ``layout="zorder"`` — Morton-interleave the
+      columns so every file covers a narrow band of EVERY clustered
+      column; the layout for multi-dimension point/range predicates.
     * ``n_files`` — compaction: coalesce/repartition to a target file
       count (the small-files problem kills listing + scheduling at
       scale; one file per ~128-512 MB is the usual target).
     """
-    if cluster_by:
+    if cluster_by and layout == "zorder":
+        z = _zvalue(df, cluster_by)
+        df = df.withColumn("_zorder", z)
+        if n_files:
+            df = df.repartitionByRange(n_files, "_zorder")
+        else:
+            df = df.repartitionByRange("_zorder")
+        df = df.sortWithinPartitions("_zorder").drop("_zorder")
+    elif cluster_by:
         if n_files:
             df = df.repartitionByRange(n_files, *cluster_by)
         else:

@@ -229,6 +229,50 @@ def test_clustered_parquet_sink(planner, spark, tmp_path):
     assert sum(pq.ParquetFile(f).metadata.num_rows for f in files) == base.count()
 
 
+def test_zorder_parquet_sink(planner, spark, tmp_path):
+    """layout="zorder" Morton-interleaves the cluster columns so every
+    file covers a narrow band of EVERY clustered dimension — multi-dim
+    file skipping, not just the first range column."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from datafusion_dolomite_spark.sources.sinks import write_parquet
+
+    base = planner.dataframe(LogicalPlanBuilder().scan("orders").build())
+    out = os.path.join(str(tmp_path), "orders_zorder")
+    write_parquet(
+        base, out, cluster_by=["o_custkey", "o_totalprice"], n_files=8,
+        layout="zorder",
+    )
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    assert len(files) == 8
+    # helper column must not leak into the written schema
+    schema = pq.ParquetFile(files[0]).schema_arrow
+    assert "_zorder" not in schema.names
+
+    def bands(col):
+        out_bands, glo = [], [None, None]
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            out_bands.append((lo, hi))
+            glo[0] = lo if glo[0] is None else min(glo[0], lo)
+            glo[1] = hi if glo[1] is None else max(glo[1], hi)
+        return out_bands, glo
+
+    # every file's band in EACH dimension must be materially narrower
+    # than the global span (a random layout covers ~the full span; a
+    # range layout narrows only the first column)
+    for c in ("o_custkey", "o_totalprice"):
+        bs, (glo, ghi) = bands(c)
+        span = float(ghi - glo)
+        mean_frac = sum((hi - lo) / span for lo, hi in bs) / len(bs)
+        assert mean_frac < 0.8, (c, mean_frac)
+    assert sum(pq.ParquetFile(f).metadata.num_rows for f in files) == base.count()
+
+
 def test_partition_pruning_on_reread(planner, spark, tmp_path):
     """A filter on the hive-partition column must become a
     PartitionFilter (directory pruning — at 100 TB this skips whole
