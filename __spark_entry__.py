@@ -162,6 +162,167 @@ order by total_qty desc, ok
 limit 20"""
 
 
+# TPC-H shape adaptations for the remaining queries: the synthetic schema
+# has no partsupp / commitdate / receiptdate / phone, so lineitem serves
+# as the part-supplier bridge and predicates are remapped onto columns
+# that exist — the STRUCTURE (correlated subqueries, self-joins, nested
+# INs, EXISTS chains) is the faithful part.  Every string is dialect-
+# neutral: the SAME text runs on Spark (our parser) and DuckDB (oracle).
+
+_SQL_Q2 = """select s_acctbal, s_name, n_name, p_partkey, p_name, l_extendedprice
+from part, lineitem, supplier, nation, region
+where p_partkey = l_partkey and s_suppkey = l_suppkey
+  and s_nationkey = n_nationkey and n_regionkey = r_regionkey
+  and r_name = 'EUROPE' and p_size = 15
+  and l_extendedprice = (select min(l2.l_extendedprice)
+                         from lineitem l2, supplier s2, nation n2, region r2
+                         where l2.l_partkey = p_partkey
+                           and s2.s_suppkey = l2.l_suppkey
+                           and s2.s_nationkey = n2.n_nationkey
+                           and n2.n_regionkey = r2.r_regionkey
+                           and r2.r_name = 'EUROPE')
+order by s_acctbal desc, n_name, s_name, p_partkey, l_extendedprice
+limit 100"""
+
+_SQL_Q4 = """select o_orderpriority, count(*) as order_count
+from orders
+where o_orderdate >= '1996-01-01' and o_orderdate < '1997-01-01'
+  and exists (select * from lineitem
+              where l_orderkey = o_orderkey and l_returnflag = 'R')
+group by o_orderpriority
+order by o_orderpriority"""
+
+_SQL_Q7 = """select supp_nation, cust_nation, l_year,
+       cast(sum(cast(volume as decimal(12,2))) as double) as revenue
+from (
+  select n1.n_name as supp_nation, n2.n_name as cust_nation,
+         year(l_shipdate) as l_year,
+         l_extendedprice * (1 - l_discount) as volume
+  from supplier, lineitem, orders, customer, nation n1, nation n2
+  where s_suppkey = l_suppkey and o_orderkey = l_orderkey
+    and c_custkey = o_custkey
+    and s_nationkey = n1.n_nationkey and c_nationkey = n2.n_nationkey
+    and ((n1.n_name = 'NATION_3' and n2.n_name = 'NATION_7')
+      or (n1.n_name = 'NATION_7' and n2.n_name = 'NATION_3'))
+    and l_shipdate between '1996-01-01' and '1997-12-31'
+) shipping
+group by supp_nation, cust_nation, l_year
+order by supp_nation, cust_nation, l_year"""
+
+_SQL_Q8 = """select o_year,
+       cast(floor(1000 * sum(case when nation = 'NATION_5' then volume else 0 end)
+                  / sum(volume)) as bigint) as mkt_share_permille
+from (
+  select year(o_orderdate) as o_year,
+         l_extendedprice * (1 - l_discount) as volume,
+         n2.n_name as nation
+  from part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  where p_partkey = l_partkey and s_suppkey = l_suppkey
+    and l_orderkey = o_orderkey and o_custkey = c_custkey
+    and c_nationkey = n1.n_nationkey and n1.n_regionkey = r_regionkey
+    and r_name = 'ASIA' and s_nationkey = n2.n_nationkey
+    and p_type = 'ECONOMY'
+) all_nations
+group by o_year
+order by o_year"""
+
+_SQL_Q9 = """select nation, o_year,
+       cast(sum(cast(l_extendedprice as decimal(12,2))
+                * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))
+            - cast(p_retailprice as decimal(12,2)) * cast(l_quantity as decimal(12,2))) as double) as sum_profit
+from (
+  select n_name as nation, year(o_orderdate) as o_year,
+         l_extendedprice, l_discount, p_retailprice, l_quantity
+  from part, supplier, lineitem, orders, nation
+  where s_suppkey = l_suppkey and p_partkey = l_partkey
+    and o_orderkey = l_orderkey and s_nationkey = n_nationkey
+    and p_name like '%red%'
+) profit
+group by nation, o_year
+order by nation, o_year desc"""
+
+_SQL_Q11 = """select l_partkey,
+       cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(l_quantity as decimal(12,2))) as double) as part_value
+from lineitem, supplier, nation
+where l_suppkey = s_suppkey and s_nationkey = n_nationkey and n_name = 'NATION_7'
+group by l_partkey
+having part_value > 0.001 * (select cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(l_quantity as decimal(12,2))) as double)
+                             from lineitem, supplier, nation
+                             where l_suppkey = s_suppkey and s_nationkey = n_nationkey and n_name = 'NATION_7')
+order by part_value desc, l_partkey"""
+
+_SQL_Q15 = """with revenue as (
+  select l_suppkey as supplier_no,
+         cast(sum(cast(l_extendedprice as decimal(12,2))
+                  * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))) as decimal(18,4)) as total_revenue
+  from lineitem
+  where l_shipdate >= '1996-01-01' and l_shipdate < '1996-04-01'
+  group by l_suppkey
+)
+select s_suppkey, s_name, cast(total_revenue as double) as total_revenue
+from supplier, revenue
+where s_suppkey = supplier_no
+  and total_revenue = (select max(total_revenue) from revenue)
+order by s_suppkey"""
+
+_SQL_Q16 = """select p_brand, p_type, p_size, count(distinct l_suppkey) as supplier_cnt
+from lineitem, part
+where p_partkey = l_partkey
+  and p_brand <> 'Brand#45'
+  and p_size in (1, 4, 7, 10, 13, 16, 19, 22)
+  and l_suppkey not in (select s_suppkey from supplier where s_acctbal < 0)
+group by p_brand, p_type, p_size
+order by supplier_cnt desc, p_brand, p_type, p_size"""
+
+_SQL_Q17 = """select cast(floor(sum(cast(l_extendedprice as decimal(12,2))) / 7) as bigint) as avg_yearly_f
+from lineitem, part
+where p_partkey = l_partkey and p_brand = 'Brand#23'
+  and l_quantity < (select 0.2 * avg(l_quantity) from lineitem l2
+                    where l2.l_partkey = p_partkey)"""
+
+_SQL_Q20 = """select s_name, s_acctbal
+from supplier, nation
+where s_suppkey in (
+    select l_suppkey from (
+      select l_suppkey, sum(l_quantity) as qty
+      from lineitem
+      where l_shipdate >= '1996-01-01'
+        and l_partkey in (select p_partkey from part where p_name like 'red%')
+      group by l_suppkey) t
+    where qty > 50)
+  and s_nationkey = n_nationkey and n_name = 'NATION_3'
+order by s_name"""
+
+_SQL_Q21 = """select s_name, count(*) as numwait
+from supplier, lineitem l1, orders, nation
+where s_suppkey = l1.l_suppkey and o_orderkey = l1.l_orderkey
+  and o_orderstatus = 'F' and l1.l_returnflag = 'R'
+  and exists (select * from lineitem l2
+              where l2.l_orderkey = l1.l_orderkey
+                and l2.l_suppkey <> l1.l_suppkey)
+  and not exists (select * from lineitem l3
+                  where l3.l_orderkey = l1.l_orderkey
+                    and l3.l_suppkey <> l1.l_suppkey
+                    and l3.l_returnflag = 'R')
+  and s_nationkey = n_nationkey and n_name = 'NATION_1'
+group by s_name
+order by numwait desc, s_name
+limit 100"""
+
+_SQL_Q22 = """select cntrycode, count(*) as numcust,
+       cast(sum(cast(c_acctbal as decimal(12,2))) as double) as totacctbal
+from (
+  select substring(c_name, 16, 2) as cntrycode, c_acctbal
+  from customer
+  where substring(c_name, 16, 2) in ('04', '14', '24', '34', '44')
+    and c_acctbal > (select avg(c_acctbal) from customer where c_acctbal > 0.00)
+    and not exists (select * from orders
+                    where o_custkey = c_custkey and o_orderstatus = 'P')
+) custsale
+group by cntrycode
+order by cntrycode"""
+
+
 # ---------------------------------------------------------------------------
 # Core relational operators (SURVEY §2.1 parity surface)
 # ---------------------------------------------------------------------------
@@ -1648,6 +1809,18 @@ EXTENSION_ORACLES = {
         "q_sql_q14": _SQL_Q14,
         "q_sql_q10": _SQL_Q10,
         "q_sql_q13": _SQL_Q13,
+        "q_sql_q2": _SQL_Q2,
+        "q_sql_q4": _SQL_Q4,
+        "q_sql_q7": _SQL_Q7,
+        "q_sql_q8": _SQL_Q8,
+        "q_sql_q9": _SQL_Q9,
+        "q_sql_q11": _SQL_Q11,
+        "q_sql_q15": _SQL_Q15,
+        "q_sql_q16": _SQL_Q16,
+        "q_sql_q17": _SQL_Q17,
+        "q_sql_q20": _SQL_Q20,
+        "q_sql_q21": _SQL_Q21,
+        "q_sql_q22": _SQL_Q22,
     "q_cube": """
         SELECT COALESCE(event_type, '(all)') AS etype,
                COALESCE(dayofweek(ts) + 1, -1) AS wd,
@@ -2432,6 +2605,91 @@ def q_sql_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 in SQL: derived table over a LEFT JOIN two-level
     aggregation — same string is the oracle."""
     return _planner(spark, sf_dir).sql(_SQL_Q13)
+
+
+def q_sql_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: CORRELATED scalar min subquery whose inner FROM is
+    itself a 4-table join — decorrelated into a per-key aggregate
+    (group keys aliased __ck* so they never collide with outer columns,
+    sql.py _try_decorrelate_scalar).  lineitem plays partsupp; beyond
+    the reference's SQL surface (conversion/logical.rs:119-135 converts
+    no subqueries at all)."""
+    return _planner(spark, sf_dir).sql(_SQL_Q2)
+
+
+def q_sql_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS over lineitem decorrelated to a
+    LEFT SEMI join, then priority-class counts."""
+    return _planner(spark, sf_dir).sql(_SQL_Q4)
+
+
+def q_sql_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): nation SELF-JOIN via table aliases —
+    the parser renames the repeated scan's columns (n2_*) so the joined
+    plan keeps globally-unique names (sql.py _from_item), with an
+    OR-of-conjunct nation pairing and a derived-table reaggregation."""
+    return _planner(spark, sf_dir).sql(_SQL_Q7)
+
+
+def q_sql_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (market share): 8-table join with a nation self-join,
+    CASE-conditional share ratio scaled to exact permille integers."""
+    return _planner(spark, sf_dir).sql(_SQL_Q8)
+
+
+def q_sql_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): LIKE filter, 5-table join,
+    decimal-exact profit aggregated by (nation, year)."""
+    return _planner(spark, sf_dir).sql(_SQL_Q9)
+
+
+def q_sql_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING with an UNCORRELATED scalar subquery
+    threshold — joined as a 1-row broadcast below the filter, helper
+    column re-projected away (sql.py HAVING scalar path)."""
+    return _planner(spark, sf_dir).sql(_SQL_Q11)
+
+
+def q_sql_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): CTE referenced twice — once in FROM and
+    once inside the max() scalar subquery (each reference is a fresh
+    clone, sql.py _table); decimal(18,4) keeps the revenue exact so the
+    max-equality join is hash-stable."""
+    return _planner(spark, sf_dir).sql(_SQL_Q15)
+
+
+def q_sql_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery (anti join), literal IN-list,
+    count(distinct) supplier tally."""
+    return _planner(spark, sf_dir).sql(_SQL_Q16)
+
+
+def q_sql_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity revenue): correlated avg subquery over
+    the SAME table the outer query scans — the __ck group-key rename
+    makes the decorrelated join unambiguous."""
+    return _planner(spark, sf_dir).sql(_SQL_Q17)
+
+
+def q_sql_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries (IN inside the IN's derived
+    table) — each level rewrites to a LEFT SEMI join."""
+    return _planner(spark, sf_dir).sql(_SQL_Q20)
+
+
+def q_sql_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (waiting suppliers): EXISTS + NOT EXISTS both correlated
+    through a lineitem SELF-join with a non-equi conjunct
+    (l2.l_suppkey <> l1.l_suppkey) — the @outer qualifier marking plus
+    __sub_* inner renames (sql.py _decorrelate_exists) produce a semi
+    and an anti join with mixed equi/non-equi conditions."""
+    return _planner(spark, sf_dir).sql(_SQL_Q21)
+
+
+def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: substring-derived country code, uncorrelated avg
+    scalar threshold, correlated NOT EXISTS anti join."""
+    return _planner(spark, sf_dir).sql(_SQL_Q22)
 
 
 def q_sql_comma_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3280,6 +3538,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_q14": q_sql_q14,
         "q_sql_q10": q_sql_q10,
         "q_sql_q13": q_sql_q13,
+        "q_sql_q2": q_sql_q2,
+        "q_sql_q4": q_sql_q4,
+        "q_sql_q7": q_sql_q7,
+        "q_sql_q8": q_sql_q8,
+        "q_sql_q9": q_sql_q9,
+        "q_sql_q11": q_sql_q11,
+        "q_sql_q15": q_sql_q15,
+        "q_sql_q16": q_sql_q16,
+        "q_sql_q17": q_sql_q17,
+        "q_sql_q20": q_sql_q20,
+        "q_sql_q21": q_sql_q21,
+        "q_sql_q22": q_sql_q22,
         # -- hash-matched in round 1 (CORRECTNESS_r01) ------------------
         "q_scan_limit": q_scan_limit,
         "q_filter_projection": q_filter_projection,

@@ -150,6 +150,10 @@ class _Parser:
         self.i = 0
         self.catalog = catalog
         self.ctes: dict[str, Plan] = {}
+        # alias frames: one dict per lexically-enclosing SELECT, innermost
+        # last; maps table alias (or bare table name) → column-rename
+        # prefix ("" when columns keep their scan names)
+        self.frames: List[dict] = []
 
     # -- token helpers --------------------------------------------------
     def peek(self) -> _Tok:
@@ -230,28 +234,37 @@ class _Parser:
                 items.append(self._select_item())
 
         self.expect("kw", "from")
-        builder = self._table()
+        frame: dict = {}
+        seen_bases: set = set()
+        self.frames.append(frame)
+        builder = self._from_item(frame, seen_bases)
         # comma joins (textbook TPC-H style): cross join now, WHERE
         # equalities merge into the condition via MergeFilterIntoJoinRule
         while self.accept("op", ","):
-            builder = builder.join(self._table(), JoinType.INNER, Lit(True))
+            builder = builder.join(
+                self._from_item(frame, seen_bases), JoinType.INNER, Lit(True)
+            )
 
         # joins
         while True:
             if self.accept("kw", "cross"):
                 self.expect("kw", "join")
-                builder = builder.join(self._table(), JoinType.INNER, Lit(True))
+                builder = builder.join(
+                    self._from_item(frame, seen_bases), JoinType.INNER, Lit(True)
+                )
                 continue
             jt = self._join_type()
             if jt is None:
                 break
-            right = self._table()
+            right = self._from_item(frame, seen_bases)
             self.expect("kw", "on")
-            cond = self._expr()
+            cond = self._resolve(self._expr())
             builder = builder.join(right, jt, cond)
 
+        items = [self._resolve(e) for e in items]
+
         if self.accept("kw", "where"):
-            pred = self._expr()
+            pred = self._resolve(self._expr())
             pred, scalars = _extract_scalars(pred)
             for alias, sub in scalars:
                 dec = _try_decorrelate_scalar(sub, self.catalog, alias)
@@ -282,9 +295,9 @@ class _Parser:
         group_exprs: List[Expr] = []
         if self.accept("kw", "group"):
             self.expect("kw", "by")
-            group_exprs.append(self._expr())
+            group_exprs.append(self._resolve(self._expr()))
             while self.accept("op", ","):
-                group_exprs.append(self._expr())
+                group_exprs.append(self._resolve(self._expr()))
 
         # -- window functions: lower OVER items onto a LogicalWindow ----
         # Each _WindowExpr anywhere in a select item becomes a
@@ -347,8 +360,26 @@ class _Parser:
             builder = builder.aggregate(group_exprs or plain, tuple(aggs))
             if self.accept("kw", "having"):
                 # HAVING over the aggregate's OUTPUT (reference output
-                # aliases or group columns) — a plain filter above the agg
-                builder = builder.filter(self._expr())
+                # aliases or group columns) — a plain filter above the agg.
+                # Uncorrelated scalar subqueries (TPC-H Q11's threshold)
+                # become a 1-row broadcast cross join below the filter.
+                hpred = self._resolve(self._expr())
+                hpred, hscalars = _extract_scalars(hpred)
+                for alias, sub in hscalars:
+                    cur = _single_output_col(sub)
+                    renamed = LogicalPlanBuilder(sub.root).projection(
+                        [Alias(Col(cur), alias)]
+                    )
+                    builder = builder.join(renamed, JoinType.INNER, Lit(True))
+                builder = builder.filter(hpred)
+                if hscalars:
+                    # drop the _scalar_* helper columns from the output
+                    from .operators.logical import output_name as _hname
+
+                    builder = builder.projection(
+                        [Col(_hname(g)) for g in (group_exprs or plain)]
+                        + [Col(a.name) for a in aggs]
+                    )
             # aliased group keys in the SELECT list (``o_custkey AS x``,
             # ``year(d) AS y``) aren't part of the aggregate's natural
             # output — re-project to the select-list shape when they differ
@@ -388,9 +419,9 @@ class _Parser:
 
         if self.accept("kw", "order"):
             self.expect("kw", "by")
-            keys = [self._sort_key()]
+            keys = [self._resolve(self._sort_key())]
             while self.accept("op", ","):
-                keys.append(self._sort_key())
+                keys.append(self._resolve(self._sort_key()))
             builder = builder.sort(keys)
 
         if self.accept("kw", "limit"):
@@ -400,6 +431,7 @@ class _Parser:
                 offset = int(self.expect("number").value)
             builder = builder.limit(int(n.value), offset)
 
+        self.frames.pop()
         return builder.build()
 
     def _join_type(self) -> Optional[JoinType]:
@@ -424,23 +456,111 @@ class _Parser:
                 return jt
         return None
 
-    def _table(self) -> LogicalPlanBuilder:
+    def _table(self):
+        """One FROM item → (builder, base_table_or_None, alias_or_None).
+        A trailing bare identifier (or ``AS ident``) is a table alias."""
         if self.accept("op", "("):
             # derived table: FROM (SELECT ...) [AS] alias — columns keep
-            # their subquery output names (no qualifier system, so the
-            # alias only consumes tokens)
+            # their subquery output names
             sub = self._query()
             self.expect("op", ")")
+            alias = None
             self.accept("kw", "as")
             if self.peek().kind == "ident":
-                self.next()
-            return LogicalPlanBuilder(sub.root)
+                alias = self.next().value
+            return LogicalPlanBuilder(sub.root), None, alias
         name = self.expect("ident").value
+        alias = None
+        self.accept("kw", "as")
+        if self.peek().kind == "ident":
+            alias = self.next().value
         if name in self.ctes:
             # fresh copy per reference — the heuristic rewrites in place,
             # so a shared subtree would alias edits across references
-            return LogicalPlanBuilder(_clone_subtree(self.ctes[name].root))
-        return LogicalPlanBuilder().scan(name)
+            return LogicalPlanBuilder(_clone_subtree(self.ctes[name].root)), name, alias
+        return LogicalPlanBuilder().scan(name), name, alias
+
+    def _from_item(self, frame, seen_bases):
+        """Parse one FROM item, register its alias in ``frame`` and
+        auto-rename columns on a repeated base table (self-join): the
+        2nd+ occurrence gets every column ``c`` projected to
+        ``<alias>_c`` so the joined plan has globally-unique names
+        (``Col.to_column`` is unqualified — Spark would see ambiguous
+        references otherwise)."""
+        b, base, alias = self._table()
+        if base is not None and base in seen_bases and base not in self.ctes:
+            if alias is None:
+                raise SqlError(
+                    f"self-join on {base!r} requires a table alias on the "
+                    "repeated occurrence"
+                )
+            if self.catalog is None:
+                raise SqlError("self-join renaming requires a catalog")
+            prefix = f"{alias}_"
+            b = b.projection(
+                [
+                    Alias(Col(c), prefix + c)
+                    for c in self.catalog.schema(base).names()
+                ]
+            )
+            frame[alias] = prefix
+        else:
+            if alias is not None:
+                frame[alias] = ""
+            if base is not None:
+                frame.setdefault(base, "")
+                seen_bases.add(base)
+        return b
+
+    def _resolve(self, e):
+        """Resolve qualified column refs against the alias frames:
+        ``a.c`` → the (possibly renamed) local column, or — when ``a``
+        belongs to an ENCLOSING select — ``Col(c, "@outer")``, the
+        marker the decorrelators use to classify correlation even when
+        the name also exists in the subquery's own scans (self-join
+        correlation, TPC-H Q21 shape)."""
+        if isinstance(e, Col):
+            q = e.qualifier
+            if q is None or q == "@outer":
+                return e
+            for depth, frame in enumerate(reversed(self.frames)):
+                if q in frame:
+                    resolved = frame[q] + e.name
+                    if depth == 0:
+                        return Col(resolved)
+                    return Col(resolved, "@outer")
+            return Col(e.name)
+        if isinstance(e, BinOp):
+            return BinOp(e.op, self._resolve(e.left), self._resolve(e.right))
+        if isinstance(e, Alias):
+            return Alias(self._resolve(e.expr), e.name)
+        if isinstance(e, Cast):
+            return Cast(self._resolve(e.expr), e.to_type)
+        if isinstance(e, Func):
+            return Func(e.name, tuple(self._resolve(a) for a in e.args))
+        if isinstance(e, SortKey):
+            return SortKey(
+                self._resolve(e.expr), asc=e.asc, nulls_first=e.nulls_first
+            )
+        if isinstance(e, _WindowExpr):
+            return _WindowExpr(
+                self._resolve(e.func),
+                type(e.partition_by)(self._resolve(p) for p in e.partition_by),
+                type(e.order_by)(self._resolve(k) for k in e.order_by),
+                e.frame,
+            )
+        if isinstance(e, _InSubquery):
+            return _InSubquery(self._resolve(e.expr), e.subplan, e.negated)
+        from .expr import CaseWhen
+
+        if isinstance(e, CaseWhen):
+            return CaseWhen(
+                tuple(
+                    (self._resolve(c), self._resolve(v)) for c, v in e.branches
+                ),
+                None if e.otherwise is None else self._resolve(e.otherwise),
+            )
+        return e
 
     def _select_item(self) -> Expr:
         e = self._expr()
@@ -818,14 +938,91 @@ def _and_all(parts):
     return out
 
 
+def _cols_of(e):
+    """All Col nodes in an expression tree (qualifiers preserved)."""
+    from .expr import CaseWhen
+
+    if isinstance(e, Col):
+        return [e]
+    if isinstance(e, BinOp):
+        return _cols_of(e.left) + _cols_of(e.right)
+    if isinstance(e, (Alias, Cast)):
+        return _cols_of(e.expr)
+    if isinstance(e, Func):
+        return [c for a in e.args for c in _cols_of(a)]
+    if isinstance(e, CaseWhen):
+        out = [c for br in e.branches for x in br for c in _cols_of(x)]
+        if e.otherwise is not None:
+            out += _cols_of(e.otherwise)
+        return out
+    return []
+
+
+def _is_lifted(c, avail) -> bool:
+    """A conjunct lifts out of the subquery when it references the outer
+    query: an ``@outer``-marked qualified ref (self-join correlation —
+    the name ALSO exists on the inner scans), or a name no inner scan
+    provides."""
+    cols = _cols_of(c)
+    if any(x.qualifier == "@outer" for x in cols):
+        return True
+    return not set(x.name for x in cols) <= avail
+
+
+def _strip_outer(e):
+    """Rewrite ``Col(c, "@outer")`` → ``Col(c)`` (after lifting, the
+    condition lives at the join where both sides are in scope)."""
+    from .expr import CaseWhen
+
+    if isinstance(e, Col):
+        return Col(e.name) if e.qualifier == "@outer" else e
+    if isinstance(e, BinOp):
+        return BinOp(e.op, _strip_outer(e.left), _strip_outer(e.right))
+    if isinstance(e, Alias):
+        return Alias(_strip_outer(e.expr), e.name)
+    if isinstance(e, Cast):
+        return Cast(_strip_outer(e.expr), e.to_type)
+    if isinstance(e, Func):
+        return Func(e.name, tuple(_strip_outer(a) for a in e.args))
+    if isinstance(e, CaseWhen):
+        return CaseWhen(
+            tuple((_strip_outer(c), _strip_outer(v)) for c, v in e.branches),
+            None if e.otherwise is None else _strip_outer(e.otherwise),
+        )
+    return e
+
+
+def _rename_inner(e, renames):
+    """Rewrite inner (non-@outer) Col refs per ``renames``; strip @outer
+    markers on the rest."""
+    if isinstance(e, Col):
+        if e.qualifier == "@outer":
+            return Col(e.name)
+        return Col(renames.get(e.name, e.name))
+    if isinstance(e, BinOp):
+        return BinOp(e.op, _rename_inner(e.left, renames), _rename_inner(e.right, renames))
+    if isinstance(e, Alias):
+        return Alias(_rename_inner(e.expr, renames), e.name)
+    if isinstance(e, Cast):
+        return Cast(_rename_inner(e.expr, renames), e.to_type)
+    if isinstance(e, Func):
+        return Func(e.name, tuple(_rename_inner(a, renames) for a in e.args))
+    return e
+
+
 def _decorrelate_exists(sub: Plan, catalog):
     """Rewrite a correlated EXISTS subquery into (subplan, join_cond).
 
-    Conjuncts in the subquery's filters whose columns are NOT all
-    resolvable against the subquery's own scans reference the outer query
-    — they lift into the semi/anti join condition.  The subquery's root
-    projection is discarded (EXISTS ignores the select list, and keeping
-    it would hide the join keys from the right side)."""
+    Conjuncts in the subquery's filters that reference the outer query
+    (see ``_is_lifted``) lift into the semi/anti join condition.  The
+    inner columns those conjuncts touch are renamed ``__sub_<c>`` via a
+    projection on the subquery root, so a self-join correlation (TPC-H
+    Q21: ``l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <>
+    l1.l_suppkey``) yields globally-unique names — the join condition
+    compiles to unambiguous unqualified references, and the semi/anti
+    join's output (left side only) never sees the helper columns.  The
+    subquery's root projection is discarded (EXISTS ignores the select
+    list, and keeping it would hide the join keys from the right side)."""
     from .plans.plan import PlanNode
 
     if catalog is None:
@@ -846,10 +1043,10 @@ def _decorrelate_exists(sub: Plan, catalog):
         if op.operator_name() == "Filter":
             keep, lift = [], []
             for c in _conjuncts(op.predicate):
-                if set(c.columns()) <= avail:
-                    keep.append(c)
-                else:
+                if _is_lifted(c, avail):
                     lift.append(c)
+                else:
+                    keep.append(c)
             lifted.extend(lift)
             child = rebuild(node.inputs[0])
             if keep:
@@ -870,7 +1067,20 @@ def _decorrelate_exists(sub: Plan, catalog):
             "EXISTS subquery must be correlated (reference an outer column); "
             "uncorrelated EXISTS is a constant"
         )
-    return Plan(new_root), _and_all(lifted)
+    inner = []
+    for c in lifted:
+        for x in _cols_of(c):
+            if x.qualifier != "@outer" and x.name in avail and x.name not in inner:
+                inner.append(x.name)
+    renames = {c: f"__sub_{c}" for c in inner}
+    if renames:
+        new_root = (
+            LogicalPlanBuilder(new_root)
+            .projection([Alias(Col(c), renames[c]) for c in inner])
+            ._require_root()
+        )
+    cond = _and_all([_rename_inner(c, renames) for c in lifted])
+    return Plan(new_root), cond
 
 
 def _try_decorrelate_scalar(sub: Plan, catalog, alias: str):
@@ -907,10 +1117,10 @@ def _try_decorrelate_scalar(sub: Plan, catalog, alias: str):
         if op.operator_name() == "Filter":
             keep, lift = [], []
             for c in _conjuncts(op.predicate):
-                if set(c.columns()) <= avail:
-                    keep.append(c)
-                else:
+                if _is_lifted(c, avail):
                     lift.append(c)
+                else:
+                    keep.append(c)
             lifted.extend(lift)
             child = rebuild(node.inputs[0])
             if keep:
@@ -934,7 +1144,11 @@ def _try_decorrelate_scalar(sub: Plan, catalog, alias: str):
             "correlated COUNT subquery is not decorrelatable by inner join "
             "(COUNT over empty is 0, not NULL)"
         )
+    # inner correlation keys group the aggregate; alias them __ck{i} so
+    # the per-key aggregate NEVER collides with an outer column of the
+    # same name (outer and inner may scan the same table — TPC-H Q17)
     inner_keys: list = []
+    conds: list = []
     for c in lifted:
         ok = (
             isinstance(c, BinOp)
@@ -947,29 +1161,33 @@ def _try_decorrelate_scalar(sub: Plan, catalog, alias: str):
                 f"correlated scalar subquery conjunct {c.pretty()} must be "
                 "inner_col = outer_col"
             )
-        inner = c.left.name if c.left.name in avail else c.right.name
-        if inner not in avail:
+        lc, rc = c.left, c.right
+        if rc.qualifier != "@outer" and (lc.qualifier == "@outer" or lc.name not in avail):
+            lc, rc = rc, lc  # orient inner = outer
+        if lc.qualifier == "@outer" or lc.name not in avail:
             raise SqlError(f"cannot resolve correlation in {c.pretty()}")
-        inner_keys.append(inner)
-    # re-alias the aggregate to the scalar's marker name directly (the
-    # auto-pretty name can contain dots, which F.col parses as struct
-    # access); aggregate output = group keys + alias, nothing else needed
+        key = f"__ck{len(inner_keys)}"
+        inner_keys.append(Alias(Col(lc.name), key))
+        conds.append(BinOp("=", Col(key), Col(rc.name)))
     grouped = PlanNode(
         LogicalAggregate(
-            tuple(Col(k) for k in inner_keys),
-            (Alias(agg.agg_exprs[0].expr, alias),),
+            tuple(inner_keys),
+            # re-alias the aggregate to the scalar's marker name directly
+            # (the auto-pretty name can contain dots, which F.col parses
+            # as struct access)
+            (Alias(_strip_outer(agg.agg_exprs[0].expr), alias),),
             "groupby",
         ),
         [new_child],
     )
-    return LogicalPlanBuilder(grouped), _and_all(lifted)
+    return LogicalPlanBuilder(grouped), _and_all(conds)
 
 
 def _single_output_col(plan: Plan) -> str:
     """Name of the subquery's single output column (IN requires one)."""
     op = plan.root.operator
     name = op.operator_name()
-    if name == "Distinct":
+    if name in ("Distinct", "Filter"):
         return _single_output_col(Plan(plan.root.inputs[0]))
     if name == "Projection":
         exprs = op.exprs

@@ -253,9 +253,13 @@ def test_correlated_scalar_decorrelates(catalog):
     assert "Join" in ops and "Aggregate" in ops
     for n in plan.bfs_iterator():
         if n.operator.operator_name() == "Join":
-            assert "s_nationkey" in n.operator.condition.pretty()
+            # correlation key renamed __ck0 so the per-key aggregate can
+            # never collide with an outer column of the same name
+            assert "(__ck0 = c_nationkey)" == n.operator.condition.pretty()
         if n.operator.operator_name() == "Aggregate":
-            assert [g.pretty() for g in n.operator.group_exprs] == ["s_nationkey"]
+            assert [g.pretty() for g in n.operator.group_exprs] == [
+                "s_nationkey as __ck0"
+            ]
         if n.operator.operator_name() == "Filter":
             # no correlated conjunct survives below the join
             assert "c_nationkey" not in n.operator.predicate.pretty() or (
@@ -435,3 +439,106 @@ def test_offset_not_fused_into_scan_or_topk(catalog):
     text = phys.explain()
     assert "PhysicalTopK" not in text  # TopK would drop the wrong rows
     assert "PhysicalLimit { limit: 2, offset: 1 }" in text
+
+
+# -- table aliases / self-joins / correlated decorrelation upgrades --------
+
+def test_self_join_alias_renames_second_occurrence(catalog):
+    """`nation n1, nation n2` — the repeated scan's columns are renamed
+    n2_* via a projection so the joined plan has unique names; qualified
+    refs resolve through the alias frame."""
+    plan = parse_sql(
+        "select n1.n_name as a, n2.n_name as b "
+        "from nation n1, nation n2 "
+        "where n1.n_regionkey = n2.n_regionkey and n1.n_nationkey < n2.n_nationkey",
+        catalog,
+    )
+    text = plan.explain()
+    assert "n2_n_name" in text and "n2_n_regionkey" in text
+    # first occurrence keeps scan names
+    assert "n1_n_name" not in text
+
+
+def test_self_join_alias_executes(planner):
+    """Pairs of nations in the same region — oracle check by pure python."""
+    rows = [
+        tuple(r)
+        for r in planner.sql(
+            "select n1.n_name as a, n2.n_name as b "
+            "from nation n1, nation n2 "
+            "where n1.n_regionkey = n2.n_regionkey and n1.n_nationkey < n2.n_nationkey "
+            "order by a, b"
+        ).collect()
+    ]
+    base = [tuple(r) for r in planner.sql("select n_nationkey, n_name, n_regionkey from nation").collect()]
+    want = sorted(
+        (x[1], y[1])
+        for x in base
+        for y in base
+        if x[2] == y[2] and x[0] < y[0]
+    )
+    assert rows == want and len(rows) > 0
+
+
+def test_exists_self_join_correlation_via_outer_marker(catalog):
+    """EXISTS correlated through the SAME table as the outer scan
+    (TPC-H Q21 shape): @outer marking classifies the conjuncts, inner
+    refs get __sub_* renames, and the non-equi conjunct survives in the
+    semi-join condition."""
+    plan = parse_sql(
+        "select l1.l_orderkey from lineitem l1 "
+        "where exists (select * from lineitem l2 "
+        "              where l2.l_orderkey = l1.l_orderkey "
+        "                and l2.l_suppkey <> l1.l_suppkey)",
+        catalog,
+    )
+    join = next(
+        n for n in plan.bfs_iterator() if n.operator.operator_name() == "Join"
+    )
+    cond = join.operator.condition.pretty()
+    assert "__sub_l_orderkey = l_orderkey" in cond
+    assert "__sub_l_suppkey != l_suppkey" in cond
+    assert join.operator.join_type.name == "LEFT_SEMI"
+
+
+def test_exists_self_join_executes(planner):
+    """Orders that have at least two distinct suppliers among their lines."""
+    rows = [
+        tuple(r)
+        for r in planner.sql(
+            "select distinct l1.l_orderkey from lineitem l1 "
+            "where exists (select * from lineitem l2 "
+            "              where l2.l_orderkey = l1.l_orderkey "
+            "                and l2.l_suppkey <> l1.l_suppkey) "
+            "order by l_orderkey"
+        ).collect()
+    ]
+    base = [tuple(r) for r in planner.sql("select l_orderkey, l_suppkey from lineitem").collect()]
+    from collections import defaultdict
+
+    supps = defaultdict(set)
+    for ok, sk in base:
+        supps[ok].add(sk)
+    want = sorted((ok,) for ok, s in supps.items() if len(s) >= 2)
+    assert rows == want and len(rows) > 0
+
+
+def test_having_scalar_subquery(planner):
+    """HAVING threshold from an uncorrelated scalar subquery (TPC-H Q11
+    shape) — 1-row broadcast join below the filter, helper column
+    projected away."""
+    df = planner.sql(
+        "select o_custkey, count(*) as n from orders group by o_custkey "
+        "having n > 2 * (select avg(o_totalprice) / avg(o_totalprice) from orders) "
+        "order by o_custkey"
+    )
+    assert df.columns == ["o_custkey", "n"]
+    rows = [tuple(r) for r in df.collect()]
+    base = [
+        tuple(r)
+        for r in planner.sql(
+            "select o_custkey, count(*) as n from orders group by o_custkey order by o_custkey"
+        ).collect()
+    ]
+    want = [r for r in base if r[1] > 2]
+    assert rows == want and len(rows) > 0
