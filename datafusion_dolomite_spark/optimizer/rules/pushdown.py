@@ -43,6 +43,7 @@ __all__ = [
     "CombineFiltersRule",
     "PushFilterToScanRule",
     "PushFilterThroughJoinRule",
+    "ReorderJoinGraphRule",
     "PruneScanColumnsRule",
     "PushFilterThroughAggregateRule",
     "PUSHDOWN_RULES",
@@ -225,6 +226,154 @@ class MergeFilterIntoJoinRule(Rule):
             result.add(OptExpression.op(LogicalFilter(_and_all(keep)), new_join))
         else:
             result.add(new_join)
+
+
+class ReorderJoinGraphRule(Rule):
+    """Cross-join elimination: flatten a chain of INNER joins into
+    (leaves, conjuncts) and greedily rebuild left-deep so every join
+    attaches a leaf CONNECTED by at least one conjunct to the tables
+    accumulated so far.  A textbook comma-join (``FROM a, b, c WHERE
+    a.x = c.x AND b.y = c.y``) merges into a left-deep chain whose
+    FIRST join is a cartesian product (a and b share no predicate);
+    at 100 TB that cartesian is fatal — N·M rows materialized before
+    the connecting table arrives.  Fires only when it strictly reduces
+    the number of cross joins (idempotent under the HEP fixed point).
+
+    The reference has no join-graph logic at all (its join conversion is
+    commented out, ``conversion/logical.rs:119-135``); Catalyst has the
+    equivalent in ``ReorderJoin``/``CostBasedJoinReorder``."""
+
+    name = "ReorderJoinGraphRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(LogicalJoin)
+
+    def promise(self) -> RulePromise:
+        return RulePromise.MEDIUM
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        from ...expr import Lit
+
+        top: LogicalJoin = input.root.operator
+        if top.join_type is not JoinType.INNER:
+            return
+        leaves: list = []
+        conjuncts: list = []
+        n_cross = 0
+
+        def is_true(c) -> bool:
+            return isinstance(c, Lit) and c.value is True
+
+        def flatten(node) -> None:
+            op = node.operator
+            if (
+                op.operator_name() == "Join"
+                and op.join_type is JoinType.INNER
+            ):
+                nonlocal n_cross
+                flatten(node.inputs[0])
+                flatten(node.inputs[1])
+                if is_true(op.condition):
+                    n_cross += 1
+                else:
+                    conjuncts.extend(_conjuncts(op.condition))
+            else:
+                leaves.append(node)
+
+        lh, rh = input.root.inputs
+        if lh.handle is None or rh.handle is None:
+            return
+        flatten(lh.handle)
+        flatten(rh.handle)
+        if is_true(top.condition):
+            n_cross += 1
+        else:
+            conjuncts.extend(_conjuncts(top.condition))
+        if len(leaves) < 3 or n_cross == 0:
+            return
+
+        schemas = []
+        for n in leaves:
+            lp = getattr(n, "logical_prop", None)
+            if lp is None:
+                return
+            schemas.append(set(lp.schema.names()))
+        # duplicate names across leaves → attribution is ambiguous; the
+        # SQL layer renames self-joins, so this only guards builder plans
+        seen: set = set()
+        for s in schemas:
+            if s & seen:
+                return
+            seen |= s
+
+        crefs = [set(c.columns()) for c in conjuncts]
+        placed = [False] * len(conjuncts)
+        used = [False] * len(leaves)
+        used[0] = True
+        acc = set(schemas[0])
+        order: list = [(0, [])]
+        new_cross = 0
+        for _ in range(len(leaves) - 1):
+            pick = None
+            pick_conds: list = []
+            for j in range(len(leaves)):
+                if used[j]:
+                    continue
+                both = acc | schemas[j]
+                conds = [
+                    i
+                    for i in range(len(conjuncts))
+                    if not placed[i]
+                    and crefs[i]
+                    and crefs[i] <= both
+                    and crefs[i] & schemas[j]
+                    and crefs[i] & acc
+                ]
+                if conds:
+                    pick, pick_conds = j, conds
+                    break
+            if pick is None:
+                pick = next(j for j in range(len(leaves)) if not used[j])
+                new_cross += 1
+            used[pick] = True
+            acc |= schemas[pick]
+            order.append((pick, pick_conds))
+            for i in pick_conds:
+                placed[i] = True
+        if new_cross >= n_cross:
+            return
+        # single-leaf conjuncts (and anything else unplaced): attach at
+        # the earliest join where every referenced column is in scope
+        cum: set = set(schemas[order[0][0]])
+        cums = [set(cum)]
+        for idx, _c in order[1:]:
+            cum = cum | schemas[idx]
+            cums.append(set(cum))
+        for i in range(len(conjuncts)):
+            if placed[i]:
+                continue
+            refs = crefs[i]
+            for k in range(1, len(order)):
+                if refs <= cums[k]:
+                    order[k][1].append(i)
+                    placed[i] = True
+                    break
+            if not placed[i]:
+                return  # unresolvable reference — keep the original plan
+
+        expr = OptExpression.handle(leaves[order[0][0]])
+        for idx, conds in order[1:]:
+            cond = _and_all([conjuncts[i] for i in conds])
+            from ...expr import Lit as _Lit
+
+            expr = OptExpression.op(
+                LogicalJoin(
+                    JoinType.INNER, cond if cond is not None else _Lit(True)
+                ),
+                expr,
+                OptExpression.handle(leaves[idx]),
+            )
+        result.add(expr)
 
 
 class PruneScanColumnsRule(Rule):
@@ -446,6 +595,7 @@ PUSHDOWN_RULES = [
     ConstantFoldingRule(),
     CombineFiltersRule(),
     MergeFilterIntoJoinRule(),
+    ReorderJoinGraphRule(),
     PushFilterToScanRule(),
     PushFilterThroughJoinRule(),
     PruneScanColumnsRule(),

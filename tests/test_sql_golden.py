@@ -542,3 +542,50 @@ def test_having_scalar_subquery(planner):
     ]
     want = [r for r in base if r[1] > 2]
     assert rows == want and len(rows) > 0
+
+
+def test_reorder_join_graph_eliminates_cross_join(catalog):
+    """FROM a, b, c with predicates connecting each to c: the left-deep
+    merge makes a×b a cartesian; ReorderJoinGraphRule rebuilds the chain
+    connected (a⋈c first), leaving zero True-condition joins."""
+    from datafusion_dolomite_spark.optimizer.rule import OptimizerContext
+    from datafusion_dolomite_spark.planner import default_rewrite_rules
+    from datafusion_dolomite_spark.optimizer.heuristic import HepOptimizer
+
+    ctx = OptimizerContext(catalog)
+    plan = parse_sql(
+        "select n_name, r_name, c_name from customer, region, nation "
+        "where n_regionkey = r_regionkey and c_nationkey = n_nationkey",
+        catalog,
+    )
+    opt = HepOptimizer(default_rewrite_rules(), ctx).find_best_plan(plan)
+    text = opt.explain()
+    assert "expr: True" not in text  # no cartesian survives
+    # the connected order joins customer→nation first, then region
+    assert text.index('"customer"') < text.index('"nation"') < text.index('"region"')
+
+
+def test_reorder_join_graph_keeps_genuine_cross(planner, catalog):
+    """A genuinely unconnected table stays a cross join (no predicate
+    can link it) and results remain correct."""
+    from datafusion_dolomite_spark.optimizer.rule import OptimizerContext
+    from datafusion_dolomite_spark.planner import default_rewrite_rules
+    from datafusion_dolomite_spark.optimizer.heuristic import HepOptimizer
+
+    ctx = OptimizerContext(catalog)
+    plan = parse_sql(
+        "select r_name, n_name, c_name from region, nation, customer "
+        "where c_nationkey = n_nationkey",
+        catalog,
+    )
+    opt = HepOptimizer(default_rewrite_rules(), ctx).find_best_plan(plan)
+    assert opt.explain().count("expr: True") == 1
+    rows = [
+        tuple(r)
+        for r in planner.sql(
+            "select r_name, n_name, count(*) as n from region, nation, customer "
+            "where c_nationkey = n_nationkey group by r_name, n_name "
+            "order by r_name, n_name limit 5"
+        ).collect()
+    ]
+    assert len(rows) == 5
