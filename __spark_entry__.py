@@ -693,6 +693,33 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (LogicalSequencePack, functions/packing.py):
+    assign each document to a fixed 1024-token-budget training pack via
+    greedy contiguous fill in deterministic md5 order, sharded 8 ways
+    per language so no global running sum exists (the scale design —
+    one window shuffle, shard-local state).  The oracle recomputes the
+    identical shards/windows in DuckDB."""
+    from datafusion_dolomite_spark.functions import text as T
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .projection(
+            [
+                col("doc_id"),
+                col("lang"),
+                Alias(T.token_count_ws(col("text")), "n_tok"),
+            ]
+        )
+        .sequence_pack(
+            "doc_id", "n_tok", budget=1024, n_shards=8, partition_cols=("lang",)
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids as exact integer fractions
     (sum of milli-scaled components + count per dimension) — the
@@ -1570,6 +1597,25 @@ EXTENSION_ORACLES = {
                      doc_id
           ) AS rn FROM documents
         ) WHERE rn <= 7
+    """,
+    "q_sequence_pack": r"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM documents
+        ), sharded AS (
+          SELECT doc_id, lang, n_tokens, h, (h % 8)::INT AS shard FROM toks
+        ), packed AS (
+          SELECT doc_id, lang, n_tokens, shard,
+                 sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY h, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM sharded
+        )
+        SELECT doc_id, lang, n_tokens, shard,
+               ((cum - n_tokens) // 1024)::BIGINT AS pack_id,
+               ((cum - n_tokens) % 1024)::BIGINT AS pack_offset
+        FROM packed
     """,
     "q_asof_join": """
         WITH purch AS (
@@ -3493,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_doc_chunks": q_doc_chunks,
         "q_stratified_sample": q_stratified_sample,
+        "q_sequence_pack": q_sequence_pack,
         "q_term_stats": q_term_stats,
         "q_label_centroids": q_label_centroids,
         "q_minhash_pairs": q_minhash_pairs,
@@ -3512,7 +3559,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_tolerance": q_asof_tolerance,
         "q_range_join": q_range_join,
         # -- never driver-checked: relational --------------------------
-        "q_date_functions": q_date_functions,
         "q_rollup": q_rollup,
         # -- never driver-checked: streaming (micro-batch fixed cost) --
         "q_stream_window_counts": q_stream_window_counts,
@@ -3522,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_stream_join": q_stream_stream_join,
         "q_stream_stateful": q_stream_stateful,
         # -- never driver-checked: SQL front door ----------------------
+        "q_date_functions": q_date_functions,
         "q_union_all": q_union_all,
         "q_intersect": q_intersect,
         "q_cube": q_cube,

@@ -251,6 +251,19 @@ class SparkExecutor:
             self._node(node.inputs[0]), list(op.stratum_cols), op.id_col, op.k
         )
 
+    def _sequence_pack(self, node: PlanNode):
+        from .functions.packing import sequence_pack
+
+        op = node.operator
+        return sequence_pack(
+            self._node(node.inputs[0]),
+            op.id_col,
+            op.tokens_col,
+            op.budget,
+            op.n_shards,
+            list(op.partition_cols),
+        )
+
     def _minhash_dedup(self, node: PlanNode):
         from .functions.dedup import minhash_verified_pairs
 
@@ -510,6 +523,8 @@ _HANDLERS = {
     X.LogicalDocChunk: SparkExecutor._doc_chunk,
     X.PhysicalStratifiedSample: SparkExecutor._stratified_sample,
     X.LogicalStratifiedSample: SparkExecutor._stratified_sample,
+    X.PhysicalSequencePack: SparkExecutor._sequence_pack,
+    X.LogicalSequencePack: SparkExecutor._sequence_pack,
     X.LogicalUnnest: SparkExecutor._unnest,
     # physical
     P.PhysicalTableScan: SparkExecutor._scan,

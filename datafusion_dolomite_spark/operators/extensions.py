@@ -45,6 +45,8 @@ __all__ = [
     "PhysicalDocChunk",
     "LogicalStratifiedSample",
     "PhysicalStratifiedSample",
+    "LogicalSequencePack",
+    "PhysicalSequencePack",
 ]
 
 
@@ -613,6 +615,74 @@ class PhysicalDocChunk(PhysicalOperator):
         return (
             f"PhysicalDocChunk {{ id: {self.id_col}, text: {self.text_col}, "
             f"size: {self.chunk_size}, overlap: {self.overlap} }}"
+        )
+
+
+# -- sequence packing (LLM training sequences) ------------------------------
+
+@dataclass(frozen=True)
+class LogicalSequencePack(LogicalOperator):
+    """Greedy contiguous-fill packing of rows into fixed token-budget
+    training sequences (functions/packing.py).  Rows are sharded by an
+    md5-derived hash of ``id_col`` and packed independently per
+    (partition_cols, shard) — no global serialization point.  Output:
+    (id, partition_cols..., n_tokens, shard, pack_id, pack_offset)."""
+
+    id_col: str
+    tokens_col: str
+    budget: int = 2048
+    n_shards: int = 8
+    partition_cols: Tuple[str, ...] = ()
+
+    def __post_init__(self):
+        if self.budget <= 0 or self.n_shards <= 0:
+            raise ValueError("budget and n_shards must be positive")
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        (inp,) = input_props
+        fields = []
+        for want in (self.id_col, *self.partition_cols):
+            f = next((f for f in inp.schema.fields if f.name == want), None)
+            if f is None:
+                raise ValueError(f"unknown column {want!r}")
+            fields.append(Field(f.name, f.dtype, f.nullable))
+        fields += [
+            Field("n_tokens", "bigint", True),
+            Field("shard", "int", False),
+            Field("pack_id", "bigint", True),
+            Field("pack_offset", "bigint", True),
+        ]
+        return LogicalProperty(Schema(tuple(fields)))
+
+    def pretty(self) -> str:
+        return (
+            f"LogicalSequencePack {{ id: {self.id_col}, tokens: {self.tokens_col}, "
+            f"budget: {self.budget}, shards: {self.n_shards} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalSequencePack(PhysicalOperator):
+    """One window shuffle hashed on (partition_cols, shard); the running
+    sum is shard-local so no partition exceeds ~corpus/n_shards rows.
+    Output stays hashed on the pack grouping key, so a following
+    per-pack aggregation (the sequence writer) reuses the exchange."""
+
+    id_col: str
+    tokens_col: str
+    budget: int = 2048
+    n_shards: int = 8
+    partition_cols: Tuple[str, ...] = ()
+
+    def derive_properties(self, children_props):
+        return (_DEFAULT,), PhysicalPropertySet(
+            dist=DistributionSpec.hashed((*self.partition_cols, "shard"))
+        )
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalSequencePack {{ id: {self.id_col}, tokens: {self.tokens_col}, "
+            f"budget: {self.budget}, shards: {self.n_shards} }}"
         )
 
 

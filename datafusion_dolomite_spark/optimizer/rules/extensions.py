@@ -30,6 +30,7 @@ __all__ = [
     "UnnestImplRule",
     "DocChunkImplRule",
     "StratifiedSampleImplRule",
+    "SequencePackImplRule",
     "PushFilterThroughLeftPreservingJoinRule",
     "PushFilterThroughUnnestRule",
     "PruneUnnestInputRule",
@@ -264,6 +265,25 @@ class DocChunkImplRule(Rule):
         )
 
 
+class SequencePackImplRule(Rule):
+    name = "SequencePackImplRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalSequencePack)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalSequencePack = input.root.operator
+        result.add(
+            OptExpression.op(
+                X.PhysicalSequencePack(
+                    op.id_col, op.tokens_col, op.budget, op.n_shards,
+                    op.partition_cols,
+                ),
+                *input.root.inputs,
+            )
+        )
+
+
 class StratifiedSampleImplRule(Rule):
     name = "StratifiedSampleImplRule"
 
@@ -294,6 +314,7 @@ EXTENSION_RULES = [
     NgramJaccardImplRule(),
     DocChunkImplRule(),
     StratifiedSampleImplRule(),
+    SequencePackImplRule(),
 ]
 
 

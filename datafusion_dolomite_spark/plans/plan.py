@@ -278,6 +278,23 @@ class LogicalPlanBuilder:
             [self._require_root()],
         )
 
+    def sequence_pack(
+        self,
+        id_col: str,
+        tokens_col: str,
+        budget: int = 2048,
+        n_shards: int = 8,
+        partition_cols: Sequence[str] = (),
+    ) -> "LogicalPlanBuilder":
+        from ..operators.extensions import LogicalSequencePack
+
+        return self._push(
+            LogicalSequencePack(
+                id_col, tokens_col, budget, n_shards, tuple(partition_cols)
+            ),
+            [self._require_root()],
+        )
+
     def knn(
         self,
         id_col: str,

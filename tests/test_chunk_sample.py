@@ -100,3 +100,61 @@ def test_stratified_sample_output_hashed_on_strata(catalog):
     op = PhysicalStratifiedSample(("lang",), "doc_id", 5)
     _, out = op.derive_properties((PhysicalPropertySet(),))
     assert out.dist.satisfies(DistributionSpec.hashed(("lang",)))
+
+
+def test_sequence_pack_schema_derivation(catalog):
+    from datafusion_dolomite_spark.plans.plan import LogicalPlanBuilder
+    from datafusion_dolomite_spark.expr import Alias, col
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .projection([col("doc_id"), col("lang"), Alias(col("n_chars"), "n_tok")])
+        .sequence_pack("doc_id", "n_tok", budget=4096, n_shards=4,
+                       partition_cols=("lang",))
+        .build()
+    )
+    names = plan.root.operator.derive_logical_prop(
+        (plan.root.inputs[0].operator.derive_logical_prop(
+            (catalog.logical_prop("documents"),)
+        ),)
+    ).schema.names()
+    assert names == ("doc_id", "lang", "n_tokens", "shard", "pack_id", "pack_offset")
+
+
+def test_sequence_pack_invariants(spark, catalog):
+    """Every pack honors the contiguous-fill contract: within each
+    (lang, shard), offsets restart at pack boundaries and pack ids are
+    non-decreasing in hash order; the assignment is deterministic."""
+    from datafusion_dolomite_spark import QueryPlanner
+    from datafusion_dolomite_spark.plans.plan import LogicalPlanBuilder
+    from datafusion_dolomite_spark.expr import Alias, col
+
+    qp = QueryPlanner(spark, catalog)
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .projection([col("doc_id"), col("lang"), Alias(col("n_chars"), "n_tok")])
+        .sequence_pack("doc_id", "n_tok", budget=4096, n_shards=4,
+                       partition_cols=("lang",))
+        .build()
+    )
+    rows = [tuple(r) for r in qp.dataframe(plan).collect()]
+    assert len(rows) > 0
+    # deterministic across runs
+    again = [tuple(r) for r in qp.dataframe(plan).collect()]
+    assert sorted(rows) == sorted(again)
+    from collections import defaultdict
+
+    by_group = defaultdict(list)
+    for doc_id, lang, n_tokens, shard, pack_id, pack_offset in rows:
+        assert 0 <= shard < 4
+        assert 0 <= pack_offset < 4096
+        by_group[(lang, shard)].append((pack_id, pack_offset, n_tokens))
+    for grp, items in by_group.items():
+        # reconstruct: cumulative start = pack_id * 4096 + pack_offset
+        starts = sorted(p * 4096 + o for p, o, _t in items)
+        cum = 0
+        for s, (_p, _o, t) in zip(starts, sorted(items, key=lambda x: x[0] * 4096 + x[1])):
+            assert s == cum  # contiguous fill, no gaps
+            cum += t
