@@ -309,6 +309,14 @@ group by s_name
 order by numwait desc, s_name
 limit 100"""
 
+_SQL_GROUPING = """select coalesce(rf, '(all)') as rf, coalesce(st, '(all)') as st, n
+from (
+  select l_returnflag as rf, l_linestatus as st, count(*) as n
+  from lineitem
+  group by grouping sets ((l_returnflag), (l_linestatus), ())
+) t
+order by rf, st"""
+
 _SQL_Q22 = """select cntrycode, count(*) as numcust,
        cast(sum(cast(c_acctbal as decimal(12,2))) as double) as totacctbal
 from (
@@ -1867,6 +1875,14 @@ EXTENSION_ORACLES = {
         "q_sql_q20": _SQL_Q20,
         "q_sql_q21": _SQL_Q21,
         "q_sql_q22": _SQL_Q22,
+        "q_sql_grouping": _SQL_GROUPING,
+        "q_sql_ctas": """
+            select n_name, count(*) as n_customers,
+                   cast(sum(cast(c_acctbal as decimal(12,2))) as double) as total_bal
+            from customer, nation
+            where c_nationkey = n_nationkey
+            group by n_name
+        """,
     "q_cube": """
         SELECT COALESCE(event_type, '(all)') AS etype,
                COALESCE(dayofweek(ts) + 1, -1) AS wd,
@@ -2738,6 +2754,31 @@ def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).sql(_SQL_Q22)
 
 
+def q_sql_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS through the SQL front door, lowering onto
+    the multi-set LogicalAggregate (sql.py group-mode parsing; ROLLUP
+    and CUBE share the path).  NULL set markers coalesced in a derived
+    table so the driver's row sort stays total."""
+    return _planner(spark, sf_dir).sql(_SQL_GROUPING)
+
+
+def q_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE ... AS SELECT through the SQL front door, lowering
+    onto a LogicalSink (operators/extensions.py).  The sink writes the
+    SELECT to the catalog's warehouse, registers the table, and returns
+    a scan of the PERSISTED files — so the rows compared here round-
+    tripped through parquet.  Oracle = the inner SELECT (DuckDB never
+    sees the sink)."""
+    return _planner(spark, sf_dir).sql(
+        """create table agg_by_nation as
+           select n_name, count(*) as n_customers,
+                  cast(sum(cast(c_acctbal as decimal(12,2))) as double) as total_bal
+           from customer, nation
+           where c_nationkey = n_nationkey
+           group by n_name"""
+    )
+
+
 def q_sql_comma_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 in TEXTBOOK comma-join syntax — the cross joins become
     equi hash joins via MergeFilterIntoJoinRule and every filter lands
@@ -3597,6 +3638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_q20": q_sql_q20,
         "q_sql_q21": q_sql_q21,
         "q_sql_q22": q_sql_q22,
+        "q_sql_grouping": q_sql_grouping,
+        "q_sql_ctas": q_sql_ctas,
         # -- hash-matched in round 1 (CORRECTNESS_r01) ------------------
         "q_scan_limit": q_scan_limit,
         "q_filter_projection": q_filter_projection,

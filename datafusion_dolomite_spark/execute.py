@@ -251,6 +251,30 @@ class SparkExecutor:
             self._node(node.inputs[0]), list(op.stratum_cols), op.id_col, op.k
         )
 
+    def _sink(self, node: PlanNode):
+        from .sources.sinks import write_csv, write_json, write_orc, write_parquet
+
+        op = node.operator
+        df = self._node(node.inputs[0])
+        path = self.catalog.warehouse_path(op.table_name)
+        writer = {
+            "parquet": write_parquet,
+            "orc": write_orc,
+            "csv": write_csv,
+            "json": write_json,
+        }[op.format]
+        writer(df, path)
+        self.catalog.register(op.table_name, path, format=op.format)
+        # downstream reads the PERSISTED bytes, not the live pipeline
+        if op.format == "parquet":
+            return self.spark.read.parquet(path)
+        return (
+            self.spark.read.format(op.format)
+            .schema(df.schema)
+            .options(**self.catalog.read_options(op.table_name))
+            .load(path)
+        )
+
     def _sequence_pack(self, node: PlanNode):
         from .functions.packing import sequence_pack
 
@@ -525,6 +549,8 @@ _HANDLERS = {
     X.LogicalStratifiedSample: SparkExecutor._stratified_sample,
     X.PhysicalSequencePack: SparkExecutor._sequence_pack,
     X.LogicalSequencePack: SparkExecutor._sequence_pack,
+    X.PhysicalSink: SparkExecutor._sink,
+    X.LogicalSink: SparkExecutor._sink,
     X.LogicalUnnest: SparkExecutor._unnest,
     # physical
     P.PhysicalTableScan: SparkExecutor._scan,

@@ -47,6 +47,8 @@ __all__ = [
     "PhysicalStratifiedSample",
     "LogicalSequencePack",
     "PhysicalSequencePack",
+    "LogicalSink",
+    "PhysicalSink",
 ]
 
 
@@ -616,6 +618,44 @@ class PhysicalDocChunk(PhysicalOperator):
             f"PhysicalDocChunk {{ id: {self.id_col}, text: {self.text_col}, "
             f"size: {self.chunk_size}, overlap: {self.overlap} }}"
         )
+
+
+# -- table sink (CTAS) -------------------------------------------------------
+
+@dataclass(frozen=True)
+class LogicalSink(LogicalOperator):
+    """Persist the child's result as a named table (CREATE TABLE AS).
+    The reference has no sinks at all (SURVEY §2.4); modeling the write
+    as a plan operator keeps it inside the optimizer pipeline — pushdown
+    and pruning still apply to the SELECT below it.  Schema passthrough:
+    a sink re-reads as what it wrote."""
+
+    table_name: str
+    format: str = "parquet"
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        (inp,) = input_props
+        return inp
+
+    def pretty(self) -> str:
+        return f"LogicalSink {{ table: {self.table_name}, format: {self.format} }}"
+
+
+@dataclass(frozen=True)
+class PhysicalSink(PhysicalOperator):
+    """Executes as write_parquet/orc/... to the catalog's warehouse
+    location, registers the table, and returns a scan of the written
+    files — so downstream operators (and the caller) read the PERSISTED
+    bytes, not the live pipeline."""
+
+    table_name: str
+    format: str = "parquet"
+
+    def derive_properties(self, children_props):
+        return (_DEFAULT,), _DEFAULT
+
+    def pretty(self) -> str:
+        return f"PhysicalSink {{ table: {self.table_name}, format: {self.format} }}"
 
 
 # -- sequence packing (LLM training sequences) ------------------------------

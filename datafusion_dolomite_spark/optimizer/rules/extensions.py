@@ -31,6 +31,7 @@ __all__ = [
     "DocChunkImplRule",
     "StratifiedSampleImplRule",
     "SequencePackImplRule",
+    "SinkImplRule",
     "PushFilterThroughLeftPreservingJoinRule",
     "PushFilterThroughUnnestRule",
     "PruneUnnestInputRule",
@@ -265,6 +266,21 @@ class DocChunkImplRule(Rule):
         )
 
 
+class SinkImplRule(Rule):
+    name = "SinkImplRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalSink)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalSink = input.root.operator
+        result.add(
+            OptExpression.op(
+                X.PhysicalSink(op.table_name, op.format), *input.root.inputs
+            )
+        )
+
+
 class SequencePackImplRule(Rule):
     name = "SequencePackImplRule"
 
@@ -315,6 +331,7 @@ EXTENSION_RULES = [
     DocChunkImplRule(),
     StratifiedSampleImplRule(),
     SequencePackImplRule(),
+    SinkImplRule(),
 ]
 
 

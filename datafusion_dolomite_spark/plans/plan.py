@@ -278,6 +278,15 @@ class LogicalPlanBuilder:
             [self._require_root()],
         )
 
+    def sink(
+        self, table_name: str, format: str = "parquet"
+    ) -> "LogicalPlanBuilder":
+        from ..operators.extensions import LogicalSink
+
+        return self._push(
+            LogicalSink(table_name, format), [self._require_root()]
+        )
+
     def sequence_pack(
         self,
         id_col: str,

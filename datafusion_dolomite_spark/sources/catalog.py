@@ -100,12 +100,27 @@ class Catalog:
     Spark's inference pass and types can't drift between engines.
     """
 
-    def __init__(self, tables: Optional[Dict[str, str]] = None):
+    def __init__(
+        self,
+        tables: Optional[Dict[str, str]] = None,
+        warehouse: Optional[str] = None,
+    ):
         self._paths: Dict[str, str] = dict(tables or {})
         self._formats: Dict[str, str] = {}
         self._options: Dict[str, Dict[str, str]] = {}
         self._schemas: Dict[str, Schema] = {}
         self._stats: Dict[str, Statistics] = {}
+        self._warehouse = warehouse
+
+    def warehouse_path(self, table_name: str) -> str:
+        """Managed location for tables this engine CREATEs (CTAS sink).
+        Defaults to a per-process temp warehouse; on a cluster this is
+        the metastore's warehouse dir."""
+        if self._warehouse is None:
+            import tempfile
+
+            self._warehouse = tempfile.mkdtemp(prefix="ddspark_warehouse_")
+        return os.path.join(self._warehouse, table_name)
 
     def register(
         self,

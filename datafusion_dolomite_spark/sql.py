@@ -178,6 +178,30 @@ class _Parser:
 
     # -- grammar --------------------------------------------------------
     def parse(self) -> Plan:
+        # CREATE TABLE name [USING format] AS <query> — lowers onto a
+        # LogicalSink above the query plan (the reference has no DDL or
+        # sinks at all; SURVEY §2.4)
+        t = self.peek()
+        if t.kind == "ident" and t.value.lower() == "create":
+            from .operators.extensions import LogicalSink
+
+            self.next()
+            t2 = self.next()
+            if not (t2.kind == "ident" and t2.value.lower() == "table"):
+                raise SqlError("only CREATE TABLE ... AS SELECT is supported")
+            name = self.expect("ident").value
+            fmt = "parquet"
+            t3 = self.peek()
+            if t3.kind == "ident" and t3.value.lower() == "using":
+                self.next()
+                fmt = self.expect("ident").value.lower()
+            self.expect("kw", "as")
+            sub = self.parse()
+            return (
+                LogicalPlanBuilder(sub.root)
+                ._push(LogicalSink(name, fmt), [sub.root])
+                .build()
+            )
         if self.accept("kw", "with"):
             while True:
                 name = self.expect("ident").value
@@ -293,11 +317,56 @@ class _Parser:
                     )
 
         group_exprs: List[Expr] = []
+        group_mode = "groupby"
+        grouping_sets: List[tuple] = []
         if self.accept("kw", "group"):
             self.expect("kw", "by")
-            group_exprs.append(self._resolve(self._expr()))
-            while self.accept("op", ","):
+            t = self.peek()
+            nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+
+            def _is(tok, val):
+                return tok is not None and tok.kind == "ident" and tok.value.lower() == val
+
+            if (
+                t.kind == "ident"
+                and t.value.lower() in ("rollup", "cube")
+                and nxt is not None
+                and nxt.kind == "op"
+                and nxt.value == "("
+            ):
+                group_mode = self.next().value.lower()
+                self.expect("op", "(")
                 group_exprs.append(self._resolve(self._expr()))
+                while self.accept("op", ","):
+                    group_exprs.append(self._resolve(self._expr()))
+                self.expect("op", ")")
+            elif _is(t, "grouping") and _is(nxt, "sets"):
+                self.next()
+                self.next()
+                group_mode = "grouping_sets"
+                self.expect("op", "(")
+                # each set: (e1, e2, ...) or () — exprs dedup into
+                # group_exprs; sets are index tuples into it
+                while True:
+                    self.expect("op", "(")
+                    idxs: List[int] = []
+                    if not self.accept("op", ")"):
+                        while True:
+                            e = self._resolve(self._expr())
+                            if e not in group_exprs:
+                                group_exprs.append(e)
+                            idxs.append(group_exprs.index(e))
+                            if not self.accept("op", ","):
+                                break
+                        self.expect("op", ")")
+                    grouping_sets.append(tuple(idxs))
+                    if not self.accept("op", ","):
+                        break
+                self.expect("op", ")")
+            else:
+                group_exprs.append(self._resolve(self._expr()))
+                while self.accept("op", ","):
+                    group_exprs.append(self._resolve(self._expr()))
 
         # -- window functions: lower OVER items onto a LogicalWindow ----
         # Each _WindowExpr anywhere in a select item becomes a
@@ -357,7 +426,12 @@ class _Parser:
                     aggs.append(e)
                 else:
                     plain.append(e)
-            builder = builder.aggregate(group_exprs or plain, tuple(aggs))
+            builder = builder.aggregate(
+                group_exprs or plain,
+                tuple(aggs),
+                mode=group_mode,
+                grouping_sets=tuple(grouping_sets),
+            )
             if self.accept("kw", "having"):
                 # HAVING over the aggregate's OUTPUT (reference output
                 # aliases or group columns) — a plain filter above the agg.

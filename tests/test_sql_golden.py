@@ -589,3 +589,61 @@ def test_reorder_join_graph_keeps_genuine_cross(planner, catalog):
         ).collect()
     ]
     assert len(rows) == 5
+
+
+def test_group_by_rollup_cube_grouping_sets(planner):
+    """ROLLUP/CUBE/GROUPING SETS parse onto the multi-set aggregate and
+    match a hand-computed union of grouped counts."""
+    base = {
+        tuple(r): r[2]
+        for r in planner.sql(
+            "select l_returnflag as rf, l_linestatus as st, count(*) as n "
+            "from lineitem group by l_returnflag, l_linestatus"
+        ).collect()
+    }
+    n_total = sum(base.values())
+    key = lambda t: tuple((v is None, v if v is not None else "") for v in t[:2])
+    rollup = sorted(
+        (
+            tuple(r)
+            for r in planner.sql(
+                "select l_returnflag as rf, l_linestatus as st, count(*) as n "
+                "from lineitem group by rollup(l_returnflag, l_linestatus)"
+            ).collect()
+        ),
+        key=key,
+    )
+    n_rf = len({rf for rf, _st, _n in base})
+    assert len(rollup) == len(base) + n_rf + 1
+    assert sum(1 for rf, st, _n in rollup if rf is None and st is None) == 1
+    gsets = sorted(
+        (
+            tuple(r)
+            for r in planner.sql(
+                "select l_returnflag as rf, l_linestatus as st, count(*) as n "
+                "from lineitem group by grouping sets ((l_returnflag), (l_linestatus), ())"
+            ).collect()
+        ),
+        key=key,
+    )
+    assert (None, None, n_total) in gsets
+
+
+def test_ctas_roundtrip(planner):
+    """CREATE TABLE AS writes to the warehouse, registers the table, and
+    the returned rows are the persisted ones."""
+    df = planner.sql(
+        "create table _t_nations as "
+        "select n_regionkey, count(*) as n from nation group by n_regionkey"
+    )
+    rows = sorted(tuple(r) for r in df.collect())
+    want = sorted(
+        tuple(r)
+        for r in planner.sql(
+            "select n_regionkey, count(*) as n from nation group by n_regionkey"
+        ).collect()
+    )
+    assert rows == want
+    # registered: query the new table through the same planner
+    again = sorted(tuple(r) for r in planner.sql("select n_regionkey, n from _t_nations").collect())
+    assert again == want
