@@ -40,6 +40,27 @@ def _planner(spark: SparkSession, sf_dir: str) -> QueryPlanner:
     return QueryPlanner(spark, testdata_catalog(sf_dir))
 
 
+#: events.ts physical type per sf_dir — the driver has shipped both
+#: int64-nanos (rounds 1-2) and timestamp[us] (round 3+) encodings.
+_TS_KIND: dict = {}
+
+
+def _ts_us(sf_dir: str):
+    """events.ts → bigint epoch MICROSECONDS, whatever physical type the
+    driver wrote.  Matches DuckDB's ``epoch_us(ts)`` on the same file:
+    * int64 nanos        → ts div 1000 (exact integer division)
+    * timestamp[us] NTZ  → unix_micros(cast(ts as timestamp)); the
+      session timezone is pinned UTC by QueryPlanner, so the naive
+      wall-clock maps to the same epoch micros DuckDB computes."""
+    kind = _TS_KIND.get(sf_dir)
+    if kind is None:
+        kind = testdata_catalog(sf_dir).schema("events").field("ts").dtype
+        _TS_KIND[sf_dir] = kind
+    if kind == "bigint":
+        return BinOp("div", col("ts"), lit(1000))
+    return Func("unix_micros", (Cast(col("ts"), "timestamp"),))
+
+
 def _dec(e):
     return Cast(e, "decimal(12,2)")
 
@@ -61,10 +82,10 @@ group by l_returnflag, l_linestatus
 order by l_returnflag, l_linestatus"""
 
 
-_SQL_Q12 = """select sum(case when o_orderpriority = '1-URGENT' or o_orderpriority = '2-HIGH'
-                then 1 else 0 end) as high_line_count,
-       sum(case when o_orderpriority = '1-URGENT' or o_orderpriority = '2-HIGH'
-                then 0 else 1 end) as low_line_count,
+_SQL_Q12 = """select cast(sum(case when o_orderpriority = '1-URGENT' or o_orderpriority = '2-HIGH'
+                then 1 else 0 end) as bigint) as high_line_count,
+       cast(sum(case when o_orderpriority = '1-URGENT' or o_orderpriority = '2-HIGH'
+                then 0 else 1 end) as bigint) as low_line_count,
        count(*) as n_lines
 from orders, lineitem
 where o_orderkey = l_orderkey
@@ -1041,7 +1062,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .projection(
             [
                 col("user_id"),
-                Alias(BinOp("div", col("ts"), lit(1000)), "p_us"),
+                Alias(_ts_us(sf_dir), "p_us"),
                 col("value"),
             ]
         )
@@ -1058,7 +1079,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 col("event_id"),
                 col("event_type"),
                 col("user_id"),
-                Alias(BinOp("div", col("ts"), lit(1000)), "ts_us"),
+                Alias(_ts_us(sf_dir), "ts_us"),
             ]
         )
         .asof_join(
@@ -1116,7 +1137,7 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .projection(
             [
                 col("user_id"),
-                Alias(BinOp("div", col("ts"), lit(1000)), "p_us"),
+                Alias(_ts_us(sf_dir), "p_us"),
                 col("value"),
             ]
         )
@@ -1132,7 +1153,7 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             [
                 col("event_id"),
                 col("user_id"),
-                Alias(BinOp("div", col("ts"), lit(1000)), "ts_us"),
+                Alias(_ts_us(sf_dir), "ts_us"),
             ]
         )
         .asof_join(
@@ -1571,7 +1592,7 @@ EXTENSION_ORACLES = {
     """,
     "q_label_centroids": """
         SELECT label, gs - 1 AS dim,
-               sum(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS sum_milli,
+               sum(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))::BIGINT AS sum_milli,
                count(*) AS n
         FROM (SELECT label, unnest(embedding) AS x,
                      generate_subscripts(embedding, 1) AS gs
@@ -1678,7 +1699,7 @@ EXTENSION_ORACLES = {
     "q_corpus_prep": _corpus_prep_oracle(750),
     "q_salted_agg": """
         SELECT user_id, count(*) AS n_events,
-               sum(floor(value * 100)::BIGINT) AS total_cents,
+               sum(floor(value * 100)::BIGINT)::BIGINT AS total_cents,
                max(floor(value * 100)::BIGINT) AS max_cents
         FROM events GROUP BY user_id
     """,
@@ -1742,7 +1763,7 @@ EXTENSION_ORACLES = {
     """,
     "q_events_json": """
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
                count(*) AS n
         FROM events GROUP BY event_type
     """,
@@ -1933,7 +1954,7 @@ EXTENSION_ORACLES = {
     """,
     "q_stream_stateful": """
         SELECT user_id, count(*) AS n_events,
-               SUM(floor(value * 100)::BIGINT) AS total_cents
+               SUM(floor(value * 100)::BIGINT)::BIGINT AS total_cents
         FROM events GROUP BY user_id
     """,
 }
@@ -2108,7 +2129,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .projection(
             [
                 col("event_type"),
-                Alias(Func("dayofweek", (Func("timestamp_micros", (BinOp("div", col("ts"), lit(1000)),)),)), "weekday"),
+                Alias(Func("dayofweek", (Func("timestamp_micros", (_ts_us(sf_dir),)),)), "weekday"),
             ]
         )
         .aggregate(
@@ -2548,7 +2569,7 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             [
                 col("event_type"),
                 Alias(
-                    BinOp("div", BinOp("div", col("ts"), lit(1000)), lit(us_per_hour)),
+                    BinOp("div", _ts_us(sf_dir), lit(us_per_hour)),
                     "hour_bucket",
                 ),
                 Alias(
@@ -2915,7 +2936,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             [
                 col("event_type"),
                 Alias(
-                    BinOp("div", BinOp("div", col("ts"), lit(1000)), lit(3600 * 1000 * 1000)),
+                    BinOp("div", _ts_us(sf_dir), lit(3600 * 1000 * 1000)),
                     "hour_bucket",
                 ),
             ]
@@ -2980,7 +3001,7 @@ def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             [
                 col("event_type"),
                 Alias(
-                    BinOp("div", BinOp("div", col("ts"), lit(1000)), lit(3600 * 1000 * 1000)),
+                    BinOp("div", _ts_us(sf_dir), lit(3600 * 1000 * 1000)),
                     "hour_bucket",
                 ),
             ]
@@ -3205,7 +3226,7 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .projection(
             [
                 col("user_id"),
-                Alias(BinOp("div", col("ts"), lit(1000)), "ts_us"),
+                Alias(_ts_us(sf_dir), "ts_us"),
             ]
         )
         .window([WindowExprDef(Func("lag", (col("ts_us"), lit(1))), part, order, "prev_us")])
@@ -3247,7 +3268,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     def first_ts(t):
         return Func(
             "min",
-            (CaseWhen(((col("event_type").eq(lit(t)), BinOp("div", col("ts"), lit(1000))),), None),),
+            (CaseWhen(((col("event_type").eq(lit(t)), _ts_us(sf_dir)),), None),),
         )
 
     plan = (
@@ -3321,7 +3342,7 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             [
                 col("user_id"),
                 Alias(
-                    BinOp("div", BinOp("div", col("ts"), lit(1000)), lit(us_per_day)),
+                    BinOp("div", _ts_us(sf_dir), lit(us_per_day)),
                     "day",
                 ),
             ]

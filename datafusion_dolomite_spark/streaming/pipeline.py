@@ -29,8 +29,10 @@ __all__ = [
 
 
 def _event_stream(spark, sf_dir: str):
-    """events.parquet as a bounded stream.  ts is bigint nanoseconds
-    (see session.py nanosAsLong); convert with integer division — exact."""
+    """events.parquet as a bounded stream.  The driver has shipped ts as
+    both int64 nanoseconds (early rounds) and timestamp[us]; derive the
+    watermarkable ``event_time`` from whichever arrived (session tz is
+    pinned UTC by configure_session, so NTZ→TIMESTAMP is exact)."""
     from pyspark.sql import functions as F
 
     from ..session import configure_session
@@ -46,7 +48,11 @@ def _event_stream(spark, sf_dir: str):
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("event_time", F.expr("timestamp_micros(ts div 1000)"))
+    if dict(raw.dtypes)["ts"] in ("bigint", "long"):
+        event_time = F.expr("timestamp_micros(ts div 1000)")
+    else:
+        event_time = F.col("ts").cast("timestamp")
+    return raw.withColumn("event_time", event_time)
 
 
 def windowed_event_counts(spark, sf_dir: str, window: str = "1 hour"):

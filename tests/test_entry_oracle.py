@@ -43,6 +43,25 @@ def _normalize_rows(rows, colnames):
 
 QUERIES = sorted(entry_mod.queries().keys())
 
+#: coarse type kinds — the driver hashes pandas values, where int64 vs
+#: float64 (e.g. DuckDB HUGEINT sums decaying to float) breaks the hash
+#: even though Python's 1234 == 1234.0 would mask it in a tuple compare.
+_SPARK_KIND = {
+    "tinyint": "i", "smallint": "i", "int": "i", "bigint": "i",
+    "float": "f", "double": "f", "boolean": "b", "string": "s",
+    "date": "d", "timestamp": "t", "timestamp_ntz": "t",
+}
+_DUCK_KIND = {
+    "TINYINT": "i", "SMALLINT": "i", "INTEGER": "i", "BIGINT": "i",
+    "HUGEINT": "F", "UHUGEINT": "F", "UBIGINT": "F",  # decay to float64 in pandas
+    "FLOAT": "f", "DOUBLE": "f", "BOOLEAN": "b", "VARCHAR": "s",
+    "DATE": "d", "TIMESTAMP": "t", "TIMESTAMP_NS": "t",
+}
+
+
+def _kind(table, colname):
+    return table.get(colname.split("(")[0], "?")
+
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_query_matches_oracle(spark, name):
@@ -55,12 +74,30 @@ def test_query_matches_oracle(spark, name):
         assert len(spark_rows) >= 0  # weaker rows-only check
         return
     con = _duck_con()
-    res = con.execute(oracle)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    rel = con.sql(oracle)
+    duck_cols = list(rel.columns)
+    duck_types = [str(t) for t in rel.types]
+    duck_rows = rel.fetchall()
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column names differ: {spark_cols} vs {duck_cols}"
     )
+    # dtype-kind parity: int stays int on both sides once in pandas
+    spark_kinds = {
+        f.name: _SPARK_KIND.get(f.dataType.simpleString().split("(")[0], "?")
+        for f in df.schema.fields
+    }
+    duck_kinds = {
+        c: _DUCK_KIND.get(t.split("(")[0].upper(), "?")
+        for c, t in zip(duck_cols, duck_types)
+    }
+    for c in spark_cols:
+        sk, dk = spark_kinds.get(c, "?"), duck_kinds.get(c, "?")
+        if "?" in (sk, dk):
+            continue  # nested/exotic types: value compare below still runs
+        assert sk == dk.lower() and dk != "F", (
+            f"{name}: column {c!r} dtype drift: spark={sk} duck={dk}"
+            " (HUGEINT decays to float64 in the driver's pandas hash)"
+        )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
     )

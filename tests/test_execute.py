@@ -8,6 +8,7 @@ import pytest
 
 from datafusion_dolomite_spark import (
     Alias,
+    Cast,
     Func,
     JoinType,
     LogicalPlanBuilder,
@@ -196,7 +197,7 @@ def test_asof_join_semantics(planner):
         .projection(
             [
                 col("user_id"),
-                Alias(BinOp("div", col("ts"), lit(1000)), "p_us"),
+                Alias(Func("unix_micros", (Cast(col("ts"), "timestamp"),)), "p_us"),
                 col("value"),
             ]
         )
@@ -212,7 +213,7 @@ def test_asof_join_semantics(planner):
             [
                 col("event_id"),
                 col("user_id"),
-                Alias(BinOp("div", col("ts"), lit(1000)), "ts_us"),
+                Alias(Func("unix_micros", (Cast(col("ts"), "timestamp"),)), "ts_us"),
             ]
         )
         .asof_join(
