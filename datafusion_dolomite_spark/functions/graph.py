@@ -37,8 +37,10 @@ def connected_components(edges, src: str, dst: str, max_iter: int = 25):
     labels = nodes.withColumn("label", F.col("node")).cache()
     # min-label propagation strictly decreases sum(label) whenever any
     # label changes — ONE cheap agg per round replaces a join+filter
-    # convergence check
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # convergence check (decimal(38,0) so the sum can't overflow bigint
+    # at billion-node scale)
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).first()[0]
 
     for _ in range(max_iter):
         neigh = (
@@ -61,8 +63,11 @@ def connected_components(edges, src: str, dst: str, max_iter: int = 25):
         )
         # localCheckpoint TRUNCATES LINEAGE — without it the logical plan
         # triples every round and Catalyst re-analysis dominates (the
-        # classic iterative-DataFrame trap).  On a cluster swap for
-        # checkpoint() on reliable storage.
+        # classic iterative-DataFrame trap).  LAZY (eager=False): the
+        # convergence agg below is the round's ONE driver action, and it
+        # materializes the checkpoint as a side effect — two jobs per
+        # round would double the fixed scheduling cost.  On a cluster
+        # swap for checkpoint() on reliable storage.
         jumped = (
             prop.join(l2, prop.label == l2.pnode, "left")
             .select(
@@ -71,9 +76,9 @@ def connected_components(edges, src: str, dst: str, max_iter: int = 25):
                     F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        new_sum = jumped.agg(F.sum("label")).first()[0]
+        new_sum = jumped.agg(_label_sum).first()[0]
         labels.unpersist()
         labels = jumped
         if new_sum == prev_sum:

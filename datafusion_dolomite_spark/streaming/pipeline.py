@@ -184,9 +184,18 @@ def purchase_click_pairs(spark, sf_dir: str, horizon: str = "1 hour"):
     inequality join."""
     from pyspark.sql import functions as F
 
-    purchases = (
+    # ONE shared stream scan feeding both filtered sides: the self-join's
+    # branches originate from the same source instance, so the micro-batch
+    # planner lists/reads events.parquet once per batch instead of twice.
+    # The event_type filter and column pruning happen BEFORE the branch so
+    # only purchase/click rows (3 columns) reach the watermark/state layer.
+    base = (
         _event_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_id", "user_id", "event_type", "event_time")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("p_user"),
@@ -195,8 +204,7 @@ def purchase_click_pairs(spark, sf_dir: str, horizon: str = "1 hour"):
         .withWatermark("p_time", "1 day")
     )
     clicks = (
-        _event_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        base.filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user"),
