@@ -58,6 +58,14 @@ def _ts_us(sf_dir: str):
         _TS_KIND[sf_dir] = kind
     if kind == "bigint":
         return BinOp("div", col("ts"), lit(1000))
+    # fail LOUDLY on an unexpected encoding: Spark's numeric→timestamp
+    # cast interprets int32/double as SECONDS, which would silently
+    # produce epochs off by ~1e6 instead of erroring
+    if kind not in ("timestamp", "timestamp_ntz"):
+        raise TypeError(
+            f"events.ts has unsupported dtype {kind!r}; expected int64 "
+            "nanos ('bigint') or timestamp[us]"
+        )
     return Func("unix_micros", (Cast(col("ts"), "timestamp"),))
 
 
@@ -1570,6 +1578,10 @@ EXTENSION_QUERIES = {
     "q_range_join": q_range_join,
 }
 
+# NOTE: these oracles assume the round-3+ testdata encoding of events.ts
+# as timestamp[us] (``epoch_us(ts)`` is not defined on BIGINT in DuckDB).
+# If the driver ever reverts to int64-nanos, mirror _TS_KIND here with a
+# ``ts // 1000`` branch; the Spark side already handles both via _ts_us.
 EXTENSION_ORACLES = {
     "q_doc_chunks": r"""
         WITH toks AS (
@@ -1956,6 +1968,17 @@ EXTENSION_ORACLES = {
         SELECT user_id, count(*) AS n_events,
                SUM(floor(value * 100)::BIGINT)::BIGINT AS total_cents
         FROM events GROUP BY user_id
+    """,
+    # sketch columns are checked as error-bound BOOLEANS (Spark computes
+    # |approx-exact| <= bound; the oracle asserts TRUE), exact columns by
+    # value — see q_approx_sketches docstring
+    "q_approx_sketches": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               COUNT(*) AS n,
+               TRUE AS hll_within_rsd,
+               TRUE AS p50_within_rank_err
+        FROM events GROUP BY event_type
     """,
 }
 
@@ -3054,10 +3077,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100TB-scale profiling: HyperLogLog++
     distinct counts (constant memory vs exact's O(ndv)) and approximate
-    percentiles per segment.  Engines' sketch algorithms differ, so
-    there is deliberately NO SQL oracle (driver records the weaker
-    rows-only check); Spark-side determinism itself is pinned by the
-    test suite's repeated runs."""
+    percentiles per segment.  Engines' sketch algorithms differ, so the
+    raw sketch VALUES can't hash-match a DuckDB oracle — instead the
+    sketches are checked against their PUBLISHED ERROR BOUNDS computed
+    from the exact aggregates in the same query (HLL++ default rsd 5%;
+    percentile_approx(accuracy=1000) rank error ≤ n/1000 ≪ the p45..p55
+    exact-percentile window), and the oracle asserts those booleans are
+    TRUE alongside the exact columns.  Everything is oracle-checked:
+    exact values by equality, sketch values by error bound."""
+    from pyspark.sql import functions as F
+
     plan = (
         LogicalPlanBuilder()
         .scan("events")
@@ -3070,12 +3099,26 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                     Func("percentile_approx", (col("value"), lit(0.5), lit(1000))),
                     "p50_approx",
                 ),
+                Alias(Func("percentile", (col("value"), lit(0.45))), "p45_exact"),
+                Alias(Func("percentile", (col("value"), lit(0.55))), "p55_exact"),
                 Alias(Func("count", ()), "n"),
             ],
         )
         .build()
     )
-    return _planner(spark, sf_dir).dataframe(plan)
+    agg = _planner(spark, sf_dir).dataframe(plan)
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("hll_within_rsd"),
+        F.col("p50_approx")
+        .between(F.col("p45_exact"), F.col("p55_exact"))
+        .alias("p50_within_rank_err"),
+    )
 
 
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -411,6 +411,13 @@ _NUMERIC_RESULT = {
     "sum": "double",
     "avg": "double",
     "stddev": "double",
+    # epoch extractors return bigint regardless of their timestamp arg
+    # (without these, Func falls through to its Cast argument's type and
+    # labels ts_us/hour_bucket columns 'timestamp')
+    "unix_micros": "bigint",
+    "unix_millis": "bigint",
+    "unix_seconds": "bigint",
+    "unix_timestamp": "bigint",
 }
 
 

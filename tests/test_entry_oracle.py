@@ -59,10 +59,6 @@ _DUCK_KIND = {
 }
 
 
-def _kind(table, colname):
-    return table.get(colname.split("(")[0], "?")
-
-
 @pytest.mark.parametrize("name", QUERIES)
 def test_query_matches_oracle(spark, name):
     fn = entry_mod.queries()[name]
