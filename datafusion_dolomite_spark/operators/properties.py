@@ -201,6 +201,12 @@ class Statistics:
 
     row_count: float = 0.0
     columns: Tuple[Tuple[str, ColumnStatistics], ...] = ()
+    #: average UNCOMPRESSED bytes per row (0.0 = unknown).  Derived from
+    #: parquet footer total_byte_size at the scan and propagated up so
+    #: the broadcast decision can budget BYTES, not rows — a 1M-row
+    #: array<float> table is not broadcastable even though a 1M-row
+    #: (int, int) dim is.
+    avg_row_bytes: float = 0.0
 
     def ndv(self, column: str) -> float:
         for name, cs in self.columns:

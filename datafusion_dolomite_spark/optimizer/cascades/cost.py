@@ -44,11 +44,17 @@ class SimpleCostModel(CostModel):
         return 1.0
 
 
-#: rows below which a build side is broadcastable.  ~1M rows of a narrow
-#: dim table ≈ tens of MB serialized — comfortably under Spark's default
-#: 10 MB auto threshold only for smaller dims, but we pin broadcasts
-#: explicitly so we use a bigger budget (64 MB, see session.py).
+#: rows below which a build side is broadcastable WHEN ROW WIDTH IS
+#: UNKNOWN.  ~1M rows of a narrow dim table ≈ tens of MB serialized —
+#: within the 64 MB budget we pin explicitly (session.py).  When the
+#: catalog derived ``avg_row_bytes`` from parquet footers, the BYTE
+#: threshold below decides instead — a 1M-row array<float> table blows
+#: the budget even though its row count passes.
 BROADCAST_ROW_THRESHOLD = 1_000_000
+
+#: uncompressed bytes above which a build side must not be broadcast
+#: (matches the session's spark.sql.autoBroadcastJoinThreshold budget).
+BROADCAST_BYTES_THRESHOLD = 64 * 1024 * 1024
 
 
 class SparkCostModel(CostModel):
@@ -62,8 +68,20 @@ class SparkCostModel(CostModel):
     scans.
     """
 
-    def __init__(self, broadcast_row_threshold: int = BROADCAST_ROW_THRESHOLD):
+    def __init__(
+        self,
+        broadcast_row_threshold: int = BROADCAST_ROW_THRESHOLD,
+        broadcast_bytes_threshold: int = BROADCAST_BYTES_THRESHOLD,
+    ):
         self.broadcast_row_threshold = broadcast_row_threshold
+        self.broadcast_bytes_threshold = broadcast_bytes_threshold
+
+    def _too_big_to_broadcast(self, rows: float, stats) -> bool:
+        """Byte budget when the row width is known (parquet footers),
+        row-count fallback otherwise."""
+        if stats is not None and stats.avg_row_bytes > 0:
+            return rows * stats.avg_row_bytes > self.broadcast_bytes_threshold
+        return rows > self.broadcast_row_threshold
 
     def estimate_cost(self, op: Operator, input_stats, ctx=None) -> float:
         if op.is_logical():
@@ -91,7 +109,9 @@ class SparkCostModel(CostModel):
             return 0.5 * (n0 + n1) + 0.2 * (n0 * math.log2(n0) + n1 * math.log2(n1))
         if isinstance(op, P.PhysicalBroadcastHashJoin):
             build = rows[1]
-            if build > self.broadcast_row_threshold:
+            if self._too_big_to_broadcast(
+                build, input_stats[1] if len(input_stats) > 1 else None
+            ):
                 return INF  # never broadcast a big table
             # ship the build side to every worker + probe in place.  The
             # ship factor is deliberately below the per-row shuffle cost
@@ -129,7 +149,9 @@ class SparkCostModel(CostModel):
             # shuffle points once, shuffle ~8 exploded buckets per interval
             return 3.0 * (rows[0] + 8.0 * rows[1]) + rows[0]
         if isinstance(op, X.PhysicalBroadcastRangeJoin):
-            if rows[1] > self.broadcast_row_threshold:
+            if self._too_big_to_broadcast(
+                rows[1], input_stats[1] if len(input_stats) > 1 else None
+            ):
                 return INF
             # ship intervals everywhere + per-point probe that degrades
             # with the number of broadcast intervals (nested-loop-ish)
@@ -300,8 +322,35 @@ def derive_stats(op: Operator, input_stats, ctx=None) -> Statistics:
     rows = [s.row_count if s is not None else 1e6 for s in input_stats]
     out_rows = _output_rows(op, rows, ctx, input_stats)
     return Statistics(
-        row_count=out_rows, columns=_propagate_columns(op, input_stats, ctx, out_rows)
+        row_count=out_rows,
+        columns=_propagate_columns(op, input_stats, ctx, out_rows),
+        avg_row_bytes=_propagate_width(op, input_stats, ctx),
     )
+
+
+def _propagate_width(op: Operator, input_stats, ctx) -> float:
+    """Carry avg_row_bytes up the plan: scans seed from the catalog
+    (scaled down by column pruning), joins concatenate both sides'
+    widths, everything else passes its input through.  0.0 = unknown."""
+    table = getattr(op, "table_name", None)
+    if table is not None and ctx is not None and getattr(ctx, "catalog", None):
+        try:
+            stats = ctx.catalog.statistics(table)
+            width = stats.avg_row_bytes
+            pruned = getattr(op, "columns", None)
+            if width > 0 and pruned:
+                total = len(ctx.catalog.schema(table).fields) or 1
+                width *= max(1, len(pruned)) / total
+            return width
+        except Exception:
+            return 0.0
+    widths = [s.avg_row_bytes for s in input_stats if s is not None]
+    if not widths:
+        return 0.0
+    if len(widths) >= 2:
+        # join-like: output rows carry columns from both sides
+        return sum(widths)
+    return widths[0]
 
 
 def _propagate_columns(op: Operator, input_stats, ctx, out_rows: float):

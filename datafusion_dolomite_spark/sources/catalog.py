@@ -152,14 +152,19 @@ class Catalog:
         schema: Schema,
         row_count: float = 0.0,
         columns: tuple = (),
+        avg_row_bytes: float = 0.0,
     ) -> None:
         """Register a schema-only table (no files) — the analog of the
         reference tests' ``EmptyTable`` fixtures (``test_utils.rs:36-43``):
         plan-level tests need binding, not data.  ``columns`` optionally
-        injects per-column ``ColumnStatistics`` (ndv) for cost-model
-        tests."""
+        injects per-column ``ColumnStatistics`` (ndv), and
+        ``avg_row_bytes`` a row width, for cost-model tests."""
         self._schemas[name] = schema
-        self._stats[name] = Statistics(row_count=row_count, columns=tuple(columns))
+        self._stats[name] = Statistics(
+            row_count=row_count,
+            columns=tuple(columns),
+            avg_row_bytes=avg_row_bytes,
+        )
         self._paths.setdefault(name, f"<schema-only:{name}>")
 
     def path(self, name: str) -> str:
@@ -223,12 +228,18 @@ class Catalog:
         count for csv/json (cheap at catalog scale, cached)."""
         if name not in self._stats:
             fmt = self.format(name)
+            raw_bytes = 0.0
             if fmt == "parquet":
                 import pyarrow.parquet as pq
 
                 rows = 0
                 for f in self._files(name):
-                    rows += pq.ParquetFile(f).metadata.num_rows
+                    md = pq.ParquetFile(f).metadata
+                    rows += md.num_rows
+                    # uncompressed in-memory size from the footer — what a
+                    # broadcast of this table would actually cost
+                    for rg in range(md.num_row_groups):
+                        raw_bytes += md.row_group(rg).total_byte_size
             elif fmt == "orc":
                 import pyarrow.orc as po
 
@@ -243,8 +254,18 @@ class Catalog:
                     duckdb.sql(f"select count(*) from {reader}('{f}')").fetchone()[0]
                     for f in self._files(name)
                 )
+            if not raw_bytes:
+                # csv/json/orc: file size on disk approximates row width
+                try:
+                    raw_bytes = float(
+                        sum(os.path.getsize(f) for f in self._files(name))
+                    )
+                except OSError:
+                    raw_bytes = 0.0
             self._stats[name] = Statistics(
-                row_count=float(rows), columns=self._column_ndv(name)
+                row_count=float(rows),
+                columns=self._column_ndv(name),
+                avg_row_bytes=(raw_bytes / rows) if rows else 0.0,
             )
         return self._stats[name]
 

@@ -121,14 +121,80 @@ def test_spark_cost_picks_broadcast_for_small_dim(ctx):
 
 
 def test_never_broadcast_big_table(ctx):
-    """Build side over the row threshold must not be broadcast (INF cost)."""
+    """Build side over the byte budget must not be broadcast (INF cost).
+    Parquet-backed tables have a known width, so the BYTE threshold is
+    the operative one (row threshold is only the unknown-width
+    fallback)."""
     opt = CascadesOptimizer(
         default_cascades_rules(),
         ctx,
-        cost_model=SparkCostModel(broadcast_row_threshold=10),
+        cost_model=SparkCostModel(broadcast_bytes_threshold=10),
     )
     best = opt.find_best_plan(_join_plan())
     assert not isinstance(best.root.operator, PhysicalBroadcastHashJoin)
+
+
+def test_row_threshold_fallback_when_width_unknown():
+    """Schema-only tables (no files → avg_row_bytes 0.0) fall back to the
+    row-count threshold."""
+    best = CascadesOptimizer(
+        default_cascades_rules(),
+        _width_ctx(0.0),
+        cost_model=SparkCostModel(broadcast_row_threshold=10_000),
+    ).find_best_plan(_width_plan())
+    assert not isinstance(best.root.operator, PhysicalBroadcastHashJoin)
+
+
+def _width_ctx(avg_row_bytes):
+    from datafusion_dolomite_spark.operators.properties import Field, Schema
+    from datafusion_dolomite_spark.optimizer.rule import OptimizerContext
+    from datafusion_dolomite_spark.sources.catalog import Catalog
+
+    cat = Catalog()
+    cat.register_schema(
+        "fact",
+        Schema((Field("k", "bigint", False, qualifier="fact"),)),
+        row_count=10_000_000.0,
+    )
+    cat.register_schema(
+        "dim",
+        Schema((Field("dk", "bigint", False, qualifier="dim"),
+                Field("emb", "array<float>", True, qualifier="dim"))),
+        row_count=100_000.0,  # well under the 1M row fallback threshold
+        avg_row_bytes=avg_row_bytes,
+    )
+    return OptimizerContext(cat)
+
+
+def _width_plan():
+    return (
+        LogicalPlanBuilder()
+        .scan("fact")
+        .join(
+            LogicalPlanBuilder().scan("dim"),
+            JoinType.INNER,
+            col("k").eq(col("dk")),
+        )
+        .build()
+    )
+
+
+def test_byte_threshold_blocks_wide_broadcast():
+    """Broadcast budgets BYTES when row width is known: 100k rows x 4 KiB
+    (array<float> embeddings) ≈ 400 MB blows the 64 MB budget even though
+    the row count passes the row-threshold fallback — must shuffle."""
+    best = CascadesOptimizer(
+        default_cascades_rules(), _width_ctx(4096.0), cost_model=SparkCostModel()
+    ).find_best_plan(_width_plan())
+    assert not isinstance(best.root.operator, PhysicalBroadcastHashJoin)
+
+
+def test_byte_threshold_allows_narrow_broadcast():
+    """Same table at 16 bytes/row ≈ 1.6 MB — broadcast wins again."""
+    best = CascadesOptimizer(
+        default_cascades_rules(), _width_ctx(16.0), cost_model=SparkCostModel()
+    ).find_best_plan(_width_plan())
+    assert isinstance(best.root.operator, PhysicalBroadcastHashJoin)
 
 
 def test_sort_limit_fuses_to_topk(ctx):
@@ -320,7 +386,7 @@ def test_range_join_strategy_by_interval_side_size(planner):
     capped = QueryPlanner(
         planner.spark,
         planner.catalog,
-        cost_model=SparkCostModel(broadcast_row_threshold=100),
+        cost_model=SparkCostModel(broadcast_bytes_threshold=100),
     )
     assert isinstance(
         capped.optimize(big).root.operator, PhysicalBucketedRangeJoin

@@ -289,7 +289,7 @@ def test_range_join_boundaries(planner):
 
     bucketed_planner = QueryPlanner(
         planner.spark, planner.catalog,
-        cost_model=SparkCostModel(broadcast_row_threshold=1),
+        cost_model=SparkCostModel(broadcast_bytes_threshold=1),
     )
     physical = bucketed_planner.optimize(plan)
     kinds = [type(n.operator).__name__ for n in physical.bfs_iterator()]
