@@ -1980,6 +1980,13 @@ EXTENSION_ORACLES = {
                TRUE AS p50_within_rank_err
         FROM events GROUP BY event_type
     """,
+    # oracle reads the UNpartitioned events table — identical rows, so a
+    # value match proves the partitioned layout + pruned read lost nothing
+    "q_partition_pruned": """
+        SELECT user_id, count(*) AS n_purchases,
+               SUM(floor(value * 100)::BIGINT)::BIGINT AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    """,
 }
 
 
@@ -3121,6 +3128,65 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION PRUNING end-to-end: events materialized ONCE as a
+    hive-partitioned layout (``event_type=<v>/`` dirs — the layout
+    ``write_parquet(partition_by=...)`` produces), registered in the
+    catalog, then queried with a partition-column filter THROUGH the
+    engine.  The pushed filter prunes at file-listing time — only the
+    ``event_type=purchase`` directory is read (asserted by the pytest via
+    ``inputFiles()``).  At 100 TB this is the difference between a
+    full-corpus scan and one partition.  Ref anchor: scan-limit fusion
+    (``operator/table_scan.rs:14-32``) extended to partitions.  Oracle:
+    the same aggregate over the UNpartitioned events table."""
+    import os
+
+    from datafusion_dolomite_spark.sources.partitioned import ensure_partitioned
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    dest = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        f"events_by_type_{sf_name}",
+    )
+    ensure_partitioned(
+        spark, os.path.join(sf_dir, "events.parquet"), dest, "event_type"
+    )
+    cat = testdata_catalog(sf_dir)
+    cat.register("events_parted", dest)
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events_parted")
+        .filter(col("event_type").eq(lit("purchase")))
+        .aggregate(
+            [col("user_id")],
+            [
+                Alias(Func("count", ()), "n_purchases"),
+                Alias(
+                    Cast(
+                        Func(
+                            "sum",
+                            (
+                                Cast(
+                                    Func(
+                                        "floor",
+                                        (BinOp("*", col("value"), lit(100)),),
+                                    ),
+                                    "bigint",
+                                ),
+                            ),
+                        ),
+                        "bigint",
+                    ),
+                    "cents",
+                ),
+            ],
+        )
+        .build()
+    )
+    return QueryPlanner(spark, cat).dataframe(plan)
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DETERMINISTIC 10% sample via hash-mod (md5(doc_id) % 10 == 0) —
     reproducible across runs/engines/cluster sizes, unlike rand()-based
@@ -3653,6 +3719,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_avg": q_rolling_avg,
         "q_range_frame_window": q_range_frame_window,
         "q_approx_sketches": q_approx_sketches,
+        "q_partition_pruned": q_partition_pruned,
         "q_array_agg": q_array_agg,
         "q_argmax": q_argmax,
         "q_sessionize_batch": q_sessionize_batch,

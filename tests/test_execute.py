@@ -316,3 +316,87 @@ def test_range_join_boundaries(planner):
         ).fetchall()
     )
     assert got == want
+
+
+def test_partition_pruning_reads_only_matching_partition(spark, tmp_path):
+    """A filter on the hive-partition column must prune at FILE LISTING
+    time.  Proof is RUNTIME, not just explain-text: a corrupt parquet
+    file planted in a non-matching partition directory would fail any
+    scan that opens it (ignoreCorruptFiles is off) — the query succeeds
+    iff pruning skipped that directory.  Plus the plan must carry the
+    predicate as a PartitionFilter, and the pruned result must equal the
+    unpartitioned source filtered in DuckDB."""
+    import contextlib
+    import io
+
+    from datafusion_dolomite_spark import (
+        LogicalPlanBuilder,
+        QueryPlanner,
+        col,
+        lit,
+    )
+    from datafusion_dolomite_spark.sources.catalog import testdata_catalog
+    from datafusion_dolomite_spark.sources.partitioned import ensure_partitioned
+
+    dest = str(tmp_path / "events_by_type")
+    ensure_partitioned(spark, f"{SF_DIR}/events.parquet", dest, "event_type")
+    cat = testdata_catalog(SF_DIR)
+    cat.register("events_parted", dest)
+    # partition column appears in the discovered schema, and >1 partition
+    # directory exists (otherwise pruning proves nothing)
+    assert "event_type" in cat.schema("events_parted").names()
+    import glob
+
+    assert len(glob.glob(f"{dest}/event_type=*")) > 1
+    # warm schema/statistics caches BEFORE planting the corrupt file
+    # (catalog stats legitimately open every footer)
+    cat.statistics("events_parted")
+
+    with open(f"{dest}/event_type=click/part-99999-corrupt.parquet", "w") as f:
+        f.write("this is not a parquet file")
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events_parted")
+        .filter(col("event_type").eq(lit("purchase")))
+        .projection([col("event_id"), col("user_id")])
+        .build()
+    )
+    df = QueryPlanner(spark, cat).dataframe(plan)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    explain = buf.getvalue()
+    assert "PartitionFilters" in explain
+    assert "event_type" in explain.split("PartitionFilters")[1][:300]
+
+    # the collect succeeds ONLY if the click directory was never opened
+    got = sorted(tuple(r) for r in df.collect())
+
+    import duckdb
+
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""SELECT event_id, user_id
+                FROM read_parquet('{SF_DIR}/events.parquet')
+                WHERE event_type = 'purchase'"""
+        ).fetchall()
+    )
+    assert got == want
+
+    # control: without the partition filter the corrupt file IS opened
+    # and the scan fails — proving the success above came from pruning
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    full = QueryPlanner(spark, cat).dataframe(
+        LogicalPlanBuilder()
+        .scan("events_parted")
+        .projection([col("event_id"), col("user_id")])
+        .build()
+    )
+    with _pytest.raises(Exception):
+        full.collect()
