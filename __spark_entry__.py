@@ -1014,6 +1014,31 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchase_click_pairs(spark, sf_dir, "1 hour")
 
 
+def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribution stream-stream join writing to a PARQUET FILE SINK
+    instead of the driver-bound memory sink: executors write the output
+    files with an exactly-once checkpoint — the output story that
+    actually scales (the memory sink accumulates results on the driver).
+    The returned DataFrame re-reads the written files, so the oracle
+    checks the files' contents, not an in-memory echo."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from datafusion_dolomite_spark.streaming.pipeline import purchase_click_pairs
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", "attrib_sink"
+    )
+    # fresh run dir per invocation (file sink is append-only + checkpointed);
+    # drop previous runs so repeat benchmarks don't accumulate files
+    shutil.rmtree(root, ignore_errors=True)
+    path = os.path.join(root, _uuid.uuid4().hex[:12])
+    return purchase_click_pairs(
+        spark, sf_dir, "1 hour", sink="parquet", sink_path=path
+    )
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_dolomite_spark.streaming.pipeline import enriched_event_counts
 
@@ -1572,6 +1597,7 @@ EXTENSION_QUERIES = {
     "q_stream_dedup": q_stream_dedup,
     "q_stream_enrich": q_stream_enrich,
     "q_stream_stream_join": q_stream_stream_join,
+    "q_stream_file_sink": q_stream_file_sink,
     "q_events_json": q_events_json,
     "q_asof_join": q_asof_join,
     "q_asof_tolerance": q_asof_tolerance,
@@ -3763,6 +3789,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": q_stream_dedup,
         "q_stream_enrich": q_stream_enrich,
         "q_stream_stream_join": q_stream_stream_join,
+        "q_stream_file_sink": q_stream_file_sink,
         "q_stream_stateful": q_stream_stateful,
         # -- never driver-checked: SQL front door ----------------------
         "q_date_functions": q_date_functions,
@@ -3848,6 +3875,9 @@ reach(a, b) AS (
 comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
 SELECT component, count(*) AS csize FROM comp GROUP BY component
 """
+    # same join semantics, different sink — the file-sink variant must
+    # produce byte-identical pairs to the memory-sink run
+    out["q_stream_file_sink"] = out["q_stream_stream_join"]
     return out
 
 

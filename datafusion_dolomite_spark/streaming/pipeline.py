@@ -6,8 +6,11 @@ idiomatic Spark way: ``readStream`` → event-time window aggregation
 with a watermark → ``writeStream``.  Tests/queries drive it with
 ``Trigger.AvailableNow`` against the parquet file, which replays the
 table as a bounded stream through the SAME code path a live stream
-would take — results land in a memory sink and are returned as a
-batch DataFrame (so the driver's oracle can check them).
+would take — results land in a memory sink by default and are returned
+as a batch DataFrame (so the driver's oracle can check them).  The
+memory sink is the TEST default only; ``_run_stream`` also takes
+``sink="parquet"`` (exactly-once, executor-written files) as the
+non-driver-bound output for append-mode queries.
 
 Scale notes: the watermark bounds state (late events beyond 1 day are
 dropped); windowed aggregation state is per (window × event_type),
@@ -26,6 +29,51 @@ __all__ = [
     "enriched_event_counts",
     "purchase_click_pairs",
 ]
+
+
+def _run_stream(spark, df, output_mode, *, sink="memory", sink_path=None):
+    """Run a streaming DataFrame to completion (AvailableNow) and return
+    the result as a batch DataFrame.
+
+    * ``sink="memory"`` (test/oracle default) — results accumulate on the
+      DRIVER; fine for the bounded replay harness, not a scale path.
+    * ``sink="parquet"`` — the non-driver-bound output story: executors
+      write parquet files under ``sink_path`` with an exactly-once
+      checkpoint, and the return value re-reads those files.  Spark's
+      file sink supports only APPEND output mode, so this is for
+      append-shaped queries (stream-stream joins, watermarked dedup
+      passthroughs); complete/update aggregations keep the memory sink.
+    """
+    if sink == "memory":
+        name = f"sink_{uuid.uuid4().hex[:12]}"
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+    if sink != "parquet":
+        raise ValueError(f"unsupported sink {sink!r}: use 'memory' or 'parquet'")
+    if output_mode != "append":
+        raise ValueError(
+            "Spark's file sink supports only append output mode; "
+            f"got {output_mode!r}"
+        )
+    if not sink_path:
+        raise ValueError("sink='parquet' requires sink_path")
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", sink_path + "_checkpoint")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(df.schema).parquet(sink_path)
 
 
 def _event_stream(spark, sf_dir: str):
@@ -76,18 +124,10 @@ def windowed_event_counts(spark, sf_dir: str, window: str = "1 hour"):
             "n_users_approx",
         )
     )
-    sink = f"win_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    out = _run_stream(spark, agg, "complete")
     # approx_count_distinct is estimation — drop it from the oracle-checked
     # surface; it exists to exercise sketch aggregation in streaming state.
-    return spark.table(sink).select("window_start_s", "event_type", "n_events")
+    return out.select("window_start_s", "event_type", "n_events")
 
 
 def sessionized_user_activity(spark, sf_dir: str, gap: str = "30 minutes"):
@@ -101,17 +141,8 @@ def sessionized_user_activity(spark, sf_dir: str, gap: str = "30 minutes"):
         .groupBy(F.session_window("event_time", gap), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    sink = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return (
-        spark.table(sink)
+        _run_stream(spark, sess, "complete")
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
@@ -135,16 +166,7 @@ def deduped_event_counts(spark, sf_dir: str):
         ["event_id"]
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-    sink = f"dedup_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return _run_stream(spark, agg, "complete")
 
 
 def enriched_event_counts(spark, sf_dir: str):
@@ -162,26 +184,21 @@ def enriched_event_counts(spark, sf_dir: str):
     agg = joined.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    sink = f"enriched_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return _run_stream(spark, agg, "complete")
 
 
-def purchase_click_pairs(spark, sf_dir: str, horizon: str = "1 hour"):
+def purchase_click_pairs(
+    spark, sf_dir: str, horizon: str = "1 hour", *, sink="memory", sink_path=None
+):
     """STREAM-STREAM inner join with an event-time range condition:
     each purchase matched to the same user's clicks in the preceding
     hour.  Both sides are watermarked, so Spark bounds the join state
     buffer (clicks older than watermark+horizon are evicted) — the
     canonical attribution join at scale.  Emits the raw (purchase_id,
     click_id) pairs in append mode; oracle is the equivalent batch
-    inequality join."""
+    inequality join.  ``sink="parquet"`` + ``sink_path`` routes output to
+    executor-written files (the scale path) instead of the driver-bound
+    memory sink."""
     from pyspark.sql import functions as F
 
     # ONE shared stream scan feeding both filtered sides: the self-join's
@@ -220,16 +237,7 @@ def purchase_click_pairs(spark, sf_dir: str, horizon: str = "1 hour"):
         ),
         "inner",
     ).select("purchase_id", "click_id")
-    sink = f"attrib_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return _run_stream(spark, joined, "append", sink=sink, sink_path=sink_path)
 
 
 def stateful_user_totals(spark, sf_dir: str):
@@ -278,15 +286,7 @@ def stateful_user_totals(spark, sf_dir: str):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    sink = f"user_totals_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    out = _run_stream(spark, result, "update")
     # update mode may emit a row per micro-batch per key — keep the final
     # (max n_events) row per user
     from pyspark.sql import Window
@@ -294,8 +294,7 @@ def stateful_user_totals(spark, sf_dir: str):
 
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
-        spark.table(sink)
-        .withColumn("_rn", F.row_number().over(w))
+        out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
