@@ -306,3 +306,181 @@ def test_group_merge_direct_insert():
     m2.insert_expr(LogicalLimit(5), (s2.group_id,), y.group_id)
     assert m2.pending_merges  # marked, not merged — reference behavior
     assert x.group_id != y.group_id
+
+
+# --- OptimizeInputs state transitions (ref task.rs:211-511) ---------------
+
+class TestOptimizeInputsStateTransitions:
+    """The reference runs OptimizeInputs as an explicit state machine
+    Init → BeforeOptimizeInput(i) → AfterOptimizeInput(i) → OptimizeSelf
+    (``task.rs:211-511``); ours compresses it into a two-phase
+    continuation (init / optimize_self).  These tests pin the observable
+    semantics the 4-state machine guarantees:
+
+    * Init schedules every child group BELOW the continuation, so
+      optimize_self runs only after all children are fully optimized;
+    * a child with no plan for its required property fails the expr
+      before any cost work (BeforeOptimizeInput's bail-out);
+    * the branch-and-bound bound fires MID-INPUT — accumulated child
+      cost ≥ current best aborts before later children are consulted or
+      the operator is costed (bound check ``task.rs:417-420``);
+    * enforcer cost is included in the recorded winner's cost, and the
+      un-enforced total is memoized under the default property
+      (enforcer hook ``task.rs:431-462``).
+    """
+
+    @staticmethod
+    def _memo_with_join():
+        from datafusion_dolomite_spark.operators.physical import (
+            PhysicalHashJoin,
+            PhysicalTableScan,
+        )
+
+        m = Memo()
+        s1, _ = m.insert_expr(PhysicalTableScan("customer"), (), None)
+        s2, _ = m.insert_expr(PhysicalTableScan("nation"), (), None)
+        join_op = PhysicalHashJoin(
+            JoinType.INNER,
+            col("c_nationkey").eq(col("n_nationkey")),
+            ("c_nationkey",),
+            ("n_nationkey",),
+        )
+        j, _ = m.insert_expr(join_op, (s1.group_id, s2.group_id), None)
+        return m, s1, s2, j
+
+    def _runner(self, memo, cost_model):
+        return TaskRunner(memo, [], cost_model, None)
+
+    def test_child_without_plan_fails_expr_before_costing(self):
+        """BeforeOptimizeInput semantics: a child group with no winner
+        for its required property kills the candidate — the cost model
+        must never run."""
+        from datafusion_dolomite_spark.optimizer.cascades.memo import Winner
+        from datafusion_dolomite_spark.optimizer.cascades.tasks import (
+            OptimizeInputsTask,
+            _DEFAULT_PROP,
+        )
+
+        m, s1, s2, j = self._memo_with_join()
+        lreq = PhysicalPropertySet(dist=DistributionSpec.hashed(("c_nationkey",)))
+        rreq = PhysicalPropertySet(dist=DistributionSpec.hashed(("n_nationkey",)))
+        m.group(s1.group_id).winners[lreq] = Winner(s1, 1.0, ())
+        # s2 deliberately has NO winner for rreq
+
+        class ExplodingModel:
+            def estimate_cost(self, *a, **k):
+                raise AssertionError("cost model must not run")
+
+        r = self._runner(m, ExplodingModel())
+        OptimizeInputsTask(j, _DEFAULT_PROP, "optimize_self", (lreq, rreq)).execute(r)
+        assert m.group(j.group_id).winners == {}
+
+    def test_bound_prunes_mid_input_without_consulting_later_children(self):
+        """The task.rs:417-420 bound check runs after EACH child: once
+        child 0's accumulated cost reaches the group's current best,
+        child 1's group is never consulted and the operator never
+        costed."""
+        from datafusion_dolomite_spark.optimizer.cascades.memo import Winner
+        from datafusion_dolomite_spark.optimizer.cascades.tasks import (
+            OptimizeInputsTask,
+            _DEFAULT_PROP,
+        )
+
+        m, s1, s2, j = self._memo_with_join()
+        lreq = PhysicalPropertySet(dist=DistributionSpec.hashed(("c_nationkey",)))
+        rreq = PhysicalPropertySet(dist=DistributionSpec.hashed(("n_nationkey",)))
+        m.group(s1.group_id).winners[lreq] = Winner(s1, 100.0, ())
+        m.group(s2.group_id).winners[rreq] = Winner(s2, 1.0, ())
+        # current best for the join group: cheaper than child 0 alone
+        m.group(j.group_id).winners[_DEFAULT_PROP] = Winner(j, 50.0, (lreq, rreq))
+
+        class ExplodingModel:
+            def estimate_cost(self, *a, **k):
+                raise AssertionError("pruned candidate must not be costed")
+
+        r = self._runner(m, ExplodingModel())
+        consulted = []
+        orig_group = r.group
+
+        def recording_group(gid):
+            consulted.append(gid)
+            return orig_group(gid)
+
+        r.group = recording_group
+        OptimizeInputsTask(j, _DEFAULT_PROP, "optimize_self", (lreq, rreq)).execute(r)
+        # winner unchanged, child 1 never consulted after the mid-input prune
+        assert m.group(j.group_id).winners[_DEFAULT_PROP].cost == 50.0
+        assert s2.group_id not in consulted
+
+    def test_enforcer_cost_included_and_default_prop_memoized(self):
+        """OptimizeSelf semantics: when the derived output property
+        doesn't satisfy the requirement, the winner carries the Exchange
+        enforcer and its cost (3·rows); the UN-enforced total is also
+        memoized under the default property for reuse by other parents
+        (enforcer hook task.rs:431-462)."""
+        from datafusion_dolomite_spark.operators.properties import Statistics
+        from datafusion_dolomite_spark.optimizer.cascades.memo import Winner
+        from datafusion_dolomite_spark.optimizer.cascades.tasks import (
+            OptimizeInputsTask,
+            _DEFAULT_PROP,
+        )
+
+        m, s1, s2, j = self._memo_with_join()
+        lreq = PhysicalPropertySet(dist=DistributionSpec.hashed(("c_nationkey",)))
+        rreq = PhysicalPropertySet(dist=DistributionSpec.hashed(("n_nationkey",)))
+        m.group(s1.group_id).winners[lreq] = Winner(s1, 1.0, ())
+        m.group(s2.group_id).winners[rreq] = Winner(s2, 2.0, ())
+        m.group(j.group_id).stats = Statistics(row_count=10.0)
+
+        class FixedModel:
+            def estimate_cost(self, *a, **k):
+                return 5.0
+
+        # the join outputs Hashed(c_nationkey); require a DIFFERENT hash
+        required = PhysicalPropertySet(dist=DistributionSpec.hashed(("other",)))
+        r = self._runner(m, FixedModel())
+        OptimizeInputsTask(j, required, "optimize_self", (lreq, rreq)).execute(r)
+
+        w = m.group(j.group_id).winners[required]
+        assert w.enforcer == required.dist
+        assert w.cost == pytest.approx(5.0 + 1.0 + 2.0 + 3.0 * 10.0)
+        w_def = m.group(j.group_id).winners[_DEFAULT_PROP]
+        assert w_def.enforcer is None
+        assert w_def.cost == pytest.approx(8.0)
+
+    def test_init_schedules_children_below_continuation(self):
+        """Init semantics: the continuation is pushed BELOW the child
+        OptimizeGroup tasks, so by stack discipline optimize_self pops
+        only after both children are fully optimized — observed by
+        stepping the scheduler and recording the pop order."""
+        from datafusion_dolomite_spark.optimizer.cascades.tasks import (
+            OptimizeGroupTask,
+            OptimizeInputsTask,
+            _DEFAULT_PROP,
+        )
+
+        m, s1, s2, j = self._memo_with_join()
+        r = self._runner(m, SimpleCostModel())
+        r.push(OptimizeInputsTask(j, _DEFAULT_PROP))
+        popped = []
+        while r.stack:
+            t = r.stack.pop()
+            popped.append(t)
+            t.execute(r)
+        self_idx = [
+            i
+            for i, t in enumerate(popped)
+            if isinstance(t, OptimizeInputsTask)
+            and t.phase == "optimize_self"
+            and t.expr is j
+        ]
+        child_idx = [
+            i
+            for i, t in enumerate(popped)
+            if isinstance(t, OptimizeGroupTask)
+            and t.gid in (s1.group_id, s2.group_id)
+        ]
+        assert self_idx and child_idx
+        assert min(self_idx) > max(child_idx)
+        # and optimize_self found both child winners → a join winner exists
+        assert m.group(j.group_id).winners.get(_DEFAULT_PROP) is not None
