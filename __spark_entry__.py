@@ -936,6 +936,30 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with ONE k-means refinement step over the data (Lloyd's,
+    seeded from the hash centroids).  Deterministically oracle-checkable
+    because per-cell means are computed from quantized integer sums
+    (order-independent; see similarity._KMEANS_SCALE), so DuckDB replays
+    the identical centroids, assignments, probes, and top-k."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .knn(
+            "vec_id",
+            "embedding",
+            n_queries=5,
+            k=10,
+            method="ivf",
+            ncells=8,
+            nprobe=3,
+            kmeans_iters=1,
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = (
         LogicalPlanBuilder()
@@ -1459,6 +1483,52 @@ def _knn_ivf_oracle(nq=5, k=10, ncells=8, nprobe=3) -> str:
     """
 
 
+def _knn_ivf_kmeans_oracle(nq=5, k=10, ncells=8, nprobe=3) -> str:
+    """One Lloyd iteration replayed exactly: assignment to hash centroids,
+    per-cell means from floor(x·1e6) BIGINT sums (order-independent →
+    bit-identical to Spark's distributed aggregation), reassignment and
+    probing against the refined centroids."""
+    return f"""
+        WITH cent0 AS (SELECT c, {_CENTROID} AS cv FROM range(0, {ncells}) t(c)),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        vc0 AS (SELECT vec_id, c, list_cosine_similarity(ev, cv) AS s
+                FROM v CROSS JOIN cent0),
+        a0 AS (SELECT vec_id, c FROM (
+                 SELECT vec_id, c,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rc
+                 FROM vc0) WHERE rc = 1),
+        iv AS (SELECT vec_id,
+                      list_transform(ev, x -> floor(x * 1000000)::BIGINT) AS q
+               FROM v),
+        sums AS (SELECT a0.c, d.d, sum(iv.q[d.d]) AS s, count(*) AS n
+                 FROM a0 JOIN iv USING (vec_id) CROSS JOIN range(1, 65) d(d)
+                 GROUP BY a0.c, d.d),
+        cent1 AS (SELECT c, list(s / (n * 1000000.0) ORDER BY d) AS cv
+                  FROM sums GROUP BY c),
+        vc1 AS (SELECT v.vec_id, cent1.c, list_cosine_similarity(v.ev, cent1.cv) AS s
+                FROM v CROSS JOIN cent1),
+        r1 AS (SELECT vec_id, c,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rc
+               FROM vc1),
+        corp AS (SELECT v.vec_id AS nid, v.ev AS cv2, r1.c AS cell
+                 FROM v JOIN r1 ON r1.vec_id = v.vec_id AND r1.rc = 1),
+        probe AS (SELECT vec_id AS qid, c AS cell FROM r1
+                  WHERE rc <= {nprobe} AND vec_id < {nq}),
+        qv AS (SELECT vec_id AS qid, ev AS qv2 FROM v WHERE vec_id < {nq}),
+        sc AS (SELECT p.qid, corp.nid,
+                      list_cosine_similarity(q2.qv2, corp.cv2) AS sim
+               FROM probe p
+               JOIN corp ON corp.cell = p.cell
+               JOIN qv q2 ON q2.qid = p.qid
+               WHERE corp.nid <> p.qid),
+        r AS (SELECT qid, nid,
+                     row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk
+              FROM sc)
+        SELECT qid AS query_id, nid AS neighbor_id, rnk::INTEGER AS "rank"
+        FROM r WHERE rnk <= {k}
+    """
+
+
 def _near_dup_oracle(nbits=12, threshold=200) -> str:
     return f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
@@ -1744,6 +1814,7 @@ EXTENSION_ORACLES = {
     "q_knn_brute": _knn_brute_oracle(5, 10),
     "q_knn_pandas": _knn_brute_oracle(5, 10),
     "q_knn_ivf": _knn_ivf_oracle(5, 10, 8, 3),
+    "q_knn_ivf_kmeans": _knn_ivf_kmeans_oracle(5, 10, 8, 3),
     "q_cosine_near_dup": _near_dup_oracle(12, 200),
     "q_multimodal_features": """
         SELECT doc_id,
@@ -3703,20 +3774,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared queries, ordered so a driver that checks a ~50-key prefix
-    proves the least-proven first.  Rounds 1+2 together produced green
-    CORRECTNESS rows for 65 queries; the 49 still lacking one (the
-    events.ts timestamp regressions fixed this round, the HUGEINT-drift
-    oracles, streaming, and the SQL front-door TPC-H set) lead, every
-    already-proven query trails."""
+    proves the least-proven first.  Cumulatively over rounds 1-3 every
+    query declared then earned a green hash row except q_approx_sketches,
+    which had no oracle until round 4 (its sketch columns are now checked
+    as error-bound booleans — see its docstring).  Round 4's prefix leads
+    with the NEW queries (q_approx_sketches, q_partition_pruned,
+    q_stream_file_sink, q_knn_ivf_kmeans) and the queries whose execution
+    paths CHANGED this round (shared-scan stream-stream join, one-action
+    connected components and its dedup-clusters composition); everything
+    already-proven-and-unchanged trails."""
     base = _queries_base()
     head = {k: base[k] for k in _UNPROVEN_PREFIX}
     head.update({k: v for k, v in base.items() if k not in head})
     return head
 
 
-#: queries with no green row in CORRECTNESS_r01/r02 — the driver checks a
-#: prefix, so these 49 go first (order within the block is cheap→costly).
+#: round-4 check priority: new queries first, then changed-path queries,
+#: then the heaviest previously-green sets (streaming, SQL front door)
+#: so a deep prefix still re-proves them.
 _UNPROVEN_PREFIX = (
+    # new this round — never driver-checked
+    "q_approx_sketches", "q_partition_pruned", "q_stream_file_sink",
+    "q_knn_ivf_kmeans",
+    # execution paths changed this round — re-prove
+    "q_stream_stream_join", "q_connected_components", "q_dedup_clusters",
+    "q_knn_ivf", "q_range_join", "q_knn_brute", "q_cosine_near_dup",
+    # previously green, kept early for re-proof depth
     "q_hypertable_rollup", "q_gap_fill", "q_rolling_avg",
     "q_range_frame_window", "q_sessionize_batch", "q_funnel", "q_retention",
     "q_label_centroids", "q_salted_agg", "q_events_json", "q_asof_join",
@@ -3728,7 +3811,7 @@ _UNPROVEN_PREFIX = (
     "q_sql_q11", "q_sql_q15", "q_sql_q16", "q_sql_q17", "q_sql_q20",
     "q_sql_q21", "q_sql_q22", "q_sql_grouping", "q_sql_ctas",
     "q_stream_window_counts", "q_stream_sessions", "q_stream_dedup",
-    "q_stream_enrich", "q_stream_stream_join", "q_stream_stateful",
+    "q_stream_enrich", "q_stream_stateful",
 )
 
 
@@ -3773,6 +3856,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_brute": q_knn_brute,
         "q_knn_pandas": q_knn_pandas,
         "q_knn_ivf": q_knn_ivf,
+        "q_knn_ivf_kmeans": q_knn_ivf_kmeans,
         "q_cosine_near_dup": q_cosine_near_dup,
         "q_multimodal_features": q_multimodal_features,
         "q_multimodal_resize": q_multimodal_resize,

@@ -354,6 +354,7 @@ class SparkExecutor:
             op.k,
             op.ncells,
             op.nprobe,
+            getattr(op, "kmeans_iters", 0),
         )
 
     def _knn_logical(self, node: PlanNode):

@@ -186,6 +186,64 @@ def _cells_ranked_expr(ncells: int, take: int) -> str:
     return f"transform(slice(array_sort(array({structs})), 1, {take}), x -> x.cell)"
 
 
+#: fixed-point scale for exact distributed means: coordinates quantize to
+#: floor(x·1e6) BIGINTs, whose sums are order-independent — so k-means
+#: centroids come out BIT-IDENTICAL on Spark and DuckDB (a float mean
+#: would drift with partition/accumulation order and break the oracle).
+_KMEANS_SCALE = 1_000_000
+
+
+def _kmeans_refine(c, ncells: int, iters: int):
+    """Refine the hash-seeded cell assignment with ``iters`` k-means
+    steps.  ``c`` carries (neighbor_id, _cv, _dv, _cell); returns
+    (reassigned ``c``, centroid table (_nc, _ccv)).
+
+    Scale shape per iteration: one posexplode (64× fan-out, map-only),
+    one (cell, dim) partial-agg shuffle of ncells·64 rows, one broadcast
+    of the ≤ncells centroid table for reassignment — never an all-pairs
+    step, centroids always fit on one node."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cent = None
+    for _ in range(iters):
+        qx = c.select(
+            "_cell",
+            F.posexplode(
+                F.expr(f"transform(_dv, x -> cast(floor(x * {_KMEANS_SCALE}) as bigint))")
+            ).alias("_d", "_q"),
+        )
+        sums = qx.groupBy("_cell", "_d").agg(
+            F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_n")
+        )
+        cent = (
+            sums.withColumn(
+                "_cd", F.col("_s") / (F.col("_n") * F.lit(float(_KMEANS_SCALE)))
+            )
+            .groupBy("_cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(_d, _cd))), s -> s._cd)"
+                ).alias("_ccv")
+            )
+            .select(F.col("_cell").alias("_nc"), "_ccv")
+        )
+        w = Window.partitionBy("neighbor_id").orderBy(
+            F.col("_as").desc(), F.col("_nc").asc()
+        )
+        c = (
+            c.drop("_cell")
+            .crossJoin(F.broadcast(cent))
+            .withColumn("_as", F.expr(_cos_sql("_dv", "_ccv")))
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(
+                "neighbor_id", "_cv", "_dv", F.col("_nc").alias("_cell")
+            )
+        )
+    return c, cent
+
+
 def knn_ivf(
     df,
     id_col: str,
@@ -194,14 +252,17 @@ def knn_ivf(
     k: int = 10,
     ncells: int = 8,
     nprobe: int = 3,
+    kmeans_iters: int = 0,
 ):
     """IVF-bucketed ANN: corpus → nearest-centroid cell (one pass, one
     shuffle on the cell join), queries probe ``nprobe`` cells only.
 
     Centroids are hash-derived (see ``_hash_vec_sql``) so the whole
-    pipeline — including the approximation — replays exactly in SQL; a
-    production deployment would substitute k-means centroids without
-    touching the plan shape."""
+    pipeline — including the approximation — replays exactly in SQL.
+    ``kmeans_iters > 0`` refines them with that many k-means steps over
+    the DATA (Lloyd's algorithm seeded from the hash centroids) — still
+    exactly replayable because the per-cell means are computed from
+    quantized integer sums (see ``_KMEANS_SCALE``)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -212,16 +273,34 @@ def knn_ivf(
     ).withColumn("_dv", F.expr(_dvec("_cv")))  # double-cast once per row
     c = _with_cell_sims(c, "_dv", ncells)
     c = c.withColumn("_cell", F.expr(f"{_cells_ranked_expr(ncells, 1)}[0]")).select(
-        "neighbor_id", "_cv", "_cell"
+        "neighbor_id", "_cv", "_dv", "_cell"
     )
 
-    q = df.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).withColumn("_dv", F.expr(_dvec("_qv")))
-    q = _with_cell_sims(q, "_dv", ncells)
-    q = q.withColumn("_probe", F.expr(_cells_ranked_expr(ncells, nprobe))).select(
-        "query_id", "_qv", F.explode("_probe").alias("_cell")
-    )
+    if kmeans_iters > 0:
+        c, cent = _kmeans_refine(c, ncells, kmeans_iters)
+        # queries rank the REFINED centroids (broadcast) for their probes
+        q = df.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        ).withColumn("_dv", F.expr(_dvec("_qv")))
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("_qs").desc(), F.col("_nc").asc()
+        )
+        q = (
+            q.crossJoin(F.broadcast(cent))
+            .withColumn("_qs", F.expr(_cos_sql("_dv", "_ccv")))
+            .withColumn("_r", F.row_number().over(wq))
+            .filter(F.col("_r") <= nprobe)
+            .select("query_id", "_qv", F.col("_nc").alias("_cell"))
+        )
+    else:
+        q = df.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        ).withColumn("_dv", F.expr(_dvec("_qv")))
+        q = _with_cell_sims(q, "_dv", ncells)
+        q = q.withColumn("_probe", F.expr(_cells_ranked_expr(ncells, nprobe))).select(
+            "query_id", "_qv", F.explode("_probe").alias("_cell")
+        )
+    c = c.select("neighbor_id", "_cv", "_cell")
 
     scored = (
         c.join(F.broadcast(q), ["_cell"])

@@ -242,6 +242,10 @@ class LogicalKnn(LogicalOperator):
     method: str = "brute"  # 'brute' | 'pandas' | 'ivf'
     ncells: int = 8
     nprobe: int = 3
+    #: >0 → refine the hash-seeded IVF centroids with this many k-means
+    #: steps over the data (still deterministically replayable — see
+    #: functions/similarity._KMEANS_SCALE)
+    kmeans_iters: int = 0
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
         return LogicalProperty(_KNN_SCHEMA)
@@ -292,6 +296,7 @@ class PhysicalKnnIvf(PhysicalOperator):
     k: int
     ncells: int
     nprobe: int
+    kmeans_iters: int = 0
 
     def pretty(self) -> str:
         return (

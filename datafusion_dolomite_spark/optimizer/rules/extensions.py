@@ -145,7 +145,8 @@ class Knn2IvfRule(Rule):
         result.add(
             OptExpression.op(
                 X.PhysicalKnnIvf(
-                    op.id_col, op.vec_col, op.n_queries, op.k, op.ncells, op.nprobe
+                    op.id_col, op.vec_col, op.n_queries, op.k, op.ncells,
+                    op.nprobe, op.kmeans_iters,
                 ),
                 *input.root.inputs,
             )

@@ -313,11 +313,14 @@ class LogicalPlanBuilder:
         method: str = "brute",
         ncells: int = 8,
         nprobe: int = 3,
+        kmeans_iters: int = 0,
     ) -> "LogicalPlanBuilder":
         from ..operators.extensions import LogicalKnn
 
         return self._push(
-            LogicalKnn(id_col, vec_col, n_queries, k, method, ncells, nprobe),
+            LogicalKnn(
+                id_col, vec_col, n_queries, k, method, ncells, nprobe, kmeans_iters
+            ),
             [self._require_root()],
         )
 
