@@ -2084,6 +2084,32 @@ EXTENSION_ORACLES = {
                SUM(floor(value * 100)::BIGINT)::BIGINT AS cents
         FROM events WHERE event_type = 'purchase' GROUP BY user_id
     """,
+    # oracle joins the UNbucketed tables — a value match proves the
+    # bucketed layout + exchange-free join lost nothing
+    "q_bucketed_join": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               SUM(floor(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "q_merge_upsert": """
+        WITH src AS (
+          SELECT user_id,
+                 arg_max(floor(value * 100)::BIGINT,
+                         lpad(epoch_us(ts)::VARCHAR, 20, '0')
+                         || lpad(event_id::VARCHAR, 12, '0')) AS new_cents
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), tgt AS (
+          SELECT c_custkey, floor(c_acctbal * 100)::BIGINT AS bal_cents
+          FROM customer
+        )
+        SELECT coalesce(c_custkey, user_id)::BIGINT AS custkey,
+               coalesce(new_cents, bal_cents) AS balance_cents,
+               CASE WHEN c_custkey IS NULL THEN 'insert'
+                    WHEN new_cents IS NULL THEN 'keep'
+                    ELSE 'update' END AS action
+        FROM tgt FULL OUTER JOIN src ON c_custkey = user_id
+    """,
 }
 
 
@@ -3225,6 +3251,134 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style MERGE/upsert — the snapshot-maintenance step of an
+    incremental ingest pipeline, expressed the scale-correct Spark way:
+    one FULL OUTER equi-join between the target snapshot (customer
+    balances) and the change batch (each user's LATEST purchase, argmax
+    by a zero-padded (ts, event_id) string orderer so ties are
+    impossible), then coalesce per column:
+
+    * matched        → 'update' (balance takes the new cents)
+    * target-only    → 'keep'   (balance unchanged)
+    * source-only    → 'insert' (new key appears)
+
+    Equivalent of ``MERGE INTO`` in Delta/Iceberg; here the merged
+    snapshot is recomputed functionally (one shuffle on the key), which
+    is exactly how a MERGE executes underneath."""
+    ts = _ts_us(sf_dir)
+    ordv = Func(
+        "concat",
+        (
+            Func("lpad", (Cast(ts, "string"), lit(20), lit("0"))),
+            Func("lpad", (Cast(col("event_id"), "string"), lit(12), lit("0"))),
+        ),
+    )
+    cents = Cast(Func("floor", (BinOp("*", col("value"), lit(100)),)), "bigint")
+    src = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .filter(col("event_type").eq(lit("purchase")))
+        .projection(
+            [col("user_id"), Alias(cents, "cents"), Alias(ordv, "ordv")]
+        )
+        .aggregate(
+            [col("user_id")],
+            [Alias(Func("max_by", (col("cents"), col("ordv"))), "new_cents")],
+        )
+    )
+    tgt = (
+        LogicalPlanBuilder()
+        .scan("customer")
+        .projection(
+            [
+                col("c_custkey"),
+                Alias(
+                    Cast(
+                        Func("floor", (BinOp("*", col("c_acctbal"), lit(100)),)),
+                        "bigint",
+                    ),
+                    "bal_cents",
+                ),
+            ]
+        )
+    )
+    plan = (
+        tgt.join(src, JoinType.FULL, col("c_custkey").eq(col("user_id")))
+        .projection(
+            [
+                Alias(
+                    Cast(Func("coalesce", (col("c_custkey"), col("user_id"))), "bigint"),
+                    "custkey",
+                ),
+                Alias(
+                    Func("coalesce", (col("new_cents"), col("bal_cents"))),
+                    "balance_cents",
+                ),
+                Alias(
+                    CaseWhen(
+                        (
+                            (Func("isnull", (col("c_custkey"),)), lit("insert")),
+                            (Func("isnull", (col("new_cents"),)), lit("keep")),
+                        ),
+                        lit("update"),
+                    ),
+                    "action",
+                ),
+            ]
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED CO-LOCATED JOIN: orders and customer both bucketed on
+    the join key into the same bucket count, joined WITHOUT any Exchange
+    on the join keys — each task reads the matching bucket from both
+    sides (asserted by the pytest).  At 100 TB this amortizes the fact
+    table's shuffle across every future join on the key: bucket once,
+    join shuffle-free forever.  The merge hint pins sort-merge so the
+    result is conf-independent (a broadcast would also skip the shuffle
+    but wouldn't exercise the bucket layout).  Oracle: same join over
+    the unbucketed parquet."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.sources.sinks import ensure_bucketed_table
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    t_orders = ensure_bucketed_table(
+        spark,
+        f"orders_bkt_{sf_name.replace('.', '_')}",
+        os.path.join(sf_dir, "orders.parquet"),
+        ["o_custkey"],
+        8,
+        sort_by=["o_custkey"],
+    )
+    t_cust = ensure_bucketed_table(
+        spark,
+        f"customer_bkt_{sf_name.replace('.', '_')}",
+        os.path.join(sf_dir, "customer.parquet"),
+        ["c_custkey"],
+        8,
+        sort_by=["c_custkey"],
+    )
+    o = spark.table(t_orders)
+    c = spark.table(t_cust)
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+
+
 def q_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARTITION PRUNING end-to-end: events materialized ONCE as a
     hive-partitioned layout (``event_type=<v>/`` dirs — the layout
@@ -3795,7 +3949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked
     "q_approx_sketches", "q_partition_pruned", "q_stream_file_sink",
-    "q_knn_ivf_kmeans",
+    "q_knn_ivf_kmeans", "q_merge_upsert", "q_bucketed_join",
     # execution paths changed this round — re-prove
     "q_stream_stream_join", "q_connected_components", "q_dedup_clusters",
     "q_knn_ivf", "q_range_join", "q_knn_brute", "q_cosine_near_dup",
@@ -3829,6 +3983,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_frame_window": q_range_frame_window,
         "q_approx_sketches": q_approx_sketches,
         "q_partition_pruned": q_partition_pruned,
+        "q_merge_upsert": q_merge_upsert,
+        "q_bucketed_join": q_bucketed_join,
         "q_array_agg": q_array_agg,
         "q_argmax": q_argmax,
         "q_sessionize_batch": q_sessionize_batch,

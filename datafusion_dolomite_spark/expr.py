@@ -230,6 +230,8 @@ class Func(Expr):
         "array_join": (1,),
         "from_json": (1,),
         "element_at": (1,),
+        "lpad": (1, 2),
+        "rpad": (1, 2),
     }
 
     def to_column(self):

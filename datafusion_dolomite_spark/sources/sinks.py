@@ -17,6 +17,7 @@ __all__ = [
     "write_json",
     "write_orc",
     "write_bucketed_table",
+    "ensure_bucketed_table",
 ]
 
 
@@ -45,6 +46,54 @@ def write_bucketed_table(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table_name)
+
+
+def ensure_bucketed_table(
+    spark,
+    name: str,
+    src_parquet: str,
+    bucket_by: Sequence[str],
+    n_buckets: int = 8,
+    sort_by: Optional[Sequence[str]] = None,
+) -> str:
+    """Materialize ``src_parquet`` as a bucketed table ONCE and make it
+    resolvable in the current session.
+
+    Spark's default session catalog is in-memory: the FILES survive under
+    the warehouse dir across sessions but the bucketing METADATA doesn't.
+    First call writes via ``write_bucketed_table``; later sessions
+    re-attach the existing files with a ``CREATE TABLE … CLUSTERED BY …
+    LOCATION`` DDL (bucket ids live in the file names, so the layout is
+    fully recoverable).  On a real cluster the metastore makes the DDL
+    step unnecessary; the write path is identical."""
+    import os
+
+    if spark.catalog.tableExists(name):
+        return name
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    loc = os.path.join(wh, name.lower())
+    if os.path.isdir(loc) and any(
+        f.startswith("part-") for f in os.listdir(loc)
+    ):
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in spark.read.parquet(loc).schema
+        )
+        sort_clause = f" SORTED BY ({', '.join(sort_by)})" if sort_by else ""
+        spark.sql(
+            f"CREATE TABLE {name} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({', '.join(bucket_by)}){sort_clause} "
+            f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+        )
+        return name
+    write_bucketed_table(
+        spark.read.parquet(src_parquet), name, bucket_by, n_buckets, sort_by
+    )
+    return name
 
 
 def _writer(df, mode: str, partition_by: Optional[Sequence[str]]):

@@ -358,3 +358,58 @@ def test_kmeans_ivf_improves_recall_and_is_deterministic(spark):
     assert all(len(v) == 10 for v in kmeans_ivf.values())
     # determinism: a second run is identical
     assert topk("ivf", 1) == kmeans_ivf
+
+
+_SF001 = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_exchange_on_join_keys(spark, tmp_path):
+    """Two tables bucketed on their join key with the same bucket count
+    must sort-merge-join WITHOUT any Exchange: each task reads the
+    matching bucket from both sides.  The unbucketed control join over
+    the same data DOES shuffle — proving the absence above comes from
+    the bucket layout, not from plan simplification."""
+    import contextlib
+    import io
+
+    from datafusion_dolomite_spark.sources.sinks import ensure_bucketed_table
+
+    spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS t_cust_bkt")
+    ensure_bucketed_table(
+        spark, "t_orders_bkt", f"{_SF001}/orders.parquet", ["o_custkey"], 4
+    )
+    ensure_bucketed_table(
+        spark, "t_cust_bkt", f"{_SF001}/customer.parquet", ["c_custkey"], 4
+    )
+    o = spark.table("t_orders_bkt").select("o_orderkey", "o_custkey")
+    c = spark.table("t_cust_bkt").select("c_custkey", "c_mktsegment")
+    joined = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    plan = plan_of(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+
+    # control: same join over the raw (unbucketed) parquet shuffles
+    o2 = spark.read.parquet(f"{_SF001}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    c2 = spark.read.parquet(f"{_SF001}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    control = plan_of(o2.join(c2.hint("merge"), o2.o_custkey == c2.c_custkey))
+    assert "Exchange" in control
+
+    # correctness: bucketed join result equals the unbucketed join
+    got = sorted(tuple(r) for r in joined.collect())
+    want = sorted(
+        tuple(r)
+        for r in o2.join(c2, o2.o_custkey == c2.c_custkey).collect()
+    )
+    assert got == want
