@@ -2092,6 +2092,18 @@ EXTENSION_ORACLES = {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """,
+    "q_embed_quantize": """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        n AS (SELECT vec_id, ev,
+                     sqrt(list_sum(list_transform(ev, x -> x * x))) AS nrm
+              FROM v)
+        SELECT vec_id,
+               floor(nrm * 1000000)::BIGINT AS norm_1e6,
+               list_transform(ev[1:16],
+                   x -> greatest(-127.0, least(127.0, floor(x / nrm * 127.0)))::INTEGER
+               ) AS q16
+        FROM n
+    """,
     "q_merge_upsert": """
         WITH src AS (
           SELECT user_id,
@@ -3251,6 +3263,32 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding PREP for training/serving: L2-normalize → matryoshka
+    truncation to the 16-dim prefix → int8 quantization (floor(x·127),
+    clamped) — the standard compress-the-index pipeline (4 B float → 1 B
+    int per dim, 4x memory/bandwidth).  Map-only JVM lambda expressions:
+    no shuffle, no Python, streams at scan speed at any scale.  The
+    sequential fold for the norm matches DuckDB's list fold, so the
+    oracle hash-matches bit-for-bit including the norm itself."""
+    from pyspark.sql import functions as F
+
+    pl = _planner(spark, sf_dir)
+    df = pl.dataframe(LogicalPlanBuilder().scan("embeddings").build())
+    dv = "transform(embedding, x -> cast(x as double))"
+    norm = f"sqrt(aggregate({dv}, cast(0.0 as double), (a, x) -> a + x * x))"
+    unit16 = f"slice(transform({dv}, x -> x / {norm}), 1, 16)"
+    quant = (
+        f"transform({unit16}, x -> "
+        f"cast(greatest(-127.0D, least(127.0D, floor(x * 127.0D))) as int))"
+    )
+    return df.select(
+        F.col("vec_id"),
+        F.expr(f"cast(floor({norm} * 1000000) as bigint)").alias("norm_1e6"),
+        F.expr(quant).alias("q16"),
+    )
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style MERGE/upsert — the snapshot-maintenance step of an
     incremental ingest pipeline, expressed the scale-correct Spark way:
@@ -3950,6 +3988,7 @@ _UNPROVEN_PREFIX = (
     # new this round — never driver-checked
     "q_approx_sketches", "q_partition_pruned", "q_stream_file_sink",
     "q_knn_ivf_kmeans", "q_merge_upsert", "q_bucketed_join",
+    "q_embed_quantize",
     # execution paths changed this round — re-prove
     "q_stream_stream_join", "q_connected_components", "q_dedup_clusters",
     "q_knn_ivf", "q_range_join", "q_knn_brute", "q_cosine_near_dup",
@@ -3985,6 +4024,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_partition_pruned": q_partition_pruned,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
+        "q_embed_quantize": q_embed_quantize,
         "q_array_agg": q_array_agg,
         "q_argmax": q_argmax,
         "q_sessionize_batch": q_sessionize_batch,

@@ -125,12 +125,19 @@ def knn_pandas(df, id_col: str, vec_col: str, n_queries: int = 5, k: int = 10):
     qids = np.array([r[0] for r in qrows], dtype="int64")
     Q = np.array([list(r[1]) for r in qrows], dtype="float64")
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # explicit broadcast: the query matrix ships to each executor ONCE
+    # (torrent protocol) instead of riding inside every task's pickled
+    # closure — the handoff that stays viable when the query set grows
+    # to millions of rows (the bounded collect() above is then the
+    # remaining driver touch-point; swap it for a file-based assembly)
+    bq = df.sparkSession.sparkContext.broadcast((qids, Qn))
 
     out_schema = "query_id bigint, neighbor_id bigint, _sim double"
 
     def local_topk(batches):
         import pandas as pd
 
+        qids, Qn = bq.value
         for pdf in batches:
             if not len(pdf):
                 continue
