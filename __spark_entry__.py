@@ -2092,6 +2092,22 @@ EXTENSION_ORACLES = {
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """,
+    "q_pii_redact": """
+        WITH s AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                                  '<EMAIL>', 'g'),
+                   '[0-9]', '#', 'g') AS red,
+                 length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                   AS nd
+          FROM documents
+        )
+        SELECT doc_id,
+               ('0x' || substr(md5(red), 1, 15))::BIGINT AS redacted_fp,
+               nd::BIGINT AS n_digits_redacted
+        FROM s
+    """,
     "q_embed_quantize": """
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
         n AS (SELECT vec_id, ev,
@@ -3216,6 +3232,46 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that actually DROPS duplicates: per near-dup cluster keep
+    ONE canonical document — the longest (n_chars, tie → higher doc_id,
+    packed into a single bigint orderer so both engines pick the same
+    row); singletons keep themselves.  Composition: MinHash-LSH pairs →
+    connected components → per-component argmax → kept flag per doc.
+    This is the full dedup pipeline a training corpus runs end-to-end;
+    the oracle replays it with a recursive CTE + arg_max."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.functions.graph import connected_components
+
+    pairs = q_minhash_pairs(spark, sf_dir)
+    cc = connected_components(pairs, "d1", "d2")
+    docs = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder().scan("documents", columns=["doc_id", "n_chars"]).build()
+    )
+    comp = docs.join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("comp"),
+    )
+    ordv = (F.col("n_chars") * F.lit(1_000_000_000_000) + F.col("doc_id")).alias(
+        "_ordv"
+    )
+    keep = (
+        comp.select("comp", "doc_id", ordv)
+        .groupBy("comp")
+        .agg(F.max_by("doc_id", F.col("_ordv")).alias("keep_id"))
+    )
+    return (
+        comp.join(keep, "comp")
+        .select(
+            "doc_id",
+            F.col("comp").alias("component"),
+            (F.col("doc_id") == F.col("keep_id")).alias("kept"),
+        )
+    )
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100TB-scale profiling: HyperLogLog++
     distinct counts (constant memory vs exact's O(ndv)) and approximate
@@ -3287,6 +3343,55 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"cast(floor({norm} * 1000000) as bigint)").alias("norm_1e6"),
         F.expr(quant).alias("q16"),
     )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION pass over the corpus: emails → '<EMAIL>' then all
+    digits → '#' (order matters — the email pattern contains digits),
+    map-only regexp_replace in whole-stage codegen.  Patterns stick to
+    character classes so Java regex (Spark) and RE2 (DuckDB) agree.
+    Deliverables per doc: the 60-bit fingerprint of the REDACTED text
+    (proves byte-identical scrubbing across engines) and the redacted
+    digit count.  DuckDB needs the 'g' flag for global replacement —
+    Spark replaces all matches by default."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    scrub = Func(
+        "regexp_replace",
+        (
+            Func("regexp_replace", (col("text"), lit(email), lit("<EMAIL>"))),
+            lit("[0-9]"),
+            lit("#"),
+        ),
+    )
+    fp = Cast(
+        Func(
+            "conv",
+            (
+                Func("substring", (Func("md5", (scrub,)), lit(1), lit(15))),
+                lit(16),
+                lit(10),
+            ),
+        ),
+        "bigint",
+    )
+    n_digits = BinOp(
+        "-",
+        Func("length", (col("text"),)),
+        Func("length", (Func("regexp_replace", (col("text"), lit("[0-9]"), lit(""))),)),
+    )
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .projection(
+            [
+                col("doc_id"),
+                Alias(fp, "redacted_fp"),
+                Alias(Cast(n_digits, "bigint"), "n_digits_redacted"),
+            ]
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
 
 
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3988,7 +4093,7 @@ _UNPROVEN_PREFIX = (
     # new this round — never driver-checked
     "q_approx_sketches", "q_partition_pruned", "q_stream_file_sink",
     "q_knn_ivf_kmeans", "q_merge_upsert", "q_bucketed_join",
-    "q_embed_quantize",
+    "q_embed_quantize", "q_dedup_keep_best", "q_pii_redact",
     # execution paths changed this round — re-prove
     "q_stream_stream_join", "q_connected_components", "q_dedup_clusters",
     "q_knn_ivf", "q_range_join", "q_knn_brute", "q_cosine_near_dup",
@@ -4025,6 +4130,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,
+        "q_dedup_keep_best": q_dedup_keep_best,
+        "q_pii_redact": q_pii_redact,
         "q_array_agg": q_array_agg,
         "q_argmax": q_argmax,
         "q_sessionize_batch": q_sessionize_batch,
@@ -4158,6 +4265,24 @@ SELECT component, count(*) AS csize FROM comp GROUP BY component
     # same join semantics, different sink — the file-sink variant must
     # produce byte-identical pairs to the memory-sink run
     out["q_stream_file_sink"] = out["q_stream_stream_join"]
+    # canonical-representative selection composes the same transitive
+    # closure, then arg_max per component (singletons keep themselves)
+    out["q_dedup_keep_best"] = f"""
+WITH RECURSIVE pairs AS ({out["q_minhash_pairs"].strip()}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+d AS (SELECT doc_id, n_chars, coalesce(comp.component, doc_id) AS comp
+      FROM documents LEFT JOIN comp ON comp.node = doc_id),
+keep AS (SELECT comp, arg_max(doc_id, n_chars * 1000000000000 + doc_id) AS keep_id
+         FROM d GROUP BY comp)
+SELECT d.doc_id, d.comp AS component, (d.doc_id = keep.keep_id) AS kept
+FROM d JOIN keep ON keep.comp = d.comp
+"""
     return out
 
 
