@@ -1646,33 +1646,6 @@ def _lang_id_oracle() -> str:
     """
 
 
-EXTENSION_QUERIES = {
-    "q_text_stats": q_text_stats,
-    "q_lang_id": q_lang_id,
-    "q_exact_dedup": q_exact_dedup,
-    "q_minhash_pairs": q_minhash_pairs,
-    "q_simhash": q_simhash,
-    "q_ngram_jaccard": q_ngram_jaccard,
-    "q_corpus_prep": q_corpus_prep,
-    "q_salted_agg": q_salted_agg,
-    "q_knn_brute": q_knn_brute,
-    "q_knn_pandas": q_knn_pandas,
-    "q_knn_ivf": q_knn_ivf,
-    "q_cosine_near_dup": q_cosine_near_dup,
-    "q_multimodal_features": q_multimodal_features,
-    "q_multimodal_resize": q_multimodal_resize,
-    "q_multimodal_frames": q_multimodal_frames,
-    "q_stream_window_counts": q_stream_window_counts,
-    "q_stream_sessions": q_stream_sessions,
-    "q_stream_dedup": q_stream_dedup,
-    "q_stream_enrich": q_stream_enrich,
-    "q_stream_stream_join": q_stream_stream_join,
-    "q_stream_file_sink": q_stream_file_sink,
-    "q_events_json": q_events_json,
-    "q_asof_join": q_asof_join,
-    "q_asof_tolerance": q_asof_tolerance,
-    "q_range_join": q_range_join,
-}
 
 # NOTE: these oracles assume the round-3+ testdata encoding of events.ts
 # as timestamp[us] (``epoch_us(ts)`` is not defined on BIGINT in DuckDB).
