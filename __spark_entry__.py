@@ -1048,24 +1048,41 @@ def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    from datafusion_dolomite_spark.sources.signature import source_signature
     from datafusion_dolomite_spark.streaming.pipeline import purchase_click_pairs
 
-    root = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", "attrib_sink"
-    )
     # sink+checkpoint dir KEYED BY THE SOURCE SIGNATURE: a rerun against
     # unchanged data resumes the exactly-once checkpoint, processes ZERO
     # new files, and simply re-reads the committed output — the real
     # production semantic (and far cheaper than replaying the join).
-    # Changed testdata → new signature → fresh dir; stale siblings pruned.
+    # Changed testdata → new signature → fresh dir; stale siblings
+    # pruned WITHIN the sf namespace only, so alternating runs against
+    # different sf_dirs don't delete each other's checkpoints (each sf
+    # keeps its own resumable sink).  source_signature is directory-
+    # aware — a rewritten part file inside an events.parquet/ directory
+    # changes it even though the directory's own mtime/size don't.
     src = os.path.join(sf_dir, "events.parquet")
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    sig = f"{sf_name}_{os.path.getmtime(src):.0f}_{os.path.getsize(src)}"
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        "attrib_sink",
+        sf_name,
+    )
+    sig = source_signature(src)
     path = os.path.join(root, sig)
     if os.path.isdir(root):
         for d in os.listdir(root):
-            if not d.startswith(sig):
+            if d != sig:
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    # legacy layout cleanup: pre-r5 dirs lived directly under
+    # attrib_sink as "<sf>_<mtime>_<size>" (underscore-bearing names;
+    # sf namespaces never contain one)
+    legacy_root = os.path.dirname(root)
+    if os.path.isdir(legacy_root):
+        for d in os.listdir(legacy_root):
+            if "_" in d:
+                shutil.rmtree(os.path.join(legacy_root, d), ignore_errors=True)
     return purchase_click_pairs(
         spark, sf_dir, "1 hour", sink="parquet", sink_path=path
     )
@@ -1508,9 +1525,14 @@ def _knn_ivf_kmeans_oracle(nq=5, k=10, ncells=8, nprobe=3) -> str:
         iv AS (SELECT vec_id,
                       list_transform(ev, x -> floor(x * 1000000)::BIGINT) AS q
                FROM v),
-        sums AS (SELECT a0.c, d.d, sum(iv.q[d.d]) AS s, count(*) AS n
-                 FROM a0 JOIN iv USING (vec_id) CROSS JOIN range(1, 65) d(d)
-                 GROUP BY a0.c, d.d),
+        -- dim-agnostic unnest (generate_subscripts aligns with unnest):
+        -- adapts to the vectors' actual width like the Spark-side
+        -- posexplode does, instead of hardcoding 64
+        ivd AS (SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS d
+                FROM iv),
+        sums AS (SELECT a0.c, ivd.d, sum(ivd.x) AS s, count(*) AS n
+                 FROM a0 JOIN ivd USING (vec_id)
+                 GROUP BY a0.c, ivd.d),
         cent1 AS (SELECT c, list(s / (n * 1000000.0) ORDER BY d) AS cv
                   FROM sums GROUP BY c),
         vc1 AS (SELECT v.vec_id, cent1.c, list_cosine_similarity(v.ev, cent1.cv) AS s
@@ -2096,9 +2118,9 @@ EXTENSION_ORACLES = {
               FROM v)
         SELECT vec_id,
                floor(nrm * 1000000)::BIGINT AS norm_1e6,
-               list_transform(ev[1:16],
-                   x -> greatest(-127.0, least(127.0, floor(x / nrm * 127.0)))::INTEGER
-               ) AS q16
+               array_to_string(list_transform(ev[1:16],
+                   x -> (greatest(-127.0, least(127.0, floor(x / nrm * 127.0)))::INTEGER)::VARCHAR
+               ), ',') AS q16
         FROM n
     """,
     "q_merge_upsert": """
@@ -3290,9 +3312,15 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "exact_users",
         "n",
+        # rsd (5%) is ONE standard deviation — a correct sketch lands
+        # outside 1·rsd for ~1/3 of groups on some datasets, so the
+        # acceptance is 3·rsd (±15%, with a small-count floor): the
+        # boolean trips only on genuine sketch breakage
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
-            <= 0.05 * F.col("exact_users")
+            <= F.greatest(
+                3 * 0.05 * F.col("exact_users"), F.lit(2.0)
+            )
         ).alias("hll_within_rsd"),
         F.col("p50_approx")
         .between(F.col("p45_exact"), F.col("p55_exact"))
@@ -3307,7 +3335,10 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     int per dim, 4x memory/bandwidth).  Map-only JVM lambda expressions:
     no shuffle, no Python, streams at scan speed at any scale.  The
     sequential fold for the norm matches DuckDB's list fold, so the
-    oracle hash-matches bit-for-bit including the norm itself."""
+    oracle hash-matches bit-for-bit including the norm itself.  The
+    quantized vector is emitted as a comma-joined string (not
+    array<int>) so the row is hashable/sortable by the driver's
+    canonicalizer — same information, oracle-checkable."""
     from pyspark.sql import functions as F
 
     pl = _planner(spark, sf_dir)
@@ -3322,7 +3353,9 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         F.col("vec_id"),
         F.expr(f"cast(floor({norm} * 1000000) as bigint)").alias("norm_1e6"),
-        F.expr(quant).alias("q16"),
+        F.expr(
+            f"array_join(transform({quant}, x -> cast(x as string)), ',')"
+        ).alias("q16"),
     )
 
 
@@ -4062,20 +4095,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     connected components and its dedup-clusters composition); everything
     already-proven-and-unchanged trails."""
     base = _queries_base()
-    head = {k: base[k] for k in _UNPROVEN_PREFIX}
+    head = {k: base[k] for k in _UNPROVEN_PREFIX if k in base}
     head.update({k: v for k, v in base.items() if k not in head})
     return head
 
 
-#: round-4 check priority: new queries first, then changed-path queries,
-#: then the heaviest previously-green sets (streaming, SQL front door)
-#: so a deep prefix still re-proves them.
+#: round-5 check priority: changed-path queries first (the r4 red row's
+#: repacked output, the widened sketch bound, the dim-agnostic kmeans
+#: oracle, the signature-keyed materializations), then queries new or
+#: changed in r4, then the heaviest previously-green sets (streaming,
+#: SQL front door) so a deep prefix still re-proves them.
 _UNPROVEN_PREFIX = (
-    # new this round — never driver-checked
-    "q_approx_sketches", "q_partition_pruned", "q_stream_file_sink",
-    "q_knn_ivf_kmeans", "q_merge_upsert", "q_bucketed_join",
-    "q_embed_quantize", "q_dedup_keep_best", "q_pii_redact",
-    # execution paths changed this round — re-prove
+    # changed this round — re-prove first
+    "q_embed_quantize", "q_approx_sketches", "q_knn_ivf_kmeans",
+    "q_partition_pruned", "q_bucketed_join", "q_stream_file_sink",
+    "q_knn_recall",
+    # r4-new / r4-changed — keep early
+    "q_merge_upsert", "q_dedup_keep_best", "q_pii_redact",
     "q_stream_stream_join", "q_connected_components", "q_dedup_clusters",
     "q_knn_ivf", "q_range_join", "q_knn_brute", "q_cosine_near_dup",
     # previously green, kept early for re-proof depth

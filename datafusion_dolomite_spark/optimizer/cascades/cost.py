@@ -330,8 +330,15 @@ def derive_stats(op: Operator, input_stats, ctx=None) -> Statistics:
 
 def _propagate_width(op: Operator, input_stats, ctx) -> float:
     """Carry avg_row_bytes up the plan: scans seed from the catalog
-    (scaled down by column pruning), joins concatenate both sides'
-    widths, everything else passes its input through.  0.0 = unknown."""
+    (scaled down by column pruning), JOINS concatenate both sides'
+    widths, set ops (union/intersect/except) keep ONE side's width
+    (their output has one side's columns — summing would double-count
+    and can make ``_too_big_to_broadcast`` refuse a genuinely small
+    build side), projections narrow by their output column count.
+    0.0 = unknown."""
+    from ...operators import extensions as X
+    from ...operators import logical as L
+
     table = getattr(op, "table_name", None)
     if table is not None and ctx is not None and getattr(ctx, "catalog", None):
         try:
@@ -348,9 +355,32 @@ def _propagate_width(op: Operator, input_stats, ctx) -> float:
     if not widths:
         return 0.0
     if len(widths) >= 2:
-        # join-like: output rows carry columns from both sides
-        return sum(widths)
-    return widths[0]
+        join_like = (
+            L.LogicalJoin,
+            P.PhysicalHashJoin,
+            P.PhysicalBroadcastHashJoin,
+            P.PhysicalSortMergeJoin,
+            X.LogicalAsofJoin,
+            X.PhysicalAsofJoinUnion,
+            X.LogicalRangeJoin,
+            X.PhysicalBucketedRangeJoin,
+            X.PhysicalBroadcastRangeJoin,
+        )
+        if isinstance(op, join_like):
+            return sum(widths)
+        return max(widths)
+    width = widths[0]
+    exprs = getattr(op, "exprs", None)
+    if (
+        isinstance(op, (L.LogicalProjection, P.PhysicalProjection))
+        and exprs
+        and input_stats[0] is not None
+        and input_stats[0].columns
+    ):
+        total = len(input_stats[0].columns)
+        if total > len(exprs):
+            width *= len(exprs) / total
+    return width
 
 
 def _propagate_columns(op: Operator, input_stats, ctx, out_rows: float):

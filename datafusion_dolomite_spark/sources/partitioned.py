@@ -35,9 +35,20 @@ def ensure_partitioned(
 
     One output file per partition value (maxRecordsPerFile-style
     compaction is the writer's job at real scale; at test scale one file
-    per partition keeps the pruning assertion crisp)."""
-    marker = os.path.join(dest_dir, "_SUCCESS")
-    if os.path.exists(marker):
+    per partition keeps the pruning assertion crisp).
+
+    Idempotency is keyed on the SOURCE SIGNATURE (mtime+size, directory
+    aware — signature.py), not just a _SUCCESS marker: testdata
+    regenerated in place under the same path invalidates the
+    materialization instead of silently serving the stale copy while
+    the oracle reads the fresh source."""
+    from .signature import read_marker, source_signature, write_marker
+
+    sig = source_signature(src_path)
+    if (
+        os.path.exists(os.path.join(dest_dir, "_SUCCESS"))
+        and read_marker(dest_dir) == sig
+    ):
         return dest_dir
     df = spark.read.parquet(src_path)
     (
@@ -46,4 +57,5 @@ def ensure_partitioned(
         .partitionBy(partition_by)
         .parquet(dest_dir)
     )
+    write_marker(dest_dir, sig)
     return dest_dir

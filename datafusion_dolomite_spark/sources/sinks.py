@@ -65,18 +65,32 @@ def ensure_bucketed_table(
     re-attach the existing files with a ``CREATE TABLE … CLUSTERED BY …
     LOCATION`` DDL (bucket ids live in the file names, so the layout is
     fully recoverable).  On a real cluster the metastore makes the DDL
-    step unnecessary; the write path is identical."""
-    import os
+    step unnecessary; the write path is identical.
 
-    if spark.catalog.tableExists(name):
-        return name
+    Staleness is decided by the SOURCE SIGNATURE (signature.py), not by
+    table/dir existence alone: testdata regenerated in place under the
+    same path drops and rebuilds the bucketed copy instead of silently
+    serving stale buckets while the oracle reads the fresh source."""
+    import os
+    import shutil
+
+    from .signature import read_marker, source_signature, write_marker
+
+    sig = source_signature(src_parquet)
     wh = spark.conf.get("spark.sql.warehouse.dir")
     for prefix in ("file://", "file:"):
         if wh.startswith(prefix):
             wh = wh[len(prefix):]
             break
     loc = os.path.join(wh, name.lower())
-    if os.path.isdir(loc) and any(
+    fresh = read_marker(loc) == sig
+    if spark.catalog.tableExists(name):
+        if fresh:
+            return name
+        spark.sql(f"DROP TABLE {name}")
+    if not fresh and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+    if fresh and os.path.isdir(loc) and any(
         f.startswith("part-") for f in os.listdir(loc)
     ):
         ddl = ", ".join(
@@ -93,6 +107,7 @@ def ensure_bucketed_table(
     write_bucketed_table(
         spark.read.parquet(src_parquet), name, bucket_by, n_buckets, sort_by
     )
+    write_marker(loc, sig)
     return name
 
 
