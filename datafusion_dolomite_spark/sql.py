@@ -426,18 +426,49 @@ class _Parser:
                     aggs.append(e)
                 else:
                     plain.append(e)
+            # parse HAVING BEFORE building the aggregate: the predicate
+            # may contain raw aggregate calls (``HAVING min(x) > 1``) —
+            # including ones not in the SELECT list — which standard SQL
+            # computes as part of the same aggregate.  Each such call is
+            # lifted into a hidden aggregate output (``_h<i>``) unless it
+            # already matches a SELECT-list aggregate, whose alias is
+            # reused; the hidden columns are projected away afterwards.
+            hpred = None
+            hidden: List[str] = []
+            if self.accept("kw", "having"):
+                hpred = self._resolve(self._expr())
+
+                def _lift_aggs(x):
+                    if isinstance(x, Func) and x.is_aggregate:
+                        for a in aggs:
+                            if isinstance(a, Alias) and a.expr == x:
+                                return Col(a.name)
+                        name = f"_h{len(hidden)}"
+                        hidden.append(name)
+                        aggs.append(Alias(x, name))
+                        return Col(name)
+                    if isinstance(x, Func):
+                        return Func(x.name, tuple(_lift_aggs(a) for a in x.args))
+                    if isinstance(x, BinOp):
+                        return BinOp(x.op, _lift_aggs(x.left), _lift_aggs(x.right))
+                    if isinstance(x, Cast):
+                        return Cast(_lift_aggs(x.expr), x.to_type)
+                    if isinstance(x, Alias):
+                        return Alias(_lift_aggs(x.expr), x.name)
+                    return x
+
+                hpred = _lift_aggs(hpred)
             builder = builder.aggregate(
                 group_exprs or plain,
                 tuple(aggs),
                 mode=group_mode,
                 grouping_sets=tuple(grouping_sets),
             )
-            if self.accept("kw", "having"):
-                # HAVING over the aggregate's OUTPUT (reference output
-                # aliases or group columns) — a plain filter above the agg.
-                # Uncorrelated scalar subqueries (TPC-H Q11's threshold)
-                # become a 1-row broadcast cross join below the filter.
-                hpred = self._resolve(self._expr())
+            if hpred is not None:
+                # HAVING over the aggregate's OUTPUT — a plain filter
+                # above the agg.  Uncorrelated scalar subqueries (TPC-H
+                # Q11's threshold) become a 1-row broadcast cross join
+                # below the filter.
                 hpred, hscalars = _extract_scalars(hpred)
                 for alias, sub in hscalars:
                     cur = _single_output_col(sub)
@@ -446,13 +477,17 @@ class _Parser:
                     )
                     builder = builder.join(renamed, JoinType.INNER, Lit(True))
                 builder = builder.filter(hpred)
-                if hscalars:
-                    # drop the _scalar_* helper columns from the output
+                if hscalars or hidden:
+                    # drop the _scalar_* / _h* helper columns
                     from .operators.logical import output_name as _hname
 
                     builder = builder.projection(
                         [Col(_hname(g)) for g in (group_exprs or plain)]
-                        + [Col(a.name) for a in aggs]
+                        + [
+                            Col(a.name)
+                            for a in aggs
+                            if a.name not in hidden
+                        ]
                     )
             # aliased group keys in the SELECT list (``o_custkey AS x``,
             # ``year(d) AS y``) aren't part of the aggregate's natural

@@ -1,0 +1,669 @@
+"""Differential SQL fuzzing: the hand-written SQL front door vs DuckDB.
+
+The reference's entire SQL test story is two YAML cases
+(``dolomite/resources/limit.yaml:1-11``); a hand-written
+tokenizer/parser/planner (``sql.py``) dies in the edge cases — operator
+precedence, NULL ordering, implicit casts, join-type semantics, set-op
+distinctness — so this harness generates hundreds of random queries
+INSIDE the documented grammar (``sql.py:13-22``), runs each through
+``QueryPlanner.sql`` (parse → Hep → Cascades → Spark) AND through DuckDB
+over the same parquet, and compares full result multisets.
+
+Determinism rules baked into the generator (mismatches must mean bugs,
+not float noise):
+- ORDER BY ... LIMIT only ever orders by ALL output columns with
+  explicit NULLS FIRST/LAST, and only on float-free outputs — ties are
+  then whole-row duplicates, so the kept multiset is engine-independent.
+- sum/avg over doubles appear only in final SELECT lists (compared with
+  tolerance), never in HAVING / scalar-subquery comparisons where a
+  1-ulp difference flips row membership.
+- Timestamp columns are excluded (casting/formatting differences are a
+  separate concern from parser correctness).
+
+Seed-pinned: failures reproduce; print the SQL on mismatch.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from .conftest import SF_DIR
+
+# ---------------------------------------------------------------------------
+# catalog subset usable by the generator (no timestamps / long text / json)
+# ---------------------------------------------------------------------------
+
+INT, FLT, STR = "int", "float", "str"
+
+TABLES = {
+    "region": {"r_regionkey": INT, "r_name": STR},
+    "nation": {"n_nationkey": INT, "n_name": STR, "n_regionkey": INT},
+    "customer": {
+        "c_custkey": INT,
+        "c_name": STR,
+        "c_nationkey": INT,
+        "c_acctbal": FLT,
+        "c_mktsegment": STR,
+    },
+    "supplier": {
+        "s_suppkey": INT,
+        "s_name": STR,
+        "s_nationkey": INT,
+        "s_acctbal": FLT,
+    },
+    "part": {
+        "p_partkey": INT,
+        "p_name": STR,
+        "p_brand": STR,
+        "p_type": STR,
+        "p_size": INT,
+        "p_retailprice": FLT,
+    },
+    "orders": {
+        "o_orderkey": INT,
+        "o_custkey": INT,
+        "o_orderstatus": STR,
+        "o_totalprice": FLT,
+        "o_orderpriority": STR,
+    },
+    "lineitem": {
+        "l_orderkey": INT,
+        "l_partkey": INT,
+        "l_suppkey": INT,
+        "l_linenumber": INT,
+        "l_quantity": FLT,
+        "l_extendedprice": FLT,
+        "l_discount": FLT,
+        "l_tax": FLT,
+        "l_returnflag": STR,
+        "l_linestatus": STR,
+    },
+    "events": {
+        "event_id": INT,
+        "user_id": INT,
+        "event_type": STR,
+        "value": FLT,
+    },
+    "documents": {"doc_id": INT, "lang": STR, "source": STR, "n_chars": INT},
+}
+
+# (left_table, left_col, right_table, right_col) — joinable key pairs
+JOIN_EDGES = [
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+# key columns safe for [NOT] IN subqueries (non-nullable in the data)
+KEY_COLS = {
+    t: [c for c, ty in cols.items() if ty == INT and ("key" in c or c.endswith("_id"))]
+    for t, cols in TABLES.items()
+}
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def pools(ddb):
+    """Deterministic literal pools: a few real string values per varchar
+    column, min/max per numeric column — so predicates are sometimes
+    selective and sometimes not, but always type-correct."""
+    p = {}
+    for t, cols in TABLES.items():
+        for c, ty in cols.items():
+            if ty == STR:
+                vals = [
+                    r[0]
+                    for r in ddb.execute(
+                        f"SELECT DISTINCT {c} FROM {t} "
+                        f"WHERE {c} IS NOT NULL ORDER BY {c} LIMIT 8"
+                    ).fetchall()
+                ]
+                p[(t, c)] = vals or ["x"]
+            else:
+                mn, mx = ddb.execute(
+                    f"SELECT min({c}), max({c}) FROM {t}"
+                ).fetchone()
+                p[(t, c)] = (mn or 0, mx if mx is not None else 1)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# result canonicalization + comparison
+# ---------------------------------------------------------------------------
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, Decimal):
+        if v == v.to_integral_value():
+            return int(v)
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0
+        if float(v).is_integer() and abs(v) < 2**53:
+            return int(v)
+        return float(f"{v:.6e}")  # 7 significant digits
+    return v
+
+
+def _canon_row(row):
+    return tuple(_canon(v) for v in row)
+
+
+def _sort_key(row):
+    return tuple(
+        (1, "", "") if v is None else (0, str(type(v).__name__ == "str"), str(v))
+        for v in row
+    )
+
+
+def _isclose_val(a, b):
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return math.isclose(a, b, rel_tol=1e-6, abs_tol=1e-9)
+    return a == b
+
+
+def rows_match(got, want):
+    """Multiset equality of canonicalized rows; float-tolerant fallback
+    compares sorted row lists pairwise (rounding at the 7th significant
+    digit can split an otherwise-equal pair across a boundary)."""
+    cg = [_canon_row(r) for r in got]
+    cw = [_canon_row(r) for r in want]
+    if Counter(cg) == Counter(cw):
+        return True
+    if len(cg) != len(cw):
+        return False
+    sg = sorted(cg, key=_sort_key)
+    sw = sorted(cw, key=_sort_key)
+    return all(
+        len(a) == len(b) and all(_isclose_val(x, y) for x, y in zip(a, b))
+        for a, b in zip(sg, sw)
+    )
+
+
+# ---------------------------------------------------------------------------
+# query generator
+# ---------------------------------------------------------------------------
+
+
+class Gen:
+    def __init__(self, rng: random.Random, pools):
+        self.rng = rng
+        self.pools = pools
+
+    # -- literals ----------------------------------------------------------
+
+    def _num_lit(self, t, c):
+        mn, mx = self.pools[(t, c)]
+        v = mn + self.rng.random() * (mx - mn)
+        if TABLES[t][c] == INT:
+            return str(int(v))
+        return f"{v:.2f}"
+
+    def _str_lit(self, t, c):
+        v = self.rng.choice(self.pools[(t, c)])
+        return "'" + v.replace("'", "''") + "'"
+
+    # -- predicates over one table's columns -------------------------------
+
+    def _atom_pred(self, tabs):
+        """One comparison; ``tabs`` is the list of table names in scope."""
+        r = self.rng
+        t = r.choice(tabs)
+        cols = list(TABLES[t].items())
+        c, ty = r.choice(cols)
+        if ty == STR:
+            kind = r.randrange(4)
+            if kind == 0:
+                return f"{c} = {self._str_lit(t, c)}"
+            if kind == 1:
+                vals = ", ".join(
+                    sorted({self._str_lit(t, c) for _ in range(r.randint(2, 4))})
+                )
+                neg = "NOT " if r.random() < 0.3 else ""
+                return f"{c} {neg}IN ({vals})"
+            if kind == 2:
+                sample = r.choice(self.pools[(t, c)])
+                alnum = "".join(ch for ch in sample if ch.isalnum())
+                if len(alnum) >= 2:
+                    k = r.randint(2, min(4, len(alnum)))
+                    start = r.randrange(len(alnum) - k + 1)
+                    neg = "NOT " if r.random() < 0.25 else ""
+                    return f"{c} {neg}LIKE '%{alnum[start:start + k]}%'"
+                return f"{c} = {self._str_lit(t, c)}"
+            return f"{c} {r.choice(['<', '>', '<=', '>=', '<>'])} {self._str_lit(t, c)}"
+        # numeric
+        kind = r.randrange(4)
+        if kind == 0:
+            return f"{c} {r.choice(['<', '>', '<=', '>=', '=', '<>'])} {self._num_lit(t, c)}"
+        if kind == 1:
+            a, b = self._num_lit(t, c), self._num_lit(t, c)
+            lo, hi = (a, b) if float(a) <= float(b) else (b, a)
+            neg = "NOT " if r.random() < 0.25 else ""
+            return f"{c} {neg}BETWEEN {lo} AND {hi}"
+        if kind == 2 and ty == INT:
+            vals = ", ".join(
+                sorted({self._num_lit(t, c) for _ in range(r.randint(2, 4))})
+            )
+            return f"{c} IN ({vals})"
+        if kind == 3 and r.random() < 0.2:
+            isnot = "NOT " if r.random() < 0.5 else ""
+            return f"{c} IS {isnot}NULL"
+        return f"{c} >= {self._num_lit(t, c)}"
+
+    def _pred(self, tabs, depth=0):
+        r = self.rng
+        n = r.randint(1, 3)
+        parts = [self._atom_pred(tabs) for _ in range(n)]
+        out = parts[0]
+        for p in parts[1:]:
+            conj = r.choice(["AND", "AND", "OR"])
+            out = f"({out} {conj} {p})" if r.random() < 0.4 else f"{out} {conj} {p}"
+        return out
+
+    # -- select items ------------------------------------------------------
+
+    def _value_expr(self, tabs):
+        """(sql, type) — a non-aggregate scalar expression."""
+        r = self.rng
+        t = r.choice(tabs)
+        c, ty = r.choice(list(TABLES[t].items()))
+        roll = r.random()
+        if roll < 0.55 or ty == STR:
+            return c, ty
+        if roll < 0.7:
+            return f"({c} * {r.randint(2, 9)})", ty
+        if roll < 0.8:
+            t2 = r.choice(tabs)
+            nums = [(c2, ty2) for c2, ty2 in TABLES[t2].items() if ty2 != STR]
+            if nums:
+                c2, ty2 = r.choice(nums)
+                op = r.choice(["+", "-"])
+                oty = FLT if FLT in (ty, ty2) else INT
+                return f"({c} {op} {c2})", oty
+            return c, ty
+        if roll < 0.9:
+            # CAST(double AS bigint) is excluded: Spark truncates toward
+            # zero, DuckDB rounds half-to-even — a documented engine
+            # semantic difference, not a parser bug
+            target = "double" if ty == FLT else r.choice(["bigint", "double"])
+            return f"CAST({c} AS {target})", INT if target == "bigint" else FLT
+        cond = self._atom_pred([t])
+        other = self._num_lit(t, c)
+        return f"CASE WHEN {cond} THEN {c} ELSE {other} END", ty
+
+    def _agg_expr(self, tabs, for_output=True):
+        """(sql, type) — an aggregate call.  When ``for_output`` is
+        False (HAVING / scalar subquery) only exact aggregates are
+        produced: no float sum/avg whose last-ulp could flip a
+        comparison."""
+        r = self.rng
+        t = r.choice(tabs)
+        cols = list(TABLES[t].items())
+        c, ty = r.choice(cols)
+        choices = ["count_star", "count", "min", "max"]
+        if ty != STR:
+            choices += ["sum"]
+        if for_output and ty == FLT:
+            choices += ["avg", "sum"]
+        if ty != FLT:
+            choices += ["count_distinct"]
+        kind = r.choice(choices)
+        if kind == "count_star":
+            return "count(*)", INT
+        if kind == "count":
+            return f"count({c})", INT
+        if kind == "count_distinct":
+            return f"count(DISTINCT {c})", INT
+        if kind in ("min", "max"):
+            return f"{kind}({c})", ty
+        if kind == "avg":
+            return f"avg({c})", FLT
+        if not for_output and ty == FLT:
+            return f"count({c})", INT
+        return f"sum({c})", ty
+
+    # -- query shapes ------------------------------------------------------
+
+    def _order_limit(self, names, has_float):
+        """ORDER BY every output column (deterministic multiset under
+        LIMIT) — only for float-free outputs."""
+        r = self.rng
+        if has_float or not names or r.random() < 0.5:
+            return "", ""
+        keys = []
+        for nm in names:
+            d = r.choice(["ASC", "DESC"])
+            nf = "NULLS FIRST" if r.random() < 0.5 else "NULLS LAST"
+            keys.append(f"{nm} {d} {nf}")
+        clause = f" ORDER BY {', '.join(keys)} LIMIT {r.randint(1, 50)}"
+        return clause, clause
+
+    def _simple(self):
+        r = self.rng
+        t = r.choice(list(TABLES))
+        items, names, has_float = [], [], False
+        for i in range(r.randint(1, 4)):
+            e, ty = self._value_expr([t])
+            items.append(f"{e} AS c{i}")
+            names.append(f"c{i}")
+            has_float = has_float or ty == FLT
+        distinct = "DISTINCT " if r.random() < 0.2 else ""
+        where = f" WHERE {self._pred([t])}" if r.random() < 0.85 else ""
+        body = f"SELECT {distinct}{', '.join(items)} FROM {t}{where}"
+        ol, _ = self._order_limit(names, has_float)
+        return body + ol, body + ol
+
+    def _join(self):
+        r = self.rng
+        edge = r.choice(JOIN_EDGES)
+        lt, lc, rt, rc = edge
+        jt = r.choice(
+            ["JOIN", "JOIN", "JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN",
+             "LEFT SEMI JOIN", "LEFT ANTI JOIN"]
+        )
+        semi_anti = "SEMI" in jt or "ANTI" in jt
+        tabs = [lt] if semi_anti else [lt, rt]
+        # optional third hop for plain inner joins
+        third = None
+        if jt == "JOIN" and r.random() < 0.4:
+            nxt = [e for e in JOIN_EDGES if e[0] in (lt, rt) and e != edge]
+            if nxt:
+                third = r.choice(nxt)
+                if third[2] not in tabs:
+                    tabs.append(third[2])
+                else:
+                    third = None
+        items, names, has_float = [], [], False
+        for i in range(r.randint(1, 4)):
+            e, ty = self._value_expr(tabs)
+            items.append(f"{e} AS c{i}")
+            names.append(f"c{i}")
+            has_float = has_float or ty == FLT
+        sql = f"SELECT {', '.join(items)} FROM {lt} {jt} {rt} ON {lc} = {rc}"
+        o_jt = jt.replace("LEFT SEMI JOIN", "SEMI JOIN").replace(
+            "LEFT ANTI JOIN", "ANTI JOIN"
+        )
+        osql = f"SELECT {', '.join(items)} FROM {lt} {o_jt} {rt} ON {lc} = {rc}"
+        if third:
+            hop = f" JOIN {third[2]} ON {third[1]} = {third[3]}"
+            sql += hop
+            osql += hop
+        if r.random() < 0.7:
+            w = f" WHERE {self._pred(tabs)}"
+            sql += w
+            osql += w
+        ol, _ = self._order_limit(names, has_float)
+        return sql + ol, osql + ol
+
+    def _agg(self):
+        r = self.rng
+        use_join = r.random() < 0.4
+        if use_join:
+            lt, lc, rt, rc = r.choice(JOIN_EDGES)
+            tabs = [lt, rt]
+            frm = f"{lt} JOIN {rt} ON {lc} = {rc}"
+        else:
+            t = r.choice(list(TABLES))
+            tabs = [t]
+            frm = t
+        nkeys = r.randint(1, 2)
+        keys = []
+        for t in [r.choice(tabs) for _ in range(nkeys)]:
+            c, ty = r.choice(list(TABLES[t].items()))
+            if c not in keys:
+                keys.append(c)
+        items = [f"{k} AS k{i}" for i, k in enumerate(keys)]
+        names = [f"k{i}" for i in range(len(keys))]
+        key_types = []
+        for k in keys:
+            for t in tabs:
+                if k in TABLES[t]:
+                    key_types.append(TABLES[t][k])
+                    break
+        has_float = FLT in key_types
+        for i in range(r.randint(1, 3)):
+            e, ty = self._agg_expr(tabs)
+            items.append(f"{e} AS a{i}")
+            names.append(f"a{i}")
+            has_float = has_float or ty == FLT
+        where = f" WHERE {self._pred(tabs)}" if r.random() < 0.6 else ""
+        having = ""
+        if r.random() < 0.35:
+            he, hty = self._agg_expr(tabs, for_output=False)
+            lit = r.randint(0, 5) if hty == INT else self._num_lit(
+                tabs[0], r.choice([c for c, t2 in TABLES[tabs[0]].items() if t2 != STR] or ["x"])
+            )
+            if hty == STR:
+                having = ""
+            else:
+                having = f" HAVING {he} {r.choice(['>', '>=', '<', '<='])} {lit}"
+        sql = (
+            f"SELECT {', '.join(items)} FROM {frm}{where} "
+            f"GROUP BY {', '.join(keys)}{having}"
+        )
+        ol, _ = self._order_limit(names, has_float)
+        return sql + ol, sql + ol
+
+    def _setop(self):
+        r = self.rng
+        # two branches with a compatible (int, str) signature
+        sig = r.choice([(INT,), (STR,), (INT, STR), (INT, INT)])
+
+        def branch():
+            t = r.choice(list(TABLES))
+            outs = []
+            for i, ty in enumerate(sig):
+                cands = [c for c, t2 in TABLES[t].items() if t2 == ty]
+                if not cands:
+                    return None
+                outs.append(f"{r.choice(cands)} AS c{i}")
+            where = f" WHERE {self._pred([t])}" if r.random() < 0.7 else ""
+            return f"SELECT {', '.join(outs)} FROM {t}{where}"
+
+        b1, b2 = branch(), branch()
+        if b1 is None or b2 is None:
+            return self._simple()
+        op = r.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        sql = f"{b1} {op} {b2}"
+        return sql, sql
+
+    def _in_subquery(self):
+        r = self.rng
+        lt, lc, rt, rc = r.choice(JOIN_EDGES)
+        neg = "NOT " if r.random() < 0.3 else ""
+        subw = f" WHERE {self._pred([rt])}" if r.random() < 0.7 else ""
+        items, names, has_float = [], [], False
+        for i in range(r.randint(1, 3)):
+            e, ty = self._value_expr([lt])
+            items.append(f"{e} AS c{i}")
+            names.append(f"c{i}")
+            has_float = has_float or ty == FLT
+        outw = f" AND {self._atom_pred([lt])}" if r.random() < 0.5 else ""
+        sql = (
+            f"SELECT {', '.join(items)} FROM {lt} "
+            f"WHERE {lc} {neg}IN (SELECT {rc} FROM {rt}{subw}){outw}"
+        )
+        ol, _ = self._order_limit(names, has_float)
+        return sql + ol, sql + ol
+
+    def _scalar_subquery(self):
+        r = self.rng
+        t = r.choice(list(TABLES))
+        nums = [c for c, ty in TABLES[t].items() if ty != STR]
+        c = r.choice(nums)
+        t2 = r.choice(list(TABLES))
+        # exact aggregates only (min/max/count) — see module docstring
+        nums2 = [c2 for c2, ty2 in TABLES[t2].items() if ty2 == INT]
+        if not nums2:
+            t2, nums2 = "nation", ["n_nationkey"]
+        c2 = r.choice(nums2)
+        agg = r.choice(["min", "max"])
+        subw = f" WHERE {self._pred([t2])}" if r.random() < 0.5 else ""
+        items, names, has_float = [], [], False
+        for i in range(r.randint(1, 3)):
+            e, ty = self._value_expr([t])
+            items.append(f"{e} AS c{i}")
+            names.append(f"c{i}")
+            has_float = has_float or ty == FLT
+        sql = (
+            f"SELECT {', '.join(items)} FROM {t} "
+            f"WHERE {c} > (SELECT {agg}({c2}) FROM {t2}{subw})"
+        )
+        ol, _ = self._order_limit(names, has_float)
+        return sql + ol, sql + ol
+
+    def _exists(self):
+        r = self.rng
+        # correlated EXISTS along a join edge (sub references outer key)
+        rt_, rc_, lt, lc = r.choice(
+            [(e[0], e[1], e[2], e[3]) for e in JOIN_EDGES]
+        )
+        neg = "NOT " if r.random() < 0.3 else ""
+        subw = f" AND {self._atom_pred([rt_])}" if r.random() < 0.6 else ""
+        items, names, has_float = [], [], False
+        for i in range(r.randint(1, 3)):
+            e, ty = self._value_expr([lt])
+            items.append(f"{e} AS c{i}")
+            names.append(f"c{i}")
+            has_float = has_float or ty == FLT
+        sql = (
+            f"SELECT {', '.join(items)} FROM {lt} "
+            f"WHERE {neg}EXISTS (SELECT {rc_} FROM {rt_} "
+            f"WHERE {rc_} = {lc}{subw})"
+        )
+        ol, _ = self._order_limit(names, has_float)
+        return sql + ol, sql + ol
+
+    def _derived(self):
+        r = self.rng
+        t = r.choice(list(TABLES))
+        inner_items, types = [], []
+        for i in range(r.randint(2, 4)):
+            e, ty = self._value_expr([t])
+            inner_items.append(f"{e} AS c{i}")
+            types.append(ty)
+        iw = f" WHERE {self._pred([t])}" if r.random() < 0.7 else ""
+        inner = f"SELECT {', '.join(inner_items)} FROM {t}{iw}"
+        # outer: filter / aggregate over the derived columns
+        non_flt = [f"c{i}" for i, ty in enumerate(types) if ty != FLT]
+        if non_flt and r.random() < 0.5:
+            k = r.choice(non_flt)
+            sql = (
+                f"SELECT {k} AS k0, count(*) AS a0 "
+                f"FROM ({inner}) AS d GROUP BY {k}"
+            )
+            return sql, sql
+        pick = r.sample(range(len(types)), r.randint(1, len(types)))
+        outs = ", ".join(f"c{i}" for i in sorted(pick))
+        cond = f"c{r.randrange(len(types))} IS NOT NULL"
+        sql = f"SELECT {outs} FROM ({inner}) AS d WHERE {cond}"
+        return sql, sql
+
+    def _cte(self):
+        r = self.rng
+        t = r.choice(list(TABLES))
+        cols = list(TABLES[t])
+        pick = r.sample(cols, min(len(cols), r.randint(2, 3)))
+        iw = f" WHERE {self._pred([t])}" if r.random() < 0.7 else ""
+        cte = f"SELECT {', '.join(pick)} FROM {t}{iw}"
+        ow = f" WHERE {self._atom_pred([t])}" if r.random() < 0.5 else ""
+        # outer predicate must reference picked columns only — regenerate
+        # against the restricted view by filtering on a picked column
+        c = r.choice(pick)
+        ty = TABLES[t][c]
+        if ty == STR:
+            ow = f" WHERE {c} <> {self._str_lit(t, c)}"
+        else:
+            ow = f" WHERE {c} >= {self._num_lit(t, c)}"
+        sql = f"WITH w AS ({cte}) SELECT {', '.join(pick)} FROM w{ow}"
+        return sql, sql
+
+    SHAPES = (
+        ("_simple", 16),
+        ("_join", 20),
+        ("_agg", 22),
+        ("_setop", 10),
+        ("_in_subquery", 10),
+        ("_scalar_subquery", 8),
+        ("_exists", 8),
+        ("_derived", 8),
+        ("_cte", 8),
+    )
+
+    def query(self):
+        total = sum(w for _, w in self.SHAPES)
+        roll = self.rng.randrange(total)
+        for name, w in self.SHAPES:
+            roll -= w
+            if roll < 0:
+                return getattr(self, name)()
+        return self._simple()
+
+
+# ---------------------------------------------------------------------------
+# the fuzz loop — 6 chunks x 60 queries = 360, seed-pinned
+# ---------------------------------------------------------------------------
+
+N_CHUNKS = 6
+PER_CHUNK = 60
+SEED = 20260813
+
+
+@pytest.mark.parametrize("chunk", range(N_CHUNKS))
+def test_sql_fuzz_vs_duckdb(chunk, spark, catalog, ddb, pools):
+    from datafusion_dolomite_spark import QueryPlanner
+
+    qp = QueryPlanner(spark, catalog)
+    rng = random.Random(SEED + chunk)
+    gen = Gen(rng, pools)
+    for i in range(PER_CHUNK):
+        sql, osql = gen.query()
+        try:
+            got = [tuple(r) for r in qp.sql(sql).collect()]
+        except Exception as ex:  # noqa: BLE001 — show the query
+            raise AssertionError(
+                f"engine failed [chunk {chunk} q{i}]\n{sql}\n--> {ex!r}"
+            ) from ex
+        try:
+            want = ddb.execute(osql).fetchall()
+        except Exception as ex:  # noqa: BLE001
+            raise AssertionError(
+                f"oracle failed [chunk {chunk} q{i}]\n{osql}\n--> {ex!r}"
+            ) from ex
+        assert rows_match(got, want), (
+            f"MISMATCH [chunk {chunk} q{i}] spark={len(got)} duck={len(want)}\n"
+            f"-- engine SQL:\n{sql}\n-- oracle SQL:\n{osql}\n"
+            f"spark sample: {sorted(got, key=_sort_key)[:5]}\n"
+            f"duck  sample: {sorted(want, key=_sort_key)[:5]}"
+        )
