@@ -28,14 +28,19 @@ class CascadesOptimizer:
         ctx: Optional[OptimizerContext] = None,
         cost_model: Optional[CostModel] = None,
         required: Optional[PhysicalPropertySet] = None,
-        enable_group_merge: bool = False,
+        enable_group_merge: bool = True,
     ):
         self.rules: List[Rule] = list(rules)
         self.ctx = ctx or OptimizerContext()
         self.cost_model = cost_model or SimpleCostModel()
         self.required = required or PhysicalPropertySet()
-        #: execute duplicate-group merges eagerly (the reference ships
-        #: the mechanism disabled, task.rs:146-149; default matches it)
+        #: execute duplicate-group merges eagerly.  DELIBERATE DEVIATION
+        #: from the reference, which ships the merge mechanism disabled
+        #: (``task.rs:146-149`` / ``memo.rs:159-279``): r4 added on-flag
+        #: tests proving merge correctness with winners unchanged, and r5
+        #: ran the full suite + all oracle queries merge-on (green, plans
+        #: unchanged), so the default is now on — duplicate groups unify
+        #: instead of accumulating as pending merges.
         self.enable_group_merge = enable_group_merge
         self.memo: Optional[Memo] = None  # exposed for tests / explain
 

@@ -1,0 +1,84 @@
+"""AQE interplay: adaptive execution must not undo the engine's choices.
+
+The engine pins join strategies (broadcast/merge hints from the
+cascades winner) and relies on bucketed layouts to elide shuffles;
+``spark.sql.adaptive.enabled`` is true throughout (session.py:28).  AQE
+replans between stages, so these tests assert — on the FINAL adaptive
+plan, after execution — that (a) a bucketed co-located join still runs
+with zero Exchange and (b) a cost-chosen broadcast join is still a
+broadcast after any AQE replanning.  Catching either regression here is
+cheaper than discovering at 100 TB that every "shuffle-free" join
+quietly re-acquired an Exchange.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from .conftest import SF_DIR
+
+
+def _final_plan(df) -> str:
+    """The formatted plan AFTER an action: AQE's final plan section."""
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    text = buf.getvalue()
+    # keep only the final-plan section when AQE printed both
+    if "== Initial Plan ==" in text:
+        text = text.split("== Initial Plan ==")[0]
+    return text
+
+
+def test_bucketed_join_shuffle_free_under_aqe(spark):
+    from datafusion_dolomite_spark.sources.sinks import ensure_bucketed_table
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    ensure_bucketed_table(
+        spark, "aqe_orders_bkt", f"{SF_DIR}/orders.parquet", ["o_custkey"], 4
+    )
+    ensure_bucketed_table(
+        spark, "aqe_cust_bkt", f"{SF_DIR}/customer.parquet", ["c_custkey"], 4
+    )
+    o = spark.table("aqe_orders_bkt").select("o_orderkey", "o_custkey")
+    c = spark.table("aqe_cust_bkt").select("c_custkey", "c_mktsegment")
+    joined = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    plan = _final_plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, (
+        "AQE reintroduced an Exchange into the bucketed co-located join:\n"
+        + plan
+    )
+
+
+def test_cost_chosen_broadcast_survives_aqe(spark, catalog):
+    from datafusion_dolomite_spark import (
+        JoinType,
+        LogicalPlanBuilder,
+        QueryPlanner,
+        col,
+    )
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    qp = QueryPlanner(spark, catalog)
+    plan = (
+        LogicalPlanBuilder()
+        .scan("orders")
+        .join(
+            LogicalPlanBuilder().scan("nation"),
+            JoinType.INNER,
+            col("o_custkey").eq(col("n_nationkey")),
+        )
+        .projection([col("o_orderkey"), col("n_name")])
+        .build()
+    )
+    # the cascades winner must be a broadcast (nation is tiny)
+    assert "PhysicalBroadcastHashJoin" in qp.explain(plan)
+    df = qp.dataframe(plan)
+    final = _final_plan(df)
+    assert "BroadcastHashJoin" in final, (
+        "AQE replanning dropped the cost-chosen broadcast:\n" + final
+    )
+    assert "SortMergeJoin" not in final

@@ -237,11 +237,20 @@ def test_group_merge_flag_off_marks_pending(ctx):
     from datafusion_dolomite_spark.planner import default_cascades_rules
 
     opt = CascadesOptimizer(
-        default_cascades_rules(), ctx, cost_model=SparkCostModel()
+        default_cascades_rules(), ctx, cost_model=SparkCostModel(),
+        enable_group_merge=False,
     )
     opt.find_best_plan(_dup_subtree_plan())
-    # default = the reference's mark-don't-merge behavior
+    # flag off = the reference's mark-don't-merge behavior (our DEFAULT
+    # deviates: r5 flipped it on after suite-wide green with plans
+    # unchanged — see CascadesOptimizer.__init__)
     assert opt.memo.enable_group_merge is False
+
+    default_opt = CascadesOptimizer(
+        default_cascades_rules(), ctx, cost_model=SparkCostModel()
+    )
+    default_opt.find_best_plan(_dup_subtree_plan())
+    assert default_opt.memo.enable_group_merge is True
 
 
 def test_group_merge_flag_on_merges_and_plan_unchanged(ctx):
@@ -256,7 +265,8 @@ def test_group_merge_flag_on_merges_and_plan_unchanged(ctx):
     from datafusion_dolomite_spark.planner import default_cascades_rules
 
     off = CascadesOptimizer(
-        default_cascades_rules(), ctx, cost_model=SparkCostModel()
+        default_cascades_rules(), ctx, cost_model=SparkCostModel(),
+        enable_group_merge=False,
     )
     plan_off = off.find_best_plan(_dup_subtree_plan())
 

@@ -1,0 +1,114 @@
+"""Cost-model calibration: is the cascades-chosen join strategy the one
+that actually runs faster?
+
+The cost constants (``cost.py``) only have to get the ORDERING of
+alternatives right.  For three build sides of increasing size at sf0.1,
+this times the chosen strategy against the rejected alternative
+(median of 3 warm runs each) and fails if the chosen one is >1.35x
+slower — a genuinely inverted ordering, not noise.  The byte-threshold
+boundary itself is exercised plan-side: shrinking
+``broadcast_bytes_threshold`` below a build side's footprint must flip
+the winner from broadcast to a shuffle join (the refusal is a memory-
+safety call at 100 TB — at toy scale broadcast would still win on
+latency, so the boundary case asserts plan shape, not time).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+SF01 = "/root/testdata/sf0.1"
+
+CASES = [
+    # (left, right/build, left_key, right_key)
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+]
+
+
+@pytest.fixture(scope="module")
+def qp01(spark):
+    from datafusion_dolomite_spark import QueryPlanner
+    from datafusion_dolomite_spark.sources.catalog import testdata_catalog
+
+    return QueryPlanner(spark, testdata_catalog(SF01))
+
+
+def _join_plan(left, right, lk, rk):
+    from datafusion_dolomite_spark import JoinType, LogicalPlanBuilder, col
+
+    return (
+        LogicalPlanBuilder()
+        .scan(left)
+        .join(
+            LogicalPlanBuilder().scan(right),
+            JoinType.INNER,
+            col(lk).eq(col(rk)),
+        )
+        .build()
+    )
+
+
+def _median_time(df_fn, n=3):
+    # one warmup, then median of n
+    df_fn().count()
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        df_fn().count()
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[n // 2]
+
+
+@pytest.mark.parametrize("left,right,lk,rk", CASES)
+def test_chosen_strategy_is_the_faster_one(spark, qp01, left, right, lk, rk):
+    from pyspark.sql.functions import broadcast
+
+    chosen = qp01.explain(_join_plan(left, right, lk, rk))
+    picked_broadcast = "PhysicalBroadcastHashJoin" in chosen
+    assert picked_broadcast or "Join" in chosen
+
+    l = spark.read.parquet(f"{SF01}/{left}.parquet")
+    r = spark.read.parquet(f"{SF01}/{right}.parquet")
+    cond = l[lk] == r[rk]
+
+    t_bcast = _median_time(lambda: l.join(broadcast(r), cond))
+    t_shuffle = _median_time(lambda: l.join(r.hint("merge"), cond))
+
+    t_chosen, t_alt = (
+        (t_bcast, t_shuffle) if picked_broadcast else (t_shuffle, t_bcast)
+    )
+    assert t_chosen <= 1.35 * t_alt, (
+        f"cost model picked {'broadcast' if picked_broadcast else 'shuffle'} "
+        f"for {left}x{right} but it ran {t_chosen:.3f}s vs the "
+        f"alternative's {t_alt:.3f}s — ordering inverted, recalibrate "
+        f"BROADCAST_BYTES_THRESHOLD / join weights"
+    )
+
+
+def test_byte_threshold_flips_the_plan_at_the_boundary(spark):
+    """orders' footprint at sf0.1 (~rows x avg_row_bytes from the parquet
+    footers) sits between 1 MB and 64 MB: the default threshold
+    broadcasts it, a 1 MB threshold must refuse and fall back to a
+    shuffle join — the same join, two sides of the byte boundary."""
+    from datafusion_dolomite_spark import QueryPlanner
+    from datafusion_dolomite_spark.optimizer.cascades.cost import SparkCostModel
+    from datafusion_dolomite_spark.sources.catalog import testdata_catalog
+
+    cat = testdata_catalog(SF01)
+    plan = _join_plan("lineitem", "orders", "l_orderkey", "o_orderkey")
+
+    default_qp = QueryPlanner(spark, cat)
+    assert "PhysicalBroadcastHashJoin" in default_qp.explain(plan)
+
+    small_qp = QueryPlanner(
+        spark,
+        cat,
+        cost_model=SparkCostModel(broadcast_bytes_threshold=1024 * 1024),
+    )
+    shrunk = small_qp.explain(plan)
+    assert "PhysicalBroadcastHashJoin" not in shrunk, shrunk
+    assert "PhysicalSortMergeJoin" in shrunk or "PhysicalHashJoin" in shrunk
