@@ -33,11 +33,27 @@ from datafusion_dolomite_spark.expr import BinOp, CaseWhen, SortKey
 from datafusion_dolomite_spark.sources.catalog import testdata_catalog
 
 
+#: planner cache per (session, sf_dir): the Catalog memoizes schemas and
+#: parquet-footer statistics, so sharing one planner across the 120+
+#: queries of a bench run avoids re-opening every referenced table's
+#: footers during cascades costing on each query — a constant per-query
+#: planning tax otherwise.  Keyed on the live session object (id() can
+#: be reused after GC, hence the identity re-check).
+_PLANNERS: dict = {}
+
+
 def _planner(spark: SparkSession, sf_dir: str) -> QueryPlanner:
     # QueryPlanner pins the runtime confs the engine needs (nanosAsLong,
     # UTC, Arrow) on whatever session the driver hands us — the engine
     # must work on a session built WITHOUT our session.py factory.
-    return QueryPlanner(spark, testdata_catalog(sf_dir))
+    import os
+
+    key = (id(spark), os.path.normpath(sf_dir))
+    pl = _PLANNERS.get(key)
+    if pl is None or pl.spark is not spark:
+        pl = QueryPlanner(spark, testdata_catalog(sf_dir))
+        _PLANNERS[key] = pl
+    return pl
 
 
 #: events.ts physical type per sf_dir — the driver has shipped both
@@ -960,6 +976,43 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL@10 of the ANN paths against exact brute force — the
+    approximation QUALITY, not just determinism, under oracle check.
+    Per query: the ground-truth neighbor count and how many of them
+    each IVF variant recovered, as integer counts (hash-exact).  At
+    100 TB this is the metric that decides nprobe/ncells; keeping it a
+    first-class query means a centroid/bucketing regression shows up
+    as a red correctness row, not a silent quality drop."""
+    from pyspark.sql import functions as F
+
+    brute = q_knn_brute(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = (
+        q_knn_ivf(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("ivf_hit", F.lit(1))
+    )
+    km = (
+        q_knn_ivf_kmeans(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("km_hit", F.lit(1))
+    )
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .join(km, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_brute"),
+            F.sum(F.coalesce(F.col("ivf_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("ivf_hits"),
+            F.sum(F.coalesce(F.col("km_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("km_hits"),
+        )
+    )
+
+
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = (
         LogicalPlanBuilder()
@@ -1818,6 +1871,21 @@ EXTENSION_ORACLES = {
     "q_knn_pandas": _knn_brute_oracle(5, 10),
     "q_knn_ivf": _knn_ivf_oracle(5, 10, 8, 3),
     "q_knn_ivf_kmeans": _knn_ivf_kmeans_oracle(5, 10, 8, 3),
+    "q_knn_recall": f"""
+        WITH b AS ({_knn_brute_oracle(5, 10)}),
+        i AS ({_knn_ivf_oracle(5, 10, 8, 3)}),
+        m AS ({_knn_ivf_kmeans_oracle(5, 10, 8, 3)})
+        SELECT b.query_id,
+               count(*)::BIGINT AS n_brute,
+               sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS ivf_hits,
+               sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS km_hits
+        FROM b
+        LEFT JOIN i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+        LEFT JOIN m ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
+        GROUP BY b.query_id
+    """,
     "q_cosine_near_dup": _near_dup_oracle(12, 200),
     "q_multimodal_features": """
         SELECT doc_id,
@@ -4177,6 +4245,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_pandas": q_knn_pandas,
         "q_knn_ivf": q_knn_ivf,
         "q_knn_ivf_kmeans": q_knn_ivf_kmeans,
+        "q_knn_recall": q_knn_recall,
         "q_cosine_near_dup": q_cosine_near_dup,
         "q_multimodal_features": q_multimodal_features,
         "q_multimodal_resize": q_multimodal_resize,

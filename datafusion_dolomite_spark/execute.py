@@ -31,6 +31,12 @@ from .operators.logical import JoinType
 from .plans.plan import Plan, PlanNode
 from .sources.catalog import Catalog
 
+#: (session id, path, fmt, mtime) → (session, base DataFrame); see
+#: Executor._base_scan.  Bounded; cleared wholesale when it outgrows
+#: any realistic catalog (the entries are tiny plan handles, the bound
+#: exists only to keep dead sessions from pinning the gateway).
+_SCAN_CACHE: dict = {}
+
 __all__ = ["to_spark", "SparkExecutor"]
 
 
@@ -67,17 +73,7 @@ class SparkExecutor:
     def _scan(self, node: PlanNode):
         op = node.operator
         fmt = self.catalog.format(op.table_name)
-        if fmt == "parquet":
-            df = self.spark.read.parquet(self.catalog.path(op.table_name))
-        else:
-            # explicit schema (sniffed at registration) — no Spark
-            # inference pass, no type drift vs the oracle engine
-            df = (
-                self.spark.read.format(fmt)
-                .schema(self.catalog.schema(op.table_name).to_struct_type())
-                .options(**self.catalog.read_options(op.table_name))
-                .load(self.catalog.path(op.table_name))
-            )
+        df = self._base_scan(op.table_name, fmt)
         # Filter/prune adjacent to the read → Catalyst pushes them into the
         # parquet scan (PushedFilters / ReadSchema).
         for f in op.filters:
@@ -86,6 +82,41 @@ class SparkExecutor:
             df = df.select(*op.columns)
         if op.limit is not None:
             df = df.limit(op.limit)
+        return df
+
+    def _base_scan(self, table_name: str, fmt: str):
+        """The unpruned source DataFrame, cached per (session, path,
+        root mtime): ``spark.read.parquet`` eagerly builds a JVM file
+        index + reads footer schemas (~0.1 s per call locally), which
+        is pure constant overhead when the same tables are scanned by
+        every query in a run.  DataFrames are immutable so reuse is
+        safe; the mtime in the key invalidates the entry when the path
+        is rewritten (overwrite recreates the file/directory)."""
+        import os
+
+        path = self.catalog.path(table_name)
+        try:
+            mtime = os.path.getmtime(path)
+        except OSError:
+            mtime = -1.0
+        key = (id(self.spark), path, fmt, mtime)
+        hit = _SCAN_CACHE.get(key)
+        if hit is not None and hit[0] is self.spark:
+            return hit[1]
+        if fmt == "parquet":
+            df = self.spark.read.parquet(path)
+        else:
+            # explicit schema (sniffed at registration) — no Spark
+            # inference pass, no type drift vs the oracle engine
+            df = (
+                self.spark.read.format(fmt)
+                .schema(self.catalog.schema(table_name).to_struct_type())
+                .options(**self.catalog.read_options(table_name))
+                .load(path)
+            )
+        if len(_SCAN_CACHE) > 256:
+            _SCAN_CACHE.clear()
+        _SCAN_CACHE[key] = (self.spark, df)
         return df
 
     # -- unary ----------------------------------------------------------
