@@ -111,6 +111,19 @@ KEY_COLS = {
     for t, cols in TABLES.items()
 }
 
+# single-column primary keys — the unique ORDER BY keys that make
+# row_number()/frame sums deterministic (lineitem has no single-col pk)
+PK = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+}
+
 
 @pytest.fixture(scope="module")
 def ddb():
@@ -367,6 +380,8 @@ class Gen:
             nf = "NULLS FIRST" if r.random() < 0.5 else "NULLS LAST"
             keys.append(f"{nm} {d} {nf}")
         clause = f" ORDER BY {', '.join(keys)} LIMIT {r.randint(1, 50)}"
+        if r.random() < 0.3:
+            clause += f" OFFSET {r.randint(1, 20)}"
         return clause, clause
 
     def _simple(self):
@@ -609,16 +624,57 @@ class Gen:
         sql = f"WITH w AS ({cte}) SELECT {', '.join(pick)} FROM w{ow}"
         return sql, sql
 
+    def _window(self):
+        """Window functions with determinism by construction: row_number
+        and frame sums order by the table's unique pk; rank/dense_rank
+        tolerate ties (peers get equal ranks in both engines)."""
+        r = self.rng
+        t = r.choice(list(PK))
+        pk = PK[t]
+        strs = [c for c, ty in TABLES[t].items() if ty == STR]
+        ints = [c for c, ty in TABLES[t].items() if ty == INT]
+        part = r.choice(strs) if strs and r.random() < 0.8 else None
+        over_part = f"PARTITION BY {part} " if part else ""
+        kind = r.randrange(4)
+        if kind == 0:
+            d = r.choice(["ASC", "DESC"])
+            wf = f"row_number() OVER ({over_part}ORDER BY {pk} {d})"
+        elif kind == 1:
+            oc = r.choice(ints)
+            fn = r.choice(["rank", "dense_rank"])
+            wf = f"{fn}() OVER ({over_part}ORDER BY {oc} {r.choice(['ASC', 'DESC'])})"
+        elif kind == 2:
+            sc = r.choice(ints)
+            wf = (
+                f"sum({sc}) OVER ({over_part}ORDER BY {pk} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            )
+        else:
+            sc = r.choice(ints)
+            wf = (
+                f"sum({sc}) OVER ({over_part}ORDER BY {pk} "
+                f"ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+            )
+        cols = [f"{pk} AS c0"] + ([f"{part} AS c1"] if part else [])
+        names = ["c0"] + (["c1"] if part else [])
+        sql = f"SELECT {', '.join(cols)}, {wf} AS w0 FROM {t}"
+        names.append("w0")
+        if r.random() < 0.6:
+            sql += f" WHERE {self._pred([t])}"
+        ol, _ = self._order_limit(names, False)
+        return sql + ol, sql + ol
+
     SHAPES = (
-        ("_simple", 16),
-        ("_join", 20),
-        ("_agg", 22),
+        ("_simple", 14),
+        ("_join", 18),
+        ("_agg", 20),
         ("_setop", 10),
         ("_in_subquery", 10),
         ("_scalar_subquery", 8),
         ("_exists", 8),
         ("_derived", 8),
         ("_cte", 8),
+        ("_window", 12),
     )
 
     def query(self):
