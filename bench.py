@@ -46,6 +46,19 @@ def main() -> None:
             # otherwise stack dead cache entries across 30+ queries and
             # squeeze later queries' execution memory
             spark.catalog.clearCache()
+            # localCheckpoint blocks (connected components) and broadcast
+            # remnants are only released when their driver-side handles
+            # are GC'd — without this, queries late in the run measure
+            # the accumulated pressure of earlier ones (observed: ~2x on
+            # q_ngram_jaccard), not their own plan.  Outside the timed
+            # section, so it costs wall-clock, not reported seconds.
+            import gc
+
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
 
     ok = sorted(t for t in timings.values() if t >= 0)
     total = round(sum(ok), 4)
