@@ -2191,6 +2191,22 @@ EXTENSION_ORACLES = {
                ), ',') AS q16
         FROM n
     """,
+    "q_csv_source": """
+        SELECT event_type,
+               count(*)::BIGINT AS n,
+               sum(floor(value * 100)::BIGINT)::BIGINT AS total_cents,
+               count(DISTINCT user_id)::BIGINT AS n_users
+        FROM events GROUP BY event_type
+    """,
+    "q_zorder_scan": """
+        SELECT o_orderstatus,
+               count(*)::BIGINT AS n,
+               sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        FROM orders
+        WHERE o_custkey BETWEEN 100 AND 800
+          AND o_totalprice BETWEEN 50000.0 AND 200000.0
+        GROUP BY o_orderstatus
+    """,
     "q_merge_upsert": """
         WITH src AS (
           SELECT user_id,
@@ -3476,6 +3492,170 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def _materialized_dir(sf_dir: str, kind: str, src: str) -> tuple:
+    """(dest_dir, is_fresh, sig): signature-keyed materialization root
+    under spark-warehouse/<kind>/<sf>/, pruning stale siblings within
+    the sf namespace only (same discipline as the stream file sink)."""
+    import os
+    import shutil
+
+    from datafusion_dolomite_spark.sources.signature import (
+        read_marker,
+        source_signature,
+    )
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", kind, sf_name
+    )
+    sig = source_signature(src)
+    dest = os.path.join(root, sig)
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d != sig:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return dest, read_marker(dest) == sig, sig
+
+
+def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-FORMAT round trip: events projected to exact-integer
+    columns, written ONCE through the engine's CSV sink, registered as
+    a CSV source (schema sniffed at registration — no Spark inference
+    drift), and aggregated THROUGH the engine.  The oracle runs the
+    same aggregate over the ORIGINAL parquet, so a green row proves the
+    sink wrote and the source read every row byte-faithfully.  Cents
+    are computed BEFORE the CSV hop — integers survive text round trips
+    exactly; raw doubles would re-parse an ulp off.  At 100 TB, CSV is
+    the interchange format you ingest, not the one you store — the scan
+    path (explicit schema, header, same pushdown surface) is what this
+    exercises."""
+    import os
+
+    from datafusion_dolomite_spark.sources.signature import write_marker
+    from datafusion_dolomite_spark.sources.sinks import write_csv
+
+    src = os.path.join(sf_dir, "events.parquet")
+    dest, fresh, sig = _materialized_dir(sf_dir, "csv_src", src)
+    pl = _planner(spark, sf_dir)
+    if not fresh:
+        base = pl.dataframe(
+            LogicalPlanBuilder()
+            .scan("events")
+            .projection(
+                [
+                    col("event_id"),
+                    col("user_id"),
+                    col("event_type"),
+                    Alias(
+                        Cast(
+                            Func(
+                                "floor", (BinOp("*", col("value"), lit(100)),)
+                            ),
+                            "bigint",
+                        ),
+                        "cents",
+                    ),
+                ]
+            )
+            .build()
+        )
+        write_csv(base, dest)
+        write_marker(dest, sig)
+    cat = testdata_catalog(sf_dir)
+    cat.register("events_csv", dest, format="csv")
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events_csv")
+        .aggregate(
+            [col("event_type")],
+            [
+                Alias(Func("count", ()), "n"),
+                Alias(Cast(Func("sum", (col("cents"),)), "bigint"), "total_cents"),
+                Alias(Func("count_distinct", (col("user_id"),)), "n_users"),
+            ],
+        )
+        .build()
+    )
+    return QueryPlanner(spark, cat).dataframe(plan)
+
+
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered layout + multi-dimensional range scan: orders
+    rewritten ONCE with ``layout="zorder"`` on (o_custkey, o_totalprice)
+    — Morton interleaving makes every file cover a narrow band of BOTH
+    dimensions, so a 2-D range predicate skips most files on parquet
+    min/max stats alone (the Delta/Iceberg OPTIMIZE ZORDER story; a
+    single-column sort would only help one dimension).  The engine
+    queries the clustered copy with both range filters pushed; the
+    oracle runs the same filter over the ORIGINAL orders — a green row
+    proves the rewrite is lossless and the pushed scan correct."""
+    import os
+
+    from datafusion_dolomite_spark.sources.signature import write_marker
+    from datafusion_dolomite_spark.sources.sinks import write_parquet
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    dest, fresh, sig = _materialized_dir(sf_dir, "zorder", src)
+    pl = _planner(spark, sf_dir)
+    if not fresh:
+        write_parquet(
+            pl.dataframe(LogicalPlanBuilder().scan("orders").build()),
+            dest,
+            cluster_by=["o_custkey", "o_totalprice"],
+            layout="zorder",
+            n_files=8,
+        )
+        write_marker(dest, sig)
+    cat = testdata_catalog(sf_dir)
+    cat.register("orders_z", dest)
+    lo, hi = 100, 800
+    plan = (
+        LogicalPlanBuilder()
+        .scan("orders_z")
+        .filter(
+            BinOp(
+                "and",
+                BinOp(
+                    "and",
+                    BinOp(">=", col("o_custkey"), lit(lo)),
+                    BinOp("<=", col("o_custkey"), lit(hi)),
+                ),
+                BinOp(
+                    "and",
+                    BinOp(">=", col("o_totalprice"), lit(50000.0)),
+                    BinOp("<=", col("o_totalprice"), lit(200000.0)),
+                ),
+            )
+        )
+        .aggregate(
+            [col("o_orderstatus")],
+            [
+                Alias(Func("count", ()), "n"),
+                Alias(
+                    Cast(
+                        Func(
+                            "sum",
+                            (
+                                Cast(
+                                    Func(
+                                        "floor",
+                                        (BinOp("*", col("o_totalprice"), lit(100)),),
+                                    ),
+                                    "bigint",
+                                ),
+                            ),
+                        ),
+                        "bigint",
+                    ),
+                    "cents",
+                ),
+            ],
+        )
+        .build()
+    )
+    return QueryPlanner(spark, cat).dataframe(plan)
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style MERGE/upsert — the snapshot-maintenance step of an
     incremental ingest pipeline, expressed the scale-correct Spark way:
@@ -4177,7 +4357,7 @@ _UNPROVEN_PREFIX = (
     # changed this round — re-prove first
     "q_embed_quantize", "q_approx_sketches", "q_knn_ivf_kmeans",
     "q_partition_pruned", "q_bucketed_join", "q_stream_file_sink",
-    "q_knn_recall",
+    "q_knn_recall", "q_csv_source", "q_zorder_scan",
     # r4-new / r4-changed — keep early
     "q_merge_upsert", "q_dedup_keep_best", "q_pii_redact",
     "q_stream_stream_join", "q_connected_components", "q_dedup_clusters",
@@ -4212,6 +4392,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_frame_window": q_range_frame_window,
         "q_approx_sketches": q_approx_sketches,
         "q_partition_pruned": q_partition_pruned,
+        "q_csv_source": q_csv_source,
+        "q_zorder_scan": q_zorder_scan,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,
