@@ -664,6 +664,41 @@ class Gen:
         ol, _ = self._order_limit(names, False)
         return sql + ol, sql + ol
 
+    def _self_join(self):
+        """Repeated base table with aliases — exercises the parser's
+        rename-on-second-occurrence path (globally-unique column names
+        for Spark) against DuckDB's standard alias scoping.  The
+        ``a.pk < b.pk`` conjunct keeps pair counts bounded and
+        deduplicated."""
+        r = self.rng
+        t = r.choice(list(PK))
+        pk = PK[t]
+        ints = [c for c, ty in TABLES[t].items() if ty == INT]
+        k = r.choice(ints)
+        items, names = [], []
+        for i in range(r.randint(1, 3)):
+            side = r.choice(["a", "b"])
+            c, ty = r.choice([(c2, t2) for c2, t2 in TABLES[t].items()])
+            items.append(f"{side}.{c} AS c{i}")
+            names.append(f"c{i}")
+        has_float = any(
+            TABLES[t][it.split(".")[1].split(" ")[0]] == FLT for it in items
+        )
+        sql = (
+            f"SELECT {', '.join(items)} FROM {t} AS a JOIN {t} AS b "
+            f"ON a.{k} = b.{k} AND a.{pk} < b.{pk}"
+        )
+        if r.random() < 0.6:
+            c, ty = r.choice(list(TABLES[t].items()))
+            side = r.choice(["a", "b"])
+            if ty == STR:
+                w = f"{side}.{c} <> {self._str_lit(t, c)}"
+            else:
+                w = f"{side}.{c} >= {self._num_lit(t, c)}"
+            sql += f" WHERE {w}"
+        ol, _ = self._order_limit(names, has_float)
+        return sql + ol, sql + ol
+
     SHAPES = (
         ("_simple", 14),
         ("_join", 18),
@@ -675,6 +710,7 @@ class Gen:
         ("_derived", 8),
         ("_cte", 8),
         ("_window", 12),
+        ("_self_join", 10),
     )
 
     def query(self):
