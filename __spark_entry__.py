@@ -2198,6 +2198,12 @@ EXTENSION_ORACLES = {
                count(DISTINCT user_id)::BIGINT AS n_users
         FROM events GROUP BY event_type
     """,
+    "q_multiformat_union": """
+        SELECT event_type,
+               (3 * count(*))::BIGINT AS n_x3,
+               (3 * sum(floor(value * 100)::BIGINT))::BIGINT AS cents_x3
+        FROM events GROUP BY event_type
+    """,
     "q_zorder_scan": """
         SELECT o_orderstatus,
                count(*)::BIGINT AS n,
@@ -3579,6 +3585,87 @@ def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QueryPlanner(spark, cat).dataframe(plan)
 
 
+def q_multiformat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY source format in one oracle row: the same exact-integer
+    projection of events materialized ONCE as JSON and as ORC through
+    the engine's sinks, both registered (JSON schema sniffed, ORC from
+    file metadata), UNION ALLed with the parquet original and
+    aggregated through the engine.  Each count triples iff all three
+    sources return byte-identical rows — one green row proves the
+    json/orc sink+source paths end-to-end.  The scale story: ingest
+    formats (json logs, orc lakehouse exports) flow through the same
+    scan operator with explicit schemas, no inference drift."""
+    import os
+
+    from datafusion_dolomite_spark.sources.signature import write_marker
+    from datafusion_dolomite_spark.sources.sinks import write_json, write_orc
+
+    src = os.path.join(sf_dir, "events.parquet")
+    pl = _planner(spark, sf_dir)
+    proj = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .projection(
+            [
+                col("event_id"),
+                col("user_id"),
+                col("event_type"),
+                Alias(
+                    Cast(
+                        Func("floor", (BinOp("*", col("value"), lit(100)),)),
+                        "bigint",
+                    ),
+                    "cents",
+                ),
+            ]
+        )
+        .build()
+    )
+    dests = {}
+    for kind, writer in (("json_src", write_json), ("orc_src", write_orc)):
+        dest, fresh, sig = _materialized_dir(sf_dir, kind, src)
+        if not fresh:
+            writer(pl.dataframe(proj), dest)
+            write_marker(dest, sig)
+        dests[kind] = dest
+    cat = testdata_catalog(sf_dir)
+    cat.register("events_json_m", dests["json_src"], format="json")
+    cat.register("events_orc_m", dests["orc_src"], format="orc")
+    cols = [col("event_id"), col("user_id"), col("event_type"), col("cents")]
+    pq = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .projection(
+            [
+                col("event_id"),
+                col("user_id"),
+                col("event_type"),
+                Alias(
+                    Cast(
+                        Func("floor", (BinOp("*", col("value"), lit(100)),)),
+                        "bigint",
+                    ),
+                    "cents",
+                ),
+            ]
+        )
+    )
+    js = LogicalPlanBuilder().scan("events_json_m").projection(cols)
+    oc = LogicalPlanBuilder().scan("events_orc_m").projection(cols)
+    plan = (
+        pq.union(js, oc)
+        .aggregate(
+            [col("event_type")],
+            [
+                Alias(Func("count", ()), "n_x3"),
+                Alias(Cast(Func("sum", (col("cents"),)), "bigint"), "cents_x3"),
+            ],
+        )
+        .build()
+    )
+    return QueryPlanner(spark, cat).dataframe(plan)
+
+
 def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER clustered layout + multi-dimensional range scan: orders
     rewritten ONCE with ``layout="zorder"`` on (o_custkey, o_totalprice)
@@ -4357,7 +4444,7 @@ _UNPROVEN_PREFIX = (
     # changed this round — re-prove first
     "q_embed_quantize", "q_approx_sketches", "q_knn_ivf_kmeans",
     "q_partition_pruned", "q_bucketed_join", "q_stream_file_sink",
-    "q_knn_recall", "q_csv_source", "q_zorder_scan",
+    "q_knn_recall", "q_csv_source", "q_zorder_scan", "q_multiformat_union",
     # r4-new / r4-changed — keep early
     "q_merge_upsert", "q_dedup_keep_best", "q_pii_redact",
     "q_stream_stream_join", "q_connected_components", "q_dedup_clusters",
@@ -4394,6 +4481,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_partition_pruned": q_partition_pruned,
         "q_csv_source": q_csv_source,
         "q_zorder_scan": q_zorder_scan,
+        "q_multiformat_union": q_multiformat_union,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,
