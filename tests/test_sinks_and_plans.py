@@ -413,3 +413,29 @@ def test_bucketed_join_has_no_exchange_on_join_keys(spark, tmp_path):
         for r in o2.join(c2, o2.o_custkey == c2.c_custkey).collect()
     )
     assert got == want
+
+
+def test_zorder_scan_pushes_both_range_dimensions(spark):
+    """q_zorder_scan's whole point is file skipping on BOTH clustered
+    dimensions — that only works if every range bound reaches the
+    parquet scan as a pushed filter.  Guard the plan shape."""
+    import contextlib
+    import io
+    import re
+
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_zorder_scan"](spark, _SF001)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    m = re.search(r"PushedFilters: \[[^\]]*\]", buf.getvalue())
+    assert m, "no PushedFilters section in the scan"
+    pushed = m.group(0)
+    for frag in (
+        "GreaterThanOrEqual(o_custkey",
+        "LessThanOrEqual(o_custkey",
+        "GreaterThanOrEqual(o_totalprice",
+        "LessThanOrEqual(o_totalprice",
+    ):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"

@@ -474,15 +474,41 @@ class Gen:
             has_float = has_float or ty == FLT
         where = f" WHERE {self._pred(tabs)}" if r.random() < 0.6 else ""
         having = ""
-        if r.random() < 0.35:
-            he, hty = self._agg_expr(tabs, for_output=False)
-            lit = r.randint(0, 5) if hty == INT else self._num_lit(
-                tabs[0], r.choice([c for c, t2 in TABLES[tabs[0]].items() if t2 != STR] or ["x"])
-            )
-            if hty == STR:
-                having = ""
-            else:
-                having = f" HAVING {he} {r.choice(['>', '>=', '<', '<='])} {lit}"
+        if r.random() < 0.4:
+            if r.random() < 0.35:
+                # arithmetic over two exact aggregates — exercises the
+                # parser's lift of raw aggregate calls out of HAVING
+                ht = r.choice(tabs)
+                hints = [c for c, t2 in TABLES[ht].items() if t2 == INT]
+                if hints:
+                    c1, c2 = r.choice(hints), r.choice(hints)
+                    a1 = f"{r.choice(['min', 'max'])}({c1})"
+                    a2 = r.choice([f"min({c2})", f"count({c2})"])
+                    having = (
+                        f" HAVING ({a1} - {a2}) "
+                        f"{r.choice(['>', '>=', '<', '<='])} {r.randint(-5, 50)}"
+                    )
+            if not having:
+                he, hty = self._agg_expr(tabs, for_output=False)
+                if hty != STR:
+                    lit = (
+                        r.randint(0, 5)
+                        if hty == INT
+                        else self._num_lit(
+                            tabs[0],
+                            r.choice(
+                                [
+                                    c
+                                    for c, t2 in TABLES[tabs[0]].items()
+                                    if t2 != STR
+                                ]
+                                or ["x"]
+                            ),
+                        )
+                    )
+                    having = (
+                        f" HAVING {he} {r.choice(['>', '>=', '<', '<='])} {lit}"
+                    )
         sql = (
             f"SELECT {', '.join(items)} FROM {frm}{where} "
             f"GROUP BY {', '.join(keys)}{having}"
