@@ -157,10 +157,17 @@ def deduped_event_counts(spark, sf_dir: str):
     ``dropDuplicatesWithinWatermark`` on event_id removes the replays.
     Counts per event_type must equal the clean table's — verified by the
     oracle.  Dedup state is bounded by the watermark (1 day), exactly how
-    an at-least-once ingest pipeline bounds memory at scale."""
+    an at-least-once ingest pipeline bounds memory at scale.
+
+    Columns are pruned BEFORE the union/dedup: dedup state buffers whole
+    rows, so feeding it the full event (including the wide ``props``
+    JSON) would multiply state size by the row width for no reason —
+    only (event_id, event_type, event_time) reach the state store."""
     from pyspark.sql import functions as F
 
-    stream = _event_stream(spark, sf_dir)
+    stream = _event_stream(spark, sf_dir).select(
+        "event_id", "event_type", "event_time"
+    )
     doubled = stream.union(stream)
     deduped = doubled.withWatermark("event_time", "1 day").dropDuplicatesWithinWatermark(
         ["event_id"]
@@ -256,7 +263,11 @@ def stateful_user_totals(spark, sf_dir: str):
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    stream = _event_stream(spark, sf_dir)
+    # prune to the two referenced columns BEFORE the stateful operator:
+    # everything selected here crosses the JVM->Arrow->Python boundary
+    # per micro-batch — shipping the wide props JSON would multiply the
+    # transfer for nothing
+    stream = _event_stream(spark, sf_dir).select("user_id", "value")
 
     out_schema = "user_id bigint, n_events bigint, total_cents bigint"
     state_schema = "n bigint, cents bigint"
