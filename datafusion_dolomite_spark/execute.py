@@ -96,10 +96,14 @@ class SparkExecutor:
 
         path = self.catalog.path(table_name)
         try:
-            mtime = os.path.getmtime(path)
+            st = os.stat(path)
+            # nanosecond mtime + size: plain mtime is 1s-granular on
+            # some filesystems, which would serve a stale listing for a
+            # same-second rewrite
+            stamp = (st.st_mtime_ns, st.st_size)
         except OSError:
-            mtime = -1.0
-        key = (id(self.spark), path, fmt, mtime)
+            stamp = (-1, -1)
+        key = (id(self.spark), path, fmt, stamp)
         hit = _SCAN_CACHE.get(key)
         if hit is not None and hit[0] is self.spark:
             return hit[1]

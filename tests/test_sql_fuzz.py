@@ -725,6 +725,32 @@ class Gen:
         ol, _ = self._order_limit(names, has_float)
         return sql + ol, sql + ol
 
+    def _rollup(self):
+        """GROUP BY ROLLUP/CUBE — subtotal rows carry NULL keys in both
+        engines; exact aggregates only (count/min/max/sum-of-int) so
+        subtotals hash-match."""
+        r = self.rng
+        t = r.choice(list(TABLES))
+        strs = [c for c, ty in TABLES[t].items() if ty == STR]
+        ints = [c for c, ty in TABLES[t].items() if ty == INT]
+        if len(strs) < 1 or not ints:
+            return self._agg()
+        keys = r.sample(strs, min(len(strs), 2))
+        mode = r.choice(["ROLLUP", "CUBE"])
+        ic = r.choice(ints)
+        aggs = [
+            "count(*) AS a0",
+            f"{r.choice(['min', 'max'])}({ic}) AS a1",
+            f"sum({ic}) AS a2",
+        ]
+        items = [f"{k} AS k{i}" for i, k in enumerate(keys)] + aggs
+        where = f" WHERE {self._pred([t])}" if r.random() < 0.6 else ""
+        sql = (
+            f"SELECT {', '.join(items)} FROM {t}{where} "
+            f"GROUP BY {mode} ({', '.join(keys)})"
+        )
+        return sql, sql
+
     SHAPES = (
         ("_simple", 14),
         ("_join", 18),
@@ -737,6 +763,7 @@ class Gen:
         ("_cte", 8),
         ("_window", 12),
         ("_self_join", 10),
+        ("_rollup", 8),
     )
 
     def query(self):
