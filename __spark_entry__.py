@@ -2198,6 +2198,25 @@ EXTENSION_ORACLES = {
                count(DISTINCT user_id)::BIGINT AS n_users
         FROM events GROUP BY event_type
     """,
+    "q_decontaminate": """
+        WITH s AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+          FROM documents
+        ),
+        g0 AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, length(t) - 10),
+                        i -> substr(t, i, 12)))) AS g
+          FROM s WHERE length(t) >= 12
+        ),
+        tg AS (SELECT doc_id AS train_id, g FROM g0 WHERE doc_id % 10 <> 0),
+        eg AS (SELECT doc_id AS eval_id, g FROM g0 WHERE doc_id % 10 = 0)
+        SELECT train_id,
+               count(DISTINCT tg.g)::BIGINT AS n_shared_grams,
+               count(DISTINCT eval_id)::BIGINT AS n_eval_docs
+        FROM tg JOIN eg USING (g)
+        GROUP BY train_id
+    """,
     "q_multiformat_union": """
         SELECT event_type,
                (3 * count(*))::BIGINT AS n_x3,
@@ -3365,6 +3384,24 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: training docs sharing any exact char
+    12-gram with the (simulated) eval split — documents with
+    ``doc_id % 10 == 0`` play the benchmark, the rest the corpus.  The
+    small eval gram set broadcasts; the corpus side never shuffles
+    before the final per-doc aggregate.  Output: contaminated train
+    docs with shared-gram and eval-doc counts (integer-exact)."""
+    from datafusion_dolomite_spark.functions.dedup import decontaminate
+    from pyspark.sql import functions as F
+
+    docs = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
+    )
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    return decontaminate(train, ev, "doc_id", "text", n=12)
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100TB-scale profiling: HyperLogLog++
     distinct counts (constant memory vs exact's O(ndv)) and approximate
@@ -4445,6 +4482,7 @@ _UNPROVEN_PREFIX = (
     "q_embed_quantize", "q_approx_sketches", "q_knn_ivf_kmeans",
     "q_partition_pruned", "q_bucketed_join", "q_stream_file_sink",
     "q_knn_recall", "q_csv_source", "q_zorder_scan", "q_multiformat_union",
+    "q_decontaminate",
     # r4-new / r4-changed — keep early
     "q_merge_upsert", "q_dedup_keep_best", "q_pii_redact",
     "q_stream_stream_join", "q_connected_components", "q_dedup_clusters",
@@ -4482,6 +4520,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_csv_source": q_csv_source,
         "q_zorder_scan": q_zorder_scan,
         "q_multiformat_union": q_multiformat_union,
+        "q_decontaminate": q_decontaminate,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,

@@ -298,3 +298,53 @@ def simhash_fingerprint(df, id_col: str, text_col: str, bits: int = 32):
         term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select(F.col("_id"), sim.cast("bigint").alias("simhash"))
+
+
+def decontaminate(
+    train_df,
+    eval_df,
+    id_col: str,
+    text_col: str,
+    n: int = 12,
+):
+    """Benchmark DECONTAMINATION: which training documents share at
+    least one exact character-``n``-gram with any eval/benchmark
+    document (the GPT-3-style long-n-gram overlap test — the step that
+    keeps test sets out of the training corpus).
+
+    → (train_id, n_shared_grams, n_eval_docs) for contaminated train
+    docs only.
+
+    100 TB shape: the benchmark side is tiny relative to the corpus, so
+    its distinct gram set is BROADCAST — the corpus-side gram stream
+    joins it map-side with no shuffle of the big side; the only shuffle
+    is the final per-doc aggregate.  All stages are built-in SQL
+    expressions (codegen), same normalization as the Jaccard pipeline.
+    """
+    from pyspark.sql import functions as F
+
+    from ._parallel import ensure_min_parallelism
+
+    def grams_of(df, out_id):
+        pre = ensure_min_parallelism(df).select(
+            F.col(id_col).alias(out_id),
+            F.expr(
+                f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+            ).alias("_t"),
+        )
+        garr = (
+            f"array_distinct(transform(sequence(1, char_length(_t) - {n - 1}), "
+            f"i -> substring(_t, i, {n})))"
+        )
+        return (
+            pre.filter(F.expr(f"char_length(_t) >= {n}"))
+            .select(out_id, F.explode(F.expr(garr)).alias("_g"))
+        )
+
+    train_g = grams_of(train_df, "train_id")
+    eval_g = grams_of(eval_df, "eval_id")
+    hits = train_g.join(F.broadcast(eval_g), "_g")
+    return hits.groupBy("train_id").agg(
+        F.count_distinct("_g").alias("n_shared_grams"),
+        F.count_distinct("eval_id").alias("n_eval_docs"),
+    )
