@@ -2198,6 +2198,27 @@ EXTENSION_ORACLES = {
                count(DISTINCT user_id)::BIGINT AS n_users
         FROM events GROUP BY event_type
     """,
+    "q_line_dedup": """
+        WITH p0 AS (
+          SELECT doc_id,
+                 unnest(string_split(text, '. ')) AS seg,
+                 generate_subscripts(string_split(text, '. '), 1) - 1 AS pos
+          FROM documents
+        ),
+        p2 AS (SELECT doc_id, pos, seg FROM p0 WHERE seg <> ''),
+        k AS (SELECT seg, min(doc_id * 1000000 + pos) AS keep
+              FROM p2 GROUP BY seg),
+        j AS (SELECT p2.doc_id, p2.pos, p2.seg,
+                     (p2.doc_id * 1000000 + p2.pos = k.keep) AS is_kept
+              FROM p2 JOIN k USING (seg))
+        SELECT doc_id,
+               sum(CASE WHEN is_kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               sum(CASE WHEN is_kept THEN 0 ELSE 1 END)::BIGINT AS n_removed,
+               ('0x' || substr(md5(coalesce(
+                   string_agg(seg, '. ' ORDER BY pos) FILTER (WHERE is_kept),
+                   '')), 1, 15))::BIGINT AS rebuilt_fp
+        FROM j GROUP BY doc_id
+    """,
     "q_decontaminate": """
         WITH s AS (
           SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
@@ -3402,6 +3423,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, ev, "doc_id", "text", n=12)
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-WIDE LINE DEDUP (C4/RefinedWeb curation): every document
+    split into '. '-segments, each distinct segment kept only at its
+    first corpus-wide occurrence (min (doc, pos)), documents reassembled
+    from the survivors in original order.  One segment-keyed groupBy
+    elects keepers (map-side partial min), one join back, one per-doc
+    aggregate; the rebuilt text travels as the shared 60-bit
+    fingerprint so the result stays narrow and hash-exact."""
+    from datafusion_dolomite_spark.functions.dedup import line_dedup
+
+    docs = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
+    )
+    return line_dedup(docs, "doc_id", "text", sep=". ")
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100TB-scale profiling: HyperLogLog++
     distinct counts (constant memory vs exact's O(ndv)) and approximate
@@ -4482,7 +4519,7 @@ _UNPROVEN_PREFIX = (
     "q_embed_quantize", "q_approx_sketches", "q_knn_ivf_kmeans",
     "q_partition_pruned", "q_bucketed_join", "q_stream_file_sink",
     "q_knn_recall", "q_csv_source", "q_zorder_scan", "q_multiformat_union",
-    "q_decontaminate",
+    "q_decontaminate", "q_line_dedup",
     # r4-new / r4-changed — keep early
     "q_merge_upsert", "q_dedup_keep_best", "q_pii_redact",
     "q_stream_stream_join", "q_connected_components", "q_dedup_clusters",
@@ -4521,6 +4558,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_scan": q_zorder_scan,
         "q_multiformat_union": q_multiformat_union,
         "q_decontaminate": q_decontaminate,
+        "q_line_dedup": q_line_dedup,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,

@@ -348,3 +348,73 @@ def decontaminate(
         F.count_distinct("_g").alias("n_shared_grams"),
         F.count_distinct("eval_id").alias("n_eval_docs"),
     )
+
+
+def line_dedup(df, id_col: str, text_col: str, sep: str = ". "):
+    """CORPUS-WIDE LINE DEDUP (the C4/RefinedWeb curation step): split
+    every document into segments, keep each distinct segment's FIRST
+    occurrence corpus-wide (minimum (doc, position) — later repeats,
+    boilerplate headers, chrome lines are dropped), and reassemble the
+    surviving segments per document in original order.
+
+    → (id, n_kept, n_removed, rebuilt_fp) with the rebuilt text carried
+    as the shared 60-bit fingerprint, not the string (result stays
+    narrow; the fingerprint is engine-portable).
+
+    100 TB shape: one explode (map-side), ONE groupBy(segment) to elect
+    keepers — state is one packed bigint per distinct segment, the
+    min-aggregate's partial combine does the heavy lifting map-side —
+    one join back on the segment, one per-doc aggregate.  All built-in
+    expressions, no Python.
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from ._parallel import ensure_min_parallelism
+
+    segs = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            # F.split takes a Java REGEX — escape the literal separator
+            F.posexplode(
+                F.split(F.col(text_col), _re.escape(sep), -1)
+            ).alias("_pos", "_seg"),
+        )
+        .filter(F.col("_seg") != "")
+    )
+    packed = segs.withColumn(
+        "_pack", F.col("_id") * F.lit(1_000_000) + F.col("_pos")
+    )
+    keeper = packed.groupBy("_seg").agg(F.min("_pack").alias("_keep"))
+    kept = (
+        packed.join(keeper, "_seg")
+        .withColumn("_is_kept", F.col("_pack") == F.col("_keep"))
+    )
+    rebuilt = F.expr(
+        "concat_ws('"
+        + sep.replace("'", "''")
+        + "', transform(sort_array(collect_list(CASE WHEN _is_kept THEN "
+        "struct(_pos, _seg) END)), s -> s._seg))"
+    )
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.sum(F.when(F.col("_is_kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("_is_kept"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_removed"),
+            rebuilt.alias("_rebuilt"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_kept",
+            "n_removed",
+            F.expr(
+                "cast(conv(substr(md5(_rebuilt), 1, 15), 16, 10) as bigint)"
+            ).alias("rebuilt_fp"),
+        )
+    )
