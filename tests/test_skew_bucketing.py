@@ -90,3 +90,57 @@ def test_bucketed_join_avoids_shuffle(planner, spark, tmp_path):
     assert joined.count() > 0
     spark.sql(f"DROP TABLE IF EXISTS {warehouse_db}_orders")
     spark.sql(f"DROP TABLE IF EXISTS {warehouse_db}_lineitem")
+
+
+def test_line_dedup_edges(spark):
+    """Empty docs vanish; a doc whose every segment first appeared
+    elsewhere keeps zero segments and fingerprints the EMPTY string
+    (not NULL) — pinned because engines differ on agg-over-empty."""
+    import hashlib
+
+    from datafusion_dolomite_spark.functions.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta. gamma delta. alpha beta"),
+            (2, "gamma delta. alpha beta"),  # fully duplicated vs doc 1
+            (3, ""),  # empty text -> no rows
+            (4, "unique tail segment"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in line_dedup(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2, 4}  # doc 3 has no segments at all
+    # doc 1: 'alpha beta' kept once (pos 0), its pos-2 repeat removed
+    assert rows[1]["n_kept"] == 2 and rows[1]["n_removed"] == 1
+    # doc 2: both segments first occurred in doc 1 -> nothing kept
+    assert rows[2]["n_kept"] == 0 and rows[2]["n_removed"] == 2
+    empty_fp = int(hashlib.md5(b"").hexdigest()[:15], 16)
+    assert rows[2]["rebuilt_fp"] == empty_fp
+    assert rows[4]["n_kept"] == 1 and rows[4]["n_removed"] == 0
+
+
+def test_decontaminate_counts(spark):
+    """A train doc sharing grams with two eval docs counts both; a
+    clean train doc is absent from the output."""
+    from datafusion_dolomite_spark.functions.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated training text here"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [
+            (100, "quick brown fox jumps"),
+            (101, "over the lazy dog today"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["train_id"]: r for r in
+            decontaminate(train, ev, "doc_id", "text", n=12).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_eval_docs"] == 2
+    assert rows[1]["n_shared_grams"] > 0
