@@ -2271,6 +2271,58 @@ EXTENSION_ORACLES = {
                     ELSE 'update' END AS action
         FROM tgt FULL OUTER JOIN src ON c_custkey = user_id
     """,
+    "q_repetition_filter": """
+        WITH s AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                              ' ') AS wl
+          FROM documents
+        ),
+        w AS (SELECT doc_id, 'w' AS tag, unnest(wl) AS term FROM s),
+        b AS (SELECT doc_id, 'b' AS tag,
+                     unnest(list_transform(range(1, len(wl)),
+                            i -> wl[i] || ' ' || wl[i + 1])) AS term
+              FROM s WHERE len(wl) >= 2),
+        c AS (SELECT doc_id, tag, term, count(*) AS n
+              FROM (SELECT * FROM w UNION ALL SELECT * FROM b)
+              GROUP BY doc_id, tag, term)
+        SELECT doc_id,
+               sum(CASE WHEN tag = 'w' THEN n ELSE 0 END)::BIGINT AS n_words,
+               count(DISTINCT CASE WHEN tag = 'w' THEN term END)::BIGINT
+                   AS n_distinct_words,
+               max(CASE WHEN tag = 'w' THEN n END)::BIGINT AS top_word_n,
+               coalesce(max(CASE WHEN tag = 'b' THEN n END), 0)::BIGINT
+                   AS top_bigram_n,
+               (100 * max(CASE WHEN tag = 'w' THEN n END)
+                    > 20 * sum(CASE WHEN tag = 'w' THEN n ELSE 0 END)
+                OR (sum(CASE WHEN tag = 'b' THEN n ELSE 0 END) > 0
+                    AND 100 * coalesce(max(CASE WHEN tag = 'b' THEN n END), 0)
+                        > 16 * sum(CASE WHEN tag = 'b' THEN n ELSE 0 END)))
+                   AS flagged
+        FROM c GROUP BY doc_id
+    """,
+    "q_semantic_dedup": f"""
+        WITH cent AS (SELECT c, {_CENTROID} AS cv FROM range(0, 8) t(c)),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        vc AS (SELECT vec_id, c, list_cosine_similarity(ev, cv) AS s
+               FROM v CROSS JOIN cent),
+        a AS (SELECT vec_id, c FROM (
+                SELECT vec_id, c,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, c ASC) AS rc
+                FROM vc) WHERE rc = 1),
+        close AS (SELECT y.vec_id AS hi, count(*) AS n_close
+                  FROM a x JOIN a y ON x.c = y.c AND x.vec_id < y.vec_id
+                  JOIN v vx ON vx.vec_id = x.vec_id
+                  JOIN v vy ON vy.vec_id = y.vec_id
+                  WHERE floor(1000.0 * list_cosine_similarity(vx.ev, vy.ev))::BIGINT
+                        >= 300
+                  GROUP BY y.vec_id)
+        SELECT a.vec_id, a.c::BIGINT AS cell,
+               coalesce(close.n_close, 0)::BIGINT AS n_close,
+               (close.n_close IS NULL) AS kept
+        FROM a LEFT JOIN close ON close.hi = a.vec_id
+    """,
 }
 
 
@@ -3439,6 +3491,42 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs, "doc_id", "text", sep=". ")
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document REPETITION quality filter: per-doc
+    word/bigram counts plus a flag for documents dominated by one
+    repeated word (>20% of occurrences) or bigram (>16%) — the
+    boilerplate/spam rule applied before training.  One tagged
+    words+bigrams explode stream, ONE (doc, tag, term) groupBy with
+    map-side partial combine, one per-doc aggregate; integer
+    cross-multiplied thresholds keep the flag engine-exact."""
+    from datafusion_dolomite_spark.functions.quality import repetition_stats
+
+    docs = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
+    )
+    return repetition_stats(docs, "doc_id", "text", top_word_pct=20, top_bigram_pct=16)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup over the embeddings table: vectors
+    bucketed into 8 hash-centroid cells (same deterministic convention
+    as q_knn_ivf), then within each cell any vector with a lower-id
+    neighbor at cosine ≥ 0.300 is dropped — one representative per
+    ε-neighborhood.  Pairwise work is confined WITHIN cells (the
+    SemDeDup trick: clusters bound the quadratic term), the verdict is a
+    LEFT join + per-id aggregate, and the ⌊1000·cos⌋ quantization keeps
+    the output integer-exact against the DuckDB replay."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.functions.similarity import semantic_dedup
+
+    emb = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder().scan("embeddings", columns=["vec_id", "embedding"]).build()
+    )
+    out = semantic_dedup(emb, "vec_id", "embedding", ncells=8, threshold_1000=300)
+    return out.withColumn("cell", F.col("cell").cast("bigint"))
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100TB-scale profiling: HyperLogLog++
     distinct counts (constant memory vs exact's O(ndv)) and approximate
@@ -4515,6 +4603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: changed in r4, then the heaviest previously-green sets (streaming,
 #: SQL front door) so a deep prefix still re-proves them.
 _UNPROVEN_PREFIX = (
+    # new this round — never driver-checked, prove first
+    "q_repetition_filter", "q_semantic_dedup",
     # changed this round — re-prove first
     "q_embed_quantize", "q_approx_sketches", "q_knn_ivf_kmeans",
     "q_partition_pruned", "q_bucketed_join", "q_stream_file_sink",
@@ -4559,6 +4649,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multiformat_union": q_multiformat_union,
         "q_decontaminate": q_decontaminate,
         "q_line_dedup": q_line_dedup,
+        "q_repetition_filter": q_repetition_filter,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,

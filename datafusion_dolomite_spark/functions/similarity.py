@@ -23,7 +23,13 @@ north-star extension surface.
 
 from __future__ import annotations
 
-__all__ = ["cosine_sim_col", "knn_brute", "knn_ivf", "cosine_near_dup"]
+__all__ = [
+    "cosine_sim_col",
+    "knn_brute",
+    "knn_ivf",
+    "cosine_near_dup",
+    "semantic_dedup",
+]
 
 DIM = 64  # embeddings table vector width (TESTDATA)
 
@@ -362,4 +368,65 @@ def cosine_near_dup(
         )
         .filter(F.col("cos_1000") >= threshold_1000)
         .select("id1", "id2", "cos_1000")
+    )
+
+
+def semantic_dedup(
+    df, id_col: str, vec_col: str, ncells: int = 8, threshold_1000: int = 850
+):
+    """SemDeDup-style SEMANTIC dedup: cluster embeddings into ``ncells``
+    centroid cells, then within each cell drop every vector that has a
+    LOWER-id neighbor with cosine ≥ threshold — one representative per
+    ε-neighborhood survives (the deterministic stand-in for the paper's
+    keep-one-per-cluster rule).
+
+    → (id, cell, n_close, kept): ``n_close`` counts the lower-id in-cell
+    neighbors above threshold (0 ⇒ kept).  Integer/boolean output via
+    the shared ⌊1000·cos⌋ quantization, so the hash is engine-exact.
+
+    100 TB shape: the pairwise step is confined WITHIN a cell (the
+    SemDeDup trick — clusters bound the quadratic term; with k
+    proportional to corpus size the per-cell population stays flat), the
+    cell assignment is one map-side pass over hash-derived centroids,
+    and the verdict is a LEFT join + per-id aggregate on the cell-bucket
+    pairs, never a global all-pairs."""
+    from pyspark.sql import functions as F
+
+    from ._parallel import ensure_min_parallelism
+
+    c = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_dv", F.expr(_dvec("_v")))
+    )
+    c = _with_cell_sims(c, "_dv", ncells)
+    c = c.withColumn("_cell", F.expr(f"{_cells_ranked_expr(ncells, 1)}[0]")).select(
+        "_id", "_v", "_cell"
+    )
+    a = c.select(
+        F.col("_id").alias("_lo"), F.col("_v").alias("_v1"), F.col("_cell").alias("_c1")
+    )
+    b = c.select(
+        F.col("_id").alias("_hi"), F.col("_v").alias("_v2"), F.col("_cell").alias("_c2")
+    )
+    close = (
+        a.join(b, (F.col("_c1") == F.col("_c2")) & (F.col("_lo") < F.col("_hi")))
+        .withColumn(
+            "_cos_1000",
+            F.floor(1000.0 * F.expr(_cos_sql(_dvec("_v1"), _dvec("_v2")))).cast(
+                "bigint"
+            ),
+        )
+        .filter(F.col("_cos_1000") >= threshold_1000)
+        .groupBy("_hi")
+        .agg(F.count(F.lit(1)).alias("_n_close"))
+    )
+    return (
+        c.join(close, c._id == close._hi, "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cell").alias("cell"),
+            F.coalesce(F.col("_n_close"), F.lit(0)).alias("n_close"),
+            F.col("_n_close").isNull().alias("kept"),
+        )
     )

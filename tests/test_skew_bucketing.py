@@ -144,3 +144,55 @@ def test_decontaminate_counts(spark):
     assert set(rows) == {1}
     assert rows[1]["n_eval_docs"] == 2
     assert rows[1]["n_shared_grams"] > 0
+
+
+def test_repetition_stats_rules(spark):
+    """The word rule and the bigram rule fire independently; a
+    single-word document is 100% one word (flagged) with zero bigrams."""
+    from datafusion_dolomite_spark.functions.quality import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            # 'spam' is 4/5 words -> word rule fires
+            (1, "spam spam spam spam ham"),
+            # 10 distinct words: top word 10%, top bigram 1/9 -> clean
+            (2, "a b c d e f g h i j"),
+            # 'u' is 4/20 = 20% (NOT > 20%) but 'u v' is 4/19 > 16%:
+            # only the bigram rule fires
+            (3, "u v a u v b u v c u v d e f g h i j k l"),
+            (4, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in
+            repetition_stats(df, "doc_id", "text").collect()}
+    assert rows[1]["flagged"] and rows[1]["top_word_n"] == 4
+    assert not rows[2]["flagged"]
+    assert rows[2]["n_words"] == 10 and rows[2]["n_distinct_words"] == 10
+    assert rows[3]["flagged"] and rows[3]["top_bigram_n"] == 4
+    assert rows[3]["top_word_n"] == 4  # 20% exactly -> word rule did NOT fire
+    assert rows[4]["flagged"] and rows[4]["top_bigram_n"] == 0
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    """Exact and scaled copies collapse onto the lowest id in the cell;
+    a negated vector is never 'close' (cosine -1)."""
+    from datafusion_dolomite_spark.functions.similarity import semantic_dedup
+
+    base = [1.0, 0.5] + [0.0] * 62
+    rows_in = [
+        (10, base),
+        (20, base),                      # identical -> dropped
+        (40, [2.0 * x for x in base]),   # scaled copy, cosine 1 -> dropped
+        (30, [-x for x in base]),        # negation -> kept wherever it lands
+    ]
+    df = spark.createDataFrame(rows_in, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, "vec_id", "embedding",
+                          ncells=4, threshold_1000=900).collect()}
+    assert out[10]["kept"] and out[10]["n_close"] == 0
+    assert not out[20]["kept"] and out[20]["n_close"] == 1
+    assert not out[40]["kept"] and out[40]["n_close"] == 2
+    assert out[30]["kept"]
+    # identical vectors always share a cell
+    assert out[10]["cell"] == out[20]["cell"] == out[40]["cell"]
