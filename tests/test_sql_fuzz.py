@@ -312,7 +312,26 @@ class Gen:
         t = r.choice(tabs)
         c, ty = r.choice(list(TABLES[t].items()))
         roll = r.random()
-        if roll < 0.55 or ty == STR:
+        if ty == STR:
+            # string scalar functions resolve generically against
+            # pyspark.sql.functions; names/semantics match DuckDB
+            # (substring is 1-based in both)
+            if roll < 0.30:
+                kind = r.randrange(5)
+                if kind == 0:
+                    return f"upper({c})", STR
+                if kind == 1:
+                    return f"lower({c})", STR
+                if kind == 2:
+                    return f"trim({c})", STR
+                if kind == 3:
+                    return (
+                        f"substring({c}, {r.randint(1, 4)}, {r.randint(1, 6)})",
+                        STR,
+                    )
+                return f"length({c})", INT
+            return c, ty
+        if roll < 0.55:
             return c, ty
         if roll < 0.7:
             return f"({c} * {r.randint(2, 9)})", ty
@@ -749,7 +768,14 @@ class Gen:
             f"SELECT {', '.join(items)} FROM {t}{where} "
             f"GROUP BY {mode} ({', '.join(keys)})"
         )
-        return sql, sql
+        # Engine semantic difference, pinned here: over an EMPTY input
+        # Spark's grouping-sets expansion yields no rows at all, while
+        # DuckDB (and the standard / Postgres) emit the () grouping-set
+        # grand-total row (count 0, NULL aggregates).  For any non-empty
+        # input every grouping-set row has count(*) >= 1, so this HAVING
+        # on the ORACLE side only encodes Spark's behavior exactly
+        # without affecting any other case.
+        return sql, sql + " HAVING count(*) > 0"
 
     SHAPES = (
         ("_simple", 14),
