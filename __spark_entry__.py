@@ -1612,6 +1612,46 @@ def _knn_ivf_kmeans_oracle(nq=5, k=10, ncells=8, nprobe=3) -> str:
     """
 
 
+def _pagerank_oracle(iters=3, d=85, scale=10**9) -> str:
+    """Unrolled exact replay of the quantized PageRank iteration
+    (``functions/graph.py::pagerank``): BIGINT fixed-point ranks,
+    integer floor division — order-independent, so the unrolled CTE
+    chain reproduces Spark's distributed result bit-for-bit.  Sums are
+    cast back to BIGINT (DuckDB's sum yields HUGEINT, which would decay
+    to float64 in the driver's pandas hash)."""
+    parts = [
+        """e0 AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                  FROM lineitem
+                  UNION ALL
+                  SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM lineitem),
+        ed AS (SELECT DISTINCT src, dst FROM e0),
+        od AS (SELECT src, count(*) AS od FROM ed GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM ed),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, {scale} // (SELECT n FROM nn) AS r FROM nodes)""".format(
+            scale=scale
+        )
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (SELECT ed.dst AS node,
+                       sum(({d} * r{i - 1}.r) // (100 * od.od))::BIGINT AS s
+                FROM r{i - 1}
+                JOIN ed ON ed.src = r{i - 1}.node
+                JOIN od ON od.src = ed.src
+                GROUP BY ed.dst),
+        r{i} AS (SELECT nodes.node,
+                       ({100 - d} * {scale}::BIGINT // (100 * (SELECT n FROM nn))
+                        + coalesce(c{i}.s, 0))::BIGINT AS r
+                FROM nodes LEFT JOIN c{i} ON c{i}.node = nodes.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"\n        SELECT node, r AS rank_q FROM r{iters}"
+    )
+
+
 def _near_dup_oracle(nbits=12, threshold=200) -> str:
     return f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
@@ -2301,6 +2341,7 @@ EXTENSION_ORACLES = {
                    AS flagged
         FROM c GROUP BY doc_id
     """,
+    "q_pagerank": _pagerank_oracle(3, 85),
     "q_semantic_dedup": f"""
         WITH cent AS (SELECT c, {_CENTROID} AS cv FROM range(0, 8) t(c)),
         v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
@@ -3491,6 +3532,34 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs, "doc_id", "text", sep=". ")
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quantized PAGERANK over the part↔supplier bipartite
+    graph from lineitem (nodes: part·2 / supp·2+1; undirected edges both
+    directions, so outdeg ≥ 1 everywhere — no dangling-node term).
+    3 iterations of the BIGINT fixed-point recurrence in
+    ``functions/graph.py::pagerank``; the DuckDB oracle unrolls the same
+    iteration and matches bit-for-bit because every step is integer
+    floor arithmetic, never floats."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.functions.graph import pagerank
+
+    li = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder()
+        .scan("lineitem", columns=["l_partkey", "l_suppkey"])
+        .build()
+    )
+    e1 = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    e2 = li.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("l_partkey") * 2).alias("dst"),
+    )
+    return pagerank(e1.unionAll(e2), "src", "dst", iters=3)
+
+
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document REPETITION quality filter: per-doc
     word/bigram counts plus a flag for documents dominated by one
@@ -4604,7 +4673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: SQL front door) so a deep prefix still re-proves them.
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
-    "q_repetition_filter", "q_semantic_dedup",
+    "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
     # changed this round — re-prove first
     "q_embed_quantize", "q_approx_sketches", "q_knn_ivf_kmeans",
     "q_partition_pruned", "q_bucketed_join", "q_stream_file_sink",
@@ -4651,6 +4720,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": q_line_dedup,
         "q_repetition_filter": q_repetition_filter,
         "q_semantic_dedup": q_semantic_dedup,
+        "q_pagerank": q_pagerank,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,

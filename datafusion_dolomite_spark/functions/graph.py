@@ -14,7 +14,7 @@ re-analysis time) stays CONSTANT per iteration instead of tripling.  The referen
 
 from __future__ import annotations
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank"]
 
 
 def connected_components(edges, src: str, dst: str, max_iter: int = 25):
@@ -86,3 +86,65 @@ def connected_components(edges, src: str, dst: str, max_iter: int = 25):
         prev_sum = new_sum
     sym.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+#: fixed-point scale for exact distributed PageRank: ranks live as
+#: BIGINTs of rank·1e9, contributions use integer `div` (floor), so the
+#: iteration is order-independent and replays BIT-IDENTICALLY in any
+#: engine — a float PageRank would drift with partition/sum order and
+#: could never hash-match an oracle.
+_PR_SCALE = 1_000_000_000
+
+
+def pagerank(edges, src: str, dst: str, iters: int = 3, damping_pct: int = 85):
+    """Deterministic quantized PageRank over a DIRECTED edge list.
+
+    rank'(v) = (100-d)%·S/N  +  Σ_{u→v} d%·rank(u) div outdeg(u),
+    all in BIGINT fixed-point (S = 1e9) with integer floor division —
+    every engine computes the same ranks exactly.  Returns
+    (node bigint, rank_q bigint), rank_q ≈ rank·1e9.
+
+    Assumes no dangling nodes (callers passing an undirected graph
+    symmetrize first, which guarantees outdeg ≥ 1 everywhere).
+
+    Scale shape: per iteration ONE join of ranks against the (cached)
+    out-degree-annotated edge list and one (dst) aggregate — state is
+    |V| rows, traffic |E| rows, no all-pairs step; lineage is truncated
+    per round with a lazy localCheckpoint exactly like
+    ``connected_components`` above (the final action materializes it).
+    """
+    from pyspark.sql import functions as F
+
+    d = int(damping_pct)
+    # edge list + outdegree feed every iteration — materialize once
+    ed = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).distinct()
+    od = ed.groupBy("_src").agg(F.count(F.lit(1)).alias("_od"))
+    ew = ed.join(od, "_src").cache()
+    ew.count()
+    nodes = ed.select(F.col("_src").alias("node")).distinct().cache()
+    n_nodes = nodes.count()  # one scalar — the bounded driver touch-point
+    base = (100 - d) * _PR_SCALE // (100 * n_nodes)
+    ranks = nodes.withColumn("_r", F.lit(_PR_SCALE // n_nodes).cast("bigint"))
+
+    for i in range(iters):
+        contrib = (
+            ew.join(ranks, ew._src == ranks.node)
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr(f"({d} * _r) div (100 * _od)").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("_s"), F.lit(0)))
+                .cast("bigint")
+                .alias("_r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = ranks.select("node", F.col("_r").alias("rank_q"))
+    return out

@@ -174,6 +174,27 @@ def test_repetition_stats_rules(spark):
     assert rows[4]["flagged"] and rows[4]["top_bigram_n"] == 0
 
 
+def test_pagerank_hand_computed(spark):
+    """Star graph a↔b, a↔c: after one iteration the hub holds
+    base + 2·(85%·r0 div 1) and each leaf base + (85%·r0 div 2) —
+    hand-checked fixed-point arithmetic, and total mass stays within
+    N of the 1e9 scale (floor losses only)."""
+    from datafusion_dolomite_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1)], ["src", "dst"]
+    )
+    out = {r["node"]: r["rank_q"] for r in
+           pagerank(edges, "src", "dst", iters=1).collect()}
+    r0 = 10**9 // 3            # 333333333
+    base = 15 * 10**9 // 300   # 50000000
+    leaf_contrib = (85 * r0) // 200   # hub outdeg 2
+    hub_contrib = (85 * r0) // 100    # leaf outdeg 1
+    assert out[1] == base + 2 * hub_contrib
+    assert out[2] == out[3] == base + leaf_contrib
+    assert 10**9 - sum(out.values()) < 3 * 3  # floor loss < iters*N
+
+
 def test_semantic_dedup_keeps_lowest_id(spark):
     """Exact and scaled copies collapse onto the lowest id in the cell;
     a negated vector is never 'close' (cosine -1)."""
