@@ -2342,6 +2342,23 @@ EXTENSION_ORACLES = {
         FROM c GROUP BY doc_id
     """,
     "q_pagerank": _pagerank_oracle(3, 85),
+    "q_corpus_resample": """
+        WITH h AS (
+          SELECT doc_id, source,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10 AS b
+          FROM documents
+        ),
+        w AS (SELECT doc_id, source, b,
+                     CASE source WHEN 'src0' THEN 25
+                                 WHEN 'src1' THEN 3
+                                 ELSE 10 END AS w10
+              FROM h),
+        n AS (SELECT doc_id, source,
+                     w10 // 10 + CASE WHEN b < w10 % 10 THEN 1 ELSE 0 END AS nc
+              FROM w)
+        SELECT doc_id, source, unnest(range(1, nc + 1))::BIGINT AS copy
+        FROM n WHERE nc >= 1
+    """,
     "q_semantic_dedup": f"""
         WITH cent AS (SELECT c, {_CENTROID} AS cv FROM range(0, 8) t(c)),
         v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
@@ -3560,6 +3577,23 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(e1.unionAll(e2), "src", "dst", iters=3)
 
 
+def q_corpus_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted corpus RESAMPLING (mixture upsampling): src0 at
+    2.5 epochs, src1 at 0.3, everything else 1.0 — ⌊w⌋ copies per doc
+    plus a hash-selected extra for the fractional share.  Map-only
+    (hash + CASE + sequence/explode), ZERO shuffles; the deterministic
+    md5 bucket makes the multiset engine-exact.  Complements
+    q_corpus_mix (pure downsampling) with the repeat-factor side."""
+    from datafusion_dolomite_spark.functions.sampling import resample_corpus
+
+    docs = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder().scan("documents", columns=["doc_id", "source"]).build()
+    )
+    return resample_corpus(
+        docs, "doc_id", "source", {"src0": 25, "src1": 3}, default_tenths=10
+    )
+
+
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document REPETITION quality filter: per-doc
     word/bigram counts plus a flag for documents dominated by one
@@ -4674,6 +4708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
+    "q_corpus_resample",
     # changed this round — re-prove first
     "q_embed_quantize", "q_approx_sketches", "q_knn_ivf_kmeans",
     "q_partition_pruned", "q_bucketed_join", "q_stream_file_sink",
@@ -4721,6 +4756,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_filter": q_repetition_filter,
         "q_semantic_dedup": q_semantic_dedup,
         "q_pagerank": q_pagerank,
+        "q_corpus_resample": q_corpus_resample,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,

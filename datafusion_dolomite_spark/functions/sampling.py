@@ -44,3 +44,55 @@ def stratified_sample(
         .filter(F.col("_sample_rn") <= k)
         .drop("_sample_rn")
     )
+
+
+def resample_corpus(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    weights_tenths: dict,
+    default_tenths: int = 10,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """EPOCH-WEIGHTED resampling (the mixture-upsampling step of corpus
+    prep, per the data-mixture recipes of Pile/LLaMA-style training): a
+    stratum weighted ``w`` contributes ⌊w⌋ copies of every document plus
+    one extra copy for the hash-selected frac(``w``) share — weight 2.5
+    means "2.5 epochs" of that source, 0.3 means a 30% downsample.
+
+    Weights are INTEGER TENTHS (25 = 2.5) and the fractional share is a
+    bucket comparison on the shared md5 hash, so the resampled multiset
+    is a pure function of the data — identical across runs, clusters,
+    and engines.
+
+    100 TB shape: map-only — hash, CASE lookup, sequence+explode; ZERO
+    shuffles, streams at scan speed.  Output = input columns + copy
+    index (1..n, bigint).
+    """
+    w = None
+    for k, v in sorted(weights_tenths.items()):
+        v = int(v)
+        w = (
+            F.when(F.col(stratum_col) == k, v)
+            if w is None
+            else w.when(F.col(stratum_col) == k, v)
+        )
+    w10 = (w.otherwise(int(default_tenths)) if w is not None
+           else F.lit(int(default_tenths))).cast("bigint")
+    staged = df.withColumn("_w10", w10).withColumn(
+        "_b", _hash64(F.col(id_col)) % 10
+    ).withColumn(
+        "_nc",
+        F.expr("_w10 div 10 + if(_b < _w10 % 10, 1, 0)").cast("bigint"),
+    )
+    # the guard matters: sequence(1, 0) would generate a DESCENDING
+    # two-element array, not an empty one; explode drops empty arrays
+    return (
+        staged.withColumn(
+            copy_col,
+            F.explode(
+                F.expr("if(_nc >= 1, sequence(cast(1 as bigint), _nc), array())")
+            ),
+        )
+        .drop("_w10", "_b", "_nc")
+    )

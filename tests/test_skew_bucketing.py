@@ -174,6 +174,28 @@ def test_repetition_stats_rules(spark):
     assert rows[4]["flagged"] and rows[4]["top_bigram_n"] == 0
 
 
+def test_resample_corpus_weights(spark):
+    """Weight 25 (2.5 epochs) gives every doc 2 or 3 contiguous copies;
+    weight 0 drops the stratum entirely; default 10 keeps exactly one."""
+    from datafusion_dolomite_spark.functions.sampling import resample_corpus
+
+    rows = ([(i, "a") for i in range(20)]
+            + [(100 + i, "z") for i in range(20)]
+            + [(200 + i, "d") for i in range(5)])
+    df = spark.createDataFrame(rows, ["doc_id", "src"])
+    out = resample_corpus(df, "doc_id", "src", {"a": 25, "z": 0}).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    assert not any(100 <= d < 200 for d in by_doc)       # z dropped
+    for d in range(20):                                   # a: 2 or 3 copies
+        assert sorted(by_doc[d]) in ([1, 2], [1, 2, 3])
+    n_a = sum(len(v) for d, v in by_doc.items() if d < 100)
+    assert 40 <= n_a <= 60                                # ~2.5 * 20
+    for d in range(200, 205):                             # default: one copy
+        assert by_doc[d] == [1]
+
+
 def test_pagerank_hand_computed(spark):
     """Star graph a↔b, a↔c: after one iteration the hub holds
     base + 2·(85%·r0 div 1) and each leaf base + (85%·r0 div 2) —
