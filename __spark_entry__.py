@@ -2342,6 +2342,15 @@ EXTENSION_ORACLES = {
         FROM c GROUP BY doc_id
     """,
     "q_pagerank": _pagerank_oracle(3, 85),
+    "q_range_bounds": """
+        WITH v AS (SELECT floor(o_totalprice * 100)::BIGINT AS cents, o_orderkey
+                   FROM orders),
+        r AS (SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rnk
+              FROM v)
+        SELECT q::BIGINT AS q, r.cents AS boundary
+        FROM range(1, 17) t(q)
+        JOIN r ON r.rnk = (q * (SELECT count(*) FROM v) + 15) // 16
+    """,
     "q_corpus_resample": """
         WITH h AS (
           SELECT doc_id, source,
@@ -3577,6 +3586,30 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(e1.unionAll(e2), "src", "dst", iters=3)
 
 
+def q_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth range-partition boundaries of orders by price —
+    the boundary table ``repartitionByRange`` would want, computed with
+    the distributed order-statistics plan (ordered coarse buckets →
+    tiny running-sum offset table → local row_number + offset = global
+    rank), never a single-node global sort.  The DuckDB oracle uses the
+    plain global row_number — same total order (cents, o_orderkey), so
+    ranks agree exactly."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.functions.skew import range_partition_bounds
+
+    orders = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder()
+        .scan("orders", columns=["o_orderkey", "o_totalprice"])
+        .build()
+    )
+    v = orders.select(
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents"),
+        "o_orderkey",
+    )
+    return range_partition_bounds(v, "cents", "o_orderkey", nbounds=16)
+
+
 def q_corpus_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-weighted corpus RESAMPLING (mixture upsampling): src0 at
     2.5 epochs, src1 at 0.3, everything else 1.0 — ⌊w⌋ copies per doc
@@ -4708,7 +4741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
-    "q_corpus_resample",
+    "q_corpus_resample", "q_range_bounds",
     # changed this round — re-prove first
     "q_embed_quantize", "q_approx_sketches", "q_knn_ivf_kmeans",
     "q_partition_pruned", "q_bucketed_join", "q_stream_file_sink",
@@ -4757,6 +4790,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_pagerank": q_pagerank,
         "q_corpus_resample": q_corpus_resample,
+        "q_range_bounds": q_range_bounds,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,

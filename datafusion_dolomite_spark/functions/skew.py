@@ -15,7 +15,11 @@ from __future__ import annotations
 
 from typing import Sequence
 
-__all__ = ["salted_aggregate", "salted_broadcast_replicate_join"]
+__all__ = [
+    "salted_aggregate",
+    "salted_broadcast_replicate_join",
+    "range_partition_bounds",
+]
 
 _MERGE = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
 
@@ -86,3 +90,65 @@ def salted_broadcast_replicate_join(
         how="inner",
     )
     return out.drop("__salt")
+
+
+def range_partition_bounds(
+    df,
+    value_col: str,
+    id_col: str,
+    nbounds: int = 16,
+    bucket_expr: str | None = None,
+):
+    """EXACT equi-depth range-partition boundaries — what
+    ``repartitionByRange`` needs, computed exactly instead of by
+    sampling: boundary q (1..nbounds) is the value whose GLOBAL rank is
+    ⌈q·N/nbounds⌉ under the total order (value, id).
+
+    The global rank comes from the classic distributed order-statistics
+    plan, never a single-node sort: rows land in ordered coarse buckets
+    (``bucket_expr``, default ``value div 1e6`` — any monotone bucketing
+    works), per-bucket counts (tiny) get a running-sum offset, and each
+    row's rank is its bucket offset + its LOCAL row_number within the
+    bucket.  One bucket-keyed window shuffle over the data; everything
+    else is broadcast-sized.  A production planner would pick
+    ``bucket_expr`` from a sample to equalize bucket populations.
+
+    Returns (q bigint, boundary bigint) — ``value_col`` must already be
+    integer-exact (e.g. cents).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    be = bucket_expr or f"{value_col} div 1000000"
+    v = df.select(
+        F.col(value_col).alias("_v"),
+        F.col(id_col).alias("_id"),
+        F.expr(be).alias("_bkt"),
+    )
+    counts = v.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    # running-sum offsets over the (tiny) bucket table — the single
+    # unpartitioned window runs over #buckets rows, not the data
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bkt", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = Window.partitionBy("_bkt").orderBy(
+        F.col("_v").asc(), F.col("_id").asc()
+    )
+    ranked = (
+        v.join(F.broadcast(offsets), "_bkt")
+        .withColumn("_rnk", F.row_number().over(w_local) + F.col("_off"))
+    )
+    n = v.agg(F.count(F.lit(1)).alias("_n"))
+    targets = (
+        df.sparkSession.range(1, nbounds + 1)
+        .select(F.col("id").alias("q"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "q", F.expr(f"(q * _n + {nbounds - 1}) div {nbounds}").alias("_t")
+        )
+    )
+    return (
+        ranked.join(F.broadcast(targets), ranked._rnk == targets._t)
+        .select(F.col("q").cast("bigint"), F.col("_v").alias("boundary"))
+    )

@@ -174,6 +174,23 @@ def test_repetition_stats_rules(spark):
     assert rows[4]["flagged"] and rows[4]["top_bigram_n"] == 0
 
 
+def test_range_bounds_matches_global_sort(spark):
+    """Bucketed distributed ranks must equal a plain global sort —
+    exercised with heavy duplicates (rank ties broken by id) and empty
+    buckets between populated ones."""
+    from datafusion_dolomite_spark.functions.skew import range_partition_bounds
+
+    vals = [5, 5, 5, 1, 9, 9, 2, 7, 3, 5, 1000003, 1000003, 2000001]
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["v", "rid"])
+    got = {r["q"]: r["boundary"] for r in
+           range_partition_bounds(df, "v", "rid", nbounds=4).collect()}
+    n = len(vals)
+    srt = sorted(rows)  # (v, rid) total order
+    want = {q: srt[(q * n + 3) // 4 - 1][0] for q in range(1, 5)}
+    assert got == want
+
+
 def test_resample_corpus_weights(spark):
     """Weight 25 (2.5 epochs) gives every doc 2 or 3 contiguous copies;
     weight 0 drops the stratum entirely; default 10 keeps exactly one."""
