@@ -1091,6 +1091,20 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchase_click_pairs(spark, sf_dir, "1 hour")
 
 
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join — the attribution join
+    that also emits UNattributed purchases (NULL click_id) once the
+    watermark proves no match can arrive.  See
+    ``streaming/pipeline.py::purchase_click_pairs_outer`` for the
+    end-of-stream determinism argument (purchases bounded 3 h below the
+    stream's max event time)."""
+    from datafusion_dolomite_spark.streaming.pipeline import (
+        purchase_click_pairs_outer,
+    )
+
+    return purchase_click_pairs_outer(spark, sf_dir, "1 hour")
+
+
 def q_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The attribution stream-stream join writing to a PARQUET FILE SINK
     instead of the driver-bound memory sink: executors write the output
@@ -1980,6 +1994,22 @@ EXTENSION_ORACLES = {
          AND p.user_id = c.user_id
          AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
          AND epoch_us(c.ts) <= epoch_us(p.ts)
+    """,
+    "q_stream_outer_join": """
+        WITH mxv AS (SELECT min(m) AS m FROM (
+               SELECT event_type, max(epoch_us(ts)) AS m FROM events
+               WHERE event_type IN ('purchase', 'click')
+               GROUP BY event_type)),
+        p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pt
+              FROM events
+              WHERE event_type = 'purchase'
+                AND epoch_us(ts) <= (SELECT m FROM mxv) - 10800000000),
+        c AS (SELECT event_id AS click_id, user_id AS cu, epoch_us(ts) AS ct
+              FROM events WHERE event_type = 'click')
+        SELECT p.purchase_id, coalesce(c.click_id, -1) AS click_id
+        FROM p LEFT JOIN c
+          ON c.cu = p.user_id
+         AND c.ct >= p.pt - 3600000000 AND c.ct <= p.pt
     """,
     "q_events_json": """
         SELECT event_type,
@@ -4741,7 +4771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
-    "q_corpus_resample", "q_range_bounds",
+    "q_corpus_resample", "q_range_bounds", "q_stream_outer_join",
     # changed this round — re-prove first
     "q_embed_quantize", "q_approx_sketches", "q_knn_ivf_kmeans",
     "q_partition_pruned", "q_bucketed_join", "q_stream_file_sink",
@@ -4841,6 +4871,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": q_stream_dedup,
         "q_stream_enrich": q_stream_enrich,
         "q_stream_stream_join": q_stream_stream_join,
+        "q_stream_outer_join": q_stream_outer_join,
         "q_stream_file_sink": q_stream_file_sink,
         "q_stream_stateful": q_stream_stateful,
         # -- never driver-checked: SQL front door ----------------------

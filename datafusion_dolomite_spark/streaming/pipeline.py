@@ -247,6 +247,89 @@ def purchase_click_pairs(
     return _run_stream(spark, joined, "append", sink=sink, sink_path=sink_path)
 
 
+def purchase_click_pairs_outer(spark, sf_dir: str, horizon: str = "1 hour"):
+    """LEFT OUTER stream-stream join: every purchase emits, with a NULL
+    click_id when no click from the same user precedes it within
+    ``horizon`` — the attribution join that also SURFACES the
+    unattributed conversions.
+
+    Outer rows only materialize once the watermark proves no matching
+    click can still arrive, and under AvailableNow the watermark's final
+    position is max(event_time) (reached by the closing no-data
+    micro-batch).  Purchases are therefore restricted to those at least
+    3 hours (> horizon + watermark delay) below the stream's max event
+    time — a bound computed by a ONE-ROW batch aggregate (the bounded
+    driver touch-point, same class as the kNN query handoff) — so every
+    retained purchase is decidable by end-of-stream and the result is
+    deterministic, replayable, and batch-oracle-checkable."""
+    from pyspark.sql import functions as F
+
+    from ..session import configure_session
+
+    configure_session(spark)
+    # Bounded scalar: the final global watermark position, from a batch
+    # read.  The global watermark is the MIN across both sides' watermark
+    # operators (each = its side's max observed event time, 0 delay).
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        batch_time = F.expr("timestamp_micros(ts div 1000)")
+    else:
+        batch_time = F.col("ts").cast("timestamp")
+    mx = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(F.max(batch_time).alias("m"))
+        .agg(F.min("m"))
+        .first()[0]
+    )
+
+    base = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_id", "user_id", "event_type", "event_time")
+    )
+    # ORDER MATTERS: withWatermark BEFORE the cutoff filter.  Catalyst
+    # does not push event-time predicates through EventTimeWatermark, so
+    # the watermark observes ALL purchases — were the filter below it,
+    # the purchase-side watermark would equal the max RETAINED purchase,
+    # which can never evict itself (eviction is strict-less-than) and
+    # its outer row would be lost.
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("event_time").alias("p_time"),
+        )
+        .withWatermark("p_time", "0 seconds")
+        .filter(F.col("p_time") <= F.lit(mx) - F.expr("interval 3 hours"))
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("event_time").alias("c_time"),
+        )
+        .withWatermark("c_time", "0 seconds")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND "
+            f"c_time >= p_time - interval {horizon} AND c_time <= p_time"
+        ),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        # NULL-free output: -1 marks the unattributed purchases, keeping
+        # the result column a plain BIGINT on every engine (no pandas
+        # int→float decay in downstream hashing)
+        F.coalesce(F.col("click_id"), F.lit(-1).cast("bigint")).alias("click_id"),
+    )
+    return _run_stream(spark, joined, "append")
+
+
 def stateful_user_totals(spark, sf_dir: str):
     """CUSTOM STATEFUL operator via ``applyInPandasWithState``: per-user
     running totals (event count + exact value sum in integer cents)
