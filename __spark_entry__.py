@@ -2372,6 +2372,21 @@ EXTENSION_ORACLES = {
         FROM c GROUP BY doc_id
     """,
     "q_pagerank": _pagerank_oracle(3, 85),
+    "q_time_weighted_avg": """
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
+                          floor(value * 100)::BIGINT AS cents FROM events),
+        s AS (SELECT user_id, t_us, cents,
+                     lag(t_us) OVER w AS pt, lag(cents) OVER w AS pc
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        g AS (SELECT user_id,
+                     sum((cents + pc) * (t_us - pt)) AS area2,
+                     sum(t_us - pt) AS span_us,
+                     count(*) + 1 AS n_points
+              FROM s WHERE pt IS NOT NULL GROUP BY user_id)
+        SELECT user_id, n_points::BIGINT AS n_points, span_us::BIGINT AS span_us,
+               (area2 // (2 * span_us))::BIGINT AS twa_cents
+        FROM g
+    """,
     "q_range_bounds": """
         WITH v AS (SELECT floor(o_totalprice * 100)::BIGINT AS cents, o_orderkey
                    FROM orders),
@@ -3588,6 +3603,66 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs, "doc_id", "text", sep=". ")
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average per user (the TimescaleDB ``time_weight``
+    hypertable aggregate): trapezoidal integral of the piecewise-linear
+    value series between a user's consecutive events, divided by the
+    covered span.  Everything stays integer: cents × microsecond deltas
+    accumulate in decimal(38,0) (a single segment can reach ~5e17, so a
+    long sum could overflow), and the final division is integral —
+    bit-identical across engines.  One window shuffle on user_id + one
+    aggregate; users with a single event carry no span and are excluded
+    on both sides."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .projection(
+            [
+                col("user_id"),
+                col("event_id"),
+                Alias(_ts_us(sf_dir), "t_us"),
+                Alias(
+                    Cast(
+                        Func("floor", (BinOp("*", col("value"), lit(100.0)),)),
+                        "bigint",
+                    ),
+                    "cents",
+                ),
+            ]
+        )
+        .build()
+    )
+    ev = _planner(spark, sf_dir).dataframe(plan)
+    w = W.partitionBy("user_id").orderBy(
+        F.col("t_us").asc(), F.col("event_id").asc()
+    )
+    seg = ev.select(
+        "user_id",
+        "t_us",
+        "cents",
+        F.lag("t_us").over(w).alias("_pt"),
+        F.lag("cents").over(w).alias("_pc"),
+    ).filter(F.col("_pt").isNotNull())
+    agg = seg.groupBy("user_id").agg(
+        F.sum(
+            (
+                (F.col("cents") + F.col("_pc")) * (F.col("t_us") - F.col("_pt"))
+            ).cast("decimal(38,0)")
+        ).alias("_area2"),
+        F.sum(F.col("t_us") - F.col("_pt")).alias("span_us"),
+        (F.count(F.lit(1)) + 1).alias("n_points"),
+    )
+    return agg.select(
+        "user_id",
+        "n_points",
+        "span_us",
+        F.expr("cast(_area2 div (2 * span_us) as bigint)").alias("twa_cents"),
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quantized PAGERANK over the part↔supplier bipartite
     graph from lineitem (nodes: part·2 / supp·2+1; undirected edges both
@@ -4772,6 +4847,7 @@ _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
     "q_corpus_resample", "q_range_bounds", "q_stream_outer_join",
+    "q_time_weighted_avg",
     # changed this round — re-prove first
     "q_embed_quantize", "q_approx_sketches", "q_knn_ivf_kmeans",
     "q_partition_pruned", "q_bucketed_join", "q_stream_file_sink",
@@ -4821,6 +4897,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_corpus_resample": q_corpus_resample,
         "q_range_bounds": q_range_bounds,
+        "q_time_weighted_avg": q_time_weighted_avg,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,
