@@ -2372,6 +2372,20 @@ EXTENSION_ORACLES = {
         FROM c GROUP BY doc_id
     """,
     "q_pagerank": _pagerank_oracle(3, 85),
+    "q_interval_overlap": """
+        WITH b AS (SELECT l_orderkey, l_suppkey,
+                          date_diff('day', DATE '1970-01-01', l_shipdate::DATE)
+                              AS s,
+                          date_diff('day', DATE '1970-01-01', l_shipdate::DATE)
+                              + floor(l_quantity)::BIGINT AS e
+                   FROM lineitem
+                   WHERE l_linenumber = 1 AND l_suppkey IN (1, 2)),
+        l AS (SELECT l_orderkey, s, e FROM b WHERE l_suppkey = 1),
+        r AS (SELECT l_orderkey, s, e FROM b WHERE l_suppkey = 2)
+        SELECT l.l_orderkey AS ok1, r.l_orderkey AS ok2,
+               (least(l.e, r.e) - greatest(l.s, r.s) + 1)::BIGINT AS overlap_days
+        FROM l JOIN r ON l.s <= r.e AND r.s <= l.e
+    """,
     "q_time_weighted_avg": """
         WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us,
                           floor(value * 100)::BIGINT AS cents FROM events),
@@ -3601,6 +3615,52 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
     )
     return line_dedup(docs, "doc_id", "text", sep=". ")
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join (both sides intervals — the temporal join
+    the point-in-interval range join doesn't cover): supplier 1's
+    shipment windows [shipdate, shipdate+quantity days] against
+    supplier 2's, matched on overlap via the bucketed decomposition in
+    ``functions/intervals.py`` (bucket equi-join + first-shared-bucket
+    dedup, never an inequality cross join).  The DuckDB oracle IS the
+    inequality join — proving the bucketed plan computes exactly it."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.functions.intervals import interval_overlap_join
+
+    li = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder()
+        .scan(
+            "lineitem",
+            columns=["l_orderkey", "l_linenumber", "l_suppkey",
+                     "l_shipdate", "l_quantity"],
+        )
+        .build()
+    )
+    base = (
+        li.filter((F.col("l_linenumber") == 1) & F.col("l_suppkey").isin(1, 2))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.expr("cast(datediff(cast(l_shipdate as date), date'1970-01-01') as bigint)").alias("s"),
+            F.expr("cast(floor(l_quantity) as bigint)").alias("_len"),
+        )
+        .withColumn("e", F.col("s") + F.col("_len"))
+        .select("l_orderkey", "l_suppkey", "s", "e")
+    )
+    left = base.filter(F.col("l_suppkey") == 1).select("l_orderkey", "s", "e")
+    right = base.filter(F.col("l_suppkey") == 2).select("l_orderkey", "s", "e")
+    j = interval_overlap_join(left, right, "s", "e", width=32)
+    return j.select(
+        F.col("l_orderkey_1").alias("ok1"),
+        F.col("l_orderkey_2").alias("ok2"),
+        (
+            F.least(F.col("e_1"), F.col("e_2"))
+            - F.greatest(F.col("s_1"), F.col("s_2"))
+            + 1
+        ).cast("bigint").alias("overlap_days"),
+    )
 
 
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4847,7 +4907,7 @@ _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
     "q_corpus_resample", "q_range_bounds", "q_stream_outer_join",
-    "q_time_weighted_avg",
+    "q_time_weighted_avg", "q_interval_overlap",
     # changed this round — re-prove first
     "q_embed_quantize", "q_approx_sketches", "q_knn_ivf_kmeans",
     "q_partition_pruned", "q_bucketed_join", "q_stream_file_sink",
@@ -4898,6 +4958,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_resample": q_corpus_resample,
         "q_range_bounds": q_range_bounds,
         "q_time_weighted_avg": q_time_weighted_avg,
+        "q_interval_overlap": q_interval_overlap,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,

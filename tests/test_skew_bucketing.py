@@ -174,6 +174,27 @@ def test_repetition_stats_rules(spark):
     assert rows[4]["flagged"] and rows[4]["top_bigram_n"] == 0
 
 
+def test_interval_overlap_dedup(spark):
+    """Pairs sharing MANY buckets must appear exactly once; touching
+    endpoints overlap (inclusive); disjoint intervals don't pair."""
+    from datafusion_dolomite_spark.functions.intervals import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 55), (3, 200, 210)], ["lid", "s", "e"]
+    )
+    right = spark.createDataFrame(
+        [(10, 10, 90), (20, 100, 120), (30, 300, 310)], ["rid", "s", "e"]
+    )
+    # width 8: pair (1,10) shares ~10 buckets — still one output row
+    got = sorted(
+        (r["lid_1"], r["rid_2"])
+        for r in interval_overlap_join(left, right, "s", "e", width=8).collect()
+    )
+    assert got == [(1, 10), (1, 20), (2, 10)]
+
+
 def test_range_bounds_matches_global_sort(spark):
     """Bucketed distributed ranks must equal a plain global sort —
     exercised with heavy duplicates (rank ties broken by id) and empty
