@@ -1626,6 +1626,17 @@ def _knn_ivf_kmeans_oracle(nq=5, k=10, ncells=8, nprobe=3) -> str:
     """
 
 
+#: VALUES through the SQL front door — the inline-relation leaf
+#: (LogicalValues → PhysicalValues, a Spark LocalRelation) joined to a
+#: catalog table; same string runs on DuckDB verbatim.
+_SQL_VALUES = (
+    "SELECT tier, count(*) AS n_nations, min(n_name) AS first_nation "
+    "FROM nation JOIN (VALUES (0, 'americas'), (1, 'emea'), (2, 'apac'), "
+    "(3, 'apac'), (4, 'other')) AS t(rk, tier) "
+    "ON n_regionkey = rk GROUP BY tier"
+)
+
+
 def _pagerank_oracle(iters=3, d=85, scale=10**9) -> str:
     """Unrolled exact replay of the quantized PageRank iteration
     (``functions/graph.py::pagerank``): BIGINT fixed-point ranks,
@@ -2372,6 +2383,7 @@ EXTENSION_ORACLES = {
         FROM c GROUP BY doc_id
     """,
     "q_pagerank": _pagerank_oracle(3, 85),
+    "q_sql_values": _SQL_VALUES,
     "q_interval_overlap": """
         WITH b AS (SELECT l_orderkey, l_suppkey,
                           date_diff('day', DATE '1970-01-01', l_shipdate::DATE)
@@ -3615,6 +3627,14 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
     )
     return line_dedup(docs, "doc_id", "text", sep=". ")
+
+
+def q_sql_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``VALUES`` inline relation (new LogicalValues/PhysicalValues
+    leaf — data lives in the plan, executes as a Spark LocalRelation and
+    always takes the broadcast side of a join against a real table).
+    Same SQL string is the oracle."""
+    return _planner(spark, sf_dir).sql(_SQL_VALUES)
 
 
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4907,7 +4927,7 @@ _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
     "q_corpus_resample", "q_range_bounds", "q_stream_outer_join",
-    "q_time_weighted_avg", "q_interval_overlap",
+    "q_time_weighted_avg", "q_interval_overlap", "q_sql_values",
     # changed this round — re-prove first
     "q_embed_quantize", "q_approx_sketches", "q_knn_ivf_kmeans",
     "q_partition_pruned", "q_bucketed_join", "q_stream_file_sink",
@@ -4959,6 +4979,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_bounds": q_range_bounds,
         "q_time_weighted_avg": q_time_weighted_avg,
         "q_interval_overlap": q_interval_overlap,
+        "q_sql_values": q_sql_values,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,

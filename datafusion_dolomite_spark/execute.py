@@ -84,6 +84,17 @@ class SparkExecutor:
             df = df.limit(op.limit)
         return df
 
+    def _values(self, node: PlanNode):
+        """Inline relation → Spark LocalRelation (createDataFrame with an
+        explicit schema — no inference pass, no type drift)."""
+        from pyspark.sql.types import StructType
+
+        op = node.operator
+        ddl = ", ".join(f"{n} {t}" for n, t in zip(op.names, op.dtypes))
+        return self.spark.createDataFrame(
+            [tuple(r) for r in op.rows], StructType.fromDDL(ddl)
+        )
+
     def _base_scan(self, table_name: str, fmt: str):
         """The unpruned source DataFrame, cached per (session, path,
         root mtime): ``spark.read.parquet`` eagerly builds a JVM file
@@ -590,6 +601,7 @@ _HANDLERS = {
     X.LogicalUnnest: SparkExecutor._unnest,
     # physical
     P.PhysicalTableScan: SparkExecutor._scan,
+    P.PhysicalValues: SparkExecutor._values,
     P.PhysicalFilter: SparkExecutor._filter,
     P.PhysicalProjection: SparkExecutor._projection,
     P.PhysicalLimit: SparkExecutor._limit,
@@ -609,6 +621,7 @@ _HANDLERS = {
     # logical fallbacks — lets UNOPTIMIZED plans execute for differential
     # testing (optimized vs unoptimized row sets must match).
     L.LogicalScan: SparkExecutor._scan,
+    L.LogicalValues: SparkExecutor._values,
     L.LogicalFilter: SparkExecutor._filter,
     L.LogicalProjection: SparkExecutor._projection,
     L.LogicalLimit: SparkExecutor._limit,

@@ -32,6 +32,7 @@ __all__ = [
     "LogicalOperator",
     "JoinType",
     "LogicalScan",
+    "LogicalValues",
     "LogicalFilter",
     "LogicalProjection",
     "LogicalJoin",
@@ -113,6 +114,35 @@ class LogicalScan(LogicalOperator):
         if self.columns is not None:
             parts.append(f"columns: [{', '.join(self.columns)}]")
         return "LogicalScan { " + ", ".join(parts) + " }"
+
+
+@dataclass(frozen=True)
+class LogicalValues(LogicalOperator):
+    """Inline literal relation (SQL ``VALUES``) — a leaf like scan, but
+    data lives in the plan.  The reference has only ``EmptyTable``
+    (SURVEY §2.4); this mirrors DataFusion's ``LogicalPlan::Values`` /
+    Spark's ``LocalRelation``.  Executes as a driver-local DataFrame
+    (broadcast-friendly: a VALUES dim joined to a big fact always takes
+    the broadcast side)."""
+
+    rows: Tuple[Tuple, ...]
+    names: Tuple[str, ...]
+    dtypes: Tuple[str, ...]
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        return LogicalProperty(
+            Schema(
+                tuple(
+                    Field(n, t, True) for n, t in zip(self.names, self.dtypes)
+                )
+            )
+        )
+
+    def pretty(self) -> str:
+        return (
+            f"LogicalValues {{ rows: {len(self.rows)}, "
+            f"cols: [{', '.join(self.names)}] }}"
+        )
 
 
 @dataclass(frozen=True)

@@ -31,6 +31,7 @@ from .properties import DistributionSpec, OrderSpec, PhysicalPropertySet
 __all__ = [
     "PhysicalOperator",
     "PhysicalTableScan",
+    "PhysicalValues",
     "PhysicalFilter",
     "PhysicalProjection",
     "PhysicalHashJoin",
@@ -79,6 +80,21 @@ class PhysicalTableScan(PhysicalOperator):
         if self.columns is not None:
             parts.append(f"columns: [{', '.join(self.columns)}]")
         return "PhysicalTableScan { " + ", ".join(parts) + " }"
+
+
+@dataclass(frozen=True)
+class PhysicalValues(PhysicalOperator):
+    """Driver-local literal relation (Spark ``LocalRelation``)."""
+
+    rows: Tuple[Tuple, ...]
+    names: Tuple[str, ...]
+    dtypes: Tuple[str, ...]
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalValues {{ rows: {len(self.rows)}, "
+            f"cols: [{', '.join(self.names)}] }}"
+        )
 
 
 @dataclass(frozen=True)

@@ -239,6 +239,8 @@ def _output_rows(op: Operator, input_rows, ctx=None, input_stats=None) -> float:
         op = P.PhysicalIntersect()
     elif isinstance(op, L.LogicalExcept):
         op = P.PhysicalExcept()
+    if isinstance(op, (L.LogicalValues, P.PhysicalValues)):
+        return max(1.0, float(len(op.rows)))  # exact — data is in the plan
     if isinstance(op, P.PhysicalTableScan):
         base = 1e6
         if ctx is not None and getattr(ctx, "catalog", None) is not None:

@@ -18,6 +18,7 @@ from ..rule import OptExpression, OptimizerContext, Rule, RulePromise, RuleResul
 
 __all__ = [
     "Scan2TableScanRule",
+    "Values2ValuesRule",
     "Filter2FilterRule",
     "Projection2ProjectionRule",
     "Limit2LimitRule",
@@ -47,6 +48,22 @@ class Scan2TableScanRule(Rule):
             OptExpression.op(
                 P.PhysicalTableScan(op.table_name, op.limit, op.filters, op.columns)
             )
+        )
+
+
+class Values2ValuesRule(Rule):
+    """LogicalValues -> PhysicalValues (LocalRelation); leaf like
+    Scan2TableScanRule above."""
+
+    name = "Values2ValuesRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(L.LogicalValues)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: L.LogicalValues = input.root.operator
+        result.add(
+            OptExpression.op(P.PhysicalValues(op.rows, op.names, op.dtypes))
         )
 
 
@@ -203,6 +220,7 @@ class Except2ExceptRule(Rule):
 
 IMPLEMENTATION_RULES = [
     Scan2TableScanRule(),
+    Values2ValuesRule(),
     Filter2FilterRule(),
     Projection2ProjectionRule(),
     Limit2LimitRule(),

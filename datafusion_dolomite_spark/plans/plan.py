@@ -32,6 +32,7 @@ from ..operators.logical import (
     LogicalOperator,
     LogicalProjection,
     LogicalScan,
+    LogicalValues,
     LogicalSort,
     LogicalUnion,
     Operator,
@@ -136,6 +137,17 @@ class LogicalPlanBuilder:
             limit,
             tuple(filters),
             tuple(columns) if columns is not None else None,
+        )
+        return self._push(op, [])
+
+    def values(
+        self,
+        rows: Sequence[Sequence],
+        names: Sequence[str],
+        dtypes: Sequence[str],
+    ) -> "LogicalPlanBuilder":
+        op = LogicalValues(
+            tuple(tuple(r) for r in rows), tuple(names), tuple(dtypes)
         )
         return self._push(op, [])
 

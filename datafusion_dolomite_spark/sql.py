@@ -55,7 +55,7 @@ _KEYWORDS = {
     "like", "case", "when", "then", "else", "end", "is", "null", "cross",
     "over", "partition", "rows", "range", "unbounded", "preceding",
     "following", "current", "row", "outer", "offset", "nulls", "first",
-    "last",
+    "last", "values",
 }
 
 
@@ -569,6 +569,10 @@ class _Parser:
         """One FROM item → (builder, base_table_or_None, alias_or_None).
         A trailing bare identifier (or ``AS ident``) is a table alias."""
         if self.accept("op", "("):
+            if self.accept("kw", "values"):
+                # inline relation: FROM (VALUES (...), (...)) [AS] t(a, b)
+                b, alias = self._values_table()
+                return b, None, alias
             # derived table: FROM (SELECT ...) [AS] alias — columns keep
             # their subquery output names
             sub = self._query()
@@ -588,6 +592,67 @@ class _Parser:
             # so a shared subtree would alias edits across references
             return LogicalPlanBuilder(_clone_subtree(self.ctes[name].root)), name, alias
         return LogicalPlanBuilder().scan(name), name, alias
+
+    def _values_table(self):
+        """``VALUES (lit, ...), ... ) [AS] t(c1, c2)`` → LogicalValues.
+        Cells are literals (optionally ``-``-signed numbers or NULL);
+        column types infer from the first non-NULL cell per column
+        (int → bigint, float → double, str → string)."""
+
+        def cell():
+            if self.accept("kw", "null"):
+                return None
+            neg = bool(self.accept("op", "-"))
+            tok = self.next()
+            if tok.kind == "number":
+                v = float(tok.value) if "." in tok.value else int(tok.value)
+                return -v if neg else v
+            if neg:
+                raise SqlError("'-' in VALUES must prefix a number")
+            if tok.kind == "string":
+                return tok.value[1:-1].replace("''", "'")
+            raise SqlError(f"VALUES cell must be a literal, got {tok.value!r}")
+
+        rows = []
+        while True:
+            self.expect("op", "(")
+            row = [cell()]
+            while self.accept("op", ","):
+                row.append(cell())
+            self.expect("op", ")")
+            rows.append(tuple(row))
+            if not self.accept("op", ","):
+                break
+        self.expect("op", ")")
+        alias = None
+        names = None
+        self.accept("kw", "as")
+        if self.peek().kind == "ident":
+            alias = self.next().value
+            if self.accept("op", "("):
+                names = [self.expect("ident").value]
+                while self.accept("op", ","):
+                    names.append(self.expect("ident").value)
+                self.expect("op", ")")
+        ncols = len(rows[0])
+        if any(len(r) != ncols for r in rows):
+            raise SqlError("VALUES rows have differing arity")
+        if names is None:
+            names = [f"col{i}" for i in range(ncols)]
+        if len(names) != ncols:
+            raise SqlError("VALUES column alias arity mismatch")
+        dtypes = []
+        for i in range(ncols):
+            sample = next((r[i] for r in rows if r[i] is not None), "")
+            if isinstance(sample, bool):
+                dtypes.append("boolean")
+            elif isinstance(sample, int):
+                dtypes.append("bigint")
+            elif isinstance(sample, float):
+                dtypes.append("double")
+            else:
+                dtypes.append("string")
+        return LogicalPlanBuilder().values(rows, names, dtypes), alias
 
     def _from_item(self, frame, seen_bases):
         """Parse one FROM item, register its alias in ``frame`` and
@@ -952,6 +1017,8 @@ class _Parser:
                 schema = self.catalog.schema(op.table_name)
                 for f in schema.fields:
                     cols.append(Col(f.name, qualifier=op.table_name))
+            elif op.operator_name() == "Values":
+                cols.extend(Col(n) for n in op.names)
         return cols
 
 

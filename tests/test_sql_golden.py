@@ -647,3 +647,45 @@ def test_ctas_roundtrip(planner):
     # registered: query the new table through the same planner
     again = sorted(tuple(r) for r in planner.sql("select n_regionkey, n from _t_nations").collect())
     assert again == want
+
+
+def test_values_inline_relation(planner):
+    """VALUES parses to a LogicalValues leaf, optimizes to
+    PhysicalValues, executes as a LocalRelation, and handles negatives,
+    escaped quotes, NULL cells, and default column names."""
+    import pytest
+
+    from datafusion_dolomite_spark.sql import SqlError, parse_sql
+
+    rows = sorted(
+        (tuple(r) for r in planner.sql(
+            "select * from (values (1, 'a'), (-2, 'b''c'), (null, 'd')) as v(a, b)"
+        ).collect()),
+        key=lambda t: (t[0] is None, t[0] or 0),
+    )
+    assert rows == [(-2, "b'c"), (1, "a"), (None, "d")]
+    # default column names col0..colN
+    named = planner.sql("select col0, col1 from (values (7, 'x')) t")
+    assert [tuple(r) for r in named.collect()] == [(7, "x")]
+    # the optimized plan carries the PhysicalValues leaf
+    text = planner.explain(
+        parse_sql("select * from (values (1, 'a')) v(a, b)", planner.catalog)
+    )
+    assert "PhysicalValues" in text
+    with pytest.raises(SqlError):
+        parse_sql("select * from (values (1, 2), (3)) t(a, b)", planner.catalog)
+    with pytest.raises(SqlError):
+        parse_sql("select * from (values (n_name)) t(a)", planner.catalog)
+
+
+def test_values_join_broadcasts(planner):
+    """A VALUES dim joined to a catalog table must take the broadcast
+    side — never shuffle the real table against a 5-row literal."""
+    df = planner.sql(
+        "select tier, count(*) as n from nation "
+        "join (values (0, 'americas'), (1, 'emea')) as t(rk, tier) "
+        "on n_regionkey = rk group by tier"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert df.count() == 2
