@@ -56,6 +56,16 @@ BROADCAST_ROW_THRESHOLD = 1_000_000
 #: (matches the session's spark.sql.autoBroadcastJoinThreshold budget).
 BROADCAST_BYTES_THRESHOLD = 64 * 1024 * 1024
 
+#: parallelism assumed when modeling map-side partial aggregation: each
+#: of the N upstream partitions can hold at most ``ndv(group keys)``
+#: partial rows, so an aggregate's shuffle moves
+#: ``min(input_rows, out_rows × N)`` rows — with high-ndv keys there is
+#: NO map-side reduction and the shuffle costs as much as the raw input.
+#: Tracks the test bed's shuffle partitions; on a real cluster it only
+#: has to be ORDER-correct (more partitions → less per-partition combine
+#: → the same qualitative preference).
+COMBINE_PARTITIONS = 32
+
 
 class SparkCostModel(CostModel):
     """Cardinality-aware cost. Unit = 'row touches'.
@@ -122,8 +132,14 @@ class SparkCostModel(CostModel):
             # the two and broadcasting it still beats two shuffles+sorts).
             return 2.0 * build + rows[0]
         if isinstance(op, P.PhysicalHashAggregate):
-            # map-side partial agg then shuffle the (smaller) partials
-            return rows[0] + 3.0 * out
+            # map-side partial agg then shuffle the partials: each of the
+            # ~COMBINE_PARTITIONS upstream partitions emits at most one
+            # partial row per group, so high-ndv group keys defeat the
+            # combine and the shuffle costs the full input.  Getting this
+            # right is what keeps EagerAggregationRule honest: pushing an
+            # aggregate below a broadcast join ADDS a (barely-combining)
+            # shuffle where none existed, and must lose.
+            return rows[0] + 3.0 * min(rows[0], out * COMBINE_PARTITIONS)
         if isinstance(op, P.PhysicalSort):
             n = max(rows[0] if rows else 2.0, 2.0)
             return 3.0 * n + 0.2 * n * math.log2(n)
@@ -131,7 +147,8 @@ class SparkCostModel(CostModel):
             # per-partition heap: one pass, no shuffle
             return rows[0] if rows else 1.0
         if isinstance(op, P.PhysicalDistinct):
-            return rows[0] + 3.0 * out
+            # same partial-combine bound as the hash aggregate above
+            return rows[0] + 3.0 * min(rows[0], out * COMBINE_PARTITIONS)
         if isinstance(op, P.PhysicalUnion):
             return 0.01 * sum(rows)
         if isinstance(op, (P.PhysicalIntersect, P.PhysicalExcept)):

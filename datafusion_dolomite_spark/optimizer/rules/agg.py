@@ -1,0 +1,155 @@
+"""Eager aggregation (partial-aggregate pushdown below a join).
+
+Cost-based exploration rule:
+
+    Aggregate(keys=G, aggs=A) over InnerEquiJoin(L, R)
+      →  FinalAggregate(keys=G, aggs=A')
+           over InnerEquiJoin(PartialAggregate(L'), R)
+
+where the partial aggregate groups the pushed side by its join keys
+plus its share of ``G`` and pre-computes each aggregate; the final
+aggregate re-combines partials (``sum`` of partial sums/counts,
+``min``/``max`` of partial mins/maxes).  Yan & Larson's classic "eager
+aggregation" transform (VLDB '95).
+
+Soundness (why no multiplicity correction is needed): under the inner
+equi-join, every pushed-side *group* row joins exactly the same set of
+other-side rows that each of its member rows did, so a partial value
+that meets ``k`` matches is re-added ``k`` times by the final SUM —
+exactly the contribution its member rows made in the original plan.
+This holds for SUM and COUNT (final = sum of partials) with no
+uniqueness assumption on the other side's key; MIN/MAX are idempotent
+under duplication.  AVG / COUNT(DISTINCT) / STDDEV are not decomposable
+this way and block the rewrite.
+
+Why it matters at 100 TB: when the fact side carries far more rows than
+join-key groups (``rows ≫ ndv(key)``), the pre-join aggregate shrinks
+what the join shuffle moves by that ratio — and because the partial
+aggregate's output is already hash-partitioned on its keys, the join
+can reuse the partitioning (our Exchange enforcers cost that reuse).
+When the join is broadcast-able, eager aggregation *adds* a shuffle
+where none existed, so this must be a cost decision, not a rewrite:
+both shapes go into the memo and branch-and-bound picks.  Catalyst
+does not perform this transform (its partial aggregates sit around a
+single aggregate's own shuffle, never below a join), so this is an
+optimization our engine contributes on top of Spark.
+
+The reference's rule set stops at join commutation
+(``dolomite/src/rules/join.rs:28-69``); this extends the exploration
+space the same way ``AssociateJoinRule``/``ExchangeJoinRule`` do.
+"""
+
+from __future__ import annotations
+
+from ...expr import Alias, BinOp, Col, Func
+from ...operators.logical import JoinType, LogicalAggregate, LogicalJoin
+from ..pattern import Pattern, pattern_of
+from ..rule import OptExpression, OptimizerContext, Rule, RulePromise, RuleResult
+
+__all__ = ["EagerAggregationRule"]
+
+#: aggregate → (partial fn, final fn) decompositions that are exact under
+#: join-induced row duplication (see module docstring)
+_DECOMPOSE = {
+    "sum": ("sum", "sum"),
+    "count": ("count", "sum"),
+    "min": ("min", "min"),
+    "max": ("max", "max"),
+}
+
+#: generated partial-column prefix; doubles as the re-application guard
+_PARTIAL = "__ea"
+
+
+class EagerAggregationRule(Rule):
+    name = "EagerAggregationRule"
+    transformation = True
+
+    def pattern(self) -> Pattern:
+        return pattern_of(LogicalAggregate, children=(pattern_of(LogicalJoin),))
+
+    def promise(self) -> RulePromise:
+        return RulePromise.LOW
+
+    def apply(
+        self, input: OptExpression, ctx: OptimizerContext, result: RuleResult
+    ) -> None:
+        agg: LogicalAggregate = input.root.operator
+        join_node = input.root.inputs[0]
+        join: LogicalJoin = join_node.operator
+        if agg.mode != "groupby":
+            return  # rollup/cube subtotals don't commute with the join
+        if join.join_type is not JoinType.INNER:
+            return  # outer joins inject non-matching rows below the agg
+        pairs = join.equi_keys()
+        if not pairs:
+            return  # pure equi-join only
+        left_h, right_h = join_node.inputs
+        lp = getattr(left_h, "prop", None)
+        rp = getattr(right_h, "prop", None)
+        if lp is None or rp is None:
+            return
+        lcols = set(lp.schema.names())
+        rcols = set(rp.schema.names())
+        if lcols & rcols:
+            return  # ambiguous ownership
+        # group keys must be plain columns to survive the partial agg
+        if not all(isinstance(g, Col) for g in agg.group_exprs):
+            return
+        # re-application guard: the rewritten final aggregate references
+        # __ea partials; pushing it again would nest partials forever
+        referenced = {g.name for g in agg.group_exprs}
+        for a in agg.agg_exprs:
+            referenced.update(a.columns())
+            if a.name.startswith(_PARTIAL):
+                return
+        if any(c.startswith(_PARTIAL) for c in referenced):
+            return
+
+        for side, side_cols, keys in (
+            (0, lcols, tuple(p[0] for p in pairs)),
+            (1, rcols, tuple(p[1] for p in pairs)),
+        ):
+            alt = self._push_side(agg, join, join_node.inputs, side, side_cols, keys)
+            if alt is not None:
+                result.add(alt)
+
+    def _push_side(self, agg, join, join_inputs, side, side_cols, join_keys):
+        if not set(join_keys) <= side_cols:
+            return None  # equi pair oriented the other way / malformed
+        partials, finals = [], []
+        for i, a in enumerate(agg.agg_exprs):
+            if not isinstance(a, Alias) or not isinstance(a.expr, Func):
+                return None
+            fn: Func = a.expr
+            deco = _DECOMPOSE.get(fn.name)
+            if deco is None:
+                return None
+            refs = set(fn.columns())
+            if refs and not refs <= side_cols:
+                return None  # aggregate reads the other side (or both)
+            pname = f"{_PARTIAL}{i}"
+            partials.append(Alias(Func(deco[0], fn.args), pname))
+            finals.append(Alias(Func(deco[1], (Col(pname),)), a.name))
+        # this side's share of the group keys rides along in the partial
+        partial_keys = list(dict.fromkeys(join_keys))
+        for g in agg.group_exprs:
+            if g.name in side_cols and g.name not in partial_keys:
+                partial_keys.append(g.name)
+        partial = OptExpression.op(
+            LogicalAggregate(
+                group_exprs=tuple(Col(k) for k in partial_keys),
+                agg_exprs=tuple(partials),
+            ),
+            join_inputs[side],
+        )
+        new_inputs = (
+            (partial, join_inputs[1]) if side == 0 else (join_inputs[0], partial)
+        )
+        new_join = OptExpression.op(
+            LogicalJoin(join.join_type, join.condition), *new_inputs
+        )
+        final = LogicalAggregate(
+            group_exprs=agg.group_exprs, agg_exprs=tuple(finals)
+        )
+        return OptExpression.op(final, new_join)

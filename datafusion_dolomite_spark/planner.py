@@ -32,6 +32,7 @@ from .optimizer.rules.join import (
     Join2HashJoinRule,
     Join2SortMergeJoinRule,
 )
+from .optimizer.rules.agg import EagerAggregationRule
 from .optimizer.rules.limit import (
     PushLimitOverProjectionRule,
     PushLimitThroughUnionRule,
@@ -76,6 +77,7 @@ def default_cascades_rules(enable_join_exploration: bool = True) -> list[Rule]:
         rules.append(CommutateJoinRule())
         rules.append(AssociateJoinRule())
         rules.append(ExchangeJoinRule())
+        rules.append(EagerAggregationRule())
     return rules
 
 
