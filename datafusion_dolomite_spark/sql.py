@@ -55,7 +55,7 @@ _KEYWORDS = {
     "like", "case", "when", "then", "else", "end", "is", "null", "cross",
     "over", "partition", "rows", "range", "unbounded", "preceding",
     "following", "current", "row", "outer", "offset", "nulls", "first",
-    "last", "values",
+    "last", "values", "qualify",
 }
 
 
@@ -368,13 +368,28 @@ class _Parser:
                 while self.accept("op", ","):
                     group_exprs.append(self._resolve(self._expr()))
 
+        # -- QUALIFY: filter over window outputs (DuckDB/Snowflake
+        # extension) — parsed here (it follows GROUP BY position in the
+        # grammar; windows don't mix with aggregation in this dialect so
+        # HAVING can never precede it), lowered below as a LogicalFilter
+        # between the window node and the final projection.
+        qpred: Optional[Expr] = None
+        if self.accept("kw", "qualify"):
+            qpred = self._resolve(self._expr())
+            if star:
+                raise SqlError("SELECT * cannot be combined with QUALIFY")
+            if not (
+                any(_contains_window(e) for e in items) or _contains_window(qpred)
+            ):
+                raise SqlError("QUALIFY requires a window function")
+
         # -- window functions: lower OVER items onto a LogicalWindow ----
         # Each _WindowExpr anywhere in a select item becomes a
         # WindowExprDef column on a LogicalWindow node (evaluated after
         # WHERE, before the final projection); the item's residual
         # expression references it by name.  An item that IS an aliased
         # window takes the alias as the window column name directly.
-        if any(_contains_window(e) for e in items):
+        if any(_contains_window(e) for e in items) or qpred is not None:
             if star:
                 raise SqlError("SELECT * cannot be combined with window functions")
             if group_exprs or any(_contains_aggregate(e) for e in items):
@@ -412,7 +427,35 @@ class _Parser:
                 return x
 
             items = [_lower_window(e) for e in items]
+            if qpred is not None:
+                # window calls inside QUALIFY get their own hidden
+                # window columns; select-list ALIASES referenced by the
+                # predicate are substituted with their (lowered)
+                # defining expressions so the filter can sit BELOW the
+                # final projection (window-column aliases already name
+                # real window outputs and need no substitution)
+                qpred = _lower_window(qpred)
+                amap = {
+                    e.name: e.expr for e in items if isinstance(e, Alias)
+                }
+
+                def _subst(x):
+                    if isinstance(x, Col) and x.name in amap:
+                        return amap[x.name]
+                    if isinstance(x, BinOp):
+                        return BinOp(x.op, _subst(x.left), _subst(x.right))
+                    if isinstance(x, Func):
+                        return Func(x.name, tuple(_subst(a) for a in x.args))
+                    if isinstance(x, Cast):
+                        return Cast(_subst(x.expr), x.to_type)
+                    if isinstance(x, Alias):
+                        return Alias(_subst(x.expr), x.name)
+                    return x
+
+                qpred = _subst(qpred)
             builder = builder.window(defs)
+            if qpred is not None:
+                builder = builder.filter(qpred)
 
         has_agg = any(_contains_aggregate(e) for e in items)
         if group_exprs or has_agg:

@@ -709,6 +709,37 @@ class Gen:
         ol, _ = self._order_limit(names, False)
         return sql + ol, sql + ol
 
+    def _qualify(self):
+        """QUALIFY — window-filter clause (DuckDB-native, so the same
+        string is the oracle).  Half the cases reference the select-list
+        window ALIAS (the parser's alias-resolution path), half put the
+        OVER call directly in the predicate (a hidden window column)."""
+        r = self.rng
+        t = r.choice(list(PK))
+        pk = PK[t]
+        strs = [c for c, ty in TABLES[t].items() if ty == STR]
+        part = r.choice(strs) if strs and r.random() < 0.8 else None
+        over = f"PARTITION BY {part} " if part else ""
+        d = r.choice(["ASC", "DESC"])
+        wf = f"row_number() OVER ({over}ORDER BY {pk} {d})"
+        k = r.randint(1, 4)
+        cols = [f"{pk} AS c0"] + ([f"{part} AS c1"] if part else [])
+        names = ["c0"] + (["c1"] if part else [])
+        where = f" WHERE {self._pred([t])}" if r.random() < 0.5 else ""
+        if r.random() < 0.5:
+            sql = (
+                f"SELECT {', '.join(cols)}, {wf} AS w0 FROM {t}{where} "
+                f"QUALIFY w0 <= {k}"
+            )
+            names.append("w0")
+        else:
+            sql = (
+                f"SELECT {', '.join(cols)} FROM {t}{where} "
+                f"QUALIFY {wf} <= {k}"
+            )
+        ol, _ = self._order_limit(names, False)
+        return sql + ol, sql + ol
+
     def _self_join(self):
         """Repeated base table with aliases — exercises the parser's
         rename-on-second-occurrence path (globally-unique column names
@@ -788,6 +819,7 @@ class Gen:
         ("_derived", 8),
         ("_cte", 8),
         ("_window", 12),
+        ("_qualify", 8),
         ("_self_join", 10),
         ("_rollup", 8),
     )
