@@ -1637,6 +1637,28 @@ _SQL_VALUES = (
 )
 
 
+#: QUALIFY — window filter; the SAME string runs on DuckDB (it is a
+#: DuckDB-native clause).  floor() before the bigint cast: Spark's
+#: double→bigint truncates while DuckDB's rounds, floor makes both exact.
+_SQL_QUALIFY = (
+    "SELECT c_nationkey, c_custkey, "
+    "cast(floor(c_acctbal * 100) as bigint) AS bal_cents, "
+    "row_number() OVER (PARTITION BY c_nationkey "
+    "ORDER BY c_acctbal DESC, c_custkey) AS rnk "
+    "FROM customer QUALIFY rnk <= 3"
+)
+
+#: eager-aggregation query — plain agg-over-join SQL; the REWRITE is the
+#: engine's (cost-based, plan-level), so the same string is the oracle.
+_SQL_EAGER_AGG = (
+    "SELECT c_nationkey, "
+    "cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS total_price, "
+    "count(*) AS n_orders, max(o_orderdate) AS last_order "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_nationkey"
+)
+
+
 def _pagerank_oracle(iters=3, d=85, scale=10**9) -> str:
     """Unrolled exact replay of the quantized PageRank iteration
     (``functions/graph.py::pagerank``): BIGINT fixed-point ranks,
@@ -2384,6 +2406,16 @@ EXTENSION_ORACLES = {
     """,
     "q_pagerank": _pagerank_oracle(3, 85),
     "q_sql_values": _SQL_VALUES,
+    "q_sql_qualify": _SQL_QUALIFY,
+    "q_eager_agg": _SQL_EAGER_AGG,
+    "q_file_skip": """
+        SELECT o_orderpriority, count(*) AS n,
+               sum(floor(o_totalprice * 100)::BIGINT) AS cents
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 00:00:00'
+        GROUP BY o_orderpriority
+    """,
     "q_interval_overlap": """
         WITH b AS (SELECT l_orderkey, l_suppkey,
                           date_diff('day', DATE '1970-01-01', l_shipdate::DATE)
@@ -3637,6 +3669,54 @@ def q_sql_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).sql(_SQL_VALUES)
 
 
+def q_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``QUALIFY`` through the SQL front door (DuckDB/Snowflake window
+    filter; parsed after GROUP BY position, lowered as a LogicalFilter
+    between LogicalWindow and the final projection — ``sql.py``).  The
+    predicate references the select-list window ALIAS, exercising the
+    alias-resolution path.  Top-3 customers by balance per nation with
+    a unique tie-break; same string is the oracle."""
+    return _planner(spark, sf_dir).sql(_SQL_QUALIFY)
+
+
+def q_eager_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based EAGER AGGREGATION (Yan & Larson '95): the aggregate is
+    pushed below the join as a partial grouped on the join key, the
+    final re-combines partials (sum of sums / sum of counts / max of
+    maxes) — ``optimizer/rules/agg.py``.  The planner here pins the
+    shuffle-join regime (broadcast thresholds of 1) because that is
+    where the transform pays: at 100 TB neither fact table broadcasts,
+    the join must shuffle anyway, and pre-collapsing orders from rows
+    to ndv(o_custkey) groups shrinks the shuffle by that ratio while
+    the partial's hash partitioning is reused by the join (the plan has
+    exactly one Exchange — pytest-pinned in test_eager_agg.py).  At
+    sf0.1-local the default cost model would broadcast customer and
+    correctly skip the rewrite — the threshold override simulates
+    at-scale relative sizes, not a forced plan.  Decimal partial sums
+    keep the money total bit-exact vs the oracle."""
+    pl = _eager_planner(spark, sf_dir)
+    return pl.sql(_SQL_EAGER_AGG)
+
+
+def _eager_planner(spark: SparkSession, sf_dir: str):
+    import os
+
+    from datafusion_dolomite_spark.optimizer.cascades.cost import SparkCostModel
+
+    key = (id(spark), os.path.normpath(sf_dir), "eager")
+    pl = _PLANNERS.get(key)
+    if pl is None or pl.spark is not spark:
+        pl = QueryPlanner(
+            spark,
+            testdata_catalog(sf_dir),
+            cost_model=SparkCostModel(
+                broadcast_row_threshold=1, broadcast_bytes_threshold=1
+            ),
+        )
+        _PLANNERS[key] = pl
+    return pl
+
+
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERVAL-OVERLAP join (both sides intervals — the temporal join
     the point-in-interval range join doesn't cover): supplier 1's
@@ -4224,6 +4304,60 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .build()
     )
     return QueryPlanner(spark, cat).dataframe(plan)
+
+
+def q_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-LEVEL DATA SKIPPING (``sources/skipping.py``): orders
+    rewritten once range-clustered on o_orderdate into 8 narrow-band
+    files, with per-file min/max recorded in a ``_file_stats.json``
+    sidecar read from the parquet footers at WRITE time (the Delta-log /
+    Iceberg-manifest pattern).  The 1996 date-range scan consults the
+    sidecar only — one small JSON read decides which files exist for the
+    query, regardless of table file count; Spark's row-group pruning
+    then narrows within the kept files.  A corrupt-decoy pytest
+    (test_file_skipping.py) proves skipped files are never opened.  The
+    oracle runs the same filter over the ORIGINAL orders: green means
+    the clustered rewrite + sidecar pruning + re-applied predicate are
+    lossless."""
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.sources.signature import write_marker
+    from datafusion_dolomite_spark.sources.sinks import write_parquet
+    from datafusion_dolomite_spark.sources.skipping import (
+        skipping_scan,
+        write_file_stats,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    dest, fresh, sig = _materialized_dir(sf_dir, "fileskip", src)
+    pl = _planner(spark, sf_dir)
+    if not fresh:
+        write_parquet(
+            pl.dataframe(LogicalPlanBuilder().scan("orders").build()),
+            dest,
+            cluster_by=["o_orderdate"],
+            n_files=8,
+        )
+        write_file_stats(dest, ["o_orderdate"])
+        write_marker(dest, sig)
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 12, 31)
+    return (
+        skipping_scan(spark, dest, "o_orderdate", lo, hi)
+        .filter(
+            "o_orderdate BETWEEN '1996-01-01 00:00:00' AND '1996-12-31 00:00:00'"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+    )
 
 
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4925,6 +5059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: SQL front door) so a deep prefix still re-proves them.
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
+    "q_sql_qualify", "q_eager_agg", "q_file_skip",
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
     "q_corpus_resample", "q_range_bounds", "q_stream_outer_join",
     "q_time_weighted_avg", "q_interval_overlap", "q_sql_values",
@@ -4980,6 +5115,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_weighted_avg": q_time_weighted_avg,
         "q_interval_overlap": q_interval_overlap,
         "q_sql_values": q_sql_values,
+        "q_sql_qualify": q_sql_qualify,
+        "q_eager_agg": q_eager_agg,
+        "q_file_skip": q_file_skip,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,

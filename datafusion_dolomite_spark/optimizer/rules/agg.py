@@ -117,11 +117,22 @@ class EagerAggregationRule(Rule):
     def _push_side(self, agg, join, join_inputs, side, side_cols, join_keys):
         if not set(join_keys) <= side_cols:
             return None  # equi pair oriented the other way / malformed
+        from ...expr import Cast
+
         partials, finals = [], []
         for i, a in enumerate(agg.agg_exprs):
-            if not isinstance(a, Alias) or not isinstance(a.expr, Func):
+            if not isinstance(a, Alias):
                 return None
-            fn: Func = a.expr
+            # unwrap output casts (``cast(sum(decimal) as double)`` — the
+            # SQL layer's exact-money convention); they re-wrap the final
+            inner = a.expr
+            casts: list[str] = []
+            while isinstance(inner, Cast):
+                casts.append(inner.to_type)
+                inner = inner.expr
+            if not isinstance(inner, Func):
+                return None
+            fn: Func = inner
             deco = _DECOMPOSE.get(fn.name)
             if deco is None:
                 return None
@@ -130,7 +141,10 @@ class EagerAggregationRule(Rule):
                 return None  # aggregate reads the other side (or both)
             pname = f"{_PARTIAL}{i}"
             partials.append(Alias(Func(deco[0], fn.args), pname))
-            finals.append(Alias(Func(deco[1], (Col(pname),)), a.name))
+            final: object = Func(deco[1], (Col(pname),))
+            for t in reversed(casts):
+                final = Cast(final, t)
+            finals.append(Alias(final, a.name))
         # this side's share of the group keys rides along in the partial
         partial_keys = list(dict.fromkeys(join_keys))
         for g in agg.group_exprs:

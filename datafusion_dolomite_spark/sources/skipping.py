@@ -1,0 +1,168 @@
+"""File-level data skipping: per-file min/max stats + pruned scans.
+
+The Delta/Iceberg data-skipping pattern, self-contained: after a
+clustered write (``sinks.write_parquet(cluster_by=...)`` — each file
+covers a narrow band of the cluster columns), ``write_file_stats``
+reads every part file's parquet FOOTER once and records per-file
+min/max for the requested columns into a single ``_file_stats.json``
+sidecar next to the data.  ``skipping_scan`` then answers a range
+predicate by consulting the sidecar alone — files whose band cannot
+intersect are never listed, opened, or scheduled.
+
+Why this matters at 100 TB: Spark's parquet reader already skips ROW
+GROUPS via footer stats, but it must still open every file to read the
+footer — on a 100k-file table that is 100k driver/executor round trips
+before the first byte of data.  The sidecar is the transaction-log
+trick: scan-time pruning costs ONE small JSON read regardless of file
+count (in a production lakehouse this metadata lives in the Delta log /
+Iceberg manifest; the mechanism is identical).
+
+Freshness: the sidecar is written immediately after the clustered
+materialization, inside a directory keyed on the SOURCE SIGNATURE
+(``signature.py``) — regenerated testdata rebuilds directory and
+sidecar together, so they cannot drift apart.
+
+The reference has no storage layer at all (SURVEY §2.4); this is
+extension surface alongside partitioned sources and bucketed tables.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+from typing import Optional, Sequence, Tuple
+
+__all__ = ["write_file_stats", "select_files", "skipping_scan", "STATS_NAME"]
+
+STATS_NAME = "_file_stats.json"
+
+
+def _enc(v):
+    """JSON-encode a footer statistic, tagging non-JSON-native types."""
+    if isinstance(v, datetime.datetime):
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"t": "date", "v": v.isoformat()}
+    if isinstance(v, bytes):
+        return {"t": "bytes", "v": v.decode("utf-8", "replace")}
+    return v
+
+
+def _dec(v):
+    if isinstance(v, dict):
+        if v.get("t") == "ts":
+            return datetime.datetime.fromisoformat(v["v"])
+        if v.get("t") == "date":
+            return datetime.date.fromisoformat(v["v"])
+        if v.get("t") == "bytes":
+            return v["v"]
+    return v
+
+
+def _norm(v):
+    """Comparable form: user bounds and footer stats may mix datetime
+    and date (timestamp_ntz columns surface datetimes)."""
+    v = _dec(v)
+    if isinstance(v, datetime.datetime):
+        return v
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day)
+    return v
+
+
+def _part_files(path: str) -> list[str]:
+    return sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+
+
+def write_file_stats(path: str, columns: Sequence[str]) -> dict:
+    """Read each part file's footer ONCE (write time, driver-side) and
+    persist per-file min/max for ``columns``.  Min/max fold over row
+    groups; a column with no usable statistics records ``null`` (that
+    file is then never skipped on that column — conservative)."""
+    import pyarrow.parquet as pq
+
+    files = {}
+    for fname in _part_files(path):
+        md = pq.ParquetFile(os.path.join(path, fname)).metadata
+        bands = {}
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for ci in range(rg.num_columns):
+                col = rg.column(ci)
+                name = col.path_in_schema
+                if name not in columns:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    bands[name] = None
+                    continue
+                prev = bands.get(name)
+                if prev is None and name in bands:
+                    continue  # an earlier row group lacked stats
+                lo, hi = st.min, st.max
+                if prev is not None:
+                    lo = min(prev[0], lo)
+                    hi = max(prev[1], hi)
+                bands[name] = (lo, hi)
+        files[fname] = {
+            c: ([_enc(b[0]), _enc(b[1])] if b is not None else None)
+            for c, b in bands.items()
+        }
+    doc = {"columns": list(columns), "files": files}
+    with open(os.path.join(path, STATS_NAME), "w") as f:
+        json.dump(doc, f)
+    return doc
+
+
+def _load_stats(path: str) -> Optional[dict]:
+    p = os.path.join(path, STATS_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def select_files(
+    path: str, column: str, lower=None, upper=None
+) -> Tuple[list[str], int]:
+    """Part files whose [min,max] band on ``column`` can intersect
+    [lower, upper] (either bound may be None = unbounded), plus the
+    total file count.  Files without a sidecar entry or without stats
+    for the column are kept — skipping must never be load-bearing for
+    correctness, only for cost."""
+    stats = _load_stats(path)
+    all_files = _part_files(path)
+    if stats is None:
+        return [os.path.join(path, f) for f in all_files], len(all_files)
+    lo_b = _norm(lower) if lower is not None else None
+    hi_b = _norm(upper) if upper is not None else None
+    selected = []
+    for fname in all_files:
+        band = stats["files"].get(fname, {}).get(column)
+        if band is None:
+            selected.append(os.path.join(path, fname))
+            continue
+        fmin, fmax = _norm(band[0]), _norm(band[1])
+        if lo_b is not None and fmax < lo_b:
+            continue
+        if hi_b is not None and fmin > hi_b:
+            continue
+        selected.append(os.path.join(path, fname))
+    return selected, len(all_files)
+
+
+def skipping_scan(spark, path: str, column: str, lower=None, upper=None):
+    """DataFrame over only the files that can satisfy
+    ``lower <= column <= upper``.  The caller still applies the exact
+    predicate (selected files are a superset); Spark's row-group pruning
+    then narrows further WITHIN each kept file."""
+    files, _total = select_files(path, column, lower, upper)
+    if not files:
+        # empty relation with the right schema
+        return spark.read.parquet(path).filter("1=0")
+    return spark.read.parquet(*files)
