@@ -1161,6 +1161,67 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched_event_counts(spark, sf_dir)
 
 
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC UPSERT (``pipeline.incremental_upsert``): events
+    replay as a 4-file checkpointed stream, ``foreachBatch`` MERGES each
+    micro-batch into a copy-on-write versioned snapshot — running event
+    count plus the LATEST purchase value per user, latest decided by a
+    zero-padded (ts_us, event_id) string orderer so ties are impossible.
+    Count-add and argmax are associative, so the final snapshot is
+    independent of how files split into batches; exactly-once under
+    kill/restart is pytest-proved (test_streaming_recovery.py).  Source
+    split and sink are keyed on the events signature: a rerun resumes
+    the checkpoint, merges zero new batches, and re-reads the newest
+    committed version.  The oracle computes the same count + argmax over
+    the whole table in one pass."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.sources.signature import source_signature
+    from datafusion_dolomite_spark.streaming.pipeline import incremental_upsert
+
+    src = os.path.join(sf_dir, "events.parquet")
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        "upsert",
+        sf_name,
+    )
+    sig = source_signature(src)
+    ns = os.path.join(base, sig)
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            if d != sig:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    src_split = os.path.join(ns, "src")
+    if not os.path.exists(os.path.join(src_split, "_SUCCESS")):
+        kind = testdata_catalog(sf_dir).schema("events").field("ts").dtype
+        ts_us = (
+            F.expr("ts div 1000")
+            if kind == "bigint"
+            else F.unix_micros(F.col("ts").cast("timestamp"))
+        )
+        (
+            spark.read.parquet(src)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.concat(
+                    F.lpad(ts_us.cast("string"), 20, "0"),
+                    F.lpad(F.col("event_id").cast("string"), 12, "0"),
+                ).alias("ord"),
+                F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src_split)
+        )
+    return incremental_upsert(spark, src_split, os.path.join(ns, "sink"))
+
+
 # ---------------------------------------------------------------------------
 # JSON extraction over events.props
 # ---------------------------------------------------------------------------
@@ -2415,6 +2476,17 @@ EXTENSION_ORACLES = {
         WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
                               AND TIMESTAMP '1996-12-31 00:00:00'
         GROUP BY o_orderpriority
+    """,
+    "q_stream_upsert": """
+        WITH e AS (
+          SELECT user_id,
+                 lpad(epoch_us(ts)::VARCHAR, 20, '0')
+                   || lpad(event_id::VARCHAR, 12, '0') AS ord,
+                 floor(value * 100)::BIGINT AS cents
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT user_id, count(*) AS n_events, arg_max(cents, ord) AS cents
+        FROM e GROUP BY user_id
     """,
     "q_interval_overlap": """
         WITH b AS (SELECT l_orderkey, l_suppkey,
@@ -5059,7 +5131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: SQL front door) so a deep prefix still re-proves them.
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
-    "q_sql_qualify", "q_eager_agg", "q_file_skip",
+    "q_sql_qualify", "q_eager_agg", "q_file_skip", "q_stream_upsert",
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
     "q_corpus_resample", "q_range_bounds", "q_stream_outer_join",
     "q_time_weighted_avg", "q_interval_overlap", "q_sql_values",
@@ -5118,6 +5190,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_qualify": q_sql_qualify,
         "q_eager_agg": q_eager_agg,
         "q_file_skip": q_file_skip,
+        "q_stream_upsert": q_stream_upsert,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,

@@ -67,6 +67,50 @@ def _start(spark, src, out, ckpt, *, available_now, schema):
     return w.start()
 
 
+def test_foreachbatch_upsert_exactly_once_across_crash(spark, tmp_path):
+    """incremental_upsert killed at the WORST point — after a batch's
+    snapshot version is written but before its checkpoint commits — must
+    converge to the same final snapshot as an uninterrupted run: the
+    replayed batch re-reads the PREDECESSOR version and overwrites the
+    orphan, so nothing is double-counted."""
+    import pytest as _pytest
+
+    from datafusion_dolomite_spark.streaming.pipeline import incremental_upsert
+
+    src = str(tmp_path / "usrc")
+    (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .selectExpr(
+            "user_id",
+            "concat(lpad(cast(event_id as string), 12, '0')) AS ord",
+            "cast(floor(value * 100) as bigint) AS cents",
+        )
+        .repartition(N_FILES)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+
+    control = incremental_upsert(spark, src, str(tmp_path / "ctl"))
+    control_rows = sorted(tuple(r) for r in control.collect())
+    assert control_rows
+
+    def boom(batch_id):
+        if batch_id == 1:
+            raise RuntimeError("injected crash after v_1 write")
+
+    crash_root = str(tmp_path / "crash")
+    with _pytest.raises(Exception):
+        incremental_upsert(spark, src, crash_root, _fault=boom)
+
+    recovered = incremental_upsert(spark, src, crash_root)
+    recovered_rows = sorted(tuple(r) for r in recovered.collect())
+    assert recovered_rows == control_rows, (
+        "upsert snapshot after crash+restart must equal an "
+        "uninterrupted run"
+    )
+
+
 def test_file_sink_exactly_once_across_kill(spark, tmp_path):
     src = _source_dir(spark, tmp_path)
     schema = spark.read.parquet(src).schema
