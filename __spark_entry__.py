@@ -2471,11 +2471,42 @@ EXTENSION_ORACLES = {
     "q_eager_agg": _SQL_EAGER_AGG,
     "q_file_skip": """
         SELECT o_orderpriority, count(*) AS n,
-               sum(floor(o_totalprice * 100)::BIGINT) AS cents
+               sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS cents
         FROM orders
         WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
                               AND TIMESTAMP '1996-12-31 00:00:00'
         GROUP BY o_orderpriority
+    """,
+    "q_importance_select": """
+        WITH w AS (
+          SELECT doc_id, lang,
+                 string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM documents
+        ),
+        e AS (
+          SELECT doc_id, lang,
+                 unnest(list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i+1])) AS g
+          FROM w WHERE len(w) >= 2
+        ),
+        tf AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b,
+                 count(*) AS tf
+          FROM e GROUP BY doc_id, lang, b
+        ),
+        model AS (
+          SELECT b, sum(tf) AS raw,
+                 sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS tgt
+          FROM tf GROUP BY b
+        ),
+        sc AS (
+          SELECT doc_id,
+                 sum(tf * ((tgt + 1) * 1000000 // (raw + 1024)))::BIGINT
+                     AS score
+          FROM tf JOIN model USING (b) GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 50
     """,
     "q_stream_upsert": """
         WITH e AS (
@@ -3731,6 +3762,35 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
     )
     return line_dedup(docs, "doc_id", "text", sep=". ")
+
+
+def q_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (``functions/importance.py``):
+    keep the 50 documents whose hashed-bigram distribution most
+    resembles the English subset (the 'target') relative to the whole
+    corpus.  Bucket models are ONE bounded aggregate (1024 rows) that
+    broadcasts into the per-doc scoring join; integer Laplace-smoothed
+    ratios replace float log-likelihoods so DuckDB replays the exact
+    scores; the top-k compiles to TakeOrderedAndProject (never a global
+    sort).  Deterministic: unique (score DESC, doc_id) order."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.functions.importance import (
+        importance_resample,
+    )
+
+    docs = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder()
+        .scan("documents", columns=["doc_id", "text", "lang"])
+        .build()
+    )
+    return importance_resample(
+        docs.withColumn("_is_en", F.col("lang") == "en"),
+        "doc_id",
+        "text",
+        "_is_en",
+        k=50,
+    )
 
 
 def q_sql_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5132,6 +5192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
     "q_sql_qualify", "q_eager_agg", "q_file_skip", "q_stream_upsert",
+    "q_importance_select",
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
     "q_corpus_resample", "q_range_bounds", "q_stream_outer_join",
     "q_time_weighted_avg", "q_interval_overlap", "q_sql_values",
@@ -5191,6 +5252,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_eager_agg": q_eager_agg,
         "q_file_skip": q_file_skip,
         "q_stream_upsert": q_stream_upsert,
+        "q_importance_select": q_importance_select,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,

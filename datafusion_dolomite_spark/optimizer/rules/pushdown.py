@@ -46,6 +46,7 @@ __all__ = [
     "ReorderJoinGraphRule",
     "PruneScanColumnsRule",
     "PushFilterThroughAggregateRule",
+    "PushFilterThroughWindowRule",
     "PUSHDOWN_RULES",
 ]
 
@@ -470,6 +471,64 @@ class PushFilterThroughAggregateRule(Rule):
 
 
 
+class PushFilterThroughWindowRule(Rule):
+    """``Filter(Window)`` — the shape QUALIFY lowers to — pushes the
+    conjuncts that reference only columns in EVERY window definition's
+    PARTITION BY below the window.  Such a predicate is constant within
+    each partition of each definition, so it keeps or drops whole
+    partitions and cannot change any window value on surviving rows.
+    At scale this filters BEFORE the window's hash shuffle instead of
+    computing window functions over rows the query then discards
+    (Catalyst has the same rewrite for its own plans; QUALIFY plans are
+    OURS, so the rewrite must live in our engine)."""
+
+    name = "PushFilterThroughWindowRule"
+
+    def pattern(self) -> Pattern:
+        from ...operators.logical import LogicalWindow
+
+        return pattern_of(LogicalFilter, children=(pattern_of(LogicalWindow),))
+
+    def promise(self) -> RulePromise:
+        return RulePromise.HIGH
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        from ...operators.logical import LogicalWindow
+
+        filt: LogicalFilter = input.root.operator
+        if filt.projected_columns:
+            return
+        win_node = input.root.inputs[0]
+        win: LogicalWindow = win_node.operator
+        if not win.window_exprs:
+            return
+        part_sets = []
+        for w in win.window_exprs:
+            if not all(isinstance(p, Col) for p in w.partition_by):
+                return
+            part_sets.append({p.name for p in w.partition_by})
+        common = set.intersection(*part_sets)
+        if not common:
+            return
+        below = win_node.inputs[0]
+        push, keep = [], []
+        for c in _conjuncts(filt.predicate):
+            refs = set(c.columns())
+            if refs and refs <= common:
+                push.append(c)
+            else:
+                keep.append(c)
+        if not push:
+            return
+        new_win = OptExpression.op(
+            win, OptExpression.op(LogicalFilter(_and_all(push)), below)
+        )
+        if keep:
+            result.add(OptExpression.op(LogicalFilter(_and_all(keep)), new_win))
+        else:
+            result.add(new_win)
+
+
 def _handle_columns(h) -> Optional[set]:
     node = h.handle
     if node is None or getattr(node, "logical_prop", None) is None:
@@ -600,4 +659,5 @@ PUSHDOWN_RULES = [
     PushFilterThroughJoinRule(),
     PruneScanColumnsRule(),
     PushFilterThroughAggregateRule(),
+    PushFilterThroughWindowRule(),
 ]
