@@ -137,6 +137,63 @@ def test_eager_plan_matches_plain_plan(spark, planner, shuffle_qp):
         assert math.isclose(e["total"], p["total"], rel_tol=1e-9)
 
 
+def test_eager_agg_fuzz_vs_duckdb(spark, shuffle_qp):
+    """Differential mini-fuzz for the rewrite itself: random agg-over-
+    join configurations planned in the shuffle-join regime (where eager
+    aggregation fires whenever legal) must match DuckDB on the same
+    parquet.  Covers: group keys from either/both sides, decomposable
+    aggs over either side (which blocks the push for the wrong side),
+    count(*), expression-valued agg inputs, and the no-group-key case."""
+    import random
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    joins = [
+        ("orders", "customer", "o_custkey", "c_custkey"),
+        ("lineitem", "part", "l_partkey", "p_partkey"),
+    ]
+    group_pool = {
+        ("orders", "customer"): ["c_nationkey", "c_mktsegment", "o_orderstatus"],
+        ("lineitem", "part"): ["p_brand", "l_returnflag", "l_linestatus"],
+    }
+    agg_pool = {
+        ("orders", "customer"): [
+            "count(*) AS a0",
+            "cast(sum(cast(floor(o_totalprice) as bigint)) as bigint) AS a1",
+            "min(o_orderkey) AS a2",
+            "max(c_acctbal) AS a3",
+            "cast(sum(cast(floor(c_acctbal * 10) as bigint)) as bigint) AS a4",
+        ],
+        ("lineitem", "part"): [
+            "count(*) AS a0",
+            "cast(sum(cast(l_quantity as bigint) * (1 + l_linenumber)) as bigint) AS a1",
+            "max(p_size) AS a2",
+            "min(l_orderkey) AS a3",
+        ],
+    }
+    rng = random.Random(20260814)
+    for _ in range(25):
+        lt, rt, lk, rk = rng.choice(joins)
+        keys = rng.sample(group_pool[(lt, rt)], rng.randint(0, 2))
+        aggs = rng.sample(agg_pool[(lt, rt)], rng.randint(1, 3))
+        sel = ", ".join(keys + aggs)
+        sql = f"SELECT {sel} FROM {lt} JOIN {rt} ON {lk} = {rk}"
+        if keys:
+            sql += f" GROUP BY {', '.join(keys)}"
+        # DuckDB sum(BIGINT) is HUGEINT -> the ::BIGINT casts above keep
+        # both engines' dtypes identical for the tuple compare
+        got = sorted(tuple(r) for r in shuffle_qp.sql(sql).collect())
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want, sql
+
+
 def test_global_agg_pushes_partial(spark, planner, shuffle_qp):
     """No GROUP BY at all: the partial still groups by the join key and
     the final collapses to one row."""
