@@ -2477,6 +2477,11 @@ EXTENSION_ORACLES = {
                               AND TIMESTAMP '1996-12-31 00:00:00'
         GROUP BY o_orderpriority
     """,
+    "q_bloom_skip": """
+        SELECT event_id, event_type,
+               floor(value * 100)::BIGINT AS cents
+        FROM events WHERE event_id IN (7, 101, 499, 733, 911)
+    """,
     "q_importance_select": """
         WITH w AS (
           SELECT doc_id, lang,
@@ -4492,6 +4497,51 @@ def q_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER file skipping (``sources/skipping.py``): point
+    lookups on a column the file layout is NOT clustered by.  events is
+    rewritten once into 8 files with a ~1 KB per-file Bloom bitset on
+    event_id in the stats sidecar; an IN-list probe consults the sidecar
+    only — files whose bloom rejects every probed id are never listed or
+    opened (no false negatives; a false positive just reads one extra
+    file).  This is the layout-independent complement of q_file_skip's
+    min/max bands — together they cover range scans on the cluster key
+    AND point lookups on everything else.  Oracle: the same IN filter
+    over the original events."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.sources.signature import write_marker
+    from datafusion_dolomite_spark.sources.sinks import write_parquet
+    from datafusion_dolomite_spark.sources.skipping import (
+        skipping_scan_eq,
+        write_file_blooms,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    dest, fresh, sig = _materialized_dir(sf_dir, "bloomskip", src)
+    pl = _planner(spark, sf_dir)
+    if not fresh:
+        write_parquet(
+            pl.dataframe(LogicalPlanBuilder().scan("events").build()),
+            dest,
+            n_files=8,
+        )
+        write_file_blooms(dest, ["event_id"])
+        write_marker(dest, sig)
+    ids = [7, 101, 499, 733, 911]
+    return (
+        skipping_scan_eq(spark, dest, "event_id", ids)
+        .filter(F.col("event_id").isin(ids))
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style MERGE/upsert — the snapshot-maintenance step of an
     incremental ingest pipeline, expressed the scale-correct Spark way:
@@ -5192,7 +5242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
     "q_sql_qualify", "q_eager_agg", "q_file_skip", "q_stream_upsert",
-    "q_importance_select",
+    "q_importance_select", "q_bloom_skip",
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
     "q_corpus_resample", "q_range_bounds", "q_stream_outer_join",
     "q_time_weighted_avg", "q_interval_overlap", "q_sql_values",
@@ -5253,6 +5303,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_file_skip": q_file_skip,
         "q_stream_upsert": q_stream_upsert,
         "q_importance_select": q_importance_select,
+        "q_bloom_skip": q_bloom_skip,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,

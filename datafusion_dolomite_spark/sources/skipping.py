@@ -33,7 +33,15 @@ import json
 import os
 from typing import Optional, Sequence, Tuple
 
-__all__ = ["write_file_stats", "select_files", "skipping_scan", "STATS_NAME"]
+__all__ = [
+    "write_file_stats",
+    "select_files",
+    "skipping_scan",
+    "write_file_blooms",
+    "select_files_eq",
+    "skipping_scan_eq",
+    "STATS_NAME",
+]
 
 STATS_NAME = "_file_stats.json"
 
@@ -154,6 +162,94 @@ def select_files(
             continue
         selected.append(os.path.join(path, fname))
     return selected, len(all_files)
+
+
+# -- Bloom-filter skipping (point lookups on UNCLUSTERED columns) ----------
+#
+# Min/max bands only prune when the layout clusters the predicate column;
+# a point lookup on any OTHER column sees every file's full-range band.
+# Per-file Bloom filters close that gap: ~1 KB of sidecar bits per file
+# answers "could value v be in this file?" with no false negatives.
+# The parquet format itself has optional column bloom filters; keeping
+# ours in the sidecar makes them readable without opening files — the
+# same one-JSON-read scan-time story as the min/max bands.
+
+
+def _bloom_positions(value, n_bits: int, k: int):
+    """k deterministic bit positions for ``value`` — md5 over the
+    canonical string with a per-probe seed, so any engine (or a test)
+    can reproduce the filter bit-for-bit."""
+    import hashlib
+
+    for i in range(k):
+        h = hashlib.md5(f"{value}|{i}".encode()).hexdigest()
+        yield int(h[:15], 16) % n_bits
+
+
+def write_file_blooms(
+    path: str, columns: Sequence[str], n_bits: int = 8192, k: int = 4
+) -> dict:
+    """Build per-file Bloom filters for ``columns`` and merge them into
+    the sidecar under ``"blooms"``.  Built at WRITE time from each part
+    file's column values (here driver-side via one pyarrow column read;
+    in a production writer the executor that wrote the file computes its
+    bitset as a byproduct).  ~n_bits/8 bytes per file per column."""
+    import pyarrow.parquet as pq
+
+    blooms: dict = {"n_bits": n_bits, "k": k, "files": {}}
+    for fname in _part_files(path):
+        per_col = {}
+        tbl = pq.read_table(
+            os.path.join(path, fname), columns=list(columns)
+        )
+        for c in columns:
+            bits = 0
+            for v in tbl.column(c).to_pylist():
+                if v is None:
+                    continue
+                for pos in _bloom_positions(v, n_bits, k):
+                    bits |= 1 << pos
+            per_col[c] = f"{bits:x}"
+        blooms["files"][fname] = per_col
+    doc = _load_stats(path) or {"columns": [], "files": {}}
+    doc["blooms"] = blooms
+    with open(os.path.join(path, STATS_NAME), "w") as f:
+        json.dump(doc, f)
+    return doc
+
+
+def select_files_eq(path: str, column: str, values) -> Tuple[list[str], int]:
+    """Part files that might contain ANY of ``values`` in ``column``
+    per the sidecar Bloom filters (no false negatives; false positives
+    only cost a wasted file read).  Files without a bloom are kept."""
+    stats = _load_stats(path)
+    all_files = _part_files(path)
+    blooms = (stats or {}).get("blooms")
+    if not blooms:
+        return [os.path.join(path, f) for f in all_files], len(all_files)
+    n_bits, k = blooms["n_bits"], blooms["k"]
+    probes = [list(_bloom_positions(v, n_bits, k)) for v in values]
+    selected = []
+    for fname in all_files:
+        hex_bits = blooms["files"].get(fname, {}).get(column)
+        if hex_bits is None:
+            selected.append(os.path.join(path, fname))
+            continue
+        bits = int(hex_bits, 16)
+        if any(
+            all((bits >> pos) & 1 for pos in plist) for plist in probes
+        ):
+            selected.append(os.path.join(path, fname))
+    return selected, len(all_files)
+
+
+def skipping_scan_eq(spark, path: str, column: str, values):
+    """DataFrame over only the files whose Bloom filter admits at least
+    one of ``values``; the caller re-applies the exact IN predicate."""
+    files, _total = select_files_eq(path, column, values)
+    if not files:
+        return spark.read.parquet(path).filter("1=0")
+    return spark.read.parquet(*files)
 
 
 def skipping_scan(spark, path: str, column: str, lower=None, upper=None):

@@ -116,6 +116,52 @@ def test_timestamp_bands_prune(spark, tmp_path):
     assert got == want > 0
 
 
+def test_bloom_skipping_point_lookup(spark, clustered):
+    """Bloom filters prune point lookups on a column the layout is NOT
+    clustered by; a corrupt decoy whose bloom excludes the probe values
+    is never opened."""
+    from datafusion_dolomite_spark.sources.skipping import (
+        STATS_NAME,
+        select_files_eq,
+        skipping_scan_eq,
+        write_file_blooms,
+    )
+
+    doc = write_file_blooms(clustered, ["o_orderkey"])
+    assert len(doc["blooms"]["files"]) == 4
+    # min/max bands survive the bloom merge in the same sidecar
+    with open(os.path.join(clustered, STATS_NAME)) as f:
+        stats = json.load(f)
+    assert stats["files"] and stats["blooms"]
+
+    keys = [11, 777, 1402]
+    decoy = os.path.join(clustered, "part-99998-deadbeef.parquet")
+    with open(decoy, "wb") as f:
+        f.write(b"NOT A PARQUET FILE")
+    stats["blooms"]["files"]["part-99998-deadbeef.parquet"] = {
+        "o_orderkey": "0"  # empty bitset: admits nothing
+    }
+    with open(os.path.join(clustered, STATS_NAME), "w") as f:
+        json.dump(stats, f)
+    try:
+        sel, total = select_files_eq(clustered, "o_orderkey", keys)
+        assert total == 5 and decoy not in sel
+        # 3 keys live in <=3 of the 4 real files (false positives allowed
+        # but at 8192 bits / ~375 keys per file they're ~never observed)
+        assert len(sel) <= 3, sel
+        pred = f"o_orderkey IN ({', '.join(map(str, keys))})"
+        got = (
+            skipping_scan_eq(spark, clustered, "o_orderkey", keys)
+            .filter(pred)
+            .collect()
+        )
+        want = spark.read.parquet(SRC).filter(pred).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+        assert len(got) == 3
+    finally:
+        os.remove(decoy)
+
+
 def test_unbounded_and_missing_sidecar_keep_everything(spark, clustered, tmp_path):
     from datafusion_dolomite_spark.sources.sinks import write_parquet
     from datafusion_dolomite_spark.sources.skipping import select_files
