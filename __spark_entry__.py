@@ -1709,6 +1709,14 @@ _SQL_QUALIFY = (
     "FROM customer QUALIFY rnk <= 3"
 )
 
+#: EXCEPT ALL — bag semantics (vs q_except's set semantics); the same
+#: string runs on DuckDB.
+_SQL_SETOP_ALL = (
+    "SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 10 "
+    "EXCEPT ALL "
+    "SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 5"
+)
+
 #: eager-aggregation query — plain agg-over-join SQL; the REWRITE is the
 #: engine's (cost-based, plan-level), so the same string is the oracle.
 _SQL_EAGER_AGG = (
@@ -2477,6 +2485,7 @@ EXTENSION_ORACLES = {
                               AND TIMESTAMP '1996-12-31 00:00:00'
         GROUP BY o_orderpriority
     """,
+    "q_sql_setop_all": _SQL_SETOP_ALL,
     "q_bloom_skip": """
         SELECT event_id, event_type,
                floor(value * 100)::BIGINT AS cents
@@ -3767,6 +3776,17 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
     )
     return line_dedup(docs, "doc_id", "text", sep=". ")
+
+
+def q_sql_setop_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operation through the SQL front door:
+    ``EXCEPT ALL`` keeps each row max(count_left − count_right, 0)
+    times (vs the set-semantics EXCEPT already covered by q_except) —
+    executes as Spark's count-difference replicate over one
+    full-columns aggregate shuffle.  Same string is the oracle; the
+    result is a multiset the driver's sorted-rows hash checks
+    exactly."""
+    return _planner(spark, sf_dir).sql(_SQL_SETOP_ALL)
 
 
 def q_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5242,7 +5262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
     "q_sql_qualify", "q_eager_agg", "q_file_skip", "q_stream_upsert",
-    "q_importance_select", "q_bloom_skip",
+    "q_importance_select", "q_bloom_skip", "q_sql_setop_all",
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
     "q_corpus_resample", "q_range_bounds", "q_stream_outer_join",
     "q_time_weighted_avg", "q_interval_overlap", "q_sql_values",
@@ -5304,6 +5324,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_upsert": q_stream_upsert,
         "q_importance_select": q_importance_select,
         "q_bloom_skip": q_bloom_skip,
+        "q_sql_setop_all": q_sql_setop_all,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,

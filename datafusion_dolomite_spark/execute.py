@@ -263,10 +263,14 @@ class SparkExecutor:
 
     def _intersect(self, node: PlanNode):
         left, right = (self._node(c) for c in node.inputs)
+        if getattr(node.operator, "all", False):
+            return left.intersectAll(right)
         return left.intersect(right)
 
     def _except(self, node: PlanNode):
         left, right = (self._node(c) for c in node.inputs)
+        if getattr(node.operator, "all", False):
+            return left.exceptAll(right)
         # EXCEPT DISTINCT (SQL set semantics) — Spark's subtract()
         return left.subtract(right)
 

@@ -413,26 +413,33 @@ class LogicalUnion(LogicalOperator):
 
 @dataclass(frozen=True)
 class LogicalIntersect(LogicalOperator):
-    """INTERSECT (set semantics, SQL default: distinct rows present in
-    both inputs), by column position (extension)."""
+    """INTERSECT [ALL], by column position (extension).  Default = SQL
+    set semantics (distinct rows present in both inputs); ``all=True``
+    keeps bag semantics (each row min(count_left, count_right) times)."""
+
+    all: bool = False
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
         return input_props[0]
 
     def pretty(self) -> str:
-        return "LogicalIntersect"
+        return "LogicalIntersectAll" if self.all else "LogicalIntersect"
 
 
 @dataclass(frozen=True)
 class LogicalExcept(LogicalOperator):
-    """EXCEPT (set semantics: distinct rows of the left input absent from
-    the right), by column position (extension)."""
+    """EXCEPT [ALL], by column position (extension).  Default = SQL set
+    semantics (distinct left rows absent from the right); ``all=True``
+    keeps bag semantics (each row max(count_left - count_right, 0)
+    times)."""
+
+    all: bool = False
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
         return input_props[0]
 
     def pretty(self) -> str:
-        return "LogicalExcept"
+        return "LogicalExceptAll" if self.all else "LogicalExcept"
 
 
 # ---------------------------------------------------------------------------

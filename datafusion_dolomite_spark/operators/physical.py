@@ -371,20 +371,26 @@ class PhysicalUnion(PhysicalOperator):
 
 @dataclass(frozen=True)
 class PhysicalIntersect(PhysicalOperator):
-    """INTERSECT (distinct) — hash-shuffle both sides on all columns;
-    Spark plans it as a left-semi aggregate."""
+    """INTERSECT [ALL] — hash-shuffle both sides on all columns; Spark
+    plans the distinct form as a left-semi aggregate, the ALL form as a
+    count-compare over a full-columns aggregate."""
+
+    all: bool = False
 
     def pretty(self) -> str:
-        return "PhysicalIntersect"
+        return "PhysicalIntersectAll" if self.all else "PhysicalIntersect"
 
 
 @dataclass(frozen=True)
 class PhysicalExcept(PhysicalOperator):
-    """EXCEPT (distinct) — hash-shuffle both sides on all columns;
-    Spark plans it as a left-anti aggregate."""
+    """EXCEPT [ALL] — hash-shuffle both sides on all columns; Spark
+    plans the distinct form as a left-anti aggregate, the ALL form as a
+    count-difference replicate."""
+
+    all: bool = False
 
     def pretty(self) -> str:
-        return "PhysicalExcept"
+        return "PhysicalExceptAll" if self.all else "PhysicalExcept"
 
 
 @dataclass(frozen=True)

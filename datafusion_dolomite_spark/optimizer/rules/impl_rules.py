@@ -205,7 +205,7 @@ class Intersect2IntersectRule(Rule):
         return pattern_of(L.LogicalIntersect)
 
     def apply(self, input, ctx, result: RuleResult) -> None:
-        result.add(OptExpression.op(P.PhysicalIntersect(), *input.root.inputs))
+        result.add(OptExpression.op(P.PhysicalIntersect(input.root.operator.all), *input.root.inputs))
 
 
 class Except2ExceptRule(Rule):
@@ -215,7 +215,7 @@ class Except2ExceptRule(Rule):
         return pattern_of(L.LogicalExcept)
 
     def apply(self, input, ctx, result: RuleResult) -> None:
-        result.add(OptExpression.op(P.PhysicalExcept(), *input.root.inputs))
+        result.add(OptExpression.op(P.PhysicalExcept(input.root.operator.all), *input.root.inputs))
 
 
 IMPLEMENTATION_RULES = [

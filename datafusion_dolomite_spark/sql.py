@@ -233,14 +233,16 @@ class _Parser:
                     b = b.distinct()
                 plan = b.build()
             elif self.accept("kw", "intersect"):
+                is_all = self.accept("kw", "all") is not None
                 rhs = self._select()
                 plan = LogicalPlanBuilder(plan.root)._push(
-                    LogicalIntersect(), [plan.root, rhs.root]
+                    LogicalIntersect(is_all), [plan.root, rhs.root]
                 ).build()
             elif self.accept("kw", "except"):
+                is_all = self.accept("kw", "all") is not None
                 rhs = self._select()
                 plan = LogicalPlanBuilder(plan.root)._push(
-                    LogicalExcept(), [plan.root, rhs.root]
+                    LogicalExcept(is_all), [plan.root, rhs.root]
                 ).build()
             else:
                 return plan

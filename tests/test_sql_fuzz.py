@@ -554,7 +554,16 @@ class Gen:
         b1, b2 = branch(), branch()
         if b1 is None or b2 is None:
             return self._simple()
-        op = r.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        op = r.choice(
+            [
+                "UNION",
+                "UNION ALL",
+                "INTERSECT",
+                "EXCEPT",
+                "INTERSECT ALL",
+                "EXCEPT ALL",
+            ]
+        )
         sql = f"{b1} {op} {b2}"
         return sql, sql
 
