@@ -1709,6 +1709,16 @@ _SQL_QUALIFY = (
     "FROM customer QUALIFY rnk <= 3"
 )
 
+#: scalar subquery in the SELECT LIST (vs the WHERE-side scalars of
+#: q_sql_scalar_subquery): the one-row aggregate joins below on TRUE
+#: (broadcast), and under GROUP BY its constant column rides along as
+#: an extra group key.  Same string runs on DuckDB.
+_SQL_SELECT_SCALAR = (
+    "SELECT c_nationkey, count(*) AS n_cust, "
+    "(SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS n_f_orders "
+    "FROM customer GROUP BY c_nationkey"
+)
+
 #: EXCEPT ALL — bag semantics (vs q_except's set semantics); the same
 #: string runs on DuckDB.
 _SQL_SETOP_ALL = (
@@ -2486,6 +2496,7 @@ EXTENSION_ORACLES = {
         GROUP BY o_orderpriority
     """,
     "q_sql_setop_all": _SQL_SETOP_ALL,
+    "q_sql_select_scalar": _SQL_SELECT_SCALAR,
     "q_bloom_skip": """
         SELECT event_id, event_type,
                floor(value * 100)::BIGINT AS cents
@@ -3776,6 +3787,15 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
     )
     return line_dedup(docs, "doc_id", "text", sep=". ")
+
+
+def q_sql_select_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in the SELECT LIST under GROUP BY: the one-row
+    aggregate joins below on TRUE (Spark broadcasts the single row) and
+    its constant ``_scalar_N`` column becomes an extra group key —
+    same groups, SQL semantics — then the re-projection trims back to
+    the select-list shape (``sql.py``).  Same string is the oracle."""
+    return _planner(spark, sf_dir).sql(_SQL_SELECT_SCALAR)
 
 
 def q_sql_setop_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5263,6 +5283,7 @@ _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
     "q_sql_qualify", "q_eager_agg", "q_file_skip", "q_stream_upsert",
     "q_importance_select", "q_bloom_skip", "q_sql_setop_all",
+    "q_sql_select_scalar",
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
     "q_corpus_resample", "q_range_bounds", "q_stream_outer_join",
     "q_time_weighted_avg", "q_interval_overlap", "q_sql_values",
@@ -5325,6 +5346,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_importance_select": q_importance_select,
         "q_bloom_skip": q_bloom_skip,
         "q_sql_setop_all": q_sql_setop_all,
+        "q_sql_select_scalar": q_sql_select_scalar,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,

@@ -289,6 +289,29 @@ class _Parser:
 
         items = [self._resolve(e) for e in items]
 
+        # -- scalar subqueries in the SELECT LIST ------------------------
+        # ``SELECT (SELECT max(x) FROM t2) AS m, ...`` — same lowering as
+        # the WHERE-side scalars: each (uncorrelated, one-row aggregate)
+        # subquery joins below on TRUE (Spark broadcasts the single row)
+        # and the select item references its ``_scalar_N`` column.  With
+        # GROUP BY, the constant column rides along as an extra group key
+        # — same groups, standard semantics (deviation: a global
+        # aggregate over an EMPTY input then yields 0 rows, not 1).
+        sel_scalars: List = []
+        if not star:
+            new_items = []
+            for e in items:
+                ne, sc = _extract_scalars(e)
+                new_items.append(ne)
+                sel_scalars.extend(sc)
+            items = new_items
+        for alias, sub in sel_scalars:
+            cur = _single_output_col(sub)
+            renamed = LogicalPlanBuilder(sub.root).projection(
+                [Alias(Col(cur), alias)]
+            )
+            builder = builder.join(renamed, JoinType.INNER, Lit(True))
+
         if self.accept("kw", "where"):
             pred = self._resolve(self._expr())
             pred, scalars = _extract_scalars(pred)
@@ -463,6 +486,21 @@ class _Parser:
         if group_exprs or has_agg:
             if star:
                 raise SqlError("SELECT * cannot be combined with aggregation")
+            # SELECT-list scalar subqueries under explicit GROUP BY: the
+            # ``_scalar_N`` column joined below is constant, so grouping
+            # by it additionally preserves the groups while carrying the
+            # value through the aggregate (the re-projection below trims
+            # the output back to the select-list shape)
+            if sel_scalars and group_exprs and group_mode == "groupby":
+                item_refs: set = set()
+                for e in items:
+                    item_refs.update(e.columns())
+                for alias, _ in sel_scalars:
+                    if alias in item_refs and not any(
+                        isinstance(g, Col) and g.name == alias
+                        for g in group_exprs
+                    ):
+                        group_exprs.append(Col(alias))
             aggs, plain = [], []
             for e in items:
                 if _contains_aggregate(e):

@@ -718,6 +718,44 @@ class Gen:
         ol, _ = self._order_limit(names, False)
         return sql + ol, sql + ol
 
+    def _select_scalar(self):
+        """Scalar subquery in the SELECT LIST (vs _scalar_subquery's
+        WHERE position): uncorrelated one-row aggregate joined below on
+        TRUE, optionally under GROUP BY (where the constant column rides
+        along as an extra group key)."""
+        r = self.rng
+        t = r.choice(list(TABLES))
+        t2 = r.choice(list(TABLES))
+        ints2 = [c for c, ty in TABLES[t2].items() if ty == INT]
+        if not ints2:
+            return self._simple()
+        sub_agg = r.choice(["min", "max", "count"])
+        sc = r.choice(ints2)
+        subw = f" WHERE {self._pred([t2])}" if r.random() < 0.5 else ""
+        sub = (
+            f"(SELECT count(*) FROM {t2}{subw})"
+            if sub_agg == "count"
+            else f"(SELECT {sub_agg}({sc}) FROM {t2}{subw})"
+        )
+        strs = [c for c, ty in TABLES[t].items() if ty == STR]
+        if strs and r.random() < 0.5:
+            k = r.choice(strs)
+            sql = (
+                f"SELECT {k} AS c0, count(*) AS c1, {sub} AS c2 "
+                f"FROM {t} GROUP BY {k}"
+            )
+            names = ["c0", "c1", "c2"]
+        else:
+            pk_cols = [c for c, ty in TABLES[t].items() if ty == INT]
+            if not pk_cols:
+                return self._simple()
+            k = r.choice(pk_cols)
+            w = f" WHERE {self._pred([t])}" if r.random() < 0.6 else ""
+            sql = f"SELECT {k} AS c0, {sub} AS c2 FROM {t}{w}"
+            names = ["c0", "c2"]
+        ol, _ = self._order_limit(names, False)
+        return sql + ol, sql + ol
+
     def _qualify(self):
         """QUALIFY — window-filter clause (DuckDB-native, so the same
         string is the oracle).  Half the cases reference the select-list
@@ -829,6 +867,7 @@ class Gen:
         ("_cte", 8),
         ("_window", 12),
         ("_qualify", 8),
+        ("_select_scalar", 8),
         ("_self_join", 10),
         ("_rollup", 8),
     )
