@@ -186,6 +186,13 @@ class PhysicalPropertySet:
 @dataclass(frozen=True)
 class ColumnStatistics:
     ndv: float = 0.0
+    #: numeric value bounds from the parquet footers (None = unknown /
+    #: non-numeric).  Feed range-predicate selectivity: the fraction of
+    #: [min,max] a pushed ``col < lit`` keeps is a far better estimate
+    #: than a constant 1/4 — at 100 TB that difference decides whether a
+    #: filtered fact side is broadcastable.
+    min: object = None
+    max: object = None
 
 
 @dataclass(frozen=True)
@@ -213,3 +220,9 @@ class Statistics:
             if name == column:
                 return cs.ndv
         return 0.0
+
+    def col(self, column: str) -> "ColumnStatistics | None":
+        for name, cs in self.columns:
+            if name == column:
+                return cs
+        return None

@@ -225,6 +225,62 @@ def _equi_key_ndv_selectivity(condition, left_stats, right_stats):
     return sel
 
 
+def _predicate_selectivity(pred, stats) -> float:
+    """Selectivity of one predicate expression against ``stats``
+    (a ``Statistics`` or None): System-R with real bounds.
+
+    * ``col = lit`` → 1/ndv (any literal type);
+    * ``col < / <= / > / >= numeric-lit`` → linear interpolation over
+      the column's parquet-footer [min, max];
+    * conjunctions multiply, disjunctions add (capped);
+    * anything else → the classic 1/4.
+
+    Clamped to [1e-4, 1.0] per leaf so a predicate can never zero out a
+    plan's cost.  The reference's statistics are ``todo!()``
+    (stat.rs:6-21); this is the piece that lets a filtered fact table
+    earn a broadcast it would not get at full size."""
+    from ...expr import BinOp, Col, Lit
+
+    if isinstance(pred, BinOp):
+        if pred.op == "and":
+            return max(
+                1e-4,
+                _predicate_selectivity(pred.left, stats)
+                * _predicate_selectivity(pred.right, stats),
+            )
+        if pred.op == "or":
+            return min(
+                1.0,
+                _predicate_selectivity(pred.left, stats)
+                + _predicate_selectivity(pred.right, stats),
+            )
+        op, l, r = pred.op, pred.left, pred.right
+        if isinstance(l, Lit) and isinstance(r, Col):
+            l, r = r, l
+            op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
+        if isinstance(l, Col) and isinstance(r, Lit):
+            cs = stats.col(l.name) if stats is not None else None
+            if op == "=":
+                if cs is not None and cs.ndv > 1:
+                    return max(1e-4, 1.0 / cs.ndv)
+                return 0.25
+            if (
+                op in ("<", "<=", ">", ">=")
+                and cs is not None
+                and cs.min is not None
+                and cs.max is not None
+                and isinstance(r.value, (int, float))
+                and not isinstance(r.value, bool)
+            ):
+                lo, hi = float(cs.min), float(cs.max)
+                if hi > lo:
+                    frac = (float(r.value) - lo) / (hi - lo)
+                    frac = min(max(frac, 0.0), 1.0)
+                    sel = frac if op in ("<", "<=") else 1.0 - frac
+                    return min(1.0, max(1e-4, sel))
+    return 0.25
+
+
 def _output_rows(op: Operator, input_rows, ctx=None, input_stats=None) -> float:
     """Crude output-cardinality estimate; also used as the derived
     statistics for parent operators (the reference's ``derive_statistics``
@@ -260,18 +316,24 @@ def _output_rows(op: Operator, input_rows, ctx=None, input_stats=None) -> float:
         return max(1.0, float(len(op.rows)))  # exact — data is in the plan
     if isinstance(op, P.PhysicalTableScan):
         base = 1e6
+        tstats = None
         if ctx is not None and getattr(ctx, "catalog", None) is not None:
             try:
-                base = ctx.catalog.statistics(op.table_name).row_count
+                tstats = ctx.catalog.statistics(op.table_name)
+                base = tstats.row_count
             except Exception:
                 pass
-        if op.filters:
-            base *= 0.25 ** len(op.filters)  # classic 1/4 selectivity each
+        for f in op.filters or ():
+            base *= _predicate_selectivity(f, tstats)
         if op.limit is not None:
             base = min(base, float(op.limit))
         return max(base, 1.0)
     if isinstance(op, (P.PhysicalFilter,)):
-        return max(input_rows[0] * 0.25, 1.0)
+        sel = _predicate_selectivity(
+            op.predicate,
+            input_stats[0] if input_stats else None,
+        )
+        return max((input_rows[0] if input_rows else 1.0) * sel, 1.0)
     if isinstance(op, (P.PhysicalProjection, P.PhysicalSort, P.Exchange)):
         return input_rows[0] if input_rows else 1.0
     if isinstance(op, P.PhysicalLimit):
@@ -433,7 +495,14 @@ def _propagate_columns(op: Operator, input_stats, ctx, out_rows: float):
             cols = tuple((n, cs) for n, cs in cols if n in keep)
     else:
         return ()
+    from dataclasses import replace as _dc_replace
+
     return tuple(
-        (n, ColumnStatistics(ndv=min(cs.ndv, out_rows)) if cs.ndv > out_rows else cs)
+        (
+            n,
+            _dc_replace(cs, ndv=min(cs.ndv, out_rows))
+            if cs.ndv > out_rows
+            else cs,
+        )
         for n, cs in cols
     )

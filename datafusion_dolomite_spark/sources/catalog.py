@@ -111,6 +111,20 @@ class Catalog:
         self._schemas: Dict[str, Schema] = {}
         self._stats: Dict[str, Statistics] = {}
         self._warehouse = warehouse
+        self._mvs: list = []
+
+    def register_materialized_view(self, mv) -> None:
+        """Register MV metadata (a ``MaterializedView``) for the
+        optimizer's aggregate-rewrite rule.  The MV's partial table must
+        ALSO be registered as a normal source (``register``); freshness
+        is the materializer's contract (our query glue keys the files on
+        the source signature, a warehouse would use its own staleness
+        tracking)."""
+        self._mvs = [m for m in self._mvs if m.name != mv.name]
+        self._mvs.append(mv)
+
+    def materialized_views_for(self, source_table: str):
+        return tuple(m for m in self._mvs if m.source_table == source_table)
 
     def warehouse_path(self, table_name: str) -> str:
         """Managed location for tables this engine CREATEs (CTAS sink).
@@ -304,7 +318,30 @@ class Catalog:
             )
 
         scalar_cols = [f.name for f in arrow_schema if _scalar(f.type)]
+        numeric_cols = {
+            f.name
+            for f in arrow_schema
+            if pa.types.is_integer(f.type) or pa.types.is_floating(f.type)
+        }
         ndv: Dict[str, float] = {}
+        # numeric min/max folded over every file's footer (free at
+        # catalog time; feeds range-predicate selectivity in the cost
+        # model — on a cluster, ANALYZE/metastore serves the same role)
+        vmin: Dict[str, float] = {}
+        vmax: Dict[str, float] = {}
+        for fpath in files[:64]:
+            fmd = pq.ParquetFile(fpath).metadata
+            for rg in range(fmd.num_row_groups):
+                for ci in range(fmd.num_columns):
+                    col = fmd.row_group(rg).column(ci)
+                    path = col.path_in_schema
+                    st = col.statistics
+                    if st is None or path not in numeric_cols:
+                        continue
+                    if st.has_min_max:
+                        lo, hi = float(st.min), float(st.max)
+                        vmin[path] = min(vmin.get(path, lo), lo)
+                        vmax[path] = max(vmax.get(path, hi), hi)
         # footer distinct_count (exact, free) where the writer recorded it
         md = meta.metadata
         for rg in range(md.num_row_groups):
@@ -331,7 +368,14 @@ class Catalog:
             except Exception:
                 pass
         out = tuple(
-            (c, ColumnStatistics(ndv=ndv[c])) for c in scalar_cols if c in ndv
+            (
+                c,
+                ColumnStatistics(
+                    ndv=ndv[c], min=vmin.get(c), max=vmax.get(c)
+                ),
+            )
+            for c in scalar_cols
+            if c in ndv
         )
         _NDV_CACHE[key] = out
         return out
