@@ -2497,6 +2497,12 @@ EXTENSION_ORACLES = {
     """,
     "q_sql_setop_all": _SQL_SETOP_ALL,
     "q_sql_select_scalar": _SQL_SELECT_SCALAR,
+    "q_matview": """
+        SELECT event_type, count(*) AS n_events,
+               sum(floor(value * 100)::BIGINT)::BIGINT AS cents,
+               max(value) AS max_value
+        FROM events GROUP BY event_type
+    """,
     "q_bloom_skip": """
         SELECT event_id, event_type,
                floor(value * 100)::BIGINT AS cents
@@ -4537,6 +4543,72 @@ def q_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED-VIEW rewrite (``optimizer/rules/mv.py``): an MV
+    pre-aggregating events by (event_type, user_id) is materialized once
+    (signature-keyed) and registered; the query then asks the BASE table
+    for per-event_type totals, and the cascades exploration rule
+    rewrites it to re-aggregate the MV's partials (sum of counts / sum
+    of cent-sums / max of maxes) — the plan scans events_mv, never
+    events (pytest-pinned in test_mv_rewrite.py).  At scale this is the
+    continuous-aggregate pattern: |event_type × user_id| partial rows
+    answer any coarser rollup of the fact table.  The oracle aggregates
+    the base table directly — green proves the rewrite is exact."""
+    import os
+
+    from datafusion_dolomite_spark.optimizer.rules.mv import MaterializedView
+    from datafusion_dolomite_spark.sources.signature import write_marker
+
+    cents = Cast(Func("floor", (BinOp("*", col("value"), lit(100)),)), "bigint")
+    src = os.path.join(sf_dir, "events.parquet")
+    dest, fresh, sig = _materialized_dir(sf_dir, "matview", src)
+    pl = _planner(spark, sf_dir)
+    if not fresh:
+        mv_plan = (
+            LogicalPlanBuilder()
+            .scan("events")
+            .aggregate(
+                [col("event_type"), col("user_id")],
+                [
+                    Alias(Func("count", ()), "n"),
+                    Alias(Func("sum", (cents,)), "sum_cents"),
+                    Alias(Func("max", (col("value"),)), "max_value"),
+                ],
+            )
+            .build()
+        )
+        pl.dataframe(mv_plan).write.mode("overwrite").parquet(dest)
+        write_marker(dest, sig)
+    cat = testdata_catalog(sf_dir)
+    cat.register("events_mv", dest)
+    cat.register_materialized_view(
+        MaterializedView(
+            name="events_mv",
+            source_table="events",
+            group_cols=("event_type", "user_id"),
+            agg_defs=(
+                ("n", Func("count", ())),
+                ("sum_cents", Func("sum", (cents,))),
+                ("max_value", Func("max", (col("value"),))),
+            ),
+        )
+    )
+    q = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .aggregate(
+            [col("event_type")],
+            [
+                Alias(Func("count", ()), "n_events"),
+                Alias(Func("sum", (cents,)), "cents"),
+                Alias(Func("max", (col("value"),)), "max_value"),
+            ],
+        )
+        .build()
+    )
+    return QueryPlanner(spark, cat).dataframe(q)
+
+
 def q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLOOM-FILTER file skipping (``sources/skipping.py``): point
     lookups on a column the file layout is NOT clustered by.  events is
@@ -5283,7 +5355,7 @@ _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
     "q_sql_qualify", "q_eager_agg", "q_file_skip", "q_stream_upsert",
     "q_importance_select", "q_bloom_skip", "q_sql_setop_all",
-    "q_sql_select_scalar",
+    "q_sql_select_scalar", "q_matview",
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
     "q_corpus_resample", "q_range_bounds", "q_stream_outer_join",
     "q_time_weighted_avg", "q_interval_overlap", "q_sql_values",
@@ -5347,6 +5419,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_skip": q_bloom_skip,
         "q_sql_setop_all": q_sql_setop_all,
         "q_sql_select_scalar": q_sql_select_scalar,
+        "q_matview": q_matview,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,

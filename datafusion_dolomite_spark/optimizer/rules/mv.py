@@ -1,0 +1,121 @@
+"""Materialized-view rewrite: aggregate queries answered from rollups.
+
+The Calcite/`CREATE MATERIALIZED VIEW`-style transform: when the
+catalog holds an MV that pre-aggregates ``source_table`` by a superset
+of the query's group keys, an ``Aggregate(Scan(source))`` can instead
+re-aggregate the MV's partials —
+
+    Aggregate(G, A) over Scan(events)
+      →  Aggregate(G, A') over [Filter] over Scan(events_mv)
+
+with ``A'`` recombining partials exactly like eager aggregation's
+final step (sum of sums, sum of counts, min/max of partials — the
+``_DECOMPOSE`` table is shared).  Matching is by EXPRESSION EQUALITY:
+a query aggregate rewrites only when its ``Func`` (casts stripped)
+equals the expression the MV declared for one of its columns, so a
+``sum(floor(value*100))`` query only matches an MV that stored exactly
+that partial.  Pushed scan filters survive when they reference only MV
+group columns (those columns exist verbatim in the MV).
+
+Fired as a cascades EXPLORATION rule: both shapes enter the memo and
+the cost model picks — the MV scan wins because its row count is the
+group-key ndv product instead of the source cardinality.  At 100 TB
+this is the continuous-aggregate pattern: the rollup is maintained
+once (here: signature-keyed materialization; in production, an
+incremental refresh like our streaming upsert) and every matching
+query reads it instead of the fact table.
+
+The reference has no statistics, no MVs, and two rewrite rules total;
+this extends the same Rule/OptExpression machinery
+(``rule.py:95-159``) the limit rules use.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+from ...expr import Alias, Cast, Col, Func
+from ...operators.logical import LogicalAggregate, LogicalFilter, LogicalScan
+from ..pattern import Pattern, pattern_of
+from ..rule import OptExpression, OptimizerContext, Rule, RulePromise, RuleResult
+from .agg import _DECOMPOSE
+
+__all__ = ["MaterializedView", "RewriteAggOnMaterializedViewRule"]
+
+
+@dataclass(frozen=True)
+class MaterializedView:
+    """MV metadata: ``name`` is the registered catalog table holding the
+    partials; ``agg_defs`` maps each partial column to the EXACT source
+    expression it pre-aggregates."""
+
+    name: str
+    source_table: str
+    group_cols: Tuple[str, ...]
+    agg_defs: Tuple[Tuple[str, Func], ...]  # (mv_column, partial expr)
+
+
+class RewriteAggOnMaterializedViewRule(Rule):
+    name = "RewriteAggOnMaterializedViewRule"
+    transformation = True
+
+    def pattern(self) -> Pattern:
+        return pattern_of(LogicalAggregate, children=(pattern_of(LogicalScan),))
+
+    def promise(self) -> RulePromise:
+        return RulePromise.LOW
+
+    def apply(
+        self, input: OptExpression, ctx: OptimizerContext, result: RuleResult
+    ) -> None:
+        agg: LogicalAggregate = input.root.operator
+        scan: LogicalScan = input.root.inputs[0].operator
+        if agg.mode != "groupby" or scan.limit is not None:
+            return
+        catalog = getattr(ctx, "catalog", None)
+        if catalog is None or not hasattr(catalog, "materialized_views_for"):
+            return
+        if not all(isinstance(g, Col) for g in agg.group_exprs):
+            return
+        group_names = {g.name for g in agg.group_exprs}
+        for mv in catalog.materialized_views_for(scan.table_name):
+            alt = self._rewrite(agg, scan, mv)
+            if alt is not None:
+                result.add(alt)
+
+    def _rewrite(self, agg, scan, mv):
+        if not {g.name for g in agg.group_exprs} <= set(mv.group_cols):
+            return None
+        # pushed filters survive only over columns the MV carries verbatim
+        for f in scan.filters or ():
+            if not set(f.columns()) <= set(mv.group_cols):
+                return None
+        defs = dict()
+        for col_name, expr in mv.agg_defs:
+            defs[expr] = col_name
+        finals = []
+        for a in agg.agg_exprs:
+            if not isinstance(a, Alias):
+                return None
+            inner = a.expr
+            casts: list[str] = []
+            while isinstance(inner, Cast):
+                casts.append(inner.to_type)
+                inner = inner.expr
+            if not isinstance(inner, Func):
+                return None
+            deco = _DECOMPOSE.get(inner.name)
+            mv_col = defs.get(inner)
+            if deco is None or mv_col is None:
+                return None
+            final: object = Func(deco[1], (Col(mv_col),))
+            for t in reversed(casts):
+                final = Cast(final, t)
+            finals.append(Alias(final, a.name))
+        mv_scan = OptExpression.op(LogicalScan(mv.name, filters=scan.filters))
+        below = mv_scan
+        new_agg = LogicalAggregate(
+            group_exprs=agg.group_exprs, agg_exprs=tuple(finals)
+        )
+        return OptExpression.op(new_agg, below)

@@ -33,6 +33,7 @@ from .optimizer.rules.join import (
     Join2SortMergeJoinRule,
 )
 from .optimizer.rules.agg import EagerAggregationRule
+from .optimizer.rules.mv import RewriteAggOnMaterializedViewRule
 from .optimizer.rules.limit import (
     PushLimitOverProjectionRule,
     PushLimitThroughUnionRule,
@@ -78,6 +79,7 @@ def default_cascades_rules(enable_join_exploration: bool = True) -> list[Rule]:
         rules.append(AssociateJoinRule())
         rules.append(ExchangeJoinRule())
         rules.append(EagerAggregationRule())
+        rules.append(RewriteAggOnMaterializedViewRule())
     return rules
 
 

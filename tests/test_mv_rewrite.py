@@ -1,0 +1,114 @@
+"""RewriteAggOnMaterializedViewRule: aggregate queries answered from a
+registered rollup, with exact-expression matching as the safety gate."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datafusion_dolomite_spark import LogicalPlanBuilder, QueryPlanner, col, lit
+from datafusion_dolomite_spark.expr import Alias, BinOp, Cast, Col, Func, Lit
+from datafusion_dolomite_spark.optimizer.rules.mv import MaterializedView
+
+CENTS = Cast(Func("floor", (BinOp("*", Col("value"), Lit(100)),)), "bigint")
+
+
+@pytest.fixture(scope="module")
+def mv_qp(spark, tmp_path_factory):
+    from datafusion_dolomite_spark.sources.catalog import testdata_catalog
+
+    cat = testdata_catalog("/root/testdata/sf0.001")
+    qp = QueryPlanner(spark, cat)
+    mv_plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .aggregate(
+            [Col("event_type"), Col("user_id")],
+            [
+                Alias(Func("count", ()), "n"),
+                Alias(Func("sum", (CENTS,)), "sum_cents"),
+                Alias(Func("max", (Col("value"),)), "max_value"),
+            ],
+        )
+        .build()
+    )
+    dest = str(tmp_path_factory.mktemp("mv") / "events_mv")
+    qp.dataframe(mv_plan).write.mode("overwrite").parquet(dest)
+    cat.register("events_mv", dest)
+    cat.register_materialized_view(
+        MaterializedView(
+            name="events_mv",
+            source_table="events",
+            group_cols=("event_type", "user_id"),
+            agg_defs=(
+                ("n", Func("count", ())),
+                ("sum_cents", Func("sum", (CENTS,))),
+                ("max_value", Func("max", (Col("value"),))),
+            ),
+        )
+    )
+    return QueryPlanner(spark, cat)
+
+
+def _agg_plan(filters=None, aggs=None, group=("event_type",)):
+    b = LogicalPlanBuilder().scan("events")
+    if filters is not None:
+        b = b.filter(filters)
+    return b.aggregate(
+        [Col(g) for g in group],
+        list(
+            aggs
+            or [
+                Alias(Func("count", ()), "n_events"),
+                Alias(Func("sum", (CENTS,)), "cents"),
+            ]
+        ),
+    ).build()
+
+
+def test_rewrites_to_mv_scan(mv_qp):
+    phys = mv_qp.explain(_agg_plan()).split("== Physical Plan ==")[1]
+    assert '"events_mv"' in phys and '"events" }' not in phys, phys
+    assert "sum(n) as n_events" in phys and "sum(sum_cents) as cents" in phys
+
+
+def test_group_col_filter_survives_on_mv(mv_qp):
+    plan = _agg_plan(filters=col("event_type").eq(lit("click")))
+    phys = mv_qp.explain(plan).split("== Physical Plan ==")[1]
+    assert '"events_mv"' in phys, phys
+    assert "event_type = 'click'" in phys.replace('"', "'")
+
+
+def test_non_mv_column_filter_blocks_rewrite(mv_qp):
+    plan = _agg_plan(filters=col("value").gt(lit(10.0)))
+    phys = mv_qp.explain(plan).split("== Physical Plan ==")[1]
+    assert '"events_mv"' not in phys, phys
+
+
+def test_unmatched_agg_expression_blocks_rewrite(mv_qp):
+    # sum(value) was never materialized (only max(value) and the cents
+    # sum) — expression-equality matching must refuse
+    plan = _agg_plan(aggs=[Alias(Func("sum", (Col("value"),)), "s")])
+    phys = mv_qp.explain(plan).split("== Physical Plan ==")[1]
+    assert '"events_mv"' not in phys, phys
+
+
+def test_min_over_max_partial_blocks_rewrite(mv_qp):
+    # min(value) does not recombine from a max partial
+    plan = _agg_plan(aggs=[Alias(Func("min", (Col("value"),)), "m")])
+    phys = mv_qp.explain(plan).split("== Physical Plan ==")[1]
+    assert '"events_mv"' not in phys, phys
+
+
+def test_mv_answers_match_base_table(spark, mv_qp, planner):
+    plan = _agg_plan(
+        aggs=[
+            Alias(Func("count", ()), "n_events"),
+            Alias(Func("sum", (CENTS,)), "cents"),
+            Alias(Func("max", (Col("value"),)), "mx"),
+        ]
+    )
+    got = sorted(map(tuple, mv_qp.dataframe(plan).collect()))
+    want = sorted(map(tuple, planner.dataframe(plan).collect()))
+    assert got == want and got
