@@ -2503,6 +2503,11 @@ EXTENSION_ORACLES = {
                max(value) AS max_value
         FROM events GROUP BY event_type
     """,
+    "q_stream_matview": """
+        SELECT event_type, count(*) AS n_events,
+               sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY event_type
+    """,
     "q_bloom_skip": """
         SELECT event_id, event_type,
                floor(value * 100)::BIGINT AS cents
@@ -4609,6 +4614,99 @@ def q_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QueryPlanner(spark, cat).dataframe(q)
 
 
+def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS AGGREGATE end-to-end: the MV is MAINTAINED BY THE
+    STREAM (``incremental_rollup`` — additive count/sum partials per
+    (event_type, user_id), merged into copy-on-write versioned
+    snapshots one micro-batch at a time, exactly-once under replay),
+    then registered with the optimizer, and the query — a per-
+    event_type rollup of the BASE table — is transparently re-planned
+    onto the stream-maintained snapshot by the MV rewrite rule.  The
+    oracle aggregates raw events directly: green proves BOTH halves
+    (incremental maintenance is exact, the rewrite is exact).  At
+    scale this is the Timescale/Materialize continuous-aggregate
+    pattern built from Spark primitives: the fact table is never
+    re-scanned after ingest."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.optimizer.rules.mv import MaterializedView
+    from datafusion_dolomite_spark.sources.signature import source_signature
+    from datafusion_dolomite_spark.streaming.pipeline import incremental_rollup
+
+    src = os.path.join(sf_dir, "events.parquet")
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        "stream_mv",
+        sf_name,
+    )
+    sig = source_signature(src)
+    ns = os.path.join(base, sig)
+    if os.path.isdir(base):
+        import shutil
+
+        for d in os.listdir(base):
+            if d != sig:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    src_split = os.path.join(ns, "src")
+    if not os.path.exists(os.path.join(src_split, "_SUCCESS")):
+        (
+            spark.read.parquet(src)
+            .select(
+                "event_type",
+                "user_id",
+                F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src_split)
+        )
+    snap = incremental_rollup(
+        spark,
+        src_split,
+        os.path.join(ns, "sink"),
+        keys=("event_type", "user_id"),
+        measures={"n": None, "sum_cents": "cents"},
+    )
+    mv_dir = os.path.join(ns, "mv_export")
+    if not os.path.exists(os.path.join(mv_dir, "_SUCCESS")):
+        snap.write.mode("overwrite").parquet(mv_dir)
+
+    cents = Cast(Func("floor", (BinOp("*", col("value"), lit(100)),)), "bigint")
+    cat = testdata_catalog(sf_dir)
+    cat.register("events_mv_stream", mv_dir)
+    cat.register_materialized_view(
+        MaterializedView(
+            name="events_mv_stream",
+            source_table="events",
+            group_cols=("event_type", "user_id"),
+            agg_defs=(
+                ("n", Func("count", ())),
+                ("sum_cents", Func("sum", (cents,))),
+            ),
+        )
+    )
+    q = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .aggregate(
+            [col("event_type")],
+            [
+                Alias(Func("count", ()), "n_events"),
+                Alias(Func("sum", (cents,)), "cents"),
+            ],
+        )
+        .build()
+    )
+    qp = QueryPlanner(spark, cat)
+    phys = qp.explain(q)
+    assert "events_mv_stream" in phys, phys  # the rewrite MUST fire
+    return qp.dataframe(q)
+
+
 def q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLOOM-FILTER file skipping (``sources/skipping.py``): point
     lookups on a column the file layout is NOT clustered by.  events is
@@ -5355,7 +5453,7 @@ _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
     "q_sql_qualify", "q_eager_agg", "q_file_skip", "q_stream_upsert",
     "q_importance_select", "q_bloom_skip", "q_sql_setop_all",
-    "q_sql_select_scalar", "q_matview",
+    "q_sql_select_scalar", "q_matview", "q_stream_matview",
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
     "q_corpus_resample", "q_range_bounds", "q_stream_outer_join",
     "q_time_weighted_avg", "q_interval_overlap", "q_sql_values",
@@ -5420,6 +5518,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_setop_all": q_sql_setop_all,
         "q_sql_select_scalar": q_sql_select_scalar,
         "q_matview": q_matview,
+        "q_stream_matview": q_stream_matview,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,

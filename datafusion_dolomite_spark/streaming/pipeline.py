@@ -29,7 +29,22 @@ __all__ = [
     "enriched_event_counts",
     "purchase_click_pairs",
     "incremental_upsert",
+    "incremental_rollup",
 ]
+
+
+def _list_versions(snap_root):
+    """Committed snapshot versions (``v_<n>`` dirs with a ``_SUCCESS``
+    marker) under ``snap_root``, ascending."""
+    import os
+    import re
+
+    out = []
+    for d in os.listdir(snap_root):
+        m = re.fullmatch(r"v_(\d+)", d)
+        if m and os.path.exists(os.path.join(snap_root, d, "_SUCCESS")):
+            out.append(int(m.group(1)))
+    return sorted(out)
 
 
 def _run_stream(spark, df, output_mode, *, sink="memory", sink_path=None):
@@ -372,7 +387,6 @@ def incremental_upsert(
     Returns the final snapshot ``(key, n_events, val)`` as a batch
     DataFrame."""
     import os
-    import re
 
     from pyspark.sql import functions as F
 
@@ -387,12 +401,7 @@ def incremental_upsert(
     os.makedirs(snap_root, exist_ok=True)
 
     def _versions() -> list[int]:
-        out = []
-        for d in os.listdir(snap_root):
-            m = re.fullmatch(r"v_(\d+)", d)
-            if m and os.path.exists(os.path.join(snap_root, d, "_SUCCESS")):
-                out.append(int(m.group(1)))
-        return sorted(out)
+        return _list_versions(snap_root)
 
     def _merge(batch_df, batch_id: int):
         delta = batch_df.groupBy(key).agg(
@@ -467,6 +476,108 @@ def incremental_upsert(
     return spark.read.parquet(os.path.join(snap_root, f"v_{vs[-1]}")).select(
         key, "n_events", val_col
     )
+
+
+def incremental_rollup(
+    spark,
+    src_dir: str,
+    root: str,
+    keys,
+    measures,
+    *,
+    max_files_per_trigger: int = 1,
+):
+    """INCREMENTAL MATERIALIZED-VIEW MAINTENANCE via ``foreachBatch``:
+    maintain additive rollup partials (counts and sums grouped by
+    ``keys``) as copy-on-write versioned snapshots, one merge per
+    micro-batch.
+
+    ``measures`` maps output column → source column to SUM, with the
+    special value ``None`` meaning COUNT(*).  Additive partials make
+    incremental maintenance exact and order-independent: per batch the
+    delta aggregates locally, then a FULL OUTER join adds it to the
+    predecessor version — the same commit-log/replay discipline as
+    ``incremental_upsert`` (read ``v_{i-1}``, overwrite ``v_i``,
+    replays are idempotent), so exactly-once holds under crash/restart.
+
+    This is the streaming half of the continuous-aggregate pattern: the
+    resulting snapshot IS a materialized view of the stream, and
+    registering it with ``optimizer/rules/mv.py`` lets every coarser
+    aggregate query re-plan onto it instead of the fact table — the MV
+    stays fresh to the last committed micro-batch without ever
+    recomputing from scratch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    keys = list(keys)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(src_dir)
+    )
+    snap_root = os.path.join(root, "versions")
+    os.makedirs(snap_root, exist_ok=True)
+    out_cols = list(measures)
+
+    def _merge(batch_df, batch_id: int):
+        aggs = [
+            (
+                F.count(F.lit(1)) if src is None else F.sum(F.col(src))
+            ).alias(f"_d_{out}")
+            for out, src in measures.items()
+        ]
+        delta = batch_df.groupBy(*keys).agg(*aggs)
+        prior = [v for v in _list_versions(snap_root) if v < batch_id]
+        snap = (
+            spark.read.parquet(os.path.join(snap_root, f"v_{prior[-1]}"))
+            if prior
+            else None
+        )
+        if snap is None:
+            merged = delta.select(
+                *keys,
+                *[
+                    F.col(f"_d_{out}").cast("bigint").alias(out)
+                    for out in out_cols
+                ],
+            )
+        else:
+            merged = snap.join(delta, on=keys, how="full_outer").select(
+                *keys,
+                *[
+                    (
+                        F.coalesce(F.col(out), F.lit(0))
+                        + F.coalesce(F.col(f"_d_{out}"), F.lit(0))
+                    )
+                    .cast("bigint")
+                    .alias(out)
+                    for out in out_cols
+                ],
+            )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snap_root, f"v_{batch_id}")
+        )
+        import shutil
+
+        for v in prior[:-1] if prior else []:
+            shutil.rmtree(
+                os.path.join(snap_root, f"v_{v}"), ignore_errors=True
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(root, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    vs = _list_versions(snap_root)
+    if not vs:
+        return None
+    return spark.read.parquet(os.path.join(snap_root, f"v_{vs[-1]}"))
 
 
 def stateful_user_totals(spark, sf_dir: str):
