@@ -2508,6 +2508,11 @@ EXTENSION_ORACLES = {
                sum(floor(value * 100)::BIGINT)::BIGINT AS cents
         FROM events GROUP BY event_type
     """,
+    "q_sql_create_mv": """
+        SELECT event_type, count(*) AS n_events,
+               sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY event_type
+    """,
     "q_bloom_skip": """
         SELECT event_id, event_type,
                floor(value * 100)::BIGINT AS cents
@@ -4614,6 +4619,34 @@ def q_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QueryPlanner(spark, cat).dataframe(q)
 
 
+def q_sql_create_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MATERIALIZED VIEW through the SQL front door: the DDL
+    materializes the (event_type, user_id) rollup AND registers its MV
+    metadata (derived from the sink's own aggregate — only bare
+    decomposable aggs over an unfiltered scan qualify,
+    ``execute.py::_register_mv_metadata``); the follow-up SQL query on
+    the BASE table then re-plans onto the view (asserted).  Same second
+    query is the oracle, run by DuckDB against raw events."""
+    cat = testdata_catalog(sf_dir)
+    qp = QueryPlanner(spark, cat)
+    qp.sql(
+        "CREATE MATERIALIZED VIEW mv_user_rollup AS "
+        "SELECT event_type, user_id, count(*) AS n, "
+        "sum(cast(floor(value * 100) as bigint)) AS sum_cents "
+        "FROM events GROUP BY event_type, user_id"
+    ).count()
+    q = (
+        "SELECT event_type, count(*) AS n_events, "
+        "cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS cents "
+        "FROM events GROUP BY event_type"
+    )
+    from datafusion_dolomite_spark.sql import parse_sql
+
+    phys = qp.explain(parse_sql(q, cat))
+    assert "mv_user_rollup" in phys, phys
+    return qp.sql(q)
+
+
 def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTINUOUS AGGREGATE end-to-end: the MV is MAINTAINED BY THE
     STREAM (``incremental_rollup`` — additive count/sum partials per
@@ -5454,6 +5487,7 @@ _UNPROVEN_PREFIX = (
     "q_sql_qualify", "q_eager_agg", "q_file_skip", "q_stream_upsert",
     "q_importance_select", "q_bloom_skip", "q_sql_setop_all",
     "q_sql_select_scalar", "q_matview", "q_stream_matview",
+    "q_sql_create_mv",
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
     "q_corpus_resample", "q_range_bounds", "q_stream_outer_join",
     "q_time_weighted_avg", "q_interval_overlap", "q_sql_values",
@@ -5519,6 +5553,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_select_scalar": q_sql_select_scalar,
         "q_matview": q_matview,
         "q_stream_matview": q_stream_matview,
+        "q_sql_create_mv": q_sql_create_mv,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,

@@ -315,6 +315,8 @@ class SparkExecutor:
         }[op.format]
         writer(df, path)
         self.catalog.register(op.table_name, path, format=op.format)
+        if getattr(op, "mv", False):
+            self._register_mv_metadata(op.table_name, node.inputs[0])
         # downstream reads the PERSISTED bytes, not the live pipeline
         if op.format == "parquet":
             return self.spark.read.parquet(path)
@@ -323,6 +325,56 @@ class SparkExecutor:
             .schema(df.schema)
             .options(**self.catalog.read_options(op.table_name))
             .load(path)
+        )
+
+    def _register_mv_metadata(self, name: str, child) -> None:
+        """CREATE MATERIALIZED VIEW: if the persisted child is a plain
+        rollup — Aggregate over an unfiltered, unlimited Scan, all group
+        keys plain columns, every aggregate a bare decomposable Func
+        (no output casts: a cast partial stores post-cast values, which
+        would not recombine exactly) — register MV metadata so
+        ``RewriteAggOnMaterializedViewRule`` can answer later queries
+        from it.  Anything else persists as a plain table."""
+        from .expr import Alias, Col, Func
+        from .operators import logical as L
+        from .operators import physical as P
+        from .optimizer.rules.agg import _DECOMPOSE
+        from .optimizer.rules.mv import MaterializedView
+
+        agg = child.operator
+        if isinstance(agg, P.PhysicalHashAggregate) or isinstance(
+            agg, L.LogicalAggregate
+        ):
+            if getattr(agg, "mode", "groupby") != "groupby":
+                return
+        else:
+            return
+        below = child.inputs[0]
+        while isinstance(below.operator, P.Exchange):
+            below = below.inputs[0]
+        scan = below.operator
+        if not isinstance(scan, (P.PhysicalTableScan, L.LogicalScan)):
+            return
+        if scan.filters or scan.limit is not None:
+            return
+        if not all(isinstance(g, Col) for g in agg.group_exprs):
+            return
+        defs = []
+        for a in agg.agg_exprs:
+            if (
+                not isinstance(a, Alias)
+                or not isinstance(a.expr, Func)
+                or a.expr.name not in _DECOMPOSE
+            ):
+                return
+            defs.append((a.name, a.expr))
+        self.catalog.register_materialized_view(
+            MaterializedView(
+                name=name,
+                source_table=scan.table_name,
+                group_cols=tuple(g.name for g in agg.group_exprs),
+                agg_defs=tuple(defs),
+            )
         )
 
     def _sequence_pack(self, node: PlanNode):

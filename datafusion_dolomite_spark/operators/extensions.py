@@ -637,13 +637,18 @@ class LogicalSink(LogicalOperator):
 
     table_name: str
     format: str = "parquet"
+    #: CREATE MATERIALIZED VIEW: after writing + registering, derive MV
+    #: metadata from the child aggregate so the rewrite rule can answer
+    #: later queries from this table (execute.py::_sink)
+    mv: bool = False
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
         (inp,) = input_props
         return inp
 
     def pretty(self) -> str:
-        return f"LogicalSink {{ table: {self.table_name}, format: {self.format} }}"
+        kind = "materialized view" if self.mv else "table"
+        return f"LogicalSink {{ {kind}: {self.table_name}, format: {self.format} }}"
 
 
 @dataclass(frozen=True)
@@ -655,6 +660,7 @@ class PhysicalSink(PhysicalOperator):
 
     table_name: str
     format: str = "parquet"
+    mv: bool = False
 
     def derive_properties(self, children_props):
         return (_DEFAULT,), _DEFAULT

@@ -277,7 +277,7 @@ class SinkImplRule(Rule):
         op: X.LogicalSink = input.root.operator
         result.add(
             OptExpression.op(
-                X.PhysicalSink(op.table_name, op.format), *input.root.inputs
+                X.PhysicalSink(op.table_name, op.format, op.mv), *input.root.inputs
             )
         )
 

@@ -122,9 +122,18 @@ class QueryPlanner:
     def sql(self, query: str):
         """SQL front door: parse → optimize → execute (entry point A of
         the reference, SURVEY §3)."""
+        from .operators.extensions import LogicalSink
         from .sql import parse_sql
 
-        return self.dataframe(parse_sql(query, self.catalog))
+        plan = parse_sql(query, self.catalog)
+        # re-CREATE of a MATERIALIZED VIEW: drop the old metadata BEFORE
+        # optimizing, or the rewrite rule could answer the definition
+        # query from the very table the sink is about to overwrite
+        root_op = plan.root.operator
+        if isinstance(root_op, LogicalSink) and root_op.mv:
+            if hasattr(self.catalog, "drop_materialized_view"):
+                self.catalog.drop_materialized_view(root_op.table_name)
+        return self.dataframe(plan)
 
     def explain(self, plan: Plan) -> str:
         logical = self.optimize_logical(plan)

@@ -126,6 +126,9 @@ class Catalog:
     def materialized_views_for(self, source_table: str):
         return tuple(m for m in self._mvs if m.source_table == source_table)
 
+    def drop_materialized_view(self, name: str) -> None:
+        self._mvs = [m for m in self._mvs if m.name != name]
+
     def warehouse_path(self, table_name: str) -> str:
         """Managed location for tables this engine CREATEs (CTAS sink).
         Defaults to a per-process temp warehouse; on a cluster this is

@@ -187,8 +187,17 @@ class _Parser:
 
             self.next()
             t2 = self.next()
-            if not (t2.kind == "ident" and t2.value.lower() == "table"):
-                raise SqlError("only CREATE TABLE ... AS SELECT is supported")
+            is_mv = False
+            if t2.kind == "ident" and t2.value.lower() == "materialized":
+                t3 = self.next()
+                if not (t3.kind == "ident" and t3.value.lower() == "view"):
+                    raise SqlError("expected VIEW after MATERIALIZED")
+                is_mv = True
+            elif not (t2.kind == "ident" and t2.value.lower() == "table"):
+                raise SqlError(
+                    "only CREATE [MATERIALIZED VIEW | TABLE] ... AS SELECT "
+                    "is supported"
+                )
             name = self.expect("ident").value
             fmt = "parquet"
             t3 = self.peek()
@@ -199,7 +208,7 @@ class _Parser:
             sub = self.parse()
             return (
                 LogicalPlanBuilder(sub.root)
-                ._push(LogicalSink(name, fmt), [sub.root])
+                ._push(LogicalSink(name, fmt, is_mv), [sub.root])
                 .build()
             )
         if self.accept("kw", "with"):

@@ -101,6 +101,55 @@ def test_min_over_max_partial_blocks_rewrite(mv_qp):
     assert '"events_mv"' not in phys, phys
 
 
+def test_create_materialized_view_sql_roundtrip(spark):
+    """CREATE MATERIALIZED VIEW through the SQL front door: the sink
+    derives MV metadata from its own aggregate, later SQL queries
+    rewrite onto it, and re-CREATE never reads the table it is about to
+    overwrite."""
+    from datafusion_dolomite_spark import QueryPlanner
+    from datafusion_dolomite_spark.sources.catalog import testdata_catalog
+    from datafusion_dolomite_spark.sql import parse_sql
+
+    cat = testdata_catalog("/root/testdata/sf0.001")
+    qp = QueryPlanner(spark, cat)
+    ddl = (
+        "CREATE MATERIALIZED VIEW mv_t AS "
+        "SELECT event_type, user_id, count(*) AS n, "
+        "sum(cast(floor(value * 100) as bigint)) AS sum_cents "
+        "FROM events GROUP BY event_type, user_id"
+    )
+    qp.sql(ddl).count()
+    q = (
+        "SELECT event_type, count(*) AS n_events, "
+        "sum(cast(floor(value * 100) as bigint)) AS cents "
+        "FROM events GROUP BY event_type"
+    )
+    phys = qp.explain(parse_sql(q, cat)).split("== Physical Plan ==")[1]
+    assert '"mv_t"' in phys, phys
+    first = sorted(map(tuple, qp.sql(q).collect()))
+    qp.sql(ddl).count()  # re-create: must not self-read
+    assert sorted(map(tuple, qp.sql(q).collect())) == first and first
+
+
+def test_create_mv_with_where_stays_plain_table(spark):
+    """A filtered definition is NOT a whole-table rollup — it must
+    persist as a plain table and never capture later queries."""
+    from datafusion_dolomite_spark import QueryPlanner
+    from datafusion_dolomite_spark.sources.catalog import testdata_catalog
+    from datafusion_dolomite_spark.sql import parse_sql
+
+    cat = testdata_catalog("/root/testdata/sf0.001")
+    qp = QueryPlanner(spark, cat)
+    qp.sql(
+        "CREATE MATERIALIZED VIEW mv_clicks AS "
+        "SELECT event_type, user_id, count(*) AS n FROM events "
+        "WHERE event_type = 'click' GROUP BY event_type, user_id"
+    ).count()
+    q = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    phys = qp.explain(parse_sql(q, cat)).split("== Physical Plan ==")[1]
+    assert '"mv_clicks"' not in phys, phys
+
+
 def test_mv_answers_match_base_table(spark, mv_qp, planner):
     plan = _agg_plan(
         aggs=[
