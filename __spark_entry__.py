@@ -1719,6 +1719,17 @@ _SQL_SELECT_SCALAR = (
     "FROM customer GROUP BY c_nationkey"
 )
 
+#: window over GROUP BY output — aggregates lifted into the aggregate,
+#: windows lowered over its result (share-of-total + ranking in one
+#: pass).  floor() before the bigint cast (Spark truncates, DuckDB
+#: rounds); row_number's ORDER BY carries the unique group key.
+_SQL_WINDOW_AGG = (
+    "SELECT c_nationkey, count(*) AS n_cust, "
+    "cast(floor(count(*) * 1000 / sum(count(*)) OVER ()) as bigint) AS permille, "
+    "row_number() OVER (ORDER BY count(*) DESC, c_nationkey) AS pop_rank "
+    "FROM customer GROUP BY c_nationkey"
+)
+
 #: EXCEPT ALL — bag semantics (vs q_except's set semantics); the same
 #: string runs on DuckDB.
 _SQL_SETOP_ALL = (
@@ -2497,6 +2508,7 @@ EXTENSION_ORACLES = {
     """,
     "q_sql_setop_all": _SQL_SETOP_ALL,
     "q_sql_select_scalar": _SQL_SELECT_SCALAR,
+    "q_sql_window_agg": _SQL_WINDOW_AGG,
     "q_matview": """
         SELECT event_type, count(*) AS n_events,
                sum(floor(value * 100)::BIGINT)::BIGINT AS cents,
@@ -3803,6 +3815,17 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
     )
     return line_dedup(docs, "doc_id", "text", sep=". ")
+
+
+def q_sql_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOW FUNCTIONS OVER GROUP BY OUTPUT (``sql.py`` lift-then-
+    lower): every aggregate call — select list, window arguments,
+    partition/order keys, HAVING — lifts into an aggregate output
+    column, then the windows evaluate over the aggregate's result (the
+    SQL-standard ordering).  One pass computes per-nation counts, each
+    nation's share of total (floor-permille, engine-portable), and a
+    popularity rank.  Same string is the oracle."""
+    return _planner(spark, sf_dir).sql(_SQL_WINDOW_AGG)
 
 
 def q_sql_select_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5487,7 +5510,7 @@ _UNPROVEN_PREFIX = (
     "q_sql_qualify", "q_eager_agg", "q_file_skip", "q_stream_upsert",
     "q_importance_select", "q_bloom_skip", "q_sql_setop_all",
     "q_sql_select_scalar", "q_matview", "q_stream_matview",
-    "q_sql_create_mv",
+    "q_sql_create_mv", "q_sql_window_agg",
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
     "q_corpus_resample", "q_range_bounds", "q_stream_outer_join",
     "q_time_weighted_avg", "q_interval_overlap", "q_sql_values",
@@ -5554,6 +5577,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_matview": q_matview,
         "q_stream_matview": q_stream_matview,
         "q_sql_create_mv": q_sql_create_mv,
+        "q_sql_window_agg": q_sql_window_agg,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,
         "q_embed_quantize": q_embed_quantize,

@@ -417,6 +417,106 @@ class _Parser:
             ):
                 raise SqlError("QUALIFY requires a window function")
 
+        # -- window functions OVER AGGREGATE OUTPUT ---------------------
+        # ``SELECT k, count(*) AS n, rank() OVER (ORDER BY count(*) DESC)
+        # FROM t GROUP BY k`` — SQL evaluates windows AFTER grouping, so
+        # every aggregate call (select list, window args, partition/order
+        # keys, HAVING) is lifted into an aggregate output column first,
+        # then the windows are lowered over the aggregate's result.
+        if any(_contains_window(e) for e in items) and (
+            group_exprs or any(_contains_aggregate(e) for e in items)
+        ):
+            if star:
+                raise SqlError("SELECT * cannot be combined with window functions")
+            if qpred is not None:
+                raise SqlError("QUALIFY over aggregation is not supported")
+            if group_mode != "groupby" or grouping_sets:
+                raise SqlError(
+                    "window functions mix only with plain GROUP BY "
+                    "(not ROLLUP/CUBE/GROUPING SETS)"
+                )
+            if not group_exprs:
+                raise SqlError(
+                    "window functions over a global aggregate need GROUP BY"
+                )
+            aggs: List[Alias] = []
+
+            def _lift(x):
+                if isinstance(x, Func) and x.is_aggregate:
+                    for a in aggs:
+                        if a.expr == x:
+                            return Col(a.name)
+                    name = f"_a{len(aggs)}"
+                    aggs.append(Alias(x, name))
+                    return Col(name)
+                if isinstance(x, _WindowExpr):
+                    # the window FUNCTION itself stays (sum(...) OVER ()
+                    # is a window call, not a group aggregate) — only its
+                    # ARGUMENTS and the partition/order keys are lifted
+                    f = x.func
+                    if isinstance(f, Func):
+                        f = Func(f.name, tuple(_lift(a) for a in f.args))
+                    return _WindowExpr(
+                        f,
+                        tuple(_lift(p) for p in x.partition_by),
+                        tuple(
+                            SortKey(_lift(k.expr), k.asc, k.nulls_first)
+                            for k in x.order_by
+                        ),
+                        x.frame,
+                    )
+                if isinstance(x, Alias):
+                    return Alias(_lift(x.expr), x.name)
+                if isinstance(x, BinOp):
+                    return BinOp(x.op, _lift(x.left), _lift(x.right))
+                if isinstance(x, Cast):
+                    return Cast(_lift(x.expr), x.to_type)
+                if isinstance(x, Func):
+                    return Func(x.name, tuple(_lift(a) for a in x.args))
+                return x
+
+            items = [_lift(e) for e in items]
+            hpred = None
+            if self.accept("kw", "having"):
+                hpred = _lift(self._resolve(self._expr()))
+            builder = builder.aggregate(list(group_exprs), tuple(aggs))
+            if hpred is not None:
+                builder = builder.filter(hpred)
+            defs: List[WindowExprDef] = []
+
+            def _lower_w(x):
+                if isinstance(x, _WindowExpr):
+                    name = f"_w{len(defs)}"
+                    defs.append(
+                        WindowExprDef(
+                            x.func, x.partition_by, x.order_by, name, x.frame
+                        )
+                    )
+                    return Col(name)
+                if isinstance(x, Alias):
+                    if isinstance(x.expr, _WindowExpr):
+                        w = x.expr
+                        defs.append(
+                            WindowExprDef(
+                                w.func, w.partition_by, w.order_by, x.name, w.frame
+                            )
+                        )
+                        return Col(x.name)
+                    return Alias(_lower_w(x.expr), x.name)
+                if isinstance(x, BinOp):
+                    return BinOp(x.op, _lower_w(x.left), _lower_w(x.right))
+                if isinstance(x, Cast):
+                    return Cast(_lower_w(x.expr), x.to_type)
+                if isinstance(x, Func):
+                    return Func(x.name, tuple(_lower_w(a) for a in x.args))
+                return x
+
+            items = [_lower_w(e) for e in items]
+            builder = builder.window(defs).projection(items)
+            if distinct:
+                builder = builder.distinct()
+            return self._finish_select(builder)
+
         # -- window functions: lower OVER items onto a LogicalWindow ----
         # Each _WindowExpr anywhere in a select item becomes a
         # WindowExprDef column on a LogicalWindow node (evaluated after
@@ -618,6 +718,10 @@ class _Parser:
         if distinct:
             builder = builder.distinct()
 
+        return self._finish_select(builder)
+
+    def _finish_select(self, builder) -> Plan:
+        """Shared SELECT tail: ORDER BY / LIMIT [OFFSET], frame pop."""
         if self.accept("kw", "order"):
             self.expect("kw", "by")
             keys = [self._resolve(self._sort_key())]

@@ -718,6 +718,31 @@ class Gen:
         ol, _ = self._order_limit(names, False)
         return sql + ol, sql + ol
 
+    def _window_over_agg(self):
+        """Window over GROUP BY output — the lift-then-lower path: the
+        aggregate inside the OVER's ORDER BY is computed by the group
+        aggregate, then ranked.  rank() is tie-stable, so no unique
+        tie-break is needed for multiset equality."""
+        r = self.rng
+        t = r.choice(list(TABLES))
+        strs = [c for c, ty in TABLES[t].items() if ty == STR]
+        ints = [c for c, ty in TABLES[t].items() if ty == INT]
+        if not strs or not ints:
+            return self._agg()
+        k = r.choice(strs)
+        ic = r.choice(ints)
+        agg = r.choice(["count(*)", f"sum({ic})", f"min({ic})", f"max({ic})"])
+        wf = f"rank() OVER (ORDER BY {agg} {r.choice(['ASC', 'DESC'])})"
+        where = f" WHERE {self._pred([t])}" if r.random() < 0.5 else ""
+        having = f" HAVING count(*) > {r.randint(0, 2)}" if r.random() < 0.4 else ""
+        sql = (
+            f"SELECT {k} AS c0, {agg} AS c1, {wf} AS c2 "
+            f"FROM {t}{where} GROUP BY {k}{having}"
+        )
+        names = ["c0", "c1", "c2"]
+        ol, _ = self._order_limit(names, False)
+        return sql + ol, sql + ol
+
     def _select_scalar(self):
         """Scalar subquery in the SELECT LIST (vs _scalar_subquery's
         WHERE position): uncorrelated one-row aggregate joined below on
@@ -868,6 +893,7 @@ class Gen:
         ("_window", 12),
         ("_qualify", 8),
         ("_select_scalar", 8),
+        ("_window_over_agg", 8),
         ("_self_join", 10),
         ("_rollup", 8),
     )

@@ -362,14 +362,18 @@ def test_sql_window_range_frame_and_count_star(catalog):
     assert "range between 100 preceding and 2 following" in plan.explain()
 
 
-def test_sql_window_rejects_group_by_mix(catalog):
-    with pytest.raises(SqlError):
-        parse_sql(
-            "select o_custkey, sum(o_totalprice) as s, "
-            "rank() over (order by o_custkey) as rk "
-            "from orders group by o_custkey",
-            catalog,
-        )
+def test_sql_window_over_group_by_parses(catalog):
+    """Formerly rejected; now supported via the lift-then-lower path
+    (see test_window_over_agg.py for execution differentials)."""
+    plan = parse_sql(
+        "select o_custkey, sum(o_totalprice) as s, "
+        "rank() over (order by o_custkey) as rk "
+        "from orders group by o_custkey",
+        catalog,
+    )
+    text = plan.explain()
+    assert "LogicalWindow" in text and "LogicalAggregate" in text
+    assert text.index("LogicalWindow") < text.index("LogicalAggregate")
 
 
 def test_sql_window_executes_end_to_end(planner):

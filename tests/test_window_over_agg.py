@@ -1,0 +1,64 @@
+"""Window functions over GROUP BY output (sql.py's lift-then-lower
+path): aggregate calls anywhere in the select list, window arguments,
+partition/order keys, or HAVING are lifted into aggregate outputs, then
+windows are lowered over the aggregate's result."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from datafusion_dolomite_spark.sql import SqlError, parse_sql
+
+SF = "/root/testdata/sf0.001"
+
+CASES = [
+    "SELECT o_orderstatus, count(*) AS n, "
+    "rank() OVER (ORDER BY count(*) DESC) AS r "
+    "FROM orders GROUP BY o_orderstatus",
+    "SELECT c_nationkey, c_mktsegment, count(*) AS n, "
+    "row_number() OVER (PARTITION BY c_nationkey "
+    "ORDER BY count(*) DESC, c_mktsegment) AS rnk "
+    "FROM customer GROUP BY c_nationkey, c_mktsegment",
+    "SELECT event_type, "
+    "cast(sum(cast(floor(value*100) as bigint)) as bigint) AS cents, "
+    "rank() OVER (ORDER BY sum(cast(floor(value*100) as bigint)) DESC) AS r "
+    "FROM events GROUP BY event_type HAVING count(*) > 2",
+    # share-of-total: window AGGREGATE over a group aggregate
+    "SELECT o_orderpriority, count(*) AS n, "
+    "cast(floor(count(*) * 1000 / sum(count(*)) OVER ()) as bigint) AS permille "
+    "FROM orders GROUP BY o_orderpriority",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in ("orders", "customer", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("q", CASES, ids=range(len(CASES)))
+def test_window_over_group_by_matches_duckdb(planner, ddb, q):
+    got = sorted(map(tuple, planner.sql(q).collect()))
+    want = sorted(map(tuple, ddb.execute(q).fetchall()))
+    assert got == want and got, q
+
+
+def test_plan_shape_window_above_aggregate(planner, catalog):
+    plan = planner.optimize_logical(parse_sql(CASES[0], catalog))
+    text = plan.explain()
+    assert text.index("LogicalWindow") < text.index("LogicalAggregate"), text
+
+
+def test_rollup_with_window_rejected(catalog):
+    with pytest.raises(SqlError):
+        parse_sql(
+            "SELECT o_orderstatus, count(*) AS n, "
+            "rank() OVER (ORDER BY count(*)) AS r "
+            "FROM orders GROUP BY ROLLUP (o_orderstatus)",
+            catalog,
+        )
