@@ -423,13 +423,13 @@ class _Parser:
         # every aggregate call (select list, window args, partition/order
         # keys, HAVING) is lifted into an aggregate output column first,
         # then the windows are lowered over the aggregate's result.
-        if any(_contains_window(e) for e in items) and (
-            group_exprs or any(_contains_aggregate(e) for e in items)
-        ):
+        if (
+            any(_contains_window(e) for e in items)
+            or (qpred is not None and _contains_window(qpred))
+            or self._upcoming_qualify()
+        ) and (group_exprs or any(_contains_aggregate(e) for e in items)):
             if star:
                 raise SqlError("SELECT * cannot be combined with window functions")
-            if qpred is not None:
-                raise SqlError("QUALIFY over aggregation is not supported")
             if group_mode != "groupby" or grouping_sets:
                 raise SqlError(
                     "window functions mix only with plain GROUP BY "
@@ -479,6 +479,19 @@ class _Parser:
             hpred = None
             if self.accept("kw", "having"):
                 hpred = _lift(self._resolve(self._expr()))
+            # QUALIFY follows HAVING in the grammar; when HAVING was
+            # present, the clause could not have been consumed by the
+            # earlier accept — pick it up here.  Its aggregate calls
+            # compute in the same aggregate (lift), its window calls
+            # become hidden window columns (lower, below).
+            if qpred is None and self.accept("kw", "qualify"):
+                qpred = self._resolve(self._expr())
+                if not _contains_window(qpred) and not any(
+                    _contains_window(e) for e in items
+                ):
+                    raise SqlError("QUALIFY requires a window function")
+            if qpred is not None:
+                qpred = _lift(qpred)
             builder = builder.aggregate(list(group_exprs), tuple(aggs))
             if hpred is not None:
                 builder = builder.filter(hpred)
@@ -512,7 +525,31 @@ class _Parser:
                 return x
 
             items = [_lower_w(e) for e in items]
-            builder = builder.window(defs).projection(items)
+            # lower the QUALIFY predicate BEFORE the window node is
+            # built: window calls inside it add hidden defs
+            if qpred is not None:
+                qpred = _lower_w(qpred)
+            builder = builder.window(defs)
+            if qpred is not None:
+                amap = {
+                    e.name: e.expr for e in items if isinstance(e, Alias)
+                }
+
+                def _subst_a(x):
+                    if isinstance(x, Col) and x.name in amap:
+                        return amap[x.name]
+                    if isinstance(x, BinOp):
+                        return BinOp(x.op, _subst_a(x.left), _subst_a(x.right))
+                    if isinstance(x, Func):
+                        return Func(x.name, tuple(_subst_a(a) for a in x.args))
+                    if isinstance(x, Cast):
+                        return Cast(_subst_a(x.expr), x.to_type)
+                    if isinstance(x, Alias):
+                        return Alias(_subst_a(x.expr), x.name)
+                    return x
+
+                builder = builder.filter(_subst_a(qpred))
+            builder = builder.projection(items)
             if distinct:
                 builder = builder.distinct()
             return self._finish_select(builder)
@@ -719,6 +756,27 @@ class _Parser:
             builder = builder.distinct()
 
         return self._finish_select(builder)
+
+    def _upcoming_qualify(self) -> bool:
+        """Lookahead: a QUALIFY clause of THIS select lies ahead (before
+        any set-op / ORDER / LIMIT / closing paren at depth 0).  Needed
+        when HAVING precedes it — the clause can't have been consumed by
+        the post-GROUP-BY accept yet, but the aggregate build must know
+        a window filter is coming."""
+        depth = 0
+        for t in self.toks[self.i:]:
+            if t.kind == "op" and t.value == "(":
+                depth += 1
+            elif t.kind == "op" and t.value == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and t.kind == "kw":
+                if t.value == "qualify":
+                    return True
+                if t.value in ("union", "intersect", "except", "order", "limit"):
+                    break
+        return False
 
     def _finish_select(self, builder) -> Plan:
         """Shared SELECT tail: ORDER BY / LIMIT [OFFSET], frame pop."""

@@ -739,6 +739,10 @@ class Gen:
             f"SELECT {k} AS c0, {agg} AS c1, {wf} AS c2 "
             f"FROM {t}{where} GROUP BY {k}{having}"
         )
+        if r.random() < 0.35:
+            # QUALIFY over the aggregation (rank ties are stable, so a
+            # <= cut is a deterministic multiset in both engines)
+            sql += f" QUALIFY c2 <= {r.randint(1, 4)}"
         names = ["c0", "c1", "c2"]
         ol, _ = self._order_limit(names, False)
         return sql + ol, sql + ol

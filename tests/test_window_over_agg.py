@@ -28,6 +28,19 @@ CASES = [
     "SELECT o_orderpriority, count(*) AS n, "
     "cast(floor(count(*) * 1000 / sum(count(*)) OVER ()) as bigint) AS permille "
     "FROM orders GROUP BY o_orderpriority",
+    # QUALIFY over aggregation via the select-list window alias
+    "SELECT c_nationkey, count(*) AS n, "
+    "rank() OVER (ORDER BY count(*) DESC) AS r "
+    "FROM customer GROUP BY c_nationkey QUALIFY r <= 3",
+    # HAVING then QUALIFY, window living only inside QUALIFY
+    "SELECT c_nationkey, count(*) AS n FROM customer GROUP BY c_nationkey "
+    "HAVING count(*) > 2 "
+    "QUALIFY row_number() OVER (ORDER BY count(*) DESC, c_nationkey) <= 5",
+    # top-k per group by aggregate (the group-wise top-n idiom)
+    "SELECT c_nationkey, c_mktsegment, count(*) AS n FROM customer "
+    "GROUP BY c_nationkey, c_mktsegment "
+    "QUALIFY row_number() OVER (PARTITION BY c_nationkey "
+    "ORDER BY count(*) DESC, c_mktsegment) <= 3",
 ]
 
 
