@@ -2525,6 +2525,12 @@ EXTENSION_ORACLES = {
                sum(floor(value * 100)::BIGINT)::BIGINT AS cents
         FROM events GROUP BY event_type
     """,
+    "q_sql_join_mv": """
+        SELECT c_nationkey, count(*) AS n_orders,
+               sum(floor(o_totalprice)::BIGINT)::BIGINT AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    """,
     "q_bloom_skip": """
         SELECT event_id, event_type,
                floor(value * 100)::BIGINT AS cents
@@ -3815,6 +3821,38 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
     )
     return line_dedup(docs, "doc_id", "text", sep=". ")
+
+
+def q_sql_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-AWARE VIEW MATCHING: a DENORMALIZED materialized view over
+    orders⋈customer (created through SQL) answers a coarser per-nation
+    aggregate over the SAME join — matched by ``semantic_eq`` of the
+    Hep-normalized join subtree (``RewriteAggOnViewSubtreeRule``), the
+    matching simple source-table equality cannot do.  The rewritten
+    plan scans only the view: the join never re-executes (asserted).
+    At 100 TB this is the denormalized-rollup pattern: one join+rollup
+    pays for every future query over that join.  Oracle: DuckDB runs
+    the same join aggregate on the raw tables."""
+    cat = testdata_catalog(sf_dir)
+    qp = QueryPlanner(spark, cat)
+    qp.sql(
+        "CREATE MATERIALIZED VIEW mv_nation_sales AS "
+        "SELECT c_nationkey, o_orderstatus, count(*) AS n, "
+        "sum(cast(floor(o_totalprice) as bigint)) AS total "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_nationkey, o_orderstatus"
+    ).count()
+    q = (
+        "SELECT c_nationkey, count(*) AS n_orders, "
+        "cast(sum(cast(floor(o_totalprice) as bigint)) as bigint) AS total "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_nationkey"
+    )
+    from datafusion_dolomite_spark.sql import parse_sql
+
+    phys = qp.explain(parse_sql(q, cat))
+    assert "mv_nation_sales" in phys.split("== Physical Plan ==")[1], phys
+    return qp.sql(q)
 
 
 def q_sql_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5510,7 +5548,7 @@ _UNPROVEN_PREFIX = (
     "q_sql_qualify", "q_eager_agg", "q_file_skip", "q_stream_upsert",
     "q_importance_select", "q_bloom_skip", "q_sql_setop_all",
     "q_sql_select_scalar", "q_matview", "q_stream_matview",
-    "q_sql_create_mv", "q_sql_window_agg",
+    "q_sql_create_mv", "q_sql_join_mv", "q_sql_window_agg",
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
     "q_corpus_resample", "q_range_bounds", "q_stream_outer_join",
     "q_time_weighted_avg", "q_interval_overlap", "q_sql_values",
@@ -5577,6 +5615,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_matview": q_matview,
         "q_stream_matview": q_stream_matview,
         "q_sql_create_mv": q_sql_create_mv,
+        "q_sql_join_mv": q_sql_join_mv,
         "q_sql_window_agg": q_sql_window_agg,
         "q_merge_upsert": q_merge_upsert,
         "q_bucketed_join": q_bucketed_join,

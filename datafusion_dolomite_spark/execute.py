@@ -349,14 +349,6 @@ class SparkExecutor:
                 return
         else:
             return
-        below = child.inputs[0]
-        while isinstance(below.operator, P.Exchange):
-            below = below.inputs[0]
-        scan = below.operator
-        if not isinstance(scan, (P.PhysicalTableScan, L.LogicalScan)):
-            return
-        if scan.filters or scan.limit is not None:
-            return
         if not all(isinstance(g, Col) for g in agg.group_exprs):
             return
         defs = []
@@ -368,12 +360,32 @@ class SparkExecutor:
             ):
                 return
             defs.append((a.name, a.expr))
+        # scan-rooted rollup → source_table matching (cascades rule);
+        # anything else (a join tree) relies on the stashed normalized
+        # definition subtree and the Hep subtree-matching rule
+        below = child.inputs[0]
+        while isinstance(below.operator, P.Exchange):
+            below = below.inputs[0]
+        scan = below.operator
+        source = ""
+        if (
+            isinstance(scan, (P.PhysicalTableScan, L.LogicalScan))
+            and not scan.filters
+            and scan.limit is None
+        ):
+            source = scan.table_name
+        definition = None
+        if hasattr(self.catalog, "pop_view_definition"):
+            definition = self.catalog.pop_view_definition(name)
+        if not source and definition is None:
+            return  # neither matching mechanism can ever fire
         self.catalog.register_materialized_view(
             MaterializedView(
                 name=name,
-                source_table=scan.table_name,
+                source_table=source,
                 group_cols=tuple(g.name for g in agg.group_exprs),
                 agg_defs=tuple(defs),
+                definition_root=definition,
             )
         )
 

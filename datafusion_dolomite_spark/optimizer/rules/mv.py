@@ -41,19 +41,60 @@ from ..pattern import Pattern, pattern_of
 from ..rule import OptExpression, OptimizerContext, Rule, RulePromise, RuleResult
 from .agg import _DECOMPOSE
 
-__all__ = ["MaterializedView", "RewriteAggOnMaterializedViewRule"]
+__all__ = [
+    "MaterializedView",
+    "RewriteAggOnMaterializedViewRule",
+    "RewriteAggOnViewSubtreeRule",
+]
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class MaterializedView:
     """MV metadata: ``name`` is the registered catalog table holding the
     partials; ``agg_defs`` maps each partial column to the EXACT source
-    expression it pre-aggregates."""
+    expression it pre-aggregates.
+
+    ``definition_root`` (optional) holds the Hep-NORMALIZED logical
+    subtree the definition aggregated over — a single scan for simple
+    rollups, a join tree for denormalized views.  When present,
+    ``RewriteAggOnViewSubtreeRule`` matches query aggregates whose
+    (equally normalized) input subtree is ``semantic_eq`` to it — the
+    join-aware view matching simple source-table matching can't do."""
 
     name: str
     source_table: str
     group_cols: Tuple[str, ...]
     agg_defs: Tuple[Tuple[str, Func], ...]  # (mv_column, partial expr)
+    definition_root: object = None  # PlanNode | None
+
+
+def _decompose_against(agg: LogicalAggregate, mv: MaterializedView):
+    """Final agg exprs recombining ``agg`` from ``mv``'s partials, or
+    None when any group key / aggregate doesn't match (exact-expression
+    matching; output casts re-wrap the final)."""
+    if not {g.name for g in agg.group_exprs} <= set(mv.group_cols):
+        return None
+    defs = {expr: col_name for col_name, expr in mv.agg_defs}
+    finals = []
+    for a in agg.agg_exprs:
+        if not isinstance(a, Alias):
+            return None
+        inner = a.expr
+        casts: list[str] = []
+        while isinstance(inner, Cast):
+            casts.append(inner.to_type)
+            inner = inner.expr
+        if not isinstance(inner, Func):
+            return None
+        deco = _DECOMPOSE.get(inner.name)
+        mv_col = defs.get(inner)
+        if deco is None or mv_col is None:
+            return None
+        final: object = Func(deco[1], (Col(mv_col),))
+        for t in reversed(casts):
+            final = Cast(final, t)
+        finals.append(Alias(final, a.name))
+    return tuple(finals)
 
 
 class RewriteAggOnMaterializedViewRule(Rule):
@@ -85,37 +126,76 @@ class RewriteAggOnMaterializedViewRule(Rule):
                 result.add(alt)
 
     def _rewrite(self, agg, scan, mv):
-        if not {g.name for g in agg.group_exprs} <= set(mv.group_cols):
-            return None
         # pushed filters survive only over columns the MV carries verbatim
         for f in scan.filters or ():
             if not set(f.columns()) <= set(mv.group_cols):
                 return None
-        defs = dict()
-        for col_name, expr in mv.agg_defs:
-            defs[expr] = col_name
-        finals = []
-        for a in agg.agg_exprs:
-            if not isinstance(a, Alias):
-                return None
-            inner = a.expr
-            casts: list[str] = []
-            while isinstance(inner, Cast):
-                casts.append(inner.to_type)
-                inner = inner.expr
-            if not isinstance(inner, Func):
-                return None
-            deco = _DECOMPOSE.get(inner.name)
-            mv_col = defs.get(inner)
-            if deco is None or mv_col is None:
-                return None
-            final: object = Func(deco[1], (Col(mv_col),))
-            for t in reversed(casts):
-                final = Cast(final, t)
-            finals.append(Alias(final, a.name))
+        finals = _decompose_against(agg, mv)
+        if finals is None:
+            return None
         mv_scan = OptExpression.op(LogicalScan(mv.name, filters=scan.filters))
-        below = mv_scan
         new_agg = LogicalAggregate(
-            group_exprs=agg.group_exprs, agg_exprs=tuple(finals)
+            group_exprs=agg.group_exprs, agg_exprs=finals
         )
-        return OptExpression.op(new_agg, below)
+        return OptExpression.op(new_agg, mv_scan)
+
+
+class RewriteAggOnViewSubtreeRule(Rule):
+    """JOIN-AWARE view matching (Hep phase): rewrite
+    ``Aggregate(G, A) over S`` to re-aggregate an MV whose Hep-normalized
+    definition subtree is ``semantic_eq`` to ``S`` — for denormalized
+    views, ``S`` is a whole join tree.
+
+    Why Hep, not cascades: the comparison needs the CONCRETE query
+    subtree (cascades children are memo groups), and both sides must be
+    in the same normal form — the definition subtree is captured after
+    the definition's own Hep pass, and this rule participates in the
+    query's Hep fixed point, so it keeps retrying until the query
+    subtree reaches the same normal form and either matches or never
+    will.  Exact-subtree matching is deliberately conservative: an extra
+    WHERE or a different join set simply doesn't match (view matching
+    beyond equality — predicate containment etc. — is the Calcite
+    research program; equality is the sound core of it).  A matched
+    rollup is strictly smaller than its input (one row per group), so
+    the rewrite needs no cost race."""
+
+    name = "RewriteAggOnViewSubtreeRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(LogicalAggregate)
+
+    def promise(self) -> RulePromise:
+        return RulePromise.LOW
+
+    def apply(
+        self, input: OptExpression, ctx: OptimizerContext, result: RuleResult
+    ) -> None:
+        agg: LogicalAggregate = input.root.operator
+        if agg.mode != "groupby":
+            return
+        if not all(isinstance(g, Col) for g in agg.group_exprs):
+            return
+        handle = input.root.inputs[0]
+        child = getattr(handle, "handle", None)
+        if child is None or not hasattr(child, "semantic_eq"):
+            return
+        catalog = getattr(ctx, "catalog", None)
+        if catalog is None or not hasattr(catalog, "materialized_views"):
+            return
+        for mv in catalog.materialized_views():
+            if mv.definition_root is None:
+                continue
+            if not child.semantic_eq(mv.definition_root):
+                continue
+            finals = _decompose_against(agg, mv)
+            if finals is None:
+                continue
+            result.add(
+                OptExpression.op(
+                    LogicalAggregate(
+                        group_exprs=agg.group_exprs, agg_exprs=finals
+                    ),
+                    OptExpression.op(LogicalScan(mv.name)),
+                )
+            )
+            return

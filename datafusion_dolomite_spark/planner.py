@@ -33,7 +33,10 @@ from .optimizer.rules.join import (
     Join2SortMergeJoinRule,
 )
 from .optimizer.rules.agg import EagerAggregationRule
-from .optimizer.rules.mv import RewriteAggOnMaterializedViewRule
+from .optimizer.rules.mv import (
+    RewriteAggOnMaterializedViewRule,
+    RewriteAggOnViewSubtreeRule,
+)
 from .optimizer.rules.limit import (
     PushLimitOverProjectionRule,
     PushLimitThroughUnionRule,
@@ -65,6 +68,7 @@ def default_rewrite_rules() -> list[Rule]:
         PushFilterThroughLeftPreservingJoinRule(),
         PushFilterThroughUnnestRule(),
         PruneUnnestInputRule(),
+        RewriteAggOnViewSubtreeRule(),
     ]
 
 
@@ -133,6 +137,21 @@ class QueryPlanner:
         if isinstance(root_op, LogicalSink) and root_op.mv:
             if hasattr(self.catalog, "drop_materialized_view"):
                 self.catalog.drop_materialized_view(root_op.table_name)
+            # capture the Hep-normalized definition subtree for
+            # join-aware view matching (RewriteAggOnViewSubtreeRule)
+            from .operators.logical import LogicalAggregate
+
+            logical = self.optimize_logical(plan)
+            agg_node = logical.root.inputs[0]
+            if isinstance(agg_node.operator, LogicalAggregate) and hasattr(
+                self.catalog, "stash_view_definition"
+            ):
+                self.catalog.stash_view_definition(
+                    root_op.table_name, agg_node.inputs[0]
+                )
+            return to_spark(
+                self.optimize_physical(logical), self.spark, self.catalog
+            )
         return self.dataframe(plan)
 
     def explain(self, plan: Plan) -> str:

@@ -126,8 +126,23 @@ class Catalog:
     def materialized_views_for(self, source_table: str):
         return tuple(m for m in self._mvs if m.source_table == source_table)
 
+    def materialized_views(self):
+        return tuple(self._mvs)
+
     def drop_materialized_view(self, name: str) -> None:
         self._mvs = [m for m in self._mvs if m.name != name]
+
+    # CREATE MATERIALIZED VIEW: the planner stashes the Hep-normalized
+    # LOGICAL subtree below the definition's aggregate here; the sink
+    # executor pops it into the registered MV metadata (the physical
+    # child it sees cannot be compared against later logical plans)
+    def stash_view_definition(self, name: str, subtree) -> None:
+        if not hasattr(self, "_pending_defs"):
+            self._pending_defs: dict = {}
+        self._pending_defs[name] = subtree
+
+    def pop_view_definition(self, name: str):
+        return getattr(self, "_pending_defs", {}).pop(name, None)
 
     def warehouse_path(self, table_name: str) -> str:
         """Managed location for tables this engine CREATEs (CTAS sink).

@@ -150,6 +150,48 @@ def test_create_mv_with_where_stays_plain_table(spark):
     assert '"mv_clicks"' not in phys, phys
 
 
+def test_join_view_subtree_matching(spark):
+    """Denormalized MV over a JOIN: a coarser aggregate over the SAME
+    normalized join subtree rewrites onto it (semantic_eq matching);
+    a filtered variant of the query does not match."""
+    from datafusion_dolomite_spark import QueryPlanner
+    from datafusion_dolomite_spark.sources.catalog import testdata_catalog
+    from datafusion_dolomite_spark.sql import parse_sql
+
+    cat = testdata_catalog("/root/testdata/sf0.001")
+    qp = QueryPlanner(spark, cat)
+    qp.sql(
+        "CREATE MATERIALIZED VIEW mv_join AS "
+        "SELECT c_nationkey, o_orderstatus, count(*) AS n, "
+        "sum(cast(floor(o_totalprice) as bigint)) AS total "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_nationkey, o_orderstatus"
+    ).count()
+    q = (
+        "SELECT c_nationkey, count(*) AS n_orders, "
+        "cast(sum(cast(floor(o_totalprice) as bigint)) as bigint) AS total "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_nationkey"
+    )
+    phys = qp.explain(parse_sql(q, cat)).split("== Physical Plan ==")[1]
+    assert '"mv_join"' in phys and "Join" not in phys, phys
+    got = sorted(map(tuple, qp.sql(q).collect()))
+    # base-plan answer from a planner that has no MVs registered
+    want = sorted(
+        map(tuple, QueryPlanner(spark, testdata_catalog(
+            "/root/testdata/sf0.001")).sql(q).collect())
+    )
+    assert got == want and got
+    # an extra WHERE changes the subtree -> no match
+    q2 = (
+        "SELECT c_nationkey, count(*) AS n FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_orderstatus = 'F' GROUP BY c_nationkey"
+    )
+    phys2 = qp.explain(parse_sql(q2, cat)).split("== Physical Plan ==")[1]
+    assert '"mv_join"' not in phys2, phys2
+
+
 def test_mv_answers_match_base_table(spark, mv_qp, planner):
     plan = _agg_plan(
         aggs=[
