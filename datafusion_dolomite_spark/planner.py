@@ -129,6 +129,20 @@ class QueryPlanner:
         from .operators.extensions import LogicalSink
         from .sql import parse_sql
 
+        import re as _re
+
+        m = _re.match(
+            r"\s*drop\s+materialized\s+view\s+([A-Za-z_][A-Za-z_0-9]*)\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            # metadata-only: the rewrite rule stops matching; the backing
+            # table files stay (a warehouse would garbage-collect them)
+            if hasattr(self.catalog, "drop_materialized_view"):
+                self.catalog.drop_materialized_view(m.group(1))
+            return self.spark.range(0)
+
         plan = parse_sql(query, self.catalog)
         # re-CREATE of a MATERIALIZED VIEW: drop the old metadata BEFORE
         # optimizing, or the rewrite rule could answer the definition

@@ -131,6 +131,26 @@ def test_create_materialized_view_sql_roundtrip(spark):
     assert sorted(map(tuple, qp.sql(q).collect())) == first and first
 
 
+def test_drop_materialized_view(spark):
+    """DROP MATERIALIZED VIEW removes the metadata: the very next query
+    plans against the base table again."""
+    from datafusion_dolomite_spark import QueryPlanner
+    from datafusion_dolomite_spark.sources.catalog import testdata_catalog
+    from datafusion_dolomite_spark.sql import parse_sql
+
+    cat = testdata_catalog("/root/testdata/sf0.001")
+    qp = QueryPlanner(spark, cat)
+    qp.sql(
+        "CREATE MATERIALIZED VIEW mv_drop AS "
+        "SELECT event_type, user_id, count(*) AS n "
+        "FROM events GROUP BY event_type, user_id"
+    ).count()
+    q = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    assert '"mv_drop"' in qp.explain(parse_sql(q, cat))
+    qp.sql("DROP MATERIALIZED VIEW mv_drop")
+    assert '"mv_drop"' not in qp.explain(parse_sql(q, cat))
+
+
 def test_create_mv_with_where_stays_plain_table(spark):
     """A filtered definition is NOT a whole-table rollup — it must
     persist as a plain table and never capture later queries."""
