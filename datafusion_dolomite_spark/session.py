@@ -65,7 +65,12 @@ def get_spark(app_name: str = "datafusion-dolomite-spark", cpus: int | None = No
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: driver == every executor, so this is the WHOLE
+        # JVM.  16g on the 128 GiB test box keeps late-suite GC pressure
+        # off the heavy text queries (150-query runs accumulate listener
+        # state and codegen classes; with 8g the tail queries measured up
+        # to ~1.7x slower than solo)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
