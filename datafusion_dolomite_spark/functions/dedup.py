@@ -177,8 +177,8 @@ def minhash_verified_pairs(
     Integer arithmetic end-to-end → exact oracle parity."""
     from pyspark.sql import functions as F
 
-    # uncached deliberately: see the gram-array note in ngram_jaccard_pairs
-    sarr = shingle_arrays(df, id_col, text_col, k)
+    # cache is load-bearing — see the gram-array note in ngram_jaccard_pairs
+    sarr = shingle_arrays(df, id_col, text_col, k).cache()
     cand = minhash_candidates(df, id_col, text_col, k, num_hashes, bands)
     sa = sarr.select(F.col("_id").alias("d1"), F.col("_sarr").alias("_sa"))
     sb = sarr.select(F.col("_id").alias("d2"), F.col("_sarr").alias("_sb"))
@@ -235,14 +235,16 @@ def ngram_jaccard_pairs(
         f"array_distinct(transform(sequence(1, char_length(_t) - {n - 1}), "
         f"i -> substring(_t, i, {n})))"
     )
-    # three stages reuse the gram arrays, but RECOMPUTING them (map-only
-    # split/substring codegen) measures faster than caching at every
-    # tested scale — and caching was the suite's variance source: the
-    # per-call lineage never hits a prior run's entries, so entries only
-    # ever ADDED storage pressure (evictions/spills under a busy session,
-    # observed up to 8x degradation in long benchmark runs)
-    garr = pre.filter(F.expr(f"char_length(_t) >= {n}")).select(
-        "_id", F.expr(grams).alias("_garr")
+    # the cache is LOAD-BEARING: the gram arrays feed the index build
+    # (twice, via the df-frequency aggregate and the rare-gram join) and
+    # both verification sides — uncached, the explode/substring pipeline
+    # re-executes ~6x and the query measures ~4-5x slower at sf0.1.
+    # bench.py clears the cache between runs (fresh lineage per call
+    # means entries never hit across runs, they only add pressure).
+    garr = (
+        pre.filter(F.expr(f"char_length(_t) >= {n}"))
+        .select("_id", F.expr(grams).alias("_garr"))
+        .cache()
     )
     g0 = garr.select("_id", F.explode("_garr").alias("_g"))
     dfreq = g0.groupBy("_g").agg(F.count("*").alias("_df"))
