@@ -39,9 +39,19 @@ def main() -> None:
             # runs (fresh lineage per call) — leftover warm-up entries only
             # add storage pressure to the timed run, so drop them first
             spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            # MIN of two timed runs: periodic external bursts (the round
+            # harness's bookkeeping, co-tenant activity) can inflate one
+            # arbitrary query per pass by 5-10x; a single sample then
+            # reads as a plan regression that solo re-runs never confirm.
+            # The min is the standard noise-robust "how fast can this
+            # plan go" estimator.
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            timings[name] = round(best, 4)
         except Exception as e:  # keep the harness alive; a missing query is a bug
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
