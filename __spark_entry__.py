@@ -2536,6 +2536,25 @@ EXTENSION_ORACLES = {
                floor(value * 100)::BIGINT AS cents
         FROM events WHERE event_id IN (7, 101, 499, 733, 911)
     """,
+    "q_dup_profile": """
+        WITH pre AS (
+          SELECT doc_id,
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                     range(1, len(t) - 10),
+                     i -> t[i : i + 11]))) AS gm
+          FROM pre WHERE len(t) >= 12
+        ),
+        f AS (SELECT gm, count(*) AS df FROM g GROUP BY gm)
+        SELECT doc_id, count(*) AS n_grams,
+               floor(1000 * sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+                     / count(*))::BIGINT AS dup_permille
+        FROM g JOIN f USING (gm) GROUP BY doc_id
+    """,
     "q_importance_select": """
         WITH w AS (
           SELECT doc_id, lang,
@@ -3884,6 +3903,51 @@ def q_sql_setop_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is a multiset the driver's sorted-rows hash checks
     exactly."""
     return _planner(spark, sf_dir).sql(_SQL_SETOP_ALL)
+
+
+def q_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOCUMENT DUPLICATION PROFILE: for every document, the
+    permille of its distinct char-12-grams that also occur in at least
+    one OTHER document — the novelty signal curation pipelines threshold
+    on (a doc that is 90% shared grams is boilerplate or a near-dup even
+    when no single pair crosses a Jaccard bar).  Shape: one explode, one
+    gram-frequency aggregate (map-side combine), one join back, one
+    per-doc aggregate — grams hash-partition, never doc×doc.  Integer
+    permille keeps both engines exact."""
+    from pyspark.sql import functions as F
+
+    docs = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
+    )
+    n = 12
+    pre = docs.select(
+        F.col("doc_id"),
+        F.expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')").alias("_t"),
+    ).filter(F.expr(f"char_length(_t) >= {n}"))
+    grams = pre.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, char_length(_t) - {n - 1}), "
+                f"i -> substring(_t, i, {n})))"
+            )
+        ).alias("_g"),
+    )
+    gfreq = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        grams.join(gfreq, "_g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.floor(
+                1000
+                * F.sum(F.when(F.col("_df") > 1, 1).otherwise(0))
+                / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("dup_permille"),
+        )
+    )
 
 
 def q_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5546,7 +5610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
     "q_sql_qualify", "q_eager_agg", "q_file_skip", "q_stream_upsert",
-    "q_importance_select", "q_bloom_skip", "q_sql_setop_all",
+    "q_importance_select", "q_dup_profile", "q_bloom_skip", "q_sql_setop_all",
     "q_sql_select_scalar", "q_matview", "q_stream_matview",
     "q_sql_create_mv", "q_sql_join_mv", "q_sql_window_agg",
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
@@ -5609,6 +5673,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_file_skip": q_file_skip,
         "q_stream_upsert": q_stream_upsert,
         "q_importance_select": q_importance_select,
+        "q_dup_profile": q_dup_profile,
         "q_bloom_skip": q_bloom_skip,
         "q_sql_setop_all": q_sql_setop_all,
         "q_sql_select_scalar": q_sql_select_scalar,
