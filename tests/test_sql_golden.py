@@ -362,6 +362,37 @@ def test_sql_window_range_frame_and_count_star(catalog):
     assert "range between 100 preceding and 2 following" in plan.explain()
 
 
+def test_qualify_requires_window(catalog):
+    with pytest.raises(SqlError):
+        parse_sql("select c_name from customer qualify c_custkey > 3", catalog)
+    # ...including when the only window candidate is in a grouped query
+    with pytest.raises(SqlError):
+        parse_sql(
+            "select c_nationkey, count(*) as n from customer "
+            "group by c_nationkey qualify n > 3",
+            catalog,
+        )
+
+
+def test_window_with_rollup_rejected(catalog):
+    with pytest.raises(SqlError):
+        parse_sql(
+            "select c_mktsegment, count(*) as n, "
+            "rank() over (order by count(*)) as r "
+            "from customer group by cube (c_mktsegment)",
+            catalog,
+        )
+
+
+def test_create_only_table_or_mv(catalog):
+    with pytest.raises(SqlError):
+        parse_sql("create index foo as select 1 as x from nation", catalog)
+    with pytest.raises(SqlError):
+        parse_sql(
+            "create materialized table t as select n_name from nation", catalog
+        )
+
+
 def test_sql_window_over_group_by_parses(catalog):
     """Formerly rejected; now supported via the lift-then-lower path
     (see test_window_over_agg.py for execution differentials)."""
