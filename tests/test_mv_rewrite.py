@@ -170,6 +170,72 @@ def test_create_mv_with_where_stays_plain_table(spark):
     assert '"mv_clicks"' not in phys, phys
 
 
+def test_cost_picks_smallest_applicable_mv(spark, tmp_path):
+    """Two MVs match the same query (fine: (event_type, user_id), coarse:
+    (event_type)); both alternatives enter the memo and the cost model
+    must choose the coarser (5-row) one."""
+    from datafusion_dolomite_spark import QueryPlanner
+    from datafusion_dolomite_spark.sources.catalog import testdata_catalog
+
+    cat = testdata_catalog("/root/testdata/sf0.001")
+    qp0 = QueryPlanner(spark, cat)
+    for name, keys in (
+        ("mv_fine", [Col("event_type"), Col("user_id")]),
+        ("mv_coarse", [Col("event_type")]),
+    ):
+        plan = (
+            LogicalPlanBuilder()
+            .scan("events")
+            .aggregate(
+                keys,
+                [
+                    Alias(Func("count", ()), "n"),
+                    Alias(Func("sum", (CENTS,)), "sum_cents"),
+                ],
+            )
+            .build()
+        )
+        dest = str(tmp_path / name)
+        qp0.dataframe(plan).write.mode("overwrite").parquet(dest)
+        cat.register(name, dest)
+        cat.register_materialized_view(
+            MaterializedView(
+                name=name,
+                source_table="events",
+                group_cols=tuple(k.name for k in keys),
+                agg_defs=(
+                    ("n", Func("count", ())),
+                    ("sum_cents", Func("sum", (CENTS,))),
+                ),
+            )
+        )
+    qp = QueryPlanner(spark, cat)
+    q = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .aggregate(
+            [Col("event_type")],
+            [
+                Alias(Func("count", ()), "n_events"),
+                Alias(Func("sum", (CENTS,)), "cents"),
+            ],
+        )
+        .build()
+    )
+    phys = qp.explain(q).split("== Physical Plan ==")[1]
+    assert '"mv_coarse"' in phys and '"mv_fine"' not in phys, phys
+    got = sorted(map(tuple, qp.dataframe(q).collect()))
+    want = sorted(
+        map(
+            tuple,
+            QueryPlanner(
+                spark, testdata_catalog("/root/testdata/sf0.001")
+            ).dataframe(q).collect(),
+        )
+    )
+    assert got == want and got
+
+
 def test_join_view_subtree_matching(spark):
     """Denormalized MV over a JOIN: a coarser aggregate over the SAME
     normalized join subtree rewrites onto it (semantic_eq matching);
