@@ -2536,6 +2536,12 @@ EXTENSION_ORACLES = {
                floor(value * 100)::BIGINT AS cents
         FROM events WHERE event_id IN (7, 101, 499, 733, 911)
     """,
+    "q_mv_sketch": """
+        SELECT event_type, count(*) AS n_events,
+               count(DISTINCT event_id) AS exact_ids,
+               TRUE AS sketch_within_bound
+        FROM events GROUP BY event_type
+    """,
     "q_dup_profile": """
         WITH pre AS (
           SELECT doc_id,
@@ -4865,6 +4871,91 @@ def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qp.dataframe(q)
 
 
+def q_mv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-AGGREGABLE SKETCH ROLLUP (the Druid/BigQuery MV pattern): the
+    MV stores an HLL sketch of event_id per (event_type, user_id); a
+    coarser ``approx_count_distinct`` query is rewritten to UNION the
+    stored sketches (``mv.py::_SKETCH_PARTIALS``) — distinct counts
+    re-aggregate across any rollup without touching the fact table,
+    which exact distinct counts fundamentally cannot do.  Following the
+    q_approx_sketches convention, the sketch estimate is surfaced as an
+    error-bound BOOLEAN against the exact count (computed base-side);
+    the oracle emits the exact values and TRUE."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.optimizer.rules.mv import MaterializedView
+    from datafusion_dolomite_spark.sources.signature import write_marker
+
+    src = os.path.join(sf_dir, "events.parquet")
+    dest, fresh, sig = _materialized_dir(sf_dir, "sketchmv", src)
+    pl = _planner(spark, sf_dir)
+    if not fresh:
+        mv_plan = (
+            LogicalPlanBuilder()
+            .scan("events")
+            .aggregate(
+                [col("event_type"), col("user_id")],
+                [
+                    Alias(Func("count", ()), "n"),
+                    Alias(
+                        Func("hll_sketch_agg", (col("event_id"),)), "ev_sketch"
+                    ),
+                ],
+            )
+            .build()
+        )
+        pl.dataframe(mv_plan).write.mode("overwrite").parquet(dest)
+        write_marker(dest, sig)
+    cat = testdata_catalog(sf_dir)
+    cat.register("events_sketch_mv", dest)
+    cat.register_materialized_view(
+        MaterializedView(
+            name="events_sketch_mv",
+            source_table="events",
+            group_cols=("event_type", "user_id"),
+            agg_defs=(
+                ("n", Func("count", ())),
+                ("ev_sketch", Func("hll_sketch_agg", (col("event_id"),))),
+            ),
+        )
+    )
+    q = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .aggregate(
+            [col("event_type")],
+            [
+                Alias(Func("count", ()), "n_events"),
+                Alias(
+                    Func("approx_count_distinct", (col("event_id"),)),
+                    "approx_ids",
+                ),
+            ],
+        )
+        .build()
+    )
+    qp = QueryPlanner(spark, cat)
+    phys = qp.explain(q)
+    assert "events_sketch_mv" in phys and "hll_union_agg" in phys, phys
+    est = qp.dataframe(q)
+    exact = (
+        spark.read.parquet(src)
+        .groupBy("event_type")
+        .agg(F.count_distinct("event_id").alias("exact_ids"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_events",
+        "exact_ids",
+        (
+            F.abs(F.col("approx_ids") - F.col("exact_ids"))
+            <= F.greatest(0.15 * F.col("exact_ids"), F.lit(3.0))
+        ).alias("sketch_within_bound"),
+    )
+
+
 def q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLOOM-FILTER file skipping (``sources/skipping.py``): point
     lookups on a column the file layout is NOT clustered by.  events is
@@ -5611,7 +5702,7 @@ _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
     "q_sql_qualify", "q_eager_agg", "q_file_skip", "q_stream_upsert",
     "q_importance_select", "q_dup_profile", "q_bloom_skip", "q_sql_setop_all",
-    "q_sql_select_scalar", "q_matview", "q_stream_matview",
+    "q_sql_select_scalar", "q_matview", "q_mv_sketch", "q_stream_matview",
     "q_sql_create_mv", "q_sql_join_mv", "q_sql_window_agg",
     "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
     "q_corpus_resample", "q_range_bounds", "q_stream_outer_join",
@@ -5678,6 +5769,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_setop_all": q_sql_setop_all,
         "q_sql_select_scalar": q_sql_select_scalar,
         "q_matview": q_matview,
+        "q_mv_sketch": q_mv_sketch,
         "q_stream_matview": q_stream_matview,
         "q_sql_create_mv": q_sql_create_mv,
         "q_sql_join_mv": q_sql_join_mv,

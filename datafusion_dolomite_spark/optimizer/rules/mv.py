@@ -68,6 +68,16 @@ class MaterializedView:
     definition_root: object = None  # PlanNode | None
 
 
+#: approx aggregates answered from RE-AGGREGABLE SKETCHES (the
+#: Druid/BigQuery rollup pattern): the MV stores a mergeable sketch per
+#: group (``hll_sketch_agg``), any coarser query unions them.  NOTE the
+#: estimator changes (Spark's approx_count_distinct is HLL++, the
+#: sketch path is DataSketches HLL) — both honor the same error class,
+#: which is the only contract an approx aggregate offers; the rewrite
+#: is opt-in by materializing the sketch column at all.
+_SKETCH_PARTIALS = {"approx_count_distinct": "hll_sketch_agg"}
+
+
 def _decompose_against(agg: LogicalAggregate, mv: MaterializedView):
     """Final agg exprs recombining ``agg`` from ``mv``'s partials, or
     None when any group key / aggregate doesn't match (exact-expression
@@ -86,11 +96,23 @@ def _decompose_against(agg: LogicalAggregate, mv: MaterializedView):
             inner = inner.expr
         if not isinstance(inner, Func):
             return None
+        final: object = None
         deco = _DECOMPOSE.get(inner.name)
-        mv_col = defs.get(inner)
-        if deco is None or mv_col is None:
+        if deco is not None:
+            mv_col = defs.get(inner)
+            if mv_col is None:
+                return None
+            final = Func(deco[1], (Col(mv_col),))
+        elif inner.name in _SKETCH_PARTIALS and len(inner.args) == 1:
+            mv_col = defs.get(Func(_SKETCH_PARTIALS[inner.name], inner.args))
+            if mv_col is None:
+                return None
+            final = Func(
+                "hll_sketch_estimate",
+                (Func("hll_union_agg", (Col(mv_col),)),),
+            )
+        else:
             return None
-        final: object = Func(deco[1], (Col(mv_col),))
         for t in reversed(casts):
             final = Cast(final, t)
         finals.append(Alias(final, a.name))

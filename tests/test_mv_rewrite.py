@@ -236,6 +236,75 @@ def test_cost_picks_smallest_applicable_mv(spark, tmp_path):
     assert got == want and got
 
 
+def test_sketch_mv_reaggregation(spark, tmp_path):
+    """approx_count_distinct answered by UNIONING stored HLL sketches
+    (the Druid-style re-aggregable rollup): the rewritten plan scans the
+    MV, and the estimate lands within the sketch's error class of the
+    exact distinct count."""
+    from datafusion_dolomite_spark import QueryPlanner
+    from datafusion_dolomite_spark.sources.catalog import testdata_catalog
+
+    cat = testdata_catalog("/root/testdata/sf0.001")
+    qp0 = QueryPlanner(spark, cat)
+    mv_plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .aggregate(
+            [Col("event_type"), Col("user_id")],
+            [
+                Alias(Func("count", ()), "n"),
+                Alias(Func("hll_sketch_agg", (Col("event_id"),)), "ev_sketch"),
+            ],
+        )
+        .build()
+    )
+    dest = str(tmp_path / "sk_mv")
+    qp0.dataframe(mv_plan).write.mode("overwrite").parquet(dest)
+    cat.register("sk_mv", dest)
+    cat.register_materialized_view(
+        MaterializedView(
+            name="sk_mv",
+            source_table="events",
+            group_cols=("event_type", "user_id"),
+            agg_defs=(
+                ("n", Func("count", ())),
+                ("ev_sketch", Func("hll_sketch_agg", (Col("event_id"),))),
+            ),
+        )
+    )
+    qp = QueryPlanner(spark, cat)
+    q = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .aggregate(
+            [Col("event_type")],
+            [
+                Alias(Func("count", ()), "n_events"),
+                Alias(
+                    Func("approx_count_distinct", (Col("event_id"),)),
+                    "approx_ids",
+                ),
+            ],
+        )
+        .build()
+    )
+    phys = qp.explain(q).split("== Physical Plan ==")[1]
+    assert '"sk_mv"' in phys and "hll_union_agg" in phys, phys
+    import pyspark.sql.functions as F
+
+    exact = {
+        r[0]: r[1]
+        for r in spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count_distinct("event_id"))
+        .collect()
+    }
+    for r in qp.dataframe(q).collect():
+        assert abs(r["approx_ids"] - exact[r["event_type"]]) <= max(
+            0.15 * exact[r["event_type"]], 3
+        ), r
+
+
 def test_join_view_subtree_matching(spark):
     """Denormalized MV over a JOIN: a coarser aggregate over the SAME
     normalized join subtree rewrites onto it (semantic_eq matching);
