@@ -19,8 +19,9 @@ that meets ``k`` matches is re-added ``k`` times by the final SUM —
 exactly the contribution its member rows made in the original plan.
 This holds for SUM and COUNT (final = sum of partials) with no
 uniqueness assumption on the other side's key; MIN/MAX are idempotent
-under duplication.  AVG / COUNT(DISTINCT) / STDDEV are not decomposable
-this way and block the rewrite.
+under duplication; AVG decomposes into a sum and a count partial with
+a final division.  COUNT(DISTINCT) / STDDEV are not decomposable this
+way and block the rewrite.
 
 Why it matters at 100 TB: when the fact side carries far more rows than
 join-key groups (``rows ≫ ndv(key)``), the pre-join aggregate shrinks
@@ -133,15 +134,30 @@ class EagerAggregationRule(Rule):
             if not isinstance(inner, Func):
                 return None
             fn: Func = inner
-            deco = _DECOMPOSE.get(fn.name)
-            if deco is None:
-                return None
             refs = set(fn.columns())
             if refs and not refs <= side_cols:
                 return None  # aggregate reads the other side (or both)
             pname = f"{_PARTIAL}{i}"
-            partials.append(Alias(Func(deco[0], fn.args), pname))
-            final: object = Func(deco[1], (Col(pname),))
+            if fn.name == "avg":
+                # avg decomposes as TWO partials: final = Σsum / Σcount
+                # (bigint/bigint and double/bigint both divide as double
+                # in Spark, matching avg's own result type; an all-NULL
+                # group yields NULL/0 = NULL = avg)
+                from ...expr import BinOp
+
+                partials.append(Alias(Func("sum", fn.args), f"{pname}s"))
+                partials.append(Alias(Func("count", fn.args), f"{pname}c"))
+                final: object = BinOp(
+                    "/",
+                    Func("sum", (Col(f"{pname}s"),)),
+                    Func("sum", (Col(f"{pname}c"),)),
+                )
+            else:
+                deco = _DECOMPOSE.get(fn.name)
+                if deco is None:
+                    return None
+                partials.append(Alias(Func(deco[0], fn.args), pname))
+                final = Func(deco[1], (Col(pname),))
             for t in reversed(casts):
                 final = Cast(final, t)
             finals.append(Alias(final, a.name))

@@ -103,6 +103,20 @@ def _decompose_against(agg: LogicalAggregate, mv: MaterializedView):
             if mv_col is None:
                 return None
             final = Func(deco[1], (Col(mv_col),))
+        elif inner.name == "avg" and len(inner.args) == 1:
+            # avg recombines from a sum AND a count(x) partial (count(x),
+            # not count(*): NULLs must stay excluded)
+            s_col = defs.get(Func("sum", inner.args))
+            c_col = defs.get(Func("count", inner.args))
+            if s_col is None or c_col is None:
+                return None
+            from ...expr import BinOp as _BinOp
+
+            final = _BinOp(
+                "/",
+                Func("sum", (Col(s_col),)),
+                Func("sum", (Col(c_col),)),
+            )
         elif inner.name in _SKETCH_PARTIALS and len(inner.args) == 1:
             mv_col = defs.get(Func(_SKETCH_PARTIALS[inner.name], inner.args))
             if mv_col is None:

@@ -91,15 +91,27 @@ def test_plain_agg_kept_under_broadcast_join(planner):
 
 
 def test_eager_blocked_for_nondecomposable_aggs(shuffle_qp):
-    """avg / count_distinct cannot be recombined from partials without
-    a rewrite we don't do — the plan must stay single-aggregate."""
-    for fn in (
-        Func("avg", (Col("o_totalprice"),)),
-        Func("count_distinct", (Col("o_orderpriority"),)),
-    ):
-        plan = _agg_join_plan([Alias(fn, "x")])
-        phys = shuffle_qp.explain(plan).split("== Physical Plan ==")[1]
-        assert phys.count("PhysicalHashAggregate") == 1, (fn.name, phys)
+    """count_distinct cannot be recombined from partials — the plan must
+    stay single-aggregate."""
+    plan = _agg_join_plan(
+        [Alias(Func("count_distinct", (Col("o_orderpriority"),)), "x")]
+    )
+    phys = shuffle_qp.explain(plan).split("== Physical Plan ==")[1]
+    assert phys.count("PhysicalHashAggregate") == 1, phys
+
+
+def test_avg_decomposes_to_sum_count(spark, planner, shuffle_qp):
+    """avg pushes as sum+count partials with a final division; values
+    agree with the plain plan to float tolerance."""
+    plan = _agg_join_plan([Alias(Func("avg", (Col("o_totalprice"),)), "avg_p")])
+    phys = shuffle_qp.explain(plan).split("== Physical Plan ==")[1]
+    assert phys.count("PhysicalHashAggregate") == 2, phys
+    assert "__ea0s" in phys and "__ea0c" in phys, phys
+    eager = {r[0]: r[1] for r in shuffle_qp.dataframe(plan).collect()}
+    plain = {r[0]: r[1] for r in planner.dataframe(plan).collect()}
+    assert set(eager) == set(plain) and eager
+    for k in eager:
+        assert math.isclose(eager[k], plain[k], rel_tol=1e-9), k
 
 
 def test_eager_blocked_for_outer_join(shuffle_qp):

@@ -236,6 +236,66 @@ def test_cost_picks_smallest_applicable_mv(spark, tmp_path):
     assert got == want and got
 
 
+def test_avg_recombines_from_sum_and_count_partials(spark, tmp_path):
+    """avg(x) rewrites only when the MV stored BOTH sum(x) and count(x)
+    (count(*) does not qualify — NULLs must stay excluded)."""
+    import math
+
+    from datafusion_dolomite_spark import QueryPlanner
+    from datafusion_dolomite_spark.sources.catalog import testdata_catalog
+
+    cat = testdata_catalog("/root/testdata/sf0.001")
+    qp0 = QueryPlanner(spark, cat)
+    val = Col("value")
+    mv_plan = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .aggregate(
+            [Col("event_type"), Col("user_id")],
+            [
+                Alias(Func("sum", (val,)), "s_val"),
+                Alias(Func("count", (val,)), "c_val"),
+            ],
+        )
+        .build()
+    )
+    dest = str(tmp_path / "avg_mv")
+    qp0.dataframe(mv_plan).write.mode("overwrite").parquet(dest)
+    cat.register("avg_mv", dest)
+    cat.register_materialized_view(
+        MaterializedView(
+            name="avg_mv",
+            source_table="events",
+            group_cols=("event_type", "user_id"),
+            agg_defs=(
+                ("s_val", Func("sum", (val,))),
+                ("c_val", Func("count", (val,))),
+            ),
+        )
+    )
+    qp = QueryPlanner(spark, cat)
+    q = (
+        LogicalPlanBuilder()
+        .scan("events")
+        .aggregate(
+            [Col("event_type")], [Alias(Func("avg", (val,)), "avg_val")]
+        )
+        .build()
+    )
+    phys = qp.explain(q).split("== Physical Plan ==")[1]
+    assert '"avg_mv"' in phys and "(sum(s_val) / sum(c_val))" in phys, phys
+    got = {r[0]: r[1] for r in qp.dataframe(q).collect()}
+    want = {
+        r[0]: r[1]
+        for r in QueryPlanner(spark, testdata_catalog("/root/testdata/sf0.001"))
+        .dataframe(q)
+        .collect()
+    }
+    assert set(got) == set(want) and got
+    for k in got:
+        assert math.isclose(got[k], want[k], rel_tol=1e-9), k
+
+
 def test_sketch_mv_reaggregation(spark, tmp_path):
     """approx_count_distinct answered by UNIONING stored HLL sketches
     (the Druid-style re-aggregable rollup): the rewritten plan scans the
