@@ -2550,9 +2550,11 @@ EXTENSION_ORACLES = {
         ),
         g AS (
           SELECT doc_id,
-                 unnest(list_distinct(list_transform(
-                     range(1, len(t) - 10),
-                     i -> t[i : i + 11]))) AS gm
+                 unnest(list_transform(
+                     list_distinct(list_transform(
+                         range(1, len(t) - 10),
+                         i -> t[i : i + 11])),
+                     g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS gm
           FROM pre WHERE len(t) >= 12
         ),
         f AS (SELECT gm, count(*) AS df FROM g GROUP BY gm)
@@ -3930,12 +3932,19 @@ def q_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"),
         F.expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')").alias("_t"),
     ).filter(F.expr(f"char_length(_t) >= {n}"))
+    # grams travel as their 60-bit md5 hash, not the 12-char string: the
+    # frequency groupBy and the join back shuffle 8-byte keys instead of
+    # ~24-byte strings.  Both engines hash identically (the shared
+    # conv/md5 convention), so even the ~1e-4-probability collisions
+    # fold the same way on both sides — the oracle stays exact.
     grams = pre.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"array_distinct(transform(sequence(1, char_length(_t) - {n - 1}), "
-                f"i -> substring(_t, i, {n})))"
+                f"transform(array_distinct(transform("
+                f"sequence(1, char_length(_t) - {n - 1}), "
+                f"i -> substring(_t, i, {n}))), "
+                f"g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"
             )
         ).alias("_g"),
     )
