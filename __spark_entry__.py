@@ -2399,11 +2399,14 @@ EXTENSION_ORACLES = {
           FROM documents
         ),
         p2 AS (SELECT doc_id, pos, seg FROM p0 WHERE seg <> ''),
-        k AS (SELECT seg, min(doc_id * 1000000 + pos) AS keep
-              FROM p2 GROUP BY seg),
-        j AS (SELECT p2.doc_id, p2.pos, p2.seg,
-                     (p2.doc_id * 1000000 + p2.pos = k.keep) AS is_kept
-              FROM p2 JOIN k USING (seg))
+        p3 AS (SELECT doc_id, pos, seg,
+                      ('0x' || substr(md5(seg), 1, 15))::BIGINT AS sh
+               FROM p2),
+        k AS (SELECT sh, min(doc_id * 1000000 + pos) AS keep
+              FROM p3 GROUP BY sh),
+        j AS (SELECT p3.doc_id, p3.pos, p3.seg,
+                     (p3.doc_id * 1000000 + p3.pos = k.keep) AS is_kept
+              FROM p3 JOIN k USING (sh))
         SELECT doc_id,
                sum(CASE WHEN is_kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
                sum(CASE WHEN is_kept THEN 0 ELSE 1 END)::BIGINT AS n_removed,

@@ -393,10 +393,18 @@ def line_dedup(df, id_col: str, text_col: str, sep: str = ". "):
     )
     packed = segs.withColumn(
         "_pack", F.col("_id") * F.lit(1_000_000) + F.col("_pos")
+    ).withColumn(
+        # keeper election groups on the 60-bit segment HASH, not the
+        # segment text: the agg side shuffles (8-byte key, 8-byte pack)
+        # instead of whole sentences.  The oracle hashes with the same
+        # md5 convention, so the astronomically-rare collisions fold
+        # identically on both engines.
+        "_sh",
+        F.expr("cast(conv(substr(md5(_seg), 1, 15), 16, 10) as bigint)"),
     )
-    keeper = packed.groupBy("_seg").agg(F.min("_pack").alias("_keep"))
+    keeper = packed.groupBy("_sh").agg(F.min("_pack").alias("_keep"))
     kept = (
-        packed.join(keeper, "_seg")
+        packed.join(keeper, "_sh")
         .withColumn("_is_kept", F.col("_pack") == F.col("_keep"))
     )
     rebuilt = F.expr(
