@@ -2422,8 +2422,10 @@ EXTENSION_ORACLES = {
         ),
         g0 AS (
           SELECT doc_id,
-                 unnest(list_distinct(list_transform(range(1, length(t) - 10),
-                        i -> substr(t, i, 12)))) AS g
+                 unnest(list_transform(
+                     list_distinct(list_transform(range(1, length(t) - 10),
+                            i -> substr(t, i, 12))),
+                     g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS g
           FROM s WHERE length(t) >= 12
         ),
         tg AS (SELECT doc_id AS train_id, g FROM g0 WHERE doc_id % 10 <> 0),

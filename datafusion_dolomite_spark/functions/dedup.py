@@ -339,9 +339,14 @@ def decontaminate(
                 f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
             ).alias("_t"),
         )
+        # grams travel as their 60-bit md5 hash: the broadcast set and
+        # the matched rows reaching the per-doc aggregate carry 8-byte
+        # keys instead of n-char strings; the oracle hashes identically
         garr = (
-            f"array_distinct(transform(sequence(1, char_length(_t) - {n - 1}), "
-            f"i -> substring(_t, i, {n})))"
+            f"transform(array_distinct(transform("
+            f"sequence(1, char_length(_t) - {n - 1}), "
+            f"i -> substring(_t, i, {n}))), "
+            f"g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"
         )
         return (
             pre.filter(F.expr(f"char_length(_t) >= {n}"))
