@@ -131,6 +131,16 @@ class QueryPlanner:
 
         import re as _re
 
+        m = _re.match(r"\s*explain\s+(.+)$", query, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            # EXPLAIN <query> — THIS engine's optimized logical +
+            # physical plan as a one-column DataFrame (Spark's own plan
+            # is a df.explain() away; this shows ours)
+            text = self.explain(parse_sql(m.group(1), self.catalog))
+            return self.spark.createDataFrame(
+                [(line,) for line in text.splitlines()], "plan: string"
+            )
+
         m = _re.match(
             r"\s*drop\s+materialized\s+view\s+([A-Za-z_][A-Za-z_0-9]*)\s*$",
             query,

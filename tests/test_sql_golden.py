@@ -362,6 +362,19 @@ def test_sql_window_range_frame_and_count_star(catalog):
     assert "range between 100 preceding and 2 following" in plan.explain()
 
 
+def test_explain_statement_returns_engine_plan(planner):
+    rows = [
+        r[0]
+        for r in planner.sql(
+            "EXPLAIN select n_name from nation where n_regionkey = 1"
+        ).collect()
+    ]
+    text = "\n".join(rows)
+    assert "== Optimized Logical Plan ==" in text
+    assert "== Physical Plan ==" in text
+    assert "PhysicalTableScan" in text and "n_regionkey" in text
+
+
 def test_qualify_requires_window(catalog):
     with pytest.raises(SqlError):
         parse_sql("select c_name from customer qualify c_custkey > 3", catalog)
