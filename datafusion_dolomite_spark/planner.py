@@ -141,6 +141,23 @@ class QueryPlanner:
                 [(line,) for line in text.splitlines()], "plan: string"
             )
 
+        if _re.match(
+            r"\s*show\s+materialized\s+views\s*$", query, _re.IGNORECASE
+        ):
+            rows = [
+                (
+                    mv.name,
+                    mv.source_table or "<subtree>",
+                    ", ".join(mv.group_cols),
+                    ", ".join(c for c, _ in mv.agg_defs),
+                )
+                for mv in getattr(self.catalog, "materialized_views", tuple)()
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "name: string, source: string, group_cols: string, partials: string",
+            )
+
         m = _re.match(
             r"\s*drop\s+materialized\s+view\s+([A-Za-z_][A-Za-z_0-9]*)\s*$",
             query,

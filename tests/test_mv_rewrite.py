@@ -147,8 +147,12 @@ def test_drop_materialized_view(spark):
     ).count()
     q = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
     assert '"mv_drop"' in qp.explain(parse_sql(q, cat))
+    shown = [r["name"] for r in qp.sql("SHOW MATERIALIZED VIEWS").collect()]
+    assert "mv_drop" in shown
     qp.sql("DROP MATERIALIZED VIEW mv_drop")
     assert '"mv_drop"' not in qp.explain(parse_sql(q, cat))
+    shown = [r["name"] for r in qp.sql("SHOW MATERIALIZED VIEWS").collect()]
+    assert "mv_drop" not in shown
 
 
 def test_create_mv_with_where_stays_plain_table(spark):
