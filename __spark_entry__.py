@@ -1588,7 +1588,10 @@ _CENTROID = (
     "((('0x' || substr(md5('c' || c || '_d' || d), 1, 15))::BIGINT % 2001 - 1000) / 1000.0))"
 )
 _PLANE = (
-    "list_transform(range(0, 64), d -> "
+    # dim-agnostic: ``nd`` (the vectors' actual width, from the ``dims``
+    # CTE) drives the plane width — same hazard-fix as the k-means
+    # oracle's generate_subscripts; a testdata dim change adapts here
+    "list_transform(range(0, nd), d -> "
     "((('0x' || substr(md5('p' || b || '_d' || d), 1, 15))::BIGINT % 2001 - 1000) / 1000.0))"
 )
 
@@ -1792,10 +1795,11 @@ def _pagerank_oracle(iters=3, d=85, scale=10**9) -> str:
 def _near_dup_oracle(nbits=12, threshold=200) -> str:
     return f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-        planes AS (SELECT b, {_PLANE} AS p FROM range(0, {nbits}) t(b)),
+        dims AS (SELECT max(len(ev)) AS nd FROM v),
+        planes AS (SELECT b, {_PLANE} AS p FROM range(0, {nbits}) t(b), dims),
         bitvals AS (
           SELECT vec_id, b,
-                 CASE WHEN list_sum(list_transform(range(1, 65), i -> v.ev[i] * planes.p[i])) > 0
+                 CASE WHEN list_sum(list_transform(range(1, len(v.ev) + 1), i -> v.ev[i] * planes.p[i])) > 0
                       THEN 1 << b ELSE 0 END AS bv
           FROM v CROSS JOIN planes
         ),
@@ -2402,11 +2406,9 @@ EXTENSION_ORACLES = {
         p3 AS (SELECT doc_id, pos, seg,
                       ('0x' || substr(md5(seg), 1, 15))::BIGINT AS sh
                FROM p2),
-        k AS (SELECT sh, min(doc_id * 1000000 + pos) AS keep
-              FROM p3 GROUP BY sh),
-        j AS (SELECT p3.doc_id, p3.pos, p3.seg,
-                     (p3.doc_id * 1000000 + p3.pos = k.keep) AS is_kept
-              FROM p3 JOIN k USING (sh))
+        j AS (SELECT doc_id, pos, seg,
+                     row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) = 1 AS is_kept
+              FROM p3)
         SELECT doc_id,
                sum(CASE WHEN is_kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
                sum(CASE WHEN is_kept THEN 0 ELSE 1 END)::BIGINT AS n_removed,
@@ -4933,6 +4935,7 @@ def q_mv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("n", Func("count", ())),
                 ("ev_sketch", Func("hll_sketch_agg", (col("event_id"),))),
             ),
+            sketch_rewrite=True,
         )
     )
     q = (

@@ -377,6 +377,14 @@ class SparkExecutor:
         definition = None
         if hasattr(self.catalog, "pop_view_definition"):
             definition = self.catalog.pop_view_definition(name)
+        if source:
+            # scan-rooted rollups are matched by the CASCADES rule, which
+            # races all applicable MVs by cost (smallest applicable wins);
+            # stashing the subtree too would let the first-match Hep
+            # subtree rule short-circuit that race in registration order.
+            # Only join-tree definitions (no single source table) keep
+            # the subtree-matching path.
+            definition = None
         if not source and definition is None:
             return  # neither matching mechanism can ever fire
         self.catalog.register_materialized_view(

@@ -397,20 +397,23 @@ def line_dedup(df, id_col: str, text_col: str, sep: str = ". "):
         .filter(F.col("_seg") != "")
     )
     packed = segs.withColumn(
-        "_pack", F.col("_id") * F.lit(1_000_000) + F.col("_pos")
-    ).withColumn(
         # keeper election groups on the 60-bit segment HASH, not the
-        # segment text: the agg side shuffles (8-byte key, 8-byte pack)
-        # instead of whole sentences.  The oracle hashes with the same
-        # md5 convention, so the astronomically-rare collisions fold
-        # identically on both engines.
+        # segment text: the agg side shuffles (8-byte key, 16-byte
+        # (_id,_pos) struct) instead of whole sentences.  The oracle
+        # hashes with the same md5 convention, so the astronomically-
+        # rare collisions fold identically on both engines.
         "_sh",
         F.expr("cast(conv(substr(md5(_seg), 1, 15), 16, 10) as bigint)"),
     )
-    keeper = packed.groupBy("_sh").agg(F.min("_pack").alias("_keep"))
+    # min over a (doc, pos) STRUCT — lexicographic, exact for any id /
+    # segment count (an arithmetic id*1e6+pos pack would mis-elect past
+    # 1M segments and overflow for 64-bit-hash doc ids)
+    keeper = packed.groupBy("_sh").agg(
+        F.min(F.struct("_id", "_pos")).alias("_keep")
+    )
     kept = (
         packed.join(keeper, "_sh")
-        .withColumn("_is_kept", F.col("_pack") == F.col("_keep"))
+        .withColumn("_is_kept", F.struct("_id", "_pos") == F.col("_keep"))
     )
     rebuilt = F.expr(
         "concat_ws('"

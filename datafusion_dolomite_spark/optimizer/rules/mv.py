@@ -66,6 +66,12 @@ class MaterializedView:
     group_cols: Tuple[str, ...]
     agg_defs: Tuple[Tuple[str, Func], ...]  # (mv_column, partial expr)
     definition_root: object = None  # PlanNode | None
+    #: EXPLICIT opt-in for answering ``approx_count_distinct`` from the
+    #: stored HLL sketches.  The estimator differs from Spark's native
+    #: HLL++ (same error class, different estimates), so registering a
+    #: sketch MV must not silently change the numbers existing queries
+    #: return — the owner opts in per view.
+    sketch_rewrite: bool = False
 
 
 #: approx aggregates answered from RE-AGGREGABLE SKETCHES (the
@@ -74,7 +80,8 @@ class MaterializedView:
 #: estimator changes (Spark's approx_count_distinct is HLL++, the
 #: sketch path is DataSketches HLL) — both honor the same error class,
 #: which is the only contract an approx aggregate offers; the rewrite
-#: is opt-in by materializing the sketch column at all.
+#: additionally requires ``MaterializedView.sketch_rewrite=True`` so a
+#: registered sketch column can't silently change existing estimates.
 _SKETCH_PARTIALS = {"approx_count_distinct": "hll_sketch_agg"}
 
 
@@ -118,6 +125,8 @@ def _decompose_against(agg: LogicalAggregate, mv: MaterializedView):
                 Func("sum", (Col(c_col),)),
             )
         elif inner.name in _SKETCH_PARTIALS and len(inner.args) == 1:
+            if not mv.sketch_rewrite:
+                return None
             mv_col = defs.get(Func(_SKETCH_PARTIALS[inner.name], inner.args))
             if mv_col is None:
                 return None

@@ -175,14 +175,45 @@ def select_files(
 # same one-JSON-read scan-time story as the min/max bands.
 
 
+def _bloom_canon(value) -> str:
+    """Canonical string for Bloom hashing.  Write-side values come from
+    pyarrow ``to_pylist()`` while probe-side values are caller-supplied,
+    so numerically-equal but differently-typed values (``7`` vs ``7.0``
+    vs ``Decimal("7")``) and temporals must collapse to ONE repr on both
+    paths — otherwise a file containing matches can be pruned, a false
+    NEGATIVE that breaks the documented no-false-negatives contract."""
+    import datetime
+    import decimal
+
+    if isinstance(value, bool):
+        # bool is an int subclass; fold into the numeric repr so a
+        # probe with 1/0 and a stored True/False agree either way
+        return "1" if value else "0"
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, float):
+        return str(int(value)) if value.is_integer() else repr(value)
+    if isinstance(value, decimal.Decimal):
+        if value == value.to_integral_value():
+            return str(int(value))
+        return str(value.normalize())
+    if isinstance(value, datetime.datetime):
+        return value.isoformat(sep="T")
+    if isinstance(value, datetime.date):
+        return value.isoformat()
+    return str(value)
+
+
 def _bloom_positions(value, n_bits: int, k: int):
     """k deterministic bit positions for ``value`` — md5 over the
-    canonical string with a per-probe seed, so any engine (or a test)
-    can reproduce the filter bit-for-bit."""
+    canonical string (``_bloom_canon``, shared by write and probe
+    paths) with a per-probe seed, so any engine (or a test) can
+    reproduce the filter bit-for-bit."""
     import hashlib
 
+    canon = _bloom_canon(value)
     for i in range(k):
-        h = hashlib.md5(f"{value}|{i}".encode()).hexdigest()
+        h = hashlib.md5(f"{canon}|{i}".encode()).hexdigest()
         yield int(h[:15], 16) % n_bits
 
 

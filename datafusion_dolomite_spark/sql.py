@@ -315,6 +315,7 @@ class _Parser:
                 sel_scalars.extend(sc)
             items = new_items
         for alias, sub in sel_scalars:
+            _require_one_row_subplan(sub)
             cur = _single_output_col(sub)
             renamed = LogicalPlanBuilder(sub.root).projection(
                 [Alias(Col(cur), alias)]
@@ -330,6 +331,7 @@ class _Parser:
                     subb, cond = dec
                     builder = builder.join(subb, JoinType.INNER, cond)
                     continue
+                _require_one_row_subplan(sub)
                 cur = _single_output_col(sub)
                 renamed = LogicalPlanBuilder(sub.root).projection(
                     [Alias(Col(cur), alias)]
@@ -700,6 +702,7 @@ class _Parser:
                 # below the filter.
                 hpred, hscalars = _extract_scalars(hpred)
                 for alias, sub in hscalars:
+                    _require_one_row_subplan(sub)
                     cur = _single_output_col(sub)
                     renamed = LogicalPlanBuilder(sub.root).projection(
                         [Alias(Col(cur), alias)]
@@ -1611,6 +1614,27 @@ def _try_decorrelate_scalar(sub: Plan, catalog, alias: str):
         [new_child],
     )
     return LogicalPlanBuilder(grouped), _and_all(conds)
+
+
+def _require_one_row_subplan(plan: Plan) -> None:
+    """Scalar subqueries lower to an INNER join on TRUE, so a multi-row
+    subplan would silently MULTIPLY the outer rows instead of raising
+    the SQL-mandated more-than-one-row error.  Accept only shapes whose
+    row count is provably ≤ 1: a global aggregate (possibly under
+    Projection/Filter/Distinct, which never add rows) or LIMIT ≤ 1."""
+    op = plan.root.operator
+    name = op.operator_name()
+    if name in ("Projection", "Filter", "Distinct"):
+        _require_one_row_subplan(Plan(plan.root.inputs[0]))
+        return
+    if name == "Aggregate" and not getattr(op, "group_exprs", ()):
+        return
+    if name == "Limit" and op.offset == 0 and op.limit <= 1:
+        return
+    raise SqlError(
+        "scalar subquery must be a single-row (global aggregate or "
+        "LIMIT 1) query"
+    )
 
 
 def _single_output_col(plan: Plan) -> str:

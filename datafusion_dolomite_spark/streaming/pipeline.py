@@ -415,8 +415,15 @@ def incremental_upsert(
                 os.path.join(snap_root, f"v_{prior[-1]}")
             )
         else:
+            # batch-0 empty snapshot: derive key/ord/val dtypes from the
+            # SOURCE schema (string user ids, decimal cents, timestamp
+            # ords all merge type-clean; hardcoding bigint would make
+            # the first full-outer join mismatched-typed)
+            src_t = {f.name: f.dataType.simpleString() for f in schema.fields}
             snap = spark.createDataFrame(
-                [], f"{key} bigint, n_events bigint, _ord string, {val_col} bigint"
+                [],
+                f"{key} {src_t[key]}, n_events bigint, "
+                f"_ord {src_t[ord_col]}, {val_col} {src_t[val_col]}",
             )
         merged = (
             snap.join(delta, on=key, how="full_outer")

@@ -334,6 +334,7 @@ def test_sketch_mv_reaggregation(spark, tmp_path):
                 ("n", Func("count", ())),
                 ("ev_sketch", Func("hll_sketch_agg", (Col("event_id"),))),
             ),
+            sketch_rewrite=True,
         )
     )
     qp = QueryPlanner(spark, cat)
