@@ -2211,6 +2211,14 @@ EXTENSION_ORACLES = {
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
     """,
+    "q_join_order": """
+        SELECT n_name, COUNT(*)::BIGINT AS n
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' GROUP BY n_name
+    """,
     "q_sql_having": """
         SELECT n_name, COUNT(*) AS n
         FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -2777,6 +2785,26 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "join lineitem on o_orderkey = l_orderkey "
         "where c_mktsegment = 'BUILDING' "
         "group by o_orderkey"
+    )
+
+
+def q_join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-driven multi-join ORDER search, driver-graded face (r6).
+
+    A dim-chain star shape whose TEXTUAL order is deliberately bad:
+    lineitem joins supplier, then nation, then region — probing the
+    fact-sized intermediate through three joins.  The explored winner
+    (tests/test_join_order.py pins the shape and its lower modeled cost
+    and shuffled-row count) collapses region→nation→supplier into the
+    small broadcast side and probes lineitem ONCE — the one capability
+    the reference's memo exists to enable (memo.rs:331-366) but never
+    fed with statistics (memo.rs:781 todo!())."""
+    return _planner(spark, sf_dir).sql(
+        "select n_name, count(*) as n from lineitem "
+        "join supplier on l_suppkey = s_suppkey "
+        "join nation on s_nationkey = n_nationkey "
+        "join region on n_regionkey = r_regionkey "
+        "where r_name = 'ASIA' group by n_name"
     )
 
 
@@ -5710,42 +5738,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head
 
 
-#: round-5 check priority: changed-path queries first (the r4 red row's
-#: repacked output, the widened sketch bound, the dim-agnostic kmeans
-#: oracle, the signature-keyed materializations), then queries new or
-#: changed in r4, then the heaviest previously-green sets (streaming,
-#: SQL front door) so a deep prefix still re-proves them.
+#: round-6 check priority: STALENESS rotation (VERDICT r5 item 2).
+#: Every query has at least one cumulative driver-green row, so the
+#: prefix now leads with the queries whose last driver-green round is
+#: OLDEST — new never-checked queries first (none stale-er than never),
+#: then the r1 era, r2, r3 — keeping the cumulative record fresh now
+#: that this round changed execution-shared paths again (scalar-subquery
+#: guard, MV definition stashing, line-dedup keeper election).
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
-    "q_sql_qualify", "q_eager_agg", "q_file_skip", "q_stream_upsert",
-    "q_importance_select", "q_dup_profile", "q_bloom_skip", "q_sql_setop_all",
-    "q_sql_select_scalar", "q_matview", "q_mv_sketch", "q_stream_matview",
-    "q_sql_create_mv", "q_sql_join_mv", "q_sql_window_agg",
-    "q_repetition_filter", "q_semantic_dedup", "q_pagerank",
-    "q_corpus_resample", "q_range_bounds", "q_stream_outer_join",
-    "q_time_weighted_avg", "q_interval_overlap", "q_sql_values",
-    # changed this round — re-prove first
-    "q_embed_quantize", "q_approx_sketches", "q_knn_ivf_kmeans",
-    "q_partition_pruned", "q_bucketed_join", "q_stream_file_sink",
-    "q_knn_recall", "q_csv_source", "q_zorder_scan", "q_multiformat_union",
-    "q_decontaminate", "q_line_dedup",
-    # r4-new / r4-changed — keep early
-    "q_merge_upsert", "q_dedup_keep_best", "q_pii_redact",
-    "q_stream_stream_join", "q_connected_components", "q_dedup_clusters",
-    "q_knn_ivf", "q_range_join", "q_knn_brute", "q_cosine_near_dup",
-    # previously green, kept early for re-proof depth
-    "q_hypertable_rollup", "q_gap_fill", "q_rolling_avg",
-    "q_range_frame_window", "q_sessionize_batch", "q_funnel", "q_retention",
-    "q_label_centroids", "q_salted_agg", "q_events_json", "q_asof_join",
-    "q_asof_tolerance", "q_date_functions", "q_union_all", "q_intersect",
-    "q_cube", "q_except", "q_anti_join", "q_left_join", "q_global_agg",
-    "q_sql_case_like", "q_sql_comma_q5", "q_sql_q18", "q_sql_q1",
-    "q_sql_q12", "q_sql_q19", "q_sql_q14", "q_sql_q10", "q_sql_q13",
-    "q_sql_q2", "q_sql_q4", "q_sql_q7", "q_sql_q8", "q_sql_q9",
-    "q_sql_q11", "q_sql_q15", "q_sql_q16", "q_sql_q17", "q_sql_q20",
-    "q_sql_q21", "q_sql_q22", "q_sql_grouping", "q_sql_ctas",
-    "q_stream_window_counts", "q_stream_sessions", "q_stream_dedup",
-    "q_stream_enrich", "q_stream_stateful",
+    "q_join_order", "q_skewed_agg", "q_mv_incremental",
+    # last driver-green in r1 — stalest, rotate in first
+    "q_agg_join", "q_corpus_mix", "q_distinct", "q_filter_projection",
+    "q_grouping_sets", "q_hash_sample", "q_join3", "q_pandas_scalar_udf",
+    "q_python_udtf", "q_scan_limit", "q_semi_join", "q_sql_corr_scalar",
+    "q_sql_cte", "q_sql_exists", "q_sql_having", "q_sql_in_subquery",
+    "q_sql_q3", "q_sql_q5", "q_sql_q6", "q_sql_scalar_subquery",
+    "q_string_functions", "q_topk", "q_tpch_q1", "q_tpch_q10",
+    "q_tpch_q13", "q_tpch_q14", "q_tpch_q19", "q_unnest",
+    "q_window_lead_ntile", "q_window_rank", "q_window_running",
+    # last driver-green in r2
+    "q_argmax", "q_array_agg", "q_corpus_prep", "q_doc_chunks",
+    "q_events_by_type", "q_exact_dedup", "q_full_join", "q_knn_pandas",
+    "q_lang_id", "q_map_functions", "q_minhash_pairs", "q_multimodal_features",
+    "q_multimodal_frames", "q_multimodal_resize", "q_ngram_jaccard", "q_pandas_udaf",
+    "q_percentiles", "q_rollup", "q_salted_join", "q_sequence_pack",
+    "q_simhash", "q_sql_offset", "q_sql_window", "q_stratified_sample",
+    "q_term_stats", "q_text_stats",
+    # last driver-green in r3
+    "q_pivot_events", "q_sql_ctas", "q_sql_grouping", "q_sql_q11",
+    "q_sql_q15", "q_sql_q16", "q_sql_q17", "q_sql_q20",
+    "q_sql_q21", "q_sql_q22", "q_stream_dedup", "q_stream_enrich",
+    "q_stream_sessions", "q_stream_stateful", "q_stream_window_counts",
+    # paths CHANGED this round (r5-green but touched: keeper election,
+    # sketch opt-in, MV stash, scalar guard, skipping canon, upsert schema)
+    "q_line_dedup", "q_cosine_near_dup", "q_mv_sketch", "q_sql_create_mv",
+    "q_sql_join_mv", "q_stream_upsert", "q_sql_select_scalar", "q_file_skip",
+    "q_bloom_skip", "q_matview",
+    # last driver-green in r4
+    "q_anti_join", "q_asof_join", "q_asof_tolerance", "q_cube",
+    "q_date_functions", "q_events_json", "q_except", "q_funnel",
+    "q_global_agg", "q_intersect", "q_label_centroids", "q_left_join",
+    "q_retention", "q_salted_agg", "q_sessionize_batch", "q_sql_case_like",
+    "q_sql_comma_q5", "q_sql_q1", "q_sql_q10", "q_sql_q12",
+    "q_sql_q13", "q_sql_q14", "q_sql_q18", "q_sql_q19",
+    "q_sql_q2", "q_sql_q4", "q_sql_q7", "q_sql_q8",
+    "q_sql_q9", "q_union_all",
 )
 
 
@@ -5904,6 +5942,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_q3": q_sql_q3,
         "q_sql_q5": q_sql_q5,
         "q_sql_q6": q_sql_q6,
+        "q_join_order": q_join_order,
         "q_sql_having": q_sql_having,
         "q_sql_in_subquery": q_sql_in_subquery,
         "q_sql_exists": q_sql_exists,

@@ -24,7 +24,13 @@ from ...operators import physical as P
 from ...operators.logical import Operator
 from ...operators.properties import Statistics
 
-__all__ = ["INF", "CostModel", "SimpleCostModel", "SparkCostModel"]
+__all__ = [
+    "INF",
+    "CostModel",
+    "SimpleCostModel",
+    "SparkCostModel",
+    "static_plan_cost",
+]
 
 INF = math.inf
 
@@ -506,3 +512,26 @@ def _propagate_columns(op: Operator, input_stats, ctx, out_rows: float):
         )
         for n, cs in cols
     )
+
+
+def static_plan_cost(plan, cost_model: CostModel, ctx=None) -> float:
+    """Total modeled cost of an EXTRACTED physical plan tree: bottom-up
+    ``derive_stats`` + per-operator ``estimate_cost`` sum — the same two
+    pieces the cascades search combines inside ``OptimizeInputs``
+    (ref ``cost/mod.rs:30-35``: children accumulate outside the model).
+
+    This exists so tests can compare two candidate plans' modeled costs
+    OUTSIDE the memo — e.g. prove the explored join order is cheaper
+    than the textual one under the very model that chose it.  Enforcer
+    ``Exchange`` nodes are costed like any other operator (extracted
+    plans carry them explicitly)."""
+
+    def walk(node):
+        kids = [walk(c) for c in node.inputs]
+        stats = [k[1] for k in kids]
+        cost = cost_model.estimate_cost(node.operator, stats, ctx) + sum(
+            k[0] for k in kids
+        )
+        return cost, derive_stats(node.operator, stats, ctx)
+
+    return walk(plan.root)[0]
