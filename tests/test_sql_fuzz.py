@@ -884,6 +884,94 @@ class Gen:
         # without affecting any other case.
         return sql, sql + " HAVING count(*) > 0"
 
+    def _values_rows(self, sig, n) -> str:
+        """n random literal rows for a VALUES list with column types
+        ``sig`` — ints and strings only (floats would put engine-specific
+        representation into row identity), ~10% NULL cells, and a
+        duplicated row half the time so bag semantics (UNION ALL /
+        INTERSECT ALL / EXCEPT ALL / join multiplicity) get exercised."""
+        r = self.rng
+        rows = []
+        for _ in range(n):
+            cells = []
+            for ty in sig:
+                if r.random() < 0.1:
+                    cells.append("NULL")
+                elif ty == INT:
+                    cells.append(str(r.randint(-5, 30)))
+                else:
+                    s = r.choice(["x", "y", "z''z", "ASIA", "EUROPE", ""])
+                    cells.append(f"'{s}'")
+            rows.append("(" + ", ".join(cells) + ")")
+        if rows and r.random() < 0.5:
+            rows.append(r.choice(rows))
+        return ", ".join(rows)
+
+    def _values(self):
+        """VALUES inline relations (round-5 surface): standalone scan,
+        aggregate over VALUES, join against a base table on a small int
+        key, and a set-op branch — the same string is the oracle (DuckDB
+        VALUES syntax is identical)."""
+        r = self.rng
+        roll = r.random()
+        if roll < 0.35:
+            # standalone (optionally aggregated)
+            sig = r.choice([(INT,), (STR,), (INT, STR), (INT, INT)])
+            names = [f"v{i}" for i in range(len(sig))]
+            tbl = (
+                f"(VALUES {self._values_rows(sig, r.randint(1, 5))}) "
+                f"AS t({', '.join(names)})"
+            )
+            if sig[0] == INT and r.random() < 0.4:
+                sql = (
+                    f"SELECT count(*) AS c0, min(v0) AS c1, max(v0) AS c2 "
+                    f"FROM {tbl}"
+                )
+                return sql, sql
+            items = [f"{n} AS c{i}" for i, n in enumerate(names)]
+            sql = f"SELECT {', '.join(items)} FROM {tbl}"
+            ol, _ = self._order_limit(
+                [f"c{i}" for i in range(len(names))], False
+            )
+            return sql + ol, sql + ol
+        if roll < 0.75:
+            # join a base table against the VALUES relation on a small
+            # int key (region/nation keys are 0..24); duplicate VALUES
+            # keys multiply matched rows identically in both engines
+            t, key = r.choice(
+                [("nation", "n_regionkey"), ("region", "r_regionkey"),
+                 ("nation", "n_nationkey"), ("customer", "c_nationkey")]
+            )
+            rows = ", ".join(
+                f"({r.randint(0, 8)}, '{r.choice(['a', 'b', 'c'])}')"
+                for _ in range(r.randint(2, 5))
+            )
+            jt = r.choice(["JOIN", "LEFT JOIN"])
+            strs = [c for c, ty in TABLES[t].items() if ty == STR]
+            out = r.choice(strs)
+            sql = (
+                f"SELECT {out} AS c0, w AS c1 FROM {t} {jt} "
+                f"(VALUES {rows}) AS t0(k, w) ON {key} = k"
+            )
+            if r.random() < 0.4:
+                sql += f" WHERE {self._atom_pred([t])}"
+            ol, _ = self._order_limit(["c0", "c1"], False)
+            return sql + ol, sql + ol
+        # set-op branch: VALUES vs a base-table projection
+        t = r.choice(["region", "nation"])
+        ints = [c for c, ty in TABLES[t].items() if ty == INT]
+        c = r.choice(ints)
+        op = r.choice(
+            ["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+             "INTERSECT ALL", "EXCEPT ALL"]
+        )
+        vals = self._values_rows((INT,), r.randint(2, 6))
+        first_is_values = r.random() < 0.5
+        b_tab = f"SELECT {c} AS c0 FROM {t}"
+        b_val = f"SELECT v0 AS c0 FROM (VALUES {vals}) AS t0(v0)"
+        sql = f"{b_val} {op} {b_tab}" if first_is_values else f"{b_tab} {op} {b_val}"
+        return sql, sql
+
     SHAPES = (
         ("_simple", 14),
         ("_join", 18),
@@ -900,6 +988,7 @@ class Gen:
         ("_window_over_agg", 8),
         ("_self_join", 10),
         ("_rollup", 8),
+        ("_values", 10),
     )
 
     def query(self):
@@ -916,9 +1005,13 @@ class Gen:
 # the fuzz loop — 6 chunks x 60 queries = 360, seed-pinned
 # ---------------------------------------------------------------------------
 
-N_CHUNKS = 6
+# r6: 6 → 8 chunks (+120 queries, VERDICT item 3) with the _values
+# shape added to the grammar; the seed moves so ALL shapes (not just
+# the new one) resample — the old 360 queries stay reproducible from
+# the r5 tree, these 480 are the r6 pin.
+N_CHUNKS = 8
 PER_CHUNK = 60
-SEED = 20260813
+SEED = 20260814
 
 
 @pytest.mark.parametrize("chunk", range(N_CHUNKS))
