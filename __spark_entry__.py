@@ -2211,6 +2211,11 @@ EXTENSION_ORACLES = {
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
     """,
+    "q_skewed_agg": """
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               ('0x' || substr(md5(array_to_string(list_sort(list(doc_id)), ',')), 1, 15))::BIGINT AS ids_fp
+        FROM documents GROUP BY lang
+    """,
     "q_join_order": """
         SELECT n_name, COUNT(*)::BIGINT AS n
         FROM lineitem
@@ -2786,6 +2791,51 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "where c_mktsegment = 'BUILDING' "
         "group by o_orderkey"
     )
+
+
+def q_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOMATIC skew-salting (r6): a payload aggregate
+    (collect_list of doc ids) grouped by ``lang`` — the skewed, low-ndv
+    key (the top language holds ~2.2x the mean and ndv < shuffle
+    partitions).  The optimizer's cost race picks
+    ``PhysicalSaltedHashAggregate`` (two-stage, hot key fanned over 8
+    salts) over the plain aggregate because the catalog's ANALYZE pass
+    derived ``ColumnStatistics.top_count`` and the straggler term
+    charges the plain plan's hottest reducer
+    (``Agg2SaltedHashAggregateRule`` + ``SparkCostModel``;
+    tests/test_skew_rule.py pins flip AND no-flip).  Output carries the
+    per-lang id list as a sorted fingerprint, so the salted two-stage
+    merge is oracle-exact."""
+    from datafusion_dolomite_spark.expr import RawSql
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .aggregate(
+            [col("lang")],
+            [
+                Alias(Func("collect_list", (col("doc_id"),)), "_ids"),
+                Alias(Func("count", ()), "n_docs"),
+            ],
+        )
+        .projection(
+            [
+                col("lang"),
+                col("n_docs"),
+                Alias(
+                    RawSql(
+                        "cast(conv(substring(md5(concat_ws(',', "
+                        "transform(sort_array(_ids), x -> cast(x as string))"
+                        ")), 1, 15), 16, 10) as bigint)",
+                        refs=("_ids",),
+                    ),
+                    "ids_fp",
+                ),
+            ]
+        )
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
 
 
 def q_join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5943,6 +5993,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_q5": q_sql_q5,
         "q_sql_q6": q_sql_q6,
         "q_join_order": q_join_order,
+        "q_skewed_agg": q_skewed_agg,
         "q_sql_having": q_sql_having,
         "q_sql_in_subquery": q_sql_in_subquery,
         "q_sql_exists": q_sql_exists,

@@ -174,6 +174,47 @@ class SparkExecutor:
             return grouped.agg(*aggs)
         return df.agg(*aggs)
 
+    def _salted_aggregate(self, node: PlanNode):
+        """Two-stage skew-proof aggregate (PhysicalSaltedHashAggregate):
+        stage 1 groups by (keys + salt) — the hot key fans out over
+        ``n_salts`` reducers — stage 2 merges partials by the true keys.
+        Same salt source as ``functions/skew.py::salted_aggregate``; the
+        rule guarantees plain-Col keys and salt-mergeable aggregates."""
+        from pyspark.sql import functions as F
+
+        from .expr import Alias, Cast, Func
+        from .optimizer.rules.agg import _SALT_MERGE
+
+        op = node.operator
+        df = self._node(node.inputs[0])
+        salted = df.withColumn(
+            "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(op.n_salts))
+        )
+        key_names = [g.name for g in op.group_exprs]
+        partials, finals = [], []
+        for i, a in enumerate(op.agg_exprs):
+            inner = a.expr
+            casts = []
+            while isinstance(inner, Cast):
+                casts.append(inner.to_type)
+                inner = inner.expr
+            p = f"_p{i}"
+            partials.append(Alias(inner, p).to_column())
+            merge = _SALT_MERGE[inner.name]
+            if merge == "flatten":
+                fin = F.flatten(F.collect_list(F.col(p)))
+            elif merge == "flatten_distinct":
+                fin = F.array_distinct(F.flatten(F.collect_list(F.col(p))))
+            else:
+                fin = getattr(F, merge)(F.col(p))
+            for t in reversed(casts):
+                fin = fin.cast(t)
+            finals.append(fin.alias(a.name))
+        stage1 = salted.groupBy(
+            *[g.to_column() for g in op.group_exprs], F.col("_salt")
+        ).agg(*partials)
+        return stage1.groupBy(*[F.col(k) for k in key_names]).agg(*finals)
+
     def _sort(self, node: PlanNode):
         op = node.operator
         return self._node(node.inputs[0]).orderBy(*[k.to_column() for k in op.keys])
@@ -682,6 +723,7 @@ _HANDLERS = {
     P.PhysicalProjection: SparkExecutor._projection,
     P.PhysicalLimit: SparkExecutor._limit,
     P.PhysicalHashAggregate: SparkExecutor._aggregate,
+    P.PhysicalSaltedHashAggregate: SparkExecutor._salted_aggregate,
     P.PhysicalSort: SparkExecutor._sort,
     P.PhysicalTopK: SparkExecutor._topk,
     P.PhysicalDistinct: SparkExecutor._distinct,

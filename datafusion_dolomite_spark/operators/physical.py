@@ -39,6 +39,7 @@ __all__ = [
     "PhysicalSortMergeJoin",
     "PhysicalLimit",
     "PhysicalHashAggregate",
+    "PhysicalSaltedHashAggregate",
     "PhysicalSort",
     "PhysicalTopK",
     "PhysicalDistinct",
@@ -257,6 +258,37 @@ class PhysicalHashAggregate(PhysicalOperator):
     def pretty(self) -> str:
         return (
             "PhysicalHashAggregate { group: ["
+            + ", ".join(e.pretty() for e in self.group_exprs)
+            + "], agg: ["
+            + ", ".join(e.pretty() for e in self.agg_exprs)
+            + "] }"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalSaltedHashAggregate(PhysicalHashAggregate):
+    """Skew-proof two-stage aggregate: stage 1 groups by
+    (keys + salt) so the hottest key fans out over ``n_salts`` reducers,
+    stage 2 merges the partials by the true keys (count→sum, sum→sum,
+    min→min, max→max, collect_list→flatten, collect_set→flatten+dedup).
+
+    An ALTERNATIVE the cost race picks over the plain hash aggregate
+    when the group key's mode frequency (``ColumnStatistics.top_count``)
+    exceeds the fair per-reducer share AND the aggregates carry payload
+    (collect_*) that map-side combine cannot shrink — the one
+    aggregation shape where a hot key genuinely ships every row to one
+    reducer.  For collapsible aggregates (count/sum/min/max) partial
+    aggregation already bounds the hot key at one partial per map
+    partition, so the salted plan's extra shuffle loses the race — by
+    design, not by gating (see SparkCostModel).  Derived properties are
+    the parent's: stage 2 leaves the data hash-distributed on the true
+    keys."""
+
+    n_salts: int = 8
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalSaltedHashAggregate {{ salts: {self.n_salts}, group: ["
             + ", ".join(e.pretty() for e in self.group_exprs)
             + "], agg: ["
             + ", ".join(e.pretty() for e in self.agg_exprs)

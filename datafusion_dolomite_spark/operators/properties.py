@@ -193,6 +193,13 @@ class ColumnStatistics:
     #: filtered fact side is broadcastable.
     min: object = None
     max: object = None
+    #: rows held by the MOST FREQUENT value (the mode count; 0 =
+    #: unknown).  The skew signal: when top_count far exceeds
+    #: rows/ndv, a shuffle keyed on this column hands one reducer a
+    #: straggler partition — the cost model then prefers the salted
+    #: two-stage aggregate (Agg2SaltedHashAggregateRule).  Derived by
+    #: the catalog's ANALYZE-equivalent pass alongside ndv.
+    top_count: float = 0.0
 
 
 @dataclass(frozen=True)

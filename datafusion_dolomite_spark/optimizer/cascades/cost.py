@@ -137,6 +137,24 @@ class SparkCostModel(CostModel):
             # joins can't commute, so the build side may be the bigger of
             # the two and broadcasting it still beats two shuffles+sorts).
             return 2.0 * build + rows[0]
+        if isinstance(op, P.PhysicalSaltedHashAggregate):
+            # two-stage skew-proof aggregate: stage 1 shuffles on
+            # (keys, salt) — the hot key's payload spreads over n_salts
+            # reducers, so its straggler overhang divides by n_salts —
+            # stage 2 shuffles out×n_salts partial rows and merges.
+            # The extra stage means this LOSES to the plain aggregate
+            # unless the straggler term below is paying for it.
+            s_ = op.n_salts
+            top = _group_top_count(op, input_stats)
+            if _has_payload_aggs(op):
+                stage1 = rows[0] + 3.0 * rows[0] + 3.0 * max(
+                    0.0, top / s_ - rows[0] / COMBINE_PARTITIONS
+                )
+            else:
+                stage1 = rows[0] + 3.0 * min(
+                    rows[0], out * s_ * COMBINE_PARTITIONS
+                )
+            return stage1 + 3.0 * out * s_ + out
         if isinstance(op, P.PhysicalHashAggregate):
             # map-side partial agg then shuffle the partials: each of the
             # ~COMBINE_PARTITIONS upstream partitions emits at most one
@@ -145,6 +163,18 @@ class SparkCostModel(CostModel):
             # right is what keeps EagerAggregationRule honest: pushing an
             # aggregate below a broadcast join ADDS a (barely-combining)
             # shuffle where none existed, and must lose.
+            if _has_payload_aggs(op):
+                # payload aggregates (collect_*) concatenate under the
+                # map-side combine — bytes don't shrink, so the shuffle
+                # carries the FULL input, and the hot key's whole payload
+                # lands on ONE reducer.  The straggler term charges that
+                # reducer's overhang beyond the fair share: makespan in
+                # row units — the thing wall-clock tracks on a cluster.
+                top = _group_top_count(op, input_stats)
+                straggler = 3.0 * max(
+                    0.0, top - rows[0] / COMBINE_PARTITIONS
+                )
+                return rows[0] + 3.0 * rows[0] + straggler
             return rows[0] + 3.0 * min(rows[0], out * COMBINE_PARTITIONS)
         if isinstance(op, P.PhysicalSort):
             n = max(rows[0] if rows else 2.0, 2.0)
@@ -188,6 +218,46 @@ class SparkCostModel(CostModel):
             # one window shuffle on the strata
             return 3.0 * (rows[0] if rows else 1.0)
         return 1.0
+
+
+#: aggregates whose map-side combine does NOT shrink the shuffled bytes
+#: (lists concatenate; every input row's payload travels and the hot
+#: key's payload lands on one reducer) — the shapes the salted
+#: alternative exists for.
+_PAYLOAD_AGGS = {"collect_list", "collect_set", "array_agg"}
+
+
+def _has_payload_aggs(op) -> bool:
+    from ...expr import Alias, Cast, Func
+
+    for a in getattr(op, "agg_exprs", ()) or ():
+        e = a.expr if isinstance(a, Alias) else a
+        while isinstance(e, Cast):
+            e = e.expr
+        if isinstance(e, Func) and e.name in _PAYLOAD_AGGS:
+            return True
+    return False
+
+
+def _group_top_count(op, input_stats) -> float:
+    """Mode frequency of the combined group key: bounded above by the
+    smallest per-column mode (adding a key can only split groups), so
+    take the MIN over group columns with a known ``top_count``; 0 =
+    unknown (the straggler term then vanishes — no stats, no bets)."""
+    from ...expr import Col
+
+    s = input_stats[0] if input_stats else None
+    if s is None:
+        return 0.0
+    tops = []
+    for g in getattr(op, "group_exprs", ()) or ():
+        if not isinstance(g, Col):
+            return 0.0
+        cs = s.col(g.name)
+        if cs is None or cs.top_count <= 0:
+            return 0.0
+        tops.append(cs.top_count)
+    return min(tops) if tops else 0.0
 
 
 def _equi_key_ndv_selectivity(condition, left_stats, right_stats):

@@ -32,7 +32,7 @@ from .optimizer.rules.join import (
     Join2HashJoinRule,
     Join2SortMergeJoinRule,
 )
-from .optimizer.rules.agg import EagerAggregationRule
+from .optimizer.rules.agg import Agg2SaltedHashAggregateRule, EagerAggregationRule
 from .optimizer.rules.mv import (
     RewriteAggOnMaterializedViewRule,
     RewriteAggOnViewSubtreeRule,
@@ -77,7 +77,8 @@ def default_cascades_rules(enable_join_exploration: bool = True) -> list[Rule]:
     strategy alternatives + (optional) join commutation exploration."""
     rules: list[Rule] = [*IMPLEMENTATION_RULES, *EXTENSION_RULES,
                          Join2HashJoinRule(),
-                         Join2BroadcastHashJoinRule(), Join2SortMergeJoinRule()]
+                         Join2BroadcastHashJoinRule(), Join2SortMergeJoinRule(),
+                         Agg2SaltedHashAggregateRule()]
     if enable_join_exploration:
         rules.append(CommutateJoinRule())
         rules.append(AssociateJoinRule())

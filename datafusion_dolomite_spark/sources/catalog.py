@@ -385,11 +385,35 @@ class Catalog:
                     ndv[c] = float(v or 0.0)
             except Exception:
                 pass
+        # mode counts (top-key frequency) — the SKEW signal the salted
+        # aggregate alternative is cost-picked on.  One grouped count per
+        # scalar column; bounded the same way as the ndv fill and cached
+        # process-wide.  On a cluster this is ANALYZE/metastore's job —
+        # the interface (ColumnStatistics.top_count) is identical.
+        topc: Dict[str, float] = {}
+        if len(files) <= 64:
+            try:
+                import duckdb
+
+                flist = ", ".join(f"'{f}'" for f in files)
+                for c in scalar_cols:
+                    if c not in ndv:
+                        continue
+                    v = duckdb.sql(
+                        f'SELECT max(n) FROM (SELECT count(*) AS n '
+                        f'FROM read_parquet([{flist}]) GROUP BY "{c}")'
+                    ).fetchone()[0]
+                    topc[c] = float(v or 0.0)
+            except Exception:
+                pass
         out = tuple(
             (
                 c,
                 ColumnStatistics(
-                    ndv=ndv[c], min=vmin.get(c), max=vmax.get(c)
+                    ndv=ndv[c],
+                    min=vmin.get(c),
+                    max=vmax.get(c),
+                    top_count=topc.get(c, 0.0),
                 ),
             )
             for c in scalar_cols

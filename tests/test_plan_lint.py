@@ -67,6 +67,9 @@ COLLECT_LIMIT_ALLOWED = {"q_scan_limit"}
 #: pinned shuffle budgets (observed counts at pin time; assert <=)
 SHUFFLE_BUDGET = {
     "q_join_order": 2,
+    # salted two-stage aggregate: (keys+salt) shuffle + keys shuffle —
+    # the second shuffle is the price the straggler term pays for
+    "q_skewed_agg": 2,
     "q_agg_join": 2,
     "q_corpus_mix": 1,
     "q_distinct": 1,
