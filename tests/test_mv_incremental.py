@@ -1,0 +1,139 @@
+"""Incremental MV refresh on base-table change (VERDICT r5 item 8).
+
+Through round 5 a materialized view whose SOURCE changed was
+rematerialized from scratch (signature keying).  The streaming
+continuous aggregate is now wired in as the MAINTENANCE path
+(``streaming/pipeline.py::refresh_materialized_view``): appending a
+partition to the source and re-running the refresh merges ONLY the new
+files into the rollup snapshot — proven here by pinning the exact row
+count each refresh ingests — and the refreshed snapshot keeps answering
+the MV-rewritten query exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datafusion_dolomite_spark import (
+    LogicalPlanBuilder,
+    QueryPlanner,
+    col,
+)
+from datafusion_dolomite_spark.expr import Alias, Func
+from datafusion_dolomite_spark.optimizer.rules.mv import MaterializedView
+from datafusion_dolomite_spark.sources.catalog import Catalog
+from datafusion_dolomite_spark.streaming.pipeline import (
+    refresh_materialized_view,
+)
+
+
+def _write_part(spark, src, lo, hi, mode="append"):
+    rows = [(i % 7, i, i * 3) for i in range(lo, hi)]
+    spark.createDataFrame(rows, "g bigint, id bigint, v bigint").coalesce(
+        1
+    ).write.mode(mode).parquet(src)
+
+
+def test_append_triggers_incremental_merge_not_rebuild(spark, tmp_path):
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "mvroot")
+    _write_part(spark, src, 0, 800, mode="overwrite")
+
+    snap, n1 = refresh_materialized_view(
+        spark, src, root, keys=("g",), measures={"n": None, "sum_v": "v"}
+    )
+    assert n1 == 800  # initial load ingests everything
+
+    # unchanged source → the refresh reads NOTHING (checkpoint resume)
+    snap, n_idle = refresh_materialized_view(
+        spark, src, root, keys=("g",), measures={"n": None, "sum_v": "v"}
+    )
+    assert n_idle == 0
+
+    # append one partition → ONLY its rows are ingested (a rebuild
+    # would show 1000 here)
+    _write_part(spark, src, 800, 1000)
+    snap, n2 = refresh_materialized_view(
+        spark, src, root, keys=("g",), measures={"n": None, "sum_v": "v"}
+    )
+    assert n2 == 200
+
+    # the merged snapshot equals a from-scratch aggregate of the full
+    # source — incremental maintenance is exact
+    from pyspark.sql import functions as F
+
+    got = {r["g"]: (r["n"], r["sum_v"]) for r in snap.collect()}
+    ref = (
+        spark.read.parquet(src)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+    )
+    want = {r["g"]: (r["n"], r["sum_v"]) for r in ref.collect()}
+    assert got == want
+
+
+def test_refreshed_snapshot_answers_rewritten_query(spark, tmp_path):
+    """Register the stream-maintained snapshot as an MV: the rewrite
+    rule re-plans a base-table aggregate onto it, and after an append +
+    refresh the SAME registration (pointed at the newest snapshot)
+    answers with the new rows included — no rebuild anywhere."""
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "mvroot")
+    _write_part(spark, src, 0, 600, mode="overwrite")
+    refresh_materialized_view(
+        spark, src, root, keys=("g",), measures={"n": None, "sum_v": "v"}
+    )
+    _write_part(spark, src, 600, 900)
+    snap, n2 = refresh_materialized_view(
+        spark, src, root, keys=("g",), measures={"n": None, "sum_v": "v"}
+    )
+    assert n2 == 300
+
+    # newest committed snapshot directory backs the MV table
+    vroot = os.path.join(root, "versions")
+    latest = max(
+        int(d.split("_")[1])
+        for d in os.listdir(vroot)
+        if d.startswith("v_")
+        and os.path.exists(os.path.join(vroot, d, "_SUCCESS"))
+    )
+    cat = Catalog()
+    cat.register("base", src)
+    cat.register("base_mv", os.path.join(vroot, f"v_{latest}"))
+    cat.register_materialized_view(
+        MaterializedView(
+            name="base_mv",
+            source_table="base",
+            group_cols=("g",),
+            agg_defs=(
+                ("n", Func("count", ())),
+                ("sum_v", Func("sum", (col("v"),))),
+            ),
+        )
+    )
+    q = (
+        LogicalPlanBuilder()
+        .scan("base")
+        .aggregate(
+            [col("g")],
+            [
+                Alias(Func("count", ()), "n_rows"),
+                Alias(Func("sum", (col("v"),)), "total"),
+            ],
+        )
+        .build()
+    )
+    qp = QueryPlanner(spark, cat)
+    assert "base_mv" in qp.explain(q)  # the rewrite fires
+    got = {r["g"]: (r["n_rows"], r["total"]) for r in qp.dataframe(q).collect()}
+    from pyspark.sql import functions as F
+
+    ref = (
+        spark.read.parquet(src)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    want = {r["g"]: (r["n"], r["s"]) for r in ref.collect()}
+    assert got == want

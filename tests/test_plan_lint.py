@@ -70,6 +70,9 @@ SHUFFLE_BUDGET = {
     # salted two-stage aggregate: (keys+salt) shuffle + keys shuffle —
     # the second shuffle is the price the straggler term pays for
     "q_skewed_agg": 2,
+    # final rollup over the refreshed MV snapshot (the refresh itself is
+    # streaming maintenance, outside this plan)
+    "q_mv_incremental": 1,
     "q_agg_join": 2,
     "q_corpus_mix": 1,
     "q_distinct": 1,
