@@ -2216,6 +2216,22 @@ EXTENSION_ORACLES = {
                ('0x' || substr(md5(array_to_string(list_sort(list(doc_id)), ',')), 1, 15))::BIGINT AS ids_fp
         FROM documents GROUP BY lang
     """,
+    "q_join_elim": """
+        SELECT c_mktsegment, count(*)::BIGINT AS n_cust,
+               sum(c_acctbal::DECIMAL(12,2))::DOUBLE AS bal
+        FROM (SELECT c_mktsegment, c_acctbal FROM customer
+              LEFT JOIN nation ON c_nationkey = n_nationkey
+              LEFT JOIN region ON n_regionkey = r_regionkey) t
+        GROUP BY c_mktsegment
+    """,
+    "q_transitive_pred": """
+        SELECT n_name, count(*)::BIGINT AS n_pairs,
+               sum(s_acctbal::DECIMAL(12,2) + c_acctbal::DECIMAL(12,2))::DOUBLE AS bal
+        FROM customer
+        JOIN supplier ON c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_nationkey < 10 GROUP BY n_name
+    """,
     "q_join_order": """
         SELECT n_name, COUNT(*)::BIGINT AS n
         FROM lineitem
@@ -2841,6 +2857,56 @@ def q_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .build()
     )
     return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_transitive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE PREDICATE INFERENCE (r6): the WHERE constrains only
+    nation's key, but ``InferJoinKeyPredicateRule`` maps it across both
+    equi-hops so supplier AND customer scans are themselves range-pruned
+    (asserted in-query on the optimized logical plan) — at 100 TB the
+    big sides' scans skip files instead of shuffling everything to the
+    join.  Oracle computes the same join without any inference."""
+    pl = _planner(spark, sf_dir)
+    from datafusion_dolomite_spark.sql import parse_sql
+
+    sql = (
+        "select n_name, count(*) as n_pairs, "
+        "cast(sum(cast(s_acctbal as decimal(12,2)) "
+        "       + cast(c_acctbal as decimal(12,2))) as double) as bal "
+        "from customer "
+        "join supplier on c_nationkey = s_nationkey "
+        "join nation on s_nationkey = n_nationkey "
+        "where n_nationkey < 10 group by n_name"
+    )
+    logical = pl.optimize_logical(parse_sql(sql, pl.catalog))
+    txt = logical.explain()
+    assert "s_nationkey < 10" in txt and "c_nationkey < 10" in txt, txt
+    return pl.sql(sql)
+
+
+def q_join_elim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REDUNDANT JOIN ELIMINATION (r6): the query touches only customer
+    columns, so the LEFT joins to nation AND region (both keyed on
+    declared-unique PKs) are culled — the optimized plan is a single
+    pruned customer scan (asserted in-query).  This is what makes a
+    denormalized view cheap: dimensions a query ignores cost nothing.
+    The oracle runs the joins for real — identical output proves the
+    cull is semantics-free."""
+    pl = _planner(spark, sf_dir)
+    from datafusion_dolomite_spark.sql import parse_sql
+
+    sql = (
+        "select c_mktsegment, count(*) as n_cust, "
+        "cast(sum(cast(c_acctbal as decimal(12,2))) as double) as bal "
+        "from (select c_mktsegment, c_acctbal from customer "
+        "      left join nation on c_nationkey = n_nationkey "
+        "      left join region on n_regionkey = r_regionkey) t "
+        "group by c_mktsegment"
+    )
+    logical = pl.optimize_logical(parse_sql(sql, pl.catalog))
+    txt = logical.explain()
+    assert "Join" not in txt and "nation" not in txt and "region" not in txt, txt
+    return pl.sql(sql)
 
 
 def q_join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5908,7 +5974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: guard, MV definition stashing, line-dedup keeper election).
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
-    "q_join_order", "q_skewed_agg", "q_mv_incremental",
+    "q_join_order", "q_skewed_agg", "q_mv_incremental", "q_transitive_pred",
+    "q_join_elim",
     # last driver-green in r1 — stalest, rotate in first
     "q_agg_join", "q_corpus_mix", "q_distinct", "q_filter_projection",
     "q_grouping_sets", "q_hash_sample", "q_join3", "q_pandas_scalar_udf",
@@ -6106,6 +6173,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_q6": q_sql_q6,
         "q_join_order": q_join_order,
         "q_skewed_agg": q_skewed_agg,
+        "q_transitive_pred": q_transitive_pred,
+        "q_join_elim": q_join_elim,
         "q_sql_having": q_sql_having,
         "q_sql_in_subquery": q_sql_in_subquery,
         "q_sql_exists": q_sql_exists,

@@ -650,6 +650,248 @@ class ConstantFoldingRule(Rule):
         )
 
 
+
+
+# -- transitive predicate inference -----------------------------------------
+
+#: comparison ops a single-column literal predicate may carry across an
+#: equi-join.  Under ``l = r``, every surviving row pair has equal key
+#: values, so ANY unary predicate true of ``l`` is true of ``r`` on the
+#: surviving rows — pre-filtering the other side with the mapped
+#: predicate removes only rows that could never join.  (NULL keys never
+#: satisfy the equi-condition, so the mapped filter dropping NULLs is
+#: also safe.)
+_INFER_OPS = {"=", "!=", "<", "<=", ">", ">="}
+
+
+def _normalize_key_pred(c):
+    """``col op lit`` (either orientation) → canonical BinOp with the
+    Col on the left, or None when the conjunct has any other shape."""
+    from ...expr import Lit
+
+    if not isinstance(c, BinOp) or c.op not in _INFER_OPS:
+        return None
+    if isinstance(c.left, Col) and isinstance(c.right, Lit):
+        return c
+    if isinstance(c.left, Lit) and isinstance(c.right, Col):
+        flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(c.op, c.op)
+        return BinOp(flip, c.right, c.left)
+    return None
+
+
+def _collect_key_preds(node, out):
+    """Single-column literal predicates visible on this side, keyed by
+    column name — walked through Filter conjuncts, scan ``filters`` and
+    nested INNER joins (all conjunctive in an inner-join tree).  Stops
+    at projections/aggregates/etc., where names may be rebound."""
+    op = node.operator
+    if isinstance(op, LogicalFilter):
+        for c in _conjuncts(op.predicate):
+            p = _normalize_key_pred(c)
+            if p is not None:
+                out.setdefault(p.left.name, set()).add(p)
+        _collect_key_preds(node.inputs[0], out)
+    elif isinstance(op, LogicalScan):
+        for c in op.filters or ():
+            p = _normalize_key_pred(c)
+            if p is not None:
+                out.setdefault(p.left.name, set()).add(p)
+    elif isinstance(op, LogicalJoin) and op.join_type is JoinType.INNER:
+        _collect_key_preds(node.inputs[0], out)
+        _collect_key_preds(node.inputs[1], out)
+
+
+class InferJoinKeyPredicateRule(Rule):
+    """TRANSITIVE PREDICATE INFERENCE across inner equi-joins: a literal
+    predicate on one side of ``l = r`` implies the same predicate on the
+    other side's key, so the other side gets a new Filter the pushdown
+    rules then drive into its SCAN — where parquet ``PushedFilters``,
+    partition pruning and footer min/max file skipping all see it.  At
+    100 TB, ``customer.c_custkey < K ⋈ orders`` without inference scans
+    ALL of orders; with it the orders scan itself is range-pruned.
+
+    Catalyst has InferFiltersFromConstraints, but it runs after OUR plan
+    is already lowered — inference must happen in the engine's own
+    rewrite phase for OUR scan-level skipping (sources/skipping.py) to
+    benefit.  The reference has no predicate machinery at all (SURVEY
+    §4.1).  Hep fixed-point safe: the added Filter is visible to the
+    next pass's ``_collect_key_preds``, so the rule no-ops once both
+    sides carry the predicate (multi-hop chains converge in as many
+    passes as hops)."""
+
+    name = "InferJoinKeyPredicateRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(LogicalJoin)
+
+    def promise(self) -> RulePromise:
+        return RulePromise.HIGH
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        join_op: LogicalJoin = input.root.operator
+        if join_op.join_type is not JoinType.INNER:
+            return
+        left_h, right_h = input.root.inputs
+        lcols = _handle_columns(left_h)
+        rcols = _handle_columns(right_h)
+        if lcols is None or rcols is None or (lcols & rcols):
+            return  # unknown schemas or ambiguous self-join names
+        pairs = []
+        for c in _conjuncts(join_op.condition):
+            if (
+                isinstance(c, BinOp)
+                and c.op == "="
+                and isinstance(c.left, Col)
+                and isinstance(c.right, Col)
+            ):
+                a, b = c.left.name, c.right.name
+                if a in lcols and b in rcols:
+                    pairs.append((a, b))
+                elif b in lcols and a in rcols:
+                    pairs.append((b, a))
+        if not pairs:
+            return
+        lpreds: dict = {}
+        rpreds: dict = {}
+        _collect_key_preds(left_h.handle, lpreds)
+        _collect_key_preds(right_h.handle, rpreds)
+        add_left, add_right = [], []
+        for a, b in pairs:
+            for p in lpreds.get(a, ()):
+                mp = BinOp(p.op, Col(b), p.right)
+                if mp not in rpreds.get(b, set()):
+                    add_right.append(mp)
+            for p in rpreds.get(b, ()):
+                mp = BinOp(p.op, Col(a), p.right)
+                if mp not in lpreds.get(a, set()):
+                    add_left.append(mp)
+        if not add_left and not add_right:
+            return
+        new_left = (
+            OptExpression.op(
+                LogicalFilter(_and_all(sorted(set(add_left), key=repr))),
+                left_h,
+            )
+            if add_left
+            else OptExpression.handle(left_h.handle)
+        )
+        new_right = (
+            OptExpression.op(
+                LogicalFilter(_and_all(sorted(set(add_right), key=repr))),
+                right_h,
+            )
+            if add_right
+            else OptExpression.handle(right_h.handle)
+        )
+        result.add(OptExpression.op(join_op, new_left, new_right))
+
+
+
+
+
+# -- redundant join elimination ---------------------------------------------
+
+
+def _right_base_and_cols(node):
+    """Resolve a right-side subtree to (base_table, surviving col names)
+    when it is Scan, Filter(Scan)…, or identity Projection over those —
+    shapes that preserve per-key uniqueness.  None for anything else."""
+    op = node.operator
+    if isinstance(op, LogicalScan):
+        if op.limit is not None:
+            return None  # a limit breaks the at-most-one-match argument
+        return op.table_name, None  # None = all base columns survive
+    if isinstance(op, LogicalFilter):
+        return _right_base_and_cols(node.inputs[0])
+    if isinstance(op, LogicalProjection):
+        below = _right_base_and_cols(node.inputs[0])
+        if below is None:
+            return None
+        names = set()
+        for e in op.exprs:
+            if isinstance(e, Col):
+                names.add(e.name)
+            else:
+                from ...expr import Alias
+
+                if isinstance(e, Alias) and isinstance(e.expr, Col) and e.name == e.expr.name:
+                    names.add(e.name)
+                else:
+                    return None  # renames/computed cols break key identity
+        tbl, survive = below
+        return tbl, names if survive is None else (names & survive)
+    return None
+
+
+class EliminateRedundantLeftJoinRule(Rule):
+    """REDUNDANT JOIN ELIMINATION: ``Projection(LeftJoin(L, R))`` where
+    the projection references only L's columns and the join key pins a
+    DECLARED-unique column of R drops the join entirely.
+
+    Soundness: a LEFT join preserves every L row; with the R side keyed
+    on a declared unique column (``Catalog.register_unique_key``) each L
+    row matches AT MOST ONE R row, so no duplication either — the join
+    changes nothing the projection can see.  This is the enterprise-
+    engine "join culling" that makes denormalized views cheap: a view
+    joining ten dimensions costs only the dimensions a query actually
+    touches.  INNER joins are NOT eliminated (an unmatched or NULL FK
+    row would wrongly survive), and approximate ndv is never trusted as
+    a uniqueness proof — only declared constraints."""
+
+    name = "EliminateRedundantLeftJoinRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(LogicalProjection, children=(pattern_of(LogicalJoin),))
+
+    def promise(self) -> RulePromise:
+        return RulePromise.HIGH
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        proj: LogicalProjection = input.root.operator
+        join_node = input.root.inputs[0]
+        join_op: LogicalJoin = join_node.operator
+        if join_op.join_type is not JoinType.LEFT:
+            return
+        left_h, right_h = join_node.inputs
+        left_cols = _handle_columns(left_h)
+        right_cols = _handle_columns(right_h)
+        if left_cols is None or right_cols is None or (left_cols & right_cols):
+            return
+        refs = set()
+        for e in proj.exprs:
+            refs |= set(e.columns())
+        if not refs <= left_cols:
+            return  # a right-side column is actually used
+        resolved = _right_base_and_cols(right_h.handle)
+        if resolved is None:
+            return
+        base_table, survive = resolved
+        catalog = getattr(ctx, "catalog", None)
+        if catalog is None or not hasattr(catalog, "unique_keys"):
+            return
+        uniques = catalog.unique_keys(base_table)
+        if survive is not None:
+            uniques = uniques & survive
+        if not uniques:
+            return
+        # one equi conjunct must pin a unique right key to a left column
+        for c in _conjuncts(join_op.condition):
+            if not (
+                isinstance(c, BinOp)
+                and c.op == "="
+                and isinstance(c.left, Col)
+                and isinstance(c.right, Col)
+            ):
+                continue
+            a, b = c.left.name, c.right.name
+            if (a in left_cols and b in uniques) or (
+                b in left_cols and a in uniques
+            ):
+                result.add(OptExpression.op(proj, left_h))
+                return
+
+
+
 PUSHDOWN_RULES = [
     ConstantFoldingRule(),
     CombineFiltersRule(),
@@ -657,6 +899,8 @@ PUSHDOWN_RULES = [
     ReorderJoinGraphRule(),
     PushFilterToScanRule(),
     PushFilterThroughJoinRule(),
+    InferJoinKeyPredicateRule(),
+    EliminateRedundantLeftJoinRule(),
     PruneScanColumnsRule(),
     PushFilterThroughAggregateRule(),
     PushFilterThroughWindowRule(),

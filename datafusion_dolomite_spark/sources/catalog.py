@@ -112,6 +112,19 @@ class Catalog:
         self._stats: Dict[str, Statistics] = {}
         self._warehouse = warehouse
         self._mvs: list = []
+        self._unique_keys: Dict[str, set] = {}
+
+    # -- declared constraints (metastore-style) --------------------------
+    def register_unique_key(self, table: str, column: str) -> None:
+        """Declare ``column`` unique in ``table`` (a PRIMARY KEY).  A
+        DECLARED constraint, not a derived one: uniqueness drives
+        row-preserving rewrites (redundant-join elimination), where a
+        wrong guess silently changes results — so it must come from the
+        owner, like a metastore constraint, never from approximate ndv."""
+        self._unique_keys.setdefault(table, set()).add(column)
+
+    def unique_keys(self, table: str) -> set:
+        return self._unique_keys.get(table, set())
 
     def register_materialized_view(self, mv) -> None:
         """Register MV metadata (a ``MaterializedView``) for the
@@ -454,7 +467,22 @@ class Catalog:
 
 
 def testdata_catalog(sf_dir: str) -> Catalog:
-    """Catalog over the driver's synthetic tables (TESTDATA.md)."""
-    return Catalog(
+    """Catalog over the driver's synthetic tables (TESTDATA.md).
+    Primary keys are declared as unique constraints (the TPC-H spec's
+    PKs plus the synthetic tables' id columns) — lineitem and events
+    have no single-column key."""
+    cat = Catalog(
         {t: os.path.join(sf_dir, f"{t}.parquet") for t in TESTDATA_TABLES}
     )
+    for table, pk in (
+        ("region", "r_regionkey"),
+        ("nation", "n_nationkey"),
+        ("customer", "c_custkey"),
+        ("supplier", "s_suppkey"),
+        ("part", "p_partkey"),
+        ("orders", "o_orderkey"),
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+    ):
+        cat.register_unique_key(table, pk)
+    return cat

@@ -73,6 +73,11 @@ SHUFFLE_BUDGET = {
     # final rollup over the refreshed MV snapshot (the refresh itself is
     # streaming maintenance, outside this plan)
     "q_mv_incremental": 1,
+    # 3-way broadcast join + group agg; all three scans filter-pruned by
+    # InferJoinKeyPredicateRule
+    "q_transitive_pred": 1,
+    # both dimension joins culled -> single pruned scan + one agg shuffle
+    "q_join_elim": 1,
     "q_agg_join": 2,
     "q_corpus_mix": 1,
     "q_distinct": 1,
