@@ -2216,6 +2216,31 @@ EXTENSION_ORACLES = {
                ('0x' || substr(md5(array_to_string(list_sort(list(doc_id)), ',')), 1, 15))::BIGINT AS ids_fp
         FROM documents GROUP BY lang
     """,
+    "q_bm25_search": """
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS arr
+          FROM documents
+        ),
+        b2 AS (SELECT doc_id, len(arr)::BIGINT AS dl, arr FROM base),
+        stats AS (SELECT count(*)::BIGINT AS n,
+                         (sum(dl) // count(*))::BIGINT AS avgdl FROM b2),
+        postings AS (
+          SELECT doc_id, dl, unnest(arr) AS term FROM b2
+        ),
+        tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+               FROM postings WHERE term IN ('join', 'vector', 'stream')
+               GROUP BY doc_id, dl, term),
+        dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+        SELECT doc_id, score FROM (
+          SELECT doc_id,
+                 sum(((n - df) * 1000 // (df + 1) + 1) * 44 * tf * avgdl
+                     // (20 * tf * avgdl + 6 * avgdl + 18 * dl))::BIGINT AS score
+          FROM tf JOIN dfreq USING (term), stats
+          GROUP BY doc_id
+        ) ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
     "q_join_elim": """
         SELECT c_mktsegment, count(*)::BIGINT AS n_cust,
                sum(c_acctbal::DECIMAL(12,2))::DOUBLE AS bal
@@ -2882,6 +2907,21 @@ def q_transitive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     txt = logical.explain()
     assert "s_nationkey < 10" in txt and "c_nationkey < 10" in txt, txt
     return pl.sql(sql)
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text retrieval (r6): top-10 documents for a 3-term
+    query by the INTEGER-EXACT BM25 variant (rational k1=6/5, b=3/4
+    weights + log-free idf → pure bigint arithmetic, bit-identical in
+    DuckDB; ``functions/search.py``).  The explode is filtered to the
+    query's postings immediately (inverted-index probe), corpus stats
+    and df broadcast, top-k is TakeOrderedAndProject."""
+    from datafusion_dolomite_spark.functions.search import bm25_topk
+
+    docs = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
+    )
+    return bm25_topk(docs, "doc_id", "text", ["join", "vector", "stream"], k=10)
 
 
 def q_join_elim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5975,7 +6015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
     "q_join_order", "q_skewed_agg", "q_mv_incremental", "q_transitive_pred",
-    "q_join_elim",
+    "q_join_elim", "q_bm25_search",
     # last driver-green in r1 — stalest, rotate in first
     "q_agg_join", "q_corpus_mix", "q_distinct", "q_filter_projection",
     "q_grouping_sets", "q_hash_sample", "q_join3", "q_pandas_scalar_udf",
@@ -6175,6 +6215,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skewed_agg": q_skewed_agg,
         "q_transitive_pred": q_transitive_pred,
         "q_join_elim": q_join_elim,
+        "q_bm25_search": q_bm25_search,
         "q_sql_having": q_sql_having,
         "q_sql_in_subquery": q_sql_in_subquery,
         "q_sql_exists": q_sql_exists,

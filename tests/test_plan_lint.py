@@ -54,6 +54,8 @@ NLJ_ALLOWED = {
     "q_gap_fill": "broadcast time spine",
     "q_rolling_avg": "broadcast time spine",
     "q_range_bounds": "broadcast boundary row",
+    # BM25: 1-row corpus-stats broadcast cross-applied to postings
+    "q_bm25_search": "broadcast corpus stats (1 row)",
     # kNN: the bounded query-side handoff is broadcast against the corpus
     "q_knn_brute": "broadcast query vectors",
     "q_knn_ivf_kmeans": "broadcast centroids",
@@ -78,6 +80,9 @@ SHUFFLE_BUDGET = {
     "q_transitive_pred": 1,
     # both dimension joins culled -> single pruned scan + one agg shuffle
     "q_join_elim": 1,
+    # tf agg + df agg + doc-score agg + stats agg (all tiny past the
+    # posting filter); top-k is TakeOrderedAndProject
+    "q_bm25_search": 4,
     "q_agg_join": 2,
     "q_corpus_mix": 1,
     "q_distinct": 1,
