@@ -2216,6 +2216,13 @@ EXTENSION_ORACLES = {
                ('0x' || substr(md5(array_to_string(list_sort(list(doc_id)), ',')), 1, 15))::BIGINT AS ids_fp
         FROM documents GROUP BY lang
     """,
+    "q_recursive_cte": """
+        WITH RECURSIVE reach(k) AS (
+          SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 3
+          UNION
+          SELECT n_nationkey AS k FROM nation JOIN reach ON n_regionkey = k
+        ) SELECT count(*) AS n_reached, sum(k)::BIGINT AS key_sum FROM reach
+    """,
     "q_bm25_search": """
         WITH base AS (
           SELECT doc_id,
@@ -2907,6 +2914,26 @@ def q_transitive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     txt = logical.explain()
     assert "s_nationkey < 10" in txt and "c_nationkey < 10" in txt, txt
     return pl.sql(sql)
+
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (r6): transitive closure over the cyclic
+    nationkey→regionkey relation, iterated semi-naively (UNION feeds
+    only NEW distinct rows forward, so the cycle terminates), then
+    aggregated.  Spark has no native recursive CTE — the engine's
+    ``LogicalRecursiveCTE`` operator runs the standard Postgres/DuckDB
+    working-table semantics as a bounded fixpoint loop
+    (``execute.py::_recursive_cte``); DuckDB executes the SAME SQL
+    natively as the oracle.  Per-iteration emptiness checks are the
+    documented bounded driver scalars (≤ max_iter small actions)."""
+    return _planner(spark, sf_dir).sql(
+        "with recursive reach(k) as ("
+        "  select n_nationkey as k from nation where n_nationkey < 3 "
+        "  union "
+        "  select n_nationkey as k from nation join reach on n_regionkey = k"
+        ") select count(*) as n_reached, cast(sum(k) as bigint) as key_sum "
+        "from reach"
+    )
 
 
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6015,7 +6042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
     "q_join_order", "q_skewed_agg", "q_mv_incremental", "q_transitive_pred",
-    "q_join_elim", "q_bm25_search",
+    "q_join_elim", "q_bm25_search", "q_recursive_cte",
     # last driver-green in r1 — stalest, rotate in first
     "q_agg_join", "q_corpus_mix", "q_distinct", "q_filter_projection",
     "q_grouping_sets", "q_hash_sample", "q_join3", "q_pandas_scalar_udf",
@@ -6216,6 +6243,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_transitive_pred": q_transitive_pred,
         "q_join_elim": q_join_elim,
         "q_bm25_search": q_bm25_search,
+        "q_recursive_cte": q_recursive_cte,
         "q_sql_having": q_sql_having,
         "q_sql_in_subquery": q_sql_in_subquery,
         "q_sql_exists": q_sql_exists,

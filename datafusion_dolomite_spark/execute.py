@@ -57,6 +57,9 @@ class SparkExecutor:
         configure_session(spark)
         self.spark = spark
         self.catalog = catalog
+        #: name → current-iteration frontier DataFrame for recursive
+        #: CTEs (set by _recursive_cte while lowering its step subtree)
+        self._cte_frames: dict = {}
 
     def execute(self, plan: Plan):
         return self._node(plan.root)
@@ -173,6 +176,59 @@ class SparkExecutor:
             }[mode](*keys)
             return grouped.agg(*aggs)
         return df.agg(*aggs)
+
+    def _cte_ref(self, node: PlanNode):
+        op = node.operator
+        df = self._cte_frames.get(op.name)
+        if df is None:
+            raise ValueError(
+                f"CTE reference {op.name!r} outside its recursive scope"
+            )
+        return df
+
+    def _recursive_cte(self, node: PlanNode):
+        """WITH RECURSIVE fixpoint loop (semi-naive).
+
+        UNION (distinct): the working table each iteration is the NEW
+        distinct rows only (Postgres/DuckDB semantics) — recursion over
+        a cyclic graph terminates because revisited rows add nothing.
+        UNION ALL: the whole previous iteration feeds forward; the step
+        must bottom out on its own (a depth guard caps runaways).
+
+        Driver-side per-iteration emptiness checks are the documented
+        bounded-scalar pattern (like PageRank's node count): one small
+        action per iteration, ≤ max_iter of them, never data-sized.
+        Lineage is truncated with a lazy localCheckpoint every few
+        rounds so long recursions don't grow an unbounded DAG."""
+        op = node.operator
+        base_node, step_node = node.inputs
+        cols = list(op.col_names)
+        base = self._node(base_node).toDF(*cols)
+        if op.distinct:
+            base = base.distinct()
+        acc, frontier = base, base
+        for i in range(op.max_iter):
+            self._cte_frames[op.name] = frontier
+            try:
+                nxt = self._node(step_node).toDF(*cols)
+            finally:
+                self._cte_frames.pop(op.name, None)
+            if op.distinct:
+                new = nxt.subtract(acc)  # distinct EXCEPT — fresh rows only
+            else:
+                new = nxt
+            if new.isEmpty():
+                break
+            acc = acc.unionAll(new)
+            frontier = new
+            if i % 8 == 7:
+                acc = acc.localCheckpoint(eager=False)
+                frontier = frontier.localCheckpoint(eager=False)
+        else:
+            raise RuntimeError(
+                f"recursive CTE {op.name!r} exceeded max_iter={op.max_iter}"
+            )
+        return acc
 
     def _salted_aggregate(self, node: PlanNode):
         """Two-stage skew-proof aggregate (PhysicalSaltedHashAggregate):
@@ -724,6 +780,10 @@ _HANDLERS = {
     P.PhysicalLimit: SparkExecutor._limit,
     P.PhysicalHashAggregate: SparkExecutor._aggregate,
     P.PhysicalSaltedHashAggregate: SparkExecutor._salted_aggregate,
+    X.PhysicalRecursiveCTE: SparkExecutor._recursive_cte,
+    X.LogicalRecursiveCTE: SparkExecutor._recursive_cte,
+    X.PhysicalCTERef: SparkExecutor._cte_ref,
+    X.LogicalCTERef: SparkExecutor._cte_ref,
     P.PhysicalSort: SparkExecutor._sort,
     P.PhysicalTopK: SparkExecutor._topk,
     P.PhysicalDistinct: SparkExecutor._distinct,

@@ -20,6 +20,10 @@ from .physical import PhysicalOperator, _DEFAULT
 from .properties import DistributionSpec, Field, LogicalProperty, PhysicalPropertySet, Schema
 
 __all__ = [
+    "LogicalCTERef",
+    "PhysicalCTERef",
+    "LogicalRecursiveCTE",
+    "PhysicalRecursiveCTE",
     "LogicalExactDedup",
     "PhysicalExactDedup",
     "LogicalMinHashDedup",
@@ -784,3 +788,87 @@ class PhysicalStratifiedSample(PhysicalOperator):
             f"PhysicalStratifiedSample {{ strata: [{', '.join(self.stratum_cols)}], "
             f"id: {self.id_col}, k: {self.k} }}"
         )
+
+
+@dataclass(frozen=True)
+class LogicalCTERef(LogicalOperator):
+    """Leaf reference to the enclosing recursive CTE's working table
+    (``WITH RECURSIVE name(...)``) — resolved at EXECUTION time to the
+    current iteration's frontier DataFrame (``execute.py``).  Column
+    types are unknown until runtime (the base member defines them);
+    rules only consult names."""
+
+    name: str
+    col_names: Tuple[str, ...] = ()
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        return LogicalProperty(
+            Schema(tuple(Field(n, "unknown", True) for n in self.col_names))
+        )
+
+    def pretty(self) -> str:
+        return f"LogicalCTERef {{ name: {self.name} }}"
+
+
+@dataclass(frozen=True)
+class PhysicalCTERef(PhysicalOperator):
+    """Physical CTE-ref leaf: resolved by the executor to the current
+    iteration's frontier DataFrame."""
+
+    name: str
+    col_names: Tuple[str, ...] = ()
+
+    def derive_properties(self, children_props):
+        return (), PhysicalPropertySet()
+
+    def pretty(self) -> str:
+        return f"PhysicalCTERef {{ name: {self.name} }}"
+
+
+@dataclass(frozen=True)
+class LogicalRecursiveCTE(LogicalOperator):
+    """``WITH RECURSIVE name(cols) AS (base UNION [ALL] step)``: inputs
+    are (base, step); ``step`` contains a ``LogicalCTERef(name)`` leaf.
+
+    Execution iterates semi-naively: UNION keeps only rows not yet seen
+    (the Postgres/DuckDB working-table semantics — each iteration feeds
+    the NEW distinct rows forward), UNION ALL feeds the whole previous
+    iteration forward and stops when it comes back empty.  ``max_iter``
+    bounds runaway recursion (like DuckDB's depth guard)."""
+
+    name: str
+    col_names: Tuple[str, ...] = ()
+    distinct: bool = True
+    max_iter: int = 100
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        base, _step = input_props
+        return LogicalProperty(
+            Schema(
+                tuple(
+                    Field(n, f.dtype, True)
+                    for n, f in zip(self.col_names, base.schema.fields)
+                )
+            )
+        )
+
+    def pretty(self) -> str:
+        op = "UNION" if self.distinct else "UNION ALL"
+        return f"LogicalRecursiveCTE {{ name: {self.name}, {op} }}"
+
+
+@dataclass(frozen=True)
+class PhysicalRecursiveCTE(PhysicalOperator):
+    """Physical twin — the iterate-until-fixpoint driver loop."""
+
+    name: str
+    col_names: Tuple[str, ...] = ()
+    distinct: bool = True
+    max_iter: int = 100
+
+    def derive_properties(self, children_props):
+        return (_DEFAULT, _DEFAULT), PhysicalPropertySet()
+
+    def pretty(self) -> str:
+        op = "UNION" if self.distinct else "UNION ALL"
+        return f"PhysicalRecursiveCTE {{ name: {self.name}, {op} }}"

@@ -317,6 +317,37 @@ class StratifiedSampleImplRule(Rule):
         )
 
 
+class CTERefImplRule(Rule):
+    name = "CTERefImplRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalCTERef)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalCTERef = input.root.operator
+        result.add(
+            OptExpression.op(X.PhysicalCTERef(op.name, op.col_names))
+        )
+
+
+class RecursiveCTEImplRule(Rule):
+    name = "RecursiveCTEImplRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalRecursiveCTE)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalRecursiveCTE = input.root.operator
+        result.add(
+            OptExpression.op(
+                X.PhysicalRecursiveCTE(
+                    op.name, op.col_names, op.distinct, op.max_iter
+                ),
+                *input.root.inputs,
+            )
+        )
+
+
 EXTENSION_RULES = [
     UnnestImplRule(),
     AsofJoinImplRule(),
@@ -333,6 +364,8 @@ EXTENSION_RULES = [
     StratifiedSampleImplRule(),
     SequencePackImplRule(),
     SinkImplRule(),
+    RecursiveCTEImplRule(),
+    CTERefImplRule(),
 ]
 
 

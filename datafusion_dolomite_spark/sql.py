@@ -55,7 +55,7 @@ _KEYWORDS = {
     "like", "case", "when", "then", "else", "end", "is", "null", "cross",
     "over", "partition", "rows", "range", "unbounded", "preceding",
     "following", "current", "row", "outer", "offset", "nulls", "first",
-    "last", "values", "qualify",
+    "last", "values", "qualify", "recursive",
 }
 
 
@@ -212,17 +212,83 @@ class _Parser:
                 .build()
             )
         if self.accept("kw", "with"):
+            recursive = bool(self.accept("kw", "recursive"))
             while True:
                 name = self.expect("ident").value
+                col_names = None
+                if self.accept("op", "("):
+                    col_names = [self.expect("ident").value]
+                    while self.accept("op", ","):
+                        col_names.append(self.expect("ident").value)
+                    self.expect("op", ")")
                 self.expect("kw", "as")
                 self.expect("op", "(")
-                self.ctes[name] = self._query()
+                if recursive and col_names:
+                    self.ctes[name] = self._recursive_cte_body(name, col_names)
+                else:
+                    self.ctes[name] = self._query()
                 self.expect("op", ")")
                 if not self.accept("op", ","):
                     break
         plan = self._query()
         self.expect("eof")
         return plan
+
+    def _recursive_cte_body(self, name: str, col_names) -> Plan:
+        """``WITH RECURSIVE name(cols) AS (base UNION [ALL] step)``:
+        a placeholder CTE reference is registered BEFORE parsing the
+        body, so the step member's ``FROM name`` resolves to a
+        ``LogicalCTERef`` leaf; the parsed union is then split into
+        (base, step) under a ``LogicalRecursiveCTE`` operator whose
+        executor iterates to the fixpoint (execute.py; DuckDB runs the
+        same SQL natively, which is the oracle)."""
+        from .operators.extensions import LogicalCTERef, LogicalRecursiveCTE
+        from .operators.logical import LogicalDistinct, LogicalUnion
+
+        cols = tuple(col_names)
+        self.ctes[name] = (
+            LogicalPlanBuilder()
+            ._push(LogicalCTERef(name, cols), [])
+            .build()
+        )
+        body = self._query()
+        root = body.root
+        distinct = False
+        if isinstance(root.operator, LogicalDistinct) and root.inputs and isinstance(
+            root.inputs[0].operator, LogicalUnion
+        ):
+            distinct = True
+            union = root.inputs[0]
+        elif isinstance(root.operator, LogicalUnion):
+            union = root
+        else:
+            raise SqlError(
+                "recursive CTE body must be 'base UNION [ALL] step'"
+            )
+        base_n, step_n = union.inputs
+
+        def _has_ref(n) -> bool:
+            if isinstance(n.operator, LogicalCTERef) and n.operator.name == name:
+                return True
+            return any(_has_ref(c) for c in n.inputs)
+
+        if _has_ref(base_n):
+            raise SqlError(
+                f"recursive CTE {name!r}: the base member must not "
+                "reference the CTE"
+            )
+        if not _has_ref(step_n):
+            raise SqlError(
+                f"recursive CTE {name!r}: the step member must reference "
+                "the CTE"
+            )
+        return (
+            LogicalPlanBuilder()
+            ._push(
+                LogicalRecursiveCTE(name, cols, distinct), [base_n, step_n]
+            )
+            .build()
+        )
 
     def _query(self) -> Plan:
         """select [(UNION [ALL] | INTERSECT | EXCEPT) select]* —

@@ -83,6 +83,10 @@ SHUFFLE_BUDGET = {
     # tf agg + df agg + doc-score agg + stats agg (all tiny past the
     # posting filter); top-k is TakeOrderedAndProject
     "q_bm25_search": 4,
+    # fixpoint loop: distinct + subtract per converged iteration remain
+    # in the final accumulated lineage (~2 per round over a 25-row CTE);
+    # budget covers the closure's 2-3 rounds with slack
+    "q_recursive_cte": 8,
     "q_agg_join": 2,
     "q_corpus_mix": 1,
     "q_distinct": 1,
