@@ -972,6 +972,46 @@ class Gen:
         sql = f"{b_val} {op} {b_tab}" if first_is_values else f"{b_tab} {op} {b_val}"
         return sql, sql
 
+    def _recursive(self):
+        """WITH RECURSIVE (r6 surface): arithmetic series (UNION ALL)
+        and cyclic graph closures over nation (UNION) — DuckDB executes
+        the identical SQL natively, so the oracle is free."""
+        r = self.rng
+        if r.random() < 0.55:
+            start = r.randint(-3, 3)
+            step = r.randint(1, 3)
+            lim = r.randint(5, 40)
+            cte = (
+                f"with recursive seq(n) as ("
+                f"select n from (values ({start})) as t0(n) "
+                f"union all select n + {step} from seq where n < {lim})"
+            )
+            if r.random() < 0.4:
+                sql = (
+                    f"{cte} select r_name as c0, count(*) as c1 from seq "
+                    f"join nation on n_nationkey = n "
+                    f"join region on n_regionkey = r_regionkey "
+                    f"group by r_name"
+                )
+            else:
+                sql = (
+                    f"{cte} select count(*) as c0, "
+                    f"cast(sum(n) as bigint) as c1, min(n) as c2, "
+                    f"max(n) as c3 from seq"
+                )
+            return sql, sql
+        # cyclic closure: nations reachable following regionkey→nationkey
+        seed = r.randint(0, 24)
+        op = r.choice(["<", "="])
+        sql = (
+            f"with recursive r(k) as ("
+            f"select n_nationkey as k from nation where n_nationkey {op} {seed} "
+            f"union select n_nationkey as k from nation join r "
+            f"on n_regionkey = k) "
+            f"select count(*) as c0, cast(sum(k) as bigint) as c1 from r"
+        )
+        return sql, sql
+
     SHAPES = (
         ("_simple", 14),
         ("_join", 18),
@@ -989,6 +1029,7 @@ class Gen:
         ("_self_join", 10),
         ("_rollup", 8),
         ("_values", 10),
+        ("_recursive", 6),
     )
 
     def query(self):
