@@ -2216,6 +2216,11 @@ EXTENSION_ORACLES = {
                ('0x' || substr(md5(array_to_string(list_sort(list(doc_id)), ',')), 1, 15))::BIGINT AS ids_fp
         FROM documents GROUP BY lang
     """,
+    "q_join_hint": """
+        SELECT /*+ MERGE(supplier) */ s_nationkey, count(*) AS n_items
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+    """,
     "q_recursive_cte": """
         WITH RECURSIVE reach(k) AS (
           SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 3
@@ -2913,6 +2918,36 @@ def q_transitive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     logical = pl.optimize_logical(parse_sql(sql, pl.catalog))
     txt = logical.explain()
     assert "s_nationkey < 10" in txt and "c_nationkey < 10" in txt, txt
+    return pl.sql(sql)
+
+
+def q_join_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN STRATEGY HINTS (r6): ``/*+ MERGE(supplier) */`` pins a
+    sort-merge join where the cost race would broadcast (asserted
+    in-query — the plan must show a FORCED SortMergeJoin).  The Spark
+    hint surface on our front door: the user's word beats the model,
+    binding to the join whose side IS the named relation; plain
+    comments are stripped by the same pass.  DuckDB treats the hint
+    block as a comment, so the SAME SQL is the oracle."""
+    pl = _planner(spark, sf_dir)
+    from datafusion_dolomite_spark.operators.physical import (
+        PhysicalSortMergeJoin,
+    )
+    from datafusion_dolomite_spark.sql import parse_sql
+
+    sql = (
+        "select /*+ MERGE(supplier) */ s_nationkey, count(*) as n_items "
+        "from lineitem join supplier on l_suppkey = s_suppkey "
+        "group by s_nationkey"
+    )
+    phys = pl.optimize(parse_sql(sql, pl.catalog))
+
+    def _has_forced_smj(n) -> bool:
+        if isinstance(n.operator, PhysicalSortMergeJoin) and n.operator.forced:
+            return True
+        return any(_has_forced_smj(c) for c in n.inputs)
+
+    assert _has_forced_smj(phys.root), phys.explain()
     return pl.sql(sql)
 
 
@@ -6042,7 +6077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
     "q_join_order", "q_skewed_agg", "q_mv_incremental", "q_transitive_pred",
-    "q_join_elim", "q_bm25_search", "q_recursive_cte",
+    "q_join_elim", "q_bm25_search", "q_recursive_cte", "q_join_hint",
     # last driver-green in r1 — stalest, rotate in first
     "q_agg_join", "q_corpus_mix", "q_distinct", "q_filter_projection",
     "q_grouping_sets", "q_hash_sample", "q_join3", "q_pandas_scalar_udf",
@@ -6244,6 +6279,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_elim": q_join_elim,
         "q_bm25_search": q_bm25_search,
         "q_recursive_cte": q_recursive_cte,
+        "q_join_hint": q_join_hint,
         "q_sql_having": q_sql_having,
         "q_sql_in_subquery": q_sql_in_subquery,
         "q_sql_exists": q_sql_exists,

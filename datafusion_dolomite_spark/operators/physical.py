@@ -140,6 +140,8 @@ class PhysicalHashJoin(PhysicalOperator):
     condition: Expr
     left_keys: Tuple[str, ...] = ()
     right_keys: Tuple[str, ...] = ()
+    #: user hint pinned this strategy — the cost model lets it win
+    forced: bool = False
 
     def derive_properties(self, children_props):
         if self.left_keys:
@@ -173,6 +175,8 @@ class PhysicalBroadcastHashJoin(PhysicalOperator):
 
     join_type: JoinType
     condition: Expr
+    #: user hint pinned this strategy — the cost model lets it win
+    forced: bool = False
 
     def derive_properties(self, children_props):
         # Probe side streams through unchanged; its distribution survives.
@@ -197,6 +201,8 @@ class PhysicalSortMergeJoin(PhysicalOperator):
     condition: Expr
     left_keys: Tuple[str, ...] = ()
     right_keys: Tuple[str, ...] = ()
+    #: user hint pinned this strategy — the cost model lets it win
+    forced: bool = False
 
     def derive_properties(self, children_props):
         lreq = PhysicalPropertySet(

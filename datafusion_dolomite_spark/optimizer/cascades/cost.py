@@ -105,6 +105,12 @@ class SparkCostModel(CostModel):
         rows = [s.row_count if s is not None else 1e6 for s in input_stats]
         out = _output_rows(op, rows, ctx, input_stats)
 
+        if getattr(op, "forced", False):
+            # a user hint pinned this strategy (sql.py _strip_comments →
+            # join rules): near-zero cost wins the group's race — the
+            # Spark-hint contract that the user's word beats the model,
+            # including the broadcast byte budget
+            return 1e-3
         if isinstance(op, P.PhysicalTableScan):
             return max(out, 1.0)
         if isinstance(op, (P.PhysicalFilter, P.PhysicalProjection)):

@@ -216,6 +216,54 @@ def _keys(op: LogicalJoin):
     return tuple(p[0] for p in pairs), tuple(p[1] for p in pairs)
 
 
+def _pinned_strategy(ctx, input, op):
+    """The hint kind that PINS this join's strategy, or None.  A pin
+    only binds when the hinted strategy is actually emittable for this
+    expression (broadcast needs the hinted relation on the build side
+    and a broadcastable join type; merge needs equi keys) — otherwise
+    the other rules stay live, so a join can never end up with no
+    implementation.  Precedence mirrors Spark: BROADCAST > MERGE >
+    SHUFFLE_HASH."""
+    if _hint_matches(ctx, input, "broadcast", side=1) and op.join_type not in (
+        JoinType.FULL,
+        JoinType.RIGHT,
+    ):
+        return "broadcast"
+    if _hint_matches(ctx, input, "merge") and op.equi_keys():
+        return "merge"
+    if _hint_matches(ctx, input, "shuffle_hash"):
+        return "shuffle_hash"
+    return None
+
+
+def _hint_matches(ctx, input, kind, side=None) -> bool:
+    """True when a ``kind`` hint names a relation this join's side IS:
+    the side's schema must be a SUBSET of the named table's columns
+    (a bare scan of it, possibly filtered/column-pruned) — containment
+    the other way would let a tiny hinted dim force its whole joined
+    fact subtree into the strategy.  ``side=None`` accepts either
+    side (MERGE/SHUFFLE_HASH apply to the join as a whole); ``side=1``
+    checks only the build (right) side (BROADCAST)."""
+    hints = getattr(ctx, "hints", None)
+    catalog = getattr(ctx, "catalog", None)
+    if not hints or not hints.get(kind) or catalog is None:
+        return False
+    sides = (input.root.inputs[1],) if side == 1 else input.root.inputs
+    for t in hints[kind]:
+        try:
+            cols = set(catalog.schema(t).names())
+        except Exception:
+            continue
+        for h in sides:
+            prop = getattr(h, "prop", None)
+            if prop is None:
+                continue
+            sc = set(prop.schema.names())
+            if sc and sc <= cols:
+                return True
+    return False
+
+
 class Join2HashJoinRule(Rule):
     """Implementation rule (ref join.rs:71-114): same fields, physical op."""
 
@@ -229,8 +277,14 @@ class Join2HashJoinRule(Rule):
 
     def apply(self, input: OptExpression, ctx: OptimizerContext, result: RuleResult) -> None:
         op: LogicalJoin = input.root.operator
+        pin = _pinned_strategy(ctx, input, op)
+        if pin not in (None, "shuffle_hash"):
+            return  # another strategy is hint-pinned for this join
         lk, rk = _keys(op)
-        phys = PhysicalHashJoin(op.join_type, op.condition, lk or (), rk or ())
+        phys = PhysicalHashJoin(
+            op.join_type, op.condition, lk or (), rk or (),
+            forced=pin == "shuffle_hash",
+        )
         result.add(OptExpression.op(phys, *input.root.inputs))
 
 
@@ -253,7 +307,12 @@ class Join2BroadcastHashJoinRule(Rule):
         # left_anti; full outer cannot broadcast either side.
         if op.join_type in (JoinType.FULL, JoinType.RIGHT):
             return
-        phys = PhysicalBroadcastHashJoin(op.join_type, op.condition)
+        pin = _pinned_strategy(ctx, input, op)
+        if pin not in (None, "broadcast"):
+            return
+        phys = PhysicalBroadcastHashJoin(
+            op.join_type, op.condition, forced=pin == "broadcast"
+        )
         result.add(OptExpression.op(phys, *input.root.inputs))
 
 
@@ -274,5 +333,10 @@ class Join2SortMergeJoinRule(Rule):
         lk, rk = _keys(op)
         if not lk:
             return  # SMJ needs equi keys
-        phys = PhysicalSortMergeJoin(op.join_type, op.condition, lk, rk)
+        pin = _pinned_strategy(ctx, input, op)
+        if pin not in (None, "merge"):
+            return
+        phys = PhysicalSortMergeJoin(
+            op.join_type, op.condition, lk, rk, forced=pin == "merge"
+        )
         result.add(OptExpression.op(phys, *input.root.inputs))

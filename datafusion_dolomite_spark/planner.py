@@ -109,13 +109,36 @@ class QueryPlanner:
 
     def optimize_logical(self, plan: Plan) -> Plan:
         hep = HepOptimizer(self.rewrite_rules, self.ctx, MatchOrder.TOP_DOWN)
-        return hep.find_best_plan(plan)
+        out = hep.find_best_plan(plan)
+        out.hints = getattr(plan, "hints", None)  # survive the rewrite
+        return out
 
     def optimize_physical(self, plan: Plan) -> Plan:
-        cascades = CascadesOptimizer(
-            self.cascades_rules, self.ctx, cost_model=self.cost_model
-        )
-        return cascades.find_best_plan(plan)
+        # join-strategy hints from the SQL front door steer the race
+        hints = getattr(plan, "hints", None)
+        self.ctx.hints = hints
+        rules = self.cascades_rules
+        if hints and any(hints.values()):
+            # a hint pins the user's TEXTUAL join shape; shape-changing
+            # exploration (eager aggregation, association/exchange)
+            # would move the hinted relation out of its side and unbind
+            # the pin — standard hint semantics: the user's word
+            # suspends the rewrites that would second-guess it.
+            # Commutation stays: BROADCAST(left_table) needs it.
+            from .optimizer.rules.agg import EagerAggregationRule as _EA
+
+            rules = [
+                r
+                for r in rules
+                if not isinstance(r, (_EA, AssociateJoinRule, ExchangeJoinRule))
+            ]
+        try:
+            cascades = CascadesOptimizer(
+                rules, self.ctx, cost_model=self.cost_model
+            )
+            return cascades.find_best_plan(plan)
+        finally:
+            self.ctx.hints = None
 
     def optimize(self, plan: Plan) -> Plan:
         return self.optimize_physical(self.optimize_logical(plan))

@@ -144,8 +144,36 @@ def _tokenize(sql: str) -> List[_Tok]:
     return out
 
 
+
+def _strip_comments(sql: str):
+    """Remove ``--`` line and ``/* */`` block comments, extracting join
+    strategy HINTS from ``/*+ ... */`` blocks first (the Spark hint
+    surface): ``BROADCAST(t)``, ``MERGE(t)`` / ``SHUFFLEMERGE(t)``,
+    ``SHUFFLE_HASH(t)``.  Returns (clean sql, hints dict)."""
+    hints = {"broadcast": set(), "merge": set(), "shuffle_hash": set()}
+
+    def _take(m):
+        for hm in re.finditer(
+            r"(broadcast|shufflemerge|merge|shuffle_hash)\s*\(([^)]*)\)",
+            m.group(1),
+            re.IGNORECASE,
+        ):
+            kind = hm.group(1).lower()
+            kind = "merge" if kind == "shufflemerge" else kind
+            for t in hm.group(2).split(","):
+                if t.strip():
+                    hints[kind].add(t.strip().lower())
+        return " "
+
+    sql = re.sub(r"/\*\+(.*?)\*/", _take, sql, flags=re.S)
+    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.S)
+    sql = re.sub(r"--[^\n]*", " ", sql)
+    return sql, hints
+
+
 class _Parser:
     def __init__(self, sql: str, catalog=None):
+        sql, self.hints = _strip_comments(sql)
         self.toks = _tokenize(sql)
         self.i = 0
         self.catalog = catalog
@@ -1741,6 +1769,11 @@ def _contains_aggregate(e: Expr) -> bool:
 
 
 def parse_sql(sql: str, catalog=None) -> Plan:
-    """Parse a SQL query into an (unoptimized) logical Plan."""
+    """Parse a SQL query into an (unoptimized) logical Plan.  Join
+    strategy hints (``/*+ BROADCAST(t) */`` etc.) ride on the returned
+    plan as ``plan.hints`` and steer the cascades race."""
     _scalar_counter[0] = 0  # aliases only need uniqueness within a query
-    return _Parser(sql, catalog).parse()
+    p = _Parser(sql, catalog)
+    plan = p.parse()
+    plan.hints = p.hints
+    return plan

@@ -83,6 +83,9 @@ SHUFFLE_BUDGET = {
     # tf agg + df agg + doc-score agg + stats agg (all tiny past the
     # posting filter); top-k is TakeOrderedAndProject
     "q_bm25_search": 4,
+    # hint-forced sort-merge join: both sides shuffle on the key (the
+    # hint's deliberate price) + the group agg
+    "q_join_hint": 3,
     # fixpoint loop: distinct + subtract per converged iteration remain
     # in the final accumulated lineage (~2 per round over a 25-row CTE);
     # budget covers the closure's 2-3 rounds with slack
