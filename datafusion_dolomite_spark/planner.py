@@ -155,6 +155,15 @@ class QueryPlanner:
 
         import re as _re
 
+        m = _re.match(
+            r"\s*explain\s+analyze\s+(.+)$", query, _re.IGNORECASE | _re.DOTALL
+        )
+        if m:
+            text = self.explain_analyze(parse_sql(m.group(1), self.catalog))
+            return self.spark.createDataFrame(
+                [(line,) for line in text.splitlines()], "plan: string"
+            )
+
         m = _re.match(r"\s*explain\s+(.+)$", query, _re.IGNORECASE | _re.DOTALL)
         if m:
             # EXPLAIN <query> — THIS engine's optimized logical +
@@ -218,6 +227,81 @@ class QueryPlanner:
                 self.optimize_physical(logical), self.spark, self.catalog
             )
         return self.dataframe(plan)
+
+    def explain_analyze(self, plan: Plan) -> str:
+        """EXPLAIN ANALYZE: the optimized physical plan with each
+        operator annotated ``est=<modeled rows> act=<actual rows>
+        <ms>`` — the estimate-vs-reality diff that tells you WHICH
+        cardinality guess sent the optimizer wrong (the tool DuckDB's
+        EXPLAIN ANALYZE gives its users; the reference has neither
+        statistics nor execution to compare).
+
+        Profiling semantics: operators are executed bottom-up, each
+        node's DataFrame cached before its count so every operator's
+        work runs ONCE (children are served from cache via Spark's
+        canonicalized-plan matching) — one materialized pass overall,
+        like pipeline-breaking profilers.  A node that cannot execute
+        standalone (the step inside a recursive CTE, whose CTE ref only
+        binds inside the fixpoint loop) is annotated ``act=-``."""
+        import time as _time
+
+        from .execute import SparkExecutor
+        from .optimizer.cascades.cost import derive_stats
+
+        phys = self.optimize(plan)
+        ex = SparkExecutor(self.spark, self.catalog)
+        acts: dict = {}
+        ms: dict = {}
+        stats: dict = {}
+        cached: list = []
+
+        def walk(node):
+            for c in node.inputs:
+                walk(c)
+            stats[id(node)] = derive_stats(
+                node.operator,
+                [stats[id(c)] for c in node.inputs],
+                self.ctx,
+            )
+            try:
+                df = ex._node(node)
+                df.cache()
+                cached.append(df)
+                t0 = _time.perf_counter()
+                acts[id(node)] = df.count()
+                ms[id(node)] = (_time.perf_counter() - t0) * 1000.0
+            except Exception:
+                acts[id(node)] = None
+
+        walk(phys.root)
+        for df in cached:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+        lines: list = []
+
+        def render(node, prefix, is_last, is_root):
+            act = acts.get(id(node))
+            est = stats[id(node)].row_count
+            note = (
+                f"  [rows est={est:.0f} act={act} {ms[id(node)]:.0f} ms]"
+                if act is not None
+                else f"  [rows est={est:.0f} act=-]"
+            )
+            if is_root:
+                lines.append(node.operator.pretty() + note)
+                child_prefix = ""
+            else:
+                branch = "└── " if is_last else "├── "
+                lines.append(prefix + branch + node.operator.pretty() + note)
+                child_prefix = prefix + ("    " if is_last else "│   ")
+            for i, c in enumerate(node.inputs):
+                render(c, child_prefix, i == len(node.inputs) - 1, False)
+
+        render(phys.root, "", True, True)
+        return "\n".join(lines)
 
     def explain(self, plan: Plan) -> str:
         logical = self.optimize_logical(plan)
