@@ -2216,6 +2216,11 @@ EXTENSION_ORACLES = {
                ('0x' || substr(md5(array_to_string(list_sort(list(doc_id)), ',')), 1, 15))::BIGINT AS ids_fp
         FROM documents GROUP BY lang
     """,
+    "q_dynamic_skip_join": """
+        SELECT user_id, count(*) AS n_events,
+               sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+        FROM events WHERE user_id % 50 = 0 GROUP BY user_id
+    """,
     "q_join_hint": """
         SELECT /*+ MERGE(supplier) */ s_nationkey, count(*) AS n_items
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
@@ -5375,6 +5380,61 @@ def q_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dynamic_skip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME JOIN-KEY FILE SKIPPING (r6) — dynamic partition pruning
+    at file granularity: events is rewritten once clustered BY user_id
+    (repartition-by-key → each of 8 files holds a user subset) with
+    per-file Blooms on user_id; at query time the small dim side's
+    distinct keys (every 50th user) probe the sidecar and only files
+    that can contain them are listed or opened (asserted in-query:
+    kept < total).  The key collect is the same driver-bounded cost
+    class as the broadcast hash table Spark builds for the dim anyway
+    (``sources/skipping.py::dynamic_skip_scan``).  Oracle: the plain
+    filtered aggregate over events."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.sources.signature import write_marker
+    from datafusion_dolomite_spark.sources.skipping import (
+        dynamic_skip_scan,
+        write_file_blooms,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    dest, fresh, sig = _materialized_dir(sf_dir, "dynskip", src)
+    pl = _planner(spark, sf_dir)
+    if not fresh:
+        (
+            pl.dataframe(LogicalPlanBuilder().scan("events").build())
+            .repartition(8, F.col("user_id"))
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+        write_file_blooms(dest, ["user_id"])
+        write_marker(dest, sig)
+    dim = (
+        pl.dataframe(
+            LogicalPlanBuilder().scan("events", columns=["user_id"]).build()
+        )
+        .filter(F.pmod(F.col("user_id"), F.lit(50)) == 0)
+        .select(F.col("user_id").alias("dim_user"))
+        .distinct()
+    )
+    fact, kept, total = dynamic_skip_scan(spark, dest, "user_id", dim, "dim_user")
+    assert 0 < kept < total, (kept, total)  # files really skipped
+    return (
+        fact.join(F.broadcast(dim), F.col("user_id") == F.col("dim_user"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style MERGE/upsert — the snapshot-maintenance step of an
     incremental ingest pipeline, expressed the scale-correct Spark way:
@@ -6078,6 +6138,7 @@ _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
     "q_join_order", "q_skewed_agg", "q_mv_incremental", "q_transitive_pred",
     "q_join_elim", "q_bm25_search", "q_recursive_cte", "q_join_hint",
+    "q_dynamic_skip_join",
     # last driver-green in r1 — stalest, rotate in first
     "q_agg_join", "q_corpus_mix", "q_distinct", "q_filter_projection",
     "q_grouping_sets", "q_hash_sample", "q_join3", "q_pandas_scalar_udf",
@@ -6280,6 +6341,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_search": q_bm25_search,
         "q_recursive_cte": q_recursive_cte,
         "q_join_hint": q_join_hint,
+        "q_dynamic_skip_join": q_dynamic_skip_join,
         "q_sql_having": q_sql_having,
         "q_sql_in_subquery": q_sql_in_subquery,
         "q_sql_exists": q_sql_exists,

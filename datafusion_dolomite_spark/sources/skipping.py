@@ -40,6 +40,7 @@ __all__ = [
     "write_file_blooms",
     "select_files_eq",
     "skipping_scan_eq",
+    "dynamic_skip_scan",
     "STATS_NAME",
 ]
 
@@ -293,3 +294,36 @@ def skipping_scan(spark, path: str, column: str, lower=None, upper=None):
         # empty relation with the right schema
         return spark.read.parquet(path).filter("1=0")
     return spark.read.parquet(*files)
+
+
+def dynamic_skip_scan(
+    spark, path: str, column: str, keys_df, key_col: str,
+    max_keys: int = 100_000,
+):
+    """RUNTIME file skipping by JOIN KEY — dynamic partition pruning at
+    file granularity (the Spark DPP / runtime-filter idea applied to
+    the sidecar Bloom filters): the small (dim) side's distinct join
+    keys are collected and probed against the fact table's per-file
+    Blooms, so only files that can contain matching keys are ever
+    listed or opened.  When the fact layout clusters the join key
+    (repartition-by-key at write), this skips the bulk of a 100 TB
+    fact for a selective dim.
+
+    The driver-side key collect is bounded by the same contract that
+    makes the join broadcast-able at all — Spark collects that side to
+    build the broadcast hash table; gathering its distinct keys is the
+    same cost class.  Above ``max_keys`` the function falls back to the
+    full scan (correct, just unpruned).
+
+    Returns ``(DataFrame, kept_files, total_files)``; the caller still
+    applies the exact join (kept files are a superset — Bloom false
+    positives only cost a file read)."""
+    rows = keys_df.select(key_col).distinct().limit(max_keys + 1).collect()
+    all_files = _part_files(path)
+    if len(rows) > max_keys:
+        return spark.read.parquet(path), len(all_files), len(all_files)
+    keys = [r[0] for r in rows]
+    files, total = select_files_eq(path, column, keys)
+    if not files:
+        return spark.read.parquet(path).filter("1=0"), 0, total
+    return spark.read.parquet(*files), len(files), total

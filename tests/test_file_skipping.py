@@ -173,3 +173,68 @@ def test_unbounded_and_missing_sidecar_keep_everything(spark, clustered, tmp_pat
     write_parquet(spark.read.parquet(SRC), bare, n_files=3)
     sel, total = select_files(bare, "o_custkey", 0, 1)
     assert len(sel) == total == 3
+
+
+def test_dynamic_skip_scan_prunes_by_join_key(spark, tmp_path):
+    """Join-key runtime file skipping: a key-clustered fact with
+    per-file Blooms + a 2-key dim must open a strict subset of files,
+    and the pruned join must equal the unpruned one."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.sources.skipping import (
+        dynamic_skip_scan,
+        write_file_blooms,
+    )
+
+    dest = str(tmp_path / "fact")
+    rows = [(i % 40, i) for i in range(4000)]
+    (
+        spark.createDataFrame(rows, "k bigint, v bigint")
+        .repartition(8, F.col("k"))
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+    write_file_blooms(dest, ["k"])
+    dim = spark.createDataFrame([(3,), (17,)], "dk bigint")
+    fact, kept, total = dynamic_skip_scan(spark, dest, "k", dim, "dk")
+    assert total == 8 and 0 < kept < total, (kept, total)
+    got = sorted(
+        tuple(r)
+        for r in fact.join(dim, F.col("k") == F.col("dk"))
+        .select("k", "v")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(dest)
+        .filter(F.col("k").isin(3, 17))
+        .select("k", "v")
+        .collect()
+    )
+    assert got == want
+
+
+def test_dynamic_skip_scan_key_cap_falls_back(spark, tmp_path):
+    """Above max_keys the function must fall back to the FULL scan —
+    pruning is a cost optimization, never load-bearing."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.sources.skipping import (
+        dynamic_skip_scan,
+        write_file_blooms,
+    )
+
+    dest = str(tmp_path / "fact2")
+    (
+        spark.createDataFrame([(i, i) for i in range(100)], "k bigint, v bigint")
+        .repartition(4, F.col("k"))
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+    write_file_blooms(dest, ["k"])
+    dim = spark.createDataFrame([(i,) for i in range(50)], "dk bigint")
+    fact, kept, total = dynamic_skip_scan(
+        spark, dest, "k", dim, "dk", max_keys=10
+    )
+    assert kept == total  # no pruning claimed
+    assert fact.count() == 100

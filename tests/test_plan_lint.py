@@ -86,6 +86,8 @@ SHUFFLE_BUDGET = {
     # hint-forced sort-merge join: both sides shuffle on the key (the
     # hint's deliberate price) + the group agg
     "q_join_hint": 3,
+    # dim distinct + final agg; the fact side reads only bloom-kept files
+    "q_dynamic_skip_join": 2,
     # fixpoint loop: distinct + subtract per converged iteration remain
     # in the final accumulated lineage (~2 per round over a 25-row CTE);
     # budget covers the closure's 2-3 rounds with slack
