@@ -444,7 +444,15 @@ class Gen:
             items.append(f"{e} AS c{i}")
             names.append(f"c{i}")
             has_float = has_float or ty == FLT
-        sql = f"SELECT {', '.join(items)} FROM {lt} {jt} {rt} ON {lc} = {rc}"
+        # ~20%: a join-strategy hint on one of the tables — the ENGINE
+        # must pin the strategy without changing results; DuckDB reads
+        # the block as a comment, so oracle parity is semantic proof
+        # across every join type/shape this generator emits
+        hint = ""
+        if r.random() < 0.2:
+            kind = r.choice(["BROADCAST", "MERGE", "SHUFFLE_HASH"])
+            hint = f"/*+ {kind}({r.choice(tabs)}) */ "
+        sql = f"SELECT {hint}{', '.join(items)} FROM {lt} {jt} {rt} ON {lc} = {rc}"
         o_jt = jt.replace("LEFT SEMI JOIN", "SEMI JOIN").replace(
             "LEFT ANTI JOIN", "ANTI JOIN"
         )
