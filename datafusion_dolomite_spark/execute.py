@@ -255,13 +255,23 @@ class SparkExecutor:
                 casts.append(inner.to_type)
                 inner = inner.expr
             p = f"_p{i}"
-            partials.append(Alias(inner, p).to_column())
             merge = _SALT_MERGE[inner.name]
-            if merge == "flatten":
+            if merge == "avg_pair":
+                # avg partials are a (sum, count) pair; final Σsum/Σcount —
+                # same decomposition EagerAggregationRule uses, and the same
+                # NULL semantics: an all-NULL group is sum NULL / count 0,
+                # and NULL/0 divides to NULL = avg
+                partials.append(Alias(Func("sum", inner.args), f"{p}s").to_column())
+                partials.append(Alias(Func("count", inner.args), f"{p}c").to_column())
+                fin = F.sum(F.col(f"{p}s")) / F.sum(F.col(f"{p}c"))
+            elif merge == "flatten":
+                partials.append(Alias(inner, p).to_column())
                 fin = F.flatten(F.collect_list(F.col(p)))
             elif merge == "flatten_distinct":
+                partials.append(Alias(inner, p).to_column())
                 fin = F.array_distinct(F.flatten(F.collect_list(F.col(p))))
             else:
+                partials.append(Alias(inner, p).to_column())
                 fin = getattr(F, merge)(F.col(p))
             for t in reversed(casts):
                 fin = fin.cast(t)
@@ -325,6 +335,38 @@ class SparkExecutor:
 
     def _smj(self, node: PlanNode):
         return self._join(node, hint="merge")
+
+    def _salted_replicate_join(self, node: PlanNode):
+        """Skew-proof salted/replicated inner equi-join
+        (PhysicalSaltedReplicateJoin): the probe side gets a per-row
+        salt (same source as the salted aggregate), the build side is
+        exploded ``n_salts``×, and the join adds ``salt`` to the equi
+        keys — the hot probe key fans out over ``n_salts`` reducers.
+        Same shape as ``functions/skew.py::salted_broadcast_replicate_join``
+        but with the rule-guaranteed INNER equi contract and a
+        row-position salt (independent of any column, so it spreads a
+        hot key no matter what the payload looks like)."""
+        from pyspark.sql import functions as F
+
+        op = node.operator
+        left = self._node(node.inputs[0])
+        right = self._node(node.inputs[1])
+        n = op.n_salts
+        sl = left.withColumn(
+            "__srj_salt",
+            F.pmod(F.monotonically_increasing_id(), F.lit(n)).cast("int"),
+        )
+        # shuffle_hash hint: the replicated side must not be broadcast
+        # (Spark would happily broadcast n_salts small copies, silently
+        # turning this into a worse broadcast join), and at scale the
+        # point is a (keys, salt) shuffle with bounded reducers.
+        rep = right.withColumn(
+            "__srj_salt", F.explode(F.array(*[F.lit(i) for i in range(n)]))
+        ).hint("shuffle_hash")
+        cond = _join_condition(op, sl, rep) & (
+            sl["__srj_salt"] == rep["__srj_salt"]
+        )
+        return sl.join(rep, on=cond, how="inner").drop("__srj_salt")
 
     def _logical_join(self, node: PlanNode):
         # Unoptimized logical plan: let Spark's JoinSelection decide.
@@ -735,7 +777,8 @@ def _extract_equi(op):
 
 
 # Give physical joins an equi_keys() so _join_condition can resolve sides.
-for _cls in (P.PhysicalHashJoin, P.PhysicalBroadcastHashJoin, P.PhysicalSortMergeJoin):
+for _cls in (P.PhysicalHashJoin, P.PhysicalBroadcastHashJoin,
+             P.PhysicalSortMergeJoin, P.PhysicalSaltedReplicateJoin):
     _cls.equi_keys = _extract_equi  # type: ignore[attr-defined]
 
 
@@ -788,6 +831,7 @@ _HANDLERS = {
     P.PhysicalTopK: SparkExecutor._topk,
     P.PhysicalDistinct: SparkExecutor._distinct,
     P.PhysicalHashJoin: SparkExecutor._hash_join,
+    P.PhysicalSaltedReplicateJoin: SparkExecutor._salted_replicate_join,
     P.PhysicalBroadcastHashJoin: SparkExecutor._broadcast_join,
     P.PhysicalSortMergeJoin: SparkExecutor._smj,
     P.PhysicalWindow: SparkExecutor._window,

@@ -122,13 +122,45 @@ class SparkCostModel(CostModel):
         # each costed 3·rows (see tasks.py).  A child that is ALREADY
         # hash-partitioned on the keys skips its Exchange: partitioning
         # reuse is rewarded exactly where it happens.
+        if isinstance(op, P.PhysicalSaltedReplicateJoin):
+            # skew-proof salted/replicated join: BOTH shuffles are internal
+            # (the operator requires no child distribution — it joins on
+            # (keys, salt)): probe shuffles once, build shuffles n_salts
+            # replicas.  The hot probe key's reducer overhang divides by
+            # n_salts.  Without probe-key skew the replication makes this
+            # strictly worse than the plain shuffle join — by design.
+            s_ = op.n_salts
+            top = _probe_key_top_count(op, input_stats)
+            residual = 3.0 * max(0.0, top / s_ - rows[0] / COMBINE_PARTITIONS)
+            return (
+                3.0 * rows[0]
+                + 3.0 * s_ * rows[1]
+                + 1.5 * (rows[0] + 2.0 * s_ * rows[1])
+                + residual
+            )
         if isinstance(op, P.PhysicalHashJoin):
-            # build hash table on right (memory-pressure penalty) + probe
-            return 1.5 * (rows[0] + 2.0 * rows[1])
+            # build hash table on right (memory-pressure penalty) + probe,
+            # plus the straggler overhang when the probe key's catalog mode
+            # frequency exceeds the fair per-reducer share: a shuffle join
+            # sends the whole hot key to ONE reducer (makespan in row
+            # units — the thing wall-clock tracks on a cluster).  The
+            # broadcast join never shuffles on the key, so it carries no
+            # such term and stays the preferred escape whenever admissible.
+            top = _probe_key_top_count(op, input_stats)
+            straggler = 3.0 * max(0.0, top - rows[0] / COMBINE_PARTITIONS)
+            return 1.5 * (rows[0] + 2.0 * rows[1]) + straggler
         if isinstance(op, P.PhysicalSortMergeJoin):
-            # per-partition sorts (Spark inserts them) + linear merge
+            # per-partition sorts (Spark inserts them) + linear merge;
+            # same probe-key straggler as the hash join (it shuffles and
+            # sorts on the same hot key)
+            top = _probe_key_top_count(op, input_stats)
+            straggler = 3.0 * max(0.0, top - rows[0] / COMBINE_PARTITIONS)
             n0, n1 = max(rows[0], 2.0), max(rows[1], 2.0)
-            return 0.5 * (n0 + n1) + 0.2 * (n0 * math.log2(n0) + n1 * math.log2(n1))
+            return (
+                0.5 * (n0 + n1)
+                + 0.2 * (n0 * math.log2(n0) + n1 * math.log2(n1))
+                + straggler
+            )
         if isinstance(op, P.PhysicalBroadcastHashJoin):
             build = rows[1]
             if self._too_big_to_broadcast(
@@ -264,6 +296,24 @@ def _group_top_count(op, input_stats) -> float:
             return 0.0
         tops.append(cs.top_count)
     return min(tops) if tops else 0.0
+
+
+def _probe_key_top_count(op, input_stats) -> float:
+    """Mode frequency of the LEFT (probe) side's combined join key —
+    same bound as ``_group_top_count``: the tuple key's mode is at most
+    the smallest per-column mode, so take the MIN over the probe keys;
+    0 = any key without catalog stats (no stats, no bets)."""
+    keys = getattr(op, "left_keys", ()) or ()
+    s = input_stats[0] if input_stats else None
+    if s is None or not keys:
+        return 0.0
+    tops = []
+    for k in keys:
+        cs = s.col(k)
+        if cs is None or cs.top_count <= 0:
+            return 0.0
+        tops.append(cs.top_count)
+    return min(tops)
 
 
 def _equi_key_ndv_selectivity(condition, left_stats, right_stats):

@@ -30,6 +30,7 @@ from .optimizer.rules.join import (
     ExchangeJoinRule,
     Join2BroadcastHashJoinRule,
     Join2HashJoinRule,
+    Join2SaltedReplicateJoinRule,
     Join2SortMergeJoinRule,
 )
 from .optimizer.rules.agg import Agg2SaltedHashAggregateRule, EagerAggregationRule
@@ -78,6 +79,7 @@ def default_cascades_rules(enable_join_exploration: bool = True) -> list[Rule]:
     rules: list[Rule] = [*IMPLEMENTATION_RULES, *EXTENSION_RULES,
                          Join2HashJoinRule(),
                          Join2BroadcastHashJoinRule(), Join2SortMergeJoinRule(),
+                         Join2SaltedReplicateJoinRule(),
                          Agg2SaltedHashAggregateRule()]
     if enable_join_exploration:
         rules.append(CommutateJoinRule())

@@ -72,6 +72,9 @@ SHUFFLE_BUDGET = {
     # salted two-stage aggregate: (keys+salt) shuffle + keys shuffle —
     # the second shuffle is the price the straggler term pays for
     "q_skewed_agg": 2,
+    # salted/replicated skew join: probe salt shuffle + build replica
+    # shuffle + the build-side per-lang rollup's own aggregate exchange
+    "q_auto_skew_join": 3,
     # final rollup over the refreshed MV snapshot (the refresh itself is
     # streaming maintenance, outside this plan)
     "q_mv_incremental": 1,

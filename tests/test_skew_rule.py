@@ -66,9 +66,16 @@ def skew_cat(spark, tmp_path_factory):
     )
     # uniform, high ndv: fair share per reducer exceeds every key
     _write(spark, str(base / "uniform"), {k: 6 for k in range(1000)})
+    # small dim keyed kd — the build side of the skew-join tests: too
+    # big to broadcast under the forced-shuffle thresholds, cheap to
+    # replicate n_salts times
+    spark.createDataFrame(
+        [(k, k * 10) for k in range(51)], "kd bigint, w bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(str(base / "dim"))
     cat = Catalog()
     cat.register("skewed", str(base / "skewed"))
     cat.register("uniform", str(base / "uniform"))
+    cat.register("dim", str(base / "dim"))
     return cat
 
 
@@ -147,6 +154,142 @@ def test_salted_execution_matches_plain(spark, skew_cat):
         )
     )
     want = {r["k"]: (list(r["vs"]), r["n"]) for r in ref.collect()}
+    assert got == want
+
+
+def test_salted_avg_flips_and_matches(spark, skew_cat):
+    """avg joins the salt-mergeable set (VERDICT r6 item 4): it rides as
+    a (sum, count) partial pair with final Σsum/Σcount, so a payload
+    aggregate that ALSO computes avg still gets the salted alternative
+    — previously avg blocked the whole rule."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("skewed")
+        .aggregate(
+            [col("k")],
+            [
+                Alias(Func("collect_list", (col("v"),)), "_vs"),
+                Alias(Func("avg", (col("v"),)), "v_avg"),
+            ],
+        )
+        .build()
+    )
+    qp = QueryPlanner(spark, skew_cat)
+    assert isinstance(_root_agg(qp.optimize(plan)), PhysicalSaltedHashAggregate)
+    got = {
+        r["k"]: (sorted(r["_vs"]), r["v_avg"])
+        for r in qp.dataframe(plan).collect()
+    }
+    from pyspark.sql import functions as F
+
+    ref = (
+        spark.read.parquet(skew_cat.path("skewed"))
+        .groupBy("k")
+        .agg(
+            F.sort_array(F.collect_list("v")).alias("vs"),
+            F.avg("v").alias("a"),
+        )
+    )
+    want = {r["k"]: (list(r["vs"]), r["a"]) for r in ref.collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1])
+
+
+# ---------------------------------------------------------------------------
+# cost-raced salted/replicated skew JOIN (VERDICT r6 item 4)
+
+
+@pytest.fixture(scope="module")
+def shuffle_qp(spark, skew_cat):
+    """Forced-shuffle regime (broadcast thresholds = 1): at 100 TB the
+    probe side never broadcasts and a skewed probe key means one
+    straggler reducer — the regime the salted/replicated join exists
+    for.  (With broadcast admissible the broadcast join has no key
+    shuffle at all and must keep winning — pinned below.)"""
+    from datafusion_dolomite_spark.optimizer.cascades.cost import SparkCostModel
+
+    return QueryPlanner(
+        spark,
+        skew_cat,
+        cost_model=SparkCostModel(
+            broadcast_row_threshold=1, broadcast_bytes_threshold=1
+        ),
+    )
+
+
+def _join_plan(table):
+    from datafusion_dolomite_spark.expr import BinOp
+    from datafusion_dolomite_spark.operators.logical import JoinType
+
+    return (
+        LogicalPlanBuilder()
+        .scan(table)
+        .join(
+            LogicalPlanBuilder().scan("dim"),
+            JoinType.INNER,
+            BinOp("=", col("k"), col("kd")),
+        )
+        .build()
+    )
+
+
+def test_skewed_probe_key_flips_to_salted_join(spark, shuffle_qp):
+    from datafusion_dolomite_spark.operators.physical import (
+        PhysicalSaltedReplicateJoin,
+    )
+
+    phys = shuffle_qp.optimize(_join_plan("skewed"))
+    assert isinstance(phys.root.operator, PhysicalSaltedReplicateJoin), (
+        phys.explain()
+    )
+
+
+def test_uniform_probe_key_stays_plain_join(spark, shuffle_qp):
+    from datafusion_dolomite_spark.operators.physical import (
+        PhysicalSaltedReplicateJoin,
+    )
+
+    phys = shuffle_qp.optimize(_join_plan("uniform"))
+    assert not isinstance(phys.root.operator, PhysicalSaltedReplicateJoin), (
+        phys.explain()
+    )
+
+
+def test_broadcast_still_beats_salted_when_admissible(spark, skew_cat):
+    """Default thresholds: the dim broadcasts, and a broadcast join has
+    no key shuffle — skew-immune, strictly better than salting."""
+    from datafusion_dolomite_spark.operators.physical import (
+        PhysicalBroadcastHashJoin,
+    )
+
+    qp = QueryPlanner(spark, skew_cat)
+    phys = qp.optimize(_join_plan("skewed"))
+    assert isinstance(phys.root.operator, PhysicalBroadcastHashJoin), (
+        phys.explain()
+    )
+
+
+def test_salted_join_execution_matches_plain(spark, shuffle_qp, skew_cat):
+    from datafusion_dolomite_spark.operators.physical import (
+        PhysicalSaltedReplicateJoin,
+    )
+
+    plan = _join_plan("skewed")
+    assert isinstance(
+        shuffle_qp.optimize(plan).root.operator, PhysicalSaltedReplicateJoin
+    )
+    got = sorted(
+        (r["k"], r["v"], r["kd"], r["w"])
+        for r in shuffle_qp.dataframe(plan).collect()
+    )
+    left = spark.read.parquet(skew_cat.path("skewed"))
+    right = spark.read.parquet(skew_cat.path("dim"))
+    want = sorted(
+        (r["k"], r["v"], r["kd"], r["w"])
+        for r in left.join(right, left.k == right.kd, "inner").collect()
+    )
     assert got == want
 
 
