@@ -2647,6 +2647,17 @@ EXTENSION_ORACLES = {
                sum(floor(value * 100)::BIGINT)::BIGINT AS cents
         FROM events GROUP BY event_type
     """,
+    "q_mv_cdc": """
+        WITH state AS (
+          SELECT event_type,
+                 CASE WHEN user_id % 10 = 1
+                      THEN floor(value * 100)::BIGINT + 7
+                      ELSE floor(value * 100)::BIGINT END AS cents
+          FROM events WHERE user_id % 10 <> 0
+        )
+        SELECT event_type, count(*) AS n_events, sum(cents)::BIGINT AS cents
+        FROM state GROUP BY event_type
+    """,
     "q_sql_create_mv": """
         SELECT event_type, count(*) AS n_events,
                sum(floor(value * 100)::BIGINT)::BIGINT AS cents
@@ -4668,31 +4679,36 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding PREP for training/serving: L2-normalize → matryoshka
     truncation to the 16-dim prefix → int8 quantization (floor(x·127),
     clamped) — the standard compress-the-index pipeline (4 B float → 1 B
-    int per dim, 4x memory/bandwidth).  Map-only JVM lambda expressions:
-    no shuffle, no Python, streams at scan speed at any scale.  The
-    sequential fold for the norm matches DuckDB's list fold, so the
-    oracle hash-matches bit-for-bit including the norm itself.  The
-    quantized vector is emitted as a comma-joined string (not
-    array<int>) so the row is hashable/sortable by the driver's
-    canonicalizer — same information, oracle-checkable."""
-    from pyspark.sql import functions as F
+    int per dim, 4x memory/bandwidth).  Now a COST-RACED plan operator
+    (r7, VERDICT r6 item 6): ``LogicalEmbedQuantize`` races the
+    HOF-lambda SQL strategy (JVM but interpreted per element — the
+    5.3 s constant factor r6 flagged) against an Arrow-batched numpy
+    strategy (``mapInPandas``, the ``PhysicalKnnPandas`` pattern); at
+    rows x dim = 500 x 64 the pandas path wins (asserted in-query; flip
+    AND no-flip pinned in tests/test_embed_quantize.py).  BIT-EXACT
+    either way: the numpy path accumulates the norm dimension-by-
+    dimension in float64 — the same left-to-right IEEE fold as the SQL
+    aggregate() and DuckDB's list fold — so one oracle hash covers both
+    strategies.  The quantized vector is emitted as a comma-joined
+    string (not array<int>) so the row is hashable/sortable by the
+    driver's canonicalizer — same information, oracle-checkable."""
+    from datafusion_dolomite_spark.operators.extensions import (
+        PhysicalEmbedQuantizePandas,
+    )
 
     pl = _planner(spark, sf_dir)
-    df = pl.dataframe(LogicalPlanBuilder().scan("embeddings").build())
-    dv = "transform(embedding, x -> cast(x as double))"
-    norm = f"sqrt(aggregate({dv}, cast(0.0 as double), (a, x) -> a + x * x))"
-    unit16 = f"slice(transform({dv}, x -> x / {norm}), 1, 16)"
-    quant = (
-        f"transform({unit16}, x -> "
-        f"cast(greatest(-127.0D, least(127.0D, floor(x * 127.0D))) as int))"
+    plan = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .embed_quantize("vec_id", "embedding", prefix_dim=16, dim=64)
+        .build()
     )
-    return df.select(
-        F.col("vec_id"),
-        F.expr(f"cast(floor({norm} * 1000000) as bigint)").alias("norm_1e6"),
-        F.expr(
-            f"array_join(transform({quant}, x -> cast(x as string)), ',')"
-        ).alias("q16"),
-    )
+    phys = pl.optimize(plan)
+    assert any(
+        isinstance(n.operator, PhysicalEmbedQuantizePandas)
+        for n in phys.nodes_bottom_up()
+    ), phys.explain()
+    return pl.dataframe(plan)
 
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5333,6 +5349,132 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     qp = QueryPlanner(spark, cat)
     phys = qp.explain(q)
     assert "events_mv_incr" in phys, phys  # the rewrite MUST fire
+    return qp.dataframe(q)
+
+
+def q_mv_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-INCREMENTAL MV MAINTENANCE (r7): the rollup is maintained
+    from a CHANGE FEED — deletes and updates, not just appends
+    (``refresh_materialized_view(op_col=...)``; an update is the D old
+    image + I new image retraction pair, count/sum merge SIGNED).  The
+    feed derives deterministically from events: all rows inserted, then
+    one change batch deleting user_id%10==0 and updating user_id%10==1
+    to cents+7.  Asserted in-query: the change refresh ingests only the
+    delta (a rebuild would re-read the initial load too).  The
+    maintained snapshot answers the post-change per-event_type rollup
+    through the MV rewrite; the oracle computes the same post-change
+    state directly from events.  Row-exact pins in
+    tests/test_mv_incremental.py (delta sizing, emptied-group drop)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.optimizer.rules.mv import MaterializedView
+    from datafusion_dolomite_spark.sources.signature import source_signature
+    from datafusion_dolomite_spark.streaming.pipeline import (
+        refresh_materialized_view,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    base_root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        "cdc_mv",
+        sf_name,
+    )
+    sig = source_signature(src)
+    ns = os.path.join(base_root, sig)
+    if os.path.isdir(base_root):
+        for d in os.listdir(base_root):
+            if d != sig:
+                shutil.rmtree(os.path.join(base_root, d), ignore_errors=True)
+    feed = os.path.join(ns, "feed")
+    state_dir = os.path.join(ns, "state")
+    sink = os.path.join(ns, "sink")
+    kw = dict(
+        keys=("event_type", "user_id"),
+        measures={"n": None, "sum_cents": "cents"},
+        op_col="_op",
+    )
+    ev = spark.read.parquet(src).select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    done = os.path.join(ns, "_CHANGED")
+    if not os.path.exists(done):
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        ev.withColumn("_op", F.lit("I")).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(feed)
+        _snap, n1 = refresh_materialized_view(spark, feed, sink, **kw)
+        m10 = F.pmod(F.col("user_id"), F.lit(10))
+        changes = (
+            ev.filter(m10 == 0).withColumn("_op", F.lit("D"))
+        ).unionByName(
+            ev.filter(m10 == 1).withColumn("_op", F.lit("D"))
+        ).unionByName(
+            ev.filter(m10 == 1)
+            .withColumn("cents", F.col("cents") + F.lit(7))
+            .withColumn("_op", F.lit("I"))
+        )
+        changes.repartition(1).write.mode("append").parquet(feed)
+        snap, n2 = refresh_materialized_view(spark, feed, sink, **kw)
+        # delta-sized proof: the change refresh read only the change rows
+        assert 0 < n2 < n1, (n1, n2)
+        # post-change base state (what the feed now mirrors), for the
+        # rewritten query to scan
+        ev.filter(m10 != 0).withColumn(
+            "cents",
+            F.when(m10 == 1, F.col("cents") + F.lit(7)).otherwise(
+                F.col("cents")
+            ),
+        ).write.mode("overwrite").parquet(state_dir)
+        open(done, "w").write(f"{n1},{n2}")
+    else:
+        snap, n0 = refresh_materialized_view(spark, feed, sink, **kw)
+        assert n0 == 0, n0  # unchanged feed → checkpoint-resumed no-op
+
+    vroot = os.path.join(sink, "versions")
+    latest = max(
+        int(d.split("_")[1])
+        for d in os.listdir(vroot)
+        if d.startswith("v_")
+        and os.path.exists(os.path.join(vroot, d, "_SUCCESS"))
+    )
+    cat = testdata_catalog(sf_dir)
+    cat.register("events_state", state_dir)
+    cat.register("events_mv_cdc", os.path.join(vroot, f"v_{latest}"))
+    cat.register_materialized_view(
+        MaterializedView(
+            name="events_mv_cdc",
+            source_table="events_state",
+            group_cols=("event_type", "user_id"),
+            agg_defs=(
+                ("n", Func("count", ())),
+                ("sum_cents", Func("sum", (col("cents"),))),
+            ),
+        )
+    )
+    q = (
+        LogicalPlanBuilder()
+        .scan("events_state")
+        .aggregate(
+            [col("event_type")],
+            [
+                Alias(Func("count", ()), "n_events"),
+                Alias(Func("sum", (col("cents"),)), "cents"),
+            ],
+        )
+        .build()
+    )
+    qp = QueryPlanner(spark, cat)
+    phys = qp.explain(q)
+    assert "events_mv_cdc" in phys, phys  # the rewrite MUST fire
     return qp.dataframe(q)
 
 
@@ -6223,7 +6365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: guard, MV definition stashing, line-dedup keeper election).
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
-    "q_auto_skew_join",
+    "q_auto_skew_join", "q_mv_cdc",
     "q_join_order", "q_skewed_agg", "q_mv_incremental", "q_transitive_pred",
     "q_join_elim", "q_bm25_search", "q_recursive_cte", "q_join_hint",
     "q_dynamic_skip_join",
@@ -6306,6 +6448,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mv_sketch": q_mv_sketch,
         "q_stream_matview": q_stream_matview,
         "q_mv_incremental": q_mv_incremental,
+        "q_mv_cdc": q_mv_cdc,
         "q_sql_create_mv": q_sql_create_mv,
         "q_sql_join_mv": q_sql_join_mv,
         "q_sql_window_agg": q_sql_window_agg,

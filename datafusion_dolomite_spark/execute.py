@@ -623,6 +623,22 @@ class SparkExecutor:
             self._knn_ivf(node) if node.operator.method == "ivf" else self._knn_brute(node)
         )
 
+    def _embed_quantize_sql(self, node: PlanNode):
+        from .functions.embedding import embed_quantize_sql
+
+        op = node.operator
+        return embed_quantize_sql(
+            self._node(node.inputs[0]), op.id_col, op.vec_col, op.prefix_dim
+        )
+
+    def _embed_quantize_pandas(self, node: PlanNode):
+        from .functions.embedding import embed_quantize_pandas
+
+        op = node.operator
+        return embed_quantize_pandas(
+            self._node(node.inputs[0]), op.id_col, op.vec_col, op.prefix_dim
+        )
+
     def _cosine_near_dup(self, node: PlanNode):
         from .functions.similarity import cosine_near_dup
 
@@ -796,6 +812,9 @@ _HANDLERS = {
     X.PhysicalKnnPandas: SparkExecutor._knn_pandas,
     X.PhysicalKnnIvf: SparkExecutor._knn_ivf,
     X.LogicalKnn: SparkExecutor._knn_logical,
+    X.PhysicalEmbedQuantizeSql: SparkExecutor._embed_quantize_sql,
+    X.PhysicalEmbedQuantizePandas: SparkExecutor._embed_quantize_pandas,
+    X.LogicalEmbedQuantize: SparkExecutor._embed_quantize_sql,
     X.PhysicalCosineNearDup: SparkExecutor._cosine_near_dup,
     X.LogicalCosineNearDup: SparkExecutor._cosine_near_dup,
     X.PhysicalNgramJaccard: SparkExecutor._ngram_jaccard,

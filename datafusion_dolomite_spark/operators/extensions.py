@@ -33,6 +33,9 @@ __all__ = [
     "LogicalKnn",
     "PhysicalKnnBrute",
     "PhysicalKnnIvf",
+    "LogicalEmbedQuantize",
+    "PhysicalEmbedQuantizeSql",
+    "PhysicalEmbedQuantizePandas",
     "LogicalCosineNearDup",
     "PhysicalCosineNearDup",
     "PhysicalKnnPandas",
@@ -307,6 +310,78 @@ class PhysicalKnnIvf(PhysicalOperator):
             f"PhysicalKnnIvf {{ id: {self.id_col}, vec: {self.vec_col}, "
             f"queries: {self.n_queries}, k: {self.k}, cells: {self.ncells}, "
             f"probe: {self.nprobe} }}"
+        )
+
+
+# -- embedding normalize/truncate/quantize ----------------------------------
+
+@dataclass(frozen=True)
+class LogicalEmbedQuantize(LogicalOperator):
+    """L2-normalize → prefix-truncate → int8-quantize an embedding
+    column: → (id_col, norm_1e6 bigint, q{prefix_dim} string).  Two
+    physical strategies, COST-RACED (VERDICT r6 item 6): HOF-lambda SQL
+    (JVM, but interpreted per element — several folds per row) vs
+    Arrow-batched numpy (one vectorized pass, pays the Python transfer
+    once).  ``dim`` is the vector dimensionality the cost model scales
+    per-row work by.  Bit-exact across strategies and vs DuckDB — see
+    ``functions/embedding.py``."""
+
+    id_col: str
+    vec_col: str
+    prefix_dim: int = 16
+    dim: int = 64
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        (inp,) = input_props
+        try:
+            idf = inp.schema.field(self.id_col)
+        except KeyError:
+            idf = Field(self.id_col, "bigint", False)
+        return LogicalProperty(
+            Schema(
+                (
+                    idf,
+                    Field("norm_1e6", "bigint", False),
+                    Field(f"q{self.prefix_dim}", "string", False),
+                )
+            )
+        )
+
+    def pretty(self) -> str:
+        return (
+            f"LogicalEmbedQuantize {{ id: {self.id_col}, vec: {self.vec_col}, "
+            f"prefix: {self.prefix_dim}, dim: {self.dim} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalEmbedQuantizeSql(PhysicalOperator):
+    id_col: str
+    vec_col: str
+    prefix_dim: int
+    dim: int
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalEmbedQuantizeSql {{ id: {self.id_col}, "
+            f"prefix: {self.prefix_dim} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalEmbedQuantizePandas(PhysicalOperator):
+    """Arrow-batched numpy strategy (mapInPandas) — the
+    ``PhysicalKnnPandas`` pattern applied to map-only embedding prep."""
+
+    id_col: str
+    vec_col: str
+    prefix_dim: int
+    dim: int
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalEmbedQuantizePandas {{ id: {self.id_col}, "
+            f"prefix: {self.prefix_dim} }}"
         )
 
 

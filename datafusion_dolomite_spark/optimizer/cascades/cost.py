@@ -247,6 +247,15 @@ class SparkCostModel(CostModel):
             # ship intervals everywhere + per-point probe that degrades
             # with the number of broadcast intervals (nested-loop-ish)
             return 2.0 * rows[1] + rows[0] * max(1.0, 0.01 * rows[1])
+        if isinstance(op, X.PhysicalEmbedQuantizeSql):
+            # HOF lambdas evaluate INTERPRETED per array element, and
+            # the pipeline folds the vector several times per row
+            return 2.0 * (rows[0] if rows else 1.0) * max(op.dim, 1)
+        if isinstance(op, X.PhysicalEmbedQuantizePandas):
+            # one vectorized numpy pass per Arrow batch + the fixed
+            # Python-worker/transfer overhead; loses to the SQL path on
+            # tiny rows x dim, wins as either grows (VERDICT r6 item 6)
+            return 0.25 * (rows[0] if rows else 1.0) * max(op.dim, 1) + 2000.0
         if isinstance(op, X.PhysicalGenerate):
             return rows[0] if rows else 1.0
         if isinstance(op, X.PhysicalDocChunk):

@@ -121,6 +121,9 @@ class Memo:
         self.pending_merges: List[Tuple[int, int]] = []
         self.enable_group_merge = enable_group_merge
         self.root_group_id: int = -1
+        #: total GroupExprs ever inserted — the size signal the task
+        #: runner's memo budget watches (with group count)
+        self.n_exprs: int = 0
 
     # -- construction ---------------------------------------------------
     @classmethod
@@ -167,12 +170,14 @@ class Memo:
             # index says it exists but list doesn't have it — re-add
             expr = GroupExpr(operator, input_gids)
             group.add(expr)
+            self.n_exprs += 1
             return expr, True
         gid = target_group if target_group is not None else self._new_group()
         if gid not in self.groups:
             self.groups[gid] = Group(gid)
         expr = GroupExpr(operator, input_gids)
         self.groups[gid].add(expr)
+        self.n_exprs += 1
         self.expr_index[key] = gid
         self._derive_group_stats(self.groups[gid], expr)
         self._derive_group_prop(self.groups[gid], expr)

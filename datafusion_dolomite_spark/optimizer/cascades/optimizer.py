@@ -43,13 +43,26 @@ class CascadesOptimizer:
         #: instead of accumulating as pending merges.
         self.enable_group_merge = enable_group_merge
         self.memo: Optional[Memo] = None  # exposed for tests / explain
+        #: filled per find_best_plan call: planning seconds + memo size
+        #: + transformation count — the planning-time observability the
+        #: memo budget (tasks.TaskRunner.MAX_MEMO_*) is judged against
+        self.planning_stats: dict = {}
 
     def find_best_plan(self, plan: Plan) -> Plan:
+        import time as _time
+
+        t0 = _time.perf_counter()
         self.memo = Memo.from_plan(
             plan, self.ctx, enable_group_merge=self.enable_group_merge
         )
         runner = TaskRunner(self.memo, self.rules, self.cost_model, self.ctx)
         runner.run(self.required)
+        self.planning_stats = {
+            "seconds": _time.perf_counter() - t0,
+            "groups": len(self.memo.groups),
+            "exprs": self.memo.n_exprs,
+            "transformations": runner.transformations_created,
+        }
         best = self.memo.best_plan(self.required)
         if best is None:
             raise ValueError(

@@ -57,6 +57,14 @@ class TaskRunner:
     #: finds, while fully enumerating graphs of ≤4 tables.
     EXPLORATION_BUDGET = 200
 
+    #: safety valve on memo growth (VERDICT r6 "Cascades exploration has
+    #: no safety valve"): past either cap, TRANSFORMATION rules stop
+    #: firing (implementation rules continue, so every group still gets
+    #: a physical plan).  TPC-H arity stays far below these; a
+    #: 10+-relation graph's enumeration is bounded instead of unbounded.
+    MAX_MEMO_GROUPS = 5_000
+    MAX_MEMO_EXPRS = 20_000
+
     def __init__(self, memo: Memo, rules: List[Rule], cost_model, ctx):
         self.memo = memo
         self.rules = sorted(rules, key=lambda r: -int(r.promise()))
@@ -158,9 +166,10 @@ class ApplyRuleTask(Task):
     def execute(self, r: TaskRunner) -> None:
         if self.rule.rule_id() in self.expr.applied_rules:
             return
-        if (
-            self.rule.transformation
-            and r.transformations_created >= r.EXPLORATION_BUDGET
+        if self.rule.transformation and (
+            r.transformations_created >= r.EXPLORATION_BUDGET
+            or len(r.memo.groups) >= r.MAX_MEMO_GROUPS
+            or r.memo.n_exprs >= r.MAX_MEMO_EXPRS
         ):
             return  # budget spent — leave the rule re-appliable, skip now
         self.expr.applied_rules.add(self.rule.rule_id())

@@ -153,6 +153,50 @@ class Knn2IvfRule(Rule):
         )
 
 
+class EmbedQuantize2SqlRule(Rule):
+    """HOF-lambda strategy: JVM-side, no Python — but interpreted per
+    array element with several folds per row; the cost model charges
+    rows x dim at the interpreted rate."""
+
+    name = "EmbedQuantize2SqlRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalEmbedQuantize)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalEmbedQuantize = input.root.operator
+        result.add(
+            OptExpression.op(
+                X.PhysicalEmbedQuantizeSql(
+                    op.id_col, op.vec_col, op.prefix_dim, op.dim
+                ),
+                *input.root.inputs,
+            )
+        )
+
+
+class EmbedQuantize2PandasRule(Rule):
+    """Arrow/numpy strategy (VERDICT r6 item 6): one vectorized pass per
+    Arrow batch; pays the Python transfer once — the cost race picks it
+    when rows x dim outweighs the worker startup."""
+
+    name = "EmbedQuantize2PandasRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalEmbedQuantize)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalEmbedQuantize = input.root.operator
+        result.add(
+            OptExpression.op(
+                X.PhysicalEmbedQuantizePandas(
+                    op.id_col, op.vec_col, op.prefix_dim, op.dim
+                ),
+                *input.root.inputs,
+            )
+        )
+
+
 class CosineNearDupImplRule(Rule):
     name = "CosineNearDupImplRule"
 
@@ -358,6 +402,8 @@ EXTENSION_RULES = [
     Knn2BruteRule(),
     Knn2PandasRule(),
     Knn2IvfRule(),
+    EmbedQuantize2SqlRule(),
+    EmbedQuantize2PandasRule(),
     CosineNearDupImplRule(),
     NgramJaccardImplRule(),
     DocChunkImplRule(),

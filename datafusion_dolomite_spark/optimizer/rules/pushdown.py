@@ -229,6 +229,160 @@ class MergeFilterIntoJoinRule(Rule):
             result.add(new_join)
 
 
+def _subtree_stats(node, ctx):
+    """Bottom-up Statistics for a real (hep-phase) plan subtree, reusing
+    the cascades stats derivation — catalog row counts at the scans,
+    ndv-based join selectivity above them."""
+    from ..cascades.cost import derive_stats
+
+    return derive_stats(
+        node.operator, [_subtree_stats(c, ctx) for c in node.inputs], ctx
+    )
+
+
+def _dp_join_step_cost(s_left, s_right, model) -> float:
+    """Modeled cost of one join step, mirroring SparkCostModel's
+    strategy race in 'row touches': a broadcastable side makes it a
+    broadcast hash join (ship build + probe in place, no key shuffle);
+    otherwise both sides shuffle and the smaller side builds."""
+    r1 = max(s_left.row_count, 1.0)
+    r2 = max(s_right.row_count, 1.0)
+    if not model._too_big_to_broadcast(r2, s_right):
+        return 2.0 * r2 + r1
+    if not model._too_big_to_broadcast(r1, s_left):
+        return 2.0 * r1 + r2
+    build = min(r1, r2)
+    probe = max(r1, r2)
+    return 3.0 * (r1 + r2) + 1.5 * (probe + 2.0 * build)
+
+
+def _dp_join_order(leaves, schemas, conjuncts, crefs, n_cross, ctx):
+    """Exact bushy join enumeration: DP over CONNECTED subgraphs
+    (DPsub): for every leaf subset, the cheapest way to join a partition
+    of it, preferring partitions connected by at least one cross-side
+    conjunct (cartesians only when the subgraph is genuinely
+    disconnected).  Cardinalities come from ``derive_stats`` (catalog
+    row counts + System-R ndv selectivity) — the statistics the
+    reference's memo declares but never fills (``memo.rs:781``).
+
+    Returns the rebuilt OptExpression, or None to fall back to greedy
+    (no catalog stats, or DP couldn't reduce the cartesian count)."""
+    import math as _math
+
+    from ...expr import Lit
+    from ..cascades.cost import SparkCostModel, derive_stats
+
+    if ctx is None or getattr(ctx, "catalog", None) is None:
+        return None
+    model = getattr(ctx, "cost_model", None)
+    if model is None or not hasattr(model, "_too_big_to_broadcast"):
+        model = SparkCostModel()
+    try:
+        leaf_stats = [_subtree_stats(n, ctx) for n in leaves]
+    except Exception:
+        return None
+
+    n = len(leaves)
+    full = (1 << n) - 1
+    cols = {}
+    for i in range(n):
+        cols[1 << i] = frozenset(schemas[i])
+
+    def mask_cols(mask: int) -> frozenset:
+        got = cols.get(mask)
+        if got is None:
+            low = mask & -mask
+            got = cols[low] | mask_cols(mask ^ low)
+            cols[mask] = got
+        return got
+
+    def cross_conds(sub: int, other: int) -> list:
+        both = mask_cols(sub | other)
+        cs, co = mask_cols(sub), mask_cols(other)
+        return [
+            i
+            for i in range(len(conjuncts))
+            if crefs[i]
+            and crefs[i] <= both
+            and crefs[i] & cs
+            and crefs[i] & co
+        ]
+
+    # best[mask] = (cost, stats, n_cross, repr); repr = leaf index or
+    # (sub, other) partition
+    best: dict = {}
+    for i in range(n):
+        best[1 << i] = (0.0, leaf_stats[i], 0, i)
+    masks = sorted(
+        (m for m in range(3, full + 1) if m & (m - 1)),
+        key=lambda m: bin(m).count("1"),
+    )
+    for mask in masks:
+        chosen = None
+        sub = (mask - 1) & mask
+        while sub:
+            other = mask ^ sub
+            if sub > other:  # cost step is symmetric — halve the space
+                conds = cross_conds(sub, other)
+                bs, bo = best.get(sub), best.get(other)
+                if bs is not None and bo is not None:
+                    cond = _and_all([conjuncts[i] for i in conds])
+                    join = LogicalJoin(
+                        JoinType.INNER, cond if cond is not None else Lit(True)
+                    )
+                    st = derive_stats(join, [bs[1], bo[1]], ctx)
+                    cost = (
+                        bs[0] + bo[0] + _dp_join_step_cost(bs[1], bo[1], model)
+                    )
+                    crosses = bs[2] + bo[2] + (0 if conds else 1)
+                    cand = (cost, st, crosses, (sub, other))
+                    # fewest cartesians first, then modeled cost — a
+                    # cheap cartesian is still fatal at 100 TB
+                    if chosen is None or (cand[2], cand[0]) < (
+                        chosen[2],
+                        chosen[0],
+                    ):
+                        chosen = cand
+            sub = (sub - 1) & mask
+        if chosen is None:
+            return None
+        best[mask] = chosen
+    if not _math.isfinite(best[full][0]) or best[full][2] >= n_cross:
+        return None  # DP could not reduce the cartesian count — greedy's guard
+
+    taken: set = set()
+
+    def build(mask: int):
+        from ...expr import Lit
+
+        rep = best[mask][3]
+        if isinstance(rep, int):
+            return OptExpression.handle(leaves[rep])
+        sub, other = rep
+        # bigger side left (probe), smaller right (build/broadcast) —
+        # the orientation every downstream strategy rule assumes
+        if best[sub][1].row_count < best[other][1].row_count:
+            sub, other = other, sub
+        lexpr = build(sub)
+        rexpr = build(other)
+        conds = [i for i in cross_conds(sub, other) if i not in taken]
+        taken.update(conds)
+        cond = _and_all([conjuncts[i] for i in conds])
+        return OptExpression.op(
+            LogicalJoin(JoinType.INNER, cond if cond is not None else Lit(True)),
+            lexpr,
+            rexpr,
+        )
+
+    expr = build(full)
+    # anything unplaced (single-sided residue the pushdown fixpoint will
+    # sink on the next pass) rides on top as a filter
+    rest = [conjuncts[i] for i in range(len(conjuncts)) if i not in taken]
+    if rest:
+        expr = OptExpression.op(LogicalFilter(_and_all(rest)), expr)
+    return expr
+
+
 class ReorderJoinGraphRule(Rule):
     """Cross-join elimination: flatten a chain of INNER joins into
     (leaves, conjuncts) and greedily rebuild left-deep so every join
@@ -245,6 +399,13 @@ class ReorderJoinGraphRule(Rule):
     equivalent in ``ReorderJoin``/``CostBasedJoinReorder``."""
 
     name = "ReorderJoinGraphRule"
+
+    #: DP join enumeration is O(3^n) over leaf subsets — exact to 8
+    #: relations (≤6561 partitions), greedy beyond (VERDICT r6 item 2)
+    MAX_DP_LEAVES = 8
+
+    def __init__(self, use_dp: bool = True):
+        self.use_dp = use_dp
 
     def pattern(self) -> Pattern:
         return pattern_of(LogicalJoin)
@@ -308,6 +469,20 @@ class ReorderJoinGraphRule(Rule):
             seen |= s
 
         crefs = [set(c.columns()) for c in conjuncts]
+
+        # ≤MAX_DP_LEAVES relations: exact DP over connected subgraphs
+        # (bushy, Selinger-style) replaces the greedy left-deep rebuild
+        # (VERDICT r6 item 2).  Greedy stays as the >8-relation fallback
+        # and the no-stats fallback — DP with fabricated cardinalities
+        # would be noise.
+        if self.use_dp and 3 <= len(leaves) <= self.MAX_DP_LEAVES:
+            dp = _dp_join_order(
+                leaves, schemas, conjuncts, crefs, n_cross, ctx
+            )
+            if dp is not None:
+                result.add(dp)
+                return
+
         placed = [False] * len(conjuncts)
         used = [False] * len(leaves)
         used[0] = True

@@ -106,6 +106,9 @@ class QueryPlanner:
         self.catalog = catalog
         self.ctx = OptimizerContext(catalog)
         self.cost_model = cost_model or SparkCostModel()
+        # hep-phase rules that make cost decisions (DP join enumeration)
+        # consult the same model/thresholds cascades will use
+        self.ctx.cost_model = self.cost_model
         self.rewrite_rules = list(rewrite_rules or default_rewrite_rules())
         self.cascades_rules = list(cascades_rules or default_cascades_rules())
 
@@ -138,7 +141,9 @@ class QueryPlanner:
             cascades = CascadesOptimizer(
                 rules, self.ctx, cost_model=self.cost_model
             )
-            return cascades.find_best_plan(plan)
+            out = cascades.find_best_plan(plan)
+            self.last_planning_stats = cascades.planning_stats
+            return out
         finally:
             self.ctx.hints = None
 

@@ -336,6 +336,20 @@ class LogicalPlanBuilder:
             [self._require_root()],
         )
 
+    def embed_quantize(
+        self,
+        id_col: str,
+        vec_col: str,
+        prefix_dim: int = 16,
+        dim: int = 64,
+    ) -> "LogicalPlanBuilder":
+        from ..operators.extensions import LogicalEmbedQuantize
+
+        return self._push(
+            LogicalEmbedQuantize(id_col, vec_col, prefix_dim, dim),
+            [self._require_root()],
+        )
+
     def cosine_near_dup(
         self, id_col: str, vec_col: str, nbits: int = 12, threshold_1000: int = 900
     ) -> "LogicalPlanBuilder":

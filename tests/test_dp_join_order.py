@@ -1,0 +1,172 @@
+"""Bounded DP join enumeration + cascades memo budget (VERDICT r6 item 2).
+
+``ReorderJoinGraphRule`` — the hep-phase cartesian eliminator — now
+rebuilds ≤8-relation join graphs with EXACT bushy DP over connected
+subgraphs (catalog-row-count + ndv-selectivity cardinalities) instead of
+greedily left-deep; greedy remains the >8-relation / no-stats fallback
+(``use_dp=False`` keeps it constructible for comparison).  Separately,
+``TaskRunner`` gains memo group/expression caps (the "no safety valve"
+gap) and ``CascadesOptimizer`` records planning-time stats.
+
+The comparison queries use comma joins whose TEXTUAL adjacency is
+disconnected (the only shape where the rule fires: two-sided WHERE
+conjuncts that CAN attach to their pair's join are merged there by
+``MergeFilterIntoJoinRule`` first, leaving no cross join to eliminate).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_dolomite_spark import QueryPlanner
+from datafusion_dolomite_spark import testdata_catalog as _testdata_catalog
+from datafusion_dolomite_spark.execute import to_spark
+from datafusion_dolomite_spark.optimizer.cascades.cost import static_plan_cost
+from datafusion_dolomite_spark.optimizer.rules.pushdown import (
+    ReorderJoinGraphRule,
+)
+from datafusion_dolomite_spark.planner import (
+    default_cascades_rules,
+    default_rewrite_rules,
+)
+from datafusion_dolomite_spark.sql import parse_sql
+
+from .conftest import SF_DIR_ORACLE
+
+#: cyclic join graph (the Q5 customer–supplier nationkey cycle) with a
+#: DISCONNECTED textual adjacency (customer, region share no predicate),
+#: so the reorder rule must fire and place the cycle's three conjuncts
+CYCLIC_Q = (
+    "select n_name, count(*) as n "
+    "from customer, region, supplier, nation "
+    "where c_nationkey = s_nationkey and s_nationkey = n_nationkey "
+    "and c_nationkey = n_nationkey and n_regionkey = r_regionkey "
+    "group by n_name"
+)
+
+
+def _planner(spark, cat, use_dp: bool):
+    rewrites = [
+        ReorderJoinGraphRule(use_dp=use_dp)
+        if isinstance(r, ReorderJoinGraphRule)
+        else r
+        for r in default_rewrite_rules()
+    ]
+    # exploration OFF: the hep-phase reorder must stand on its own, not
+    # be rescued by cascades commutate/associate
+    return QueryPlanner(
+        spark,
+        cat,
+        rewrite_rules=rewrites,
+        cascades_rules=default_cascades_rules(enable_join_exploration=False),
+    )
+
+
+def test_dp_beats_greedy_on_cyclic_graph(spark):
+    cat = _testdata_catalog(SF_DIR_ORACLE)
+    qp_dp = _planner(spark, cat, use_dp=True)
+    qp_gr = _planner(spark, cat, use_dp=False)
+    p_dp = qp_dp.optimize(parse_sql(CYCLIC_Q, cat))
+    p_gr = qp_gr.optimize(parse_sql(CYCLIC_Q, cat))
+    cm = qp_dp.cost_model
+    c_dp = static_plan_cost(p_dp, cm, qp_dp.ctx)
+    c_gr = static_plan_cost(p_gr, cm, qp_gr.ctx)
+    assert c_dp < c_gr, (
+        f"DP {c_dp} vs greedy {c_gr}\n{p_dp.explain()}\n{p_gr.explain()}"
+    )
+    # same answer either way
+    rows_dp = sorted(map(tuple, to_spark(p_dp, spark, cat).collect()))
+    rows_gr = sorted(map(tuple, to_spark(p_gr, spark, cat).collect()))
+    assert rows_dp == rows_gr and rows_dp
+
+
+def test_dp_matches_duckdb_oracle(spark):
+    import duckdb
+
+    cat = _testdata_catalog(SF_DIR_ORACLE)
+    qp = QueryPlanner(spark, cat)
+    got = sorted(map(tuple, qp.dataframe(parse_sql(CYCLIC_Q, cat)).collect()))
+    con = duckdb.connect()
+    for t in ("customer", "region", "supplier", "nation"):
+        con.sql(
+            f"create view {t} as select * from "
+            f"read_parquet('{SF_DIR_ORACLE}/{t}.parquet')"
+        )
+    want = sorted(tuple(r) for r in con.sql(CYCLIC_Q).fetchall())
+    assert got == want
+
+
+def test_dp_collapses_dims_before_fact(spark):
+    """Disconnected comma join over a dim chain + fact: DP joins
+    region→nation→supplier first and probes lineitem ONCE (greedy's
+    leaf-0-first heuristic starts from the fact instead)."""
+    cat = _testdata_catalog(SF_DIR_ORACLE)
+    qp = _planner(spark, cat, use_dp=True)
+    sql = (
+        "select n_name, count(*) as n from lineitem, region, supplier, nation "
+        "where l_suppkey = s_suppkey and s_nationkey = n_nationkey "
+        "and n_regionkey = r_regionkey group by n_name"
+    )
+    lg = qp.optimize_logical(parse_sql(sql, cat))
+
+    def tables(node):
+        out = set()
+        if hasattr(node.operator, "table_name"):
+            out.add(node.operator.table_name)
+        for c in node.inputs:
+            out |= tables(c)
+        return out
+
+    joins = []
+
+    def walk(node):
+        if node.operator.operator_name() == "Join":
+            joins.append((tables(node.inputs[0]), tables(node.inputs[1])))
+        for c in node.inputs:
+            walk(c)
+
+    walk(lg.root)
+    li = [(l, r) for l, r in joins if "lineitem" in l or "lineitem" in r]
+    assert len(li) == 1, lg.explain()
+    other = li[0][1] if "lineitem" in li[0][0] else li[0][0]
+    assert other == {"supplier", "nation", "region"}, lg.explain()
+
+
+def test_dp_is_hep_fixpoint_stable(spark):
+    """Re-optimizing DP's own output must not rewrite again (the rule's
+    n_cross guard): the hep fixed point terminates."""
+    cat = _testdata_catalog(SF_DIR_ORACLE)
+    qp = _planner(spark, cat, use_dp=True)
+    lg1 = qp.optimize_logical(parse_sql(CYCLIC_Q, cat))
+    lg2 = qp.optimize_logical(lg1)
+    assert lg1.explain() == lg2.explain()
+
+
+def test_planning_stats_and_memo_budget(spark):
+    """CascadesOptimizer now reports planning time + memo size, and the
+    task runner's memo caps exist as the exploration safety valve."""
+    from datafusion_dolomite_spark.optimizer.cascades.tasks import TaskRunner
+
+    cat = _testdata_catalog(SF_DIR_ORACLE)
+    qp = QueryPlanner(spark, cat)
+    qp.optimize(parse_sql(CYCLIC_Q, cat))
+    st = qp.last_planning_stats
+    assert 0 < st["seconds"] < 30
+    assert 0 < st["groups"] < TaskRunner.MAX_MEMO_GROUPS
+    assert 0 < st["exprs"] < TaskRunner.MAX_MEMO_EXPRS
+    assert st["transformations"] <= TaskRunner.EXPLORATION_BUDGET
+
+
+def test_memo_cap_halts_exploration_but_still_plans(spark, monkeypatch):
+    """With the expression cap forced to 1, transformations stop but
+    implementation rules still produce a correct physical plan."""
+    from datafusion_dolomite_spark.optimizer.cascades.tasks import TaskRunner
+
+    monkeypatch.setattr(TaskRunner, "MAX_MEMO_EXPRS", 1)
+    cat = _testdata_catalog(SF_DIR_ORACLE)
+    qp = QueryPlanner(spark, cat)
+    plan = qp.optimize(parse_sql(CYCLIC_Q, cat))
+    assert plan is not None
+    assert qp.last_planning_stats["transformations"] == 0
+    rows = sorted(map(tuple, to_spark(plan, spark, cat).collect()))
+    assert rows  # executes correctly without exploration

@@ -78,6 +78,8 @@ SHUFFLE_BUDGET = {
     # final rollup over the refreshed MV snapshot (the refresh itself is
     # streaming maintenance, outside this plan)
     "q_mv_incremental": 1,
+    # CDC-maintained MV: the rewritten query aggregates the snapshot
+    "q_mv_cdc": 1,
     # 3-way broadcast join + group agg; all three scans filter-pruned by
     # InferJoinKeyPredicateRule
     "q_transitive_pred": 1,
