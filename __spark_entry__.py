@@ -2255,6 +2255,13 @@ EXTENSION_ORACLES = {
               FROM documents GROUP BY lang) ln
         ON d.lang = ln.lang_d
     """,
+    "q_adaptive_stats": """
+        SELECT c_mktsegment, count(*) AS n_events,
+               sum(floor(value * 100)::BIGINT)::BIGINT AS cents
+        FROM customer JOIN events ON c_custkey = user_id
+        WHERE floor(value * 100)::BIGINT % 100 = 7
+        GROUP BY c_mktsegment
+    """,
     "q_skewed_agg": """
         SELECT lang, count(*)::BIGINT AS n_docs,
                ('0x' || substr(md5(array_to_string(list_sort(list(doc_id)), ',')), 1, 15))::BIGINT AS ids_fp
@@ -2994,6 +3001,126 @@ def q_auto_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for n in phys.nodes_bottom_up()
     ), phys.explain()
     return pl.dataframe(plan)
+
+
+def q_adaptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE STATISTICS FEEDBACK (r7): the non-sargable filter
+    ``floor(value*100) % 100 = 7`` gets the classic 0.25 default
+    selectivity (~25x over the true ~0.01), so the first plan refuses to broadcast
+    the filtered events side.  ``EXPLAIN ANALYZE`` measures the miss and
+    records a per-(table, predicate-class) correction on the catalog
+    (``record_selectivity_correction``); the SECOND optimization of the
+    same shape estimates with it and flips to the broadcast join —
+    asserted in-query (both plans' shapes), the session-scoped
+    adaptive-reoptimization analog of the reference's never-populated
+    statistics (memo.rs:781).  Flip + convergence + class isolation
+    pinned in tests/test_adaptive_stats.py.  A fresh planner per call
+    keeps the learning cycle reproducible (corrections are
+    catalog-instance state)."""
+    from datafusion_dolomite_spark.expr import BinOp
+    from datafusion_dolomite_spark.operators.logical import JoinType
+    from datafusion_dolomite_spark.operators.physical import (
+        PhysicalBroadcastHashJoin,
+        PhysicalTableScan,
+    )
+    from datafusion_dolomite_spark.optimizer.cascades.cost import SparkCostModel
+
+    cat = testdata_catalog(sf_dir)
+    # a predicate on the CONTINUOUS value column: ~1% true at every sf
+    # (no hot values to blunt the miss), estimated at the 0.25 default
+    preds = [
+        BinOp(
+            "=",
+            Func(
+                "pmod",
+                (
+                    Cast(
+                        Func("floor", (BinOp("*", col("value"), lit(100)),)),
+                        "bigint",
+                    ),
+                    lit(100),
+                ),
+            ),
+            lit(7),
+        )
+    ]
+    # byte budget at HALF the engine's own uncorrected filtered-events
+    # estimate: the default-selectivity estimate refuses the broadcast,
+    # the >=10x-corrected one clears it — scale-relative, so the same
+    # flip happens at every sf
+    from datafusion_dolomite_spark.operators.physical import (
+        PhysicalTableScan as _PTS,
+    )
+    from datafusion_dolomite_spark.optimizer.cascades.cost import derive_stats
+    from datafusion_dolomite_spark.optimizer.rule import OptimizerContext
+
+    est0 = derive_stats(
+        _PTS("events", filters=tuple(preds)), [], OptimizerContext(cat)
+    )
+    budget = int(0.5 * est0.row_count * max(est0.avg_row_bytes, 1.0))
+    from datafusion_dolomite_spark import default_cascades_rules
+    from datafusion_dolomite_spark.optimizer.rules.agg import EagerAggregationRule
+
+    qp = QueryPlanner(
+        spark,
+        cat,
+        cost_model=SparkCostModel(broadcast_bytes_threshold=budget),
+        # eager aggregation (proved in test_eager_agg.py) would shrink
+        # the events side below the budget regardless of the filter
+        # estimate, masking the adaptivity under test here
+        cascades_rules=[
+            r
+            for r in default_cascades_rules()
+            if not isinstance(r, EagerAggregationRule)
+        ],
+    )
+    plan = (
+        LogicalPlanBuilder()
+        .scan("customer")
+        .join(
+            LogicalPlanBuilder().scan("events", filters=preds),
+            JoinType.INNER,
+            BinOp("=", col("c_custkey"), col("user_id")),
+        )
+        .aggregate(
+            [col("c_mktsegment")],
+            [
+                Alias(Func("count", ()), "n_events"),
+                Alias(
+                    Func(
+                        "sum",
+                        (Cast(Func("floor", (BinOp("*", col("value"), lit(100)),)), "bigint"),),
+                    ),
+                    "cents",
+                ),
+            ],
+        )
+        .build()
+    )
+
+    def _events_broadcast(phys) -> bool:
+        def walk(node):
+            if isinstance(node.operator, PhysicalBroadcastHashJoin):
+                def tabs(n):
+                    out = set()
+                    if isinstance(n.operator, PhysicalTableScan):
+                        out.add(n.operator.table_name)
+                    for c in n.inputs:
+                        out |= tabs(c)
+                    return out
+                if "events" in tabs(node.inputs[1]):
+                    return True
+            return any(walk(c) for c in node.inputs)
+        return walk(phys.root)
+
+    from datafusion_dolomite_spark.execute import to_spark
+
+    first = qp.optimize(plan)
+    assert not _events_broadcast(first), first.explain()
+    qp.explain_analyze(plan)  # observe, record the correction
+    second = qp.optimize(plan)
+    assert _events_broadcast(second), second.explain()
+    return to_spark(second, spark, cat)
 
 
 def q_transitive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6365,7 +6492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: guard, MV definition stashing, line-dedup keeper election).
 _UNPROVEN_PREFIX = (
     # new this round — never driver-checked, prove first
-    "q_auto_skew_join", "q_mv_cdc",
+    "q_auto_skew_join", "q_mv_cdc", "q_adaptive_stats",
     "q_join_order", "q_skewed_agg", "q_mv_incremental", "q_transitive_pred",
     "q_join_elim", "q_bm25_search", "q_recursive_cte", "q_join_hint",
     "q_dynamic_skip_join",
@@ -6567,6 +6694,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_q6": q_sql_q6,
         "q_join_order": q_join_order,
         "q_skewed_agg": q_skewed_agg,
+        "q_adaptive_stats": q_adaptive_stats,
         "q_auto_skew_join": q_auto_skew_join,
         "q_transitive_pred": q_transitive_pred,
         "q_join_elim": q_join_elim,

@@ -29,6 +29,7 @@ __all__ = [
     "CostModel",
     "SimpleCostModel",
     "SparkCostModel",
+    "filters_class",
     "static_plan_cost",
 ]
 
@@ -366,6 +367,29 @@ def _equi_key_ndv_selectivity(condition, left_stats, right_stats):
     return sel
 
 
+def _pred_class(pred) -> str:
+    """Canonical predicate string used as the adaptive-correction key
+    (per-(table, predicate-class), literals included — value-specific
+    skew is exactly what footer stats misestimate)."""
+    from ...expr import BinOp, Col, Lit
+
+    if (
+        isinstance(pred, BinOp)
+        and isinstance(pred.left, Lit)
+        and isinstance(pred.right, Col)
+    ):
+        swap = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(
+            pred.op, pred.op
+        )
+        return f"({pred.right.pretty()} {swap} {pred.left.pretty()})"
+    return pred.pretty()
+
+
+def filters_class(filters) -> str:
+    """Order-independent key for a scan's pushed-filter SET."""
+    return " & ".join(sorted(_pred_class(f) for f in filters))
+
+
 def _predicate_selectivity(pred, stats) -> float:
     """Selectivity of one predicate expression against ``stats``
     (a ``Statistics`` or None): System-R with real bounds.
@@ -466,6 +490,15 @@ def _output_rows(op: Operator, input_rows, ctx=None, input_stats=None) -> float:
                 pass
         for f in op.filters or ():
             base *= _predicate_selectivity(f, tstats)
+        if op.filters and ctx is not None and getattr(ctx, "catalog", None) is not None:
+            # adaptive feedback (VERDICT r6 item 8): EXPLAIN ANALYZE
+            # records actual/estimated factors for grossly misestimated
+            # filtered scans; the next plan multiplies them back in here
+            corr_fn = getattr(ctx.catalog, "selectivity_correction", None)
+            if corr_fn is not None:
+                base *= corr_fn(op.table_name, filters_class(op.filters))
+                if tstats is not None and tstats.row_count > 0:
+                    base = min(base, tstats.row_count)
         if op.limit is not None:
             base = min(base, float(op.limit))
         return max(base, 1.0)

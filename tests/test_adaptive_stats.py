@@ -1,0 +1,143 @@
+"""Adaptive statistics feedback from EXPLAIN ANALYZE (VERDICT r6 item 8).
+
+``QueryPlanner.explain_analyze`` already measured estimated-vs-actual
+rows per operator; now a filtered scan whose actual misses the estimate
+by ≥10x either way records a per-(table, predicate-class) correction on
+the catalog (``record_selectivity_correction``), and the scan-cardinality
+estimator multiplies it back in on the NEXT plan.  The classic trap this
+closes: a value-skewed equality (`v = 42` holding 90% of the table)
+estimated at 1/ndv — the optimizer broadcasts a "tiny" side that is
+actually the fact table.  After one EXPLAIN ANALYZE the second plan
+broadcasts the genuinely small side instead.
+
+This is the session-scoped adaptive-reoptimization analog of the
+statistics the reference's memo declares but never populates
+(``memo.rs:781``).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_dolomite_spark import (
+    JoinType,
+    LogicalPlanBuilder,
+    QueryPlanner,
+    col,
+    lit,
+)
+from datafusion_dolomite_spark.expr import BinOp
+from datafusion_dolomite_spark.operators.physical import (
+    PhysicalBroadcastHashJoin,
+    PhysicalTableScan,
+)
+from datafusion_dolomite_spark.optimizer.cascades.cost import SparkCostModel
+from datafusion_dolomite_spark.sources.catalog import Catalog
+
+
+@pytest.fixture(scope="module")
+def skew_cat(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("adapt")
+    rows = [(i % 100, 42) for i in range(18_000)]
+    rows += [(i % 100, 100 + i) for i in range(2_000)]
+    spark.createDataFrame(rows, "kf bigint, v bigint").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(str(base / "skewfact"))
+    spark.createDataFrame(
+        [(k, k * 2) for k in range(100)], "kd bigint, w bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(str(base / "dim"))
+    cat = Catalog()
+    cat.register("skewfact", str(base / "skewfact"))
+    cat.register("dim", str(base / "dim"))
+    return cat
+
+
+def _plan():
+    return (
+        LogicalPlanBuilder()
+        .scan("skewfact", filters=[BinOp("=", col("v"), lit(42))])
+        .join(
+            LogicalPlanBuilder().scan("dim"),
+            JoinType.INNER,
+            BinOp("=", col("kf"), col("kd")),
+        )
+        .build()
+    )
+
+
+def _broadcast_side_tables(phys):
+    """Table names under the build (right) child of the top broadcast
+    join, or None if the root isn't a broadcast join."""
+    root = phys.root
+    if not isinstance(root.operator, PhysicalBroadcastHashJoin):
+        return None
+
+    def tables(node):
+        out = set()
+        if isinstance(node.operator, PhysicalTableScan):
+            out.add(node.operator.table_name)
+        for c in node.inputs:
+            out |= tables(c)
+        return out
+
+    return tables(root.inputs[1])
+
+
+def test_misestimated_filter_plans_better_on_second_run(spark, skew_cat):
+    qp = QueryPlanner(
+        spark, skew_cat, cost_model=SparkCostModel(broadcast_row_threshold=1000)
+    )
+    plan = _plan()
+
+    # 1/ndv estimates `v = 42` at ~10 rows → the optimizer broadcasts
+    # the (actually 18k-row) filtered fact — the wrong plan
+    first = qp.optimize(plan)
+    assert _broadcast_side_tables(first) == {"skewfact"}, first.explain()
+
+    # EXPLAIN ANALYZE observes the 1800x miss and records the correction
+    report = qp.explain_analyze(plan)
+    assert "act=18000" in report, report
+    key_hits = [
+        k for k in skew_cat._sel_corrections if k[0] == "skewfact"
+    ]
+    assert key_hits, "no correction recorded"
+    assert skew_cat.selectivity_correction(*key_hits[0]) > 100
+
+    # second plan: the corrected estimate (~18k) makes broadcasting the
+    # fact side lose — the genuinely small dim broadcasts instead
+    second = qp.optimize(plan)
+    assert _broadcast_side_tables(second) == {"dim"}, second.explain()
+
+
+def test_correction_converges_not_oscillates(spark, skew_cat):
+    """The estimate after learning includes the prior correction, so a
+    second EXPLAIN ANALYZE observes a <10x residual and records nothing
+    further — the factor is stable, not compounding."""
+    qp = QueryPlanner(
+        spark, skew_cat, cost_model=SparkCostModel(broadcast_row_threshold=1000)
+    )
+    plan = _plan()
+    qp.explain_analyze(plan)
+    key = [k for k in skew_cat._sel_corrections if k[0] == "skewfact"][0]
+    factor1 = skew_cat.selectivity_correction(*key)
+    qp.explain_analyze(plan)
+    factor2 = skew_cat.selectivity_correction(*key)
+    assert factor1 == factor2
+
+
+def test_other_predicates_unaffected(spark, skew_cat):
+    """The correction is keyed by predicate class: a different filter on
+    the same table keeps its uncorrected estimate."""
+    from datafusion_dolomite_spark.optimizer.cascades.cost import derive_stats
+
+    qp = QueryPlanner(
+        spark, skew_cat, cost_model=SparkCostModel(broadcast_row_threshold=1000)
+    )
+    qp.explain_analyze(_plan())
+    from datafusion_dolomite_spark.operators.physical import (
+        PhysicalTableScan as PTS,
+    )
+
+    other = PTS("skewfact", filters=(BinOp("=", col("v"), lit(101)),))
+    est = derive_stats(other, [], qp.ctx).row_count
+    assert est < 100  # still ~1/ndv — no blanket table correction

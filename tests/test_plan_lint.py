@@ -80,6 +80,8 @@ SHUFFLE_BUDGET = {
     "q_mv_incremental": 1,
     # CDC-maintained MV: the rewritten query aggregates the snapshot
     "q_mv_cdc": 1,
+    # adaptive feedback's SECOND plan: broadcast join + one agg exchange
+    "q_adaptive_stats": 1,
     # 3-way broadcast join + group agg; all three scans filter-pruned by
     # InferJoinKeyPredicateRule
     "q_transitive_pred": 1,
