@@ -6483,55 +6483,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head
 
 
-#: round-6 check priority: STALENESS rotation (VERDICT r5 item 2).
-#: Every query has at least one cumulative driver-green row, so the
-#: prefix now leads with the queries whose last driver-green round is
-#: OLDEST — new never-checked queries first (none stale-er than never),
-#: then the r1 era, r2, r3 — keeping the cumulative record fresh now
-#: that this round changed execution-shared paths again (scalar-subquery
-#: guard, MV definition stashing, line-dedup keeper election).
+#: round-7 check priority: STALENESS rotation (VERDICT r5 item 2).
+#: New r7 queries first (adaptive stats, CDC MV, cost-picked skew join),
+#: then the queries whose last driver-green round is OLDEST (r2, r3,
+#: r4 eras) — this round touched shared planner paths again (scan
+#: cardinality correction hook, hash-join straggler term, DP reorder in
+#: the hep phase), so refreshing the stalest greens matters most.
 _UNPROVEN_PREFIX = (
-    # new this round — never driver-checked, prove first
+    # new this round (r7) — never driver-checked, prove first
     "q_auto_skew_join", "q_mv_cdc", "q_adaptive_stats",
-    "q_join_order", "q_skewed_agg", "q_mv_incremental", "q_transitive_pred",
-    "q_join_elim", "q_bm25_search", "q_recursive_cte", "q_join_hint",
-    "q_dynamic_skip_join",
-    # last driver-green in r1 — stalest, rotate in first
-    "q_agg_join", "q_corpus_mix", "q_distinct", "q_filter_projection",
-    "q_grouping_sets", "q_hash_sample", "q_join3", "q_pandas_scalar_udf",
-    "q_python_udtf", "q_scan_limit", "q_semi_join", "q_sql_corr_scalar",
-    "q_sql_cte", "q_sql_exists", "q_sql_having", "q_sql_in_subquery",
-    "q_sql_q3", "q_sql_q5", "q_sql_q6", "q_sql_scalar_subquery",
-    "q_string_functions", "q_topk", "q_tpch_q1", "q_tpch_q10",
-    "q_tpch_q13", "q_tpch_q14", "q_tpch_q19", "q_unnest",
-    "q_window_lead_ntile", "q_window_rank", "q_window_running",
-    # last driver-green in r2
-    "q_argmax", "q_array_agg", "q_corpus_prep", "q_doc_chunks",
-    "q_events_by_type", "q_exact_dedup", "q_full_join", "q_knn_pandas",
-    "q_lang_id", "q_map_functions", "q_minhash_pairs", "q_multimodal_features",
-    "q_multimodal_frames", "q_multimodal_resize", "q_ngram_jaccard", "q_pandas_udaf",
+    # last driver-green in r2 — stalest, rotate in first
+    "q_minhash_pairs", "q_multimodal_features", "q_multimodal_frames",
+    "q_multimodal_resize", "q_ngram_jaccard", "q_pandas_udaf",
     "q_percentiles", "q_rollup", "q_salted_join", "q_sequence_pack",
     "q_simhash", "q_sql_offset", "q_sql_window", "q_stratified_sample",
     "q_term_stats", "q_text_stats",
     # last driver-green in r3
     "q_pivot_events", "q_sql_ctas", "q_sql_grouping", "q_sql_q11",
-    "q_sql_q15", "q_sql_q16", "q_sql_q17", "q_sql_q20",
-    "q_sql_q21", "q_sql_q22", "q_stream_dedup", "q_stream_enrich",
-    "q_stream_sessions", "q_stream_stateful", "q_stream_window_counts",
-    # paths CHANGED this round (r5-green but touched: keeper election,
-    # sketch opt-in, MV stash, scalar guard, skipping canon, upsert schema)
-    "q_line_dedup", "q_cosine_near_dup", "q_mv_sketch", "q_sql_create_mv",
-    "q_sql_join_mv", "q_stream_upsert", "q_sql_select_scalar", "q_file_skip",
-    "q_bloom_skip", "q_matview",
+    "q_sql_q15", "q_sql_q16", "q_sql_q17", "q_sql_q20", "q_sql_q21",
+    "q_sql_q22", "q_stream_dedup", "q_stream_enrich", "q_stream_sessions",
+    "q_stream_stateful", "q_stream_window_counts",
     # last driver-green in r4
     "q_anti_join", "q_asof_join", "q_asof_tolerance", "q_cube",
     "q_date_functions", "q_events_json", "q_except", "q_funnel",
     "q_global_agg", "q_intersect", "q_label_centroids", "q_left_join",
     "q_retention", "q_salted_agg", "q_sessionize_batch", "q_sql_case_like",
-    "q_sql_comma_q5", "q_sql_q1", "q_sql_q10", "q_sql_q12",
-    "q_sql_q13", "q_sql_q14", "q_sql_q18", "q_sql_q19",
-    "q_sql_q2", "q_sql_q4", "q_sql_q7", "q_sql_q8",
-    "q_sql_q9", "q_union_all",
+    "q_sql_comma_q5", "q_sql_q1", "q_sql_q10", "q_sql_q12", "q_sql_q13",
+    "q_sql_q14", "q_sql_q18", "q_sql_q19", "q_sql_q2", "q_sql_q4",
+    "q_sql_q7", "q_sql_q8", "q_sql_q9", "q_union_all",
 )
 
 

@@ -210,10 +210,31 @@ def _and_chain(parts):
     return out
 
 
-def _keys(op: LogicalJoin):
+def _keys(op: LogicalJoin, input=None):
+    """Equi keys as (left_keys, right_keys), ORIENTED to the actual
+    child schemas when the binding's input handles are given: a
+    condition written right-side-first (``l_orderkey = o_orderkey``
+    under ``(customer ⋈ orders) ⋈ lineitem``) must not make the hash
+    join require ``Hashed(l_orderkey)`` of the LEFT child — the
+    Exchange enforcer would reference a column the side doesn't have.
+    (The executor's ``_join_condition`` orients by membership at
+    execution time; the physical operator's derived requirements must
+    agree with it.)"""
     pairs = op.equi_keys()
     if not pairs:
         return None, None
+    if input is not None and len(input.root.inputs) == 2:
+        lp = getattr(input.root.inputs[0], "prop", None)
+        rp = getattr(input.root.inputs[1], "prop", None)
+        if lp is not None and rp is not None:
+            lcols = set(lp.schema.names())
+            rcols = set(rp.schema.names())
+            oriented = []
+            for lk, rk in pairs:
+                if lk not in lcols and lk in rcols and rk in lcols:
+                    lk, rk = rk, lk
+                oriented.append((lk, rk))
+            pairs = oriented
     return tuple(p[0] for p in pairs), tuple(p[1] for p in pairs)
 
 
@@ -281,7 +302,7 @@ class Join2HashJoinRule(Rule):
         pin = _pinned_strategy(ctx, input, op)
         if pin not in (None, "shuffle_hash"):
             return  # another strategy is hint-pinned for this join
-        lk, rk = _keys(op)
+        lk, rk = _keys(op, input)
         phys = PhysicalHashJoin(
             op.join_type, op.condition, lk or (), rk or (),
             forced=pin == "shuffle_hash",
@@ -331,7 +352,7 @@ class Join2SortMergeJoinRule(Rule):
 
     def apply(self, input: OptExpression, ctx: OptimizerContext, result: RuleResult) -> None:
         op: LogicalJoin = input.root.operator
-        lk, rk = _keys(op)
+        lk, rk = _keys(op, input)
         if not lk:
             return  # SMJ needs equi keys
         pin = _pinned_strategy(ctx, input, op)
@@ -367,7 +388,7 @@ class Join2SaltedReplicateJoinRule(Rule):
         op: LogicalJoin = input.root.operator
         if op.join_type is not JoinType.INNER:
             return
-        lk, rk = _keys(op)
+        lk, rk = _keys(op, input)
         if not lk:
             return
         if _pinned_strategy(ctx, input, op) is not None:
