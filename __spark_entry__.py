@@ -2919,18 +2919,18 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AUTOMATIC skew-salting (r6): a payload aggregate
-    (collect_list of doc ids) grouped by ``lang`` — the skewed, low-ndv
-    key (the top language holds ~2.2x the mean and ndv < shuffle
-    partitions).  The optimizer's cost race picks
-    ``PhysicalSaltedHashAggregate`` (two-stage, hot key fanned over 8
-    salts) over the plain aggregate because the catalog's ANALYZE pass
-    derived ``ColumnStatistics.top_count`` and the straggler term
-    charges the plain plan's hottest reducer
-    (``Agg2SaltedHashAggregateRule`` + ``SparkCostModel``;
-    tests/test_skew_rule.py pins flip AND no-flip).  Output carries the
-    per-lang id list as a sorted fingerprint, so the salted two-stage
-    merge is oracle-exact."""
+    """Skewed payload aggregate (collect_list of doc ids by ``lang``,
+    the 43%-hot key) — RECALIBRATED r7: the r6 cost race picked the
+    two-stage salted aggregate here on a plan-shape argument, but the
+    shuffle-regime wall-clock proof (BENCHNOTES_r07.md) measured the
+    salted plan at 0.85x — for collect_*-class payloads stage 2
+    re-shuffles the full payload and still concatenates the hot key on
+    one task, so the extra pass is never paid back.  The model now
+    charges stage 2's payload bytes and keeps the PLAIN aggregate (the
+    measured winner; no-flip pinned in tests/test_skew_rule.py; the
+    skew weapon that survived the clock is the salted/replicated JOIN,
+    q_auto_skew_join).  Output carries the per-lang id list as a sorted
+    fingerprint, oracle-exact either way."""
     from datafusion_dolomite_spark.expr import RawSql
 
     plan = (

@@ -186,13 +186,27 @@ class SparkCostModel(CostModel):
             s_ = op.n_salts
             top = _group_top_count(op, input_stats)
             if _has_payload_aggs(op):
+                # stage 1 divides the hot key's insertion work over
+                # n_salts reducers — but for payload aggregates stage 2
+                # RE-SHUFFLES THE FULL PAYLOAD (lists concatenate; the
+                # per-salt partials carry every element) and still
+                # concatenates the hot key's array on ONE task.
+                # Measured r7 (BENCHNOTES_r07.md): at 20M rows with a
+                # 43%-hot key the salted plan is 0.85x the plain one,
+                # and 100M rows confirms it — the extra full-payload
+                # pass is never paid back, so this branch charges it
+                # honestly and the payload flip is gone (r6's
+                # plan-shape argument did not survive the clock).
                 stage1 = rows[0] + 3.0 * rows[0] + 3.0 * max(
                     0.0, top / s_ - rows[0] / COMBINE_PARTITIONS
                 )
-            else:
-                stage1 = rows[0] + 3.0 * min(
-                    rows[0], out * s_ * COMBINE_PARTITIONS
+                stage2 = 3.0 * rows[0] + max(
+                    0.0, top - rows[0] / COMBINE_PARTITIONS
                 )
+                return stage1 + stage2 + out
+            stage1 = rows[0] + 3.0 * min(
+                rows[0], out * s_ * COMBINE_PARTITIONS
+            )
             return stage1 + 3.0 * out * s_ + out
         if isinstance(op, P.PhysicalHashAggregate):
             # map-side partial agg then shuffle the partials: each of the

@@ -1,24 +1,19 @@
-"""Automatic skew-salting (VERDICT r5 item 6).
+"""Skew salting: the AGGREGATE race (recalibrated r7) and the JOIN race.
 
-The manual ``functions/skew.py::salted_aggregate`` has existed since r2;
-these tests prove the OPTIMIZER now chooses that shape: the catalog's
-ANALYZE pass derives ``ColumnStatistics.top_count`` (mode frequency),
-``Agg2SaltedHashAggregateRule`` puts ``PhysicalSaltedHashAggregate``
-into the memo as an alternative, and the cost race picks it exactly when
+r6 made the cost race pick ``PhysicalSaltedHashAggregate`` for payload
+aggregates over a skewed key, on a plan-shape argument.  Round 7's
+shuffle-regime measurement (BENCHNOTES_r07.md) refuted it: for
+collect_*-class payloads stage 2 RE-SHUFFLES the full payload and still
+concatenates the hot key's array on one task, so the salted plan is
+0.85x the plain one at 20M rows and loses at 100M too.  The cost model
+now charges stage 2's payload bytes honestly, and the pinned behavior
+is: the salted AGGREGATE never wins the race (payload or collapsible) —
+while its EXECUTION stays correct (pinned against a plain groupBy by
+constructing the salted plan directly), because the operator remains
+the engine's building block wherever a caller wants it.
 
-* the aggregates carry PAYLOAD (collect_*) — map-side combine
-  concatenates lists, it does not shrink bytes, so the hot key's entire
-  payload lands on ONE reducer; and
-* the group key's mode frequency exceeds the fair per-reducer share —
-  the straggler overhang the salted plan divides by ``n_salts``.
-
-For collapsible aggregates (count/sum/min/max) partial aggregation
-already bounds the hot key at one partial per map partition, so the
-salted plan's second shuffle LOSES the race — asserted below: blanket
-salting would be a regression, not a feature.
-
-Synthetic tables pin both directions with controlled skew; the
-real-data flip is q_skewed_agg (documents.lang) in the driver gate.
+The skew weapon that DID survive the clock is the salted/replicated
+JOIN (2.2x measured): its flip/no-flip race is pinned below unchanged.
 """
 
 from __future__ import annotations
@@ -106,12 +101,14 @@ def _collapsible_plan(table):
     )
 
 
-def test_skewed_payload_agg_flips_to_salted(spark, skew_cat):
+def test_skewed_payload_agg_stays_plain(spark, skew_cat):
+    """Recalibrated (r7): even on the skewed key, the byte-honest
+    stage-2 term keeps the plain aggregate — the measured winner."""
     qp = QueryPlanner(spark, skew_cat)
     phys = qp.optimize(_payload_plan("skewed"))
-    assert isinstance(_root_agg(phys), PhysicalSaltedHashAggregate), (
-        phys.explain()
-    )
+    op = _root_agg(phys)
+    assert isinstance(op, PhysicalHashAggregate)
+    assert not isinstance(op, PhysicalSaltedHashAggregate), phys.explain()
 
 
 def test_uniform_key_stays_plain(spark, skew_cat):
@@ -132,17 +129,41 @@ def test_collapsible_aggs_never_salt(spark, skew_cat):
     assert not isinstance(op, PhysicalSaltedHashAggregate), phys.explain()
 
 
+def _salted_plan(table, agg_exprs):
+    """Directly-constructed physical plan through the salted operator
+    (the race no longer picks it; execution correctness still pinned)."""
+    from datafusion_dolomite_spark.operators.physical import (
+        PhysicalTableScan,
+    )
+    from datafusion_dolomite_spark.plans.plan import Plan, PlanNode
+
+    return Plan(
+        PlanNode(
+            PhysicalSaltedHashAggregate(
+                group_exprs=(col("k"),), agg_exprs=tuple(agg_exprs)
+            ),
+            [PlanNode(PhysicalTableScan(table), [])],
+        )
+    )
+
+
 def test_salted_execution_matches_plain(spark, skew_cat):
-    """The chosen salted plan computes the same answer as a plain
-    groupBy (lists compared as sorted sets, counts exactly)."""
+    """The salted operator computes the same answer as a plain groupBy
+    (lists compared as sorted sets, counts exactly)."""
     from pyspark.sql import functions as F
 
-    qp = QueryPlanner(spark, skew_cat)
-    plan = _payload_plan("skewed")
-    assert isinstance(_root_agg(qp.optimize(plan)), PhysicalSaltedHashAggregate)
+    from datafusion_dolomite_spark.execute import to_spark
+
+    plan = _salted_plan(
+        "skewed",
+        [
+            Alias(Func("collect_list", (col("v"),)), "_vs"),
+            Alias(Func("count", ()), "n"),
+        ],
+    )
     got = {
         r["k"]: (sorted(r["_vs"]), r["n"])
-        for r in qp.dataframe(plan).collect()
+        for r in to_spark(plan, spark, skew_cat).collect()
     }
     src = skew_cat.path("skewed")
     ref = (
@@ -157,28 +178,22 @@ def test_salted_execution_matches_plain(spark, skew_cat):
     assert got == want
 
 
-def test_salted_avg_flips_and_matches(spark, skew_cat):
-    """avg joins the salt-mergeable set (VERDICT r6 item 4): it rides as
-    a (sum, count) partial pair with final Σsum/Σcount, so a payload
-    aggregate that ALSO computes avg still gets the salted alternative
-    — previously avg blocked the whole rule."""
-    plan = (
-        LogicalPlanBuilder()
-        .scan("skewed")
-        .aggregate(
-            [col("k")],
-            [
-                Alias(Func("collect_list", (col("v"),)), "_vs"),
-                Alias(Func("avg", (col("v"),)), "v_avg"),
-            ],
-        )
-        .build()
+def test_salted_avg_matches(spark, skew_cat):
+    """avg rides the salted operator as a (sum, count) partial pair
+    with final Σsum/Σcount (VERDICT r6 item 4) — execution equality
+    pinned through the directly-constructed salted plan."""
+    from datafusion_dolomite_spark.execute import to_spark
+
+    plan = _salted_plan(
+        "skewed",
+        [
+            Alias(Func("collect_list", (col("v"),)), "_vs"),
+            Alias(Func("avg", (col("v"),)), "v_avg"),
+        ],
     )
-    qp = QueryPlanner(spark, skew_cat)
-    assert isinstance(_root_agg(qp.optimize(plan)), PhysicalSaltedHashAggregate)
     got = {
         r["k"]: (sorted(r["_vs"]), r["v_avg"])
-        for r in qp.dataframe(plan).collect()
+        for r in to_spark(plan, spark, skew_cat).collect()
     }
     from pyspark.sql import functions as F
 
@@ -293,10 +308,10 @@ def test_salted_join_execution_matches_plain(spark, shuffle_qp, skew_cat):
     assert got == want
 
 
-def test_real_data_lang_flip(spark):
-    """documents.lang (top language ~2.2x the mean, ndv < shuffle
-    partitions): the driver-graded q_skewed_agg plan really goes through
-    the salted operator."""
+def test_real_data_lang_stays_plain(spark):
+    """documents.lang (the q_skewed_agg shape): with the byte-honest
+    stage-2 term the race keeps the plain aggregate here too — the
+    driver query's in-plan assertion mirrors this."""
     from datafusion_dolomite_spark import testdata_catalog as tc
 
     from .conftest import SF_DIR_ORACLE
@@ -312,4 +327,4 @@ def test_real_data_lang_flip(spark):
         .build()
     )
     phys = qp.optimize(plan)
-    assert isinstance(_root_agg(phys), PhysicalSaltedHashAggregate)
+    assert not isinstance(_root_agg(phys), PhysicalSaltedHashAggregate)
