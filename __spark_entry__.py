@@ -2262,6 +2262,25 @@ EXTENSION_ORACLES = {
         WHERE floor(value * 100)::BIGINT % 100 = 7
         GROUP BY c_mktsegment
     """,
+    "q_sql_analyze": """
+        SELECT '__table__' AS column_name, count(*)::BIGINT AS ndv,
+               0::BIGINT AS top_count FROM documents
+        UNION ALL SELECT 'doc_id', approx_count_distinct(doc_id)::BIGINT,
+          (SELECT max(n) FROM (SELECT count(*) n FROM documents GROUP BY doc_id))::BIGINT
+          FROM documents
+        UNION ALL SELECT 'text', approx_count_distinct(text)::BIGINT,
+          (SELECT max(n) FROM (SELECT count(*) n FROM documents GROUP BY text))::BIGINT
+          FROM documents
+        UNION ALL SELECT 'lang', approx_count_distinct(lang)::BIGINT,
+          (SELECT max(n) FROM (SELECT count(*) n FROM documents GROUP BY lang))::BIGINT
+          FROM documents
+        UNION ALL SELECT 'source', approx_count_distinct(source)::BIGINT,
+          (SELECT max(n) FROM (SELECT count(*) n FROM documents GROUP BY source))::BIGINT
+          FROM documents
+        UNION ALL SELECT 'n_chars', approx_count_distinct(n_chars)::BIGINT,
+          (SELECT max(n) FROM (SELECT count(*) n FROM documents GROUP BY n_chars))::BIGINT
+          FROM documents
+    """,
     "q_skewed_agg": """
         SELECT lang, count(*)::BIGINT AS n_docs,
                ('0x' || substr(md5(array_to_string(list_sort(list(doc_id)), ',')), 1, 15))::BIGINT AS ids_fp
@@ -2915,6 +2934,22 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "join lineitem on o_orderkey = l_orderkey "
         "where c_mktsegment = 'BUILDING' "
         "group by o_orderkey"
+    )
+
+
+def q_sql_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE through the SQL front door (r7): force-recomputes
+    the catalog statistics the COST MODEL plans with — per-column ndv
+    (DuckDB approx_count_distinct, same algorithm the oracle runs →
+    identical values), mode frequency (``top_count``, the skew signal
+    behind the straggler terms), and the __table__ row count — and
+    returns them as a DataFrame, the Spark/metastore ``ANALYZE TABLE …
+    COMPUTE STATISTICS`` contract.  Also clears the table's adaptive
+    selectivity corrections: fresh statistics supersede learned
+    patches (``sources/catalog.py::analyze``)."""
+    pl = _planner(spark, sf_dir)
+    return pl.sql("ANALYZE TABLE documents COMPUTE STATISTICS").select(
+        "column_name", "ndv", "top_count"
     )
 
 
@@ -6491,7 +6526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: the hep phase), so refreshing the stalest greens matters most.
 _UNPROVEN_PREFIX = (
     # new this round (r7) — never driver-checked, prove first
-    "q_auto_skew_join", "q_mv_cdc", "q_adaptive_stats",
+    "q_auto_skew_join", "q_mv_cdc", "q_adaptive_stats", "q_sql_analyze",
     # last driver-green in r2 — stalest, rotate in first
     "q_minhash_pairs", "q_multimodal_features", "q_multimodal_frames",
     "q_multimodal_resize", "q_ngram_jaccard", "q_pandas_udaf",
@@ -6674,6 +6709,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_order": q_join_order,
         "q_skewed_agg": q_skewed_agg,
         "q_adaptive_stats": q_adaptive_stats,
+        "q_sql_analyze": q_sql_analyze,
         "q_auto_skew_join": q_auto_skew_join,
         "q_transitive_pred": q_transitive_pred,
         "q_join_elim": q_join_elim,

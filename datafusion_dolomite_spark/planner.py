@@ -181,6 +181,51 @@ class QueryPlanner:
                 [(line,) for line in text.splitlines()], "plan: string"
             )
 
+        m = _re.match(
+            r"\s*analyze\s+table\s+([A-Za-z_][A-Za-z_0-9]*)"
+            r"(?:\s+compute\s+statistics)?\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            # ANALYZE TABLE <t> [COMPUTE STATISTICS] — force-refresh the
+            # catalog's statistics for <t> and return them as a
+            # DataFrame (column-level ndv / top_count / min / max, plus
+            # a __table__ row carrying row count and avg width).  The
+            # same stats the cost model plans on — surfaced to the user
+            # the way Spark/metastore ANALYZE does.
+            name = m.group(1)
+            st = (
+                self.catalog.analyze(name)
+                if hasattr(self.catalog, "analyze")
+                else self.catalog.statistics(name)
+            )
+            rows = [
+                (
+                    "__table__",
+                    int(st.row_count),
+                    0,
+                    None,
+                    None,
+                    float(st.avg_row_bytes),
+                )
+            ] + [
+                (
+                    c,
+                    int(cs.ndv),
+                    int(cs.top_count),
+                    None if cs.min is None else float(cs.min),
+                    None if cs.max is None else float(cs.max),
+                    None,
+                )
+                for c, cs in st.columns
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "column_name string, ndv bigint, top_count bigint, "
+                "min_v double, max_v double, avg_row_bytes double",
+            )
+
         if _re.match(
             r"\s*show\s+materialized\s+views\s*$", query, _re.IGNORECASE
         ):

@@ -139,6 +139,30 @@ class Catalog:
     def selectivity_correction(self, table: str, pred_class: str) -> float:
         return self._sel_corrections.get((table, pred_class), 1.0)
 
+    def analyze(self, name: str) -> Statistics:
+        """ANALYZE TABLE: force-recompute this table's statistics (row
+        count, per-column ndv/min/max/top_count, row width), bypassing
+        both the per-catalog cache and the process-wide ndv cache.  The
+        automatic derivation is mtime-keyed, so this only matters when a
+        table was rewritten IN PLACE within the cache's key resolution
+        or when the user wants stats refreshed on demand — the same
+        contract as Spark's ``ANALYZE TABLE … COMPUTE STATISTICS``
+        against a metastore.  Also clears this table's adaptive
+        selectivity corrections: fresh statistics supersede learned
+        patches."""
+        self._stats.pop(name, None)
+        try:
+            key = tuple(
+                (f, os.path.getmtime(f), os.path.getsize(f))
+                for f in self._files(name)
+            )
+            _NDV_CACHE.pop(key, None)
+        except OSError:
+            pass
+        for k in [k for k in self._sel_corrections if k[0] == name]:
+            del self._sel_corrections[k]
+        return self.statistics(name)
+
     # -- declared constraints (metastore-style) --------------------------
     def register_unique_key(self, table: str, column: str) -> None:
         """Declare ``column`` unique in ``table`` (a PRIMARY KEY).  A

@@ -82,6 +82,8 @@ SHUFFLE_BUDGET = {
     "q_mv_cdc": 1,
     # adaptive feedback's SECOND plan: broadcast join + one agg exchange
     "q_adaptive_stats": 1,
+    # ANALYZE TABLE returns a driver-built LocalRelation — no shuffles
+    "q_sql_analyze": 0,
     # 3-way broadcast join + group agg; all three scans filter-pruned by
     # InferJoinKeyPredicateRule
     "q_transitive_pred": 1,
