@@ -209,6 +209,70 @@ def _with_cell_sims(df, vec_expr: str, ncells: int, prefix: str = "c"):
     return df
 
 
+def _best_cell_pandas(df, vec_col: str, ncells: int, prefix: str = "c"):
+    """Arrow-vectorized nearest-centroid assignment: appends ``_cell``
+    (int) = argmax cosine over the ``ncells`` hash centroids, ties to
+    the lower cell id — BIT-IDENTICAL to the SQL
+    ``_with_cell_sims`` + best-of-``_cells_ranked_expr`` pair because
+    every float op replays the SQL fold order (dot and norms accumulate
+    dimension-by-dimension in float64, vectorized across rows;
+    numpy argmax takes the FIRST max = lowest cell id, matching the
+    (sim DESC, cell ASC) sort).  Why: the SQL assignment evaluates
+    ncells interpreted HOF folds per row — O(rows x ncells x dim) at
+    lambda-interpreter speed — which went quadratic-feeling once
+    ``derive_ncells`` scaled cells with the corpus (r7: q_knn_recall
+    2.7 s → 5.8 s at sf0.1's 32 cells).  One numpy pass per Arrow batch
+    restores a BLAS-class constant; the DuckDB oracle is unchanged."""
+    import numpy as np
+
+    cents = [(c, _hash_vec(f"{prefix}{c}")) for c in range(ncells)]
+    return _assign_cells_pandas(df, vec_col, cents)
+
+
+def _assign_cells_pandas(df, vec_col: str, cents):
+    """Shared Arrow assignment core: ``cents`` is [(cell_id, vector)]
+    in (sim DESC, cell_id ASC) tie order — i.e. sorted by cell_id, so
+    numpy's first-max argmax reproduces the SQL ranking exactly."""
+    import numpy as np
+
+    cents = sorted(cents, key=lambda p: p[0])
+    cids = np.asarray([p[0] for p in cents], dtype=np.int32)
+    cvecs = [p[1] for p in cents]
+    cnorms = []
+    for cv in cvecs:
+        acc = 0.0
+        for v in cv:  # sequential fold, same order as the SQL norm
+            acc += v * v
+        cnorms.append(acc ** 0.5)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", _cell int"
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            acc = np.zeros(len(m), dtype=np.float64)
+            for j in range(m.shape[1]):
+                acc = acc + m[:, j] * m[:, j]
+            nx = np.sqrt(acc)
+            sims = np.empty((len(m), len(cvecs)), dtype=np.float64)
+            for ci, (cv, nc_) in enumerate(zip(cvecs, cnorms)):
+                dot = np.zeros(len(m), dtype=np.float64)
+                for j in range(m.shape[1]):
+                    dot = dot + m[:, j] * cv[j]
+                sims[:, ci] = dot / (nx * nc_)
+            out = pdf[cols].copy()
+            out["_cell"] = cids[np.argmax(sims, axis=1)]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def _cells_ranked_expr(ncells: int, take: int) -> str:
     """SQL array of the ``take`` best cell ids by (sim desc, cell asc):
     sort struct(-sim, cell) ascending, slice, project cell."""
@@ -258,6 +322,12 @@ def _kmeans_refine(c, ncells: int, iters: int):
             )
             .select(F.col("_cell").alias("_nc"), "_ccv")
         )
+        # reassignment keeps the lazy crossJoin + per-row window: a
+        # driver collect of the centroid table here would EXECUTE the
+        # upstream assignment eagerly and again in the final lineage
+        # (measured 2.5 s → 3.3 s).  The rows x ncells fan-out is
+        # bounded by the broadcast centroid table; at very large ncells
+        # a cached two-phase variant would win — not at these sizes.
         w = Window.partitionBy("neighbor_id").orderBy(
             F.col("_as").desc(), F.col("_nc").asc()
         )
@@ -306,8 +376,9 @@ def knn_ivf(
     c = ensure_min_parallelism(df).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).withColumn("_dv", F.expr(_dvec("_cv")))  # double-cast once per row
-    c = _with_cell_sims(c, "_dv", ncells)
-    c = c.withColumn("_cell", F.expr(f"{_cells_ranked_expr(ncells, 1)}[0]")).select(
+    # corpus assignment is the O(rows x ncells x dim) step — Arrow/numpy
+    # (query-side assignment below stays SQL: <= n_queries rows)
+    c = _best_cell_pandas(c, "_cv", ncells).select(
         "neighbor_id", "_cv", "_dv", "_cell"
     )
 
@@ -422,12 +493,8 @@ def semantic_dedup(
     c = (
         ensure_min_parallelism(df)
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .withColumn("_dv", F.expr(_dvec("_v")))
     )
-    c = _with_cell_sims(c, "_dv", ncells)
-    c = c.withColumn("_cell", F.expr(f"{_cells_ranked_expr(ncells, 1)}[0]")).select(
-        "_id", "_v", "_cell"
-    )
+    c = _best_cell_pandas(c, "_v", ncells).select("_id", "_v", "_cell")
     a = c.select(
         F.col("_id").alias("_lo"), F.col("_v").alias("_v1"), F.col("_cell").alias("_c1")
     )
