@@ -468,6 +468,42 @@ class Gen:
         ol, _ = self._order_limit(names, has_float)
         return sql + ol, osql + ol
 
+    def _comma_join(self):
+        """Comma joins over a random connected 3-4 table subgraph with
+        the TEXTUAL order scrambled — when scrambling leaves adjacent
+        tables unconnected, the cross join survives the WHERE-merge and
+        ``ReorderJoinGraphRule``'s DP enumeration (r7) rebuilds the
+        graph; when it doesn't, the merge path handles it.  Either way
+        DuckDB executes the identical SQL natively — differential proof
+        over the reorder machinery's whole surface."""
+        r = self.rng
+        edge = r.choice(JOIN_EDGES)
+        tabs = [edge[0], edge[2]]
+        conds = [f"{edge[1]} = {edge[3]}"]
+        for _ in range(r.randint(1, 2)):
+            ext = [
+                e for e in JOIN_EDGES if (e[0] in tabs) != (e[2] in tabs)
+            ]
+            if not ext:
+                break
+            e = r.choice(ext)
+            tabs.append(e[2] if e[2] not in tabs else e[0])
+            conds.append(f"{e[1]} = {e[3]}")
+        r.shuffle(tabs)
+        r.shuffle(conds)
+        items, names, has_float = [], [], False
+        for i in range(r.randint(1, 3)):
+            e, ty = self._value_expr(tabs)
+            items.append(f"{e} AS c{i}")
+            names.append(f"c{i}")
+            has_float = has_float or ty == FLT
+        where = " AND ".join(conds)
+        if r.random() < 0.6:
+            where += f" AND ({self._pred(tabs)})"
+        sql = f"SELECT {', '.join(items)} FROM {', '.join(tabs)} WHERE {where}"
+        ol, _ = self._order_limit(names, has_float)
+        return sql + ol, sql + ol
+
     def _agg(self):
         r = self.rng
         use_join = r.random() < 0.4
@@ -1023,6 +1059,7 @@ class Gen:
     SHAPES = (
         ("_simple", 14),
         ("_join", 18),
+        ("_comma_join", 10),
         ("_agg", 20),
         ("_setop", 10),
         ("_in_subquery", 10),
@@ -1054,13 +1091,13 @@ class Gen:
 # the fuzz loop — 6 chunks x 60 queries = 360, seed-pinned
 # ---------------------------------------------------------------------------
 
-# r6: 6 → 8 chunks (+120 queries, VERDICT item 3) with the _values
-# shape added to the grammar; the seed moves so ALL shapes (not just
-# the new one) resample — the old 360 queries stay reproducible from
-# the r5 tree, these 480 are the r6 pin.
+# r6: 6 → 8 chunks (+120 queries) with the _values shape; r7 adds the
+# _comma_join shape (DP join enumeration under fuzz) and moves the seed
+# so ALL shapes resample — the old pins stay reproducible from their
+# trees, these 480 are the r7 pin.
 N_CHUNKS = 8
 PER_CHUNK = 60
-SEED = 20260814
+SEED = 20260815
 
 
 @pytest.mark.parametrize("chunk", range(N_CHUNKS))
