@@ -656,6 +656,58 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL cross-batch dedup (r7): the even-doc_id half of the
+    corpus is ingested first, building a PERSISTED banded-signature
+    index (bands x (1+n) small ints per doc — never text); the odd half
+    then arrives as a new batch and is deduplicated against the index
+    alone — band-bucket probe + signature-agreement scoring
+    (``functions/dedup.py::incremental_minhash_dedup``), history never
+    re-read.  This is the ingestion-pipeline shape at 100 TB: per-batch
+    cost tracks the batch, the index is the only persistent state, and
+    the probe shuffle moves batch x bands rows into LSH buckets.  A
+    rerun re-checks read-only against the existing index (marker
+    guard).  The oracle replays both phases from the raw corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.functions.dedup import (
+        incremental_minhash_dedup,
+    )
+    from datafusion_dolomite_spark.sources.signature import write_marker
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    dest, fresh, sig = _materialized_dir(sf_dir, "incdedup_v2", src)
+    idx = os.path.join(dest, "index")
+    pl = _planner(spark, sf_dir)
+    docs = pl.dataframe(
+        LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
+    )
+    batch2 = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    if not fresh:
+        batch1 = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+        r1, n1 = incremental_minhash_dedup(
+            spark, batch1, idx, "doc_id", "text",
+            agree_threshold_1000=250, batch_label="b1",
+        )
+        assert r1.filter("not kept").count() == 0  # empty index keeps all
+        assert n1 > 0
+        res, _ = incremental_minhash_dedup(
+            spark, batch2, idx, "doc_id", "text",
+            agree_threshold_1000=250, batch_label="b2",
+        )
+        write_marker(dest, sig)
+    else:
+        # idempotent re-ingest: same label → the batch's own index rows
+        # are excluded from the probe, original verdicts reproduce
+        res, _ = incremental_minhash_dedup(
+            spark, batch2, idx, "doc_id", "text",
+            agree_threshold_1000=250, update_index=False, batch_label="b2",
+        )
+    return res
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = (
         LogicalPlanBuilder()
@@ -1579,6 +1631,69 @@ def _minhash_oracle(k=3, n=12, bands=3, threshold=300) -> str:
     """
 
 
+def _incdedup_oracle(k=3, n=12, bands=3, threshold=250) -> str:
+    """Cross-batch dedup replay: docs split even/odd on doc_id; odd
+    (the arriving batch) probes even (the indexed history) by band
+    agreement, scored by signature-agreement fraction — the same
+    computation ``incremental_minhash_dedup`` runs from the persisted
+    index, replayed from the raw corpus."""
+    from datafusion_dolomite_spark.functions.dedup import minhash_params
+
+    r = n // bands
+    coeffs, P = minhash_params(n)
+    mins = ",\n        ".join(
+        f"min(({a} * h30 + {b}) % {P}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_rows = []
+    for b in range(bands):
+        concat = " || ',' || ".join(f"m{b * r + j}" for j in range(r))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_idx, {_H60.format(x=concat)} AS band_hash FROM mh"
+        )
+    bands_sql = "\n      UNION ALL ".join(band_rows)
+    agree = " + ".join(
+        f"(CASE WHEN na.m{i} = ob.m{i} THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS wl
+          FROM documents
+        ),
+        docs AS (SELECT * FROM w WHERE len(wl) >= {k}),
+        sh_raw AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(wl) - {k - 2}),
+                        i -> array_to_string(wl[i:i+{k - 1}], ' '))) AS s
+          FROM docs
+        ),
+        sh AS (SELECT DISTINCT doc_id, s FROM sh_raw),
+        sh2 AS (SELECT doc_id, s, ({_H60.format(x='s')} % 1073741824) AS h30 FROM sh),
+        mh AS (SELECT doc_id, {mins} FROM sh2 GROUP BY doc_id),
+        bands AS ({bands_sql}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        ),
+        scored AS (
+          SELECT c.new_id, c.old_id, ({agree}) AS agree
+          FROM cand c
+          JOIN mh na ON na.doc_id = c.new_id
+          JOIN mh ob ON ob.doc_id = c.old_id
+        ),
+        matches AS (
+          SELECT new_id, count(*) AS n_matches FROM scored
+          WHERE agree * 1000 >= {threshold * n}
+          GROUP BY new_id
+        )
+        SELECT d.doc_id, coalesce(m.n_matches, 0)::BIGINT AS n_matches,
+               (m.n_matches IS NULL) AS kept
+        FROM documents d LEFT JOIN matches m ON m.new_id = d.doc_id
+        WHERE d.doc_id % 2 = 1
+    """
+
+
 def _simhash_oracle(bits=32) -> str:
     votes = ",\n        ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
@@ -2076,6 +2191,7 @@ EXTENSION_ORACLES = {
         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
     """,
     "q_minhash_pairs": _minhash_oracle(3, 12, 3, 300),
+    "q_incremental_dedup": _incdedup_oracle(3, 12, 3, 250),
     "q_simhash": _simhash_oracle(32),
     "q_ngram_jaccard": _ngram_jaccard_oracle(12, 3, 500),
     "q_corpus_prep": _corpus_prep_oracle(750),
@@ -6533,6 +6649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round (r7) — never driver-checked, prove first
     "q_auto_skew_join", "q_mv_cdc", "q_adaptive_stats", "q_sql_analyze",
+    "q_incremental_dedup",
     # last driver-green in r2 — stalest, rotate in first
     "q_minhash_pairs", "q_multimodal_features", "q_multimodal_frames",
     "q_multimodal_resize", "q_ngram_jaccard", "q_pandas_udaf",
@@ -6624,6 +6741,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_term_stats": q_term_stats,
         "q_label_centroids": q_label_centroids,
         "q_minhash_pairs": q_minhash_pairs,
+        "q_incremental_dedup": q_incremental_dedup,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_corpus_prep": q_corpus_prep,

@@ -23,8 +23,10 @@ __all__ = [
     "exact_dedup",
     "shingles",
     "minhash_signature",
+    "minhash_banded_signatures",
     "minhash_candidates",
     "minhash_verified_pairs",
+    "incremental_minhash_dedup",
     "simhash_fingerprint",
     "ngram_jaccard_pairs",
 ]
@@ -120,6 +122,138 @@ def minhash_signature(df, id_col: str, text_col: str, k: int = 3, num_hashes: in
         for i, (a, b) in enumerate(coeffs)
     ]
     return sh.groupBy("_id").agg(*aggs)
+
+
+def minhash_banded_signatures(
+    df, id_col: str, text_col: str, k: int = 3, num_hashes: int = 12,
+    bands: int = 3,
+):
+    """→ (doc_id, band_idx, band_hash, m0..m{n-1}) — one row per (doc,
+    band), each carrying the FULL signature: the persistable index row
+    shape for cross-batch dedup (``incremental_minhash_dedup``).  Band
+    hashes bucket candidates; the signature columns let a later batch
+    estimate Jaccard against an indexed doc WITHOUT its text (the
+    standard signature-index trade: the index stores n smallints per
+    band row, never the corpus)."""
+    from pyspark.sql import functions as F
+
+    sig = minhash_signature(df, id_col, text_col, k, num_hashes)
+    r = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = ", ".join(f"cast(m{b * r + j} as string)" for j in range(r))
+        concat = "concat_ws(',', " + cols + ")"
+        band_structs.append(
+            f"struct({b} as band_idx, {_h60_sql(concat)} as band_hash)"
+        )
+    mcols = [f"m{i}" for i in range(num_hashes)]
+    return sig.select(
+        F.col("_id").alias("doc_id"),
+        F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("_b"),
+        *mcols,
+    ).select("doc_id", "_b.band_idx", "_b.band_hash", *mcols)
+
+
+def incremental_minhash_dedup(
+    spark,
+    batch_df,
+    index_dir: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 3,
+    agree_threshold_1000: int = 500,
+    update_index: bool = True,
+    batch_label: str = "",
+):
+    """CROSS-BATCH near-dup dedup against a PERSISTED signature index —
+    the ingestion-pipeline shape: each arriving batch is deduplicated
+    against everything already ingested WITHOUT recomputing or even
+    reading the historical corpus, then the batch's novel docs extend
+    the index.
+
+    Mechanics: the batch's banded signatures probe the index on
+    (band_idx, band_hash) — bucket-sized joins, the LSH guarantee — and
+    each candidate (new, old) pair is scored by SIGNATURE AGREEMENT
+    (#matching minhashes / n, the unbiased Jaccard estimator computable
+    from the index alone); a batch doc with any historical match at
+    ``agree_threshold_1000``/1000 is dropped.  Survivors' signatures
+    append to the index tagged with ``batch_label``
+    (``update_index=False`` re-runs the check read-only); the probe
+    EXCLUDES index rows carrying the same label, so re-processing an
+    already-ingested batch is IDEMPOTENT — it reproduces the original
+    verdicts instead of matching the batch against its own entries.
+    Intra-batch duplicates are the existing
+    ``minhash_verified_pairs`` job — this function's contract is
+    batch-vs-history.
+
+    100 TB shape: the index carries bands x (1 + n) small ints per doc
+    (never text); the probe shuffle moves batch x bands rows into
+    tiny buckets; scoring is a map-side integer comparison of n
+    columns.  Returns ``(result_df, n_indexed)`` where result_df is
+    (id, n_matches bigint, kept boolean) for every batch doc and
+    ``n_indexed`` counts index rows appended."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    new_sig = minhash_banded_signatures(
+        batch_df, id_col, text_col, k, num_hashes, bands
+    )
+    mcols = [f"m{i}" for i in range(num_hashes)]
+    have_index = os.path.exists(os.path.join(index_dir, "_SUCCESS"))
+    ids = batch_df.select(F.col(id_col).alias("doc_id")).distinct()
+    if have_index:
+        idx = spark.read.parquet(index_dir).filter(
+            F.col("_batch") != F.lit(batch_label)
+        )
+        agree = sum(
+            F.when(F.col(f"a.{m}") == F.col(f"b.{m}"), 1).otherwise(0)
+            for m in mcols
+        )
+        matches = (
+            new_sig.alias("a")
+            .join(
+                idx.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("b.doc_id").alias("old_id"),
+                agree.alias("_agree"),
+            )
+            .distinct()  # one vote per (new, old) pair, not per band
+            .filter(
+                F.col("_agree") * 1000 >= F.lit(agree_threshold_1000 * num_hashes)
+            )
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_matches"))
+        )
+    else:
+        matches = ids.select(
+            "doc_id", F.lit(None).cast("bigint").alias("n_matches")
+        ).filter(F.lit(False))
+    result = (
+        ids.join(matches, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
+            F.col("n_matches").isNull().alias("kept"),
+        )
+    )
+    n_indexed = 0
+    if update_index:
+        survivors = result.filter(F.col("kept")).select(
+            F.col(id_col).alias("doc_id")
+        )
+        to_index = new_sig.join(survivors, "doc_id").withColumn(
+            "_batch", F.lit(batch_label)
+        )
+        n_indexed = to_index.count()
+        to_index.write.mode("append").parquet(index_dir)
+    return result, n_indexed
 
 
 def minhash_candidates(

@@ -1,0 +1,116 @@
+"""Incremental cross-batch dedup against a persisted signature index
+(r7): per-batch cost tracks the batch, history lives only as banded
+MinHash signatures, re-ingesting a batch is idempotent."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datafusion_dolomite_spark.functions.dedup import (
+    incremental_minhash_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the quiet river "
+    "while the autumn wind carries fallen leaves across the old bridge"
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    batch1 = _docs(
+        spark,
+        [
+            (1, BASE),
+            (2, "completely unrelated text about compilers and type systems"),
+            (3, "a third document describing distributed query optimization"),
+        ],
+    )
+    batch2 = _docs(
+        spark,
+        [
+            # near-duplicate of doc 1 (one word changed)
+            (10, BASE.replace("autumn", "winter")),
+            # novel
+            (11, "tides and orbital mechanics of small moons"),
+            # exact duplicate of doc 2
+            (12, "completely unrelated text about compilers and type systems"),
+        ],
+    )
+    return batch1, batch2
+
+
+def test_cross_batch_drop_and_survive(spark, tmp_path, corpus):
+    batch1, batch2 = corpus
+    idx = str(tmp_path / "index")
+    r1, n1 = incremental_minhash_dedup(
+        spark, batch1, idx, "doc_id", "text",
+        agree_threshold_1000=500, batch_label="b1",
+    )
+    assert {r["doc_id"]: r["kept"] for r in r1.collect()} == {
+        1: True, 2: True, 3: True
+    }
+    assert n1 > 0 and os.path.exists(os.path.join(idx, "_SUCCESS"))
+
+    r2, n2 = incremental_minhash_dedup(
+        spark, batch2, idx, "doc_id", "text",
+        agree_threshold_1000=500, batch_label="b2",
+    )
+    verdict = {r["doc_id"]: r["kept"] for r in r2.collect()}
+    assert verdict[10] is False  # near-dup of indexed doc 1
+    assert verdict[12] is False  # exact dup of indexed doc 2
+    assert verdict[11] is True  # novel survives
+    # only the survivor was indexed
+    assert n2 > 0
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    }
+    assert idx_ids == {1, 2, 3, 11}
+
+
+def test_reingest_same_batch_is_idempotent(spark, tmp_path, corpus):
+    batch1, batch2 = corpus
+    idx = str(tmp_path / "index")
+    incremental_minhash_dedup(
+        spark, batch1, idx, "doc_id", "text",
+        agree_threshold_1000=500, batch_label="b1",
+    )
+    r2a, _ = incremental_minhash_dedup(
+        spark, batch2, idx, "doc_id", "text",
+        agree_threshold_1000=500, batch_label="b2",
+    )
+    first = sorted(map(tuple, r2a.collect()))
+    # re-run the SAME batch read-only: its own index rows are excluded
+    # from the probe, so the verdicts reproduce exactly
+    r2b, n = incremental_minhash_dedup(
+        spark, batch2, idx, "doc_id", "text",
+        agree_threshold_1000=500, batch_label="b2", update_index=False,
+    )
+    assert sorted(map(tuple, r2b.collect())) == first
+    assert n == 0
+
+
+def test_history_never_reread(spark, tmp_path, corpus):
+    """The probe reads ONLY the index — prove it by deleting the
+    original batch-1 data before batch 2 arrives."""
+    batch1, batch2 = corpus
+    idx = str(tmp_path / "index")
+    incremental_minhash_dedup(
+        spark, batch1, idx, "doc_id", "text",
+        agree_threshold_1000=500, batch_label="b1",
+    )
+    del batch1  # no reference survives; only the index on disk
+    r2, _ = incremental_minhash_dedup(
+        spark, batch2, idx, "doc_id", "text",
+        agree_threshold_1000=500, batch_label="b2",
+    )
+    verdict = {r["doc_id"]: r["kept"] for r in r2.collect()}
+    assert verdict == {10: False, 11: True, 12: False}

@@ -84,6 +84,8 @@ SHUFFLE_BUDGET = {
     "q_adaptive_stats": 1,
     # ANALYZE TABLE returns a driver-built LocalRelation — no shuffles
     "q_sql_analyze": 0,
+    # index probe: signature agg + band-bucket join against the index
+    "q_incremental_dedup": 2,
     # 3-way broadcast join + group agg; all three scans filter-pruned by
     # InferJoinKeyPredicateRule
     "q_transitive_pred": 1,
