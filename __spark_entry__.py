@@ -656,6 +656,62 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL QUALITY-PERCENTILE PRUNING (r7): keep the top quarter of
+    the corpus by (quality score, doc_id) — the data-selection step
+    after scoring.  K = N/4 SCALES WITH THE CORPUS, so a driver-merged
+    TakeOrdered (top-k) or a single-node global sort are both wrong at
+    100 TB; instead the exact global rank comes from the distributed
+    order-statistics plan (same machinery as ``range_partition_bounds``):
+    rows land in 50-wide quality bands (coarse monotone buckets), the
+    tiny per-band count table gets running-sum offsets, and each row's
+    rank = band offset + its LOCAL row_number — ONE band-keyed window
+    shuffle over the data, everything else broadcast-sized.  The corpus
+    count rides as a 1-row broadcast (declared NLJ).  Integer scores +
+    doc_id tie-break make the cut exact and oracle-replayable."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.functions import text as T
+
+    pl = _planner(spark, sf_dir)
+    scored = pl.dataframe(
+        LogicalPlanBuilder()
+        .scan("documents", columns=["doc_id", "text"])
+        .projection(
+            [col("doc_id"), Alias(T.quality_score_1000(col("text")), "q1000")]
+        )
+        .build()
+    )
+    v = scored.select(
+        "doc_id",
+        "q1000",
+        F.expr("cast((1000 - q1000) div 50 as bigint)").alias("_bkt"),
+    )
+    counts = v.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bkt", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = Window.partitionBy("_bkt").orderBy(
+        F.col("q1000").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        v.join(F.broadcast(offsets), "_bkt")
+        .withColumn("rnk", F.row_number().over(w_local) + F.col("_off"))
+    )
+    n = v.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(F.col("rnk") <= F.expr("(_n + 3) div 4"))
+        .select(
+            "doc_id",
+            F.col("q1000").alias("quality_1000"),
+            F.col("rnk").cast("bigint").alias("prune_rank"),
+        )
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL cross-batch dedup (r7): the even-doc_id half of the
     corpus is ingested first, building a PERSISTED banded-signature
@@ -1631,6 +1687,26 @@ def _minhash_oracle(k=3, n=12, bands=3, threshold=300) -> str:
     """
 
 
+def _quality_prune_oracle() -> str:
+    alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    punct = "length(regexp_replace(text, '[\\w\\s]', '', 'g'))"
+    nd = "greatest(length(text), 1)::DOUBLE"
+    quality = (
+        f"floor(1000.0 * ((0.5 * ({alpha}::DOUBLE / {nd}) "
+        f"+ 0.3 * (least(length(text), 500)::DOUBLE / 500.0)) "
+        f"+ 0.2 * (1.0 - {punct}::DOUBLE / {nd})))::BIGINT"
+    )
+    return f"""
+        WITH q AS (SELECT doc_id, {quality} AS q1000 FROM documents),
+        r AS (SELECT doc_id, q1000,
+                     row_number() OVER (ORDER BY q1000 DESC, doc_id ASC) AS rnk
+              FROM q)
+        SELECT doc_id, q1000 AS quality_1000, rnk::BIGINT AS prune_rank
+        FROM r
+        WHERE rnk <= (SELECT (count(*) + 3) // 4 FROM documents)
+    """
+
+
 def _incdedup_oracle(k=3, n=12, bands=3, threshold=250) -> str:
     """Cross-batch dedup replay: docs split even/odd on doc_id; odd
     (the arriving batch) probes even (the indexed history) by band
@@ -2192,6 +2268,7 @@ EXTENSION_ORACLES = {
     """,
     "q_minhash_pairs": _minhash_oracle(3, 12, 3, 300),
     "q_incremental_dedup": _incdedup_oracle(3, 12, 3, 250),
+    "q_quality_prune": _quality_prune_oracle(),
     "q_simhash": _simhash_oracle(32),
     "q_ngram_jaccard": _ngram_jaccard_oracle(12, 3, 500),
     "q_corpus_prep": _corpus_prep_oracle(750),
@@ -6649,7 +6726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round (r7) — never driver-checked, prove first
     "q_auto_skew_join", "q_mv_cdc", "q_adaptive_stats", "q_sql_analyze",
-    "q_incremental_dedup",
+    "q_incremental_dedup", "q_quality_prune",
     # last driver-green in r2 — stalest, rotate in first
     "q_minhash_pairs", "q_multimodal_features", "q_multimodal_frames",
     "q_multimodal_resize", "q_ngram_jaccard", "q_pandas_udaf",
@@ -6742,6 +6819,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_centroids": q_label_centroids,
         "q_minhash_pairs": q_minhash_pairs,
         "q_incremental_dedup": q_incremental_dedup,
+        "q_quality_prune": q_quality_prune,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_corpus_prep": q_corpus_prep,

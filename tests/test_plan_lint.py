@@ -54,6 +54,7 @@ NLJ_ALLOWED = {
     "q_gap_fill": "broadcast time spine",
     "q_rolling_avg": "broadcast time spine",
     "q_range_bounds": "broadcast boundary row",
+    "q_quality_prune": "broadcast corpus-count row (the N in rank <= N/4)",
     # BM25: 1-row corpus-stats broadcast cross-applied to postings
     "q_bm25_search": "broadcast corpus stats (1 row)",
     # kNN: the bounded query-side handoff is broadcast against the corpus
@@ -86,6 +87,8 @@ SHUFFLE_BUDGET = {
     "q_sql_analyze": 0,
     # index probe: signature agg + band-bucket join against the index
     "q_incremental_dedup": 2,
+    # distributed exact rank: band counts agg + band-keyed window
+    "q_quality_prune": 2,
     # 3-way broadcast join + group agg; all three scans filter-pruned by
     # InferJoinKeyPredicateRule
     "q_transitive_pred": 1,
