@@ -2269,6 +2269,30 @@ EXTENSION_ORACLES = {
     "q_minhash_pairs": _minhash_oracle(3, 12, 3, 300),
     "q_incremental_dedup": _incdedup_oracle(3, 12, 3, 250),
     "q_quality_prune": _quality_prune_oracle(),
+    "q_sql_merge": """
+        WITH bal AS (
+          SELECT c_custkey,
+                 floor(c_acctbal::DECIMAL(12,2) * 100)::BIGINT AS cents,
+                 0::BIGINT AS n_upd
+          FROM customer WHERE c_custkey <= 1000
+        ),
+        chg AS (
+          SELECT o_custkey AS c_custkey,
+                 floor(max(o_totalprice)::DECIMAL(12,2) * 100)::BIGINT AS cents,
+                 0::BIGINT AS n_upd
+          FROM orders WHERE o_custkey <= 1200 GROUP BY o_custkey
+        )
+        SELECT coalesce(b.c_custkey, c.c_custkey) AS c_custkey,
+               CASE WHEN b.c_custkey IS NOT NULL AND c.c_custkey IS NOT NULL
+                         THEN c.cents
+                    WHEN b.c_custkey IS NOT NULL THEN b.cents
+                    ELSE c.cents END AS cents,
+               CASE WHEN b.c_custkey IS NOT NULL AND c.c_custkey IS NOT NULL
+                         THEN b.n_upd + 1
+                    WHEN b.c_custkey IS NOT NULL THEN b.n_upd
+                    ELSE c.n_upd END AS n_upd
+        FROM bal b FULL OUTER JOIN chg c ON b.c_custkey = c.c_custkey
+    """,
     "q_simhash": _simhash_oracle(32),
     "q_ngram_jaccard": _ngram_jaccard_oracle(12, 3, 500),
     "q_corpus_prep": _corpus_prep_oracle(750),
@@ -4235,6 +4259,36 @@ def q_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
            from customer, nation
            where c_nationkey = n_nationkey
            group by n_name"""
+    )
+
+
+def q_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``MERGE INTO`` (r7) — the Delta/Iceberg upsert surface on the
+    engine's front door: a balance snapshot (CTAS from customer) merges
+    a change set (latest order total per customer, including 200 keys
+    the snapshot has never seen) in ONE full-outer equi-join with
+    per-column CASE — matched rows take the source cents and bump
+    n_upd, unmatched targets keep, source-only keys INSERT * — written
+    COPY-ON-WRITE to a fresh warehouse dir and re-registered (the read
+    files are never touched mid-merge; planner.py::_merge_into).  The
+    returned rows are a scan of the PERSISTED merged table; the oracle
+    replays snapshot, changes and merge classification in one SQL."""
+    pl = _planner(spark, sf_dir)
+    pl.sql(
+        "create table bal_snap as select c_custkey, "
+        "cast(floor(cast(c_acctbal as decimal(12,2)) * 100) as bigint) as cents, "
+        "cast(0 as bigint) as n_upd from customer where c_custkey <= 1000"
+    ).count()
+    pl.sql(
+        "create table bal_chg as select ck as c_custkey, mx as cents, "
+        "cast(0 as bigint) as n_upd from (select o_custkey as ck, "
+        "cast(floor(cast(max(o_totalprice) as decimal(12,2)) * 100) as bigint) as mx "
+        "from orders where o_custkey <= 1200 group by o_custkey)"
+    ).count()
+    return pl.sql(
+        "merge into bal_snap t using bal_chg s on t.c_custkey = s.c_custkey "
+        "when matched then update set cents = s.cents, n_upd = t.n_upd + 1 "
+        "when not matched then insert *"
     )
 
 
@@ -6726,7 +6780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round (r7) — never driver-checked, prove first
     "q_auto_skew_join", "q_mv_cdc", "q_adaptive_stats", "q_sql_analyze",
-    "q_incremental_dedup", "q_quality_prune",
+    "q_incremental_dedup", "q_quality_prune", "q_sql_merge",
     # last driver-green in r2 — stalest, rotate in first
     "q_minhash_pairs", "q_multimodal_features", "q_multimodal_frames",
     "q_multimodal_resize", "q_ngram_jaccard", "q_pandas_udaf",
@@ -6820,6 +6874,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_pairs": q_minhash_pairs,
         "q_incremental_dedup": q_incremental_dedup,
         "q_quality_prune": q_quality_prune,
+        "q_sql_merge": q_sql_merge,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_corpus_prep": q_corpus_prep,

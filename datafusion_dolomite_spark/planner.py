@@ -226,6 +226,18 @@ class QueryPlanner:
                 "min_v double, max_v double, avg_row_bytes double",
             )
 
+        m = _re.match(
+            r"\s*merge\s+into\s+([A-Za-z_]\w*)\s+(?:as\s+)?([A-Za-z_]\w*)\s+"
+            r"using\s+([A-Za-z_]\w*)\s+(?:as\s+)?([A-Za-z_]\w*)\s+"
+            r"on\s+(.+?)\s+"
+            r"when\s+matched\s+then\s+(delete|update\s+set\s+.+?)\s+"
+            r"when\s+not\s+matched\s+then\s+insert\s+\*\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            return self._merge_into(*m.groups())
+
         if _re.match(
             r"\s*show\s+materialized\s+views\s*$", query, _re.IGNORECASE
         ):
@@ -279,6 +291,103 @@ class QueryPlanner:
                 self.optimize_physical(logical), self.spark, self.catalog
             )
         return self.dataframe(plan)
+
+    def _merge_into(self, target, t_alias, source, s_alias, on, action):
+        """SQL ``MERGE INTO`` — the Delta/Iceberg upsert surface, built
+        from the engine's primitives: ONE full-outer equi-join between
+        target and source, per-column CASE (matched → UPDATE SET exprs
+        or DELETE; target-only → keep; source-only → INSERT *), written
+        COPY-ON-WRITE to a fresh warehouse dir and re-registered under
+        the target's name (the original files are never touched while
+        being read — the same discipline as the streaming CDC upsert's
+        versioned snapshots).  Returns a scan of the PERSISTED merged
+        table.  Contract: the ON condition's key columns are non-null
+        (they define row presence), and INSERT * requires the source to
+        carry every target column by name.  Supported WHEN forms:
+        MATCHED → UPDATE SET a = expr, … | DELETE;
+        NOT MATCHED → INSERT *."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from .execute import SparkExecutor
+        from .plans.plan import LogicalPlanBuilder
+
+        ex = SparkExecutor(self.spark, self.catalog)
+        tdf = ex._base_scan(target, self.catalog.format(target)).alias(t_alias)
+        sdf = ex._base_scan(source, self.catalog.format(source)).alias(s_alias)
+        # presence keys: first `t.x = s.y` equality in the ON condition
+        km = _re.search(
+            rf"\b{t_alias}\.([A-Za-z_]\w*)\s*=\s*{s_alias}\.([A-Za-z_]\w*)"
+            rf"|\b{s_alias}\.([A-Za-z_]\w*)\s*=\s*{t_alias}\.([A-Za-z_]\w*)",
+            on,
+            _re.IGNORECASE,
+        )
+        if not km:
+            raise ValueError(
+                "MERGE INTO needs an equality between target and source "
+                f"keys in ON (got {on!r})"
+            )
+        tk = km.group(1) or km.group(4)
+        sk = km.group(3) or km.group(2)
+        matched = (
+            F.expr(f"{t_alias}.{tk}").isNotNull()
+            & F.expr(f"{s_alias}.{sk}").isNotNull()
+        )
+        joined = tdf.join(sdf, on=F.expr(on), how="full_outer")
+        action_l = action.strip()
+        sets = {}
+        if action_l.lower() != "delete":
+            body = _re.sub(
+                r"^update\s+set\s+", "", action_l, flags=_re.IGNORECASE
+            )
+            # split assignments on top-level commas
+            parts, depth, cur = [], 0, ""
+            for ch in body:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    parts.append(cur)
+                    cur = ""
+                else:
+                    cur += ch
+            if cur.strip():
+                parts.append(cur)
+            for part in parts:
+                col_name, expr = part.split("=", 1)
+                sets[col_name.strip()] = expr.strip()
+        cols = []
+        for f in self.spark.read.parquet(
+            self.catalog.path(target)
+        ).schema.fields:
+            c = f.name
+            keep = F.expr(f"{t_alias}.{c}")
+            insert = F.expr(f"{s_alias}.{c}")
+            if action_l.lower() == "delete":
+                # matched rows are filtered out below; surviving rows
+                # are keep-or-insert
+                merged = F.when(
+                    F.expr(f"{t_alias}.{tk}").isNotNull(), keep
+                ).otherwise(insert)
+            else:
+                merged = (
+                    F.when(matched, F.expr(sets[c]) if c in sets else keep)
+                    .when(F.expr(f"{t_alias}.{tk}").isNotNull(), keep)
+                    .otherwise(insert)
+                )
+            cols.append(merged.cast(f.dataType).alias(c))
+        out = joined
+        if action_l.lower() == "delete":
+            out = out.filter(~matched)
+        out = out.select(*cols)
+        dest = self.catalog.warehouse_path(f"{target}__merged")
+        out.write.mode("overwrite").parquet(dest)
+        self.catalog.register(target, dest)
+        return self.dataframe(
+            LogicalPlanBuilder().scan(target).build()
+        )
 
     def explain_analyze(self, plan: Plan) -> str:
         """EXPLAIN ANALYZE: the optimized physical plan with each

@@ -89,6 +89,8 @@ SHUFFLE_BUDGET = {
     "q_incremental_dedup": 2,
     # distributed exact rank: band counts agg + band-keyed window
     "q_quality_prune": 2,
+    # MERGE INTO returns a scan of the persisted merged table
+    "q_sql_merge": 0,
     # 3-way broadcast join + group agg; all three scans filter-pruned by
     # InferJoinKeyPredicateRule
     "q_transitive_pred": 1,
