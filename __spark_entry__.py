@@ -2269,6 +2269,14 @@ EXTENSION_ORACLES = {
     "q_minhash_pairs": _minhash_oracle(3, 12, 3, 300),
     "q_incremental_dedup": _incdedup_oracle(3, 12, 3, 250),
     "q_quality_prune": _quality_prune_oracle(),
+    "q_sql_udf": """
+        SELECT l_returnflag,
+               sum(floor(l_extendedprice::DECIMAL(12,2) * 100)::BIGINT) AS gross_cents,
+               sum(floor((floor(l_extendedprice::DECIMAL(12,2) * 100)::BIGINT
+                          * (100 - floor(l_discount::DECIMAL(12,2) * 100)::BIGINT)) / 100)::BIGINT) AS net_cents,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "q_sql_merge": """
         WITH bal AS (
           SELECT c_custkey,
@@ -4289,6 +4297,35 @@ def q_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge into bal_snap t using bal_chg s on t.c_custkey = s.c_custkey "
         "when matched then update set cents = s.cents, n_upd = t.n_upd + 1 "
         "when not matched then insert *"
+    )
+
+
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MACROS via CREATE FUNCTION (r7) — DuckDB's CREATE MACRO on
+    our front door: user-named scalar functions stored on the planner
+    and textually expanded (balanced-paren args, parenthesized
+    substitution, macros-calling-macros) BEFORE parsing, so the whole
+    optimizer pipeline sees plain expressions and the macros cost
+    nothing at run time — no UDF in the plan, pure codegen
+    (planner.py::_expand_sql_macros).  The oracle runs the same query
+    with the expansions inlined by hand — proving the expansion is
+    exactly textual."""
+    pl = _planner(spark, sf_dir)
+    pl.sql(
+        "create or replace function cents(x) as "
+        "cast(floor(cast(x as decimal(12,2)) * 100) as bigint)"
+    ).count()
+    # integer permille/percent arithmetic keeps every step engine-exact
+    # (a float product cast to decimal rounds differently across
+    # engines); netc CALLS cents — macros expand recursively
+    pl.sql(
+        "create or replace function netc(p, d) as "
+        "cast(floor((cents(p) * (100 - cents(d))) / 100) as bigint)"
+    ).count()
+    return pl.sql(
+        "select l_returnflag, sum(cents(l_extendedprice)) as gross_cents, "
+        "sum(netc(l_extendedprice, l_discount)) as net_cents, "
+        "count(*) as n from lineitem group by l_returnflag"
     )
 
 
@@ -6780,7 +6817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round (r7) — never driver-checked, prove first
     "q_auto_skew_join", "q_mv_cdc", "q_adaptive_stats", "q_sql_analyze",
-    "q_incremental_dedup", "q_quality_prune", "q_sql_merge",
+    "q_incremental_dedup", "q_quality_prune", "q_sql_merge", "q_sql_udf",
     # last driver-green in r2 — stalest, rotate in first
     "q_minhash_pairs", "q_multimodal_features", "q_multimodal_frames",
     "q_multimodal_resize", "q_ngram_jaccard", "q_pandas_udaf",
@@ -6875,6 +6912,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_dedup": q_incremental_dedup,
         "q_quality_prune": q_quality_prune,
         "q_sql_merge": q_sql_merge,
+        "q_sql_udf": q_sql_udf,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_corpus_prep": q_corpus_prep,

@@ -90,6 +90,59 @@ def default_cascades_rules(enable_join_exploration: bool = True) -> list[Rule]:
     return rules
 
 
+def _expand_sql_macros(sql: str, macros: dict, depth: int = 0) -> str:
+    """Textually expand ``name(arg, …)`` macro calls: arguments parse
+    with balanced parentheses (nested calls fine), each substitution is
+    parenthesized (no precedence surprises), and expansion recurses so
+    macros may call macros (depth-capped against cycles)."""
+    import re as _re
+
+    if depth > 8:
+        raise ValueError("SQL macro expansion too deep (cycle?)")
+    out = sql
+    changed = False
+    for name, (params, body) in macros.items():
+        pat = _re.compile(rf"\b{name}\s*\(", _re.IGNORECASE)
+        pos = 0
+        while True:
+            m = pat.search(out, pos)
+            if not m:
+                break
+            # balanced-paren scan for the argument list
+            i, d_ = m.end(), 1
+            args, cur = [], ""
+            while i < len(out) and d_ > 0:
+                ch = out[i]
+                if ch == "(":
+                    d_ += 1
+                elif ch == ")":
+                    d_ -= 1
+                    if d_ == 0:
+                        break
+                if ch == "," and d_ == 1:
+                    args.append(cur)
+                    cur = ""
+                else:
+                    cur += ch
+                i += 1
+            if cur.strip():
+                args.append(cur)
+            if d_ != 0 or len(args) != len(params):
+                pos = m.end()
+                continue  # malformed / arity mismatch — leave untouched
+            expansion = body
+            for p, a in zip(params, args):
+                expansion = _re.sub(
+                    rf"\b{p}\b", f"({a.strip()})", expansion
+                )
+            out = out[: m.start()] + f"({expansion})" + out[i + 1 :]
+            changed = True
+            pos = m.start() + 1
+    if changed:
+        return _expand_sql_macros(out, macros, depth + 1)
+    return out
+
+
 class QueryPlanner:
     def __init__(
         self,
@@ -111,6 +164,8 @@ class QueryPlanner:
         self.ctx.cost_model = self.cost_model
         self.rewrite_rules = list(rewrite_rules or default_rewrite_rules())
         self.cascades_rules = list(cascades_rules or default_cascades_rules())
+        #: CREATE FUNCTION macros: name → (params, body expr)
+        self._sql_macros: dict = {}
 
     def optimize_logical(self, plan: Plan) -> Plan:
         hep = HepOptimizer(self.rewrite_rules, self.ctx, MatchOrder.TOP_DOWN)
@@ -225,6 +280,28 @@ class QueryPlanner:
                 "column_name string, ndv bigint, top_count bigint, "
                 "min_v double, max_v double, avg_row_bytes double",
             )
+
+        m = _re.match(
+            r"\s*create\s+(?:or\s+replace\s+)?function\s+([A-Za-z_]\w*)"
+            r"\s*\(([^)]*)\)\s+as\s+(.+?)\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            # CREATE [OR REPLACE] FUNCTION name(p1, p2) AS <expr> — a
+            # SQL MACRO (DuckDB's CREATE MACRO): stored on the planner
+            # and textually expanded (with balanced-paren argument
+            # parsing and parenthesized substitution) into every later
+            # query BEFORE parsing, so the whole optimizer pipeline sees
+            # plain expressions — macros cost nothing at run time.
+            name = m.group(1).lower()
+            params = [p.strip() for p in m.group(2).split(",") if p.strip()]
+            self._sql_macros[name] = (params, m.group(3).strip())
+            return self.spark.createDataFrame(
+                [(name, len(params))], "function string, n_args int"
+            )
+        if getattr(self, "_sql_macros", None):
+            query = _expand_sql_macros(query, self._sql_macros)
 
         m = _re.match(
             r"\s*merge\s+into\s+([A-Za-z_]\w*)\s+(?:as\s+)?([A-Za-z_]\w*)\s+"

@@ -91,6 +91,8 @@ SHUFFLE_BUDGET = {
     "q_quality_prune": 2,
     # MERGE INTO returns a scan of the persisted merged table
     "q_sql_merge": 0,
+    # macros expand to plain expressions — one agg shuffle, no Python
+    "q_sql_udf": 1,
     # 3-way broadcast join + group agg; all three scans filter-pruned by
     # InferJoinKeyPredicateRule
     "q_transitive_pred": 1,
