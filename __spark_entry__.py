@@ -2269,6 +2269,23 @@ EXTENSION_ORACLES = {
     "q_minhash_pairs": _minhash_oracle(3, 12, 3, 300),
     "q_incremental_dedup": _incdedup_oracle(3, 12, 3, 250),
     "q_quality_prune": _quality_prune_oracle(),
+    "q_sql_dml": """
+        WITH base AS (
+          SELECT c_custkey, c_nationkey,
+                 floor(c_acctbal::DECIMAL(12,2) * 100)::BIGINT AS cents
+          FROM customer WHERE c_custkey <= 600
+        ),
+        after_delete AS (SELECT * FROM base WHERE NOT (c_nationkey >= 20)),
+        after_update AS (
+          SELECT c_custkey, c_nationkey,
+                 CASE WHEN c_nationkey < 5 THEN cents + 5 ELSE cents END AS cents
+          FROM after_delete
+        )
+        SELECT * FROM after_update
+        UNION ALL
+        SELECT c_custkey + 1000000, c_nationkey, 0::BIGINT
+        FROM after_update WHERE c_custkey <= 10
+    """,
     "q_sql_udf": """
         SELECT l_returnflag,
                sum(floor(l_extendedprice::DECIMAL(12,2) * 100)::BIGINT) AS gross_cents,
@@ -4326,6 +4343,32 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "select l_returnflag, sum(cents(l_extendedprice)) as gross_cents, "
         "sum(netc(l_extendedprice, l_discount)) as net_cents, "
         "count(*) as n from lineitem group by l_returnflag"
+    )
+
+
+def q_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML lifecycle (r7): CTAS a working table from customer, then
+    DELETE a segment, UPDATE another (macro-free integer arithmetic),
+    INSERT a derived batch — each statement a COPY-ON-WRITE rewrite
+    into a fresh version dir (a rewrite never writes into the files it
+    reads; old versions linger for GC, the Delta/vacuum contract) with
+    the name re-registered (planner.py::_dml_rewrite/_dml_insert).
+    Returns the final persisted table; the oracle replays all four
+    statements as one SQL."""
+    pl = _planner(spark, sf_dir)
+    pl.sql(
+        "create table cust_work as select c_custkey, c_nationkey, "
+        "cast(floor(cast(c_acctbal as decimal(12,2)) * 100) as bigint) as cents "
+        "from customer where c_custkey <= 600"
+    ).count()
+    pl.sql("delete from cust_work where c_nationkey >= 20").count()
+    pl.sql(
+        "update cust_work set cents = cents + 5 where c_nationkey < 5"
+    ).count()
+    return pl.sql(
+        "insert into cust_work select c_custkey + 1000000 as c_custkey, "
+        "c_nationkey, cast(0 as bigint) as cents "
+        "from cust_work where c_custkey <= 10"
     )
 
 
@@ -6818,6 +6861,7 @@ _UNPROVEN_PREFIX = (
     # new this round (r7) — never driver-checked, prove first
     "q_auto_skew_join", "q_mv_cdc", "q_adaptive_stats", "q_sql_analyze",
     "q_incremental_dedup", "q_quality_prune", "q_sql_merge", "q_sql_udf",
+    "q_sql_dml",
     # last driver-green in r2 — stalest, rotate in first
     "q_minhash_pairs", "q_multimodal_features", "q_multimodal_frames",
     "q_multimodal_resize", "q_ngram_jaccard", "q_pandas_udaf",
@@ -6913,6 +6957,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_prune": q_quality_prune,
         "q_sql_merge": q_sql_merge,
         "q_sql_udf": q_sql_udf,
+        "q_sql_dml": q_sql_dml,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_corpus_prep": q_corpus_prep,

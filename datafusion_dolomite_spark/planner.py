@@ -166,6 +166,8 @@ class QueryPlanner:
         self.cascades_rules = list(cascades_rules or default_cascades_rules())
         #: CREATE FUNCTION macros: name → (params, body expr)
         self._sql_macros: dict = {}
+        #: copy-on-write DML/MERGE version counters per table
+        self._cow_versions: dict = {}
 
     def optimize_logical(self, plan: Plan) -> Plan:
         hep = HepOptimizer(self.rewrite_rules, self.ctx, MatchOrder.TOP_DOWN)
@@ -282,6 +284,55 @@ class QueryPlanner:
             )
 
         m = _re.match(
+            r"\s*delete\s+from\s+([A-Za-z_]\w*)\s+where\s+(.+?)\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            return self._dml_rewrite(m.group(1), delete_where=m.group(2))
+
+        m = _re.match(
+            r"\s*update\s+([A-Za-z_]\w*)\s+set\s+(.+?)"
+            r"(?:\s+where\s+(.+?))?\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m and not _re.match(r"\s*update\s+set\b", query, _re.IGNORECASE):
+            return self._dml_rewrite(
+                m.group(1), set_clause=m.group(2), where=m.group(3)
+            )
+
+        m = _re.match(
+            r"\s*insert\s+into\s+([A-Za-z_]\w*)\s+(select\b.+?)\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            return self._dml_insert(m.group(1), m.group(2))
+
+        if _re.match(r"\s*show\s+tables\s*$", query, _re.IGNORECASE):
+            rows = sorted(
+                (t, self.catalog.format(t), self.catalog.path(t))
+                for t in self.catalog.table_names()
+            ) if hasattr(self.catalog, "table_names") else []
+            return self.spark.createDataFrame(
+                rows or [("", "", "")],
+                "table_name string, format string, location string",
+            ).filter("table_name <> ''")
+
+        m = _re.match(
+            r"\s*describe\s+(?:table\s+)?([A-Za-z_]\w*)\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            sch = self.catalog.schema(m.group(1))
+            return self.spark.createDataFrame(
+                [(f.name, f.dtype, f.nullable) for f in sch.fields],
+                "col_name string, data_type string, nullable boolean",
+            )
+
+        m = _re.match(
             r"\s*create\s+(?:or\s+replace\s+)?function\s+([A-Za-z_]\w*)"
             r"\s*\(([^)]*)\)\s+as\s+(.+?)\s*$",
             query,
@@ -368,6 +419,92 @@ class QueryPlanner:
                 self.optimize_physical(logical), self.spark, self.catalog
             )
         return self.dataframe(plan)
+
+    def _cow_dest(self, table: str) -> str:
+        """Next copy-on-write destination for a DML/MERGE rewrite of
+        ``table``: version dirs increment so a rewrite NEVER writes into
+        the files it is reading (the chained-DML self-overwrite trap).
+        Old versions linger for time-travel/GC — a warehouse concern,
+        same as Delta's vacuum."""
+        n = self._cow_versions.get(table, 0) + 1
+        self._cow_versions[table] = n
+        return self.catalog.warehouse_path(f"{table}__v{n}")
+
+    def _dml_rewrite(
+        self, table, delete_where=None, set_clause=None, where=None
+    ):
+        """``DELETE FROM t WHERE …`` / ``UPDATE t SET … [WHERE …]`` —
+        COPY-ON-WRITE like MERGE INTO: compute the surviving/updated
+        rows, write to a fresh warehouse dir, re-register the name, and
+        return a scan of the persisted table (the read files are never
+        touched mid-rewrite).  At scale the upgrade is file-level
+        skipping so only files whose min/max overlap the predicate
+        rewrite — the change is confined to the write step."""
+        from pyspark.sql import functions as F
+
+        from .execute import SparkExecutor
+        from .plans.plan import LogicalPlanBuilder
+
+        ex = SparkExecutor(self.spark, self.catalog)
+        df = ex._base_scan(table, self.catalog.format(table))
+        if delete_where is not None:
+            out = df.filter(~F.expr(delete_where).eqNullSafe(F.lit(True)))
+        else:
+            import re as _re
+
+            parts, depth, cur = [], 0, ""
+            for ch in set_clause:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    parts.append(cur)
+                    cur = ""
+                else:
+                    cur += ch
+            if cur.strip():
+                parts.append(cur)
+            sets = {}
+            for part in parts:
+                c, e = part.split("=", 1)
+                sets[c.strip()] = e.strip()
+            cond = F.expr(where) if where else F.lit(True)
+            out = df.select(
+                *[
+                    (
+                        F.when(cond, F.expr(sets[f.name]))
+                        .otherwise(F.col(f.name))
+                        .cast(f.dataType)
+                        if f.name in sets
+                        else F.col(f.name)
+                    ).alias(f.name)
+                    for f in df.schema.fields
+                ]
+            )
+        dest = self._cow_dest(table)
+        out.write.mode("overwrite").parquet(dest)
+        self.catalog.register(table, dest)
+        return self.dataframe(LogicalPlanBuilder().scan(table).build())
+
+    def _dml_insert(self, table, select_sql):
+        """``INSERT INTO t SELECT …`` — run the SELECT through the full
+        optimizer pipeline, append the rows to a copy-on-write version
+        of the table (original files untouched), re-register."""
+        from .plans.plan import LogicalPlanBuilder
+        from .execute import SparkExecutor
+        from .sql import parse_sql
+
+        ex = SparkExecutor(self.spark, self.catalog)
+        cur = ex._base_scan(table, self.catalog.format(table))
+        new_rows = self.dataframe(parse_sql(select_sql, self.catalog))
+        merged = cur.unionByName(
+            new_rows.toDF(*[f.name for f in cur.schema.fields])
+        )
+        dest = self._cow_dest(table)
+        merged.write.mode("overwrite").parquet(dest)
+        self.catalog.register(table, dest)
+        return self.dataframe(LogicalPlanBuilder().scan(table).build())
 
     def _merge_into(self, target, t_alias, source, s_alias, on, action):
         """SQL ``MERGE INTO`` — the Delta/Iceberg upsert surface, built
@@ -459,7 +596,7 @@ class QueryPlanner:
         if action_l.lower() == "delete":
             out = out.filter(~matched)
         out = out.select(*cols)
-        dest = self.catalog.warehouse_path(f"{target}__merged")
+        dest = self._cow_dest(target)
         out.write.mode("overwrite").parquet(dest)
         self.catalog.register(target, dest)
         return self.dataframe(

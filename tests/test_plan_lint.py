@@ -93,6 +93,8 @@ SHUFFLE_BUDGET = {
     "q_sql_merge": 0,
     # macros expand to plain expressions — one agg shuffle, no Python
     "q_sql_udf": 1,
+    # DML returns a scan of the final persisted version
+    "q_sql_dml": 0,
     # 3-way broadcast join + group agg; all three scans filter-pruned by
     # InferJoinKeyPredicateRule
     "q_transitive_pred": 1,
