@@ -2288,9 +2288,9 @@ EXTENSION_ORACLES = {
     """,
     "q_sql_udf": """
         SELECT l_returnflag,
-               sum(floor(l_extendedprice::DECIMAL(12,2) * 100)::BIGINT) AS gross_cents,
+               sum(floor(l_extendedprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS gross_cents,
                sum(floor((floor(l_extendedprice::DECIMAL(12,2) * 100)::BIGINT
-                          * (100 - floor(l_discount::DECIMAL(12,2) * 100)::BIGINT)) / 100)::BIGINT) AS net_cents,
+                          * (100 - floor(l_discount::DECIMAL(12,2) * 100)::BIGINT)) / 100)::BIGINT)::BIGINT AS net_cents,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag
     """,
