@@ -6862,6 +6862,12 @@ _UNPROVEN_PREFIX = (
     "q_auto_skew_join", "q_mv_cdc", "q_adaptive_stats", "q_sql_analyze",
     "q_incremental_dedup", "q_quality_prune", "q_sql_merge", "q_sql_udf",
     "q_sql_dml",
+    # r7 CHANGED these queries' oracle or chosen plan — re-prove next:
+    # dynamic-skip dim moved to %500 (oracle changed), embed-quantize
+    # runs the Arrow strategy, IVF/SemDeDup derive ncells + Arrow
+    # assignment, skewed-agg recalibrated to the plain plan
+    "q_dynamic_skip_join", "q_embed_quantize", "q_knn_ivf",
+    "q_knn_ivf_kmeans", "q_knn_recall", "q_semantic_dedup", "q_skewed_agg",
     # last driver-green in r2 — stalest, rotate in first
     "q_minhash_pairs", "q_multimodal_features", "q_multimodal_frames",
     "q_multimodal_resize", "q_ngram_jaccard", "q_pandas_udaf",
