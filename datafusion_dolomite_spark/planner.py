@@ -168,6 +168,10 @@ class QueryPlanner:
         self._sql_macros: dict = {}
         #: copy-on-write DML/MERGE version counters per table
         self._cow_versions: dict = {}
+        #: per-table snapshot lineage: version 0 = the path registered
+        #: before the first rewrite, then one entry per DML/MERGE —
+        #: what SELECT … VERSION AS OF reads (parquet lineage)
+        self._table_history: dict = {}
 
     def optimize_logical(self, plan: Plan) -> Plan:
         hep = HepOptimizer(self.rewrite_rules, self.ctx, MatchOrder.TOP_DOWN)
@@ -282,6 +286,32 @@ class QueryPlanner:
                 "column_name string, ndv bigint, top_count bigint, "
                 "min_v double, max_v double, avg_row_bytes double",
             )
+
+        m = _re.match(
+            r"\s*select\s+\*\s+from\s+([A-Za-z_]\w*)\s+version\s+as\s+of"
+            r"\s+(\d+)\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            # TIME TRAVEL over the copy-on-write lineage: version 0 is
+            # the snapshot before the first rewrite, each DML/MERGE adds
+            # one.  Old version dirs are never touched by later rewrites
+            # (the COW contract), so any recorded version reads back
+            # exactly — Delta's VERSION AS OF over our version dirs.
+            name, ver = m.group(1), int(m.group(2))
+            hist = self._table_history.get(name)
+            if hist is None:
+                raise ValueError(
+                    f"table {name!r} has no version history (no DML/MERGE "
+                    "rewrites in this session)"
+                )
+            if ver >= len(hist):
+                raise ValueError(
+                    f"table {name!r} has versions 0..{len(hist) - 1}, "
+                    f"asked for {ver}"
+                )
+            return self.spark.read.parquet(hist[ver])
 
         m = _re.match(
             r"\s*delete\s+from\s+([A-Za-z_]\w*)\s+where\s+(.+?)\s*$",
@@ -428,7 +458,12 @@ class QueryPlanner:
         same as Delta's vacuum."""
         n = self._cow_versions.get(table, 0) + 1
         self._cow_versions[table] = n
-        return self.catalog.warehouse_path(f"{table}__v{n}")
+        hist = self._table_history.setdefault(
+            table, [self.catalog.path(table)]
+        )
+        dest = self.catalog.warehouse_path(f"{table}__v{n}")
+        hist.append(dest)
+        return dest
 
     def _dml_rewrite(
         self, table, delete_where=None, set_clause=None, where=None

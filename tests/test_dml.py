@@ -65,3 +65,16 @@ def test_cow_never_touches_read_files(qp, spark):
     after_path = qp.catalog.path("t")
     assert before_path != after_path
     assert spark.read.parquet(before_path).count() == 10  # untouched
+
+
+def test_version_as_of_time_travel(qp):
+    """VERSION AS OF reads any point in the COW lineage: v0 = before
+    the first rewrite, one version per DML."""
+    qp.sql("delete from t where k >= 7").count()       # v1: 7 rows
+    qp.sql("update t set v = 0 where k = 0").count()   # v2
+    assert qp.sql("select * from t version as of 0").count() == 10
+    assert qp.sql("select * from t version as of 1").count() == 7
+    v2 = {r["k"]: r["v"] for r in qp.sql("select * from t version as of 2").collect()}
+    assert v2[0] == 0 and v2[1] == 10
+    with pytest.raises(Exception):
+        qp.sql("select * from t version as of 9")
