@@ -99,6 +99,12 @@ def _expand_sql_macros(sql: str, macros: dict, depth: int = 0) -> str:
 
     if depth > 8:
         raise ValueError("SQL macro expansion too deep (cycle?)")
+
+    def _in_string(text: str, i: int) -> bool:
+        # inside a single-quoted SQL literal? ('' escapes count as two
+        # delimiters, which keeps the parity math right)
+        return text.count("'", 0, i) % 2 == 1
+
     out = sql
     changed = False
     for name, (params, body) in macros.items():
@@ -108,6 +114,9 @@ def _expand_sql_macros(sql: str, macros: dict, depth: int = 0) -> str:
             m = pat.search(out, pos)
             if not m:
                 break
+            if _in_string(out, m.start()):
+                pos = m.end()
+                continue  # never rewrite inside a string literal
             # balanced-paren scan for the argument list
             i, d_ = m.end(), 1
             args, cur = [], ""

@@ -78,3 +78,14 @@ def test_version_as_of_time_travel(qp):
     assert v2[0] == 0 and v2[1] == 10
     with pytest.raises(Exception):
         qp.sql("select * from t version as of 9")
+
+
+def test_macro_expansion_skips_string_literals(qp):
+    """A macro name appearing inside a quoted literal must NOT expand."""
+    qp.sql("create function double_it(x) as (x + x)").count()
+    out = qp.sql(
+        "select k, double_it(v) as dv, 'double_it(9)' as label "
+        "from t where k <= 1"
+    )
+    rows = sorted((r["k"], r["dv"], r["label"]) for r in out.collect())
+    assert rows == [(0, 0, "double_it(9)"), (1, 20, "double_it(9)")]
