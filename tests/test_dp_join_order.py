@@ -170,3 +170,60 @@ def test_memo_cap_halts_exploration_but_still_plans(spark, monkeypatch):
     assert qp.last_planning_stats["transformations"] == 0
     rows = sorted(map(tuple, to_spark(plan, spark, cat).collect()))
     assert rows  # executes correctly without exploration
+
+
+def test_nine_leaves_falls_back_to_greedy(spark, tmp_path):
+    """Above MAX_DP_LEAVES the rule must fall back to the greedy
+    rebuild rather than enumerate 3^n partitions: a 9-relation comma
+    join still plans (cross joins eliminated) with DP declining."""
+    from datafusion_dolomite_spark.optimizer.rules import pushdown as PD
+
+    cat = _testdata_catalog(SF_DIR_ORACLE)
+    # 9 leaves: nation + region + 7 distinct-alias copies via SQL self
+    # joins would collide on names; build a synthetic star instead
+    from datafusion_dolomite_spark.sources.catalog import Catalog
+
+    cat2 = Catalog()
+    base = tmp_path / "star"
+    import os
+
+    os.makedirs(base, exist_ok=True)
+    hub_cols = {}
+    for i in range(8):
+        spark.createDataFrame(
+            [(k, k * (i + 2)) for k in range(20)], f"k{i} bigint, p{i} bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(str(base / f"d{i}"))
+        cat2.register(f"d{i}", str(base / f"d{i}"))
+        hub_cols[f"h{i}"] = None
+    spark.createDataFrame(
+        [tuple([k] * 8) for k in range(200)],
+        ", ".join(f"h{i} bigint" for i in range(8)),
+    ).coalesce(1).write.mode("overwrite").parquet(str(base / "hub"))
+    cat2.register("hub", str(base / "hub"))
+
+    calls = {"dp": 0}
+    orig = PD._dp_join_order
+
+    def spy(leaves, *a, **k):
+        if len(leaves) > PD.ReorderJoinGraphRule.MAX_DP_LEAVES:
+            calls["dp"] += 1  # would be a bug: rule must not call DP here
+        return orig(leaves, *a, **k)
+
+    PD._dp_join_order = spy
+    try:
+        qp = _planner(spark, cat2, use_dp=True)
+        # hub first, then a disconnected dim (d7 shares nothing with the
+        # preceding tables until its conjunct), forcing the reorder rule
+        sql = (
+            "select count(*) as n from hub, d7, d0, d1, d2, d3, d4, d5, d6 "
+            "where " + " and ".join(f"h{i} = k{i}" for i in range(8))
+        )
+        from datafusion_dolomite_spark.sql import parse_sql
+
+        lg = qp.optimize_logical(parse_sql(sql, cat2))
+        assert "Join" in lg.explain()
+        rows = to_spark(qp.optimize_physical(lg), spark, cat2).collect()
+        assert rows[0]["n"] == 20  # hub keys 0..19 match every dim once
+    finally:
+        PD._dp_join_order = orig
+    assert calls["dp"] == 0  # 9 leaves: DP was never invoked above the cap
