@@ -318,8 +318,24 @@ class SparkExecutor:
         from pyspark.sql import functions as F
 
         op = node.operator
-        left = self._node(node.inputs[0])
-        right = self._node(node.inputs[1])
+        lin, rin = node.inputs
+        if hint in ("shuffle_hash", "merge"):
+            # a child Exchange hashed on this side's join keys is
+            # REDUNDANT under a keyed shuffle join (EnsureRequirements
+            # inserts the identical exchange) — and worse, the explicit
+            # RepartitionByExpression node BLOCKS Spark's
+            # InjectRuntimeFilter, so the emitted shuffle joins would
+            # never get runtime row-level Bloom filters (pinned in
+            # tests/test_aqe_interplay.py).  Skip it at lowering time;
+            # the optimizer's plan (and its costing, where the enforcer
+            # correctly charges the shuffle the join performs) is
+            # unchanged.
+            keys = op.equi_keys() if hasattr(op, "equi_keys") else None
+            if keys:
+                lin = _skip_redundant_exchange(lin, [k for k, _ in keys] + [k for _, k in keys])
+                rin = _skip_redundant_exchange(rin, [k for _, k in keys] + [k for k, _ in keys])
+        left = self._node(lin)
+        right = self._node(rin)
         if broadcast:
             right = F.broadcast(right)
         elif hint:
@@ -764,6 +780,23 @@ class SparkExecutor:
             (F.col(op.point) >= F.col("__lo")) & (F.col(op.point) < F.col("__hi"))
         )
         return joined.select(*left_cols, *op.right_cols)
+
+
+def _skip_redundant_exchange(node: PlanNode, side_keys):
+    """Unwrap one Exchange hashed on a subset of this side's join keys
+    (the join's own shuffle supersedes it)."""
+    from .operators.physical import Exchange
+    from .operators.properties import DistributionKind
+
+    op = node.operator
+    if (
+        isinstance(op, Exchange)
+        and op.dist is not None
+        and op.dist.kind is DistributionKind.HASHED
+        and set(op.dist.columns) <= set(side_keys)
+    ):
+        return node.inputs[0]
+    return node
 
 
 def _join_condition(op, left_df, right_df):

@@ -82,3 +82,64 @@ def test_cost_chosen_broadcast_survives_aqe(spark, catalog):
         "AQE replanning dropped the cost-chosen broadcast:\n" + final
     )
     assert "SortMergeJoin" not in final
+
+
+def test_runtime_bloom_filter_injects_into_emitted_shuffle_join(spark):
+    """Spark's runtime row-level Bloom-filter join (on by default,
+    thresholds sized for real scans) INJECTS into the shuffle joins this
+    engine emits: with the at-scale conditions simulated (no broadcast,
+    application-side threshold lowered), the optimized plan gains a
+    might_contain(bloom) filter on the fact side built from the
+    selective dim side — free row-level runtime filtering on top of our
+    file-level skipping, for every shuffle join we plan at 100 TB."""
+    from datafusion_dolomite_spark import QueryPlanner, testdata_catalog
+    from datafusion_dolomite_spark.execute import to_spark
+    from datafusion_dolomite_spark.optimizer.cascades.cost import (
+        SparkCostModel,
+    )
+    from datafusion_dolomite_spark.sql import parse_sql
+
+    from .conftest import SF_DIR_ORACLE
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cat = testdata_catalog(SF_DIR_ORACLE)
+        qp = QueryPlanner(
+            spark,
+            cat,
+            cost_model=SparkCostModel(
+                broadcast_row_threshold=0, broadcast_bytes_threshold=0
+            ),
+        )
+        sql = (
+            "select count(*) as n from lineitem join orders "
+            "on l_orderkey = o_orderkey "
+            "where o_orderdate >= '1996-01-01' and o_orderdate < '1996-03-01'"
+        )
+        df = to_spark(qp.optimize(parse_sql(sql, cat)), spark, cat)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        # and the filtered plan still computes the right answer
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("lineitem", "orders"):
+            con.sql(
+                f"create view {t} as select * from "
+                f"read_parquet('{SF_DIR_ORACLE}/{t}.parquet')"
+            )
+        assert df.collect()[0]["n"] == con.sql(sql).fetchone()[0]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
