@@ -683,12 +683,15 @@ def _propagate_columns(op: Operator, input_stats, ctx, out_rows: float):
             cols = tuple((n, cs) for n, cs in cols if n in keep)
     else:
         return ()
-    from dataclasses import replace as _dc_replace
-
+    # direct construction instead of dataclasses.replace — this runs
+    # once per memo expression per column and replace()'s field
+    # introspection was ~10% of q8's total planning time
     return tuple(
         (
             n,
-            _dc_replace(cs, ndv=min(cs.ndv, out_rows))
+            ColumnStatistics(
+                ndv=out_rows, min=cs.min, max=cs.max, top_count=cs.top_count
+            )
             if cs.ndv > out_rows
             else cs,
         )

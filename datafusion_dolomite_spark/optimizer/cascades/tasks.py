@@ -73,6 +73,13 @@ class TaskRunner:
         self.stack: List[Task] = []
         self._scheduled_groups: set[Tuple[int, PhysicalPropertySet]] = set()
         self.transformations_created = 0
+        # rule patterns are pure values; building them fresh on every
+        # (rule x expr) match attempt was a measurable slice of planning
+        # time on 8-way joins — construct once per run
+        self._patterns = {id(r): r.pattern() for r in self.rules}
+
+    def pattern(self, rule: Rule) -> Pattern:
+        return self._patterns[id(rule)]
 
     # -- scheduler loop (ref task.rs:58-80) -----------------------------
     def run(self, root_required: PhysicalPropertySet) -> None:
@@ -137,7 +144,7 @@ class OptimizeExpressionTask(Task):
         for rule in reversed(r.rules):
             if rule.rule_id() in self.expr.applied_rules:
                 continue
-            if rule.pattern().matches_operator(self.expr.operator):
+            if r.pattern(rule).matches_operator(self.expr.operator):
                 r.push(ApplyRuleTask(self.expr, rule, self.required))
         for gid in self.expr.inputs:
             r.push(ExploreGroupTask(gid, self.required))
@@ -173,7 +180,7 @@ class ApplyRuleTask(Task):
         ):
             return  # budget spent — leave the rule re-appliable, skip now
         self.expr.applied_rules.add(self.rule.rule_id())
-        for binding in _bindings(r.memo, self.rule.pattern(), self.expr):
+        for binding in _bindings(r.memo, r.pattern(self.rule), self.expr):
             result = RuleResult()
             self.rule.apply(OptExpression(binding), r.ctx, result)
             for produced in result.exprs:

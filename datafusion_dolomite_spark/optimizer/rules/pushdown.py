@@ -256,6 +256,74 @@ def _dp_join_step_cost(s_left, s_right, model) -> float:
     return 3.0 * (r1 + r2) + 1.5 * (probe + 2.0 * build)
 
 
+class _DpStats:
+    """Minimal stats record for the DP join-enumeration hot loop.  Only
+    the three fields the enumeration actually reads survive:
+    ``row_count`` and ``avg_row_bytes`` (consumed by
+    ``_dp_join_step_cost`` / ``_too_big_to_broadcast``, which duck-type
+    on exactly those) and per-column ndv floats (consumed by the
+    selectivity mirror in ``_dp_join_stats``).  min/max/top_count never
+    influence the DP choice, so carrying full ``ColumnStatistics``
+    objects per candidate — ~250k object constructions on an 8-way
+    join — was pure waste."""
+
+    __slots__ = ("row_count", "avg_row_bytes", "ndvs")
+
+    def __init__(self, row_count, avg_row_bytes, ndvs):
+        self.row_count = row_count
+        self.avg_row_bytes = avg_row_bytes
+        self.ndvs = ndvs  # dict: column name → ndv (already capped)
+
+
+def _dp_stats_of(st) -> _DpStats:
+    """Project a full ``Statistics`` down to the DP record."""
+    return _DpStats(
+        st.row_count,
+        st.avg_row_bytes,
+        {name: cs.ndv for name, cs in st.columns},
+    )
+
+
+def _dp_join_stats(ls: _DpStats, rs: _DpStats, pairs) -> _DpStats:
+    """Numerically identical fast path of ``derive_stats(
+    LogicalJoin(AND of the pairs' equi conjuncts), [ls, rs])``: same
+    System-R ndv selectivity (cost.py ``_equi_key_ndv_selectivity``),
+    same left-preferred column merge with the ndv ≤ row_count cap
+    (``_propagate_columns``), same summed width (``_propagate_width``
+    join branch) — minus the per-candidate expression rebuild and
+    per-column object construction.  ``pairs`` holds (col_a, col_b)
+    tuples for equi conjuncts, None for anything else.  Pinned
+    equivalent to the slow path by ``tests/test_join_order.py``'s
+    differential case."""
+    lcols, rcols = ls.ndvs, rs.ndvs
+    sel = None
+    if lcols or rcols:
+        for pair in pairs:
+            if pair is None:
+                continue
+            a, b = pair
+            if a in lcols and b in rcols and a not in rcols and b not in lcols:
+                lk, rk = a, b
+            elif b in lcols and a in rcols and b not in rcols and a not in lcols:
+                lk, rk = b, a
+            else:
+                continue
+            ndv = max(lcols[lk], rcols[rk])
+            if ndv <= 0:
+                continue
+            sel = (sel if sel is not None else 1.0) / ndv
+    lr, rr = ls.row_count, rs.row_count
+    if sel is not None:
+        out = max(1.0, lr * rr * sel)
+    else:
+        out = max(lr, 1.0)  # no usable ndv: FK→PK, ≈ probe side
+    merged = {name: ndv if ndv <= out else out for name, ndv in lcols.items()}
+    for name, ndv in rcols.items():
+        if name not in merged:
+            merged[name] = ndv if ndv <= out else out
+    return _DpStats(out, ls.avg_row_bytes + rs.avg_row_bytes, merged)
+
+
 def _dp_join_order(leaves, schemas, conjuncts, crefs, n_cross, ctx):
     """Exact bushy join enumeration: DP over CONNECTED subgraphs
     (DPsub): for every leaf subset, the cheapest way to join a partition
@@ -269,8 +337,8 @@ def _dp_join_order(leaves, schemas, conjuncts, crefs, n_cross, ctx):
     (no catalog stats, or DP couldn't reduce the cartesian count)."""
     import math as _math
 
-    from ...expr import Lit
-    from ..cascades.cost import SparkCostModel, derive_stats
+    from ...expr import BinOp, Col, Lit
+    from ..cascades.cost import SparkCostModel
 
     if ctx is None or getattr(ctx, "catalog", None) is None:
         return None
@@ -281,6 +349,26 @@ def _dp_join_order(leaves, schemas, conjuncts, crefs, n_cross, ctx):
         leaf_stats = [_subtree_stats(n, ctx) for n in leaves]
     except Exception:
         return None
+
+    # equi conjuncts pre-parsed once: index → (col_a, col_b) for
+    # ``a = b`` column pairs (None = not an equi conjunct).  The hot
+    # loop below evaluates O(3^n) candidate partitions; re-deriving
+    # this from the expression tree per candidate (what derive_stats
+    # does) was ~35% of q8's total planning time.
+    equi_pairs: list = []
+    for c in conjuncts:
+        if (
+            isinstance(c, BinOp)
+            and c.op == "="
+            and isinstance(c.left, Col)
+            and isinstance(c.right, Col)
+        ):
+            equi_pairs.append((c.left.name, c.right.name))
+        else:
+            equi_pairs.append(None)
+
+    def _fast_join_stats(ls, rs, conds):
+        return _dp_join_stats(ls, rs, [equi_pairs[i] for i in conds])
 
     n = len(leaves)
     full = (1 << n) - 1
@@ -312,7 +400,7 @@ def _dp_join_order(leaves, schemas, conjuncts, crefs, n_cross, ctx):
     # (sub, other) partition
     best: dict = {}
     for i in range(n):
-        best[1 << i] = (0.0, leaf_stats[i], 0, i)
+        best[1 << i] = (0.0, _dp_stats_of(leaf_stats[i]), 0, i)
     masks = sorted(
         (m for m in range(3, full + 1) if m & (m - 1)),
         key=lambda m: bin(m).count("1"),
@@ -326,11 +414,7 @@ def _dp_join_order(leaves, schemas, conjuncts, crefs, n_cross, ctx):
                 conds = cross_conds(sub, other)
                 bs, bo = best.get(sub), best.get(other)
                 if bs is not None and bo is not None:
-                    cond = _and_all([conjuncts[i] for i in conds])
-                    join = LogicalJoin(
-                        JoinType.INNER, cond if cond is not None else Lit(True)
-                    )
-                    st = derive_stats(join, [bs[1], bo[1]], ctx)
+                    st = _fast_join_stats(bs[1], bo[1], conds)
                     cost = (
                         bs[0] + bo[0] + _dp_join_step_cost(bs[1], bo[1], model)
                     )
