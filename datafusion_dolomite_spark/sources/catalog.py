@@ -206,15 +206,23 @@ class Catalog:
     def pop_view_definition(self, name: str):
         return getattr(self, "_pending_defs", {}).pop(name, None)
 
-    def warehouse_path(self, table_name: str) -> str:
-        """Managed location for tables this engine CREATEs (CTAS sink).
-        Defaults to a per-process temp warehouse; on a cluster this is
-        the metastore's warehouse dir."""
+    def warehouse_root(self) -> str:
+        """The warehouse directory itself (lazily created).  Besides
+        managed table dirs it holds the persisted DML version log
+        (``_versions/``, sources/dml.py) — a catalog constructed with an
+        explicit ``warehouse=`` therefore keeps time-travel lineage
+        across sessions."""
         if self._warehouse is None:
             import tempfile
 
             self._warehouse = tempfile.mkdtemp(prefix="ddspark_warehouse_")
-        return os.path.join(self._warehouse, table_name)
+        return self._warehouse
+
+    def warehouse_path(self, table_name: str) -> str:
+        """Managed location for tables this engine CREATEs (CTAS sink).
+        Defaults to a per-process temp warehouse; on a cluster this is
+        the metastore's warehouse dir."""
+        return os.path.join(self.warehouse_root(), table_name)
 
     def register(
         self,

@@ -1,0 +1,248 @@
+"""Delta-sized DML (r8, VERDICT r7 items 2-4): INSERT INTO appends
+O(delta) files, predicated UPDATE/DELETE/MERGE carry provably-untouched
+files forward as hardlinks (footer min/max pruning, sources/dml.py),
+and the version log persists so VERSION AS OF survives a new session.
+
+Hardlink pins use inodes: a carried file shares st_ino with its
+previous-version original (zero bytes copied); a rewritten file does
+not."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datafusion_dolomite_spark import QueryPlanner
+from datafusion_dolomite_spark.sources.catalog import Catalog
+from datafusion_dolomite_spark.sources import dml
+
+
+def _inodes(path):
+    return {os.stat(f).st_ino for f in dml.data_files(path)}
+
+
+def _carried(qp, table, before_inodes):
+    """(carried, new) data-file counts of the table's current version
+    vs a previous version's inode set."""
+    files = dml.data_files(qp.catalog.path(table))
+    carried = [f for f in files if os.stat(f).st_ino in before_inodes]
+    return carried, [f for f in files if os.stat(f).st_ino not in before_inodes]
+
+
+@pytest.fixture()
+def qp(spark, tmp_path):
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    spark.createDataFrame(
+        [(i, i * 10, "x") for i in range(10)],
+        "k bigint, v bigint, tag string",
+    ).coalesce(1).write.parquet(str(tmp_path / "t0"))
+    cat.register("t", str(tmp_path / "t0"))
+    return QueryPlanner(spark, cat)
+
+
+@pytest.fixture()
+def clustered(spark, tmp_path):
+    """A 100-row table k=0..99 laid out as 4 files, each covering one
+    disjoint k band of 25 — the clustered layout file pruning needs."""
+    path = str(tmp_path / "clustered")
+    for b in range(4):
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(b * 25, b * 25 + 25)],
+            "k bigint, v bigint",
+        ).coalesce(1).write.mode("append").parquet(path)
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    cat.register("c", path)
+    return QueryPlanner(spark, cat), path
+
+
+def test_insert_appends_only_delta_files(qp, spark):
+    """VERDICT item 2 pin: inserting N rows into a T-row table writes
+    O(N) rows of NEW files; every pre-existing file is carried forward
+    as a hardlink (zero data bytes copied), and time travel still reads
+    the original exactly."""
+    before = _inodes(qp.catalog.path("t"))
+    out = qp.sql(
+        "insert into t select cast(k + 100 as bigint) as k, v, tag "
+        "from t where k < 3"
+    )
+    assert out.count() == 13
+    carried, new = _carried(qp, "t", before)
+    # all original files carried via hardlink, not rewritten
+    assert len(carried) == len(before)
+    assert all(os.stat(f).st_nlink >= 2 for f in carried)
+    # the new files hold exactly the 3 inserted rows — O(delta)
+    assert spark.read.parquet(*new).count() == 3
+    assert qp.sql("select * from t version as of 0").count() == 10
+
+
+def test_delete_prunes_nonoverlapping_files(clustered, spark):
+    """VERDICT item 3 pin: a selective DELETE on clustered data rewrites
+    ONLY the files whose [min,max] band overlaps the predicate — here
+    k >= 75 touches 1 of 4 band files; the other 3 carry as links."""
+    qp, path = clustered
+    before = _inodes(path)
+    out = qp.sql("delete from c where k >= 75")
+    assert out.count() == 75
+    carried, new = _carried(qp, "c", before)
+    assert len(carried) == 3
+    assert spark.read.parquet(*new).count() == 0 if new else True
+    # the pruned result is exactly the surviving rows
+    assert sorted(r["k"] for r in out.collect()) == list(range(75))
+
+
+def test_update_prunes_nonoverlapping_files(clustered, spark):
+    qp, path = clustered
+    before = _inodes(path)
+    out = qp.sql("update c set v = 0 where k < 25")
+    carried, new = _carried(qp, "c", before)
+    assert len(carried) == 3  # only the [0,24] file rewritten
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert all(got[k] == 0 for k in range(25))
+    assert all(got[k] == k * 2 for k in range(25, 100))
+
+
+def test_unprovable_predicate_falls_back_to_full_rewrite(clustered):
+    """A predicate pruning can't model (expression on the left) must
+    fall back to the r7 full rewrite — correctness never depends on
+    skipping."""
+    qp, path = clustered
+    before = _inodes(path)
+    out = qp.sql("delete from c where k + 0 >= 75")
+    assert out.count() == 75
+    carried, _ = _carried(qp, "c", before)
+    assert carried == []  # nothing provable → everything rewritten
+
+
+def test_merge_prunes_target_files_outside_source_key_range(
+    clustered, spark, tmp_path
+):
+    """MERGE pruning: target files whose key band cannot intersect the
+    source's [min,max] key range carry forward untouched."""
+    qp, path = clustered
+    spark.createDataFrame(
+        [(k, 999) for k in range(80, 90)], "k bigint, v bigint"
+    ).write.parquet(str(tmp_path / "src"))
+    qp.catalog.register("s", str(tmp_path / "src"))
+    before = _inodes(path)
+    out = qp.sql(
+        "merge into c as t using s as s on t.k = s.k "
+        "when matched then update set v = s.v "
+        "when not matched then insert *"
+    )
+    carried, _ = _carried(qp, "c", before)
+    assert len(carried) == 3  # bands [0,24] [25,49] [50,74] untouched
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert len(got) == 100
+    assert all(got[k] == 999 for k in range(80, 90))
+    assert got[0] == 0 and got[75] == 150
+
+
+def test_version_as_of_survives_new_session(spark, tmp_path):
+    """VERDICT item 4 pin: versions created in one planner are readable
+    from a NEW planner over a NEW catalog (same warehouse + same base
+    registration) — the persisted version log is the lineage."""
+    wh = str(tmp_path / "wh")
+    base = str(tmp_path / "t0")
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "k bigint, v bigint"
+    ).coalesce(1).write.parquet(base)
+
+    cat1 = Catalog(warehouse=wh)
+    cat1.register("t", base)
+    qp1 = QueryPlanner(spark, cat1)
+    qp1.sql("delete from t where k >= 7").count()   # v1: 7 rows
+    qp1.sql("update t set v = 0 where k = 0").count()  # v2
+
+    cat2 = Catalog(warehouse=wh)
+    cat2.register("t", base)  # a session registers the BASE table
+    qp2 = QueryPlanner(spark, cat2)
+    # current registration follows the log head (v2)
+    assert cat2.path("t") == qp1.catalog.path("t")
+    assert qp2.sql("select * from t version as of 0").count() == 10
+    assert qp2.sql("select * from t version as of 1").count() == 7
+    v2 = {r["k"]: r["v"] for r in qp2.sql(
+        "select * from t version as of 2"
+    ).collect()}
+    assert v2[0] == 0 and v2[1] == 10
+    # and the lineage continues: one more DML appends version 3
+    qp2.sql("delete from t where k = 1").count()
+    assert qp2.sql("select * from t version as of 3").count() == 6
+    assert qp2.sql("select * from t version as of 1").count() == 7
+
+
+def test_stale_log_resets_lineage(spark, tmp_path):
+    """Re-registering a table at NEW data kills the old lineage: the
+    first DML starts versioning from the new base instead of serving
+    another table's history."""
+    wh = str(tmp_path / "wh")
+    base = str(tmp_path / "t0")
+    spark.createDataFrame([(1,)], "k bigint").write.parquet(base)
+    cat1 = Catalog(warehouse=wh)
+    cat1.register("t", base)
+    qp1 = QueryPlanner(spark, cat1)
+    qp1.sql("delete from t where k = 1").count()
+
+    base2 = str(tmp_path / "t0b")
+    spark.createDataFrame([(7,), (8,)], "k bigint").write.parquet(base2)
+    cat2 = Catalog(warehouse=wh)
+    cat2.register("t", base2)  # DIFFERENT base — old log must not apply
+    qp2 = QueryPlanner(spark, cat2)
+    assert cat2.path("t") == base2
+    with pytest.raises(Exception):
+        qp2.sql("select * from t version as of 0").count()
+    qp2.sql("delete from t where k = 7").count()
+    assert qp2.sql("select * from t version as of 0").count() == 2
+    assert qp2.sql("select * from t version as of 1").count() == 1
+
+
+def test_macro_expands_inside_dml(qp):
+    """ADVICE r7: CREATE FUNCTION macros must expand inside DML
+    statements (expansion now runs before the DML matchers)."""
+    qp.sql("create function big(x) as x >= 7").count()
+    out = qp.sql("delete from t where big(k)")
+    assert out.count() == 7
+
+
+def test_macro_substitution_is_hygienic(qp):
+    """ADVICE r7: single-pass parameter substitution — an argument that
+    IS a later parameter's name must not be re-substituted, and a
+    backslash in a string-literal argument must not raise re.error."""
+    qp.sql("create function addup(a, b) as a + b").count()
+    rows = qp.sql(
+        "select addup(b, 2) as s from (select v as b from t where k = 1) q"
+    ).collect()
+    assert rows[0]["s"] == 12  # the bug expanded to (2) + (2) = 4
+    qp.sql("create function ident(x) as x").count()
+    rows = qp.sql(
+        "select ident('a\\d') as s from t where k = 0"
+    ).collect()
+    assert rows[0]["s"] == "a\\d"
+
+
+def test_merge_into_csv_registered_target(spark, tmp_path):
+    """ADVICE r7: MERGE INTO a csv-registered table must use the
+    format-aware scan's schema, not re-read the files as parquet."""
+    import csv
+
+    tdir = tmp_path / "tcsv"
+    tdir.mkdir()
+    with open(tdir / "data.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["k", "v"])
+        for i in range(5):
+            w.writerow([i, i * 10])
+    spark.createDataFrame([(1, 111), (9, 999)], "k bigint, v bigint").write.parquet(
+        str(tmp_path / "scsv")
+    )
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    cat.register("t", str(tdir), format="csv")
+    cat.register("s", str(tmp_path / "scsv"))
+    qp = QueryPlanner(spark, cat)
+    out = qp.sql(
+        "merge into t as t using s as s on t.k = s.k "
+        "when matched then update set v = s.v "
+        "when not matched then insert *"
+    )
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {0: 0, 1: 111, 2: 20, 3: 30, 4: 40, 9: 999}
