@@ -4318,15 +4318,15 @@ def q_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL MACROS via CREATE FUNCTION (r7) — DuckDB's CREATE MACRO on
-    our front door: user-named scalar functions stored on the planner
-    and textually expanded (balanced-paren args, parenthesized
-    substitution, macros-calling-macros) BEFORE parsing, so the whole
-    optimizer pipeline sees plain expressions and the macros cost
-    nothing at run time — no UDF in the plan, pure codegen
-    (planner.py::_expand_sql_macros).  The oracle runs the same query
-    with the expansions inlined by hand — proving the expansion is
-    exactly textual."""
+    """SQL MACROS via CREATE FUNCTION (r7; r8: parser-level) — DuckDB's
+    CREATE MACRO on our front door: the body parses to expression IR at
+    definition time and every call site substitutes its parsed argument
+    expressions structurally inside the parser (sql.py::_call +
+    _substitute_params; macros-calling-macros freeze at definition), so
+    the whole optimizer pipeline sees plain expressions and the macros
+    cost nothing at run time — no UDF in the plan, pure codegen.  The
+    oracle runs the same query with the expansions inlined by hand —
+    proving the expansion is exactly structural inlining."""
     pl = _planner(spark, sf_dir)
     pl.sql(
         "create or replace function cents(x) as "

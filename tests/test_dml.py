@@ -89,3 +89,39 @@ def test_macro_expansion_skips_string_literals(qp):
     )
     rows = sorted((r["k"], r["dv"], r["label"]) for r in out.collect())
     assert rows == [(0, 0, "double_it(9)"), (1, 20, "double_it(9)")]
+
+
+def test_macro_arg_with_comma_in_string_literal(qp):
+    """A case NO textual expander survives (VERDICT r7 item 5): the
+    argument contains a comma inside a string literal — a balanced-paren
+    text splitter sees two arguments and bails (arity mismatch →
+    unresolved function).  Parser-level expansion parses the argument as
+    one expression."""
+    qp.sql("create function tagit(x) as concat(x, '!')").count()
+    rows = qp.sql(
+        "select tagit(concat('a,b', tag)) as s from t where k = 0"
+    ).collect()
+    assert rows[0]["s"] == "a,bx!"
+
+
+def test_macro_name_as_column_alias(qp):
+    """A macro name used as a COLUMN ALIAS (and in ORDER BY through that
+    alias) must not confuse expansion — the parser only expands at call
+    sites."""
+    qp.sql("create function double_it(x) as (x + x)").count()
+    rows = qp.sql(
+        "select k, double_it(v) as double_it from t where k <= 1 "
+        "order by double_it"
+    ).collect()
+    assert [(r["k"], r["double_it"]) for r in rows] == [(0, 0), (1, 20)]
+
+
+def test_macro_calls_macro_frozen_at_definition(qp):
+    """Nested macros expand at DEFINITION time (the body is parsed to IR
+    once), so redefining the inner macro later does not retroactively
+    change the outer one — and cycles are impossible."""
+    qp.sql("create function inc(x) as x + 1").count()
+    qp.sql("create function inc2(x) as inc(inc(x))").count()
+    qp.sql("create or replace function inc(x) as x + 100").count()
+    rows = qp.sql("select inc2(k) as a, inc(k) as b from t where k = 0").collect()
+    assert rows[0]["a"] == 2 and rows[0]["b"] == 100
