@@ -137,6 +137,34 @@ class SparkExecutor:
         _SCAN_CACHE[key] = (self.spark, df)
         return df
 
+    def _side_df_skipping_redundant_exchange(self, node: PlanNode, keys):
+        """Build one join side's DataFrame, unwrapping a child Exchange
+        hashed on a subset of THIS side's join keys (the keyed shuffle
+        join's own exchange supersedes it, and the explicit
+        RepartitionByExpression would block Spark's runtime Bloom-filter
+        injection).  Tightened (VERDICT r7 item 8): the side's key names
+        resolve against the child's ACTUAL columns — an Exchange hashed
+        on the OTHER side's key name is NOT unwrapped (pinned in
+        tests/test_aqe_interplay.py).  The child DataFrame is built once
+        and reused either way (plans below a join may carry bounded
+        driver work, e.g. the DPP skipping scan — never run it twice)."""
+        from .operators.physical import Exchange
+        from .operators.properties import DistributionKind
+
+        op = node.operator
+        if not (
+            isinstance(op, Exchange)
+            and op.dist is not None
+            and op.dist.kind is DistributionKind.HASHED
+        ):
+            return self._node(node)
+        child = self._node(node.inputs[0])
+        if set(op.dist.columns) <= _join_side_key_names(
+            keys, set(child.columns)
+        ):
+            return child
+        return child.repartition(*op.dist.columns)
+
     # -- unary ----------------------------------------------------------
     def _filter(self, node: PlanNode):
         op = node.operator
@@ -332,10 +360,12 @@ class SparkExecutor:
             # unchanged.
             keys = op.equi_keys() if hasattr(op, "equi_keys") else None
             if keys:
-                lin = _skip_redundant_exchange(lin, [k for k, _ in keys] + [k for _, k in keys])
-                rin = _skip_redundant_exchange(rin, [k for _, k in keys] + [k for k, _ in keys])
-        left = self._node(lin)
-        right = self._node(rin)
+                left = self._side_df_skipping_redundant_exchange(lin, keys)
+                right = self._side_df_skipping_redundant_exchange(rin, keys)
+            else:
+                left, right = self._node(lin), self._node(rin)
+        else:
+            left, right = self._node(lin), self._node(rin)
         if broadcast:
             right = F.broadcast(right)
         elif hint:
@@ -782,21 +812,12 @@ class SparkExecutor:
         return joined.select(*left_cols, *op.right_cols)
 
 
-def _skip_redundant_exchange(node: PlanNode, side_keys):
-    """Unwrap one Exchange hashed on a subset of this side's join keys
-    (the join's own shuffle supersedes it)."""
-    from .operators.physical import Exchange
-    from .operators.properties import DistributionKind
-
-    op = node.operator
-    if (
-        isinstance(op, Exchange)
-        and op.dist is not None
-        and op.dist.kind is DistributionKind.HASHED
-        and set(op.dist.columns) <= set(side_keys)
-    ):
-        return node.inputs[0]
-    return node
+def _join_side_key_names(keys, side_cols):
+    """The key names that belong to THIS side of an equi join: each
+    (lk, rk) pair contributes whichever of its names the side's schema
+    actually carries (the condition may be written right-side-first, so
+    pair position is not trustworthy — column membership is)."""
+    return {k for pair in keys for k in pair if k in side_cols}
 
 
 def _join_condition(op, left_df, right_df):

@@ -205,7 +205,9 @@ def incremental_minhash_dedup(
     have_index = os.path.exists(os.path.join(index_dir, "_SUCCESS"))
     ids = batch_df.select(F.col(id_col).alias("doc_id")).distinct()
     if have_index:
-        idx = spark.read.parquet(index_dir).filter(
+        # _live_index: tombstoned docs (signature_index_delete) stop
+        # matching IMMEDIATELY, before any compaction
+        idx = _live_index(spark, index_dir).filter(
             F.col("_batch") != F.lit(batch_label)
         )
         agree = sum(
@@ -254,6 +256,85 @@ def incremental_minhash_dedup(
         n_indexed = to_index.count()
         to_index.write.mode("append").parquet(index_dir)
     return result, n_indexed
+
+
+def _tombstone_dir(index_dir: str) -> str:
+    # underscore prefix: Spark/Hadoop and pyarrow file listings skip
+    # `_`-prefixed children, so the tombstones live INSIDE the index
+    # dir without polluting `spark.read.parquet(index_dir)`
+    import os
+
+    return os.path.join(index_dir, "_tombstones")
+
+
+def _live_index(spark, index_dir: str):
+    """The signature index minus tombstoned docs.  The anti-join's
+    build side is the (small) tombstone set — broadcast at scale; the
+    index itself streams through map-side."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    idx = spark.read.parquet(index_dir)
+    tdir = _tombstone_dir(index_dir)
+    if os.path.exists(os.path.join(tdir, "_SUCCESS")):
+        tombs = spark.read.parquet(tdir).distinct()
+        idx = idx.join(F.broadcast(tombs), ["doc_id", "_batch"], "left_anti")
+    return idx
+
+
+def signature_index_delete(spark, index_dir: str, ids_df, id_col: str = "doc_id") -> int:
+    """Tombstone documents in the persisted signature index (VERDICT r7
+    item 6 — the first operational need after a few hundred batches):
+    records the docs' CURRENT (doc_id, _batch) index rows under
+    ``<index>/_tombstones`` WITHOUT touching the index files — the
+    Delta-style soft delete.  Keying tombstones on (doc, batch) rather
+    than the bare doc id means a later RE-INGEST of the same doc is a
+    fresh lineage, not permanently shadowed.  Probes
+    (``incremental_minhash_dedup``) exclude tombstoned rows
+    immediately; ``compact_signature_index`` physically drops them
+    later.  Returns the number of docs tombstoned (docs with no index
+    rows count zero)."""
+    from pyspark.sql import functions as F
+
+    ids = ids_df.select(F.col(id_col).alias("doc_id")).distinct()
+    tombs = (
+        spark.read.parquet(index_dir)
+        .join(F.broadcast(ids), "doc_id")
+        .select("doc_id", "_batch")
+        .distinct()
+    )
+    n = tombs.select("doc_id").distinct().count()
+    tombs.write.mode("append").parquet(_tombstone_dir(index_dir))
+    return n
+
+
+def compact_signature_index(spark, index_dir: str):
+    """Compact the signature index: physically drop tombstoned docs,
+    keep ONE row per (doc, band) (re-parameterized or double-appended
+    lineages collapse), rewrite, and clear the tombstones.  Returns
+    ``(rows_before, rows_after)``.
+
+    100 TB shape: one pass over the index — a broadcast anti-join
+    against the tombstone set plus a (doc_id, band_idx) dedup shuffle
+    of 8-byte-keyed rows; the rewrite is the index's own size, which is
+    bands×(1+n) ints per doc, orders of magnitude under the corpus.
+    The rewrite goes to a sibling temp dir and swaps in (the index is
+    fully materialized before the old dir is removed — readers never
+    see a partial index)."""
+    import os
+    import shutil
+
+    before = spark.read.parquet(index_dir).count()
+    live = _live_index(spark, index_dir).dropDuplicates(
+        ["doc_id", "band_idx"]
+    )
+    tmp = index_dir.rstrip("/") + "__compacting"
+    live.write.mode("overwrite").parquet(tmp)
+    after = spark.read.parquet(tmp).count()
+    shutil.rmtree(index_dir)
+    os.replace(tmp, index_dir)
+    return before, after
 
 
 def minhash_candidates(

@@ -143,3 +143,52 @@ def test_runtime_bloom_filter_injects_into_emitted_shuffle_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_exchange_on_other_sides_key_is_not_unwrapped(spark, catalog):
+    """Tightened `_side_df_skipping_redundant_exchange` (r8, VERDICT r7
+    item 8): an Exchange under a shuffle join is unwrapped ONLY when its
+    hash columns are THIS side's join keys, resolved against the
+    child's ACTUAL schema — hashed on any other column of the child
+    (hand-built plans can do this), the repartition must survive into
+    the emitted plan; hashed on a column the child doesn't even carry,
+    the unwrap must not silently hide the invalid plan."""
+    from datafusion_dolomite_spark.execute import SparkExecutor
+    from datafusion_dolomite_spark.expr import BinOp, Col
+    from datafusion_dolomite_spark.operators.logical import JoinType
+    from datafusion_dolomite_spark.operators.physical import (
+        Exchange,
+        PhysicalHashJoin,
+        PhysicalTableScan,
+    )
+    from datafusion_dolomite_spark.operators.properties import (
+        DistributionSpec,
+    )
+    from datafusion_dolomite_spark.plans.plan import Plan, PlanNode
+
+    cond = BinOp("=", Col("o_custkey"), Col("c_custkey"))
+
+    def plan(exchange_cols):
+        orders = PlanNode(PhysicalTableScan("orders"))
+        cust = PlanNode(PhysicalTableScan("customer"))
+        left = PlanNode(
+            Exchange(DistributionSpec.hashed(tuple(exchange_cols))), [orders]
+        )
+        return Plan(
+            PlanNode(PhysicalHashJoin(JoinType.INNER, cond), [left, cust])
+        )
+
+    ex = SparkExecutor(spark, catalog)
+    # own join key → unwrapped: no RepartitionByExpression in the plan
+    own = ex.execute(plan(["o_custkey"]))
+    assert "RepartitionByExpression" not in own._jdf.queryExecution().logical().toString()
+    # a non-key column of the child → NOT unwrapped
+    other = ex.execute(plan(["o_orderkey"]))
+    assert "RepartitionByExpression" in other._jdf.queryExecution().logical().toString()
+    # hashed on the OTHER side's key name (not in this child at all) →
+    # not unwrapped either; Spark then rejects the invalid repartition
+    # instead of the unwrap masking it
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="c_custkey"):
+        ex.execute(plan(["c_custkey"])).collect()

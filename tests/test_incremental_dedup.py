@@ -114,3 +114,88 @@ def test_history_never_reread(spark, tmp_path, corpus):
     )
     verdict = {r["doc_id"]: r["kept"] for r in r2.collect()}
     assert verdict == {10: False, 11: True, 12: False}
+
+
+def test_delete_and_compact_index_lifecycle(spark, tmp_path, corpus):
+    """Index lifecycle (r8, VERDICT r7 item 6): tombstone batch 2's
+    docs, compact — the index physically shrinks by batch 2's rows, the
+    tombstones are cleared, and a re-probe of batch 2's content (fresh
+    ids, no label exclusion) no longer matches anything from batch 2."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.functions.dedup import (
+        compact_signature_index,
+        signature_index_delete,
+    )
+
+    batch1, batch2 = corpus
+    idx = str(tmp_path / "index")
+    incremental_minhash_dedup(
+        spark, batch1, idx, "doc_id", "text", batch_label="b1"
+    )
+    r2, n2 = incremental_minhash_dedup(
+        spark, batch2, idx, "doc_id", "text", batch_label="b2"
+    )
+    batch3 = _docs(spark, [(20, "a fresh third batch about sailing")])
+    incremental_minhash_dedup(
+        spark, batch3, idx, "doc_id", "text", batch_label="b3"
+    )
+    total = spark.read.parquet(idx).count()
+    b2_rows = spark.read.parquet(idx).filter(F.col("_batch") == "b2").count()
+    assert n2 == b2_rows > 0
+
+    # tombstone batch 2's surviving docs: immediate effect pre-compaction
+    deleted = signature_index_delete(
+        spark, idx, r2.filter(F.col("kept")).select("doc_id")
+    )
+    assert deleted == 1  # only doc 11 survived b2 (10 and 12 were dups)
+    probe = _docs(spark, [(99, "tides and orbital mechanics of small moons")])
+    r_pre, _ = incremental_minhash_dedup(
+        spark, probe, idx, "doc_id", "text",
+        batch_label="probe", update_index=False,
+    )
+    assert r_pre.collect()[0]["n_matches"] == 0  # doc 11's twin — tombstoned
+
+    # compact: rows physically drop, tombstones clear
+    before, after = compact_signature_index(spark, idx)
+    assert before == total
+    assert after == total - b2_rows
+    assert spark.read.parquet(idx).filter(F.col("_batch") == "b2").count() == 0
+    import os
+
+    assert not os.path.exists(os.path.join(idx, "_tombstones", "_SUCCESS"))
+
+    # batch 1 and 3 history still probes normally after compaction
+    probe1 = _docs(spark, [(100, BASE)])
+    r_b1, _ = incremental_minhash_dedup(
+        spark, probe1, idx, "doc_id", "text",
+        batch_label="probe1", update_index=False,
+    )
+    assert r_b1.collect()[0]["n_matches"] >= 1
+
+
+def test_compact_collapses_duplicate_lineages(spark, tmp_path, corpus):
+    """Re-ingesting under a DIFFERENT label double-appends a doc's
+    signatures; compaction keeps one row per (doc, band)."""
+    batch1, _ = corpus
+    idx = str(tmp_path / "index")
+    incremental_minhash_dedup(
+        spark, batch1, idx, "doc_id", "text", batch_label="b1"
+    )
+    one = spark.read.parquet(idx).count()
+    # the same docs under a new label: idempotence excludes only the
+    # SAME label, so these all match history and nothing new is kept —
+    # force-append by deleting first to simulate a re-parameterized
+    # lineage
+    from datafusion_dolomite_spark.functions.dedup import (
+        compact_signature_index,
+        signature_index_delete,
+    )
+
+    signature_index_delete(spark, idx, batch1.selectExpr("doc_id"))
+    incremental_minhash_dedup(
+        spark, batch1, idx, "doc_id", "text", batch_label="b1bis"
+    )
+    assert spark.read.parquet(idx).count() == 2 * one
+    before, after = compact_signature_index(spark, idx)
+    assert (before, after) == (2 * one, one)
