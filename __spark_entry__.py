@@ -2286,6 +2286,26 @@ EXTENSION_ORACLES = {
         SELECT c_custkey + 1000000, c_nationkey, 0::BIGINT
         FROM after_update WHERE c_custkey <= 10
     """,
+    "q_sql_time_travel": """
+        WITH base AS (
+          SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey <= 500
+        )
+        SELECT * FROM base WHERE NOT (c_nationkey >= 10)
+    """,
+    "q_sql_optimize": """
+        WITH base AS (
+          SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey <= 2000
+        ),
+        cur AS (
+          SELECT * FROM base
+          UNION ALL
+          SELECT o_orderkey + 1000000, o_custkey FROM base WHERE o_orderkey <= 200
+        )
+        SELECT o_custkey, count(*) AS n,
+               min(o_orderkey)::BIGINT AS min_k,
+               max(o_orderkey)::BIGINT AS max_k
+        FROM cur GROUP BY o_custkey ORDER BY o_custkey
+    """,
     "q_sql_udf": """
         SELECT l_returnflag,
                sum(floor(l_extendedprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS gross_cents,
@@ -4369,6 +4389,57 @@ def q_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "insert into cust_work select c_custkey + 1000000 as c_custkey, "
         "c_nationkey, cast(0 as bigint) as cents "
         "from cust_work where c_custkey <= 10"
+    )
+
+
+def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the persisted DML version log (r8): CTAS a
+    working table, DELETE (version 1), then INSERT (version 2) — and
+    read ``VERSION AS OF 1``, the state between the two statements.
+    Versions are immutable file sets (untouched files carry forward as
+    hardlinks, sources/dml.py); the lineage is a tiny JSON manifest
+    under the warehouse that survives sessions
+    (planner.py::_load_version_log).  The oracle replays statements
+    0..1 as one SQL."""
+    pl = _planner(spark, sf_dir)
+    pl.sql(
+        "create table tt_work as select c_custkey, c_nationkey "
+        "from customer where c_custkey <= 500"
+    ).count()
+    pl.sql("delete from tt_work where c_nationkey >= 10").count()
+    pl.sql(
+        "insert into tt_work select c_custkey + 1000000 as c_custkey, "
+        "c_nationkey from tt_work where c_custkey <= 5"
+    ).count()
+    return pl.sql("select * from tt_work version as of 1")
+
+
+def q_sql_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE TABLE + VACUUM lifecycle (r8): small delta INSERTs
+    fragment a table into many small files (each insert writes only its
+    own rows — O(delta)); OPTIMIZE rewrites the current rows into
+    size-appropriate files as a new version (REBALANCE + AQE
+    coalescing, Delta's optimized write), VACUUM then garbage-collects
+    the non-head version dirs (hardlink refcounts keep every byte the
+    head still references).  The result must be byte-identical to never
+    having fragmented at all — which is exactly what the oracle
+    computes."""
+    pl = _planner(spark, sf_dir)
+    pl.sql(
+        "create table opt_work as select o_orderkey, o_custkey "
+        "from orders where o_orderkey <= 2000"
+    ).count()
+    pl.sql(
+        "insert into opt_work select o_orderkey + 1000000 as o_orderkey, "
+        "o_custkey from opt_work where o_orderkey <= 200"
+    ).count()
+    pl.sql("optimize table opt_work").count()
+    pl.sql("vacuum opt_work").count()
+    return pl.sql(
+        "select o_custkey, count(*) as n, "
+        "cast(min(o_orderkey) as bigint) as min_k, "
+        "cast(max(o_orderkey) as bigint) as max_k "
+        "from opt_work group by o_custkey order by o_custkey"
     )
 
 
@@ -6851,24 +6922,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head
 
 
-#: round-7 check priority: STALENESS rotation (VERDICT r5 item 2).
-#: New r7 queries first (adaptive stats, CDC MV, cost-picked skew join),
-#: then the queries whose last driver-green round is OLDEST (r2, r3,
-#: r4 eras) — this round touched shared planner paths again (scan
-#: cardinality correction hook, hash-join straggler term, DP reorder in
-#: the hep phase), so refreshing the stalest greens matters most.
+#: round-8 check priority: STALENESS rotation (VERDICT r5 item 2).
+#: New r8 queries first (time travel over the persisted version log,
+#: OPTIMIZE/VACUUM lifecycle), then the queries whose IMPLEMENTATION
+#: changed this round (delta-sized DML with file pruning; parser-level
+#: macros; tombstone-aware incremental-dedup probe; schema-aware
+#: exchange unwrap under shuffle joins), then the stalest driver-green
+#: queries (r2/r3/r4 eras) — the DP fast path and planning-time work
+#: touched every SQL query's optimize() path, so refreshing stale
+#: greens still matters.
 _UNPROVEN_PREFIX = (
-    # new this round (r7) — never driver-checked, prove first
-    "q_auto_skew_join", "q_mv_cdc", "q_adaptive_stats", "q_sql_analyze",
-    "q_incremental_dedup", "q_quality_prune", "q_sql_merge", "q_sql_udf",
-    "q_sql_dml",
-    # r7 CHANGED these queries' oracle or chosen plan — re-prove next:
-    # dynamic-skip dim moved to %500 (oracle changed), embed-quantize
-    # runs the Arrow strategy, IVF/SemDeDup derive ncells + Arrow
-    # assignment, skewed-agg recalibrated to the plain plan
-    "q_dynamic_skip_join", "q_embed_quantize", "q_knn_ivf",
-    "q_knn_ivf_kmeans", "q_knn_recall", "q_semantic_dedup", "q_skewed_agg",
-    # last driver-green in r2 — stalest, rotate in first
+    # new this round (r8) — never driver-checked, prove first
+    "q_sql_time_travel", "q_sql_optimize",
+    # r8 CHANGED these queries' implementation — re-prove next
+    "q_sql_dml", "q_sql_merge", "q_sql_udf", "q_incremental_dedup",
+    "q_dynamic_skip_join",
+    # last driver-green in r2 — stalest, rotate in
     "q_minhash_pairs", "q_multimodal_features", "q_multimodal_frames",
     "q_multimodal_resize", "q_ngram_jaccard", "q_pandas_udaf",
     "q_percentiles", "q_rollup", "q_salted_join", "q_sequence_pack",
@@ -6964,6 +7033,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_merge": q_sql_merge,
         "q_sql_udf": q_sql_udf,
         "q_sql_dml": q_sql_dml,
+        "q_sql_time_travel": q_sql_time_travel,
+        "q_sql_optimize": q_sql_optimize,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_corpus_prep": q_corpus_prep,

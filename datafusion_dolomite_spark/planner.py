@@ -164,6 +164,81 @@ class QueryPlanner:
         except OSError:
             pass  # read-only warehouse: lineage stays session-scoped
 
+    def _optimize_table(self, table: str):
+        """``OPTIMIZE TABLE t`` — file compaction (Delta's OPTIMIZE): a
+        lineage of small DML deltas fragments the table into many small
+        files; this rewrites the CURRENT rows into size-appropriate
+        files (REBALANCE + AQE coalescing) as a NEW version, so time
+        travel to the fragmented versions still works and readers never
+        see a partial table.  One O(table) pass — the price of
+        compaction anywhere; at 100 TB you run it per-partition on the
+        fragmented partitions only.  Returns a one-row summary."""
+        from .execute import SparkExecutor
+        from .sources.dml import data_files
+
+        ex = SparkExecutor(self.spark, self.catalog)
+        fmt = self.catalog.format(table)
+        cur = ex._base_scan(table, fmt)
+        files_before = len(data_files(self.catalog.path(table)))
+        dest = self._cow_dest(table)
+        cur.hint("rebalance").write.mode("overwrite").parquet(dest)
+        self.catalog.register(table, dest)
+        self._persist_versions(table)
+        files_after = len(data_files(dest))
+        return self.spark.createDataFrame(
+            [(table, files_before, files_after)],
+            "table_name string, files_before int, files_after int",
+        )
+
+    def _vacuum_table(self, table: str):
+        """``VACUUM t`` — garbage-collect the non-head version dirs of
+        ``table``'s DML lineage (Delta's VACUUM with retention 0): only
+        directories THIS engine created under the warehouse
+        (``<table>__v<n>``, recorded in the persisted log) are removed —
+        never the user's original registration (version 0's base path).
+        Hardlink refcounting makes this safe and cheap: a file the head
+        still carries survives via its link in the head dir; only bytes
+        no live version references are freed.  Time travel to vacuumed
+        versions is gone (that is the point); the head keeps reading
+        exactly, and version numbering continues.  Returns a one-row
+        summary (dirs removed, bytes actually freed)."""
+        import os
+        import shutil
+
+        from .sources.dml import data_files
+
+        hist = self._table_history.get(table)
+        head = self.catalog.path(table)
+        if hist is not None and hist[-1] != head:
+            hist = None  # stale lineage — nothing of ours to collect
+        removed = 0
+        freed = 0
+        if hist:
+            wh = self.catalog.warehouse_root()
+            victims = [
+                p
+                for p in hist[:-1]
+                if p.startswith(wh + os.sep)
+                and os.path.basename(p).startswith(f"{table}__v")
+                and os.path.isdir(p)
+            ]
+            for p in victims:
+                for f in data_files(p):
+                    try:
+                        st = os.stat(f)
+                        if st.st_nlink == 1:  # last name → bytes freed
+                            freed += st.st_size
+                    except OSError:
+                        pass
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+            self._table_history[table] = [head]
+            self._persist_versions(table)
+        return self.spark.createDataFrame(
+            [(table, removed, freed)],
+            "table_name string, versions_removed int, bytes_freed bigint",
+        )
+
     def optimize_logical(self, plan: Plan) -> Plan:
         hep = HepOptimizer(self.rewrite_rules, self.ctx, MatchOrder.TOP_DOWN)
         out = hep.find_best_plan(plan)
@@ -432,6 +507,20 @@ class QueryPlanner:
                 self.catalog.drop_materialized_view(m.group(1))
             return self.spark.range(0)
 
+        m = _re.match(
+            r"\s*optimize\s+table\s+([A-Za-z_]\w*)\s*$", query, _re.IGNORECASE
+        )
+        if m:
+            return self._optimize_table(m.group(1))
+
+        m = _re.match(
+            r"\s*vacuum\s+(?:table\s+)?([A-Za-z_]\w*)\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            return self._vacuum_table(m.group(1))
+
         plan = parse_sql(query, self.catalog, macros=self._sql_macros)
         # re-CREATE of a MATERIALIZED VIEW: drop the old metadata BEFORE
         # optimizing, or the rewrite rule could answer the definition
@@ -609,6 +698,9 @@ class QueryPlanner:
                 ]
             )
         dest = self._cow_dest(table)
+        if kept:
+            # pruned rewrite: right-size the (small) rewritten slice
+            out = out.hint("rebalance")
         out.write.mode("overwrite").parquet(dest)
         if kept:
             link_files(kept, dest)
@@ -648,8 +740,14 @@ class QueryPlanner:
         )
         files = data_files(self.catalog.path(table)) if fmt == "parquet" else []
         dest = self._cow_dest(table)
+        # REBALANCE before writing: a tiny delta filtered from a
+        # many-partition scan would otherwise write one (mostly empty)
+        # file per task — the small-files problem that kills listing
+        # and footer costs at 100 TB.  AQE coalesces the rebalance
+        # shuffle to size-appropriate partitions (Delta's "optimized
+        # write"); the shuffle is O(delta)
         if files:
-            aligned.write.mode("overwrite").parquet(dest)
+            aligned.hint("rebalance").write.mode("overwrite").parquet(dest)
             link_files(files, dest)
         else:
             cur.unionByName(aligned).write.mode("overwrite").parquet(dest)
@@ -790,6 +888,8 @@ class QueryPlanner:
             out = out.filter(~matched)
         out = out.select(*cols)
         dest = self._cow_dest(target)
+        if kept:
+            out = out.hint("rebalance")
         out.write.mode("overwrite").parquet(dest)
         if kept:
             link_files(kept, dest)

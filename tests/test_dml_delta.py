@@ -246,3 +246,56 @@ def test_merge_into_csv_registered_target(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in out.collect()}
     assert got == {0: 0, 1: 111, 2: 20, 3: 30, 4: 40, 9: 999}
+
+
+def test_optimize_table_compacts_files(qp, spark):
+    """OPTIMIZE TABLE (r8): a lineage of small inserts fragments the
+    table; compaction rewrites the current rows into few files as a NEW
+    version — rows identical, pre-compaction versions still readable."""
+    for i in range(3):
+        qp.sql(
+            f"insert into t select cast(k + {100 * (i + 1)} as bigint) as k, "
+            "v, tag from t where k < 2"
+        ).count()
+    frag = len(dml.data_files(qp.catalog.path("t")))
+    before_rows = sorted(
+        r["k"] for r in spark.read.parquet(qp.catalog.path("t")).collect()
+    )
+    out = qp.sql("optimize table t").collect()[0]
+    assert out["files_before"] == frag and out["files_after"] < frag
+    after_rows = sorted(
+        r["k"] for r in spark.read.parquet(qp.catalog.path("t")).collect()
+    )
+    assert after_rows == before_rows
+    assert qp.sql("select * from t version as of 0").count() == 10
+
+
+def test_vacuum_frees_old_versions_keeps_head(qp, spark):
+    """VACUUM (r8): non-head version dirs are removed; the head still
+    reads exactly (hardlinked files survive via their head-dir name),
+    old VERSION AS OF reads are gone, numbering continues."""
+    import os
+
+    base = qp.catalog.path("t")
+    qp.sql("delete from t where k >= 7").count()         # v1
+    qp.sql(
+        "insert into t select cast(50 as bigint) as k, "
+        "cast(0 as bigint) as v, 'n' as tag from t where k = 0"
+    ).count()                                             # v2
+    v1_dir = qp._table_history["t"][1]
+    head = qp.catalog.path("t")
+    head_rows = sorted(r["k"] for r in spark.read.parquet(head).collect())
+    out = qp.sql("vacuum t").collect()[0]
+    assert out["versions_removed"] == 1  # v1; base is never touched
+    assert not os.path.exists(v1_dir)
+    assert os.path.exists(base)  # user's original registration survives
+    # the head reads exactly — carried hardlinks kept the data alive
+    assert sorted(
+        r["k"] for r in spark.read.parquet(head).collect()
+    ) == head_rows == [0, 1, 2, 3, 4, 5, 6, 50]
+    with pytest.raises(Exception):
+        qp.sql("select * from t version as of 2").count()
+    assert qp.sql("select * from t version as of 0").count() == 8  # = head
+    # lineage continues: next DML becomes version 1 of the new history
+    qp.sql("delete from t where k = 50").count()
+    assert qp.sql("select * from t version as of 1").count() == 7
