@@ -247,6 +247,14 @@ def incremental_minhash_dedup(
     )
     n_indexed = 0
     if update_index:
+        # persist the two reused frames: without this the banded
+        # signature + probe pipeline recomputes for the survivor count,
+        # AGAIN for the index write, and AGAIN when the caller collects
+        # the verdicts — 3x the batch's whole cost.  result is one tiny
+        # row per batch doc (it stays cached for the caller's read);
+        # new_sig is batch x bands rows and unpersists after the write.
+        new_sig = new_sig.persist()
+        result = result.persist()
         survivors = result.filter(F.col("kept")).select(
             F.col(id_col).alias("doc_id")
         )
@@ -255,6 +263,7 @@ def incremental_minhash_dedup(
         )
         n_indexed = to_index.count()
         to_index.write.mode("append").parquet(index_dir)
+        new_sig.unpersist()
     return result, n_indexed
 
 

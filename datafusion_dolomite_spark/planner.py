@@ -418,12 +418,14 @@ class QueryPlanner:
             return self.spark.read.parquet(hist[ver])
 
         m = _re.match(
-            r"\s*delete\s+from\s+([A-Za-z_]\w*)\s+where\s+(.+?)\s*$",
+            r"\s*delete\s+from\s+([A-Za-z_]\w*)(?:\s+where\s+(.+?))?\s*$",
             query,
             _re.IGNORECASE | _re.DOTALL,
         )
         if m:
-            return self._dml_rewrite(m.group(1), delete_where=m.group(2))
+            # DELETE without WHERE = remove every row (SQL semantics)
+            return self._dml_rewrite(m.group(1), delete_all=m.group(2) is None,
+                                     delete_where=m.group(2))
 
         m = _re.match(
             r"\s*update\s+([A-Za-z_]\w*)\s+set\s+(.+?)"
@@ -437,12 +439,16 @@ class QueryPlanner:
             )
 
         m = _re.match(
-            r"\s*insert\s+into\s+([A-Za-z_]\w*)\s+(select\b.+?)\s*$",
+            r"\s*insert\s+into\s+([A-Za-z_]\w*)\s*"
+            r"(?:\(([^()]*)\)\s*)?"
+            r"((?:select|with|values)\b.+?)\s*$",
             query,
             _re.IGNORECASE | _re.DOTALL,
         )
         if m:
-            return self._dml_insert(m.group(1), m.group(2))
+            return self._dml_insert(
+                m.group(1), m.group(3), columns=m.group(2)
+            )
 
         if _re.match(r"\s*show\s+tables\s*$", query, _re.IGNORECASE):
             rows = sorted(
@@ -633,7 +639,8 @@ class QueryPlanner:
         return kept, df
 
     def _dml_rewrite(
-        self, table, delete_where=None, set_clause=None, where=None
+        self, table, delete_where=None, set_clause=None, where=None,
+        delete_all=False,
     ):
         """``DELETE FROM t WHERE …`` / ``UPDATE t SET … [WHERE …]`` —
         COPY-ON-WRITE like MERGE INTO: compute the surviving/updated
@@ -660,7 +667,9 @@ class QueryPlanner:
         )
         if pruned_df is not None:
             df = pruned_df
-        if delete_where is not None:
+        if delete_all:
+            out = df.filter(F.lit(False))  # empty, schema preserved
+        elif delete_where is not None:
             out = df.filter(
                 ~self._sql_expr_column(delete_where).eqNullSafe(F.lit(True))
             )
@@ -708,17 +717,23 @@ class QueryPlanner:
         self._persist_versions(table)
         return self.dataframe(LogicalPlanBuilder().scan(table).build())
 
-    def _dml_insert(self, table, select_sql):
-        """``INSERT INTO t SELECT …`` — DELTA-SIZED append (VERDICT r7
-        item 2): the SELECT runs through the full optimizer pipeline
-        and its rows are written as NEW parquet files in the next
-        version dir; every existing data file is carried forward as a
-        hardlink (sources/dml.py link_files) — O(delta) bytes written,
-        O(files) link syscalls, the original files never touched (time
-        travel keeps reading them).  New rows are cast to the table
-        schema so mixed-provenance files stay read-compatible.
-        Non-parquet sources fall back to the full union rewrite (their
-        files cannot share a parquet directory)."""
+    def _dml_insert(self, table, select_sql, columns=None):
+        """``INSERT INTO t [(c1, …)] SELECT …|VALUES (…), …`` —
+        DELTA-SIZED append (VERDICT r7 item 2): the source query runs
+        through the full optimizer pipeline and its rows are written as
+        NEW parquet files in the next version dir; every existing data
+        file is carried forward as a hardlink (sources/dml.py
+        link_files) — O(delta) bytes written, O(files) link syscalls,
+        the original files never touched (time travel keeps reading
+        them).  A VALUES list lowers to ``select * from (values …)``
+        over the target columns; an explicit column list maps the
+        source positionally and fills the remaining columns with NULL.
+        New rows are cast to the table schema so mixed-provenance files
+        stay read-compatible.  Non-parquet sources fall back to the
+        full union rewrite (their files cannot share a parquet
+        directory)."""
+        import re as _re
+
         from pyspark.sql import functions as F
 
         from .plans.plan import LogicalPlanBuilder
@@ -729,12 +744,40 @@ class QueryPlanner:
         ex = SparkExecutor(self.spark, self.catalog)
         fmt = self.catalog.format(table)
         cur = ex._base_scan(table, fmt)
+        names = [f.name for f in cur.schema.fields]
+        target = (
+            [c.strip() for c in columns.split(",") if c.strip()]
+            if columns
+            else names
+        )
+        unknown = [c for c in target if c not in names]
+        if unknown:
+            raise ValueError(
+                f"INSERT INTO {table}: unknown column(s) {unknown}"
+            )
+        vm = _re.match(r"\s*values\b(.+)$", select_sql,
+                       _re.IGNORECASE | _re.DOTALL)
+        if vm:
+            select_sql = (
+                f"select * from (values {vm.group(1)}) "
+                f"__ins({', '.join(target)})"
+            )
         new_rows = self.dataframe(
             parse_sql(select_sql, self.catalog, macros=self._sql_macros)
         )
-        aligned = new_rows.toDF(*[f.name for f in cur.schema.fields]).select(
+        if len(new_rows.columns) != len(target):
+            raise ValueError(
+                f"INSERT INTO {table}: {len(target)} target column(s) "
+                f"but the source produces {len(new_rows.columns)}"
+            )
+        by_name = new_rows.toDF(*target)  # positional → target names
+        aligned = by_name.select(
             *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
+                (
+                    F.col(f.name) if f.name in target else F.lit(None)
+                )
+                .cast(f.dataType)
+                .alias(f.name)
                 for f in cur.schema.fields
             ]
         )

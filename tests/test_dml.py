@@ -125,3 +125,28 @@ def test_macro_calls_macro_frozen_at_definition(qp):
     qp.sql("create or replace function inc(x) as x + 100").count()
     rows = qp.sql("select inc2(k) as a, inc(k) as b from t where k = 0").collect()
     assert rows[0]["a"] == 2 and rows[0]["b"] == 100
+
+
+def test_insert_values_and_column_list(qp):
+    """INSERT INTO … VALUES (r8) and explicit column lists: VALUES
+    lowers to a parsed inline relation; unlisted columns fill NULL;
+    everything casts to the table schema."""
+    out = qp.sql("insert into t values (100, 0, 'new'), (101, 1, 'new2')")
+    got = {r["k"]: (r["v"], r["tag"]) for r in out.collect()}
+    assert got[100] == (0, "new") and got[101] == (1, "new2")
+    out = qp.sql("insert into t (k, tag) values (200, 'partial')")
+    row = [r for r in out.collect() if r["k"] == 200][0]
+    assert row["v"] is None and row["tag"] == "partial"
+    out = qp.sql("insert into t (tag, k) select 'sel' as a, 300 as b from t where k = 0")
+    row = [r for r in out.collect() if r["k"] == 300][0]
+    assert row["tag"] == "sel" and row["v"] is None
+    with pytest.raises(Exception, match="unknown column"):
+        qp.sql("insert into t (nope) values (1)")
+    with pytest.raises(Exception, match="column"):
+        qp.sql("insert into t (k, v) values (1, 2, 3)")
+
+
+def test_delete_without_where_empties_table(qp):
+    out = qp.sql("delete from t")
+    assert out.count() == 0
+    assert qp.sql("select * from t version as of 0").count() == 10
