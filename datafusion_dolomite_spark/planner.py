@@ -176,12 +176,19 @@ class QueryPlanner:
         from .execute import SparkExecutor
         from .sources.dml import data_files
 
+        from .sources.dml import partition_columns
+
         ex = SparkExecutor(self.spark, self.catalog)
         fmt = self.catalog.format(table)
         cur = ex._base_scan(table, fmt)
-        files_before = len(data_files(self.catalog.path(table)))
+        path = self.catalog.path(table)
+        files_before = len(data_files(path))
+        pcols = partition_columns(path) if fmt == "parquet" else []
         dest = self._cow_dest(table)
-        cur.hint("rebalance").write.mode("overwrite").parquet(dest)
+        w = cur.hint("rebalance").write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(dest)
         self.catalog.register(table, dest)
         self._persist_versions(table)
         files_after = len(data_files(dest))
@@ -619,21 +626,30 @@ class QueryPlanner:
 
         if fmt != "parquet" or not pred_text:
             return None, None
-        files = data_files(self.catalog.path(table))
+        path = self.catalog.path(table)
+        files = data_files(path)
         cols_present = {f.name for f in schema.fields}
         conj = [
             c for c in prune_conjuncts(pred_text) if c[0] in cols_present
         ]
         if not files or not conj:
             return None, None
-        bands = file_bands(files, {c[0] for c in conj})
+        # table_path lets hive partition values contribute exact point
+        # bands — a predicate on the partition column prunes perfectly
+        bands = file_bands(files, {c[0] for c in conj}, table_path=path)
         kept = [f for f in files if file_excluded(bands[f], conj)]
         if not kept:
             return None, None  # nothing provable — plain full rewrite
         kept_set = set(kept)
         rewrite = [f for f in files if f not in kept_set]
         if rewrite:
-            df = self.spark.read.schema(schema).parquet(*rewrite)
+            # basePath keeps partition-column derivation from the
+            # key=value dirs when reading an explicit file list
+            df = (
+                self.spark.read.schema(schema)
+                .option("basePath", path)
+                .parquet(*rewrite)
+            )
         else:
             df = self.spark.createDataFrame([], schema)
         return kept, df
@@ -658,8 +674,12 @@ class QueryPlanner:
         from .plans.plan import LogicalPlanBuilder
         from .sources.dml import link_files
 
+        from .sources.dml import partition_columns
+
         ex = SparkExecutor(self.spark, self.catalog)
         fmt = self.catalog.format(table)
+        old_path = self.catalog.path(table)
+        pcols = partition_columns(old_path) if fmt == "parquet" else []
         df = ex._base_scan(table, fmt)
         pred_text = delete_where if delete_where is not None else where
         kept, pruned_df = self._prune_rewrite_set(
@@ -710,9 +730,12 @@ class QueryPlanner:
         if kept:
             # pruned rewrite: right-size the (small) rewritten slice
             out = out.hint("rebalance")
-        out.write.mode("overwrite").parquet(dest)
+        w = out.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)  # preserve the hive layout
+        w.parquet(dest)
         if kept:
-            link_files(kept, dest)
+            link_files(kept, dest, base=old_path)
         self.catalog.register(table, dest)
         self._persist_versions(table)
         return self.dataframe(LogicalPlanBuilder().scan(table).build())
@@ -781,7 +804,11 @@ class QueryPlanner:
                 for f in cur.schema.fields
             ]
         )
-        files = data_files(self.catalog.path(table)) if fmt == "parquet" else []
+        from .sources.dml import partition_columns
+
+        old_path = self.catalog.path(table)
+        files = data_files(old_path) if fmt == "parquet" else []
+        pcols = partition_columns(old_path) if files else []
         dest = self._cow_dest(table)
         # REBALANCE before writing: a tiny delta filtered from a
         # many-partition scan would otherwise write one (mostly empty)
@@ -790,8 +817,11 @@ class QueryPlanner:
         # shuffle to size-appropriate partitions (Delta's "optimized
         # write"); the shuffle is O(delta)
         if files:
-            aligned.hint("rebalance").write.mode("overwrite").parquet(dest)
-            link_files(files, dest)
+            w = aligned.hint("rebalance").write.mode("overwrite")
+            if pcols:
+                w = w.partitionBy(*pcols)
+            w.parquet(dest)
+            link_files(files, dest, base=old_path)
         else:
             cur.unionByName(aligned).write.mode("overwrite").parquet(dest)
         self.catalog.register(table, dest)
@@ -854,15 +884,19 @@ class QueryPlanner:
         # range agg is a bounded driver scalar (one row); upserts are
         # typically key-clustered deltas, so this confines the
         # full-outer join to the overlapping slice of the target.
+        from .sources.dml import partition_columns
+
         kept: list = []
+        t_path = self.catalog.path(target)
+        pcols = partition_columns(t_path) if tfmt == "parquet" else []
         if tfmt == "parquet":
-            tfiles = data_files(self.catalog.path(target))
+            tfiles = data_files(t_path)
             if tfiles:
                 r0 = sbase.agg(
                     F.min(sk).alias("lo"), F.max(sk).alias("hi")
                 ).collect()[0]
                 if r0["lo"] is not None:
-                    bands = file_bands(tfiles, {tk})
+                    bands = file_bands(tfiles, {tk}, table_path=t_path)
                     rng = [(tk, ">=", r0["lo"]), (tk, "<=", r0["hi"])]
                     kept = [
                         f for f in tfiles if file_excluded(bands[f], rng)
@@ -871,7 +905,9 @@ class QueryPlanner:
                     kset = set(kept)
                     rfiles = [f for f in tfiles if f not in kset]
                     tbase = (
-                        self.spark.read.schema(tschema).parquet(*rfiles)
+                        self.spark.read.schema(tschema)
+                        .option("basePath", t_path)
+                        .parquet(*rfiles)
                         if rfiles
                         else self.spark.createDataFrame([], tschema)
                     )
@@ -933,9 +969,12 @@ class QueryPlanner:
         dest = self._cow_dest(target)
         if kept:
             out = out.hint("rebalance")
-        out.write.mode("overwrite").parquet(dest)
+        w = out.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(dest)
         if kept:
-            link_files(kept, dest)
+            link_files(kept, dest, base=t_path)
         self.catalog.register(target, dest)
         self._persist_versions(target)
         return self.dataframe(

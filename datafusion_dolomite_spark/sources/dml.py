@@ -72,24 +72,63 @@ def data_files(path: str) -> list:
     return sorted(files)
 
 
-def link_files(files: Sequence[str], dest_dir: str) -> list:
+def link_files(files: Sequence[str], dest_dir: str, base: Optional[str] = None) -> list:
     """Carry ``files`` forward into ``dest_dir``: hardlink (O(1), no
-    bytes moved), copy as the cross-device fallback.  Name collisions
-    (possible when a lineage re-links the same basename twice) get a
-    ``linked-{i}-`` prefix — parquet readers list by directory, names
-    are free.  Returns the created paths."""
+    bytes moved), copy as the cross-device fallback.  With ``base``,
+    each file keeps its path RELATIVE to base — hive ``key=value``
+    partition dirs reproduce under dest, so partition-column values
+    (which live in directory names, not footers) survive the carry.
+    Name collisions (possible when a lineage re-links the same basename
+    twice) get a ``linked-{i}-`` prefix — parquet readers list by
+    directory, names are free.  Returns the created paths."""
     os.makedirs(dest_dir, exist_ok=True)
     out = []
     for i, src in enumerate(files):
-        base = os.path.basename(src)
-        dst = os.path.join(dest_dir, base)
+        if base is not None:
+            rel = os.path.relpath(src, base)
+            if not rel.startswith(".."):
+                dst = os.path.join(dest_dir, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+            else:
+                dst = os.path.join(dest_dir, os.path.basename(src))
+        else:
+            dst = os.path.join(dest_dir, os.path.basename(src))
         if os.path.exists(dst):
-            dst = os.path.join(dest_dir, f"linked-{i}-{base}")
+            d, b = os.path.split(dst)
+            dst = os.path.join(d, f"linked-{i}-{b}")
         try:
             os.link(src, dst)
         except OSError:
             shutil.copy2(src, dst)
         out.append(dst)
+    return out
+
+
+def partition_columns(table_path: str) -> list:
+    """Hive partition columns of a table directory, in nesting order,
+    derived from the first data file's ``key=value`` path components
+    ([] = unpartitioned)."""
+    files = data_files(table_path)
+    if not files or not os.path.isdir(table_path):
+        return []
+    rel = os.path.relpath(files[0], table_path)
+    cols = []
+    for comp in rel.split(os.sep)[:-1]:
+        if "=" in comp:
+            cols.append(comp.split("=", 1)[0])
+    return cols
+
+
+def partition_values(table_path: str, file_path: str) -> dict:
+    """{column: string value} from a file's ``key=value`` dir components
+    (hive layout).  Values are the raw path strings — callers compare
+    them type-aware."""
+    rel = os.path.relpath(file_path, table_path)
+    out = {}
+    for comp in rel.split(os.sep)[:-1]:
+        if "=" in comp:
+            k, v = comp.split("=", 1)
+            out[k] = v
     return out
 
 
@@ -99,7 +138,17 @@ def _fold_band(prev, lo, hi):
     return (min(prev[0], lo), max(prev[1], hi))
 
 
-def file_bands(files: Sequence[str], columns) -> dict:
+def _coerce_partition_value(v: str):
+    try:
+        return int(v)
+    except ValueError:
+        try:
+            return float(v)
+        except ValueError:
+            return v
+
+
+def file_bands(files: Sequence[str], columns, table_path: Optional[str] = None) -> dict:
     """Per-file [min, max] bands for ``columns`` straight from parquet
     footers: {file: {column: (min, max) | None}}.  None = no usable
     statistics (never prune on it).  Mirrors
@@ -107,17 +156,29 @@ def file_bands(files: Sequence[str], columns) -> dict:
     sidecar — DML targets are arbitrary warehouse tables that may not
     have one.  At 100 TB these bands come from the table's own
     manifest/sidecar instead of a footer sweep; the pruning logic is
-    identical."""
+    identical.  With ``table_path``, hive partition values (which live
+    in directory names, never footers) contribute exact point bands —
+    a predicate on the partition column prunes perfectly."""
     import pyarrow.parquet as pq
 
     columns = set(columns)
     out = {}
     for path in files:
+        pvals = (
+            partition_values(table_path, path) if table_path is not None else {}
+        )
         bands: dict = {}
         try:
             md = pq.ParquetFile(path).metadata
         except Exception:
-            out[path] = {c: None for c in columns}
+            out[path] = {
+                c: (
+                    (_coerce_partition_value(pvals[c]),) * 2
+                    if c in pvals
+                    else None
+                )
+                for c in columns
+            }
             continue
         for rg_i in range(md.num_row_groups):
             rg = md.row_group(rg_i)
@@ -133,7 +194,12 @@ def file_bands(files: Sequence[str], columns) -> dict:
                 if name in bands and bands[name] is None:
                     continue  # an earlier row group lacked stats
                 bands[name] = _fold_band(bands.get(name), st.min, st.max)
-        out[path] = {c: bands.get(c) for c in columns}
+        merged = {c: bands.get(c) for c in columns}
+        for c in columns:
+            if merged[c] is None and c in pvals:
+                pv = _coerce_partition_value(pvals[c])
+                merged[c] = (pv, pv)
+        out[path] = merged
     return out
 
 

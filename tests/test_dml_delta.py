@@ -299,3 +299,54 @@ def test_vacuum_frees_old_versions_keeps_head(qp, spark):
     # lineage continues: next DML becomes version 1 of the new history
     qp.sql("delete from t where k = 50").count()
     assert qp.sql("select * from t version as of 1").count() == 7
+
+
+@pytest.fixture()
+def partitioned(spark, tmp_path):
+    """A hive-partitioned table: p in {0,1,2,3}, 25 rows each."""
+    path = str(tmp_path / "part")
+    spark.createDataFrame(
+        [(i, i % 4, i * 2) for i in range(100)],
+        "k bigint, p bigint, v bigint",
+    ).repartition("p").write.partitionBy("p").parquet(path)
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    cat.register("pt", path)
+    return QueryPlanner(spark, cat), path
+
+
+def test_partitioned_delete_prunes_and_preserves_layout(partitioned, spark):
+    """DML on a hive-partitioned table (r8): a predicate on the
+    partition column prunes via the key=value path (partition values
+    never reach footers), untouched partitions carry forward AT their
+    relative paths, and the rewritten output keeps the partitionBy
+    layout — so partition values survive the carry."""
+    qp, path = partitioned
+    before = _inodes(path)
+    out = qp.sql("delete from pt where p = 3")
+    carried, _ = _carried(qp, "pt", before)
+    assert len(carried) >= 3  # p=0,1,2 files untouched
+    cur = qp.catalog.path("pt")
+    # layout preserved: carried files still sit under p=<val> dirs
+    assert all("p=" in f.replace(cur, "") for f in carried)
+    got = {r["k"]: (r["p"], r["v"]) for r in out.collect()}
+    assert len(got) == 75 and all(p != 3 for p, _ in got.values())
+    # partition values correct after the carry (the r8 bug this pins:
+    # flat links would have dropped/nulled the partition column)
+    assert all(got[k] == (k % 4, k * 2) for k in got)
+
+
+def test_partitioned_insert_and_update(partitioned, spark):
+    qp, path = partitioned
+    # positional VALUES follow the table schema, which for a hive
+    # table lists partition columns LAST (Spark's own convention):
+    # (k, v, p).  The explicit column list is order-free.
+    out = qp.sql("insert into pt (k, p, v) values (1000, 2, 0)")
+    got = {r["k"]: (r["p"], r["v"]) for r in out.collect()}
+    assert got[1000] == (2, 0) and len(got) == 101
+    out = qp.sql("update pt set v = -1 where p = 0")
+    got = {r["k"]: (r["p"], r["v"]) for r in out.collect()}
+    assert all(v == -1 for k, (p, v) in got.items() if p == 0)
+    assert got[1] == (1, 2)  # other partitions untouched
+    # and the current version is still a valid partitioned dir
+    re_read = spark.read.parquet(qp.catalog.path("pt"))
+    assert "p" in re_read.columns and re_read.count() == 101
