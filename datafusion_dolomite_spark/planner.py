@@ -164,19 +164,23 @@ class QueryPlanner:
         except OSError:
             pass  # read-only warehouse: lineage stays session-scoped
 
-    def _optimize_table(self, table: str):
-        """``OPTIMIZE TABLE t`` — file compaction (Delta's OPTIMIZE): a
-        lineage of small DML deltas fragments the table into many small
-        files; this rewrites the CURRENT rows into size-appropriate
-        files (REBALANCE + AQE coalescing) as a NEW version, so time
-        travel to the fragmented versions still works and readers never
-        see a partial table.  One O(table) pass — the price of
-        compaction anywhere; at 100 TB you run it per-partition on the
-        fragmented partitions only.  Returns a one-row summary."""
+    def _optimize_table(self, table: str, zorder=None, n_files=None):
+        """``OPTIMIZE TABLE t [ZORDER BY (c1, c2)]`` — file compaction
+        (Delta's OPTIMIZE): a lineage of small DML deltas fragments the
+        table into many small files; this rewrites the CURRENT rows
+        into size-appropriate files (REBALANCE + AQE coalescing) as a
+        NEW version, so time travel to the fragmented versions still
+        works and readers never see a partial table.  With ZORDER BY,
+        rows Morton-interleave on the given columns (sinks._zvalue) so
+        every file covers a narrow band of EVERY clustered column, and
+        the min/max skipping sidecar is rewritten for those columns —
+        compaction feeds straight into file-level skipping (scan-time
+        AND the DML pruner's footer bands).  One O(table) pass — the
+        price of compaction anywhere; at 100 TB you run it
+        per-partition on the fragmented partitions only.  Returns a
+        one-row summary."""
         from .execute import SparkExecutor
-        from .sources.dml import data_files
-
-        from .sources.dml import partition_columns
+        from .sources.dml import data_files, partition_columns
 
         ex = SparkExecutor(self.spark, self.catalog)
         fmt = self.catalog.format(table)
@@ -185,10 +189,27 @@ class QueryPlanner:
         files_before = len(data_files(path))
         pcols = partition_columns(path) if fmt == "parquet" else []
         dest = self._cow_dest(table)
-        w = cur.hint("rebalance").write.mode("overwrite")
-        if pcols:
-            w = w.partitionBy(*pcols)
-        w.parquet(dest)
+        if zorder:
+            from .sources.sinks import write_parquet
+            from .sources.skipping import write_file_stats
+
+            zcols = [c.strip() for c in zorder.split(",") if c.strip()]
+            known = {f.name for f in cur.schema.fields}
+            bad = [c for c in zcols if c not in known]
+            if bad:
+                raise ValueError(
+                    f"OPTIMIZE {table} ZORDER BY: unknown column(s) {bad}"
+                )
+            write_parquet(
+                cur, dest, cluster_by=zcols, layout="zorder",
+                partition_by=pcols or None, n_files=n_files,
+            )
+            write_file_stats(dest, zcols)
+        else:
+            w = cur.hint("rebalance").write.mode("overwrite")
+            if pcols:
+                w = w.partitionBy(*pcols)
+            w.parquet(dest)
         self.catalog.register(table, dest)
         self._persist_versions(table)
         files_after = len(data_files(dest))
@@ -521,10 +542,13 @@ class QueryPlanner:
             return self.spark.range(0)
 
         m = _re.match(
-            r"\s*optimize\s+table\s+([A-Za-z_]\w*)\s*$", query, _re.IGNORECASE
+            r"\s*optimize\s+table\s+([A-Za-z_]\w*)"
+            r"(?:\s+zorder\s+by\s*\(([^)]*)\))?\s*$",
+            query,
+            _re.IGNORECASE,
         )
         if m:
-            return self._optimize_table(m.group(1))
+            return self._optimize_table(m.group(1), zorder=m.group(2))
 
         m = _re.match(
             r"\s*vacuum\s+(?:table\s+)?([A-Za-z_]\w*)\s*$",

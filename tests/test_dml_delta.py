@@ -350,3 +350,122 @@ def test_partitioned_insert_and_update(partitioned, spark):
     # and the current version is still a valid partitioned dir
     re_read = spark.read.parquet(qp.catalog.path("pt"))
     assert "p" in re_read.columns and re_read.count() == 101
+
+
+def test_file_excluded_is_sound_property():
+    """Property pin for the pruning proof: `file_excluded` may only
+    return True when NO value in the file's band satisfies the
+    predicate.  Brute-forced over randomized bands, ops and literals
+    (ints, floats, strings, dates) — soundness is what keeps pruned
+    DML rewrites exactly equal to full rewrites."""
+    import datetime
+    import random
+
+    from datafusion_dolomite_spark.sources.dml import file_excluded
+
+    rng = random.Random(99)
+    ops = ["=", "<", "<=", ">", ">="]
+
+    def sat(v, op, lit):
+        return {
+            "=": v == lit, "<": v < lit, "<=": v <= lit,
+            ">": v > lit, ">=": v >= lit,
+        }[op]
+
+    def domain(kind):
+        if kind == "int":
+            return [rng.randint(-5, 15) for _ in range(6)]
+        if kind == "float":
+            return [round(rng.uniform(-3, 3), 2) for _ in range(6)]
+        if kind == "str":
+            return [rng.choice("abcdef") * rng.randint(1, 3) for _ in range(6)]
+        return [
+            datetime.date(2020, 1, 1) + datetime.timedelta(days=rng.randint(0, 400))
+            for _ in range(6)
+        ]
+
+    checked = excluded = 0
+    for _ in range(2000):
+        kind = rng.choice(["int", "float", "str", "date"])
+        values = domain(kind)
+        band = (min(values), max(values))
+        op = rng.choice(ops)
+        lit = rng.choice(domain(kind))
+        if kind == "date":
+            lit = lit.isoformat()  # SQL literals arrive as strings
+            lit_cmp = datetime.date.fromisoformat(lit)
+        else:
+            lit_cmp = lit
+        conj = [("c", op, lit)]
+        if file_excluded({"c": band}, conj):
+            excluded += 1
+            assert not any(sat(v, op, lit_cmp) for v in values), (
+                kind, band, op, lit, values,
+            )
+        checked += 1
+    # the proof must actually fire sometimes, or the test is vacuous
+    assert excluded > 100, excluded
+    # and unknown bands/columns never exclude
+    assert not file_excluded({"c": None}, [("c", "=", 1)])
+    assert not file_excluded({}, [("c", "=", 1)])
+    assert not file_excluded({"c": (0, 10)}, [("c", "=", "x")])  # type mix
+
+
+def test_optimize_zorder_clusters_and_prunes(spark, tmp_path):
+    """OPTIMIZE TABLE ... ZORDER BY (r8): after z-ordering on (x, y),
+    each file covers a narrow band of BOTH columns (vs the shuffled
+    input where every file spans the full range), the skipping sidecar
+    is rewritten, and a subsequent predicated DELETE on either column
+    prunes files."""
+    import random
+
+    from datafusion_dolomite_spark.sources import dml
+    from datafusion_dolomite_spark.sources.skipping import _load_stats
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 999), rng.randint(0, 999)) for i in range(4000)]
+    path = str(tmp_path / "zt")
+    spark.createDataFrame(rows, "k bigint, x bigint, y bigint").repartition(
+        8
+    ).write.parquet(path)
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    cat.register("zt", path)
+    qp = QueryPlanner(spark, cat)
+
+    before = {r["k"] for r in spark.read.parquet(path).collect()}
+    # at test scale AQE coalesces the whole table into ONE file
+    # (correct, but then there is nothing to band-check) — pin the file
+    # count through the n_files control the SQL path leaves adaptive
+    base_bands = dml.file_bands(dml.data_files(path), {"x", "y"})
+    base_mean = sum(
+        b[c][1] - b[c][0] for b in base_bands.values() for c in ("x", "y")
+    ) / (2 * len(base_bands))
+    qp._optimize_table("zt", zorder="x, y", n_files=16).count()
+    cur = qp.catalog.path("zt")
+    files = dml.data_files(cur)
+    assert len(files) > 4
+    bands = dml.file_bands(files, {"x", "y"})
+    # z-ordering must shrink the MEAN per-file band on both clustered
+    # columns well below the unclustered layout's (~full-domain) bands.
+    # (A per-file bound would be wrong: a z-slice crossing a quad-cell
+    # boundary legitimately spans one dimension.)
+    z_mean = sum(
+        bands[f][c][1] - bands[f][c][0] for f in files for c in ("x", "y")
+    ) / (2 * len(files))
+    assert z_mean < 0.6 * base_mean, (z_mean, base_mean)
+    # sidecar written for the zorder columns
+    st = _load_stats(cur)
+    assert st is not None and set(st["columns"]) == {"x", "y"}
+    # rows identical
+    assert {r["k"] for r in spark.read.parquet(cur).collect()} == before
+    # and a selective DELETE on x now prunes files
+    inodes = {__import__("os").stat(f).st_ino for f in files}
+    qp.sql("delete from zt where x >= 900").count()
+    import os as _os
+
+    kept = [
+        f
+        for f in dml.data_files(qp.catalog.path("zt"))
+        if _os.stat(f).st_ino in inodes
+    ]
+    assert kept, "z-ordered layout should let the DELETE carry files"
