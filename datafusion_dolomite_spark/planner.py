@@ -121,6 +121,9 @@ class QueryPlanner:
         #: by the persisted version log (sources/dml.py VersionLog) so
         #: the lineage survives sessions (VERDICT r7 item 4).
         self._table_history: dict = {}
+        #: parallel per-table operation tags ("base", "delete", ...)
+        #: for DESCRIBE HISTORY
+        self._table_ops: dict = {}
         self._load_version_log()
 
     def _load_version_log(self) -> None:
@@ -149,6 +152,12 @@ class QueryPlanner:
                 if not all(os.path.exists(p) for p in hist):
                     continue
                 self._table_history[t] = list(hist)
+                ops = vlog.load_ops(t)
+                self._table_ops[t] = (
+                    list(ops)
+                    if ops is not None and len(ops) == len(hist)
+                    else ["base"] + ["write"] * (len(hist) - 1)
+                )
                 self._cow_versions[t] = len(hist) - 1
                 self.catalog.register(t, hist[-1])
         except OSError:
@@ -159,7 +168,9 @@ class QueryPlanner:
 
         try:
             VersionLog(self.catalog.warehouse_root()).save(
-                table, self._table_history[table]
+                table,
+                self._table_history[table],
+                ops=self._table_ops.get(table),
             )
         except OSError:
             pass  # read-only warehouse: lineage stays session-scoped
@@ -188,7 +199,9 @@ class QueryPlanner:
         path = self.catalog.path(table)
         files_before = len(data_files(path))
         pcols = partition_columns(path) if fmt == "parquet" else []
-        dest = self._cow_dest(table)
+        dest = self._cow_dest(
+            table, op=f"optimize zorder({zorder.strip()})" if zorder else "optimize"
+        )
         if zorder:
             from .sources.sinks import write_parquet
             from .sources.skipping import write_file_stats
@@ -261,6 +274,10 @@ class QueryPlanner:
                 shutil.rmtree(p, ignore_errors=True)
                 removed += 1
             self._table_history[table] = [head]
+            prior = self._table_ops.get(table)
+            self._table_ops[table] = [
+                (prior[-1] if prior else "base") + " (post-vacuum)"
+            ]
             self._persist_versions(table)
         return self.spark.createDataFrame(
             [(table, removed, freed)],
@@ -489,6 +506,31 @@ class QueryPlanner:
             ).filter("table_name <> ''")
 
         m = _re.match(
+            r"\s*describe\s+history\s+([A-Za-z_]\w*)\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            # DESCRIBE HISTORY t — the version lineage from the
+            # (persisted) log: version number, operation tag, location.
+            # Delta's DESCRIBE HISTORY surface over our version dirs.
+            name = m.group(1)
+            hist = self._table_history.get(name)
+            if hist is not None and hist[-1] != self.catalog.path(name):
+                hist = None  # stale lineage
+            if hist is None:
+                hist = [self.catalog.path(name)]  # raises if unregistered
+                ops = ["base"]
+            else:
+                ops = self._table_ops.get(name) or ["base"] + ["write"] * (
+                    len(hist) - 1
+                )
+            return self.spark.createDataFrame(
+                [(i, o, p) for i, (p, o) in enumerate(zip(hist, ops))],
+                "version int, operation string, location string",
+            )
+
+        m = _re.match(
             r"\s*describe\s+(?:table\s+)?([A-Za-z_]\w*)\s*$",
             query,
             _re.IGNORECASE,
@@ -583,24 +625,27 @@ class QueryPlanner:
             )
         return self.dataframe(plan)
 
-    def _cow_dest(self, table: str) -> str:
+    def _cow_dest(self, table: str, op: str = "write") -> str:
         """Next copy-on-write destination for a DML/MERGE rewrite of
         ``table``: version dirs increment so a rewrite NEVER writes into
         the files it is reading (the chained-DML self-overwrite trap).
         Old versions linger for time-travel/GC — a warehouse concern,
         same as Delta's vacuum.  A table whose registration no longer
         matches its recorded head (re-created by CTAS, re-registered at
-        new data) starts a FRESH lineage — the old log is dead."""
+        new data) starts a FRESH lineage — the old log is dead.  ``op``
+        tags the version for DESCRIBE HISTORY."""
         cur = self.catalog.path(table)
         hist = self._table_history.get(table)
         if hist is None or hist[-1] != cur:
             hist = [cur]
             self._table_history[table] = hist
+            self._table_ops[table] = ["base"]
             self._cow_versions[table] = 0
         n = self._cow_versions[table] + 1
         self._cow_versions[table] = n
         dest = self.catalog.warehouse_path(f"{table}__v{n}")
         hist.append(dest)
+        self._table_ops.setdefault(table, ["base"] * (len(hist) - 1)).append(op)
         return dest
 
     def _sql_expr_column(self, text: str):
@@ -750,7 +795,9 @@ class QueryPlanner:
                     for f in df.schema.fields
                 ]
             )
-        dest = self._cow_dest(table)
+        dest = self._cow_dest(
+            table, op="delete" if delete_where is not None or delete_all else "update"
+        )
         if kept:
             # pruned rewrite: right-size the (small) rewritten slice
             out = out.hint("rebalance")
@@ -833,7 +880,7 @@ class QueryPlanner:
         old_path = self.catalog.path(table)
         files = data_files(old_path) if fmt == "parquet" else []
         pcols = partition_columns(old_path) if files else []
-        dest = self._cow_dest(table)
+        dest = self._cow_dest(table, op="insert")
         # REBALANCE before writing: a tiny delta filtered from a
         # many-partition scan would otherwise write one (mostly empty)
         # file per task — the small-files problem that kills listing
@@ -990,7 +1037,7 @@ class QueryPlanner:
         if action_l.lower() == "delete":
             out = out.filter(~matched)
         out = out.select(*cols)
-        dest = self._cow_dest(target)
+        dest = self._cow_dest(target, op="merge")
         if kept:
             out = out.hint("rebalance")
         w = out.write.mode("overwrite")

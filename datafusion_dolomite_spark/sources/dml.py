@@ -321,11 +321,24 @@ class VersionLog:
             return None
         return versions if isinstance(versions, list) and versions else None
 
-    def save(self, table: str, versions: Sequence[str]) -> None:
+    def load_ops(self, table: str) -> Optional[list]:
+        """Per-version operation tags (parallel to ``load``); None when
+        the log predates op tagging — callers fall back to "write"."""
+        try:
+            with open(self._path(table)) as f:
+                ops = json.load(f).get("ops")
+        except (OSError, ValueError):
+            return None
+        return ops if isinstance(ops, list) and ops else None
+
+    def save(self, table: str, versions: Sequence[str], ops=None) -> None:
         os.makedirs(self.dir, exist_ok=True)
         tmp = self._path(table) + ".tmp"
+        doc = {"versions": list(versions)}
+        if ops is not None:
+            doc["ops"] = list(ops)
         with open(tmp, "w") as f:
-            json.dump({"versions": list(versions)}, f)
+            json.dump(doc, f)
         os.replace(tmp, self._path(table))  # atomic vs concurrent readers
 
     def tables(self) -> list:

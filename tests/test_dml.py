@@ -150,3 +150,24 @@ def test_delete_without_where_empties_table(qp):
     out = qp.sql("delete from t")
     assert out.count() == 0
     assert qp.sql("select * from t version as of 0").count() == 10
+
+
+def test_describe_history(qp):
+    """DESCRIBE HISTORY (r8): version lineage with operation tags,
+    surviving the persisted log."""
+    qp.sql("delete from t where k >= 7").count()
+    qp.sql("insert into t values (100, 0, 'n')").count()
+    rows = [(r["version"], r["operation"]) for r in qp.sql(
+        "describe history t"
+    ).collect()]
+    assert rows == [(0, "base"), (1, "delete"), (2, "insert")]
+    # and a fresh planner over the same warehouse reads the same lineage
+    from datafusion_dolomite_spark import QueryPlanner as _QP
+
+    cat2 = type(qp.catalog)(warehouse=qp.catalog.warehouse_root())
+    cat2.register("t", qp._table_history["t"][0])
+    qp2 = _QP(qp.spark, cat2)
+    rows2 = [(r["version"], r["operation"]) for r in qp2.sql(
+        "describe history t"
+    ).collect()]
+    assert rows2 == rows
