@@ -1346,6 +1346,73 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_upsert(spark, src_split, os.path.join(ns, "sink"))
 
 
+def q_stream_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INGESTION INTO A VERSIONED TABLE (r8): purchase events
+    replay as a 4-file checkpointed stream; each micro-batch
+    delta-appends to a warehouse table through the planner's
+    copy-on-write version machinery (one version per batch, O(batch)
+    new files + hardlink carry — pipeline.stream_versioned_ingest), the
+    op-tagged version log is the commit log (a crash between append and
+    checkpoint commit replays by dropping the orphan head — pytest
+    fault-injection in test_stream_versioned_ingest.py).  The dedicated
+    planner uses a PERSISTED warehouse, so a rerun reconstructs the
+    lineage from the version log (`_load_version_log`), resumes the
+    checkpoint, ingests zero new batches, and reads the same head.
+    The oracle aggregates the same purchases in one pass."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.sources.catalog import Catalog
+    from datafusion_dolomite_spark.sources.signature import source_signature
+    from datafusion_dolomite_spark.streaming.pipeline import (
+        stream_versioned_ingest,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    base_root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        "vingest",
+        sf_name,
+    )
+    sig = source_signature(src)
+    ns = os.path.join(base_root, sig)
+    if os.path.isdir(base_root):
+        for d in os.listdir(base_root):
+            if d != sig:
+                shutil.rmtree(os.path.join(base_root, d), ignore_errors=True)
+    purchases = (
+        spark.read.parquet(src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    base_dir = os.path.join(ns, "base")
+    src_split = os.path.join(ns, "src")
+    if not os.path.exists(os.path.join(src_split, "_SUCCESS")):
+        purchases.filter(F.pmod("event_id", F.lit(5)) == 0).repartition(
+            2
+        ).write.mode("overwrite").parquet(base_dir)
+        purchases.filter(F.pmod("event_id", F.lit(5)) != 0).repartition(
+            4
+        ).write.mode("overwrite").parquet(src_split)
+    cat = Catalog(warehouse=os.path.join(ns, "wh"))
+    cat.register("vingest", base_dir)
+    pl = QueryPlanner(spark, cat)  # reloads the version log on rerun
+    stream_versioned_ingest(pl, "vingest", src_split, os.path.join(ns, "ck"))
+    return pl.sql(
+        "select user_id, count(*) as n, "
+        "cast(sum(cents) as bigint) as total_cents "
+        "from vingest group by user_id order by user_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # JSON extraction over events.props
 # ---------------------------------------------------------------------------
@@ -3030,6 +3097,12 @@ EXTENSION_ORACLES = {
         )
         SELECT user_id, count(*) AS n_events, arg_max(cents, ord) AS cents
         FROM e GROUP BY user_id
+    """,
+    "q_stream_versioned": """
+        SELECT user_id, count(*) AS n,
+               sum(floor(value * 100)::BIGINT)::BIGINT AS total_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id ORDER BY user_id
     """,
     "q_interval_overlap": """
         WITH b AS (SELECT l_orderkey, l_suppkey,
@@ -6933,7 +7006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: greens still matters.
 _UNPROVEN_PREFIX = (
     # new this round (r8) — never driver-checked, prove first
-    "q_sql_time_travel", "q_sql_optimize",
+    "q_sql_time_travel", "q_sql_optimize", "q_stream_versioned",
     # r8 CHANGED these queries' implementation — re-prove next
     "q_sql_dml", "q_sql_merge", "q_sql_udf", "q_incremental_dedup",
     "q_dynamic_skip_join",
@@ -7035,6 +7108,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_dml": q_sql_dml,
         "q_sql_time_travel": q_sql_time_travel,
         "q_sql_optimize": q_sql_optimize,
+        "q_stream_versioned": q_stream_versioned,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_corpus_prep": q_corpus_prep,

@@ -828,11 +828,7 @@ class QueryPlanner:
         directory)."""
         import re as _re
 
-        from pyspark.sql import functions as F
-
-        from .plans.plan import LogicalPlanBuilder
         from .execute import SparkExecutor
-        from .sources.dml import data_files, link_files
         from .sql import parse_sql
 
         ex = SparkExecutor(self.spark, self.catalog)
@@ -864,6 +860,31 @@ class QueryPlanner:
                 f"INSERT INTO {table}: {len(target)} target column(s) "
                 f"but the source produces {len(new_rows.columns)}"
             )
+        return self.insert_dataframe(table, new_rows, columns=target)
+
+    def insert_dataframe(self, table, new_rows, columns=None, op="insert"):
+        """Delta-append a DataFrame to a versioned table — the body of
+        ``INSERT INTO`` and the append the streaming versioned-ingest
+        sink calls per micro-batch (streaming/pipeline.py).  ``columns``
+        maps the source positionally onto those target columns
+        (remaining table columns fill NULL); rows cast to the table
+        schema.  Returns a scan of the persisted table."""
+        from pyspark.sql import functions as F
+
+        from .execute import SparkExecutor
+        from .plans.plan import LogicalPlanBuilder
+        from .sources.dml import data_files, link_files, partition_columns
+
+        ex = SparkExecutor(self.spark, self.catalog)
+        fmt = self.catalog.format(table)
+        cur = ex._base_scan(table, fmt)
+        names = [f.name for f in cur.schema.fields]
+        target = list(columns) if columns else names
+        unknown = [c for c in target if c not in names]
+        if unknown:
+            raise ValueError(
+                f"INSERT INTO {table}: unknown column(s) {unknown}"
+            )
         by_name = new_rows.toDF(*target)  # positional → target names
         aligned = by_name.select(
             *[
@@ -875,12 +896,10 @@ class QueryPlanner:
                 for f in cur.schema.fields
             ]
         )
-        from .sources.dml import partition_columns
-
         old_path = self.catalog.path(table)
         files = data_files(old_path) if fmt == "parquet" else []
         pcols = partition_columns(old_path) if files else []
-        dest = self._cow_dest(table, op="insert")
+        dest = self._cow_dest(table, op=op)
         # REBALANCE before writing: a tiny delta filtered from a
         # many-partition scan would otherwise write one (mostly empty)
         # file per task — the small-files problem that kills listing
@@ -898,6 +917,24 @@ class QueryPlanner:
         self.catalog.register(table, dest)
         self._persist_versions(table)
         return self.dataframe(LogicalPlanBuilder().scan(table).build())
+
+    def drop_head_version(self, table: str) -> None:
+        """Roll the lineage back ONE version (drop the head) — the
+        streaming ingest's crash-replay primitive: a micro-batch that
+        appended its version but died before the stream checkpoint
+        committed is an ORPHAN; the replay drops it and re-appends, so
+        versions stay exactly-once (the same predecessor-read
+        discipline as the CDC upsert's versioned snapshots)."""
+        hist = self._table_history.get(table)
+        if not hist or len(hist) < 2:
+            raise ValueError(f"table {table!r} has no head version to drop")
+        hist.pop()
+        ops = self._table_ops.get(table)
+        if ops:
+            ops.pop()
+        self._cow_versions[table] -= 1
+        self.catalog.register(table, hist[-1])
+        self._persist_versions(table)
 
     def _merge_into(self, target, t_alias, source, s_alias, on, action):
         """SQL ``MERGE INTO`` — the Delta/Iceberg upsert surface, built

@@ -710,3 +710,66 @@ def stateful_user_totals(spark, sf_dir: str):
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def stream_versioned_ingest(
+    planner,
+    table: str,
+    src_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    _fault=None,
+):
+    """STREAMING INGESTION INTO A VERSIONED TABLE (r8): each micro-batch
+    delta-appends to ``table`` through the planner's copy-on-write
+    version machinery (``QueryPlanner.insert_dataframe``) — the table
+    gains one version per micro-batch (visible in DESCRIBE HISTORY,
+    each carrying only the batch's rows as new files), time travel
+    replays the ingest point-in-time, and any concurrent reader sees a
+    consistent committed version throughout.
+
+    EXACTLY-ONCE under replay, by the same predecessor-version
+    discipline as the CDC upsert (``incremental_upsert``): the version
+    op tag carries the micro-batch id; a replayed batch that finds ITS
+    OWN tag at the head (the append landed but the stream checkpoint
+    never committed) first drops that orphan head
+    (``drop_head_version``) and re-appends — versions are the commit
+    log.  The dropped orphan's DIR is then overwritten by the identical
+    re-append (same version number), so no torn state survives.
+
+    At 100 TB this is the continuous-ingest front door: O(batch) bytes
+    written per trigger, REBALANCE-coalesced files, the version log as
+    the only coordination point — the Delta streaming-sink shape from
+    this engine's primitives.  Returns the number of micro-batches."""
+    import os
+
+    spark = planner.spark
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(src_dir)
+    )
+    n_batches = [0]
+
+    def _append(batch_df, batch_id: int):
+        tag = f"stream-insert batch={batch_id}"
+        ops = planner._table_ops.get(table) or []
+        if ops and ops[-1] == tag:
+            planner.drop_head_version(table)  # orphan from a dead run
+        planner.insert_dataframe(table, batch_df, op=tag)
+        n_batches[0] += 1
+        if _fault is not None:
+            # test hook: crash AFTER the version append, BEFORE the
+            # stream checkpoint commits — the worst-case replay point
+            _fault(batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", os.path.join(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches[0]
