@@ -117,12 +117,25 @@ class SparkExecutor:
             stamp = (st.st_mtime_ns, st.st_size)
         except OSError:
             stamp = (-1, -1)
-        key = (id(self.spark), path, fmt, stamp)
+        override = (
+            self.catalog.schema_override(table_name)
+            if hasattr(self.catalog, "schema_override")
+            else None
+        )
+        key = (id(self.spark), path, fmt, stamp, override)
         hit = _SCAN_CACHE.get(key)
         if hit is not None and hit[0] is self.spark:
             return hit[1]
         if fmt == "parquet":
-            df = self.spark.read.parquet(path)
+            if override is not None:
+                # schema evolution (ALTER TABLE): the explicit schema
+                # wins — files written before an ADD COLUMN null-fill
+                # the new column, dropped columns are ignored
+                df = self.spark.read.schema(
+                    override.to_struct_type()
+                ).parquet(path)
+            else:
+                df = self.spark.read.parquet(path)
         else:
             # explicit schema (sniffed at registration) — no Spark
             # inference pass, no type drift vs the oracle engine

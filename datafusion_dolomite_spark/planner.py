@@ -159,7 +159,22 @@ class QueryPlanner:
                     else ["base"] + ["write"] * (len(hist) - 1)
                 )
                 self._cow_versions[t] = len(hist) - 1
-                self.catalog.register(t, hist[-1])
+                sch = vlog.load_schema(t)
+                if sch is not None and hasattr(
+                    self.catalog, "set_schema_override"
+                ):
+                    from .operators.properties import Field, Schema
+
+                    self.catalog.set_schema_override(
+                        t,
+                        Schema(
+                            tuple(
+                                Field(n, d, bool(nl), qualifier=t)
+                                for n, d, nl in sch
+                            )
+                        ),
+                    )
+                self.catalog.register(t, hist[-1], keep_schema_override=True)
         except OSError:
             pass
 
@@ -167,13 +182,65 @@ class QueryPlanner:
         from .sources.dml import VersionLog
 
         try:
+            override = (
+                self.catalog.schema_override(table)
+                if hasattr(self.catalog, "schema_override")
+                else None
+            )
             VersionLog(self.catalog.warehouse_root()).save(
                 table,
                 self._table_history[table],
                 ops=self._table_ops.get(table),
+                schema=(
+                    [[f.name, f.dtype, f.nullable] for f in override.fields]
+                    if override is not None
+                    else None
+                ),
             )
         except OSError:
             pass  # read-only warehouse: lineage stays session-scoped
+
+    def _alter_table(self, table: str, add=None, drop=None):
+        """``ALTER TABLE t ADD COLUMN c type`` / ``DROP COLUMN c`` —
+        METADATA-ONLY schema evolution (Delta's contract): no file is
+        touched; the catalog records an explicit schema that parquet
+        scans read with, so files written before an ADD null-fill the
+        new column and dropped columns are simply not read.  Later DML
+        materializes the evolved schema physically in the files it
+        writes.  The override rides in the persisted version log, so
+        the evolved schema survives sessions; it dies with a fresh
+        registration of the table (new lineage).  Note: ``VERSION AS
+        OF`` reads old versions as written (pre-evolution schema) —
+        schema here is a TABLE property, not a versioned one.  Returns
+        DESCRIBE output of the new schema."""
+        from .operators.properties import Field, Schema
+
+        cur = self.catalog.schema(table)
+        fields = list(cur.fields)
+        if add is not None:
+            col, dtype = add
+            if any(f.name == col for f in fields):
+                raise ValueError(
+                    f"ALTER TABLE {table}: column {col!r} already exists"
+                )
+            fields.append(Field(col, dtype, True, qualifier=table))
+        if drop is not None:
+            if not any(f.name == drop for f in fields):
+                raise ValueError(
+                    f"ALTER TABLE {table}: no column {drop!r}"
+                )
+            if len(fields) == 1:
+                raise ValueError(
+                    f"ALTER TABLE {table}: cannot drop the only column"
+                )
+            fields = [f for f in fields if f.name != drop]
+        self.catalog.set_schema_override(table, Schema(tuple(fields)))
+        if table in self._table_history:
+            self._persist_versions(table)  # evolved schema rides the log
+        return self.spark.createDataFrame(
+            [(f.name, f.dtype, f.nullable) for f in fields],
+            "col_name string, data_type string, nullable boolean",
+        )
 
     def _optimize_table(self, table: str, zorder=None, n_files=None):
         """``OPTIMIZE TABLE t [ZORDER BY (c1, c2)]`` — file compaction
@@ -223,7 +290,7 @@ class QueryPlanner:
             if pcols:
                 w = w.partitionBy(*pcols)
             w.parquet(dest)
-        self.catalog.register(table, dest)
+        self.catalog.register(table, dest, keep_schema_override=True)
         self._persist_versions(table)
         files_after = len(data_files(dest))
         return self.spark.createDataFrame(
@@ -584,6 +651,37 @@ class QueryPlanner:
             return self.spark.range(0)
 
         m = _re.match(
+            r"\s*truncate\s+table\s+([A-Za-z_]\w*)\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            # TRUNCATE TABLE = versioned delete-all (time travel keeps
+            # the pre-truncate versions, exactly like DELETE FROM t)
+            return self._dml_rewrite(m.group(1), delete_all=True)
+
+        m = _re.match(
+            r"\s*alter\s+table\s+([A-Za-z_]\w*)\s+add\s+column\s+"
+            r"([A-Za-z_]\w*)\s+([A-Za-z_][A-Za-z_0-9 ]*(?:\([0-9, ]*\))?"
+            r"(?:<[^>]*>)?)\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            return self._alter_table(
+                m.group(1), add=(m.group(2), m.group(3).strip().lower())
+            )
+
+        m = _re.match(
+            r"\s*alter\s+table\s+([A-Za-z_]\w*)\s+drop\s+column\s+"
+            r"([A-Za-z_]\w*)\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            return self._alter_table(m.group(1), drop=m.group(2))
+
+        m = _re.match(
             r"\s*optimize\s+table\s+([A-Za-z_]\w*)"
             r"(?:\s+zorder\s+by\s*\(([^)]*)\))?\s*$",
             query,
@@ -807,7 +905,7 @@ class QueryPlanner:
         w.parquet(dest)
         if kept:
             link_files(kept, dest, base=old_path)
-        self.catalog.register(table, dest)
+        self.catalog.register(table, dest, keep_schema_override=True)
         self._persist_versions(table)
         return self.dataframe(LogicalPlanBuilder().scan(table).build())
 
@@ -914,7 +1012,7 @@ class QueryPlanner:
             link_files(files, dest, base=old_path)
         else:
             cur.unionByName(aligned).write.mode("overwrite").parquet(dest)
-        self.catalog.register(table, dest)
+        self.catalog.register(table, dest, keep_schema_override=True)
         self._persist_versions(table)
         return self.dataframe(LogicalPlanBuilder().scan(table).build())
 
@@ -933,7 +1031,7 @@ class QueryPlanner:
         if ops:
             ops.pop()
         self._cow_versions[table] -= 1
-        self.catalog.register(table, hist[-1])
+        self.catalog.register(table, hist[-1], keep_schema_override=True)
         self._persist_versions(table)
 
     def _merge_into(self, target, t_alias, source, s_alias, on, action):
@@ -1083,7 +1181,7 @@ class QueryPlanner:
         w.parquet(dest)
         if kept:
             link_files(kept, dest, base=t_path)
-        self.catalog.register(target, dest)
+        self.catalog.register(target, dest, keep_schema_override=True)
         self._persist_versions(target)
         return self.dataframe(
             LogicalPlanBuilder().scan(target).build()

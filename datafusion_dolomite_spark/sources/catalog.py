@@ -111,6 +111,12 @@ class Catalog:
         self._schemas: Dict[str, Schema] = {}
         self._stats: Dict[str, Statistics] = {}
         self._warehouse = warehouse
+        #: explicit table schemas from ALTER TABLE (schema evolution):
+        #: wins over file sniffing; parquet scans read with it so files
+        #: written before an ADD COLUMN null-fill the new column.
+        #: Lifetime: survives the DML lineage's re-registrations
+        #: (keep_schema_override=True), dies with a fresh registration.
+        self._schema_overrides: Dict[str, "Schema"] = {}
         self._mvs: list = []
         self._unique_keys: Dict[str, set] = {}
         #: (table, predicate-class) → actual/estimated row factor learned
@@ -230,6 +236,7 @@ class Catalog:
         path: str,
         format: str = "parquet",
         options: Optional[Dict[str, str]] = None,
+        keep_schema_override: bool = False,
     ) -> None:
         if format not in ("parquet", "orc", "csv", "json"):
             raise ValueError(f"unsupported source format {format!r}")
@@ -241,6 +248,18 @@ class Catalog:
             self._options[name] = dict(options)
         self._schemas.pop(name, None)
         self._stats.pop(name, None)
+        if not keep_schema_override:
+            # a FRESH registration replaces the table wholesale; only
+            # the DML lineage's own re-registrations carry the evolved
+            # schema forward
+            self._schema_overrides.pop(name, None)
+
+    def set_schema_override(self, name: str, schema: Schema) -> None:
+        self._schema_overrides[name] = schema
+        self._schemas.pop(name, None)
+
+    def schema_override(self, name: str) -> Optional[Schema]:
+        return self._schema_overrides.get(name)
 
     def format(self, name: str) -> str:
         return self._formats.get(name, "parquet")
@@ -278,6 +297,9 @@ class Catalog:
         return tuple(self._paths)
 
     def schema(self, name: str) -> Schema:
+        override = self._schema_overrides.get(name)
+        if override is not None:
+            return override
         if name not in self._schemas:
             fmt = self.format(name)
             if fmt == "parquet":

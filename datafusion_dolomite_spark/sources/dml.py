@@ -331,12 +331,25 @@ class VersionLog:
             return None
         return ops if isinstance(ops, list) and ops else None
 
-    def save(self, table: str, versions: Sequence[str], ops=None) -> None:
+    def load_schema(self, table: str) -> Optional[list]:
+        """Evolved table schema ([name, ddl_type, nullable] triples)
+        recorded by ALTER TABLE; None when the table never evolved."""
+        try:
+            with open(self._path(table)) as f:
+                sch = json.load(f).get("schema")
+        except (OSError, ValueError):
+            return None
+        return sch if isinstance(sch, list) and sch else None
+
+    def save(self, table: str, versions: Sequence[str], ops=None,
+             schema=None) -> None:
         os.makedirs(self.dir, exist_ok=True)
         tmp = self._path(table) + ".tmp"
         doc = {"versions": list(versions)}
         if ops is not None:
             doc["ops"] = list(ops)
+        if schema is not None:
+            doc["schema"] = list(schema)
         with open(tmp, "w") as f:
             json.dump(doc, f)
         os.replace(tmp, self._path(table))  # atomic vs concurrent readers

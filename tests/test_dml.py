@@ -171,3 +171,54 @@ def test_describe_history(qp):
         "describe history t"
     ).collect()]
     assert rows2 == rows
+
+
+def test_alter_table_add_and_drop_column(qp, spark):
+    """ALTER TABLE (r8): metadata-only schema evolution — ADD COLUMN
+    null-fills on files written before it; later DML materializes it;
+    DROP COLUMN stops reading a physical column; the evolved schema
+    rides the persisted version log across planners."""
+    qp.sql("alter table t add column score double").count()
+    rows = {r["k"]: r["score"] for r in qp.sql(
+        "select k, score from t where k <= 1"
+    ).collect()}
+    assert rows == {0: None, 1: None}
+    # DML writes the evolved schema physically
+    qp.sql("update t set score = cast(k as double) where k < 3").count()
+    got = {r["k"]: r["score"] for r in qp.sql(
+        "select k, score from t where k <= 3"
+    ).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0, 3: None}
+    # INSERT without the column fills NULL; with it, keeps it
+    qp.sql("insert into t (k, v, tag, score) values (50, 0, 'n', 9.5)").count()
+    assert [r["score"] for r in qp.sql(
+        "select score from t where k = 50"
+    ).collect()] == [9.5]
+    # evolved schema survives a NEW planner over the same warehouse
+    from datafusion_dolomite_spark import QueryPlanner as _QP
+
+    cat2 = type(qp.catalog)(warehouse=qp.catalog.warehouse_root())
+    cat2.register("t", qp._table_history["t"][0])
+    qp2 = _QP(qp.spark, cat2)
+    assert "score" in [
+        r["col_name"] for r in qp2.sql("describe t").collect()
+    ]
+    assert qp2.sql("select score from t where k = 50").collect()[0][0] == 9.5
+    # drop: the column disappears from reads (files untouched)
+    qp.sql("alter table t drop column tag").count()
+    assert "tag" not in [
+        r["col_name"] for r in qp.sql("describe t").collect()
+    ]
+    assert qp.sql("select * from t where k = 50").columns == ["k", "v", "score"]
+    with pytest.raises(Exception, match="already exists"):
+        qp.sql("alter table t add column v bigint")
+    with pytest.raises(Exception, match="no column"):
+        qp.sql("alter table t drop column nope")
+
+
+def test_truncate_table(qp):
+    out = qp.sql("truncate table t")
+    assert out.count() == 0
+    assert qp.sql("select * from t version as of 0").count() == 10
+    hist = [r["operation"] for r in qp.sql("describe history t").collect()]
+    assert hist == ["base", "delete"]
