@@ -797,7 +797,9 @@ class QueryPlanner:
         files = data_files(path)
         cols_present = {f.name for f in schema.fields}
         conj = [
-            c for c in prune_conjuncts(pred_text) if c[0] in cols_present
+            c
+            for c in prune_conjuncts(pred_text, macros=self._sql_macros)
+            if c[0] in cols_present
         ]
         if not files or not conj:
             return None, None

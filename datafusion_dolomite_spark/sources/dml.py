@@ -203,7 +203,7 @@ def file_bands(files: Sequence[str], columns, table_path: Optional[str] = None) 
     return out
 
 
-def prune_conjuncts(where_text: str) -> list:
+def prune_conjuncts(where_text: str, macros=None) -> list:
     """Parse a DML WHERE into pruning conjuncts: the top-level AND
     parts of shape ``col <op> literal`` (either orientation) with op in
     =, <, <=, >, >=.  Returns [(column, op, value), ...] — possibly a
@@ -216,7 +216,7 @@ def prune_conjuncts(where_text: str) -> list:
     try:
         from ..sql import _Parser
 
-        expr = _Parser(where_text)._expr()
+        expr = _Parser(where_text, macros=macros)._expr()
     except Exception:
         return []
     flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}

@@ -469,3 +469,16 @@ def test_optimize_zorder_clusters_and_prunes(spark, tmp_path):
         if _os.stat(f).st_ino in inodes
     ]
     assert kept, "z-ordered layout should let the DELETE carry files"
+
+
+def test_macro_predicate_still_prunes(clustered):
+    """A CREATE FUNCTION macro in a DELETE predicate expands inside the
+    pruner too — the file-skipping proof sees the underlying
+    col-op-literal conjunct."""
+    qp, path = clustered
+    qp.sql("create function hot(x) as x >= 75").count()
+    before = _inodes(path)
+    out = qp.sql("delete from c where hot(k)")
+    assert out.count() == 75
+    carried, _ = _carried(qp, "c", before)
+    assert len(carried) == 3
