@@ -124,6 +124,10 @@ class QueryPlanner:
         #: parallel per-table operation tags ("base", "delete", ...)
         #: for DESCRIBE HISTORY
         self._table_ops: dict = {}
+        #: per-table lineage token (uuid, persisted in the log):
+        #: optimistic concurrency — two planners sharing one lineage
+        #: detect each other's commits instead of clobbering them
+        self._table_lineage: dict = {}
         self._load_version_log()
 
     def _load_version_log(self) -> None:
@@ -159,6 +163,9 @@ class QueryPlanner:
                     else ["base"] + ["write"] * (len(hist) - 1)
                 )
                 self._cow_versions[t] = len(hist) - 1
+                tok = vlog.load_lineage(t)
+                if tok:
+                    self._table_lineage[t] = tok
                 sch = vlog.load_schema(t)
                 if sch is not None and hasattr(
                     self.catalog, "set_schema_override"
@@ -196,6 +203,7 @@ class QueryPlanner:
                     if override is not None
                     else None
                 ),
+                lineage=self._table_lineage.get(table),
             )
         except OSError:
             pass  # read-only warehouse: lineage stays session-scoped
@@ -732,6 +740,10 @@ class QueryPlanner:
         matches its recorded head (re-created by CTAS, re-registered at
         new data) starts a FRESH lineage — the old log is dead.  ``op``
         tags the version for DESCRIBE HISTORY."""
+        import uuid
+
+        from .sources.dml import ConcurrentWriteError, VersionLog
+
         cur = self.catalog.path(table)
         hist = self._table_history.get(table)
         if hist is None or hist[-1] != cur:
@@ -739,6 +751,29 @@ class QueryPlanner:
             self._table_history[table] = hist
             self._table_ops[table] = ["base"]
             self._cow_versions[table] = 0
+            # fresh lineage → fresh token (a persisted log from a
+            # re-created table's DEAD lineage carries a different one)
+            self._table_lineage[table] = uuid.uuid4().hex
+        else:
+            # optimistic concurrency (Delta-style commit check): if the
+            # persisted log carries OUR lineage token but a version set
+            # we don't know about, another writer advanced the lineage
+            # since we last saw it — fail the statement instead of
+            # silently overwriting their version dir
+            tok = self._table_lineage.get(table)
+            if tok is not None and getattr(self.catalog, "_warehouse", None):
+                try:
+                    vlog = VersionLog(self.catalog.warehouse_root())
+                    if (
+                        vlog.load_lineage(table) == tok
+                        and (vlog.load(table) or hist) != hist
+                    ):
+                        raise ConcurrentWriteError(
+                            f"table {table!r}: another writer advanced "
+                            "this lineage — re-read and retry"
+                        )
+                except OSError:
+                    pass
         n = self._cow_versions[table] + 1
         self._cow_versions[table] = n
         dest = self.catalog.warehouse_path(f"{table}__v{n}")

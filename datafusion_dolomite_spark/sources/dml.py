@@ -49,7 +49,16 @@ __all__ = [
     "prune_conjuncts",
     "file_excluded",
     "VersionLog",
+    "ConcurrentWriteError",
 ]
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer advanced the same table lineage since this
+    planner last saw it (optimistic concurrency, Delta-style commit
+    conflict).  The loser must re-read the table and retry its
+    statement — continuing would overwrite the other writer's
+    version."""
 
 
 def data_files(path: str) -> list:
@@ -331,6 +340,16 @@ class VersionLog:
             return None
         return ops if isinstance(ops, list) and ops else None
 
+    def load_lineage(self, table: str) -> Optional[str]:
+        """The lineage token recorded with the log (None for logs
+        written before tokens or no log)."""
+        try:
+            with open(self._path(table)) as f:
+                tok = json.load(f).get("lineage")
+        except (OSError, ValueError):
+            return None
+        return tok if isinstance(tok, str) and tok else None
+
     def load_schema(self, table: str) -> Optional[list]:
         """Evolved table schema ([name, ddl_type, nullable] triples)
         recorded by ALTER TABLE; None when the table never evolved."""
@@ -342,7 +361,7 @@ class VersionLog:
         return sch if isinstance(sch, list) and sch else None
 
     def save(self, table: str, versions: Sequence[str], ops=None,
-             schema=None) -> None:
+             schema=None, lineage=None) -> None:
         os.makedirs(self.dir, exist_ok=True)
         tmp = self._path(table) + ".tmp"
         doc = {"versions": list(versions)}
@@ -350,6 +369,8 @@ class VersionLog:
             doc["ops"] = list(ops)
         if schema is not None:
             doc["schema"] = list(schema)
+        if lineage is not None:
+            doc["lineage"] = lineage
         with open(tmp, "w") as f:
             json.dump(doc, f)
         os.replace(tmp, self._path(table))  # atomic vs concurrent readers

@@ -482,3 +482,31 @@ def test_macro_predicate_still_prunes(clustered):
     assert out.count() == 75
     carried, _ = _carried(qp, "c", before)
     assert len(carried) == 3
+
+
+def test_concurrent_writer_detected(spark, tmp_path):
+    """Optimistic concurrency (r8): two planners sharing one lineage —
+    the second writer's DML fails with ConcurrentWriteError instead of
+    silently overwriting the first one's version dir."""
+    from datafusion_dolomite_spark.sources.dml import ConcurrentWriteError
+
+    wh = str(tmp_path / "wh")
+    base = str(tmp_path / "t0")
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "k bigint"
+    ).write.parquet(base)
+    cat_a = Catalog(warehouse=wh)
+    cat_a.register("t", base)
+    qp_a = QueryPlanner(spark, cat_a)
+    qp_a.sql("delete from t where k = 0").count()  # v1, creates lineage
+
+    cat_b = Catalog(warehouse=wh)
+    cat_b.register("t", base)
+    qp_b = QueryPlanner(spark, cat_b)  # loads the lineage at head v1
+    qp_a.sql("delete from t where k = 1").count()  # A advances to v2
+    with pytest.raises(ConcurrentWriteError):
+        qp_b.sql("delete from t where k = 2")
+    # A's lineage intact, B never wrote
+    assert qp_a.sql("select * from t version as of 2").count() == 8
+    hist = [r["version"] for r in qp_a.sql("describe history t").collect()]
+    assert hist == [0, 1, 2]
