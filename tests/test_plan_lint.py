@@ -86,7 +86,12 @@ SHUFFLE_BUDGET = {
     # ANALYZE TABLE returns a driver-built LocalRelation — no shuffles
     "q_sql_analyze": 0,
     # index probe: signature agg + band-bucket join against the index
-    "q_incremental_dedup": 2,
+    # r8: the ingest persists result/new_sig so the signature+probe
+    # pipeline runs ONCE instead of 3x (count, index write, caller's
+    # collect); the cache boundary keeps the probe's band-bucket and
+    # verdict-join shuffles visible in the returned plan instead of
+    # collapsing into the reused exchange
+    "q_incremental_dedup": 4,
     # distributed exact rank: band counts agg + band-keyed window
     "q_quality_prune": 2,
     # MERGE INTO returns a scan of the persisted merged table
@@ -254,6 +259,11 @@ SHUFFLE_BUDGET = {
     "q_range_join": 1,
     "q_connected_components": 1,
     "q_dedup_clusters": 1,
+    # r8: VERSION AS OF reads a snapshot dir straight — no shuffle
+    "q_sql_time_travel": 0,
+    # r8: final per-custkey agg + ORDER BY over the compacted table
+    # (hash + range partitioning, doubled under AQE's reused stages)
+    "q_sql_optimize": 4,
 }
 
 BATCH_QUERIES = sorted(
