@@ -510,3 +510,19 @@ def test_concurrent_writer_detected(spark, tmp_path):
     assert qp_a.sql("select * from t version as of 2").count() == 8
     hist = [r["version"] for r in qp_a.sql("describe history t").collect()]
     assert hist == [0, 1, 2]
+
+
+def test_explain_dml_reports_pruning(clustered):
+    """EXPLAIN DELETE/UPDATE (r8): the pruning verdict without
+    executing — and the table is untouched afterwards."""
+    qp, path = clustered
+    before = _inodes(path)
+    row = qp.sql("explain delete from c where k >= 75").collect()[0]
+    assert (row["mode"], row["data_files"], row["files_carried"],
+            row["files_rewritten"]) == ("pruned rewrite", 4, 3, 1)
+    row = qp.sql("explain update c set v = 0 where k < 25").collect()[0]
+    assert (row["mode"], row["files_carried"]) == ("pruned rewrite", 3)
+    row = qp.sql("explain update c set v = 0 where k + 0 < 10").collect()[0]
+    assert row["mode"] == "full rewrite" and row["files_carried"] == 0
+    assert _inodes(path) == before  # nothing executed
+    assert qp.catalog.path("c") == path  # no new version
