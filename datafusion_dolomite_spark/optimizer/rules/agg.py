@@ -158,6 +158,17 @@ class EagerAggregationRule(Rule):
                     return None
                 partials.append(Alias(Func(deco[0], fn.args), pname))
                 final = Func(deco[1], (Col(pname),))
+                if fn.name in ("count", "count_distinct") and not agg.group_exprs:
+                    # GLOBAL count over an EMPTY join: the raw plan
+                    # returns 0, but sum(partial_count) over zero rows
+                    # is NULL — coalesce restores count's
+                    # zero-on-empty contract.  Grouped finals can't hit
+                    # this (no group row exists without input rows).
+                    # Found by the hypothesis differential
+                    # (test_property_differential.py).
+                    from ...expr import Lit
+
+                    final = Func("coalesce", (final, Lit(0)))
             for t in reversed(casts):
                 final = Cast(final, t)
             finals.append(Alias(final, a.name))

@@ -215,3 +215,42 @@ def test_global_agg_pushes_partial(spark, planner, shuffle_qp):
     (e,) = shuffle_qp.dataframe(plan).collect()
     (p,) = planner.dataframe(plan).collect()
     assert e["n"] == p["n"] and math.isclose(e["total"], p["total"], rel_tol=1e-9)
+
+
+def test_global_count_over_empty_join_is_zero(spark, catalog):
+    """Regression (r8, found by the hypothesis differential): a GLOBAL
+    count whose eager-decomposed final is sum(partial_count) must
+    coalesce to 0 when the join output is empty — the raw plan returns
+    0, sum over no rows is NULL."""
+    from datafusion_dolomite_spark import (
+        JoinType,
+        LogicalPlanBuilder,
+        QueryPlanner,
+        col,
+        lit,
+    )
+    from datafusion_dolomite_spark.expr import Alias, BinOp, Func
+    from datafusion_dolomite_spark.optimizer.cascades.cost import (
+        SparkCostModel,
+    )
+
+    plan = (
+        LogicalPlanBuilder()
+        .scan("orders")
+        .join(
+            LogicalPlanBuilder().scan("customer"),
+            JoinType.INNER,
+            col("o_custkey").eq(col("c_custkey")),
+        )
+        .filter(BinOp("<", col("o_orderkey"), lit(-1.0)))  # empty
+        .aggregate([], [Alias(Func("count", ()), "n")])
+        .build()
+    )
+    qp = QueryPlanner(
+        spark,
+        catalog,
+        cost_model=SparkCostModel(
+            broadcast_row_threshold=1, broadcast_bytes_threshold=1
+        ),  # shuffle regime: eager aggregation fires whenever legal
+    )
+    assert qp.dataframe(plan).collect() == [(0,)]
