@@ -360,8 +360,18 @@ class VersionLog:
             return None
         return sch if isinstance(sch, list) and sch else None
 
+    def load_constraints(self, table: str):
+        """Per-table CHECK constraints ({name: expr_text}) recorded by
+        ALTER TABLE ADD CONSTRAINT; None when the table has none."""
+        try:
+            with open(self._path(table)) as f:
+                cons = json.load(f).get("constraints")
+        except (OSError, ValueError):
+            return None
+        return cons if isinstance(cons, dict) and cons else None
+
     def save(self, table: str, versions: Sequence[str], ops=None,
-             schema=None, lineage=None) -> None:
+             schema=None, lineage=None, constraints=None) -> None:
         os.makedirs(self.dir, exist_ok=True)
         tmp = self._path(table) + ".tmp"
         doc = {"versions": list(versions)}
@@ -371,6 +381,8 @@ class VersionLog:
             doc["schema"] = list(schema)
         if lineage is not None:
             doc["lineage"] = lineage
+        if constraints is not None:
+            doc["constraints"] = dict(constraints)
         with open(tmp, "w") as f:
             json.dump(doc, f)
         os.replace(tmp, self._path(table))  # atomic vs concurrent readers

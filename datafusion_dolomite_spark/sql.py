@@ -369,17 +369,28 @@ class _Parser:
             while self.accept("op", ","):
                 items.append(self._select_item())
 
-        self.expect("kw", "from")
         frame: dict = {}
         seen_bases: set = set()
         self.frames.append(frame)
-        builder = self._from_item(frame, seen_bases)
-        # comma joins (textbook TPC-H style): cross join now, WHERE
-        # equalities merge into the condition via MergeFilterIntoJoinRule
-        while self.accept("op", ","):
-            builder = builder.join(
-                self._from_item(frame, seen_bases), JoinType.INNER, Lit(True)
+        if not self.accept("kw", "from"):
+            # FROM-less SELECT (`select 1`, `select cast(null as int)`):
+            # a one-row dummy relation carries the literal projection —
+            # the DUAL convention
+            if star:
+                raise SqlError("SELECT * needs a FROM clause")
+            builder = LogicalPlanBuilder().values(
+                [[1]], ["__dual__"], ["int"]
             )
+        else:
+            builder = self._from_item(frame, seen_bases)
+            # comma joins (textbook TPC-H style): cross join now, WHERE
+            # equalities merge into the condition via
+            # MergeFilterIntoJoinRule
+            while self.accept("op", ","):
+                builder = builder.join(
+                    self._from_item(frame, seen_bases), JoinType.INNER,
+                    Lit(True)
+                )
 
         # joins
         while True:
@@ -1248,6 +1259,11 @@ class _Parser:
         if t.kind == "string":
             self.next()
             return Lit(t.value[1:-1].replace("''", "'"))
+        if t.kind == "kw" and t.value == "null":
+            # bare NULL literal (`cast(null as bigint)`, `coalesce(x,
+            # null)`); typing comes from context exactly as in Spark
+            self.next()
+            return Lit(None)
         if t.kind == "kw" and t.value == "case":
             self.next()
             branches = []
@@ -1284,6 +1300,10 @@ class _Parser:
             if self.accept("op", "."):
                 colname = self.expect("ident").value
                 return Col(colname, qualifier=name)
+            if name.lower() in ("true", "false"):
+                # boolean literals lex as idents (not reserved, so a
+                # column named `true` would shadow — as in Spark SQL)
+                return Lit(name.lower() == "true")
             return Col(name)
         raise SqlError(f"unexpected token {t!r}")
 
