@@ -2373,6 +2373,58 @@ EXTENSION_ORACLES = {
                max(o_orderkey)::BIGINT AS max_k
         FROM cur GROUP BY o_custkey ORDER BY o_custkey
     """,
+    "q_sql_restore": """
+        WITH base AS (
+          SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey <= 1600
+        ),
+        v1 AS (SELECT * FROM base WHERE NOT (o_custkey >= 100))
+        SELECT count(*)::BIGINT AS n, sum(o_orderkey)::BIGINT AS sum_k,
+               max(o_custkey)::BIGINT AS max_c
+        FROM v1
+    """,
+    "q_sql_clone": """
+        WITH base AS (
+          SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey <= 800
+        ),
+        cl AS (SELECT * FROM base WHERE NOT (c_nationkey >= 12)),
+        cl2 AS (
+          SELECT * FROM cl
+          UNION ALL
+          SELECT c_custkey + 500000, c_nationkey FROM cl WHERE c_custkey <= 20
+        )
+        SELECT 'src' AS side, count(*)::BIGINT AS n,
+               sum(c_custkey)::BIGINT AS sum_k FROM base
+        UNION ALL
+        SELECT 'clone' AS side, count(*)::BIGINT AS n,
+               sum(c_custkey)::BIGINT AS sum_k FROM cl2
+    """,
+    "q_sql_constraints": """
+        WITH base AS (SELECT s_suppkey, s_nationkey FROM supplier),
+        ins AS (
+          SELECT * FROM base
+          UNION ALL
+          SELECT s_suppkey + 10000, s_nationkey FROM base WHERE s_suppkey <= 5
+        )
+        SELECT count(*)::BIGINT AS n, sum(s_suppkey)::BIGINT AS sum_k,
+               min(s_nationkey)::BIGINT AS min_n
+        FROM ins
+    """,
+    "q_table_changes": """
+        WITH base AS (
+          SELECT p_partkey, p_size FROM part WHERE p_partkey <= 1200
+        ),
+        v1 AS (SELECT * FROM base WHERE NOT (p_size >= 30)),
+        changes AS (
+          SELECT 'delete' AS _change_type, p_partkey
+          FROM base WHERE p_size >= 30
+          UNION ALL
+          SELECT 'insert' AS _change_type, p_partkey + 2000000
+          FROM v1 WHERE p_partkey <= 40
+        )
+        SELECT _change_type, count(*)::BIGINT AS n,
+               sum(p_partkey)::BIGINT AS sum_k
+        FROM changes GROUP BY _change_type ORDER BY _change_type
+    """,
     "q_sql_udf": """
         SELECT l_returnflag,
                sum(floor(l_extendedprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS gross_cents,
@@ -4513,6 +4565,125 @@ def q_sql_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(min(o_orderkey) as bigint) as min_k, "
         "cast(max(o_orderkey) as bigint) as max_k "
         "from opt_work group by o_custkey order by o_custkey"
+    )
+
+
+def q_sql_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF (r8): CTAS, DELETE (v1),
+    INSERT (v2), then roll back to v1 as a NEW head version — the
+    restored file set carries forward as hardlinks, O(files) metadata
+    with zero data bytes rewritten (planner.py::_restore_table), and
+    the in-between versions stay time-travelable.  The oracle computes
+    the v1 state (base minus the deleted slice) directly."""
+    pl = _planner(spark, sf_dir)
+    pl.sql(
+        "create table res_work as select o_orderkey, o_custkey "
+        "from orders where o_orderkey <= 1600"
+    ).count()
+    pl.sql("delete from res_work where o_custkey >= 100").count()
+    pl.sql(
+        "insert into res_work select o_orderkey + 1000000 as o_orderkey, "
+        "o_custkey from res_work where o_orderkey <= 50"
+    ).count()
+    pl.sql("restore table res_work to version as of 1").count()
+    return pl.sql(
+        "select cast(count(*) as bigint) as n, "
+        "cast(sum(o_orderkey) as bigint) as sum_k, "
+        "cast(max(o_custkey) as bigint) as max_c from res_work"
+    )
+
+
+def q_sql_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE ... SHALLOW CLONE (r8): zero-copy table copy — the
+    clone's version-0 files are hardlinks of the source's, O(files)
+    metadata, no data read or written (planner.py::_shallow_clone).
+    DML on the clone (DELETE then INSERT) must leave the source
+    byte-identical: copy-on-write means shared files are immutable by
+    contract, so the clone's first rewrite diverges into its own
+    version dirs.  The result returns BOTH sides' aggregates; the
+    oracle recomputes each from the base relation."""
+    pl = _planner(spark, sf_dir)
+    pl.sql(
+        "create table clone_src as select c_custkey, c_nationkey "
+        "from customer where c_custkey <= 800"
+    ).count()
+    pl.sql("create table clone_dst shallow clone clone_src").count()
+    pl.sql("delete from clone_dst where c_nationkey >= 12").count()
+    pl.sql(
+        "insert into clone_dst select c_custkey + 500000 as c_custkey, "
+        "c_nationkey from clone_dst where c_custkey <= 20"
+    ).count()
+    return pl.sql(
+        "select 'src' as side, cast(count(*) as bigint) as n, "
+        "cast(sum(c_custkey) as bigint) as sum_k from clone_src "
+        "union all "
+        "select 'clone' as side, cast(count(*) as bigint) as n, "
+        "cast(sum(c_custkey) as bigint) as sum_k from clone_dst"
+    )
+
+
+def q_sql_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints (r8): ALTER TABLE ADD CONSTRAINT validates
+    existing rows once, then every DML validates only the DELTA it
+    writes — O(statement), never an O(table) re-scan
+    (planner.py::_enforce_constraints).  A violating INSERT must abort
+    ATOMICALLY (ValueError before any version dir is created), leaving
+    the table exactly as the oracle computes it from the valid
+    statements alone."""
+    pl = _planner(spark, sf_dir)
+    pl.sql(
+        "create table con_work as select s_suppkey, s_nationkey "
+        "from supplier"
+    ).count()
+    pl.sql(
+        "alter table con_work add constraint nat_range "
+        "check (s_nationkey >= 0 and s_nationkey < 25)"
+    ).count()
+    pl.sql(
+        "insert into con_work select s_suppkey + 10000 as s_suppkey, "
+        "s_nationkey from con_work where s_suppkey <= 5"
+    ).count()
+    try:
+        pl.sql("insert into con_work values (99999, -1)").count()
+        raise AssertionError("violating INSERT was not rejected")
+    except ValueError:
+        pass  # the atomic reject — no version written
+    return pl.sql(
+        "select cast(count(*) as bigint) as n, "
+        "cast(sum(s_suppkey) as bigint) as sum_k, "
+        "cast(min(s_nationkey) as bigint) as min_n from con_work"
+    )
+
+
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE FEED between versions (r8): versions are
+    immutable file sets sharing carried-forward files (same inode), so
+    ``table_changes(t, v1, v2)`` scans ONLY the version-unique files on
+    each side and diffs them with exceptAll — O(changed files), never
+    O(table) (planner.py::_table_changes).  DELETE then INSERT between
+    v0 and v2 must surface exactly the deleted rows as 'delete' and the
+    inserted rows as 'insert'; the oracle recomputes both slices from
+    the base relation."""
+    from pyspark.sql import functions as F
+
+    pl = _planner(spark, sf_dir)
+    pl.sql(
+        "create table cdf_work as select p_partkey, p_size "
+        "from part where p_partkey <= 1200"
+    ).count()
+    pl.sql("delete from cdf_work where p_size >= 30").count()
+    pl.sql(
+        "insert into cdf_work select p_partkey + 2000000 as p_partkey, "
+        "p_size from cdf_work where p_partkey <= 40"
+    ).count()
+    ch = pl.sql("select * from table_changes(cdf_work, 0, 2)")
+    return (
+        ch.groupBy("_change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("p_partkey").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("_change_type")
     )
 
 
@@ -7007,6 +7178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round (r8) — never driver-checked, prove first
     "q_sql_time_travel", "q_sql_optimize", "q_stream_versioned",
+    "q_sql_restore", "q_sql_clone", "q_sql_constraints", "q_table_changes",
     # r8 CHANGED these queries' implementation — re-prove next
     "q_sql_dml", "q_sql_merge", "q_sql_udf", "q_incremental_dedup",
     "q_dynamic_skip_join",
@@ -7108,6 +7280,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_dml": q_sql_dml,
         "q_sql_time_travel": q_sql_time_travel,
         "q_sql_optimize": q_sql_optimize,
+        "q_sql_restore": q_sql_restore,
+        "q_sql_clone": q_sql_clone,
+        "q_sql_constraints": q_sql_constraints,
+        "q_table_changes": q_table_changes,
         "q_stream_versioned": q_stream_versioned,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,

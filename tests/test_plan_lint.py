@@ -264,6 +264,15 @@ SHUFFLE_BUDGET = {
     # r8: final per-custkey agg + ORDER BY over the compacted table
     # (hash + range partitioning, doubled under AQE's reused stages)
     "q_sql_optimize": 4,
+    # r8 lifecycle: global aggs over the restored/constrained table —
+    # SinglePartition exchange only, no hash/range shuffle
+    "q_sql_restore": 0,
+    "q_sql_constraints": 0,
+    # r8: both sides' global aggs + the final UNION — the union'd
+    # 1-row sides coalesce through hash exchanges
+    "q_sql_clone": 2,
+    # r8: exceptAll both ways (2 hash shuffles) + groupBy + ORDER BY
+    "q_table_changes": 4,
 }
 
 BATCH_QUERIES = sorted(
