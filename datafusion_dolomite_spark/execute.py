@@ -37,6 +37,75 @@ from .sources.catalog import Catalog
 #: exists only to keep dead sessions from pinning the gateway).
 _SCAN_CACHE: dict = {}
 
+
+def dv_row_key():
+    """(file_name, row_index) key expressions identifying a physical row
+    for deletion vectors — the merge-on-read identity.  ``file_name``
+    is the BASENAME of ``_metadata.file_path`` with any ``linked-{i}-``
+    carry-collision prefix stripped: part files carry globally-unique
+    UUID names, and hardlink carries preserve them, so the basename is
+    stable across every version dir a file is carried into (the full
+    path is NOT — each version links the file under a new dir).
+    ``row_index`` is parquet's in-file ordinal (``_metadata.row_index``)
+    — immutable because data files are immutable by the copy-on-write
+    contract."""
+    from pyspark.sql import functions as F
+
+    fn = F.regexp_replace(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        r"^(linked-\d+-)+",
+        "",
+    )
+    return fn, F.col("_metadata.row_index")
+
+
+def apply_dv(spark, df, path):
+    """Filter out deletion-vector-marked rows from a parquet scan —
+    merge-on-read (Delta's deletion vectors, stored as a parquet
+    sidecar of (file_name, row_index) under ``<version>/_dv``).  The DV
+    is broadcast: its size is bounded by the merge-on-read contract (a
+    DV-mode DELETE marks few rows per statement and OPTIMIZE compacts
+    DVs away); the LEFT side stays the streaming side, so filters and
+    column pruning still push into the parquet scan below the
+    anti-join.  ``df`` must carry ``__dv_file``/``__dv_row`` columns
+    (scan_with_rowid); they are consumed and dropped here.  ``path`` is
+    the version dir whose ``_dv`` sidecar applies."""
+    from pyspark.sql import functions as F
+
+    from .sources.dml import dv_path, has_dv
+
+    if not has_dv(path):
+        return df.drop("__dv_file", "__dv_row")
+    dv = spark.read.parquet(dv_path(path)).select(
+        F.col("file_name").alias("__dv_file"),
+        F.col("row_index").alias("__dv_row"),
+    )
+    return (
+        df.join(F.broadcast(dv), ["__dv_file", "__dv_row"], "left_anti")
+        .drop("__dv_file", "__dv_row")
+    )
+
+
+def scan_with_rowid(spark, path, schema=None, files=None, base=None):
+    """Parquet scan carrying the DV row identity as ``__dv_file`` /
+    ``__dv_row`` columns (dv_row_key).  With ``files``, scans that
+    explicit list (basePath = ``base`` keeps hive partition-column
+    derivation).  The caller either applies the DV (apply_dv) or uses
+    the key columns to WRITE a DV (the merge-on-read DELETE)."""
+    rd = spark.read
+    if schema is not None:
+        rd = rd.schema(schema)
+    if files is not None:
+        if base is not None:
+            rd = rd.option("basePath", base)
+        df = rd.parquet(*files)
+    else:
+        df = rd.parquet(path)
+    fn, ri = dv_row_key()
+    return df.select(
+        "*", fn.alias("__dv_file"), ri.alias("__dv_row")
+    )
+
 __all__ = ["to_spark", "SparkExecutor"]
 
 
@@ -127,7 +196,27 @@ class SparkExecutor:
         if hit is not None and hit[0] is self.spark:
             return hit[1]
         if fmt == "parquet":
-            if override is not None:
+            from .sources.dml import has_dv
+
+            if has_dv(path):
+                # merge-on-read: the version carries a deletion vector —
+                # every scan (queries, DML sources, OPTIMIZE) filters the
+                # marked rows out via a broadcast anti-join on the
+                # physical row identity (dv_row_key)
+                df = apply_dv(
+                    self.spark,
+                    scan_with_rowid(
+                        self.spark,
+                        path,
+                        schema=(
+                            override.to_struct_type()
+                            if override is not None
+                            else None
+                        ),
+                    ),
+                    path,
+                )
+            elif override is not None:
                 # schema evolution (ALTER TABLE): the explicit schema
                 # wins — files written before an ADD COLUMN null-fill
                 # the new column, dropped columns are ignored

@@ -43,6 +43,9 @@ import shutil
 from typing import Optional, Sequence, Tuple
 
 __all__ = [
+    "DV_DIR",
+    "dv_path",
+    "has_dv",
     "data_files",
     "link_files",
     "file_bands",
@@ -61,22 +64,57 @@ class ConcurrentWriteError(RuntimeError):
     version."""
 
 
+#: deletion-vector sidecar directory inside a version dir.  The ``_``
+#: prefix makes Spark's (and Hadoop's) file listing skip it, so a plain
+#: ``spark.read.parquet(version_dir)`` still reads only data files —
+#: the DV is applied by the ENGINE's scan (execute.apply_dv), the
+#: merge-on-read contract.
+DV_DIR = "_dv"
+
+
+def dv_path(path: str) -> str:
+    """The deletion-vector sidecar dir of a table/version directory."""
+    return os.path.join(path, DV_DIR)
+
+
+def has_dv(path: str) -> bool:
+    """True when the version dir carries a non-empty deletion vector."""
+    d = dv_path(path)
+    return os.path.isdir(d) and any(
+        f.endswith(".parquet") for f in os.listdir(d)
+    )
+
+
+def _under_hidden_dir(path: str, root: str) -> bool:
+    """True when any directory component of ``path`` below ``root``
+    starts with ``_`` or ``.`` — the Spark/Hadoop hidden-file
+    convention (``_dv`` sidecars, ``_delta_log``-style metadata)."""
+    rel = os.path.relpath(path, root)
+    return any(
+        part.startswith(("_", "."))
+        for part in rel.split(os.sep)[:-1]
+    )
+
+
 def data_files(path: str) -> list:
     """The parquet data files of a table directory (sorted; sidecars,
-    _SUCCESS and checksums excluded).  A single-file registration
-    returns that file."""
+    _SUCCESS, checksums and ``_``-prefixed dirs like the ``_dv``
+    deletion-vector sidecar excluded — the same hidden-path convention
+    Spark's own listing applies).  A single-file registration returns
+    that file."""
     if not os.path.isdir(path):
         return [path] if os.path.isfile(path) else []
     files = [
         f
         for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if os.path.isfile(f)
+        if os.path.isfile(f) and not _under_hidden_dir(f, path)
     ]
     if not files:
         files = [
             f
             for f in glob.glob(os.path.join(path, "**", "part-*"), recursive=True)
             if os.path.isfile(f) and not f.endswith(".crc")
+            and not _under_hidden_dir(f, path)
         ]
     return sorted(files)
 
@@ -370,8 +408,19 @@ class VersionLog:
             return None
         return cons if isinstance(cons, dict) and cons else None
 
+    def load_properties(self, table: str):
+        """Per-table properties ({key: value}) recorded by ALTER TABLE
+        SET TBLPROPERTIES; None when the table has none."""
+        try:
+            with open(self._path(table)) as f:
+                props = json.load(f).get("properties")
+        except (OSError, ValueError):
+            return None
+        return props if isinstance(props, dict) and props else None
+
     def save(self, table: str, versions: Sequence[str], ops=None,
-             schema=None, lineage=None, constraints=None) -> None:
+             schema=None, lineage=None, constraints=None,
+             properties=None) -> None:
         os.makedirs(self.dir, exist_ok=True)
         tmp = self._path(table) + ".tmp"
         doc = {"versions": list(versions)}
@@ -383,6 +432,8 @@ class VersionLog:
             doc["lineage"] = lineage
         if constraints is not None:
             doc["constraints"] = dict(constraints)
+        if properties is not None:
+            doc["properties"] = dict(properties)
         with open(tmp, "w") as f:
             json.dump(doc, f)
         os.replace(tmp, self._path(table))  # atomic vs concurrent readers

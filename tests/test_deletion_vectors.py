@@ -1,0 +1,171 @@
+"""Merge-on-read DML via deletion vectors (r8): with
+``delete_mode='merge-on-read'`` (ALTER TABLE SET TBLPROPERTIES), a
+DELETE marks matched rows' physical identities (file basename, parquet
+row index) in a ``_dv`` parquet sidecar and rewrites ZERO data files —
+the shape that survives a scattered DELETE touching a few rows in
+every file of a 100 TB table, where file-pruned copy-on-write
+degenerates to a full rewrite.  UPDATE = DV-mark old rows + append new
+files.  Scans apply the DV as a broadcast anti-join
+(execute.apply_dv); OPTIMIZE TABLE materializes the deletes and drops
+the sidecar.
+
+Zero-rewrite pins use inodes (every data file of the new version must
+share st_ino with a base file)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datafusion_dolomite_spark import QueryPlanner
+from datafusion_dolomite_spark.sources import dml
+from datafusion_dolomite_spark.sources.catalog import Catalog
+
+
+def _inodes(path):
+    return {os.stat(f).st_ino for f in dml.data_files(path)}
+
+
+@pytest.fixture()
+def qp(spark, tmp_path):
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    # 4 files so "scattered delete touches every file" is real
+    spark.createDataFrame(
+        [(i, i % 7, i * 10) for i in range(200)],
+        "k bigint, g bigint, v bigint",
+    ).repartition(4).write.parquet(str(tmp_path / "t0"))
+    cat.register("t", str(tmp_path / "t0"))
+    qp = QueryPlanner(spark, cat)
+    qp.sql(
+        "alter table t set tblproperties ('delete_mode'='merge-on-read')"
+    ).count()
+    return qp
+
+
+def test_dv_delete_rewrites_no_data_file(qp):
+    base = _inodes(qp.catalog.path("t"))
+    assert len(dml.data_files(qp.catalog.path("t"))) == 4
+    # scattered: g spreads over all 4 files — CoW would rewrite all 4
+    qp.sql("delete from t where g = 3").count()
+    head = qp.catalog.path("t")
+    assert dml.has_dv(head)
+    # ZERO data files rewritten: every file is a hardlink of a base file
+    assert _inodes(head) == base
+    got = {r["k"] for r in qp.sql("select k from t").collect()}
+    assert got == {i for i in range(200) if i % 7 != 3}
+
+
+def test_dv_deletes_stack_across_statements(qp):
+    qp.sql("delete from t where g = 3").count()
+    qp.sql("delete from t where k < 10").count()
+    got = {r["k"] for r in qp.sql("select k from t").collect()}
+    assert got == {i for i in range(200) if i % 7 != 3 and i >= 10}
+    # still zero rewrites across both statements
+    assert len(_inodes(qp.catalog.path("t"))) == 4
+
+
+def test_dv_update_marks_old_appends_new(qp):
+    base = _inodes(qp.catalog.path("t"))
+    qp.sql("update t set v = v + 1 where k < 20").count()
+    head = qp.catalog.path("t")
+    assert dml.has_dv(head)
+    # old files all carried; new files appended for the updated slice
+    assert base <= _inodes(head)
+    rows = {r["k"]: r["v"] for r in qp.sql("select k, v from t").collect()}
+    assert len(rows) == 200
+    assert all(rows[k] == k * 10 + (1 if k < 20 else 0) for k in rows)
+
+
+def test_dv_time_travel_and_restore_exact(qp):
+    qp.sql("delete from t where g = 3").count()          # v1
+    qp.sql("delete from t where k >= 150").count()       # v2
+    assert qp.sql("select * from t version as of 1").count() == sum(
+        1 for i in range(200) if i % 7 != 3
+    )
+    assert qp.sql("select * from t version as of 0").count() == 200
+    qp.sql("restore table t to version as of 1").count()
+    got = {r["k"] for r in qp.sql("select k from t").collect()}
+    assert got == {i for i in range(200) if i % 7 != 3}
+
+
+def test_optimize_compacts_dv_away(qp):
+    qp.sql("delete from t where g = 3").count()
+    qp.sql("optimize table t").count()
+    head = qp.catalog.path("t")
+    assert not dml.has_dv(head)
+    assert qp.sql("select * from t").count() == sum(
+        1 for i in range(200) if i % 7 != 3
+    )
+    # post-compaction DELETE starts a fresh (small) DV
+    qp.sql("delete from t where k = 11").count()
+    assert qp.sql("select * from t").count() == sum(
+        1 for i in range(200) if i % 7 != 3
+    ) - 1
+
+
+def test_table_changes_across_dv_versions(qp):
+    qp.sql("delete from t where g = 3").count()          # v1: DV only
+    ch = qp.sql("select * from table_changes(t, 0, 1)").collect()
+    assert {r["_change_type"] for r in ch} == {"delete"}
+    assert {r["k"] for r in ch} == {i for i in range(200) if i % 7 == 3}
+    # across an UPDATE version: delete+insert pairs for the slice
+    qp.sql("update t set v = 0 where k < 5").count()     # v2
+    ch2 = qp.sql("select * from table_changes(t, 1, 2)").collect()
+    by = {}
+    for r in ch2:
+        by.setdefault(r["_change_type"], set()).add(r["k"])
+    # k=0's old v was already 0 — a no-op update is NOT a change (the
+    # feed is value-based, exceptAll cancels identical rows)
+    want = {i for i in range(1, 5) if i % 7 != 3}
+    assert by == {"delete": want, "insert": want}
+
+
+def test_dv_interop_cow_and_merge(qp, spark):
+    """Turning the property OFF after DV deletes must not resurrect
+    rows: the CoW rewrite (and MERGE) read through the DV."""
+    qp.sql("delete from t where g = 3").count()
+    qp.sql(
+        "alter table t set tblproperties ('delete_mode'='copy-on-write')"
+    ).count()
+    qp.sql("delete from t where k >= 100").count()       # CoW rewrite
+    got = {r["k"] for r in qp.sql("select k from t").collect()}
+    assert got == {i for i in range(100) if i % 7 != 3}
+
+
+def test_dv_clone_carries_sidecar(qp):
+    qp.sql("delete from t where g = 3").count()
+    qp.sql("create table t2 shallow clone t").count()
+    assert dml.has_dv(qp.catalog.path("t2"))
+    assert qp.sql("select * from t2").count() == sum(
+        1 for i in range(200) if i % 7 != 3
+    )
+    # clone inherited the property: its DELETE is merge-on-read too
+    base2 = _inodes(qp.catalog.path("t2"))
+    qp.sql("delete from t2 where k < 50").count()
+    assert _inodes(qp.catalog.path("t2")) == base2
+
+
+def test_dv_persists_across_planners(qp, spark):
+    qp.sql("delete from t where g = 3").count()
+    # fresh planner over a re-registered base path: version log replays
+    cat2 = Catalog(warehouse=qp.catalog.warehouse_root())
+    cat2.register("t", qp._table_history["t"][0])
+    qp2 = QueryPlanner(spark, cat2)
+    assert qp2.sql("select * from t").count() == sum(
+        1 for i in range(200) if i % 7 != 3
+    )
+    assert qp2._dv_mode("t")  # property replayed from the log
+    rows = qp2.sql("show tblproperties t").collect()
+    assert {(r["key"], r["value"]) for r in rows} == {
+        ("delete_mode", "merge-on-read")
+    }
+
+
+def test_update_without_where_falls_back_to_cow(qp):
+    """A predicate-less UPDATE rewrites every row anyway — merge-on-read
+    would append a full copy AND mark the whole table; CoW is right."""
+    qp.sql("update t set v = 1").count()
+    head = qp.catalog.path("t")
+    assert not dml.has_dv(head)
+    assert qp.sql("select * from t where v = 1").count() == 200
