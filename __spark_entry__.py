@@ -2373,6 +2373,23 @@ EXTENSION_ORACLES = {
                max(o_orderkey)::BIGINT AS max_k
         FROM cur GROUP BY o_custkey ORDER BY o_custkey
     """,
+    "q_sql_dv": """
+        WITH base AS (
+          SELECT c_custkey, c_nationkey,
+                 floor(c_acctbal::DECIMAL(12,2) * 100)::BIGINT AS cents
+          FROM customer
+        ),
+        after_delete AS (SELECT * FROM base WHERE NOT (c_custkey % 3 = 0)),
+        after_update AS (
+          SELECT c_custkey, c_nationkey,
+                 CASE WHEN c_nationkey < 5 THEN cents + 7 ELSE cents END
+                   AS cents
+          FROM after_delete
+        )
+        SELECT c_nationkey, count(*)::BIGINT AS n,
+               sum(cents)::BIGINT AS sum_cents
+        FROM after_update GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
     "q_sql_restore": """
         WITH base AS (
           SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey <= 1600
@@ -4684,6 +4701,37 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_partkey").cast("bigint").alias("sum_k"),
         )
         .orderBy("_change_type")
+    )
+
+
+def q_sql_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DML via deletion vectors (r8): with
+    ``delete_mode='merge-on-read'``, a SCATTERED delete (every third
+    key — touches every file, so file-pruned copy-on-write would
+    rewrite the whole table) writes only a tiny ``_dv`` sidecar of
+    (file, row-index) marks and rewrites ZERO data files
+    (planner.py::_dml_mor); the UPDATE marks old rows + appends the
+    changed slice.  Scans subtract the DV via a broadcast anti-join
+    (execute.apply_dv).  The oracle replays both statements
+    relationally — the DV path must be value-invisible."""
+    pl = _planner(spark, sf_dir)
+    pl.sql(
+        "create table dv_work as select c_custkey, c_nationkey, "
+        "cast(floor(cast(c_acctbal as decimal(12,2)) * 100) as bigint) "
+        "as cents from customer"
+    ).count()
+    pl.sql(
+        "alter table dv_work set tblproperties "
+        "('delete_mode'='merge-on-read')"
+    ).count()
+    pl.sql("delete from dv_work where c_custkey % 3 = 0").count()
+    pl.sql(
+        "update dv_work set cents = cents + 7 where c_nationkey < 5"
+    ).count()
+    return pl.sql(
+        "select c_nationkey, cast(count(*) as bigint) as n, "
+        "cast(sum(cents) as bigint) as sum_cents "
+        "from dv_work group by c_nationkey order by c_nationkey"
     )
 
 
@@ -7179,6 +7227,7 @@ _UNPROVEN_PREFIX = (
     # new this round (r8) — never driver-checked, prove first
     "q_sql_time_travel", "q_sql_optimize", "q_stream_versioned",
     "q_sql_restore", "q_sql_clone", "q_sql_constraints", "q_table_changes",
+    "q_sql_dv",
     # r8 CHANGED these queries' implementation — re-prove next
     "q_sql_dml", "q_sql_merge", "q_sql_udf", "q_incremental_dedup",
     "q_dynamic_skip_join",
@@ -7280,6 +7329,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_dml": q_sql_dml,
         "q_sql_time_travel": q_sql_time_travel,
         "q_sql_optimize": q_sql_optimize,
+        "q_sql_dv": q_sql_dv,
         "q_sql_restore": q_sql_restore,
         "q_sql_clone": q_sql_clone,
         "q_sql_constraints": q_sql_constraints,

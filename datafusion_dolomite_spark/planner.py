@@ -623,8 +623,18 @@ class QueryPlanner:
             )
         else:
             merged = matches
-        if merged.limit(1).count():
-            merged.coalesce(1).write.mode("overwrite").parquet(dv_path(dest))
+        # ONE job: write the sidecar, then read row counts from the
+        # written footers (local metadata, no Spark job) — a separate
+        # emptiness probe would re-scan the matches
+        merged.coalesce(1).write.mode("overwrite").parquet(dv_path(dest))
+        from .sources.dml import parquet_rows
+
+        if parquet_rows(dv_path(dest)) == 0:
+            import shutil
+
+            # no-match DELETE: drop the empty sidecar so has_dv stays
+            # false and future scans skip the anti-join entirely
+            shutil.rmtree(dv_path(dest), ignore_errors=True)
         self.catalog.register(table, dest, keep_schema_override=True)
         self._persist_versions(table)
         return self.dataframe(LogicalPlanBuilder().scan(table).build())

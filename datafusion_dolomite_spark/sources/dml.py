@@ -77,6 +77,21 @@ def dv_path(path: str) -> str:
     return os.path.join(path, DV_DIR)
 
 
+def parquet_rows(path: str) -> int:
+    """Total row count of a parquet directory from FOOTER metadata —
+    local file reads, no Spark job (used to detect an empty
+    just-written deletion-vector sidecar)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in data_files(path):
+        try:
+            total += pq.read_metadata(f).num_rows
+        except Exception:
+            return -1  # unreadable footer: caller must assume non-empty
+    return total
+
+
 def has_dv(path: str) -> bool:
     """True when the version dir carries a non-empty deletion vector."""
     d = dv_path(path)

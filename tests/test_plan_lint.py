@@ -273,6 +273,9 @@ SHUFFLE_BUDGET = {
     "q_sql_clone": 2,
     # r8: exceptAll both ways (2 hash shuffles) + groupBy + ORDER BY
     "q_table_changes": 4,
+    # r8: final per-nationkey agg + ORDER BY over the DV'd table (the
+    # DV anti-join itself is broadcast, no shuffle)
+    "q_sql_dv": 2,
 }
 
 BATCH_QUERIES = sorted(
