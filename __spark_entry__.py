@@ -4712,8 +4712,12 @@ def q_sql_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     (file, row-index) marks and rewrites ZERO data files
     (planner.py::_dml_mor); the UPDATE marks old rows + appends the
     changed slice.  Scans subtract the DV via a broadcast anti-join
-    (execute.apply_dv).  The oracle replays both statements
-    relationally — the DV path must be value-invisible."""
+    (execute.apply_dv).  ``dv_max_fraction`` is raised to 0.5 here so
+    the 33% delete stays merge-on-read (at the 0.25 default the engine
+    would self-bound the broadcast by folding the DV into data files —
+    tests/test_deletion_vectors.py pins that path).  The oracle replays
+    both statements relationally — the DV path must be
+    value-invisible."""
     pl = _planner(spark, sf_dir)
     pl.sql(
         "create table dv_work as select c_custkey, c_nationkey, "
@@ -4722,7 +4726,7 @@ def q_sql_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).count()
     pl.sql(
         "alter table dv_work set tblproperties "
-        "('delete_mode'='merge-on-read')"
+        "('delete_mode'='merge-on-read', 'dv_max_fraction'='0.5')"
     ).count()
     pl.sql("delete from dv_work where c_custkey % 3 = 0").count()
     pl.sql(

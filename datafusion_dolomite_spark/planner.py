@@ -539,7 +539,11 @@ class QueryPlanner:
         O(delta) both sides.  Scans apply the DV as a broadcast
         anti-join (execute.apply_dv); OPTIMIZE TABLE compacts DVs away
         (its scan materializes the deletes, its output has no ``_dv``),
-        which bounds DV size operationally.  Time travel is exact: the
+        and the engine ALSO self-bounds: when the merged DV exceeds
+        ``dv_max_fraction`` (tblproperty, default 0.25) of the table's
+        physical rows it is folded into data files immediately
+        (``_materialize_dv``), so the broadcast can never grow past a
+        fixed fraction of the table.  Time travel is exact: the
         DV rides the version dir, and every version's sidecar describes
         exactly that version's deletes."""
         from pyspark.sql import functions as F
@@ -629,15 +633,70 @@ class QueryPlanner:
         merged.coalesce(1).write.mode("overwrite").parquet(dv_path(dest))
         from .sources.dml import parquet_rows
 
-        if parquet_rows(dv_path(dest)) == 0:
+        dv_rows = parquet_rows(dv_path(dest))
+        if dv_rows == 0:
             import shutil
 
             # no-match DELETE: drop the empty sidecar so has_dv stays
             # false and future scans skip the anti-join entirely
             shutil.rmtree(dv_path(dest), ignore_errors=True)
+        elif dv_rows > 0:
+            # bounded DV growth: apply_dv BROADCASTS the sidecar, so an
+            # ever-accumulating DV would eventually ship a meaningful
+            # fraction of a 100 TB table to every executor on every
+            # scan.  When dead rows exceed dv_max_fraction of the
+            # footer row count (physical rows, deleted included), fold
+            # the DV into data files now — O(live rows) once per
+            # ~1/frac of delete volume, amortized, instead of an
+            # unbounded per-scan read tax until a manual OPTIMIZE.
+            total = parquet_rows(dest)
+            try:
+                frac = float(
+                    self._table_props.get(table, {}).get(
+                        "dv_max_fraction", "0.25"
+                    )
+                )
+            except (TypeError, ValueError):
+                frac = 0.25
+            if total > 0 and dv_rows > frac * total:
+                self._materialize_dv(dest, pcols, override)
         self.catalog.register(table, dest, keep_schema_override=True)
         self._persist_versions(table)
         return self.dataframe(LogicalPlanBuilder().scan(table).build())
+
+    def _materialize_dv(self, dest: str, pcols, override=None) -> None:
+        """Fold an oversized deletion vector back into data files IN
+        PLACE (same just-written, not-yet-registered version dir): scan
+        ``dest`` minus its DV, rewrite the survivors, drop the sidecar.
+        Called by ``_dml_mor`` when the merged DV exceeds
+        ``dv_max_fraction`` (tblproperty, default 0.25) of the
+        version's physical rows — the bound that keeps
+        ``execute.apply_dv``'s broadcast anti-join small.  Prior
+        versions are untouched: removing ``dest`` only drops hardlink
+        NAMES; every older version dir keeps its own links and its own
+        sidecar, so time travel across the materialization stays
+        exact."""
+        import os
+        import shutil
+
+        from .execute import apply_dv, scan_with_rowid
+
+        df = apply_dv(
+            self.spark,
+            scan_with_rowid(
+                self.spark,
+                dest,
+                schema=override.to_struct_type() if override else None,
+            ),
+            dest,
+        )
+        tmp = dest + ".__mat"
+        w = df.hint("rebalance").write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(tmp)
+        shutil.rmtree(dest)
+        os.replace(tmp, dest)
 
     def _restore_table(self, table: str, ver: int):
         """``RESTORE TABLE t TO VERSION AS OF n`` — roll the CURRENT

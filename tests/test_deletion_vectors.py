@@ -141,8 +141,10 @@ def test_dv_clone_carries_sidecar(qp):
         1 for i in range(200) if i % 7 != 3
     )
     # clone inherited the property: its DELETE is merge-on-read too
+    # (k < 20 keeps the merged DV under dv_max_fraction — a bigger
+    # delete would legitimately auto-materialize, rewriting files)
     base2 = _inodes(qp.catalog.path("t2"))
-    qp.sql("delete from t2 where k < 50").count()
+    qp.sql("delete from t2 where k < 20").count()
     assert _inodes(qp.catalog.path("t2")) == base2
 
 
@@ -160,6 +162,66 @@ def test_dv_persists_across_planners(qp, spark):
     assert {(r["key"], r["value"]) for r in rows} == {
         ("delete_mode", "merge-on-read")
     }
+
+
+def test_dv_auto_materializes_past_fraction(qp):
+    """The self-bound: one DELETE marking >25% of physical rows folds
+    the DV into data files immediately — apply_dv's broadcast anti-join
+    can never carry more than dv_max_fraction of the table."""
+    base = _inodes(qp.catalog.path("t"))
+    qp.sql("delete from t where k < 60").count()  # 60/200 = 30%
+    head = qp.catalog.path("t")
+    assert not dml.has_dv(head)
+    # folded, not carried: survivors were rewritten into fresh files
+    assert _inodes(head).isdisjoint(base)
+    got = {r["k"] for r in qp.sql("select k from t").collect()}
+    assert got == set(range(60, 200))
+    # prior versions untouched by the in-place fold (hardlink NAMES
+    # dropped, bytes and old sidecars intact)
+    assert qp.sql("select * from t version as of 0").count() == 200
+
+
+def test_dv_accumulation_crosses_threshold(qp):
+    """Small deletes stay merge-on-read; the one that pushes the MERGED
+    DV over the fraction triggers the fold — and time travel to the
+    still-MoR middle version applies that version's own sidecar."""
+    qp.sql("delete from t where k < 40").count()  # 20% — stays MoR
+    assert dml.has_dv(qp.catalog.path("t"))
+    qp.sql("delete from t where k >= 180").count()  # merged 60 = 30%
+    head = qp.catalog.path("t")
+    assert not dml.has_dv(head)
+    got = {r["k"] for r in qp.sql("select k from t").collect()}
+    assert got == set(range(40, 180))
+    assert qp.sql("select * from t version as of 1").count() == 160
+
+
+def test_dv_fraction_tunable_both_ways(qp):
+    """dv_max_fraction is a per-table knob: raised, a 60% DV stays
+    merge-on-read; lowered, the next statement folds it."""
+    qp.sql(
+        "alter table t set tblproperties ('dv_max_fraction'='0.9')"
+    ).count()
+    qp.sql("delete from t where k < 120").count()  # 60% marked
+    assert dml.has_dv(qp.catalog.path("t"))
+    qp.sql(
+        "alter table t set tblproperties ('dv_max_fraction'='0.1')"
+    ).count()
+    qp.sql("delete from t where k = 150").count()  # merged 121 ≫ 10%
+    head = qp.catalog.path("t")
+    assert not dml.has_dv(head)
+    got = {r["k"] for r in qp.sql("select k from t").collect()}
+    assert got == set(range(120, 200)) - {150}
+
+
+def test_dv_update_fold_keeps_updated_values(qp):
+    """A big UPDATE that crosses the fraction folds marks AND keeps the
+    appended new rows — the fold must not resurrect old values."""
+    qp.sql("update t set v = -1 where k < 80").count()  # 80/280 = 28.6%
+    head = qp.catalog.path("t")
+    assert not dml.has_dv(head)
+    rows = {r["k"]: r["v"] for r in qp.sql("select k, v from t").collect()}
+    assert len(rows) == 200
+    assert all(rows[k] == (-1 if k < 80 else k * 10) for k in rows)
 
 
 def test_update_without_where_falls_back_to_cow(qp):
