@@ -2390,6 +2390,47 @@ EXTENSION_ORACLES = {
                sum(cents)::BIGINT AS sum_cents
         FROM after_update GROUP BY c_nationkey ORDER BY c_nationkey
     """,
+    "q_scd2": """
+        WITH tgt AS (
+          SELECT c_custkey AS k, c_nationkey::BIGINT AS nat,
+                 c_mktsegment AS seg
+          FROM customer
+        ),
+        src AS (
+          SELECT c_custkey AS k,
+                 (CASE WHEN c_custkey % 10 = 0 THEN c_nationkey + 1
+                       ELSE c_nationkey END)::BIGINT AS nat,
+                 c_mktsegment AS seg
+          FROM customer WHERE c_custkey % 100 <> 7
+          UNION ALL
+          SELECT c_custkey + 1000000, 99::BIGINT, 'NEW'
+          FROM customer WHERE c_custkey % 50 = 0
+        ),
+        m AS (
+          SELECT t.k AS tk, s.k AS sk, t.nat AS tnat, t.seg AS tseg,
+                 s.nat AS snat, s.seg AS sseg
+          FROM tgt t FULL OUTER JOIN src s ON t.k = s.k
+        ),
+        chg AS (
+          SELECT *, (tnat IS DISTINCT FROM snat
+                     OR tseg IS DISTINCT FROM sseg) AS changed
+          FROM m
+        ),
+        outp AS (
+          SELECT tk AS k, tnat AS nat, tseg AS seg,
+                 0::BIGINT AS valid_from, 1::BIGINT AS valid_to,
+                 FALSE AS is_current
+          FROM chg WHERE tk IS NOT NULL AND (sk IS NULL OR changed)
+          UNION ALL
+          SELECT tk, tnat, tseg, 0::BIGINT, NULL::BIGINT, TRUE
+          FROM chg WHERE tk IS NOT NULL AND sk IS NOT NULL AND NOT changed
+          UNION ALL
+          SELECT sk, snat, sseg, 1::BIGINT, NULL::BIGINT, TRUE
+          FROM chg WHERE sk IS NOT NULL AND (tk IS NULL OR changed)
+        )
+        SELECT k, nat, seg, valid_from, valid_to, is_current
+        FROM outp ORDER BY k, valid_from
+    """,
     "q_sql_restore": """
         WITH base AS (
           SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey <= 1600
@@ -4737,6 +4778,56 @@ def q_sql_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(sum(cents) as bigint) as sum_cents "
         "from dv_work group by c_nationkey order by c_nationkey"
     )
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 2 dimension maintenance (functions/scd.py): absorb a
+    new snapshot of the customer dimension into an SCD2 state — changed
+    keys close their current row and open a fresh one, vanished keys
+    close (close_missing), new keys insert, unchanged keys pass
+    through.  ONE full-outer join on the natural key (history rows
+    never join; the three output roles of a joined row are emitted in a
+    single pass via conditional array + explode, so the join executes
+    once).  The snapshot: nationkey bumps for custkey%10==0, keys
+    custkey%100==7 vanish, 1/50 brand-new keys appear."""
+    from pyspark.sql import functions as F
+
+    pl = _planner(spark, sf_dir)
+    cust = pl.dataframe(LogicalPlanBuilder().scan("customer").build())
+    tgt = cust.select(
+        F.col("c_custkey").cast("bigint").alias("k"),
+        F.col("c_nationkey").cast("bigint").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(0).cast("bigint").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    src = (
+        cust.filter(F.col("c_custkey") % 100 != 7)
+        .select(
+            F.col("c_custkey").cast("bigint").alias("k"),
+            F.when(
+                F.col("c_custkey") % 10 == 0, F.col("c_nationkey") + 1
+            )
+            .otherwise(F.col("c_nationkey"))
+            .cast("bigint")
+            .alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + 1000000).cast("bigint").alias("k"),
+                F.lit(99).cast("bigint").alias("nat"),
+                F.lit("NEW").alias("seg"),
+            )
+        )
+    )
+    from datafusion_dolomite_spark.functions.scd import scd2_apply
+
+    out = scd2_apply(
+        tgt, src, ["k"], ["nat", "seg"], 1, close_missing=True
+    )
+    return out.orderBy("k", "valid_from")
 
 
 def q_sql_comma_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7231,7 +7322,7 @@ _UNPROVEN_PREFIX = (
     # new this round (r8) — never driver-checked, prove first
     "q_sql_time_travel", "q_sql_optimize", "q_stream_versioned",
     "q_sql_restore", "q_sql_clone", "q_sql_constraints", "q_table_changes",
-    "q_sql_dv",
+    "q_sql_dv", "q_scd2",
     # r8 CHANGED these queries' implementation — re-prove next
     "q_sql_dml", "q_sql_merge", "q_sql_udf", "q_incremental_dedup",
     "q_dynamic_skip_join",
@@ -7334,6 +7425,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_time_travel": q_sql_time_travel,
         "q_sql_optimize": q_sql_optimize,
         "q_sql_dv": q_sql_dv,
+        "q_scd2": q_scd2,
         "q_sql_restore": q_sql_restore,
         "q_sql_clone": q_sql_clone,
         "q_sql_constraints": q_sql_constraints,

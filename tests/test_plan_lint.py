@@ -276,6 +276,10 @@ SHUFFLE_BUDGET = {
     # r8: final per-nationkey agg + ORDER BY over the DV'd table (the
     # DV anti-join itself is broadcast, no shuffle)
     "q_sql_dv": 2,
+    # r8: ONE full-outer join on the natural key (2 hash shuffles —
+    # full-outer can't broadcast) + final ORDER BY; role fan-out is a
+    # map-side explode, never a second join
+    "q_scd2": 3,
 }
 
 BATCH_QUERIES = sorted(
