@@ -86,6 +86,82 @@ def apply_dv(spark, df, path):
     )
 
 
+def _dv_file_names(dvp):
+    """Distinct ``file_name`` values of a DV sidecar, read DRIVER-SIDE
+    with pyarrow (one small coalesced file; cardinality ≤ the table's
+    file count, and dictionary encoding makes the column read cheap).
+    None = unreadable, caller must treat every file as dirty.  At real
+    manifest scale this set would live in the version manifest instead
+    of a column read — the pruning logic is identical."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    names = set()
+    try:
+        for f in sorted(
+            _glob.glob(_os.path.join(dvp, "*.parquet"))
+        ):
+            col = pq.read_table(f, columns=["file_name"]).column(0)
+            names.update(col.unique().to_pylist())
+    except Exception:
+        return None
+    return names
+
+
+def dv_scan(spark, path, schema=None):
+    """Merge-on-read scan of a version dir with the anti-join CONFINED
+    to dirty files: files not named in the DV sidecar scan plainly — no
+    metadata columns, no per-row key computation, no join probe (the
+    probe costs ~0.15 µs/row, the whole per-scan read tax; a clustered
+    DELETE marks a few files, so most of a big table reads tax-free).
+    Dirty files go through scan_with_rowid + apply_dv as before; the
+    two branches union by name.  Falls back to the all-dirty shape when
+    the sidecar's file list is unreadable."""
+    import os as _os
+    import re as _re
+
+    from .sources.dml import data_files, dv_path, has_dv
+
+    def _plain(rd_files=None):
+        rd = spark.read
+        if schema is not None:
+            rd = rd.schema(schema)
+        if rd_files is None:
+            return rd.parquet(path)
+        return rd.option("basePath", path).parquet(*rd_files)
+
+    if not has_dv(path):
+        return _plain()
+    names = _dv_file_names(dv_path(path))
+    files = data_files(path)
+    if names is None:
+        clean, dirty = [], files
+    else:
+
+        def stripped(f):
+            return _re.sub(r"^(linked-\d+-)+", "", _os.path.basename(f))
+
+        clean = [f for f in files if stripped(f) not in names]
+        dirty = [f for f in files if stripped(f) in names]
+    tagged = (
+        apply_dv(
+            spark,
+            scan_with_rowid(
+                spark, path, schema=schema, files=dirty, base=path
+            ),
+            path,
+        )
+        if dirty
+        else None
+    )
+    if not clean:
+        return tagged if tagged is not None else _plain()
+    clean_df = _plain(clean)
+    return clean_df if tagged is None else clean_df.unionByName(tagged)
+
+
 def scan_with_rowid(spark, path, schema=None, files=None, base=None):
     """Parquet scan carrying the DV row identity as ``__dv_file`` /
     ``__dv_row`` columns (dv_row_key).  With ``files``, scans that
@@ -200,21 +276,17 @@ class SparkExecutor:
 
             if has_dv(path):
                 # merge-on-read: the version carries a deletion vector —
-                # every scan (queries, DML sources, OPTIMIZE) filters the
-                # marked rows out via a broadcast anti-join on the
-                # physical row identity (dv_row_key)
-                df = apply_dv(
+                # marked rows filter out via a broadcast anti-join on
+                # the physical row identity, CONFINED to the files the
+                # sidecar names; clean files scan plainly (dv_scan)
+                df = dv_scan(
                     self.spark,
-                    scan_with_rowid(
-                        self.spark,
-                        path,
-                        schema=(
-                            override.to_struct_type()
-                            if override is not None
-                            else None
-                        ),
-                    ),
                     path,
+                    schema=(
+                        override.to_struct_type()
+                        if override is not None
+                        else None
+                    ),
                 )
             elif override is not None:
                 # schema evolution (ALTER TABLE): the explicit schema

@@ -564,10 +564,33 @@ class QueryPlanner:
             if hasattr(self.catalog, "schema_override")
             else None
         )
+        # the match-finding scan prunes to files the predicate can
+        # touch (same footer-band proof as the CoW rewrite): a
+        # clustered DELETE on a 100 TB table reads only the overlapping
+        # files to find its marks, not the whole table.  Zero
+        # overlapping files keeps one (the filter yields no rows —
+        # correctness is the filter's, pruning is only a scan bound).
+        from .sources.dml import file_bands, file_excluded, prune_conjuncts
+
+        pred_for_prune = delete_where if delete_where is not None else where
+        all_files = data_files(old_path)
+        scan_files = None
+        conj = prune_conjuncts(pred_for_prune, macros=self._sql_macros)
+        if all_files and conj:
+            bands = file_bands(
+                all_files, {c[0] for c in conj}, table_path=old_path
+            )
+            overlapping = [
+                f for f in all_files if not file_excluded(bands[f], conj)
+            ]
+            if len(overlapping) < len(all_files):
+                scan_files = overlapping or all_files[:1]
         df = scan_with_rowid(
             self.spark,
             old_path,
             schema=override.to_struct_type() if override else None,
+            files=scan_files,
+            base=old_path if scan_files is not None else None,
         )
         # rows already DV-marked are GONE from this statement's view —
         # keep the identity columns (the anti-join here is inlined so
@@ -679,16 +702,12 @@ class QueryPlanner:
         import os
         import shutil
 
-        from .execute import apply_dv, scan_with_rowid
+        from .execute import dv_scan
 
-        df = apply_dv(
+        df = dv_scan(
             self.spark,
-            scan_with_rowid(
-                self.spark,
-                dest,
-                schema=override.to_struct_type() if override else None,
-            ),
             dest,
+            schema=override.to_struct_type() if override else None,
         )
         tmp = dest + ".__mat"
         w = df.hint("rebalance").write.mode("overwrite")
@@ -1114,14 +1133,11 @@ class QueryPlanner:
             from .sources.dml import has_dv
 
             if has_dv(hist[ver]):
-                # a DV'd version's content is files MINUS its sidecar
-                from .execute import apply_dv, scan_with_rowid
+                # a DV'd version's content is files MINUS its sidecar;
+                # the anti-join confines to the sidecar's files
+                from .execute import dv_scan
 
-                return apply_dv(
-                    self.spark,
-                    scan_with_rowid(self.spark, hist[ver]),
-                    hist[ver],
-                )
+                return dv_scan(self.spark, hist[ver])
             return self.spark.read.parquet(hist[ver])
 
         m = _re.match(

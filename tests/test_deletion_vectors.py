@@ -224,6 +224,77 @@ def test_dv_update_fold_keeps_updated_values(qp):
     assert all(rows[k] == (-1 if k < 80 else k * 10) for k in rows)
 
 
+def test_dv_scan_confines_anti_join_to_dirty_files(spark, tmp_path):
+    """Clean files (not named in the sidecar) scan PLAINLY — the
+    anti-join probe tax applies only to dirty files.  A k-clustered
+    table with a DELETE confined to one file's key range must plan as
+    Union(plain scan over 3 clean files, anti-join over 1 dirty file)."""
+    from datafusion_dolomite_spark.sources.dml import dv_path
+    from datafusion_dolomite_spark.execute import _dv_file_names
+
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(200)], "k bigint, v bigint"
+    ).repartitionByRange(4, "k").write.parquet(str(tmp_path / "c0"))
+    cat.register("c", str(tmp_path / "c0"))
+    qp = QueryPlanner(spark, cat)
+    qp.sql(
+        "alter table c set tblproperties ('delete_mode'='merge-on-read')"
+    ).count()
+    qp.sql("delete from c where k < 30").count()
+    head = qp.catalog.path("c")
+    assert dml.has_dv(head)
+    assert len(_dv_file_names(dv_path(head))) == 1  # one dirty file
+    df = qp.sql("select cast(sum(v) as bigint) as s from c")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one anti-join (dirty branch only) and a Union with a
+    # plain clean branch: 3 FileScans = clean data + dirty data + DV
+    assert plan.count("LeftAnti") == 1
+    assert "Union" in plan
+    assert plan.count("FileScan parquet") == 3
+    assert df.collect()[0]["s"] == sum(i * 10 for i in range(30, 200))
+    # a second, scattered delete dirties every file: union collapses
+    qp.sql("delete from c where k % 4 = 1").count()
+    got = {r["k"] for r in qp.sql("select k from c").collect()}
+    assert got == {i for i in range(30, 200) if i % 4 != 1}
+
+
+def test_mor_delete_prunes_match_scan(spark, tmp_path, monkeypatch):
+    """The merge-on-read DELETE's match-finding scan prunes to the
+    files its predicate can touch (footer bands, same proof as the CoW
+    rewrite): a clustered DELETE reads ONE file to find its marks, not
+    the table."""
+    from datafusion_dolomite_spark import execute as ex
+
+    calls = []
+    orig = ex.scan_with_rowid
+
+    def spy(spark_, path, schema=None, files=None, base=None):
+        calls.append(files)
+        return orig(spark_, path, schema=schema, files=files, base=base)
+
+    monkeypatch.setattr(ex, "scan_with_rowid", spy)
+    cat = Catalog(warehouse=str(tmp_path / "wh"))
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(200)], "k bigint, v bigint"
+    ).repartitionByRange(4, "k").write.parquet(str(tmp_path / "p0"))
+    cat.register("p", str(tmp_path / "p0"))
+    qp = QueryPlanner(spark, cat)
+    qp.sql(
+        "alter table p set tblproperties ('delete_mode'='merge-on-read')"
+    ).count()
+    qp.sql("delete from p where k < 30").count()
+    assert calls and calls[0] is not None and len(calls[0]) == 1
+    got = {r["k"] for r in qp.sql("select k from p").collect()}
+    assert got == set(range(30, 200))
+    # unprovable predicate (modulo): falls back to the full scan
+    calls.clear()
+    qp.sql("delete from p where k % 7 = 0").count()
+    assert calls and calls[0] is None
+    got = {r["k"] for r in qp.sql("select k from p").collect()}
+    assert got == {i for i in range(30, 200) if i % 7 != 0}
+
+
 def test_update_without_where_falls_back_to_cow(qp):
     """A predicate-less UPDATE rewrites every row anyway — merge-on-read
     would append a full copy AND mark the whole table; CoW is right."""
