@@ -266,7 +266,35 @@ class QueryPlanner:
             "col_name string, data_type string, nullable boolean",
         )
 
-    def _optimize_table(self, table: str, zorder=None, n_files=None):
+    def _maybe_auto_compact(self, table: str) -> None:
+        """Opt-in AUTO-COMPACTION (Delta's autoOptimize.autoCompact):
+        with tblproperty ``auto_compact_files``=N, a DML statement that
+        leaves the head version with MORE than N data files triggers an
+        immediate OPTIMIZE as a further op-tagged version
+        (``auto-compact`` in DESCRIBE HISTORY).  Off by default —
+        compaction is an O(table) pass, and the threshold amortizes it
+        across ≥N delta appends (a stream of small INSERTs pays one
+        compaction per N files, never one per statement).  Time travel
+        to the fragmented versions still works; the streaming ingest's
+        crash-replay drops only the HEAD version, so a stream table
+        using this property should size N well above its batch count
+        between checkpoints (documented trade)."""
+        raw = self._table_props.get(table, {}).get("auto_compact_files")
+        if not raw:
+            return
+        try:
+            limit = int(raw)
+        except (TypeError, ValueError):
+            return
+        if limit <= 0:
+            return
+        from .sources.dml import data_files
+
+        if len(data_files(self.catalog.path(table))) > limit:
+            self._optimize_table(table, op_label="auto-compact")
+
+    def _optimize_table(self, table: str, zorder=None, n_files=None,
+                        op_label=None):
         """``OPTIMIZE TABLE t [ZORDER BY (c1, c2)]`` — file compaction
         (Delta's OPTIMIZE): a lineage of small DML deltas fragments the
         table into many small files; this rewrites the CURRENT rows
@@ -291,7 +319,11 @@ class QueryPlanner:
         files_before = len(data_files(path))
         pcols = partition_columns(path) if fmt == "parquet" else []
         dest = self._cow_dest(
-            table, op=f"optimize zorder({zorder.strip()})" if zorder else "optimize"
+            table,
+            op=op_label
+            or (
+                f"optimize zorder({zorder.strip()})" if zorder else "optimize"
+            ),
         )
         if zorder:
             from .sources.sinks import write_parquet
@@ -685,6 +717,7 @@ class QueryPlanner:
                 self._materialize_dv(dest, pcols, override)
         self.catalog.register(table, dest, keep_schema_override=True)
         self._persist_versions(table)
+        self._maybe_auto_compact(table)
         return self.dataframe(LogicalPlanBuilder().scan(table).build())
 
     def _materialize_dv(self, dest: str, pcols, override=None) -> None:
@@ -1822,6 +1855,7 @@ class QueryPlanner:
             cur.unionByName(aligned).write.mode("overwrite").parquet(dest)
         self.catalog.register(table, dest, keep_schema_override=True)
         self._persist_versions(table)
+        self._maybe_auto_compact(table)
         return self.dataframe(LogicalPlanBuilder().scan(table).build())
 
     def drop_head_version(self, table: str) -> None:

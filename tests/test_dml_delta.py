@@ -270,6 +270,47 @@ def test_optimize_table_compacts_files(qp, spark):
     assert qp.sql("select * from t version as of 0").count() == 10
 
 
+def test_auto_compact_opt_in(qp, spark):
+    """auto_compact_files=N (r8, Delta's autoOptimize.autoCompact):
+    a DML statement leaving MORE than N data files triggers an
+    immediate op-tagged OPTIMIZE — a stream of small inserts pays one
+    compaction per ~N files, never one per statement."""
+    qp.sql(
+        "alter table t set tblproperties ('auto_compact_files'='4')"
+    ).count()
+    for i in range(5):
+        qp.sql(
+            f"insert into t select cast(k + {100 * (i + 1)} as bigint) "
+            "as k, v, tag from t where k < 2"
+        ).count()
+    # never more than limit+1 files survive a statement (the append
+    # that crosses the limit compacts right after)
+    n = len(dml.data_files(qp.catalog.path("t")))
+    assert n <= 5, f"expected compacted head, found {n} files"
+    ops = [r["operation"] for r in qp.sql("describe history t").collect()]
+    assert "auto-compact" in ops
+    # values exact through the compactions; fragmented versions remain
+    got = sorted(r["k"] for r in qp.sql("select k from t").collect())
+    want = sorted(
+        list(range(10)) + [100 * (i + 1) + k for i in range(5) for k in (0, 1)]
+    )
+    assert got == want
+    assert qp.sql("select * from t version as of 0").count() == 10
+
+
+def test_auto_compact_off_by_default(qp):
+    """Without the property, small inserts fragment freely — compaction
+    is the user's O(table) call to schedule."""
+    for i in range(5):
+        qp.sql(
+            f"insert into t select cast(k + {100 * (i + 1)} as bigint) "
+            "as k, v, tag from t where k < 2"
+        ).count()
+    assert len(dml.data_files(qp.catalog.path("t"))) >= 6
+    ops = [r["operation"] for r in qp.sql("describe history t").collect()]
+    assert "auto-compact" not in ops
+
+
 def test_vacuum_frees_old_versions_keeps_head(qp, spark):
     """VACUUM (r8): non-head version dirs are removed; the head still
     reads exactly (hardlinked files survive via their head-dir name),
