@@ -2390,6 +2390,19 @@ EXTENSION_ORACLES = {
                sum(cents)::BIGINT AS sum_cents
         FROM after_update GROUP BY c_nationkey ORDER BY c_nationkey
     """,
+    "q_sql_view": """
+        WITH big_orders AS (
+          SELECT o_custkey, o_totalprice FROM orders
+          WHERE o_totalprice > 100000
+        ),
+        cust_rev AS (
+          SELECT c_custkey, c_nationkey, o_totalprice
+          FROM customer JOIN big_orders ON c_custkey = o_custkey
+        )
+        SELECT c_nationkey, count(*)::BIGINT AS n,
+               sum(o_totalprice)::DOUBLE AS rev
+        FROM cust_rev GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
     "q_scd2": """
         WITH tgt AS (
           SELECT c_custkey AS k, c_nationkey::BIGINT AS nat,
@@ -4777,6 +4790,30 @@ def q_sql_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "select c_nationkey, cast(count(*) as bigint) as n, "
         "cast(sum(cents) as bigint) as sum_cents "
         "from dv_work group by c_nationkey order by c_nationkey"
+    )
+
+
+def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOGICAL SQL views (r8): CREATE VIEW stores text, re-parses at
+    each reference, and INLINES the view's plan subtree — so the
+    filter/pruning behavior is identical to writing the view body
+    in place (PushedFilters reach the base scans through two view
+    layers).  The oracle replays the views as CTEs."""
+    pl = _planner(spark, sf_dir)
+    pl.sql(
+        "create or replace view big_orders as "
+        "select o_custkey, o_totalprice from orders "
+        "where o_totalprice > 100000"
+    ).count()
+    pl.sql(
+        "create or replace view cust_rev as "
+        "select c_custkey, c_nationkey, o_totalprice "
+        "from customer join big_orders on c_custkey = o_custkey"
+    ).count()
+    return pl.sql(
+        "select c_nationkey, cast(count(*) as bigint) as n, "
+        "cast(sum(o_totalprice) as double) as rev "
+        "from cust_rev group by c_nationkey order by c_nationkey"
     )
 
 
@@ -7322,7 +7359,7 @@ _UNPROVEN_PREFIX = (
     # new this round (r8) — never driver-checked, prove first
     "q_sql_time_travel", "q_sql_optimize", "q_stream_versioned",
     "q_sql_restore", "q_sql_clone", "q_sql_constraints", "q_table_changes",
-    "q_sql_dv", "q_scd2",
+    "q_sql_dv", "q_scd2", "q_sql_view",
     # r8 CHANGED these queries' implementation — re-prove next
     "q_sql_dml", "q_sql_merge", "q_sql_udf", "q_incremental_dedup",
     "q_dynamic_skip_join",
@@ -7426,6 +7463,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_optimize": q_sql_optimize,
         "q_sql_dv": q_sql_dv,
         "q_scd2": q_scd2,
+        "q_sql_view": q_sql_view,
         "q_sql_restore": q_sql_restore,
         "q_sql_clone": q_sql_clone,
         "q_sql_constraints": q_sql_constraints,

@@ -113,6 +113,10 @@ class QueryPlanner:
         self.cascades_rules = list(cascades_rules or default_cascades_rules())
         #: CREATE FUNCTION macros: name → (params, body expr)
         self._sql_macros: dict = {}
+        #: CREATE VIEW registry: lowercase name → SQL text, expanded
+        #: late at each reference (sql.py); persisted as
+        #: ``<warehouse>/_views.json`` so views survive sessions
+        self._sql_views: dict = {}
         #: copy-on-write DML/MERGE version counters per table
         self._cow_versions: dict = {}
         #: per-table snapshot lineage: version 0 = the path registered
@@ -137,6 +141,45 @@ class QueryPlanner:
         #: DELETE/UPDATE into deletion-vector writes
         self._table_props: dict = {}
         self._load_version_log()
+        self._load_views()
+
+    def _views_path(self):
+        """Path of the persisted view registry, or None on a temp
+        warehouse (session-only views, mirroring the version log)."""
+        import os
+
+        if getattr(self.catalog, "_warehouse", None) is None:
+            return None
+        return os.path.join(self.catalog.warehouse_root(), "_views.json")
+
+    def _load_views(self) -> None:
+        import json
+
+        p = self._views_path()
+        if p is None:
+            return
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            return
+        if isinstance(doc, dict):
+            self._sql_views.update(
+                {k: v for k, v in doc.items() if isinstance(v, str)}
+            )
+
+    def _save_views(self) -> None:
+        import json
+        import os
+
+        p = self._views_path()
+        if p is None:
+            return
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._sql_views, f)
+        os.replace(tmp, p)
 
     def _load_version_log(self) -> None:
         """Reload persisted DML lineage for tables registered at their
@@ -1024,7 +1067,8 @@ class QueryPlanner:
         )
         if m:
             text = self.explain_analyze(
-                parse_sql(m.group(1), self.catalog, macros=self._sql_macros)
+                parse_sql(m.group(1), self.catalog, macros=self._sql_macros,
+                          views=self._sql_views)
             )
             return self.spark.createDataFrame(
                 [(line,) for line in text.splitlines()], "plan: string"
@@ -1054,7 +1098,8 @@ class QueryPlanner:
             # physical plan as a one-column DataFrame (Spark's own plan
             # is a df.explain() away; this shows ours)
             text = self.explain(
-                parse_sql(inner, self.catalog, macros=self._sql_macros)
+                parse_sql(inner, self.catalog, macros=self._sql_macros,
+                          views=self._sql_views)
             )
             return self.spark.createDataFrame(
                 [(line,) for line in text.splitlines()], "plan: string"
@@ -1135,6 +1180,74 @@ class QueryPlanner:
             self._sql_macros[name] = (params, body)
             return self.spark.createDataFrame(
                 [(name, len(params))], "function string, n_args int"
+            )
+
+        m = _re.match(
+            r"\s*create\s+(or\s+replace\s+)?view\s+([A-Za-z_]\w*)"
+            r"\s+as\s+(.+?)\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            # CREATE [OR REPLACE] VIEW name AS <query> — a LOGICAL view
+            # (vs the engine's MATERIALIZED views): the text re-parses
+            # at each reference (late binding, standard SQL), costs
+            # nothing until queried, and pushes filters/pruning through
+            # because the reference inlines the view's plan subtree.
+            # Persisted in <warehouse>/_views.json across sessions.
+            replace, name, body = (
+                bool(m.group(1)),
+                m.group(2).lower(),
+                m.group(3),
+            )
+            if name in self._sql_views and not replace:
+                raise ValueError(
+                    f"view {name!r} already exists "
+                    "(use CREATE OR REPLACE VIEW)"
+                )
+            try:
+                self.catalog.path(name)
+            except Exception:
+                pass
+            else:
+                raise ValueError(
+                    f"view name {name!r} collides with a registered table"
+                )
+            if _re.match(r"\s*create\b", body, _re.IGNORECASE):
+                raise ValueError(
+                    f"CREATE VIEW {name}: body must be a query, not DDL"
+                )
+            # validate NOW, with the view itself invisible (a view
+            # cannot reference itself; replace-cycles through other
+            # views are caught by the parser's nesting bound)
+            probe = dict(self._sql_views)
+            probe.pop(name, None)
+            parse_sql(
+                body, self.catalog, macros=self._sql_macros, views=probe
+            )
+            self._sql_views[name] = body.strip()
+            self._save_views()
+            return self.spark.createDataFrame([(name,)], "view string")
+
+        m = _re.match(
+            r"\s*drop\s+view\s+(if\s+exists\s+)?([A-Za-z_]\w*)\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            name = m.group(2).lower()
+            if name in self._sql_views:
+                del self._sql_views[name]
+                self._save_views()
+            elif not m.group(1):
+                raise ValueError(f"view {name!r} does not exist")
+            return self.spark.createDataFrame([(name,)], "view string")
+
+        m = _re.match(r"\s*show\s+views\s*$", query, _re.IGNORECASE)
+        if m:
+            return self.spark.createDataFrame(
+                sorted(self._sql_views.items()),
+                "view string, definition string",
             )
 
         m = _re.match(
@@ -1439,7 +1552,8 @@ class QueryPlanner:
                 m.group(1) or m.group(2), int(m.group(3)), int(m.group(4))
             )
 
-        plan = parse_sql(query, self.catalog, macros=self._sql_macros)
+        plan = parse_sql(query, self.catalog, macros=self._sql_macros,
+                         views=self._sql_views)
         # re-CREATE of a MATERIALIZED VIEW: drop the old metadata BEFORE
         # optimizing, or the rewrite rule could answer the definition
         # query from the very table the sink is about to overwrite
@@ -1790,7 +1904,8 @@ class QueryPlanner:
                 f"__ins({', '.join(target)})"
             )
         new_rows = self.dataframe(
-            parse_sql(select_sql, self.catalog, macros=self._sql_macros)
+            parse_sql(select_sql, self.catalog, macros=self._sql_macros,
+                      views=self._sql_views)
         )
         if len(new_rows.columns) != len(target):
             raise ValueError(

@@ -172,12 +172,21 @@ def _strip_comments(sql: str):
 
 
 class _Parser:
-    def __init__(self, sql: str, catalog=None, macros=None):
+    def __init__(self, sql: str, catalog=None, macros=None, views=None,
+                 view_depth=0):
         sql, self.hints = _strip_comments(sql)
         self.toks = _tokenize(sql)
         self.i = 0
         self.catalog = catalog
         self.ctes: dict[str, Plan] = {}
+        #: CREATE VIEW registry (lowercase name → SQL text), expanded
+        #: LATE at each reference like standard SQL views: the text
+        #: re-parses per reference, so a view always reflects the
+        #: current definition of the views it references.  CTEs shadow
+        #: views; ``view_depth`` bounds nesting (a replace-cycle would
+        #: otherwise recurse forever).
+        self.views: dict = dict(views) if views else {}
+        self.view_depth = view_depth
         # alias frames: one dict per lexically-enclosing SELECT, innermost
         # last; maps table alias (or bare table name) → column-rename
         # prefix ("" when columns keep their scan names)
@@ -960,6 +969,22 @@ class _Parser:
             # fresh copy per reference — the heuristic rewrites in place,
             # so a shared subtree would alias edits across references
             return LogicalPlanBuilder(_clone_subtree(self.ctes[name].root)), name, alias
+        if name.lower() in self.views:
+            if self.view_depth >= 12:
+                raise SqlError(
+                    f"view nesting deeper than 12 resolving {name!r} — "
+                    "definition cycle?"
+                )
+            sub = _Parser(
+                self.views[name.lower()],
+                self.catalog,
+                macros=self.macros,
+                views=self.views,
+                view_depth=self.view_depth + 1,
+            )
+            # parse(), not _query(): a view body may open with WITH
+            plan = sub.parse()
+            return LogicalPlanBuilder(_clone_subtree(plan.root)), name, alias
         return LogicalPlanBuilder().scan(name), name, alias
 
     def _values_table(self):
@@ -1393,19 +1418,44 @@ class _Parser:
 
     def _expand_star(self, builder: LogicalPlanBuilder) -> List[Expr]:
         """Expand ``*`` through the catalog (scan binding, like the
-        reference's ``DFField::from_qualified`` expansion)."""
+        reference's ``DFField::from_qualified`` expansion).  The walk
+        descends only through operators that PASS COLUMNS THROUGH
+        (filter/limit/sort/distinct, and joins concatenate); anything
+        that determines its own output set — a projection, an
+        aggregate, a set-op, an inlined VIEW body — contributes its
+        DERIVED schema instead of the scans underneath it (``select *``
+        over a view must see the view's columns, not its base
+        table's)."""
         if self.catalog is None:
             raise SqlError("SELECT * requires a catalog to expand columns")
-        cols: List[Expr] = []
-        for node in Plan(builder._require_root()).nodes_bottom_up():
+
+        def derive(node):
             op = node.operator
+            inputs = tuple(derive(c) for c in node.inputs)
             if op.operator_name() == "Scan":
+                return op.derive_logical_prop(inputs, catalog=self.catalog)
+            return op.derive_logical_prop(inputs)
+
+        def collect(node) -> List[Expr]:
+            op = node.operator
+            name = op.operator_name()
+            if name == "Scan":
                 schema = self.catalog.schema(op.table_name)
-                for f in schema.fields:
-                    cols.append(Col(f.name, qualifier=op.table_name))
-            elif op.operator_name() == "Values":
-                cols.extend(Col(n) for n in op.names)
-        return cols
+                return [
+                    Col(f.name, qualifier=op.table_name)
+                    for f in schema.fields
+                ]
+            if name == "Values":
+                return [Col(n) for n in op.names]
+            if name in ("Filter", "Limit", "Sort", "Distinct", "Join"):
+                return [c for ch in node.inputs for c in collect(ch)]
+            try:
+                prop = derive(node)
+            except Exception:
+                return [c for ch in node.inputs for c in collect(ch)]
+            return [Col(f.name) for f in prop.schema.fields]
+
+        return collect(builder._require_root())
 
 
 def _split_in_conjuncts(pred):
@@ -1848,14 +1898,16 @@ def _substitute_params(e, mapping: dict):
     return _rewrite_cols(e, lambda c: mapping.get(c.name.lower(), c))
 
 
-def parse_sql(sql: str, catalog=None, macros=None) -> Plan:
+def parse_sql(sql: str, catalog=None, macros=None, views=None) -> Plan:
     """Parse a SQL query into an (unoptimized) logical Plan.  Join
     strategy hints (``/*+ BROADCAST(t) */`` etc.) ride on the returned
     plan as ``plan.hints`` and steer the cascades race.  ``macros`` is
     the planner's CREATE FUNCTION registry (name → (params, body
-    Expr)), expanded at each call site inside the parser."""
+    Expr)), expanded at each call site inside the parser; ``views`` is
+    its CREATE VIEW registry (lowercase name → SQL text), expanded late
+    at each relation reference."""
     _scalar_counter[0] = 0  # aliases only need uniqueness within a query
-    p = _Parser(sql, catalog, macros=macros)
+    p = _Parser(sql, catalog, macros=macros, views=views)
     plan = p.parse()
     plan.hints = p.hints
     return plan

@@ -280,6 +280,9 @@ SHUFFLE_BUDGET = {
     # full-outer can't broadcast) + final ORDER BY; role fan-out is a
     # map-side explode, never a second join
     "q_scd2": 3,
+    # r8: two inlined view layers cost NOTHING — broadcast join under
+    # them, then agg + ORDER BY
+    "q_sql_view": 2,
 }
 
 BATCH_QUERIES = sorted(
