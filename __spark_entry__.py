@@ -2390,6 +2390,24 @@ EXTENSION_ORACLES = {
                sum(cents)::BIGINT AS sum_cents
         FROM after_update GROUP BY c_nationkey ORDER BY c_nationkey
     """,
+    "q_cdc_export": """
+        WITH base AS (
+          SELECT c_custkey AS k, c_nationkey AS nat FROM customer
+        ),
+        v1 AS (SELECT * FROM base WHERE NOT (k % 5 = 0)),
+        ch AS (
+          SELECT 1::BIGINT AS _version, 'delete' AS _change_type, k
+          FROM base WHERE k % 5 = 0
+          UNION ALL
+          SELECT 2::BIGINT, 'delete', k FROM v1 WHERE k % 7 = 1
+          UNION ALL
+          SELECT 2::BIGINT, 'insert', k FROM v1 WHERE k % 7 = 1
+        )
+        SELECT _version, _change_type, count(*)::BIGINT AS n,
+               sum(k)::BIGINT AS sum_k
+        FROM ch GROUP BY _version, _change_type
+        ORDER BY _version, _change_type
+    """,
     "q_sql_view": """
         WITH big_orders AS (
           SELECT o_custkey, o_totalprice FROM orders
@@ -4790,6 +4808,42 @@ def q_sql_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "select c_nationkey, cast(count(*) as bigint) as n, "
         "cast(sum(cents) as bigint) as sum_cents "
         "from dv_work group by c_nationkey order by c_nationkey"
+    )
+
+
+def q_cdc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL CDC EXPORT (r8, streaming/pipeline.py
+    export_table_changes): DML a versioned table, then drain its
+    row-level change feed into an append-only log table — one log
+    version per source transition, op tags as the consumption record
+    (exactly-once without a checkpoint file; crash-replay pytest in
+    tests/test_cdc_export.py).  The oracle replays the two DML
+    statements relationally and derives the same change rows."""
+    from datafusion_dolomite_spark.streaming.pipeline import (
+        export_table_changes,
+    )
+
+    pl = _planner(spark, sf_dir)
+    pl.sql(
+        "create table cdc_src as select c_custkey, c_nationkey "
+        "from customer"
+    ).count()
+    # reset the log lineage too: re-running the query must re-export
+    pl.sql(
+        "create table cdc_log as select c_custkey, c_nationkey, "
+        "'x' as _change_type, cast(0 as bigint) as _version "
+        "from cdc_src where 1 = 0"
+    ).count()
+    pl.sql("delete from cdc_src where c_custkey % 5 = 0").count()
+    pl.sql(
+        "update cdc_src set c_nationkey = c_nationkey + 100 "
+        "where c_custkey % 7 = 1"
+    ).count()
+    export_table_changes(pl, "cdc_src", "cdc_log")
+    return pl.sql(
+        "select _version, _change_type, cast(count(*) as bigint) as n, "
+        "cast(sum(c_custkey) as bigint) as sum_k from cdc_log "
+        "group by _version, _change_type order by _version, _change_type"
     )
 
 
@@ -7359,7 +7413,7 @@ _UNPROVEN_PREFIX = (
     # new this round (r8) — never driver-checked, prove first
     "q_sql_time_travel", "q_sql_optimize", "q_stream_versioned",
     "q_sql_restore", "q_sql_clone", "q_sql_constraints", "q_table_changes",
-    "q_sql_dv", "q_scd2", "q_sql_view",
+    "q_sql_dv", "q_scd2", "q_sql_view", "q_cdc_export",
     # r8 CHANGED these queries' implementation — re-prove next
     "q_sql_dml", "q_sql_merge", "q_sql_udf", "q_incremental_dedup",
     "q_dynamic_skip_join",
@@ -7464,6 +7518,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_dv": q_sql_dv,
         "q_scd2": q_scd2,
         "q_sql_view": q_sql_view,
+        "q_cdc_export": q_cdc_export,
         "q_sql_restore": q_sql_restore,
         "q_sql_clone": q_sql_clone,
         "q_sql_constraints": q_sql_constraints,

@@ -773,3 +773,71 @@ def stream_versioned_ingest(
     )
     q.awaitTermination()
     return n_batches[0]
+
+
+def export_table_changes(planner, src_table: str, log_table: str,
+                         _fault=None) -> int:
+    """INCREMENTAL CDC EXPORT (r8): drain the row-level change feed of
+    a versioned table into an append-only LOG TABLE — the Debezium/
+    Delta-CDF export shape: one log row per changed row, tagged
+    ``_change_type`` (insert/delete; updates arrive as the pair) and
+    ``_version`` (the source version that produced it).  Each call
+    consumes only the source versions not yet exported and appends one
+    log version per transition.
+
+    EXACTLY-ONCE WITHOUT A CHECKPOINT FILE: the log table's own version
+    log is the consumption record — each append is op-tagged
+    ``cdc <src> v<a>->v<b>`` and the next run resumes after the highest
+    exported ``b``.  The append IS the commit (the version-log persist
+    is atomic), so a crash at any point either left the transition
+    unexported (it re-runs) or fully exported (it is skipped) — no torn
+    state, no duplicate log rows (fault-injection pytest).  Cost is
+    O(changed files) per transition — the `table_changes` manifest
+    diff, never a source re-scan.
+
+    The log table auto-creates (empty, change-feed schema) on first
+    export; ``_fault(v)`` is the test hook called after each append."""
+    import os
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    hist = planner._checked_history(src_table, "export_table_changes")
+    head = len(hist) - 1
+    try:
+        planner.catalog.path(log_table)
+    except Exception:
+        base = os.path.join(
+            planner.catalog.warehouse_root(), f"{log_table}__cdcbase"
+        )
+        empty = planner._table_changes(src_table, 0, 0).withColumn(
+            "_version", F.lit(0).cast("bigint")
+        )
+        empty.coalesce(1).write.mode("overwrite").parquet(base)
+        planner.catalog.register(log_table, base)
+    log_cols = [
+        f.name
+        for f in planner.spark.read.parquet(
+            planner.catalog.path(log_table)
+        ).schema.fields
+    ]
+    tag_re = _re.compile(rf"^cdc {_re.escape(src_table)} v(\d+)->v(\d+)$")
+    consumed = 0
+    for t in planner._table_ops.get(log_table) or []:
+        m = tag_re.match(t)
+        if m:
+            consumed = max(consumed, int(m.group(2)))
+    n = 0
+    for v in range(consumed, head):
+        ch = planner._table_changes(src_table, v, v + 1).withColumn(
+            "_version", F.lit(v + 1).cast("bigint")
+        )
+        planner.insert_dataframe(
+            log_table,
+            ch.select(*log_cols),
+            op=f"cdc {src_table} v{v}->v{v + 1}",
+        )
+        n += 1
+        if _fault is not None:
+            _fault(v)
+    return n

@@ -283,6 +283,9 @@ SHUFFLE_BUDGET = {
     # r8: two inlined view layers cost NOTHING — broadcast join under
     # them, then agg + ORDER BY
     "q_sql_view": 2,
+    # r8: scan of the exported CDC log + agg + ORDER BY (the export
+    # itself is O(changed files) per transition, outside this plan)
+    "q_cdc_export": 2,
 }
 
 BATCH_QUERIES = sorted(
