@@ -2390,6 +2390,28 @@ EXTENSION_ORACLES = {
                sum(cents)::BIGINT AS sum_cents
         FROM after_update GROUP BY c_nationkey ORDER BY c_nationkey
     """,
+    "q_sql_merge_multi": """
+        WITH t AS (
+          SELECT c_custkey AS k, c_nationkey::BIGINT AS v FROM customer
+        ),
+        s AS (
+          SELECT c_custkey AS k, (c_nationkey + 50)::BIGINT AS v
+          FROM customer WHERE c_custkey % 2 = 0
+          UNION ALL
+          SELECT c_custkey + 1000000, 99::BIGINT
+          FROM customer WHERE c_custkey % 25 = 0
+        ),
+        merged AS (
+          SELECT t.k, s.v FROM t JOIN s ON t.k = s.k WHERE t.v < 10
+          UNION ALL
+          SELECT t.k, t.v FROM t LEFT JOIN s ON t.k = s.k
+          WHERE s.k IS NULL
+          UNION ALL
+          SELECT s.k, s.v FROM s LEFT JOIN t ON t.k = s.k
+          WHERE t.k IS NULL AND s.v = 99
+        )
+        SELECT k, v FROM merged ORDER BY k
+    """,
     "q_cdc_export": """
         WITH base AS (
           SELECT c_custkey AS k, c_nationkey AS nat FROM customer
@@ -4809,6 +4831,36 @@ def q_sql_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(sum(cents) as bigint) as sum_cents "
         "from dv_work group by c_nationkey order by c_nationkey"
     )
+
+
+def q_sql_merge_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-CLAUSE MERGE (r8): Delta's full grammar — ordered
+    ``WHEN MATCHED [AND cond] THEN UPDATE/DELETE`` clauses (first
+    applicable wins; an uncovered matched row keeps its values) plus a
+    conditional ``WHEN NOT MATCHED AND … THEN INSERT *``.  Still ONE
+    full-outer join + per-column chained CASE
+    (planner.py::_merge_into); the oracle replays the clause dispatch
+    relationally."""
+    pl = _planner(spark, sf_dir)
+    pl.sql(
+        "create table mm_t as select c_custkey as k, "
+        "cast(c_nationkey as bigint) as v from customer"
+    ).count()
+    pl.sql(
+        "create table mm_s as "
+        "select c_custkey as k, cast(c_nationkey + 50 as bigint) as v "
+        "from customer where mod(c_custkey, 2) = 0 "
+        "union all "
+        "select c_custkey + 1000000 as k, cast(99 as bigint) as v "
+        "from customer where mod(c_custkey, 25) = 0"
+    ).count()
+    pl.sql(
+        "merge into mm_t as a using mm_s as b on a.k = b.k "
+        "when matched and a.v < 10 then update set v = b.v "
+        "when matched then delete "
+        "when not matched and b.v = 99 then insert *"
+    ).count()
+    return pl.sql("select k, v from mm_t order by k")
 
 
 def q_cdc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7413,7 +7465,7 @@ _UNPROVEN_PREFIX = (
     # new this round (r8) — never driver-checked, prove first
     "q_sql_time_travel", "q_sql_optimize", "q_stream_versioned",
     "q_sql_restore", "q_sql_clone", "q_sql_constraints", "q_table_changes",
-    "q_sql_dv", "q_scd2", "q_sql_view", "q_cdc_export",
+    "q_sql_dv", "q_scd2", "q_sql_view", "q_cdc_export", "q_sql_merge_multi",
     # r8 CHANGED these queries' implementation — re-prove next
     "q_sql_dml", "q_sql_merge", "q_sql_udf", "q_incremental_dedup",
     "q_dynamic_skip_join",
@@ -7519,6 +7571,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2": q_scd2,
         "q_sql_view": q_sql_view,
         "q_cdc_export": q_cdc_export,
+        "q_sql_merge_multi": q_sql_merge_multi,
         "q_sql_restore": q_sql_restore,
         "q_sql_clone": q_sql_clone,
         "q_sql_constraints": q_sql_constraints,

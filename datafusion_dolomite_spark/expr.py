@@ -157,6 +157,7 @@ _SPARK_BIN = {
     "-": lambda a, b: a - b,
     "*": lambda a, b: a * b,
     "/": lambda a, b: a / b,
+    "%": lambda a, b: a % b,
     # integer division — float "/" loses precision above 2^53, which
     # nanosecond timestamps exceed; decimal division is exact and the
     # long cast truncates (== floor for non-negative operands)
@@ -260,6 +261,9 @@ class Func(Expr):
             return F.count_distinct(*cols)
         if self.name == "count" and not cols:
             return F.count(F.lit(1))
+        if self.name == "mod":
+            a, b = cols
+            return a % b
         fn = getattr(F, self.name, None)
         if fn is None:
             raise ValueError(f"unknown function {self.name!r}")

@@ -1369,14 +1369,19 @@ class QueryPlanner:
         m = _re.match(
             r"\s*merge\s+into\s+([A-Za-z_]\w*)\s+(?:as\s+)?([A-Za-z_]\w*)\s+"
             r"using\s+([A-Za-z_]\w*)\s+(?:as\s+)?([A-Za-z_]\w*)\s+"
-            r"on\s+(.+?)\s+"
-            r"when\s+matched\s+then\s+(delete|update\s+set\s+.+?)\s+"
-            r"when\s+not\s+matched\s+then\s+insert\s+\*\s*$",
+            r"on\s+(.+?)\s+(when\s+.+?)\s*$",
             query,
             _re.IGNORECASE | _re.DOTALL,
         )
         if m:
-            return self._merge_into(*m.groups())
+            return self._merge_into(
+                m.group(1),
+                m.group(2),
+                m.group(3),
+                m.group(4),
+                m.group(5),
+                self._parse_merge_clauses(m.group(6)),
+            )
 
         if _re.match(
             r"\s*show\s+materialized\s+views\s*$", query, _re.IGNORECASE
@@ -1991,7 +1996,54 @@ class QueryPlanner:
         self.catalog.register(table, hist[-1], keep_schema_override=True)
         self._persist_versions(table)
 
-    def _merge_into(self, target, t_alias, source, s_alias, on, action):
+    def _parse_merge_clauses(self, text: str):
+        """Split a MERGE statement's WHEN section into ordered clauses
+        ``(is_matched, condition_or_None, action)`` — Delta's
+        multi-clause grammar: any number of
+        ``WHEN MATCHED [AND cond] THEN UPDATE SET … | DELETE`` and
+        ``WHEN NOT MATCHED [AND cond] THEN INSERT *``, evaluated in
+        statement order, first applicable clause wins."""
+        import re as _re
+
+        chunks = [
+            c
+            for c in _re.split(
+                r"(?i)(?=\bwhen\s+(?:not\s+)?matched\b)", text
+            )
+            if c.strip()
+        ]
+        clauses = []
+        for ch in chunks:
+            cm = _re.match(
+                r"\s*when\s+(not\s+)?matched(?:\s+and\s+(.+?))?"
+                r"\s+then\s+(.+?)\s*$",
+                ch,
+                _re.IGNORECASE | _re.DOTALL,
+            )
+            if not cm:
+                raise ValueError(f"MERGE: cannot parse clause {ch!r}")
+            is_matched = cm.group(1) is None
+            cond = cm.group(2)
+            action = cm.group(3).strip()
+            al = " ".join(action.lower().split())
+            if is_matched and al != "delete" and not al.startswith(
+                "update set "
+            ):
+                raise ValueError(
+                    "MERGE: WHEN MATCHED supports UPDATE SET … or DELETE, "
+                    f"got {action!r}"
+                )
+            if not is_matched and al != "insert *":
+                raise ValueError(
+                    "MERGE: WHEN NOT MATCHED supports INSERT *, "
+                    f"got {action!r}"
+                )
+            clauses.append((is_matched, cond, action))
+        if not clauses:
+            raise ValueError("MERGE: at least one WHEN clause required")
+        return clauses
+
+    def _merge_into(self, target, t_alias, source, s_alias, on, clauses):
         """SQL ``MERGE INTO`` — the Delta/Iceberg upsert surface, built
         from the engine's primitives: ONE full-outer equi-join between
         target and source, per-column CASE (matched → UPDATE SET exprs
@@ -2002,9 +2054,14 @@ class QueryPlanner:
         versioned snapshots).  Returns a scan of the PERSISTED merged
         table.  Contract: the ON condition's key columns are non-null
         (they define row presence), and INSERT * requires the source to
-        carry every target column by name.  Supported WHEN forms:
-        MATCHED → UPDATE SET a = expr, … | DELETE;
-        NOT MATCHED → INSERT *."""
+        carry every target column by name.  ``clauses`` is the ordered
+        multi-clause WHEN list (``_parse_merge_clauses``, Delta's
+        grammar): any number of ``WHEN MATCHED [AND cond] THEN UPDATE
+        SET … | DELETE`` — first applicable clause wins, a matched row
+        no clause covers keeps its values — and ``WHEN NOT MATCHED
+        [AND cond] THEN INSERT *`` — a source-only row no clause covers
+        is NOT inserted (omit the NOT MATCHED arm for update-only
+        merges)."""
         import re as _re
 
         from pyspark.sql import functions as F
@@ -2097,55 +2154,94 @@ class QueryPlanner:
             F.expr(f"{t_alias}.{tk}").isNotNull()
             & F.expr(f"{s_alias}.{sk}").isNotNull()
         )
+        in_target = F.expr(f"{t_alias}.{tk}").isNotNull()
         joined = tdf.join(sdf, on=F.expr(on), how="full_outer")
-        action_l = action.strip()
-        sets = {}
-        if action_l.lower() != "delete":
-            body = _re.sub(
-                r"^update\s+set\s+", "", action_l, flags=_re.IGNORECASE
+
+        # ordered clause dispatch (first applicable wins — a chained
+        # WHEN is exactly that): per matched clause, its parsed SET map
+        # (None = DELETE); per not-matched clause, its condition.
+        def ccond(cond):
+            return (
+                F.expr(cond).eqNullSafe(F.lit(True))
+                if cond is not None
+                else F.lit(True)
             )
-            # split assignments on top-level commas
-            parts, depth, cur = [], 0, ""
-            for ch in body:
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                if ch == "," and depth == 0:
-                    parts.append(cur)
-                    cur = ""
-                else:
-                    cur += ch
-            if cur.strip():
-                parts.append(cur)
-            for part in parts:
-                col_name, expr = part.split("=", 1)
-                sets[col_name.strip()] = expr.strip()
+
+        m_clauses = []  # (cond Column, sets dict | None-for-delete)
+        nm_conds = []  # insert-clause conditions, in order
+        for is_m, cond, action in clauses:
+            if is_m:
+                al = " ".join(action.lower().split())
+                sets = (
+                    None
+                    if al == "delete"
+                    else self._parse_set_clause(
+                        _re.sub(
+                            r"^update\s+set\s+",
+                            "",
+                            action.strip(),
+                            flags=_re.IGNORECASE,
+                        )
+                    )
+                )
+                m_clauses.append((ccond(cond), sets))
+            else:
+                nm_conds.append(ccond(cond))
+
+        # row dropped ⇔ its first applicable MATCHED clause is DELETE
+        del_chain = None
+        for c, sets in m_clauses:
+            del_chain = (
+                F.when(c, F.lit(sets is None))
+                if del_chain is None
+                else del_chain.when(c, F.lit(sets is None))
+            )
+        deleted = (
+            matched & F.coalesce(del_chain, F.lit(False))
+            if del_chain is not None
+            else F.lit(False)
+        )
+        # source-only row inserted ⇔ some NOT MATCHED clause applies
+        ins_chain = None
+        for c in nm_conds:
+            ins_chain = (
+                F.when(c, F.lit(True))
+                if ins_chain is None
+                else ins_chain.when(c, F.lit(True))
+            )
+        inserted = (
+            F.coalesce(ins_chain, F.lit(False))
+            if ins_chain is not None
+            else F.lit(False)
+        )
+
         cols = []
         for f in tschema.fields:
             c = f.name
             keep = F.expr(f"{t_alias}.{c}")
             insert = F.expr(f"{s_alias}.{c}")
-            if action_l.lower() == "delete":
-                # matched rows are filtered out below; surviving rows
-                # are keep-or-insert
-                merged = F.when(
-                    F.expr(f"{t_alias}.{tk}").isNotNull(), keep
-                ).otherwise(insert)
-            else:
-                merged = (
-                    F.when(
-                        matched,
-                        self._sql_expr_column(sets[c]) if c in sets else keep,
+            mval = None
+            for cc, sets in m_clauses:
+                v = (
+                    keep  # DELETE clause: value irrelevant, row dropped
+                    if sets is None
+                    else (
+                        self._sql_expr_column(sets[c]) if c in sets else keep
                     )
-                    .when(F.expr(f"{t_alias}.{tk}").isNotNull(), keep)
-                    .otherwise(insert)
                 )
+                mval = F.when(cc, v) if mval is None else mval.when(cc, v)
+            matched_value = (
+                F.coalesce(mval, keep) if mval is not None else keep
+            )
+            merged = (
+                F.when(matched, matched_value)
+                .when(in_target, keep)
+                .otherwise(insert)
+            )
             cols.append(merged.cast(f.dataType).alias(c))
-        out = joined
-        if action_l.lower() == "delete":
-            out = out.filter(~matched)
-        out = out.select(*cols)
+        out = joined.filter(
+            ~deleted & (matched | in_target | inserted)
+        ).select(*cols)
         self._enforce_constraints(target, out)
         dest = self._cow_dest(target, op="merge")
         if kept:

@@ -42,7 +42,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>\d+(?:\.\d+)?)
   | (?P<string>'(?:[^']|'')*')
   | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,|\.|\*|\+|-|/)
+  | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,|\.|\*|\+|-|/|%)
     """,
     re.VERBOSE,
 )
@@ -1241,6 +1241,8 @@ class _Parser:
                 e = BinOp("*", e, self._primary())
             elif self.accept("op", "/"):
                 e = BinOp("/", e, self._primary())
+            elif self.accept("op", "%"):
+                e = BinOp("%", e, self._primary())
             else:
                 return e
 

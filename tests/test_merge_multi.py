@@ -1,0 +1,90 @@
+"""Multi-clause MERGE INTO (r8): Delta's grammar — any number of
+``WHEN MATCHED [AND cond] THEN UPDATE SET …|DELETE`` plus
+``WHEN NOT MATCHED [AND cond] THEN INSERT *``, evaluated in statement
+order (first applicable clause wins).  A matched row no clause covers
+keeps its values; a source-only row no clause covers is not
+inserted."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_dolomite_spark import QueryPlanner
+from datafusion_dolomite_spark.sources.catalog import Catalog
+
+
+def test_ordered_clauses_first_wins(spark, tmp_path):
+    cat = Catalog(warehouse=str(tmp_path / "wh2"))
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k bigint, v bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "t1"))
+    spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300), (9, 900)], "k bigint, v bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "s1"))
+    cat.register("t", str(tmp_path / "t1"))
+    cat.register("s", str(tmp_path / "s1"))
+    qp = QueryPlanner(spark, cat)
+    qp.sql(
+        "merge into t as a using s as b on a.k = b.k "
+        "when matched and a.v < 15 then delete "
+        "when matched and a.v < 25 then update set v = b.v "
+        "when not matched and b.v > 500 then insert *"
+    ).count()
+    got = sorted((r["k"], r["v"]) for r in qp.sql("select * from t").collect())
+    # k=1: first clause (v<15) → delete.  k=2: second clause → v=200.
+    # k=3: matched, NO clause applies → keeps 30.  k=9: 900>500 → insert.
+    assert got == [(2, 200), (3, 30), (9, 900)]
+
+
+def test_update_only_merge_drops_uncovered_source_rows(spark, tmp_path):
+    cat = Catalog(warehouse=str(tmp_path / "wh3"))
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k bigint, v bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "t1"))
+    spark.createDataFrame(
+        [(2, 200), (7, 700)], "k bigint, v bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "s1"))
+    cat.register("t", str(tmp_path / "t1"))
+    cat.register("s", str(tmp_path / "s1"))
+    qp = QueryPlanner(spark, cat)
+    qp.sql(
+        "merge into t as a using s as b on a.k = b.k "
+        "when matched then update set v = b.v"
+    ).count()
+    got = sorted((r["k"], r["v"]) for r in qp.sql("select * from t").collect())
+    assert got == [(1, 10), (2, 200)]  # no INSERT arm → k=7 NOT inserted
+
+
+def test_classic_single_pair_unchanged(spark, tmp_path):
+    cat = Catalog(warehouse=str(tmp_path / "wh4"))
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k bigint, v bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "t1"))
+    spark.createDataFrame(
+        [(2, 200), (7, 700)], "k bigint, v bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "s1"))
+    cat.register("t", str(tmp_path / "t1"))
+    cat.register("s", str(tmp_path / "s1"))
+    qp = QueryPlanner(spark, cat)
+    qp.sql(
+        "merge into t as a using s as b on a.k = b.k "
+        "when matched then update set v = b.v "
+        "when not matched then insert *"
+    ).count()
+    got = sorted((r["k"], r["v"]) for r in qp.sql("select * from t").collect())
+    assert got == [(1, 10), (2, 200), (7, 700)]
+
+
+def test_bad_clause_rejected(spark, tmp_path):
+    cat = Catalog(warehouse=str(tmp_path / "wh5"))
+    spark.createDataFrame([(1, 10)], "k bigint, v bigint").write.parquet(
+        str(tmp_path / "t1")
+    )
+    cat.register("t", str(tmp_path / "t1"))
+    cat.register("s", str(tmp_path / "t1"))
+    qp = QueryPlanner(spark, cat)
+    with pytest.raises(Exception, match="INSERT \\*"):
+        qp.sql(
+            "merge into t as a using s as b on a.k = b.k "
+            "when not matched then update set v = 1"
+        ).count()

@@ -286,6 +286,9 @@ SHUFFLE_BUDGET = {
     # r8: scan of the exported CDC log + agg + ORDER BY (the export
     # itself is O(changed files) per transition, outside this plan)
     "q_cdc_export": 2,
+    # r8: scan of the merged table + final ORDER BY (the multi-clause
+    # merge executed as ONE full-outer join before this read)
+    "q_sql_merge_multi": 1,
 }
 
 BATCH_QUERIES = sorted(
