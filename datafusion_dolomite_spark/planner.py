@@ -337,8 +337,9 @@ class QueryPlanner:
             self._optimize_table(table, op_label="auto-compact")
 
     def _optimize_table(self, table: str, zorder=None, n_files=None,
-                        op_label=None):
-        """``OPTIMIZE TABLE t [ZORDER BY (c1, c2)]`` — file compaction
+                        op_label=None, where=None):
+        """``OPTIMIZE TABLE t [WHERE pred] [ZORDER BY (c1, c2)]`` —
+        file compaction
         (Delta's OPTIMIZE): a lineage of small DML deltas fragments the
         table into many small files; this rewrites the CURRENT rows
         into size-appropriate files (REBALANCE + AQE coalescing) as a
@@ -349,17 +350,69 @@ class QueryPlanner:
         the min/max skipping sidecar is rewritten for those columns —
         compaction feeds straight into file-level skipping (scan-time
         AND the DML pruner's footer bands).  One O(table) pass — the
-        price of compaction anywhere; at 100 TB you run it
-        per-partition on the fragmented partitions only.  Returns a
-        one-row summary."""
+        price of compaction anywhere — unless ``WHERE <pred>`` SCOPES
+        it: then only files whose footer/partition bands can satisfy
+        the predicate are compacted, every other file carries forward
+        as a hardlink (with its DV entries) — the "compact only the
+        fragmented partitions" shape a 100 TB table needs, O(matching
+        files) not O(table).  The WHERE picks FILES, never rows: no row
+        is dropped.  Returns a one-row summary."""
         from .execute import SparkExecutor
         from .sources.dml import data_files, partition_columns
 
         ex = SparkExecutor(self.spark, self.catalog)
         fmt = self.catalog.format(table)
-        cur = ex._base_scan(table, fmt)
         path = self.catalog.path(table)
-        files_before = len(data_files(path))
+        all_files = data_files(path)
+        kept: list = []
+        if where is not None and fmt == "parquet" and all_files:
+            from .sources.dml import (
+                file_bands,
+                file_excluded,
+                prune_conjuncts,
+            )
+
+            conj = prune_conjuncts(where, macros=self._sql_macros)
+            if not conj:
+                raise ValueError(
+                    f"OPTIMIZE {table} WHERE: no provable col-op-literal "
+                    f"conjunct in {where!r} — scope by a clustered or "
+                    "partition column"
+                )
+            bands = file_bands(
+                all_files, {c[0] for c in conj}, table_path=path
+            )
+            kept = [f for f in all_files if file_excluded(bands[f], conj)]
+        if kept:
+            from .execute import apply_dv, scan_with_rowid
+            from .sources.dml import has_dv
+
+            rewrite = [f for f in all_files if f not in set(kept)]
+            override = (
+                self.catalog.schema_override(table)
+                if hasattr(self.catalog, "schema_override")
+                else None
+            )
+            sch = override.to_struct_type() if override else None
+            if rewrite and has_dv(path):
+                cur = apply_dv(
+                    self.spark,
+                    scan_with_rowid(
+                        self.spark, path, schema=sch,
+                        files=rewrite, base=path,
+                    ),
+                    path,
+                )
+            elif rewrite:
+                rd = self.spark.read
+                if sch is not None:
+                    rd = rd.schema(sch)
+                cur = rd.option("basePath", path).parquet(*rewrite)
+            else:
+                cur = ex._base_scan(table, fmt).limit(0)
+        else:
+            cur = ex._base_scan(table, fmt)
+        files_before = len(all_files)
         pcols = partition_columns(path) if fmt == "parquet" else []
         dest = self._cow_dest(
             table,
@@ -383,12 +436,22 @@ class QueryPlanner:
                 cur, dest, cluster_by=zcols, layout="zorder",
                 partition_by=pcols or None, n_files=n_files,
             )
-            write_file_stats(dest, zcols)
+            if kept:
+                from .sources.dml import link_files
+
+                link_files(kept, dest, base=path)
+                self._carry_dv(path, dest, kept)
+            write_file_stats(dest, zcols)  # after links: stats cover all
         else:
             w = cur.hint("rebalance").write.mode("overwrite")
             if pcols:
                 w = w.partitionBy(*pcols)
             w.parquet(dest)
+            if kept:
+                from .sources.dml import link_files
+
+                link_files(kept, dest, base=path)
+                self._carry_dv(path, dest, kept)
         self.catalog.register(table, dest, keep_schema_override=True)
         self._persist_versions(table)
         files_after = len(data_files(dest))
@@ -1508,12 +1571,15 @@ class QueryPlanner:
 
         m = _re.match(
             r"\s*optimize\s+table\s+([A-Za-z_]\w*)"
+            r"(?:\s+where\s+(.+?))?"
             r"(?:\s+zorder\s+by\s*\(([^)]*)\))?\s*$",
             query,
-            _re.IGNORECASE,
+            _re.IGNORECASE | _re.DOTALL,
         )
         if m:
-            return self._optimize_table(m.group(1), zorder=m.group(2))
+            return self._optimize_table(
+                m.group(1), zorder=m.group(3), where=m.group(2)
+            )
 
         m = _re.match(
             r"\s*vacuum\s+(?:table\s+)?([A-Za-z_]\w*)\s*$",

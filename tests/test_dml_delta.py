@@ -270,6 +270,34 @@ def test_optimize_table_compacts_files(qp, spark):
     assert qp.sql("select * from t version as of 0").count() == 10
 
 
+def test_optimize_where_compacts_only_matching_files(clustered, spark):
+    """OPTIMIZE … WHERE (r8): only files whose bands can satisfy the
+    predicate compact; the rest carry forward as hardlinks — the
+    compact-one-partition shape.  The WHERE picks files, never rows."""
+    qp, path = clustered
+    # fragment the k<25 band with two small inserts
+    qp.sql("insert into c values (1, 2), (2, 4)").count()
+    qp.sql("insert into c values (3, 6)").count()
+    before = {os.stat(f).st_ino for f in dml.data_files(qp.catalog.path("c"))}
+    rows_before = sorted(
+        (r["k"], r["v"]) for r in qp.sql("select * from c").collect()
+    )
+    out = qp.sql("optimize table c where k < 25").collect()[0]
+    head = qp.catalog.path("c")
+    after_files = dml.data_files(head)
+    carried = [f for f in after_files if os.stat(f).st_ino in before]
+    # the three k>=25 band files carried untouched; the fragmented
+    # band (original file + 2 insert files) compacted
+    assert len(carried) == 3
+    assert out["files_before"] == 6 and out["files_after"] < 6
+    rows_after = sorted(
+        (r["k"], r["v"]) for r in qp.sql("select * from c").collect()
+    )
+    assert rows_after == rows_before  # no row dropped
+    with pytest.raises(Exception, match="no provable"):
+        qp.sql("optimize table c where k % 3 = 0").count()
+
+
 def test_auto_compact_opt_in(qp, spark):
     """auto_compact_files=N (r8, Delta's autoOptimize.autoCompact):
     a DML statement leaving MORE than N data files triggers an
