@@ -128,6 +128,9 @@ class QueryPlanner:
         #: parallel per-table operation tags ("base", "delete", ...)
         #: for DESCRIBE HISTORY
         self._table_ops: dict = {}
+        #: parallel per-table commit timestamps (epoch seconds) —
+        #: what TIMESTAMP AS OF resolves against; persisted in the log
+        self._table_commit_ts: dict = {}
         #: per-table lineage token (uuid, persisted in the log):
         #: optimistic concurrency — two planners sharing one lineage
         #: detect each other's commits instead of clobbering them
@@ -214,6 +217,12 @@ class QueryPlanner:
                     else ["base"] + ["write"] * (len(hist) - 1)
                 )
                 self._cow_versions[t] = len(hist) - 1
+                cts = vlog.load_commit_ts(t)
+                self._table_commit_ts[t] = (
+                    list(cts)
+                    if cts is not None and len(cts) == len(hist)
+                    else [os.path.getmtime(p) for p in hist]
+                )
                 tok = vlog.load_lineage(t)
                 if tok:
                     self._table_lineage[t] = tok
@@ -263,6 +272,7 @@ class QueryPlanner:
                 lineage=self._table_lineage.get(table),
                 constraints=self._table_constraints.get(table),
                 properties=self._table_props.get(table),
+                commit_ts=self._table_commit_ts.get(table),
             )
         except OSError:
             pass  # read-only warehouse: lineage stays session-scoped
@@ -526,6 +536,58 @@ class QueryPlanner:
                 "recorded DML/MERGE lineage for its current registration"
             )
         return hist
+
+    def _read_table_version(self, table: str, ver: int):
+        """DataFrame over a recorded version dir, DV-aware (a DV'd
+        version's content is files MINUS its sidecar; dv_scan confines
+        the anti-join to the sidecar's files)."""
+        from .sources.dml import has_dv
+
+        hist = self._checked_history(table, "time travel")
+        if has_dv(hist[ver]):
+            from .execute import dv_scan
+
+            return dv_scan(self.spark, hist[ver])
+        return self.spark.read.parquet(hist[ver])
+
+    def _version_at_timestamp(self, table: str, ts_text: str) -> int:
+        """The LATEST version committed at or before ``ts_text`` —
+        ``TIMESTAMP AS OF`` resolution.  Naive literals are UTC (the
+        session timezone is pinned UTC).  Commit times come from the
+        planner state / persisted log; lineages recorded before
+        timestamping fall back to version-dir mtimes.  An instant
+        before the earliest recorded commit errors (Delta's
+        contract)."""
+        import datetime as _dt
+        import os
+
+        hist = self._checked_history(table, "TIMESTAMP AS OF")
+        ts_list = self._table_commit_ts.get(table)
+        if not ts_list or len(ts_list) != len(hist):
+            ts_list = [os.path.getmtime(p) for p in hist]
+        try:
+            dt = _dt.datetime.fromisoformat(ts_text)
+        except ValueError:
+            raise ValueError(
+                f"TIMESTAMP AS OF: cannot parse {ts_text!r} "
+                "(ISO date or timestamp expected)"
+            )
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_dt.timezone.utc)
+        epoch = dt.timestamp()
+        ver = None
+        for i, t in enumerate(ts_list):
+            if t <= epoch:
+                ver = i
+        if ver is None:
+            earliest = _dt.datetime.fromtimestamp(
+                ts_list[0], _dt.timezone.utc
+            ).isoformat()
+            raise ValueError(
+                f"table {table!r}: no version at or before {ts_text!r} "
+                f"(earliest commit {earliest})"
+            )
+        return ver
 
     def _add_constraint(self, table: str, name: str, expr_text: str):
         """``ALTER TABLE t ADD CONSTRAINT n CHECK (expr)`` — Delta's
@@ -1314,6 +1376,22 @@ class QueryPlanner:
             )
 
         m = _re.match(
+            r"\s*select\s+\*\s+from\s+([A-Za-z_]\w*)\s+timestamp\s+as\s+of"
+            r"\s+'([^']+)'\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            # TIMESTAMP AS OF (Delta's second time-travel form): the
+            # latest version committed at or before the given instant
+            # (session timezone is pinned UTC, so naive literals are
+            # UTC).  Commit times ride in the persisted version log;
+            # logs from before timestamping fall back to dir mtimes.
+            name = m.group(1)
+            ver = self._version_at_timestamp(name, m.group(2))
+            return self._read_table_version(name, ver)
+
+        m = _re.match(
             r"\s*select\s+\*\s+from\s+([A-Za-z_]\w*)\s+version\s+as\s+of"
             r"\s+(\d+)\s*$",
             query,
@@ -1339,15 +1417,7 @@ class QueryPlanner:
                     f"table {name!r} has versions 0..{len(hist) - 1}, "
                     f"asked for {ver}"
                 )
-            from .sources.dml import has_dv
-
-            if has_dv(hist[ver]):
-                # a DV'd version's content is files MINUS its sidecar;
-                # the anti-join confines to the sidecar's files
-                from .execute import dv_scan
-
-                return dv_scan(self.spark, hist[ver])
-            return self.spark.read.parquet(hist[ver])
+            return self._read_table_version(name, ver)
 
         m = _re.match(
             r"\s*delete\s+from\s+([A-Za-z_]\w*)(?:\s+where\s+(.+?))?\s*$",
@@ -1412,9 +1482,24 @@ class QueryPlanner:
                 ops = self._table_ops.get(name) or ["base"] + ["write"] * (
                     len(hist) - 1
                 )
+            import datetime as _dt
+            import os as _os
+
+            cts = self._table_commit_ts.get(name)
+            if not cts or len(cts) != len(hist):
+                cts = [_os.path.getmtime(p) for p in hist]
+            iso = [
+                _dt.datetime.fromtimestamp(t, _dt.timezone.utc)
+                .isoformat(timespec="seconds")
+                for t in cts
+            ]
             return self.spark.createDataFrame(
-                [(i, o, p) for i, (p, o) in enumerate(zip(hist, ops))],
-                "version int, operation string, location string",
+                [
+                    (i, o, ts, p)
+                    for i, (p, o, ts) in enumerate(zip(hist, ops, iso))
+                ],
+                "version int, operation string, commit_ts string, "
+                "location string",
             )
 
         m = _re.match(
@@ -1668,6 +1753,9 @@ class QueryPlanner:
             hist = [cur]
             self._table_history[table] = hist
             self._table_ops[table] = ["base"]
+            import time as _time
+
+            self._table_commit_ts[table] = [_time.time()]
             self._cow_versions[table] = 0
             # fresh lineage → fresh token (a persisted log from a
             # re-created table's DEAD lineage carries a different one)
@@ -1697,6 +1785,11 @@ class QueryPlanner:
         dest = self.catalog.warehouse_path(f"{table}__v{n}")
         hist.append(dest)
         self._table_ops.setdefault(table, ["base"] * (len(hist) - 1)).append(op)
+        import time as _time
+
+        self._table_commit_ts.setdefault(
+            table, [0.0] * (len(hist) - 1)
+        ).append(_time.time())
         return dest
 
     def _sql_expr_column(self, text: str):
@@ -2058,6 +2151,9 @@ class QueryPlanner:
         ops = self._table_ops.get(table)
         if ops:
             ops.pop()
+        cts = self._table_commit_ts.get(table)
+        if cts:
+            cts.pop()
         self._cow_versions[table] -= 1
         self.catalog.register(table, hist[-1], keep_schema_override=True)
         self._persist_versions(table)

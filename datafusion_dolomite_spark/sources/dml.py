@@ -433,14 +433,26 @@ class VersionLog:
             return None
         return props if isinstance(props, dict) and props else None
 
+    def load_commit_ts(self, table: str) -> Optional[list]:
+        """Per-version commit timestamps (epoch seconds, parallel to
+        ``load``); None for logs written before timestamps."""
+        try:
+            with open(self._path(table)) as f:
+                ts = json.load(f).get("commit_ts")
+        except (OSError, ValueError):
+            return None
+        return ts if isinstance(ts, list) and ts else None
+
     def save(self, table: str, versions: Sequence[str], ops=None,
              schema=None, lineage=None, constraints=None,
-             properties=None) -> None:
+             properties=None, commit_ts=None) -> None:
         os.makedirs(self.dir, exist_ok=True)
         tmp = self._path(table) + ".tmp"
         doc = {"versions": list(versions)}
         if ops is not None:
             doc["ops"] = list(ops)
+        if commit_ts is not None:
+            doc["commit_ts"] = list(commit_ts)
         if schema is not None:
             doc["schema"] = list(schema)
         if lineage is not None:

@@ -270,6 +270,38 @@ def test_optimize_table_compacts_files(qp, spark):
     assert qp.sql("select * from t version as of 0").count() == 10
 
 
+def test_timestamp_as_of(qp, spark):
+    """TIMESTAMP AS OF (r8): the latest version committed at or before
+    the instant; before-earliest errors; DESCRIBE HISTORY carries the
+    commit timestamp; the resolution survives a new planner via the
+    persisted log."""
+    import datetime as dt
+    import time
+
+    qp.sql("delete from t where k < 3").count()  # v1
+    time.sleep(1.1)
+    mid = dt.datetime.now(dt.timezone.utc).isoformat()
+    time.sleep(1.1)
+    qp.sql("delete from t where k >= 8").count()  # v2
+    assert (
+        qp.sql(f"select * from t timestamp as of '{mid}'").count() == 7
+    )  # v1: rows 3..9
+    # at/after the last commit → head
+    now = dt.datetime.now(dt.timezone.utc).isoformat()
+    assert qp.sql(f"select * from t timestamp as of '{now}'").count() == 5
+    with pytest.raises(Exception, match="no version at or before"):
+        qp.sql("select * from t timestamp as of '2000-01-01'").count()
+    hist = qp.sql("describe history t").collect()
+    assert all(r["commit_ts"] for r in hist)
+    # persisted: a fresh planner resolves the same instant to v1
+    cat2 = Catalog(warehouse=qp.catalog.warehouse_root())
+    cat2.register("t", qp._table_history["t"][0])
+    qp2 = QueryPlanner(spark, cat2)
+    assert (
+        qp2.sql(f"select * from t timestamp as of '{mid}'").count() == 7
+    )
+
+
 def test_optimize_where_compacts_only_matching_files(clustered, spark):
     """OPTIMIZE … WHERE (r8): only files whose bands can satisfy the
     predicate compact; the rest carry forward as hardlinks — the
