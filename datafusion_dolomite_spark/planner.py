@@ -470,8 +470,8 @@ class QueryPlanner:
             "table_name string, files_before int, files_after int",
         )
 
-    def _vacuum_table(self, table: str):
-        """``VACUUM t`` — garbage-collect the non-head version dirs of
+    def _vacuum_table(self, table: str, dry_run: bool = False):
+        """``VACUUM t [DRY RUN]`` — garbage-collect the non-head version dirs of
         ``table``'s DML lineage (Delta's VACUUM with retention 0): only
         directories THIS engine created under the warehouse
         (``<table>__v<n>``, recorded in the persisted log) are removed —
@@ -480,8 +480,10 @@ class QueryPlanner:
         still carries survives via its link in the head dir; only bytes
         no live version references are freed.  Time travel to vacuumed
         versions is gone (that is the point); the head keeps reading
-        exactly, and version numbering continues.  Returns a one-row
-        summary (dirs removed, bytes actually freed)."""
+        exactly, and version numbering continues.  ``DRY RUN`` reports
+        the dirs and bytes WITHOUT removing anything (Delta's VACUUM
+        DRY RUN).  Returns a one-row summary (dirs removed/removable,
+        bytes actually/would-be freed)."""
         import os
         import shutil
 
@@ -510,14 +512,20 @@ class QueryPlanner:
                             freed += st.st_size
                     except OSError:
                         pass
-                shutil.rmtree(p, ignore_errors=True)
+                if not dry_run:
+                    shutil.rmtree(p, ignore_errors=True)
                 removed += 1
-            self._table_history[table] = [head]
-            prior = self._table_ops.get(table)
-            self._table_ops[table] = [
-                (prior[-1] if prior else "base") + " (post-vacuum)"
-            ]
-            self._persist_versions(table)
+            if not dry_run:
+                self._table_history[table] = [head]
+                prior = self._table_ops.get(table)
+                self._table_ops[table] = [
+                    (prior[-1] if prior else "base") + " (post-vacuum)"
+                ]
+                cts = self._table_commit_ts.get(table)
+                # keep the surviving head's commit instant so TIMESTAMP
+                # AS OF keeps resolving exactly after the GC
+                self._table_commit_ts[table] = [cts[-1]] if cts else []
+                self._persist_versions(table)
         return self.spark.createDataFrame(
             [(table, removed, freed)],
             "table_name string, versions_removed int, bytes_freed bigint",
@@ -1503,6 +1511,57 @@ class QueryPlanner:
             )
 
         m = _re.match(
+            r"\s*describe\s+detail\s+([A-Za-z_]\w*)\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            # DESCRIBE DETAIL t (Delta's surface): one row of table
+            # metadata, all from LOCAL file/state inspection — no scan.
+            import json as _json
+            import os as _os
+
+            from .sources.dml import data_files, has_dv, partition_columns
+
+            name = m.group(1)
+            path = self.catalog.path(name)  # raises if unregistered
+            files = data_files(path)
+            size = 0
+            for f in files:
+                try:
+                    size += _os.path.getsize(f)
+                except OSError:
+                    pass
+            hist = self._table_history.get(name)
+            if hist is not None and hist[-1] != path:
+                hist = None
+            return self.spark.createDataFrame(
+                [
+                    (
+                        name,
+                        self.catalog.format(name),
+                        path,
+                        len(files),
+                        size,
+                        len(hist) if hist else 1,
+                        ",".join(partition_columns(path)),
+                        has_dv(path),
+                        _json.dumps(
+                            self._table_props.get(name, {}), sort_keys=True
+                        ),
+                        _json.dumps(
+                            self._table_constraints.get(name, {}),
+                            sort_keys=True,
+                        ),
+                    )
+                ],
+                "table_name string, format string, location string, "
+                "num_files int, size_bytes bigint, num_versions int, "
+                "partition_columns string, has_dv boolean, "
+                "properties string, constraints string",
+            )
+
+        m = _re.match(
             r"\s*describe\s+(?:table\s+)?([A-Za-z_]\w*)\s*$",
             query,
             _re.IGNORECASE,
@@ -1667,12 +1726,14 @@ class QueryPlanner:
             )
 
         m = _re.match(
-            r"\s*vacuum\s+(?:table\s+)?([A-Za-z_]\w*)\s*$",
+            r"\s*vacuum\s+(?:table\s+)?([A-Za-z_]\w*)(\s+dry\s+run)?\s*$",
             query,
             _re.IGNORECASE,
         )
         if m:
-            return self._vacuum_table(m.group(1))
+            return self._vacuum_table(
+                m.group(1), dry_run=bool(m.group(2))
+            )
 
         m = _re.match(
             r"\s*restore\s+table\s+([A-Za-z_]\w*)\s+to\s+version\s+as\s+of"
@@ -1682,6 +1743,20 @@ class QueryPlanner:
         )
         if m:
             return self._restore_table(m.group(1), int(m.group(2)))
+
+        m = _re.match(
+            r"\s*restore\s+table\s+([A-Za-z_]\w*)\s+to\s+timestamp\s+as"
+            r"\s+of\s+'([^']+)'\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            # RESTORE to an instant: resolve like TIMESTAMP AS OF, then
+            # the version-addressed restore does the rest
+            name = m.group(1)
+            return self._restore_table(
+                name, self._version_at_timestamp(name, m.group(2))
+            )
 
         m = _re.match(
             r"\s*create\s+table\s+([A-Za-z_]\w*)\s+shallow\s+clone\s+"

@@ -302,6 +302,48 @@ def test_timestamp_as_of(qp, spark):
     )
 
 
+def test_describe_detail(qp):
+    """DESCRIBE DETAIL (r8): one row of table metadata from local
+    file/state inspection — files, bytes, versions, properties,
+    constraints, DV presence — no table scan."""
+    import json
+
+    qp.sql(
+        "alter table t set tblproperties ('delete_mode'='merge-on-read')"
+    ).count()
+    qp.sql("delete from t where k = 1").count()
+    d = qp.sql("describe detail t").collect()[0]
+    assert d["table_name"] == "t" and d["format"] == "parquet"
+    assert d["num_files"] == 1 and d["size_bytes"] > 0
+    assert d["num_versions"] == 2 and d["has_dv"]
+    assert json.loads(d["properties"])["delete_mode"] == "merge-on-read"
+
+
+def test_vacuum_dry_run_and_restore_to_timestamp(qp, spark):
+    """VACUUM DRY RUN reports removable dirs/bytes without touching
+    anything; RESTORE … TO TIMESTAMP AS OF resolves like the read form;
+    post-vacuum TIMESTAMP AS OF still resolves the surviving head."""
+    import datetime as dt
+    import time
+
+    qp.sql("delete from t where k < 3").count()  # v1
+    time.sleep(1.1)
+    mid = dt.datetime.now(dt.timezone.utc).isoformat()
+    time.sleep(1.1)
+    qp.sql("delete from t where k >= 8").count()  # v2
+    qp.sql(f"restore table t to timestamp as of '{mid}'").count()  # → v1
+    assert qp.sql("select * from t").count() == 7
+    dry = qp.sql("vacuum t dry run").collect()[0]
+    assert dry["versions_removed"] >= 1
+    # nothing was actually removed: time travel still works
+    assert qp.sql("select * from t version as of 2").count() == 5
+    real = qp.sql("vacuum t").collect()[0]
+    assert real["versions_removed"] == dry["versions_removed"]
+    # post-vacuum: head still resolves by timestamp (list re-seeded)
+    now = dt.datetime.now(dt.timezone.utc).isoformat()
+    assert qp.sql(f"select * from t timestamp as of '{now}'").count() == 7
+
+
 def test_optimize_where_compacts_only_matching_files(clustered, spark):
     """OPTIMIZE … WHERE (r8): only files whose bands can satisfy the
     predicate compact; the rest carry forward as hardlinks — the
