@@ -87,17 +87,22 @@ def apply_dv(spark, df, path):
 
 
 def _dv_file_names(dvp):
-    """Distinct ``file_name`` values of a DV sidecar, read DRIVER-SIDE
-    with pyarrow (one small coalesced file; cardinality ≤ the table's
-    file count, and dictionary encoding makes the column read cheap).
-    None = unreadable, caller must treat every file as dirty.  At real
-    manifest scale this set would live in the version manifest instead
-    of a column read — the pruning logic is identical."""
+    """Distinct ``file_name`` values of a DV sidecar.  Preferred source
+    is the ``_files.json`` manifest the DV writer records (O(file
+    count), no sidecar read — the shape that holds when the DV itself
+    is big); sidecars without one (older versions, external copies)
+    fall back to a driver-side pyarrow column read.  None = unreadable,
+    caller must treat every file as dirty."""
     import glob as _glob
     import os as _os
 
     import pyarrow.parquet as pq
 
+    from .sources.dml import read_dv_file_manifest
+
+    names = read_dv_file_manifest(dvp)
+    if names is not None:
+        return names
     names = set()
     try:
         for f in sorted(

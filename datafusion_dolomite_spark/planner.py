@@ -716,8 +716,18 @@ class QueryPlanner:
             for f in os.listdir(dvp)
             if f.endswith(".parquet")
         )
+        from .sources.dml import (
+            DV_FILES_MANIFEST,
+            read_dv_file_manifest,
+            write_dv_file_manifest,
+        )
+
         if set(carried_files) >= set(data_files(old_path)):
             link_files(dv_parts, dv_path(dest))
+            man = os.path.join(dvp, DV_FILES_MANIFEST)
+            if os.path.exists(man):
+                # full carry: same marks, same dirty-file set
+                link_files([man], dv_path(dest))
             return
         names = sorted(
             {
@@ -731,6 +741,15 @@ class QueryPlanner:
         dv = self.spark.read.parquet(dvp).join(ndf, "file_name", "left_semi")
         if dv.limit(1).count():
             dv.coalesce(1).write.mode("overwrite").parquet(dv_path(dest))
+            old_names = read_dv_file_manifest(dvp)
+            write_dv_file_manifest(
+                dv_path(dest),
+                names=(
+                    sorted(old_names & set(names))
+                    if old_names is not None
+                    else None  # no old manifest: derive from the sidecar
+                ),
+            )
 
     def _dml_mor(self, table, delete_where=None, set_clause=None,
                  where=None):
@@ -865,6 +884,12 @@ class QueryPlanner:
         from .sources.dml import parquet_rows
 
         dv_rows = parquet_rows(dv_path(dest))
+        if dv_rows > 0:
+            # record the dirty-file manifest ONCE here (O(DV) column
+            # read at write time) so scans never re-derive it
+            from .sources.dml import write_dv_file_manifest
+
+            write_dv_file_manifest(dv_path(dest))
         if dv_rows == 0:
             import shutil
 

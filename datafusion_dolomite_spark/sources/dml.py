@@ -92,6 +92,49 @@ def parquet_rows(path: str) -> int:
     return total
 
 
+DV_FILES_MANIFEST = "_files.json"
+
+
+def write_dv_file_manifest(dvp: str, names=None) -> Optional[list]:
+    """Record the DV sidecar's distinct ``file_name`` set as
+    ``<dv>/_files.json`` — the manifest that lets a scan split clean
+    from dirty files WITHOUT a driver-side column read of the sidecar
+    (O(DV) per scan-build; at a bounded-but-big DV that read is the one
+    remaining driver-side O(DV) cost).  With ``names`` given they are
+    written as-is (caller knows the set, e.g. a filtered carry);
+    otherwise they are read from the just-written sidecar ONCE, here at
+    write time.  Returns the names written, or None when unreadable
+    (no manifest written — readers fall back to the column read)."""
+    import pyarrow.parquet as pq
+
+    if names is None:
+        names = set()
+        try:
+            for f in sorted(glob.glob(os.path.join(dvp, "*.parquet"))):
+                col = pq.read_table(f, columns=["file_name"]).column(0)
+                names.update(col.unique().to_pylist())
+        except Exception:
+            return None
+    names = sorted(names)
+    tmp = os.path.join(dvp, DV_FILES_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"files": names}, f)
+    os.replace(tmp, os.path.join(dvp, DV_FILES_MANIFEST))
+    return names
+
+
+def read_dv_file_manifest(dvp: str) -> Optional[set]:
+    """The manifest written by ``write_dv_file_manifest``; None when
+    absent/unreadable (caller falls back to the sidecar column read)."""
+    try:
+        with open(os.path.join(dvp, DV_FILES_MANIFEST)) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return None
+    names = doc.get("files")
+    return set(names) if isinstance(names, list) else None
+
+
 def has_dv(path: str) -> bool:
     """True when the version dir carries a non-empty deletion vector."""
     d = dv_path(path)

@@ -259,6 +259,35 @@ def test_dv_scan_confines_anti_join_to_dirty_files(spark, tmp_path):
     assert got == {i for i in range(30, 200) if i % 4 != 1}
 
 
+def test_dv_file_manifest_written_carried_and_consistent(qp):
+    """The DV writer records the dirty-file set as ``_dv/_files.json``
+    (O(DV) column read ONCE at write time); scans read the manifest —
+    never the sidecar — and a full carry links it forward.  The
+    fallback column read must agree with the manifest exactly."""
+    import os
+
+    from datafusion_dolomite_spark.execute import _dv_file_names
+    from datafusion_dolomite_spark.sources.dml import (
+        DV_FILES_MANIFEST,
+        dv_path,
+        read_dv_file_manifest,
+    )
+
+    qp.sql("delete from t where g = 3").count()
+    head = qp.catalog.path("t")
+    man = read_dv_file_manifest(dv_path(head))
+    assert man  # written at statement time (scattered: all 4 files)
+    assert len(man) == 4
+    # a delta INSERT carries the whole file set → manifest links forward
+    qp.sql("insert into t values (1000, 0, 0)").count()
+    head2 = qp.catalog.path("t")
+    man2 = read_dv_file_manifest(dv_path(head2))
+    assert man2 == man
+    # fallback column read (manifest removed) derives the same set
+    os.remove(os.path.join(dv_path(head2), DV_FILES_MANIFEST))
+    assert _dv_file_names(dv_path(head2)) == man
+
+
 def test_mor_delete_prunes_match_scan(spark, tmp_path, monkeypatch):
     """The merge-on-read DELETE's match-finding scan prunes to the
     files its predicate can touch (footer bands, same proof as the CoW
