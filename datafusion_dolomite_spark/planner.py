@@ -2423,8 +2423,11 @@ class QueryPlanner:
         # WHEN is exactly that): per matched clause, its parsed SET map
         # (None = DELETE); per not-matched clause, its condition.
         def ccond(cond):
+            # through the engine's expression front door so CREATE
+            # FUNCTION macros expand (falls back to F.expr for shapes
+            # the parser doesn't model, e.g. alias-qualified refs)
             return (
-                F.expr(cond).eqNullSafe(F.lit(True))
+                self._sql_expr_column(cond).eqNullSafe(F.lit(True))
                 if cond is not None
                 else F.lit(True)
             )

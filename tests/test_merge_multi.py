@@ -75,6 +75,28 @@ def test_classic_single_pair_unchanged(spark, tmp_path):
     assert got == [(1, 10), (2, 200), (7, 700)]
 
 
+def test_macro_in_merge_clause_condition(spark, tmp_path):
+    """CREATE FUNCTION macros expand inside WHEN … AND conditions —
+    the clause front door is the engine's parser, not raw F.expr."""
+    cat = Catalog(warehouse=str(tmp_path / "wh6"))
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k bigint, v bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "t1"))
+    spark.createDataFrame(
+        [(1, 100), (2, 200)], "k bigint, v bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "s1"))
+    cat.register("t", str(tmp_path / "t1"))
+    cat.register("s", str(tmp_path / "s1"))
+    qp = QueryPlanner(spark, cat)
+    qp.sql("create function small(x) as x < 15").count()
+    qp.sql(
+        "merge into t as a using s as b on a.k = b.k "
+        "when matched and small(a.v) then update set v = b.v"
+    ).count()
+    got = sorted((r["k"], r["v"]) for r in qp.sql("select * from t").collect())
+    assert got == [(1, 100), (2, 20)]  # only v=10 < 15 updated
+
+
 def test_bad_clause_rejected(spark, tmp_path):
     cat = Catalog(warehouse=str(tmp_path / "wh5"))
     spark.createDataFrame([(1, 10)], "k bigint, v bigint").write.parquet(
