@@ -334,6 +334,10 @@ class Gen:
         if roll < 0.55:
             return c, ty
         if roll < 0.7:
+            if ty == INT and r.random() < 0.4:
+                # '%' added r8: Spark and DuckDB are both C-style
+                # (dividend-sign) so the multisets agree exactly
+                return f"({c} % {r.randint(2, 9)})", INT
             return f"({c} * {r.randint(2, 9)})", ty
         if roll < 0.8:
             t2 = r.choice(tabs)
