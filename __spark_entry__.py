@@ -1100,6 +1100,35 @@ def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.dataframe(plan)
 
 
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN (r8): the corpus compresses to m=8
+    integer codes per vector (hash-derived codebooks, Arrow-vectorized
+    encoding), queries precompute an m x ksub dot-product LUT, and ADC
+    scoring reads CODES ONLY - 64 doubles become 8 bytes, the
+    compression that lets a 100 TB embedding corpus scan from a
+    fraction of the bytes.  Top-50 ADC candidates re-rank by exact
+    cosine (fetching only those vectors) to the final top-10.  The
+    oracle replays codebooks, codes, LUTs, and score folds exactly
+    (functions/similarity.knn_pq)."""
+    pl = _planner(spark, sf_dir)
+    plan = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .knn(
+            "vec_id",
+            "embedding",
+            n_queries=5,
+            k=10,
+            method="pq",
+            pq_m=8,
+            pq_ksub=16,
+            pq_refine=50,
+        )
+        .build()
+    )
+    return pl.dataframe(plan)
+
+
 def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECALL@10 of the ANN paths against exact brute force — the
     approximation QUALITY, not just determinism, under oracle check.
@@ -1906,6 +1935,59 @@ def _oracle_ncells() -> int:
     return derive_ncells(n)
 
 
+def _knn_pq_oracle(nq=5, k=10, m=8, ksub=16, refine=30, sw=8) -> str:
+    """Product-quantization ADC replayed exactly: hash-derived
+    codebooks (md5('pq<j>_<c>_d<d>')), per-subspace argmin codes, query
+    LUTs, ADC scores, and the exact top-``refine`` re-rank.  Every
+    float fold is an explicit ``list_reduce`` over an ORDERED list —
+    the same left-to-right accumulation Spark's chained adds and the
+    Arrow encoder's dimension-by-dimension loops compute, so codes and
+    scores come out bit-identical."""
+    book = (
+        f"list_transform(range(0, {sw}), d -> "
+        "((('0x' || substr(md5('pq' || j || '_' || c || '_d' || d), 1, 15))"
+        "::BIGINT % 2001 - 1000) / 1000.0))"
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        books AS (SELECT j, c, {book} AS bv
+                  FROM range(0, {m}) tj(j) CROSS JOIN range(0, {ksub}) tc(c)),
+        enc0 AS (SELECT v.vec_id, b.j, b.c,
+                 list_reduce(list_transform(range(0, {sw}), d ->
+                   (v.ev[b.j * {sw} + d + 1] - b.bv[d + 1])
+                   * (v.ev[b.j * {sw} + d + 1] - b.bv[d + 1])),
+                   (x, y) -> x + y) AS dist
+                 FROM v CROSS JOIN books b),
+        codes AS (SELECT vec_id, j, c FROM (
+                    SELECT vec_id, j, c, row_number() OVER (
+                      PARTITION BY vec_id, j ORDER BY dist ASC, c ASC) AS r
+                    FROM enc0) WHERE r = 1),
+        qv AS (SELECT vec_id AS qid, ev AS qv2 FROM v WHERE vec_id < {nq}),
+        lut AS (SELECT q.qid, b.j, b.c,
+                list_reduce(list_transform(range(0, {sw}), d ->
+                  q.qv2[b.j * {sw} + d + 1] * b.bv[d + 1]),
+                  (x, y) -> x + y) AS pdot
+                FROM qv q CROSS JOIN books b),
+        sc AS (SELECT l.qid, codes.vec_id AS nid,
+                      list_reduce(list(l.pdot ORDER BY l.j),
+                                  (x, y) -> x + y) AS s
+               FROM codes JOIN lut l ON l.j = codes.j AND l.c = codes.c
+               WHERE codes.vec_id <> l.qid
+               GROUP BY l.qid, codes.vec_id),
+        pre AS (SELECT qid, nid, row_number() OVER (
+                  PARTITION BY qid ORDER BY s DESC, nid ASC) AS pr FROM sc),
+        cand AS (SELECT qid, nid FROM pre WHERE pr <= {refine}),
+        ex AS (SELECT cand.qid, cand.nid,
+                      list_cosine_similarity(q2.qv2, v2.ev) AS sim
+               FROM cand JOIN qv q2 ON q2.qid = cand.qid
+               JOIN v v2 ON v2.vec_id = cand.nid),
+        r AS (SELECT qid, nid, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk FROM ex)
+        SELECT qid AS query_id, nid AS neighbor_id, rnk::INTEGER AS "rank"
+        FROM r WHERE rnk <= {k}
+    """
+
+
 def _knn_ivf_oracle(nq=5, k=10, ncells=8, nprobe=3) -> str:
     return f"""
         WITH cent AS (SELECT c, {_CENTROID} AS cv FROM range(0, {ncells}) t(c)),
@@ -2581,6 +2663,7 @@ EXTENSION_ORACLES = {
     "q_knn_pandas": _knn_brute_oracle(5, 10),
     "q_knn_ivf": _knn_ivf_oracle(5, 10, _oracle_ncells(), 3),
     "q_knn_ivf_kmeans": _knn_ivf_kmeans_oracle(5, 10, _oracle_ncells(), 3),
+    "q_knn_pq": _knn_pq_oracle(5, 10, 8, 16, 50),
     "q_knn_recall": f"""
         WITH b AS ({_knn_brute_oracle(5, 10)}),
         i AS ({_knn_ivf_oracle(5, 10, _oracle_ncells(), 3)}),
@@ -7466,6 +7549,7 @@ _UNPROVEN_PREFIX = (
     "q_sql_time_travel", "q_sql_optimize", "q_stream_versioned",
     "q_sql_restore", "q_sql_clone", "q_sql_constraints", "q_table_changes",
     "q_sql_dv", "q_scd2", "q_sql_view", "q_cdc_export", "q_sql_merge_multi",
+    "q_knn_pq",
     # r8 CHANGED these queries' implementation — re-prove next
     "q_sql_dml", "q_sql_merge", "q_sql_udf", "q_incremental_dedup",
     "q_dynamic_skip_join",
@@ -7572,6 +7656,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_view": q_sql_view,
         "q_cdc_export": q_cdc_export,
         "q_sql_merge_multi": q_sql_merge_multi,
+        "q_knn_pq": q_knn_pq,
         "q_sql_restore": q_sql_restore,
         "q_sql_clone": q_sql_clone,
         "q_sql_constraints": q_sql_constraints,

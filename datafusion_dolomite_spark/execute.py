@@ -843,6 +843,21 @@ class SparkExecutor:
             getattr(op, "kmeans_iters", 0),
         )
 
+    def _knn_pq(self, node: PlanNode):
+        from .functions.similarity import knn_pq
+
+        op = node.operator
+        return knn_pq(
+            self._node(node.inputs[0]),
+            op.id_col,
+            op.vec_col,
+            op.n_queries,
+            op.k,
+            op.pq_m,
+            op.pq_ksub,
+            op.pq_refine,
+        )
+
     def _knn_logical(self, node: PlanNode):
         return (
             self._knn_ivf(node) if node.operator.method == "ivf" else self._knn_brute(node)
@@ -1044,6 +1059,7 @@ _HANDLERS = {
     X.PhysicalKnnBrute: SparkExecutor._knn_brute,
     X.PhysicalKnnPandas: SparkExecutor._knn_pandas,
     X.PhysicalKnnIvf: SparkExecutor._knn_ivf,
+    X.PhysicalKnnPq: SparkExecutor._knn_pq,
     X.LogicalKnn: SparkExecutor._knn_logical,
     X.PhysicalEmbedQuantizeSql: SparkExecutor._embed_quantize_sql,
     X.PhysicalEmbedQuantizePandas: SparkExecutor._embed_quantize_pandas,

@@ -28,6 +28,7 @@ __all__ = [
     "derive_ncells",
     "knn_brute",
     "knn_ivf",
+    "knn_pq",
     "cosine_near_dup",
     "semantic_dedup",
 ]
@@ -416,6 +417,138 @@ def knn_ivf(
     w = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col("neighbor_id").asc()
     )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _pq_books(m: int, sw: int, ksub: int):
+    """Hash-derived product-quantization codebooks:
+    ``books[j] = [(code, sw-dim vector)]`` for subspace ``j`` — the same
+    md5 formula as the IVF centroids, so the DuckDB oracle derives
+    bit-identical codebooks from ``md5('pq<j>_<c>_d<d>')``."""
+    return [
+        [(c, _hash_vec(f"pq{j}_{c}", sw)) for c in range(ksub)]
+        for j in range(m)
+    ]
+
+
+def _pq_encode_pandas(df, vec_col: str, m: int, sw: int, ksub: int):
+    """Arrow-vectorized PQ encoding: appends ``_codes`` (array<int>,
+    length ``m``) — per subspace, the L2²-nearest codebook entry (ties
+    → lower code).  Accumulation is dimension-by-dimension in float64,
+    the same sequential fold the oracle's ordered ``list_sum`` computes,
+    and ``np.argmin`` takes the FIRST min = the (dist ASC, code ASC)
+    SQL ranking — codes come out bit-identical across engines."""
+    import numpy as np
+
+    books = _pq_books(m, sw, ksub)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", _codes array<int>"
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                sub = mat[:, j * sw:(j + 1) * sw]
+                dists = np.empty((len(mat), ksub), dtype=np.float64)
+                for c, bv in books[j]:
+                    acc = np.zeros(len(mat), dtype=np.float64)
+                    for d in range(sw):
+                        diff = sub[:, d] - bv[d]
+                        acc = acc + diff * diff
+                    dists[:, c] = acc
+                codes[:, j] = np.argmin(dists, axis=1)
+            out = pdf[cols].copy()
+            out["_codes"] = [r.tolist() for r in codes]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def knn_pq(
+    df,
+    id_col: str,
+    vec_col: str,
+    n_queries: int = 5,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 0,
+):
+    """PRODUCT-QUANTIZATION ANN (asymmetric distance computation): the
+    corpus compresses to ``m`` small integer codes per vector (each
+    subspace quantized to its nearest of ``ksub`` hash-derived codebook
+    entries); a query precomputes an ``m×ksub`` lookup table of partial
+    dot products, and scoring a corpus row is ``m`` integer lookups +
+    adds — the scan reads CODES ONLY, never the vectors (64 doubles →
+    8 bytes here; the compression that lets a 100 TB embedding corpus
+    ADC-scan from a fraction of the bytes).  ``refine > k`` re-ranks
+    the top-``refine`` ADC candidates by exact cosine (fetching only
+    those vectors) — the standard PQ + re-rank pipeline.  Codebooks,
+    codes, LUTs, and score folds all replay exactly in the DuckDB
+    oracle (hash-derived codebooks; fixed-order float accumulation)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ._parallel import ensure_min_parallelism
+
+    sw = DIM // m
+    books = _pq_books(m, sw, ksub)
+    c = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    c = _pq_encode_pandas(c, "_cv", m, sw, ksub)
+    if not (refine and refine > k):
+        c = c.select("neighbor_id", "_codes")  # codes only — the point
+    q = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_dqv", F.expr(_dvec("_qv")))
+    lut_terms = []
+    for j in range(m):
+        qs = f"slice(_dqv, {j * sw + 1}, {sw})"
+        for cc, bv in books[j]:
+            lit = "array(" + ", ".join(f"{v!r}D" for v in bv) + ")"
+            lut_terms.append(
+                f"aggregate(zip_with({qs}, {lit}, (x, y) -> x * y), "
+                f"cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+    q = q.withColumn("_lut", F.expr("array(" + ", ".join(lut_terms) + ")"))
+    score = " + ".join(
+        f"element_at(_lut, {j * ksub} + element_at(_codes, {j + 1}) + 1)"
+        for j in range(m)
+    )
+    scored = c.join(
+        F.broadcast(q.select("query_id", "_lut", "_qv")),
+        F.col("neighbor_id") != F.col("query_id"),
+    ).withColumn("_score", F.expr(score))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("neighbor_id").asc()
+    )
+    if refine and refine > k:
+        cand = scored.withColumn("_pr", F.row_number().over(w)).filter(
+            F.col("_pr") <= refine
+        )
+        cand = cand.withColumn(
+            "_sim", F.expr(_cos_sql(_dvec("_qv"), _dvec("_cv")))
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("_sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank")
+        )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

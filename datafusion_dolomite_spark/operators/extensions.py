@@ -246,13 +246,18 @@ class LogicalKnn(LogicalOperator):
     vec_col: str
     n_queries: int = 5
     k: int = 10
-    method: str = "brute"  # 'brute' | 'pandas' | 'ivf'
+    method: str = "brute"  # 'brute' | 'pandas' | 'ivf' | 'pq'
     ncells: int = 8
     nprobe: int = 3
     #: >0 → refine the hash-seeded IVF centroids with this many k-means
     #: steps over the data (still deterministically replayable — see
     #: functions/similarity._KMEANS_SCALE)
     kmeans_iters: int = 0
+    #: product quantization (method='pq'): subspace count, codes per
+    #: subspace, and the ADC top-N exact re-rank window (0 = no re-rank)
+    pq_m: int = 8
+    pq_ksub: int = 16
+    pq_refine: int = 0
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
         return LogicalProperty(_KNN_SCHEMA)
@@ -310,6 +315,28 @@ class PhysicalKnnIvf(PhysicalOperator):
             f"PhysicalKnnIvf {{ id: {self.id_col}, vec: {self.vec_col}, "
             f"queries: {self.n_queries}, k: {self.k}, cells: {self.ncells}, "
             f"probe: {self.nprobe} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalKnnPq(PhysicalOperator):
+    """Product-quantization ADC: corpus as m small codes/vector, query
+    as an m×ksub lookup table; optional exact re-rank of the ADC
+    top-``refine`` (functions/similarity.knn_pq)."""
+
+    id_col: str
+    vec_col: str
+    n_queries: int
+    k: int
+    pq_m: int
+    pq_ksub: int
+    pq_refine: int
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalKnnPq {{ id: {self.id_col}, vec: {self.vec_col}, "
+            f"queries: {self.n_queries}, k: {self.k}, m: {self.pq_m}, "
+            f"ksub: {self.pq_ksub}, refine: {self.pq_refine} }}"
         )
 
 

@@ -23,6 +23,7 @@ __all__ = [
     "Knn2BruteRule",
     "Knn2PandasRule",
     "Knn2IvfRule",
+    "Knn2PqRule",
     "CosineNearDupImplRule",
     "NgramJaccardImplRule",
     "AsofJoinImplRule",
@@ -147,6 +148,27 @@ class Knn2IvfRule(Rule):
                 X.PhysicalKnnIvf(
                     op.id_col, op.vec_col, op.n_queries, op.k, op.ncells,
                     op.nprobe, op.kmeans_iters,
+                ),
+                *input.root.inputs,
+            )
+        )
+
+
+class Knn2PqRule(Rule):
+    name = "Knn2PqRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalKnn)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalKnn = input.root.operator
+        if op.method not in ("pq", "any"):
+            return
+        result.add(
+            OptExpression.op(
+                X.PhysicalKnnPq(
+                    op.id_col, op.vec_col, op.n_queries, op.k,
+                    op.pq_m, op.pq_ksub, op.pq_refine,
                 ),
                 *input.root.inputs,
             )
@@ -402,6 +424,7 @@ EXTENSION_RULES = [
     Knn2BruteRule(),
     Knn2PandasRule(),
     Knn2IvfRule(),
+    Knn2PqRule(),
     EmbedQuantize2SqlRule(),
     EmbedQuantize2PandasRule(),
     CosineNearDupImplRule(),

@@ -326,12 +326,16 @@ class LogicalPlanBuilder:
         ncells: int = 8,
         nprobe: int = 3,
         kmeans_iters: int = 0,
+        pq_m: int = 8,
+        pq_ksub: int = 16,
+        pq_refine: int = 0,
     ) -> "LogicalPlanBuilder":
         from ..operators.extensions import LogicalKnn
 
         return self._push(
             LogicalKnn(
-                id_col, vec_col, n_queries, k, method, ncells, nprobe, kmeans_iters
+                id_col, vec_col, n_queries, k, method, ncells, nprobe,
+                kmeans_iters, pq_m, pq_ksub, pq_refine,
             ),
             [self._require_root()],
         )

@@ -59,6 +59,7 @@ NLJ_ALLOWED = {
     "q_bm25_search": "broadcast corpus stats (1 row)",
     # kNN: the bounded query-side handoff is broadcast against the corpus
     "q_knn_brute": "broadcast query vectors",
+    "q_knn_pq": "broadcast query LUTs (ADC)",
     "q_knn_ivf_kmeans": "broadcast centroids",
     "q_knn_recall": "broadcast query vectors (IVF + brute twins)",
     "q_range_join": "broadcast interval side",
@@ -289,6 +290,9 @@ SHUFFLE_BUDGET = {
     # r8: scan of the merged table + final ORDER BY (the multi-clause
     # merge executed as ONE full-outer join before this read)
     "q_sql_merge_multi": 1,
+    # r8: PQ ADC — Arrow encode (no shuffle) + broadcast LUT join; the
+    # only exchange is the per-query window for top-refine/top-k
+    "q_knn_pq": 1,
 }
 
 BATCH_QUERIES = sorted(
