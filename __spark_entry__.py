@@ -1150,9 +1150,15 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .withColumn("km_hit", F.lit(1))
     )
+    pq = (
+        q_knn_pq(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("pq_hit", F.lit(1))
+    )
     return (
         brute.join(ivf, ["query_id", "neighbor_id"], "left")
         .join(km, ["query_id", "neighbor_id"], "left")
+        .join(pq, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_brute"),
@@ -1162,6 +1168,9 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("km_hit"), F.lit(0)))
             .cast("bigint")
             .alias("km_hits"),
+            F.sum(F.coalesce(F.col("pq_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("pq_hits"),
         )
     )
 
@@ -2667,16 +2676,20 @@ EXTENSION_ORACLES = {
     "q_knn_recall": f"""
         WITH b AS ({_knn_brute_oracle(5, 10)}),
         i AS ({_knn_ivf_oracle(5, 10, _oracle_ncells(), 3)}),
-        m AS ({_knn_ivf_kmeans_oracle(5, 10, _oracle_ncells(), 3)})
+        m AS ({_knn_ivf_kmeans_oracle(5, 10, _oracle_ncells(), 3)}),
+        p AS ({_knn_pq_oracle(5, 10, 8, 16, 50)})
         SELECT b.query_id,
                count(*)::BIGINT AS n_brute,
                sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
                  AS ivf_hits,
                sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-                 AS km_hits
+                 AS km_hits,
+               sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS pq_hits
         FROM b
         LEFT JOIN i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
         LEFT JOIN m ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
+        LEFT JOIN p ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
         GROUP BY b.query_id
     """,
     "q_cosine_near_dup": _near_dup_oracle(12, 200),
@@ -7549,7 +7562,7 @@ _UNPROVEN_PREFIX = (
     "q_sql_time_travel", "q_sql_optimize", "q_stream_versioned",
     "q_sql_restore", "q_sql_clone", "q_sql_constraints", "q_table_changes",
     "q_sql_dv", "q_scd2", "q_sql_view", "q_cdc_export", "q_sql_merge_multi",
-    "q_knn_pq",
+    "q_knn_pq", "q_knn_recall",
     # r8 CHANGED these queries' implementation — re-prove next
     "q_sql_dml", "q_sql_merge", "q_sql_udf", "q_incremental_dedup",
     "q_dynamic_skip_join",

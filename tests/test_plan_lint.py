@@ -256,7 +256,8 @@ SHUFFLE_BUDGET = {
     "q_knn_brute": 1,
     "q_knn_ivf": 1,
     "q_knn_ivf_kmeans": 7,
-    "q_knn_recall": 13,
+    # r8: +2 (the PQ twin's top-refine window exchange + its hit-join)
+    "q_knn_recall": 15,
     "q_range_join": 1,
     "q_connected_components": 1,
     "q_dedup_clusters": 1,
