@@ -470,8 +470,9 @@ class QueryPlanner:
             "table_name string, files_before int, files_after int",
         )
 
-    def _vacuum_table(self, table: str, dry_run: bool = False):
-        """``VACUUM t [DRY RUN]`` — garbage-collect the non-head version dirs of
+    def _vacuum_table(self, table: str, dry_run: bool = False,
+                      retain_hours=None):
+        """``VACUUM t [RETAIN n HOURS] [DRY RUN]`` — garbage-collect version dirs of
         ``table``'s DML lineage (Delta's VACUUM with retention 0): only
         directories THIS engine created under the warehouse
         (``<table>__v<n>``, recorded in the persisted log) are removed —
@@ -482,8 +483,13 @@ class QueryPlanner:
         versions is gone (that is the point); the head keeps reading
         exactly, and version numbering continues.  ``DRY RUN`` reports
         the dirs and bytes WITHOUT removing anything (Delta's VACUUM
-        DRY RUN).  Returns a one-row summary (dirs removed/removable,
-        bytes actually/would-be freed)."""
+        DRY RUN).  ``RETAIN n HOURS`` keeps every version committed
+        within the window (plus the head): time travel inside the
+        retention window keeps working — the lineage trims to the
+        retained suffix, so version numbers re-base (this engine's
+        post-vacuum numbering contract, same as the full vacuum's reset
+        to the head).  Returns a one-row summary (dirs
+        removed/removable, bytes actually/would-be freed)."""
         import os
         import shutil
 
@@ -495,11 +501,27 @@ class QueryPlanner:
             hist = None  # stale lineage — nothing of ours to collect
         removed = 0
         freed = 0
+        keep_from = None
         if hist:
+            if retain_hours is not None:
+                import time as _time
+
+                cts = self._table_commit_ts.get(table)
+                if not cts or len(cts) != len(hist):
+                    cts = [os.path.getmtime(p) for p in hist]
+                cutoff = _time.time() - float(retain_hours) * 3600.0
+                keep_from = len(hist) - 1  # the head always survives
+                for i, t in enumerate(cts):
+                    if t >= cutoff:
+                        keep_from = min(keep_from, i)
+                        break
+                candidates = hist[:keep_from]
+            else:
+                candidates = hist[:-1]
             wh = self.catalog.warehouse_root()
             victims = [
                 p
-                for p in hist[:-1]
+                for p in candidates
                 if p.startswith(wh + os.sep)
                 and os.path.basename(p).startswith(f"{table}__v")
                 and os.path.isdir(p)
@@ -516,15 +538,33 @@ class QueryPlanner:
                     shutil.rmtree(p, ignore_errors=True)
                 removed += 1
             if not dry_run:
-                self._table_history[table] = [head]
-                prior = self._table_ops.get(table)
-                self._table_ops[table] = [
-                    (prior[-1] if prior else "base") + " (post-vacuum)"
-                ]
-                cts = self._table_commit_ts.get(table)
-                # keep the surviving head's commit instant so TIMESTAMP
-                # AS OF keeps resolving exactly after the GC
-                self._table_commit_ts[table] = [cts[-1]] if cts else []
+                if keep_from is not None:
+                    # retention: the retained suffix IS the lineage now
+                    ops = self._table_ops.get(table)
+                    cts0 = self._table_commit_ts.get(table)
+                    self._table_history[table] = hist[keep_from:]
+                    self._table_ops[table] = (
+                        list(ops[keep_from:])
+                        if ops and len(ops) == len(hist)
+                        else ["base"] + ["write"] * (len(hist) - keep_from - 1)
+                    )
+                    self._table_commit_ts[table] = (
+                        list(cts0[keep_from:])
+                        if cts0 and len(cts0) == len(hist)
+                        else [
+                            os.path.getmtime(p) for p in hist[keep_from:]
+                        ]
+                    )
+                else:
+                    self._table_history[table] = [head]
+                    prior = self._table_ops.get(table)
+                    self._table_ops[table] = [
+                        (prior[-1] if prior else "base") + " (post-vacuum)"
+                    ]
+                    cts = self._table_commit_ts.get(table)
+                    # keep the surviving head's commit instant so
+                    # TIMESTAMP AS OF keeps resolving after the GC
+                    self._table_commit_ts[table] = [cts[-1]] if cts else []
                 self._persist_versions(table)
         return self.spark.createDataFrame(
             [(table, removed, freed)],
@@ -1751,13 +1791,19 @@ class QueryPlanner:
             )
 
         m = _re.match(
-            r"\s*vacuum\s+(?:table\s+)?([A-Za-z_]\w*)(\s+dry\s+run)?\s*$",
+            r"\s*vacuum\s+(?:table\s+)?([A-Za-z_]\w*)"
+            r"(?:\s+retain\s+(\d+(?:\.\d+)?)\s+hours?)?"
+            r"(\s+dry\s+run)?\s*$",
             query,
             _re.IGNORECASE,
         )
         if m:
             return self._vacuum_table(
-                m.group(1), dry_run=bool(m.group(2))
+                m.group(1),
+                dry_run=bool(m.group(3)),
+                retain_hours=(
+                    float(m.group(2)) if m.group(2) is not None else None
+                ),
             )
 
         m = _re.match(

@@ -302,6 +302,27 @@ def test_timestamp_as_of(qp, spark):
     )
 
 
+def test_vacuum_retain_keeps_window(qp, spark):
+    """VACUUM … RETAIN n HOURS: versions committed inside the window
+    survive (time travel to them keeps working, lineage re-based);
+    only older warehouse version dirs are removed."""
+    import time
+
+    qp.sql("delete from t where k = 0").count()  # v1 (old)
+    time.sleep(1.5)
+    qp.sql("delete from t where k = 1").count()  # v2 (recent)
+    qp.sql("delete from t where k = 2").count()  # v3 (recent, head)
+    retain_h = 1.2 / 3600.0  # ~1.2 s window: v2/v3 inside, v1 outside
+    out = qp.sql(f"vacuum t retain {retain_h} hours").collect()[0]
+    assert out["versions_removed"] == 1  # v1 (v0 base is never removed)
+    # retained window still time-travels (re-based indices: 0 = old v2)
+    assert qp.sql("select * from t version as of 0").count() == 8
+    assert qp.sql("select * from t").count() == 7
+    # a huge window removes nothing
+    out2 = qp.sql("vacuum t retain 1000 hours dry run").collect()[0]
+    assert out2["versions_removed"] == 0
+
+
 def test_describe_detail(qp):
     """DESCRIBE DETAIL (r8): one row of table metadata from local
     file/state inspection — files, bytes, versions, properties,
