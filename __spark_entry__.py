@@ -1129,6 +1129,34 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.dataframe(plan)
 
 
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (r8): the FAISS architecture from this
+    engine's two stages - hash-centroid IVF cells bucket the CODES, so
+    a query ADC-scans ~nprobe/ncells of an already-8x-compressed corpus
+    (two multiplicative reductions: touch fewer rows, read fewer bytes
+    per row), then exact re-rank of the top-50.  Cells come from the
+    catalog-stats-derived count like q_knn_ivf."""
+    pl = _planner(spark, sf_dir)
+    plan = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .knn(
+            "vec_id",
+            "embedding",
+            n_queries=5,
+            k=10,
+            method="pq",
+            pq_m=8,
+            pq_ksub=16,
+            pq_refine=50,
+            pq_ncells=_derived_ncells(pl),
+            pq_nprobe=3,
+        )
+        .build()
+    )
+    return pl.dataframe(plan)
+
+
 def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECALL@10 of the ANN paths against exact brute force — the
     approximation QUALITY, not just determinism, under oracle check.
@@ -1997,6 +2025,70 @@ def _knn_pq_oracle(nq=5, k=10, m=8, ksub=16, refine=30, sw=8) -> str:
     """
 
 
+def _knn_ivfpq_oracle(nq=5, k=10, m=8, ksub=16, refine=30, ncells=8,
+                      nprobe=3, sw=8) -> str:
+    """IVF-PQ replayed exactly: the IVF oracle's hash-centroid cell
+    assignment + per-query probe list, composed with the PQ oracle's
+    codes/LUT/ADC — the score join confined to probed cells."""
+    book = (
+        f"list_transform(range(0, {sw}), d -> "
+        "((('0x' || substr(md5('pq' || j || '_' || c || '_d' || d), 1, 15))"
+        "::BIGINT % 2001 - 1000) / 1000.0))"
+    )
+    return f"""
+        WITH cent AS (SELECT c, {_CENTROID} AS cv FROM range(0, {ncells}) t(c)),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        vc AS (SELECT vec_id, c, list_cosine_similarity(ev, cv) AS s
+               FROM v CROSS JOIN cent),
+        cellr AS (SELECT vec_id, c,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY s DESC, c ASC) AS rc
+                  FROM vc),
+        cells AS (SELECT vec_id, c AS cell FROM cellr WHERE rc = 1),
+        probe AS (SELECT vec_id AS qid, c AS cell FROM cellr
+                  WHERE rc <= {nprobe} AND vec_id < {nq}),
+        books AS (SELECT j, c, {book} AS bv
+                  FROM range(0, {m}) tj(j) CROSS JOIN range(0, {ksub}) tc(c)),
+        enc0 AS (SELECT v.vec_id, b.j, b.c,
+                 list_reduce(list_transform(range(0, {sw}), d ->
+                   (v.ev[b.j * {sw} + d + 1] - b.bv[d + 1])
+                   * (v.ev[b.j * {sw} + d + 1] - b.bv[d + 1])),
+                   (x, y) -> x + y) AS dist
+                 FROM v CROSS JOIN books b),
+        codes AS (SELECT vec_id, j, c FROM (
+                    SELECT vec_id, j, c, row_number() OVER (
+                      PARTITION BY vec_id, j ORDER BY dist ASC, c ASC) AS r
+                    FROM enc0) WHERE r = 1),
+        qv AS (SELECT vec_id AS qid, ev AS qv2 FROM v WHERE vec_id < {nq}),
+        lut AS (SELECT q.qid, b.j, b.c,
+                list_reduce(list_transform(range(0, {sw}), d ->
+                  q.qv2[b.j * {sw} + d + 1] * b.bv[d + 1]),
+                  (x, y) -> x + y) AS pdot
+                FROM qv q CROSS JOIN books b),
+        sc AS (SELECT l.qid, codes.vec_id AS nid,
+                      list_reduce(list(l.pdot ORDER BY l.j),
+                                  (x, y) -> x + y) AS s
+               FROM codes
+               JOIN cells ON cells.vec_id = codes.vec_id
+               JOIN probe p ON p.cell = cells.cell
+               JOIN lut l ON l.qid = p.qid AND l.j = codes.j
+                          AND l.c = codes.c
+               WHERE codes.vec_id <> p.qid
+               GROUP BY l.qid, codes.vec_id),
+        pre AS (SELECT qid, nid, row_number() OVER (
+                  PARTITION BY qid ORDER BY s DESC, nid ASC) AS pr FROM sc),
+        cand AS (SELECT qid, nid FROM pre WHERE pr <= {refine}),
+        ex AS (SELECT cand.qid, cand.nid,
+                      list_cosine_similarity(q2.qv2, v2.ev) AS sim
+               FROM cand JOIN qv q2 ON q2.qid = cand.qid
+               JOIN v v2 ON v2.vec_id = cand.nid),
+        r AS (SELECT qid, nid, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk FROM ex)
+        SELECT qid AS query_id, nid AS neighbor_id, rnk::INTEGER AS "rank"
+        FROM r WHERE rnk <= {k}
+    """
+
+
 def _knn_ivf_oracle(nq=5, k=10, ncells=8, nprobe=3) -> str:
     return f"""
         WITH cent AS (SELECT c, {_CENTROID} AS cv FROM range(0, {ncells}) t(c)),
@@ -2673,6 +2765,7 @@ EXTENSION_ORACLES = {
     "q_knn_ivf": _knn_ivf_oracle(5, 10, _oracle_ncells(), 3),
     "q_knn_ivf_kmeans": _knn_ivf_kmeans_oracle(5, 10, _oracle_ncells(), 3),
     "q_knn_pq": _knn_pq_oracle(5, 10, 8, 16, 50),
+    "q_knn_ivfpq": _knn_ivfpq_oracle(5, 10, 8, 16, 50, _oracle_ncells(), 3),
     "q_knn_recall": f"""
         WITH b AS ({_knn_brute_oracle(5, 10)}),
         i AS ({_knn_ivf_oracle(5, 10, _oracle_ncells(), 3)}),
@@ -7562,7 +7655,7 @@ _UNPROVEN_PREFIX = (
     "q_sql_time_travel", "q_sql_optimize", "q_stream_versioned",
     "q_sql_restore", "q_sql_clone", "q_sql_constraints", "q_table_changes",
     "q_sql_dv", "q_scd2", "q_sql_view", "q_cdc_export", "q_sql_merge_multi",
-    "q_knn_pq", "q_knn_recall",
+    "q_knn_pq", "q_knn_ivfpq", "q_knn_recall",
     # r8 CHANGED these queries' implementation — re-prove next
     "q_sql_dml", "q_sql_merge", "q_sql_udf", "q_incremental_dedup",
     "q_dynamic_skip_join",
@@ -7670,6 +7763,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_export": q_cdc_export,
         "q_sql_merge_multi": q_sql_merge_multi,
         "q_knn_pq": q_knn_pq,
+        "q_knn_ivfpq": q_knn_ivfpq,
         "q_sql_restore": q_sql_restore,
         "q_sql_clone": q_sql_clone,
         "q_sql_constraints": q_sql_constraints,

@@ -856,6 +856,8 @@ class SparkExecutor:
             op.pq_m,
             op.pq_ksub,
             op.pq_refine,
+            getattr(op, "pq_ncells", 0),
+            getattr(op, "pq_nprobe", 3),
         )
 
     def _knn_logical(self, node: PlanNode):

@@ -484,6 +484,8 @@ def knn_pq(
     m: int = 8,
     ksub: int = 16,
     refine: int = 0,
+    ncells: int = 0,
+    nprobe: int = 3,
 ):
     """PRODUCT-QUANTIZATION ANN (asymmetric distance computation): the
     corpus compresses to ``m`` small integer codes per vector (each
@@ -494,9 +496,16 @@ def knn_pq(
     8 bytes here; the compression that lets a 100 TB embedding corpus
     ADC-scan from a fraction of the bytes).  ``refine > k`` re-ranks
     the top-``refine`` ADC candidates by exact cosine (fetching only
-    those vectors) — the standard PQ + re-rank pipeline.  Codebooks,
-    codes, LUTs, and score folds all replay exactly in the DuckDB
-    oracle (hash-derived codebooks; fixed-order float accumulation)."""
+    those vectors) — the standard PQ + re-rank pipeline.  ``ncells > 0``
+    composes the IVF coarse quantizer on top (FAISS's IVF-PQ shape,
+    minus residual encoding — codes quantize the raw vectors so both
+    stages replay exactly): the corpus buckets into hash-derived cells,
+    queries probe ``nprobe`` cells, and the ADC join becomes an
+    EQUI-join on the cell — at scale each query touches
+    ~nprobe/ncells of the CODES, the two-level reduction that makes
+    billion-vector ANN serve from RAM.  Codebooks, cells, codes, LUTs,
+    and score folds all replay exactly in the DuckDB oracle
+    (hash-derived everything; fixed-order float accumulation)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -507,9 +516,13 @@ def knn_pq(
     c = ensure_min_parallelism(df).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
+    if ncells:
+        c = _best_cell_pandas(c, "_cv", ncells)
     c = _pq_encode_pandas(c, "_cv", m, sw, ksub)
-    if not (refine and refine > k):
-        c = c.select("neighbor_id", "_codes")  # codes only — the point
+    keep_cols = ["neighbor_id", "_codes"] + (["_cell"] if ncells else [])
+    if refine and refine > k:
+        keep_cols.append("_cv")
+    c = c.select(*keep_cols)  # codes (+cell) only — the point
     q = df.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     ).withColumn("_dqv", F.expr(_dvec("_qv")))
@@ -527,10 +540,25 @@ def knn_pq(
         f"element_at(_lut, {j * ksub} + element_at(_codes, {j + 1}) + 1)"
         for j in range(m)
     )
-    scored = c.join(
-        F.broadcast(q.select("query_id", "_lut", "_qv")),
-        F.col("neighbor_id") != F.col("query_id"),
-    ).withColumn("_score", F.expr(score))
+    if ncells:
+        # IVF stage: each query ranks the hash centroids and probes its
+        # nprobe best cells; the ADC join is an EQUI-join on the cell
+        q = _with_cell_sims(q, "_dqv", ncells)
+        q = q.withColumn(
+            "_probe", F.expr(_cells_ranked_expr(ncells, nprobe))
+        ).select(
+            "query_id", "_lut", "_qv", F.explode("_probe").alias("_cell")
+        )
+        scored = (
+            c.join(F.broadcast(q), ["_cell"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("_score", F.expr(score))
+        )
+    else:
+        scored = c.join(
+            F.broadcast(q.select("query_id", "_lut", "_qv")),
+            F.col("neighbor_id") != F.col("query_id"),
+        ).withColumn("_score", F.expr(score))
     w = Window.partitionBy("query_id").orderBy(
         F.col("_score").desc(), F.col("neighbor_id").asc()
     )

@@ -254,10 +254,14 @@ class LogicalKnn(LogicalOperator):
     #: functions/similarity._KMEANS_SCALE)
     kmeans_iters: int = 0
     #: product quantization (method='pq'): subspace count, codes per
-    #: subspace, and the ADC top-N exact re-rank window (0 = no re-rank)
+    #: subspace, the ADC top-N exact re-rank window (0 = no re-rank),
+    #: and an optional IVF coarse quantizer on top (pq_ncells > 0 →
+    #: queries probe pq_nprobe cells; the ADC join becomes equi-on-cell)
     pq_m: int = 8
     pq_ksub: int = 16
     pq_refine: int = 0
+    pq_ncells: int = 0
+    pq_nprobe: int = 3
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
         return LogicalProperty(_KNN_SCHEMA)
@@ -331,12 +335,19 @@ class PhysicalKnnPq(PhysicalOperator):
     pq_m: int
     pq_ksub: int
     pq_refine: int
+    pq_ncells: int = 0
+    pq_nprobe: int = 3
 
     def pretty(self) -> str:
+        ivf = (
+            f", cells: {self.pq_ncells}, probe: {self.pq_nprobe}"
+            if self.pq_ncells
+            else ""
+        )
         return (
             f"PhysicalKnnPq {{ id: {self.id_col}, vec: {self.vec_col}, "
             f"queries: {self.n_queries}, k: {self.k}, m: {self.pq_m}, "
-            f"ksub: {self.pq_ksub}, refine: {self.pq_refine} }}"
+            f"ksub: {self.pq_ksub}, refine: {self.pq_refine}{ivf} }}"
         )
 
 

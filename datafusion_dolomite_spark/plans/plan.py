@@ -329,13 +329,16 @@ class LogicalPlanBuilder:
         pq_m: int = 8,
         pq_ksub: int = 16,
         pq_refine: int = 0,
+        pq_ncells: int = 0,
+        pq_nprobe: int = 3,
     ) -> "LogicalPlanBuilder":
         from ..operators.extensions import LogicalKnn
 
         return self._push(
             LogicalKnn(
                 id_col, vec_col, n_queries, k, method, ncells, nprobe,
-                kmeans_iters, pq_m, pq_ksub, pq_refine,
+                kmeans_iters, pq_m, pq_ksub, pq_refine, pq_ncells,
+                pq_nprobe,
             ),
             [self._require_root()],
         )

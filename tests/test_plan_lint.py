@@ -294,6 +294,9 @@ SHUFFLE_BUDGET = {
     # r8: PQ ADC — Arrow encode (no shuffle) + broadcast LUT join; the
     # only exchange is the per-query window for top-refine/top-k
     "q_knn_pq": 1,
+    # r8: IVF-PQ — the ADC join is a broadcast EQUI-join on the cell
+    # (no NLJ at all); one window exchange as above
+    "q_knn_ivfpq": 1,
 }
 
 BATCH_QUERIES = sorted(
