@@ -274,6 +274,61 @@ def _assign_cells_pandas(df, vec_col: str, cents):
     return df.mapInPandas(run, schema=schema)
 
 
+def _probe_cells_pandas(df, vec_col: str, ncells: int, nprobe: int,
+                        prefix: str = "c"):
+    """Arrow-vectorized query-side probe list: appends ``_probe``
+    (array<int>) = the ``nprobe`` best cells by (cosine DESC, cell
+    ASC) — bit-identical to the SQL ``_with_cell_sims`` +
+    ``_cells_ranked_expr`` pair (same dimension-by-dimension float64
+    fold, and a STABLE argsort over cells already in ascending-id
+    order reproduces the tie rule) without materializing ``ncells``
+    expression columns.  Why: the SQL pair builds an ncells-wide
+    expression tree per query row — fine at the driver queries' 8-32
+    cells, but at the 1024 cells ``derive_ncells`` assigns a 64k-vector
+    corpus it stalled Catalyst for MINUTES (measured: 339 s vs 1.1 s,
+    scripts/ann_regime_bench.py); this is one numpy pass over the
+    bounded query set."""
+    import numpy as np
+
+    cents = sorted((c, _hash_vec(f"{prefix}{c}")) for c in range(ncells))
+    cids = np.asarray([p[0] for p in cents], dtype=np.int32)
+    cvecs = [p[1] for p in cents]
+    cnorms = []
+    for cv in cvecs:
+        acc = 0.0
+        for v in cv:
+            acc += v * v
+        cnorms.append(acc ** 0.5)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", _probe array<int>"
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            acc = np.zeros(len(mat), dtype=np.float64)
+            for j in range(mat.shape[1]):
+                acc = acc + mat[:, j] * mat[:, j]
+            nx = np.sqrt(acc)
+            sims = np.empty((len(mat), len(cvecs)), dtype=np.float64)
+            for ci, (cv, nc_) in enumerate(zip(cvecs, cnorms)):
+                dot = np.zeros(len(mat), dtype=np.float64)
+                for j in range(mat.shape[1]):
+                    dot = dot + mat[:, j] * cv[j]
+                sims[:, ci] = dot / (nx * nc_)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            out = pdf[cols].copy()
+            out["_probe"] = [cids[row].tolist() for row in order]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def _cells_ranked_expr(ncells: int, take: int) -> str:
     """SQL array of the ``take`` best cell ids by (sim desc, cell asc):
     sort struct(-sim, cell) ascending, slice, project cell."""
@@ -402,9 +457,12 @@ def knn_ivf(
     else:
         q = df.filter(F.col(id_col) < n_queries).select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-        ).withColumn("_dv", F.expr(_dvec("_qv")))
-        q = _with_cell_sims(q, "_dv", ncells)
-        q = q.withColumn("_probe", F.expr(_cells_ranked_expr(ncells, nprobe))).select(
+        )
+        # Arrow probe (bit-identical to the SQL ranked-cells pair; see
+        # _probe_cells_pandas — the SQL form stalls Catalyst once
+        # derive_ncells reaches the hundreds on a big corpus)
+        q = _probe_cells_pandas(q, "_qv", ncells, nprobe)
+        q = q.select(
             "query_id", "_qv", F.explode("_probe").alias("_cell")
         )
     c = c.select("neighbor_id", "_cv", "_cell")
@@ -542,11 +600,11 @@ def knn_pq(
     )
     if ncells:
         # IVF stage: each query ranks the hash centroids and probes its
-        # nprobe best cells; the ADC join is an EQUI-join on the cell
-        q = _with_cell_sims(q, "_dqv", ncells)
-        q = q.withColumn(
-            "_probe", F.expr(_cells_ranked_expr(ncells, nprobe))
-        ).select(
+        # nprobe best cells (Arrow pass — the SQL ranked-cells
+        # expression stalls Catalyst past ~hundreds of cells); the ADC
+        # join is an EQUI-join on the cell
+        q = _probe_cells_pandas(q, "_qv", ncells, nprobe)
+        q = q.select(
             "query_id", "_lut", "_qv", F.explode("_probe").alias("_cell")
         )
         scored = (
