@@ -41,21 +41,21 @@ _SCAN_CACHE: dict = {}
 def dv_row_key():
     """(file_name, row_index) key expressions identifying a physical row
     for deletion vectors — the merge-on-read identity.  ``file_name``
-    is the BASENAME of ``_metadata.file_path`` with any ``linked-{i}-``
-    carry-collision prefix stripped: part files carry globally-unique
-    UUID names, and hardlink carries preserve them, so the basename is
+    is the BASENAME of ``_metadata.file_path``, verbatim: part files
+    carry globally-unique UUID names, hardlink carries preserve them,
+    and ``link_files`` resolves the rare basename collision with a
+    ``-linked{i}`` suffix BEFORE the extension, so the basename is
     stable across every version dir a file is carried into (the full
-    path is NOT — each version links the file under a new dir).
+    path is NOT — each version links the file under a new dir) and two
+    distinct files never share a key (r9 ADVICE fix: the old strippable
+    ``linked-{i}-`` prefix made a collision pair indistinguishable and
+    mis-keyed legitimately-named ``linked-*`` files).
     ``row_index`` is parquet's in-file ordinal (``_metadata.row_index``)
     — immutable because data files are immutable by the copy-on-write
     contract."""
     from pyspark.sql import functions as F
 
-    fn = F.regexp_replace(
-        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-        r"^(linked-\d+-)+",
-        "",
-    )
+    fn = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
     return fn, F.col("_metadata.row_index")
 
 
@@ -125,7 +125,6 @@ def dv_scan(spark, path, schema=None):
     two branches union by name.  Falls back to the all-dirty shape when
     the sidecar's file list is unreadable."""
     import os as _os
-    import re as _re
 
     from .sources.dml import data_files, dv_path, has_dv
 
@@ -144,12 +143,8 @@ def dv_scan(spark, path, schema=None):
     if names is None:
         clean, dirty = [], files
     else:
-
-        def stripped(f):
-            return _re.sub(r"^(linked-\d+-)+", "", _os.path.basename(f))
-
-        clean = [f for f in files if stripped(f) not in names]
-        dirty = [f for f in files if stripped(f) in names]
+        clean = [f for f in files if _os.path.basename(f) not in names]
+        dirty = [f for f in files if _os.path.basename(f) in names]
     tagged = (
         apply_dv(
             spark,

@@ -328,9 +328,13 @@ def compact_signature_index(spark, index_dir: str):
     against the tombstone set plus a (doc_id, band_idx) dedup shuffle
     of 8-byte-keyed rows; the rewrite is the index's own size, which is
     bands×(1+n) ints per doc, orders of magnitude under the corpus.
-    The rewrite goes to a sibling temp dir and swaps in (the index is
-    fully materialized before the old dir is removed — readers never
-    see a partial index)."""
+    The rewrite goes to a sibling temp dir and swaps in with two atomic
+    renames (old → trash, tmp → index), so a VALID index directory
+    exists at every instant — a crash or concurrent reader between the
+    renames sees either the old or the new index, never a missing one
+    (r9 ADVICE fix: the previous rmtree-then-replace left a window with
+    no index at all).  The trash dir is removed last; a crash before
+    that leaves only garbage to re-collect, never a broken index."""
     import os
     import shutil
 
@@ -338,11 +342,15 @@ def compact_signature_index(spark, index_dir: str):
     live = _live_index(spark, index_dir).dropDuplicates(
         ["doc_id", "band_idx"]
     )
-    tmp = index_dir.rstrip("/") + "__compacting"
+    base = index_dir.rstrip("/")
+    tmp = base + "__compacting"
+    trash = base + "__compacted_old"
     live.write.mode("overwrite").parquet(tmp)
     after = spark.read.parquet(tmp).count()
-    shutil.rmtree(index_dir)
+    shutil.rmtree(trash, ignore_errors=True)  # stale from a prior crash
+    os.replace(index_dir, trash)
     os.replace(tmp, index_dir)
+    shutil.rmtree(trash, ignore_errors=True)
     return before, after
 
 

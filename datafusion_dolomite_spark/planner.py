@@ -90,6 +90,82 @@ def default_cascades_rules(enable_join_exploration: bool = True) -> list[Rule]:
     return rules
 
 
+def _top_level_mask(text: str) -> list:
+    """Per-character flags: True where the character sits at paren depth
+    0 and OUTSIDE a single-quoted SQL literal (``''`` escapes).  The
+    shared scanner behind MERGE's WHEN-clause splitting and ON-predicate
+    conjunction analysis — regex alone is blind to quotes, so a literal
+    containing ``when matched`` or ``or`` must not act as syntax."""
+    mask = [False] * len(text)
+    depth = 0
+    in_quote = False
+    i = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        if in_quote:
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    i += 2
+                    continue
+                in_quote = False
+        elif ch == "'":
+            in_quote = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif depth == 0:
+            mask[i] = True
+        i += 1
+    return mask
+
+
+def _on_conjunction_parts(on: str):
+    """Split a MERGE ON predicate into its top-level AND conjuncts, or
+    return ``None`` when the predicate is NOT a pure conjunction (a
+    top-level OR exists) — the safety gate for source-range file
+    pruning: pruning by one equality is only sound when that equality
+    is a NECESSARY condition of ON, i.e. a top-level conjunct of a
+    conjunction.  Quote/paren-aware, so ORs inside parens or string
+    literals don't disqualify (they stay inside their conjunct)."""
+    import re as _re
+
+    mask = _top_level_mask(on)
+    if any(mask[m.start()] for m in _re.finditer(r"(?i)\bor\b", on)):
+        return None
+    cuts = [m for m in _re.finditer(r"(?i)\band\b", on) if mask[m.start()]]
+    parts = []
+    prev = 0
+    for m in cuts:
+        parts.append(on[prev:m.start()])
+        prev = m.end()
+    parts.append(on[prev:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _strip_outer_parens(s: str) -> str:
+    """Remove balanced wrapping parens: ``(t.k = s.k)`` → ``t.k = s.k``.
+    Only strips when the opening paren closes at the very end; a failed
+    strip just means a pruning equality isn't recognized (safe)."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        wraps = True
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(s) - 1:
+                    wraps = False
+                    break
+        if not wraps:
+            break
+        s = s[1:-1].strip()
+    return s
+
+
 class QueryPlanner:
     def __init__(
         self,
@@ -526,14 +602,37 @@ class QueryPlanner:
                 and os.path.basename(p).startswith(f"{table}__v")
                 and os.path.isdir(p)
             ]
+            # bytes-freed accounting (r9 ADVICE): sweep DV sidecars too
+            # (data_files skips `_`-prefixed dirs), and count an inode
+            # hardlinked by SEVERAL victim dirs once — it frees when the
+            # LAST victim referencing it goes, i.e. when its total link
+            # count is covered by the victims' references.
+            from .sources.dml import dv_path
+
+            inode_refs: dict = {}  # (dev, ino) -> [size, nlink, refs]
             for p in victims:
-                for f in data_files(p):
+                sweep = list(data_files(p))
+                dvp = dv_path(p)
+                if os.path.isdir(dvp):
+                    sweep += [
+                        os.path.join(dvp, f)
+                        for f in os.listdir(dvp)
+                        if f.endswith(".parquet")
+                    ]
+                for f in sweep:
                     try:
                         st = os.stat(f)
-                        if st.st_nlink == 1:  # last name → bytes freed
-                            freed += st.st_size
                     except OSError:
-                        pass
+                        continue
+                    key = (st.st_dev, st.st_ino)
+                    if key in inode_refs:
+                        inode_refs[key][2] += 1
+                    else:
+                        inode_refs[key] = [st.st_size, st.st_nlink, 1]
+            freed = sum(
+                sz for sz, nlink, refs in inode_refs.values() if nlink <= refs
+            )
+            for p in victims:
                 if not dry_run:
                     shutil.rmtree(p, ignore_errors=True)
                 removed += 1
@@ -737,7 +836,6 @@ class QueryPlanner:
         sidecar itself — O(1), no Spark job; partial carries filter the
         DV to the carried basenames."""
         import os
-        import re as _re
 
         from pyspark.sql import functions as F
 
@@ -769,12 +867,9 @@ class QueryPlanner:
                 # full carry: same marks, same dirty-file set
                 link_files([man], dv_path(dest))
             return
-        names = sorted(
-            {
-                _re.sub(r"^(linked-\d+-)+", "", os.path.basename(f))
-                for f in carried_files
-            }
-        )
+        # DV identity is the basename verbatim (execute.dv_row_key):
+        # carries preserve basenames, collision renames re-key the file
+        names = sorted({os.path.basename(f) for f in carried_files})
         ndf = self.spark.createDataFrame(
             [(n,) for n in names], "file_name string"
         )
@@ -1115,7 +1210,6 @@ class QueryPlanner:
         its own DV), which the position-set diff of the two sidecars
         identifies without reading any data file."""
         import os
-        import re as _re2
 
         from pyspark.sql import functions as F
 
@@ -1162,20 +1256,19 @@ class QueryPlanner:
                 .collect()
             }
 
-            def stripped(f):
-                return _re2.sub(
-                    r"^(linked-\d+-)+", "", os.path.basename(f)
-                )
+            def dv_name(f):
+                # DV identity = basename verbatim (execute.dv_row_key)
+                return os.path.basename(f)
 
             shared_a = {k: f for k, f in a.items() if k in b}
             only_a = sorted(
                 set(only_a)
-                | {f for f in shared_a.values() if stripped(f) in changed_names}
+                | {f for f in shared_a.values() if dv_name(f) in changed_names}
             )
             shared_b = {k: f for k, f in b.items() if k in a}
             only_b = sorted(
                 set(only_b)
-                | {f for f in shared_b.values() if stripped(f) in changed_names}
+                | {f for f in shared_b.values() if dv_name(f) in changed_names}
             )
         # align both sides to the NEWER version's column set (schema
         # evolution between the versions: missing columns null-fill,
@@ -2310,29 +2403,55 @@ class QueryPlanner:
         multi-clause grammar: any number of
         ``WHEN MATCHED [AND cond] THEN UPDATE SET … | DELETE`` and
         ``WHEN NOT MATCHED [AND cond] THEN INSERT *``, evaluated in
-        statement order, first applicable clause wins."""
+        statement order, first applicable clause wins.  Clause
+        boundaries are TOP-LEVEL ``WHEN … MATCHED`` tokens only
+        (quote/paren-aware scan): a string literal or parenthesized
+        subexpression containing the text 'when matched' no longer
+        splits the statement mid-literal."""
         import re as _re
 
-        chunks = [
-            c
-            for c in _re.split(
-                r"(?i)(?=\bwhen\s+(?:not\s+)?matched\b)", text
+        mask = _top_level_mask(text)
+        starts = [
+            m.start()
+            for m in _re.finditer(
+                r"(?i)\bwhen\s+(?:not\s+)?matched\b", text
             )
-            if c.strip()
+            if mask[m.start()]
+        ]
+        if starts and text[: starts[0]].strip():
+            raise ValueError(
+                f"MERGE: unexpected text before first WHEN clause: "
+                f"{text[: starts[0]].strip()!r}"
+            )
+        bounds = starts + [len(text)]
+        chunks = [
+            text[bounds[i]:bounds[i + 1]]
+            for i in range(len(starts))
+            if text[bounds[i]:bounds[i + 1]].strip()
         ]
         clauses = []
         for ch in chunks:
+            cmask = _top_level_mask(ch)
+            tm = next(
+                (
+                    m
+                    for m in _re.finditer(r"(?i)\bthen\b", ch)
+                    if cmask[m.start()]
+                ),
+                None,
+            )
+            if tm is None:
+                raise ValueError(f"MERGE: cannot parse clause {ch!r}")
+            head, action = ch[: tm.start()], ch[tm.end():].strip()
             cm = _re.match(
-                r"\s*when\s+(not\s+)?matched(?:\s+and\s+(.+?))?"
-                r"\s+then\s+(.+?)\s*$",
-                ch,
+                r"\s*when\s+(not\s+)?matched(?:\s+and\s+(.+?))?\s*$",
+                head,
                 _re.IGNORECASE | _re.DOTALL,
             )
             if not cm:
                 raise ValueError(f"MERGE: cannot parse clause {ch!r}")
             is_matched = cm.group(1) is None
             cond = cm.group(2)
-            action = cm.group(3).strip()
             al = " ".join(action.lower().split())
             if is_matched and al != "delete" and not al.startswith(
                 "update set "
@@ -2406,26 +2525,53 @@ class QueryPlanner:
         tk = km.group(1) or km.group(4)
         sk = km.group(3) or km.group(2)
         # file pruning by the SOURCE's key range (VERDICT r7 item 3):
-        # a target file whose tk band cannot intersect [min(sk),
+        # a target file whose key band cannot intersect [min(sk),
         # max(sk)] has no matched row, and inserts only create NEW
         # files — it carries forward untouched as a hardlink.  The
         # range agg is a bounded driver scalar (one row); upserts are
         # typically key-clustered deltas, so this confines the
         # full-outer join to the overlapping slice of the target.
+        #
+        # SAFETY GATE (r9, ADVICE): pruning by an equality is only
+        # sound when that equality is a NECESSARY condition of ON —
+        # i.e. ON is a pure conjunction and the equality is a
+        # top-level conjunct.  Under a disjunctive ON (``t.k = s.k OR
+        # t.alt = s.alt``) a file outside the k-band can still hold
+        # matched rows via the other disjunct; pruning it would
+        # silently skip their UPDATE/DELETE.  ``_on_conjunction_parts``
+        # returns None on any top-level OR → full-table join.
+        eq_rx = _re.compile(
+            rf"^\s*(?:{t_alias}\.([A-Za-z_]\w*)\s*=\s*{s_alias}\.([A-Za-z_]\w*)"
+            rf"|{s_alias}\.([A-Za-z_]\w*)\s*=\s*{t_alias}\.([A-Za-z_]\w*))\s*$",
+            _re.IGNORECASE,
+        )
+        prune_tk = prune_sk = None
+        conj_parts = _on_conjunction_parts(on)
+        if conj_parts is not None:
+            for part in conj_parts:
+                em = eq_rx.match(_strip_outer_parens(part))
+                if em:
+                    prune_tk = em.group(1) or em.group(4)
+                    prune_sk = em.group(3) or em.group(2)
+                    break
         from .sources.dml import partition_columns
 
         kept: list = []
         t_path = self.catalog.path(target)
         pcols = partition_columns(t_path) if tfmt == "parquet" else []
-        if tfmt == "parquet":
+        if tfmt == "parquet" and prune_tk is not None:
             tfiles = data_files(t_path)
             if tfiles:
                 r0 = sbase.agg(
-                    F.min(sk).alias("lo"), F.max(sk).alias("hi")
+                    F.min(prune_sk).alias("lo"),
+                    F.max(prune_sk).alias("hi"),
                 ).collect()[0]
                 if r0["lo"] is not None:
-                    bands = file_bands(tfiles, {tk}, table_path=t_path)
-                    rng = [(tk, ">=", r0["lo"]), (tk, "<=", r0["hi"])]
+                    bands = file_bands(tfiles, {prune_tk}, table_path=t_path)
+                    rng = [
+                        (prune_tk, ">=", r0["lo"]),
+                        (prune_tk, "<=", r0["hi"]),
+                    ]
                     kept = [
                         f for f in tfiles if file_excluded(bands[f], rng)
                     ]

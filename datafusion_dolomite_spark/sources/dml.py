@@ -184,8 +184,14 @@ def link_files(files: Sequence[str], dest_dir: str, base: Optional[str] = None) 
     partition dirs reproduce under dest, so partition-column values
     (which live in directory names, not footers) survive the carry.
     Name collisions (possible when a lineage re-links the same basename
-    twice) get a ``linked-{i}-`` prefix — parquet readers list by
-    directory, names are free.  Returns the created paths."""
+    twice) get a ``-linked{i}`` suffix BEFORE the extension — parquet
+    readers list by directory, names are free.  The suffix (unlike the
+    pre-r9 ``linked-{i}-`` prefix) is deliberately NOT stripped by
+    ``execute.dv_row_key``: the renamed file takes the new basename as
+    its deletion-vector identity from that version on, so two distinct
+    files colliding on basename can never share a DV key, and a data
+    file legitimately named ``linked-<n>-…`` keys as itself.  Returns
+    the created paths."""
     os.makedirs(dest_dir, exist_ok=True)
     out = []
     for i, src in enumerate(files):
@@ -200,7 +206,14 @@ def link_files(files: Sequence[str], dest_dir: str, base: Optional[str] = None) 
             dst = os.path.join(dest_dir, os.path.basename(src))
         if os.path.exists(dst):
             d, b = os.path.split(dst)
-            dst = os.path.join(d, f"linked-{i}-{b}")
+            stem, ext = os.path.splitext(b)
+            j = i
+            while True:
+                cand = os.path.join(d, f"{stem}-linked{j}{ext}")
+                if not os.path.exists(cand):
+                    break
+                j += 1
+            dst = cand
         try:
             os.link(src, dst)
         except OSError:

@@ -274,20 +274,23 @@ def test_timestamp_as_of(qp, spark):
     """TIMESTAMP AS OF (r8): the latest version committed at or before
     the instant; before-earliest errors; DESCRIBE HISTORY carries the
     commit timestamp; the resolution survives a new planner via the
-    persisted log."""
+    persisted log.  Commit instants are injected synthetically into
+    ``_table_commit_ts`` (which resolution prefers over mtimes) so the
+    assertions hold at any machine speed — no sleeps racing DML latency."""
     import datetime as dt
     import time
 
     qp.sql("delete from t where k < 3").count()  # v1
-    time.sleep(1.1)
-    mid = dt.datetime.now(dt.timezone.utc).isoformat()
-    time.sleep(1.1)
     qp.sql("delete from t where k >= 8").count()  # v2
+    base = time.time()
+    qp._table_commit_ts["t"] = [base - 30.0, base - 20.0, base - 10.0]
+    qp._persist_versions("t")
+    mid = dt.datetime.fromtimestamp(base - 15.0, dt.timezone.utc).isoformat()
     assert (
         qp.sql(f"select * from t timestamp as of '{mid}'").count() == 7
     )  # v1: rows 3..9
     # at/after the last commit → head
-    now = dt.datetime.now(dt.timezone.utc).isoformat()
+    now = dt.datetime.fromtimestamp(base, dt.timezone.utc).isoformat()
     assert qp.sql(f"select * from t timestamp as of '{now}'").count() == 5
     with pytest.raises(Exception, match="no version at or before"):
         qp.sql("select * from t timestamp as of '2000-01-01'").count()
@@ -305,15 +308,19 @@ def test_timestamp_as_of(qp, spark):
 def test_vacuum_retain_keeps_window(qp, spark):
     """VACUUM … RETAIN n HOURS: versions committed inside the window
     survive (time travel to them keeps working, lineage re-based);
-    only older warehouse version dirs are removed."""
+    only older warehouse version dirs are removed.  The window check is
+    asserted against synthetic commit timestamps (vacuum prefers
+    ``_table_commit_ts`` over mtimes) so it cannot race real DML latency
+    on a slow machine."""
     import time
 
     qp.sql("delete from t where k = 0").count()  # v1 (old)
-    time.sleep(1.5)
     qp.sql("delete from t where k = 1").count()  # v2 (recent)
     qp.sql("delete from t where k = 2").count()  # v3 (recent, head)
-    retain_h = 1.2 / 3600.0  # ~1.2 s window: v2/v3 inside, v1 outside
-    out = qp.sql(f"vacuum t retain {retain_h} hours").collect()[0]
+    now = time.time()
+    # v0/v1 two hours old, v2/v3 seconds old; retain 1 hour
+    qp._table_commit_ts["t"] = [now - 7200.0, now - 7200.0, now - 10.0, now - 5.0]
+    out = qp.sql("vacuum t retain 1 hours").collect()[0]
     assert out["versions_removed"] == 1  # v1 (v0 base is never removed)
     # retained window still time-travels (re-based indices: 0 = old v2)
     assert qp.sql("select * from t version as of 0").count() == 8
@@ -348,10 +355,10 @@ def test_vacuum_dry_run_and_restore_to_timestamp(qp, spark):
     import time
 
     qp.sql("delete from t where k < 3").count()  # v1
-    time.sleep(1.1)
-    mid = dt.datetime.now(dt.timezone.utc).isoformat()
-    time.sleep(1.1)
     qp.sql("delete from t where k >= 8").count()  # v2
+    base = time.time()
+    qp._table_commit_ts["t"] = [base - 30.0, base - 20.0, base - 10.0]
+    mid = dt.datetime.fromtimestamp(base - 15.0, dt.timezone.utc).isoformat()
     qp.sql(f"restore table t to timestamp as of '{mid}'").count()  # → v1
     assert qp.sql("select * from t").count() == 7
     dry = qp.sql("vacuum t dry run").collect()[0]

@@ -97,6 +97,85 @@ def test_macro_in_merge_clause_condition(spark, tmp_path):
     assert got == [(1, 100), (2, 20)]  # only v=10 < 15 updated
 
 
+def test_disjunctive_on_disables_file_pruning(spark, tmp_path):
+    """ADVICE r9 (medium): under a disjunctive ON, source-key-range file
+    pruning is UNSOUND — a target file outside the k-band can still hold
+    rows matched via the other disjunct.  The planner must fall back to
+    the full-table join; previously the alt-matched row in the pruned
+    file silently kept its old value."""
+    cat = Catalog(warehouse=str(tmp_path / "wh7"))
+    spark.createDataFrame(
+        [(1, 100, 10), (2, 101, 20)], "k bigint, alt bigint, v bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "t1"))
+    cat.register("t", str(tmp_path / "t1"))
+    qp = QueryPlanner(spark, cat)
+    # second data file with k band [50, 51] — outside the source's k
+    # range, so conjunction-era pruning would hardlink it forward
+    qp.sql("insert into t values (50, 7, 30), (51, 8, 40)").count()
+    spark.createDataFrame(
+        [(1, 999, 1000), (2, 7, 2000)], "k bigint, alt bigint, v bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "s1"))
+    cat.register("s", str(tmp_path / "s1"))
+    qp.sql(
+        "merge into t as a using s as b "
+        "on a.k = b.k or a.alt = b.alt "
+        "when matched then update set v = b.v"
+    ).count()
+    got = sorted((r["k"], r["v"]) for r in qp.sql("select * from t").collect())
+    # k=50 (alt=7) matches source (k=2, alt=7) via the alt disjunct even
+    # though its file's k band is outside the source k range [1, 2]
+    assert got == [(1, 1000), (2, 2000), (50, 2000), (51, 40)]
+
+
+def test_conjunctive_on_with_parens_still_prunes_correctly(spark, tmp_path):
+    """A parenthesized top-level equality conjunct is still recognized
+    for pruning, and results are correct (extra conjuncts only shrink
+    the match set — pruning by the equality stays safe)."""
+    cat = Catalog(warehouse=str(tmp_path / "wh8"))
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k bigint, v bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "t1"))
+    cat.register("t", str(tmp_path / "t1"))
+    qp = QueryPlanner(spark, cat)
+    qp.sql("insert into t values (50, 30), (51, 40)").count()
+    spark.createDataFrame(
+        [(1, 100), (2, 200)], "k bigint, v bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "s1"))
+    cat.register("s", str(tmp_path / "s1"))
+    qp.sql(
+        "merge into t as a using s as b "
+        "on (a.k = b.k) and b.v > 150 "
+        "when matched then update set v = b.v"
+    ).count()
+    got = sorted((r["k"], r["v"]) for r in qp.sql("select * from t").collect())
+    assert got == [(1, 10), (2, 200), (50, 30), (51, 40)]
+
+
+def test_when_matched_text_inside_string_literal(spark, tmp_path):
+    """ADVICE r9 (low): a SET expression whose string literal contains
+    'when matched then …' must not split the clause mid-literal — the
+    WHEN/THEN scan is quote-aware."""
+    cat = Catalog(warehouse=str(tmp_path / "wh9"))
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k bigint, note string"
+    ).coalesce(1).write.parquet(str(tmp_path / "t1"))
+    spark.createDataFrame(
+        [(2, "z"), (7, "q")], "k bigint, note string"
+    ).coalesce(1).write.parquet(str(tmp_path / "s1"))
+    cat.register("t", str(tmp_path / "t1"))
+    cat.register("s", str(tmp_path / "s1"))
+    qp = QueryPlanner(spark, cat)
+    qp.sql(
+        "merge into t as a using s as b on a.k = b.k "
+        "when matched then update set note = 'when matched then x' "
+        "when not matched then insert *"
+    ).count()
+    got = sorted(
+        (r["k"], r["note"]) for r in qp.sql("select * from t").collect()
+    )
+    assert got == [(1, "a"), (2, "when matched then x"), (7, "q")]
+
+
 def test_bad_clause_rejected(spark, tmp_path):
     cat = Catalog(warehouse=str(tmp_path / "wh5"))
     spark.createDataFrame([(1, 10)], "k bigint, v bigint").write.parquet(
