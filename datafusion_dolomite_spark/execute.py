@@ -853,6 +853,7 @@ class SparkExecutor:
             op.pq_refine,
             getattr(op, "pq_ncells", 0),
             getattr(op, "pq_nprobe", 3),
+            getattr(op, "pq_residual", False),
         )
 
     def _knn_logical(self, node: PlanNode):

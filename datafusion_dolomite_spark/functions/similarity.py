@@ -210,7 +210,8 @@ def _with_cell_sims(df, vec_expr: str, ncells: int, prefix: str = "c"):
     return df
 
 
-def _best_cell_pandas(df, vec_col: str, ncells: int, prefix: str = "c"):
+def _best_cell_pandas(df, vec_col: str, ncells: int, prefix: str = "c",
+                      resid_sq=None):
     """Arrow-vectorized nearest-centroid assignment: appends ``_cell``
     (int) = argmax cosine over the ``ncells`` hash centroids, ties to
     the lower cell id — BIT-IDENTICAL to the SQL
@@ -223,14 +224,18 @@ def _best_cell_pandas(df, vec_col: str, ncells: int, prefix: str = "c"):
     lambda-interpreter speed — which went quadratic-feeling once
     ``derive_ncells`` scaled cells with the corpus (r7: q_knn_recall
     2.7 s → 5.8 s at sf0.1's 32 cells).  One numpy pass per Arrow batch
-    restores a BLAS-class constant; the DuckDB oracle is unchanged."""
-    import numpy as np
+    restores a BLAS-class constant; the DuckDB oracle is unchanged.
 
+    ``resid_sq=(m, sw)`` additionally appends ``_sq`` (array<bigint>,
+    length m): per PQ subspace, Σ_d floor((v_d − cv_d)² · 1e6) of the
+    residual against the ASSIGNED centroid — the order-independent
+    integer sums the residual-PQ codebook scale is derived from
+    (same exactness trick as ``_KMEANS_SCALE``)."""
     cents = [(c, _hash_vec(f"{prefix}{c}")) for c in range(ncells)]
-    return _assign_cells_pandas(df, vec_col, cents)
+    return _assign_cells_pandas(df, vec_col, cents, resid_sq=resid_sq)
 
 
-def _assign_cells_pandas(df, vec_col: str, cents):
+def _assign_cells_pandas(df, vec_col: str, cents, resid_sq=None):
     """Shared Arrow assignment core: ``cents`` is [(cell_id, vector)]
     in (sim DESC, cell_id ASC) tie order — i.e. sorted by cell_id, so
     numpy's first-max argmax reproduces the SQL ranking exactly."""
@@ -248,7 +253,10 @@ def _assign_cells_pandas(df, vec_col: str, cents):
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", _cell int"
+    if resid_sq is not None:
+        schema += ", _sq array<bigint>"
     cols = [f.name for f in df.schema.fields]
+    centarr = np.stack([np.asarray(cv, dtype=np.float64) for cv in cvecs])
 
     def run(batches):
         for pdf in batches:
@@ -267,15 +275,27 @@ def _assign_cells_pandas(df, vec_col: str, cents):
                 for j in range(m.shape[1]):
                     dot = dot + m[:, j] * cv[j]
                 sims[:, ci] = dot / (nx * nc_)
+            best = np.argmax(sims, axis=1)
             out = pdf[cols].copy()
-            out["_cell"] = cids[np.argmax(sims, axis=1)]
+            out["_cell"] = cids[best]
+            if resid_sq is not None:
+                pm, sw = resid_sq
+                resid = m - centarr[best]  # elementwise, exact IEEE
+                sq = np.floor((resid * resid) * 1_000_000.0).astype(
+                    np.int64
+                )
+                out["_sq"] = [
+                    [int(sq[r, j * sw:(j + 1) * sw].sum())
+                     for j in range(pm)]
+                    for r in range(len(m))
+                ]
             yield out
 
     return df.mapInPandas(run, schema=schema)
 
 
 def _probe_cells_pandas(df, vec_col: str, ncells: int, nprobe: int,
-                        prefix: str = "c"):
+                        prefix: str = "c", with_offsets: bool = False):
     """Arrow-vectorized query-side probe list: appends ``_probe``
     (array<int>) = the ``nprobe`` best cells by (cosine DESC, cell
     ASC) — bit-identical to the SQL ``_with_cell_sims`` +
@@ -287,7 +307,15 @@ def _probe_cells_pandas(df, vec_col: str, ncells: int, nprobe: int,
     cells, but at the 1024 cells ``derive_ncells`` assigns a 64k-vector
     corpus it stalled Catalyst for MINUTES (measured: 339 s vs 1.1 s,
     scripts/ann_regime_bench.py); this is one numpy pass over the
-    bounded query set."""
+    bounded query set.
+
+    ``with_offsets`` additionally emits ``_poff`` (array<double>,
+    aligned with ``_probe``): the RAW dot product of the query with
+    each probed centroid — the exact-centroid term of the residual-PQ
+    ADC score (dot(q, v̂) = dot(q, cent) + Σ_j LUT[j][code_j]).  The
+    dot is the same dimension-by-dimension float64 fold the cosine
+    ranking already computes, so the oracle's ordered ``list_reduce``
+    replays it bit-identically."""
     import numpy as np
 
     cents = sorted((c, _hash_vec(f"{prefix}{c}")) for c in range(ncells))
@@ -302,6 +330,8 @@ def _probe_cells_pandas(df, vec_col: str, ncells: int, nprobe: int,
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", _probe array<int>"
+    if with_offsets:
+        schema += ", _poff array<double>"
     cols = [f.name for f in df.schema.fields]
 
     def run(batches):
@@ -316,14 +346,20 @@ def _probe_cells_pandas(df, vec_col: str, ncells: int, nprobe: int,
                 acc = acc + mat[:, j] * mat[:, j]
             nx = np.sqrt(acc)
             sims = np.empty((len(mat), len(cvecs)), dtype=np.float64)
+            dots = np.empty((len(mat), len(cvecs)), dtype=np.float64)
             for ci, (cv, nc_) in enumerate(zip(cvecs, cnorms)):
                 dot = np.zeros(len(mat), dtype=np.float64)
                 for j in range(mat.shape[1]):
                     dot = dot + mat[:, j] * cv[j]
+                dots[:, ci] = dot
                 sims[:, ci] = dot / (nx * nc_)
             order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
             out = pdf[cols].copy()
             out["_probe"] = [cids[row].tolist() for row in order]
+            if with_offsets:
+                out["_poff"] = [
+                    dots[r, order[r]].tolist() for r in range(len(mat))
+                ]
             yield out
 
     return df.mapInPandas(run, schema=schema)
@@ -493,20 +529,43 @@ def _pq_books(m: int, sw: int, ksub: int):
     ]
 
 
-def _pq_encode_pandas(df, vec_col: str, m: int, sw: int, ksub: int):
+def _pq_encode_pandas(df, vec_col: str, m: int, sw: int, ksub: int,
+                      cents=None, scales=None, cell_col: str = "_cell"):
     """Arrow-vectorized PQ encoding: appends ``_codes`` (array<int>,
     length ``m``) — per subspace, the L2²-nearest codebook entry (ties
     → lower code).  Accumulation is dimension-by-dimension in float64,
     the same sequential fold the oracle's ordered ``list_sum`` computes,
     and ``np.argmin`` takes the FIRST min = the (dist ASC, code ASC)
-    SQL ranking — codes come out bit-identical across engines."""
+    SQL ranking — codes come out bit-identical across engines.
+    ``cents``/``scales`` turn this into RESIDUAL encoding (FAISS
+    IVF-PQ proper): each row's ASSIGNED centroid (``cell_col``) is
+    subtracted before quantization, and every codebook entry is
+    pre-multiplied by its subspace's scale (the residual-RMS match —
+    hash codebooks are unit-cube-sized, residuals are not; without the
+    rescale the argmin mostly picks the smallest-norm entry and recall
+    floors).  Both the subtraction and the scaled entries are single
+    IEEE ops on identical operands in the oracle, so codes stay
+    bit-identical."""
     import numpy as np
 
     books = _pq_books(m, sw, ksub)
+    if scales is not None:
+        books = [
+            [(c, [v * scales[j] for v in bv]) for c, bv in books[j]]
+            for j in range(m)
+        ]
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", _codes array<int>"
     cols = [f.name for f in df.schema.fields]
+    centarr = (
+        np.stack(
+            [np.asarray(v, dtype=np.float64)
+             for _, v in sorted(cents, key=lambda p: p[0])]
+        )
+        if cents is not None
+        else None
+    )
 
     def run(batches):
         for pdf in batches:
@@ -515,6 +574,8 @@ def _pq_encode_pandas(df, vec_col: str, m: int, sw: int, ksub: int):
             mat = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
+            if centarr is not None:
+                mat = mat - centarr[pdf[cell_col].to_numpy()]
             codes = np.empty((len(mat), m), dtype=np.int32)
             for j in range(m):
                 sub = mat[:, j * sw:(j + 1) * sw]
@@ -533,6 +594,35 @@ def _pq_encode_pandas(df, vec_col: str, m: int, sw: int, ksub: int):
     return df.mapInPandas(run, schema=schema)
 
 
+def _pq_residual_scales(assigned, m: int, sw: int) -> list:
+    """Per-subspace codebook scale from the residual RMS — the
+    'training pass' of residual PQ, reduced to ORDER-INDEPENDENT
+    integer sums so it replays bit-identically in the oracle:
+    ``assigned`` carries ``_sq`` (array<bigint> of per-subspace
+    Σ floor(r² · 1e6), from ``_best_cell_pandas(resid_sq=...)``); the
+    scale is sqrt(Σ_rows sq_j / ((n·sw)·1e6)) · sqrt(3) — the sqrt(3)
+    matches the 1/sqrt(3) per-dim RMS of the uniform[-1,1] hash
+    codebook entries, so scaled entries land at the residual's own
+    scale.  One bounded driver collect of m+1 scalars."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    row = assigned.select(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("_sq", j + 1)).alias(f"s{j}")
+            for j in range(m)
+        ],
+    ).collect()[0]
+    n = int(row["n"])
+    return [
+        math.sqrt(int(row[f"s{j}"]) / ((n * sw) * 1_000_000.0))
+        * math.sqrt(3.0)
+        for j in range(m)
+    ]
+
+
 def knn_pq(
     df,
     id_col: str,
@@ -544,6 +634,7 @@ def knn_pq(
     refine: int = 0,
     ncells: int = 0,
     nprobe: int = 3,
+    residual: bool = False,
 ):
     """PRODUCT-QUANTIZATION ANN (asymmetric distance computation): the
     corpus compresses to ``m`` small integer codes per vector (each
@@ -555,28 +646,58 @@ def knn_pq(
     ADC-scan from a fraction of the bytes).  ``refine > k`` re-ranks
     the top-``refine`` ADC candidates by exact cosine (fetching only
     those vectors) — the standard PQ + re-rank pipeline.  ``ncells > 0``
-    composes the IVF coarse quantizer on top (FAISS's IVF-PQ shape,
-    minus residual encoding — codes quantize the raw vectors so both
-    stages replay exactly): the corpus buckets into hash-derived cells,
-    queries probe ``nprobe`` cells, and the ADC join becomes an
-    EQUI-join on the cell — at scale each query touches
-    ~nprobe/ncells of the CODES, the two-level reduction that makes
-    billion-vector ANN serve from RAM.  Codebooks, cells, codes, LUTs,
-    and score folds all replay exactly in the DuckDB oracle
-    (hash-derived everything; fixed-order float accumulation)."""
+    composes the IVF coarse quantizer on top (FAISS's IVF-PQ shape):
+    the corpus buckets into hash-derived cells, queries probe
+    ``nprobe`` cells, and the ADC join becomes an EQUI-join on the
+    cell — at scale each query touches ~nprobe/ncells of the CODES,
+    the two-level reduction that makes billion-vector ANN serve from
+    RAM.  ``residual=True`` (r9, VERDICT item 3) makes it FAISS IVF-PQ
+    PROPER: codes quantize v − cent(cell) with residual-RMS-scaled
+    codebooks (``_pq_residual_scales``), and the ADC score adds the
+    EXACT dot(q, cent) term per probed cell — the quantization error
+    no longer includes the centroid component, which is what lifts
+    recall past the raw-PQ floor on clustered corpora
+    (tests/test_pq_residual.py measures it).  Codebooks, cells, codes,
+    scales, LUTs, and score folds all replay exactly in the DuckDB
+    oracle (hash-derived everything; order-independent integer sums
+    for the scales; fixed-order float accumulation)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ._parallel import ensure_min_parallelism
 
     sw = DIM // m
-    books = _pq_books(m, sw, ksub)
+    use_residual = bool(ncells) and residual
     c = ensure_min_parallelism(df).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
+    scales = None
     if ncells:
-        c = _best_cell_pandas(c, "_cv", ncells)
-    c = _pq_encode_pandas(c, "_cv", m, sw, ksub)
+        if use_residual:
+            # residual encoding needs the corpus assignment TWICE (the
+            # scale agg, then the encode in the result lineage) — the
+            # persisted assignment is the IVF-PQ build-phase
+            # materialization every real index build does (FAISS
+            # train+add); at 100 TB it's a written table, here a cache
+            c = _best_cell_pandas(c, "_cv", ncells, resid_sq=(m, sw))
+            c = c.persist()
+            scales = _pq_residual_scales(c, m, sw)
+            cents = [(i, _hash_vec(f"c{i}")) for i in range(ncells)]
+            c = _pq_encode_pandas(
+                c.drop("_sq"), "_cv", m, sw, ksub,
+                cents=cents, scales=scales,
+            )
+        else:
+            c = _best_cell_pandas(c, "_cv", ncells)
+            c = _pq_encode_pandas(c, "_cv", m, sw, ksub)
+    else:
+        c = _pq_encode_pandas(c, "_cv", m, sw, ksub)
+    books = _pq_books(m, sw, ksub)
+    if scales is not None:
+        books = [
+            [(cc, [v * scales[j] for v in bv]) for cc, bv in books[j]]
+            for j in range(m)
+        ]
     keep_cols = ["neighbor_id", "_codes"] + (["_cell"] if ncells else [])
     if refine and refine > k:
         keep_cols.append("_cv")
@@ -603,15 +724,37 @@ def knn_pq(
         # nprobe best cells (Arrow pass — the SQL ranked-cells
         # expression stalls Catalyst past ~hundreds of cells); the ADC
         # join is an EQUI-join on the cell
-        q = _probe_cells_pandas(q, "_qv", ncells, nprobe)
-        q = q.select(
-            "query_id", "_lut", "_qv", F.explode("_probe").alias("_cell")
-        )
-        scored = (
-            c.join(F.broadcast(q), ["_cell"])
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .withColumn("_score", F.expr(score))
-        )
+        if use_residual:
+            # residual ADC: score = dot(q, cent_cell) EXACT + LUT sum
+            # over the residual codes — the centroid term (the bulk of
+            # the score on clustered data) is no longer quantized away
+            q = _probe_cells_pandas(
+                q, "_qv", ncells, nprobe, with_offsets=True
+            )
+            q = q.select(
+                "query_id", "_lut", "_qv",
+                F.explode(F.arrays_zip("_probe", "_poff")).alias("_pz"),
+            ).select(
+                "query_id", "_lut", "_qv",
+                F.col("_pz._probe").alias("_cell"),
+                F.col("_pz._poff").alias("_coff"),
+            )
+            scored = (
+                c.join(F.broadcast(q), ["_cell"])
+                .filter(F.col("neighbor_id") != F.col("query_id"))
+                .withColumn("_score", F.expr(f"_coff + {score}"))
+            )
+        else:
+            q = _probe_cells_pandas(q, "_qv", ncells, nprobe)
+            q = q.select(
+                "query_id", "_lut", "_qv",
+                F.explode("_probe").alias("_cell"),
+            )
+            scored = (
+                c.join(F.broadcast(q), ["_cell"])
+                .filter(F.col("neighbor_id") != F.col("query_id"))
+                .withColumn("_score", F.expr(score))
+            )
     else:
         scored = c.join(
             F.broadcast(q.select("query_id", "_lut", "_qv")),

@@ -262,6 +262,11 @@ class LogicalKnn(LogicalOperator):
     pq_refine: int = 0
     pq_ncells: int = 0
     pq_nprobe: int = 3
+    #: pq_ncells > 0 + True → FAISS IVF-PQ proper: codes quantize the
+    #: residual v − cent(cell) with residual-RMS-scaled codebooks and
+    #: the ADC score carries the exact dot(q, cent) term
+    #: (functions/similarity.knn_pq residual=True)
+    pq_residual: bool = False
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
         return LogicalProperty(_KNN_SCHEMA)
@@ -337,10 +342,12 @@ class PhysicalKnnPq(PhysicalOperator):
     pq_refine: int
     pq_ncells: int = 0
     pq_nprobe: int = 3
+    pq_residual: bool = False
 
     def pretty(self) -> str:
         ivf = (
             f", cells: {self.pq_ncells}, probe: {self.pq_nprobe}"
+            + (", residual" if self.pq_residual else "")
             if self.pq_ncells
             else ""
         )

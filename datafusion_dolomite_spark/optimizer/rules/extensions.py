@@ -170,6 +170,7 @@ class Knn2PqRule(Rule):
                     op.id_col, op.vec_col, op.n_queries, op.k,
                     op.pq_m, op.pq_ksub, op.pq_refine,
                     op.pq_ncells, op.pq_nprobe,
+                    getattr(op, "pq_residual", False),
                 ),
                 *input.root.inputs,
             )

@@ -331,6 +331,7 @@ class LogicalPlanBuilder:
         pq_refine: int = 0,
         pq_ncells: int = 0,
         pq_nprobe: int = 3,
+        pq_residual: bool = False,
     ) -> "LogicalPlanBuilder":
         from ..operators.extensions import LogicalKnn
 
@@ -338,7 +339,7 @@ class LogicalPlanBuilder:
             LogicalKnn(
                 id_col, vec_col, n_queries, k, method, ncells, nprobe,
                 kmeans_iters, pq_m, pq_ksub, pq_refine, pq_ncells,
-                pq_nprobe,
+                pq_nprobe, pq_residual,
             ),
             [self._require_root()],
         )

@@ -62,6 +62,7 @@ NLJ_ALLOWED = {
     "q_knn_pq": "broadcast query LUTs (ADC)",
     "q_knn_ivf_kmeans": "broadcast centroids",
     "q_knn_recall": "broadcast query vectors (IVF + brute twins)",
+    "q_knn_residual": "broadcast query vectors (brute ground-truth twin)",
     "q_range_join": "broadcast interval side",
 }
 
@@ -297,6 +298,10 @@ SHUFFLE_BUDGET = {
     # r8: IVF-PQ — the ADC join is a broadcast EQUI-join on the cell
     # (no NLJ at all); one window exchange as above
     "q_knn_ivfpq": 1,
+    # r9: brute ground-truth twin + raw-PQ twin + residual-PQ twin
+    # (each a window exchange pair) + the hit joins and final agg over
+    # 200 rows — q_knn_recall-class composition (its budget is 15)
+    "q_knn_residual": 12,
 }
 
 BATCH_QUERIES = sorted(
