@@ -687,15 +687,30 @@ class QueryPlanner:
     def _read_table_version(self, table: str, ver: int):
         """DataFrame over a recorded version dir, DV-aware (a DV'd
         version's content is files MINUS its sidecar; dv_scan confines
-        the anti-join to the sidecar's files)."""
-        from .sources.dml import has_dv
+        the anti-join to the sidecar's files).  A recorded version
+        whose directory no longer exists was VACUUMED (possibly by a
+        concurrent planner racing this reader's stale lineage) —
+        deterministic ``VersionVacuumedError`` instead of whatever
+        filesystem error the scan would have surfaced."""
+        import os
+
+        from .sources.dml import VersionVacuumedError, has_dv
 
         hist = self._checked_history(table, "time travel")
-        if has_dv(hist[ver]):
+        path = hist[ver]
+        if not os.path.exists(path):
+            raise VersionVacuumedError(
+                f"table {table!r} version {ver} ({path}) was removed by "
+                f"VACUUM — time travel to it is gone; keep versions "
+                f"readable longer with 'VACUUM {table} RETAIN n HOURS' "
+                f"(the retention window keeps every version committed "
+                f"inside it)"
+            )
+        if has_dv(path):
             from .execute import dv_scan
 
-            return dv_scan(self.spark, hist[ver])
-        return self.spark.read.parquet(hist[ver])
+            return dv_scan(self.spark, path)
+        return self.spark.read.parquet(path)
 
     def _version_at_timestamp(self, table: str, ts_text: str) -> int:
         """The LATEST version committed at or before ``ts_text`` —
@@ -1592,8 +1607,13 @@ class QueryPlanner:
         )
         if m:
             # DELETE without WHERE = remove every row (SQL semantics)
-            return self._dml_rewrite(m.group(1), delete_all=m.group(2) is None,
-                                     delete_where=m.group(2))
+            t, wh_ = m.group(1), m.group(2)
+            return self._retry_dml(
+                t,
+                lambda: self._dml_rewrite(t, delete_all=wh_ is None,
+                                          delete_where=wh_),
+                pred_text=wh_,
+            )
 
         m = _re.match(
             r"\s*update\s+([A-Za-z_]\w*)\s+set\s+(.+?)"
@@ -1602,8 +1622,11 @@ class QueryPlanner:
             _re.IGNORECASE | _re.DOTALL,
         )
         if m and not _re.match(r"\s*update\s+set\b", query, _re.IGNORECASE):
-            return self._dml_rewrite(
-                m.group(1), set_clause=m.group(2), where=m.group(3)
+            t, sc, wh_ = m.group(1), m.group(2), m.group(3)
+            return self._retry_dml(
+                t,
+                lambda: self._dml_rewrite(t, set_clause=sc, where=wh_),
+                pred_text=wh_,
             )
 
         m = _re.match(
@@ -1614,8 +1637,11 @@ class QueryPlanner:
             _re.IGNORECASE | _re.DOTALL,
         )
         if m:
-            return self._dml_insert(
-                m.group(1), m.group(3), columns=m.group(2)
+            t, sel, cols_ = m.group(1), m.group(3), m.group(2)
+            return self._retry_dml(
+                t,
+                lambda: self._dml_insert(t, sel, columns=cols_),
+                append_only=True,
             )
 
         if _re.match(r"\s*show\s+tables\s*$", query, _re.IGNORECASE):
@@ -1972,6 +1998,152 @@ class QueryPlanner:
                 self.optimize_physical(logical), self.spark, self.catalog
             )
         return self.dataframe(plan)
+
+    def _retry_dml(self, table, stmt_fn, pred_text=None,
+                   append_only=False):
+        """Run a DML statement; on a ``ConcurrentWriteError``, attempt
+        Delta-style RETRY-WITH-REBASE (VERDICT r8 item 5): when the
+        other writer's commits are provably DISJOINT from this
+        statement's touch set, adopt their lineage suffix and re-execute
+        the statement against the new head — statement-level
+        serialization (them, then us), a linear history, no lost work.
+        A provable overlap (or an unprovable one) re-raises: the user
+        must re-read and decide, exactly as before."""
+        from .sources.dml import ConcurrentWriteError
+
+        try:
+            return stmt_fn()
+        except ConcurrentWriteError:
+            if not self._rebase_lineage(table, pred_text, append_only):
+                raise
+            return stmt_fn()
+
+    def _rebase_lineage(self, table, pred_text=None,
+                        append_only=False) -> bool:
+        """Try to adopt another writer's committed lineage suffix so a
+        conflicting statement can re-execute (the rebase of
+        ``_retry_dml``).  Safe — returns True and fast-forwards the
+        planner's in-memory lineage + catalog registration to the
+        persisted head — iff:
+
+        * our recorded history is a strict PREFIX of the persisted log
+          (the other writer only appended; anything else is divergence),
+        * the foreign commits did not change any DELETION-VECTOR
+          sidecar (a DV write marks rows inside carried files — file
+          identity alone can't prove disjointness), and
+        * the set of data files the foreign commits REMOVED or
+          REWROTE (inode diff of consecutive version dirs, the same
+          proof ``_table_changes`` uses) is disjoint from this
+          statement's touch set: nothing for an append-only INSERT,
+          the footer-band overlap of ``pred_text``'s conjuncts for a
+          pruned DELETE/UPDATE, every file otherwise.
+
+        The touch set is evaluated against OUR stale head — the foreign
+        ``removed`` set is relative to the same snapshot, so the
+        intersection is exact, not heuristic."""
+        import os
+
+        from .sources.dml import (
+            VersionLog,
+            data_files,
+            dv_path,
+            file_bands,
+            file_excluded,
+            has_dv,
+            prune_conjuncts,
+        )
+
+        if not getattr(self.catalog, "_warehouse", None):
+            return False
+        vlog = VersionLog(self.catalog.warehouse_root())
+        persisted = vlog.load(table)
+        ours = self._table_history.get(table)
+        if (
+            not persisted
+            or not ours
+            or len(persisted) <= len(ours)
+            or persisted[: len(ours)] != ours
+        ):
+            return False  # divergent or unreadable — no safe rebase
+
+        def inodes(path):
+            out = {}
+            for f in data_files(path):
+                try:
+                    st = os.stat(f)
+                except OSError:
+                    continue
+                out[(st.st_dev, st.st_ino)] = f
+            return out
+
+        def dv_names(path):
+            if not has_dv(path):
+                return frozenset()
+            dvp = dv_path(path)
+            try:
+                return frozenset(
+                    f for f in os.listdir(dvp) if f.endswith(".parquet")
+                )
+            except OSError:
+                return frozenset({"__unreadable__"})
+
+        removed: set = set()
+        prev = persisted[len(ours) - 1]
+        for nxt in persisted[len(ours):]:
+            if dv_names(prev) != dv_names(nxt):
+                return False  # DV changed: row-level marks, can't prove
+            a, b = inodes(prev), inodes(nxt)
+            removed |= {f for k, f in a.items() if k not in b}
+            prev = nxt
+        if removed and not append_only:
+            touched = None  # None = all files (no provable pruning)
+            if pred_text is not None:
+                conj = prune_conjuncts(pred_text, macros=self._sql_macros)
+                if conj:
+                    head_files = data_files(ours[-1])
+                    bands = file_bands(
+                        head_files, {c[0] for c in conj},
+                        table_path=ours[-1],
+                    )
+                    touched = {
+                        f
+                        for f in head_files
+                        if not file_excluded(bands[f], conj)
+                    }
+            if touched is None:
+                return False
+            # compare by inode: the foreign version carries our head's
+            # untouched files as hardlinks under NEW paths
+            def inoset(paths):
+                out = set()
+                for f in paths:
+                    try:
+                        st = os.stat(f)
+                    except OSError:
+                        continue
+                    out.add((st.st_dev, st.st_ino))
+                return out
+
+            if inoset(touched) & inoset(removed):
+                return False
+        # fast-forward: adopt the persisted lineage wholesale
+        self._table_history[table] = list(persisted)
+        ops = vlog.load_ops(table)
+        self._table_ops[table] = (
+            list(ops)
+            if ops and len(ops) == len(persisted)
+            else ["base"] + ["write"] * (len(persisted) - 1)
+        )
+        cts = vlog.load_commit_ts(table)
+        if cts and len(cts) == len(persisted):
+            self._table_commit_ts[table] = list(cts)
+        else:
+            self._table_commit_ts.pop(table, None)
+        self._cow_versions[table] = len(persisted) - 1
+        self.catalog.register(
+            table, persisted[-1], keep_schema_override=True
+        )
+        return True
 
     def _cow_dest(self, table: str, op: str = "write") -> str:
         """Next copy-on-write destination for a DML/MERGE rewrite of

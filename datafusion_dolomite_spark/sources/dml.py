@@ -53,6 +53,7 @@ __all__ = [
     "file_excluded",
     "VersionLog",
     "ConcurrentWriteError",
+    "VersionVacuumedError",
 ]
 
 
@@ -62,6 +63,16 @@ class ConcurrentWriteError(RuntimeError):
     conflict).  The loser must re-read the table and retry its
     statement — continuing would overwrite the other writer's
     version."""
+
+
+class VersionVacuumedError(RuntimeError):
+    """A version-addressed read (``VERSION AS OF`` / ``TIMESTAMP AS
+    OF`` / ``RESTORE``) resolved to a version directory that a VACUUM
+    removed — typically another planner's vacuum racing this reader's
+    stale lineage.  Defined, deterministic behavior (r9, VERDICT item
+    6) instead of an undefined filesystem error: the message names the
+    retention lever (``VACUUM t RETAIN n HOURS``) that controls how
+    long time travel stays possible."""
 
 
 #: deletion-vector sidecar directory inside a version dir.  The ``_``

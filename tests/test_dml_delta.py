@@ -657,8 +657,11 @@ def test_macro_predicate_still_prunes(clustered):
 
 def test_concurrent_writer_detected(spark, tmp_path):
     """Optimistic concurrency (r8): two planners sharing one lineage —
-    the second writer's DML fails with ConcurrentWriteError instead of
-    silently overwriting the first one's version dir."""
+    the second writer's OVERLAPPING DML fails with ConcurrentWriteError
+    instead of silently overwriting the first one's version dir.  (The
+    single-file table makes any two predicates overlap, so r9's
+    retry-with-rebase correctly refuses and the original abort
+    semantics hold.)"""
     from datafusion_dolomite_spark.sources.dml import ConcurrentWriteError
 
     wh = str(tmp_path / "wh")
@@ -681,6 +684,95 @@ def test_concurrent_writer_detected(spark, tmp_path):
     assert qp_a.sql("select * from t version as of 2").count() == 8
     hist = [r["version"] for r in qp_a.sql("describe history t").collect()]
     assert hist == [0, 1, 2]
+
+
+def test_concurrent_disjoint_deletes_rebase(spark, tmp_path):
+    """Retry-with-rebase (r9, VERDICT item 5): two planners commit
+    DELETEs whose file sets are provably disjoint (footer-band proof on
+    the loser's snapshot vs the winner's inode-diffed rewrites) — the
+    loser adopts the winner's lineage suffix and re-executes; BOTH land
+    with a linear history."""
+    wh = str(tmp_path / "wh")
+    base = str(tmp_path / "t0")
+    # two data files with disjoint k bands: [0..49] and [100..149]
+    spark.createDataFrame(
+        [(i,) for i in range(50)], "k bigint"
+    ).coalesce(1).write.parquet(base)
+    spark.createDataFrame(
+        [(i,) for i in range(100, 150)], "k bigint"
+    ).coalesce(1).write.mode("append").parquet(base)
+    cat_a = Catalog(warehouse=wh)
+    cat_a.register("t", base)
+    qp_a = QueryPlanner(spark, cat_a)
+    qp_a.sql("delete from t where k = 0").count()  # v1 (low file)
+
+    cat_b = Catalog(warehouse=wh)
+    cat_b.register("t", base)
+    qp_b = QueryPlanner(spark, cat_b)  # lineage at head v1
+    qp_a.sql("delete from t where k = 1").count()  # A → v2 (low file)
+    # B's DELETE touches only the HIGH file — disjoint from A's v2
+    assert qp_b.sql("delete from t where k = 100").count() == 97
+    hist = [r["version"] for r in qp_b.sql("describe history t").collect()]
+    assert hist == [0, 1, 2, 3]  # linear: base, A, A, B
+    ks = {r["k"] for r in qp_b.sql("select * from t").collect()}
+    assert {0, 1, 100}.isdisjoint(ks) and {2, 49, 101, 149} <= ks
+
+
+def test_concurrent_insert_rebases_over_delete(spark, tmp_path):
+    """An INSERT is append-only — it rebases over ANY foreign commit
+    (nothing it touches can have been removed); the inserted rows and
+    the foreign delete both survive."""
+    wh = str(tmp_path / "wh")
+    base = str(tmp_path / "t0")
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "k bigint"
+    ).coalesce(1).write.parquet(base)
+    cat_a = Catalog(warehouse=wh)
+    cat_a.register("t", base)
+    qp_a = QueryPlanner(spark, cat_a)
+    qp_a.sql("delete from t where k = 0").count()  # v1
+
+    cat_b = Catalog(warehouse=wh)
+    cat_b.register("t", base)
+    qp_b = QueryPlanner(spark, cat_b)
+    qp_a.sql("delete from t where k = 1").count()  # A → v2
+    qp_b.sql("insert into t values (777)").count()  # rebases → v3
+    ks = sorted(r["k"] for r in qp_b.sql("select * from t").collect())
+    assert ks == [2, 3, 4, 5, 6, 7, 8, 9, 777]
+    hist = [r["version"] for r in qp_b.sql("describe history t").collect()]
+    assert hist == [0, 1, 2, 3]
+
+
+def test_vacuum_racing_reader_deterministic_error(spark, tmp_path):
+    """VACUUM vs a concurrent reader (r9, VERDICT item 6): a reader
+    whose lineage still lists a version that another planner's VACUUM
+    removed gets a deterministic VersionVacuumedError naming the
+    RETAIN retention lever — not an undefined filesystem error.  The
+    head (and any surviving version) keeps reading."""
+    from datafusion_dolomite_spark.sources.dml import VersionVacuumedError
+
+    wh = str(tmp_path / "wh")
+    base = str(tmp_path / "t0")
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "k bigint"
+    ).coalesce(1).write.parquet(base)
+    cat_a = Catalog(warehouse=wh)
+    cat_a.register("t", base)
+    qp_a = QueryPlanner(spark, cat_a)
+    qp_a.sql("delete from t where k = 0").count()  # v1
+    qp_a.sql("delete from t where k = 1").count()  # v2 (head)
+
+    # reader planner resolves v1 fine before the vacuum
+    cat_r = Catalog(warehouse=wh)
+    cat_r.register("t", base)
+    qp_r = QueryPlanner(spark, cat_r)
+    assert qp_r.sql("select * from t version as of 1").count() == 9
+
+    qp_a.sql("vacuum t").count()  # removes v1's dir (head survives)
+    with pytest.raises(VersionVacuumedError, match="RETAIN n HOURS"):
+        qp_r.sql("select * from t version as of 1").count()
+    # the head still reads through the stale-lineage planner
+    assert qp_r.sql("select * from t version as of 2").count() == 8
 
 
 def test_explain_dml_reports_pruning(clustered):
