@@ -199,3 +199,75 @@ def test_compact_collapses_duplicate_lineages(spark, tmp_path, corpus):
     assert spark.read.parquet(idx).count() == 2 * one
     before, after = compact_signature_index(spark, idx)
     assert (before, after) == (2 * one, one)
+
+
+def test_migrate_index_rebanding_preserves_verdicts(spark, tmp_path, corpus):
+    """r9 (VERDICT item 7): re-band a live 3-band index to 4 bands from
+    its STORED signatures — no corpus re-read; a probe with the new
+    banding reproduces the historical verdicts (near-dup of doc 1 and
+    exact dup of doc 2 still drop, the novel doc survives), tombstones
+    carry over, and the metadata sidecar re-parameterizes."""
+    from datafusion_dolomite_spark.functions.dedup import (
+        migrate_signature_index,
+        read_index_meta,
+        signature_index_delete,
+    )
+
+    batch1, batch2 = corpus
+    idx = str(tmp_path / "index")
+    incremental_minhash_dedup(
+        spark, batch1, idx, "doc_id", "text",
+        num_hashes=12, bands=3, batch_label="b1",
+    )
+    # tombstone doc 3 BEFORE migrating — the delete must survive
+    signature_index_delete(spark, idx, _docs(spark, [(3, "")]), "doc_id")
+    assert read_index_meta(idx) == (12, 3, 3)
+
+    before, after = migrate_signature_index(spark, idx, bands=4)
+    assert read_index_meta(idx) == (12, 4, 3)
+    assert after == (before // 3) * 4  # 3 band rows per doc became 4
+    bands_seen = {
+        r["band_idx"]
+        for r in spark.read.parquet(idx).select("band_idx").distinct().collect()
+    }
+    assert bands_seen == {0, 1, 2, 3}
+
+    # probe with the NEW banding: historical verdicts preserved
+    r2, _ = incremental_minhash_dedup(
+        spark, batch2, idx, "doc_id", "text",
+        num_hashes=12, bands=4, batch_label="b2",
+    )
+    verdict = {r["doc_id"]: r["kept"] for r in r2.collect()}
+    assert verdict == {10: False, 11: True, 12: False}
+    # the pre-migration tombstone still excludes doc 3 from matching
+    r3, _ = incremental_minhash_dedup(
+        spark,
+        _docs(spark, [(30, "a third document describing distributed query optimization")]),
+        idx, "doc_id", "text", num_hashes=12, bands=4,
+        update_index=False, batch_label="b3",
+    )
+    assert r3.collect()[0]["kept"] is True  # doc 3 is tombstoned
+
+
+def test_mismatched_probe_params_fail_loudly(spark, tmp_path, corpus):
+    """A probe whose (num_hashes, bands, k) disagree with the index's
+    recorded parameterization raises instead of silently missing
+    candidates; migrate_signature_index refuses a bands count that
+    does not divide num_hashes (that change needs a text rebuild)."""
+    from datafusion_dolomite_spark.functions.dedup import (
+        migrate_signature_index,
+    )
+
+    batch1, _ = corpus
+    idx = str(tmp_path / "index")
+    incremental_minhash_dedup(
+        spark, batch1, idx, "doc_id", "text",
+        num_hashes=12, bands=3, batch_label="b1",
+    )
+    with pytest.raises(ValueError, match="parameterized"):
+        incremental_minhash_dedup(
+            spark, batch1, idx, "doc_id", "text",
+            num_hashes=12, bands=4, batch_label="b2",
+        )
+    with pytest.raises(ValueError, match="must[\\s\\S]*divide"):
+        migrate_signature_index(spark, idx, bands=5)
