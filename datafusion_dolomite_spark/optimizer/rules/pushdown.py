@@ -232,11 +232,36 @@ class MergeFilterIntoJoinRule(Rule):
 def _subtree_stats(node, ctx):
     """Bottom-up Statistics for a real (hep-phase) plan subtree, reusing
     the cascades stats derivation — catalog row counts at the scans,
-    ndv-based join selectivity above them."""
+    ndv-based join selectivity above them.
+
+    A ``LogicalFilter`` directly over a ``LogicalScan`` derives as the
+    FUSED scan (r9, VERDICT item 8): the scan-cardinality path is the
+    one that consults the catalog's adaptive selectivity corrections
+    (EXPLAIN ANALYZE feedback), while the plain filter path only knows
+    System-R selectivity — so a DP enumeration that ran before filter
+    fusion was blind to the corrections and kept a join order the
+    feedback had already disproved.  Deriving the fused form here is
+    also simply more faithful: it is the estimate the final plan (with
+    the filter fused into the scan) will carry."""
+    from ...operators import logical as L
     from ..cascades.cost import derive_stats
 
+    op = node.operator
+    if (
+        isinstance(op, L.LogicalFilter)
+        and len(node.inputs) == 1
+        and isinstance(node.inputs[0].operator, L.LogicalScan)
+    ):
+        scan = node.inputs[0].operator
+        fused = L.LogicalScan(
+            scan.table_name,
+            scan.limit,
+            tuple(scan.filters or ()) + tuple(_conjuncts(op.predicate)),
+            scan.columns,
+        )
+        return derive_stats(fused, [], ctx)
     return derive_stats(
-        node.operator, [_subtree_stats(c, ctx) for c in node.inputs], ctx
+        op, [_subtree_stats(c, ctx) for c in node.inputs], ctx
     )
 
 
