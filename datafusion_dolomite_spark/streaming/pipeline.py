@@ -20,6 +20,7 @@ partitioned by group key across executors.
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 __all__ = [
     "windowed_event_counts",
@@ -93,6 +94,52 @@ def _run_stream(spark, df, output_mode, *, sink="memory", sink_path=None):
     return spark.read.schema(df.schema).parquet(sink_path)
 
 
+def _stream_state_partitions(spark, sf_dir: str,
+                             per_partition: int = 50_000) -> int:
+    """STATE-SIZE-derived shuffle partition count for stateful
+    streaming replays (r9, VERDICT item 4).  Each stream shuffle
+    partition carries its own state store instances — a stream-stream
+    join keeps FOUR per partition — and every micro-batch pays a
+    per-store commit (delta file write + fsync) REGARDLESS of rows.
+    Measured on the sf0.1 attribution join (200k input rows, ~40k
+    state rows, 371 output rows): 19.2 s at 32 partitions → 5.0 s at
+    8 → 3.1 s at 4, bit-identical results — the 32-partition state
+    commit tax was ~5x the query's actual work.  So the partition
+    count must track the STATE footprint (input rows / 50k, floor 4
+    for stateless-stage parallelism), not the session's batch shuffle
+    setting; the session setting stays as the cap, which at cluster
+    scale stops binding long before the state outgrows it.  Row count
+    comes from parquet footer metadata — no Spark job.  The streaming
+    checkpoint pins the partitioning at query start, so this must be
+    in force when ``writeStream.start()`` runs (``_stream_shuffle``)."""
+    from ..sources.dml import parquet_rows
+
+    try:
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        cur = 200
+    n = parquet_rows(f"{sf_dir}/events.parquet")
+    if n <= 0:
+        return cur
+    return max(4, min(cur, n // per_partition))
+
+
+@contextmanager
+def _stream_shuffle(spark, nparts: int):
+    """Temporarily pin ``spark.sql.shuffle.partitions`` while a
+    streaming query STARTS (the value is captured into the query plan
+    and checkpoint at start; restoring afterwards doesn't affect the
+    running query).  Batch queries planned inside the window would see
+    the value too — callers keep the window to the start+drain of one
+    bounded replay."""
+    cur = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", cur)
+
+
 def _event_stream(spark, sf_dir: str):
     """events.parquet as a bounded stream.  The driver has shipped ts as
     both int64 nanoseconds (early rounds) and timestamp[us]; derive the
@@ -141,7 +188,8 @@ def windowed_event_counts(spark, sf_dir: str, window: str = "1 hour"):
             "n_users_approx",
         )
     )
-    out = _run_stream(spark, agg, "complete")
+    with _stream_shuffle(spark, _stream_state_partitions(spark, sf_dir)):
+        out = _run_stream(spark, agg, "complete")
     # approx_count_distinct is estimation — drop it from the oracle-checked
     # surface; it exists to exercise sketch aggregation in streaming state.
     return out.select("window_start_s", "event_type", "n_events")
@@ -158,8 +206,10 @@ def sessionized_user_activity(spark, sf_dir: str, gap: str = "30 minutes"):
         .groupBy(F.session_window("event_time", gap), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+    with _stream_shuffle(spark, _stream_state_partitions(spark, sf_dir)):
+        drained = _run_stream(spark, sess, "complete")
     return (
-        _run_stream(spark, sess, "complete")
+        drained
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
@@ -190,7 +240,8 @@ def deduped_event_counts(spark, sf_dir: str):
         ["event_id"]
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-    return _run_stream(spark, agg, "complete")
+    with _stream_shuffle(spark, _stream_state_partitions(spark, sf_dir)):
+        return _run_stream(spark, agg, "complete")
 
 
 def enriched_event_counts(spark, sf_dir: str):
@@ -208,7 +259,8 @@ def enriched_event_counts(spark, sf_dir: str):
     agg = joined.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    return _run_stream(spark, agg, "complete")
+    with _stream_shuffle(spark, _stream_state_partitions(spark, sf_dir)):
+        return _run_stream(spark, agg, "complete")
 
 
 def purchase_click_pairs(
@@ -261,7 +313,13 @@ def purchase_click_pairs(
         ),
         "inner",
     ).select("purchase_id", "click_id")
-    return _run_stream(spark, joined, "append", sink=sink, sink_path=sink_path)
+    # state-size-derived partitioning: the join keeps 4 state stores
+    # PER partition and commits each every micro-batch — see
+    # _stream_state_partitions (19.2 s → 3.1 s at sf0.1)
+    with _stream_shuffle(spark, _stream_state_partitions(spark, sf_dir)):
+        return _run_stream(
+            spark, joined, "append", sink=sink, sink_path=sink_path
+        )
 
 
 def purchase_click_pairs_outer(spark, sf_dir: str, horizon: str = "1 hour"):
@@ -344,7 +402,8 @@ def purchase_click_pairs_outer(spark, sf_dir: str, horizon: str = "1 hour"):
         # int→float decay in downstream hashing)
         F.coalesce(F.col("click_id"), F.lit(-1).cast("bigint")).alias("click_id"),
     )
-    return _run_stream(spark, joined, "append")
+    with _stream_shuffle(spark, _stream_state_partitions(spark, sf_dir)):
+        return _run_stream(spark, joined, "append")
 
 
 def incremental_upsert(
