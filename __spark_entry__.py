@@ -2787,6 +2787,22 @@ EXTENSION_ORACLES = {
         )
         SELECT k, v FROM merged ORDER BY k
     """,
+    "q_sql_merge_nms": """
+        WITH t AS (
+          SELECT c_custkey AS k, c_nationkey::BIGINT AS v FROM customer
+        ),
+        s AS (
+          SELECT c_custkey AS k, (c_nationkey + 50)::BIGINT AS v
+          FROM customer WHERE c_custkey % 3 = 0
+        ),
+        merged AS (
+          SELECT t.k, s.v FROM t JOIN s ON t.k = s.k
+          UNION ALL
+          SELECT t.k, (-1)::BIGINT FROM t LEFT JOIN s ON t.k = s.k
+          WHERE s.k IS NULL AND NOT (t.v < 12)
+        )
+        SELECT k, v FROM merged ORDER BY k
+    """,
     "q_cdc_export": """
         WITH base AS (
           SELECT c_custkey AS k, c_nationkey AS nat FROM customer
@@ -5244,6 +5260,34 @@ def q_sql_merge_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "when not matched and b.v = 99 then insert *"
     ).count()
     return pl.sql("select k, v from mm_t order by k")
+
+
+def q_sql_merge_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE … WHEN NOT MATCHED BY SOURCE (r9): Delta's sync arm —
+    target rows the source no longer carries take UPDATE/DELETE
+    clauses of their own (first applicable wins), alongside the
+    ordinary matched/not-matched arms.  Still ONE full-outer join +
+    per-column chained CASE (planner.py::_merge_into); a BY SOURCE
+    clause disables source-range file pruning for the statement (every
+    file can hold unmatched rows).  The oracle replays the dispatch
+    relationally."""
+    pl = _planner(spark, sf_dir)
+    pl.sql(
+        "create table nms_t as select c_custkey as k, "
+        "cast(c_nationkey as bigint) as v from customer"
+    ).count()
+    pl.sql(
+        "create table nms_s as "
+        "select c_custkey as k, cast(c_nationkey + 50 as bigint) as v "
+        "from customer where mod(c_custkey, 3) = 0"
+    ).count()
+    pl.sql(
+        "merge into nms_t as a using nms_s as b on a.k = b.k "
+        "when matched then update set v = b.v "
+        "when not matched by source and a.v < 12 then delete "
+        "when not matched by source then update set v = -1"
+    ).count()
+    return pl.sql("select k, v from nms_t order by k")
 
 
 def q_cdc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7835,43 +7879,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head
 
 
-#: round-8 check priority: STALENESS rotation (VERDICT r5 item 2).
-#: New r8 queries first (time travel over the persisted version log,
-#: OPTIMIZE/VACUUM lifecycle), then the queries whose IMPLEMENTATION
-#: changed this round (delta-sized DML with file pruning; parser-level
-#: macros; tombstone-aware incremental-dedup probe; schema-aware
-#: exchange unwrap under shuffle joins), then the stalest driver-green
-#: queries (r2/r3/r4 eras) — the DP fast path and planning-time work
-#: touched every SQL query's optimize() path, so refreshing stale
-#: greens still matters.
+#: round-9 check priority: STALENESS rotation (VERDICT r5 item 2).
+#: New r9 query first (residual-PQ recall comparison), then the
+#: queries whose IMPLEMENTATION changed this round — residual IVF-PQ
+#: encoding, state-sized streaming shuffle partitions, MERGE clause
+#: parsing + conjunction-gated pruning, the DML retry-with-rebase
+#: wrapper, the verbatim DV row key, the signature-index metadata
+#: sidecar, and the DP join enumeration now reading adaptive
+#: corrections (touches every comma-join SQL query) — then the
+#: stalest driver-green queries.
 _UNPROVEN_PREFIX = (
-    # new this round (r8) — never driver-checked, prove first
+    # new this round (r9) — never driver-checked, prove first
+    "q_knn_residual", "q_sql_merge_nms",
+    # r9 CHANGED these queries' implementation — re-prove next
+    "q_knn_ivfpq", "q_knn_recall",
+    "q_stream_stream_join", "q_stream_outer_join", "q_stream_file_sink",
+    "q_stream_window_counts", "q_stream_sessions", "q_stream_dedup",
+    "q_stream_enrich",
+    "q_sql_merge_multi", "q_sql_merge", "q_sql_dml",
+    "q_sql_dv", "q_table_changes", "q_cdc_export",
+    "q_incremental_dedup",
+    "q_sql_comma_q5", "q_sql_q5", "q_sql_q8", "q_adaptive_stats",
+    # r8-era queries whose latest green is one round old
     "q_sql_time_travel", "q_sql_optimize", "q_stream_versioned",
-    "q_sql_restore", "q_sql_clone", "q_sql_constraints", "q_table_changes",
-    "q_sql_dv", "q_scd2", "q_sql_view", "q_cdc_export", "q_sql_merge_multi",
-    "q_knn_pq", "q_knn_ivfpq", "q_knn_recall",
-    # r8 CHANGED these queries' implementation — re-prove next
-    "q_sql_dml", "q_sql_merge", "q_sql_udf", "q_incremental_dedup",
-    "q_dynamic_skip_join",
-    # last driver-green in r2 — stalest, rotate in
+    "q_sql_restore", "q_sql_clone", "q_sql_constraints",
+    "q_scd2", "q_sql_view", "q_knn_pq",
+    # last driver-green in r2/r3 — stalest, rotate in
     "q_minhash_pairs", "q_multimodal_features", "q_multimodal_frames",
     "q_multimodal_resize", "q_ngram_jaccard", "q_pandas_udaf",
     "q_percentiles", "q_rollup", "q_salted_join", "q_sequence_pack",
     "q_simhash", "q_sql_offset", "q_sql_window", "q_stratified_sample",
     "q_term_stats", "q_text_stats",
-    # last driver-green in r3
     "q_pivot_events", "q_sql_ctas", "q_sql_grouping", "q_sql_q11",
     "q_sql_q15", "q_sql_q16", "q_sql_q17", "q_sql_q20", "q_sql_q21",
-    "q_sql_q22", "q_stream_dedup", "q_stream_enrich", "q_stream_sessions",
-    "q_stream_stateful", "q_stream_window_counts",
+    "q_sql_q22", "q_stream_stateful",
     # last driver-green in r4
     "q_anti_join", "q_asof_join", "q_asof_tolerance", "q_cube",
     "q_date_functions", "q_events_json", "q_except", "q_funnel",
     "q_global_agg", "q_intersect", "q_label_centroids", "q_left_join",
     "q_retention", "q_salted_agg", "q_sessionize_batch", "q_sql_case_like",
-    "q_sql_comma_q5", "q_sql_q1", "q_sql_q10", "q_sql_q12", "q_sql_q13",
+    "q_sql_q1", "q_sql_q10", "q_sql_q12", "q_sql_q13",
     "q_sql_q14", "q_sql_q18", "q_sql_q19", "q_sql_q2", "q_sql_q4",
-    "q_sql_q7", "q_sql_q8", "q_sql_q9", "q_union_all",
+    "q_sql_q7", "q_sql_q9", "q_union_all",
 )
 
 
@@ -7956,6 +8005,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_view": q_sql_view,
         "q_cdc_export": q_cdc_export,
         "q_sql_merge_multi": q_sql_merge_multi,
+        "q_sql_merge_nms": q_sql_merge_nms,
         "q_knn_pq": q_knn_pq,
         "q_knn_ivfpq": q_knn_ivfpq,
         "q_sql_restore": q_sql_restore,

@@ -2571,12 +2571,19 @@ class QueryPlanner:
 
     def _parse_merge_clauses(self, text: str):
         """Split a MERGE statement's WHEN section into ordered clauses
-        ``(is_matched, condition_or_None, action)`` — Delta's
-        multi-clause grammar: any number of
-        ``WHEN MATCHED [AND cond] THEN UPDATE SET … | DELETE`` and
-        ``WHEN NOT MATCHED [AND cond] THEN INSERT *``, evaluated in
-        statement order, first applicable clause wins.  Clause
-        boundaries are TOP-LEVEL ``WHEN … MATCHED`` tokens only
+        ``(kind, condition_or_None, action)`` — Delta's multi-clause
+        grammar: any number of
+
+        * ``WHEN MATCHED [AND cond] THEN UPDATE SET … | DELETE``
+          (kind ``"m"``),
+        * ``WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT *``
+          (kind ``"nmt"``), and
+        * ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET … |
+          DELETE`` (kind ``"nms"``, r9) — target rows with NO source
+          match, Delta's sync-deletion arm,
+
+        evaluated in statement order, first applicable clause wins.
+        Clause boundaries are TOP-LEVEL ``WHEN … MATCHED`` tokens only
         (quote/paren-aware scan): a string literal or parenthesized
         subexpression containing the text 'when matched' no longer
         splits the statement mid-literal."""
@@ -2616,28 +2623,47 @@ class QueryPlanner:
                 raise ValueError(f"MERGE: cannot parse clause {ch!r}")
             head, action = ch[: tm.start()], ch[tm.end():].strip()
             cm = _re.match(
-                r"\s*when\s+(not\s+)?matched(?:\s+and\s+(.+?))?\s*$",
+                r"\s*when\s+(not\s+)?matched"
+                r"(?:\s+by\s+(source|target))?"
+                r"(?:\s+and\s+(.+?))?\s*$",
                 head,
                 _re.IGNORECASE | _re.DOTALL,
             )
             if not cm:
                 raise ValueError(f"MERGE: cannot parse clause {ch!r}")
-            is_matched = cm.group(1) is None
-            cond = cm.group(2)
+            negated = cm.group(1) is not None
+            by = (cm.group(2) or "").lower()
+            cond = cm.group(3)
+            if not negated and by:
+                raise ValueError(
+                    f"MERGE: WHEN MATCHED takes no BY {by.upper()} "
+                    "qualifier (only NOT MATCHED does)"
+                )
+            if negated and by == "source":
+                kind = "nms"
+            elif negated:
+                kind = "nmt"  # BY TARGET is the default NOT MATCHED
+            else:
+                kind = "m"
             al = " ".join(action.lower().split())
-            if is_matched and al != "delete" and not al.startswith(
+            if kind in ("m", "nms") and al != "delete" and not al.startswith(
                 "update set "
             ):
+                which = (
+                    "WHEN MATCHED"
+                    if kind == "m"
+                    else "WHEN NOT MATCHED BY SOURCE"
+                )
                 raise ValueError(
-                    "MERGE: WHEN MATCHED supports UPDATE SET … or DELETE, "
+                    f"MERGE: {which} supports UPDATE SET … or DELETE, "
                     f"got {action!r}"
                 )
-            if not is_matched and al != "insert *":
+            if kind == "nmt" and al != "insert *":
                 raise ValueError(
                     "MERGE: WHEN NOT MATCHED supports INSERT *, "
                     f"got {action!r}"
                 )
-            clauses.append((is_matched, cond, action))
+            clauses.append((kind, cond, action))
         if not clauses:
             raise ValueError("MERGE: at least one WHEN clause required")
         return clauses
@@ -2657,10 +2683,13 @@ class QueryPlanner:
         multi-clause WHEN list (``_parse_merge_clauses``, Delta's
         grammar): any number of ``WHEN MATCHED [AND cond] THEN UPDATE
         SET … | DELETE`` — first applicable clause wins, a matched row
-        no clause covers keeps its values — and ``WHEN NOT MATCHED
-        [AND cond] THEN INSERT *`` — a source-only row no clause covers
-        is NOT inserted (omit the NOT MATCHED arm for update-only
-        merges)."""
+        no clause covers keeps its values — ``WHEN NOT MATCHED [AND
+        cond] THEN INSERT *`` — a source-only row no clause covers is
+        NOT inserted (omit the NOT MATCHED arm for update-only merges)
+        — and (r9) ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE
+        SET … | DELETE`` — target rows with no source match (Delta's
+        sync-deletion arm; its presence disables source-range file
+        pruning, since every file can hold unmatched rows)."""
         import re as _re
 
         from pyspark.sql import functions as F
@@ -2726,6 +2755,11 @@ class QueryPlanner:
                     prune_tk = em.group(1) or em.group(4)
                     prune_sk = em.group(3) or em.group(2)
                     break
+        if any(kind == "nms" for kind, _c, _a in clauses):
+            # WHEN NOT MATCHED BY SOURCE touches target rows with NO
+            # source match — every file can hold them, so source-range
+            # pruning is unsound for this statement shape
+            prune_tk = None
         from .sources.dml import partition_columns
 
         kept: list = []
@@ -2796,40 +2830,57 @@ class QueryPlanner:
                 else F.lit(True)
             )
 
+        def _parse_update_or_delete(action):
+            al = " ".join(action.lower().split())
+            if al == "delete":
+                return None
+            return self._parse_set_clause(
+                _re.sub(
+                    r"^update\s+set\s+",
+                    "",
+                    action.strip(),
+                    flags=_re.IGNORECASE,
+                )
+            )
+
         m_clauses = []  # (cond Column, sets dict | None-for-delete)
         nm_conds = []  # insert-clause conditions, in order
-        for is_m, cond, action in clauses:
-            if is_m:
-                al = " ".join(action.lower().split())
-                sets = (
-                    None
-                    if al == "delete"
-                    else self._parse_set_clause(
-                        _re.sub(
-                            r"^update\s+set\s+",
-                            "",
-                            action.strip(),
-                            flags=_re.IGNORECASE,
-                        )
-                    )
+        nms_clauses = []  # not-matched-BY-SOURCE: (cond, sets|None)
+        for kind, cond, action in clauses:
+            if kind == "m":
+                m_clauses.append((ccond(cond), _parse_update_or_delete(action)))
+            elif kind == "nms":
+                nms_clauses.append(
+                    (ccond(cond), _parse_update_or_delete(action))
                 )
-                m_clauses.append((ccond(cond), sets))
             else:
                 nm_conds.append(ccond(cond))
 
-        # row dropped ⇔ its first applicable MATCHED clause is DELETE
-        del_chain = None
-        for c, sets in m_clauses:
-            del_chain = (
-                F.when(c, F.lit(sets is None))
-                if del_chain is None
-                else del_chain.when(c, F.lit(sets is None))
-            )
+        # row dropped ⇔ its first applicable MATCHED clause is DELETE,
+        # or (target-only) its first applicable BY SOURCE clause is
+        def _delete_chain(cls):
+            chain = None
+            for c, sets in cls:
+                chain = (
+                    F.when(c, F.lit(sets is None))
+                    if chain is None
+                    else chain.when(c, F.lit(sets is None))
+                )
+            return chain
+
+        del_chain = _delete_chain(m_clauses)
         deleted = (
             matched & F.coalesce(del_chain, F.lit(False))
             if del_chain is not None
             else F.lit(False)
         )
+        nms_del_chain = _delete_chain(nms_clauses)
+        if nms_del_chain is not None:
+            deleted = deleted | (
+                in_target
+                & ~matched
+                & F.coalesce(nms_del_chain, F.lit(False))
+            )
         # source-only row inserted ⇔ some NOT MATCHED clause applies
         ins_chain = None
         for c in nm_conds:
@@ -2849,22 +2900,27 @@ class QueryPlanner:
             c = f.name
             keep = F.expr(f"{t_alias}.{c}")
             insert = F.expr(f"{s_alias}.{c}")
-            mval = None
-            for cc, sets in m_clauses:
-                v = (
-                    keep  # DELETE clause: value irrelevant, row dropped
-                    if sets is None
-                    else (
-                        self._sql_expr_column(sets[c]) if c in sets else keep
+
+            def _value_chain(cls):
+                chain = None
+                for cc, sets in cls:
+                    v = (
+                        keep  # DELETE clause: value irrelevant, dropped
+                        if sets is None
+                        else (
+                            self._sql_expr_column(sets[c])
+                            if c in sets
+                            else keep
+                        )
                     )
-                )
-                mval = F.when(cc, v) if mval is None else mval.when(cc, v)
-            matched_value = (
-                F.coalesce(mval, keep) if mval is not None else keep
-            )
+                    chain = (
+                        F.when(cc, v) if chain is None else chain.when(cc, v)
+                    )
+                return F.coalesce(chain, keep) if chain is not None else keep
+
             merged = (
-                F.when(matched, matched_value)
-                .when(in_target, keep)
+                F.when(matched, _value_chain(m_clauses))
+                .when(in_target, _value_chain(nms_clauses))
                 .otherwise(insert)
             )
             cols.append(merged.cast(f.dataType).alias(c))

@@ -1,4 +1,5 @@
-"""ANN regime bench: brute vs PQ-ADC vs IVF-PQ as the corpus grows.
+"""ANN regime bench: brute vs PQ-ADC vs IVF-PQ (raw and RESIDUAL) as
+the corpus grows.
 
 Separates the ONE-TIME index build (PQ encoding, cell assignment —
 amortized across every future query) from the PER-QUERY-SET cost
@@ -7,13 +8,17 @@ show because each runs build+query in one lineage.  Also reports the
 BYTES story: the codes table a PQ query scans vs the vector table a
 brute scan reads — at 100 TB of embeddings that ratio, not local
 wall-clock, decides the regime (same argument as the DV bench's
-bytes-written column).
+bytes-written column).  r9 adds the RESIDUAL IVF-PQ path (codes
+quantize v − cent(cell) with residual-RMS-scaled codebooks, ADC score
+carries the exact centroid term) and a recall@K column against exact
+brute ground truth — quality and speed in one table.
 
 Per trial (interleaved, warm):
-  * brute  — exact cosine over the full vector table
-  * pq     — ADC over the persisted codes table + exact re-rank of the
-             top-``refine`` (point-fetches only those vectors)
-  * ivfpq  — ADC confined to ``nprobe`` probed cells' codes
+  * brute     — exact cosine over the full vector table
+  * pq        — ADC over the persisted codes table + exact re-rank of
+                the top-``refine`` (point-fetches only those vectors)
+  * ivfpq     — ADC confined to ``nprobe`` probed cells' codes
+  * ivfpq_res — same, residual encoding (FAISS IVF-PQ proper)
 
 Run: python scripts/ann_regime_bench.py [n_trials] [scale]
 """
@@ -92,23 +97,55 @@ def main():
     )
     codes = spark.read.parquet(codes_path)
 
+    # ---- residual index build (r9): scale pass + residual codes ------
+    t0 = time.monotonic()
+    enc_r = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv")
+    )
+    enc_r = S._best_cell_pandas(enc_r, "_cv", ncells, resid_sq=(M, sw))
+    enc_r = enc_r.persist()
+    scales = S._pq_residual_scales(enc_r, M, sw)
+    cents = [(i, S._hash_vec(f"c{i}")) for i in range(ncells)]
+    enc_r2 = S._pq_encode_pandas(
+        enc_r.drop("_sq"), "_cv", M, sw, KSUB, cents=cents, scales=scales
+    )
+    codes_res_path = os.path.join(work, "codes_res")
+    enc_r2.select("neighbor_id", "_cell", "_codes").write.parquet(
+        codes_res_path
+    )
+    enc_r.unpersist()
+    build_res_s = time.monotonic() - t0
+    print(
+        f"residual index build {build_res_s:.2f} s "
+        f"({build_res_s / build_s:.2f}× raw build — the scale pass "
+        f"materializes the assignment twice)"
+    )
+    codes_res = spark.read.parquet(codes_res_path)
+
     # ---- query phases -------------------------------------------------
     books = S._pq_books(M, sw, KSUB)
+    books_res = [
+        [(cc, [v * scales[j] for v in bv]) for cc, bv in books[j]]
+        for j in range(M)
+    ]
     q = corpus.filter(F.col("vec_id") < NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
     ).withColumn("_dqv", F.expr(S._dvec("_qv")))
-    lut_terms = []
-    for j in range(M):
-        qs = f"slice(_dqv, {j * sw + 1}, {sw})"
-        for cc, bv in books[j]:
-            lit = "array(" + ", ".join(f"{v!r}D" for v in bv) + ")"
-            lut_terms.append(
-                f"aggregate(zip_with({qs}, {lit}, (x, y) -> x * y), "
-                f"cast(0.0 as double), (acc, v) -> acc + v)"
-            )
-    q_lut = q.withColumn(
-        "_lut", F.expr("array(" + ", ".join(lut_terms) + ")")
-    )
+
+    def lut_col(bks):
+        terms = []
+        for j in range(M):
+            qs = f"slice(_dqv, {j * sw + 1}, {sw})"
+            for _cc, bv in bks[j]:
+                lit = "array(" + ", ".join(f"{v!r}D" for v in bv) + ")"
+                terms.append(
+                    f"aggregate(zip_with({qs}, {lit}, (x, y) -> x * y), "
+                    f"cast(0.0 as double), (acc, v) -> acc + v)"
+                )
+        return F.expr("array(" + ", ".join(terms) + ")")
+
+    q_lut = q.withColumn("_lut", lut_col(books))
+    q_lut_res = q.withColumn("_lut", lut_col(books_res))
     score = " + ".join(
         f"element_at(_lut, {j * KSUB} + element_at(_codes, {j + 1}) + 1)"
         for j in range(M)
@@ -136,7 +173,7 @@ def main():
         )
 
     def brute():
-        return S.knn_brute(corpus, "vec_id", "embedding", NQ, K).count()
+        return S.knn_brute(corpus, "vec_id", "embedding", NQ, K)
 
     def pq():
         scored = codes.join(
@@ -146,7 +183,7 @@ def main():
         cand = scored.withColumn("_pr", F.row_number().over(wq)).filter(
             F.col("_pr") <= REFINE
         ).select("query_id", "neighbor_id", "_qv")
-        return _finish(cand).count()
+        return _finish(cand)
 
     def ivfpq():
         qc = S._probe_cells_pandas(q_lut, "_qv", ncells, NPROBE)
@@ -159,24 +196,54 @@ def main():
         cand = scored.withColumn("_pr", F.row_number().over(wq)).filter(
             F.col("_pr") <= REFINE
         ).select("query_id", "neighbor_id", "_qv")
-        return _finish(cand).count()
+        return _finish(cand)
 
-    runs = {"brute": brute, "pq": pq, "ivfpq": ivfpq}
-    for fn in runs.values():
-        fn()  # warm-up
+    def ivfpq_res():
+        qc = S._probe_cells_pandas(
+            q_lut_res, "_qv", ncells, NPROBE, with_offsets=True
+        )
+        qc = qc.select(
+            "query_id", "_lut", "_qv",
+            F.explode(F.arrays_zip("_probe", "_poff")).alias("_pz"),
+        ).select(
+            "query_id", "_lut", "_qv",
+            F.col("_pz._probe").alias("_cell"),
+            F.col("_pz._poff").alias("_coff"),
+        )
+        scored = codes_res.join(F.broadcast(qc), ["_cell"]).filter(
+            F.col("neighbor_id") != F.col("query_id")
+        ).withColumn("_score", F.expr(f"_coff + {score}"))
+        cand = scored.withColumn("_pr", F.row_number().over(wq)).filter(
+            F.col("_pr") <= REFINE
+        ).select("query_id", "neighbor_id", "_qv")
+        return _finish(cand)
+
+    runs = {"brute": brute, "pq": pq, "ivfpq": ivfpq, "ivfpq_res": ivfpq_res}
+
+    # recall@K vs exact ground truth (once, before timing)
+    gt = {
+        (r["query_id"], r["neighbor_id"]) for r in brute().collect()
+    }
+    recall = {}
+    for name, fn in runs.items():
+        pairs = {(r["query_id"], r["neighbor_id"]) for r in fn().collect()}
+        recall[name] = len(pairs & gt) / max(1, len(gt))
+
     results = {k: [] for k in runs}
     for _ in range(trials):
         for name, fn in runs.items():
             t0 = time.monotonic()
-            fn()
+            fn().count()
             results[name].append(time.monotonic() - t0)
 
     b = statistics.median(results["brute"])
     print(f"\ntrials: {trials} (interleaved, warm; query phase only)")
-    print(f"{'path':<8}{'median s':>10}{'vs brute':>10}")
-    for name in ("brute", "pq", "ivfpq"):
+    print(f"{'path':<10}{'median s':>10}{'vs brute':>10}{'recall@10':>11}")
+    for name in ("brute", "pq", "ivfpq", "ivfpq_res"):
         m_ = statistics.median(results[name])
-        print(f"{name:<8}{m_:>10.3f}{m_ / b:>10.2f}x")
+        print(
+            f"{name:<10}{m_:>10.3f}{m_ / b:>10.2f}x{recall[name]:>10.0%}"
+        )
 
 
 if __name__ == "__main__":

@@ -176,6 +176,100 @@ def test_when_matched_text_inside_string_literal(spark, tmp_path):
     assert got == [(1, "a"), (2, "when matched then x"), (7, "q")]
 
 
+def test_not_matched_by_source_update_and_delete(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE (r9): target rows with no source
+    match take the first applicable BY SOURCE clause — Delta's
+    sync-deletion arm.  Matched rows and inserts behave exactly as
+    before; an uncovered target-only row keeps its values."""
+    cat = Catalog(warehouse=str(tmp_path / "wh10"))
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "k bigint, v bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "t1"))
+    spark.createDataFrame(
+        [(1, 100), (9, 900)], "k bigint, v bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "s1"))
+    cat.register("t", str(tmp_path / "t1"))
+    cat.register("s", str(tmp_path / "s1"))
+    qp = QueryPlanner(spark, cat)
+    qp.sql(
+        "merge into t as a using s as b on a.k = b.k "
+        "when matched then update set v = b.v "
+        "when not matched then insert * "
+        "when not matched by source and a.v < 25 then delete "
+        "when not matched by source and a.v < 35 then update set v = 0"
+    ).count()
+    got = sorted((r["k"], r["v"]) for r in qp.sql("select * from t").collect())
+    # k=1 matched → 100; k=2 unmatched v<25 → deleted; k=3 unmatched
+    # second clause → 0; k=4 unmatched, uncovered → keeps 40; k=9 insert
+    assert got == [(1, 100), (3, 0), (4, 40), (9, 900)]
+
+
+def test_not_matched_by_source_sync_delete(spark, tmp_path):
+    """The canonical full-sync shape: source is the new truth — update
+    matches, insert new rows, delete everything the source no longer
+    carries."""
+    cat = Catalog(warehouse=str(tmp_path / "wh11"))
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k bigint, v bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "t1"))
+    spark.createDataFrame(
+        [(2, 200), (7, 700)], "k bigint, v bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "s1"))
+    cat.register("t", str(tmp_path / "t1"))
+    cat.register("s", str(tmp_path / "s1"))
+    qp = QueryPlanner(spark, cat)
+    qp.sql(
+        "merge into t as a using s as b on a.k = b.k "
+        "when matched then update set v = b.v "
+        "when not matched then insert * "
+        "when not matched by source then delete"
+    ).count()
+    got = sorted((r["k"], r["v"]) for r in qp.sql("select * from t").collect())
+    assert got == [(2, 200), (7, 700)]  # target == source now
+
+
+def test_by_source_disables_file_pruning(spark, tmp_path):
+    """A BY SOURCE clause must reach target files OUTSIDE the source
+    key range — source-range pruning is disabled for the statement
+    (the clause deletes an unmatched row in a file the band would have
+    excluded)."""
+    cat = Catalog(warehouse=str(tmp_path / "wh12"))
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k bigint, v bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "t1"))
+    cat.register("t", str(tmp_path / "t1"))
+    qp = QueryPlanner(spark, cat)
+    qp.sql("insert into t values (50, 30), (51, 40)").count()  # 2nd file
+    spark.createDataFrame(
+        [(1, 100)], "k bigint, v bigint"
+    ).coalesce(1).write.parquet(str(tmp_path / "s1"))
+    cat.register("s", str(tmp_path / "s1"))
+    qp.sql(
+        "merge into t as a using s as b on a.k = b.k "
+        "when matched then update set v = b.v "
+        "when not matched by source and a.v = 30 then delete"
+    ).count()
+    got = sorted((r["k"], r["v"]) for r in qp.sql("select * from t").collect())
+    # k=50 (v=30) sits in the file OUTSIDE the source k-range [1,1] —
+    # still deleted; k=2/k=51 unmatched but uncovered → keep
+    assert got == [(1, 100), (2, 20), (51, 40)]
+
+
+def test_matched_by_source_rejected(spark, tmp_path):
+    cat = Catalog(warehouse=str(tmp_path / "wh13"))
+    spark.createDataFrame([(1, 10)], "k bigint, v bigint").write.parquet(
+        str(tmp_path / "t1")
+    )
+    cat.register("t", str(tmp_path / "t1"))
+    cat.register("s", str(tmp_path / "t1"))
+    qp = QueryPlanner(spark, cat)
+    with pytest.raises(Exception, match="BY SOURCE"):
+        qp.sql(
+            "merge into t as a using s as b on a.k = b.k "
+            "when matched by source then delete"
+        ).count()
+
+
 def test_bad_clause_rejected(spark, tmp_path):
     cat = Catalog(warehouse=str(tmp_path / "wh5"))
     spark.createDataFrame([(1, 10)], "k bigint, v bigint").write.parquet(

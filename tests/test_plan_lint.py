@@ -302,6 +302,10 @@ SHUFFLE_BUDGET = {
     # (each a window exchange pair) + the hit joins and final agg over
     # 200 rows — q_knn_recall-class composition (its budget is 15)
     "q_knn_residual": 12,
+    # r9: BY SOURCE merge — same ONE full-outer join shape as
+    # q_sql_merge_multi (2 hash shuffles: full-outer can't broadcast)
+    # + final ORDER BY over the merged table
+    "q_sql_merge_nms": 3,
 }
 
 BATCH_QUERIES = sorted(
