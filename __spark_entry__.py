@@ -2803,6 +2803,22 @@ EXTENSION_ORACLES = {
         )
         SELECT k, v FROM merged ORDER BY k
     """,
+    "q_sql_evolve": """
+        WITH t0 AS (
+          SELECT c_custkey AS k, c_nationkey::BIGINT AS v
+          FROM customer WHERE c_custkey <= 500
+        ),
+        ins AS (
+          SELECT c_custkey + 1000000 AS k, c_nationkey::BIGINT AS v,
+                 'new' AS src
+          FROM customer WHERE c_custkey <= 100
+        )
+        SELECT k, v, coalesce(src, 'old') AS src FROM (
+          SELECT k, v, NULL::VARCHAR AS src FROM t0
+          UNION ALL
+          SELECT k, v, src FROM ins
+        ) ORDER BY k
+    """,
     "q_cdc_export": """
         WITH base AS (
           SELECT c_custkey AS k, c_nationkey AS nat FROM customer
@@ -5288,6 +5304,37 @@ def q_sql_merge_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "when not matched by source then update set v = -1"
     ).count()
     return pl.sql("select k, v from nms_t order by k")
+
+
+def q_sql_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT-time automatic schema evolution (r9, Delta's
+    mergeSchema): with table property ``schema_evolution='auto'``, an
+    INSERT listing a column the table doesn't have ADDS it through the
+    metadata-only ALTER machinery — pre-evolution rows null-fill on
+    read, the delta file materializes the column physically, and the
+    evolved schema rides the persisted version log
+    (planner.py::insert_dataframe)."""
+    pl = _planner(spark, sf_dir)
+    pl.sql(
+        "create table ev_t as select c_custkey as k, "
+        "cast(c_nationkey as bigint) as v from customer "
+        "where c_custkey <= 500"
+    ).count()
+    pl.sql(
+        "alter table ev_t set tblproperties ('schema_evolution'='auto')"
+    ).count()
+    pl.sql(
+        "insert into ev_t (k, v, src) "
+        "select c_custkey + 1000000 as k, "
+        "cast(c_nationkey as bigint) as v, 'new' as src "
+        "from customer where c_custkey <= 100"
+    ).count()
+    # coalesce: NULL-free output (pre-evolution rows read src as NULL;
+    # a literal default keeps the hashed surface engine-agnostic, the
+    # same discipline as q_stream_outer_join's -1)
+    return pl.sql(
+        "select k, v, coalesce(src, 'old') as src from ev_t order by k"
+    )
 
 
 def q_cdc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7890,7 +7937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: stalest driver-green queries.
 _UNPROVEN_PREFIX = (
     # new this round (r9) — never driver-checked, prove first
-    "q_knn_residual", "q_sql_merge_nms",
+    "q_knn_residual", "q_sql_merge_nms", "q_sql_evolve",
     # r9 CHANGED these queries' implementation — re-prove next
     "q_knn_ivfpq", "q_knn_recall",
     "q_stream_stream_join", "q_stream_outer_join", "q_stream_file_sink",
@@ -8006,6 +8053,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_export": q_cdc_export,
         "q_sql_merge_multi": q_sql_merge_multi,
         "q_sql_merge_nms": q_sql_merge_nms,
+        "q_sql_evolve": q_sql_evolve,
         "q_knn_pq": q_knn_pq,
         "q_knn_ivfpq": q_knn_ivfpq,
         "q_sql_restore": q_sql_restore,

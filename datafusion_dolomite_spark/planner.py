@@ -2466,11 +2466,9 @@ class QueryPlanner:
             if columns
             else names
         )
-        unknown = [c for c in target if c not in names]
-        if unknown:
-            raise ValueError(
-                f"INSERT INTO {table}: unknown column(s) {unknown}"
-            )
+        # unknown-column validation happens in insert_dataframe, which
+        # also owns the schema_evolution='auto' path (r9) — explicitly
+        # listed new columns auto-ADD there instead of erroring here
         vm = _re.match(r"\s*values\b(.+)$", select_sql,
                        _re.IGNORECASE | _re.DOTALL)
         if vm:
@@ -2495,7 +2493,16 @@ class QueryPlanner:
         sink calls per micro-batch (streaming/pipeline.py).  ``columns``
         maps the source positionally onto those target columns
         (remaining table columns fill NULL); rows cast to the table
-        schema.  Returns a scan of the persisted table."""
+        schema.  Returns a scan of the persisted table.
+
+        AUTOMATIC SCHEMA EVOLUTION (r9): with table property
+        ``schema_evolution='auto'`` (Delta's mergeSchema), explicitly
+        listed INSERT columns the table doesn't have yet are ADDED via
+        the metadata-only ALTER machinery (type from the source
+        DataFrame) instead of erroring — old files null-fill the new
+        columns on read, the delta file materializes them physically,
+        and the evolved schema rides the persisted version log exactly
+        like a hand-written ALTER TABLE ADD COLUMN."""
         from pyspark.sql import functions as F
 
         from .execute import SparkExecutor
@@ -2509,9 +2516,33 @@ class QueryPlanner:
         target = list(columns) if columns else names
         unknown = [c for c in target if c not in names]
         if unknown:
-            raise ValueError(
-                f"INSERT INTO {table}: unknown column(s) {unknown}"
+            auto = (
+                self._table_props.get(table, {})
+                .get("schema_evolution", "")
+                .strip()
+                .lower()
+                == "auto"
             )
+            if not auto or columns is None:
+                raise ValueError(
+                    f"INSERT INTO {table}: unknown column(s) {unknown}"
+                    + (
+                        ""
+                        if auto
+                        else " — set table property "
+                        "schema_evolution='auto' (and list the insert "
+                        "columns) to auto-add them"
+                    )
+                )
+            src_types = dict(
+                zip(target, (f.dataType for f in new_rows.schema.fields))
+            )
+            for c in unknown:
+                self._alter_table(
+                    table, add=(c, src_types[c].simpleString())
+                )
+            cur = ex._base_scan(table, fmt)  # re-open with the evolution
+            names = [f.name for f in cur.schema.fields]
         by_name = new_rows.toDF(*target)  # positional → target names
         aligned = by_name.select(
             *[

@@ -123,8 +123,58 @@ class Catalog:
         #: from EXPLAIN ANALYZE (adaptive reoptimization feedback,
         #: VERDICT r6 item 8) — see record_selectivity_correction
         self._sel_corrections: Dict[tuple, float] = {}
+        self._sel_corrections_loaded = False
 
     # -- adaptive statistics feedback ------------------------------------
+    def _corrections_path(self) -> Optional[str]:
+        """Persisted corrections file, or None on a session-scoped
+        (temp) warehouse — corrections then live and die with the
+        catalog object, exactly the pre-r9 behavior."""
+        if self._warehouse is None:
+            return None
+        return os.path.join(self._warehouse, "_stats", "corrections.json")
+
+    def _load_corrections_once(self) -> None:
+        if self._sel_corrections_loaded:
+            return
+        self._sel_corrections_loaded = True
+        path = self._corrections_path()
+        if path is None:
+            return
+        import json
+
+        try:
+            with open(path) as f:
+                for table, pred, factor in json.load(f):
+                    self._sel_corrections.setdefault(
+                        (str(table), str(pred)), float(factor)
+                    )
+        except (OSError, ValueError, TypeError):
+            pass
+
+    def _persist_corrections(self) -> None:
+        path = self._corrections_path()
+        if path is None:
+            return
+        import json
+
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    [
+                        [t, p, factor]
+                        for (t, p), factor in sorted(
+                            self._sel_corrections.items()
+                        )
+                    ],
+                    f,
+                )
+            os.replace(tmp, path)
+        except OSError:
+            pass  # read-only warehouse: corrections stay session-scoped
+
     def record_selectivity_correction(
         self, table: str, pred_class: str, factor: float
     ) -> None:
@@ -134,15 +184,22 @@ class Catalog:
         explain_analyze`` when the misestimate is gross (≥10x either
         way).  The NEXT plan over the same table + predicate class
         multiplies its selectivity estimate by this factor — the
-        session-scoped adaptive-reoptimization analog of the statistics
-        the reference's memo declares but never populates
-        (``memo.rs:781``).  Clamped so a pathological observation can
-        never zero out or explode a plan's cost."""
+        adaptive-reoptimization analog of the statistics the
+        reference's memo declares but never populates (``memo.rs:781``).
+        Clamped so a pathological observation can never zero out or
+        explode a plan's cost.  On a real (non-temp) warehouse the
+        corrections PERSIST (r9): ``<warehouse>/_stats/corrections.json``
+        rides across sessions the way the version log does, so one
+        session's EXPLAIN ANALYZE keeps improving every later
+        session's plans."""
+        self._load_corrections_once()
         self._sel_corrections[(table, pred_class)] = min(
             1e4, max(1e-4, float(factor))
         )
+        self._persist_corrections()
 
     def selectivity_correction(self, table: str, pred_class: str) -> float:
+        self._load_corrections_once()
         return self._sel_corrections.get((table, pred_class), 1.0)
 
     def analyze(self, name: str) -> Statistics:
@@ -165,8 +222,12 @@ class Catalog:
             _NDV_CACHE.pop(key, None)
         except OSError:
             pass
-        for k in [k for k in self._sel_corrections if k[0] == name]:
+        self._load_corrections_once()
+        stale = [k for k in self._sel_corrections if k[0] == name]
+        for k in stale:
             del self._sel_corrections[k]
+        if stale:
+            self._persist_corrections()
         return self.statistics(name)
 
     # -- declared constraints (metastore-style) --------------------------

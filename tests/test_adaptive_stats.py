@@ -207,3 +207,62 @@ def test_correction_flips_dp_join_order(spark, chain_cat):
     # both plans return identical rows (order is a cost choice only)
     n = qp.dataframe(parse_sql(sql, qp.catalog)).collect()[0]["n"]
     assert n == 540_000
+
+
+def test_corrections_persist_across_sessions(spark, tmp_path):
+    """r9: on a real (non-temp) warehouse the learned corrections ride
+    in <warehouse>/_stats/corrections.json — a FRESH catalog + planner
+    pair estimates with them immediately (and the DP join order they
+    flipped stays flipped) without re-running EXPLAIN ANALYZE."""
+    import os
+
+    from datafusion_dolomite_spark.sql import parse_sql
+
+    wh = str(tmp_path / "wh")
+    base = str(tmp_path / "data")
+    rows = [(i % 100, 42) for i in range(18_000)]
+    rows += [(i % 100, 100 + i) for i in range(2_000)]
+    spark.createDataFrame(rows, "ka bigint, v bigint").coalesce(2).write.parquet(
+        base + "/fact"
+    )
+    spark.createDataFrame(
+        [(i % 100, i % 1000) for i in range(3000)], "ka2 bigint, kb bigint"
+    ).coalesce(1).write.parquet(base + "/mid")
+    spark.createDataFrame(
+        [(k, k + 1) for k in range(1000)], "kb2 bigint, z bigint"
+    ).coalesce(1).write.parquet(base + "/dim")
+
+    def mk():
+        cat = Catalog(warehouse=wh)
+        cat.register("fact", base + "/fact")
+        cat.register("mid", base + "/mid")
+        cat.register("dim", base + "/dim")
+        return cat, QueryPlanner(spark, cat)
+
+    sql = (
+        "select count(*) as n from fact, dim, mid "
+        "where v = 42 and ka = ka2 and kb = kb2"
+    )
+    cat1, qp1 = mk()
+    qp1.explain_analyze(parse_sql(sql, qp1.catalog))
+    key = [k for k in cat1._sel_corrections if k[0] == "fact"][0]
+    learned = cat1.selectivity_correction(*key)
+    assert learned > 100
+    assert os.path.exists(os.path.join(wh, "_stats", "corrections.json"))
+
+    # fresh catalog + planner: the correction is already there
+    cat2, qp2 = mk()
+    assert cat2.selectivity_correction(*key) == learned
+    spine = [
+        line
+        for line in qp2.explain(parse_sql(sql, qp2.catalog)).splitlines()
+        if "LogicalJoin" in line or "LogicalScan" in line
+    ]
+    # corrected-huge fact joins LAST (directly under the top join)
+    assert any("fact" in line for line in spine[1:3]), spine
+
+    # ANALYZE TABLE supersedes the learned patch — and persists that
+    cat2.analyze("fact")
+    assert cat2.selectivity_correction(*key) == 1.0
+    cat3, _ = mk()
+    assert cat3.selectivity_correction(*key) == 1.0

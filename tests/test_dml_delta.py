@@ -789,3 +789,39 @@ def test_explain_dml_reports_pruning(clustered):
     assert row["mode"] == "full rewrite" and row["files_carried"] == 0
     assert _inodes(path) == before  # nothing executed
     assert qp.catalog.path("c") == path  # no new version
+
+
+def test_insert_schema_evolution_auto(qp, spark, tmp_path):
+    """r9: with schema_evolution='auto', an INSERT listing a column the
+    table doesn't have ADDS it (Delta's mergeSchema): old files
+    null-fill on read, the delta file materializes it, the evolved
+    schema survives a fresh planner via the persisted log.  Without
+    the property the statement still errors."""
+    with pytest.raises(Exception, match="unknown column"):
+        qp.sql(
+            "insert into t (k, v, tag, note) values "
+            "(100, 1000, 'n', 'hello')"
+        ).count()
+    qp.sql(
+        "alter table t set tblproperties ('schema_evolution'='auto')"
+    ).count()
+    qp.sql(
+        "insert into t (k, v, tag, note) values (100, 1000, 'n', 'hello')"
+    ).count()
+    rows = {r["k"]: r["note"] for r in qp.sql("select * from t").collect()}
+    assert rows[100] == "hello"
+    assert rows[0] is None  # pre-evolution rows null-fill
+    cols = [r["col_name"] for r in qp.sql("describe t").collect()]
+    assert cols == ["k", "v", "tag", "note"]
+    # evolution + property ride the persisted log into a new planner
+    cat2 = Catalog(warehouse=qp.catalog.warehouse_root())
+    cat2.register("t", qp._table_history["t"][0])
+    qp2 = QueryPlanner(spark, cat2)
+    rows2 = {r["k"]: r["note"] for r in qp2.sql("select * from t").collect()}
+    assert rows2[100] == "hello" and rows2[3] is None
+    qp2.sql(
+        "insert into t (k, v, tag, note, extra) values "
+        "(101, 1010, 'm', 'w', 7)"
+    ).count()
+    got = qp2.sql("select k, extra from t where k >= 100 order by k").collect()
+    assert [(r["k"], r["extra"]) for r in got] == [(100, None), (101, 7)]

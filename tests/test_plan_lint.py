@@ -306,6 +306,9 @@ SHUFFLE_BUDGET = {
     # q_sql_merge_multi (2 hash shuffles: full-outer can't broadcast)
     # + final ORDER BY over the merged table
     "q_sql_merge_nms": 3,
+    # r9: schema-evolved scan + final ORDER BY (the INSERT's rebalance
+    # happened before this read)
+    "q_sql_evolve": 1,
 }
 
 BATCH_QUERIES = sorted(
