@@ -200,6 +200,15 @@ class ColumnStatistics:
     #: two-stage aggregate (Agg2SaltedHashAggregateRule).  Derived by
     #: the catalog's ANALYZE-equivalent pass alongside ndv.
     top_count: float = 0.0
+    #: EQUI-HEIGHT histogram (r9): B+1 ascending numeric bin edges
+    #: (exact quantiles at 0, 1/B, …, 1), each bin holding 1/B of the
+    #: rows.  Range-predicate selectivity reads the VALUE DISTRIBUTION
+    #: instead of assuming uniformity over [min, max] — on skewed data
+    #: (90% of a fact table under value 10, a tail to 1e6) the linear
+    #: interpolation is off by 1000x, which at 100 TB is the difference
+    #: between broadcasting a filtered side and shuffling the world.
+    #: () = not collected (non-numeric column, or stats-lite catalog).
+    histogram: tuple = ()
 
 
 @dataclass(frozen=True)

@@ -446,18 +446,45 @@ def _predicate_selectivity(pred, stats) -> float:
             if (
                 op in ("<", "<=", ">", ">=")
                 and cs is not None
-                and cs.min is not None
-                and cs.max is not None
                 and isinstance(r.value, (int, float))
                 and not isinstance(r.value, bool)
             ):
-                lo, hi = float(cs.min), float(cs.max)
-                if hi > lo:
-                    frac = (float(r.value) - lo) / (hi - lo)
-                    frac = min(max(frac, 0.0), 1.0)
+                # equi-height histogram first (r9): the value
+                # DISTRIBUTION, not a uniformity assumption — on
+                # skewed data the linear interpolation below is off
+                # by orders of magnitude
+                hist = getattr(cs, "histogram", ()) or ()
+                if len(hist) >= 3:
+                    frac = _histogram_frac_le(hist, float(r.value))
                     sel = frac if op in ("<", "<=") else 1.0 - frac
                     return min(1.0, max(1e-4, sel))
+                if cs.min is not None and cs.max is not None:
+                    lo, hi = float(cs.min), float(cs.max)
+                    if hi > lo:
+                        frac = (float(r.value) - lo) / (hi - lo)
+                        frac = min(max(frac, 0.0), 1.0)
+                        sel = frac if op in ("<", "<=") else 1.0 - frac
+                        return min(1.0, max(1e-4, sel))
     return 0.25
+
+
+def _histogram_frac_le(edges, v: float) -> float:
+    """Fraction of rows with value ≤ ``v`` under an equi-height
+    histogram (``edges`` = B+1 ascending quantiles; every bin holds
+    1/B of the rows).  Duplicate edges — a heavy value spanning whole
+    bins — are handled by bisecting to the LAST edge ≤ v: all the
+    zero-width bins it covers count as fully passed."""
+    import bisect
+
+    if v <= edges[0]:
+        return 0.0
+    if v >= edges[-1]:
+        return 1.0
+    nb = len(edges) - 1
+    i = bisect.bisect_right(edges, v) - 1
+    width = edges[i + 1] - edges[i]
+    partial = (v - edges[i]) / width if width > 0 else 1.0
+    return (i + partial) / nb
 
 
 def _output_rows(op: Operator, input_rows, ctx=None, input_stats=None) -> float:
