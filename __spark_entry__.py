@@ -2803,6 +2803,15 @@ EXTENSION_ORACLES = {
         )
         SELECT k, v FROM merged ORDER BY k
     """,
+    "q_sql_asof": """
+        SELECT l.k, l.t, r.rv
+        FROM (SELECT c_custkey % 20 AS k, c_custkey AS t FROM customer) l
+        ASOF JOIN (SELECT c_custkey % 20 AS k2, c_custkey AS rt,
+                          c_nationkey::BIGINT AS rv
+                   FROM customer WHERE c_custkey % 3 = 0) r
+        ON l.k = r.k2 AND l.t >= r.rt
+        ORDER BY l.k, l.t
+    """,
     "q_sql_evolve": """
         WITH t0 AS (
           SELECT c_custkey AS k, c_nationkey::BIGINT AS v
@@ -5304,6 +5313,27 @@ def q_sql_merge_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "when not matched by source then update set v = -1"
     ).count()
     return pl.sql("select k, v from nms_t order by k")
+
+
+def q_sql_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF JOIN on the SQL front door (r9, DuckDB's grammar): plain
+    ``ASOF JOIN`` is the inner backward-inclusive match, ``ASOF LEFT
+    JOIN`` keeps unmatched left rows — both lower to the engine's
+    LogicalAsofJoin (bucket-explode + hash join + residual, cost-
+    chosen; operators/extensions.py).  The oracle is DuckDB's NATIVE
+    ASOF JOIN over the same derived tables — grammar parity checked by
+    the engine that defined the grammar."""
+    pl = _planner(spark, sf_dir)
+    return pl.sql(
+        "select k, t, rv "
+        "from (select cast(mod(c_custkey, 20) as bigint) as k, "
+        "      c_custkey as t from customer) "
+        "asof join (select cast(mod(c_custkey, 20) as bigint) as k2, "
+        "      c_custkey as rt, cast(c_nationkey as bigint) as rv "
+        "      from customer where mod(c_custkey, 3) = 0) "
+        "on k = k2 and t >= rt "
+        "order by k, t"
+    )
 
 
 def q_sql_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7937,7 +7967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: stalest driver-green queries.
 _UNPROVEN_PREFIX = (
     # new this round (r9) — never driver-checked, prove first
-    "q_knn_residual", "q_sql_merge_nms", "q_sql_evolve",
+    "q_knn_residual", "q_sql_merge_nms", "q_sql_evolve", "q_sql_asof",
     # r9 CHANGED these queries' implementation — re-prove next
     "q_knn_ivfpq", "q_knn_recall",
     "q_stream_stream_join", "q_stream_outer_join", "q_stream_file_sink",
@@ -8054,6 +8084,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_merge_multi": q_sql_merge_multi,
         "q_sql_merge_nms": q_sql_merge_nms,
         "q_sql_evolve": q_sql_evolve,
+        "q_sql_asof": q_sql_asof,
         "q_knn_pq": q_knn_pq,
         "q_knn_ivfpq": q_knn_ivfpq,
         "q_sql_restore": q_sql_restore,

@@ -55,7 +55,7 @@ _KEYWORDS = {
     "like", "case", "when", "then", "else", "end", "is", "null", "cross",
     "over", "partition", "rows", "range", "unbounded", "preceding",
     "following", "current", "row", "outer", "offset", "nulls", "first",
-    "last", "values", "qualify", "recursive",
+    "last", "values", "qualify", "recursive", "asof",
 }
 
 
@@ -408,6 +408,20 @@ class _Parser:
                 builder = builder.join(
                     self._from_item(frame, seen_bases), JoinType.INNER, Lit(True)
                 )
+                continue
+            if self.accept("kw", "asof"):
+                # ASOF [LEFT] JOIN (r9, DuckDB's grammar): equality
+                # conjuncts plus exactly one ``l.ts >= r.ts``
+                # inequality → the engine's LogicalAsofJoin (backward
+                # inclusive match).  Plain ASOF JOIN is INNER (DuckDB's
+                # default — unmatched left rows drop); ASOF LEFT JOIN
+                # keeps them with NULLs.
+                outer = bool(self.accept("kw", "left"))
+                self.expect("kw", "join")
+                right = self._from_item(frame, seen_bases)
+                self.expect("kw", "on")
+                cond = self._resolve(self._expr())
+                builder = self._asof_join(builder, right, cond, outer)
                 continue
             jt = self._join_type()
             if jt is None:
@@ -1047,6 +1061,121 @@ class _Parser:
             else:
                 dtypes.append("string")
         return LogicalPlanBuilder().values(rows, names, dtypes), alias
+
+    def _schema_names(self, builder: LogicalPlanBuilder):
+        """Output column names of a builder's plan, derived bottom-up
+        (scans bind against the catalog) — the side-membership test the
+        ASOF JOIN condition decomposition needs."""
+
+        def derive(node):
+            op = node.operator
+            inputs = tuple(derive(c) for c in node.inputs)
+            if op.operator_name() == "Scan":
+                return op.derive_logical_prop(inputs, catalog=self.catalog)
+            return op.derive_logical_prop(inputs)
+
+        return list(derive(builder._require_root()).schema.names())
+
+    def _asof_join(self, builder, right, cond, outer=False):
+        """Lower ``left ASOF [LEFT] JOIN right ON <cond>`` (DuckDB's
+        grammar) to the engine's ``LogicalAsofJoin``: the ON condition
+        must be a conjunction of ``l.k = r.k`` equalities plus EXACTLY
+        ONE ``l.ts >= r.ts`` inequality (the backward-inclusive as-of
+        match; ``r.ts <= l.ts`` normalizes).  Output = every left
+        column plus the right columns not consumed as keys/timestamp —
+        alias colliding names away in a subquery if needed.  The
+        operator itself is outer-shaped (NULLs on no match = ASOF LEFT
+        JOIN); plain ASOF JOIN adds an is-not-null filter on an
+        internal duplicate of the right timestamp (never NULL in a
+        real match) and projects it away — DuckDB's inner default."""
+        left_names = set(self._schema_names(builder))
+        right_schema = self._schema_names(right)
+        right_names = set(right_schema)
+
+        def side(col):
+            n = col.name
+            if n in left_names and n not in right_names:
+                return "l"
+            if n in right_names and n not in left_names:
+                return "r"
+            raise SqlError(
+                f"ASOF JOIN: column {n!r} must belong to exactly one "
+                "side (alias the duplicate away in a subquery)"
+            )
+
+        lks, rks = [], []
+        ts_pair = None
+        for c in (
+            cond.conjuncts() if isinstance(cond, BinOp) else (cond,)
+        ):
+            if not (
+                isinstance(c, BinOp)
+                and isinstance(c.left, Col)
+                and isinstance(c.right, Col)
+                and c.op in ("=", ">=", "<=")
+            ):
+                raise SqlError(
+                    "ASOF JOIN ON supports column equality conjuncts "
+                    "plus one ts inequality, got "
+                    f"{c.pretty() if hasattr(c, 'pretty') else c!r}"
+                )
+            l, r = c.left, c.right
+            op = c.op
+            if op != "=" and side(l) == "r":
+                l, r = r, l
+                op = {">=": "<=", "<=": ">="}[op]
+            if op == "=":
+                if side(l) == "r":
+                    l, r = r, l
+                lks.append(l.name)
+                rks.append(r.name)
+            else:
+                if op != ">=":
+                    raise SqlError(
+                        "ASOF JOIN matches BACKWARD: the inequality "
+                        "must be left_ts >= right_ts"
+                    )
+                if side(l) != "l" or side(r) != "r":
+                    raise SqlError(
+                        "ASOF JOIN ts inequality must compare a left "
+                        "column to a right column"
+                    )
+                if ts_pair is not None:
+                    raise SqlError(
+                        "ASOF JOIN takes exactly one ts inequality"
+                    )
+                ts_pair = (l.name, r.name)
+        if ts_pair is None:
+            raise SqlError(
+                "ASOF JOIN needs a left_ts >= right_ts conjunct in ON"
+            )
+        consumed = set(rks) | {ts_pair[1]}
+        right_cols = [n for n in right_schema if n not in consumed]
+        collide = [n for n in right_cols if n in left_names]
+        if collide:
+            raise SqlError(
+                f"ASOF JOIN: right column(s) {collide} collide with "
+                "left names — alias them in a subquery"
+            )
+        if outer:
+            return builder.asof_join(
+                right, lks, rks, ts_pair[0], ts_pair[1], right_cols
+            )
+        # inner: carry a duplicate of the right ts through the join as
+        # the match witness, filter on it, project it away
+        witness = "__asof_rts"
+        right = right.projection(
+            [Col(n) for n in right_schema] + [Alias(Col(ts_pair[1]), witness)]
+        )
+        joined = builder.asof_join(
+            right, lks, rks, ts_pair[0], ts_pair[1],
+            right_cols + [witness],
+        )
+        out_cols = list(self._schema_names(joined))
+        out_cols.remove(witness)
+        return joined.filter(Func("isnotnull", (Col(witness),))).projection(
+            [Col(n) for n in out_cols]
+        )
 
     def _from_item(self, frame, seen_bases):
         """Parse one FROM item, register its alias in ``frame`` and

@@ -309,6 +309,9 @@ SHUFFLE_BUDGET = {
     # r9: schema-evolved scan + final ORDER BY (the INSERT's rebalance
     # happened before this read)
     "q_sql_evolve": 1,
+    # r9: ASOF JOIN — bucket-explode + hash join (2) + the per-left-row
+    # argmax window + final ORDER BY
+    "q_sql_asof": 4,
 }
 
 BATCH_QUERIES = sorted(

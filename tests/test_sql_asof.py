@@ -1,0 +1,85 @@
+"""ASOF [LEFT] JOIN SQL surface (r9) — DuckDB's grammar lowered to the
+engine's LogicalAsofJoin (reference has inner equi joins only,
+``dolomite/src/operator/join.rs``; the as-of operator is north-star
+time-series surface, this adds its SQL front door).
+
+Plain ASOF JOIN is INNER (unmatched left rows drop — DuckDB's
+default); ASOF LEFT JOIN keeps them with NULLs.  The ON condition is
+equality conjuncts plus exactly one ``l.ts >= r.ts``."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_dolomite_spark import QueryPlanner
+from datafusion_dolomite_spark.sources.catalog import Catalog
+from datafusion_dolomite_spark.sql import SqlError, parse_sql
+
+
+@pytest.fixture(scope="module")
+def qp(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("asof")
+    spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 3), (2, 8)], "k bigint, t bigint"
+    ).coalesce(1).write.parquet(str(base / "l"))
+    spark.createDataFrame(
+        [(1, 5, 100), (1, 20, 200), (2, 9, 300)],
+        "k2 bigint, rt bigint, rv bigint",
+    ).coalesce(1).write.parquet(str(base / "r"))
+    cat = Catalog()
+    cat.register("lt", str(base / "l"))
+    cat.register("rt_tab", str(base / "r"))
+    return QueryPlanner(spark, cat)
+
+
+def test_asof_inner(qp):
+    got = sorted(
+        (r["k"], r["t"], r["rv"])
+        for r in qp.sql(
+            "select k, t, rv from lt asof join rt_tab "
+            "on k = k2 and t >= rt"
+        ).collect()
+    )
+    # (1,3) has no rt<=3 → dropped; (1,10)→rt5; (1,25)→rt20; (2,8) no
+    # rt<=8 for k=2 (rt=9 is later) → dropped
+    assert got == [(1, 10, 100), (1, 25, 200)]
+
+
+def test_asof_left_outer(qp):
+    got = sorted(
+        (r["k"], r["t"], r["rv"])
+        for r in qp.sql(
+            "select k, t, rv from lt asof left join rt_tab "
+            "on k = k2 and t >= rt"
+        ).collect()
+    )
+    assert got == [
+        (1, 3, None), (1, 10, 100), (1, 25, 200), (2, 8, None),
+    ]
+
+
+def test_asof_reversed_inequality_normalizes(qp):
+    got = qp.sql(
+        "select k, t, rv from lt asof join rt_tab "
+        "on k2 = k and rt <= t order by t"
+    ).collect()
+    assert [(r["t"], r["rv"]) for r in got] == [(10, 100), (25, 200)]
+
+
+def test_asof_rejects_bad_shapes(qp):
+    with pytest.raises(SqlError, match="exactly one ts inequality"):
+        parse_sql(
+            "select k from lt asof join rt_tab "
+            "on k = k2 and t >= rt and t >= rt",
+            qp.catalog,
+        )
+    with pytest.raises(SqlError, match="BACKWARD"):
+        parse_sql(
+            "select k from lt asof join rt_tab on k = k2 and t <= rt",
+            qp.catalog,
+        )
+    with pytest.raises(SqlError, match="needs a left_ts"):
+        parse_sql(
+            "select k from lt asof join rt_tab on k = k2",
+            qp.catalog,
+        )
