@@ -2803,6 +2803,15 @@ EXTENSION_ORACLES = {
         )
         SELECT k, v FROM merged ORDER BY k
     """,
+    "q_sql_range_between": """
+        SELECT band, count(*)::BIGINT AS n, sum(o_orderkey)::BIGINT AS sum_k
+        FROM orders JOIN
+        (SELECT (n_nationkey * 40000)::DOUBLE AS lo,
+                (n_nationkey * 40000 + 60000)::DOUBLE AS hi,
+                n_nationkey AS band FROM nation) b
+        ON o_totalprice BETWEEN b.lo AND b.hi
+        GROUP BY band ORDER BY band
+    """,
     "q_sql_asof": """
         SELECT l.k, l.t, r.rv
         FROM (SELECT c_custkey % 20 AS k, c_custkey AS t FROM customer) l
@@ -5313,6 +5322,26 @@ def q_sql_merge_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "when not matched by source then update set v = -1"
     ).count()
     return pl.sql("select k, v from nms_t order by k")
+
+
+def q_sql_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN-join auto-lowering (r9, RangeJoinFromConditionRule): a
+    plain SQL join on ``o_totalprice BETWEEN lo AND hi`` rewrites to
+    the bucketed/broadcast interval join instead of Spark's O(n·m)
+    nested-loop fallback — the range-join optimization Catalyst lacks
+    (commercial runtimes need a hint; ours derives the bucket width
+    from catalog stats).  Overlapping price bands, so rows genuinely
+    match multiple intervals."""
+    pl = _planner(spark, sf_dir)
+    return pl.sql(
+        "select band, count(*) as n, sum(o_orderkey) as sum_k "
+        "from orders join "
+        "(select cast(n_nationkey * 40000 as double) as lo, "
+        " cast(n_nationkey * 40000 + 60000 as double) as hi, "
+        " n_nationkey as band from nation) "
+        "on o_totalprice between lo and hi "
+        "group by band order by band"
+    )
 
 
 def q_sql_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7968,6 +7997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round (r9) — never driver-checked, prove first
     "q_knn_residual", "q_sql_merge_nms", "q_sql_evolve", "q_sql_asof",
+    "q_sql_range_between",
     # r9 CHANGED these queries' implementation — re-prove next
     "q_knn_ivfpq", "q_knn_recall",
     "q_stream_stream_join", "q_stream_outer_join", "q_stream_file_sink",
@@ -8085,6 +8115,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_merge_nms": q_sql_merge_nms,
         "q_sql_evolve": q_sql_evolve,
         "q_sql_asof": q_sql_asof,
+        "q_sql_range_between": q_sql_range_between,
         "q_knn_pq": q_knn_pq,
         "q_knn_ivfpq": q_knn_ivfpq,
         "q_sql_restore": q_sql_restore,

@@ -953,7 +953,12 @@ class SparkExecutor:
         op = node.operator
         left = self._node(node.inputs[0])
         right = F.broadcast(self._node(node.inputs[1]))
-        cond = (F.col(op.point) >= right[op.lo]) & (F.col(op.point) < right[op.hi])
+        hi_ok = (
+            F.col(op.point) <= right[op.hi]
+            if getattr(op, "inclusive_hi", False)
+            else F.col(op.point) < right[op.hi]
+        )
+        cond = (F.col(op.point) >= right[op.lo]) & hi_ok
         for lk, rk in zip(op.left_keys, op.right_keys):
             cond = (left[lk] == right[rk]) & cond
         joined = left.join(right, on=cond, how="inner")
@@ -998,8 +1003,13 @@ class SparkExecutor:
             *left_cols,
             *[F.col(k).alias(a) for k, a in zip(op.left_keys, keys)],
         ).withColumn("__bucket", self._bucket(F.col(op.point), width))
+        hi_ok = (
+            F.col(op.point) <= F.col("__hi")
+            if getattr(op, "inclusive_hi", False)
+            else F.col(op.point) < F.col("__hi")
+        )
         joined = l.join(r, on=keys + ["__bucket"], how="inner").filter(
-            (F.col(op.point) >= F.col("__lo")) & (F.col(op.point) < F.col("__hi"))
+            (F.col(op.point) >= F.col("__lo")) & hi_ok
         )
         return joined.select(*left_cols, *op.right_cols)
 

@@ -557,6 +557,10 @@ class LogicalRangeJoin(LogicalOperator):
     hi: str
     right_cols: Tuple[str, ...]
     bucket_width: float
+    #: True → the residual match is ``lo <= point <= hi`` (SQL BETWEEN,
+    #: the shape RangeJoinFromConditionRule lowers); default keeps the
+    #: original half-open ``[lo, hi)`` contract
+    inclusive_hi: bool = False
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
         left, right = input_props
@@ -567,10 +571,11 @@ class LogicalRangeJoin(LogicalOperator):
         return LogicalProperty(Schema(left.schema.fields + carried))
 
     def pretty(self) -> str:
+        hi_b = "]" if self.inclusive_hi else ")"
         return (
             f"LogicalRangeJoin {{ keys: [{', '.join(self.left_keys)}]=="
             f"[{', '.join(self.right_keys)}], {self.point} in "
-            f"[{self.lo}, {self.hi}), w: {self.bucket_width} }}"
+            f"[{self.lo}, {self.hi}{hi_b}, w: {self.bucket_width} }}"
         )
 
 
@@ -590,6 +595,7 @@ class PhysicalBucketedRangeJoin(PhysicalOperator):
     hi: str
     right_cols: Tuple[str, ...]
     bucket_width: float
+    inclusive_hi: bool = False
 
     def derive_properties(self, children_props):
         return (
@@ -600,10 +606,11 @@ class PhysicalBucketedRangeJoin(PhysicalOperator):
         )
 
     def pretty(self) -> str:
+        hi_b = "]" if self.inclusive_hi else ")"
         return (
             f"PhysicalBucketedRangeJoin {{ keys: [{', '.join(self.left_keys)}]=="
             f"[{', '.join(self.right_keys)}], {self.point} in "
-            f"[{self.lo}, {self.hi}), w: {self.bucket_width} }}"
+            f"[{self.lo}, {self.hi}{hi_b}, w: {self.bucket_width} }}"
         )
 
 
@@ -622,12 +629,14 @@ class PhysicalBroadcastRangeJoin(PhysicalOperator):
     hi: str
     right_cols: Tuple[str, ...]
     bucket_width: float
+    inclusive_hi: bool = False
 
     def pretty(self) -> str:
+        hi_b = "]" if self.inclusive_hi else ")"
         return (
             f"PhysicalBroadcastRangeJoin {{ keys: [{', '.join(self.left_keys)}]=="
             f"[{', '.join(self.right_keys)}], {self.point} in "
-            f"[{self.lo}, {self.hi}) }}"
+            f"[{self.lo}, {self.hi}{hi_b} }}"
         )
 
 

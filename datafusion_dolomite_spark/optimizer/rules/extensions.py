@@ -28,6 +28,7 @@ __all__ = [
     "NgramJaccardImplRule",
     "AsofJoinImplRule",
     "RangeJoinImplRule",
+    "RangeJoinFromConditionRule",
     "UnnestImplRule",
     "DocChunkImplRule",
     "StratifiedSampleImplRule",
@@ -287,6 +288,7 @@ class RangeJoinImplRule(Rule):
         fields = (
             op.left_keys, op.right_keys, op.point, op.lo, op.hi,
             op.right_cols, op.bucket_width,
+            getattr(op, "inclusive_hi", False),
         )
         # both strategies enter the memo; the cost model decides
         result.add(
@@ -396,6 +398,128 @@ class CTERefImplRule(Rule):
         result.add(
             OptExpression.op(X.PhysicalCTERef(op.name, op.col_names))
         )
+
+
+class RangeJoinFromConditionRule(Rule):
+    """REWRITE: an inner join whose condition is equality conjuncts
+    plus a point-in-interval pair — ``p >= lo AND p <(=) hi`` with the
+    point on the LEFT side and both bounds on the RIGHT — lowers to
+    ``LogicalRangeJoin`` (r9).  Written as a plain join (``FROM a JOIN
+    b ON a.p BETWEEN b.lo AND b.hi``), Spark would execute the
+    non-equi condition as a broadcast-nested-loop join — O(n·m) probes,
+    the plan shape that dies first at 100 TB; the bucketed range join
+    turns it into an interval-explode + EQUI-join whose cost scales
+    with rows × (interval span / bucket width).  This is the rewrite
+    Catalyst itself lacks (the commercial Spark runtimes ship it as
+    the 'range join optimization' behind a hint — ours derives the
+    bucket width from catalog statistics instead of asking the user).
+
+    Safety: the rewrite fires only when EVERY conjunct is consumed
+    (equis + the two bounds), the bounds strictly straddle sides, and
+    no right column name collides with a left one — anything else
+    keeps the original join.  Inclusive upper bounds (BETWEEN) carry
+    through ``inclusive_hi``; the residual filter inside the physical
+    operators is exact, so bucket width only affects performance."""
+
+    name = "RangeJoinFromConditionRule"
+
+    def pattern(self) -> Pattern:
+        from ...operators.logical import LogicalJoin
+
+        return pattern_of(LogicalJoin)
+
+    def promise(self) -> RulePromise:
+        return RulePromise.LOW  # after pushdown settles the condition
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        from ...expr import BinOp
+        from ...operators.logical import JoinType, LogicalJoin
+
+        op: LogicalJoin = input.root.operator
+        if op.join_type is not JoinType.INNER:
+            return
+        lh, rh = input.root.inputs
+        if lh.handle is None or rh.handle is None:
+            return
+        lprop = getattr(lh.handle, "logical_prop", None)
+        rprop = getattr(rh.handle, "logical_prop", None)
+        if lprop is None or rprop is None:
+            return
+        lnames = list(lprop.schema.names())
+        rnames = list(rprop.schema.names())
+        lset, rset = set(lnames), set(rnames)
+        if lset & rset:
+            return  # ambiguous attribution
+        conjs = _conjuncts(op.condition)
+        equis: list = []
+        ge = []  # (x, y) meaning x >= y, x left-side, y right-side
+        lt = []  # (x, y, inclusive) meaning x < / <= y
+        for c in conjs:
+            if not (
+                isinstance(c, BinOp)
+                and isinstance(c.left, Col)
+                and isinstance(c.right, Col)
+            ):
+                return
+            a, b, cop = c.left.name, c.right.name, c.op
+            if cop not in ("=", "<", "<=", ">", ">="):
+                return
+            # orient so the left operand is the LEFT-side column
+            if a in rset and b in lset:
+                a, b = b, a
+                cop = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(
+                    cop, cop
+                )
+            if not (a in lset and b in rset):
+                return
+            if cop == "=":
+                equis.append((a, b))
+            elif cop == ">=":
+                ge.append((a, b))
+            elif cop in ("<", "<="):
+                lt.append((a, b, cop == "<="))
+            else:
+                return  # strict > lower bound: not the interval shape
+        if len(ge) != 1 or len(lt) != 1:
+            return
+        (p, lo), (p2, hi, inclusive) = ge[0], lt[0]
+        if p != p2 or lo == hi:
+            return
+        width = self._bucket_width(rh.handle, lo, hi, ctx)
+        result.add(
+            OptExpression.op(
+                X.LogicalRangeJoin(
+                    tuple(a for a, _ in equis),
+                    tuple(b for _, b in equis),
+                    p,
+                    lo,
+                    hi,
+                    tuple(rnames),
+                    float(width),
+                    inclusive,
+                ),
+                *input.root.inputs,
+            )
+        )
+
+    @staticmethod
+    def _bucket_width(rnode, lo, hi, ctx) -> int:
+        """Stats-derived bucket width: the bound columns' combined span
+        over ~256 buckets — intervals then explode into a handful of
+        buckets each while points spread across enough buckets to
+        parallelize.  No usable stats → 1000 (correctness is the
+        residual filter's either way)."""
+        try:
+            from .pushdown import _subtree_stats
+
+            st = _subtree_stats(rnode, ctx)
+            clo, chi = st.col(lo), st.col(hi)
+            span = float(chi.max) - float(clo.min)
+            if span > 0:
+                return max(1, int(span // 256))
+        except Exception:
+            pass
+        return 1000
 
 
 class RecursiveCTEImplRule(Rule):

@@ -49,6 +49,7 @@ from .optimizer.rules.extensions import (
     PruneUnnestInputRule,
     PushFilterThroughLeftPreservingJoinRule,
     PushFilterThroughUnnestRule,
+    RangeJoinFromConditionRule,
 )
 from .optimizer.rules.pushdown import PUSHDOWN_RULES
 from .plans.plan import Plan
@@ -69,6 +70,7 @@ def default_rewrite_rules() -> list[Rule]:
         PushFilterThroughLeftPreservingJoinRule(),
         PushFilterThroughUnnestRule(),
         PruneUnnestInputRule(),
+        RangeJoinFromConditionRule(),
         RewriteAggOnViewSubtreeRule(),
     ]
 

@@ -64,6 +64,7 @@ NLJ_ALLOWED = {
     "q_knn_recall": "broadcast query vectors (IVF + brute twins)",
     "q_knn_residual": "broadcast query vectors (brute ground-truth twin)",
     "q_range_join": "broadcast interval side",
+    "q_sql_range_between": "broadcast interval side (25 price bands)",
 }
 
 #: queries whose top-level LIMIT legitimately plans as CollectLimit
@@ -312,6 +313,9 @@ SHUFFLE_BUDGET = {
     # r9: ASOF JOIN — bucket-explode + hash join (2) + the per-left-row
     # argmax window + final ORDER BY
     "q_sql_asof": 4,
+    # r9: BETWEEN-join rewrite → broadcast range join (no shuffle) +
+    # band agg + ORDER BY (hash + range, doubled under AQE reuse)
+    "q_sql_range_between": 4,
 }
 
 BATCH_QUERIES = sorted(
