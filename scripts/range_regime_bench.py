@@ -1,0 +1,105 @@
+"""Range-join regime bench (r9): the BETWEEN-join rewrite vs Spark's
+nested-loop fallback as the interval side grows.
+
+A non-equi join ``p BETWEEN lo AND hi`` without the rewrite executes
+as BroadcastNestedLoopJoin — every point probes EVERY interval, O(n·m).
+The rewrite lowers it to LogicalRangeJoin, whose two strategies the
+cost model races: broadcast (same probe shape, right only for tiny
+interval sides) and bucketed (interval-explode + EQUI-join, cost
+∝ rows × span/width).  This script measures the crossover honestly —
+including where the plain NLJ is fine — and verifies every strategy
+returns identical counts.
+
+Run: python scripts/range_regime_bench.py [n_trials]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datafusion_dolomite_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main():
+    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    spark = get_spark(
+        "range-regime", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark import QueryPlanner
+    from datafusion_dolomite_spark.sources.catalog import Catalog
+    from datafusion_dolomite_spark.sql import parse_sql
+
+    work = tempfile.mkdtemp(prefix="range_bench_")
+    pts = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    pts_path = os.path.join(work, "pts")
+    pts.repartition(16).write.parquet(pts_path)
+    n_pts = spark.read.parquet(pts_path).count()
+    print(f"points: {n_pts} (orders.o_totalprice at {SF_DIR})")
+    print(f"{'intervals':>10}{'plain NLJ':>12}{'rewritten':>12}"
+          f"{'speedup':>9}  chosen strategy")
+
+    # narrow intervals (width 200 over a ~600k domain) — the IP-range /
+    # geofence shape where probe cost, not output cardinality, dominates
+    for n_iv in (25, 1000, 20_000, 100_000):
+        iv = spark.range(n_iv).select(
+            (F.col("id") * 37 % 600_000).cast("double").alias("lo"),
+            ((F.col("id") * 37 % 600_000) + 200).cast("double").alias("hi"),
+            F.col("id").alias("band"),
+        )
+        iv_path = os.path.join(work, f"iv{n_iv}")
+        iv.coalesce(1).write.parquet(iv_path)
+
+        cat = Catalog()
+        cat.register("pts", pts_path)
+        cat.register("iv", iv_path)
+        qp = QueryPlanner(spark, cat)
+        sql = (
+            "select count(*) as n from pts join iv "
+            "on p between lo and hi"
+        )
+        spine = qp.explain(parse_sql(sql, qp.catalog))
+        chosen = (
+            "bucketed"
+            if "Bucketed" in spine
+            else ("broadcast-range" if "BroadcastRange" in spine else "plain")
+        )
+
+        pdf = spark.read.parquet(pts_path)
+        idf = spark.read.parquet(iv_path)
+        plain = pdf.join(
+            F.broadcast(idf),
+            (F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi")),
+        )
+
+        n_plain = plain.count()
+        n_rw = qp.sql(sql).collect()[0]["n"]
+        assert n_plain == n_rw, (n_plain, n_rw)
+
+        t_plain, t_rw = [], []
+        for _ in range(trials):
+            t0 = time.monotonic()
+            plain.count()
+            t_plain.append(time.monotonic() - t0)
+            t0 = time.monotonic()
+            qp.sql(sql).collect()
+            t_rw.append(time.monotonic() - t0)
+        mp, mr = statistics.median(t_plain), statistics.median(t_rw)
+        print(f"{n_iv:>10}{mp:>11.2f}s{mr:>11.2f}s{mp / mr:>8.1f}x"
+              f"  {chosen}  (rows={n_rw})")
+
+
+if __name__ == "__main__":
+    main()
