@@ -1105,9 +1105,28 @@ class _Parser:
 
         lks, rks = [], []
         ts_pair = None
+        tol_conjs = []  # (left_col, right_col, bound) from l.ts - r.ts <= N
         for c in (
             cond.conjuncts() if isinstance(cond, BinOp) else (cond,)
         ):
+            if (
+                isinstance(c, BinOp)
+                and c.op == "<="
+                and isinstance(c.left, BinOp)
+                and c.left.op == "-"
+                and isinstance(c.left.left, Col)
+                and isinstance(c.left.right, Col)
+                and isinstance(c.right, Lit)
+                and isinstance(c.right.value, (int, float))
+                and not isinstance(c.right.value, bool)
+            ):
+                # TOLERANCE conjunct: l.ts - r.ts <= N (inclusive, same
+                # units as the ts columns) — matches farther back null
+                # out (outer) / drop (inner)
+                tol_conjs.append(
+                    (c.left.left.name, c.left.right.name, c.right.value)
+                )
+                continue
             if not (
                 isinstance(c, BinOp)
                 and isinstance(c.left, Col)
@@ -1115,8 +1134,9 @@ class _Parser:
                 and c.op in ("=", ">=", "<=")
             ):
                 raise SqlError(
-                    "ASOF JOIN ON supports column equality conjuncts "
-                    "plus one ts inequality, got "
+                    "ASOF JOIN ON supports column equality conjuncts, "
+                    "one ts inequality, and optionally one "
+                    "``l.ts - r.ts <= N`` tolerance; got "
                     f"{c.pretty() if hasattr(c, 'pretty') else c!r}"
                 )
             l, r = c.left, c.right
@@ -1149,6 +1169,17 @@ class _Parser:
             raise SqlError(
                 "ASOF JOIN needs a left_ts >= right_ts conjunct in ON"
             )
+        tolerance = None
+        if tol_conjs:
+            if len(tol_conjs) > 1:
+                raise SqlError("ASOF JOIN takes at most one tolerance")
+            ta, tb, tolerance = tol_conjs[0]
+            if (ta, tb) != ts_pair:
+                raise SqlError(
+                    "ASOF JOIN tolerance must bound the SAME timestamp "
+                    f"pair as the inequality ({ts_pair[0]} - "
+                    f"{ts_pair[1]} <= N)"
+                )
         consumed = set(rks) | {ts_pair[1]}
         right_cols = [n for n in right_schema if n not in consumed]
         collide = [n for n in right_cols if n in left_names]
@@ -1159,10 +1190,13 @@ class _Parser:
             )
         if outer:
             return builder.asof_join(
-                right, lks, rks, ts_pair[0], ts_pair[1], right_cols
+                right, lks, rks, ts_pair[0], ts_pair[1], right_cols,
+                tolerance=tolerance,
             )
         # inner: carry a duplicate of the right ts through the join as
-        # the match witness, filter on it, project it away
+        # the match witness, filter on it, project it away (a
+        # tolerance nulls the witness out with the rest of the carried
+        # columns, so out-of-tolerance matches drop here too)
         witness = "__asof_rts"
         right = right.projection(
             [Col(n) for n in right_schema] + [Alias(Col(ts_pair[1]), witness)]
@@ -1170,6 +1204,7 @@ class _Parser:
         joined = builder.asof_join(
             right, lks, rks, ts_pair[0], ts_pair[1],
             right_cols + [witness],
+            tolerance=tolerance,
         )
         out_cols = list(self._schema_names(joined))
         out_cols.remove(witness)

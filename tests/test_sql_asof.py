@@ -83,3 +83,42 @@ def test_asof_rejects_bad_shapes(qp):
             "select k from lt asof join rt_tab on k = k2",
             qp.catalog,
         )
+
+
+def test_asof_tolerance(qp):
+    """``l.ts - r.ts <= N``: inclusive tolerance — matches farther back
+    drop (inner) / null out (left outer)."""
+    got = sorted(
+        (r["t"], r["rv"])
+        for r in qp.sql(
+            "select t, rv from lt asof join rt_tab "
+            "on k = k2 and t >= rt and t - rt <= 5"
+        ).collect()
+    )
+    # (1,10)→rt5 diff 5 ✓ inclusive; (1,25)→rt20 diff 5 ✓
+    assert got == [(10, 100), (25, 200)]
+    got = sorted(
+        (r["t"], r["rv"])
+        for r in qp.sql(
+            "select t, rv from lt asof join rt_tab "
+            "on k = k2 and t >= rt and t - rt <= 4"
+        ).collect()
+    )
+    assert got == []  # both matches are exactly 5 back
+    outer = sorted(
+        (r["t"], r["rv"])
+        for r in qp.sql(
+            "select t, rv from lt asof left join rt_tab "
+            "on k = k2 and t >= rt and t - rt <= 4"
+        ).collect()
+    )
+    assert outer == [(3, None), (8, None), (10, None), (25, None)]
+
+
+def test_asof_tolerance_must_match_ts_pair(qp):
+    with pytest.raises(SqlError, match="SAME timestamp"):
+        parse_sql(
+            "select k from lt asof join rt_tab "
+            "on k = k2 and t >= rt and rv - rt <= 5",
+            qp.catalog,
+        )
