@@ -260,8 +260,14 @@ class SparkCostModel(CostModel):
             ):
                 return INF
             # ship intervals everywhere + per-point probe that degrades
-            # with the number of broadcast intervals (nested-loop-ish)
-            return 2.0 * rows[1] + rows[0] * max(1.0, 0.01 * rows[1])
+            # with the number of broadcast intervals (nested-loop-ish).
+            # Probe factor calibrated against the measured crossover
+            # (scripts/range_regime_bench.py, 150k points: the NLJ
+            # still wins at 1k intervals, loses 4× at 20k — codegen'd
+            # compares are ~2 ns each, far cheaper than the old 0.01
+            # factor implied): 0.0015 puts the modeled crossover at
+            # ~2.7k intervals, inside the measured [1k, 20k] band.
+            return 2.0 * rows[1] + rows[0] * max(1.0, 0.0015 * rows[1])
         if isinstance(op, X.PhysicalEmbedQuantizeSql):
             # HOF lambdas evaluate INTERPRETED per array element, and
             # the pipeline folds the vector several times per row
