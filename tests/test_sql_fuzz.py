@@ -1060,6 +1060,46 @@ class Gen:
         )
         return sql, sql
 
+    def _asof(self):
+        """ASOF [LEFT] JOIN (r9): DuckDB executes the identical grammar
+        natively, so the oracle is free.  Determinism: the right side is
+        unique per (keys, ts) by construction — keyless form uses the
+        right table's PK as the timestamp; keyed form derives a
+        GROUP BY subquery (one row per key)."""
+        r = self.rng
+        if r.random() < 0.5:
+            # keyed: left ASOF-joins a per-key aggregate of the right
+            lt, lc, rt, rc = r.choice(JOIN_EDGES)
+            lts_opts = [
+                c for c, ty in TABLES[lt].items() if ty == INT and c != lc
+            ]
+            lts = r.choice(lts_opts or [lc])
+            form = r.choice(["ASOF JOIN", "ASOF LEFT JOIN"])
+            sub = (
+                f"(SELECT {rc} AS k2, count(*) AS cnt, "
+                f"max({PK[rt]}) AS rts FROM {rt} GROUP BY {rc})"
+            )
+            sql = (
+                f"SELECT {lc} AS c0, {lts} AS c1, cnt AS c2 "
+                f"FROM {lt} {form} {sub} "
+                f"ON {lc} = k2 AND {lts} >= rts"
+            )
+            return sql, sql
+        # keyless: match the greatest right-PK at or below the left ts
+        lt = r.choice([t for t in PK])
+        rt = r.choice([t for t in PK if t != lt])
+        lts = r.choice([c for c, ty in TABLES[lt].items() if ty == INT])
+        rts = PK[rt]
+        carried = r.choice(
+            [c for c, ty in TABLES[rt].items() if c != rts and ty != FLT]
+        )
+        form = r.choice(["ASOF JOIN", "ASOF LEFT JOIN"])
+        sql = (
+            f"SELECT {PK[lt]} AS c0, {lts} AS c1, {carried} AS c2 "
+            f"FROM {lt} {form} {rt} ON {lts} >= {rts}"
+        )
+        return sql, sql
+
     SHAPES = (
         ("_simple", 14),
         ("_join", 18),
@@ -1079,6 +1119,7 @@ class Gen:
         ("_rollup", 8),
         ("_values", 10),
         ("_recursive", 6),
+        ("_asof", 8),
     )
 
     def query(self):
