@@ -825,3 +825,55 @@ def test_insert_schema_evolution_auto(qp, spark, tmp_path):
     ).count()
     got = qp2.sql("select k, extra from t where k >= 100 order by k").collect()
     assert [(r["k"], r["extra"]) for r in got] == [(100, None), (101, 7)]
+
+
+def test_link_collision_suffix_keeps_dv_keys_distinct(spark, tmp_path):
+    """ADVICE r9 (low): basename collisions in a hardlink carry get a
+    ``-linkedN`` SUFFIX before the extension — deliberately NOT
+    strippable, so two distinct files can never share a deletion-vector
+    row key (the old ``linked-{i}-`` prefix was stripped at scan time
+    and made a collision pair indistinguishable)."""
+    import re
+
+    from datafusion_dolomite_spark.sources import dml as _dml
+
+    for d in ("x", "y"):
+        spark.createDataFrame([(d,)], "v string").coalesce(1).write.parquet(
+            str(tmp_path / d)
+        )
+    a = _dml.data_files(str(tmp_path / "x"))[0]
+    b = _dml.data_files(str(tmp_path / "y"))[0]
+    os.rename(b, os.path.join(os.path.dirname(b), os.path.basename(a)))
+    b = os.path.join(os.path.dirname(b), os.path.basename(a))
+    dest = str(tmp_path / "dest")
+    out = _dml.link_files([a, b], dest)
+    names = [os.path.basename(p) for p in out]
+    assert len(set(names)) == 2  # distinct DV identities
+    assert not any(n.startswith("linked-") for n in names)
+    assert any(re.search(r"-linked\d+\.parquet$", n) for n in names)
+    # both link targets share bytes with their sources (hardlinks)
+    assert os.stat(out[0]).st_ino == os.stat(a).st_ino
+    assert os.stat(out[1]).st_ino == os.stat(b).st_ino
+
+
+def test_vacuum_counts_cross_victim_hardlinks_once(qp, spark):
+    """ADVICE r9 (low): a file hardlinked by SEVERAL victim version
+    dirs frees its bytes when the LAST victim goes — the dry-run
+    accounting counts it once instead of skipping it because each
+    victim alone sees st_nlink > 1."""
+    qp.sql("delete from t where k = 0").count()   # v1: rewritten file A
+    qp.sql(
+        "insert into t values (100, 1000, 'z')"
+    ).count()  # v2: A carried (nlink 2) + delta file
+    qp.sql("update t set v = v + 1").count()  # v3: full rewrite, A dropped
+    v1 = qp._table_history["t"][1]
+    a_files = dml.data_files(v1)
+    a_bytes = sum(os.path.getsize(f) for f in a_files)
+    assert all(os.stat(f).st_nlink >= 2 for f in a_files)  # shared v1↔v2
+    dry = qp.sql("vacuum t dry run").collect()[0]
+    assert dry["versions_removed"] == 2  # v1, v2 (v0 base + head stay)
+    # the shared file's bytes ARE counted (old code skipped nlink>1)
+    assert dry["bytes_freed"] >= a_bytes
+    real = qp.sql("vacuum t").collect()[0]
+    assert real["bytes_freed"] == dry["bytes_freed"]
+    assert qp.sql("select * from t").count() == 10  # 10 - 1 + 1
