@@ -2837,6 +2837,27 @@ EXTENSION_ORACLES = {
           SELECT k, v, src FROM ins
         ) ORDER BY k
     """,
+    "q_sql_merge_evolve": """
+        WITH t AS (
+          SELECT c_custkey AS k, c_nationkey::BIGINT AS v
+          FROM customer WHERE c_custkey <= 600
+        ),
+        s AS (
+          SELECT c_custkey AS k, (c_nationkey + 50)::BIGINT AS v,
+                 c_mktsegment AS seg
+          FROM customer WHERE c_custkey % 2 = 0 AND c_custkey <= 900
+        ),
+        merged AS (
+          SELECT t.k, s.v, s.seg FROM t JOIN s ON t.k = s.k
+          UNION ALL
+          SELECT t.k, t.v, NULL::VARCHAR FROM t LEFT JOIN s ON t.k = s.k
+          WHERE s.k IS NULL
+          UNION ALL
+          SELECT s.k, s.v, s.seg FROM s LEFT JOIN t ON t.k = s.k
+          WHERE t.k IS NULL
+        )
+        SELECT k, v, coalesce(seg, 'old') AS seg FROM merged ORDER BY k
+    """,
     "q_cdc_export": """
         WITH base AS (
           SELECT c_custkey AS k, c_nationkey AS nat FROM customer
@@ -5393,6 +5414,40 @@ def q_sql_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same discipline as q_stream_outer_join's -1)
     return pl.sql(
         "select k, v, coalesce(src, 'old') as src from ev_t order by k"
+    )
+
+
+def q_sql_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-time automatic schema evolution (r10): with
+    ``schema_evolution='auto'``, a MERGE whose source carries a column
+    the target lacks ADDS it through the metadata-only ALTER machinery
+    before the upsert — ``UPDATE SET *`` writes it on matched rows,
+    ``INSERT *`` on inserted rows, pre-evolution rows null-fill
+    (planner.py::_merge_into).  This is Delta's mergeSchema-for-MERGE,
+    the shape a CDC upsert pipeline hits first when the source adds a
+    column.  The oracle replays the dispatch relationally with the
+    evolved column explicit."""
+    pl = _planner(spark, sf_dir)
+    pl.sql(
+        "create table me_t as select c_custkey as k, "
+        "cast(c_nationkey as bigint) as v from customer "
+        "where c_custkey <= 600"
+    ).count()
+    pl.sql(
+        "alter table me_t set tblproperties ('schema_evolution'='auto')"
+    ).count()
+    pl.sql(
+        "create table me_s as select c_custkey as k, "
+        "cast(c_nationkey + 50 as bigint) as v, c_mktsegment as seg "
+        "from customer where mod(c_custkey, 2) = 0 and c_custkey <= 900"
+    ).count()
+    pl.sql(
+        "merge into me_t as a using me_s as b on a.k = b.k "
+        "when matched then update set * "
+        "when not matched then insert *"
+    ).count()
+    return pl.sql(
+        "select k, v, coalesce(seg, 'old') as seg from me_t order by k"
     )
 
 
@@ -8114,6 +8169,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_merge_multi": q_sql_merge_multi,
         "q_sql_merge_nms": q_sql_merge_nms,
         "q_sql_evolve": q_sql_evolve,
+        "q_sql_merge_evolve": q_sql_merge_evolve,
         "q_sql_asof": q_sql_asof,
         "q_sql_range_between": q_sql_range_between,
         "q_knn_pq": q_knn_pq,

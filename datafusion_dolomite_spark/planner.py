@@ -2744,6 +2744,54 @@ class QueryPlanner:
         # column list comes from the already-opened format-aware scan,
         # never a parquet re-read of a csv/orc/json-registered table
         sbase = ex._base_scan(source, self.catalog.format(source))
+        # MERGE-TIME AUTOMATIC SCHEMA EVOLUTION (r10, VERDICT item 1):
+        # with table property ``schema_evolution='auto'`` (Delta's
+        # mergeSchema-for-MERGE), source columns the target lacks are
+        # ADDED through the metadata-only ALTER machinery when the
+        # statement can write them — an ``INSERT *`` arm (new source
+        # columns ride the insert), ``UPDATE SET *``, or an explicit
+        # ``UPDATE SET new_col = …`` assignment.  Old files null-fill
+        # the new columns on read; the merge's copy-on-write output
+        # materializes them physically; the evolved schema rides the
+        # persisted version log — identical contract to the INSERT
+        # path (insert_dataframe above).
+        auto_evolve = (
+            self._table_props.get(target, {})
+            .get("schema_evolution", "")
+            .strip()
+            .lower()
+            == "auto"
+        )
+        if auto_evolve:
+            tcols = {f.name for f in tschema.fields}
+            s_types = {f.name: f.dataType for f in sbase.schema.fields}
+            wanted: list = []
+            if any(kind == "nmt" for kind, _c, _a in clauses):
+                wanted += [c for c in s_types if c not in tcols]
+            for kind, _c, action in clauses:
+                if kind not in ("m", "nms"):
+                    continue
+                al = " ".join(action.lower().split())
+                if al == "delete":
+                    continue
+                body = _re.sub(
+                    r"^update\s+set\s+", "", action.strip(),
+                    flags=_re.IGNORECASE,
+                )
+                if body.strip() == "*":
+                    wanted += [c for c in s_types if c not in tcols]
+                else:
+                    for key in self._parse_set_clause(body):
+                        bare = key.split(".")[-1].strip()
+                        if bare not in tcols and bare in s_types:
+                            wanted.append(bare)
+            added = False
+            for c in dict.fromkeys(wanted):  # ordered dedup
+                self._alter_table(target, add=(c, s_types[c].simpleString()))
+                added = True
+            if added:
+                tbase = ex._base_scan(target, tfmt)
+                tschema = tbase.schema
         # presence keys: first `t.x = s.y` equality in the ON condition
         km = _re.search(
             rf"\b{t_alias}\.([A-Za-z_]\w*)\s*=\s*{s_alias}\.([A-Za-z_]\w*)"
@@ -2863,18 +2911,33 @@ class QueryPlanner:
                 else F.lit(True)
             )
 
-        def _parse_update_or_delete(action):
+        def _parse_update_or_delete(action, kind="m"):
             al = " ".join(action.lower().split())
             if al == "delete":
                 return None
-            return self._parse_set_clause(
-                _re.sub(
-                    r"^update\s+set\s+",
-                    "",
-                    action.strip(),
-                    flags=_re.IGNORECASE,
-                )
+            body = _re.sub(
+                r"^update\s+set\s+",
+                "",
+                action.strip(),
+                flags=_re.IGNORECASE,
             )
+            if body.strip() == "*":
+                # UPDATE SET * (Delta): every target column the source
+                # carries by name takes the source value; target-only
+                # columns keep.  Meaningless for BY SOURCE (no source
+                # row to read) — Delta rejects it too.
+                if kind == "nms":
+                    raise ValueError(
+                        "MERGE: WHEN NOT MATCHED BY SOURCE cannot "
+                        "UPDATE SET * (no source row)"
+                    )
+                tcols_now = {f.name for f in tschema.fields}
+                return {
+                    f.name: f"{s_alias}.{f.name}"
+                    for f in sbase.schema.fields
+                    if f.name in tcols_now
+                }
+            return self._parse_set_clause(body)
 
         m_clauses = []  # (cond Column, sets dict | None-for-delete)
         nm_conds = []  # insert-clause conditions, in order
@@ -2884,7 +2947,7 @@ class QueryPlanner:
                 m_clauses.append((ccond(cond), _parse_update_or_delete(action)))
             elif kind == "nms":
                 nms_clauses.append(
-                    (ccond(cond), _parse_update_or_delete(action))
+                    (ccond(cond), _parse_update_or_delete(action, "nms"))
                 )
             else:
                 nm_conds.append(ccond(cond))
