@@ -2821,6 +2821,33 @@ EXTENSION_ORACLES = {
         ON l.k = r.k2 AND l.t >= r.rt
         ORDER BY l.k, l.t
     """,
+    "q_sql_asof_fwd": """
+        SELECT l.k, l.t, r.rv
+        FROM (SELECT c_custkey % 20 AS k, c_custkey AS t FROM customer) l
+        ASOF JOIN (SELECT c_custkey % 20 AS k2, c_custkey AS rt,
+                          c_nationkey::BIGINT AS rv
+                   FROM customer WHERE c_custkey % 3 = 0) r
+        ON l.k = r.k2 AND l.t <= r.rt
+        ORDER BY l.k, l.t
+    """,
+    "q_sql_asof_nearest": """
+        WITH l AS (SELECT c_custkey % 20 AS k, c_custkey AS t
+                   FROM customer),
+        r AS (SELECT c_custkey % 20 AS k2, c_custkey AS rt,
+                     c_nationkey::BIGINT AS rv
+              FROM customer WHERE c_custkey % 3 = 0),
+        bk AS (SELECT l.k, l.t, r.rt AS bts, r.rv AS brv
+               FROM l ASOF LEFT JOIN r ON l.k = r.k2 AND l.t >= r.rt),
+        fw AS (SELECT l.k, l.t, r.rt AS fts, r.rv AS frv
+               FROM l ASOF LEFT JOIN r ON l.k = r.k2 AND l.t <= r.rt)
+        SELECT bk.k, bk.t,
+               CASE WHEN bts IS NOT NULL
+                         AND (fts IS NULL OR (bk.t - bts) <= (fts - bk.t))
+                    THEN brv ELSE frv END AS rv
+        FROM bk JOIN fw ON bk.k = fw.k AND bk.t = fw.t
+        WHERE bts IS NOT NULL OR fts IS NOT NULL
+        ORDER BY bk.k, bk.t
+    """,
     "q_sql_evolve": """
         WITH t0 AS (
           SELECT c_custkey AS k, c_nationkey::BIGINT AS v
@@ -5379,6 +5406,46 @@ def q_sql_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from (select cast(mod(c_custkey, 20) as bigint) as k, "
         "      c_custkey as t from customer) "
         "asof join (select cast(mod(c_custkey, 20) as bigint) as k2, "
+        "      c_custkey as rt, cast(c_nationkey as bigint) as rv "
+        "      from customer where mod(c_custkey, 3) = 0) "
+        "on k = k2 and t >= rt "
+        "order by k, t"
+    )
+
+
+def q_sql_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD ASOF JOIN (r10): the inequality's operator picks the
+    direction — ``t <= rt`` matches the SMALLEST right timestamp at or
+    after each left row (DuckDB's grammar does the same).  Same
+    union-merge physical shape as backward with only the window sort
+    order flipped: ONE shuffle, no per-key cross product
+    (execute.py::_asof_join).  Oracle: DuckDB's native forward ASOF."""
+    pl = _planner(spark, sf_dir)
+    return pl.sql(
+        "select k, t, rv "
+        "from (select cast(mod(c_custkey, 20) as bigint) as k, "
+        "      c_custkey as t from customer) "
+        "asof join (select cast(mod(c_custkey, 20) as bigint) as k2, "
+        "      c_custkey as rt, cast(c_nationkey as bigint) as rv "
+        "      from customer where mod(c_custkey, 3) = 0) "
+        "on k = k2 and t <= rt "
+        "order by k, t"
+    )
+
+
+def q_sql_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST ASOF JOIN (r10, our extension — DuckDB has none): the
+    closer of the backward/forward matches wins, backward on ties
+    (pandas merge_asof's rule).  Physical shape: backward AND forward
+    window passes over the SAME keyed union — one hash Exchange, two
+    sorts (execute.py::_asof_join).  Oracle: DuckDB replay via its two
+    native ASOF directions + a CASE on the gap sizes."""
+    pl = _planner(spark, sf_dir)
+    return pl.sql(
+        "select k, t, rv "
+        "from (select cast(mod(c_custkey, 20) as bigint) as k, "
+        "      c_custkey as t from customer) "
+        "asof nearest join (select cast(mod(c_custkey, 20) as bigint) as k2, "
         "      c_custkey as rt, cast(c_nationkey as bigint) as rv "
         "      from customer where mod(c_custkey, 3) = 0) "
         "on k = k2 and t >= rt "
@@ -8171,6 +8238,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_evolve": q_sql_evolve,
         "q_sql_merge_evolve": q_sql_merge_evolve,
         "q_sql_asof": q_sql_asof,
+        "q_sql_asof_fwd": q_sql_asof_fwd,
+        "q_sql_asof_nearest": q_sql_asof_nearest,
         "q_sql_range_between": q_sql_range_between,
         "q_knn_pq": q_knn_pq,
         "q_knn_ivfpq": q_knn_ivfpq,

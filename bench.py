@@ -48,6 +48,50 @@ def _canary_sec(spark) -> float:
     return round(best, 4)
 
 
+def _load_baseline(repo: str, out_path: str):
+    """Previous round's committed full artifact, for the canary-
+    normalized regression gate (r10, VERDICT item 5).  Preference
+    order: the highest-numbered ``BENCHFULL_r{N}.json`` that isn't the
+    file this run writes; else the HEAD-committed
+    ``BENCHFULL_local.json`` (the work-tree copy is overwritten by
+    every local run, so the committed blob IS the previous round);
+    else the work-tree copy (read before this run overwrites it)."""
+    import glob
+    import subprocess
+
+    cands = [
+        c
+        for c in glob.glob(os.path.join(repo, "BENCHFULL_r*.json"))
+        if os.path.abspath(c) != os.path.abspath(out_path)
+    ]
+    if cands:
+
+        def rn(p):
+            m = re.search(r"_r(\d+)\.json$", p)
+            return int(m.group(1)) if m else -1
+
+        best = max(cands, key=rn)
+        try:
+            with open(best) as f:
+                return json.load(f), os.path.basename(best)
+        except (OSError, ValueError):
+            pass
+    try:
+        blob = subprocess.run(
+            ["git", "-C", repo, "show", "HEAD:BENCHFULL_local.json"],
+            capture_output=True, text=True, timeout=10,
+        )
+        if blob.returncode == 0:
+            return json.loads(blob.stdout), "HEAD:BENCHFULL_local.json"
+    except (OSError, ValueError, subprocess.SubprocessError):
+        pass
+    try:
+        with open(os.path.join(repo, "BENCHFULL_local.json")) as f:
+            return json.load(f), "BENCHFULL_local.json"
+    except (OSError, ValueError):
+        return None, None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -145,7 +189,6 @@ def main() -> None:
         "streaming_total_sec": round(sum(stream), 4),
         "n_streaming": len(stream),
     }
-    print(json.dumps(doc, sort_keys=True))
     # the driver keeps only a truncated tail of the stdout line, which
     # covered 26 of 170 queries' timings in the r7 round artifacts —
     # ALSO write the complete per-query dict to a committed file so an
@@ -156,6 +199,40 @@ def main() -> None:
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        f"BENCHFULL_r{tag}.json" if tag.isdigit()
                        else "BENCHFULL_local.json")
+    # CANARY-NORMALIZED REGRESSION GATE (r10, VERDICT item 5): the
+    # round-over-round comparison is machine-generated instead of
+    # hand-adjudicated in BENCHNOTES.  Each query's time divides by the
+    # run's canary (machine speed), the previous committed artifact's
+    # by ITS canary; a query whose normalized time grew >1.5x AND by
+    # more than 0.25 s (at this machine's speed — tiny queries jitter
+    # across the ratio for free) lands in ``regressions``.
+    canary = doc["canary_sec"]
+    doc["normalized_queries"] = {
+        q: round(t / canary, 4) for q, t in timings.items() if t >= 0
+    }
+    base, base_name = _load_baseline(
+        os.path.dirname(os.path.abspath(__file__)), out
+    )
+    regressions = []
+    if base and base.get("canary_sec"):
+        bcanary = base["canary_sec"]
+        for q, t in sorted(timings.items()):
+            bt = (base.get("queries") or {}).get(q)
+            if t < 0 or bt is None or bt < 0:
+                continue
+            prev_n, cur_n = bt / bcanary, t / canary
+            if cur_n > 1.5 * prev_n and (cur_n - prev_n) * canary > 0.25:
+                regressions.append({
+                    "query": q,
+                    "prev_sec": bt,
+                    "cur_sec": t,
+                    "prev_norm": round(prev_n, 3),
+                    "cur_norm": round(cur_n, 3),
+                    "ratio": round(cur_n / prev_n, 2),
+                })
+    doc["regression_baseline"] = base_name
+    doc["regressions"] = regressions
+    print(json.dumps(doc, sort_keys=True))
     try:
         with open(out, "w") as f:
             json.dump(doc, f, sort_keys=True, indent=1)

@@ -895,18 +895,25 @@ class SparkExecutor:
         from pyspark.sql import functions as F
 
         op = node.operator
+        direction = getattr(op, "direction", "backward")
+        strict = bool(getattr(op, "strict", False))
         left = self._node(node.inputs[0])
         right = self._node(node.inputs[1])
         keys = [f"__k{i}" for i in range(len(op.left_keys))]
         ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
         left_cols = left.columns
-        # tag + align both sides (right rows sort before left at equal ts
-        # -> inclusive backward match), then ONE window pass
+        # tag + align both sides, then window pass(es).  __ord breaks
+        # equal-ts ties: inclusive match -> right rows sort before left
+        # (visible to last() up to the current row); strict -> after
+        # (an equal-ts right row is NOT a match).  The same __ord works
+        # for the forward pass because its ordering flips only __ts.
+        r_ord, l_ord = (1, 0) if strict else (0, 1)
         l = left.select(
             *left_cols,
             *[F.col(k).alias(a) for k, a in zip(op.left_keys, keys)],
             F.col(op.left_ts).alias("__ts"),
             F.lit(1).alias("__side"),
+            F.lit(l_ord).alias("__ord"),
             *[F.lit(None).cast(rtypes[c]).alias(c) for c in op.right_cols],
         )
         r = right.select(
@@ -914,27 +921,72 @@ class SparkExecutor:
             *[F.col(k).alias(a) for k, a in zip(op.right_keys, keys)],
             F.col(op.right_ts).alias("__ts"),
             F.lit(0).alias("__side"),
+            F.lit(r_ord).alias("__ord"),
             *[F.col(c) for c in op.right_cols],
         )
         u = l.unionByName(r)
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy("__ts", "__side")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        for c in op.right_cols:
-            u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
         tol = getattr(op, "tolerance", None)
-        if tol is not None:
-            # matched right ts rides along; matches farther back than the
-            # tolerance null out (same units as the ts columns)
-            u = u.withColumn(
-                "__mts",
-                F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w),
+
+        def _window(backward: bool):
+            ts = F.col("__ts").asc() if backward else F.col("__ts").desc()
+            return (
+                Window.partitionBy(*keys)
+                .orderBy(ts, F.col("__ord").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
-            within = F.col("__ts") - F.col("__mts") <= F.lit(tol)
+
+        def _matched_ts(w):
+            # matched right ts rides along for tolerance / nearest math
+            return F.last(
+                F.when(F.col("__side") == 0, F.col("__ts")),
+                ignorenulls=True,
+            ).over(w)
+
+        if direction in ("backward", "forward"):
+            w = _window(direction == "backward")
             for c in op.right_cols:
-                u = u.withColumn(c, F.when(within, F.col(c)))
+                u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+            if tol is not None:
+                u = u.withColumn("__mts", _matched_ts(w))
+                diff = (
+                    F.col("__ts") - F.col("__mts")
+                    if direction == "backward"
+                    else F.col("__mts") - F.col("__ts")
+                )
+                within = diff <= F.lit(tol)
+                for c in op.right_cols:
+                    u = u.withColumn(c, F.when(within, F.col(c)))
+            return u.filter(F.col("__side") == 1).select(
+                *left_cols, *op.right_cols
+            )
+        # NEAREST (r10): backward AND forward passes over the SAME
+        # keyed union — both windows share the hash partitioning, so
+        # ONE Exchange and two sorts — then per row take the side with
+        # the smaller |left_ts - matched_ts|; ties take backward
+        # (pandas merge_asof's rule).
+        wb, wf = _window(True), _window(False)
+        for c in op.right_cols:
+            u = u.withColumn(f"__b_{c}", F.last(c, ignorenulls=True).over(wb))
+            u = u.withColumn(f"__f_{c}", F.last(c, ignorenulls=True).over(wf))
+        u = u.withColumn("__bts", _matched_ts(wb)).withColumn(
+            "__fts", _matched_ts(wf)
+        )
+        bdiff = F.col("__ts") - F.col("__bts")
+        fdiff = F.col("__fts") - F.col("__ts")
+        take_b = F.col("__bts").isNotNull() & (
+            F.col("__fts").isNull() | (bdiff <= fdiff)
+        )
+        take_f = F.col("__fts").isNotNull()
+        if tol is not None:
+            take_b = take_b & (bdiff <= F.lit(tol))
+            take_f = take_f & (fdiff <= F.lit(tol))
+        for c in op.right_cols:
+            u = u.withColumn(
+                c,
+                F.when(take_b, F.col(f"__b_{c}")).when(
+                    take_f, F.col(f"__f_{c}")
+                ),
+            )
         return u.filter(F.col("__side") == 1).select(*left_cols, *op.right_cols)
 
     def _unnest(self, node: PlanNode):

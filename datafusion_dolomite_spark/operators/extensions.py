@@ -472,9 +472,17 @@ class PhysicalCosineNearDup(PhysicalOperator):
 
 @dataclass(frozen=True)
 class LogicalAsofJoin(LogicalOperator):
-    """Backward inclusive as-of join: for each left row, attach the
-    ``right_cols`` of the right row with equal keys and the greatest
-    ``right_ts`` <= ``left_ts`` (NULLs when no such row).
+    """As-of join: for each left row, attach the ``right_cols`` of the
+    right row with equal keys and the nearest ``right_ts`` in the given
+    ``direction`` (NULLs when no such row) —
+
+    * ``backward`` (default): greatest ``right_ts`` <= ``left_ts``
+      (``<`` when ``strict``),
+    * ``forward``: smallest ``right_ts`` >= ``left_ts`` (``>`` when
+      ``strict``),
+    * ``nearest``: whichever of the two is closer by
+      ``|left_ts - right_ts|``; ties take the backward match (pandas
+      ``merge_asof``'s rule).
 
     Absent from the reference (its join surface is inner equi only,
     ``dolomite/src/operator/join.rs``); this is a BASELINE.json
@@ -488,9 +496,13 @@ class LogicalAsofJoin(LogicalOperator):
     left_ts: str
     right_ts: str
     right_cols: Tuple[str, ...]
-    #: max allowed left_ts - right_ts (same units as the ts columns);
-    #: matches farther back than this yield NULLs.  None = unbounded.
+    #: max allowed |left_ts - right_ts| (same units as the ts columns);
+    #: matches farther than this yield NULLs.  None = unbounded.
     tolerance: "int | None" = None
+    #: "backward" | "forward" | "nearest" (r10)
+    direction: str = "backward"
+    #: exclude exact-equal timestamps from matching (r10)
+    strict: bool = False
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
         left, right = input_props
@@ -502,9 +514,14 @@ class LogicalAsofJoin(LogicalOperator):
 
     def pretty(self) -> str:
         tol = "" if self.tolerance is None else f", tol: {self.tolerance}"
+        cmp = {
+            ("backward", False): ">=", ("backward", True): ">",
+            ("forward", False): "<=", ("forward", True): "<",
+        }.get((self.direction, self.strict), "~")
         return (
             f"LogicalAsofJoin {{ keys: [{', '.join(self.left_keys)}]=="
-            f"[{', '.join(self.right_keys)}], ts: {self.left_ts}>={self.right_ts}, "
+            f"[{', '.join(self.right_keys)}], "
+            f"ts: {self.left_ts}{cmp}{self.right_ts}, "
             f"carry: [{', '.join(self.right_cols)}]{tol} }}"
         )
 
@@ -524,6 +541,8 @@ class PhysicalAsofJoinUnion(PhysicalOperator):
     right_ts: str
     right_cols: Tuple[str, ...]
     tolerance: "int | None" = None
+    direction: str = "backward"
+    strict: bool = False
 
     def derive_properties(self, children_props):
         return (
@@ -534,7 +553,9 @@ class PhysicalAsofJoinUnion(PhysicalOperator):
     def pretty(self) -> str:
         return (
             f"PhysicalAsofJoinUnion {{ keys: [{', '.join(self.left_keys)}]=="
-            f"[{', '.join(self.right_keys)}], ts: {self.left_ts}>={self.right_ts}, "
+            f"[{', '.join(self.right_keys)}], "
+            f"ts: {self.left_ts}~{self.right_ts} ({self.direction}"
+            f"{', strict' if self.strict else ''}), "
             f"carry: [{', '.join(self.right_cols)}] }}"
         )
 

@@ -270,7 +270,7 @@ class AsofJoinImplRule(Rule):
             OptExpression.op(
                 X.PhysicalAsofJoinUnion(
                     op.left_keys, op.right_keys, op.left_ts, op.right_ts,
-                    op.right_cols, op.tolerance,
+                    op.right_cols, op.tolerance, op.direction, op.strict,
                 ),
                 *input.root.inputs,
             )

@@ -392,14 +392,17 @@ class LogicalPlanBuilder:
         right_ts: str,
         right_cols: Sequence[str],
         tolerance: "int | None" = None,
+        direction: str = "backward",
+        strict: bool = False,
     ) -> "LogicalPlanBuilder":
-        """Backward inclusive as-of join (see LogicalAsofJoin docstring)."""
+        """As-of join — backward (default) / forward / nearest match,
+        inclusive or strict (see LogicalAsofJoin docstring)."""
         from ..operators.extensions import LogicalAsofJoin
 
         return self._push(
             LogicalAsofJoin(
                 tuple(left_keys), tuple(right_keys), left_ts, right_ts,
-                tuple(right_cols), tolerance,
+                tuple(right_cols), tolerance, direction, strict,
             ),
             [self._require_root(), _as_node(other)],
         )

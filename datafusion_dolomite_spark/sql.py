@@ -410,18 +410,29 @@ class _Parser:
                 )
                 continue
             if self.accept("kw", "asof"):
-                # ASOF [LEFT] JOIN (r9, DuckDB's grammar): equality
-                # conjuncts plus exactly one ``l.ts >= r.ts``
-                # inequality → the engine's LogicalAsofJoin (backward
-                # inclusive match).  Plain ASOF JOIN is INNER (DuckDB's
-                # default — unmatched left rows drop); ASOF LEFT JOIN
-                # keeps them with NULLs.
+                # ASOF [NEAREST] [LEFT] JOIN (r9; directions r10 —
+                # DuckDB's grammar): equality conjuncts plus exactly
+                # one ts inequality → the engine's LogicalAsofJoin.
+                # The inequality's operator picks the direction:
+                # ``l.ts >= r.ts`` backward (DuckDB's default), ``>``
+                # backward strict, ``<=`` forward, ``<`` forward
+                # strict; the NEAREST qualifier (our extension —
+                # DuckDB has no nearest) takes the closer of the two.
+                # Plain ASOF JOIN is INNER (unmatched left rows drop);
+                # ASOF LEFT JOIN keeps them with NULLs.
+                nearest = False
+                t = self.peek()
+                if t.kind == "ident" and t.value.lower() == "nearest":
+                    self.next()
+                    nearest = True
                 outer = bool(self.accept("kw", "left"))
                 self.expect("kw", "join")
                 right = self._from_item(frame, seen_bases)
                 self.expect("kw", "on")
                 cond = self._resolve(self._expr())
-                builder = self._asof_join(builder, right, cond, outer)
+                builder = self._asof_join(
+                    builder, right, cond, outer, nearest
+                )
                 continue
             jt = self._join_type()
             if jt is None:
@@ -1076,18 +1087,24 @@ class _Parser:
 
         return list(derive(builder._require_root()).schema.names())
 
-    def _asof_join(self, builder, right, cond, outer=False):
-        """Lower ``left ASOF [LEFT] JOIN right ON <cond>`` (DuckDB's
-        grammar) to the engine's ``LogicalAsofJoin``: the ON condition
-        must be a conjunction of ``l.k = r.k`` equalities plus EXACTLY
-        ONE ``l.ts >= r.ts`` inequality (the backward-inclusive as-of
-        match; ``r.ts <= l.ts`` normalizes).  Output = every left
-        column plus the right columns not consumed as keys/timestamp —
-        alias colliding names away in a subquery if needed.  The
-        operator itself is outer-shaped (NULLs on no match = ASOF LEFT
-        JOIN); plain ASOF JOIN adds an is-not-null filter on an
-        internal duplicate of the right timestamp (never NULL in a
-        real match) and projects it away — DuckDB's inner default."""
+    def _asof_join(self, builder, right, cond, outer=False, nearest=False):
+        """Lower ``left ASOF [NEAREST] [LEFT] JOIN right ON <cond>``
+        (DuckDB's grammar; directions r10) to the engine's
+        ``LogicalAsofJoin``: the ON condition must be a conjunction of
+        ``l.k = r.k`` equalities plus EXACTLY ONE ts inequality, whose
+        operator picks the match direction — ``l.ts >= r.ts`` backward
+        inclusive (DuckDB's default), ``>`` backward strict, ``<=``
+        forward inclusive, ``<`` forward strict (right-side-first
+        spellings normalize).  With the NEAREST qualifier the
+        inequality only designates the ts pair (and strictness) and
+        the closer of the backward/forward matches wins, backward on
+        ties.  Output = every left column plus the right columns not
+        consumed as keys/timestamp — alias colliding names away in a
+        subquery if needed.  The operator itself is outer-shaped
+        (NULLs on no match = ASOF LEFT JOIN); plain ASOF JOIN adds an
+        is-not-null filter on an internal duplicate of the right
+        timestamp (never NULL in a real match) and projects it away —
+        DuckDB's inner default."""
         left_names = set(self._schema_names(builder))
         right_schema = self._schema_names(right)
         right_names = set(right_schema)
@@ -1131,7 +1148,7 @@ class _Parser:
                 isinstance(c, BinOp)
                 and isinstance(c.left, Col)
                 and isinstance(c.right, Col)
-                and c.op in ("=", ">=", "<=")
+                and c.op in ("=", ">=", "<=", ">", "<")
             ):
                 raise SqlError(
                     "ASOF JOIN ON supports column equality conjuncts, "
@@ -1143,18 +1160,13 @@ class _Parser:
             op = c.op
             if op != "=" and side(l) == "r":
                 l, r = r, l
-                op = {">=": "<=", "<=": ">="}[op]
+                op = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}[op]
             if op == "=":
                 if side(l) == "r":
                     l, r = r, l
                 lks.append(l.name)
                 rks.append(r.name)
             else:
-                if op != ">=":
-                    raise SqlError(
-                        "ASOF JOIN matches BACKWARD: the inequality "
-                        "must be left_ts >= right_ts"
-                    )
                 if side(l) != "l" or side(r) != "r":
                     raise SqlError(
                         "ASOF JOIN ts inequality must compare a left "
@@ -1165,16 +1177,24 @@ class _Parser:
                         "ASOF JOIN takes exactly one ts inequality"
                     )
                 ts_pair = (l.name, r.name)
+                ts_op = op
         if ts_pair is None:
             raise SqlError(
-                "ASOF JOIN needs a left_ts >= right_ts conjunct in ON"
+                "ASOF JOIN needs a ts inequality conjunct in ON "
+                "(l.ts >=|>|<=|< r.ts)"
             )
+        direction = "backward" if ts_op in (">=", ">") else "forward"
+        strict = ts_op in (">", "<")
+        if nearest:
+            direction = "nearest"
         tolerance = None
         if tol_conjs:
             if len(tol_conjs) > 1:
                 raise SqlError("ASOF JOIN takes at most one tolerance")
             ta, tb, tolerance = tol_conjs[0]
-            if (ta, tb) != ts_pair:
+            # either orientation designates the pair — the engine
+            # bounds the direction-appropriate (non-negative) gap
+            if (ta, tb) != ts_pair and (tb, ta) != ts_pair:
                 raise SqlError(
                     "ASOF JOIN tolerance must bound the SAME timestamp "
                     f"pair as the inequality ({ts_pair[0]} - "
@@ -1191,7 +1211,7 @@ class _Parser:
         if outer:
             return builder.asof_join(
                 right, lks, rks, ts_pair[0], ts_pair[1], right_cols,
-                tolerance=tolerance,
+                tolerance=tolerance, direction=direction, strict=strict,
             )
         # inner: carry a duplicate of the right ts through the join as
         # the match witness, filter on it, project it away (a
@@ -1204,7 +1224,7 @@ class _Parser:
         joined = builder.asof_join(
             right, lks, rks, ts_pair[0], ts_pair[1],
             right_cols + [witness],
-            tolerance=tolerance,
+            tolerance=tolerance, direction=direction, strict=strict,
         )
         out_cols = list(self._schema_names(joined))
         out_cols.remove(witness)

@@ -95,7 +95,8 @@ def _run_stream(spark, df, output_mode, *, sink="memory", sink_path=None):
 
 
 def _stream_state_partitions(spark, sf_dir: str,
-                             per_partition: int = 50_000) -> int:
+                             per_partition: int = 50_000,
+                             floor: int = 4) -> int:
     """STATE-SIZE-derived shuffle partition count for stateful
     streaming replays (r9, VERDICT item 4).  Each stream shuffle
     partition carries its own state store instances — a stream-stream
@@ -121,7 +122,7 @@ def _stream_state_partitions(spark, sf_dir: str,
     n = parquet_rows(f"{sf_dir}/events.parquet")
     if n <= 0:
         return cur
-    return max(4, min(cur, n // per_partition))
+    return max(floor, min(cur, n // per_partition))
 
 
 @contextmanager
@@ -757,12 +758,20 @@ def stateful_user_totals(spark, sf_dir: str):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    # NOT state-size-partitioned: applyInPandasWithState is PYTHON
-    # compute-bound (the pandas update fn per key group), not
-    # state-commit-bound — measured 1.6 s at 32 partitions vs 2.2 s at
-    # 4; the commit tax the stream-stream joins pay (4 stores/partition)
-    # doesn't apply to its single custom state store
-    out = _run_stream(spark, result, "update")
+    # STATE-SIZE PARTITIONED (r10, VERDICT item 3): the Python stateful
+    # path pays per-(partition × micro-batch) a Python worker + Arrow
+    # stream setup AND one custom-state-store commit — lighter than the
+    # stream-join's 4 stores, but still fixed per partition regardless
+    # of rows.  Measured at sf0.1 (100k rows, 1.5k state keys, clean
+    # host): 32 partitions 2.04-2.15 s vs 8 partitions 1.72-1.83 s vs
+    # 4 partitions 1.85 s — the same footprint-derived count as the JVM
+    # operators lands in the flat-bottom range, so reuse it.  At
+    # cluster scale the session cap binds and this is a no-op (the
+    # derivation only ever LOWERS the count).
+    with _stream_shuffle(
+        spark, _stream_state_partitions(spark, sf_dir, floor=8)
+    ):
+        out = _run_stream(spark, result, "update")
     # update mode may emit a row per micro-batch per key — keep the final
     # (max n_events) row per user
     from pyspark.sql import Window

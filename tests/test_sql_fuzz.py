@@ -1061,12 +1061,15 @@ class Gen:
         return sql, sql
 
     def _asof(self):
-        """ASOF [LEFT] JOIN (r9): DuckDB executes the identical grammar
-        natively, so the oracle is free.  Determinism: the right side is
-        unique per (keys, ts) by construction — keyless form uses the
-        right table's PK as the timestamp; keyed form derives a
-        GROUP BY subquery (one row per key)."""
+        """ASOF [LEFT] JOIN (r9; directions r10): DuckDB executes the
+        identical grammar natively — including all four inequality
+        operators (>= backward, > backward strict, <= forward,
+        < forward strict) — so the oracle is free.  Determinism: the
+        right side is unique per (keys, ts) by construction — keyless
+        form uses the right table's PK as the timestamp; keyed form
+        derives a GROUP BY subquery (one row per key)."""
         r = self.rng
+        ineq = r.choice([">=", ">", "<=", "<"])
         if r.random() < 0.5:
             # keyed: left ASOF-joins a per-key aggregate of the right
             lt, lc, rt, rc = r.choice(JOIN_EDGES)
@@ -1082,7 +1085,7 @@ class Gen:
             sql = (
                 f"SELECT {lc} AS c0, {lts} AS c1, cnt AS c2 "
                 f"FROM {lt} {form} {sub} "
-                f"ON {lc} = k2 AND {lts} >= rts"
+                f"ON {lc} = k2 AND {lts} {ineq} rts"
             )
             return sql, sql
         # keyless: match the greatest right-PK at or below the left ts
@@ -1096,7 +1099,7 @@ class Gen:
         form = r.choice(["ASOF JOIN", "ASOF LEFT JOIN"])
         sql = (
             f"SELECT {PK[lt]} AS c0, {lts} AS c1, {carried} AS c2 "
-            f"FROM {lt} {form} {rt} ON {lts} >= {rts}"
+            f"FROM {lt} {form} {rt} ON {lts} {ineq} {rts}"
         )
         return sql, sql
 
