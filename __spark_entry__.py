@@ -1216,12 +1216,20 @@ def q_knn_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-query (2048 vectors = the 8 hash IVF centroids + 0.2-amplitude
     md5-hash noise, so cells align with clusters and DuckDB replays the
     generation bit-exactly); per query: ground-truth size, raw-PQ hits,
-    residual-PQ hits — integer counts, hash-exact.  The residual path's
-    win comes from (a) the exact dot(q, cent) score term replacing its
-    quantized version and (b) codebooks rescaled to the residual RMS
-    (order-independent integer sums — see
-    functions/similarity._pq_residual_scales).  Measured here: raw 49 vs
-    residual 75 of 200 ground-truth neighbors recovered."""
+    residual-PQ hits, trained-residual hits — integer counts,
+    hash-exact.  The residual path's win comes from (a) the exact
+    dot(q, cent) score term replacing its quantized version and (b)
+    codebooks rescaled to the residual RMS (order-independent integer
+    sums — see functions/similarity._pq_residual_scales); the TRAINED
+    variant (r10, VERDICT item 4) further fits the codebooks to the
+    residual distribution with 4 deterministic Lloyd iterations
+    (functions/similarity._pq_train_books).  refine went 50 → 100 in
+    r10: a ceiling study (numpy replica of this exact corpus) showed
+    refine=50 caps ANY codebook — even 60-iteration converged
+    k-means — at ~92/200, so the candidate list, not codebook quality,
+    was binding; at refine=100 the three variants separate cleanly.
+    Measured here: raw 95, residual 107, trained 126 of 200
+    ground-truth neighbors recovered."""
     from pyspark.sql import functions as F
 
     from datafusion_dolomite_spark.functions.similarity import (
@@ -1249,7 +1257,7 @@ def q_knn_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"+ 0.2D * {noise})"
         ).alias("vec"),
     )
-    common = dict(n_queries=20, k=10, m=16, ksub=16, refine=50,
+    common = dict(n_queries=20, k=10, m=16, ksub=16, refine=100,
                   ncells=G, nprobe=3)
     gt = knn_brute(df, "vid", "vec", n_queries=20, k=10).select(
         "query_id", "neighbor_id"
@@ -1264,9 +1272,15 @@ def q_knn_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .withColumn("res_hit", F.lit(1))
     )
+    trn = (
+        knn_pq(df, "vid", "vec", residual=True, train_iters=4, **common)
+        .select("query_id", "neighbor_id")
+        .withColumn("trn_hit", F.lit(1))
+    )
     return (
         gt.join(raw, ["query_id", "neighbor_id"], "left")
         .join(res, ["query_id", "neighbor_id"], "left")
+        .join(trn, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_brute"),
@@ -1276,6 +1290,9 @@ def q_knn_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("res_hit"), F.lit(0)))
             .cast("bigint")
             .alias("res_hits"),
+            F.sum(F.coalesce(F.col("trn_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("trn_hits"),
         )
     )
 
@@ -2103,11 +2120,11 @@ def _knn_pq_oracle(nq=5, k=10, m=8, ksub=16, refine=30, sw=8) -> str:
 
 
 def _ivfpq_ctes(p, nq, k, m, ksub, refine, ncells, nprobe, sw,
-                residual=False) -> tuple:
+                residual=False, train_iters=0) -> tuple:
     """CTE chain for the IVF-PQ ranking pipeline over an in-scope
-    ``v(vec_id, ev)`` — every CTE name is ``{p}``-prefixed so two
-    variants (raw vs residual) can coexist in one statement.  Returns
-    (ctes_text, final_ranked_cte_name); the final CTE has
+    ``v(vec_id, ev)`` — every CTE name is ``{p}``-prefixed so several
+    variants (raw / residual / trained) can coexist in one statement.
+    Returns (ctes_text, final_ranked_cte_name); the final CTE has
     (qid, nid, rnk).
 
     ``residual=True`` replays functions/similarity.knn_pq's
@@ -2115,7 +2132,15 @@ def _ivfpq_ctes(p, nq, k, m, ksub, refine, ncells, nprobe, sw,
     integer sums of floor(r²·1e6), codes quantizing v − cent(cell)
     against the scaled books, and the ADC score folding the exact
     dot(q, cent) offset FIRST (list_prepend — the same left-assoc
-    order as Spark's ``_coff + t0 + …`` chain)."""
+    order as Spark's ``_coff + t0 + …`` chain).
+
+    ``train_iters`` (r10) replays ``_pq_train_books``: each Lloyd
+    iteration reassigns every residual subvector to its nearest
+    current entry (dist fold in dimension order, ties → lowest code —
+    the same row_number ranking as the encode) and re-derives each
+    non-empty entry as its assigned mean from per-dim BIGINT sums of
+    floor(x·1e6) — order-independent, so the iteration is bit-exact
+    across engines; empty entries keep their previous value."""
     book = (
         f"list_transform(range(0, {sw}), d -> "
         "((('0x' || substr(md5('pq' || j || '_' || c || '_d' || d), 1, 15))"
@@ -2166,6 +2191,37 @@ def _ivfpq_ctes(p, nq, k, m, ksub, refine, ncells, nprobe, sw,
         s_expr = ("list_reduce(list_prepend(p.coff, "
                   "list(l.pdot ORDER BY l.j)), (x, y) -> x + y)")
         group = "GROUP BY l.qid, cd.vec_id, p.coff"
+        books_cte = f"{p}books"
+        for t in range(1, train_iters + 1):
+            prev = books_cte
+            parts += [
+                f"""{p}tenc{t} AS (SELECT e.vec_id, b.j, b.c,
+                   list_reduce(list_transform(range(0, {sw}), d ->
+                     (e.ev[b.j * {sw} + d + 1] - b.bv[d + 1])
+                     * (e.ev[b.j * {sw} + d + 1] - b.bv[d + 1])),
+                     (x, y) -> x + y) AS dist
+                 FROM {p}rv e CROSS JOIN {prev} b)""",
+                f"""{p}tcode{t} AS (SELECT vec_id, j, c FROM (
+                   SELECT vec_id, j, c, row_number() OVER (
+                     PARTITION BY vec_id, j ORDER BY dist ASC, c ASC) AS r
+                   FROM {p}tenc{t}) WHERE r = 1)""",
+                f"""{p}tsum{t} AS (SELECT t.j, t.c, td.d,
+                   SUM(CAST(floor(e.ev[t.j * {sw} + td.d + 1]
+                     * 1000000.0) AS BIGINT)) AS s,
+                   COUNT(*) AS n
+                 FROM {p}tcode{t} t
+                 JOIN {p}rv e ON e.vec_id = t.vec_id
+                 CROSS JOIN range(0, {sw}) td(d)
+                 GROUP BY t.j, t.c, td.d)""",
+                f"""{p}tmean{t} AS (SELECT j, c,
+                   list(s / (n * 1000000.0) ORDER BY d) AS mv
+                 FROM {p}tsum{t} GROUP BY j, c)""",
+                f"""{p}tb{t} AS (SELECT b.j, b.c,
+                   CASE WHEN m2.mv IS NULL THEN b.bv ELSE m2.mv END AS bv
+                 FROM {prev} b
+                 LEFT JOIN {p}tmean{t} m2 ON m2.j = b.j AND m2.c = b.c)""",
+            ]
+            books_cte = f"{p}tb{t}"
     else:
         parts += [
             f"""{p}probe AS (SELECT vec_id AS qid, c AS cell FROM {p}cellr
@@ -2175,13 +2231,14 @@ def _ivfpq_ctes(p, nq, k, m, ksub, refine, ncells, nprobe, sw,
         encsrc = "v"
         s_expr = "list_reduce(list(l.pdot ORDER BY l.j), (x, y) -> x + y)"
         group = "GROUP BY l.qid, cd.vec_id"
+        books_cte = f"{p}books"
     parts += [
         f"""{p}enc0 AS (SELECT e.vec_id, b.j, b.c,
                list_reduce(list_transform(range(0, {sw}), d ->
                  (e.ev[b.j * {sw} + d + 1] - b.bv[d + 1])
                  * (e.ev[b.j * {sw} + d + 1] - b.bv[d + 1])),
                  (x, y) -> x + y) AS dist
-             FROM {encsrc} e CROSS JOIN {p}books b)""",
+             FROM {encsrc} e CROSS JOIN {books_cte} b)""",
         f"""{p}codes AS (SELECT vec_id, j, c FROM (
                SELECT vec_id, j, c, row_number() OVER (
                  PARTITION BY vec_id, j ORDER BY dist ASC, c ASC) AS r
@@ -2191,7 +2248,7 @@ def _ivfpq_ctes(p, nq, k, m, ksub, refine, ncells, nprobe, sw,
                list_reduce(list_transform(range(0, {sw}), d ->
                  q.qv2[b.j * {sw} + d + 1] * b.bv[d + 1]),
                  (x, y) -> x + y) AS pdot
-             FROM {p}qv q CROSS JOIN {p}books b)""",
+             FROM {p}qv q CROSS JOIN {books_cte} b)""",
         f"""{p}sc AS (SELECT l.qid, cd.vec_id AS nid, {s_expr} AS s
              FROM {p}codes cd
              JOIN {p}cells cl ON cl.vec_id = cd.vec_id
@@ -2231,14 +2288,16 @@ def _knn_ivfpq_oracle(nq=5, k=10, m=8, ksub=16, refine=30, ncells=8,
     """
 
 
-def _knn_residual_oracle(nq=20, k=10, m=16, ksub=16, refine=50, ncells=8,
-                         nprobe=3, sw=4, g=8, n=2048) -> str:
+def _knn_residual_oracle(nq=20, k=10, m=16, ksub=16, refine=100, ncells=8,
+                         nprobe=3, sw=4, g=8, n=2048,
+                         train_iters=4) -> str:
     """q_knn_residual replayed exactly: the clustered corpus generates
     from the SAME md5 formulas (cluster centers = the 'c{g}' IVF
     centroids; noise = 0.2 · hash), then brute-force ground truth and
-    BOTH IVF-PQ variants (raw via ``_ivfpq_ctes(residual=False)``,
-    residual via ``residual=True``) rank side by side; the output is
-    per-query integer hit counts."""
+    THREE IVF-PQ variants — raw (``residual=False``), residual
+    (``residual=True``), and r10's TRAINED residual
+    (``train_iters``-iteration Lloyd codebooks) — rank side by side;
+    the output is per-query integer hit counts."""
     gcent = (
         "list_transform(range(0, 64), d -> "
         "((('0x' || substr(md5('c' || g || '_d' || d), 1, 15))"
@@ -2249,6 +2308,10 @@ def _knn_residual_oracle(nq=20, k=10, m=16, ksub=16, refine=50, ncells=8,
     )
     res_ctes, res_final = _ivfpq_ctes(
         "z", nq, k, m, ksub, refine, ncells, nprobe, sw, residual=True
+    )
+    trn_ctes, trn_final = _ivfpq_ctes(
+        "y", nq, k, m, ksub, refine, ncells, nprobe, sw, residual=True,
+        train_iters=train_iters,
     )
     return f"""
         WITH gcent AS (SELECT g, {gcent} AS cv FROM range(0, {g}) t(g)),
@@ -2266,17 +2329,22 @@ def _knn_residual_oracle(nq=20, k=10, m=16, ksub=16, refine=50, ncells=8,
         gt AS (SELECT qid, nid FROM br WHERE rnk <= {k}),
         {raw_ctes},
         {res_ctes},
+        {trn_ctes},
         rawk AS (SELECT qid, nid FROM {raw_final} WHERE rnk <= {k}),
-        resk AS (SELECT qid, nid FROM {res_final} WHERE rnk <= {k})
+        resk AS (SELECT qid, nid FROM {res_final} WHERE rnk <= {k}),
+        trnk AS (SELECT qid, nid FROM {trn_final} WHERE rnk <= {k})
         SELECT gt.qid AS query_id,
                count(*)::BIGINT AS n_brute,
                SUM(CASE WHEN rawk.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
                  AS raw_hits,
                SUM(CASE WHEN resk.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-                 AS res_hits
+                 AS res_hits,
+               SUM(CASE WHEN trnk.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS trn_hits
         FROM gt
         LEFT JOIN rawk ON rawk.qid = gt.qid AND rawk.nid = gt.nid
         LEFT JOIN resk ON resk.qid = gt.qid AND resk.nid = gt.nid
+        LEFT JOIN trnk ON trnk.qid = gt.qid AND trnk.nid = gt.nid
         GROUP BY gt.qid
     """
 

@@ -529,8 +529,105 @@ def _pq_books(m: int, sw: int, ksub: int):
     ]
 
 
+def _pq_train_books(assigned, vec_col: str, cell_col: str, m: int,
+                    sw: int, ksub: int, cents, books, iters: int):
+    """DATA-TRAINED PQ codebooks (r10, VERDICT item 4): fixed-iteration
+    Lloyd refinement of the scaled-hash-initialized codebooks over the
+    corpus RESIDUALS — FAISS's ``train()`` pass expressed Spark-side,
+    reduced to ORDER-INDEPENDENT integer sums so the DuckDB oracle
+    replays every iteration bit-identically (the same exactness trick
+    as ``_pq_residual_scales``).
+
+    Per iteration: (a) each Arrow batch assigns every residual
+    subvector to its nearest current entry (identical fold order to
+    the encode — d-sequential ``acc + diff*diff``) and accumulates
+    per-(subspace, code, dim) Σ floor(x·1e6) int64 partials plus
+    counts; (b) one tiny shuffle (m·ksub rows per partition) sums the
+    partials; (c) the driver collects m·ksub rows (bounded — 256
+    scalars·sw here) and re-derives each non-empty entry as its
+    assigned mean ``s / (n·1e6)``; empty entries keep their previous
+    value (the standard empty-cluster rule).  Integer sums are
+    commutative, so partition order never changes a code; the final
+    division is one IEEE op on exactly-represented operands.  At
+    100 TB this runs over a sample table — per iteration one map over
+    the sample + a 256-row aggregate."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    centarr = np.stack([
+        np.asarray(v, dtype=np.float64)
+        for _, v in sorted(cents, key=lambda p: p[0])
+    ])
+    for _ in range(iters):
+
+        def part(batches, cur=books):
+            sums = np.zeros((m, ksub, sw), dtype=np.int64)
+            cnts = np.zeros((m, ksub), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                mat = mat - centarr[pdf[cell_col].to_numpy()]
+                for j in range(m):
+                    sub = mat[:, j * sw:(j + 1) * sw]
+                    dists = np.empty((len(sub), ksub), dtype=np.float64)
+                    for code, bv in cur[j]:
+                        acc = np.zeros(len(sub), dtype=np.float64)
+                        for d in range(sw):
+                            diff = sub[:, d] - bv[d]
+                            acc = acc + diff * diff
+                        dists[:, code] = acc
+                    best = np.argmin(dists, axis=1)  # ties → lowest code
+                    qi = np.floor(sub * 1_000_000.0).astype(np.int64)
+                    for code in range(ksub):
+                        mask = best == code
+                        if mask.any():
+                            sums[j, code] += qi[mask].sum(axis=0)
+                            cnts[j, code] += int(mask.sum())
+            rows = [
+                (j, code, [int(x) for x in sums[j, code]],
+                 int(cnts[j, code]))
+                for j in range(m)
+                for code in range(ksub)
+                if cnts[j, code]
+            ]
+            if rows:
+                yield pd.DataFrame(rows, columns=["j", "c", "s", "n"])
+
+        tot = (
+            assigned.mapInPandas(
+                part, schema="j int, c int, s array<bigint>, n bigint"
+            )
+            .groupBy("j", "c")
+            .agg(
+                *[
+                    F.sum(F.element_at("s", d + 1)).alias(f"s{d}")
+                    for d in range(sw)
+                ],
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        means = {
+            (r["j"], r["c"]): [
+                int(r[f"s{d}"]) / (int(r["n"]) * 1_000_000.0)
+                for d in range(sw)
+            ]
+            for r in tot
+        }
+        books = [
+            [(code, means.get((j, code), bv)) for code, bv in books[j]]
+            for j in range(m)
+        ]
+    return books
+
+
 def _pq_encode_pandas(df, vec_col: str, m: int, sw: int, ksub: int,
-                      cents=None, scales=None, cell_col: str = "_cell"):
+                      cents=None, scales=None, cell_col: str = "_cell",
+                      books=None):
     """Arrow-vectorized PQ encoding: appends ``_codes`` (array<int>,
     length ``m``) — per subspace, the L2²-nearest codebook entry (ties
     → lower code).  Accumulation is dimension-by-dimension in float64,
@@ -545,15 +642,18 @@ def _pq_encode_pandas(df, vec_col: str, m: int, sw: int, ksub: int,
     rescale the argmin mostly picks the smallest-norm entry and recall
     floors).  Both the subtraction and the scaled entries are single
     IEEE ops on identical operands in the oracle, so codes stay
-    bit-identical."""
+    bit-identical.  An explicit ``books`` (data-trained,
+    ``_pq_train_books``) overrides the hash derivation and ``scales``
+    entirely."""
     import numpy as np
 
-    books = _pq_books(m, sw, ksub)
-    if scales is not None:
-        books = [
-            [(c, [v * scales[j] for v in bv]) for c, bv in books[j]]
-            for j in range(m)
-        ]
+    if books is None:
+        books = _pq_books(m, sw, ksub)
+        if scales is not None:
+            books = [
+                [(c, [v * scales[j] for v in bv]) for c, bv in books[j]]
+                for j in range(m)
+            ]
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", _codes array<int>"
@@ -635,6 +735,7 @@ def knn_pq(
     ncells: int = 0,
     nprobe: int = 3,
     residual: bool = False,
+    train_iters: int = 0,
 ):
     """PRODUCT-QUANTIZATION ANN (asymmetric distance computation): the
     corpus compresses to ``m`` small integer codes per vector (each
@@ -672,6 +773,7 @@ def knn_pq(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
     scales = None
+    trained = None
     if ncells:
         if use_residual:
             # residual encoding needs the corpus assignment TWICE (the
@@ -683,21 +785,42 @@ def knn_pq(
             c = c.persist()
             scales = _pq_residual_scales(c, m, sw)
             cents = [(i, _hash_vec(f"c{i}")) for i in range(ncells)]
-            c = _pq_encode_pandas(
-                c.drop("_sq"), "_cv", m, sw, ksub,
-                cents=cents, scales=scales,
-            )
+            if train_iters:
+                # r10: the scaled hash books are the k-means INIT;
+                # fixed-iteration Lloyd fits them to the residual
+                # distribution (tests/test_pq_residual.py measures the
+                # recall lift over the scaled-hash floor)
+                init = [
+                    [(cc, [v * scales[j] for v in bv]) for cc, bv in bj]
+                    for j, bj in enumerate(_pq_books(m, sw, ksub))
+                ]
+                trained = _pq_train_books(
+                    c.drop("_sq"), "_cv", "_cell", m, sw, ksub,
+                    cents, init, train_iters,
+                )
+                c = _pq_encode_pandas(
+                    c.drop("_sq"), "_cv", m, sw, ksub,
+                    cents=cents, books=trained,
+                )
+            else:
+                c = _pq_encode_pandas(
+                    c.drop("_sq"), "_cv", m, sw, ksub,
+                    cents=cents, scales=scales,
+                )
         else:
             c = _best_cell_pandas(c, "_cv", ncells)
             c = _pq_encode_pandas(c, "_cv", m, sw, ksub)
     else:
         c = _pq_encode_pandas(c, "_cv", m, sw, ksub)
-    books = _pq_books(m, sw, ksub)
-    if scales is not None:
-        books = [
-            [(cc, [v * scales[j] for v in bv]) for cc, bv in books[j]]
-            for j in range(m)
-        ]
+    if trained is not None:
+        books = trained
+    else:
+        books = _pq_books(m, sw, ksub)
+        if scales is not None:
+            books = [
+                [(cc, [v * scales[j] for v in bv]) for cc, bv in books[j]]
+                for j in range(m)
+            ]
     keep_cols = ["neighbor_id", "_codes"] + (["_cell"] if ncells else [])
     if refine and refine > k:
         keep_cols.append("_cv")

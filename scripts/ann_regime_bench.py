@@ -19,6 +19,22 @@ Per trial (interleaved, warm):
                 the top-``refine`` (point-fetches only those vectors)
   * ivfpq     — ADC confined to ``nprobe`` probed cells' codes
   * ivfpq_res — same, residual encoding (FAISS IVF-PQ proper)
+  * ivfpq_trn — residual with data-trained (fixed-iteration Lloyd)
+                codebooks (r10)
+
+Read the recall column against the PROBE CEILING this corpus has: the
+synthetic embeddings table does not cluster around the hash IVF
+centroids, so nprobe=3/32 cells reach only ~20% of the true
+neighbors (measured: 10 of 50 gt pairs in probed cells) — at that
+ceiling the codebook variants differ by noise-level counts of hits,
+and trained codebooks can even read WORSE (MSE-optimal k-means
+concentrates the quantization error along the data's principal
+directions, which are exactly the query directions — the anisotropy
+pitfall the ScaNN paper formalizes).  The regime where training wins
+is the cluster-structured gate corpus (q_knn_residual / 
+tests/test_pq_residual.py: 107 → 126 of 200 at refine=100, where the
+probe ceiling is ~100%).  Lifting THIS table's recall needs trained
+IVF centroids (the probe stage), not trained codebooks.
 
 Run: python scripts/ann_regime_bench.py [n_trials] [scale]
 """
@@ -36,7 +52,7 @@ from datafusion_dolomite_spark.session import get_spark  # noqa: E402
 from datafusion_dolomite_spark.functions import similarity as S  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-NQ, K, M, KSUB, REFINE, NPROBE = 5, 10, 8, 16, 50, 3
+NQ, K, M, KSUB, REFINE, NPROBE, TRAIN_ITERS = 5, 10, 8, 16, 50, 3, 4
 
 
 def _dir_bytes(path):
@@ -113,7 +129,6 @@ def main():
     enc_r2.select("neighbor_id", "_cell", "_codes").write.parquet(
         codes_res_path
     )
-    enc_r.unpersist()
     build_res_s = time.monotonic() - t0
     print(
         f"residual index build {build_res_s:.2f} s "
@@ -121,6 +136,32 @@ def main():
         f"materializes the assignment twice)"
     )
     codes_res = spark.read.parquet(codes_res_path)
+
+    # ---- trained index build (r10): Lloyd-refined codebooks ----------
+    t0 = time.monotonic()
+    init = [
+        [(cc, [v * scales[j] for v in bv]) for cc, bv in bj]
+        for j, bj in enumerate(S._pq_books(M, sw, KSUB))
+    ]
+    books_trn = S._pq_train_books(
+        enc_r.drop("_sq"), "_cv", "_cell", M, sw, KSUB, cents, init,
+        TRAIN_ITERS,
+    )
+    enc_t = S._pq_encode_pandas(
+        enc_r.drop("_sq"), "_cv", M, sw, KSUB, cents=cents, books=books_trn
+    )
+    codes_trn_path = os.path.join(work, "codes_trn")
+    enc_t.select("neighbor_id", "_cell", "_codes").write.parquet(
+        codes_trn_path
+    )
+    enc_r.unpersist()
+    build_trn_s = time.monotonic() - t0
+    print(
+        f"trained index build {build_trn_s:.2f} s "
+        f"({TRAIN_ITERS} Lloyd iterations over the residuals + encode; "
+        f"{build_trn_s / build_s:.2f}× raw build)"
+    )
+    codes_trn = spark.read.parquet(codes_trn_path)
 
     # ---- query phases -------------------------------------------------
     books = S._pq_books(M, sw, KSUB)
@@ -146,6 +187,7 @@ def main():
 
     q_lut = q.withColumn("_lut", lut_col(books))
     q_lut_res = q.withColumn("_lut", lut_col(books_res))
+    q_lut_trn = q.withColumn("_lut", lut_col(books_trn))
     score = " + ".join(
         f"element_at(_lut, {j * KSUB} + element_at(_codes, {j + 1}) + 1)"
         for j in range(M)
@@ -218,7 +260,28 @@ def main():
         ).select("query_id", "neighbor_id", "_qv")
         return _finish(cand)
 
-    runs = {"brute": brute, "pq": pq, "ivfpq": ivfpq, "ivfpq_res": ivfpq_res}
+    def ivfpq_trn():
+        qc = S._probe_cells_pandas(
+            q_lut_trn, "_qv", ncells, NPROBE, with_offsets=True
+        )
+        qc = qc.select(
+            "query_id", "_lut", "_qv",
+            F.explode(F.arrays_zip("_probe", "_poff")).alias("_pz"),
+        ).select(
+            "query_id", "_lut", "_qv",
+            F.col("_pz._probe").alias("_cell"),
+            F.col("_pz._poff").alias("_coff"),
+        )
+        scored = codes_trn.join(F.broadcast(qc), ["_cell"]).filter(
+            F.col("neighbor_id") != F.col("query_id")
+        ).withColumn("_score", F.expr(f"_coff + {score}"))
+        cand = scored.withColumn("_pr", F.row_number().over(wq)).filter(
+            F.col("_pr") <= REFINE
+        ).select("query_id", "neighbor_id", "_qv")
+        return _finish(cand)
+
+    runs = {"brute": brute, "pq": pq, "ivfpq": ivfpq,
+            "ivfpq_res": ivfpq_res, "ivfpq_trn": ivfpq_trn}
 
     # recall@K vs exact ground truth (once, before timing)
     gt = {
@@ -239,7 +302,7 @@ def main():
     b = statistics.median(results["brute"])
     print(f"\ntrials: {trials} (interleaved, warm; query phase only)")
     print(f"{'path':<10}{'median s':>10}{'vs brute':>10}{'recall@10':>11}")
-    for name in ("brute", "pq", "ivfpq", "ivfpq_res"):
+    for name in ("brute", "pq", "ivfpq", "ivfpq_res", "ivfpq_trn"):
         m_ = statistics.median(results[name])
         print(
             f"{name:<10}{m_:>10.3f}{m_ / b:>10.2f}x{recall[name]:>10.0%}"

@@ -313,6 +313,16 @@ SHUFFLE_BUDGET = {
     # r9: ASOF JOIN — bucket-explode + hash join (2) + the per-left-row
     # argmax window + final ORDER BY
     "q_sql_asof": 4,
+    # r10: forward direction — identical union-merge shape (one keyed
+    # window Exchange + final ORDER BY; measured 2)
+    "q_sql_asof_fwd": 4,
+    # r10: nearest — backward AND forward windows share ONE keyed
+    # Exchange (two sorts, no extra shuffle; measured 2)
+    "q_sql_asof_nearest": 4,
+    # r10: MERGE with schema evolution — evolved-scan read + final
+    # ORDER BY (measured 1; headroom for the full-outer join's
+    # AQE-dependent exchanges, same as q_sql_merge_nms)
+    "q_sql_merge_evolve": 3,
     # r9: BETWEEN-join rewrite → broadcast range join (no shuffle) +
     # band agg + ORDER BY (hash + range, doubled under AQE reuse)
     "q_sql_range_between": 4,

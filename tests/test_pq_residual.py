@@ -116,3 +116,28 @@ def test_residual_flag_through_planner(spark, tmp_path):
     assert "residual" in qp.explain(plan)
     rows = qp.dataframe(plan).collect()
     assert len(rows) == 15  # 3 queries × k=5
+
+
+def test_trained_codebooks_lift_recall(spark, clustered):
+    """r10 (VERDICT item 4): fixed-iteration Lloyd-trained codebooks
+    beat the scaled-hash residual floor.  refine=100 — the r10 ceiling
+    study showed refine=50 caps ANY codebook at ~92/200 on this
+    corpus, so the gate runs where codebook quality is the binding
+    factor.  Measured: raw 95, residual 107, trained 126."""
+    common = dict(n_queries=20, k=10, m=16, ksub=16, refine=100,
+                  ncells=8, nprobe=3)
+    gt = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_brute(clustered, "vid", "vec",
+                           n_queries=20, k=10).collect()
+    }
+    res = _hits(
+        knn_pq(clustered, "vid", "vec", residual=True, **common), gt
+    )
+    trn = _hits(
+        knn_pq(clustered, "vid", "vec", residual=True, train_iters=4,
+               **common),
+        gt,
+    )
+    assert trn > res, f"trained {trn} should beat untrained {res}"
+    assert trn >= 120 and res >= 100
