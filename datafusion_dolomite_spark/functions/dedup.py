@@ -277,7 +277,12 @@ def incremental_minhash_dedup(
         )
         n_indexed = to_index.count()
         to_index.write.mode("append").parquet(index_dir)
-        _write_index_meta(index_dir, num_hashes, bands, k)
+        # ingest history: this label moves to the end (most recent) —
+        # the retention clock compact_signature_index(retain_batches=N)
+        # counts against (r10)
+        hist = read_index_batches(index_dir) or []
+        hist = [b for b in hist if b != batch_label] + [batch_label]
+        _write_index_meta(index_dir, num_hashes, bands, k, batches=hist)
         new_sig.unpersist()
     return result, n_indexed
 
@@ -289,19 +294,29 @@ def _index_meta_path(index_dir: str) -> str:
 
 
 def _write_index_meta(index_dir: str, num_hashes: int, bands: int,
-                      k: int) -> None:
+                      k: int, batches=None) -> None:
     """Record the index's signature parameterization as
     ``<index>/_meta.json`` (underscore-prefixed: invisible to parquet
     listings).  Written at creation and on migration; probes validate
     against it so a bands/num_hashes mismatch fails loudly instead of
-    silently finding fewer candidates."""
+    silently finding fewer candidates.  ``batches`` (r10) is the
+    ordered ingest history of batch labels — the retention clock
+    ``compact_signature_index(retain_batches=N)`` counts against;
+    omitted, any previously recorded history is preserved."""
     import json
     import os
 
+    if batches is None:
+        prev = read_index_batches(index_dir)
+        batches = prev if prev is not None else []
     path = _index_meta_path(index_dir)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"num_hashes": num_hashes, "bands": bands, "k": k}, f)
+        json.dump(
+            {"num_hashes": num_hashes, "bands": bands, "k": k,
+             "batches": list(batches)},
+            f,
+        )
     os.replace(tmp, path)
 
 
@@ -315,6 +330,19 @@ def read_index_meta(index_dir: str):
         with open(_index_meta_path(index_dir)) as f:
             m = json.load(f)
         return int(m["num_hashes"]), int(m["bands"]), int(m["k"])
+    except (OSError, KeyError, ValueError, TypeError):
+        return None
+
+
+def read_index_batches(index_dir: str):
+    """The ordered batch-label ingest history recorded in the index
+    metadata (oldest first), or None for a pre-r10 index without one."""
+    import json
+
+    try:
+        with open(_index_meta_path(index_dir)) as f:
+            m = json.load(f)
+        return [str(b) for b in m["batches"]]
     except (OSError, KeyError, ValueError, TypeError):
         return None
 
@@ -443,38 +471,71 @@ def signature_index_delete(spark, index_dir: str, ids_df, id_col: str = "doc_id"
     return n
 
 
-def compact_signature_index(spark, index_dir: str):
+def compact_signature_index(spark, index_dir: str,
+                            retain_batches: "int | None" = None):
     """Compact the signature index: physically drop tombstoned docs,
     keep ONE row per (doc, band) (re-parameterized or double-appended
     lineages collapse), rewrite, and clear the tombstones.  Returns
     ``(rows_before, rows_after)``.
 
+    ``retain_batches=N`` (r10, VERDICT item 6 — ``VACUUM … RETAIN``
+    for the dedup index) additionally drops every row whose
+    ``_batch`` label is older than the N most recent ingests (the
+    ordered history the metadata sidecar records per
+    ``incremental_minhash_dedup`` append).  This is the lifecycle tie
+    a rolling-window corpus needs: re-deduping daily against ALL
+    history grows the index monotonically even though docs beyond the
+    corpus retention window can no longer collide with anything that
+    matters — with retention the index row count is bounded by the
+    window's ingest volume.  Verdicts against batches INSIDE the
+    window are unchanged (their rows are untouched); a probe simply
+    stops matching evicted history, exactly like querying a vacuumed
+    table.  Rows with a ``_batch`` the history doesn't know (pre-r10
+    appends) are treated as OLDEST — evicted under any retention.
+
     100 TB shape: one pass over the index — a broadcast anti-join
     against the tombstone set plus a (doc_id, band_idx) dedup shuffle
-    of 8-byte-keyed rows; the rewrite is the index's own size, which is
-    bands×(1+n) ints per doc, orders of magnitude under the corpus.
-    The rewrite goes to a sibling temp dir and swaps in with two atomic
-    renames (old → trash, tmp → index), so a VALID index directory
-    exists at every instant — a crash or concurrent reader between the
-    renames sees either the old or the new index, never a missing one
-    (r9 ADVICE fix: the previous rmtree-then-replace left a window with
-    no index at all).  The trash dir is removed last; a crash before
-    that leaves only garbage to re-collect, never a broken index."""
+    of 8-byte-keyed rows (retention adds a broadcast IN-filter on the
+    label); the rewrite is the index's own size, which is bands×(1+n)
+    ints per doc, orders of magnitude under the corpus.  The rewrite
+    goes to a sibling temp dir and swaps in with two atomic renames
+    (old → trash, tmp → index), so a VALID index directory exists at
+    every instant — a crash or concurrent reader between the renames
+    sees either the old or the new index, never a missing one (r9
+    ADVICE fix: the previous rmtree-then-replace left a window with no
+    index at all).  The trash dir is removed last; a crash before that
+    leaves only garbage to re-collect, never a broken index."""
     import os
     import shutil
+
+    from pyspark.sql import functions as F
 
     before = spark.read.parquet(index_dir).count()
     live = _live_index(spark, index_dir).dropDuplicates(
         ["doc_id", "band_idx"]
     )
+    hist = read_index_batches(index_dir)
+    kept_hist = hist
+    if retain_batches is not None:
+        if retain_batches < 1:
+            raise ValueError("retain_batches must be >= 1")
+        if hist is None:
+            raise ValueError(
+                f"signature index at {index_dir} has no recorded batch "
+                "history (created before r10) — retention needs the "
+                "ingest order; run one incremental append first or "
+                "compact without retain_batches"
+            )
+        kept_hist = hist[-retain_batches:]
+        live = live.filter(F.col("_batch").isin(kept_hist))
     base = index_dir.rstrip("/")
     tmp = base + "__compacting"
     trash = base + "__compacted_old"
     live.write.mode("overwrite").parquet(tmp)
     after = spark.read.parquet(tmp).count()
     meta = read_index_meta(index_dir)
-    if meta is not None:  # parameterization survives the rewrite
-        _write_index_meta(tmp, *meta)
+    if meta is not None:  # parameterization + retained history survive
+        _write_index_meta(tmp, *meta, batches=kept_hist or [])
     shutil.rmtree(trash, ignore_errors=True)  # stale from a prior crash
     os.replace(index_dir, trash)
     os.replace(tmp, index_dir)

@@ -271,3 +271,82 @@ def test_mismatched_probe_params_fail_loudly(spark, tmp_path, corpus):
         )
     with pytest.raises(ValueError, match="must[\\s\\S]*divide"):
         migrate_signature_index(spark, idx, bands=5)
+
+
+def test_retention_bounds_index_growth(spark, tmp_path):
+    """r10 (VERDICT item 6): ``compact_signature_index(retain_batches=N)``
+    is VACUUM…RETAIN for the dedup index — repeated ingests + retention
+    keep the row count bounded by the window's volume, while verdicts
+    against in-window history are preserved and evicted history simply
+    stops matching."""
+    from datafusion_dolomite_spark.functions.dedup import (
+        compact_signature_index,
+        read_index_batches,
+    )
+
+    idx = str(tmp_path / "index")
+    texts = {}
+    sizes = []
+    for b in range(5):
+        rows = [
+            (b * 100 + i,
+             " ".join(f"w{(b * 100 + i) * 37 + j}" for j in range(30)))
+            for i in range(4)
+        ]
+        texts[b] = rows
+        r, _n = incremental_minhash_dedup(
+            spark, _docs(spark, rows), idx, "doc_id", "text",
+            agree_threshold_1000=500, batch_label=f"b{b}",
+        )
+        assert all(x["kept"] for x in r.collect())
+        if b >= 2:
+            compact_signature_index(spark, idx, retain_batches=2)
+        sizes.append(spark.read.parquet(idx).count())
+    # bounded: with retention=2 the index never exceeds 2 batches' rows
+    per_batch = sizes[0]
+    assert sizes[-1] <= 2 * per_batch, sizes
+    assert read_index_batches(idx) == ["b3", "b4"]
+
+    # verdicts preserved for IN-WINDOW history: a re-sent copy of a
+    # batch-4 doc is flagged as a duplicate...
+    dup = _docs(spark, [(999, texts[4][0][1])])
+    r, _ = incremental_minhash_dedup(
+        spark, dup, idx, "doc_id", "text",
+        agree_threshold_1000=500, batch_label="probe1",
+        update_index=False,
+    )
+    assert [x["kept"] for x in r.collect()] == [False]
+
+    # ...while EVICTED history no longer matches (batch-0 doc re-sent)
+    old = _docs(spark, [(998, texts[0][0][1])])
+    r, _ = incremental_minhash_dedup(
+        spark, old, idx, "doc_id", "text",
+        agree_threshold_1000=500, batch_label="probe2",
+        update_index=False,
+    )
+    assert [x["kept"] for x in r.collect()] == [True]
+
+
+def test_retention_requires_history(spark, tmp_path, corpus):
+    """A pre-r10 index (no recorded ingest order) refuses retention
+    loudly instead of guessing which batches are old."""
+    import json
+
+    from datafusion_dolomite_spark.functions.dedup import (
+        _index_meta_path,
+        compact_signature_index,
+    )
+
+    batch1, _ = corpus
+    idx = str(tmp_path / "index")
+    incremental_minhash_dedup(
+        spark, batch1, idx, "doc_id", "text", batch_label="b1",
+    )
+    # strip the history field, simulating a pre-r10 index
+    with open(_index_meta_path(idx)) as f:
+        meta = json.load(f)
+    del meta["batches"]
+    with open(_index_meta_path(idx), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="no recorded batch history"):
+        compact_signature_index(spark, idx, retain_batches=1)
