@@ -100,6 +100,89 @@ def main():
         print(f"{n_iv:>10}{mp:>11.2f}s{mr:>11.2f}s{mp / mr:>8.1f}x"
               f"  {chosen}  (rows={n_rw})")
 
+    # ---- SKEWED interval lengths (r10, VERDICT item 7) ---------------
+    # The stats-derived width (span/256) self-limits per-interval
+    # explosion to ≤256 buckets — the dangerous regime is the NO-STATS
+    # fallback (width=1000, e.g. a DERIVED interval side whose bounds
+    # are computed columns) on a WIDE domain: here a 60M domain makes
+    # each of 20 domain-spanning catch-all intervals explode into 60k
+    # fine buckets — 20 rows became 1.2M exploded rows, dwarfing the
+    # 20k narrow intervals' own 20k rows.  The two-level fix routes
+    # intervals wider than the explode cap onto a CAP×-coarser stride
+    # (equi-join leg of its own), cutting the giants' explosion 64×.
+    # Timed: capped (shipping behavior) vs single-stride explode (cap
+    # disabled) vs plain NLJ.  The stats machinery here derives width
+    # through even computed bounds (span/256 ≈ 234k, which ALSO bounds
+    # explosion), so the fallback regime is simulated directly by
+    # pinning _bucket_width to its no-stats value — the honest way to
+    # measure the case VERDICT flagged without inventing an unrealistic
+    # schema.
+    from datafusion_dolomite_spark.execute import SparkExecutor
+    from datafusion_dolomite_spark.optimizer.rules.extensions import (
+        RangeJoinFromConditionRule,
+    )
+
+    n_iv = 20_000
+    iv = spark.range(n_iv).select(
+        ((F.col("id") * 3700) % 60_000_000).cast("double").alias("lo"),
+        (((F.col("id") * 3700) % 60_000_000) + 200).cast("double").alias("hi"),
+        F.col("id").alias("band"),
+    ).union(
+        spark.range(20).select(
+            F.lit(0.0).alias("lo"),
+            F.lit(60_000_000.0).alias("hi"),
+            (F.col("id") + 1_000_000).alias("band"),
+        )
+    )
+    iv_path = os.path.join(work, "iv_skew")
+    iv.coalesce(1).write.parquet(iv_path)
+    pts100_path = os.path.join(work, "pts100")
+    spark.read.parquet(pts_path).select(
+        "k", (F.col("p") * 100).alias("p")
+    ).write.parquet(pts100_path)
+    cat = Catalog()
+    cat.register("pts", pts100_path)
+    cat.register("iv", iv_path)
+    qp = QueryPlanner(spark, cat)
+    sql = "select count(*) as n from pts join iv on p between lo and hi"
+    bw0 = RangeJoinFromConditionRule._bucket_width
+    RangeJoinFromConditionRule._bucket_width = staticmethod(
+        lambda rnode, lo, hi, ctx: 1000
+    )
+
+    pdf = spark.read.parquet(pts100_path)
+    idf = spark.read.parquet(iv_path)
+    plain = pdf.join(
+        F.broadcast(idf),
+        (F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi")),
+    )
+    n_plain = plain.count()
+    cap0 = SparkExecutor._RANGE_EXPLODE_CAP
+    results = {}
+    for label, cap in (("capped", cap0), ("uncapped", 1 << 40)):
+        SparkExecutor._RANGE_EXPLODE_CAP = cap
+        try:
+            assert qp.sql(sql).collect()[0]["n"] == n_plain
+            ts = []
+            for _ in range(trials):
+                t0 = time.monotonic()
+                qp.sql(sql).collect()
+                ts.append(time.monotonic() - t0)
+            results[label] = statistics.median(ts)
+        finally:
+            SparkExecutor._RANGE_EXPLODE_CAP = cap0
+    RangeJoinFromConditionRule._bucket_width = bw0
+    ts = []
+    for _ in range(trials):
+        t0 = time.monotonic()
+        plain.count()
+        ts.append(time.monotonic() - t0)
+    results["plain NLJ"] = statistics.median(ts)
+    print(f"\nskewed: {n_iv} narrow + 20 domain-spanning intervals "
+          f"(rows={n_plain})")
+    for label in ("plain NLJ", "uncapped", "capped"):
+        print(f"  {label:<10}{results[label]:>8.2f}s")
+
 
 if __name__ == "__main__":
     main()
