@@ -23,6 +23,7 @@ import uuid
 from contextlib import contextmanager
 
 __all__ = [
+    "explain_analyze_stream",
     "windowed_event_counts",
     "sessionized_user_activity",
     "stateful_user_totals",
@@ -49,6 +50,69 @@ def _list_versions(snap_root):
     return sorted(out)
 
 
+#: per-batch progress of streams run through ``_run_stream`` since the
+#: last ``_reset_stream_progress()`` — the raw material of
+#: ``explain_analyze_stream`` (r10).  Each entry is one micro-batch's
+#: StreamingQueryProgress dict.
+_STREAM_PROGRESS: list = []
+
+
+def _reset_stream_progress() -> None:
+    _STREAM_PROGRESS.clear()
+
+
+def _capture_progress(q) -> None:
+    for p in q.recentProgress or ():
+        _STREAM_PROGRESS.append(p)
+
+
+def explain_analyze_stream(spark, fn, *args, **kwargs):
+    """EXPLAIN ANALYZE for STREAMING queries (r10, VERDICT item 8):
+    run ``fn(spark, *args)`` — any pipeline function that drives its
+    streams through ``_run_stream`` — and return a METRICS DataFrame
+    with one row per (micro-batch, state operator):
+
+    ``(batch_id, operator, input_rows, batch_ms, state_rows,
+    state_rows_updated, commit_ms)``
+
+    ``commit_ms`` is the per-batch state-store commit time — the
+    number whose blow-up the r9 stream-join profile had to dig out of
+    an ad-hoc ``recentProgress`` session (256 fsyncs for 371 rows);
+    now any state-store regression shows up as a table read.  Batches
+    without state operators emit one row with a NULL operator so the
+    input/duration story stays complete.  Returns ``(result,
+    metrics_df)`` — the query's own result plus the metrics."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    _reset_stream_progress()
+    result = fn(spark, *args, **kwargs)
+    rows = []
+    for p in _STREAM_PROGRESS:
+        bid = p.get("batchId")
+        n_in = p.get("numInputRows")
+        dur = (p.get("durationMs") or {}).get("triggerExecution")
+        ops = p.get("stateOperators") or []
+        if not ops:
+            rows.append((bid, None, n_in, dur, None, None, None))
+        for op in ops:
+            rows.append((
+                bid,
+                op.get("operatorName"),
+                n_in,
+                dur,
+                op.get("numRowsTotal"),
+                op.get("numRowsUpdated"),
+                op.get("commitTimeMs"),
+            ))
+    metrics = spark.createDataFrame(
+        rows,
+        "batch_id bigint, operator string, input_rows bigint, "
+        "batch_ms bigint, state_rows bigint, state_rows_updated bigint, "
+        "commit_ms bigint",
+    )
+    return result, metrics
+
+
 def _run_stream(spark, df, output_mode, *, sink="memory", sink_path=None):
     """Run a streaming DataFrame to completion (AvailableNow) and return
     the result as a batch DataFrame.
@@ -72,6 +136,7 @@ def _run_stream(spark, df, output_mode, *, sink="memory", sink_path=None):
             .start()
         )
         q.awaitTermination()
+        _capture_progress(q)
         return spark.table(name)
     if sink != "parquet":
         raise ValueError(f"unsupported sink {sink!r}: use 'memory' or 'parquet'")
@@ -91,6 +156,7 @@ def _run_stream(spark, df, output_mode, *, sink="memory", sink_path=None):
         .start()
     )
     q.awaitTermination()
+    _capture_progress(q)
     return spark.read.schema(df.schema).parquet(sink_path)
 
 
