@@ -1222,7 +1222,7 @@ def q_knn_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks rescaled to the residual RMS (order-independent integer
     sums — see functions/similarity._pq_residual_scales); the TRAINED
     variant (r10, VERDICT item 4) further fits the codebooks to the
-    residual distribution with 4 deterministic Lloyd iterations
+    residual distribution with 3 deterministic Lloyd iterations
     (functions/similarity._pq_train_books).  refine went 50 → 100 in
     r10: a ceiling study (numpy replica of this exact corpus) showed
     refine=50 caps ANY codebook — even 60-iteration converged
@@ -1256,7 +1256,8 @@ def q_knn_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"element_at({cent_lit}, cast(id % {G} as int) + 1)[d] "
             f"+ 0.2D * {noise})"
         ).alias("vec"),
-    )
+    ).cache()  # four pipelines (gt + 3 PQ variants) share the corpus —
+    # uncached, each action re-derives 64 md5s x 2048 rows
     common = dict(n_queries=20, k=10, m=16, ksub=16, refine=100,
                   ncells=G, nprobe=3)
     gt = knn_brute(df, "vid", "vec", n_queries=20, k=10).select(
@@ -1273,7 +1274,7 @@ def q_knn_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("res_hit", F.lit(1))
     )
     trn = (
-        knn_pq(df, "vid", "vec", residual=True, train_iters=4, **common)
+        knn_pq(df, "vid", "vec", residual=True, train_iters=3, **common)
         .select("query_id", "neighbor_id")
         .withColumn("trn_hit", F.lit(1))
     )
@@ -2290,7 +2291,7 @@ def _knn_ivfpq_oracle(nq=5, k=10, m=8, ksub=16, refine=30, ncells=8,
 
 def _knn_residual_oracle(nq=20, k=10, m=16, ksub=16, refine=100, ncells=8,
                          nprobe=3, sw=4, g=8, n=2048,
-                         train_iters=4) -> str:
+                         train_iters=3) -> str:
     """q_knn_residual replayed exactly: the clustered corpus generates
     from the SAME md5 formulas (cluster centers = the 'c{g}' IVF
     centroids; noise = 0.2 · hash), then brute-force ground truth and
@@ -8175,49 +8176,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head
 
 
-#: round-9 check priority: STALENESS rotation (VERDICT r5 item 2).
-#: New r9 query first (residual-PQ recall comparison), then the
-#: queries whose IMPLEMENTATION changed this round — residual IVF-PQ
-#: encoding, state-sized streaming shuffle partitions, MERGE clause
-#: parsing + conjunction-gated pruning, the DML retry-with-rebase
-#: wrapper, the verbatim DV row key, the signature-index metadata
-#: sidecar, and the DP join enumeration now reading adaptive
-#: corrections (touches every comma-join SQL query) — then the
-#: stalest driver-green queries.
+#: round-10 check priority: STALENESS rotation (VERDICT r5 item 2).
+#: New r10 queries first (MERGE schema evolution, forward/nearest
+#: ASOF), then the queries whose IMPLEMENTATION changed this round —
+#: the trained-codebook restructuring inside knn_pq (touches every PQ
+#: query), the ASOF direction machinery (grammar + executor), the
+#: two-level skew-safe range join, the Python-stateful partition
+#: sizing, the MERGE UPDATE SET * clause parser (touches every MERGE
+#: query), and the signature-index batch-history sidecar — then the
+#: stalest driver-green queries (unsampled in r9's 50).
 _UNPROVEN_PREFIX = (
-    # new this round (r9) — never driver-checked, prove first
-    "q_knn_residual", "q_sql_merge_nms", "q_sql_evolve", "q_sql_asof",
+    # new this round (r10) — never driver-checked, prove first
+    "q_sql_merge_evolve", "q_sql_asof_fwd", "q_sql_asof_nearest",
+    # r10 CHANGED these queries' implementation — re-prove next
+    "q_knn_residual", "q_knn_pq", "q_knn_ivfpq", "q_knn_recall",
+    "q_sql_asof", "q_asof_join", "q_asof_tolerance",
     "q_sql_range_between",
-    # r9 CHANGED these queries' implementation — re-prove next
-    "q_knn_ivfpq", "q_knn_recall",
+    "q_stream_stateful", "q_incremental_dedup",
+    "q_sql_merge", "q_sql_merge_multi", "q_sql_merge_nms",
+    "q_sql_evolve", "q_sql_dml", "q_scd2", "q_cdc_export",
+    # stalest: last driver-green in r4, unsampled since
+    "q_anti_join", "q_cube", "q_date_functions", "q_events_json",
+    "q_except", "q_funnel", "q_global_agg", "q_intersect",
+    "q_label_centroids", "q_left_join", "q_retention", "q_salted_agg",
+    "q_sessionize_batch", "q_sql_case_like",
+    "q_sql_q1", "q_sql_q10", "q_sql_q12", "q_sql_q13",
+    "q_sql_q14", "q_sql_q18", "q_sql_q19", "q_sql_q2", "q_sql_q4",
+    "q_sql_q7", "q_sql_q9", "q_union_all",
+    "q_pivot_events", "q_sql_ctas", "q_sql_grouping", "q_sql_q11",
+    "q_sql_q15", "q_sql_q16", "q_sql_q17", "q_sql_q20", "q_sql_q21",
+    "q_sql_q22",
+    # r9-green but one round old by check time
     "q_stream_stream_join", "q_stream_outer_join", "q_stream_file_sink",
     "q_stream_window_counts", "q_stream_sessions", "q_stream_dedup",
-    "q_stream_enrich",
-    "q_sql_merge_multi", "q_sql_merge", "q_sql_dml",
-    "q_sql_dv", "q_table_changes", "q_cdc_export",
-    "q_incremental_dedup",
+    "q_stream_enrich", "q_stream_versioned",
+    "q_sql_time_travel", "q_sql_optimize", "q_sql_restore",
+    "q_sql_clone", "q_sql_constraints", "q_table_changes",
     "q_sql_comma_q5", "q_sql_q5", "q_sql_q8", "q_adaptive_stats",
-    # r8-era queries whose latest green is one round old
-    "q_sql_time_travel", "q_sql_optimize", "q_stream_versioned",
-    "q_sql_restore", "q_sql_clone", "q_sql_constraints",
-    "q_scd2", "q_sql_view", "q_knn_pq",
-    # last driver-green in r2/r3 — stalest, rotate in
     "q_minhash_pairs", "q_multimodal_features", "q_multimodal_frames",
     "q_multimodal_resize", "q_ngram_jaccard", "q_pandas_udaf",
     "q_percentiles", "q_rollup", "q_salted_join", "q_sequence_pack",
     "q_simhash", "q_sql_offset", "q_sql_window", "q_stratified_sample",
-    "q_term_stats", "q_text_stats",
-    "q_pivot_events", "q_sql_ctas", "q_sql_grouping", "q_sql_q11",
-    "q_sql_q15", "q_sql_q16", "q_sql_q17", "q_sql_q20", "q_sql_q21",
-    "q_sql_q22", "q_stream_stateful",
-    # last driver-green in r4
-    "q_anti_join", "q_asof_join", "q_asof_tolerance", "q_cube",
-    "q_date_functions", "q_events_json", "q_except", "q_funnel",
-    "q_global_agg", "q_intersect", "q_label_centroids", "q_left_join",
-    "q_retention", "q_salted_agg", "q_sessionize_batch", "q_sql_case_like",
-    "q_sql_q1", "q_sql_q10", "q_sql_q12", "q_sql_q13",
-    "q_sql_q14", "q_sql_q18", "q_sql_q19", "q_sql_q2", "q_sql_q4",
-    "q_sql_q7", "q_sql_q9", "q_union_all",
+    "q_term_stats", "q_text_stats", "q_sql_dv", "q_sql_view",
 )
 
 

@@ -135,7 +135,7 @@ def test_trained_codebooks_lift_recall(spark, clustered):
         knn_pq(clustered, "vid", "vec", residual=True, **common), gt
     )
     trn = _hits(
-        knn_pq(clustered, "vid", "vec", residual=True, train_iters=4,
+        knn_pq(clustered, "vid", "vec", residual=True, train_iters=3,
                **common),
         gt,
     )
