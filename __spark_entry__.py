@@ -1298,6 +1298,61 @@ def q_knn_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_cents_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED IVF CENTROIDS (r10): the coarse-quantizer half of
+    FAISS's train().  The r10 probe-ceiling study showed that on a
+    corpus that does NOT cluster around the hash centroids (this
+    embeddings table), nprobe cells chosen against unfitted centroids
+    miss most true neighbors — and no codebook training can recover
+    them (the candidate never enters the ADC scan).  This gate runs
+    residual IVF-PQ twice — hash centroids vs 2-iteration
+    Lloyd-trained centroids (functions/similarity._train_cents,
+    deterministic integer-mean updates) — against brute ground truth;
+    measured at sf0.1: hash 13 vs trained 26 of 100.  The oracle
+    replays the centroid training, assignment, probe, and both full
+    PQ chains bit-exactly."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.functions.similarity import (
+        knn_brute,
+        knn_pq,
+    )
+
+    df = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder().scan("embeddings").build()
+    )
+    common = dict(n_queries=10, k=10, m=8, ksub=16, refine=50,
+                  ncells=32, nprobe=3)
+    gt = knn_brute(df, "vec_id", "embedding", n_queries=10, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hsh = (
+        knn_pq(df, "vec_id", "embedding", residual=True, **common)
+        .select("query_id", "neighbor_id")
+        .withColumn("hash_hit", F.lit(1))
+    )
+    km = (
+        knn_pq(df, "vec_id", "embedding", residual=True,
+               kmeans_iters=2, **common)
+        .select("query_id", "neighbor_id")
+        .withColumn("km_hit", F.lit(1))
+    )
+    return (
+        gt.join(hsh, ["query_id", "neighbor_id"], "left")
+        .join(km, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_brute"),
+            F.sum(F.coalesce(F.col("hash_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("hash_hits"),
+            F.sum(F.coalesce(F.col("km_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("km_hits"),
+        )
+    )
+
+
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = (
         LogicalPlanBuilder()
@@ -2121,7 +2176,7 @@ def _knn_pq_oracle(nq=5, k=10, m=8, ksub=16, refine=30, sw=8) -> str:
 
 
 def _ivfpq_ctes(p, nq, k, m, ksub, refine, ncells, nprobe, sw,
-                residual=False, train_iters=0) -> tuple:
+                residual=False, train_iters=0, cent_iters=0) -> tuple:
     """CTE chain for the IVF-PQ ranking pipeline over an in-scope
     ``v(vec_id, ev)`` — every CTE name is ``{p}``-prefixed so several
     variants (raw / residual / trained) can coexist in one statement.
@@ -2147,8 +2202,44 @@ def _ivfpq_ctes(p, nq, k, m, ksub, refine, ncells, nprobe, sw,
         "((('0x' || substr(md5('pq' || j || '_' || c || '_d' || d), 1, 15))"
         "::BIGINT % 2001 - 1000) / 1000.0))"
     )
+    # coarse quantizer: hash centroids, optionally Lloyd-trained
+    # (cent_iters, r10 — replays _train_cents bit-for-bit: cosine
+    # assignment with the (s DESC, c ASC) tie rule, per-(cell, dim)
+    # BIGINT sums of floor(v·1e6), mean = s/(n·1e6), EMPTY cells keep
+    # their previous centroid so ids stay contiguous)
     parts = [
-        f"{p}cent AS (SELECT c, {_CENTROID} AS cv FROM range(0, {ncells}) t(c))",
+        f"{p}cent0 AS (SELECT c, {_CENTROID} AS cv FROM range(0, {ncells}) t(c))",
+    ]
+    cent_cte = f"{p}cent0"
+    for t in range(1, cent_iters + 1):
+        prev = cent_cte
+        parts += [
+            f"""{p}cvc{t} AS (SELECT v.vec_id, b.c,
+                 list_cosine_similarity(v.ev, b.cv) AS s
+               FROM v CROSS JOIN {prev} b)""",
+            f"""{p}ca{t} AS (SELECT vec_id, c FROM (
+                 SELECT vec_id, c, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rc
+                 FROM {p}cvc{t}) WHERE rc = 1)""",
+            f"""{p}cs{t} AS (SELECT a.c, ivd.d, sum(ivd.x) AS s,
+                 count(*) AS n
+               FROM {p}ca{t} a
+               JOIN (SELECT vec_id,
+                            unnest(list_transform(ev,
+                              x -> floor(x * 1000000)::BIGINT)) AS x,
+                            generate_subscripts(ev, 1) AS d
+                     FROM v) ivd USING (vec_id)
+               GROUP BY a.c, ivd.d)""",
+            f"""{p}cm{t} AS (SELECT c,
+                 list(s / (n * 1000000.0) ORDER BY d) AS cv
+               FROM {p}cs{t} GROUP BY c)""",
+            f"""{p}cent{t} AS (SELECT b.c,
+                 CASE WHEN m2.cv IS NULL THEN b.cv ELSE m2.cv END AS cv
+               FROM {prev} b LEFT JOIN {p}cm{t} m2 ON m2.c = b.c)""",
+        ]
+        cent_cte = f"{p}cent{t}"
+    parts += [
+        f"{p}cent AS (SELECT c, cv FROM {cent_cte})",
         f"""{p}vc AS (SELECT vec_id, c, list_cosine_similarity(ev, cv) AS s
                FROM v CROSS JOIN {p}cent)""",
         f"""{p}cellr AS (SELECT vec_id, c, row_number() OVER (
@@ -2346,6 +2437,47 @@ def _knn_residual_oracle(nq=20, k=10, m=16, ksub=16, refine=100, ncells=8,
         LEFT JOIN rawk ON rawk.qid = gt.qid AND rawk.nid = gt.nid
         LEFT JOIN resk ON resk.qid = gt.qid AND resk.nid = gt.nid
         LEFT JOIN trnk ON trnk.qid = gt.qid AND trnk.nid = gt.nid
+        GROUP BY gt.qid
+    """
+
+
+def _knn_cents_trained_oracle(nq=10, k=10, m=8, ksub=16, refine=50,
+                              ncells=32, nprobe=3, sw=8,
+                              cent_iters=2) -> str:
+    """q_knn_cents_trained replayed exactly: brute ground truth plus
+    TWO residual IVF-PQ chains over the embeddings table — hash
+    centroids vs ``cent_iters``-iteration Lloyd-trained centroids
+    (``_ivfpq_ctes(cent_iters=…)`` replays the training) — integer
+    hit counts per query."""
+    h_ctes, h_final = _ivfpq_ctes(
+        "w", nq, k, m, ksub, refine, ncells, nprobe, sw, residual=True
+    )
+    t_ctes, t_final = _ivfpq_ctes(
+        "y", nq, k, m, ksub, refine, ncells, nprobe, sw, residual=True,
+        cent_iters=cent_iters,
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        bq AS (SELECT vec_id AS qid, ev AS qv2 FROM v WHERE vec_id < {nq}),
+        bs AS (SELECT q.qid, v.vec_id AS nid,
+                      list_cosine_similarity(q.qv2, v.ev) AS sim
+               FROM bq q JOIN v ON v.vec_id <> q.qid),
+        br AS (SELECT qid, nid, row_number() OVER (
+                 PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rnk FROM bs),
+        gt AS (SELECT qid, nid FROM br WHERE rnk <= {k}),
+        {h_ctes},
+        {t_ctes},
+        hk AS (SELECT qid, nid FROM {h_final} WHERE rnk <= {k}),
+        tk AS (SELECT qid, nid FROM {t_final} WHERE rnk <= {k})
+        SELECT gt.qid AS query_id,
+               count(*)::BIGINT AS n_brute,
+               SUM(CASE WHEN hk.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS hash_hits,
+               SUM(CASE WHEN tk.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS km_hits
+        FROM gt
+        LEFT JOIN hk ON hk.qid = gt.qid AND hk.nid = gt.nid
+        LEFT JOIN tk ON tk.qid = gt.qid AND tk.nid = gt.nid
         GROUP BY gt.qid
     """
 
@@ -3126,6 +3258,7 @@ EXTENSION_ORACLES = {
     "q_knn_pq": _knn_pq_oracle(5, 10, 8, 16, 50),
     "q_knn_ivfpq": _knn_ivfpq_oracle(5, 10, 8, 16, 50, _oracle_ncells(), 3,
                                      residual=True),
+    "q_knn_cents_trained": _knn_cents_trained_oracle(),
     "q_knn_residual": _knn_residual_oracle(),
     "q_knn_recall": f"""
         WITH b AS ({_knn_brute_oracle(5, 10)}),
@@ -8188,6 +8321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round (r10) — never driver-checked, prove first
     "q_sql_merge_evolve", "q_sql_asof_fwd", "q_sql_asof_nearest",
+    "q_knn_cents_trained",
     # r10 CHANGED these queries' implementation — re-prove next
     "q_knn_residual", "q_knn_pq", "q_knn_ivfpq", "q_knn_recall",
     "q_sql_asof", "q_asof_join", "q_asof_tolerance",
@@ -8325,6 +8459,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ivf": q_knn_ivf,
         "q_knn_ivf_kmeans": q_knn_ivf_kmeans,
         "q_knn_recall": q_knn_recall,
+        "q_knn_cents_trained": q_knn_cents_trained,
         "q_knn_residual": q_knn_residual,
         "q_cosine_near_dup": q_cosine_near_dup,
         "q_multimodal_features": q_multimodal_features,

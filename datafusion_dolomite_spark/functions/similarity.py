@@ -295,7 +295,8 @@ def _assign_cells_pandas(df, vec_col: str, cents, resid_sq=None):
 
 
 def _probe_cells_pandas(df, vec_col: str, ncells: int, nprobe: int,
-                        prefix: str = "c", with_offsets: bool = False):
+                        prefix: str = "c", with_offsets: bool = False,
+                        cents=None):
     """Arrow-vectorized query-side probe list: appends ``_probe``
     (array<int>) = the ``nprobe`` best cells by (cosine DESC, cell
     ASC) — bit-identical to the SQL ``_with_cell_sims`` +
@@ -318,7 +319,9 @@ def _probe_cells_pandas(df, vec_col: str, ncells: int, nprobe: int,
     replays it bit-identically."""
     import numpy as np
 
-    cents = sorted((c, _hash_vec(f"{prefix}{c}")) for c in range(ncells))
+    if cents is None:
+        cents = [(c, _hash_vec(f"{prefix}{c}")) for c in range(ncells)]
+    cents = sorted(cents)
     cids = np.asarray([p[0] for p in cents], dtype=np.int32)
     cvecs = [p[1] for p in cents]
     cnorms = []
@@ -529,6 +532,63 @@ def _pq_books(m: int, sw: int, ksub: int):
     ]
 
 
+def _train_cents(c, vec_col: str, ncells: int, iters: int,
+                 prefix: str = "c"):
+    """DATA-TRAINED IVF centroids (r10): fixed-iteration Lloyd over
+    the corpus, seeded from the hash centroids — the coarse-quantizer
+    half of FAISS's train() (codebooks are ``_pq_train_books``).  The
+    r10 probe-ceiling study showed this is the lever that moves recall
+    on corpora that do NOT cluster around the hash centroids: nprobe
+    cells chosen against unfitted centroids simply miss the true
+    neighbors, and no codebook can recover them.
+
+    Exactness: assignment per iteration is the proven
+    ``_assign_cells_pandas`` (cosine, first-max tie rule — bit-equal
+    to the SQL (sim DESC, cell ASC) ranking); the update is per-(cell,
+    dim) BIGINT sums of floor(x·1e6) — order-independent — divided
+    once (``_KMEANS_SCALE`` discipline, same as knn_ivf's refiner);
+    EMPTY cells keep their previous centroid so cell ids stay the
+    contiguous 0..ncells-1 the positional ``centarr`` indexing
+    requires.  Returns the trained ``[(cell_id, vector)]`` list
+    (bounded: ncells·dim scalars per iteration collect).  At 100 TB
+    this trains on a sample table, one map + tiny aggregate per
+    iteration."""
+    from pyspark.sql import functions as F
+
+    cents = [(i, _hash_vec(f"{prefix}{i}")) for i in range(ncells)]
+    for _ in range(iters):
+        a = _assign_cells_pandas(c, vec_col, cents)
+        qx = a.select(
+            "_cell",
+            F.posexplode(
+                F.expr(
+                    f"transform({_dvec(vec_col)}, "
+                    f"x -> cast(floor(x * {_KMEANS_SCALE}) as bigint))"
+                )
+            ).alias("_d", "_q"),
+        )
+        rows = (
+            qx.groupBy("_cell", "_d")
+            .agg(F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        by_cell: dict = {}
+        for r in rows:
+            by_cell.setdefault(r["_cell"], {})[r["_d"]] = int(
+                r["_s"]
+            ) / (int(r["_n"]) * float(_KMEANS_SCALE))
+        cents = [
+            (
+                i,
+                [by_cell[i][d] for d in range(len(old))]
+                if i in by_cell
+                else old,
+            )
+            for i, old in cents
+        ]
+    return cents
+
+
 def _pq_train_books(assigned, vec_col: str, cell_col: str, m: int,
                     sw: int, ksub: int, cents, books, iters: int):
     """DATA-TRAINED PQ codebooks (r10, VERDICT item 4): fixed-iteration
@@ -736,6 +796,7 @@ def knn_pq(
     nprobe: int = 3,
     residual: bool = False,
     train_iters: int = 0,
+    kmeans_iters: int = 0,
 ):
     """PRODUCT-QUANTIZATION ANN (asymmetric distance computation): the
     corpus compresses to ``m`` small integer codes per vector (each
@@ -774,6 +835,15 @@ def knn_pq(
     )
     scales = None
     trained = None
+    # coarse quantizer: hash centroids, optionally Lloyd-trained (r10 —
+    # the probe-stage lever; see _train_cents).  Every downstream use
+    # (assignment, residual subtraction, probe, offsets) reads THIS
+    # list, so the two variants differ only in where the cells sit.
+    cents = (
+        _train_cents(c, "_cv", ncells, kmeans_iters)
+        if ncells and kmeans_iters
+        else [(i, _hash_vec(f"c{i}")) for i in range(ncells)]
+    )
     if ncells:
         if use_residual:
             # residual encoding needs the corpus assignment TWICE (the
@@ -781,10 +851,9 @@ def knn_pq(
             # persisted assignment is the IVF-PQ build-phase
             # materialization every real index build does (FAISS
             # train+add); at 100 TB it's a written table, here a cache
-            c = _best_cell_pandas(c, "_cv", ncells, resid_sq=(m, sw))
+            c = _assign_cells_pandas(c, "_cv", cents, resid_sq=(m, sw))
             c = c.persist()
             scales = _pq_residual_scales(c, m, sw)
-            cents = [(i, _hash_vec(f"c{i}")) for i in range(ncells)]
             if train_iters:
                 # r10: the scaled hash books are the k-means INIT;
                 # fixed-iteration Lloyd fits them to the residual
@@ -808,7 +877,7 @@ def knn_pq(
                     cents=cents, scales=scales,
                 )
         else:
-            c = _best_cell_pandas(c, "_cv", ncells)
+            c = _assign_cells_pandas(c, "_cv", cents)
             c = _pq_encode_pandas(c, "_cv", m, sw, ksub)
     else:
         c = _pq_encode_pandas(c, "_cv", m, sw, ksub)
@@ -852,7 +921,7 @@ def knn_pq(
             # over the residual codes — the centroid term (the bulk of
             # the score on clustered data) is no longer quantized away
             q = _probe_cells_pandas(
-                q, "_qv", ncells, nprobe, with_offsets=True
+                q, "_qv", ncells, nprobe, with_offsets=True, cents=cents
             )
             q = q.select(
                 "query_id", "_lut", "_qv",
@@ -868,7 +937,7 @@ def knn_pq(
                 .withColumn("_score", F.expr(f"_coff + {score}"))
             )
         else:
-            q = _probe_cells_pandas(q, "_qv", ncells, nprobe)
+            q = _probe_cells_pandas(q, "_qv", ncells, nprobe, cents=cents)
             q = q.select(
                 "query_id", "_lut", "_qv",
                 F.explode("_probe").alias("_cell"),

@@ -63,6 +63,7 @@ NLJ_ALLOWED = {
     "q_knn_ivf_kmeans": "broadcast centroids",
     "q_knn_recall": "broadcast query vectors (IVF + brute twins)",
     "q_knn_residual": "broadcast query vectors (brute ground-truth twin)",
+    "q_knn_cents_trained": "broadcast query vectors (brute ground-truth twin)",
     "q_range_join": "broadcast interval side",
     "q_sql_range_between": "broadcast interval side (25 price bands)",
 }
@@ -303,6 +304,9 @@ SHUFFLE_BUDGET = {
     # (each a window exchange pair) + the hit joins and final agg over
     # 200 rows — q_knn_recall-class composition (its budget is 15)
     "q_knn_residual": 12,
+    # r10: trained-centroid gate — brute gt + two residual PQ chains
+    # (measured 7; headroom for AQE variation)
+    "q_knn_cents_trained": 10,
     # r9: BY SOURCE merge — same ONE full-outer join shape as
     # q_sql_merge_multi (2 hash shuffles: full-outer can't broadcast)
     # + final ORDER BY over the merged table
