@@ -3013,6 +3013,16 @@ EXTENSION_ORACLES = {
         ON o_totalprice BETWEEN b.lo AND b.hi
         GROUP BY band ORDER BY band
     """,
+    "q_sql_overlap": """
+        SELECT band, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k
+        FROM (SELECT o_orderkey AS k, o_totalprice AS s1,
+                     o_totalprice + 30000.0 AS e1 FROM orders) a
+        JOIN (SELECT (n_nationkey * 40000)::DOUBLE AS s2,
+                     (n_nationkey * 40000 + 60000)::DOUBLE AS e2,
+                     n_nationkey AS band FROM nation) b
+        ON a.s1 <= b.e2 AND b.s2 <= a.e1
+        GROUP BY band ORDER BY band
+    """,
     "q_sql_asof": """
         SELECT l.k, l.t, r.rv
         FROM (SELECT c_custkey % 20 AS k, c_custkey AS t FROM customer) l
@@ -5590,6 +5600,32 @@ def q_sql_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         " cast(n_nationkey * 40000 + 60000 as double) as hi, "
         " n_nationkey as band from nation) "
         "on o_totalprice between lo and hi "
+        "group by band order by band"
+    )
+
+
+def q_sql_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP JOIN auto-lowering (r10,
+    OverlapJoinFromConditionRule): a plain SQL join on
+    ``s1 <= e2 AND s2 <= e1`` — interval x interval, the shape the
+    point-in-interval BETWEEN rewrite cannot express — lowers to the
+    bucketed overlap join instead of Spark's O(n*m) nested loop.
+    Physical shape: both sides explode into stats-width buckets,
+    equi-join with the dedup-free MEET-AT rule (a pair survives only
+    in the bucket of greatest(s1, s2), a point every overlapping pair
+    contains exactly once), exact residual filter; intervals wider
+    than the explode cap ride coarse-stride legs
+    (execute.py::_overlap_join).  Price windows around each order
+    overlap the nation bands they straddle."""
+    pl = _planner(spark, sf_dir)
+    return pl.sql(
+        "select band, count(*) as n, sum(k) as sum_k "
+        "from (select o_orderkey as k, o_totalprice as s1, "
+        "      o_totalprice + 30000.0 as e1 from orders) "
+        "join (select cast(n_nationkey * 40000 as double) as s2, "
+        "      cast(n_nationkey * 40000 + 60000 as double) as e2, "
+        "      n_nationkey as band from nation) "
+        "on s1 <= e2 and s2 <= e1 "
         "group by band order by band"
     )
 
@@ -8321,7 +8357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round (r10) — never driver-checked, prove first
     "q_sql_merge_evolve", "q_sql_asof_fwd", "q_sql_asof_nearest",
-    "q_knn_cents_trained",
+    "q_knn_cents_trained", "q_sql_overlap",
     # r10 CHANGED these queries' implementation — re-prove next
     "q_knn_residual", "q_knn_pq", "q_knn_ivfpq", "q_knn_recall",
     "q_sql_asof", "q_asof_join", "q_asof_tolerance",
@@ -8439,6 +8475,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_merge_nms": q_sql_merge_nms,
         "q_sql_evolve": q_sql_evolve,
         "q_sql_merge_evolve": q_sql_merge_evolve,
+        "q_sql_overlap": q_sql_overlap,
         "q_sql_asof": q_sql_asof,
         "q_sql_asof_fwd": q_sql_asof_fwd,
         "q_sql_asof_nearest": q_sql_asof_nearest,

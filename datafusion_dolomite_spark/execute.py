@@ -1095,6 +1095,93 @@ class SparkExecutor:
         long_ = leg(r0.filter(n_fine >= F.lit(cap)), coarse)
         return short.unionByName(long_)
 
+    def _overlap_join(self, node: PlanNode):
+        """Interval OVERLAP join (r10, interval×interval): both sides
+        explode into width-``w`` buckets, equi-join on (keys, bucket)
+        with the MEET-AT rule — a matching pair is kept only in the
+        bucket of ``greatest(l_lo, r_lo)``, a point every overlapping
+        pair contains, and contains ONCE — so the join is dedup-free
+        without a distinct.  The exact residual filter keeps bucket
+        width a pure performance knob.  Skew: intervals wider than
+        ``_RANGE_EXPLODE_CAP`` fine buckets ride the coarse stride
+        (cap× wider); the four side-classification legs (F×F fine,
+        F×L / L×F / L×L coarse) are all equi-joins, unioned — a short
+        interval spans at most cap+1 fine or 2 coarse buckets, so
+        per-row explode stays bounded on every leg."""
+        from pyspark.sql import functions as F
+
+        op = node.operator
+        left = self._node(node.inputs[0])
+        right = self._node(node.inputs[1])
+        width = int(op.bucket_width)
+        cap = self._RANGE_EXPLODE_CAP
+        coarse = width * cap
+        keys = [f"__k{i}" for i in range(len(op.left_keys))]
+        left_cols = left.columns
+        l0 = left.select(
+            *left_cols,
+            *[F.col(k).alias(a) for k, a in zip(op.left_keys, keys)],
+        )
+        r0 = right.select(
+            *[F.col(k).alias(a) for k, a in zip(op.right_keys, keys)],
+            F.col(op.r_lo).alias("__rlo"),
+            F.col(op.r_hi).alias("__rhi"),
+            *[F.col(c) for c in op.right_cols],
+        )
+        l_n = self._bucket(F.col(op.l_hi), width) - self._bucket(
+            F.col(op.l_lo), width
+        )
+        r_n = self._bucket(F.col("__rhi"), width) - self._bucket(
+            F.col("__rlo"), width
+        )
+        lr_ok = (
+            F.col(op.l_lo) <= F.col("__rhi")
+            if op.incl_lr
+            else F.col(op.l_lo) < F.col("__rhi")
+        )
+        rl_ok = (
+            F.col("__rlo") <= F.col(op.l_hi)
+            if op.incl_rl
+            else F.col("__rlo") < F.col(op.l_hi)
+        )
+
+        def leg(lf, rf, stride):
+            l = lf.withColumn(
+                "__bucket",
+                F.explode(
+                    F.sequence(
+                        self._bucket(F.col(op.l_lo), stride),
+                        self._bucket(F.col(op.l_hi), stride),
+                    )
+                ),
+            )
+            r = rf.withColumn(
+                "__bucket",
+                F.explode(
+                    F.sequence(
+                        self._bucket(F.col("__rlo"), stride),
+                        self._bucket(F.col("__rhi"), stride),
+                    )
+                ),
+            )
+            meet = self._bucket(
+                F.greatest(F.col(op.l_lo), F.col("__rlo")), stride
+            )
+            return (
+                l.join(r, on=keys + ["__bucket"], how="inner")
+                .filter(
+                    (F.col("__bucket") == meet) & lr_ok & rl_ok
+                )
+                .select(*left_cols, *op.right_cols)
+            )
+
+        lf, ll = l0.filter(l_n < F.lit(cap)), l0.filter(l_n >= F.lit(cap))
+        rf, rl = r0.filter(r_n < F.lit(cap)), r0.filter(r_n >= F.lit(cap))
+        out = leg(lf, rf, width)
+        for a, b in ((lf, rl), (ll, rf), (ll, rl)):
+            out = out.unionByName(leg(a, b, coarse))
+        return out
+
 
 def _join_side_key_names(keys, side_cols):
     """The key names that belong to THIS side of an equi join: each
@@ -1161,6 +1248,8 @@ _HANDLERS = {
     X.PhysicalAsofJoinUnion: SparkExecutor._asof_join,
     X.LogicalAsofJoin: SparkExecutor._asof_join,
     X.PhysicalBucketedRangeJoin: SparkExecutor._range_join,
+    X.PhysicalOverlapJoin: SparkExecutor._overlap_join,
+    X.LogicalIntervalOverlapJoin: SparkExecutor._overlap_join,
     X.PhysicalBroadcastRangeJoin: SparkExecutor._broadcast_range_join,
     X.LogicalRangeJoin: SparkExecutor._range_join,
     X.PhysicalGenerate: SparkExecutor._unnest,

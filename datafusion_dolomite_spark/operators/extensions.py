@@ -661,6 +661,90 @@ class PhysicalBroadcastRangeJoin(PhysicalOperator):
         )
 
 
+# -- interval OVERLAP join (interval x interval) -----------------------------
+
+@dataclass(frozen=True)
+class LogicalIntervalOverlapJoin(LogicalOperator):
+    """Interval OVERLAP join (r10): left rows ``[l_lo, l_hi]`` joined
+    to right rows ``[r_lo, r_hi]`` that OVERLAP — ``l_lo <=(<) r_hi AND
+    r_lo <=(<) l_hi`` — with optional equi keys.  The time-range join
+    (sessions × incidents, validity windows × validity windows,
+    genomic ranges) the point-in-interval ``LogicalRangeJoin`` cannot
+    express.  Output = left schema + ``right_cols`` (inner semantics).
+    Written as a plain theta-join, Spark would nested-loop it; the
+    bucketed implementation makes it an equi-join whose cost scales
+    with rows × (interval span / bucket width).  Bounds are assumed
+    non-negative (the ``_bucket`` contract, same as LogicalRangeJoin).
+
+    Absent from the reference (inner equi joins only,
+    ``dolomite/src/operator/join.rs``); north-star extension."""
+
+    left_keys: Tuple[str, ...]
+    right_keys: Tuple[str, ...]
+    l_lo: str
+    l_hi: str
+    r_lo: str
+    r_hi: str
+    right_cols: Tuple[str, ...]
+    bucket_width: float
+    #: ``l_lo <= r_hi`` vs strict ``<``
+    incl_lr: bool = True
+    #: ``r_lo <= l_hi`` vs strict ``<``
+    incl_rl: bool = True
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        left, right = input_props
+        carried = tuple(
+            Field(f.name, f.dtype, True)
+            for f in (right.schema.field(c) for c in self.right_cols)
+        )
+        return LogicalProperty(Schema(left.schema.fields + carried))
+
+    def pretty(self) -> str:
+        o1 = "<=" if self.incl_lr else "<"
+        o2 = "<=" if self.incl_rl else "<"
+        return (
+            f"LogicalIntervalOverlapJoin {{ keys: "
+            f"[{', '.join(self.left_keys)}]==[{', '.join(self.right_keys)}], "
+            f"[{self.l_lo},{self.l_hi}] x [{self.r_lo},{self.r_hi}] "
+            f"({self.l_lo}{o1}{self.r_hi} & {self.r_lo}{o2}{self.l_hi}), "
+            f"w: {self.bucket_width} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalOverlapJoin(PhysicalOperator):
+    """Bucketed overlap join, dedup-free and skew-safe: both sides
+    explode their intervals into fixed-width buckets and equi-join on
+    (keys, bucket) with the MEET-AT rule — the pair is kept only in
+    the bucket of ``greatest(l_lo, r_lo)``, a point every overlapping
+    pair contains exactly once, so no post-join distinct is needed —
+    then the exact residual filter.  Intervals wider than the explode
+    cap take a coarse-stride leg (same two-level scheme as the range
+    join): F×F on the fine stride; F×L, L×F and L×L on the coarse
+    stride (a fine interval spans ≤2 coarse buckets).  Four equi-join
+    legs, unioned; no nested loop anywhere."""
+
+    left_keys: Tuple[str, ...]
+    right_keys: Tuple[str, ...]
+    l_lo: str
+    l_hi: str
+    r_lo: str
+    r_hi: str
+    right_cols: Tuple[str, ...]
+    bucket_width: float
+    incl_lr: bool = True
+    incl_rl: bool = True
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalOverlapJoin {{ keys: [{', '.join(self.left_keys)}]=="
+            f"[{', '.join(self.right_keys)}], "
+            f"[{self.l_lo},{self.l_hi}] x [{self.r_lo},{self.r_hi}], "
+            f"w: {self.bucket_width} }}"
+        )
+
+
 # -- unnest / lateral explode ------------------------------------------------
 
 @dataclass(frozen=True)

@@ -254,6 +254,9 @@ class SparkCostModel(CostModel):
         if isinstance(op, X.PhysicalBucketedRangeJoin):
             # shuffle points once, shuffle ~8 exploded buckets per interval
             return 3.0 * (rows[0] + 8.0 * rows[1]) + rows[0]
+        if isinstance(op, X.PhysicalOverlapJoin):
+            # both sides explode (~8 buckets each) + four-leg equi join
+            return 3.0 * 8.0 * (rows[0] + rows[1]) + rows[0] + rows[1]
         if isinstance(op, X.PhysicalBroadcastRangeJoin):
             if self._too_big_to_broadcast(
                 rows[1], input_stats[1] if len(input_stats) > 1 else None
@@ -608,6 +611,9 @@ def _output_rows(op: Operator, input_rows, ctx=None, input_stats=None) -> float:
         (X.LogicalRangeJoin, X.PhysicalBucketedRangeJoin, X.PhysicalBroadcastRangeJoin),
     ):
         return max(1.0, input_rows[0]) if input_rows else 1.0
+    if isinstance(op, (X.LogicalIntervalOverlapJoin, X.PhysicalOverlapJoin)):
+        # nominal few overlaps per left interval
+        return max(1.0, 2.0 * input_rows[0]) if input_rows else 1.0
     if isinstance(op, (X.LogicalUnnest, X.PhysicalGenerate)):
         # nominal array fan-out; real plans carry 32-64-wide embeddings
         return 32.0 * (input_rows[0] if input_rows else 1.0)
@@ -667,6 +673,8 @@ def _propagate_width(op: Operator, input_stats, ctx) -> float:
             X.LogicalRangeJoin,
             X.PhysicalBucketedRangeJoin,
             X.PhysicalBroadcastRangeJoin,
+            X.LogicalIntervalOverlapJoin,
+            X.PhysicalOverlapJoin,
         )
         if isinstance(op, join_like):
             return sum(widths)

@@ -29,6 +29,8 @@ __all__ = [
     "AsofJoinImplRule",
     "RangeJoinImplRule",
     "RangeJoinFromConditionRule",
+    "OverlapJoinImplRule",
+    "OverlapJoinFromConditionRule",
     "UnnestImplRule",
     "DocChunkImplRule",
     "StratifiedSampleImplRule",
@@ -271,6 +273,26 @@ class AsofJoinImplRule(Rule):
                 X.PhysicalAsofJoinUnion(
                     op.left_keys, op.right_keys, op.left_ts, op.right_ts,
                     op.right_cols, op.tolerance, op.direction, op.strict,
+                ),
+                *input.root.inputs,
+            )
+        )
+
+
+class OverlapJoinImplRule(Rule):
+    name = "OverlapJoinImplRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalIntervalOverlapJoin)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalIntervalOverlapJoin = input.root.operator
+        result.add(
+            OptExpression.op(
+                X.PhysicalOverlapJoin(
+                    op.left_keys, op.right_keys, op.l_lo, op.l_hi,
+                    op.r_lo, op.r_hi, op.right_cols, op.bucket_width,
+                    op.incl_lr, op.incl_rl,
                 ),
                 *input.root.inputs,
             )
@@ -522,6 +544,107 @@ class RangeJoinFromConditionRule(Rule):
         return 1000
 
 
+class OverlapJoinFromConditionRule(Rule):
+    """REWRITE (r10): an inner join whose condition is equality
+    conjuncts plus the INTERVAL-OVERLAP pair — ``l_lo <=(<) r_hi AND
+    r_lo <=(<) l_hi`` with both left bounds on the LEFT side and both
+    right bounds on the RIGHT — lowers to
+    ``LogicalIntervalOverlapJoin``.  This is the interval×interval
+    companion of ``RangeJoinFromConditionRule`` (which needs the SAME
+    left column in both inequalities — a point); written plainly,
+    Spark nested-loops it.  Same safety gates: every conjunct
+    consumed, bounds strictly straddle sides, no name collisions;
+    anything else keeps the original join.  The residual filter inside
+    the physical operator is exact, so bucket width only affects
+    performance."""
+
+    name = "OverlapJoinFromConditionRule"
+
+    def pattern(self) -> Pattern:
+        from ...operators.logical import LogicalJoin
+
+        return pattern_of(LogicalJoin)
+
+    def promise(self) -> RulePromise:
+        return RulePromise.LOW  # after pushdown settles the condition
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        from ...expr import BinOp
+        from ...operators.logical import JoinType, LogicalJoin
+
+        op: LogicalJoin = input.root.operator
+        if op.join_type is not JoinType.INNER:
+            return
+        lh, rh = input.root.inputs
+        if lh.handle is None or rh.handle is None:
+            return
+        lprop = getattr(lh.handle, "logical_prop", None)
+        rprop = getattr(rh.handle, "logical_prop", None)
+        if lprop is None or rprop is None:
+            return
+        lnames = list(lprop.schema.names())
+        rnames = list(rprop.schema.names())
+        lset, rset = set(lnames), set(rnames)
+        if lset & rset:
+            return
+        conjs = _conjuncts(op.condition)
+        equis: list = []
+        le = []  # (l_col, r_col, inclusive): l_col <=(<) r_col
+        ge = []  # (l_col, r_col, inclusive): l_col >=(>) r_col
+        for c in conjs:
+            if not (
+                isinstance(c, BinOp)
+                and isinstance(c.left, Col)
+                and isinstance(c.right, Col)
+            ):
+                return
+            a, b, cop = c.left.name, c.right.name, c.op
+            if cop not in ("=", "<", "<=", ">", ">="):
+                return
+            if a in rset and b in lset:
+                a, b = b, a
+                cop = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(
+                    cop, cop
+                )
+            if not (a in lset and b in rset):
+                return
+            if cop == "=":
+                equis.append((a, b))
+            elif cop in ("<", "<="):
+                le.append((a, b, cop == "<="))
+            else:
+                ge.append((a, b, cop == ">="))
+        if len(le) != 1 or len(ge) != 1:
+            return
+        (l_lo, r_hi, incl_lr) = le[0]
+        (l_hi, r_lo, incl_rl) = ge[0]
+        # the overlap shape needs FOUR distinct bound columns; a shared
+        # left column is the point-in-interval shape —
+        # RangeJoinFromConditionRule's territory
+        if l_lo == l_hi or r_lo == r_hi:
+            return
+        width = RangeJoinFromConditionRule._bucket_width(
+            rh.handle, r_lo, r_hi, ctx
+        )
+        result.add(
+            OptExpression.op(
+                X.LogicalIntervalOverlapJoin(
+                    tuple(a for a, _ in equis),
+                    tuple(b for _, b in equis),
+                    l_lo,
+                    l_hi,
+                    r_lo,
+                    r_hi,
+                    tuple(rnames),
+                    float(width),
+                    incl_lr,
+                    incl_rl,
+                ),
+                *input.root.inputs,
+            )
+        )
+
+
 class RecursiveCTEImplRule(Rule):
     name = "RecursiveCTEImplRule"
 
@@ -544,6 +667,7 @@ EXTENSION_RULES = [
     UnnestImplRule(),
     AsofJoinImplRule(),
     RangeJoinImplRule(),
+    OverlapJoinImplRule(),
     ExactDedupImplRule(),
     MinHashDedupImplRule(),
     SimHashImplRule(),
@@ -579,7 +703,8 @@ class PushFilterThroughLeftPreservingJoinRule(Rule):
     def pattern(self) -> Pattern:
         return pattern_of(
             LogicalFilter,
-            children=(pattern_of(X.LogicalAsofJoin, X.LogicalRangeJoin),),
+            children=(pattern_of(X.LogicalAsofJoin, X.LogicalRangeJoin,
+                               X.LogicalIntervalOverlapJoin),),
         )
 
     def promise(self) -> RulePromise:

@@ -48,6 +48,7 @@ from .optimizer.rules.extensions import (
     EXTENSION_RULES,
     PruneUnnestInputRule,
     PushFilterThroughLeftPreservingJoinRule,
+    OverlapJoinFromConditionRule,
     PushFilterThroughUnnestRule,
     RangeJoinFromConditionRule,
 )
@@ -71,6 +72,7 @@ def default_rewrite_rules() -> list[Rule]:
         PushFilterThroughUnnestRule(),
         PruneUnnestInputRule(),
         RangeJoinFromConditionRule(),
+        OverlapJoinFromConditionRule(),
         RewriteAggOnViewSubtreeRule(),
     ]
 

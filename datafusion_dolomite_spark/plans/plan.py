@@ -407,6 +407,32 @@ class LogicalPlanBuilder:
             [self._require_root(), _as_node(other)],
         )
 
+    def overlap_join(
+        self,
+        other: "LogicalPlanBuilder | Plan | PlanNode",
+        l_lo: str,
+        l_hi: str,
+        r_lo: str,
+        r_hi: str,
+        right_cols: Sequence[str],
+        left_keys: Sequence[str] = (),
+        right_keys: Sequence[str] = (),
+        bucket_width: float = 1000.0,
+        incl_lr: bool = True,
+        incl_rl: bool = True,
+    ) -> "LogicalPlanBuilder":
+        """Interval OVERLAP join (see LogicalIntervalOverlapJoin)."""
+        from ..operators.extensions import LogicalIntervalOverlapJoin
+
+        return self._push(
+            LogicalIntervalOverlapJoin(
+                tuple(left_keys), tuple(right_keys), l_lo, l_hi,
+                r_lo, r_hi, tuple(right_cols), float(bucket_width),
+                incl_lr, incl_rl,
+            ),
+            [self._require_root(), _as_node(other)],
+        )
+
     def range_join(
         self,
         other: "LogicalPlanBuilder | Plan | PlanNode",

@@ -1,0 +1,120 @@
+"""Interval OVERLAP join (r10): ``l_lo <= r_hi AND r_lo <= l_hi``
+joins auto-lower to LogicalIntervalOverlapJoin — bucketed equi-join
+with the dedup-free MEET-AT rule (pair kept only in the bucket of
+``greatest(l_lo, r_lo)``) and the two-level skew legs.  The
+interval×interval companion of the point-in-interval range join;
+written plainly, Spark nested-loops it."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_dolomite_spark import QueryPlanner
+from datafusion_dolomite_spark.sources.catalog import Catalog
+from datafusion_dolomite_spark.sql import parse_sql
+
+
+@pytest.fixture(scope="module")
+def qp(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ovl")
+    spark.createDataFrame(
+        [(i, i % 5, i * 50, i * 50 + 80) for i in range(200)],
+        "a bigint, g bigint, s1 bigint, e1 bigint",
+    ).coalesce(1).write.parquet(str(base / "la"))
+    spark.createDataFrame(
+        [(j, j % 5, j * 130, j * 130 + 100) for j in range(40)],
+        "b bigint, g2 bigint, s2 bigint, e2 bigint",
+    ).coalesce(1).write.parquet(str(base / "rb"))
+    cat = Catalog()
+    cat.register("la", str(base / "la"))
+    cat.register("rb", str(base / "rb"))
+    return QueryPlanner(spark, cat)
+
+
+def _expected(strict_lr=False, strict_rl=False, keyed=False):
+    out = []
+    for i in range(200):
+        for j in range(40):
+            if keyed and i % 5 != j % 5:
+                continue
+            lr = (
+                i * 50 < j * 130 + 100
+                if strict_lr
+                else i * 50 <= j * 130 + 100
+            )
+            rl = (
+                j * 130 < i * 50 + 80
+                if strict_rl
+                else j * 130 <= i * 50 + 80
+            )
+            if lr and rl:
+                out.append((i, j))
+    return sorted(out)
+
+
+def _spine(qp, sql):
+    return qp.explain(parse_sql(sql, qp.catalog))
+
+
+def test_overlap_lowers_and_matches(qp):
+    sql = "select a, b from la join rb on s1 <= e2 and s2 <= e1"
+    assert "LogicalIntervalOverlapJoin" in _spine(qp, sql)
+    got = sorted((r["a"], r["b"]) for r in qp.sql(sql).collect())
+    assert got == _expected()
+
+
+def test_overlap_strict_bounds(qp):
+    sql = "select a, b from la join rb on s1 < e2 and s2 < e1"
+    assert "LogicalIntervalOverlapJoin" in _spine(qp, sql)
+    got = sorted((r["a"], r["b"]) for r in qp.sql(sql).collect())
+    assert got == _expected(strict_lr=True, strict_rl=True)
+
+
+def test_overlap_with_equi_keys(qp):
+    sql = (
+        "select a, b from la join rb "
+        "on g = g2 and s1 <= e2 and s2 <= e1"
+    )
+    assert "LogicalIntervalOverlapJoin" in _spine(qp, sql)
+    got = sorted((r["a"], r["b"]) for r in qp.sql(sql).collect())
+    assert got == _expected(keyed=True)
+
+
+def test_overlap_skewed_giant_interval(spark, tmp_path):
+    """A domain-spanning interval on either side routes through the
+    coarse legs; results stay exact and dedup-free."""
+    base = tmp_path
+    lrows = [(i, i * 100, i * 100 + 150) for i in range(100)] + [
+        (900, 0, 200_000)  # giant left interval
+    ]
+    rrows = [(j, j * 500, j * 500 + 200) for j in range(40)] + [
+        (800, 0, 200_000)  # giant right interval
+    ]
+    spark.createDataFrame(
+        lrows, "a bigint, s1 bigint, e1 bigint"
+    ).coalesce(1).write.parquet(str(base / "la"))
+    spark.createDataFrame(
+        rrows, "b bigint, s2 bigint, e2 bigint"
+    ).coalesce(1).write.parquet(str(base / "rb"))
+    cat = Catalog()
+    cat.register("la", str(base / "la"))
+    cat.register("rb", str(base / "rb"))
+    qp = QueryPlanner(spark, cat)
+    sql = "select a, b from la join rb on s1 <= e2 and s2 <= e1"
+    got = sorted((r["a"], r["b"]) for r in qp.sql(sql).collect())
+    exp = sorted(
+        (a, b)
+        for a, s1, e1 in lrows
+        for b, s2, e2 in rrows
+        if s1 <= e2 and s2 <= e1
+    )
+    assert got == exp
+
+
+def test_point_in_interval_still_goes_to_range_join(qp):
+    """The shared-left-column shape stays RangeJoinFromConditionRule's
+    territory — overlap only fires on four distinct bound columns."""
+    sql = "select a, b from la join rb on s1 >= s2 and s1 <= e2"
+    spine = _spine(qp, sql)
+    assert "LogicalIntervalOverlapJoin" not in spine
+    assert "RangeJoin" in spine

@@ -330,6 +330,10 @@ SHUFFLE_BUDGET = {
     # r9: BETWEEN-join rewrite → broadcast range join (no shuffle) +
     # band agg + ORDER BY (hash + range, doubled under AQE reuse)
     "q_sql_range_between": 4,
+    # r10: interval overlap join — four bucketed equi-join legs share
+    # exchanges under AQE; agg + ORDER BY (measured 2, headroom for
+    # non-reused leg exchanges)
+    "q_sql_overlap": 6,
 }
 
 BATCH_QUERIES = sorted(

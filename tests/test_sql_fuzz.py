@@ -1103,6 +1103,30 @@ class Gen:
         )
         return sql, sql
 
+    def _overlap(self):
+        """Interval OVERLAP join (r10): four distinct bound columns,
+        ``s1 <=(<) e2 AND s2 <=(<) e1`` — exercises
+        OverlapJoinFromConditionRule's lowering + the meet-at bucketing
+        against DuckDB's plain theta-join.  Small tables only (the
+        all-overlap worst case is |lt|·|rt| output rows)."""
+        r = self.rng
+        small = [t for t in ("region", "nation", "supplier", "events")]
+        lt = r.choice(small)
+        rt = r.choice([t for t in small if t != lt])
+        ls = r.choice([c for c, ty in TABLES[lt].items() if ty == INT])
+        rs = r.choice([c for c, ty in TABLES[rt].items() if ty == INT])
+        w1, w2 = r.choice([10, 40, 100]), r.choice([10, 40, 100])
+        o1, o2 = r.choice(["<=", "<"]), r.choice(["<=", "<"])
+        sql = (
+            f"SELECT k1 AS c0, k2 AS c1 FROM "
+            f"(SELECT {PK[lt]} AS k1, {ls} AS s1, {ls} + {w1} AS e1 "
+            f"FROM {lt}) JOIN "
+            f"(SELECT {PK[rt]} AS k2, {rs} AS s2, {rs} + {w2} AS e2 "
+            f"FROM {rt}) "
+            f"ON s1 {o1} e2 AND s2 {o2} e1"
+        )
+        return sql, sql
+
     SHAPES = (
         ("_simple", 14),
         ("_join", 18),
@@ -1123,6 +1147,7 @@ class Gen:
         ("_values", 10),
         ("_recursive", 6),
         ("_asof", 8),
+        ("_overlap", 6),
     )
 
     def query(self):
