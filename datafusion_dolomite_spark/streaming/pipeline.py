@@ -53,8 +53,13 @@ def _list_versions(snap_root):
 #: per-batch progress of streams run through ``_run_stream`` since the
 #: last ``_reset_stream_progress()`` — the raw material of
 #: ``explain_analyze_stream`` (r10).  Each entry is one micro-batch's
-#: StreamingQueryProgress dict.
+#: StreamingQueryProgress dict.  Capture is OPT-IN (the enclosing
+#: explain_analyze_stream call flips ``_CAPTURE``): draining
+#: ``recentProgress`` costs a Py4J round trip + JSON decode per batch
+#: — measured ~0.2-0.3 s on the sf0.1 replays — which ordinary
+#: pipeline runs must not pay.
 _STREAM_PROGRESS: list = []
+_CAPTURE: bool = False
 
 
 def _reset_stream_progress() -> None:
@@ -62,6 +67,8 @@ def _reset_stream_progress() -> None:
 
 
 def _capture_progress(q) -> None:
+    if not _CAPTURE:
+        return
     for p in q.recentProgress or ():
         _STREAM_PROGRESS.append(p)
 
@@ -82,10 +89,14 @@ def explain_analyze_stream(spark, fn, *args, **kwargs):
     without state operators emit one row with a NULL operator so the
     input/duration story stays complete.  Returns ``(result,
     metrics_df)`` — the query's own result plus the metrics."""
-    from pyspark.sql import functions as F  # noqa: F401
+    global _CAPTURE
 
     _reset_stream_progress()
-    result = fn(spark, *args, **kwargs)
+    _CAPTURE = True
+    try:
+        result = fn(spark, *args, **kwargs)
+    finally:
+        _CAPTURE = False
     rows = []
     for p in _STREAM_PROGRESS:
         bid = p.get("batchId")
