@@ -1107,7 +1107,19 @@ class SparkExecutor:
         (cap× wider); the four side-classification legs (F×F fine,
         F×L / L×F / L×L coarse) are all equi-joins, unioned — a short
         interval spans at most cap+1 fine or 2 coarse buckets, so
-        per-row explode stays bounded on every leg."""
+        per-row explode stays bounded on every leg.
+
+        Formulation race (r10, same-session, sf0.1 orders×nation):
+        plain fine-only 1.37 s; THIS four-leg scheme 1.77 s (the skew
+        insurance costs ~30% when no long intervals exist — the empty
+        legs still plan scans/joins AQE collapses to zero rows); a
+        level-TAGGED single-scan variant (one explode emitting
+        (lvl, bucket) structs, one join — eliminating the re-scan) ran
+        6.8 s: the struct-array transform/concat/explode falls out of
+        whole-stage codegen and its per-row cost swamps the scan it
+        saves.  Both effects scale linearly with rows, so the 4×
+        expression tax beats the 2× scan tax at every size; the
+        four-leg shape stays."""
         from pyspark.sql import functions as F
 
         op = node.operator
