@@ -1016,6 +1016,33 @@ class SparkExecutor:
         joined = left.join(right, on=cond, how="inner")
         return joined.select(*left.columns, *op.right_cols)
 
+    def _broadcast_overlap_join(self, node: PlanNode):
+        """Broadcast overlap strategy: right side broadcast, overlap
+        predicate evaluated in place (Spark plans it as a
+        broadcast-vs-tiny nested loop) — no explode, no left-side
+        shuffle.  The cost model only picks this for small interval
+        sides (same race as _broadcast_range_join)."""
+        from pyspark.sql import functions as F
+
+        op = node.operator
+        left = self._node(node.inputs[0])
+        right = F.broadcast(self._node(node.inputs[1]))
+        lr_ok = (
+            left[op.l_lo] <= right[op.r_hi]
+            if op.incl_lr
+            else left[op.l_lo] < right[op.r_hi]
+        )
+        rl_ok = (
+            right[op.r_lo] <= left[op.l_hi]
+            if op.incl_rl
+            else right[op.r_lo] < left[op.l_hi]
+        )
+        cond = lr_ok & rl_ok
+        for lk, rk in zip(op.left_keys, op.right_keys):
+            cond = (left[lk] == right[rk]) & cond
+        joined = left.join(right, on=cond, how="inner")
+        return joined.select(*left.columns, *op.right_cols)
+
     @staticmethod
     def _bucket(c, width: int):
         """Exact bucket id for non-negative values: floats floor to ints
@@ -1261,6 +1288,7 @@ _HANDLERS = {
     X.LogicalAsofJoin: SparkExecutor._asof_join,
     X.PhysicalBucketedRangeJoin: SparkExecutor._range_join,
     X.PhysicalOverlapJoin: SparkExecutor._overlap_join,
+    X.PhysicalBroadcastOverlapJoin: SparkExecutor._broadcast_overlap_join,
     X.LogicalIntervalOverlapJoin: SparkExecutor._overlap_join,
     X.PhysicalBroadcastRangeJoin: SparkExecutor._broadcast_range_join,
     X.LogicalRangeJoin: SparkExecutor._range_join,

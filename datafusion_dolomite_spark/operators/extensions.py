@@ -745,6 +745,34 @@ class PhysicalOverlapJoin(PhysicalOperator):
         )
 
 
+@dataclass(frozen=True)
+class PhysicalBroadcastOverlapJoin(PhysicalOperator):
+    """Broadcast the (small) right interval side and evaluate the
+    overlap predicate in place — no explode, no shuffle of the left
+    side.  Only viable when the right side fits in a broadcast; the
+    cost model charges a per-left-row probe term that grows with the
+    broadcast interval count, so the bucketed strategy takes over as
+    the right side grows (same race as the range join's pair)."""
+
+    left_keys: Tuple[str, ...]
+    right_keys: Tuple[str, ...]
+    l_lo: str
+    l_hi: str
+    r_lo: str
+    r_hi: str
+    right_cols: Tuple[str, ...]
+    bucket_width: float
+    incl_lr: bool = True
+    incl_rl: bool = True
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalBroadcastOverlapJoin {{ keys: "
+            f"[{', '.join(self.left_keys)}]==[{', '.join(self.right_keys)}], "
+            f"[{self.l_lo},{self.l_hi}] x [{self.r_lo},{self.r_hi}] }}"
+        )
+
+
 # -- unnest / lateral explode ------------------------------------------------
 
 @dataclass(frozen=True)

@@ -257,6 +257,15 @@ class SparkCostModel(CostModel):
         if isinstance(op, X.PhysicalOverlapJoin):
             # both sides explode (~8 buckets each) + four-leg equi join
             return 3.0 * 8.0 * (rows[0] + rows[1]) + rows[0] + rows[1]
+        if isinstance(op, X.PhysicalBroadcastOverlapJoin):
+            if self._too_big_to_broadcast(
+                rows[1], input_stats[1] if len(input_stats) > 1 else None
+            ):
+                return INF
+            # ship intervals everywhere + per-left-row probe degrading
+            # with the broadcast interval count (same calibration as
+            # the broadcast range join)
+            return 2.0 * rows[1] + rows[0] * max(1.0, 0.0015 * rows[1])
         if isinstance(op, X.PhysicalBroadcastRangeJoin):
             if self._too_big_to_broadcast(
                 rows[1], input_stats[1] if len(input_stats) > 1 else None
@@ -611,7 +620,11 @@ def _output_rows(op: Operator, input_rows, ctx=None, input_stats=None) -> float:
         (X.LogicalRangeJoin, X.PhysicalBucketedRangeJoin, X.PhysicalBroadcastRangeJoin),
     ):
         return max(1.0, input_rows[0]) if input_rows else 1.0
-    if isinstance(op, (X.LogicalIntervalOverlapJoin, X.PhysicalOverlapJoin)):
+    if isinstance(
+        op,
+        (X.LogicalIntervalOverlapJoin, X.PhysicalOverlapJoin,
+         X.PhysicalBroadcastOverlapJoin),
+    ):
         # nominal few overlaps per left interval
         return max(1.0, 2.0 * input_rows[0]) if input_rows else 1.0
     if isinstance(op, (X.LogicalUnnest, X.PhysicalGenerate)):
@@ -675,6 +688,7 @@ def _propagate_width(op: Operator, input_stats, ctx) -> float:
             X.PhysicalBroadcastRangeJoin,
             X.LogicalIntervalOverlapJoin,
             X.PhysicalOverlapJoin,
+            X.PhysicalBroadcastOverlapJoin,
         )
         if isinstance(op, join_like):
             return sum(widths)

@@ -287,13 +287,21 @@ class OverlapJoinImplRule(Rule):
 
     def apply(self, input, ctx, result: RuleResult) -> None:
         op: X.LogicalIntervalOverlapJoin = input.root.operator
+        fields = (
+            op.left_keys, op.right_keys, op.l_lo, op.l_hi,
+            op.r_lo, op.r_hi, op.right_cols, op.bucket_width,
+            op.incl_lr, op.incl_rl,
+        )
+        # both strategies enter the memo; the cost model decides (the
+        # same bucketed-vs-broadcast race as the range join)
         result.add(
             OptExpression.op(
-                X.PhysicalOverlapJoin(
-                    op.left_keys, op.right_keys, op.l_lo, op.l_hi,
-                    op.r_lo, op.r_hi, op.right_cols, op.bucket_width,
-                    op.incl_lr, op.incl_rl,
-                ),
+                X.PhysicalOverlapJoin(*fields), *input.root.inputs
+            )
+        )
+        result.add(
+            OptExpression.op(
+                X.PhysicalBroadcastOverlapJoin(*fields),
                 *input.root.inputs,
             )
         )

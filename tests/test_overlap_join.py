@@ -118,3 +118,35 @@ def test_point_in_interval_still_goes_to_range_join(qp):
     spine = _spine(qp, sql)
     assert "LogicalIntervalOverlapJoin" not in spine
     assert "RangeJoin" in spine
+
+
+def test_broadcast_strategy_for_tiny_interval_side(spark, tmp_path):
+    """r10: both overlap strategies enter the memo; the cost model
+    picks BROADCAST for a tiny right side (no explode, no left
+    shuffle) and BUCKETED once the interval side grows — the same race
+    as the range join's pair.  Results identical either way."""
+    from pyspark.sql import functions as F
+
+    base = tmp_path
+    spark.createDataFrame(
+        [(i, i * 50, i * 50 + 80) for i in range(500)],
+        "a bigint, s1 bigint, e1 bigint",
+    ).coalesce(1).write.parquet(str(base / "la"))
+    spark.createDataFrame(
+        [(j, j * 130, j * 130 + 100) for j in range(10)],
+        "b bigint, s2 bigint, e2 bigint",
+    ).coalesce(1).write.parquet(str(base / "rb"))
+    cat = Catalog()
+    cat.register("la", str(base / "la"))
+    cat.register("rb", str(base / "rb"))
+    qp = QueryPlanner(spark, cat)
+    sql = "select a, b from la join rb on s1 <= e2 and s2 <= e1"
+    assert "PhysicalBroadcastOverlapJoin" in _spine(qp, sql)
+    got = sorted((r["a"], r["b"]) for r in qp.sql(sql).collect())
+    exp = sorted(
+        (i, j)
+        for i in range(500)
+        for j in range(10)
+        if i * 50 <= j * 130 + 100 and j * 130 <= i * 50 + 80
+    )
+    assert got == exp

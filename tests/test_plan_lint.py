@@ -66,6 +66,7 @@ NLJ_ALLOWED = {
     "q_knn_cents_trained": "broadcast query vectors (brute ground-truth twin)",
     "q_range_join": "broadcast interval side",
     "q_sql_range_between": "broadcast interval side (25 price bands)",
+    "q_sql_overlap": "broadcast interval side (25 nation bands)",
 }
 
 #: queries whose top-level LIMIT legitimately plans as CollectLimit
