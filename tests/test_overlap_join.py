@@ -150,3 +150,24 @@ def test_broadcast_strategy_for_tiny_interval_side(spark, tmp_path):
         if i * 50 <= j * 130 + 100 and j * 130 <= i * 50 + 80
     )
     assert got == exp
+
+
+def test_left_only_filter_pushes_below_overlap(qp):
+    """Left-only conjuncts commute with the overlap join (each left
+    row's matches are independent of other left rows) — the filter
+    must sit BELOW the join in the optimized plan, reaching the scan
+    before the explode/shuffle."""
+    sql = (
+        "select a, b from la join rb on s1 <= e2 and s2 <= e1 "
+        "where a < 50"
+    )
+    spine = _spine(qp, sql)
+    logical = spine.split("== Physical Plan ==")[0]
+    join_pos = logical.index("LogicalIntervalOverlapJoin")
+    filt_pos = logical.index("a < 50")
+    assert filt_pos > join_pos, (
+        "left-only filter should appear BELOW the overlap join:\n"
+        + logical
+    )
+    got = sorted((r["a"], r["b"]) for r in qp.sql(sql).collect())
+    assert got == [p for p in _expected() if p[0] < 50]
