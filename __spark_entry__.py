@@ -794,6 +794,31 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).dataframe(plan)
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-side set-similarity JOIN (LogicalSetSimJoin →
+    functions/dedup.py::set_sim_join_pairs): word-bigram Jaccard ≥ 0.8
+    pairs across the doc_id-parity split, candidates via AllPairs/PPJoin
+    prefix filtering — exact-complete at ANY df distribution (unlike the
+    rare-gram cap of q_ngram_jaccard, whose oracle mirrors its cap; THIS
+    oracle is the independent all-pairs computation, so it also verifies
+    the prefix filter misses nothing).  No dense global rank: docs sort
+    their (df, token) structs locally and slice the prefix."""
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .projection(
+            [
+                col("doc_id"),
+                col("text"),
+                Alias(BinOp("%", col("doc_id"), lit(2)), "side"),
+            ]
+        )
+        .set_sim_join("doc_id", "text", "side", gram=2, threshold_1000=800)
+        .build()
+    )
+    return _planner(spark, sf_dir).dataframe(plan)
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof two-stage (salted) aggregation over events: the hot
     user fans out across 16 reducers in stage 1, partials merge in stage
@@ -3254,6 +3279,35 @@ EXTENSION_ORACLES = {
     """,
     "q_simhash": _simhash_oracle(32),
     "q_ngram_jaccard": _ngram_jaccard_oracle(12, 3, 500),
+    # independent EXACT all-pairs oracle (no prefix filter) — a missed
+    # candidate in the Spark prefix join would hash-mismatch here
+    "q_fuzzy_join": """
+        WITH docs AS (
+          SELECT doc_id, doc_id % 2 AS side,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS sp
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, side,
+                 list_distinct(list_transform(range(1, len(sp)),
+                        i -> sp[i] || ' ' || sp[i + 1])) AS toks
+          FROM docs WHERE len(sp) >= 2
+        ),
+        toks AS (SELECT doc_id, side, unnest(toks) AS tok FROM bg),
+        sizes AS (SELECT doc_id, count(*) AS s FROM toks GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM toks a JOIN toks b ON a.tok = b.tok AND a.side < b.side
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT d1, d2, jaccard_1000 FROM (
+          SELECT d1, d2,
+                 floor(1000.0 * i / (sa.s + sb.s - i))::BIGINT AS jaccard_1000
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = d1
+          JOIN sizes sb ON sb.doc_id = d2
+        ) WHERE jaccard_1000 >= 800
+    """,
     "q_corpus_prep": _corpus_prep_oracle(750),
     "q_salted_agg": """
         SELECT user_id, count(*) AS n_events,
@@ -8356,6 +8410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: stalest driver-green queries (unsampled in r9's 50).
 _UNPROVEN_PREFIX = (
     # new this round (r10) — never driver-checked, prove first
+    "q_fuzzy_join",
     "q_sql_merge_evolve", "q_sql_asof_fwd", "q_sql_asof_nearest",
     "q_knn_cents_trained", "q_sql_overlap",
     # r10 CHANGED these queries' implementation — re-prove next
@@ -8489,6 +8544,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_versioned": q_stream_versioned,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_fuzzy_join": q_fuzzy_join,
         "q_corpus_prep": q_corpus_prep,
         "q_salted_agg": q_salted_agg,
         "q_knn_brute": q_knn_brute,

@@ -796,6 +796,19 @@ class SparkExecutor:
             op.threshold_1000,
         )
 
+    def _set_sim_join(self, node: PlanNode):
+        from .functions.dedup import set_sim_join_pairs
+
+        op = node.operator
+        return set_sim_join_pairs(
+            self._node(node.inputs[0]),
+            op.id_col,
+            op.text_col,
+            op.side_col,
+            op.gram,
+            op.threshold_1000,
+        )
+
     def _simhash(self, node: PlanNode):
         from pyspark.sql import functions as F
 
@@ -1284,6 +1297,8 @@ _HANDLERS = {
     X.LogicalCosineNearDup: SparkExecutor._cosine_near_dup,
     X.PhysicalNgramJaccard: SparkExecutor._ngram_jaccard,
     X.LogicalNgramJaccard: SparkExecutor._ngram_jaccard,
+    X.PhysicalSetSimJoin: SparkExecutor._set_sim_join,
+    X.LogicalSetSimJoin: SparkExecutor._set_sim_join,
     X.PhysicalAsofJoinUnion: SparkExecutor._asof_join,
     X.LogicalAsofJoin: SparkExecutor._asof_join,
     X.PhysicalBucketedRangeJoin: SparkExecutor._range_join,

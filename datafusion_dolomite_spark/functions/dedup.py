@@ -31,6 +31,7 @@ __all__ = [
     "read_index_meta",
     "simhash_fingerprint",
     "ngram_jaccard_pairs",
+    "set_sim_join_pairs",
 ]
 
 
@@ -694,6 +695,131 @@ def ngram_jaccard_pairs(
             F.floor(1000.0 * inter / union).cast("bigint").alias("jaccard_1000"),
         )
         .filter(F.col("jaccard_1000") >= threshold_1000)
+    )
+
+
+def set_sim_join_pairs(
+    df,
+    id_col: str,
+    text_col: str,
+    side_col: str,
+    gram: int = 2,
+    threshold_1000: int = 800,
+):
+    """Cross-side set-similarity JOIN (entity resolution / record linkage):
+    pairs of docs from DIFFERENT sides whose word-``gram``-shingle Jaccard
+    is ≥ threshold, found via AllPairs/PPJoin PREFIX FILTERING rather than
+    a rare-element cap.
+
+    How it differs from :func:`ngram_jaccard_pairs`: that one bounds
+    candidates with a document-frequency cap (``max_df``) — a heuristic
+    that is only complete when every near-dup pair shares a rare gram.
+    Prefix filtering is EXACT-complete at any df distribution: order every
+    doc's elements by ascending global (df, token); if
+    ``J(x, y) ≥ t`` then the first ``|x| − ⌈t·|x|⌉ + 1`` elements of x and
+    the first ``|y| − ⌈t·|y|⌉ + 1`` of y must intersect (AllPairs bound,
+    Bayardo et al. WWW'07), so joining prefixes on the element misses
+    nothing.  A length filter (``t·|x| ≤ |y| ≤ |x|/t``) prunes inside the
+    candidate join.
+
+    100 TB shape: the global order needs NO dense rank (no single-partition
+    window) — any total order works, so each doc locally ``array_sort``s
+    its ``struct(df, token)`` pairs and slices the prefix.  The df table is
+    vocabulary-sized (aggregated once); candidates travel as
+    (token → prefix-bucket) join rows, never doc × doc; verification is one
+    ``array_intersect`` hash pass per surviving pair.  All stages are
+    built-in SQL functions inside whole-stage codegen.
+
+    Output: (d1, d2, jaccard_1000) with side(d1) < side(d2); for equal
+    similarity semantics on >2 sides every cross-side pair appears once.
+
+    Reference: no similarity join exists in the reference (SURVEY §2.4) —
+    extension surface for dedup/linkage across corpus snapshots.
+    """
+    from pyspark.sql import functions as F
+
+    from ._parallel import ensure_min_parallelism
+
+    t = threshold_1000
+    pre = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.col(side_col).alias("_side"),
+        F.expr(
+            f"split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' ')"
+        ).alias("_sp"),
+    )
+    if gram == 1:
+        toks = "array_distinct(_sp)"
+    else:
+        parts = ", ' ', ".join(
+            f"element_at(_sp, i + {j})" for j in range(gram)
+        )
+        toks = (
+            f"array_distinct(transform(sequence(1, size(_sp) - {gram - 1}), "
+            f"i -> concat({parts})))"
+        )
+    # cache is load-bearing: the token arrays feed the df aggregate, the
+    # prefix build, and BOTH verification sides (same rationale as the
+    # gram-array cache in ngram_jaccard_pairs)
+    base = (
+        pre.filter(F.expr(f"size(_sp) >= {gram}"))
+        .select("_id", "_side", F.expr(toks).alias("_toks"))
+        .cache()
+    )
+    tok0 = base.select("_id", F.explode("_toks").alias("_tok"))
+    dfreq = tok0.groupBy("_tok").agg(F.count("*").alias("_df"))
+    # per-doc (df, token) structs, locally sorted — the ascending global
+    # order materializes per doc with no global window
+    ranked = tok0.join(dfreq, "_tok").select(
+        "_id", F.struct(F.col("_df"), F.col("_tok")).alias("_o")
+    )
+    # prefix_len = s − ceil(t·s/1000) + 1, clamped to [1, s]
+    plen = f"greatest(1, _s - cast((_s * {t} + 999) div 1000 as int) + 1)"
+    pfx = (
+        ranked.groupBy("_id")
+        .agg(
+            F.expr("array_sort(collect_list(_o))").alias("_ord"),
+            F.count("*").alias("_s"),
+        )
+        .select(
+            "_id",
+            "_s",
+            F.explode(F.expr(f"slice(_ord, 1, {plen})")).alias("_p"),
+        )
+        .select("_id", "_s", F.col("_p._tok").alias("_tok"))
+        .join(base.select("_id", "_side"), "_id")
+    )
+    a = pfx.select(
+        F.col("_id").alias("d1"), F.col("_s").alias("_sa"),
+        F.col("_side").alias("_da"), "_tok",
+    )
+    b = pfx.select(
+        F.col("_id").alias("d2"), F.col("_s").alias("_sb"),
+        F.col("_side").alias("_db"), "_tok",
+    )
+    cand = (
+        a.join(b, "_tok")
+        .filter(
+            (F.col("_da") < F.col("_db"))
+            & (F.col("_sb") * 1000 >= F.col("_sa") * t)
+            & (F.col("_sa") * 1000 >= F.col("_sb") * t)
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+    ga = base.select(F.col("_id").alias("d1"), F.col("_toks").alias("_ga"))
+    gb = base.select(F.col("_id").alias("d2"), F.col("_toks").alias("_gb"))
+    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    union = F.size("_ga") + F.size("_gb") - inter
+    return (
+        cand.join(ga, "d1")
+        .join(gb, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.floor(1000.0 * inter / union).cast("bigint").alias("jaccard_1000"),
+        )
+        .filter(F.col("jaccard_1000") >= t)
     )
 
 

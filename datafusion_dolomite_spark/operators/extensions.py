@@ -226,6 +226,47 @@ class PhysicalNgramJaccard(PhysicalOperator):
         )
 
 
+@dataclass(frozen=True)
+class LogicalSetSimJoin(LogicalOperator):
+    """Cross-side set-similarity join: pairs from different ``side_col``
+    groups with word-``gram``-shingle Jaccard ≥ threshold, candidates via
+    AllPairs/PPJoin prefix filtering (exact-complete, unlike the rare-gram
+    df cap of :class:`LogicalNgramJaccard`).  See
+    ``functions/dedup.py::set_sim_join_pairs`` for the 100 TB shape."""
+
+    id_col: str
+    text_col: str
+    side_col: str
+    gram: int = 2
+    threshold_1000: int = 800
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        return LogicalProperty(_PAIR_SCHEMA)
+
+    def pretty(self) -> str:
+        return (
+            f"LogicalSetSimJoin {{ id: {self.id_col}, text: {self.text_col}, "
+            f"side: {self.side_col}, gram: {self.gram}, "
+            f"threshold: {self.threshold_1000} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalSetSimJoin(PhysicalOperator):
+    id_col: str
+    text_col: str
+    side_col: str
+    gram: int = 2
+    threshold_1000: int = 800
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalSetSimJoin {{ id: {self.id_col}, text: {self.text_col}, "
+            f"side: {self.side_col}, gram: {self.gram}, "
+            f"threshold: {self.threshold_1000} }}"
+        )
+
+
 # -- knn / similarity search ------------------------------------------------
 
 _KNN_SCHEMA = Schema(

@@ -26,6 +26,7 @@ __all__ = [
     "Knn2PqRule",
     "CosineNearDupImplRule",
     "NgramJaccardImplRule",
+    "SetSimJoinImplRule",
     "AsofJoinImplRule",
     "RangeJoinImplRule",
     "RangeJoinFromConditionRule",
@@ -254,6 +255,25 @@ class NgramJaccardImplRule(Rule):
             OptExpression.op(
                 X.PhysicalNgramJaccard(
                     op.id_col, op.text_col, op.n, op.max_df, op.threshold_1000
+                ),
+                *input.root.inputs,
+            )
+        )
+
+
+class SetSimJoinImplRule(Rule):
+    name = "SetSimJoinImplRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalSetSimJoin)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalSetSimJoin = input.root.operator
+        result.add(
+            OptExpression.op(
+                X.PhysicalSetSimJoin(
+                    op.id_col, op.text_col, op.side_col, op.gram,
+                    op.threshold_1000,
                 ),
                 *input.root.inputs,
             )
@@ -687,6 +707,7 @@ EXTENSION_RULES = [
     EmbedQuantize2PandasRule(),
     CosineNearDupImplRule(),
     NgramJaccardImplRule(),
+    SetSimJoinImplRule(),
     DocChunkImplRule(),
     StratifiedSampleImplRule(),
     SequencePackImplRule(),

@@ -383,6 +383,21 @@ class LogicalPlanBuilder:
             [self._require_root()],
         )
 
+    def set_sim_join(
+        self,
+        id_col: str,
+        text_col: str,
+        side_col: str,
+        gram: int = 2,
+        threshold_1000: int = 800,
+    ) -> "LogicalPlanBuilder":
+        from ..operators.extensions import LogicalSetSimJoin
+
+        return self._push(
+            LogicalSetSimJoin(id_col, text_col, side_col, gram, threshold_1000),
+            [self._require_root()],
+        )
+
     def asof_join(
         self,
         other: "LogicalPlanBuilder | Plan | PlanNode",

@@ -168,6 +168,9 @@ SHUFFLE_BUDGET = {
     "q_multimodal_frames": 0,
     "q_multimodal_resize": 0,
     "q_ngram_jaccard": 3,
+    # df agg + per-doc prefix agg + prefix candidate join + distinct +
+    # two verify joins — the PPJoin pipeline (dfreq broadcasts)
+    "q_fuzzy_join": 7,
     "q_pandas_udaf": 1,
     "q_percentiles": 1,
     "q_rollup": 1,
