@@ -14,7 +14,93 @@ re-analysis time) stays CONSTANT per iteration instead of tripling.  The referen
 
 from __future__ import annotations
 
-__all__ = ["connected_components", "pagerank"]
+__all__ = ["connected_components", "pagerank", "triangle_counts"]
+
+
+def triangle_counts(edges, src: str, dst: str):
+    """Per-node triangle counts over an undirected edge list, via the
+    DEGREE-ORDERED edge-iterator (compact-forward): orient every edge
+    from its lower-(degree, id) endpoint to the higher one, build
+    out-adjacency arrays, and intersect the two endpoint arrays of each
+    oriented edge — each triangle closes exactly once, at its
+    lowest-order edge.
+
+    Why orientation is the 100 TB shape: un-oriented wedge enumeration
+    costs Σ deg(v)² — a single celebrity node with degree 10⁷ alone
+    yields 10¹⁴ wedges.  Orientation caps every out-degree at O(√m)
+    (each out-neighbor has degree ≥ yours, and only m total degree
+    exists), so the wedge count is O(m^{3/2}) REGARDLESS of skew — the
+    same bound that makes this the standard distributed algorithm
+    (Suri & Vassilvitskii WWW'11).  Every stage is a shuffled equi-join
+    or aggregate on integer keys; no driver collect, no cartesian.
+
+    Determinism: orientation ties break on node id, and each triangle is
+    produced exactly once (its vertices sorted by the same total order),
+    so counts are exact integers with a pure-SQL oracle.
+
+    Returns (node bigint, n_triangles bigint), nodes in ≥1 triangle.
+
+    Reference: no graph surface exists in the reference (SURVEY §2.4);
+    extension surface alongside connected_components/pagerank.
+    """
+    from pyspark.sql import functions as F
+
+    # the edge list feeds degree counting, orientation, and both
+    # adjacency sides — cache it or the upstream edge-build re-executes
+    # per reuse (same rationale as connected_components' sym cache)
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .cache()
+    )
+    und = e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+    deg = und.groupBy("n").agg(F.count("*").alias("d"))
+    # orient ascending by the total order (degree, id)
+    da = deg.select(F.col("n").alias("u"), F.col("d").alias("_du"))
+    db = deg.select(F.col("n").alias("v"), F.col("d").alias("_dv"))
+    ou = F.struct(F.col("_du").alias("d"), F.col("u").alias("n"))
+    ov = F.struct(F.col("_dv").alias("d"), F.col("v").alias("n"))
+    ornt = (
+        e.join(da, "u")
+        .join(db, "v")
+        .select(
+            F.when(ou < ov, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(ou < ov, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .cache()
+    )
+    # edge-iterator over the orientation: for oriented edge (s, t) the
+    # triangles it closes are N+(s) ∩ N+(t) — out-adjacency ARRAYS are
+    # O(√m) long by the orientation bound, so the intersection is a
+    # bounded per-row codegen op and NO wedge table ever materializes
+    adj = ornt.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("_adj"))
+    per_edge = (
+        ornt.join(adj.select(F.col("s"), F.col("_adj").alias("_as")), "s")
+        .join(
+            adj.select(F.col("s").alias("t"), F.col("_adj").alias("_at")), "t"
+        )
+        .select(
+            "s", "t",
+            F.array_intersect("_as", "_at").alias("_w"),
+        )
+        .filter(F.size("_w") > 0)
+    )
+    # each triangle (s, t, w) is found exactly once (at its lowest-order
+    # edge); credit all three corners in ONE pass — a 3-way unionAll of
+    # per_edge would re-execute both adjacency joins three times
+    contribs = (
+        "concat(array(struct(s AS node, size(_w) AS c), "
+        "struct(t AS node, size(_w) AS c)), "
+        "transform(_w, x -> struct(x AS node, 1 AS c)))"
+    )
+    nodes = per_edge.select(F.explode(F.expr(contribs)).alias("_n")).select(
+        F.col("_n.node").alias("node"), F.col("_n.c").alias("c")
+    )
+    return nodes.groupBy("node").agg(F.sum("c").cast("bigint").alias("n_triangles"))
 
 
 def connected_components(edges, src: str, dst: str, max_iter: int = 25):

@@ -171,6 +171,11 @@ SHUFFLE_BUDGET = {
     # df agg + per-doc prefix agg + prefix candidate join + distinct +
     # two verify joins — the PPJoin pipeline (dfreq broadcasts)
     "q_fuzzy_join": 7,
+    # static print REPEATS the cached edge/orientation subplans once per
+    # reuse (18 InMemoryTableScans) — per execution each runs once; the
+    # per-run unique shuffles are ~6 (pair agg, edge distinct, degree agg,
+    # adjacency agg, final agg; orientation/adjacency joins broadcast)
+    "q_triangle_count": 39,
     "q_pandas_udaf": 1,
     "q_percentiles": 1,
     "q_rollup": 1,

@@ -1,0 +1,70 @@
+"""functions/graph.py::triangle_counts — degree-ordered compact-forward
+edge-iterator.  Each case compares against an exhaustive Python count."""
+
+import itertools
+
+
+from datafusion_dolomite_spark.functions.graph import triangle_counts
+
+
+def _truth(edges):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {n for e in es for n in e}
+    out = {}
+    for a, b, c in itertools.combinations(sorted(nodes), 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for n in (a, b, c):
+                out[n] = out.get(n, 0) + 1
+    return out
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "x long, y long")
+    res = triangle_counts(df, "x", "y")
+    return {r["node"]: r["n_triangles"] for r in res.collect()}
+
+
+def test_k4_complete_graph(spark):
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = _run(spark, edges)
+    # K4: each vertex is in C(3,2) = 3 triangles
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_free_graph(spark):
+    # a path and a 4-cycle — zero triangles, empty result
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 13), (13, 10)]
+    assert _run(spark, edges) == {}
+
+
+def test_skewed_star_plus_triangles(spark):
+    # hub 0 connected to everyone (degree skew), plus rim edges forming
+    # triangles through the hub — orientation must not double count
+    rim = list(range(1, 30))
+    edges = [(0, r) for r in rim] + [(1, 2), (3, 4), (5, 6)]
+    got = _run(spark, edges)
+    assert got == _truth(edges)
+    assert got[0] == 3  # hub participates in all three
+
+
+def test_duplicate_and_reversed_edges_are_canonicalized(spark):
+    edges = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 3)]
+    got = _run(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_self_loops_ignored(spark):
+    edges = [(1, 1), (1, 2), (2, 3), (3, 1), (2, 2)]
+    assert _run(spark, edges) == {1: 1, 2: 1, 3: 1}
+
+
+def test_randomized_parity(spark):
+    import random
+
+    rng = random.Random(20260816)
+    for trial in range(3):
+        n = 25
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(120)
+        ]
+        assert _run(spark, edges) == _truth(edges), f"trial={trial}"
