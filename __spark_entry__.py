@@ -2600,6 +2600,20 @@ _SQL_VALUES = (
 #: QUALIFY — window filter; the SAME string runs on DuckDB (it is a
 #: DuckDB-native clause).  floor() before the bigint cast: Spark's
 #: double→bigint truncates while DuckDB's rounds, floor makes both exact.
+#: named WINDOW clause (standard SQL): one spec shared by three OVER
+#: references (two select-list windows + the QUALIFY predicate) —
+#: the spec binds before lowering, so all three land on ONE
+#: LogicalWindow partitioning.  Integer cents keep the running sum
+#: exact; same string runs on DuckDB.
+_SQL_NAMED_WINDOW = (
+    "SELECT o_custkey, cast(floor(o_totalprice * 100) as bigint) AS cents, "
+    "rank() OVER w AS rnk, "
+    "cast(sum(cast(floor(o_totalprice * 100) as bigint)) OVER w as bigint) AS run_cents "
+    "FROM orders WHERE o_totalprice > 100000 "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) "
+    "QUALIFY rank() OVER w <= 2"
+)
+
 _SQL_QUALIFY = (
     "SELECT c_nationkey, c_custkey, "
     "cast(floor(c_acctbal * 100) as bigint) AS bal_cents, "
@@ -3906,6 +3920,30 @@ EXTENSION_ORACLES = {
     "q_pagerank": _pagerank_oracle(3, 85),
     "q_sql_values": _SQL_VALUES,
     "q_sql_qualify": _SQL_QUALIFY,
+    "q_sql_named_window": _SQL_NAMED_WINDOW,
+    # independent CASE-aggregate formulation (no PIVOT syntax)
+    "q_sql_pivot": """
+        SELECT o_custkey,
+               coalesce(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN cents END) AS BIGINT), 0) AS f_cents,
+               coalesce(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN cents END) AS BIGINT), 0) AS o_cents,
+               coalesce(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN cents END) AS BIGINT), 0) AS p_cents
+        FROM (SELECT o_custkey, o_orderstatus,
+                     CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders)
+        GROUP BY o_custkey
+    """,
+    # independent UNION-ALL formulation (no UNPIVOT syntax)
+    "q_sql_unpivot": """
+        SELECT o_orderkey, component, cents FROM (
+          SELECT o_orderkey, 'gross' AS component,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders WHERE o_orderkey < 2000
+          UNION ALL
+          SELECT o_orderkey, 'tax',
+                 CAST(floor(o_totalprice * 7) AS BIGINT)
+          FROM orders WHERE o_orderkey < 2000
+        )
+    """,
     "q_eager_agg": _SQL_EAGER_AGG,
     "q_file_skip": """
         SELECT o_orderpriority, count(*) AS n,
@@ -6429,6 +6467,51 @@ def q_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).sql(_SQL_QUALIFY)
 
 
+_SQL_PIVOT = (
+    "SELECT o_custkey, coalesce(f_cents, 0) AS f_cents, "
+    "coalesce(o_cents, 0) AS o_cents, coalesce(p_cents, 0) AS p_cents FROM "
+    "(SELECT o_custkey, o_orderstatus, "
+    " cast(floor(o_totalprice * 100) as bigint) AS cents FROM orders) "
+    "PIVOT (sum(cents) FOR o_orderstatus "
+    "IN ('F' AS f_cents, 'O' AS o_cents, 'P' AS p_cents))"
+)
+
+_SQL_UNPIVOT = (
+    "SELECT o_orderkey, component, cents FROM "
+    "(SELECT o_orderkey, "
+    " cast(floor(o_totalprice * 100) as bigint) AS gross, "
+    " cast(floor(o_totalprice * 7) as bigint) AS tax "
+    " FROM orders WHERE o_orderkey < 2000) "
+    "UNPIVOT (cents FOR component IN (gross, tax))"
+)
+
+
+def q_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``PIVOT (agg FOR col IN (...))`` (``sql.py::_pivot_item``):
+    pure plan-algebra lowering to ONE grouped aggregate of filtered
+    ``CASE WHEN`` aggregates — a single shuffle with map-side partials,
+    the same rewrite Catalyst uses for DataFrame pivot.  The oracle is
+    the independent CASE formulation in DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_PIVOT)
+
+
+def q_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``UNPIVOT (v FOR n IN (c1, c2))`` → LogicalUnpivot →
+    Spark-native ``DataFrame.unpivot`` (one Generate, map-only, NO
+    shuffle — wide→long without re-reading the table per column, which
+    is what the UNION-ALL formulation the oracle uses would do)."""
+    return _planner(spark, sf_dir).sql(_SQL_UNPIVOT)
+
+
+def q_sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named ``WINDOW`` clause (standard SQL, ``sql.py``): ``OVER w``
+    references bind to the clause's spec before lowering — the two
+    select-list windows and the QUALIFY window all share one
+    LogicalWindow partitioning (one Exchange).  Same string is the
+    oracle (DuckDB supports the clause natively)."""
+    return _planner(spark, sf_dir).sql(_SQL_NAMED_WINDOW)
+
+
 def q_eager_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost-based EAGER AGGREGATION (Yan & Larson '95): the aggregate is
     pushed below the join as a partial grouped on the join key, the
@@ -8468,7 +8551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: stalest driver-green queries (unsampled in r9's 50).
 _UNPROVEN_PREFIX = (
     # new this round (r10) — never driver-checked, prove first
-    "q_fuzzy_join", "q_triangle_count",
+    "q_fuzzy_join", "q_triangle_count", "q_sql_named_window",
+    "q_sql_pivot", "q_sql_unpivot",
     "q_sql_merge_evolve", "q_sql_asof_fwd", "q_sql_asof_nearest",
     "q_knn_cents_trained", "q_sql_overlap",
     # r10 CHANGED these queries' implementation — re-prove next
@@ -8533,6 +8617,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interval_overlap": q_interval_overlap,
         "q_sql_values": q_sql_values,
         "q_sql_qualify": q_sql_qualify,
+        "q_sql_named_window": q_sql_named_window,
+        "q_sql_pivot": q_sql_pivot,
+        "q_sql_unpivot": q_sql_unpivot,
         "q_eager_agg": q_eager_agg,
         "q_file_skip": q_file_skip,
         "q_stream_upsert": q_stream_upsert,

@@ -796,6 +796,13 @@ class SparkExecutor:
             op.threshold_1000,
         )
 
+    def _unpivot(self, node: PlanNode):
+        """Spark-native melt: one Generate, map-only, no shuffle."""
+        op = node.operator
+        return self._node(node.inputs[0]).unpivot(
+            list(op.id_cols), list(op.value_cols), op.name_col, op.value_col
+        )
+
     def _set_sim_join(self, node: PlanNode):
         from .functions.dedup import set_sim_join_pairs
 
@@ -1299,6 +1306,8 @@ _HANDLERS = {
     X.LogicalNgramJaccard: SparkExecutor._ngram_jaccard,
     X.PhysicalSetSimJoin: SparkExecutor._set_sim_join,
     X.LogicalSetSimJoin: SparkExecutor._set_sim_join,
+    X.PhysicalUnpivot: SparkExecutor._unpivot,
+    X.LogicalUnpivot: SparkExecutor._unpivot,
     X.PhysicalAsofJoinUnion: SparkExecutor._asof_join,
     X.LogicalAsofJoin: SparkExecutor._asof_join,
     X.PhysicalBucketedRangeJoin: SparkExecutor._range_join,

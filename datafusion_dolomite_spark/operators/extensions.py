@@ -869,6 +869,66 @@ class PhysicalGenerate(PhysicalOperator):
 # -- document chunking (training-data prep) ---------------------------------
 
 @dataclass(frozen=True)
+class LogicalUnpivot(LogicalOperator):
+    """Melt: keep ``id_cols``, turn each of ``value_cols`` into a row of
+    (name, value) — SQL ``UNPIVOT (v FOR n IN (c1, ...))``.  Executes as
+    Spark's native ``DataFrame.unpivot`` (one Generate, map-only, no
+    shuffle).  Absent from the reference (SURVEY §1.2); standard
+    relational surface for wide→long reshaping."""
+
+    id_cols: tuple
+    value_cols: tuple
+    name_col: str
+    value_col: str
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        (inp,) = input_props
+        dtypes = {f.name: f.dtype for f in inp.schema.fields}
+        missing = [c for c in (*self.id_cols, *self.value_cols) if c not in dtypes]
+        if missing:
+            raise ValueError(f"UNPIVOT references unknown columns: {missing}")
+        vtypes = {dtypes[c] for c in self.value_cols}
+        if len(vtypes) > 1:
+            raise ValueError(
+                f"UNPIVOT value columns must share one type, got {sorted(vtypes)}"
+            )
+        keep = tuple(
+            Field(c, dtypes[c], True) for c in self.id_cols
+        )
+        return LogicalProperty(
+            Schema(
+                keep
+                + (
+                    Field(self.name_col, "string", False),
+                    Field(self.value_col, next(iter(vtypes)), True),
+                )
+            )
+        )
+
+    def pretty(self) -> str:
+        return (
+            f"LogicalUnpivot {{ ids: {list(self.id_cols)}, "
+            f"values: {list(self.value_cols)}, name: {self.name_col}, "
+            f"value: {self.value_col} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalUnpivot(PhysicalOperator):
+    id_cols: tuple
+    value_cols: tuple
+    name_col: str
+    value_col: str
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalUnpivot {{ ids: {list(self.id_cols)}, "
+            f"values: {list(self.value_cols)}, name: {self.name_col}, "
+            f"value: {self.value_col} }}"
+        )
+
+
+@dataclass(frozen=True)
 class LogicalDocChunk(LogicalOperator):
     """Sliding-window token chunking: split ``text_col`` on whitespace and
     emit overlapping windows of ``chunk_size`` tokens advancing by

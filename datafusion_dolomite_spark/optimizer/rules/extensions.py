@@ -27,6 +27,7 @@ __all__ = [
     "CosineNearDupImplRule",
     "NgramJaccardImplRule",
     "SetSimJoinImplRule",
+    "UnpivotImplRule",
     "AsofJoinImplRule",
     "RangeJoinImplRule",
     "RangeJoinFromConditionRule",
@@ -255,6 +256,24 @@ class NgramJaccardImplRule(Rule):
             OptExpression.op(
                 X.PhysicalNgramJaccard(
                     op.id_col, op.text_col, op.n, op.max_df, op.threshold_1000
+                ),
+                *input.root.inputs,
+            )
+        )
+
+
+class UnpivotImplRule(Rule):
+    name = "UnpivotImplRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalUnpivot)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalUnpivot = input.root.operator
+        result.add(
+            OptExpression.op(
+                X.PhysicalUnpivot(
+                    op.id_cols, op.value_cols, op.name_col, op.value_col
                 ),
                 *input.root.inputs,
             )
@@ -708,6 +727,7 @@ EXTENSION_RULES = [
     CosineNearDupImplRule(),
     NgramJaccardImplRule(),
     SetSimJoinImplRule(),
+    UnpivotImplRule(),
     DocChunkImplRule(),
     StratifiedSampleImplRule(),
     SequencePackImplRule(),

@@ -383,6 +383,22 @@ class LogicalPlanBuilder:
             [self._require_root()],
         )
 
+    def unpivot(
+        self,
+        id_cols: Sequence[str],
+        value_cols: Sequence[str],
+        name_col: str = "name",
+        value_col: str = "value",
+    ) -> "LogicalPlanBuilder":
+        from ..operators.extensions import LogicalUnpivot
+
+        return self._push(
+            LogicalUnpivot(
+                tuple(id_cols), tuple(value_cols), name_col, value_col
+            ),
+            [self._require_root()],
+        )
+
     def set_sim_join(
         self,
         id_col: str,

@@ -104,13 +104,16 @@ class _WindowExpr:
     ``LogicalWindow`` node (window evaluation sits between WHERE and the
     final projection, matching SQL semantics)."""
 
-    __slots__ = ("func", "partition_by", "order_by", "frame")
+    __slots__ = ("func", "partition_by", "order_by", "frame", "ref")
 
-    def __init__(self, func, partition_by, order_by, frame):
+    def __init__(self, func, partition_by, order_by, frame, ref=None):
+        # ref: name of a WINDOW-clause spec this OVER refers to; bound
+        # (and cleared) by _bind_named_windows before lowering
         self.func = func
         self.partition_by = partition_by
         self.order_by = order_by
         self.frame = frame
+        self.ref = ref
 
 
 class _Tok:
@@ -550,6 +553,36 @@ class _Parser:
                 while self.accept("op", ","):
                     group_exprs.append(self._resolve(self._expr()))
 
+        # -- WINDOW clause: named window specs (standard SQL; DuckDB
+        # grammar order GROUP BY → HAVING → WINDOW → QUALIFY).  Contextual
+        # keyword like ROLLUP/CUBE: ``WINDOW <name> AS (spec), ...`` —
+        # every ``OVER <name>`` parsed into the select list (and any
+        # QUALIFY below) binds to its spec here before lowering.
+        named_windows: dict = {}
+        t_w = self.peek()
+        nxt_w = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        if (
+            t_w.kind == "ident"
+            and t_w.value.lower() == "window"
+            and nxt_w is not None
+            and nxt_w.kind == "ident"
+        ):
+            self.next()
+            while True:
+                wname = self.expect("ident").value.lower()
+                self.expect("kw", "as")
+                # resolve the spec's exprs now — select items were
+                # already frame-resolved before this clause parsed
+                named_windows[wname] = self._resolve(
+                    self._window_spec(Func("_named_window", ()))
+                )
+                if not self.accept("op", ","):
+                    break
+            items = [self._bind_named_windows(e, named_windows) for e in items]
+        else:
+            # no clause — any OVER <name> left in the items is an error
+            items = [self._bind_named_windows(e, named_windows) for e in items]
+
         # -- QUALIFY: filter over window outputs (DuckDB/Snowflake
         # extension) — parsed here (it follows GROUP BY position in the
         # grammar; windows don't mix with aggregation in this dialect so
@@ -557,7 +590,9 @@ class _Parser:
         # between the window node and the final projection.
         qpred: Optional[Expr] = None
         if self.accept("kw", "qualify"):
-            qpred = self._resolve(self._expr())
+            qpred = self._resolve(
+                self._bind_named_windows(self._expr(), named_windows)
+            )
             if star:
                 raise SqlError("SELECT * cannot be combined with QUALIFY")
             if not (
@@ -633,7 +668,9 @@ class _Parser:
             # compute in the same aggregate (lift), its window calls
             # become hidden window columns (lower, below).
             if qpred is None and self.accept("kw", "qualify"):
-                qpred = self._resolve(self._expr())
+                qpred = self._resolve(
+                    self._bind_named_windows(self._expr(), named_windows)
+                )
                 if not _contains_window(qpred) and not any(
                     _contains_window(e) for e in items
                 ):
@@ -968,6 +1005,100 @@ class _Parser:
                 return jt
         return None
 
+    def _window_clause_ahead(self) -> bool:
+        """True when the cursor sits on a named-WINDOW clause
+        (``WINDOW <name> AS``) — keeps the bare-alias rule in _table from
+        swallowing the contextual keyword (``FROM t WINDOW w AS (...)``)."""
+        t = self.peek()
+        if t.kind != "ident" or t.value.lower() != "window":
+            return False
+        n1 = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        n2 = self.toks[self.i + 2] if self.i + 2 < len(self.toks) else None
+        return (
+            n1 is not None
+            and n1.kind == "ident"
+            and n2 is not None
+            and n2.kind == "kw"
+            and n2.value == "as"
+        )
+
+    def _pivot_clause_ahead(self) -> bool:
+        """True when the cursor sits on ``PIVOT (`` / ``UNPIVOT (`` —
+        contextual keywords, kept out of the bare-alias rule."""
+        t = self.peek()
+        if t.kind != "ident" or t.value.lower() not in ("pivot", "unpivot"):
+            return False
+        n1 = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        return n1 is not None and n1.kind == "op" and n1.value == "("
+
+    def _pivot_item(self, b: LogicalPlanBuilder) -> LogicalPlanBuilder:
+        """``PIVOT (agg(vcol) FOR kcol IN (lit [AS name], ...))`` — pure
+        plan-algebra lowering: GROUP BY every remaining column with one
+        filtered aggregate per IN value (``agg(CASE WHEN kcol = lit THEN
+        vcol END)``), the same rewrite Catalyst applies to
+        ``RelationalGroupedDataset.pivot`` — no new operator, and the
+        aggregate is a single shuffle with map-side partials."""
+        from .expr import CaseWhen
+
+        kind = self.next().value.lower()
+        self.expect("op", "(")
+        if kind == "unpivot":
+            value_col = self.expect("ident").value
+            self._expect_ident("for")
+            name_col = self.expect("ident").value
+            self.expect("kw", "in")
+            self.expect("op", "(")
+            vcols = [self.expect("ident").value]
+            while self.accept("op", ","):
+                vcols.append(self.expect("ident").value)
+            self.expect("op", ")")
+            self.expect("op", ")")
+            out_cols = [c.name for c in self._expand_star(b)]
+            ids = [c for c in out_cols if c not in vcols]
+            return b.unpivot(ids, vcols, name_col, value_col)
+        # PIVOT
+        aggname = self.expect("ident").value.lower()
+        self.expect("op", "(")
+        vcol = self.expect("ident").value
+        self.expect("op", ")")
+        self._expect_ident("for")
+        kcol = self.expect("ident").value
+        self.expect("kw", "in")
+        self.expect("op", "(")
+        cells: List[tuple] = []  # (literal, output name)
+        while True:
+            e = self._expr()
+            if not isinstance(e, Lit):
+                raise SqlError("PIVOT IN list takes literals")
+            name = None
+            if self.accept("kw", "as"):
+                name = self.expect("ident").value
+            elif self.peek().kind == "ident":
+                name = self.next().value
+            cells.append((e, name if name is not None else str(e.value)))
+            if not self.accept("op", ","):
+                break
+        self.expect("op", ")")
+        self.expect("op", ")")
+        out_cols = [c.name for c in self._expand_star(b)]
+        group = [Col(c) for c in out_cols if c not in (vcol, kcol)]
+        aggs = [
+            Alias(
+                Func(
+                    aggname,
+                    (CaseWhen(((BinOp("=", Col(kcol), lit_), Col(vcol)),), None),),
+                ),
+                name,
+            )
+            for lit_, name in cells
+        ]
+        return b.aggregate(group, tuple(aggs))
+
+    def _expect_ident(self, word: str) -> None:
+        t = self.next()
+        if t.kind != "ident" or t.value.lower() != word:
+            raise SqlError(f"expected {word.upper()}, got {t!r}")
+
     def _table(self):
         """One FROM item → (builder, base_table_or_None, alias_or_None).
         A trailing bare identifier (or ``AS ident``) is a table alias."""
@@ -981,14 +1112,20 @@ class _Parser:
             sub = self._query()
             self.expect("op", ")")
             alias = None
-            self.accept("kw", "as")
-            if self.peek().kind == "ident":
+            had_as = self.accept("kw", "as")
+            if self.peek().kind == "ident" and (
+                had_as
+                or not (self._window_clause_ahead() or self._pivot_clause_ahead())
+            ):
                 alias = self.next().value
             return LogicalPlanBuilder(sub.root), None, alias
         name = self.expect("ident").value
         alias = None
-        self.accept("kw", "as")
-        if self.peek().kind == "ident":
+        had_as = self.accept("kw", "as")
+        if self.peek().kind == "ident" and (
+            had_as
+            or not (self._window_clause_ahead() or self._pivot_clause_ahead())
+        ):
             alias = self.next().value
         if name in self.ctes:
             # fresh copy per reference — the heuristic rewrites in place,
@@ -1240,6 +1377,17 @@ class _Parser:
         (``Col.to_column`` is unqualified — Spark would see ambiguous
         references otherwise)."""
         b, base, alias = self._table()
+        while self._pivot_clause_ahead():
+            b = self._pivot_item(b)
+            base = None  # derived relation now — self-join renaming n/a
+            had_as = self.accept("kw", "as")
+            if self.peek().kind == "ident" and (
+                had_as
+                or not (
+                    self._window_clause_ahead() or self._pivot_clause_ahead()
+                )
+            ):
+                alias = self.next().value
         if base is not None and base in seen_bases and base not in self.ctes:
             if alias is None:
                 raise SqlError(
@@ -1300,6 +1448,7 @@ class _Parser:
                 type(e.partition_by)(self._resolve(p) for p in e.partition_by),
                 type(e.order_by)(self._resolve(k) for k in e.order_by),
                 e.frame,
+                ref=e.ref,
             )
         if isinstance(e, _InSubquery):
             return _InSubquery(self._resolve(e.expr), e.subplan, e.negated)
@@ -1526,7 +1675,7 @@ class _Parser:
                 raise SqlError(f"'*' argument only valid for count, got {name}")
             func = Func("count", ())
             if self.accept("kw", "over"):
-                return self._window_spec(func)
+                return self._over(func)
             return func
         if self.accept("kw", "distinct"):
             arg = self._expr()
@@ -1550,8 +1699,48 @@ class _Parser:
             return _substitute_params(mac[1], mapping)
         func = Func(fname, tuple(args))
         if self.accept("kw", "over"):
-            return self._window_spec(func)
+            return self._over(func)
         return func
+
+    def _over(self, func: Func) -> "_WindowExpr":
+        """After OVER: inline ``(spec)`` or a WINDOW-clause name ref."""
+        if self.peek().kind == "ident":
+            return _WindowExpr(func, (), (), None, ref=self.next().value.lower())
+        return self._window_spec(func)
+
+    def _bind_named_windows(self, e, named: dict):
+        """Replace every ``OVER <name>`` reference (``_WindowExpr.ref``)
+        with its WINDOW-clause spec; error on undefined names."""
+        b = lambda x: self._bind_named_windows(x, named)  # noqa: E731
+        if isinstance(e, _WindowExpr):
+            if e.ref is not None:
+                spec = named.get(e.ref)
+                if spec is None:
+                    raise SqlError(
+                        f"OVER {e.ref} references no WINDOW-clause spec"
+                    )
+                return _WindowExpr(
+                    b(e.func), spec.partition_by, spec.order_by, spec.frame
+                )
+            return _WindowExpr(b(e.func), e.partition_by, e.order_by, e.frame)
+        if isinstance(e, Alias):
+            return Alias(b(e.expr), e.name)
+        if isinstance(e, BinOp):
+            return BinOp(e.op, b(e.left), b(e.right))
+        if isinstance(e, Cast):
+            return Cast(b(e.expr), e.to_type)
+        if isinstance(e, Func):
+            return Func(e.name, tuple(b(a) for a in e.args))
+        if isinstance(e, SortKey):
+            return SortKey(b(e.expr), asc=e.asc, nulls_first=e.nulls_first)
+        from .expr import CaseWhen
+
+        if isinstance(e, CaseWhen):
+            return CaseWhen(
+                tuple((b(c), b(v)) for c, v in e.branches),
+                None if e.otherwise is None else b(e.otherwise),
+            )
+        return e
 
     def _window_spec(self, func: Func) -> "_WindowExpr":
         """``OVER (PARTITION BY e, ... ORDER BY k, ...
@@ -2058,6 +2247,7 @@ def _rewrite_cols(e, fn):
                 [sub(x) for x in v.partition_by],
                 [sub(x) for x in v.order_by],
                 v.frame,
+                ref=v.ref,
             )
         if isinstance(v, tuple):
             nv = tuple(sub(x) for x in v)

@@ -1,0 +1,80 @@
+"""SQL PIVOT / UNPIVOT FROM-clause operators (sql.py::_pivot_item)."""
+
+import pytest
+
+from datafusion_dolomite_spark.sql import SqlError
+
+
+def test_unpivot_roundtrip(spark, planner):
+    df = planner.sql(
+        "SELECT o_orderkey, k, v FROM "
+        "(SELECT o_orderkey, o_custkey AS a, o_orderkey * 2 AS b FROM orders) "
+        "UNPIVOT (v FOR k IN (a, b))"
+    )
+    rows = df.collect()
+    n_orders = planner.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"]
+    assert len(rows) == 2 * n_orders
+    assert {r["k"] for r in rows} == {"a", "b"}
+
+
+def test_unpivot_no_shuffle(spark, planner):
+    df = planner.sql(
+        "SELECT o_orderkey, k, v FROM "
+        "(SELECT o_orderkey, o_custkey AS a, o_orderkey * 2 AS b FROM orders) "
+        "UNPIVOT (v FOR k IN (a, b))"
+    )
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in phys  # map-only melt
+
+
+def test_pivot_equals_case_aggregate(spark, planner):
+    # project the input first: PIVOT groups by EVERY remaining column
+    got = planner.sql(
+        "SELECT o_custkey, f, o FROM "
+        "(SELECT o_custkey, o_orderstatus, o_orderkey FROM orders) "
+        "PIVOT (count(o_orderkey) FOR o_orderstatus IN ('F' AS f, 'O' AS o))"
+    )
+    want = planner.sql(
+        "SELECT o_custkey, "
+        "count(CASE WHEN o_orderstatus = 'F' THEN o_orderkey ELSE NULL END) AS f, "
+        "count(CASE WHEN o_orderstatus = 'O' THEN o_orderkey ELSE NULL END) AS o "
+        "FROM orders GROUP BY o_custkey"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_pivot_default_cell_names(spark, planner):
+    df = planner.sql(
+        "SELECT o_custkey FROM orders "
+        "PIVOT (max(o_totalprice) FOR o_orderstatus IN ('F', 'O'))"
+    )
+    # unnamed cells take the literal's string form as the column name
+    inner = planner.sql(
+        "SELECT * FROM orders "
+        "PIVOT (max(o_totalprice) FOR o_orderstatus IN ('F', 'O'))"
+    )
+    assert "F" in inner.columns and "O" in inner.columns
+    assert df.count() > 0
+
+
+def test_pivot_alias_register(spark, planner):
+    df = planner.sql(
+        "SELECT p.o_custkey, p.f FROM orders "
+        "PIVOT (count(o_orderkey) FOR o_orderstatus IN ('F' AS f)) AS p"
+    )
+    assert df.count() > 0
+
+
+def test_pivot_in_list_requires_literals(spark, planner):
+    with pytest.raises(SqlError, match="literals"):
+        planner.sql(
+            "SELECT * FROM orders "
+            "PIVOT (count(o_orderkey) FOR o_orderstatus IN (o_custkey))"
+        )
+
+
+def test_unpivot_mixed_types_rejected(spark, planner):
+    with pytest.raises(Exception, match="share one type"):
+        planner.sql(
+            "SELECT * FROM orders UNPIVOT (v FOR k IN (o_custkey, o_orderstatus))"
+        ).collect()

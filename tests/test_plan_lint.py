@@ -184,6 +184,12 @@ SHUFFLE_BUDGET = {
     "q_simhash": 1,
     "q_sql_offset": 0,
     "q_sql_window": 2,
+    # three OVER w refs share ONE window partitioning — a single Exchange
+    "q_sql_named_window": 1,
+    # PIVOT lowers to one grouped aggregate (map-side partials)
+    "q_sql_pivot": 1,
+    # UNPIVOT is Spark-native melt: one Generate, map-only
+    "q_sql_unpivot": 0,
     "q_stratified_sample": 1,
     "q_term_stats": 4,
     "q_text_stats": 0,
