@@ -73,6 +73,20 @@ def test_pivot_in_list_requires_literals(spark, planner):
         )
 
 
+def test_unpivot_keeps_nulls(spark):
+    """Spark's melt keeps NULL cells (one row per id×column, like the
+    UNION-ALL formulation the oracle uses) — unlike DuckDB's UNPIVOT
+    default, which drops them.  Pin OUR semantics."""
+    from datafusion_dolomite_spark.operators.extensions import LogicalUnpivot
+    from datafusion_dolomite_spark.plans.plan import LogicalPlanBuilder
+
+    df = spark.createDataFrame([(1, 10, None), (2, None, 20)], "id long, a long, b long")
+    out = df.unpivot(["id"], ["a", "b"], "k", "v").collect()
+    assert sorted((r.id, r.k, r.v) for r in out) == [
+        (1, "a", 10), (1, "b", None), (2, "a", None), (2, "b", 20)
+    ]
+
+
 def test_unpivot_mixed_types_rejected(spark, planner):
     with pytest.raises(Exception, match="share one type"):
         planner.sql(

@@ -1127,6 +1127,102 @@ class Gen:
         )
         return sql, sql
 
+    def _named_window(self):
+        """Named WINDOW clause (r10): one spec, 1-2 OVER w refs, optional
+        QUALIFY ref — IDENTICAL SQL on both engines (DuckDB supports the
+        clause natively).  Determinism per the _window rules: row_number
+        and running sums order by the unique pk."""
+        r = self.rng
+        t = r.choice(list(PK))
+        pk = PK[t]
+        strs = [c for c, ty in TABLES[t].items() if ty == STR]
+        ints = [c for c, ty in TABLES[t].items() if ty == INT]
+        part = r.choice(strs) if strs and r.random() < 0.7 else None
+        spec = (f"PARTITION BY {part} " if part else "") + (
+            f"ORDER BY {pk} {r.choice(['ASC', 'DESC'])}"
+        )
+        items = [f"{pk} AS c0"] + ([f"{part} AS c1"] if part else [])
+        names = ["c0"] + (["c1"] if part else [])
+        sel = ["row_number() OVER w AS w0"]
+        names.append("w0")
+        if r.random() < 0.5:
+            sc = r.choice(ints)
+            sel.append(f"sum({sc}) OVER w AS w1")
+            names.append("w1")
+        where = f" WHERE {self._pred([t])}" if r.random() < 0.5 else ""
+        qual = (
+            f" QUALIFY row_number() OVER w <= {r.randint(1, 5)}"
+            if r.random() < 0.4
+            else ""
+        )
+        sql = (
+            f"SELECT {', '.join(items + sel)} FROM {t}{where} "
+            f"WINDOW w AS ({spec}){qual}"
+        )
+        ol, _ = self._order_limit(names, False)
+        return sql + ol, sql + ol
+
+    def _unpivot(self):
+        """UNPIVOT (r10) vs the independent UNION-ALL oracle formulation.
+        Integer value columns only (shared type, no float compare)."""
+        r = self.rng
+        t = r.choice(list(PK))
+        pk = PK[t]
+        ints = [c for c, ty in TABLES[t].items() if ty == INT and c != pk]
+        if len(ints) < 2:
+            return self._simple()
+        a, b = r.sample(ints, 2)
+        where = f" WHERE {self._pred([t])}" if r.random() < 0.5 else ""
+        inner = f"SELECT {pk}, {a}, {b} FROM {t}{where}"
+        sql = (
+            f"SELECT {pk} AS c0, nm AS c1, vl AS c2 FROM ({inner}) "
+            f"UNPIVOT (vl FOR nm IN ({a}, {b}))"
+        )
+        osql = (
+            f"SELECT {pk} AS c0, nm AS c1, vl AS c2 FROM ("
+            f"SELECT {pk}, '{a}' AS nm, {a} AS vl FROM {t}{where} "
+            f"UNION ALL SELECT {pk}, '{b}', {b} FROM {t}{where})"
+        )
+        ol, _ = self._order_limit(["c0", "c1", "c2"], False)
+        return sql + ol, osql + ol
+
+    def _pivot(self):
+        """PIVOT (r10) vs the independent CASE-aggregate oracle.  The
+        inner projection fixes the implicit group key to one column."""
+        r = self.rng
+        cands = [
+            t
+            for t in TABLES
+            if any(ty == STR for ty in TABLES[t].values())
+            and sum(ty == INT for ty in TABLES[t].values()) >= 2
+        ]
+        t = r.choice(cands)
+        strs = [c for c, ty in TABLES[t].items() if ty == STR]
+        ints = [c for c, ty in TABLES[t].items() if ty == INT]
+        s = r.choice(strs)
+        vals = [v for v in self.pools[(t, s)] if v]
+        if len(vals) < 2:
+            return self._agg()
+        k = r.choice(ints)
+        v = r.choice([c for c in ints if c != k])
+        p0, p1 = r.sample(vals, 2)
+        q0 = p0.replace("'", "''")
+        q1 = p1.replace("'", "''")
+        agg = r.choice(["count", "sum", "min", "max"])
+        where = f" WHERE {self._pred([t])}" if r.random() < 0.5 else ""
+        inner = f"SELECT {k}, {s}, {v} FROM {t}{where}"
+        sql = (
+            f"SELECT {k} AS c0, a0 AS c1, a1 AS c2 FROM ({inner}) "
+            f"PIVOT ({agg}({v}) FOR {s} IN ('{q0}' AS a0, '{q1}' AS a1))"
+        )
+        osql = (
+            f"SELECT {k} AS c0, "
+            f"{agg}(CASE WHEN {s} = '{q0}' THEN {v} END) AS c1, "
+            f"{agg}(CASE WHEN {s} = '{q1}' THEN {v} END) AS c2 "
+            f"FROM {t}{where} GROUP BY {k}"
+        )
+        return sql, osql
+
     SHAPES = (
         ("_simple", 14),
         ("_join", 18),
@@ -1148,6 +1244,9 @@ class Gen:
         ("_recursive", 6),
         ("_asof", 8),
         ("_overlap", 6),
+        ("_named_window", 6),
+        ("_pivot", 6),
+        ("_unpivot", 6),
     )
 
     def query(self):
@@ -1167,10 +1266,11 @@ class Gen:
 # r6: 6 → 8 chunks (+120 queries) with the _values shape; r7 adds the
 # _comma_join shape (DP join enumeration under fuzz) and moves the seed
 # so ALL shapes resample — the old pins stay reproducible from their
-# trees, these 480 are the r7 pin.
+# trees.  r10 (this session) adds _named_window/_pivot/_unpivot and
+# moves the seed again: these 480 are the current pin.
 N_CHUNKS = 8
 PER_CHUNK = 60
-SEED = 20260815
+SEED = 20260816
 
 
 @pytest.mark.parametrize("chunk", range(N_CHUNKS))
