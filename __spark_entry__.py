@@ -2614,6 +2614,16 @@ _SQL_NAMED_WINDOW = (
     "QUALIFY rank() OVER w <= 2"
 )
 
+#: GROUP BY ALL + ORDER BY ALL (DuckDB extensions): non-aggregate items
+#: become the group keys; every output column sorts left-to-right with
+#: NULLS LAST pinned on our side (Spark's ASC default is NULLS FIRST).
+#: Same string runs on DuckDB.
+_SQL_GROUP_ALL = (
+    "SELECT c_nationkey, c_mktsegment, count(*) AS n, "
+    "cast(sum(cast(floor(c_acctbal * 100) as bigint)) as bigint) AS cents "
+    "FROM customer GROUP BY ALL ORDER BY ALL LIMIT 50"
+)
+
 _SQL_QUALIFY = (
     "SELECT c_nationkey, c_custkey, "
     "cast(floor(c_acctbal * 100) as bigint) AS bal_cents, "
@@ -3921,6 +3931,7 @@ EXTENSION_ORACLES = {
     "q_sql_values": _SQL_VALUES,
     "q_sql_qualify": _SQL_QUALIFY,
     "q_sql_named_window": _SQL_NAMED_WINDOW,
+    "q_sql_group_all": _SQL_GROUP_ALL,
     # independent CASE-aggregate formulation (no PIVOT syntax)
     "q_sql_pivot": """
         SELECT o_custkey,
@@ -6486,6 +6497,15 @@ _SQL_UNPIVOT = (
 )
 
 
+def q_sql_group_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` + ``ORDER BY ALL`` (DuckDB extensions, ``sql.py``):
+    the non-aggregate select items become the group keys; ORDER BY ALL
+    sorts every output column left-to-right (NULLS LAST pinned — Spark's
+    ASC default differs from DuckDB's).  Under LIMIT this is only
+    deterministic because the full output row is the sort key."""
+    return _planner(spark, sf_dir).sql(_SQL_GROUP_ALL)
+
+
 def q_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL ``PIVOT (agg FOR col IN (...))`` (``sql.py::_pivot_item``):
     pure plan-algebra lowering to ONE grouped aggregate of filtered
@@ -8552,7 +8572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round (r10) — never driver-checked, prove first
     "q_fuzzy_join", "q_triangle_count", "q_sql_named_window",
-    "q_sql_pivot", "q_sql_unpivot",
+    "q_sql_pivot", "q_sql_unpivot", "q_sql_group_all",
     "q_sql_merge_evolve", "q_sql_asof_fwd", "q_sql_asof_nearest",
     "q_knn_cents_trained", "q_sql_overlap",
     # r10 CHANGED these queries' implementation — re-prove next
@@ -8619,6 +8639,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_qualify": q_sql_qualify,
         "q_sql_named_window": q_sql_named_window,
         "q_sql_pivot": q_sql_pivot,
+        "q_sql_group_all": q_sql_group_all,
         "q_sql_unpivot": q_sql_unpivot,
         "q_eager_agg": q_eager_agg,
         "q_file_skip": q_file_skip,

@@ -506,13 +506,30 @@ class _Parser:
         grouping_sets: List[tuple] = []
         if self.accept("kw", "group"):
             self.expect("kw", "by")
-            t = self.peek()
+            # GROUP BY ALL (DuckDB extension): every non-aggregate select
+            # item is a group key, in select-list order
+            if self.accept("kw", "all"):
+                if star:
+                    raise SqlError("GROUP BY ALL cannot follow SELECT *")
+                for e in items:
+                    base_e = e.expr if isinstance(e, Alias) else e
+                    if not _contains_aggregate(base_e):
+                        group_exprs.append(base_e)
+                if not group_exprs:
+                    raise SqlError(
+                        "GROUP BY ALL needs at least one non-aggregate item"
+                    )
+                t = None  # keys fixed; skip the explicit-list branches
+            else:
+                t = self.peek()
             nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
 
             def _is(tok, val):
                 return tok is not None and tok.kind == "ident" and tok.value.lower() == val
 
-            if (
+            if t is None:
+                pass
+            elif (
                 t.kind == "ident"
                 and t.value.lower() in ("rollup", "cube")
                 and nxt is not None
@@ -968,9 +985,20 @@ class _Parser:
         """Shared SELECT tail: ORDER BY / LIMIT [OFFSET], frame pop."""
         if self.accept("kw", "order"):
             self.expect("kw", "by")
-            keys = [self._resolve(self._sort_key())]
-            while self.accept("op", ","):
-                keys.append(self._resolve(self._sort_key()))
+            # ORDER BY ALL [DESC] (DuckDB extension): every output column
+            # left-to-right; NULLS LAST pinned (DuckDB's default — Spark's
+            # ASC default is NULLS FIRST, so be explicit)
+            if self.accept("kw", "all"):
+                asc = not self.accept("kw", "desc")
+                self.accept("kw", "asc")
+                keys = [
+                    SortKey(Col(c.name), asc=asc, nulls_first=False)
+                    for c in self._expand_star(builder)
+                ]
+            else:
+                keys = [self._resolve(self._sort_key())]
+                while self.accept("op", ","):
+                    keys.append(self._resolve(self._sort_key()))
             builder = builder.sort(keys)
 
         if self.accept("kw", "limit"):

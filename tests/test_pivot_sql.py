@@ -92,3 +92,32 @@ def test_unpivot_mixed_types_rejected(spark, planner):
         planner.sql(
             "SELECT * FROM orders UNPIVOT (v FOR k IN (o_custkey, o_orderstatus))"
         ).collect()
+
+
+def test_group_by_all(spark, planner):
+    got = planner.sql(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n "
+        "FROM orders GROUP BY ALL"
+    )
+    want = planner.sql(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n "
+        "FROM orders GROUP BY o_orderstatus, o_orderpriority"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_group_by_all_requires_plain_item(spark, planner):
+    with pytest.raises(SqlError, match="non-aggregate"):
+        planner.sql("SELECT count(*) AS n FROM orders GROUP BY ALL")
+
+
+def test_order_by_all_desc_limit(spark, planner):
+    got = planner.sql(
+        "SELECT o_orderstatus AS s, count(*) AS n FROM orders "
+        "GROUP BY ALL ORDER BY ALL DESC LIMIT 2"
+    ).collect()
+    want = planner.sql(
+        "SELECT o_orderstatus AS s, count(*) AS n FROM orders "
+        "GROUP BY o_orderstatus ORDER BY s DESC, n DESC LIMIT 2"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -188,6 +188,8 @@ SHUFFLE_BUDGET = {
     "q_sql_named_window": 1,
     # PIVOT lowers to one grouped aggregate (map-side partials)
     "q_sql_pivot": 1,
+    # one grouped aggregate + the ORDER BY ALL range partition
+    "q_sql_group_all": 2,
     # UNPIVOT is Spark-native melt: one Generate, map-only
     "q_sql_unpivot": 0,
     "q_stratified_sample": 1,
