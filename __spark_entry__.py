@@ -2624,6 +2624,23 @@ _SQL_GROUP_ALL = (
     "FROM customer GROUP BY ALL ORDER BY ALL LIMIT 50"
 )
 
+#: DISTINCT ON (Postgres/DuckDB): first row per key by the ORDER BY —
+#: the group-wise argmax idiom; lowered as row_number window + rn=1
+#: filter.  Unique tie-break (o_orderkey) keeps both engines identical.
+_SQL_DISTINCT_ON = (
+    "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, "
+    "cast(floor(o_totalprice * 100) as bigint) AS cents "
+    "FROM orders ORDER BY o_custkey, cents DESC, o_orderkey"
+)
+
+#: DuckDB star modifiers: drop columns / rewrite one in place while
+#: keeping the rest of the star expansion.
+_SQL_STAR_EXCLUDE = (
+    "SELECT * EXCLUDE (o_orderdate, o_totalprice) "
+    "REPLACE (lower(o_orderpriority) AS o_orderpriority) "
+    "FROM orders ORDER BY o_orderkey LIMIT 500"
+)
+
 _SQL_QUALIFY = (
     "SELECT c_nationkey, c_custkey, "
     "cast(floor(c_acctbal * 100) as bigint) AS bal_cents, "
@@ -3932,6 +3949,8 @@ EXTENSION_ORACLES = {
     "q_sql_qualify": _SQL_QUALIFY,
     "q_sql_named_window": _SQL_NAMED_WINDOW,
     "q_sql_group_all": _SQL_GROUP_ALL,
+    "q_sql_distinct_on": _SQL_DISTINCT_ON,
+    "q_sql_star_exclude": _SQL_STAR_EXCLUDE,
     # independent CASE-aggregate formulation (no PIVOT syntax)
     "q_sql_pivot": """
         SELECT o_custkey,
@@ -6497,6 +6516,23 @@ _SQL_UNPIVOT = (
 )
 
 
+def q_sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DISTINCT ON`` (``sql.py::_finish_select``): one row per customer
+    — their highest-price order — via a row_number window over the ON
+    keys ordered by the query's ORDER BY, filtered to rn=1 (ONE window
+    Exchange; the group-wise argmax without a self-join).  Same string
+    runs on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_DISTINCT_ON)
+
+
+def q_sql_star_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star modifiers ``* EXCLUDE (...) REPLACE (expr AS c)`` applied at
+    star-expansion time (``sql.py``): the projection carries only the
+    surviving columns, so column pruning reaches the parquet scan —
+    ReadSchema drops the excluded columns.  Same string runs on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_STAR_EXCLUDE)
+
+
 def q_sql_group_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``GROUP BY ALL`` + ``ORDER BY ALL`` (DuckDB extensions, ``sql.py``):
     the non-aggregate select items become the group keys; ORDER BY ALL
@@ -8573,6 +8609,7 @@ _UNPROVEN_PREFIX = (
     # new this round (r10) — never driver-checked, prove first
     "q_fuzzy_join", "q_triangle_count", "q_sql_named_window",
     "q_sql_pivot", "q_sql_unpivot", "q_sql_group_all",
+    "q_sql_distinct_on", "q_sql_star_exclude",
     "q_sql_merge_evolve", "q_sql_asof_fwd", "q_sql_asof_nearest",
     "q_knn_cents_trained", "q_sql_overlap",
     # r10 CHANGED these queries' implementation — re-prove next
@@ -8640,6 +8677,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_named_window": q_sql_named_window,
         "q_sql_pivot": q_sql_pivot,
         "q_sql_group_all": q_sql_group_all,
+        "q_sql_distinct_on": q_sql_distinct_on,
+        "q_sql_star_exclude": q_sql_star_exclude,
         "q_sql_unpivot": q_sql_unpivot,
         "q_eager_agg": q_eager_agg,
         "q_file_skip": q_file_skip,

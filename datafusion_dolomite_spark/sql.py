@@ -372,10 +372,49 @@ class _Parser:
     def _select(self) -> Plan:
         self.expect("kw", "select")
         distinct = self.accept("kw", "distinct") is not None
+        # DISTINCT ON (c1, ...) — Postgres/DuckDB: first row per key
+        # group by ORDER BY; lowered in _finish_select as a row_number
+        # window + rn=1 filter
+        distinct_on: List[str] = []
+        if distinct and self.accept("kw", "on"):
+            self.expect("op", "(")
+            distinct_on.append(self.expect("ident").value)
+            while self.accept("op", ","):
+                distinct_on.append(self.expect("ident").value)
+            self.expect("op", ")")
         star = False
+        star_exclude: set = set()
+        star_replace: dict = {}
         items: List[Expr] = []
         if self.accept("op", "*"):
             star = True
+            # * EXCLUDE (c, ...) / * REPLACE (expr AS c, ...) — DuckDB
+            # star modifiers, applied when the star expands
+            while True:
+                t_m = self.peek()
+                n_m = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+                if (
+                    t_m.kind != "ident"
+                    or t_m.value.lower() not in ("exclude", "replace")
+                    or n_m is None
+                    or n_m.kind != "op"
+                    or n_m.value != "("
+                ):
+                    break
+                kind_m = self.next().value.lower()
+                self.expect("op", "(")
+                if kind_m == "exclude":
+                    star_exclude.add(self.expect("ident").value)
+                    while self.accept("op", ","):
+                        star_exclude.add(self.expect("ident").value)
+                else:
+                    while True:
+                        e_m = self._expr()
+                        self.expect("kw", "as")
+                        star_replace[self.expect("ident").value] = e_m
+                        if not self.accept("op", ","):
+                            break
+                self.expect("op", ")")
         else:
             items.append(self._select_item())
             while self.accept("op", ","):
@@ -753,6 +792,10 @@ class _Parser:
                 builder = builder.filter(_subst_a(qpred))
             builder = builder.projection(items)
             if distinct:
+                if distinct_on:
+                    raise SqlError(
+                        "DISTINCT ON does not mix with aggregation/windows"
+                    )
                 builder = builder.distinct()
             return self._finish_select(builder)
 
@@ -951,14 +994,32 @@ class _Parser:
             if all(wanted) and wanted != natural and all(r is not None for r in refs):
                 builder = builder.projection(refs)
         elif star:
-            builder = builder.projection(self._expand_star(builder))
+            cols = self._expand_star(builder)
+            if star_exclude or star_replace:
+                names = {c.name for c in cols}
+                unknown = sorted((star_exclude | set(star_replace)) - names)
+                if unknown:
+                    raise SqlError(
+                        f"star EXCLUDE/REPLACE references unknown "
+                        f"columns: {unknown}"
+                    )
+                cols = [
+                    Alias(self._resolve(star_replace[c.name]), c.name)
+                    if c.name in star_replace
+                    else c
+                    for c in cols
+                    if c.name not in star_exclude
+                ]
+                if not cols:
+                    raise SqlError("star EXCLUDE removed every column")
+            builder = builder.projection(cols)
         else:
             builder = builder.projection(items)
 
-        if distinct:
+        if distinct and not distinct_on:
             builder = builder.distinct()
 
-        return self._finish_select(builder)
+        return self._finish_select(builder, distinct_on=distinct_on)
 
     def _upcoming_qualify(self) -> bool:
         """Lookahead: a QUALIFY clause of THIS select lies ahead (before
@@ -981,8 +1042,11 @@ class _Parser:
                     break
         return False
 
-    def _finish_select(self, builder) -> Plan:
-        """Shared SELECT tail: ORDER BY / LIMIT [OFFSET], frame pop."""
+    def _finish_select(self, builder, distinct_on=()) -> Plan:
+        """Shared SELECT tail: ORDER BY / LIMIT [OFFSET], frame pop.
+        ``distinct_on``: DISTINCT ON keys — lowered here because the
+        semantics need the ORDER BY (first row per key group by those
+        keys, Postgres rules)."""
         if self.accept("kw", "order"):
             self.expect("kw", "by")
             # ORDER BY ALL [DESC] (DuckDB extension): every output column
@@ -999,7 +1063,45 @@ class _Parser:
                 keys = [self._resolve(self._sort_key())]
                 while self.accept("op", ","):
                     keys.append(self._resolve(self._sort_key()))
+            if distinct_on:
+                out_names = [c.name for c in self._expand_star(builder)]
+                missing = sorted(set(distinct_on) - set(out_names))
+                if missing:
+                    raise SqlError(
+                        f"DISTINCT ON keys must be output columns: {missing}"
+                    )
+                bad_keys = sorted(
+                    {
+                        k.expr.name
+                        for k in keys
+                        if isinstance(k.expr, Col) and k.expr.name not in out_names
+                    }
+                )
+                if bad_keys:
+                    raise SqlError(
+                        "DISTINCT ON: ORDER BY keys must be output columns "
+                        f"(the tie-break window runs above the projection): "
+                        f"{bad_keys}"
+                    )
+                builder = builder.window(
+                    [
+                        WindowExprDef(
+                            Func("row_number", ()),
+                            tuple(Col(c) for c in distinct_on),
+                            tuple(keys),
+                            "_don",
+                            None,
+                        )
+                    ]
+                )
+                builder = builder.filter(BinOp("=", Col("_don"), Lit(1)))
+                builder = builder.projection([Col(n) for n in out_names])
             builder = builder.sort(keys)
+        elif distinct_on:
+            raise SqlError(
+                "DISTINCT ON requires an ORDER BY (it defines which row "
+                "per key group is kept)"
+            )
 
         if self.accept("kw", "limit"):
             n = self.expect("number")

@@ -121,3 +121,59 @@ def test_order_by_all_desc_limit(spark, planner):
         "GROUP BY o_orderstatus ORDER BY s DESC, n DESC LIMIT 2"
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_distinct_on_argmax(spark, planner):
+    got = planner.sql(
+        "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice "
+        "FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey"
+    ).collect()
+    # one row per customer; it must be that customer's argmax order
+    per_cust = {}
+    for r in planner.sql(
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM orders"
+    ).collect():
+        cand = (-r.o_totalprice, r.o_orderkey)
+        if r.o_custkey not in per_cust or cand < per_cust[r.o_custkey][0]:
+            per_cust[r.o_custkey] = (cand, r.o_orderkey)
+    assert {(r.o_custkey, r.o_orderkey) for r in got} == {
+        (c, k) for c, (_, k) in per_cust.items()
+    }
+
+
+def test_distinct_on_nonoutput_key_rejected(spark, planner):
+    with pytest.raises(SqlError, match="must be output columns"):
+        planner.sql(
+            "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey "
+            "FROM orders ORDER BY o_custkey, o_totalprice DESC"
+        )
+
+
+def test_distinct_on_requires_order_by(spark, planner):
+    with pytest.raises(SqlError, match="requires an ORDER BY"):
+        planner.sql("SELECT DISTINCT ON (o_custkey) o_custkey FROM orders")
+
+
+def test_star_exclude_prunes_scan(spark, planner):
+    df = planner.sql(
+        "SELECT * EXCLUDE (o_orderdate, o_totalprice, o_orderpriority) "
+        "FROM orders"
+    )
+    assert df.columns == ["o_orderkey", "o_custkey", "o_orderstatus"]
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderdate" not in phys.split("ReadSchema")[1][:200]
+
+
+def test_star_exclude_unknown_column(spark, planner):
+    with pytest.raises(SqlError, match="unknown"):
+        planner.sql("SELECT * EXCLUDE (nope) FROM orders")
+
+
+def test_star_replace_keeps_position(spark, planner):
+    df = planner.sql(
+        "SELECT * REPLACE (o_orderkey * 2 AS o_orderkey) FROM orders "
+        "ORDER BY o_orderkey LIMIT 3"
+    )
+    rows = df.collect()
+    assert df.columns[0] == "o_orderkey"
+    assert all(r.o_orderkey % 2 == 0 for r in rows)

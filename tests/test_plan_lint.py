@@ -190,6 +190,10 @@ SHUFFLE_BUDGET = {
     "q_sql_pivot": 1,
     # one grouped aggregate + the ORDER BY ALL range partition
     "q_sql_group_all": 2,
+    # one window Exchange (argmax) + the final ORDER BY range partition
+    "q_sql_distinct_on": 2,
+    # map-only star expansion + the ORDER BY range partition
+    "q_sql_star_exclude": 1,
     # UNPIVOT is Spark-native melt: one Generate, map-only
     "q_sql_unpivot": 0,
     "q_stratified_sample": 1,
