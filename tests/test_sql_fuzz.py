@@ -1223,6 +1223,82 @@ class Gen:
         )
         return sql, osql
 
+    def _distinct_on(self):
+        """DISTINCT ON (r10): first row per key by ORDER BY — the pk
+        tie-break makes the kept row unique, so both engines agree
+        row-for-row.  Same SQL on both (DuckDB supports DISTINCT ON)."""
+        r = self.rng
+        t = r.choice(list(PK))
+        pk = PK[t]
+        strs = [c for c, ty in TABLES[t].items() if ty == STR]
+        ints = [c for c, ty in TABLES[t].items() if ty == INT and c != pk]
+        if not strs:
+            return self._simple()
+        k = r.choice(strs)
+        v = r.choice(ints) if ints and r.random() < 0.7 else pk
+        where = f" WHERE {self._pred([t])}" if r.random() < 0.5 else ""
+        d = r.choice(["ASC", "DESC"])
+        sql = (
+            f"SELECT DISTINCT ON ({k}) {k}, {v}, {pk} FROM {t}{where} "
+            f"ORDER BY {k}, {v} {d}, {pk}"
+        )
+        return sql, sql
+
+    def _star_mod(self):
+        """Star EXCLUDE/REPLACE (r10) — same SQL on both engines; only
+        float-free survivors so ordered LIMIT compares exactly."""
+        r = self.rng
+        t = r.choice(list(PK))
+        pk = PK[t]
+        cols = list(TABLES[t])
+        flt = [c for c, ty in TABLES[t].items() if ty == FLT]
+        drop = set(flt)
+        extra = [c for c in cols if c not in drop and c != pk]
+        r.shuffle(extra)
+        drop.update(extra[: r.randint(0, max(0, len(extra) - 1))])
+        keep = [c for c in cols if c not in drop]
+        rep = ""
+        if r.random() < 0.5:
+            rc = r.choice([c for c in keep if c != pk] or [pk])
+            expr = (
+                f"{rc} + 1"
+                if TABLES[t][rc] == INT
+                else f"upper({rc})"
+            )
+            rep = f" REPLACE ({expr} AS {rc})"
+        excl = f" EXCLUDE ({', '.join(sorted(drop))})" if drop else ""
+        if not excl and not rep:
+            rep = f" REPLACE ({pk} + 1 AS {pk})"
+        sql = (
+            f"SELECT *{excl}{rep} FROM {t} "
+            f"ORDER BY {pk} LIMIT {r.randint(5, 40)}"
+        )
+        return sql, sql
+
+    def _group_all(self):
+        """GROUP BY ALL (+ optional ORDER BY ALL LIMIT, r10) — same SQL
+        on both engines."""
+        r = self.rng
+        t = r.choice(list(TABLES))
+        strs = [c for c, ty in TABLES[t].items() if ty == STR]
+        ints = [c for c, ty in TABLES[t].items() if ty == INT]
+        if not strs or not ints:
+            return self._agg()
+        ks = r.sample(strs, min(len(strs), r.randint(1, 2)))
+        ic = r.choice(ints)
+        agg = r.choice(
+            ["count(*)", f"sum({ic})", f"min({ic})", f"max({ic})",
+             f"count(distinct {ic})"]
+        )
+        where = f" WHERE {self._pred([t])}" if r.random() < 0.5 else ""
+        sql = (
+            f"SELECT {', '.join(ks)}, {agg} AS a0 FROM {t}{where} "
+            f"GROUP BY ALL"
+        )
+        if r.random() < 0.6:
+            sql += f" ORDER BY ALL LIMIT {r.randint(1, 30)}"
+        return sql, sql
+
     SHAPES = (
         ("_simple", 14),
         ("_join", 18),
@@ -1247,6 +1323,9 @@ class Gen:
         ("_named_window", 6),
         ("_pivot", 6),
         ("_unpivot", 6),
+        ("_distinct_on", 6),
+        ("_star_mod", 6),
+        ("_group_all", 6),
     )
 
     def query(self):
