@@ -2790,6 +2790,42 @@ def _ngram_jaccard_oracle(n=12, max_df=3, threshold=500) -> str:
     """
 
 
+def _kcore_oracle(k: int = 12, rounds: int = 10) -> str:
+    """Unrolled peeling chain: e0 → n1 → e1 → ... — exact as long as
+    ``rounds`` exceeds the peeling depth (measured ≤ 6 at every SF)."""
+    parts = [
+        """
+        WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                    WHERE l_quantity >= 30),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM pp a JOIN pp b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+        n{r} AS MATERIALIZED (
+          SELECT node FROM (
+            SELECT u AS node FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1}
+          ) GROUP BY node HAVING count(*) >= {k}
+        ),
+        e{r} AS MATERIALIZED (
+          SELECT u, v FROM e{r - 1}
+          WHERE u IN (SELECT node FROM n{r})
+            AND v IN (SELECT node FROM n{r})
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, count(*)::BIGINT AS core_degree FROM (
+          SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds}
+        ) GROUP BY node"""
+    )
+    return "".join(parts)
+
+
 def _text_stats_oracle() -> str:
     s_norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
     alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
@@ -3374,6 +3410,7 @@ EXTENSION_ORACLES = {
         )
         SELECT node, count(*)::BIGINT AS n_triangles FROM nodes GROUP BY node
     """,
+    "q_kcore": _kcore_oracle(12, 10),
     "q_corpus_prep": _corpus_prep_oracle(750),
     "q_salted_agg": """
         SELECT user_id, count(*) AS n_events,
@@ -6779,6 +6816,40 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges, "p1", "p2")
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-CORE of the bought-in-bulk part graph
+    (functions/graph.py::k_core): iterative degree peeling to fixpoint —
+    one degree aggregate + two survivor semi-joins per round,
+    localCheckpoint-bounded lineage, one scalar count per round on the
+    driver.  Converges in ≤ 6 rounds at every test SF; the DuckDB
+    oracle unrolls 10 peeling rounds (strictly past fixpoint, so the
+    unrolled chain equals the fixpoint exactly)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.functions.graph import k_core
+
+    li = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder()
+        .scan("lineitem", columns=["l_orderkey", "l_partkey", "l_quantity"])
+        .filter(BinOp(">=", col("l_quantity"), lit(30)))
+        .projection([col("l_orderkey"), col("l_partkey")])
+        .build()
+    )
+    pair_expand = (
+        "flatten(transform(sequence(1, size(_a) - 1), "
+        "i -> transform(sequence(i + 1, size(_a)), "
+        "j -> struct(element_at(_a, i) AS u, element_at(_a, j) AS v))))"
+    )
+    edges = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr("sort_array(collect_set(l_partkey))").alias("_a"))
+        .filter(F.expr("size(_a) >= 2"))
+        .select(F.explode(F.expr(pair_expand)).alias("_p"))
+        .select(F.col("_p.u").alias("p1"), F.col("_p.v").alias("p2"))
+    )
+    return k_core(edges, "p1", "p2", k=12)
+
+
 def q_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT equi-depth range-partition boundaries of orders by price —
     the boundary table ``repartitionByRange`` would want, computed with
@@ -8612,7 +8683,7 @@ _UNPROVEN_PREFIX = (
     # new this round (r10) — never driver-checked, prove first
     "q_fuzzy_join", "q_triangle_count", "q_sql_named_window",
     "q_sql_pivot", "q_sql_unpivot", "q_sql_group_all",
-    "q_sql_distinct_on", "q_sql_star_exclude",
+    "q_sql_distinct_on", "q_sql_star_exclude", "q_kcore",
     "q_sql_merge_evolve", "q_sql_asof_fwd", "q_sql_asof_nearest",
     "q_knn_cents_trained", "q_sql_overlap",
     # r10 CHANGED these queries' implementation — re-prove next
@@ -8671,6 +8742,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
+        "q_kcore": q_kcore,
         "q_corpus_resample": q_corpus_resample,
         "q_range_bounds": q_range_bounds,
         "q_time_weighted_avg": q_time_weighted_avg,

@@ -14,7 +14,69 @@ re-analysis time) stays CONSTANT per iteration instead of tripling.  The referen
 
 from __future__ import annotations
 
-__all__ = ["connected_components", "pagerank", "triangle_counts"]
+__all__ = ["connected_components", "pagerank", "triangle_counts", "k_core"]
+
+
+def k_core(edges, src: str, dst: str, k: int, max_iter: int = 30):
+    """The k-CORE of an undirected graph: the maximal subgraph where
+    every node keeps degree ≥ k — the standard dense-community /
+    spam-cluster primitive.  Iterative peeling: drop all nodes below
+    degree k, re-count inside the survivor subgraph, repeat to fixpoint
+    (the classic chicken-and-egg that a single degree filter gets
+    wrong: removing one node can demote its neighbors).
+
+    100 TB shape: each round is one degree aggregate + two semi-joins
+    of the edge list against the survivor set — all shuffled equi-joins
+    on integer keys; the edge list localCheckpoints per round so
+    lineage (and Catalyst re-analysis) stays constant, exactly like
+    ``connected_components``.  The only driver-side values are one
+    edge COUNT per round (a scalar, for the fixpoint test); rounds are
+    data-bounded (peeling the bulk co-purchase graph converges in ≤ 6
+    at every test SF), never O(|V|).
+
+    Returns (node bigint, core_degree bigint): survivors with their
+    degree INSIDE the core (≥ k by construction).
+
+    Reference: no graph surface exists in the reference (SURVEY §2.4).
+    """
+    from pyspark.sql import functions as F
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        und = e.select(F.col("u").alias("n")).unionAll(
+            e.select(F.col("v").alias("n"))
+        )
+        alive = (
+            und.groupBy("n")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("n")
+        )
+        e2 = (
+            e.join(alive.select(F.col("n").alias("u")), "u")
+            .join(alive.select(F.col("n").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            break
+        e, n_edges = e2, n2
+    out = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    )
+    return out.groupBy("node").agg(F.count("*").cast("bigint").alias("core_degree"))
 
 
 def triangle_counts(edges, src: str, dst: str):

@@ -176,6 +176,9 @@ SHUFFLE_BUDGET = {
     # per-run unique shuffles are ~6 (pair agg, edge distinct, degree agg,
     # adjacency agg, final agg; orientation/adjacency joins broadcast)
     "q_triangle_count": 39,
+    # iterative peeling: rounds run inside the query function with
+    # localCheckpoint barriers, so the FINAL plan is one aggregate
+    "q_kcore": 1,
     "q_pandas_udaf": 1,
     "q_percentiles": 1,
     "q_rollup": 1,

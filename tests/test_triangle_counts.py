@@ -68,3 +68,57 @@ def test_randomized_parity(spark):
             (rng.randrange(n), rng.randrange(n)) for _ in range(120)
         ]
         assert _run(spark, edges) == _truth(edges), f"trial={trial}"
+
+
+# -- k-core ------------------------------------------------------------------
+
+def _kcore_truth(edges, k):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if sum(1 for m in adj[n] if m in alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {
+        n: sum(1 for m in adj[n] if m in alive) for n in alive
+    }
+
+
+def _run_kcore(spark, edges, k):
+    from datafusion_dolomite_spark.functions.graph import k_core
+
+    df = spark.createDataFrame(edges, "x long, y long")
+    return {r["node"]: r["core_degree"] for r in k_core(df, "x", "y", k).collect()}
+
+
+def test_kcore_peels_chain_from_clique(spark):
+    # K5 plus a pendant chain: the chain must peel AWAY iteratively
+    # (each removal demotes the next link) — a single degree filter
+    # would keep chain nodes of initial degree 2
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    edges = k5 + chain
+    got = _run_kcore(spark, edges, 3)
+    assert got == _kcore_truth(edges, 3)
+    assert set(got) == {0, 1, 2, 3, 4} and all(v == 4 for v in got.values())
+
+
+def test_kcore_empty_when_k_exceeds_density(spark):
+    edges = [(1, 2), (2, 3), (3, 1)]
+    assert _run_kcore(spark, edges, 3) == {}
+
+
+def test_kcore_randomized_parity(spark):
+    import random
+
+    rng = random.Random(20260816)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
+    for k in (2, 4, 6):
+        assert _run_kcore(spark, edges, k) == _kcore_truth(edges, k), f"k={k}"
