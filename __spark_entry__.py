@@ -3411,6 +3411,15 @@ EXTENSION_ORACLES = {
         SELECT node, count(*)::BIGINT AS n_triangles FROM nodes GROUP BY node
     """,
     "q_kcore": _kcore_oracle(12, 10),
+    # same priority expression — only correctly-rounded IEEE ops, so the
+    # selected set is engine-identical
+    "q_weighted_sample": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE n_chars > 0
+        ORDER BY (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                 / n_chars ASC, doc_id ASC
+        LIMIT 120
+    """,
     "q_corpus_prep": _corpus_prep_oracle(750),
     "q_salted_agg": """
         SELECT user_id, count(*) AS n_events,
@@ -8165,6 +8174,25 @@ def q_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QueryPlanner(spark, cat).dataframe(plan)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (functions/sampling.py::weighted_sample): the 120 docs with smallest
+    priority (md5_60(id)+1)/n_chars — Sequential Poisson / priority
+    sampling, inclusion ∝ length.  The priority uses only
+    correctly-rounded IEEE ops (cast + one division), so the selected
+    set replays bit-exactly in DuckDB — a pow/ln key (Efraimidis-
+    Spirakis) would ride libm and could flip near-ties cross-engine.
+    Global top-k = TakeOrdered (per-partition heaps, no full sort)."""
+    from datafusion_dolomite_spark.functions.sampling import weighted_sample
+
+    docs = _planner(spark, sf_dir).dataframe(
+        LogicalPlanBuilder()
+        .scan("documents", columns=["doc_id", "lang", "n_chars"])
+        .build()
+    )
+    return weighted_sample(docs, "doc_id", "n_chars", k=120)
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DETERMINISTIC 10% sample via hash-mod (md5(doc_id) % 10 == 0) —
     reproducible across runs/engines/cluster sizes, unlike rand()-based
@@ -8684,6 +8712,7 @@ _UNPROVEN_PREFIX = (
     "q_fuzzy_join", "q_triangle_count", "q_sql_named_window",
     "q_sql_pivot", "q_sql_unpivot", "q_sql_group_all",
     "q_sql_distinct_on", "q_sql_star_exclude", "q_kcore",
+    "q_weighted_sample",
     "q_sql_merge_evolve", "q_sql_asof_fwd", "q_sql_asof_nearest",
     "q_knn_cents_trained", "q_sql_overlap",
     # r10 CHANGED these queries' implementation — re-prove next
@@ -8743,6 +8772,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_triangle_count": q_triangle_count,
         "q_kcore": q_kcore,
+        "q_weighted_sample": q_weighted_sample,
         "q_corpus_resample": q_corpus_resample,
         "q_range_bounds": q_range_bounds,
         "q_time_weighted_avg": q_time_weighted_avg,

@@ -46,6 +46,39 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the k rows
+    with the smallest priority ``(md5_60(id) + 1) / weight`` — Sequential
+    Poisson / priority sampling (Ohlsson '98; Duffield-Lund-Thorup):
+    inclusion probability is proportional to weight for the tail, and the
+    selected set is a pure function of the data.
+
+    Exactness across engines: the priority uses ONLY correctly-rounded
+    IEEE-754 ops (int→double cast, one division) — unlike ``pow``/``ln``
+    keys (Efraimidis-Spirakis), which go through libm and can differ in
+    the last ulp between the JVM and DuckDB, silently flipping a
+    near-tie.  Ties break on id (total order).
+
+    Scale shape: a global top-k (TakeOrdered — per-partition heaps, no
+    full sort); rows with weight ≤ 0 are excluded.
+    """
+    pr = (_hash64(F.col(id_col)) + F.lit(1)).cast("double") / F.col(
+        weight_col
+    ).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_pr", pr)
+        .orderBy(F.col("_pr").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_pr")
+    )
+
+
 def resample_corpus(
     df: DataFrame,
     id_col: str,

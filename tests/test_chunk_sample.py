@@ -158,3 +158,43 @@ def test_sequence_pack_invariants(spark, catalog):
         for s, (_p, _o, t) in zip(starts, sorted(items, key=lambda x: x[0] * 4096 + x[1])):
             assert s == cum  # contiguous fill, no gaps
             cum += t
+
+
+# -- weighted (priority) sampling ---------------------------------------------
+
+def test_weighted_sample_exact_python_replay(spark):
+    """The selection is a pure function of the data: an independent
+    Python replay of (md5_60(id)+1)/w picks the identical set."""
+    import hashlib
+
+    from datafusion_dolomite_spark.functions.sampling import weighted_sample
+
+    rows = [(i, (i * 37) % 50 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = sorted(r["id"] for r in weighted_sample(df, "id", "w", k=25).collect())
+
+    def pr(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return ((h + 1) / w, i)
+
+    want = sorted(i for i, w in sorted(rows, key=lambda t: pr(*t))[:25])
+    assert got == want
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from datafusion_dolomite_spark.functions.sampling import weighted_sample
+
+    # weight 1000 vs 1: heavy rows should dominate the sample
+    rows = [(i, 1000 if i < 100 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = [r["id"] for r in weighted_sample(df, "id", "w", k=50).collect()]
+    assert sum(1 for i in got if i < 100) >= 45
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from datafusion_dolomite_spark.functions.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10)], "id long, w long"
+    )
+    assert [r["id"] for r in weighted_sample(df, "id", "w", k=10).collect()] == [3]

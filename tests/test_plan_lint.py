@@ -179,6 +179,8 @@ SHUFFLE_BUDGET = {
     # iterative peeling: rounds run inside the query function with
     # localCheckpoint barriers, so the FINAL plan is one aggregate
     "q_kcore": 1,
+    # TakeOrdered global top-k — no hash/range exchange
+    "q_weighted_sample": 0,
     "q_pandas_udaf": 1,
     "q_percentiles": 1,
     "q_rollup": 1,
