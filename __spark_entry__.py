@@ -2627,6 +2627,19 @@ _SQL_GROUP_ALL = (
     "FROM customer GROUP BY ALL ORDER BY ALL LIMIT 50"
 )
 
+#: aggregate FILTER (WHERE ...) clause (standard SQL): lowered to the
+#: CASE the aggregate already skips — one grouped aggregate, map-side
+#: partials, no per-branch scans.  Same string runs on DuckDB.
+_SQL_FILTER_AGG = (
+    "SELECT o_custkey, "
+    "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, "
+    "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, "
+    "coalesce(cast(sum(cast(floor(o_totalprice * 100) as bigint)) "
+    "FILTER (WHERE o_totalprice > 150000) as bigint), 0) AS big_cents, "
+    "count(*) AS n "
+    "FROM orders GROUP BY o_custkey"
+)
+
 #: DISTINCT ON (Postgres/DuckDB): first row per key by the ORDER BY —
 #: the group-wise argmax idiom; lowered as row_number window + rn=1
 #: filter.  Unique tie-break (o_orderkey) keeps both engines identical.
@@ -3999,6 +4012,7 @@ EXTENSION_ORACLES = {
     "q_sql_named_window": _SQL_NAMED_WINDOW,
     "q_sql_group_all": _SQL_GROUP_ALL,
     "q_sql_distinct_on": _SQL_DISTINCT_ON,
+    "q_sql_filter_agg": _SQL_FILTER_AGG,
     "q_sql_star_exclude": _SQL_STAR_EXCLUDE,
     # independent CASE-aggregate formulation (no PIVOT syntax)
     "q_sql_pivot": """
@@ -6565,6 +6579,16 @@ _SQL_UNPIVOT = (
 )
 
 
+def q_sql_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate ``FILTER (WHERE ...)`` clause (``sql.py::
+    _maybe_filter_clause``): three differently-filtered aggregates plus
+    an unfiltered count compute in ONE grouped aggregate (single
+    shuffle, map-side partials) — the CASE lowering Spark's own
+    pivot uses.  Same string is the oracle (DuckDB supports FILTER
+    natively)."""
+    return _planner(spark, sf_dir).sql(_SQL_FILTER_AGG)
+
+
 def q_sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``DISTINCT ON`` (``sql.py::_finish_select``): one row per customer
     — their highest-price order — via a row_number window over the ON
@@ -8712,7 +8736,7 @@ _UNPROVEN_PREFIX = (
     "q_fuzzy_join", "q_triangle_count", "q_sql_named_window",
     "q_sql_pivot", "q_sql_unpivot", "q_sql_group_all",
     "q_sql_distinct_on", "q_sql_star_exclude", "q_kcore",
-    "q_weighted_sample",
+    "q_weighted_sample", "q_sql_filter_agg",
     "q_sql_merge_evolve", "q_sql_asof_fwd", "q_sql_asof_nearest",
     "q_knn_cents_trained", "q_sql_overlap",
     # r10 CHANGED these queries' implementation — re-prove next
@@ -8783,6 +8807,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_pivot": q_sql_pivot,
         "q_sql_group_all": q_sql_group_all,
         "q_sql_distinct_on": q_sql_distinct_on,
+        "q_sql_filter_agg": q_sql_filter_agg,
         "q_sql_star_exclude": q_sql_star_exclude,
         "q_sql_unpivot": q_sql_unpivot,
         "q_eager_agg": q_eager_agg,

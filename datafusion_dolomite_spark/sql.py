@@ -1803,7 +1803,7 @@ class _Parser:
             self.expect("op", ")")
             if fname != "count":
                 raise SqlError(f"'*' argument only valid for count, got {name}")
-            func = Func("count", ())
+            func = self._maybe_filter_clause(Func("count", ()))
             if self.accept("kw", "over"):
                 return self._over(func)
             return func
@@ -1828,9 +1828,45 @@ class _Parser:
             mapping = {p.lower(): a for p, a in zip(mac[0], args)}
             return _substitute_params(mac[1], mapping)
         func = Func(fname, tuple(args))
+        if func.is_aggregate:
+            func = self._maybe_filter_clause(func)
         if self.accept("kw", "over"):
             return self._over(func)
         return func
+
+    def _maybe_filter_clause(self, func: Func) -> Func:
+        """Standard aggregate ``FILTER (WHERE pred)`` — lowered to the
+        CASE the aggregate already ignores: ``count(*) FILTER (WHERE p)``
+        → ``count(CASE WHEN p THEN 1 END)``; ``agg(x) FILTER (WHERE p)``
+        → ``agg(CASE WHEN p THEN x END)`` (sum/min/max/avg skip NULLs, so
+        semantics are exact).  Contextual keyword — ``filter`` stays a
+        valid identifier elsewhere."""
+        t = self.peek()
+        n1 = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        if (
+            t.kind != "ident"
+            or t.value.lower() != "filter"
+            or n1 is None
+            or n1.kind != "op"
+            or n1.value != "("
+        ):
+            return func
+        from .expr import CaseWhen
+
+        self.next()
+        self.expect("op", "(")
+        self.expect("kw", "where")
+        pred = self._expr()
+        self.expect("op", ")")
+        if not func.args:
+            if func.name != "count":
+                raise SqlError(
+                    f"FILTER on zero-argument aggregate {func.name}()"
+                )
+            return Func("count", (CaseWhen(((pred, Lit(1)),), None),))
+        if len(func.args) != 1:
+            raise SqlError("FILTER supports single-argument aggregates")
+        return Func(func.name, (CaseWhen(((pred, func.args[0]),), None),))
 
     def _over(self, func: Func) -> "_WindowExpr":
         """After OVER: inline ``(spec)`` or a WINDOW-clause name ref."""

@@ -177,3 +177,32 @@ def test_star_replace_keeps_position(spark, planner):
     rows = df.collect()
     assert df.columns[0] == "o_orderkey"
     assert all(r.o_orderkey % 2 == 0 for r in rows)
+
+
+def test_filter_clause_equals_case(spark, planner):
+    got = planner.sql(
+        "SELECT o_orderstatus, count(*) FILTER (WHERE o_totalprice > 100000) AS n, "
+        "min(o_orderkey) FILTER (WHERE o_orderkey > 10) AS mn "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    want = planner.sql(
+        "SELECT o_orderstatus, "
+        "count(CASE WHEN o_totalprice > 100000 THEN 1 ELSE NULL END) AS n, "
+        "min(CASE WHEN o_orderkey > 10 THEN o_orderkey ELSE NULL END) AS mn "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_filter_clause_global_aggregate(spark, planner):
+    r = planner.sql(
+        "SELECT count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, "
+        "count(*) AS n FROM orders"
+    ).collect()[0]
+    assert 0 < r["n_f"] < r["n"]
+
+
+def test_filter_keyword_still_an_identifier(spark, planner):
+    # 'filter' as a plain column alias must keep working
+    df = planner.sql("SELECT o_orderkey AS filter FROM orders LIMIT 3")
+    assert df.columns == ["filter"]

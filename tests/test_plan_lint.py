@@ -181,6 +181,8 @@ SHUFFLE_BUDGET = {
     "q_kcore": 1,
     # TakeOrdered global top-k — no hash/range exchange
     "q_weighted_sample": 0,
+    # four FILTERed aggregates in ONE grouped aggregate
+    "q_sql_filter_agg": 1,
     "q_pandas_udaf": 1,
     "q_percentiles": 1,
     "q_rollup": 1,

@@ -1299,6 +1299,28 @@ class Gen:
             sql += f" ORDER BY ALL LIMIT {r.randint(1, 30)}"
         return sql, sql
 
+    def _filter_agg(self):
+        """Aggregate FILTER (WHERE ...) clause (r10) — same SQL on both
+        engines; filtered counts/sums over int columns only."""
+        r = self.rng
+        t = r.choice(list(TABLES))
+        strs = [c for c, ty in TABLES[t].items() if ty == STR]
+        ints = [c for c, ty in TABLES[t].items() if ty == INT]
+        if not strs or not ints:
+            return self._agg()
+        k = r.choice(strs)
+        ic = r.choice(ints)
+        preds = [self._atom_pred([t]) for _ in range(2)]
+        inner = r.choice(["count(*)", f"sum({ic})", f"min({ic})", f"max({ic})"])
+        items = [
+            f"count(*) FILTER (WHERE {preds[0]}) AS a0",
+            f"coalesce({inner} FILTER (WHERE {preds[1]}), -1) AS a1",
+            "count(*) AS a2",
+        ]
+        where = f" WHERE {self._pred([t])}" if r.random() < 0.4 else ""
+        sql = f"SELECT {k} AS c0, {', '.join(items)} FROM {t}{where} GROUP BY {k}"
+        return sql, sql
+
     SHAPES = (
         ("_simple", 14),
         ("_join", 18),
@@ -1326,6 +1348,7 @@ class Gen:
         ("_distinct_on", 6),
         ("_star_mod", 6),
         ("_group_all", 6),
+        ("_filter_agg", 6),
     )
 
     def query(self):
