@@ -2649,6 +2649,32 @@ _SQL_DISTINCT_ON = (
     "FROM orders ORDER BY o_custkey, cents DESC, o_orderkey"
 )
 
+_SQL_LATERAL = (
+    "SELECT nk, cnt, c_name, bal_cents "
+    "FROM (SELECT c_nationkey AS nk, count(*) AS cnt "
+    "      FROM customer GROUP BY c_nationkey) g, "
+    "LATERAL ("
+    "  SELECT c_name, "
+    "         cast(floor(cast(c_acctbal AS decimal(12,2)) * 100) AS bigint)"
+    "             AS bal_cents "
+    "  FROM customer WHERE c_nationkey = g.nk "
+    "  ORDER BY c_acctbal DESC, c_name LIMIT 3"
+    ") t"
+)
+
+_SQL_LATERAL_AGG = (
+    "SELECT c_custkey, n_orders, max_cents "
+    "FROM customer, "
+    "LATERAL ("
+    "  SELECT count(*) AS n_orders, "
+    "         max(cast(floor(cast(o_totalprice AS decimal(12,2)) * 100)"
+    "             AS bigint)) AS max_cents "
+    "  FROM orders WHERE o_custkey = c_custkey"
+    ") s "
+    "WHERE c_custkey <= 500"
+)
+
+
 #: DuckDB star modifiers: drop columns / rewrite one in place while
 #: keeping the rest of the star expansion.
 _SQL_STAR_EXCLUDE = (
@@ -4012,6 +4038,8 @@ EXTENSION_ORACLES = {
     "q_sql_named_window": _SQL_NAMED_WINDOW,
     "q_sql_group_all": _SQL_GROUP_ALL,
     "q_sql_distinct_on": _SQL_DISTINCT_ON,
+    "q_sql_lateral": _SQL_LATERAL,
+    "q_sql_lateral_agg": _SQL_LATERAL_AGG,
     "q_sql_filter_agg": _SQL_FILTER_AGG,
     "q_sql_star_exclude": _SQL_STAR_EXCLUDE,
     # independent CASE-aggregate formulation (no PIVOT syntax)
@@ -6579,6 +6607,29 @@ _SQL_UNPIVOT = (
 )
 
 
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL derived table, top-N-per-group (r11, ``sql.py::
+    _lateral_join``): the standard 'top 3 customers per nation' idiom.
+    Decorrelated — NO per-outer-row re-execution: the correlation key
+    becomes a row_number window partition on the INNER side (one hash
+    Exchange — the same one-window plan DISTINCT ON lowers to) followed
+    by a hash join; a nested-loop would re-scan customer once per
+    outer row.  Same string runs natively on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_LATERAL)
+
+
+def q_sql_lateral_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL global-aggregate subquery (r11): per-customer order
+    stats INCLUDING customers with zero orders — an aggregate subquery
+    always returns exactly one row, so the lowering is group-by-key +
+    LEFT join with COUNT coalesced to 0 (the classic COUNT-bug shape
+    scalar decorrelation must reject; LATERAL handles it because the
+    join carries the whole output row, not a scalar).  One aggregate
+    shuffle + one join — no per-row re-execution.  Same string runs
+    natively on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_LATERAL_AGG)
+
+
 def q_sql_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate ``FILTER (WHERE ...)`` clause (``sql.py::
     _maybe_filter_clause``): three differently-filtered aggregates plus
@@ -8732,7 +8783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: query), and the signature-index batch-history sidecar — then the
 #: stalest driver-green queries (unsampled in r9's 50).
 _UNPROVEN_PREFIX = (
-    # new this round (r10) — never driver-checked, prove first
+    # new this round (r11) — never driver-checked, prove first
+    "q_sql_lateral", "q_sql_lateral_agg",
+    # new in r10 — driver-checked green in r10's rotation
     "q_fuzzy_join", "q_triangle_count", "q_sql_named_window",
     "q_sql_pivot", "q_sql_unpivot", "q_sql_group_all",
     "q_sql_distinct_on", "q_sql_star_exclude", "q_kcore",
@@ -8807,6 +8860,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_pivot": q_sql_pivot,
         "q_sql_group_all": q_sql_group_all,
         "q_sql_distinct_on": q_sql_distinct_on,
+        "q_sql_lateral": q_sql_lateral,
+        "q_sql_lateral_agg": q_sql_lateral_agg,
         "q_sql_filter_agg": q_sql_filter_agg,
         "q_sql_star_exclude": q_sql_star_exclude,
         "q_sql_unpivot": q_sql_unpivot,

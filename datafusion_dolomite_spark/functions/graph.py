@@ -17,7 +17,7 @@ from __future__ import annotations
 __all__ = ["connected_components", "pagerank", "triangle_counts", "k_core"]
 
 
-def k_core(edges, src: str, dst: str, k: int, max_iter: int = 30):
+def k_core(edges, src: str, dst: str, k: int, max_iter: int = 30, strict: bool = True):
     """The k-CORE of an undirected graph: the maximal subgraph where
     every node keeps degree ≥ k — the standard dense-community /
     spam-cluster primitive.  Iterative peeling: drop all nodes below
@@ -37,6 +37,15 @@ def k_core(edges, src: str, dst: str, k: int, max_iter: int = 30):
     Returns (node bigint, core_degree bigint): survivors with their
     degree INSIDE the core (≥ k by construction).
 
+    Convergence: peeling depth is data-dependent and — unlike
+    pointer-jumping CC, whose rounds are O(log n) — can be O(|V|) on
+    adversarial chain-like graphs (a long path at k=2 peels ~2 nodes
+    per round).  If the loop exhausts ``max_iter`` before the fixpoint,
+    the result would be a SUPERSET of the true k-core, so we refuse to
+    return it silently: ``RuntimeError`` is raised (callers that prefer
+    the partial peel can pass ``strict=False``, which downgrades the
+    error to a ``RuntimeWarning``).
+
     Reference: no graph surface exists in the reference (SURVEY §2.4).
     """
     from pyspark.sql import functions as F
@@ -51,8 +60,10 @@ def k_core(edges, src: str, dst: str, k: int, max_iter: int = 30):
         .localCheckpoint()
     )
     n_edges = e.count()
+    converged = False
     for _ in range(max_iter):
         if n_edges == 0:
+            converged = True
             break
         und = e.select(F.col("u").alias("n")).unionAll(
             e.select(F.col("v").alias("n"))
@@ -71,8 +82,21 @@ def k_core(edges, src: str, dst: str, k: int, max_iter: int = 30):
         )
         n2 = e2.count()
         if n2 == n_edges:
+            converged = True
             break
         e, n_edges = e2, n2
+    if not converged:
+        msg = (
+            f"k_core did not reach a fixpoint within max_iter={max_iter} rounds; "
+            f"the result is a SUPERSET of the true {k}-core "
+            f"({n_edges} edges still unpeeled). Raise max_iter, or pass "
+            f"strict=False to accept the partial peel."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     out = e.select(F.col("u").alias("node")).unionAll(
         e.select(F.col("v").alias("node"))
     )

@@ -438,6 +438,9 @@ class _Parser:
             # equalities merge into the condition via
             # MergeFilterIntoJoinRule
             while self.accept("op", ","):
+                if self._lateral_ahead():
+                    builder = self._lateral_join(builder, frame, JoinType.INNER)
+                    continue
                 builder = builder.join(
                     self._from_item(frame, seen_bases), JoinType.INNER,
                     Lit(True)
@@ -447,6 +450,9 @@ class _Parser:
         while True:
             if self.accept("kw", "cross"):
                 self.expect("kw", "join")
+                if self._lateral_ahead():
+                    builder = self._lateral_join(builder, frame, JoinType.INNER)
+                    continue
                 builder = builder.join(
                     self._from_item(frame, seen_bases), JoinType.INNER, Lit(True)
                 )
@@ -479,6 +485,14 @@ class _Parser:
             jt = self._join_type()
             if jt is None:
                 break
+            if self._lateral_ahead():
+                if jt not in (JoinType.INNER, JoinType.LEFT):
+                    raise SqlError(
+                        "LATERAL joins support INNER and LEFT only "
+                        f"(got {jt.name})"
+                    )
+                builder = self._lateral_join(builder, frame, jt, with_on=True)
+                continue
             right = self._from_item(frame, seen_bases)
             self.expect("kw", "on")
             cond = self._resolve(self._expr())
@@ -1542,6 +1556,87 @@ class _Parser:
                 seen_bases.add(base)
         return b
 
+    def _lateral_ahead(self) -> bool:
+        """Lookahead: the next FROM item is ``LATERAL (SELECT ...)``.
+        LATERAL is a contextual identifier (like ROLLUP/PIVOT) so a
+        table named ``lateral`` would shadow it — acceptable."""
+        t = self.peek()
+        nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        return (
+            t.kind == "ident"
+            and t.value.lower() == "lateral"
+            and nxt is not None
+            and nxt.kind == "op"
+            and nxt.value == "("
+        )
+
+    def _lateral_join(self, builder, frame, jt, with_on: bool = False):
+        """``FROM outer, LATERAL (SELECT ...) alias`` / ``[LEFT] JOIN
+        LATERAL (...) alias ON cond`` — the per-outer-row derived table
+        (Postgres/DuckDB LATERAL).  Lowered WITHOUT any nested-loop
+        re-execution: ``_decorrelate_lateral`` rewrites the subquery so
+        its correlation keys surface as join keys —
+
+        * top-N-per-group (``... WHERE k = outer.k ORDER BY s LIMIT n``)
+          becomes an inner-side ``row_number`` window partitioned by the
+          correlation key + an ``rn <= n`` filter + a hash join — the
+          same one-window plan DISTINCT ON lowers to, and the shape that
+          scales (the window shuffles once on the key; no outer×inner
+          cartesian ever exists);
+        * correlated GLOBAL aggregates become group-by-key + LEFT join
+          (an aggregate subquery always returns exactly one row, even
+          over zero matches) with COUNT outputs coalesced to 0;
+        * correlated GROUP BY aggregates add the correlation key to the
+          group keys and inner-join (empty group ⇒ zero rows — exactly
+          the LATERAL semantics).
+
+        The post-join projection drops the internal ``__lk*`` key
+        columns so ``SELECT *`` and downstream resolution see only
+        outer + subquery output columns.  DuckDB runs the same text
+        natively, so every shape is fully oracle-able.
+
+        Reference: no subquery surface exists in the reference (SURVEY
+        §2.4); extension alongside EXISTS/IN/scalar decorrelation.
+        """
+        self.next()  # LATERAL
+        self.expect("op", "(")
+        sub = self._query()
+        self.expect("op", ")")
+        alias = None
+        had_as = self.accept("kw", "as")
+        if self.peek().kind == "ident" and (
+            had_as
+            or not (self._window_clause_ahead() or self._pivot_clause_ahead())
+        ):
+            alias = self.next().value
+        if alias is not None:
+            frame[alias] = ""
+        on_cond = None
+        if with_on:
+            self.expect("kw", "on")
+            on_cond = self._resolve(self._expr())
+        outer_names = self._schema_names(builder)
+        lat_b, conds, out_names, count_cols, force_left = _decorrelate_lateral(
+            sub, self.catalog, outer_names
+        )
+        clash = sorted(set(out_names) & set(outer_names))
+        if clash:
+            raise SqlError(
+                f"LATERAL subquery output columns collide with outer "
+                f"columns: {clash} — alias them in the subquery select list"
+            )
+        eff_jt = JoinType.LEFT if (force_left or jt == JoinType.LEFT) else jt
+        if on_cond is not None:
+            conds = conds + [on_cond]
+        builder = builder.join(lat_b, eff_jt, _and_all(conds) or Lit(True))
+        proj = [Col(n) for n in outer_names] + [
+            Alias(Func("coalesce", (Col(n), Lit(0))), n)
+            if n in count_cols and eff_jt == JoinType.LEFT
+            else Col(n)
+            for n in out_names
+        ]
+        return builder.projection(proj)
+
     def _resolve(self, e):
         """Resolve qualified column refs against the alias frames:
         ``a.c`` → the (possibly renamed) local column, or — when ``a``
@@ -2334,6 +2429,295 @@ def _try_decorrelate_scalar(sub: Plan, catalog, alias: str):
         [new_child],
     )
     return LogicalPlanBuilder(grouped), _and_all(conds)
+
+
+def _decorrelate_lateral(sub: Plan, catalog, outer_names):
+    """Rewrite a LATERAL derived table into a join-able subplan.
+
+    Returns ``(builder, join_conds, out_names, count_cols, force_left)``:
+    the decorrelated right side (correlation keys surfaced as hidden
+    ``__lk{i}`` columns), the equi-join conjuncts binding them to the
+    outer columns, the subquery's visible output names, the output
+    names that are COUNT aggregates (coalesced to 0 after a LEFT
+    join — SQL's count-over-empty-is-0), and whether the join must be
+    LEFT regardless of spelling (global-aggregate subqueries return
+    exactly one row per outer row, never zero).
+
+    Supported shapes (each chosen for a shuffle-minimal lowering):
+
+    * plain correlated SELECT (filter/projection): equality conjuncts
+      referencing the outer query lift into join keys; non-equality
+      correlated conjuncts move to the join condition;
+    * ``ORDER BY ... LIMIT n [OFFSET m]`` (top-N-per-group): an
+      inner-side ``row_number`` window partitioned by the correlation
+      keys — ONE shuffle on the key, no per-outer-row re-execution;
+    * aggregates (global or GROUP BY), optionally under HAVING and an
+      ORDER BY/LIMIT: the correlation keys join the group keys; a
+      trailing LIMIT becomes the same per-key window above the
+      aggregate.
+
+    Correlation may only appear in WHERE conjuncts (the same contract
+    as EXISTS/scalar decorrelation); ``@outer`` refs anywhere else
+    raise ``SqlError``.
+    """
+    from .operators.logical import LogicalAggregate, output_name
+    from .plans.plan import PlanNode
+
+    if catalog is None:
+        raise SqlError("LATERAL requires a catalog to resolve correlation")
+    avail: set = set()
+    for n in sub.nodes_bottom_up():
+        if n.operator.operator_name() == "Scan":
+            try:
+                avail |= set(catalog.schema(n.operator.table_name).names())
+            except KeyError:
+                raise SqlError(
+                    f"unknown table {n.operator.table_name!r} in LATERAL "
+                    "subquery"
+                )
+
+    def _no_outer(exprs, where):
+        for e in exprs:
+            if e is None:
+                continue
+            ex = e.expr if isinstance(e, SortKey) else e
+            if any(c.qualifier == "@outer" for c in _cols_of(ex)):
+                raise SqlError(
+                    f"LATERAL correlation is only supported in WHERE "
+                    f"conjuncts, not in the {where}"
+                )
+
+    root = sub.root
+    limit = None
+    offset = 0
+    sort_keys: tuple = ()
+    if root.operator.operator_name() == "Limit":
+        limit, offset = root.operator.limit, root.operator.offset
+        root = root.inputs[0]
+    if root.operator.operator_name() == "Sort":
+        sort_keys = root.operator.keys
+        root = root.inputs[0]
+    _no_outer(sort_keys, "ORDER BY")
+
+    p_exprs = None
+    having = None
+    node = root
+    if node.operator.operator_name() == "Projection":
+        p_exprs = node.operator.exprs
+        _no_outer(p_exprs, "select list")
+        node = node.inputs[0]
+    if (
+        node.operator.operator_name() == "Filter"
+        and node.inputs
+        and node.inputs[0].operator.operator_name() == "Aggregate"
+    ):
+        having = node.operator.predicate
+        _no_outer((having,), "HAVING clause")
+        node = node.inputs[0]
+    is_agg = node.operator.operator_name() == "Aggregate"
+
+    lifted: list = []
+
+    def rebuild(pn):
+        op = pn.operator
+        if op.operator_name() == "Filter":
+            keep, lift = [], []
+            for c in _conjuncts(op.predicate):
+                if _is_lifted(c, avail):
+                    lift.append(c)
+                else:
+                    keep.append(c)
+            lifted.extend(lift)
+            child = rebuild(pn.inputs[0])
+            if keep:
+                return PlanNode(
+                    LogicalFilter(_and_all(keep), op.projected_columns), [child]
+                )
+            return child
+        if pn.inputs:
+            return PlanNode(op, [rebuild(c) for c in pn.inputs])
+        return pn
+
+    child = rebuild(node.inputs[0] if is_agg else node)
+
+    # split lifted conjuncts: inner=outer equalities become join KEYS;
+    # anything else rides the join condition (plain path only — with a
+    # window or an aggregate the conjunct must run BEFORE ranking/
+    # grouping, which a join-side predicate cannot)
+    eqs: list = []  # (inner_col_name, outer_col_name)
+    extras: list = []
+    for c in lifted:
+        lc, rc = (
+            (c.left, c.right)
+            if isinstance(c, BinOp) and c.op == "="
+            else (None, None)
+        )
+        if isinstance(lc, Col) and isinstance(rc, Col):
+            if rc.qualifier != "@outer" and (
+                lc.qualifier == "@outer" or lc.name not in avail
+            ):
+                lc, rc = rc, lc  # orient inner = outer
+            inner_ok = lc.qualifier != "@outer" and lc.name in avail
+            outer_ok = rc.qualifier == "@outer" or rc.name not in avail
+            if inner_ok and outer_ok:
+                eqs.append((lc.name, rc.name))
+                continue
+        extras.append(c)
+    if extras and (is_agg or limit is not None):
+        raise SqlError(
+            "LATERAL with ORDER BY/LIMIT or aggregation supports only "
+            "inner_col = outer_col correlation; got "
+            + ", ".join(c.pretty() for c in extras)
+        )
+    for c in extras:
+        bad = sorted(
+            {
+                x.name
+                for x in _cols_of(c)
+                if x.qualifier != "@outer"
+                and x.name in avail
+                and x.name in set(outer_names)
+            }
+        )
+        if bad:
+            raise SqlError(
+                f"LATERAL correlated conjunct {c.pretty()} references "
+                f"inner columns shadowed by outer names {bad} — alias "
+                "the subquery columns"
+            )
+    key_aliases = [Alias(Col(ik), f"__lk{i}") for i, (ik, _) in enumerate(eqs)]
+    conds = [
+        BinOp("=", Col(f"__lk{i}"), Col(ok)) for i, (_, ok) in enumerate(eqs)
+    ] + [_strip_outer(c) for c in extras]
+    # ORDER BY binds select-list aliases first (DuckDB rules); the
+    # aliased exprs compute from the pre-projection schema, so they
+    # substitute directly into the window sort keys
+    amap = {a.name: a.expr for a in (p_exprs or ()) if isinstance(a, Alias)}
+
+    def _subst_keys(keys):
+        return tuple(
+            SortKey(
+                amap.get(k.expr.name, k.expr)
+                if isinstance(k.expr, Col)
+                else k.expr,
+                k.asc,
+                k.nulls_first,
+            )
+            for k in keys
+        )
+
+    def _topn(b, part_cols):
+        if not sort_keys:
+            raise SqlError(
+                "LATERAL ... LIMIT needs an ORDER BY (deterministic top-N)"
+            )
+        b = b.window(
+            [
+                WindowExprDef(
+                    Func("row_number", ()),
+                    tuple(part_cols),
+                    _subst_keys(sort_keys),
+                    "_lrn",
+                    None,
+                )
+            ]
+        )
+        pred = BinOp("<=", Col("_lrn"), Lit(offset + limit))
+        if offset:
+            pred = BinOp("and", BinOp(">", Col("_lrn"), Lit(offset)), pred)
+        return b.filter(pred)
+
+    count_cols: set = set()
+    force_left = False
+    if is_agg:
+        agg_op = node.operator
+        if agg_op.mode != "groupby":
+            raise SqlError(
+                "LATERAL does not support ROLLUP/CUBE/GROUPING SETS "
+                "subqueries"
+            )
+        _no_outer(agg_op.group_exprs, "GROUP BY")
+        _no_outer(agg_op.agg_exprs, "aggregate list")
+        groups = tuple(agg_op.group_exprs) + tuple(key_aliases)
+        b = LogicalPlanBuilder(
+            PlanNode(
+                LogicalAggregate(groups, agg_op.agg_exprs, "groupby"), [child]
+            )
+        )
+        if having is not None:
+            b = b.filter(having)
+        if limit is not None:
+            b = _topn(b, [Col(f"__lk{i}") for i in range(len(eqs))])
+        agg_out = [output_name(g) for g in agg_op.group_exprs] + [
+            a.name for a in agg_op.agg_exprs
+        ]
+        for a in agg_op.agg_exprs:
+            if isinstance(a.expr, Func) and a.expr.name.lower().startswith(
+                "count"
+            ):
+                count_cols.add(a.name)
+        if p_exprs is not None:
+            renames = {}
+            for e in p_exprs:
+                if isinstance(e, Alias) and isinstance(e.expr, Col):
+                    renames[e.name] = e.expr.name
+                elif not isinstance(e, Col):
+                    raise SqlError(
+                        "LATERAL aggregate select list must be plain "
+                        "column refs / aliases (compute in the outer "
+                        f"select instead): {e.pretty()}"
+                    )
+            b = b.projection(
+                tuple(p_exprs)
+                + tuple(Col(f"__lk{i}") for i in range(len(eqs)))
+            )
+            out_names = [output_name(e) for e in p_exprs]
+            count_cols = {
+                n for n in out_names if renames.get(n, n) in count_cols
+            }
+        else:
+            out_names = agg_out
+        force_left = not agg_op.group_exprs
+    else:
+        b = LogicalPlanBuilder(child)
+        if limit is not None:
+            # partition directly by the INNER key columns (present in
+            # the pre-projection schema); ranking runs before the
+            # projection so sort keys may be non-output columns too
+            b = _topn(b, [Col(ik) for ik, _ in eqs])
+        if p_exprs is None:
+            p_exprs = tuple(Col(n) for n in _plan_schema_names(child, catalog))
+        hidden = list(key_aliases)
+        # non-equality correlated conjuncts reference inner columns that
+        # the projection may drop — surface them as hidden pass-through
+        # columns (names verified non-shadowed above)
+        inner_extra_cols = sorted(
+            {
+                x.name
+                for c in extras
+                for x in _cols_of(c)
+                if x.qualifier != "@outer" and x.name in avail
+            }
+        )
+        out_names = [output_name(e) for e in p_exprs]
+        for nm in inner_extra_cols:
+            if nm not in out_names:
+                hidden.append(Alias(Col(nm), nm))
+        b = b.projection(tuple(p_exprs) + tuple(hidden))
+    return b, conds, out_names, count_cols, force_left
+
+
+def _plan_schema_names(node, catalog):
+    """Output column names of a plan subtree (scans bind via catalog)."""
+
+    def derive(n):
+        op = n.operator
+        inputs = tuple(derive(c) for c in n.inputs)
+        if op.operator_name() == "Scan":
+            return op.derive_logical_prop(inputs, catalog=catalog)
+        return op.derive_logical_prop(inputs)
+
+    return list(derive(node).schema.names())
 
 
 def _require_one_row_subplan(plan: Plan) -> None:

@@ -1,0 +1,158 @@
+"""LATERAL derived tables (sql.py::_lateral_join /
+_decorrelate_lateral): top-N-per-group via inner-side windows,
+correlated aggregates via group-by-key joins — never a per-outer-row
+re-execution or a cartesian.  DuckDB cross-checks live in
+tests/test_entry_oracle.py (q_sql_lateral / q_sql_lateral_agg run the
+same string on both engines); these tests pin semantics and the error
+surface."""
+
+import re
+
+import pytest
+
+from datafusion_dolomite_spark.sql import SqlError
+
+
+def _rows(planner, sql):
+    return sorted(tuple(r) for r in planner.sql(sql).collect())
+
+
+def test_topn_per_group(planner):
+    rows = planner.sql(
+        "select n_nationkey, t.c_custkey from nation, lateral ("
+        "  select c_custkey from customer where c_nationkey = n_nationkey"
+        "  order by c_acctbal desc, c_custkey limit 3) t"
+    ).collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["n_nationkey"], []).append(r["c_custkey"])
+    assert all(len(v) <= 3 for v in per_key.values())
+    # replay one group imperatively
+    ref = planner.sql(
+        "select c_custkey from customer where c_nationkey = 3 "
+        "order by c_acctbal desc, c_custkey limit 3"
+    ).collect()
+    assert sorted(per_key[3]) == sorted(r["c_custkey"] for r in ref)
+
+
+def test_topn_offset(planner):
+    got = _rows(
+        planner,
+        "select n_nationkey, t.c_custkey from nation, lateral ("
+        "  select c_custkey from customer where c_nationkey = n_nationkey"
+        "  order by c_acctbal desc, c_custkey limit 2 offset 1) t",
+    )
+    ref = _rows(
+        planner,
+        "select n_nationkey, t.c_custkey from nation, lateral ("
+        "  select c_custkey from customer where c_nationkey = n_nationkey"
+        "  order by c_acctbal desc, c_custkey limit 3) t",
+    )
+    top1 = _rows(
+        planner,
+        "select n_nationkey, t.c_custkey from nation, lateral ("
+        "  select c_custkey from customer where c_nationkey = n_nationkey"
+        "  order by c_acctbal desc, c_custkey limit 1) t",
+    )
+    assert sorted(got + top1) == sorted(ref)
+
+
+def test_global_aggregate_keeps_zero_match_rows(planner):
+    rows = planner.sql(
+        "select c_custkey, s.n from customer, lateral ("
+        "  select count(*) as n from orders"
+        "  where o_custkey = c_custkey and o_totalprice > 450000"
+        ") s where c_custkey <= 100"
+    ).collect()
+    # every customer row survives (aggregate subquery always yields 1 row)
+    assert len(rows) == planner.sql(
+        "select c_custkey from customer where c_custkey <= 100"
+    ).count()
+    # TPC-H: ~1/3 of custkeys have no orders → count coalesces to 0
+    assert any(r["n"] == 0 for r in rows)
+    assert all(r["n"] is not None for r in rows)
+
+
+def test_grouped_aggregate_drops_empty_groups(planner):
+    rows = planner.sql(
+        "select c_custkey, s.st, s.n from customer, lateral ("
+        "  select o_orderstatus as st, count(*) as n from orders"
+        "  where o_custkey = c_custkey group by o_orderstatus"
+        ") s where c_custkey <= 100"
+    ).collect()
+    # grouped aggregate over zero matches yields zero rows — INNER join
+    keys_with_orders = {
+        r["o_custkey"]
+        for r in planner.sql(
+            "select o_custkey from orders where o_custkey <= 100"
+        ).collect()
+    }
+    assert {r["c_custkey"] for r in rows} == keys_with_orders
+
+
+def test_left_join_lateral_on_true(planner):
+    rows = planner.sql(
+        "select n_nationkey, t.c_custkey from nation left join lateral ("
+        "  select c_custkey from customer"
+        "  where c_nationkey = n_nationkey and c_acctbal > 9990"
+        "  order by c_acctbal desc, c_custkey limit 1) t on true"
+    ).collect()
+    assert len({r["n_nationkey"] for r in rows}) == 25
+    assert any(r["c_custkey"] is None for r in rows)
+
+
+def test_uncorrelated_lateral(planner):
+    rows = planner.sql(
+        "select n_name, t.mx from nation, lateral "
+        "(select max(r_regionkey) as mx from region) t"
+    ).collect()
+    assert len(rows) == 25 and all(r["mx"] == 4 for r in rows)
+
+
+def test_no_cartesian_no_nlj(planner):
+    df = planner.sql(
+        "select n_nationkey, t.c_custkey from nation, lateral ("
+        "  select c_custkey from customer where c_nationkey = n_nationkey"
+        "  order by c_acctbal desc, c_custkey limit 3) t"
+    )
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    # the top-N lowers to ONE window exchange on the correlation key
+    assert "row_number" in phys
+
+
+def test_output_collision_rejected(planner):
+    with pytest.raises(SqlError, match="collide"):
+        planner.sql(
+            "select n_name from nation, lateral ("
+            "  select n_name from nation n2 where n2.n_regionkey = n_regionkey"
+            ") x"
+        )
+
+
+def test_limit_without_order_rejected(planner):
+    with pytest.raises(SqlError, match="ORDER BY"):
+        planner.sql(
+            "select n_name, t.c_custkey from nation, lateral ("
+            "  select c_custkey from customer"
+            "  where c_nationkey = n_nationkey limit 3) t"
+        )
+
+
+def test_correlation_outside_where_rejected(planner):
+    with pytest.raises(SqlError, match="WHERE conjuncts"):
+        planner.sql(
+            "select n.n_name, t.x from nation n, lateral ("
+            "  select c_custkey + n.n_nationkey as x from customer limit 1"
+            ") t"
+        )
+
+
+def test_full_join_lateral_rejected(planner):
+    with pytest.raises(SqlError, match="INNER and LEFT"):
+        planner.sql(
+            "select n_name from nation full join lateral ("
+            "  select c_custkey from customer where c_nationkey = n_nationkey"
+            "  order by c_custkey limit 1) t on true"
+        )

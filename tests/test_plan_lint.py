@@ -199,6 +199,13 @@ SHUFFLE_BUDGET = {
     "q_sql_group_all": 2,
     # one window Exchange (argmax) + the final ORDER BY range partition
     "q_sql_distinct_on": 2,
+    # LATERAL top-N-per-group: inner-side window exchange (with
+    # WindowGroupLimit partial top-N before it) + the outer derived
+    # aggregate's exchange; the join itself broadcasts
+    "q_sql_lateral": 2,
+    # LATERAL global aggregate: one per-key aggregate exchange; the
+    # LEFT join broadcasts the aggregated (model-sized) side
+    "q_sql_lateral_agg": 1,
     # map-only star expansion + the ORDER BY range partition
     "q_sql_star_exclude": 1,
     # UNPIVOT is Spark-native melt: one Generate, map-only

@@ -1321,6 +1321,107 @@ class Gen:
         sql = f"SELECT {k} AS c0, {', '.join(items)} FROM {t}{where} GROUP BY {k}"
         return sql, sql
 
+    def _lateral(self):
+        """LATERAL derived tables (r11) — the same string runs on DuckDB
+        natively.  Four sub-shapes over a random join edge: top-N-per-
+        group (pk tie-break keeps the kept set deterministic), global
+        aggregate (count-over-empty = 0, LEFT lowering), grouped
+        aggregate (empty group drops the outer row), and LEFT JOIN
+        LATERAL ON TRUE with a selective inner predicate."""
+        r = self.rng
+        inner_t, inner_k, outer_t, outer_k = r.choice(JOIN_EDGES)
+        if inner_t not in PK:
+            return self._simple()
+        opk = PK[outer_t]
+        ipk = PK[inner_t]
+        ints = [
+            c for c, ty in TABLES[inner_t].items() if ty == INT and c != ipk
+        ]
+        strs = [c for c, ty in TABLES[inner_t].items() if ty == STR]
+        where = f" WHERE {self._atom_pred([outer_t])}" if r.random() < 0.4 else ""
+        roll = r.random()
+        if roll < 0.35:
+            # top-N per group; ORDER BY (int col, pk) is a total order
+            oc = r.choice(ints) if ints else ipk
+            d = r.choice(["ASC", "DESC"])
+            n = r.randint(1, 3)
+            off = " OFFSET 1" if r.random() < 0.3 else ""
+            ipred = (
+                f" AND {self._atom_pred([inner_t])}" if r.random() < 0.4 else ""
+            )
+            sql = (
+                f"SELECT {opk} AS c0, t.x AS c1, t.y AS c2 FROM {outer_t}, "
+                f"LATERAL (SELECT {ipk} AS x, {oc} AS y FROM {inner_t} "
+                f"WHERE {inner_k} = {outer_k}{ipred} "
+                f"ORDER BY {oc} {d}, {ipk} LIMIT {n}{off}) t{where}"
+            )
+            return sql, sql
+        if roll < 0.6:
+            # global aggregate: every outer row survives; count-over-
+            # empty is 0 on both engines (ours via the LEFT+coalesce
+            # lowering, DuckDB natively)
+            agg2 = (
+                f"{r.choice(['min', 'max'])}({r.choice(ints)})"
+                if ints
+                else f"count({ipk})"
+            )
+            ipred = (
+                f" AND {self._atom_pred([inner_t])}" if r.random() < 0.5 else ""
+            )
+            sql = (
+                f"SELECT {opk} AS c0, s.a0 AS c1, s.a1 AS c2 FROM {outer_t}, "
+                f"LATERAL (SELECT count(*) AS a0, {agg2} AS a1 "
+                f"FROM {inner_t} WHERE {inner_k} = {outer_k}{ipred}) s{where}"
+            )
+            return sql, sql
+        if roll < 0.8 and strs:
+            # grouped aggregate: empty groups yield zero rows (INNER)
+            g = r.choice(strs)
+            sql = (
+                f"SELECT {opk} AS c0, s.g AS c1, s.n AS c2 FROM {outer_t}, "
+                f"LATERAL (SELECT {g} AS g, count(*) AS n FROM {inner_t} "
+                f"WHERE {inner_k} = {outer_k} GROUP BY {g}) s{where}"
+            )
+            return sql, sql
+        # LEFT JOIN LATERAL ON TRUE — unmatched outer rows keep NULLs
+        oc = r.choice(ints) if ints else ipk
+        sql = (
+            f"SELECT {opk} AS c0, t.x AS c1 FROM {outer_t} "
+            f"LEFT JOIN LATERAL (SELECT {ipk} AS x FROM {inner_t} "
+            f"WHERE {inner_k} = {outer_k} AND {self._atom_pred([inner_t])} "
+            f"ORDER BY {oc} DESC, {ipk} LIMIT {r.randint(1, 2)}) t "
+            f"ON TRUE{where}"
+        )
+        return sql, sql
+
+    def _grouping_sets(self):
+        """GROUP BY GROUPING SETS with 2-3 random set lists (r11 —
+        VERDICT r10 item 2's fuzz shape).  Same empty-input caveat as
+        _rollup: the oracle pins Spark's no-rows-over-empty behavior
+        with HAVING count(*) > 0."""
+        r = self.rng
+        t = r.choice(list(TABLES))
+        strs = [c for c, ty in TABLES[t].items() if ty == STR]
+        ints = [c for c, ty in TABLES[t].items() if ty == INT]
+        if len(strs) < 2 or not ints:
+            return self._rollup()
+        keys = r.sample(strs, 2)
+        ic = r.choice(ints)
+        all_sets = ["()", f"({keys[0]})", f"({keys[1]})",
+                    f"({keys[0]}, {keys[1]})"]
+        sets = r.sample(all_sets, r.randint(2, 3))
+        items = [f"{k} AS k{i}" for i, k in enumerate(keys)] + [
+            "count(*) AS a0",
+            f"sum({ic}) AS a1",
+            f"{r.choice(['min', 'max'])}({ic}) AS a2",
+        ]
+        where = f" WHERE {self._pred([t])}" if r.random() < 0.5 else ""
+        sql = (
+            f"SELECT {', '.join(items)} FROM {t}{where} "
+            f"GROUP BY GROUPING SETS ({', '.join(sets)})"
+        )
+        return sql, sql + " HAVING count(*) > 0"
+
     SHAPES = (
         ("_simple", 14),
         ("_join", 18),
@@ -1349,6 +1450,8 @@ class Gen:
         ("_star_mod", 6),
         ("_group_all", 6),
         ("_filter_agg", 6),
+        ("_lateral", 8),
+        ("_grouping_sets", 6),
     )
 
     def query(self):
@@ -1368,11 +1471,12 @@ class Gen:
 # r6: 6 → 8 chunks (+120 queries) with the _values shape; r7 adds the
 # _comma_join shape (DP join enumeration under fuzz) and moves the seed
 # so ALL shapes resample — the old pins stay reproducible from their
-# trees.  r10 (this session) adds _named_window/_pivot/_unpivot and
-# moves the seed again: these 480 are the current pin.
+# trees.  r10 added _named_window/_pivot/_unpivot; r11 (this session)
+# adds _lateral/_grouping_sets and moves the seed again: these 480 are
+# the current pin.
 N_CHUNKS = 8
 PER_CHUNK = 60
-SEED = 20260816
+SEED = 20260817
 
 
 @pytest.mark.parametrize("chunk", range(N_CHUNKS))
