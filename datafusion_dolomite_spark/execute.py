@@ -797,11 +797,22 @@ class SparkExecutor:
         )
 
     def _unpivot(self, node: PlanNode):
-        """Spark-native melt: one Generate, map-only, no shuffle."""
+        """Spark-native melt: one Generate, map-only, no shuffle.
+
+        Standard SQL / DuckDB UNPIVOT excludes rows whose value cell is
+        NULL; Spark's ``DataFrame.unpivot`` keeps them, so the
+        standard-compliant default filters them out (still map-only —
+        the filter fuses into the same codegen stage as the Generate).
+        ``include_nulls=True`` opts back into the keep-all behavior."""
+        from pyspark.sql import functions as F
+
         op = node.operator
-        return self._node(node.inputs[0]).unpivot(
+        out = self._node(node.inputs[0]).unpivot(
             list(op.id_cols), list(op.value_cols), op.name_col, op.value_col
         )
+        if not op.include_nulls:
+            out = out.filter(F.col(op.value_col).isNotNull())
+        return out
 
     def _set_sim_join(self, node: PlanNode):
         from .functions.dedup import set_sim_join_pairs

@@ -880,6 +880,10 @@ class LogicalUnpivot(LogicalOperator):
     value_cols: tuple
     name_col: str
     value_col: str
+    #: standard SQL / DuckDB UNPIVOT drops rows whose value cell is
+    #: NULL; Spark's raw ``DataFrame.unpivot`` keeps them — the
+    #: executor filters unless this opts back in (r11, ADVICE r10)
+    include_nulls: bool = False
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
         (inp,) = input_props
@@ -919,6 +923,7 @@ class PhysicalUnpivot(PhysicalOperator):
     value_cols: tuple
     name_col: str
     value_col: str
+    include_nulls: bool = False
 
     def pretty(self) -> str:
         return (

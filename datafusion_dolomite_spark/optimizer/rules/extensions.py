@@ -273,7 +273,8 @@ class UnpivotImplRule(Rule):
         result.add(
             OptExpression.op(
                 X.PhysicalUnpivot(
-                    op.id_cols, op.value_cols, op.name_col, op.value_col
+                    op.id_cols, op.value_cols, op.name_col, op.value_col,
+                    op.include_nulls,
                 ),
                 *input.root.inputs,
             )

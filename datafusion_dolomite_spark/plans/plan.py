@@ -389,12 +389,14 @@ class LogicalPlanBuilder:
         value_cols: Sequence[str],
         name_col: str = "name",
         value_col: str = "value",
+        include_nulls: bool = False,
     ) -> "LogicalPlanBuilder":
         from ..operators.extensions import LogicalUnpivot
 
         return self._push(
             LogicalUnpivot(
-                tuple(id_cols), tuple(value_cols), name_col, value_col
+                tuple(id_cols), tuple(value_cols), name_col, value_col,
+                include_nulls,
             ),
             [self._require_root()],
         )

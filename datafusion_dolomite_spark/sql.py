@@ -566,6 +566,15 @@ class _Parser:
                     raise SqlError("GROUP BY ALL cannot follow SELECT *")
                 for e in items:
                     base_e = e.expr if isinstance(e, Alias) else e
+                    if _contains_window(base_e):
+                        # a window item is neither an aggregate nor a
+                        # group key — classifying it as a key would fail
+                        # later with an obscure non-SqlError
+                        raise SqlError(
+                            "GROUP BY ALL cannot classify a window-"
+                            "function select item — list the group "
+                            "keys explicitly"
+                        )
                     if not _contains_aggregate(base_e):
                         group_exprs.append(base_e)
                 if not group_exprs:
@@ -624,33 +633,17 @@ class _Parser:
                     group_exprs.append(self._resolve(self._expr()))
 
         # -- WINDOW clause: named window specs (standard SQL; DuckDB
-        # grammar order GROUP BY → HAVING → WINDOW → QUALIFY).  Contextual
-        # keyword like ROLLUP/CUBE: ``WINDOW <name> AS (spec), ...`` —
-        # every ``OVER <name>`` parsed into the select list (and any
-        # QUALIFY below) binds to its spec here before lowering.
-        named_windows: dict = {}
-        t_w = self.peek()
-        nxt_w = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
-        if (
-            t_w.kind == "ident"
-            and t_w.value.lower() == "window"
-            and nxt_w is not None
-            and nxt_w.kind == "ident"
-        ):
-            self.next()
-            while True:
-                wname = self.expect("ident").value.lower()
-                self.expect("kw", "as")
-                # resolve the spec's exprs now — select items were
-                # already frame-resolved before this clause parsed
-                named_windows[wname] = self._resolve(
-                    self._window_spec(Func("_named_window", ()))
-                )
-                if not self.accept("op", ","):
-                    break
-            items = [self._bind_named_windows(e, named_windows) for e in items]
-        else:
-            # no clause — any OVER <name> left in the items is an error
+        # grammar order GROUP BY → HAVING → WINDOW → QUALIFY).  HAVING
+        # belongs to the aggregate branches below, so when the clause
+        # follows a HAVING (``GROUP BY k HAVING ... WINDOW w AS ...``)
+        # it cannot be at the current position yet — the item binding
+        # defers until the aggregate branch has consumed HAVING and
+        # parsed the clause from its grammar slot.
+        named_windows: dict = self._parse_window_clause()
+        deferred_window = not named_windows and self._window_clause_upcoming()
+        if not deferred_window:
+            # binds OVER <name> refs now; with no clause parsed an
+            # undefined ref errors here
             items = [self._bind_named_windows(e, named_windows) for e in items]
 
         # -- QUALIFY: filter over window outputs (DuckDB/Snowflake
@@ -728,10 +721,19 @@ class _Parser:
                     return Func(x.name, tuple(_lift(a) for a in x.args))
                 return x
 
-            items = [_lift(e) for e in items]
-            hpred = None
+            hpred_raw = None
             if self.accept("kw", "having"):
-                hpred = _lift(self._resolve(self._expr()))
+                hpred_raw = self._resolve(self._expr())
+            if deferred_window:
+                # GROUP BY → HAVING → WINDOW (DuckDB grammar): the
+                # clause parses from its slot after HAVING, then the
+                # deferred item binding runs
+                named_windows.update(self._parse_window_clause())
+                items = [
+                    self._bind_named_windows(e, named_windows) for e in items
+                ]
+            items = [_lift(e) for e in items]
+            hpred = None if hpred_raw is None else _lift(hpred_raw)
             # QUALIFY follows HAVING in the grammar; when HAVING was
             # present, the clause could not have been consumed by the
             # earlier accept — pick it up here.  Its aggregate calls
@@ -946,6 +948,11 @@ class _Parser:
                     return x
 
                 hpred = _lift_aggs(hpred)
+            if deferred_window:
+                # a WINDOW clause after HAVING with no OVER refs in the
+                # items (else the window-over-aggregate branch above
+                # took the query) — consume it; the specs are unused
+                self._parse_window_clause()
             builder = builder.aggregate(
                 group_exprs or plain,
                 tuple(aggs),
@@ -1035,6 +1042,57 @@ class _Parser:
 
         return self._finish_select(builder, distinct_on=distinct_on)
 
+    def _parse_window_clause(self) -> dict:
+        """Parse ``WINDOW <name> AS (spec), ...`` at the current
+        position (contextual keyword like ROLLUP/CUBE); returns
+        ``{name: spec}``, empty when no clause is present."""
+        named: dict = {}
+        t_w = self.peek()
+        nxt_w = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        if (
+            t_w.kind == "ident"
+            and t_w.value.lower() == "window"
+            and nxt_w is not None
+            and nxt_w.kind == "ident"
+        ):
+            self.next()
+            while True:
+                wname = self.expect("ident").value.lower()
+                self.expect("kw", "as")
+                # resolve the spec's exprs now — select items were
+                # already frame-resolved before this clause parsed
+                named[wname] = self._resolve(
+                    self._window_spec(Func("_named_window", ()))
+                )
+                if not self.accept("op", ","):
+                    break
+        return named
+
+    def _window_clause_upcoming(self) -> bool:
+        """Lookahead: a WINDOW clause of THIS select lies ahead (after a
+        HAVING, before any QUALIFY / set-op / ORDER / LIMIT / closing
+        paren at depth 0) — binding of OVER <name> refs must defer
+        until the aggregate branch parses it from its grammar slot."""
+        depth = 0
+        for j, t in enumerate(self.toks[self.i:]):
+            if t.kind == "op" and t.value == "(":
+                depth += 1
+            elif t.kind == "op" and t.value == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0:
+                if t.kind == "ident" and t.value.lower() == "window":
+                    k = self.i + j + 1
+                    nt = self.toks[k] if k < len(self.toks) else None
+                    if nt is not None and nt.kind == "ident":
+                        return True
+                if t.kind == "kw" and t.value in (
+                    "qualify", "union", "intersect", "except", "order", "limit"
+                ):
+                    break
+        return False
+
     def _upcoming_qualify(self) -> bool:
         """Lookahead: a QUALIFY clause of THIS select lies ahead (before
         any set-op / ORDER / LIMIT / closing paren at depth 0).  Needed
@@ -1077,6 +1135,17 @@ class _Parser:
                 keys = [self._resolve(self._sort_key())]
                 while self.accept("op", ","):
                     keys.append(self._resolve(self._sort_key()))
+            for k in keys:
+                if _contains_window(k.expr):
+                    # inline OVER specs and OVER <name> refs alike: the
+                    # sort runs above the projection, where no window
+                    # lowering happens — reject cleanly instead of
+                    # failing deep in execution
+                    raise SqlError(
+                        "window functions are not allowed in ORDER BY — "
+                        "alias the window in the select list and order "
+                        "by the alias"
+                    )
             if distinct_on:
                 out_names = [c.name for c in self._expand_star(builder)]
                 missing = sorted(set(distinct_on) - set(out_names))
@@ -1173,7 +1242,15 @@ class _Parser:
         if t.kind != "ident" or t.value.lower() not in ("pivot", "unpivot"):
             return False
         n1 = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
-        return n1 is not None and n1.kind == "op" and n1.value == "("
+        if n1 is not None and n1.kind == "op" and n1.value == "(":
+            return True
+        # UNPIVOT INCLUDE NULLS ( / UNPIVOT EXCLUDE NULLS (
+        return (
+            t.value.lower() == "unpivot"
+            and n1 is not None
+            and n1.kind == "ident"
+            and n1.value.lower() in ("include", "exclude")
+        )
 
     def _pivot_item(self, b: LogicalPlanBuilder) -> LogicalPlanBuilder:
         """``PIVOT (agg(vcol) FOR kcol IN (lit [AS name], ...))`` — pure
@@ -1185,6 +1262,16 @@ class _Parser:
         from .expr import CaseWhen
 
         kind = self.next().value.lower()
+        include_nulls = False
+        if kind == "unpivot":
+            # UNPIVOT [INCLUDE | EXCLUDE NULLS] — standard/DuckDB
+            # default EXCLUDEs rows whose value cell is NULL
+            t_n = self.peek()
+            if t_n.kind == "ident" and t_n.value.lower() in (
+                "include", "exclude",
+            ):
+                include_nulls = self.next().value.lower() == "include"
+                self.expect("kw", "nulls")
         self.expect("op", "(")
         if kind == "unpivot":
             value_col = self.expect("ident").value
@@ -1199,7 +1286,7 @@ class _Parser:
             self.expect("op", ")")
             out_cols = [c.name for c in self._expand_star(b)]
             ids = [c for c in out_cols if c not in vcols]
-            return b.unpivot(ids, vcols, name_col, value_col)
+            return b.unpivot(ids, vcols, name_col, value_col, include_nulls)
         # PIVOT
         aggname = self.expect("ident").value.lower()
         self.expect("op", "(")

@@ -59,3 +59,70 @@ def test_window_still_valid_as_identifier_free_query(spark, planner):
         "ORDER BY o_orderkey) AS r FROM orders QUALIFY r = 1"
     )
     assert df.count() > 0
+
+
+def test_window_clause_after_having(spark, planner):
+    """DuckDB grammar order GROUP BY → HAVING → WINDOW → QUALIFY (r11,
+    ADVICE r10): the clause binding defers until the aggregate branch
+    consumes HAVING."""
+    df = planner.sql(
+        "SELECT o_custkey, count(*) AS n, "
+        "rank() OVER w AS rnk "
+        "FROM orders GROUP BY o_custkey HAVING count(*) >= 2 "
+        "WINDOW w AS (ORDER BY count(*) DESC, o_custkey)"
+    )
+    rows = df.collect()
+    assert rows and all(r["n"] >= 2 for r in rows)
+    top = min(rows, key=lambda r: r["rnk"])
+    assert top["n"] == max(r["n"] for r in rows)
+
+
+def test_window_clause_after_having_with_qualify(spark, planner):
+    df = planner.sql(
+        "SELECT o_custkey, count(*) AS n "
+        "FROM orders GROUP BY o_custkey HAVING count(*) >= 2 "
+        "WINDOW w AS (ORDER BY count(*) DESC, o_custkey) "
+        "QUALIFY rank() OVER w <= 5"
+    )
+    assert df.count() == 5
+
+
+def test_window_clause_after_having_unused(spark, planner):
+    # no OVER refs at all — the clause must still parse from its slot
+    df = planner.sql(
+        "SELECT o_custkey, count(*) AS n "
+        "FROM orders GROUP BY o_custkey HAVING count(*) >= 2 "
+        "WINDOW w AS (ORDER BY o_custkey)"
+    )
+    assert df.count() > 0
+
+
+def test_order_by_window_rejected(spark, planner):
+    import pytest
+
+    from datafusion_dolomite_spark.sql import SqlError
+
+    with pytest.raises(SqlError, match="ORDER BY"):
+        planner.sql(
+            "SELECT o_orderkey FROM orders "
+            "ORDER BY row_number() OVER (ORDER BY o_orderkey) LIMIT 3"
+        )
+    with pytest.raises(SqlError, match="ORDER BY"):
+        planner.sql(
+            "SELECT o_orderkey, rank() OVER w AS rnk FROM orders "
+            "WINDOW w AS (ORDER BY o_orderkey) "
+            "ORDER BY rank() OVER w LIMIT 3"
+        )
+
+
+def test_group_by_all_window_item_rejected(spark, planner):
+    import pytest
+
+    from datafusion_dolomite_spark.sql import SqlError
+
+    with pytest.raises(SqlError, match="GROUP BY ALL"):
+        planner.sql(
+            "SELECT o_orderstatus, count(*) AS n, "
+            "rank() OVER (ORDER BY o_orderkey) AS rnk "
+            "FROM orders GROUP BY ALL"
+        )

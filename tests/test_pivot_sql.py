@@ -73,18 +73,27 @@ def test_pivot_in_list_requires_literals(spark, planner):
         )
 
 
-def test_unpivot_keeps_nulls(spark):
-    """Spark's melt keeps NULL cells (one row per id×column, like the
-    UNION-ALL formulation the oracle uses) — unlike DuckDB's UNPIVOT
-    default, which drops them.  Pin OUR semantics."""
-    from datafusion_dolomite_spark.operators.extensions import LogicalUnpivot
-    from datafusion_dolomite_spark.plans.plan import LogicalPlanBuilder
-
-    df = spark.createDataFrame([(1, 10, None), (2, None, 20)], "id long, a long, b long")
-    out = df.unpivot(["id"], ["a", "b"], "k", "v").collect()
-    assert sorted((r.id, r.k, r.v) for r in out) == [
-        (1, "a", 10), (1, "b", None), (2, "a", None), (2, "b", 20)
-    ]
+def test_unpivot_excludes_nulls_by_default(spark, planner):
+    """Standard SQL / DuckDB UNPIVOT drops rows whose value cell is
+    NULL (r11, ADVICE r10): Spark's raw ``DataFrame.unpivot`` keeps
+    them, so the executor filters — the same string now means the same
+    thing on both engines.  ``INCLUDE NULLS`` opts back in."""
+    base = (
+        "SELECT k, nm, vl FROM "
+        "(SELECT c_custkey AS k, c_custkey AS a, "
+        " cast(CASE WHEN c_custkey % 2 = 0 THEN c_custkey END AS bigint) AS b "
+        " FROM customer WHERE c_custkey <= 10) "
+    )
+    out = planner.sql(base + "UNPIVOT (vl FOR nm IN (a, b))").collect()
+    # custkeys 0..10: the 5 odd ones have NULL b → those rows drop;
+    # all 11 a rows stay
+    assert len(out) == 11 + 6
+    assert all(r.vl is not None for r in out)
+    kept = planner.sql(
+        base + "UNPIVOT INCLUDE NULLS (vl FOR nm IN (a, b))"
+    ).collect()
+    assert len(kept) == 22
+    assert sum(1 for r in kept if r.vl is None) == 5
 
 
 def test_unpivot_mixed_types_rejected(spark, planner):

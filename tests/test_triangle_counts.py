@@ -122,3 +122,29 @@ def test_kcore_randomized_parity(spark):
     edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
     for k in (2, 4, 6):
         assert _run_kcore(spark, edges, k) == _kcore_truth(edges, k), f"k={k}"
+
+
+def test_kcore_nonconvergence_raises_not_superset(spark):
+    # A long path at k=2 peels ~2 nodes per round — with max_iter too
+    # small the loop CANNOT reach the fixpoint, and returning the
+    # partial peel would be a silent superset of the true (empty)
+    # 2-core.  strict (default) raises; strict=False warns and returns
+    # the partial peel.
+    import warnings
+
+    import pytest
+
+    from datafusion_dolomite_spark.functions.graph import k_core
+
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "x long, y long")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(df, "x", "y", 2, max_iter=3)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = k_core(df, "x", "y", 2, max_iter=3, strict=False)
+        n = out.count()
+    assert any("fixpoint" in str(x.message) for x in w)
+    assert n > 0  # the partial peel (a superset) is returned on request
+    # with enough rounds the true fixpoint (empty 2-core) is reached
+    assert k_core(df, "x", "y", 2, max_iter=30).count() == 0
