@@ -6868,15 +6868,19 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node TRIANGLE COUNTS (functions/graph.py::triangle_counts)
     over the bought-together-in-bulk graph: parts sharing an order among
     lineitems with l_quantity ≥ 30 (the quantity filter pushes to the
-    parquet scan).  Edges come from ONE groupBy(order) + map-side pair
-    expansion of the per-order part set (≤ 7 parts → ≤ 21 pairs, inside
-    codegen) — no orderkey self-join, no double scan.  Orientation inside
+    parquet scan).  Edges come from graph.py::cooccurrence_edges — ONE
+    groupBy(order) + map-side pair expansion of the per-order part set
+    (≤ 7 parts → ≤ 21 pairs, inside codegen; oversized baskets slice to
+    the max_basket prefix, r11) — no orderkey self-join.  Orientation inside
     triangle_counts caps adjacency at O(√m) regardless of degree skew
     (sf0.1: 212k edges, 121k triangles, 20k output nodes).  The DuckDB
     oracle is the independent canonical a<b<c triple join."""
     from pyspark.sql import functions as F
 
-    from datafusion_dolomite_spark.functions.graph import triangle_counts
+    from datafusion_dolomite_spark.functions.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
 
     li = _planner(spark, sf_dir).dataframe(
         LogicalPlanBuilder()
@@ -6885,17 +6889,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .projection([col("l_orderkey"), col("l_partkey")])
         .build()
     )
-    pair_expand = (
-        "flatten(transform(sequence(1, size(_a) - 1), "
-        "i -> transform(sequence(i + 1, size(_a)), "
-        "j -> struct(element_at(_a, i) AS u, element_at(_a, j) AS v))))"
-    )
-    edges = (
-        li.groupBy("l_orderkey")
-        .agg(F.expr("sort_array(collect_set(l_partkey))").alias("_a"))
-        .filter(F.expr("size(_a) >= 2"))
-        .select(F.explode(F.expr(pair_expand)).alias("_p"))
-        .select(F.col("_p.u").alias("p1"), F.col("_p.v").alias("p2"))
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey").select(
+        F.col("u").alias("p1"), F.col("v").alias("p2")
     )
     return triangle_counts(edges, "p1", "p2")
 
@@ -6905,12 +6900,16 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/graph.py::k_core): iterative degree peeling to fixpoint —
     one degree aggregate + two survivor semi-joins per round,
     localCheckpoint-bounded lineage, one scalar count per round on the
-    driver.  Converges in ≤ 6 rounds at every test SF; the DuckDB
+    driver.  Edges via graph.py::cooccurrence_edges (basket-capped
+    pair expansion, r11).  Converges in ≤ 6 rounds at every test SF; the DuckDB
     oracle unrolls 10 peeling rounds (strictly past fixpoint, so the
     unrolled chain equals the fixpoint exactly)."""
     from pyspark.sql import functions as F
 
-    from datafusion_dolomite_spark.functions.graph import k_core
+    from datafusion_dolomite_spark.functions.graph import (
+        cooccurrence_edges,
+        k_core,
+    )
 
     li = _planner(spark, sf_dir).dataframe(
         LogicalPlanBuilder()
@@ -6919,17 +6918,8 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .projection([col("l_orderkey"), col("l_partkey")])
         .build()
     )
-    pair_expand = (
-        "flatten(transform(sequence(1, size(_a) - 1), "
-        "i -> transform(sequence(i + 1, size(_a)), "
-        "j -> struct(element_at(_a, i) AS u, element_at(_a, j) AS v))))"
-    )
-    edges = (
-        li.groupBy("l_orderkey")
-        .agg(F.expr("sort_array(collect_set(l_partkey))").alias("_a"))
-        .filter(F.expr("size(_a) >= 2"))
-        .select(F.explode(F.expr(pair_expand)).alias("_p"))
-        .select(F.col("_p.u").alias("p1"), F.col("_p.v").alias("p2"))
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey").select(
+        F.col("u").alias("p1"), F.col("v").alias("p2")
     )
     return k_core(edges, "p1", "p2", k=12)
 

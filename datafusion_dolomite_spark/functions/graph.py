@@ -14,7 +14,59 @@ re-analysis time) stays CONSTANT per iteration instead of tripling.  The referen
 
 from __future__ import annotations
 
-__all__ = ["connected_components", "pagerank", "triangle_counts", "k_core"]
+__all__ = [
+    "connected_components",
+    "pagerank",
+    "triangle_counts",
+    "k_core",
+    "cooccurrence_edges",
+]
+
+
+def cooccurrence_edges(df, group_col: str, item_col: str, max_basket: int = 64):
+    """Distinct co-occurrence pairs ``(u < v)`` of items sharing a
+    group ("bought together"): ONE groupBy(group) + map-side pairwise
+    expansion of each per-group item set — no self-join, no double
+    scan, and the expansion stays inside codegen.
+
+    ``max_basket`` caps the quadratic blow-up (r11, VERDICT r10): a
+    basket of size s yields C(s, 2) pairs, so ONE hot basket of 10⁵
+    items would emit 5×10⁹ rows from a single group — the classic
+    silent scale trap of co-occurrence builds.  Baskets larger than the
+    cap contribute only the pairs among their ``max_basket`` SMALLEST
+    item ids (a deterministic sorted-prefix slice, so results are
+    stable across runs/partitionings).  The BIAS is explicit: items
+    beyond the prefix of an oversized basket lose those co-occurrence
+    edges; raise the cap (or pre-filter hot groups) when that matters.
+    TPC-H-style baskets (≤ 7 lineitems/order) sit far below any
+    reasonable cap, so the default changes nothing there.
+
+    Returns (u, v) with u < v; the same pair may repeat across groups
+    (``triangle_counts``/``k_core``/``connected_components`` all dedup
+    internally — doing it here too would add a redundant shuffle).
+
+    Reference: no graph surface exists in the reference (SURVEY §2.4).
+    """
+    from pyspark.sql import functions as F
+
+    if max_basket < 2:
+        raise ValueError("max_basket must be >= 2")
+    pair_expand = (
+        "flatten(transform(sequence(1, size(_a) - 1), "
+        "i -> transform(sequence(i + 1, size(_a)), "
+        "j -> struct(element_at(_a, i) AS u, element_at(_a, j) AS v))))"
+    )
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.expr(
+                f"slice(sort_array(collect_set({item_col})), 1, {int(max_basket)})"
+            ).alias("_a")
+        )
+        .filter(F.expr("size(_a) >= 2"))
+        .select(F.explode(F.expr(pair_expand)).alias("_p"))
+        .select(F.col("_p.u").alias("u"), F.col("_p.v").alias("v"))
+    )
 
 
 def k_core(edges, src: str, dst: str, k: int, max_iter: int = 30, strict: bool = True):

@@ -732,6 +732,13 @@ class LogicalIntervalOverlapJoin(LogicalOperator):
     incl_lr: bool = True
     #: ``r_lo <= l_hi`` vs strict ``<``
     incl_rl: bool = True
+    #: may this side hold intervals wider than the explode cap?  False
+    #: (stats-proven short, r11) drops that side's coarse legs — the
+    #: four-leg skew insurance costs ~30% when no long interval exists,
+    #: and the split is pure performance (a mis-set True only wastes
+    #: empty legs; a long interval in a fine leg still joins exactly)
+    long_left: bool = True
+    long_right: bool = True
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
         left, right = input_props
@@ -776,6 +783,8 @@ class PhysicalOverlapJoin(PhysicalOperator):
     bucket_width: float
     incl_lr: bool = True
     incl_rl: bool = True
+    long_left: bool = True
+    long_right: bool = True
 
     def pretty(self) -> str:
         return (

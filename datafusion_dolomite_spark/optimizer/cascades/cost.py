@@ -707,6 +707,91 @@ def _propagate_width(op: Operator, input_stats, ctx) -> float:
     return width
 
 
+def affine_of(e):
+    """Resolve an expression to ``(src_col, a, b)`` meaning value =
+    ``a * src + b`` — the shape derived interval bounds take
+    (``o_totalprice + 30000 AS e1``, ``n_nationkey * 40000 AS s2``).
+    Unwraps Alias/Cast; composes ``+ - *`` with a numeric literal on
+    either side (``-`` only literal-on-right).  None = not affine.
+
+    Why it matters at 100 TB: min/max column stats die at the first
+    projection that renames or shifts a column — and derived tables are
+    where interval joins and range predicates actually live.  Affine
+    tracking keeps the footer bounds alive through those projections,
+    so stats-derived bucket widths and the overlap join's skew gate see
+    real numbers instead of fallbacks."""
+    from ...expr import Alias, BinOp, Cast, Col, Lit
+
+    if isinstance(e, (Alias, Cast)):
+        return affine_of(e.expr)
+    if isinstance(e, Col):
+        return (e.name, 1.0, 0.0)
+    if isinstance(e, BinOp) and e.op in ("+", "-", "*"):
+        l, r = e.left, e.right
+        if isinstance(r, Lit) and isinstance(r.value, (int, float)):
+            base = affine_of(l)
+            if base is not None:
+                s, a, b = base
+                v = float(r.value)
+                if e.op == "+":
+                    return (s, a, b + v)
+                if e.op == "-":
+                    return (s, a, b - v)
+                return (s, a * v, b * v)
+        if isinstance(l, Lit) and isinstance(l.value, (int, float)) and e.op in (
+            "+", "*",
+        ):
+            base = affine_of(r)
+            if base is not None:
+                s, a, b = base
+                v = float(l.value)
+                if e.op == "+":
+                    return (s, a, b + v)
+                return (s, a * v, b * v)
+    return None
+
+
+def _project_columns(exprs, in_cols):
+    """Column stats THROUGH a projection: renames pass their source's
+    stats, affine exprs map the [min, max] bounds (negative scale flips
+    them); non-affine outputs carry no stats.  ndv/top_count are
+    preserved (an injective affine map keeps both exactly)."""
+    from ...operators.properties import ColumnStatistics
+    from ...operators.logical import output_name
+
+    src = dict(in_cols)
+    out = []
+    for e in exprs:
+        aff = affine_of(e)
+        if aff is None:
+            continue
+        s, a, b = aff
+        cs = src.get(s)
+        if cs is None:
+            continue
+        name = output_name(e)
+        if a == 1.0 and b == 0.0:
+            out.append((name, cs))
+            continue
+        if cs.min is None or cs.max is None or a == 0.0:
+            out.append(
+                (name, ColumnStatistics(ndv=cs.ndv, top_count=cs.top_count))
+            )
+            continue
+        lo, hi = a * float(cs.min) + b, a * float(cs.max) + b
+        if lo > hi:
+            lo, hi = hi, lo
+        out.append(
+            (
+                name,
+                ColumnStatistics(
+                    ndv=cs.ndv, min=lo, max=hi, top_count=cs.top_count
+                ),
+            )
+        )
+    return tuple(out)
+
+
 def _propagate_columns(op: Operator, input_stats, ctx, out_rows: float):
     """Carry per-column ndv up the plan: scans seed from the catalog,
     joins union both sides, grouped aggregates/distincts keep their key
@@ -732,6 +817,9 @@ def _propagate_columns(op: Operator, input_stats, ctx, out_rows: float):
         cols = tuple(seen.items())
     elif input_stats and input_stats[0] is not None:
         cols = input_stats[0].columns
+        exprs = getattr(op, "exprs", None)
+        if exprs is not None:  # Projection: rename/affine-map the stats
+            cols = _project_columns(exprs, cols)
         group_exprs = getattr(op, "group_exprs", None)
         if group_exprs is not None:
             keep = {g.name for g in group_exprs if isinstance(g, Col)}

@@ -246,6 +246,46 @@ def main():
         print(f"{n_iv:>10}{mp:>11.2f}s{mr:>11.2f}s{mp / mr:>8.1f}x"
               f"  {chosen}  (rows={n_rw})")
 
+    # ---- stats-gated skew legs (r11) ---------------------------------
+    # The four-leg skew insurance costs ~30% when no long interval
+    # exists.  Constant-width DERIVED bounds (p ± 150 computed in the
+    # query) are PROVEN short by the affine gate → fine-only plan;
+    # the same data with MATERIALIZED bound columns is unprovable
+    # (independent parquet columns, domain-spanning stats bound) →
+    # four legs.  Identical rows either way; the delta is the tax.
+    print("\noverlap skew-leg gate (100k intervals, same data):")
+    n_iv = 100_000
+    iv_path = os.path.join(work, f"oiv{n_iv}")
+    cat = Catalog()
+    cat.register("pts", pts_path)
+    cat.register("opts", opts_path)
+    cat.register("iv", iv_path)
+    qp = QueryPlanner(spark, cat)
+    gated_sql = (
+        "select count(*) as n from "
+        "(select k, p - 150.0 as s1, p + 150.0 as e1 from pts) "
+        "join (select band, s2, s2 + 200.0 as e2 from iv) "
+        "on s1 <= e2 and s2 <= e1"
+    )
+    plain_sql = (
+        "select count(*) as n from opts join iv "
+        "on s1 <= e2 and s2 <= e1"
+    )
+    n_g = qp.sql(gated_sql).collect()[0]["n"]
+    n_u = qp.sql(plain_sql).collect()[0]["n"]
+    assert n_g == n_u, (n_g, n_u)
+    for label, sql in (("fine-only (gated)", gated_sql),
+                       ("four-leg", plain_sql)):
+        phys = qp.sql(sql)._jdf.queryExecution().executedPlan().toString()
+        legs = "fine-only" if "Union" not in phys else "four-leg"
+        ts = []
+        for _ in range(trials):
+            t0 = time.monotonic()
+            qp.sql(sql).collect()
+            ts.append(time.monotonic() - t0)
+        print(f"  {label:<18}{statistics.median(ts):>8.2f}s  plan={legs}"
+              f"  (rows={n_g})")
+
 
 if __name__ == "__main__":
     main()

@@ -365,10 +365,10 @@ SHUFFLE_BUDGET = {
     # r9: BETWEEN-join rewrite → broadcast range join (no shuffle) +
     # band agg + ORDER BY (hash + range, doubled under AQE reuse)
     "q_sql_range_between": 4,
-    # r10: interval overlap join — four bucketed equi-join legs share
-    # exchanges under AQE; agg + ORDER BY (measured 2, headroom for
-    # non-reused leg exchanges)
-    "q_sql_overlap": 6,
+    # r10: interval overlap join; r11: stats-gated — both sides are
+    # proven short (constant-width affine bounds), so the plan is the
+    # SINGLE fine leg: join + agg + ORDER BY exchanges (measured 4)
+    "q_sql_overlap": 4,
 }
 
 BATCH_QUERIES = sorted(

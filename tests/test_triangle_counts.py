@@ -148,3 +148,28 @@ def test_kcore_nonconvergence_raises_not_superset(spark):
     assert n > 0  # the partial peel (a superset) is returned on request
     # with enough rounds the true fixpoint (empty 2-core) is reached
     assert k_core(df, "x", "y", 2, max_iter=30).count() == 0
+
+
+def test_cooccurrence_edges_basket_cap(spark):
+    # ONE hot basket of 10k items must emit C(max_basket, 2) pairs,
+    # not C(10k, 2) ≈ 5e7 — the quadratic scale trap the cap exists for
+    from datafusion_dolomite_spark.functions.graph import cooccurrence_edges
+
+    rows = [(1, i) for i in range(10_000)] + [(2, 5), (2, 7), (2, 9)]
+    df = spark.createDataFrame(rows, "g long, item long")
+    out = cooccurrence_edges(df, "g", "item", max_basket=64)
+    n = out.count()
+    assert n == 64 * 63 // 2 + 3
+    # deterministic prefix: the capped basket keeps its SMALLEST ids
+    mx = out.agg({"v": "max"}).collect()[0][0]
+    assert mx == 63
+    # uncapped small baskets are exact
+    exact = cooccurrence_edges(
+        df.filter("g = 2"), "g", "item", max_basket=64
+    ).collect()
+    assert sorted((r.u, r.v) for r in exact) == [(5, 7), (5, 9), (7, 9)]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_basket"):
+        cooccurrence_edges(df, "g", "item", max_basket=1)
