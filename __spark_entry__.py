@@ -1381,6 +1381,63 @@ def q_knn_cents_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED ANN INDEX — build once, probe many (r11, VERDICT r10
+    item 1; ``functions/ann_index.py``).  FAISS's train()/add()/
+    search() lifecycle as Spark tables: the first run trains the
+    residual IVF-PQ model (2-iteration Lloyd centroids, RMS-scaled
+    codebooks) and persists CODES + model under spark-warehouse with a
+    ``_meta.json`` parameterization guard (signature-index pattern:
+    marker-keyed to the source, stale siblings pruned); every later
+    run — including the bench's timed passes — goes through the
+    LogicalKnn front door, where ``Knn2IndexProbeRule`` finds the
+    matching index and the cost race picks ``PhysicalKnnIndexProbe``:
+    the query phase alone, ADC equi-join over persisted codes, exact
+    re-rank fetching only candidate vectors.  Bit-equal to the inline
+    chain (tests/test_ann_index.py), so the oracle is the same
+    ``_ivfpq_ctes`` replay (trained centroids included)."""
+    import os
+
+    from datafusion_dolomite_spark.functions.ann_index import ann_index_build
+    from datafusion_dolomite_spark.sources.signature import write_marker
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    dest, fresh, sig = _materialized_dir(sf_dir, "annindex_v1", src)
+    idx = os.path.join(dest, "index")
+    pl = _planner(spark, sf_dir)
+    if not fresh:
+        emb = pl.dataframe(LogicalPlanBuilder().scan("embeddings").build())
+        ann_index_build(
+            emb, idx, "vec_id", "embedding",
+            m=8, ksub=16, ncells=32, residual=True, kmeans_iters=2,
+        )
+        write_marker(dest, sig)
+    plan = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .knn(
+            "vec_id",
+            "embedding",
+            n_queries=8,
+            k=10,
+            method="pq",
+            pq_m=8,
+            pq_ksub=16,
+            pq_refine=50,
+            pq_ncells=32,
+            pq_nprobe=3,
+            pq_residual=True,
+            # matches the build parameterization so the inline
+            # fallback (index deleted out-of-band) computes the very
+            # same chain the index persisted
+            kmeans_iters=2,
+            index_dir=idx,
+        )
+        .build()
+    )
+    return pl.dataframe(plan)
+
+
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = (
         LogicalPlanBuilder()
@@ -2399,6 +2456,27 @@ def _knn_ivfpq_oracle(nq=5, k=10, m=8, ksub=16, refine=30, ncells=8,
     ``_ivfpq_ctes``)."""
     ctes, final = _ivfpq_ctes(
         "i", nq, k, m, ksub, refine, ncells, nprobe, sw, residual=residual
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        {ctes}
+        SELECT qid AS query_id, nid AS neighbor_id, rnk::INTEGER AS "rank"
+        FROM {final} WHERE rnk <= {k}
+    """
+
+
+def _knn_index_probe_oracle(nq=8, k=10, m=8, ksub=16, refine=50,
+                            ncells=32, nprobe=3, sw=8,
+                            cent_iters=2) -> str:
+    """q_knn_index_probe replayed exactly: the persisted index holds
+    precisely what the inline trained-centroid residual IVF-PQ chain
+    computes (bit-equal by construction and by
+    tests/test_ann_index.py), so the oracle is the same
+    ``_ivfpq_ctes`` replay with ``cent_iters`` Lloyd iterations — the
+    persistence round-trip adds nothing the SQL needs to model."""
+    ctes, final = _ivfpq_ctes(
+        "p", nq, k, m, ksub, refine, ncells, nprobe, sw,
+        residual=True, cent_iters=cent_iters,
     )
     return f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
@@ -3471,6 +3549,7 @@ EXTENSION_ORACLES = {
     "q_knn_ivf": _knn_ivf_oracle(5, 10, _oracle_ncells(), 3),
     "q_knn_ivf_kmeans": _knn_ivf_kmeans_oracle(5, 10, _oracle_ncells(), 3),
     "q_knn_pq": _knn_pq_oracle(5, 10, 8, 16, 50),
+    "q_knn_index_probe": _knn_index_probe_oracle(),
     "q_knn_ivfpq": _knn_ivfpq_oracle(5, 10, 8, 16, 50, _oracle_ncells(), 3,
                                      residual=True),
     "q_knn_cents_trained": _knn_cents_trained_oracle(),
@@ -8774,7 +8853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: stalest driver-green queries (unsampled in r9's 50).
 _UNPROVEN_PREFIX = (
     # new this round (r11) — never driver-checked, prove first
-    "q_sql_lateral", "q_sql_lateral_agg",
+    "q_sql_lateral", "q_sql_lateral_agg", "q_knn_index_probe",
     # new in r10 — driver-checked green in r10's rotation
     "q_fuzzy_join", "q_triangle_count", "q_sql_named_window",
     "q_sql_pivot", "q_sql_unpivot", "q_sql_group_all",
@@ -8917,6 +8996,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_asof_nearest": q_sql_asof_nearest,
         "q_sql_range_between": q_sql_range_between,
         "q_knn_pq": q_knn_pq,
+        "q_knn_index_probe": q_knn_index_probe,
         "q_knn_ivfpq": q_knn_ivfpq,
         "q_sql_restore": q_sql_restore,
         "q_sql_clone": q_sql_clone,

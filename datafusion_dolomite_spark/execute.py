@@ -885,6 +885,20 @@ class SparkExecutor:
             getattr(op, "pq_ncells", 0),
             getattr(op, "pq_nprobe", 3),
             getattr(op, "pq_residual", False),
+            kmeans_iters=getattr(op, "kmeans_iters", 0),
+        )
+
+    def _knn_index_probe(self, node: PlanNode):
+        from pyspark.sql import functions as F
+
+        from .functions.ann_index import ann_index_probe
+
+        op = node.operator
+        base = self._node(node.inputs[0])
+        q = base.filter(F.col(op.id_col) < op.n_queries)
+        return ann_index_probe(
+            q, op.index_dir, op.id_col, op.vec_col, k=op.k,
+            nprobe=op.nprobe, refine=op.pq_refine, corpus_df=base,
         )
 
     def _knn_logical(self, node: PlanNode):
@@ -1329,6 +1343,7 @@ _HANDLERS = {
     X.PhysicalKnnPandas: SparkExecutor._knn_pandas,
     X.PhysicalKnnIvf: SparkExecutor._knn_ivf,
     X.PhysicalKnnPq: SparkExecutor._knn_pq,
+    X.PhysicalKnnIndexProbe: SparkExecutor._knn_index_probe,
     X.LogicalKnn: SparkExecutor._knn_logical,
     X.PhysicalEmbedQuantizeSql: SparkExecutor._embed_quantize_sql,
     X.PhysicalEmbedQuantizePandas: SparkExecutor._embed_quantize_pandas,

@@ -33,6 +33,7 @@ __all__ = [
     "LogicalKnn",
     "PhysicalKnnBrute",
     "PhysicalKnnIvf",
+    "PhysicalKnnIndexProbe",
     "LogicalEmbedQuantize",
     "PhysicalEmbedQuantizeSql",
     "PhysicalEmbedQuantizePandas",
@@ -308,6 +309,12 @@ class LogicalKnn(LogicalOperator):
     #: the ADC score carries the exact dot(q, cent) term
     #: (functions/similarity.knn_pq residual=True)
     pq_residual: bool = False
+    #: path of a PERSISTED ANN index (functions/ann_index.py) this
+    #: query MAY probe: when the index exists and its parameterization
+    #: matches (m/ksub/ncells/residual), Knn2IndexProbeRule adds the
+    #: build-once/probe-many alternative and the cost race prefers it
+    #: (no per-query training).  Empty = inline chains only.
+    index_dir: str = ""
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
         return LogicalProperty(_KNN_SCHEMA)
@@ -369,6 +376,33 @@ class PhysicalKnnIvf(PhysicalOperator):
 
 
 @dataclass(frozen=True)
+class PhysicalKnnIndexProbe(PhysicalOperator):
+    """Probe a PERSISTED IVF-PQ index (functions/ann_index.py): the
+    query phase alone — LUTs, Arrow cell probe, ADC equi-join over the
+    persisted CODES, exact re-rank fetching only candidate vectors from
+    the input corpus.  Bit-equal to PhysicalKnnPq with the same
+    parameters; the difference is WHERE the model comes from — the
+    build already paid for training and encoding, so the cost model
+    prices this strictly under the inline chain."""
+
+    id_col: str
+    vec_col: str
+    n_queries: int
+    k: int
+    nprobe: int
+    pq_refine: int
+    index_dir: str
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalKnnIndexProbe {{ id: {self.id_col}, "
+            f"vec: {self.vec_col}, queries: {self.n_queries}, "
+            f"k: {self.k}, probe: {self.nprobe}, "
+            f"refine: {self.pq_refine}, index: {self.index_dir} }}"
+        )
+
+
+@dataclass(frozen=True)
 class PhysicalKnnPq(PhysicalOperator):
     """Product-quantization ADC: corpus as m small codes/vector, query
     as an m×ksub lookup table; optional exact re-rank of the ADC
@@ -384,6 +418,10 @@ class PhysicalKnnPq(PhysicalOperator):
     pq_ncells: int = 0
     pq_nprobe: int = 3
     pq_residual: bool = False
+    #: Lloyd iterations for the coarse centroids (r11 — same meaning as
+    #: LogicalKnn.kmeans_iters; lets the operator chain express the
+    #: trained-centroid IVF-PQ the persisted index stores)
+    kmeans_iters: int = 0
 
     def pretty(self) -> str:
         ivf = (

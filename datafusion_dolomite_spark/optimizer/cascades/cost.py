@@ -289,6 +289,16 @@ class SparkCostModel(CostModel):
             # Python-worker/transfer overhead; loses to the SQL path on
             # tiny rows x dim, wins as either grows (VERDICT r6 item 6)
             return 0.25 * (rows[0] if rows else 1.0) * max(op.dim, 1) + 2000.0
+        if isinstance(op, X.PhysicalKnnPq):
+            # inline chain: assignment + (optional Lloyd) + encode over
+            # EVERY corpus row, per query plan — the price the
+            # persisted index exists to amortize
+            return 3.0 * (rows[0] if rows else 1.0)
+        if isinstance(op, X.PhysicalKnnIndexProbe):
+            # codes-only ADC scan + bounded probe; training/encoding
+            # were paid at build time.  Strictly under PhysicalKnnPq at
+            # any row count so the race prefers a matching index.
+            return 0.5 * (rows[0] if rows else 1.0) + 100.0
         if isinstance(op, X.PhysicalGenerate):
             return rows[0] if rows else 1.0
         if isinstance(op, X.PhysicalDocChunk):

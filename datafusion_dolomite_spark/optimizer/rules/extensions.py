@@ -24,6 +24,7 @@ __all__ = [
     "Knn2PandasRule",
     "Knn2IvfRule",
     "Knn2PqRule",
+    "Knn2IndexProbeRule",
     "CosineNearDupImplRule",
     "NgramJaccardImplRule",
     "SetSimJoinImplRule",
@@ -176,6 +177,46 @@ class Knn2PqRule(Rule):
                     op.pq_m, op.pq_ksub, op.pq_refine,
                     op.pq_ncells, op.pq_nprobe,
                     getattr(op, "pq_residual", False),
+                    getattr(op, "kmeans_iters", 0),
+                ),
+                *input.root.inputs,
+            )
+        )
+
+
+class Knn2IndexProbeRule(Rule):
+    """Build-once/probe-many alternative (r11, VERDICT r10 item 1):
+    when the query names a persisted ANN index whose parameterization
+    matches (m/ksub/ncells/residual — the ``ann_meta_matches`` guard a
+    mismatched probe would silently mis-score against), add
+    ``PhysicalKnnIndexProbe`` to the memo.  The cost model prices the
+    probe strictly under the inline PQ chain (the index already paid
+    for training + encoding), so the race picks it whenever it's
+    legal — the inline chain remains the fallback when the index is
+    absent or parameterized differently."""
+
+    name = "Knn2IndexProbeRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalKnn)
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalKnn = input.root.operator
+        if not op.index_dir or op.method not in ("pq", "any"):
+            return
+        from ...functions.ann_index import ann_meta_matches, read_ann_meta
+
+        meta = read_ann_meta(op.index_dir)
+        if not ann_meta_matches(
+            meta, op.pq_m, op.pq_ksub, op.pq_ncells,
+            getattr(op, "pq_residual", False),
+        ):
+            return
+        result.add(
+            OptExpression.op(
+                X.PhysicalKnnIndexProbe(
+                    op.id_col, op.vec_col, op.n_queries, op.k,
+                    op.pq_nprobe, op.pq_refine, op.index_dir,
                 ),
                 *input.root.inputs,
             )
@@ -807,6 +848,7 @@ EXTENSION_RULES = [
     Knn2PandasRule(),
     Knn2IvfRule(),
     Knn2PqRule(),
+    Knn2IndexProbeRule(),
     EmbedQuantize2SqlRule(),
     EmbedQuantize2PandasRule(),
     CosineNearDupImplRule(),

@@ -332,6 +332,7 @@ class LogicalPlanBuilder:
         pq_ncells: int = 0,
         pq_nprobe: int = 3,
         pq_residual: bool = False,
+        index_dir: str = "",
     ) -> "LogicalPlanBuilder":
         from ..operators.extensions import LogicalKnn
 
@@ -339,7 +340,7 @@ class LogicalPlanBuilder:
             LogicalKnn(
                 id_col, vec_col, n_queries, k, method, ncells, nprobe,
                 kmeans_iters, pq_m, pq_ksub, pq_refine, pq_ncells,
-                pq_nprobe, pq_residual,
+                pq_nprobe, pq_residual, index_dir,
             ),
             [self._require_root()],
         )

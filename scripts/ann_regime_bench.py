@@ -308,6 +308,48 @@ def main():
             f"{name:<10}{m_:>10.3f}{m_ / b:>10.2f}x{recall[name]:>10.0%}"
         )
 
+    # ---- persisted index: build-once / probe-many (r11) ----------------
+    # The public ann_index API: one build (train + encode + persist),
+    # then repeated probes that read CODES + _meta.json only.  The
+    # per-query alternative rebuilds the whole chain every time — the
+    # column the driver queries can't show because each runs
+    # build+query in one lineage (q_knn_index_probe now splits them).
+    from datafusion_dolomite_spark.functions.ann_index import (
+        ann_index_build,
+        ann_index_probe,
+    )
+
+    idx_path = os.path.join(work, "ann_index")
+    t0 = time.monotonic()
+    ann_index_build(
+        corpus, idx_path, "vec_id", "embedding",
+        m=M, ksub=KSUB, ncells=ncells, residual=True, kmeans_iters=2,
+    )
+    idx_build_s = time.monotonic() - t0
+    qdf = corpus.filter(F.col("vec_id") < NQ)
+
+    def probe():
+        return ann_index_probe(
+            qdf, idx_path, "vec_id", "embedding", k=K, nprobe=NPROBE,
+            refine=REFINE, corpus_df=corpus,
+        )
+
+    probe().count()  # warm
+    probes = []
+    for _ in range(trials):
+        t0 = time.monotonic()
+        probe().count()
+        probes.append(time.monotonic() - t0)
+    pm = statistics.median(probes)
+    print(
+        f"\npersisted index (trained cents, residual): build once "
+        f"{idx_build_s:.2f} s, probe {pm:.3f} s/query-set — amortized "
+        f"break-even after {idx_build_s / max(1e-9, build_res_s + build_s):.1f} "
+        f"rebuild-equivalents; probe pays "
+        f"{pm / max(1e-9, b):.2f}x brute wall while reading "
+        f"{code_bytes / vec_bytes:.4f}x the bytes"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,165 @@
+"""Persisted ANN index (functions/ann_index.py): build-once/probe-many
+must be BIT-EQUAL to the inline knn_pq chain with the same parameters —
+the property that makes the persisted index oracle-able by the existing
+DuckDB replay machinery."""
+
+import pytest
+
+from datafusion_dolomite_spark.plans.plan import LogicalPlanBuilder
+
+
+@pytest.fixture()
+def emb(planner):
+    return planner.dataframe(LogicalPlanBuilder().scan("embeddings").build())
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_probe_bit_equal_to_inline_chain(tmp_path, emb):
+    from datafusion_dolomite_spark.functions.ann_index import (
+        ann_index_build,
+        ann_index_probe,
+    )
+    from datafusion_dolomite_spark.functions.similarity import knn_pq
+
+    idx = str(tmp_path / "annidx")
+    params = dict(m=8, ksub=16, ncells=16, residual=True, kmeans_iters=2)
+    ann_index_build(emb, idx, "vec_id", "embedding", **params)
+    q = emb.filter("vec_id < 6")
+    got = ann_index_probe(
+        q, idx, "vec_id", "embedding", k=8, nprobe=3, refine=40,
+        corpus_df=emb,
+    )
+    want = knn_pq(
+        emb, "vec_id", "embedding", n_queries=6, k=8, refine=40,
+        nprobe=3, **params,
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_probe_bit_equal_trained_books(tmp_path, emb):
+    from datafusion_dolomite_spark.functions.ann_index import (
+        ann_index_build,
+        ann_index_probe,
+        read_ann_meta,
+    )
+    from datafusion_dolomite_spark.functions.similarity import knn_pq
+
+    idx = str(tmp_path / "annidx_t")
+    params = dict(
+        m=8, ksub=16, ncells=16, residual=True, kmeans_iters=1,
+        train_iters=1,
+    )
+    meta = ann_index_build(emb, idx, "vec_id", "embedding", **params)
+    # the meta JSON round-trip must be exact
+    assert read_ann_meta(idx)["cents"] == [
+        [c, v] for c, v in meta["cents"]
+    ] or read_ann_meta(idx)["cents"] == meta["cents"]
+    got = ann_index_probe(
+        q := emb.filter("vec_id < 4"), idx, "vec_id", "embedding",
+        k=5, nprobe=3, refine=30, corpus_df=emb,
+    )
+    want = knn_pq(
+        emb, "vec_id", "embedding", n_queries=4, k=5, refine=30,
+        nprobe=3, **params,
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_add_batch_then_probe_sees_it(tmp_path, emb):
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.functions.ann_index import (
+        ann_index_add,
+        ann_index_build,
+        ann_index_probe,
+        read_ann_meta,
+    )
+
+    idx = str(tmp_path / "annidx_add")
+    half1 = emb.filter("vec_id % 2 = 0")
+    half2 = emb.filter("vec_id % 2 = 1 and vec_id >= 10")
+    ann_index_build(
+        half1, idx, "vec_id", "embedding", m=8, ksub=16, ncells=8,
+        residual=True, kmeans_iters=1,
+    )
+    n = ann_index_add(half2, idx, "vec_id", "embedding", "b2")
+    assert n == half2.count()
+    assert read_ann_meta(idx)["batches"] == ["base", "b2"]
+    # re-adding the same batch label is rejected (idempotency guard)
+    with pytest.raises(ValueError, match="already in the index"):
+        ann_index_add(half2, idx, "vec_id", "embedding", "b2")
+    res = ann_index_probe(
+        emb.filter("vec_id < 4"), idx, "vec_id", "embedding", k=10,
+        nprobe=4,
+    )
+    ids = {r["neighbor_id"] for r in res.collect()}
+    assert any(i % 2 == 1 for i in ids)  # added batch is probe-visible
+
+
+def test_probe_requires_index_and_matching_params(tmp_path, emb):
+    from datafusion_dolomite_spark.functions.ann_index import (
+        ann_index_build,
+        ann_index_probe,
+        ann_meta_matches,
+        read_ann_meta,
+    )
+
+    with pytest.raises(ValueError, match="build first"):
+        ann_index_probe(emb, str(tmp_path / "nope"), "vec_id", "embedding")
+    idx = str(tmp_path / "annidx_m")
+    ann_index_build(
+        emb, idx, "vec_id", "embedding", m=8, ksub=16, ncells=8,
+        residual=True, kmeans_iters=0,
+    )
+    meta = read_ann_meta(idx)
+    assert ann_meta_matches(meta, 8, 16, 8, True)
+    assert not ann_meta_matches(meta, 8, 16, 32, True)
+    assert not ann_meta_matches(meta, 8, 16, 8, False)
+    assert not ann_meta_matches(None, 8, 16, 8, True)
+
+
+def test_cost_race_prefers_matching_index(tmp_path, emb, planner):
+    from datafusion_dolomite_spark.functions.ann_index import ann_index_build
+
+    idx = str(tmp_path / "raceidx")
+    ann_index_build(
+        emb, idx, "vec_id", "embedding", m=8, ksub=16, ncells=16,
+        residual=True, kmeans_iters=1,
+    )
+    common = dict(
+        n_queries=4, k=5, method="pq", pq_m=8, pq_ksub=16,
+        pq_refine=30, pq_ncells=16, pq_nprobe=3, pq_residual=True,
+        kmeans_iters=1,
+    )
+    with_idx = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .knn("vec_id", "embedding", index_dir=idx, **common)
+        .build()
+    )
+    spine = planner.explain(with_idx)
+    assert "PhysicalKnnIndexProbe" in spine
+    # no index named → inline chain
+    without = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .knn("vec_id", "embedding", **common)
+        .build()
+    )
+    assert "PhysicalKnnPq" in planner.explain(without)
+    # parameter mismatch (different ncells) → guard refuses the index
+    mism = dict(common, pq_ncells=8)
+    plan = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .knn("vec_id", "embedding", index_dir=idx, **mism)
+        .build()
+    )
+    assert "PhysicalKnnPq" in planner.explain(plan)
+    # and the chosen probe path returns the same rows as the inline one
+    got = _rows(planner.dataframe(with_idx))
+    want = _rows(planner.dataframe(without))
+    assert got == want

@@ -365,6 +365,10 @@ SHUFFLE_BUDGET = {
     # r9: BETWEEN-join rewrite → broadcast range join (no shuffle) +
     # band agg + ORDER BY (hash + range, doubled under AQE reuse)
     "q_sql_range_between": 4,
+    # r11: persisted ANN index probe — ADC broadcast equi-join over the
+    # persisted codes + two ranking windows (measured 1; headroom for
+    # the re-rank window exchange printing separately under AQE)
+    "q_knn_index_probe": 3,
     # r10: interval overlap join; r11: stats-gated — both sides are
     # proven short (constant-width affine bounds), so the plan is the
     # SINGLE fine leg: join + agg + ORDER BY exchanges (measured 4)
