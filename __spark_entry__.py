@@ -1381,6 +1381,81 @@ def q_knn_cents_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-trained BPE tokenization (r11, ``functions/bpe.py``): a
+    16-merge table trained on the corpus's word vocab (one corpus
+    shuffle; each merge iteration runs over vocab-sized data and
+    collects one (pair, count) model row — Lloyd-centroid discipline),
+    then per-doc subword token counts via a pure ``replace``-chain JVM
+    expression over marker strings (``>h<>e<>l<>l<>o<`` — one SQL
+    ``replace`` per merge IS one canonical greedy BPE pass, leftmost
+    non-overlapping, identically in both engines).  These are the
+    counts ``sequence_pack(tokens_col=...)`` budgets with instead of
+    whitespace words.  The oracle replays training (16 materialized
+    CTE iterations, same tie rule) and encoding in DuckDB."""
+    from datafusion_dolomite_spark.functions.bpe import (
+        bpe_token_counts,
+        bpe_train,
+    )
+
+    pl = _planner(spark, sf_dir)
+    docs = pl.dataframe(
+        LogicalPlanBuilder()
+        .scan("documents", columns=["doc_id", "text"])
+        .build()
+    )
+    merges = bpe_train(docs, "text", num_merges=16)
+    return bpe_token_counts(docs, "doc_id", "text", merges)
+
+
+def _bpe_oracle(num_merges: int = 16) -> str:
+    """q_bpe_tokens replayed exactly in DuckDB: word-count vocab,
+    ``num_merges`` unrolled most-frequent-pair iterations (MATERIALIZED
+    — each level is referenced three times, and without
+    materialization the chain re-executes exponentially), the same
+    (count DESC, left, right) tie rule, the same marker-string
+    ``replace`` encoding.  Merge exhaustion degrades to a no-op via
+    the chr(1) sentinel pattern."""
+    ctes = [
+        """w0 AS MATERIALIZED (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents) t
+  WHERE word <> '' GROUP BY word)""",
+        """v0 AS MATERIALIZED (
+  SELECT word, cnt, regexp_replace(word, '(.)', '>\\1<', 'g') AS s
+  FROM w0)""",
+    ]
+    for i in range(num_merges):
+        ctes.append(f"""p{i} AS MATERIALIZED (
+  SELECT z[1] AS l, z[2] AS r, sum(cnt) AS n FROM (
+    SELECT cnt, unnest(list_zip(toks[1:-1], toks[2:])) AS z FROM (
+      SELECT cnt, string_split(substr(s, 2, length(s) - 2), '<>') AS toks
+      FROM v{i}) t1) t2
+  WHERE z[1] IS NOT NULL AND z[2] IS NOT NULL
+  GROUP BY 1, 2)""")
+        ctes.append(f"""m{i} AS MATERIALIZED (
+  SELECT l, r FROM p{i} ORDER BY n DESC, l, r LIMIT 1)""")
+        ctes.append(f"""v{i + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(s,
+                 coalesce((SELECT '>' || l || '<>' || r || '<' FROM m{i}),
+                          chr(1)),
+                 coalesce((SELECT '>' || l || r || '<' FROM m{i}), '')) AS s
+  FROM v{i})""")
+    final = f"""enc AS (SELECT word, s FROM v{num_merges}),
+docw AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+  FROM documents),
+doctok AS (
+  SELECT d.doc_id, length(e.s) - length(replace(e.s, '<', '')) AS nt
+  FROM docw d JOIN enc e ON d.word = e.word
+  WHERE d.word <> '')
+SELECT doc_id, count(*)::BIGINT AS n_words, sum(nt)::BIGINT AS n_tokens
+FROM doctok GROUP BY doc_id"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
 def q_knn_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTED ANN INDEX — build once, probe many (r11, VERDICT r10
     item 1; ``functions/ann_index.py``).  FAISS's train()/add()/
@@ -3550,6 +3625,7 @@ EXTENSION_ORACLES = {
     "q_knn_ivf_kmeans": _knn_ivf_kmeans_oracle(5, 10, _oracle_ncells(), 3),
     "q_knn_pq": _knn_pq_oracle(5, 10, 8, 16, 50),
     "q_knn_index_probe": _knn_index_probe_oracle(),
+    "q_bpe_tokens": _bpe_oracle(16),
     "q_knn_ivfpq": _knn_ivfpq_oracle(5, 10, 8, 16, 50, _oracle_ncells(), 3,
                                      residual=True),
     "q_knn_cents_trained": _knn_cents_trained_oracle(),
@@ -8854,6 +8930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round (r11) — never driver-checked, prove first
     "q_sql_lateral", "q_sql_lateral_agg", "q_knn_index_probe",
+    "q_bpe_tokens",
     # new in r10 — driver-checked green in r10's rotation
     "q_fuzzy_join", "q_triangle_count", "q_sql_named_window",
     "q_sql_pivot", "q_sql_unpivot", "q_sql_group_all",
@@ -8997,6 +9074,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_range_between": q_sql_range_between,
         "q_knn_pq": q_knn_pq,
         "q_knn_index_probe": q_knn_index_probe,
+        "q_bpe_tokens": q_bpe_tokens,
         "q_knn_ivfpq": q_knn_ivfpq,
         "q_sql_restore": q_sql_restore,
         "q_sql_clone": q_sql_clone,

@@ -365,6 +365,10 @@ SHUFFLE_BUDGET = {
     # r9: BETWEEN-join rewrite → broadcast range join (no shuffle) +
     # band agg + ORDER BY (hash + range, doubled under AQE reuse)
     "q_sql_range_between": 4,
+    # r11: BPE token counts — one aggregate exchange on doc_id; the
+    # 16 training iterations are separate vocab-sized jobs collected
+    # during query construction, not part of this plan
+    "q_bpe_tokens": 1,
     # r11: persisted ANN index probe — ADC broadcast equi-join over the
     # persisted codes + two ranking windows (measured 1; headroom for
     # the re-rank window exchange printing separately under AQE)
