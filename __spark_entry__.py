@@ -2828,6 +2828,20 @@ _SQL_LATERAL_AGG = (
 )
 
 
+_SQL_GROUPING_SETS = (
+    "SELECT coalesce(st, '(all)') AS st, coalesce(pr, '(all)') AS pr, "
+    "n, cents FROM ("
+    "  SELECT o_orderstatus AS st, o_orderpriority AS pr, "
+    "         count(*) AS n, "
+    "         cast(sum(cast(floor(o_totalprice * 100) AS bigint)) AS bigint)"
+    "             AS cents "
+    "  FROM orders "
+    "  GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), "
+    "                          (o_orderpriority), ())"
+    ") t"
+)
+
+
 #: DuckDB star modifiers: drop columns / rewrite one in place while
 #: keeping the rest of the star expansion.
 _SQL_STAR_EXCLUDE = (
@@ -4193,6 +4207,7 @@ EXTENSION_ORACLES = {
     "q_sql_named_window": _SQL_NAMED_WINDOW,
     "q_sql_group_all": _SQL_GROUP_ALL,
     "q_sql_distinct_on": _SQL_DISTINCT_ON,
+    "q_sql_grouping_sets": _SQL_GROUPING_SETS,
     "q_sql_lateral": _SQL_LATERAL,
     "q_sql_lateral_agg": _SQL_LATERAL_AGG,
     "q_sql_filter_agg": _SQL_FILTER_AGG,
@@ -6762,6 +6777,19 @@ _SQL_UNPIVOT = (
 )
 
 
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary (NON-hierarchical) GROUPING SETS through the SQL front
+    door (VERDICT r10 item 2's named query): the set list ((status,
+    priority), (priority), ()) skips the (status) level, so neither
+    ROLLUP nor CUBE can express it — the grouping-ID lowering expands
+    the explicit list in ONE shuffle pass (Spark's grouping-sets
+    expansion, map-side).  COALESCE sentinels in a derived table keep
+    subtotal NULL keys hash-comparable; same string runs on DuckDB.
+    Random 2-3-set lists fuzz this path (tests/test_sql_fuzz.py
+    ``_grouping_sets``)."""
+    return _planner(spark, sf_dir).sql(_SQL_GROUPING_SETS)
+
+
 def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATERAL derived table, top-N-per-group (r11, ``sql.py::
     _lateral_join``): the standard 'top 3 customers per nation' idiom.
@@ -8918,56 +8946,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head
 
 
-#: round-10 check priority: STALENESS rotation (VERDICT r5 item 2).
-#: New r10 queries first (MERGE schema evolution, forward/nearest
-#: ASOF), then the queries whose IMPLEMENTATION changed this round —
-#: the trained-codebook restructuring inside knn_pq (touches every PQ
-#: query), the ASOF direction machinery (grammar + executor), the
-#: two-level skew-safe range join, the Python-stateful partition
-#: sizing, the MERGE UPDATE SET * clause parser (touches every MERGE
-#: query), and the signature-index batch-history sidecar — then the
-#: stalest driver-green queries (unsampled in r9's 50).
+#: round-11 check priority: STALENESS rotation (VERDICT r5 item 2).
+#: New r11 queries first (LATERAL, persisted ANN index probe,
+#: explicit GROUPING SETS, BPE), then the queries whose
+#: IMPLEMENTATION changed this round (UNPIVOT NULL semantics, the
+#: overlap-join stats gate, basket-capped graph edge builds, the
+#: kmeans_iters threading through PhysicalKnnPq, the WINDOW-clause
+#: grammar reorder), then the stalest driver-green queries
+#: (unsampled in r10's 50).
 _UNPROVEN_PREFIX = (
     # new this round (r11) — never driver-checked, prove first
     "q_sql_lateral", "q_sql_lateral_agg", "q_knn_index_probe",
-    "q_bpe_tokens",
-    # new in r10 — driver-checked green in r10's rotation
-    "q_fuzzy_join", "q_triangle_count", "q_sql_named_window",
-    "q_sql_pivot", "q_sql_unpivot", "q_sql_group_all",
-    "q_sql_distinct_on", "q_sql_star_exclude", "q_kcore",
-    "q_weighted_sample", "q_sql_filter_agg",
-    "q_sql_merge_evolve", "q_sql_asof_fwd", "q_sql_asof_nearest",
-    "q_knn_cents_trained", "q_sql_overlap",
-    # r10 CHANGED these queries' implementation — re-prove next
-    "q_knn_residual", "q_knn_pq", "q_knn_ivfpq", "q_knn_recall",
-    "q_sql_asof", "q_asof_join", "q_asof_tolerance",
-    "q_sql_range_between",
-    "q_stream_stateful", "q_incremental_dedup",
-    "q_sql_merge", "q_sql_merge_multi", "q_sql_merge_nms",
-    "q_sql_evolve", "q_sql_dml", "q_scd2", "q_cdc_export",
-    # stalest: last driver-green in r4, unsampled since
-    "q_anti_join", "q_cube", "q_date_functions", "q_events_json",
-    "q_except", "q_funnel", "q_global_agg", "q_intersect",
-    "q_label_centroids", "q_left_join", "q_retention", "q_salted_agg",
-    "q_sessionize_batch", "q_sql_case_like",
-    "q_sql_q1", "q_sql_q10", "q_sql_q12", "q_sql_q13",
-    "q_sql_q14", "q_sql_q18", "q_sql_q19", "q_sql_q2", "q_sql_q4",
-    "q_sql_q7", "q_sql_q9", "q_union_all",
-    "q_pivot_events", "q_sql_ctas", "q_sql_grouping", "q_sql_q11",
-    "q_sql_q15", "q_sql_q16", "q_sql_q17", "q_sql_q20", "q_sql_q21",
-    "q_sql_q22",
-    # r9-green but one round old by check time
-    "q_stream_stream_join", "q_stream_outer_join", "q_stream_file_sink",
-    "q_stream_window_counts", "q_stream_sessions", "q_stream_dedup",
-    "q_stream_enrich", "q_stream_versioned",
-    "q_sql_time_travel", "q_sql_optimize", "q_sql_restore",
-    "q_sql_clone", "q_sql_constraints", "q_table_changes",
-    "q_sql_comma_q5", "q_sql_q5", "q_sql_q8", "q_adaptive_stats",
-    "q_minhash_pairs", "q_multimodal_features", "q_multimodal_frames",
-    "q_multimodal_resize", "q_ngram_jaccard", "q_pandas_udaf",
-    "q_percentiles", "q_rollup", "q_salted_join", "q_sequence_pack",
-    "q_simhash", "q_sql_offset", "q_sql_window", "q_stratified_sample",
-    "q_term_stats", "q_text_stats", "q_sql_dv", "q_sql_view",
+    "q_sql_grouping_sets", "q_bpe_tokens",
+    # r11 CHANGED these queries' implementation — re-prove next:
+    # UNPIVOT now excludes NULL value rows (semantics change),
+    # q_sql_overlap plans fine-only via the stats gate, the graph
+    # queries build edges through the basket-capped helper, the PQ
+    # family threads kmeans_iters through the physical operator, and
+    # the WINDOW-clause grammar reorder touches every named-window /
+    # GROUP BY ALL / DISTINCT ON lowering
+    "q_sql_unpivot", "q_sql_overlap", "q_kcore", "q_triangle_count",
+    "q_knn_ivfpq", "q_knn_pq", "q_knn_residual", "q_knn_recall",
+    "q_knn_cents_trained",
+    "q_sql_named_window", "q_sql_group_all", "q_sql_distinct_on",
+    "q_sql_qualify", "q_sql_window", "q_sql_grouping", "q_cube",
+    "q_rollup", "q_sql_pivot",
+    # stalest driver-green queries (unsampled in the r10 rotation)
+    "q_sql_q3", "q_sql_q6", "q_tpch_q1", "q_tpch_q10", "q_tpch_q13",
+    "q_tpch_q14", "q_tpch_q19", "q_sql_scalar_subquery",
+    "q_sql_select_scalar", "q_sql_setop_all", "q_sql_values",
+    "q_sql_udf", "q_recursive_cte", "q_join_hint",
+    "q_window_lead_ntile", "q_window_rank", "q_window_running",
+    "q_topk", "q_transitive_pred", "q_time_weighted_avg",
+    "q_unnest", "q_zorder_scan", "q_string_functions",
+    "q_dedup_clusters", "q_dedup_keep_best", "q_decontaminate",
+    "q_dup_profile", "q_exact_dedup", "q_doc_chunks",
+    "q_quality_prune", "q_lang_id", "q_bm25_search",
+    "q_corpus_resample", "q_weighted_sample", "q_stratified_sample",
+    "q_knn_brute", "q_knn_pandas", "q_knn_ivf", "q_knn_ivf_kmeans",
+    "q_cosine_near_dup", "q_semantic_dedup", "q_embed_quantize",
+    "q_pagerank", "q_fuzzy_join",
+    # streaming: r10-green, one round old by check time
+    "q_stream_stateful", "q_stream_matview", "q_stream_upsert",
+    "q_stream_stream_join", "q_stream_outer_join", "q_stream_dedup",
 )
 
 
@@ -9006,6 +9027,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_pivot": q_sql_pivot,
         "q_sql_group_all": q_sql_group_all,
         "q_sql_distinct_on": q_sql_distinct_on,
+        "q_sql_grouping_sets": q_sql_grouping_sets,
         "q_sql_lateral": q_sql_lateral,
         "q_sql_lateral_agg": q_sql_lateral_agg,
         "q_sql_filter_agg": q_sql_filter_agg,

@@ -40,6 +40,7 @@ __all__ = [
     "ann_index_build",
     "ann_index_add",
     "ann_index_probe",
+    "ann_index_compact",
     "read_ann_meta",
     "ann_meta_matches",
 ]
@@ -266,6 +267,53 @@ def ann_index_add(batch_df, index_dir: str, id_col: str, vec_col: str,
         json.dump(meta, f)
     os.replace(tmp, path)
     return int(n)
+
+
+def ann_index_compact(spark, index_dir: str, retain_batches: int) -> int:
+    """Retention GC — VACUUM…RETAIN for the ANN index, the same policy
+    knob as ``compact_signature_index``: keep only the code rows of the
+    ``retain_batches`` most recent ingest batches (the meta's ordered
+    history is the clock), rewrite the codes table, trim the history.
+    The MODEL (centroids/books/scales) is untouched — it was trained at
+    build time and stays valid for every future probe/add.  Bounds
+    index growth for rolling-window corpora.  Returns rows dropped."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    meta = read_ann_meta(index_dir)
+    if meta is None:
+        raise ValueError(f"no ANN index at {index_dir} — build first")
+    if retain_batches < 1:
+        raise ValueError("retain_batches must be >= 1")
+    batches = list(meta.get("batches", []))
+    keep = batches[-retain_batches:]
+    if keep == batches:
+        return 0
+    codes = spark.read.parquet(index_dir)
+    n_before = codes.count()
+    kept = codes.filter(F.col("_batch").isin(keep))
+    # rewrite through a temp dir: the source files are being replaced
+    tmp_dir = index_dir.rstrip("/") + ".compact.tmp"
+    kept.write.mode("overwrite").parquet(tmp_dir)
+    n_after = spark.read.parquet(tmp_dir).count()
+    import shutil
+
+    for f in os.listdir(index_dir):
+        if not f.startswith("_meta"):
+            p = os.path.join(index_dir, f)
+            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+    for f in os.listdir(tmp_dir):
+        os.replace(os.path.join(tmp_dir, f), os.path.join(index_dir, f))
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    meta["batches"] = keep
+    path = _meta_path(index_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+    return int(n_before - n_after)
 
 
 def ann_index_probe(

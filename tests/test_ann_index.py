@@ -163,3 +163,38 @@ def test_cost_race_prefers_matching_index(tmp_path, emb, planner):
     got = _rows(planner.dataframe(with_idx))
     want = _rows(planner.dataframe(without))
     assert got == want
+
+
+def test_compact_retention(tmp_path, emb, spark):
+    from datafusion_dolomite_spark.functions.ann_index import (
+        ann_index_add,
+        ann_index_build,
+        ann_index_compact,
+        ann_index_probe,
+        read_ann_meta,
+    )
+
+    idx = str(tmp_path / "annidx_gc")
+    b0 = emb.filter("vec_id % 3 = 0")
+    b1 = emb.filter("vec_id % 3 = 1")
+    b2 = emb.filter("vec_id % 3 = 2")
+    ann_index_build(
+        b0, idx, "vec_id", "embedding", m=8, ksub=16, ncells=8,
+        residual=True, kmeans_iters=1, batch_label="b0",
+    )
+    ann_index_add(b1, idx, "vec_id", "embedding", "b1")
+    ann_index_add(b2, idx, "vec_id", "embedding", "b2")
+    n0, n1, n2 = b0.count(), b1.count(), b2.count()
+    dropped = ann_index_compact(spark, idx, retain_batches=2)
+    assert dropped == n0
+    assert read_ann_meta(idx)["batches"] == ["b1", "b2"]
+    assert spark.read.parquet(idx).count() == n1 + n2
+    # retained batches still probe; the model is untouched
+    res = ann_index_probe(
+        emb.filter("vec_id < 3"), idx, "vec_id", "embedding", k=5,
+        nprobe=4,
+    )
+    ids = {r["neighbor_id"] for r in res.collect()}
+    assert ids and all(i % 3 in (1, 2) for i in ids)
+    # already-within-retention is a no-op
+    assert ann_index_compact(spark, idx, retain_batches=5) == 0

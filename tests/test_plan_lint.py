@@ -216,6 +216,9 @@ SHUFFLE_BUDGET = {
     "q_pivot_events": 1,
     "q_sql_ctas": 0,
     "q_sql_grouping": 2,
+    # r11: arbitrary set list — same one-pass expansion as GROUPING
+    # SETS above (one aggregate exchange; headroom matches)
+    "q_sql_grouping_sets": 2,
     "q_sql_q11": 2,
     "q_sql_q15": 3,
     "q_sql_q16": 3,
