@@ -2842,6 +2842,21 @@ _SQL_GROUPING_SETS = (
 )
 
 
+_SQL_DATE_ARITH = (
+    "SELECT y, m, count(*) AS n, "
+    "       count(*) FILTER (WHERE d "
+    "             < DATE '1995-01-01' + INTERVAL '90' day) AS n_window "
+    "FROM ("
+    "  SELECT year(o_orderdate + INTERVAL 2 month) AS y, "
+    "         month(o_orderdate + INTERVAL 2 month) AS m, "
+    "         o_orderdate AS d "
+    "  FROM orders "
+    "  WHERE o_orderdate >= DATE '1996-01-01' - INTERVAL '2' year "
+    "    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' + INTERVAL 12 hour"
+    ") t GROUP BY y, m"
+)
+
+
 #: DuckDB star modifiers: drop columns / rewrite one in place while
 #: keeping the rest of the star expansion.
 _SQL_STAR_EXCLUDE = (
@@ -4207,6 +4222,7 @@ EXTENSION_ORACLES = {
     "q_sql_named_window": _SQL_NAMED_WINDOW,
     "q_sql_group_all": _SQL_GROUP_ALL,
     "q_sql_distinct_on": _SQL_DISTINCT_ON,
+    "q_sql_date_arith": _SQL_DATE_ARITH,
     "q_sql_grouping_sets": _SQL_GROUPING_SETS,
     "q_sql_lateral": _SQL_LATERAL,
     "q_sql_lateral_agg": _SQL_LATERAL_AGG,
@@ -6777,6 +6793,19 @@ _SQL_UNPIVOT = (
 )
 
 
+def q_sql_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE/TIMESTAMP literals + INTERVAL arithmetic (r11, ``sql.py::
+    _date_arith``): ``x ± INTERVAL n unit`` lowers to Spark's
+    ``timestamp_add``, whose clamping month/year arithmetic (Jan 31 +
+    1 month = Feb 28), time-of-day preservation, and DATE → midnight
+    TIMESTAMP promotion match DuckDB's native interval arithmetic
+    bit-for-bit — so the same string is its own oracle.  The TPC-H
+    date-window idiom (`>= date X AND < date X + interval`) finally
+    parses as written instead of with pre-computed bounds; the
+    predicates still push to the parquet scan."""
+    return _planner(spark, sf_dir).sql(_SQL_DATE_ARITH)
+
+
 def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary (NON-hierarchical) GROUPING SETS through the SQL front
     door (VERDICT r10 item 2's named query): the set list ((status,
@@ -8957,7 +8986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round (r11) — never driver-checked, prove first
     "q_sql_lateral", "q_sql_lateral_agg", "q_knn_index_probe",
-    "q_sql_grouping_sets", "q_bpe_tokens",
+    "q_sql_grouping_sets", "q_bpe_tokens", "q_sql_date_arith",
     # r11 CHANGED these queries' implementation — re-prove next:
     # UNPIVOT now excludes NULL value rows (semantics change),
     # q_sql_overlap plans fine-only via the stats gate, the graph
@@ -9027,6 +9056,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_pivot": q_sql_pivot,
         "q_sql_group_all": q_sql_group_all,
         "q_sql_distinct_on": q_sql_distinct_on,
+        "q_sql_date_arith": q_sql_date_arith,
         "q_sql_grouping_sets": q_sql_grouping_sets,
         "q_sql_lateral": q_sql_lateral,
         "q_sql_lateral_agg": q_sql_lateral_agg,

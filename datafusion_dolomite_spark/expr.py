@@ -238,6 +238,7 @@ class Func(Expr):
         "element_at": (1,),
         "lpad": (1, 2),
         "rpad": (1, 2),
+        "timestamp_add": (0,),
     }
 
     def to_column(self):

@@ -98,6 +98,30 @@ class _ExistsSubquery:
         self.negated = negated
 
 
+class _IntervalLit:
+    """Parser-internal marker: ``INTERVAL '90' DAY`` (r11).  Only legal
+    directly under ``+``/``-`` with a date/timestamp operand — ``_add``
+    rewrites the pair into ``timestamp_add(UNIT, ±n, x)``, whose Spark
+    semantics (clamping month/year arithmetic, time-of-day preserved,
+    DATE input → midnight TIMESTAMP) match DuckDB's native
+    ``date ± INTERVAL`` exactly — so the same query string is its own
+    oracle.  Escaping to any other position raises at parse time."""
+
+    __slots__ = ("n", "unit")
+
+    _UNITS = {
+        "day": "DAY", "days": "DAY", "week": "WEEK", "weeks": "WEEK",
+        "month": "MONTH", "months": "MONTH", "quarter": "QUARTER",
+        "quarters": "QUARTER", "year": "YEAR", "years": "YEAR",
+        "hour": "HOUR", "hours": "HOUR", "minute": "MINUTE",
+        "minutes": "MINUTE", "second": "SECOND", "seconds": "SECOND",
+    }
+
+    def __init__(self, n, unit):
+        self.n = n
+        self.unit = unit
+
+
 class _WindowExpr:
     """Parser-internal marker: ``func OVER (...)``.  Never enters the
     plan — ``_select`` lowers each into a ``WindowExprDef`` on a
@@ -1873,11 +1897,33 @@ class _Parser:
         e = self._mul()
         while True:
             if self.accept("op", "+"):
-                e = BinOp("+", e, self._mul())
+                e = self._date_arith("+", e, self._mul())
             elif self.accept("op", "-"):
-                e = BinOp("-", e, self._mul())
+                e = self._date_arith("-", e, self._mul())
             else:
+                if isinstance(e, _IntervalLit):
+                    raise SqlError(
+                        "INTERVAL literals are only valid in "
+                        "date/timestamp + or - arithmetic"
+                    )
                 return e
+
+    @staticmethod
+    def _date_arith(op: str, l, r):
+        """``x ± INTERVAL n unit`` → ``timestamp_add(UNIT, ±n, x)`` —
+        Spark's clamping month/year arithmetic and DATE-→-midnight-
+        TIMESTAMP promotion match DuckDB's native interval arithmetic
+        exactly (see _IntervalLit)."""
+        if isinstance(r, _IntervalLit):
+            if isinstance(l, _IntervalLit):
+                raise SqlError("INTERVAL ± INTERVAL is not supported")
+            n = r.n if op == "+" else -r.n
+            return Func("timestamp_add", (Lit(r.unit), Lit(n), l))
+        if isinstance(l, _IntervalLit):
+            if op == "+":  # INTERVAL + x commutes
+                return _Parser._date_arith("+", r, l)
+            raise SqlError("INTERVAL - <expr> is not valid")
+        return BinOp(op, l, r)
 
     def _mul(self) -> Expr:
         e = self._primary()
@@ -1967,15 +2013,39 @@ class _Parser:
             return Cast(e, ty)
         if t.kind == "ident":
             name = self.next().value
+            low = name.lower()
+            nt = self.peek()
+            # typed literals (contextual, like ROLLUP/PIVOT): DATE
+            # 'yyyy-mm-dd' / TIMESTAMP '...' — lowered as a cast, which
+            # both engines evaluate identically
+            if low in ("date", "timestamp") and nt.kind == "string":
+                s = self.next().value
+                return Cast(Lit(s[1:-1].replace("''", "'")), low)
+            # INTERVAL '90' DAY / INTERVAL 3 MONTH — a marker only
+            # ``_add`` may consume (see _IntervalLit)
+            if low == "interval" and nt.kind in ("string", "number"):
+                tok = self.next()
+                raw = tok.value if tok.kind == "number" else tok.value[1:-1]
+                try:
+                    n = int(raw)
+                except ValueError:
+                    raise SqlError(
+                        f"INTERVAL quantity must be an integer, got {raw!r}"
+                    )
+                ut = self.expect("ident").value.lower()
+                unit = _IntervalLit._UNITS.get(ut)
+                if unit is None:
+                    raise SqlError(f"unknown INTERVAL unit {ut!r}")
+                return _IntervalLit(n, unit)
             if self.accept("op", "("):
                 return self._call(name)
             if self.accept("op", "."):
                 colname = self.expect("ident").value
                 return Col(colname, qualifier=name)
-            if name.lower() in ("true", "false"):
+            if low in ("true", "false"):
                 # boolean literals lex as idents (not reserved, so a
                 # column named `true` would shadow — as in Spark SQL)
-                return Lit(name.lower() == "true")
+                return Lit(low == "true")
             return Col(name)
         raise SqlError(f"unexpected token {t!r}")
 

@@ -368,6 +368,9 @@ SHUFFLE_BUDGET = {
     # r9: BETWEEN-join rewrite → broadcast range join (no shuffle) +
     # band agg + ORDER BY (hash + range, doubled under AQE reuse)
     "q_sql_range_between": 4,
+    # r11: date/interval arithmetic — one aggregate exchange; the
+    # interval-derived bounds push into the parquet scan
+    "q_sql_date_arith": 1,
     # r11: BPE token counts — one aggregate exchange on doc_id; the
     # 16 training iterations are separate vocab-sized jobs collected
     # during query construction, not part of this plan

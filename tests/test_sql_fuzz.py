@@ -1422,6 +1422,42 @@ class Gen:
         )
         return sql, sql + " HAVING count(*) > 0"
 
+    def _date_arith(self):
+        """DATE/INTERVAL arithmetic (r11) — the same string runs on
+        DuckDB.  Dates stay in PREDICATES (timestamp-typed outputs are
+        excluded from the generator by design); outputs are integer
+        aggregates.  Random base date ± random interval in day/week/
+        month/year units over the two date-bearing fact tables."""
+        r = self.rng
+        t, dcol = r.choice(
+            [("orders", "o_orderdate"), ("lineitem", "l_shipdate")]
+        )
+        y = r.randint(1993, 1997)
+        mo = r.randint(1, 12)
+        d = r.randint(1, 28)
+        base = f"DATE '{y:04d}-{mo:02d}-{d:02d}'"
+        unit = r.choice(["day", "week", "month", "year"])
+        n = {"day": r.randint(1, 400), "week": r.randint(1, 60),
+             "month": r.randint(1, 18), "year": r.randint(1, 3)}[unit]
+        quoted = f"'{n}'" if r.random() < 0.5 else str(n)
+        sign = r.choice(["+", "-"])
+        bound = f"{base} {sign} INTERVAL {quoted} {unit}"
+        ints = [c for c, ty in TABLES[t].items() if ty == INT]
+        ic = r.choice(ints)
+        op = r.choice(["<", "<=", ">", ">="])
+        pred = f"{dcol} {op} {bound}"
+        if r.random() < 0.4:
+            lo = f"DATE '{y:04d}-01-01'"
+            pred = (
+                f"{dcol} >= {lo} AND {dcol} < {lo} + "
+                f"INTERVAL {r.randint(1, 9)} month"
+            )
+        sql = (
+            f"SELECT count(*) AS c0, min({ic}) AS c1, max({ic}) AS c2, "
+            f"sum({ic}) AS c3 FROM {t} WHERE {pred}"
+        )
+        return sql, sql
+
     SHAPES = (
         ("_simple", 14),
         ("_join", 18),
@@ -1452,6 +1488,7 @@ class Gen:
         ("_filter_agg", 6),
         ("_lateral", 8),
         ("_grouping_sets", 6),
+        ("_date_arith", 6),
     )
 
     def query(self):
@@ -1472,11 +1509,11 @@ class Gen:
 # _comma_join shape (DP join enumeration under fuzz) and moves the seed
 # so ALL shapes resample — the old pins stay reproducible from their
 # trees.  r10 added _named_window/_pivot/_unpivot; r11 (this session)
-# adds _lateral/_grouping_sets and moves the seed again: these 480 are
-# the current pin.
+# adds _lateral/_grouping_sets/_date_arith and moves the seed again:
+# these 480 are the current pin.
 N_CHUNKS = 8
 PER_CHUNK = 60
-SEED = 20260817
+SEED = 20260818
 
 
 @pytest.mark.parametrize("chunk", range(N_CHUNKS))
