@@ -655,6 +655,38 @@ class _Parser:
                 group_exprs.append(self._resolve(self._expr()))
                 while self.accept("op", ","):
                     group_exprs.append(self._resolve(self._expr()))
+                # GROUP BY ordinals (standard SQL; DuckDB and Spark both
+                # resolve them): a bare integer names the select item at
+                # that 1-based position.  GROUP BY <alias> (DuckDB)
+                # resolves a name no input column carries to the
+                # matching select-item alias — real columns take
+                # precedence, DuckDB's rule.
+                group_exprs = [
+                    self._group_ordinal(g, items, star) for g in group_exprs
+                ]
+                alias_refs = [
+                    g for g in group_exprs
+                    if isinstance(g, Col) and g.qualifier is None
+                ]
+                if alias_refs and not star:
+                    amap_g = {
+                        e.name: e.expr for e in items if isinstance(e, Alias)
+                    }
+                    if any(g.name in amap_g for g in alias_refs):
+                        in_names = set(self._schema_names(builder))
+                        group_exprs = [
+                            amap_g[g.name]
+                            if (
+                                isinstance(g, Col)
+                                and g.qualifier is None
+                                and g.name not in in_names
+                                and g.name in amap_g
+                                and not _contains_aggregate(amap_g[g.name])
+                                and not _contains_window(amap_g[g.name])
+                            )
+                            else g
+                            for g in group_exprs
+                        ]
 
         # -- WINDOW clause: named window specs (standard SQL; DuckDB
         # grammar order GROUP BY → HAVING → WINDOW → QUALIFY).  HAVING
@@ -1066,6 +1098,29 @@ class _Parser:
 
         return self._finish_select(builder, distinct_on=distinct_on)
 
+    @staticmethod
+    def _group_ordinal(g, items, star):
+        """Resolve a bare-integer GROUP BY key to the select item at
+        that 1-based position (its base expression, alias stripped)."""
+        if not (isinstance(g, Lit) and isinstance(g.value, int)
+                and not isinstance(g.value, bool)):
+            return g
+        if star:
+            raise SqlError("GROUP BY ordinals cannot follow SELECT *")
+        n = g.value
+        if not 1 <= n <= len(items):
+            raise SqlError(
+                f"GROUP BY position {n} is out of range "
+                f"(select list has {len(items)} items)"
+            )
+        e = items[n - 1]
+        e = e.expr if isinstance(e, Alias) else e
+        if _contains_aggregate(e) or _contains_window(e):
+            raise SqlError(
+                f"GROUP BY position {n} names an aggregate/window item"
+            )
+        return e
+
     def _parse_window_clause(self) -> dict:
         """Parse ``WINDOW <name> AS (spec), ...`` at the current
         position (contextual keyword like ROLLUP/CUBE); returns
@@ -1159,6 +1214,33 @@ class _Parser:
                 keys = [self._resolve(self._sort_key())]
                 while self.accept("op", ","):
                     keys.append(self._resolve(self._sort_key()))
+            if any(
+                isinstance(k.expr, Lit)
+                and isinstance(k.expr.value, int)
+                and not isinstance(k.expr.value, bool)
+                for k in keys
+            ):
+                # ORDER BY ordinals (standard SQL; DuckDB and Spark both
+                # resolve them): a bare integer names the output column
+                # at that 1-based position
+                out_o = [c.name for c in self._expand_star(builder)]
+
+                def _ord(k):
+                    if not (
+                        isinstance(k.expr, Lit)
+                        and isinstance(k.expr.value, int)
+                        and not isinstance(k.expr.value, bool)
+                    ):
+                        return k
+                    n = k.expr.value
+                    if not 1 <= n <= len(out_o):
+                        raise SqlError(
+                            f"ORDER BY position {n} is out of range "
+                            f"(output has {len(out_o)} columns)"
+                        )
+                    return SortKey(Col(out_o[n - 1]), k.asc, k.nulls_first)
+
+                keys = [_ord(k) for k in keys]
             for k in keys:
                 if _contains_window(k.expr):
                     # inline OVER specs and OVER <name> refs alike: the

@@ -63,3 +63,57 @@ def test_interval_outside_arithmetic_rejected(planner):
         planner.sql(
             "select date '1995-01-01' + interval 3 fortnight as x"
         )
+
+
+def test_group_order_by_ordinals(planner):
+    # standard SQL ordinals — DuckDB and Spark resolve identically
+    got = planner.sql(
+        "select o_orderstatus, o_orderpriority, count(*) as n "
+        "from orders group by 1, 2 order by 1, 2 limit 5"
+    ).collect()
+    want = planner.sql(
+        "select o_orderstatus, o_orderpriority, count(*) as n "
+        "from orders group by o_orderstatus, o_orderpriority "
+        "order by o_orderstatus, o_orderpriority limit 5"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    got2 = planner.sql(
+        "select o_orderstatus as s, count(*) as n from orders "
+        "group by 1 order by 2 desc, 1 limit 2"
+    ).collect()
+    want2 = planner.sql(
+        "select o_orderstatus as s, count(*) as n from orders "
+        "group by o_orderstatus order by n desc, s limit 2"
+    ).collect()
+    assert [tuple(r) for r in got2] == [tuple(r) for r in want2]
+
+
+def test_ordinal_out_of_range(planner):
+    import pytest
+
+    from datafusion_dolomite_spark.sql import SqlError
+
+    with pytest.raises(SqlError, match="out of range"):
+        planner.sql("select o_orderstatus from orders group by 3")
+    with pytest.raises(SqlError, match="out of range"):
+        planner.sql(
+            "select o_orderstatus from orders order by 2 limit 1"
+        )
+    with pytest.raises(SqlError, match="aggregate"):
+        planner.sql(
+            "select count(*) as n from orders group by 1"
+        )
+
+
+def test_group_by_select_alias(planner):
+    # DuckDB rule: a GROUP BY name no input column carries resolves to
+    # the select-item alias; real columns take precedence
+    got = planner.sql(
+        "select upper(o_orderstatus) as st, count(*) as n "
+        "from orders group by st order by st"
+    ).collect()
+    want = planner.sql(
+        "select upper(o_orderstatus) as st, count(*) as n "
+        "from orders group by upper(o_orderstatus) order by st"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
