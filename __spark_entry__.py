@@ -2857,6 +2857,21 @@ _SQL_DATE_ARITH = (
 )
 
 
+_SQL_UNION_BY_NAME = (
+    "SELECT s, cast(sum(DISTINCT cents) AS bigint) AS sdc, "
+    "       count(*) AS n, max(extra) AS mx "
+    "FROM ("
+    "  SELECT o_orderstatus AS s, "
+    "         cast(floor(o_totalprice * 100) AS bigint) AS cents "
+    "  FROM orders WHERE o_orderkey < 4000 "
+    "  UNION ALL BY NAME "
+    "  SELECT cast(floor(o_totalprice * 100) AS bigint) AS cents, "
+    "         o_custkey AS extra, o_orderstatus AS s "
+    "  FROM orders WHERE o_orderkey < 2000"
+    ") t GROUP BY s"
+)
+
+
 #: DuckDB star modifiers: drop columns / rewrite one in place while
 #: keeping the rest of the star expansion.
 _SQL_STAR_EXCLUDE = (
@@ -4222,6 +4237,7 @@ EXTENSION_ORACLES = {
     "q_sql_named_window": _SQL_NAMED_WINDOW,
     "q_sql_group_all": _SQL_GROUP_ALL,
     "q_sql_distinct_on": _SQL_DISTINCT_ON,
+    "q_sql_union_by_name": _SQL_UNION_BY_NAME,
     "q_sql_date_arith": _SQL_DATE_ARITH,
     "q_sql_grouping_sets": _SQL_GROUPING_SETS,
     "q_sql_lateral": _SQL_LATERAL,
@@ -6793,6 +6809,15 @@ _SQL_UNPIVOT = (
 )
 
 
+def q_sql_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL BY NAME (DuckDB, r11): columns match by NAME across
+    differently-ordered select lists, missing ones null-fill —
+    ``LogicalUnion(by_name=True)`` → Spark
+    ``unionByName(allowMissingColumns=True)``.  Plus ``sum(DISTINCT)``
+    (r11) over the merged rows.  Same string runs on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_UNION_BY_NAME)
+
+
 def q_sql_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DATE/TIMESTAMP literals + INTERVAL arithmetic (r11, ``sql.py::
     _date_arith``): ``x ± INTERVAL n unit`` lowers to Spark's
@@ -8987,6 +9012,7 @@ _UNPROVEN_PREFIX = (
     # new this round (r11) — never driver-checked, prove first
     "q_sql_lateral", "q_sql_lateral_agg", "q_knn_index_probe",
     "q_sql_grouping_sets", "q_bpe_tokens", "q_sql_date_arith",
+    "q_sql_union_by_name",
     # r11 CHANGED these queries' implementation — re-prove next:
     # UNPIVOT now excludes NULL value rows (semantics change),
     # q_sql_overlap plans fine-only via the stats gate, the graph
@@ -9056,6 +9082,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_pivot": q_sql_pivot,
         "q_sql_group_all": q_sql_group_all,
         "q_sql_distinct_on": q_sql_distinct_on,
+        "q_sql_union_by_name": q_sql_union_by_name,
         "q_sql_date_arith": q_sql_date_arith,
         "q_sql_grouping_sets": q_sql_grouping_sets,
         "q_sql_lateral": q_sql_lateral,

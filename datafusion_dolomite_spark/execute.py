@@ -616,8 +616,13 @@ class SparkExecutor:
     def _union(self, node: PlanNode):
         dfs = [self._node(c) for c in node.inputs]
         out = dfs[0]
+        by_name = getattr(node.operator, "by_name", False)
         for d in dfs[1:]:
-            out = out.unionAll(d)
+            out = (
+                out.unionByName(d, allowMissingColumns=True)
+                if by_name
+                else out.unionAll(d)
+            )
         return out
 
     def _intersect(self, node: PlanNode):

@@ -202,7 +202,7 @@ class BinOp(Expr):
 #: scalar/aggregate function names → pyspark.sql.functions factory.
 #: Everything stays JVM-side (whole-stage codegen); no Python UDFs here.
 _AGG_FUNCS = {
-    "sum", "avg", "count", "min", "max", "count_distinct",
+    "sum", "avg", "count", "min", "max", "count_distinct", "sum_distinct",
     "approx_count_distinct", "stddev", "first",
     # mergeable-sketch aggregates (re-aggregable rollups, mv.py)
     "hll_sketch_agg", "hll_union_agg",

@@ -68,46 +68,51 @@ def bpe_train(df, text_col: str, num_merges: int = 16,
               max_vocab: int = 65536):
     """The merge table: ``num_merges`` most-frequent-adjacent-pair
     merges over the word vocab, ties (count DESC, left ASC, right
-    ASC).  Each iteration retokenizes the vocab with the merges so far
-    (a chain of ``replace`` — vocab-sized work) and collects ONE
-    (left, right) row.  Stops early when no adjacent pair remains.
+    ASC).  Stops early when no adjacent pair remains.
+
+    The corpus is touched ONCE (the word-count shuffle); the
+    ``max_vocab``-bounded (word, count) dict then collects to the
+    driver and the merge loop runs in plain Python — MODEL-scale data
+    (the same boundedness argument as the Lloyd centroid collects, and
+    exactly how HF tokenizers train: on the word-frequency dict, never
+    the corpus).  An earlier all-Spark formulation ran each iteration
+    as a vocab-sized Spark job: 16 merges = 17 jobs of pure stage
+    overhead on a dict that fits in L2 cache.
 
     Returns ``[(left, right), ...]`` — the deterministic model the
-    apply expression and the DuckDB oracle both consume."""
-    from pyspark.sql import functions as F
-
-    vocab = bpe_word_vocab(df, text_col, max_vocab).persist()
-    vocab.count()
+    apply expression and the DuckDB oracle both consume (the loop
+    below IS the oracle's unrolled-CTE computation, stated in
+    Python)."""
+    vocab = [
+        (r["word"], r["cnt"])
+        for r in bpe_word_vocab(df, text_col, max_vocab).collect()
+    ]
+    toks = {w: list(w) for w, _ in vocab}
     merges: list = []
     for _ in range(num_merges):
-        s = _chars_expr("word")
-        for left, right in merges:
-            s = (
-                f"replace({s}, '>{left}<>{right}<', '>{left}{right}<')"
-            )
-        # tokens of the CURRENT tokenization; adjacent pairs weighted
-        # by the word count
-        toks = f"split(substring({s}, 2, length({s}) - 2), '<>')"
-        pairs = (
-            vocab.select(
-                "cnt",
-                F.expr(
-                    f"zip_with(slice({toks}, 1, size({toks}) - 1), "
-                    f"slice({toks}, 2, size({toks}) - 1), "
-                    "(a, b) -> struct(a as l, b as r))"
-                ).alias("_ps"),
-            )
-            .select("cnt", F.explode("_ps").alias("_p"))
-            .groupBy(F.col("_p.l").alias("l"), F.col("_p.r").alias("r"))
-            .agg(F.sum("cnt").alias("n"))
-        )
-        top = pairs.orderBy(
-            F.col("n").desc(), F.col("l"), F.col("r")
-        ).limit(1).collect()
-        if not top:
+        pc: dict = {}
+        for w, c in vocab:
+            ts = toks[w]
+            for a, b in zip(ts, ts[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
             break
-        merges.append((top[0]["l"], top[0]["r"]))
-    vocab.unpersist()
+        left, right = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((left, right))
+        # leftmost non-overlapping merge pass — the same greedy scan
+        # one marker-string replace performs
+        for w, _ in vocab:
+            ts = toks[w]
+            out = []
+            i = 0
+            while i < len(ts):
+                if i + 1 < len(ts) and ts[i] == left and ts[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(ts[i])
+                    i += 1
+            toks[w] = out
     return merges
 
 

@@ -402,13 +402,29 @@ class LogicalWindow(LogicalOperator):
 
 @dataclass(frozen=True)
 class LogicalUnion(LogicalOperator):
-    """UNION ALL of N inputs by column position (extension)."""
+    """UNION ALL of N inputs by column position (extension).
+    ``by_name=True`` (DuckDB's UNION BY NAME, r11) matches columns by
+    NAME instead, null-filling ones a side lacks — Spark's
+    ``unionByName(allowMissingColumns=True)``."""
+
+    by_name: bool = False
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
-        return input_props[0]
+        if not self.by_name:
+            return input_props[0]
+        from .properties import Field, LogicalProperty, Schema
+
+        fields = []
+        seen = set()
+        for p in input_props:
+            for f in p.schema.fields:
+                if f.name not in seen:
+                    seen.add(f.name)
+                    fields.append(Field(f.name, f.dtype, True))
+        return LogicalProperty(Schema(tuple(fields)))
 
     def pretty(self) -> str:
-        return "LogicalUnion"
+        return "LogicalUnion { by_name }" if self.by_name else "LogicalUnion"
 
 
 @dataclass(frozen=True)

@@ -444,8 +444,10 @@ class PhysicalWindow(PhysicalOperator):
 
 @dataclass(frozen=True)
 class PhysicalUnion(PhysicalOperator):
+    by_name: bool = False
+
     def pretty(self) -> str:
-        return "PhysicalUnion"
+        return "PhysicalUnion { by_name }" if self.by_name else "PhysicalUnion"
 
 
 @dataclass(frozen=True)

@@ -195,7 +195,12 @@ class Union2UnionRule(Rule):
         return pattern_of(L.LogicalUnion)
 
     def apply(self, input, ctx, result: RuleResult) -> None:
-        result.add(OptExpression.op(P.PhysicalUnion(), *input.root.inputs))
+        result.add(
+            OptExpression.op(
+                P.PhysicalUnion(getattr(input.root.operator, "by_name", False)),
+                *input.root.inputs,
+            )
+        )
 
 
 class Intersect2IntersectRule(Rule):

@@ -371,9 +371,28 @@ class _Parser:
         while True:
             if self.accept("kw", "union"):
                 distinct = self.accept("kw", "all") is None
+                # UNION [ALL] BY NAME (DuckDB, r11): match columns by
+                # name, null-filling ones a side lacks
+                by_name = False
+                t_b = self.peek()
+                n_b = (
+                    self.toks[self.i + 1]
+                    if self.i + 1 < len(self.toks)
+                    else None
+                )
+                if (
+                    t_b.kind == "kw"
+                    and t_b.value == "by"
+                    and n_b is not None
+                    and n_b.kind == "ident"
+                    and n_b.value.lower() == "name"
+                ):
+                    self.next()
+                    self.next()
+                    by_name = True
                 rhs = self._select()
                 b = LogicalPlanBuilder(plan.root)._push(
-                    LogicalUnion(), [plan.root, rhs.root]
+                    LogicalUnion(by_name), [plan.root, rhs.root]
                 )
                 if distinct:
                     b = b.distinct()
@@ -2144,9 +2163,16 @@ class _Parser:
         if self.accept("kw", "distinct"):
             arg = self._expr()
             self.expect("op", ")")
-            if fname != "count":
-                raise SqlError("DISTINCT only supported inside count()")
-            return Func("count_distinct", (arg,))
+            if fname == "count":
+                return Func("count_distinct", (arg,))
+            if fname == "sum":
+                return Func("sum_distinct", (arg,))
+            if fname in ("min", "max"):
+                # DISTINCT under min/max is the identity
+                return Func(fname, (arg,))
+            raise SqlError(
+                "DISTINCT is supported inside count()/sum()/min()/max()"
+            )
         args: List[Expr] = []
         if not self.accept("op", ")"):
             args.append(self._expr())

@@ -117,3 +117,43 @@ def test_group_by_select_alias(planner):
         "from orders group by upper(o_orderstatus) order by st"
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_union_by_name_and_distinct_aggs(planner):
+    rows = planner.sql(
+        "select n_name as a, n_nationkey as k from nation "
+        "where n_nationkey < 3 "
+        "union all by name "
+        "select n_regionkey as r, n_name as a, n_nationkey as k "
+        "from nation where n_nationkey < 2"
+    )
+    assert rows.columns == ["a", "k", "r"]
+    got = rows.collect()
+    assert len(got) == 5
+    assert sum(1 for r in got if r["r"] is None) == 3  # null-filled side
+    # distinct union by name dedups over the unified schema
+    d = planner.sql(
+        "select n_nationkey as k from nation where n_nationkey < 3 "
+        "union by name "
+        "select n_nationkey as k, n_regionkey as r from nation "
+        "where n_nationkey < 3"
+    ).collect()
+    assert len(d) == 6  # (k, NULL) and (k, r) rows are distinct
+    agg = planner.sql(
+        "select cast(sum(distinct o_custkey) as bigint) as sd, "
+        "min(distinct o_orderkey) as mn from orders"
+    ).collect()[0]
+    exact = planner.sql(
+        "select cast(sum(k) as bigint) as sd from "
+        "(select distinct o_custkey as k from orders)"
+    ).collect()[0]
+    assert agg["sd"] == exact["sd"] and agg["mn"] == 0
+
+
+def test_distinct_unsupported_aggregate_rejected(planner):
+    import pytest
+
+    from datafusion_dolomite_spark.sql import SqlError
+
+    with pytest.raises(SqlError, match="DISTINCT"):
+        planner.sql("select avg(distinct o_totalprice) as a from orders")

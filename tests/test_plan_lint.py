@@ -368,6 +368,9 @@ SHUFFLE_BUDGET = {
     # r9: BETWEEN-join rewrite → broadcast range join (no shuffle) +
     # band agg + ORDER BY (hash + range, doubled under AQE reuse)
     "q_sql_range_between": 4,
+    # r11: union-by-name + sum(DISTINCT): distinct pre-agg exchange +
+    # final agg exchange (Spark plans DISTINCT aggregates two-phase)
+    "q_sql_union_by_name": 2,
     # r11: date/interval arithmetic — one aggregate exchange; the
     # interval-derived bounds push into the parquet scan
     "q_sql_date_arith": 1,
