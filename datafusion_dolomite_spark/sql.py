@@ -1028,6 +1028,31 @@ class _Parser:
                 # items (else the window-over-aggregate branch above
                 # took the query) — consume it; the specs are unused
                 self._parse_window_clause()
+            if group_exprs and plain:
+                # clean parse-time rejection of ungrouped plain items
+                # (both engines reject; without this check the error
+                # surfaces as a raw Spark AnalysisException deep in
+                # execution — found by the r11 fresh-seed fuzz hunt on
+                # a GROUPING SETS shape whose sets covered neither key)
+                gkeys = {
+                    x.name for g in group_exprs for x in _cols_of(g)
+                }
+                for e in plain:
+                    base_e = e.expr if isinstance(e, Alias) else e
+                    if base_e in group_exprs:
+                        continue
+                    bad = [
+                        c.name
+                        for c in _cols_of(base_e)
+                        if c.name not in gkeys
+                    ]
+                    if bad:
+                        raise SqlError(
+                            f"select item {base_e.pretty()} references "
+                            f"{bad} outside the GROUP BY keys — add it "
+                            "to GROUP BY (or a grouping set) or wrap "
+                            "it in an aggregate"
+                        )
             builder = builder.aggregate(
                 group_exprs or plain,
                 tuple(aggs),

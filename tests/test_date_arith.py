@@ -157,3 +157,26 @@ def test_distinct_unsupported_aggregate_rejected(planner):
 
     with pytest.raises(SqlError, match="DISTINCT"):
         planner.sql("select avg(distinct o_totalprice) as a from orders")
+
+
+def test_ungrouped_select_item_clean_error(planner):
+    import pytest
+
+    from datafusion_dolomite_spark.sql import SqlError
+
+    with pytest.raises(SqlError, match="outside the GROUP BY"):
+        planner.sql(
+            "select o_orderstatus as k0, o_orderpriority as k1, "
+            "count(*) as n from orders "
+            "group by grouping sets ((o_orderpriority), ())"
+        )
+    with pytest.raises(SqlError, match="outside the GROUP BY"):
+        planner.sql(
+            "select o_orderstatus, o_custkey, count(*) as n "
+            "from orders group by o_orderstatus"
+        )
+    # expressions over grouped columns stay legal
+    assert planner.sql(
+        "select upper(o_orderstatus) as u, count(*) as n "
+        "from orders group by o_orderstatus"
+    ).count() > 0

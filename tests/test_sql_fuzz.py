@@ -1410,6 +1410,12 @@ class Gen:
         all_sets = ["()", f"({keys[0]})", f"({keys[1]})",
                     f"({keys[0]}, {keys[1]})"]
         sets = r.sample(all_sets, r.randint(2, 3))
+        # every SELECTED key must appear in >=1 chosen set — both
+        # engines reject uncovered plain columns (found by the r11
+        # fresh-seed hunt: the unconstrained sample generated them).
+        # >=2 distinct samples from all_sets always cover >=1 key, so
+        # the filtered list is never empty.
+        keys = [k for k in keys if any(k in s_ for s_ in sets)]
         items = [f"{k} AS k{i}" for i, k in enumerate(keys)] + [
             "count(*) AS a0",
             f"sum({ic}) AS a1",
