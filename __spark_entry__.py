@@ -2872,6 +2872,17 @@ _SQL_UNION_BY_NAME = (
 )
 
 
+_SQL_STRING_AGG = (
+    "SELECT n_regionkey AS r, "
+    "       string_agg(n_name, ',' ORDER BY n_name) AS names, "
+    "       string_agg(n_name, '|' ORDER BY n_nationkey DESC) AS by_key, "
+    "       arg_max(n_name, n_nationkey) AS last_nation, "
+    "       arg_min(n_name, n_nationkey) AS first_nation, "
+    "       count(*) AS n "
+    "FROM nation GROUP BY n_regionkey"
+)
+
+
 #: DuckDB star modifiers: drop columns / rewrite one in place while
 #: keeping the rest of the star expansion.
 _SQL_STAR_EXCLUDE = (
@@ -4237,6 +4248,7 @@ EXTENSION_ORACLES = {
     "q_sql_named_window": _SQL_NAMED_WINDOW,
     "q_sql_group_all": _SQL_GROUP_ALL,
     "q_sql_distinct_on": _SQL_DISTINCT_ON,
+    "q_sql_string_agg": _SQL_STRING_AGG,
     "q_sql_union_by_name": _SQL_UNION_BY_NAME,
     "q_sql_date_arith": _SQL_DATE_ARITH,
     "q_sql_grouping_sets": _SQL_GROUPING_SETS,
@@ -6809,6 +6821,17 @@ _SQL_UNPIVOT = (
 )
 
 
+def q_sql_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered ``string_agg(x, sep ORDER BY k [DESC])`` + DuckDB's
+    ``arg_max``/``arg_min`` (r11): the ordered concatenation lowers to
+    collect_list of (k, v) structs → array_sort → array_join (one
+    aggregate shuffle, deterministic total order — the engine REQUIRES
+    the ORDER BY because an unordered string_agg is nondeterministic
+    across engines); arg_max/min map to Spark's max_by/min_by.  Unique
+    keys keep ties impossible; same string runs on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_STRING_AGG)
+
+
 def q_sql_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL BY NAME (DuckDB, r11): columns match by NAME across
     differently-ordered select lists, missing ones null-fill —
@@ -9012,7 +9035,7 @@ _UNPROVEN_PREFIX = (
     # new this round (r11) — never driver-checked, prove first
     "q_sql_lateral", "q_sql_lateral_agg", "q_knn_index_probe",
     "q_sql_grouping_sets", "q_bpe_tokens", "q_sql_date_arith",
-    "q_sql_union_by_name",
+    "q_sql_union_by_name", "q_sql_string_agg",
     # r11 CHANGED these queries' implementation — re-prove next:
     # UNPIVOT now excludes NULL value rows (semantics change),
     # q_sql_overlap plans fine-only via the stats gate, the graph
@@ -9082,6 +9105,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_pivot": q_sql_pivot,
         "q_sql_group_all": q_sql_group_all,
         "q_sql_distinct_on": q_sql_distinct_on,
+        "q_sql_string_agg": q_sql_string_agg,
         "q_sql_union_by_name": q_sql_union_by_name,
         "q_sql_date_arith": q_sql_date_arith,
         "q_sql_grouping_sets": q_sql_grouping_sets,

@@ -203,6 +203,7 @@ class BinOp(Expr):
 #: Everything stays JVM-side (whole-stage codegen); no Python UDFs here.
 _AGG_FUNCS = {
     "sum", "avg", "count", "min", "max", "count_distinct", "sum_distinct",
+    "max_by", "min_by", "string_agg_ord",
     "approx_count_distinct", "stddev", "first",
     # mergeable-sketch aggregates (re-aggregable rollups, mv.py)
     "hll_sketch_agg", "hll_union_agg",
@@ -260,6 +261,27 @@ class Func(Expr):
             return ~c
         if self.name == "count_distinct":
             return F.count_distinct(*cols)
+        if self.name == "string_agg_ord":
+            # string_agg(x, sep ORDER BY k [DESC]) — deterministic
+            # ordered concatenation: collect (k, v) structs, array_sort
+            # (ascending by k then v — the same total order DuckDB's
+            # ORDER BY k applies, ties broken by the value), reverse
+            # for DESC, then join.  collect_list skips NULLs, matching
+            # DuckDB's string_agg.
+            x, sep, key, asc = self.args
+            if not isinstance(sep, Lit) or not isinstance(sep.value, str):
+                raise ValueError("string_agg separator must be a string literal")
+            arr = F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        key.to_column().alias("_k"),
+                        x.to_column().alias("_v"),
+                    )
+                )
+            )
+            if not asc.value:
+                arr = F.reverse(arr)
+            return F.array_join(F.transform(arr, lambda s_: s_["_v"]), sep.value)
         if self.name == "count" and not cols:
             return F.count(F.lit(1))
         if self.name == "mod":

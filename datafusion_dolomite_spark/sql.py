@@ -2199,11 +2199,42 @@ class _Parser:
                 "DISTINCT is supported inside count()/sum()/min()/max()"
             )
         args: List[Expr] = []
+        agg_order = None
         if not self.accept("op", ")"):
             args.append(self._expr())
             while self.accept("op", ","):
                 args.append(self._expr())
+            # ORDER BY inside an aggregate call (DuckDB):
+            # string_agg(x, sep ORDER BY k [DESC]) — the only aggregate
+            # whose result depends on input order, so the only one that
+            # takes the clause
+            if self.accept("kw", "order"):
+                self.expect("kw", "by")
+                if fname != "string_agg":
+                    raise SqlError(
+                        "ORDER BY inside an aggregate is only supported "
+                        "for string_agg"
+                    )
+                key = self._expr()
+                asc = not self.accept("kw", "desc")
+                self.accept("kw", "asc")
+                agg_order = (key, asc)
             self.expect("op", ")")
+        if fname == "string_agg":
+            if len(args) != 2:
+                raise SqlError("string_agg takes (expr, separator)")
+            if agg_order is None:
+                raise SqlError(
+                    "string_agg requires ORDER BY (an unordered "
+                    "concatenation is nondeterministic across engines)"
+                )
+            return Func(
+                "string_agg_ord",
+                (args[0], args[1], agg_order[0], Lit(agg_order[1])),
+            )
+        if fname in ("arg_max", "arg_min"):
+            # DuckDB names for Spark's max_by/min_by
+            fname = "max_by" if fname == "arg_max" else "min_by"
         mac = self.macros.get(fname)
         if mac is not None and len(mac[0]) == len(args):
             # SQL macro call: substitute the parsed argument exprs for

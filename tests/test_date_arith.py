@@ -180,3 +180,33 @@ def test_ungrouped_select_item_clean_error(planner):
         "select upper(o_orderstatus) as u, count(*) as n "
         "from orders group by o_orderstatus"
     ).count() > 0
+
+
+def test_string_agg_requires_order_by(planner):
+    import pytest
+
+    from datafusion_dolomite_spark.sql import SqlError
+
+    with pytest.raises(SqlError, match="ORDER BY"):
+        planner.sql(
+            "select string_agg(n_name, ',') as s from nation"
+        )
+    with pytest.raises(SqlError, match="string_agg"):
+        planner.sql(
+            "select sum(n_nationkey order by n_name) as s from nation"
+        )
+
+
+def test_string_agg_ordered_values(planner):
+    rows = planner.sql(
+        "select string_agg(n_name, ',' order by n_nationkey) as s "
+        "from nation where n_nationkey < 4"
+    ).collect()
+    names = [
+        r.n_name
+        for r in planner.sql(
+            "select n_name, n_nationkey from nation "
+            "where n_nationkey < 4 order by n_nationkey"
+        ).collect()
+    ]
+    assert rows[0]["s"] == ",".join(names)
