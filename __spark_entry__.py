@@ -2883,6 +2883,18 @@ _SQL_STRING_AGG = (
 )
 
 
+_SQL_Q6_DATES = (
+    "SELECT cast(sum(cast(l_extendedprice AS decimal(12,2)) "
+    "             * cast(l_discount AS decimal(12,2))) AS double) AS revenue, "
+    "       count(*) AS n "
+    "FROM lineitem "
+    "WHERE l_shipdate >= DATE '1994-01-01' "
+    "  AND l_shipdate < DATE '1994-01-01' + INTERVAL '1' year "
+    "  AND l_discount BETWEEN 0.05 AND 0.07 "
+    "  AND l_quantity < 24"
+)
+
+
 #: DuckDB star modifiers: drop columns / rewrite one in place while
 #: keeping the rest of the star expansion.
 _SQL_STAR_EXCLUDE = (
@@ -4248,6 +4260,7 @@ EXTENSION_ORACLES = {
     "q_sql_named_window": _SQL_NAMED_WINDOW,
     "q_sql_group_all": _SQL_GROUP_ALL,
     "q_sql_distinct_on": _SQL_DISTINCT_ON,
+    "q_sql_q6_dates": _SQL_Q6_DATES,
     "q_sql_string_agg": _SQL_STRING_AGG,
     "q_sql_union_by_name": _SQL_UNION_BY_NAME,
     "q_sql_date_arith": _SQL_DATE_ARITH,
@@ -6821,6 +6834,16 @@ _SQL_UNPIVOT = (
 )
 
 
+def q_sql_q6_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 in the SPEC'S OWN TEXT (r11): the canonical
+    ``>= DATE x AND < DATE x + INTERVAL '1' year`` window finally
+    parses as written (earlier rounds pre-computed the bound) — the
+    interval-derived timestamp still pushes into the parquet scan
+    alongside the discount/quantity bands.  Same string runs on
+    DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_Q6_DATES)
+
+
 def q_sql_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered ``string_agg(x, sep ORDER BY k [DESC])`` + DuckDB's
     ``arg_max``/``arg_min`` (r11): the ordered concatenation lowers to
@@ -9035,7 +9058,7 @@ _UNPROVEN_PREFIX = (
     # new this round (r11) — never driver-checked, prove first
     "q_sql_lateral", "q_sql_lateral_agg", "q_knn_index_probe",
     "q_sql_grouping_sets", "q_bpe_tokens", "q_sql_date_arith",
-    "q_sql_union_by_name", "q_sql_string_agg",
+    "q_sql_union_by_name", "q_sql_string_agg", "q_sql_q6_dates",
     # r11 CHANGED these queries' implementation — re-prove next:
     # UNPIVOT now excludes NULL value rows (semantics change),
     # q_sql_overlap plans fine-only via the stats gate, the graph
@@ -9105,6 +9128,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_pivot": q_sql_pivot,
         "q_sql_group_all": q_sql_group_all,
         "q_sql_distinct_on": q_sql_distinct_on,
+        "q_sql_q6_dates": q_sql_q6_dates,
         "q_sql_string_agg": q_sql_string_agg,
         "q_sql_union_by_name": q_sql_union_by_name,
         "q_sql_date_arith": q_sql_date_arith,

@@ -368,6 +368,9 @@ SHUFFLE_BUDGET = {
     # r9: BETWEEN-join rewrite → broadcast range join (no shuffle) +
     # band agg + ORDER BY (hash + range, doubled under AQE reuse)
     "q_sql_range_between": 4,
+    # r11: canonical-text Q6 — global aggregate, no exchange beyond
+    # the final single-partition agg (prints 0)
+    "q_sql_q6_dates": 1,
     # r11: ordered string_agg + arg_max/min: one aggregate exchange
     "q_sql_string_agg": 1,
     # r11: union-by-name + sum(DISTINCT): distinct pre-agg exchange +
