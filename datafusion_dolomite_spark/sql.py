@@ -541,6 +541,54 @@ class _Parser:
             cond = self._resolve(self._expr())
             builder = builder.join(right, jt, cond)
 
+        # -- COLUMNS('regex') star expressions (DuckDB, r11) ------------
+        # a top-level select item COLUMNS('re') expands to every input
+        # column whose name MATCHES the pattern anywhere (re.search —
+        # DuckDB's rule: 'quantity|discount' matches l_quantity), in
+        # schema order.  Nested forms (min(COLUMNS(...))) are rejected
+        # explicitly rather than mis-expanded.
+        if any(
+            isinstance(x, Func) and x.name == "columns"
+            for e in items
+            for x in _walk_exprs(e)
+        ):
+            import re as _re
+
+            new_cols_items: List[Expr] = []
+            for e in items:
+                if not (isinstance(e, Func) and e.name == "columns"):
+                    if any(
+                        isinstance(x, Func) and x.name == "columns"
+                        for x in _walk_exprs(e)
+                    ):
+                        raise SqlError(
+                            "COLUMNS(...) is only supported as a "
+                            "top-level select item — list the matched "
+                            "columns explicitly inside expressions"
+                        )
+                    new_cols_items.append(e)
+                    continue
+                if len(e.args) != 1 or not (
+                    isinstance(e.args[0], Lit)
+                    and isinstance(e.args[0].value, str)
+                ):
+                    raise SqlError(
+                        "COLUMNS takes one string-literal regex"
+                    )
+                pat = _re.compile(e.args[0].value)
+                matched = [
+                    c.name
+                    for c in self._expand_star(builder)
+                    if pat.search(c.name)
+                ]
+                if not matched:
+                    raise SqlError(
+                        f"COLUMNS({e.args[0].value!r}) matched no "
+                        "input columns"
+                    )
+                new_cols_items.extend(Col(c) for c in matched)
+            items = new_cols_items
+
         items = [self._resolve(e) for e in items]
 
         # -- scalar subqueries in the SELECT LIST ------------------------
@@ -2494,6 +2542,33 @@ def _clone_subtree(node):
     from .plans.plan import PlanNode
 
     return PlanNode(node.operator, [_clone_subtree(c) for c in node.inputs])
+
+
+def _walk_exprs(e):
+    """Every node of an expression tree, root first."""
+    from .expr import CaseWhen
+
+    yield e
+    if isinstance(e, BinOp):
+        yield from _walk_exprs(e.left)
+        yield from _walk_exprs(e.right)
+    elif isinstance(e, (Alias, Cast)):
+        yield from _walk_exprs(e.expr)
+    elif isinstance(e, Func):
+        for a in e.args:
+            yield from _walk_exprs(a)
+    elif isinstance(e, CaseWhen):
+        for c, v in e.branches:
+            yield from _walk_exprs(c)
+            yield from _walk_exprs(v)
+        if e.otherwise is not None:
+            yield from _walk_exprs(e.otherwise)
+    elif isinstance(e, _WindowExpr):
+        yield from _walk_exprs(e.func)
+        for p in e.partition_by:
+            yield from _walk_exprs(p)
+        for k in e.order_by:
+            yield from _walk_exprs(k.expr)
 
 
 def _conjuncts(e: Expr):

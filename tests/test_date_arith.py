@@ -210,3 +210,21 @@ def test_string_agg_ordered_values(planner):
         ).collect()
     ]
     assert rows[0]["s"] == ",".join(names)
+
+
+def test_columns_regex_star(planner):
+    df = planner.sql(
+        "select columns('quantity|discount'), l_orderkey as k "
+        "from lineitem where l_orderkey < 5"
+    )
+    assert df.columns == ["l_quantity", "l_discount", "k"]
+    assert df.count() > 0
+
+    import pytest
+
+    from datafusion_dolomite_spark.sql import SqlError
+
+    with pytest.raises(SqlError, match="top-level"):
+        planner.sql("select min(columns('l_.*key')) as m from lineitem")
+    with pytest.raises(SqlError, match="matched no"):
+        planner.sql("select columns('zzz') from lineitem")
