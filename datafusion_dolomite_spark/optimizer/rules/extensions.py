@@ -25,6 +25,7 @@ __all__ = [
     "Knn2IvfRule",
     "Knn2PqRule",
     "Knn2IndexProbeRule",
+    "AttachAnnIndexRule",
     "CosineNearDupImplRule",
     "NgramJaccardImplRule",
     "SetSimJoinImplRule",
@@ -179,6 +180,66 @@ class Knn2PqRule(Rule):
                     getattr(op, "pq_residual", False),
                     getattr(op, "kmeans_iters", 0),
                 ),
+                *input.root.inputs,
+            )
+        )
+
+
+class AttachAnnIndexRule(Rule):
+    """Heuristic-phase auto-attach (r11): a kNN query over a table with
+    a catalog-REGISTERED ANN index (``Catalog.register_ann_index`` —
+    the ``CREATE VECTOR INDEX`` DDL's bookkeeping) gets its empty
+    ``index_dir`` filled, so the build-once index serves every later
+    query WITHOUT the caller naming it.  The ``_meta.json``
+    parameterization guard still decides: a registered index that
+    doesn't match the query's m/ksub/ncells/residual simply never
+    attaches, and Knn2IndexProbeRule re-checks at implementation
+    time."""
+
+    name = "AttachAnnIndexRule"
+
+    def pattern(self) -> Pattern:
+        return pattern_of(X.LogicalKnn)
+
+    def promise(self) -> RulePromise:
+        return RulePromise.LOW
+
+    def apply(self, input, ctx, result: RuleResult) -> None:
+        op: X.LogicalKnn = input.root.operator
+        if op.index_dir or op.method not in ("pq", "any") or not op.pq_ncells:
+            return
+        cat = getattr(ctx, "catalog", None)
+        if cat is None or not hasattr(cat, "ann_index_for"):
+            return
+        h = getattr(input.root.inputs[0], "handle", None)
+        if h is None:
+            return
+
+        def find_scan(n):
+            if n.operator.operator_name() == "Scan":
+                return n.operator.table_name
+            for c in n.inputs:
+                t = find_scan(c)
+                if t is not None:
+                    return t
+            return None
+
+        table = find_scan(h)
+        idx = cat.ann_index_for(table, op.vec_col) if table else None
+        if not idx:
+            return
+        from ...functions.ann_index import ann_meta_matches, read_ann_meta
+
+        if not ann_meta_matches(
+            read_ann_meta(idx), op.pq_m, op.pq_ksub, op.pq_ncells,
+            getattr(op, "pq_residual", False),
+        ):
+            return
+        import dataclasses
+
+        result.add(
+            OptExpression.op(
+                dataclasses.replace(op, index_dir=idx),
                 *input.root.inputs,
             )
         )

@@ -46,6 +46,7 @@ from .optimizer.rules.limit import (
 )
 from .optimizer.rules.extensions import (
     EXTENSION_RULES,
+    AttachAnnIndexRule,
     PruneUnnestInputRule,
     PushFilterThroughLeftPreservingJoinRule,
     OverlapJoinFromConditionRule,
@@ -73,6 +74,7 @@ def default_rewrite_rules() -> list[Rule]:
         PruneUnnestInputRule(),
         RangeJoinFromConditionRule(),
         OverlapJoinFromConditionRule(),
+        AttachAnnIndexRule(),
         RewriteAggOnViewSubtreeRule(),
     ]
 
@@ -1431,6 +1433,88 @@ class QueryPlanner:
 
         return pat.sub(sub, query)
 
+    def _create_vector_index(self, replace: bool, table: str,
+                             vec_col: str, opts_str):
+        """``CREATE [OR REPLACE] VECTOR INDEX ON t (col) [WITH (m=8,
+        ksub=16, ncells=32, residual=true, kmeans_iters=2,
+        train_iters=0, location='<dir>')]`` (r11) — the SQL front door
+        of ``functions/ann_index.py``: train + encode + persist ONCE,
+        register in the catalog, and every later kNN query over the
+        table auto-attaches the index (``AttachAnnIndexRule``) so the
+        cost race picks the probe.  Idempotent: an existing index whose
+        ``_meta.json`` matches the requested parameterization is
+        registered without rebuilding (CREATE TABLE IF NOT EXISTS
+        discipline); ``OR REPLACE`` forces the rebuild.  Default
+        location: ``<warehouse>/vector_index/<table>__<col>``."""
+        import os
+        import re as _re
+
+        from .functions.ann_index import (
+            ann_index_build,
+            ann_meta_matches,
+            read_ann_meta,
+        )
+        from .plans.plan import LogicalPlanBuilder
+
+        opts = {"m": 8, "ksub": 16, "ncells": 32, "residual": True,
+                "kmeans_iters": 2, "train_iters": 0, "location": None}
+        if opts_str:
+            for part in opts_str.split(","):
+                if not part.strip():
+                    continue
+                mm = _re.match(
+                    r"\s*(\w+)\s*=\s*('(?:[^']|'')*'|\S+)\s*$", part
+                )
+                if not mm:
+                    raise ValueError(
+                        f"bad VECTOR INDEX option {part.strip()!r}"
+                    )
+                k = mm.group(1).lower()
+                v = mm.group(2)
+                if k not in opts:
+                    raise ValueError(
+                        f"unknown VECTOR INDEX option {k!r} "
+                        f"(known: {sorted(opts)})"
+                    )
+                if k == "location":
+                    opts[k] = v[1:-1].replace("''", "'") if v.startswith("'") else v
+                elif k == "residual":
+                    opts[k] = v.lower() in ("true", "1")
+                else:
+                    opts[k] = int(v)
+        idx = opts["location"] or os.path.join(
+            self.catalog.warehouse_root(), "vector_index",
+            f"{table}__{vec_col}",
+        )
+        meta = read_ann_meta(idx)
+        action = "exists"
+        if replace or not ann_meta_matches(
+            meta, opts["m"], opts["ksub"], opts["ncells"], opts["residual"]
+        ):
+            df = self.dataframe(
+                LogicalPlanBuilder().scan(table).build()
+            )
+            id_col = next(iter(self.catalog.unique_keys(table)), None)
+            if id_col is None:
+                raise ValueError(
+                    f"CREATE VECTOR INDEX needs a declared unique key "
+                    f"on {table!r} (register_unique_key)"
+                )
+            ann_index_build(
+                df, idx, id_col, vec_col,
+                m=opts["m"], ksub=opts["ksub"], ncells=opts["ncells"],
+                residual=opts["residual"],
+                kmeans_iters=opts["kmeans_iters"],
+                train_iters=opts["train_iters"],
+            )
+            action = "replaced" if meta is not None else "built"
+        self.catalog.register_ann_index(table, vec_col, idx)
+        return self.spark.createDataFrame(
+            [(table, vec_col, idx, action)],
+            "table: string, vec_col: string, index_dir: string, "
+            "action: string",
+        )
+
     def sql(self, query: str):
         """SQL front door: parse → optimize → execute (entry point A of
         the reference, SURVEY §3)."""
@@ -1482,6 +1566,29 @@ class QueryPlanner:
                 [(line,) for line in text.splitlines()], "plan: string"
             )
 
+        m = _re.match(
+            r"\s*create\s+(or\s+replace\s+)?vector\s+index\s+on\s+"
+            r"([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)"
+            r"(?:\s+with\s*\((.*?)\))?\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            return self._create_vector_index(
+                bool(m.group(1)), m.group(2), m.group(3), m.group(4)
+            )
+        m = _re.match(
+            r"\s*drop\s+vector\s+index\s+on\s+([A-Za-z_]\w*)\s*"
+            r"\(\s*([A-Za-z_]\w*)\s*\)\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            self.catalog.deregister_ann_index(m.group(1), m.group(2))
+            return self.spark.createDataFrame(
+                [(m.group(1), m.group(2), "dropped")],
+                "table: string, vec_col: string, action: string",
+            )
         m = _re.match(
             r"\s*analyze\s+table\s+([A-Za-z_][A-Za-z_0-9]*)"
             r"(?:\s+compute\s+statistics)?\s*$",

@@ -116,6 +116,8 @@ class Catalog:
         self._schemas: Dict[str, Schema] = {}
         self._stats: Dict[str, Statistics] = {}
         self._warehouse = warehouse
+        #: (table, vec_col) → persisted ANN index dir (r11)
+        self._ann_indexes: Dict = {}
         #: explicit table schemas from ALTER TABLE (schema evolution):
         #: wins over file sniffing; parquet scans read with it so files
         #: written before an ADD COLUMN null-fill the new column.
@@ -246,6 +248,26 @@ class Catalog:
 
     def unique_keys(self, table: str) -> set:
         return self._unique_keys.get(table, set())
+
+    # -- vector (ANN) indexes (r11) --------------------------------------
+    def register_ann_index(self, table: str, vec_col: str,
+                           index_dir: str) -> None:
+        """Declare a persisted ANN index (functions/ann_index.py) over
+        ``table.vec_col``.  ``AttachAnnIndexRule`` then auto-fills
+        ``LogicalKnn.index_dir`` for kNN queries over the table, and
+        the cost race prefers the probe whenever the index's _meta.json
+        parameterization matches the query — a registered-but-
+        mismatched index simply never attaches."""
+        if not hasattr(self, "_ann_indexes"):
+            self._ann_indexes = {}
+        self._ann_indexes[(table, vec_col)] = index_dir
+
+    def deregister_ann_index(self, table: str, vec_col: str) -> None:
+        getattr(self, "_ann_indexes", {}).pop((table, vec_col), None)
+
+    def ann_index_for(self, table: str, vec_col: str):
+        """The registered index dir for ``table.vec_col``, or None."""
+        return getattr(self, "_ann_indexes", {}).get((table, vec_col))
 
     def register_materialized_view(self, mv) -> None:
         """Register MV metadata (a ``MaterializedView``) for the

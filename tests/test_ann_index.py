@@ -198,3 +198,74 @@ def test_compact_retention(tmp_path, emb, spark):
     assert ids and all(i % 3 in (1, 2) for i in ids)
     # already-within-retention is a no-op
     assert ann_index_compact(spark, idx, retain_batches=5) == 0
+
+
+def test_sql_ddl_and_auto_attach(tmp_path, planner, spark):
+    idx = str(tmp_path / "ddl_idx")
+    st = planner.sql(
+        "create vector index on embeddings (embedding) with "
+        f"(m=8, ksub=16, ncells=16, residual=true, kmeans_iters=1, "
+        f"location='{idx}')"
+    ).collect()[0]
+    assert st["action"] == "built" and st["index_dir"] == idx
+    # idempotent re-create registers without rebuilding
+    st2 = planner.sql(
+        "create vector index on embeddings (embedding) with "
+        f"(m=8, ksub=16, ncells=16, residual=true, kmeans_iters=1, "
+        f"location='{idx}')"
+    ).collect()[0]
+    assert st2["action"] == "exists"
+    # a kNN plan WITHOUT index_dir now auto-attaches and probes
+    plan = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .knn(
+            "vec_id", "embedding", n_queries=4, k=5, method="pq",
+            pq_m=8, pq_ksub=16, pq_refine=30, pq_ncells=16,
+            pq_nprobe=3, pq_residual=True, kmeans_iters=1,
+        )
+        .build()
+    )
+    spine = planner.explain(plan)
+    assert "PhysicalKnnIndexProbe" in spine
+    # mismatched query params -> no attach, inline chain
+    plan2 = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .knn(
+            "vec_id", "embedding", n_queries=4, k=5, method="pq",
+            pq_m=8, pq_ksub=16, pq_refine=30, pq_ncells=8,
+            pq_nprobe=3, pq_residual=True,
+        )
+        .build()
+    )
+    assert "PhysicalKnnPq" in planner.explain(plan2)
+    # results equal inline chain
+    got = _rows(planner.dataframe(plan))
+    from datafusion_dolomite_spark.functions.similarity import knn_pq
+
+    emb2 = planner.dataframe(
+        LogicalPlanBuilder().scan("embeddings").build()
+    )
+    want = _rows(
+        knn_pq(
+            emb2, "vec_id", "embedding", n_queries=4, k=5, refine=30,
+            nprobe=3, m=8, ksub=16, ncells=16, residual=True,
+            kmeans_iters=1,
+        )
+    )
+    assert got == want
+    # DROP deregisters: a FRESH plan (hep rewrites mutate in place, so
+    # the attached one keeps its filled index_dir) goes back inline
+    planner.sql("drop vector index on embeddings (embedding)")
+    plan3 = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .knn(
+            "vec_id", "embedding", n_queries=4, k=5, method="pq",
+            pq_m=8, pq_ksub=16, pq_refine=30, pq_ncells=16,
+            pq_nprobe=3, pq_residual=True, kmeans_iters=1,
+        )
+        .build()
+    )
+    assert "PhysicalKnnPq" in planner.explain(plan3)
