@@ -1590,6 +1590,20 @@ class QueryPlanner:
                 "table: string, vec_col: string, action: string",
             )
         m = _re.match(
+            r"\s*desc(?:ribe)?\s+(?:table\s+)?([A-Za-z_]\w*)\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            # DESCRIBE [TABLE] <t> — the catalog's schema as a
+            # DataFrame (Spark DDL type strings, the engine's lingua
+            # franca)
+            sch = self.catalog.schema(m.group(1))
+            return self.spark.createDataFrame(
+                [(f.name, f.dtype, bool(f.nullable)) for f in sch.fields],
+                "col_name: string, data_type: string, nullable: boolean",
+            )
+        m = _re.match(
             r"\s*analyze\s+table\s+([A-Za-z_][A-Za-z_0-9]*)"
             r"(?:\s+compute\s+statistics)?\s*$",
             query,

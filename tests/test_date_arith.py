@@ -228,3 +228,13 @@ def test_columns_regex_star(planner):
         planner.sql("select min(columns('l_.*key')) as m from lineitem")
     with pytest.raises(SqlError, match="matched no"):
         planner.sql("select columns('zzz') from lineitem")
+
+
+def test_describe_table(planner):
+    rows = planner.sql("describe nation").collect()
+    assert [(r.col_name, r.data_type) for r in rows] == [
+        ("n_nationkey", "int"),
+        ("n_name", "string"),
+        ("n_regionkey", "int"),
+    ]
+    assert planner.sql("DESC TABLE region").count() == 2
