@@ -2898,6 +2898,18 @@ def _decorrelate_lateral(sub: Plan, catalog, outer_names):
     p_exprs = None
     having = None
     node = root
+    want_distinct = False
+    if node.operator.operator_name() == "Distinct":
+        # SELECT DISTINCT inside LATERAL: dedup over (outputs + the
+        # hidden correlation keys) below the join IS the per-outer-key
+        # distinct the subquery means.  With LIMIT the dedup would have
+        # to interleave with the ranking — reject rather than mis-rank.
+        if limit is not None:
+            raise SqlError(
+                "LATERAL with both DISTINCT and LIMIT is not supported"
+            )
+        want_distinct = True
+        node = node.inputs[0]
     if node.operator.operator_name() == "Projection":
         p_exprs = node.operator.exprs
         _no_outer(p_exprs, "select list")
@@ -3100,6 +3112,8 @@ def _decorrelate_lateral(sub: Plan, catalog, outer_names):
             if nm not in out_names:
                 hidden.append(Alias(Col(nm), nm))
         b = b.projection(tuple(p_exprs) + tuple(hidden))
+    if want_distinct:
+        b = b.distinct()
     return b, conds, out_names, count_cols, force_left
 
 

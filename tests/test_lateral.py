@@ -156,3 +156,26 @@ def test_full_join_lateral_rejected(planner):
             "  select c_custkey from customer where c_nationkey = n_nationkey"
             "  order by c_custkey limit 1) t on true"
         )
+
+
+def test_distinct_in_lateral(planner):
+    # per-outer-key distinct: dedup over (outputs + correlation keys)
+    got = planner.sql(
+        "select n_nationkey, t.seg from nation, lateral ("
+        "  select distinct c_mktsegment as seg from customer"
+        "  where c_nationkey = n_nationkey) t"
+    ).collect()
+    pairs = {(r.n_nationkey, r.seg) for r in got}
+    assert len(pairs) == len(got)  # deduped per key
+    ref = planner.sql(
+        "select distinct c_nationkey as k, c_mktsegment as seg "
+        "from customer"
+    ).collect()
+    assert pairs == {(r.k, r.seg) for r in ref}
+    with pytest.raises(SqlError, match="DISTINCT and LIMIT"):
+        planner.sql(
+            "select n_nationkey, t.seg from nation, lateral ("
+            "  select distinct c_mktsegment as seg from customer"
+            "  where c_nationkey = n_nationkey "
+            "  order by seg limit 2) t"
+        )
