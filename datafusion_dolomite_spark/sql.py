@@ -282,28 +282,46 @@ class _Parser:
                 ._push(LogicalSink(name, fmt, is_mv), [sub.root])
                 .build()
             )
-        if self.accept("kw", "with"):
-            recursive = bool(self.accept("kw", "recursive"))
-            while True:
-                name = self.expect("ident").value
-                col_names = None
-                if self.accept("op", "("):
-                    col_names = [self.expect("ident").value]
-                    while self.accept("op", ","):
-                        col_names.append(self.expect("ident").value)
-                    self.expect("op", ")")
-                self.expect("kw", "as")
-                self.expect("op", "(")
-                if recursive and col_names:
-                    self.ctes[name] = self._recursive_cte_body(name, col_names)
-                else:
-                    self.ctes[name] = self._query()
-                self.expect("op", ")")
-                if not self.accept("op", ","):
-                    break
         plan = self._query()
         self.expect("eof")
         return plan
+
+    _CTE_MISSING = object()
+
+    def _with_clause(self) -> dict:
+        """Consume a ``WITH [RECURSIVE] name [(cols)] AS (...), ...``
+        block if present, defining the CTEs for the CURRENT query
+        scope.  Returns ``{name: previous_binding_or_sentinel}`` so the
+        caller (``_query``) can restore the enclosing scope — a CTE
+        defined inside a subquery (derived table, LATERAL, IN/EXISTS/
+        scalar subquery — DuckDB allows WITH in all of them, r11) must
+        neither leak out nor permanently shadow an outer CTE of the
+        same name."""
+        saved: dict = {}
+        if not self.accept("kw", "with"):
+            return saved
+        recursive = bool(self.accept("kw", "recursive"))
+        while True:
+            name = self.expect("ident").value
+            col_names = None
+            if self.accept("op", "("):
+                col_names = [self.expect("ident").value]
+                while self.accept("op", ","):
+                    col_names.append(self.expect("ident").value)
+                self.expect("op", ")")
+            self.expect("kw", "as")
+            self.expect("op", "(")
+            saved.setdefault(
+                name, self.ctes.get(name, self._CTE_MISSING)
+            )
+            if recursive and col_names:
+                self.ctes[name] = self._recursive_cte_body(name, col_names)
+            else:
+                self.ctes[name] = self._query()
+            self.expect("op", ")")
+            if not self.accept("op", ","):
+                break
+        return saved
 
     def _recursive_cte_body(self, name: str, col_names) -> Plan:
         """``WITH RECURSIVE name(cols) AS (base UNION [ALL] step)``:
@@ -362,9 +380,24 @@ class _Parser:
         )
 
     def _query(self) -> Plan:
-        """select [(UNION [ALL] | INTERSECT | EXCEPT) select]* —
-        left-associative, equal precedence (like the reference's
-        sqlparser would reject mixed chains anyway; ours folds them)."""
+        """[WITH ...] select [(UNION [ALL] | INTERSECT | EXCEPT)
+        select]* — left-associative, equal precedence (like the
+        reference's sqlparser would reject mixed chains anyway; ours
+        folds them).  A leading WITH defines CTEs scoped to THIS query
+        (so subqueries at any depth can open one; see _with_clause)."""
+        from .operators.logical import LogicalExcept, LogicalIntersect, LogicalUnion
+
+        saved_ctes = self._with_clause()
+        try:
+            return self._query_body()
+        finally:
+            for name, prev in saved_ctes.items():
+                if prev is self._CTE_MISSING:
+                    self.ctes.pop(name, None)
+                else:
+                    self.ctes[name] = prev
+
+    def _query_body(self) -> Plan:
         from .operators.logical import LogicalExcept, LogicalIntersect, LogicalUnion
 
         plan = self._select()
@@ -2032,7 +2065,7 @@ class _Parser:
             return rng
         if self.accept("kw", "in"):
             self.expect("op", "(")
-            if self.peek().kind == "kw" and self.peek().value == "select":
+            if self.peek().kind == "kw" and self.peek().value in ("select", "with"):
                 sub = self._query()
                 self.expect("op", ")")
                 return _InSubquery(e, sub, negate)
@@ -2132,7 +2165,7 @@ class _Parser:
             self.expect("op", ")")
             return _ExistsSubquery(sub, True)
         if self.accept("op", "("):
-            if self.peek().kind == "kw" and self.peek().value == "select":
+            if self.peek().kind == "kw" and self.peek().value in ("select", "with"):
                 sub = self._query()
                 self.expect("op", ")")
                 return _ScalarSubquery(sub)
@@ -2861,16 +2894,37 @@ def _decorrelate_lateral(sub: Plan, catalog, outer_names):
 
     if catalog is None:
         raise SqlError("LATERAL requires a catalog to resolve correlation")
+    # inner-available names: scan schemas PLUS every derived output name
+    # in the subtree (projections/aggregates/windows) — correlation may
+    # run through a CTE's or derived table's OUTPUT column, which no
+    # base scan carries (r11: outer-CTE-in-LATERAL fix)
     avail: set = set()
     for n in sub.nodes_bottom_up():
-        if n.operator.operator_name() == "Scan":
+        op_n = n.operator
+        kind_n = op_n.operator_name()
+        if kind_n == "Scan":
             try:
-                avail |= set(catalog.schema(n.operator.table_name).names())
+                avail |= set(catalog.schema(op_n.table_name).names())
             except KeyError:
                 raise SqlError(
-                    f"unknown table {n.operator.table_name!r} in LATERAL "
+                    f"unknown table {op_n.table_name!r} in LATERAL "
                     "subquery"
                 )
+        elif kind_n in ("Projection", "Aggregate", "Window", "Values"):
+            try:
+                from .operators.logical import output_name as _on
+
+                if kind_n == "Projection":
+                    avail |= {_on(e) for e in op_n.exprs}
+                elif kind_n == "Aggregate":
+                    avail |= {_on(g) for g in op_n.group_exprs}
+                    avail |= {a.name for a in op_n.agg_exprs}
+                elif kind_n == "Window":
+                    avail |= {w.name for w in op_n.window_exprs}
+                else:
+                    avail |= set(op_n.names)
+            except Exception:
+                pass
 
     def _no_outer(exprs, where):
         for e in exprs:
@@ -3145,6 +3199,17 @@ def _require_one_row_subplan(plan: Plan) -> None:
         return
     if name == "Limit" and op.offset == 0 and op.limit <= 1:
         return
+    if name == "Values" and len(getattr(op, "rows", ())) == 1:
+        return  # 1-row inline relation (FROM-less SELECT, 1-row CTE)
+    if name in ("Join",) and len(plan.root.inputs) == 2:
+        # a join of two provably-1-row sides is 1 row (the shape the
+        # scalar-in-scalar lowering itself produces)
+        try:
+            _require_one_row_subplan(Plan(plan.root.inputs[0]))
+            _require_one_row_subplan(Plan(plan.root.inputs[1]))
+            return
+        except SqlError:
+            pass
     raise SqlError(
         "scalar subquery must be a single-row (global aggregate or "
         "LIMIT 1) query"

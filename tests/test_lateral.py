@@ -179,3 +179,26 @@ def test_distinct_in_lateral(planner):
             "  where c_nationkey = n_nationkey "
             "  order by seg limit 2) t"
         )
+
+
+def test_with_in_subqueries(planner):
+    # WITH scoped to derived tables / LATERAL / scalar / IN subqueries
+    got = planner.sql(
+        "select k, n from (with base as (select c_nationkey as k "
+        "from customer) select k, count(*) as n from base group by k) t"
+    )
+    assert got.count() == 25
+    lat = planner.sql(
+        "with big as (select c_custkey as k, c_acctbal as b, "
+        "c_nationkey as nk from customer) "
+        "select n_nationkey, t.k2 from nation, lateral ("
+        "select k as k2 from big where nk = n_nationkey "
+        "order by b desc, k limit 2) t"
+    )
+    assert lat.count() == 50
+    # an inner WITH shadows, then the outer binding restores
+    sh = planner.sql(
+        "with x as (select 1 as a) select a, (select b from "
+        "(with x as (select 2 as b) select b from x) t2) as inner_b from x"
+    ).collect()
+    assert [tuple(r) for r in sh] == [(1, 2)]
