@@ -364,7 +364,22 @@ class SparkExecutor:
         aggs = [a.to_column() for a in op.agg_exprs]
         mode = getattr(op, "mode", "groupby")
         if op.group_exprs:
-            keys = [e.to_column() for e in op.group_exprs]
+            # plain GROUP BY: alias every group key to ITS IR output
+            # name — Spark's own generated names for expression keys
+            # (e.g. it strips quotes from string-literal args) need not
+            # match output_name(e), and every downstream reference
+            # resolves by that name.  rollup/cube/groupingSets keep the
+            # raw columns: Spark matches the per-set column lists to
+            # the grouping columns BY EXPRESSION, and an alias wrapper
+            # breaks that match (every key read as "not in this set").
+            from .operators.logical import output_name as _oname
+
+            keys = [
+                e.to_column().alias(_oname(e))
+                if mode == "groupby"
+                else e.to_column()
+                for e in op.group_exprs
+            ]
             if mode == "grouping_sets":
                 sets = [
                     [keys[i] for i in idxs]

@@ -161,6 +161,8 @@ _SPARK_BIN = {
     # integer division — float "/" loses precision above 2^53, which
     # nanosecond timestamps exceed; decimal division is exact and the
     # long cast truncates (== floor for non-negative operands)
+    # null-safe equality (IS [NOT] DISTINCT FROM lowers through these)
+    "<=>": lambda a, b: a.eqNullSafe(b),
     "div": lambda a, b: (
         a.cast("decimal(38,0)") / b.cast("decimal(38,0)")
     ).cast("long"),

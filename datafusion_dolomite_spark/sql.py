@@ -42,7 +42,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>\d+(?:\.\d+)?)
   | (?P<string>'(?:[^']|'')*')
   | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,|\.|\*|\+|-|/|%)
+  | (?P<op><=>|<=|>=|<>|!=|::|=|<|>|\(|\)|,|\.|\*|\+|-|/|%)
     """,
     re.VERBOSE,
 )
@@ -570,6 +570,58 @@ class _Parser:
                 builder = self._lateral_join(builder, frame, jt, with_on=True)
                 continue
             right = self._from_item(frame, seen_bases)
+            t_u = self.peek()
+            if (
+                t_u.kind == "ident"
+                and t_u.value.lower() == "using"
+            ):
+                # JOIN USING (c, ...) — both sides carry c; the output
+                # keeps ONE copy (the left's — correct for INNER/LEFT,
+                # the supported types; RIGHT/FULL would need COALESCE).
+                # The right side's copies rename to __using_<c> so the
+                # equality compiles against globally-unique names, then
+                # a post-join projection drops them.
+                self.next()
+                self.expect("op", "(")
+                ucols = [self.expect("ident").value]
+                while self.accept("op", ","):
+                    ucols.append(self.expect("ident").value)
+                self.expect("op", ")")
+                if jt not in (JoinType.INNER, JoinType.LEFT):
+                    raise SqlError(
+                        "JOIN USING supports INNER and LEFT joins "
+                        f"(got {jt.name}; write ON with COALESCE instead)"
+                    )
+                lnames = self._schema_names(builder)
+                rnames = self._schema_names(right)
+                missing = [
+                    c for c in ucols
+                    if c not in lnames or c not in rnames
+                ]
+                if missing:
+                    raise SqlError(
+                        f"USING columns {missing} must exist on both "
+                        "sides"
+                    )
+                right = right.projection(
+                    [
+                        Alias(Col(c), f"__using_{c}")
+                        if c in ucols
+                        else Col(c)
+                        for c in rnames
+                    ]
+                )
+                cond = _and_all(
+                    [
+                        BinOp("=", Col(c), Col(f"__using_{c}"))
+                        for c in ucols
+                    ]
+                )
+                builder = builder.join(right, jt, cond).projection(
+                    [Col(c) for c in lnames]
+                    + [Col(c) for c in rnames if c not in ucols]
+                )
+                continue
             self.expect("kw", "on")
             cond = self._resolve(self._expr())
             builder = builder.join(right, jt, cond)
@@ -2090,8 +2142,25 @@ class _Parser:
             return Func("not", (liked,)) if negate else liked
         if self.accept("kw", "is"):
             isneg = self.accept("kw", "not") is not None
+            if self.accept("kw", "distinct"):
+                # IS [NOT] DISTINCT FROM — null-safe (in)equality;
+                # lowers through eqNullSafe (<=>)
+                self.expect("kw", "from")
+                base = BinOp("<=>", e, self._add())
+                return base if isneg else Func("not", (base,))
             self.expect("kw", "null")
             return Func("isnotnull" if isneg else "isnull", (e,))
+        t_il = self.peek()
+        if t_il.kind == "ident" and t_il.value.lower() == "ilike":
+            # case-insensitive LIKE (DuckDB/Postgres): lower both sides
+            self.next()
+            pat = self._add()
+            if not isinstance(pat, Lit) or not isinstance(pat.value, str):
+                raise SqlError("ILIKE pattern must be a string literal")
+            liked = Func(
+                "like", (Func("lower", (e,)), Lit(pat.value.lower()))
+            )
+            return Func("not", (liked,)) if negate else liked
         if negate:
             raise SqlError("NOT only supported before BETWEEN / IN / LIKE")
         t = self.peek()
@@ -2133,16 +2202,35 @@ class _Parser:
         return BinOp(op, l, r)
 
     def _mul(self) -> Expr:
-        e = self._primary()
+        e = self._postfix()
         while True:
             if self.accept("op", "*"):
-                e = BinOp("*", e, self._primary())
+                e = BinOp("*", e, self._postfix())
             elif self.accept("op", "/"):
-                e = BinOp("/", e, self._primary())
+                e = BinOp("/", e, self._postfix())
             elif self.accept("op", "%"):
-                e = BinOp("%", e, self._primary())
+                e = BinOp("%", e, self._postfix())
             else:
                 return e
+
+    def _postfix(self) -> Expr:
+        """Primary plus the ``expr::type`` cast shorthand (DuckDB,
+        r11) — binds tighter than any operator, chains left."""
+        e = self._primary()
+        while self.accept("op", "::"):
+            e = Cast(e, self._type_name())
+        return e
+
+    def _type_name(self) -> str:
+        """``ident`` or ``ident(n[, m])`` (decimal(12,2))."""
+        ty = self.expect("ident").value
+        if self.accept("op", "("):
+            args = [self.expect("number").value]
+            while self.accept("op", ","):
+                args.append(self.expect("number").value)
+            self.expect("op", ")")
+            ty = f"{ty}({','.join(args)})"
+        return ty
 
     def _primary(self) -> Expr:
         t0 = self.peek()
@@ -2191,9 +2279,16 @@ class _Parser:
             return Lit(None)
         if t.kind == "kw" and t.value == "case":
             self.next()
+            # simple CASE (``CASE x WHEN v THEN r``): an operand before
+            # the first WHEN turns each branch into ``x = v``
+            operand = None
+            if not (self.peek().kind == "kw" and self.peek().value == "when"):
+                operand = self._expr()
             branches = []
             while self.accept("kw", "when"):
                 cond = self._expr()
+                if operand is not None:
+                    cond = BinOp("=", operand, cond)
                 self.expect("kw", "then")
                 branches.append((cond, self._expr()))
             otherwise = self._expr() if self.accept("kw", "else") else None
@@ -2208,14 +2303,7 @@ class _Parser:
             self.expect("op", "(")
             e = self._expr()
             self.expect("kw", "as")
-            ty = self.expect("ident").value
-            # parametrized types: decimal(12,2)
-            if self.accept("op", "("):
-                args = [self.expect("number").value]
-                while self.accept("op", ","):
-                    args.append(self.expect("number").value)
-                self.expect("op", ")")
-                ty = f"{ty}({','.join(args)})"
+            ty = self._type_name()
             self.expect("op", ")")
             return Cast(e, ty)
         if t.kind == "ident":
@@ -2256,8 +2344,39 @@ class _Parser:
             return Col(name)
         raise SqlError(f"unexpected token {t!r}")
 
+    _EXTRACT_UNITS = {
+        "year": "year", "month": "month", "day": "dayofmonth",
+        "hour": "hour", "minute": "minute", "second": "second",
+        "quarter": "quarter", "week": "weekofyear",
+        "dayofyear": "dayofyear", "doy": "dayofyear",
+    }
+
     def _call(self, name: str) -> Expr:
         fname = name.lower()
+        if fname == "extract":
+            # EXTRACT(unit FROM x) — standard; each unit maps to the
+            # field function both engines compute identically (dow is
+            # deliberately absent: the engines number weekdays
+            # differently)
+            unit = self.expect("ident").value.lower()
+            fn = self._EXTRACT_UNITS.get(unit)
+            if fn is None:
+                raise SqlError(
+                    f"EXTRACT unit {unit!r} is not supported "
+                    f"(known: {sorted(self._EXTRACT_UNITS)})"
+                )
+            self.expect("kw", "from")
+            e = self._expr()
+            self.expect("op", ")")
+            return Func(fn, (e,))
+        if fname == "position":
+            # POSITION(needle IN haystack) — 1-based, 0 when absent
+            # (instr semantics on both engines)
+            needle = self._add()
+            self.expect("kw", "in")
+            hay = self._expr()
+            self.expect("op", ")")
+            return Func("instr", (hay, needle))
         if self.accept("op", "*"):
             self.expect("op", ")")
             if fname != "count":
@@ -2283,6 +2402,16 @@ class _Parser:
         agg_order = None
         if not self.accept("op", ")"):
             args.append(self._expr())
+            if fname == "substring" and self.accept("kw", "from"):
+                # SUBSTRING(x FROM a [FOR b]) — the standard spelling
+                args.append(self._expr())
+                if self.peek().kind == "ident" and (
+                    self.peek().value.lower() == "for"
+                ):
+                    self.next()
+                    args.append(self._expr())
+                self.expect("op", ")")
+                return Func("substring", tuple(args))
             while self.accept("op", ","):
                 args.append(self._expr())
             # ORDER BY inside an aggregate call (DuckDB):

@@ -238,3 +238,69 @@ def test_describe_table(planner):
         ("n_regionkey", "int"),
     ]
     assert planner.sql("DESC TABLE region").count() == 2
+
+
+def test_sql_idiom_batch(planner):
+    """Simple CASE, EXTRACT, ::cast, SUBSTRING FROM/FOR, POSITION,
+    ILIKE, IS [NOT] DISTINCT FROM, JOIN USING — DuckDB cross-checks run
+    in the r11 idiom probe; these pin the lowerings."""
+    r = planner.sql(
+        "select case o_orderstatus when 'F' then 1 when 'O' then 2 "
+        "else 0 end as s, count(*) as n from orders group by s"
+    ).collect()
+    assert {row.s for row in r} <= {0, 1, 2}
+    r = planner.sql(
+        "select extract(year from o_orderdate) as y from orders limit 1"
+    ).collect()
+    assert 1990 <= r[0].y <= 2000
+    r = planner.sql(
+        "select (o_totalprice * 100)::bigint as cents, "
+        "substring(o_orderpriority from 1 for 2) as p, "
+        "position('-' in o_orderpriority) as pos "
+        "from orders where o_orderkey = 1"
+    ).collect()[0]
+    assert isinstance(r.cents, int) and len(r.p) == 2 and r.pos == 2
+    a = planner.sql(
+        "select count(*) as n from orders "
+        "where o_orderpriority ilike '%URGENT%'"
+    ).collect()[0].n
+    b = planner.sql(
+        "select count(*) as n from orders "
+        "where lower(o_orderpriority) like '%urgent%'"
+    ).collect()[0].n
+    assert a == b > 0
+    # null-safe: NULL is not distinct from NULL
+    r = planner.sql(
+        "select count(*) as n from orders "
+        "where nullif(o_orderstatus, o_orderstatus) "
+        "is not distinct from null"
+    ).collect()[0].n
+    assert r == planner.sql("select count(*) as n from orders").collect()[0].n
+    # JOIN USING keeps one key copy
+    df = planner.sql(
+        "select n_name, r_name from nation join "
+        "(select r_regionkey as n_regionkey, r_name from region) r "
+        "using (n_regionkey)"
+    )
+    assert df.columns == ["n_name", "r_name"]
+    assert df.count() == 25
+    # expression group keys with string-literal args (the aliased-key
+    # executor fix)
+    r = planner.sql(
+        "select concat(o_orderstatus, '-') as s, count(*) as n "
+        "from orders group by s"
+    ).collect()
+    assert all(row.s.endswith("-") for row in r)
+
+
+def test_join_using_right_rejected(planner):
+    import pytest
+
+    from datafusion_dolomite_spark.sql import SqlError
+
+    with pytest.raises(SqlError, match="USING"):
+        planner.sql(
+            "select n_name from nation right join "
+            "(select r_regionkey as n_regionkey from region) r "
+            "using (n_regionkey)"
+        )
