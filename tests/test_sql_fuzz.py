@@ -1464,6 +1464,77 @@ class Gen:
         )
         return sql, sql
 
+    def _idioms(self):
+        """r11 dialect idioms — same string on both engines: simple
+        CASE, EXTRACT, ::casts, SUBSTRING FROM/FOR, POSITION, ILIKE,
+        IS [NOT] DISTINCT FROM, JOIN USING, expression group keys with
+        string-literal args."""
+        r = self.rng
+        roll = r.random()
+        if roll < 0.25:
+            t = r.choice(list(TABLES))
+            strs = [c for c, ty in TABLES[t].items() if ty == STR]
+            ints = [c for c, ty in TABLES[t].items() if ty == INT]
+            if not strs or not ints:
+                return self._simple()
+            sc, ic = r.choice(strs), r.choice(ints)
+            vals = self.pools[(t, sc)][:3]
+            whens = " ".join(
+                f"WHEN '{v}' THEN {i}" for i, v in enumerate(vals)
+            )
+            sql = (
+                f"SELECT CASE {sc} {whens} ELSE -1 END AS c0, "
+                f"count(*) AS c1, sum({ic}::bigint) AS c2 "
+                f"FROM {t} GROUP BY CASE {sc} {whens} ELSE -1 END"
+            )
+            return sql, sql
+        if roll < 0.45:
+            t, dcol = r.choice(
+                [("orders", "o_orderdate"), ("lineitem", "l_shipdate")]
+            )
+            unit = r.choice(["year", "month", "quarter", "day"])
+            sql = (
+                f"SELECT EXTRACT({unit} FROM {dcol}) AS c0, "
+                f"count(*) AS c1 FROM {t} GROUP BY c0"
+            )
+            return sql, sql
+        if roll < 0.65:
+            t = r.choice(list(TABLES))
+            strs = [c for c, ty in TABLES[t].items() if ty == STR]
+            if not strs:
+                return self._simple()
+            sc = r.choice(strs)
+            val = r.choice(self.pools[(t, sc)])
+            frag = val[: max(1, len(val) // 2)].replace("'", "''")
+            mixed = "".join(
+                ch.upper() if i % 2 else ch.lower()
+                for i, ch in enumerate(frag)
+            )
+            neg = r.choice(["", "NOT "])
+            sql = (
+                f"SELECT count(*) AS c0, "
+                f"count(*) FILTER (WHERE {sc} IS DISTINCT FROM '{val}')"
+                f" AS c1, "
+                f"sum(CASE WHEN substring({sc} FROM 1 FOR 2) = "
+                f"substring('{val}' FROM 1 FOR 2) THEN 1 ELSE 0 END)"
+                f" AS c2 "
+                f"FROM {t} WHERE {sc} {neg}ILIKE '%{mixed}%' "
+                f"OR position('{frag}' IN {sc}) > 0"
+            )
+            return sql, sql
+        # JOIN USING over a renamed derived side
+        inner_t, inner_k, outer_t, outer_k = r.choice(JOIN_EDGES)
+        ints = [c for c, ty in TABLES[inner_t].items() if ty == INT]
+        ic = r.choice(ints)
+        jt = r.choice(["JOIN", "LEFT JOIN"])
+        sql = (
+            f"SELECT count(*) AS c0, sum(u) AS c1 FROM "
+            f"(SELECT {outer_k} AS uk FROM {outer_t}) a {jt} "
+            f"(SELECT {inner_k} AS uk, {ic}::bigint AS u "
+            f" FROM {inner_t}) b USING (uk)"
+        )
+        return sql, sql
+
     SHAPES = (
         ("_simple", 14),
         ("_join", 18),
@@ -1495,6 +1566,7 @@ class Gen:
         ("_lateral", 8),
         ("_grouping_sets", 6),
         ("_date_arith", 6),
+        ("_idioms", 8),
     )
 
     def query(self):
@@ -1515,11 +1587,11 @@ class Gen:
 # _comma_join shape (DP join enumeration under fuzz) and moves the seed
 # so ALL shapes resample — the old pins stay reproducible from their
 # trees.  r10 added _named_window/_pivot/_unpivot; r11 (this session)
-# adds _lateral/_grouping_sets/_date_arith and moves the seed again:
-# these 480 are the current pin.
+# adds _lateral/_grouping_sets/_date_arith/_idioms and moves the seed
+# again: these 480 are the current pin.
 N_CHUNKS = 8
 PER_CHUNK = 60
-SEED = 20260818
+SEED = 20260819
 
 
 @pytest.mark.parametrize("chunk", range(N_CHUNKS))
