@@ -242,6 +242,9 @@ class Func(Expr):
         "lpad": (1, 2),
         "rpad": (1, 2),
         "timestamp_add": (0,),
+        "translate": (1, 2),
+        "regexp_extract": (1, 2),
+        "regexp_replace": (1, 2),
     }
 
     def to_column(self):
