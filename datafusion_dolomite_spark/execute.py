@@ -906,6 +906,7 @@ class SparkExecutor:
             getattr(op, "pq_nprobe", 3),
             getattr(op, "pq_residual", False),
             kmeans_iters=getattr(op, "kmeans_iters", 0),
+            train_iters=getattr(op, "train_iters", 0),
         )
 
     def _knn_index_probe(self, node: PlanNode):

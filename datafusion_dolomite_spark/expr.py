@@ -268,24 +268,56 @@ class Func(Expr):
             return F.count_distinct(*cols)
         if self.name == "string_agg_ord":
             # string_agg(x, sep ORDER BY k [DESC]) — deterministic
-            # ordered concatenation: collect (k, v) structs, array_sort
-            # (ascending by k then v — the same total order DuckDB's
-            # ORDER BY k applies, ties broken by the value), reverse
-            # for DESC, then join.  collect_list skips NULLs, matching
-            # DuckDB's string_agg.
-            x, sep, key, asc = self.args
+            # ordered concatenation: collect (k, v) structs, sort with
+            # an explicit comparator (JVM lambda, codegen-able): key in
+            # the requested direction with NULLS LAST (DuckDB's default
+            # null order for BOTH directions), ties broken value-ASC
+            # regardless of direction (ADVICE r11: F.reverse flipped
+            # the tiebreak too), then join.
+            x, sep = self.args[0], self.args[1]
             if not isinstance(sep, Lit) or not isinstance(sep.value, str):
                 raise ValueError("string_agg separator must be a string literal")
+            # (key, asc) pairs flattened into the arg tail
+            pairs = [
+                (self.args[i], bool(self.args[i + 1].value))
+                for i in range(2, len(self.args), 2)
+            ]
+
+            def _cmp3(a, b, lt, gt, tie):
+                return (
+                    F.when(a.isNull() & b.isNull(), tie)
+                    .when(a.isNull(), F.lit(1))   # NULLS LAST
+                    .when(b.isNull(), F.lit(-1))
+                    .when(a < b, F.lit(lt))
+                    .when(a > b, F.lit(gt))
+                    .otherwise(tie)
+                )
+
+            def _comparator(sa, sb):
+                # fold keys right-to-left; final tie broken value-ASC
+                # regardless of key direction
+                cmp = _cmp3(sa["_v"], sb["_v"], -1, 1, F.lit(0))
+                for i, (_, is_asc) in reversed(list(enumerate(pairs))):
+                    cmp = _cmp3(
+                        sa[f"_k{i}"], sb[f"_k{i}"],
+                        -1 if is_asc else 1,
+                        1 if is_asc else -1,
+                        cmp,
+                    )
+                return cmp
+
             arr = F.array_sort(
                 F.collect_list(
                     F.struct(
-                        key.to_column().alias("_k"),
+                        *[
+                            k.to_column().alias(f"_k{i}")
+                            for i, (k, _) in enumerate(pairs)
+                        ],
                         x.to_column().alias("_v"),
                     )
-                )
+                ),
+                _comparator,
             )
-            if not asc.value:
-                arr = F.reverse(arr)
             return F.array_join(F.transform(arr, lambda s_: s_["_v"]), sep.value)
         if self.name == "count" and not cols:
             return F.count(F.lit(1))

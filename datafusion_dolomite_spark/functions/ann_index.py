@@ -70,17 +70,23 @@ def read_ann_meta(index_dir: str):
 
 
 def ann_meta_matches(meta, m: int, ksub: int, ncells: int,
-                     residual: bool) -> bool:
+                     residual: bool, kmeans_iters: int = 0,
+                     train_iters: int = 0) -> bool:
     """Does a persisted index serve this query parameterization?
     A mismatched probe would score against the wrong codebooks —
     validate loudly, like the signature index's bands/num_hashes
-    guard."""
+    guard.  ``kmeans_iters``/``train_iters`` are part of the contract
+    too (ADVICE r11): the same cell/codebook GEOMETRY trained for a
+    different number of iterations yields different centroids, so a
+    probe against them would not be bit-equal to the inline chain."""
     return (
         meta is not None
         and int(meta["m"]) == m
         and int(meta["ksub"]) == ksub
         and int(meta["ncells"]) == ncells
         and bool(meta["residual"]) == bool(residual)
+        and int(meta.get("kmeans_iters", 0)) == int(kmeans_iters)
+        and int(meta.get("train_iters", 0)) == int(train_iters)
     )
 
 

@@ -315,6 +315,10 @@ class LogicalKnn(LogicalOperator):
     #: build-once/probe-many alternative and the cost race prefers it
     #: (no per-query training).  Empty = inline chains only.
     index_dir: str = ""
+    #: PQ codebook training iterations (functions/similarity.knn_pq
+    #: train_iters) — part of the index parameterization contract:
+    #: ann_meta_matches rejects an index trained differently
+    train_iters: int = 0
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
         return LogicalProperty(_KNN_SCHEMA)
@@ -422,6 +426,8 @@ class PhysicalKnnPq(PhysicalOperator):
     #: LogicalKnn.kmeans_iters; lets the operator chain express the
     #: trained-centroid IVF-PQ the persisted index stores)
     kmeans_iters: int = 0
+    #: codebook training iterations (LogicalKnn.train_iters)
+    train_iters: int = 0
 
     def pretty(self) -> str:
         ivf = (

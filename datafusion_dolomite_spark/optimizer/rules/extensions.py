@@ -179,6 +179,7 @@ class Knn2PqRule(Rule):
                     op.pq_ncells, op.pq_nprobe,
                     getattr(op, "pq_residual", False),
                     getattr(op, "kmeans_iters", 0),
+                    getattr(op, "train_iters", 0),
                 ),
                 *input.root.inputs,
             )
@@ -215,16 +216,30 @@ class AttachAnnIndexRule(Rule):
         if h is None:
             return
 
-        def find_scan(n):
-            if n.operator.operator_name() == "Scan":
-                return n.operator.table_name
-            for c in n.inputs:
-                t = find_scan(c)
-                if t is not None:
-                    return t
-            return None
-
-        table = find_scan(h)
+        # the persisted codes cover the FULL table: attach ONLY when
+        # the knn input is a bare, un-narrowed Scan of it — a Filter/
+        # Join (or even a Scan-fused filter/limit) between scan and knn
+        # means the query's corpus is a SUBSET, and probing full-table
+        # codes would return neighbors the inline chain excludes
+        # (ADVICE r11).  A pure column-pruning projection keeps the row
+        # set intact, so it stays attachable.
+        node = h
+        while (
+            node.operator.operator_name() == "Projection"
+            and len(node.inputs) == 1
+            and all(
+                type(e).__name__ == "Col" for e in node.operator.exprs
+            )
+        ):
+            node = node.inputs[0]
+        sop = node.operator
+        if (
+            sop.operator_name() != "Scan"
+            or sop.limit is not None
+            or getattr(sop, "filters", ())
+        ):
+            return
+        table = sop.table_name
         idx = cat.ann_index_for(table, op.vec_col) if table else None
         if not idx:
             return
@@ -233,6 +248,8 @@ class AttachAnnIndexRule(Rule):
         if not ann_meta_matches(
             read_ann_meta(idx), op.pq_m, op.pq_ksub, op.pq_ncells,
             getattr(op, "pq_residual", False),
+            getattr(op, "kmeans_iters", 0),
+            getattr(op, "train_iters", 0),
         ):
             return
         import dataclasses
@@ -271,6 +288,8 @@ class Knn2IndexProbeRule(Rule):
         if not ann_meta_matches(
             meta, op.pq_m, op.pq_ksub, op.pq_ncells,
             getattr(op, "pq_residual", False),
+            getattr(op, "kmeans_iters", 0),
+            getattr(op, "train_iters", 0),
         ):
             return
         result.add(

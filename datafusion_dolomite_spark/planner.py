@@ -1489,7 +1489,8 @@ class QueryPlanner:
         meta = read_ann_meta(idx)
         action = "exists"
         if replace or not ann_meta_matches(
-            meta, opts["m"], opts["ksub"], opts["ncells"], opts["residual"]
+            meta, opts["m"], opts["ksub"], opts["ncells"], opts["residual"],
+            opts["kmeans_iters"], opts["train_iters"],
         ):
             df = self.dataframe(
                 LogicalPlanBuilder().scan(table).build()

@@ -333,6 +333,7 @@ class LogicalPlanBuilder:
         pq_nprobe: int = 3,
         pq_residual: bool = False,
         index_dir: str = "",
+        train_iters: int = 0,
     ) -> "LogicalPlanBuilder":
         from ..operators.extensions import LogicalKnn
 
@@ -341,6 +342,7 @@ class LogicalPlanBuilder:
                 id_col, vec_col, n_queries, k, method, ncells, nprobe,
                 kmeans_iters, pq_m, pq_ksub, pq_refine, pq_ncells,
                 pq_nprobe, pq_residual, index_dir,
+                train_iters=train_iters,
             ),
             [self._require_root()],
         )

@@ -100,14 +100,22 @@ class _ExistsSubquery:
 
 class _IntervalLit:
     """Parser-internal marker: ``INTERVAL '90' DAY`` (r11).  Only legal
-    directly under ``+``/``-`` with a date/timestamp operand — ``_add``
-    rewrites the pair into ``timestamp_add(UNIT, ±n, x)``, whose Spark
-    semantics (clamping month/year arithmetic, time-of-day preserved,
-    DATE input → midnight TIMESTAMP) match DuckDB's native
-    ``date ± INTERVAL`` exactly — so the same query string is its own
-    oracle.  Escaping to any other position raises at parse time."""
+    directly under ``+``/``-`` — with a date/timestamp operand,
+    ``_date_arith`` rewrites the pair into nested ``timestamp_add``
+    calls, whose Spark semantics (clamping month/year arithmetic,
+    time-of-day preserved, DATE input → midnight TIMESTAMP) match
+    DuckDB's native ``date ± INTERVAL`` exactly — so the same query
+    string is its own oracle.  Escaping to any other position raises
+    at parse time (``_mul``/``::``/``_add`` all check — ADVICE r11).
 
-    __slots__ = ("n", "unit")
+    Components normalize to DuckDB's internal (months, days, seconds)
+    triple (r12): ``INTERVAL 1 QUARTER + INTERVAL 1 MONTH`` is ONE
+    4-month add, not two chained clamping adds — chained clamps diverge
+    from DuckDB at month ends (2024-01-31 +1mo +1mo = 03-29, +2mo =
+    03-31).  Application order months → days → seconds, exactly
+    DuckDB's interval addition."""
+
+    __slots__ = ("months", "days", "seconds")
 
     _UNITS = {
         "day": "DAY", "days": "DAY", "week": "WEEK", "weeks": "WEEK",
@@ -116,10 +124,40 @@ class _IntervalLit:
         "hour": "HOUR", "hours": "HOUR", "minute": "MINUTE",
         "minutes": "MINUTE", "second": "SECOND", "seconds": "SECOND",
     }
+    _TO = {
+        "YEAR": ("months", 12), "QUARTER": ("months", 3),
+        "MONTH": ("months", 1), "WEEK": ("days", 7), "DAY": ("days", 1),
+        "HOUR": ("seconds", 3600), "MINUTE": ("seconds", 60),
+        "SECOND": ("seconds", 1),
+    }
 
-    def __init__(self, n, unit):
-        self.n = n
-        self.unit = unit
+    def __init__(self, n=0, unit=None, months=0, days=0, seconds=0):
+        self.months, self.days, self.seconds = months, days, seconds
+        if unit is not None:
+            field, scale = self._TO[unit]
+            setattr(self, field, getattr(self, field) + n * scale)
+
+    def merged(self, other: "_IntervalLit", sign: int) -> "_IntervalLit":
+        return _IntervalLit(
+            months=self.months + sign * other.months,
+            days=self.days + sign * other.days,
+            seconds=self.seconds + sign * other.seconds,
+        )
+
+    def parts(self):
+        """Non-zero (n, unit) components, coarse → fine (the DuckDB
+        application order); a zero interval keeps one 0-day part so
+        ``date + INTERVAL 0 DAY`` still promotes like DuckDB."""
+        ps = [
+            (n, u)
+            for n, u in (
+                (self.months, "MONTH"),
+                (self.days, "DAY"),
+                (self.seconds, "SECOND"),
+            )
+            if n
+        ]
+        return ps or [(0, "DAY")]
 
 
 class _WindowExpr:
@@ -2087,25 +2125,43 @@ class _Parser:
         return SortKey(e, asc=asc, nulls_first=nulls_first)
 
     # expression precedence: or < and < cmp < add < mul < unary/primary
-    def _expr(self) -> Expr:
-        return self._or()
+    def _expr(self, allow_interval: bool = False) -> Expr:
+        # allow_interval: a PARENTHESIZED interval expression may flow
+        # back up as a marker for an enclosing +/- to consume
+        # (``d + (INTERVAL 1 QUARTER + INTERVAL 1 MONTH)``); everywhere
+        # else a bare interval raises at parse time
+        return self._or(allow_interval)
 
-    def _or(self) -> Expr:
-        e = self._and()
+    def _or(self, allow_interval: bool = False) -> Expr:
+        e = self._and(allow_interval)
         while self.accept("kw", "or"):
-            e = BinOp("or", e, self._and())
+            self._no_interval(e, "OR")
+            e = BinOp("or", e, self._no_interval(self._and(), "OR"))
         return e
 
-    def _and(self) -> Expr:
-        e = self._cmp()
+    def _and(self, allow_interval: bool = False) -> Expr:
+        e = self._cmp(allow_interval)
         while self.accept("kw", "and"):
-            e = BinOp("and", e, self._cmp())
+            self._no_interval(e, "AND")
+            e = BinOp("and", e, self._no_interval(self._cmp(), "AND"))
         return e
 
     _CMP = {"=": "=", "!=": "!=", "<>": "!=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
 
-    def _cmp(self) -> Expr:
-        e = self._add()
+    def _cmp(self, allow_interval: bool = False) -> Expr:
+        e = self._add(allow_interval)
+        if isinstance(e, _IntervalLit):
+            # the marker survived _add only because a paren context
+            # allowed it — nothing at comparison level may consume it
+            t_iv = self.peek()
+            if (
+                (t_iv.kind == "kw" and t_iv.value in
+                 ("not", "between", "in", "like", "is"))
+                or (t_iv.kind == "op" and t_iv.value in self._CMP)
+                or (t_iv.kind == "ident" and t_iv.value.lower() == "ilike")
+            ):
+                self._no_interval(e, "a comparison")
+            return e
         negate = self.accept("kw", "not") is not None
         if self.accept("kw", "between"):
             lo = self._add()
@@ -2169,7 +2225,7 @@ class _Parser:
             return BinOp(self._CMP[t.value], e, self._add())
         return e
 
-    def _add(self) -> Expr:
+    def _add(self, allow_interval: bool = False) -> Expr:
         e = self._mul()
         while True:
             if self.accept("op", "+"):
@@ -2177,7 +2233,7 @@ class _Parser:
             elif self.accept("op", "-"):
                 e = self._date_arith("-", e, self._mul())
             else:
-                if isinstance(e, _IntervalLit):
+                if isinstance(e, _IntervalLit) and not allow_interval:
                     raise SqlError(
                         "INTERVAL literals are only valid in "
                         "date/timestamp + or - arithmetic"
@@ -2186,30 +2242,49 @@ class _Parser:
 
     @staticmethod
     def _date_arith(op: str, l, r):
-        """``x ± INTERVAL n unit`` → ``timestamp_add(UNIT, ±n, x)`` —
-        Spark's clamping month/year arithmetic and DATE-→-midnight-
-        TIMESTAMP promotion match DuckDB's native interval arithmetic
-        exactly (see _IntervalLit)."""
+        """``x ± INTERVAL ...`` → nested ``timestamp_add(UNIT, ±n, x)``
+        applied months → days → seconds — Spark's clamping month/year
+        arithmetic and DATE-→-midnight-TIMESTAMP promotion match
+        DuckDB's native interval arithmetic exactly (see _IntervalLit).
+        ``INTERVAL ± INTERVAL`` merges component-wise (r12)."""
         if isinstance(r, _IntervalLit):
             if isinstance(l, _IntervalLit):
-                raise SqlError("INTERVAL ± INTERVAL is not supported")
-            n = r.n if op == "+" else -r.n
-            return Func("timestamp_add", (Lit(r.unit), Lit(n), l))
+                return l.merged(r, 1 if op == "+" else -1)
+            sign = 1 if op == "+" else -1
+            e = l
+            for n, u in r.parts():
+                e = Func("timestamp_add", (Lit(u), Lit(sign * n), e))
+            return e
         if isinstance(l, _IntervalLit):
             if op == "+":  # INTERVAL + x commutes
                 return _Parser._date_arith("+", r, l)
             raise SqlError("INTERVAL - <expr> is not valid")
         return BinOp(op, l, r)
 
+    @staticmethod
+    def _no_interval(e, where: str):
+        """The _IntervalLit marker may only meet ``+``/``-`` — anywhere
+        else it must fail AT PARSE TIME, not as a raw error deep in
+        resolution (ADVICE r11)."""
+        if isinstance(e, _IntervalLit):
+            raise SqlError(
+                "INTERVAL literals are only valid in date/timestamp "
+                f"+ or - arithmetic, not under {where}"
+            )
+        return e
+
     def _mul(self) -> Expr:
         e = self._postfix()
         while True:
             if self.accept("op", "*"):
-                e = BinOp("*", e, self._postfix())
+                self._no_interval(e, "'*'")
+                e = BinOp("*", e, self._no_interval(self._postfix(), "'*'"))
             elif self.accept("op", "/"):
-                e = BinOp("/", e, self._postfix())
+                self._no_interval(e, "'/'")
+                e = BinOp("/", e, self._no_interval(self._postfix(), "'/'"))
             elif self.accept("op", "%"):
-                e = BinOp("%", e, self._postfix())
+                self._no_interval(e, "'%'")
+                e = BinOp("%", e, self._no_interval(self._postfix(), "'%'"))
             else:
                 return e
 
@@ -2218,7 +2293,7 @@ class _Parser:
         r11) — binds tighter than any operator, chains left."""
         e = self._primary()
         while self.accept("op", "::"):
-            e = Cast(e, self._type_name())
+            e = Cast(self._no_interval(e, "'::' cast"), self._type_name())
         return e
 
     def _type_name(self) -> str:
@@ -2257,7 +2332,7 @@ class _Parser:
                 sub = self._query()
                 self.expect("op", ")")
                 return _ScalarSubquery(sub)
-            e = self._expr()
+            e = self._expr(allow_interval=True)
             self.expect("op", ")")
             return e
         if self.accept("op", "-"):
@@ -2425,10 +2500,15 @@ class _Parser:
                         "ORDER BY inside an aggregate is only supported "
                         "for string_agg"
                     )
-                key = self._expr()
-                asc = not self.accept("kw", "desc")
-                self.accept("kw", "asc")
-                agg_order = (key, asc)
+                keys = []
+                while True:
+                    key = self._expr()
+                    asc = not self.accept("kw", "desc")
+                    self.accept("kw", "asc")
+                    keys.append((key, asc))
+                    if not self.accept("op", ","):
+                        break
+                agg_order = tuple(keys)
             self.expect("op", ")")
         if fname == "string_agg":
             if len(args) != 2:
@@ -2438,10 +2518,10 @@ class _Parser:
                     "string_agg requires ORDER BY (an unordered "
                     "concatenation is nondeterministic across engines)"
                 )
-            return Func(
-                "string_agg_ord",
-                (args[0], args[1], agg_order[0], Lit(agg_order[1])),
-            )
+            tail: list = []
+            for key, asc in agg_order:
+                tail.extend((key, Lit(asc)))
+            return Func("string_agg_ord", (args[0], args[1], *tail))
         if fname in ("arg_max", "arg_min"):
             # DuckDB names for Spark's max_by/min_by
             fname = "max_by" if fname == "arg_max" else "min_by"
@@ -3085,12 +3165,8 @@ def _decorrelate_lateral(sub: Plan, catalog, outer_names):
     if node.operator.operator_name() == "Distinct":
         # SELECT DISTINCT inside LATERAL: dedup over (outputs + the
         # hidden correlation keys) below the join IS the per-outer-key
-        # distinct the subquery means.  With LIMIT the dedup would have
-        # to interleave with the ranking — reject rather than mis-rank.
-        if limit is not None:
-            raise SqlError(
-                "LATERAL with both DISTINCT and LIMIT is not supported"
-            )
+        # distinct the subquery means; a trailing LIMIT ranks the
+        # already-deduped rows (SQL applies LIMIT after DISTINCT).
         want_distinct = True
         node = node.inputs[0]
     if node.operator.operator_name() == "Projection":
@@ -3197,7 +3273,7 @@ def _decorrelate_lateral(sub: Plan, catalog, outer_names):
             for k in keys
         )
 
-    def _topn(b, part_cols):
+    def _topn(b, part_cols, subst=True):
         if not sort_keys:
             raise SqlError(
                 "LATERAL ... LIMIT needs an ORDER BY (deterministic top-N)"
@@ -3207,7 +3283,7 @@ def _decorrelate_lateral(sub: Plan, catalog, outer_names):
                 WindowExprDef(
                     Func("row_number", ()),
                     tuple(part_cols),
-                    _subst_keys(sort_keys),
+                    _subst_keys(sort_keys) if subst else tuple(sort_keys),
                     "_lrn",
                     None,
                 )
@@ -3271,14 +3347,9 @@ def _decorrelate_lateral(sub: Plan, catalog, outer_names):
         force_left = not agg_op.group_exprs
     else:
         b = LogicalPlanBuilder(child)
-        if limit is not None:
-            # partition directly by the INNER key columns (present in
-            # the pre-projection schema); ranking runs before the
-            # projection so sort keys may be non-output columns too
-            b = _topn(b, [Col(ik) for ik, _ in eqs])
         if p_exprs is None:
             p_exprs = tuple(Col(n) for n in _plan_schema_names(child, catalog))
-        hidden = list(key_aliases)
+        out_names = [output_name(e) for e in p_exprs]
         # non-equality correlated conjuncts reference inner columns that
         # the projection may drop — surface them as hidden pass-through
         # columns (names verified non-shadowed above)
@@ -3290,11 +3361,70 @@ def _decorrelate_lateral(sub: Plan, catalog, outer_names):
                 if x.qualifier != "@outer" and x.name in avail
             }
         )
-        out_names = [output_name(e) for e in p_exprs]
-        for nm in inner_extra_cols:
-            if nm not in out_names:
+        hidden_extras = [nm for nm in inner_extra_cols if nm not in out_names]
+        # a hidden extra that mirrors a visible bare-column output (e.g.
+        # SELECT DISTINCT c_acctbal AS bal ... WHERE c_acctbal > @outer)
+        # is functionally determined by the visible tuple, so including
+        # it in the dedup cannot split groups
+        visible_bare_cols = {
+            e.expr.name
+            for e in p_exprs
+            if isinstance(e, Alias) and isinstance(e.expr, Col)
+        } | {e.name for e in p_exprs if isinstance(e, Col)}
+        unsound_extras = [
+            nm for nm in hidden_extras if nm not in visible_bare_cols
+        ]
+        if want_distinct and unsound_extras:
+            # a dedup below the join over a projection that still
+            # carries hidden pass-through columns re-emits one copy of
+            # each visible tuple PER distinct hidden value passing the
+            # join predicate; without an outer row identity no sound
+            # pre-join dedup exists — reject cleanly (ADVICE r11)
+            raise SqlError(
+                "LATERAL DISTINCT with correlated non-equality "
+                "conjuncts referencing non-output inner columns "
+                f"{unsound_extras} is not supported — add them to the "
+                "SELECT list or drop DISTINCT"
+            )
+        if want_distinct:
+            b = b.projection(
+                tuple(p_exprs)
+                + tuple(key_aliases)
+                + tuple(Alias(Col(nm), nm) for nm in hidden_extras)
+            )
+            b = b.distinct()
+            if limit is not None:
+                # ranking runs over the deduped output: sort keys must
+                # bind to select-list columns (standard SELECT DISTINCT
+                # ... ORDER BY rule), no alias substitution
+                for k in sort_keys:
+                    for c in _cols_of(k.expr):
+                        if c.name not in out_names:
+                            raise SqlError(
+                                "LATERAL DISTINCT ... ORDER BY must use "
+                                f"select-list columns; {c.name!r} is "
+                                "not in the output"
+                            )
+                b = _topn(
+                    b,
+                    [Col(f"__lk{i}") for i in range(len(eqs))],
+                    subst=False,
+                )
+                b = b.projection(
+                    tuple(Col(n) for n in out_names)
+                    + tuple(Col(f"__lk{i}") for i in range(len(eqs)))
+                )
+        else:
+            if limit is not None:
+                # partition directly by the INNER key columns (present
+                # in the pre-projection schema); ranking runs before the
+                # projection so sort keys may be non-output columns too
+                b = _topn(b, [Col(ik) for ik, _ in eqs])
+            hidden = list(key_aliases)
+            for nm in hidden_extras:
                 hidden.append(Alias(Col(nm), nm))
-        b = b.projection(tuple(p_exprs) + tuple(hidden))
+            b = b.projection(tuple(p_exprs) + tuple(hidden))
+        return b, conds, out_names, count_cols, force_left
     if want_distinct:
         b = b.distinct()
     return b, conds, out_names, count_cols, force_left

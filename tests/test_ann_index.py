@@ -119,6 +119,52 @@ def test_probe_requires_index_and_matching_params(tmp_path, emb):
     assert not ann_meta_matches(meta, 8, 16, 32, True)
     assert not ann_meta_matches(meta, 8, 16, 8, False)
     assert not ann_meta_matches(None, 8, 16, 8, True)
+    # ADVICE r11: differently-TRAINED centroids/codebooks are a
+    # different index even at identical geometry
+    assert not ann_meta_matches(meta, 8, 16, 8, True, kmeans_iters=2)
+    assert not ann_meta_matches(meta, 8, 16, 8, True, train_iters=1)
+    assert ann_meta_matches(meta, 8, 16, 8, True, kmeans_iters=0,
+                            train_iters=0)
+
+
+def test_auto_attach_requires_bare_scan(tmp_path, planner):
+    """ADVICE r11: the persisted codes cover the FULL table — a knn
+    over a filtered corpus must NOT probe them (it would return
+    neighbors the inline chain excludes)."""
+    from datafusion_dolomite_spark.expr import BinOp, Col, Lit
+
+    idx = str(tmp_path / "bare_idx")
+    planner.sql(
+        "create vector index on embeddings (embedding) with "
+        f"(m=8, ksub=16, ncells=16, residual=true, kmeans_iters=1, "
+        f"location='{idx}')"
+    ).collect()
+    common = dict(
+        n_queries=4, k=5, method="pq", pq_m=8, pq_ksub=16,
+        pq_refine=30, pq_ncells=16, pq_nprobe=3, pq_residual=True,
+        kmeans_iters=1,
+    )
+    try:
+        bare = (
+            LogicalPlanBuilder()
+            .scan("embeddings")
+            .knn("vec_id", "embedding", **common)
+            .build()
+        )
+        assert "PhysicalKnnIndexProbe" in planner.explain(bare)
+        # filtered corpus → inline chain over the narrowed rows
+        filt = (
+            LogicalPlanBuilder()
+            .scan("embeddings")
+            .filter(BinOp("<", Col("vec_id"), Lit(400)))
+            .knn("vec_id", "embedding", **common)
+            .build()
+        )
+        spine = planner.explain(filt)
+        assert "PhysicalKnnIndexProbe" not in spine
+        assert "PhysicalKnnPq" in spine
+    finally:
+        planner.sql("drop vector index on embeddings (embedding)")
 
 
 def test_cost_race_prefers_matching_index(tmp_path, emb, planner):

@@ -63,6 +63,39 @@ def test_interval_outside_arithmetic_rejected(planner):
         planner.sql(
             "select date '1995-01-01' + interval 3 fortnight as x"
         )
+    # ADVICE r11: the marker must not escape through non-additive
+    # operators either — parse-time SqlError, never a deep raw error
+    for bad in (
+        "select interval 3 day * 2 as x",
+        "select 2 * interval 3 day as x",
+        "select interval 3 day::text as x",
+        "select (interval 3 day) as x",
+        "select 1 as x where interval 1 day > interval 2 day",
+        "select (interval 1 day) and true as x",
+    ):
+        with pytest.raises(SqlError, match="INTERVAL"):
+            planner.sql(bad)
+
+
+def test_interval_plus_interval_merges(planner):
+    """INTERVAL ± INTERVAL (r12): components merge into DuckDB's
+    (months, days, seconds) triple and apply coarse-to-fine in ONE
+    month-level add — chained clamping would diverge at month ends."""
+    rows = planner.sql(
+        "select date '2024-01-31' + (interval 1 month + interval 1 month) as m2, "
+        "date '2024-01-31' + interval 1 month + interval 1 month as chained, "
+        "date '1995-01-31' + (interval 1 quarter + interval 1 month) as q4, "
+        "date '1995-01-15' + (interval 1 month + interval 3 day) as mixed, "
+        "date '1995-03-15' - (interval 1 month + interval 10 day) as sub, "
+        "date '1995-01-15' + (interval 2 month - interval 40 day) as neg"
+    ).collect()
+    r = rows[0]
+    assert r["m2"] == datetime.datetime(2024, 3, 31)  # one 2-month add
+    assert r["chained"] == datetime.datetime(2024, 3, 29)  # two clamps
+    assert r["q4"] == datetime.datetime(1995, 5, 31)
+    assert r["mixed"] == datetime.datetime(1995, 2, 18)
+    assert r["sub"] == datetime.datetime(1995, 2, 5)
+    assert r["neg"] == datetime.datetime(1995, 2, 3)
 
 
 def test_group_order_by_ordinals(planner):
@@ -210,6 +243,45 @@ def test_string_agg_ordered_values(planner):
         ).collect()
     ]
     assert rows[0]["s"] == ",".join(names)
+
+
+def test_string_agg_desc_tiebreak_and_null_keys(planner):
+    """ADVICE r11: DESC must NOT flip the value tiebreak (ties stay
+    value-ASC) and NULL sort keys go LAST in both directions (DuckDB's
+    default null order)."""
+    # every nation in a region shares the key → pure tie: value-ASC
+    asc_s = planner.sql(
+        "select string_agg(n_name, ',' order by n_regionkey) as s "
+        "from nation where n_regionkey = 1"
+    ).collect()[0]["s"]
+    desc_s = planner.sql(
+        "select string_agg(n_name, ',' order by n_regionkey desc) as s "
+        "from nation where n_regionkey = 1"
+    ).collect()[0]["s"]
+    assert asc_s == desc_s == ",".join(sorted(asc_s.split(",")))
+    # NULL keys last, then value-ASC among them
+    s = planner.sql(
+        "select string_agg(n_name, ',' order by case when n_nationkey < 3 "
+        "then null else n_nationkey end) as s from nation "
+        "where n_nationkey < 6"
+    ).collect()[0]["s"]
+    assert s.split(",") == [
+        "NATION_3", "NATION_4", "NATION_5",
+        "NATION_0", "NATION_1", "NATION_2",
+    ]
+    # multi-key ORDER BY (r12): tied first key totalized by the second
+    m = planner.sql(
+        "select string_agg(n_name, ',' order by n_regionkey, "
+        "n_nationkey desc) as s from nation where n_regionkey = 1"
+    ).collect()[0]["s"]
+    ref = [
+        r.n_name
+        for r in planner.sql(
+            "select n_name from nation where n_regionkey = 1 "
+            "order by n_nationkey desc"
+        ).collect()
+    ]
+    assert m == ",".join(ref)
 
 
 def test_columns_regex_star(planner):

@@ -172,13 +172,62 @@ def test_distinct_in_lateral(planner):
         "from customer"
     ).collect()
     assert pairs == {(r.k, r.seg) for r in ref}
-    with pytest.raises(SqlError, match="DISTINCT and LIMIT"):
+
+
+def test_distinct_limit_in_lateral(planner):
+    # LIMIT applies AFTER the per-key DISTINCT (SQL evaluation order)
+    got = planner.sql(
+        "select n_nationkey, t.seg from nation, lateral ("
+        "  select distinct c_mktsegment as seg from customer"
+        "  where c_nationkey = n_nationkey "
+        "  order by seg limit 2) t"
+    ).collect()
+    per_key = {}
+    for r in got:
+        per_key.setdefault(r.n_nationkey, []).append(r.seg)
+    assert all(len(set(v)) == len(v) <= 2 for v in per_key.values())
+    ref = planner.sql(
+        "select distinct c_mktsegment as seg from customer "
+        "where c_nationkey = 3 order by seg limit 2"
+    ).collect()
+    assert sorted(per_key[3]) == sorted(r.seg for r in ref)
+    # sort keys must bind to the DISTINCT output
+    with pytest.raises(SqlError, match="select-list columns"):
         planner.sql(
             "select n_nationkey, t.seg from nation, lateral ("
             "  select distinct c_mktsegment as seg from customer"
             "  where c_nationkey = n_nationkey "
-            "  order by seg limit 2) t"
+            "  order by c_acctbal limit 2) t"
         )
+
+
+def test_distinct_hidden_extras(planner):
+    # ADVICE r11: DISTINCT + correlated non-equality conjunct whose
+    # inner column is NOT in the output would duplicate visible tuples
+    # if deduped below the join — rejected cleanly
+    with pytest.raises(SqlError, match="non-output inner columns"):
+        planner.sql(
+            "select n_nationkey, t.seg from nation, lateral ("
+            "  select distinct c_mktsegment as seg from customer"
+            "  where c_nationkey = n_nationkey"
+            "  and c_acctbal > n_nationkey * 100) t"
+        )
+    # ... but a hidden extra mirrored by a visible bare-column alias is
+    # functionally determined by the output tuple — allowed and exact
+    got = planner.sql(
+        "select n_nationkey, t.seg, t.bal from nation, lateral ("
+        "  select distinct c_mktsegment as seg, c_acctbal as bal "
+        "  from customer where c_nationkey = n_nationkey"
+        "  and c_acctbal > n_nationkey * 100) t"
+    ).collect()
+    ref = planner.sql(
+        "select distinct c_nationkey as k, c_mktsegment as seg, "
+        "c_acctbal as bal from customer, nation "
+        "where c_nationkey = n_nationkey and c_acctbal > n_nationkey * 100"
+    ).collect()
+    assert {(r.n_nationkey, r.seg, r.bal) for r in got} == {
+        (r.k, r.seg, r.bal) for r in ref
+    } and len(got) == len(ref)
 
 
 def test_with_in_subqueries(planner):
