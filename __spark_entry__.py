@@ -1382,30 +1382,50 @@ def q_knn_cents_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-trained BPE tokenization (r11, ``functions/bpe.py``): a
-    16-merge table trained on the corpus's word vocab (one corpus
-    shuffle; each merge iteration runs over vocab-sized data and
-    collects one (pair, count) model row — Lloyd-centroid discipline),
-    then per-doc subword token counts via a pure ``replace``-chain JVM
-    expression over marker strings (``>h<>e<>l<>l<>o<`` — one SQL
-    ``replace`` per merge IS one canonical greedy BPE pass, leftmost
-    non-overlapping, identically in both engines).  These are the
-    counts ``sequence_pack(tokens_col=...)`` budgets with instead of
-    whitespace words.  The oracle replays training (16 materialized
-    CTE iterations, same tie rule) and encoding in DuckDB."""
-    from datafusion_dolomite_spark.functions.bpe import (
-        bpe_token_counts,
-        bpe_train,
-    )
+    """PERSISTED BPE tokenizer — build once, probe many (r12, VERDICT
+    r11 item 1; ``functions/bpe.py``).  r11 re-trained the 16-merge
+    table inside every execution — 17 vocab-sized jobs of stage
+    overhead per pass on a model that fits in L2 cache.  Now the first
+    run trains via ``CREATE TOKENIZER`` and persists the merge table +
+    ``_meta.json`` guard under spark-warehouse (signature-keyed to the
+    source, stale siblings pruned); every later run — including the
+    bench's timed passes — goes through the ``LogicalBpeTokens`` front
+    door, where ``AttachBpeTokenizerRule`` finds the registered
+    artifact (bare-scan guard: trained on the FULL table) and the cost
+    race picks ``PhysicalBpeModelProbe``: the map-only
+    ``replace``-chain count, ZERO training jobs.  Bit-equal to the
+    inline train-then-count chain (training is deterministic; the
+    artifact is its output verbatim — tests/test_bpe_tokenizer.py), so
+    the oracle is UNCHANGED: DuckDB still replays training (16
+    materialized CTE iterations, same (count DESC, left, right) tie
+    rule) and the marker-string ``replace`` encoding
+    (``>h<>e<>l<>l<>o<`` — one SQL ``replace`` per merge IS one
+    canonical greedy BPE pass, leftmost non-overlapping, identically
+    in both engines)."""
+    import os
 
+    from datafusion_dolomite_spark.sources.signature import write_marker
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    dest, fresh, sig = _materialized_dir(sf_dir, "bpetok_v1", src)
+    tok = os.path.join(dest, "tokenizer")
     pl = _planner(spark, sf_dir)
-    docs = pl.dataframe(
+    if not fresh:
+        pl.sql(
+            "create or replace tokenizer on documents (text) with "
+            f"(merges=16, location='{tok}')"
+        ).collect()
+        write_marker(dest, sig)
+    else:
+        # artifact already on disk: register so the attach rule sees it
+        pl.catalog.register_bpe_tokenizer("documents", "text", tok)
+    plan = (
         LogicalPlanBuilder()
-        .scan("documents", columns=["doc_id", "text"])
+        .scan("documents")
+        .bpe_tokens("doc_id", "text", num_merges=16)
         .build()
     )
-    merges = bpe_train(docs, "text", num_merges=16)
-    return bpe_token_counts(docs, "doc_id", "text", merges)
+    return pl.dataframe(plan)
 
 
 def _bpe_oracle(num_merges: int = 16) -> str:

@@ -789,6 +789,28 @@ class SparkExecutor:
             list(op.partition_cols),
         )
 
+    def _bpe_tokens(self, node: PlanNode):
+        """Inline chain: train on THIS input's word vocab, then count."""
+        from .functions.bpe import bpe_token_counts, bpe_train
+
+        op = node.operator
+        base = self._node(node.inputs[0])
+        merges = bpe_train(
+            base, op.text_col, num_merges=op.num_merges,
+            max_vocab=op.max_vocab,
+        )
+        return bpe_token_counts(base, op.id_col, op.text_col, merges)
+
+    def _bpe_model_probe(self, node: PlanNode):
+        """Apply the persisted merge table — zero training jobs."""
+        from .functions.bpe import bpe_token_counts, bpe_tokenizer_merges
+
+        op = node.operator
+        merges = bpe_tokenizer_merges(op.tokenizer_dir)
+        return bpe_token_counts(
+            self._node(node.inputs[0]), op.id_col, op.text_col, merges
+        )
+
     def _minhash_dedup(self, node: PlanNode):
         from .functions.dedup import minhash_verified_pairs
 
@@ -1392,6 +1414,9 @@ _HANDLERS = {
     X.LogicalStratifiedSample: SparkExecutor._stratified_sample,
     X.PhysicalSequencePack: SparkExecutor._sequence_pack,
     X.LogicalSequencePack: SparkExecutor._sequence_pack,
+    X.PhysicalBpeTokens: SparkExecutor._bpe_tokens,
+    X.PhysicalBpeModelProbe: SparkExecutor._bpe_model_probe,
+    X.LogicalBpeTokens: SparkExecutor._bpe_tokens,
     X.PhysicalSink: SparkExecutor._sink,
     X.LogicalSink: SparkExecutor._sink,
     X.LogicalUnnest: SparkExecutor._unnest,

@@ -55,6 +55,9 @@ __all__ = [
     "PhysicalStratifiedSample",
     "LogicalSequencePack",
     "PhysicalSequencePack",
+    "LogicalBpeTokens",
+    "PhysicalBpeTokens",
+    "PhysicalBpeModelProbe",
     "LogicalSink",
     "PhysicalSink",
 ]
@@ -1092,6 +1095,100 @@ class PhysicalSink(PhysicalOperator):
 
     def pretty(self) -> str:
         return f"PhysicalSink {{ table: {self.table_name}, format: {self.format} }}"
+
+
+# -- BPE tokenization (r12: plan front door + persisted tokenizer) ----------
+
+@dataclass(frozen=True)
+class LogicalBpeTokens(LogicalOperator):
+    """Per-document BPE token counts (functions/bpe.py): a
+    ``num_merges`` merge table over the corpus's word vocab, applied as
+    a pure ``replace``-chain JVM expression.  ``tokenizer_dir`` names a
+    PERSISTED tokenizer artifact (``bpe_tokenizer_build``) this query
+    MAY probe: when it exists and its (num_merges, max_vocab)
+    parameterization matches, ``Bpe2ModelProbeRule`` adds the
+    build-once/probe-many alternative — training already paid — and
+    the cost race prefers it.  Empty = inline train-then-count.
+    Output: (id_col, n_words bigint, n_tokens bigint)."""
+
+    id_col: str
+    text_col: str
+    num_merges: int = 16
+    max_vocab: int = 65536
+    tokenizer_dir: str = ""
+
+    def derive_logical_prop(self, input_props) -> LogicalProperty:
+        (inp,) = input_props
+        idf = next(
+            (f for f in inp.schema.fields if f.name == self.id_col), None
+        )
+        if idf is None:
+            raise ValueError(f"unknown column {self.id_col!r}")
+        return LogicalProperty(
+            Schema(
+                (
+                    Field(idf.name, idf.dtype, idf.nullable),
+                    Field("n_words", "bigint", False),
+                    Field("n_tokens", "bigint", True),
+                )
+            )
+        )
+
+    def pretty(self) -> str:
+        return (
+            f"LogicalBpeTokens {{ id: {self.id_col}, text: {self.text_col}, "
+            f"merges: {self.num_merges} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalBpeTokens(PhysicalOperator):
+    """Inline chain: train the merge table (one corpus word-count
+    shuffle + a driver loop over the max_vocab-bounded dict), then the
+    replace-chain count — the price the persisted tokenizer exists to
+    amortize."""
+
+    id_col: str
+    text_col: str
+    num_merges: int = 16
+    max_vocab: int = 65536
+
+    def derive_properties(self, children_props):
+        return (_DEFAULT,), PhysicalPropertySet(
+            dist=DistributionSpec.hashed((self.id_col,))
+        )
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalBpeTokens {{ id: {self.id_col}, "
+            f"text: {self.text_col}, merges: {self.num_merges} }}"
+        )
+
+
+@dataclass(frozen=True)
+class PhysicalBpeModelProbe(PhysicalOperator):
+    """Apply the PERSISTED merge table (functions/bpe.py artifact):
+    the replace-chain count alone — zero training jobs.  Bit-equal to
+    ``PhysicalBpeTokens`` with the same parameters (training is
+    deterministic; the artifact is its output verbatim)."""
+
+    id_col: str
+    text_col: str
+    num_merges: int = 16
+    max_vocab: int = 65536
+    tokenizer_dir: str = ""
+
+    def derive_properties(self, children_props):
+        return (_DEFAULT,), PhysicalPropertySet(
+            dist=DistributionSpec.hashed((self.id_col,))
+        )
+
+    def pretty(self) -> str:
+        return (
+            f"PhysicalBpeModelProbe {{ id: {self.id_col}, "
+            f"text: {self.text_col}, merges: {self.num_merges}, "
+            f"tokenizer: {self.tokenizer_dir} }}"
+        )
 
 
 # -- sequence packing (LLM training sequences) ------------------------------

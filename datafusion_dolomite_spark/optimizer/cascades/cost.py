@@ -299,6 +299,15 @@ class SparkCostModel(CostModel):
             # were paid at build time.  Strictly under PhysicalKnnPq at
             # any row count so the race prefers a matching index.
             return 0.5 * (rows[0] if rows else 1.0) + 100.0
+        if isinstance(op, X.PhysicalBpeTokens):
+            # inline: the word-count shuffle + (merges+1) driver-loop
+            # jobs of stage overhead, then the map-only replace chain
+            return 3.0 * (rows[0] if rows else 1.0) + 5000.0
+        if isinstance(op, X.PhysicalBpeModelProbe):
+            # persisted merge table: the replace-chain count alone.
+            # Strictly under PhysicalBpeTokens so a matching artifact
+            # always wins the race.
+            return 1.0 * (rows[0] if rows else 1.0) + 100.0
         if isinstance(op, X.PhysicalGenerate):
             return rows[0] if rows else 1.0
         if isinstance(op, X.PhysicalDocChunk):

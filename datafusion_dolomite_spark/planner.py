@@ -47,6 +47,8 @@ from .optimizer.rules.limit import (
 from .optimizer.rules.extensions import (
     EXTENSION_RULES,
     AttachAnnIndexRule,
+    AttachBpeTokenizerRule,
+    PruneScanUnderBpeTokensRule,
     PruneUnnestInputRule,
     PushFilterThroughLeftPreservingJoinRule,
     OverlapJoinFromConditionRule,
@@ -75,6 +77,8 @@ def default_rewrite_rules() -> list[Rule]:
         RangeJoinFromConditionRule(),
         OverlapJoinFromConditionRule(),
         AttachAnnIndexRule(),
+        AttachBpeTokenizerRule(),
+        PruneScanUnderBpeTokensRule(),
         RewriteAggOnViewSubtreeRule(),
     ]
 
@@ -1516,6 +1520,76 @@ class QueryPlanner:
             "action: string",
         )
 
+    def _create_tokenizer(self, replace: bool, table: str,
+                          text_col: str, opts_str):
+        """``CREATE [OR REPLACE] TOKENIZER ON t (col) [WITH (merges=16,
+        max_vocab=65536, location='<dir>')]`` (r12, VERDICT r11 item
+        1) — the SQL front door of the persisted BPE tokenizer
+        (``functions/bpe.py``): train the merge table ONCE, persist it
+        + ``_meta.json`` guard, register in the catalog, and every
+        later ``bpe_tokens`` query over a bare scan of the table
+        auto-attaches the artifact (``AttachBpeTokenizerRule``) so the
+        cost race picks the train-free probe.  Idempotent like CREATE
+        VECTOR INDEX: an existing artifact whose _meta.json matches is
+        registered without retraining; ``OR REPLACE`` forces it.
+        Default location: ``<warehouse>/tokenizer/<table>__<col>``."""
+        import os
+        import re as _re
+
+        from .functions.bpe import (
+            bpe_meta_matches,
+            bpe_tokenizer_build,
+            read_bpe_meta,
+        )
+        from .plans.plan import LogicalPlanBuilder
+
+        opts = {"merges": 16, "max_vocab": 65536, "location": None}
+        if opts_str:
+            for part in opts_str.split(","):
+                if not part.strip():
+                    continue
+                mm = _re.match(
+                    r"\s*(\w+)\s*=\s*('(?:[^']|'')*'|\S+)\s*$", part
+                )
+                if not mm:
+                    raise ValueError(
+                        f"bad TOKENIZER option {part.strip()!r}"
+                    )
+                k = mm.group(1).lower()
+                v = mm.group(2)
+                if k not in opts:
+                    raise ValueError(
+                        f"unknown TOKENIZER option {k!r} "
+                        f"(known: {sorted(opts)})"
+                    )
+                if k == "location":
+                    opts[k] = v[1:-1].replace("''", "'") if v.startswith("'") else v
+                else:
+                    opts[k] = int(v)
+        tok = opts["location"] or os.path.join(
+            self.catalog.warehouse_root(), "tokenizer",
+            f"{table}__{text_col}",
+        )
+        meta = read_bpe_meta(tok)
+        action = "exists"
+        if replace or not bpe_meta_matches(
+            meta, opts["merges"], opts["max_vocab"]
+        ):
+            df = self.dataframe(
+                LogicalPlanBuilder().scan(table).build()
+            )
+            bpe_tokenizer_build(
+                df, tok, text_col, num_merges=opts["merges"],
+                max_vocab=opts["max_vocab"],
+            )
+            action = "replaced" if meta is not None else "built"
+        self.catalog.register_bpe_tokenizer(table, text_col, tok)
+        return self.spark.createDataFrame(
+            [(table, text_col, tok, action)],
+            "table: string, text_col: string, tokenizer_dir: string, "
+            "action: string",
+        )
+
     def sql(self, query: str):
         """SQL front door: parse → optimize → execute (entry point A of
         the reference, SURVEY §3)."""
@@ -1589,6 +1663,29 @@ class QueryPlanner:
             return self.spark.createDataFrame(
                 [(m.group(1), m.group(2), "dropped")],
                 "table: string, vec_col: string, action: string",
+            )
+        m = _re.match(
+            r"\s*create\s+(or\s+replace\s+)?tokenizer\s+on\s+"
+            r"([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)"
+            r"(?:\s+with\s*\((.*?)\))?\s*$",
+            query,
+            _re.IGNORECASE | _re.DOTALL,
+        )
+        if m:
+            return self._create_tokenizer(
+                bool(m.group(1)), m.group(2), m.group(3), m.group(4)
+            )
+        m = _re.match(
+            r"\s*drop\s+tokenizer\s+on\s+([A-Za-z_]\w*)\s*"
+            r"\(\s*([A-Za-z_]\w*)\s*\)\s*$",
+            query,
+            _re.IGNORECASE,
+        )
+        if m:
+            self.catalog.deregister_bpe_tokenizer(m.group(1), m.group(2))
+            return self.spark.createDataFrame(
+                [(m.group(1), m.group(2), "dropped")],
+                "table: string, text_col: string, action: string",
             )
         m = _re.match(
             r"\s*desc(?:ribe)?\s+(?:table\s+)?([A-Za-z_]\w*)\s*$",

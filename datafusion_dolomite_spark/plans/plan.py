@@ -347,6 +347,23 @@ class LogicalPlanBuilder:
             [self._require_root()],
         )
 
+    def bpe_tokens(
+        self,
+        id_col: str,
+        text_col: str,
+        num_merges: int = 16,
+        max_vocab: int = 65536,
+        tokenizer_dir: str = "",
+    ) -> "LogicalPlanBuilder":
+        from ..operators.extensions import LogicalBpeTokens
+
+        return self._push(
+            LogicalBpeTokens(
+                id_col, text_col, num_merges, max_vocab, tokenizer_dir
+            ),
+            [self._require_root()],
+        )
+
     def embed_quantize(
         self,
         id_col: str,

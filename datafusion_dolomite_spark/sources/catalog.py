@@ -269,6 +269,26 @@ class Catalog:
         """The registered index dir for ``table.vec_col``, or None."""
         return getattr(self, "_ann_indexes", {}).get((table, vec_col))
 
+    # -- persisted BPE tokenizers (r12) -----------------------------------
+    def register_bpe_tokenizer(self, table: str, text_col: str,
+                               tok_dir: str) -> None:
+        """Declare a persisted BPE tokenizer (functions/bpe.py) trained
+        on ``table.text_col``.  ``AttachBpeTokenizerRule`` then
+        auto-fills ``LogicalBpeTokens.tokenizer_dir`` for token-count
+        queries over a bare scan of the table, and the cost race picks
+        the train-free probe whenever the artifact's _meta.json
+        parameterization matches — same discipline as the ANN index."""
+        if not hasattr(self, "_bpe_tokenizers"):
+            self._bpe_tokenizers = {}
+        self._bpe_tokenizers[(table, text_col)] = tok_dir
+
+    def deregister_bpe_tokenizer(self, table: str, text_col: str) -> None:
+        getattr(self, "_bpe_tokenizers", {}).pop((table, text_col), None)
+
+    def bpe_tokenizer_for(self, table: str, text_col: str):
+        """The registered tokenizer dir for ``table.text_col``, or None."""
+        return getattr(self, "_bpe_tokenizers", {}).get((table, text_col))
+
     def register_materialized_view(self, mv) -> None:
         """Register MV metadata (a ``MaterializedView``) for the
         optimizer's aggregate-rewrite rule.  The MV's partial table must

@@ -379,9 +379,10 @@ SHUFFLE_BUDGET = {
     # r11: date/interval arithmetic — one aggregate exchange; the
     # interval-derived bounds push into the parquet scan
     "q_sql_date_arith": 1,
-    # r11: BPE token counts — one aggregate exchange on doc_id; the
-    # 16 training iterations are separate vocab-sized jobs collected
-    # during query construction, not part of this plan
+    # r11: BPE token counts — one aggregate exchange on doc_id.  r12:
+    # the 16 training iterations moved into a build-once persisted
+    # tokenizer (PhysicalBpeModelProbe); the probed plan is the same
+    # explode + replace-chain + single aggregate exchange
     "q_bpe_tokens": 1,
     # r11: persisted ANN index probe — ADC broadcast equi-join over the
     # persisted codes + two ranking windows (measured 1; headroom for
