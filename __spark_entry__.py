@@ -2822,6 +2822,16 @@ _SQL_DISTINCT_ON = (
     "FROM orders ORDER BY o_custkey, cents DESC, o_orderkey"
 )
 
+_SQL_IN_OR = (
+    "SELECT c_custkey, c_name "
+    "FROM customer "
+    "WHERE c_acctbal < -900 "
+    "   OR c_custkey IN (SELECT o_custkey FROM orders "
+    "                    WHERE o_totalprice > 400000) "
+    "   OR NOT (EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+    "           OR c_acctbal > 2000)"
+)
+
 _SQL_LATERAL = (
     "SELECT nk, cnt, c_name, bal_cents "
     "FROM (SELECT c_nationkey AS nk, count(*) AS cnt "
@@ -4285,6 +4295,7 @@ EXTENSION_ORACLES = {
     "q_sql_union_by_name": _SQL_UNION_BY_NAME,
     "q_sql_date_arith": _SQL_DATE_ARITH,
     "q_sql_grouping_sets": _SQL_GROUPING_SETS,
+    "q_sql_in_or": _SQL_IN_OR,
     "q_sql_lateral": _SQL_LATERAL,
     "q_sql_lateral_agg": _SQL_LATERAL_AGG,
     "q_sql_filter_agg": _SQL_FILTER_AGG,
@@ -6910,6 +6921,22 @@ def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).sql(_SQL_GROUPING_SETS)
 
 
+def q_sql_in_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN/EXISTS subqueries in ARBITRARY predicate positions (r12,
+    VERDICT r11 item 2; ``sql.py::_lower_embedded_subqueries``): a
+    membership test under OR/NOT cannot lower to a semi/anti join (the
+    join would drop rows other disjuncts should keep), so each marker
+    becomes ONE LEFT join against the DEDUPLICATED subquery keys and
+    an ``isnotnull(probe)`` flag inside the rewritten predicate — the
+    standard decorrelation for disjunctive membership.  Dedup
+    guarantees at most one match per outer row (the join can never
+    multiply); correlated EXISTS here requires pure-equality
+    correlation for exactly that reason.  Top-level AND conjunct
+    markers keep the semi/anti fast path.  Same string runs natively
+    on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_IN_OR)
+
+
 def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATERAL derived table, top-N-per-group (r11, ``sql.py::
     _lateral_join``): the standard 'top 3 customers per nation' idiom.
@@ -9153,6 +9180,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_union_by_name": q_sql_union_by_name,
         "q_sql_date_arith": q_sql_date_arith,
         "q_sql_grouping_sets": q_sql_grouping_sets,
+        "q_sql_in_or": q_sql_in_or,
         "q_sql_lateral": q_sql_lateral,
         "q_sql_lateral_agg": q_sql_lateral_agg,
         "q_sql_filter_agg": q_sql_filter_agg,

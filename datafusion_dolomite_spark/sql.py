@@ -753,7 +753,7 @@ class _Parser:
                     [Alias(Col(cur), alias)]
                 )
                 builder = builder.join(renamed, JoinType.INNER, Lit(True))
-            plain, subs = _split_in_conjuncts(pred)
+            plain, subs, embedded = _split_in_conjuncts(pred)
             if plain is not None:
                 builder = builder.filter(plain)
             for s in subs:
@@ -767,6 +767,13 @@ class _Parser:
                         jt,
                         BinOp("=", s.expr, Col(_single_output_col(s.subplan))),
                     )
+            for conj in embedded:
+                # markers under OR/NOT: LEFT membership-flag joins +
+                # the full conjunct over isnotnull(probe) (r12)
+                builder, new_conj = _lower_embedded_subqueries(
+                    conj, builder, self.catalog
+                )
+                builder = builder.filter(new_conj)
 
         group_exprs: List[Expr] = []
         group_mode = "groupby"
@@ -2140,11 +2147,40 @@ class _Parser:
         return e
 
     def _and(self, allow_interval: bool = False) -> Expr:
-        e = self._cmp(allow_interval)
+        e = self._not_prefix(allow_interval)
         while self.accept("kw", "and"):
             self._no_interval(e, "AND")
-            e = BinOp("and", e, self._no_interval(self._cmp(), "AND"))
+            e = BinOp("and", e, self._no_interval(self._not_prefix(), "AND"))
         return e
+
+    def _not_prefix(self, allow_interval: bool = False) -> Expr:
+        """Prefix ``NOT <predicate>`` (r12) — binds between AND and the
+        comparison level, standard SQL precedence (``NOT a = 5`` is
+        ``NOT (a = 5)``; ``NOT a AND b`` is ``(NOT a) AND b``).  ``NOT
+        EXISTS`` stays with ``_primary`` (its marker carries the
+        negation so the top-conjunct anti-join fast path still
+        fires)."""
+        t = self.peek()
+        nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        if (
+            t.kind == "kw"
+            and t.value == "not"
+            and not (nxt is not None and nxt.kind == "kw"
+                     and nxt.value == "exists")
+        ):
+            self.next()
+            inner = self._not_prefix()
+            # a BARE subquery marker is not an Expr (Func would wrap it
+            # in a Lit and lose it) — flip its negation instead, which
+            # also keeps the top-conjunct anti-join fast path
+            if isinstance(inner, _ExistsSubquery):
+                return _ExistsSubquery(inner.subplan, not inner.negated)
+            if isinstance(inner, _InSubquery):
+                return _InSubquery(
+                    inner.expr, inner.subplan, not inner.negated
+                )
+            return Func("not", (inner,))
+        return self._cmp(allow_interval)
 
     _CMP = {"=": "=", "!=": "!=", "<>": "!=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
 
@@ -2694,7 +2730,24 @@ class _Parser:
                 ]
             if name == "Values":
                 return [Col(n) for n in op.names]
-            if name in ("Filter", "Limit", "Sort", "Distinct", "Join"):
+            if name == "Join":
+                # semi/anti joins emit the LEFT side only; and the
+                # right sides of subquery-lowering joins contribute
+                # only internal helper columns (_scalar_N membership
+                # probes, __mN_* flag keys) that ``*`` must never see
+                jt = getattr(op, "join_type", None)
+                kids = (
+                    node.inputs[:1]
+                    if jt in (JoinType.LEFT_SEMI, JoinType.LEFT_ANTI)
+                    else node.inputs
+                )
+                cols = [c for ch in kids for c in collect(ch)]
+                return [
+                    c
+                    for c in cols
+                    if not re.match(r"_scalar_\d+$|__m\d+_", c.name)
+                ]
+            if name in ("Filter", "Limit", "Sort", "Distinct"):
                 return [c for ch in node.inputs for c in collect(ch)]
             try:
                 prop = derive(node)
@@ -2706,25 +2759,129 @@ class _Parser:
 
 
 def _split_in_conjuncts(pred):
-    """Split a WHERE tree into (plain predicate | None, [subquery
-    markers...]).  IN/EXISTS subqueries are only supported as top-level
-    AND conjuncts (inside OR/NOT the semi-join rewrite would change
-    semantics)."""
+    """Split a WHERE tree into (plain predicate | None, [top-conjunct
+    subquery markers...], [conjuncts with EMBEDDED markers...]).  A
+    bare top-level AND conjunct marker lowers to a semi/anti join (the
+    fast path — right side never widens the row).  A marker embedded
+    under OR/NOT (r12, VERDICT r11 item 2) lowers via the LEFT
+    membership-flag join instead: join once against the deduplicated
+    subquery keys, keep a null-flagged probe column, and evaluate the
+    FULL predicate over ``isnotnull(probe)`` — the standard
+    decorrelation for disjunctive membership tests."""
     if isinstance(pred, (_InSubquery, _ExistsSubquery)):
-        return None, [pred]
+        return None, [pred], []
     if isinstance(pred, BinOp) and pred.op == "and":
-        lp, ls = _split_in_conjuncts(pred.left)
-        rp, rs = _split_in_conjuncts(pred.right)
+        lp, ls, le = _split_in_conjuncts(pred.left)
+        rp, rs, re_ = _split_in_conjuncts(pred.right)
         if lp is None:
             plain = rp
         elif rp is None:
             plain = lp
         else:
             plain = BinOp("and", lp, rp)
-        return plain, ls + rs
+        return plain, ls + rs, le + re_
     if _contains_insub(pred):
-        raise SqlError("IN (SELECT ...) only supported as a top-level AND conjunct")
-    return pred, []
+        return None, [], [pred]
+    return pred, [], []
+
+
+_insub_counter = [0]
+
+
+def _lower_embedded_subqueries(conj, builder, catalog):
+    """Lower a predicate with IN/EXISTS markers embedded under OR/NOT
+    (r12): each marker becomes a LEFT join against the DEDUPLICATED
+    subquery keys and an ``isnotnull(probe)`` membership flag in the
+    rewritten predicate.  Dedup guarantees at most one match per outer
+    row, so the LEFT join can never multiply rows; that guarantee is
+    why correlated EXISTS here requires pure-equality correlation (a
+    non-equality conjunct could match several distinct key rows).
+    Returns (new_builder, rewritten_conjunct).
+
+    NULL semantics note: like the top-conjunct anti-join path,
+    ``NOT IN`` lowers to the two-valued ``NOT isnotnull(probe)`` — the
+    three-valued NULL case (a NULL probe value or NULL in the subquery
+    output) diverges from the standard, consistently with the
+    engine's existing NOT IN lowering."""
+
+    def flag_join(b, s):
+        _insub_counter[0] += 1
+        n = _insub_counter[0]
+        if isinstance(s, _ExistsSubquery):
+            subplan, cond = _decorrelate_exists(s.subplan, catalog)
+            inner_cols = []
+            for c in _conjuncts(cond):
+                inner = (
+                    [
+                        x
+                        for x in (c.left, c.right)
+                        if isinstance(x, Col)
+                        and x.name.startswith("__sub_")
+                    ]
+                    if isinstance(c, BinOp) and c.op == "="
+                    else []
+                )
+                if len(inner) != 1:
+                    raise SqlError(
+                        "EXISTS inside OR/NOT supports only "
+                        "inner_col = outer_col correlation; got "
+                        f"{c.pretty()}"
+                    )
+                if inner[0].name not in inner_cols:
+                    inner_cols.append(inner[0].name)
+            renames = {c: f"__m{n}{c[5:]}" for c in inner_cols}
+            side = (
+                LogicalPlanBuilder(subplan.root)
+                .projection(
+                    [Alias(Col(c), renames[c]) for c in inner_cols]
+                )
+                .distinct()
+            )
+            cond = _rewrite_cols(
+                cond,
+                lambda x: Col(renames[x.name])
+                if x.name in renames
+                else x,
+            )
+            probe = Col(renames[inner_cols[0]])
+        else:
+            key = _single_output_col(s.subplan)
+            probe = Col(f"__m{n}_k")
+            side = (
+                LogicalPlanBuilder(s.subplan.root)
+                .projection([Alias(Col(key), probe.name)])
+                .distinct()
+            )
+            cond = BinOp("=", s.expr, probe)
+        flag = Func("isnotnull", (probe,))
+        return (
+            b.join(side, JoinType.LEFT, cond),
+            Func("not", (flag,)) if s.negated else flag,
+        )
+
+    def walk(x, b):
+        if isinstance(x, (_InSubquery, _ExistsSubquery)):
+            return flag_join(b, x)
+        if isinstance(x, BinOp):
+            b, lft = walk(x.left, b)
+            b, rgt = walk(x.right, b)
+            return b, BinOp(x.op, lft, rgt)
+        if isinstance(x, Alias):
+            b, e = walk(x.expr, b)
+            return b, Alias(e, x.name)
+        if isinstance(x, Cast):
+            b, e = walk(x.expr, b)
+            return b, Cast(e, x.to_type)
+        if isinstance(x, Func):
+            args = []
+            for a in x.args:
+                b, e = walk(a, b)
+                args.append(e)
+            return b, Func(x.name, tuple(args))
+        return b, x
+
+    builder, new_conj = walk(conj, builder)
+    return builder, new_conj
 
 
 def _contains_window(e) -> bool:

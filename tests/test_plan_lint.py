@@ -379,6 +379,10 @@ SHUFFLE_BUDGET = {
     # r11: date/interval arithmetic — one aggregate exchange; the
     # interval-derived bounds push into the parquet scan
     "q_sql_date_arith": 1,
+    # r12: IN/EXISTS under OR/NOT — one dedup exchange per membership
+    # flag side (two markers), each LEFT join broadcasts the deduped
+    # keys; no NLJ, no cartesian
+    "q_sql_in_or": 2,
     # r11: BPE token counts — one aggregate exchange on doc_id.  r12:
     # the 16 training iterations moved into a build-once persisted
     # tokenizer (PhysicalBpeModelProbe); the probed plan is the same

@@ -634,6 +634,42 @@ class Gen:
         ol, _ = self._order_limit(names, has_float)
         return sql + ol, sql + ol
 
+    def _in_or(self):
+        """Membership tests under OR/NOT (r12): IN or correlated-
+        equality EXISTS embedded in a disjunction or a NOT-wrapped
+        tree — the LEFT membership-flag-join lowering."""
+        r = self.rng
+        lt, lc, rt, rc = r.choice(JOIN_EDGES)
+        neg = "NOT " if r.random() < 0.3 else ""
+        subw = f" WHERE {self._pred([rt])}" if r.random() < 0.7 else ""
+        if r.random() < 0.4:
+            # correlated EXISTS along the same edge (equality only —
+            # the flag join's dedup soundness requirement)
+            esubw = f" AND {self._atom_pred([rt])}" if r.random() < 0.5 else ""
+            member = (
+                f"{neg}EXISTS (SELECT {rc} FROM {rt} "
+                f"WHERE {rc} = {lc}{esubw})"
+            )
+        else:
+            member = f"{lc} {neg}IN (SELECT {rc} FROM {rt}{subw})"
+        other = self._atom_pred([lt])
+        form = r.randrange(3)
+        if form == 0:
+            pred = f"{other} OR {member}"
+        elif form == 1:
+            pred = f"NOT ({member} OR {other})"
+        else:
+            pred = f"({member} OR {other}) AND {self._atom_pred([lt])}"
+        items, names, has_float = [], [], False
+        for i in range(r.randint(1, 3)):
+            e, ty = self._value_expr([lt])
+            items.append(f"{e} AS c{i}")
+            names.append(f"c{i}")
+            has_float = has_float or ty == FLT
+        sql = f"SELECT {', '.join(items)} FROM {lt} WHERE {pred}"
+        ol, _ = self._order_limit(names, has_float)
+        return sql + ol, sql + ol
+
     def _scalar_subquery(self):
         r = self.rng
         t = r.choice(list(TABLES))
@@ -1567,6 +1603,7 @@ class Gen:
         ("_grouping_sets", 6),
         ("_date_arith", 6),
         ("_idioms", 8),
+        ("_in_or", 8),
     )
 
     def query(self):
@@ -1586,12 +1623,13 @@ class Gen:
 # r6: 6 → 8 chunks (+120 queries) with the _values shape; r7 adds the
 # _comma_join shape (DP join enumeration under fuzz) and moves the seed
 # so ALL shapes resample — the old pins stay reproducible from their
-# trees.  r10 added _named_window/_pivot/_unpivot; r11 (this session)
-# adds _lateral/_grouping_sets/_date_arith/_idioms and moves the seed
-# again: these 480 are the current pin.
+# trees.  r10 added _named_window/_pivot/_unpivot; r11 added
+# _lateral/_grouping_sets/_date_arith/_idioms; r12 (this session) adds
+# _in_or (membership tests under OR/NOT) and moves the seed again:
+# these 480 are the current pin.
 N_CHUNKS = 8
 PER_CHUNK = 60
-SEED = 20260819
+SEED = 20260912
 
 
 @pytest.mark.parametrize("chunk", range(N_CHUNKS))

@@ -207,12 +207,18 @@ def test_parse_in_value_list():
     plan = parse_sql("select n_name from nation where n_regionkey in (0, 1)")
     pred = plan.root.inputs[0].operator.predicate
     assert pred.op == "or"
-    with pytest.raises(SqlError):
-        # IN-subquery under OR would change semantics — rejected
-        parse_sql(
-            "select c_custkey from customer where c_acctbal > 0 or "
-            "c_custkey in (select o_custkey from orders)"
-        )
+    # IN-subquery under OR lowers via the LEFT membership-flag join
+    # (r12) — it parses, and the plan carries the flag join
+    plan2 = parse_sql(
+        "select c_custkey from customer where c_acctbal > 0 or "
+        "c_custkey in (select o_custkey from orders)"
+    )
+    joins = [
+        n
+        for n in plan2.nodes_bottom_up()
+        if n.operator.operator_name() == "Join"
+    ]
+    assert any(j.operator.join_type.name == "LEFT" for j in joins)
 
 
 def test_parse_errors():
@@ -569,6 +575,108 @@ def test_exists_self_join_executes(planner):
         supps[ok].add(sk)
     want = sorted((ok,) for ok, s in supps.items() if len(s) >= 2)
     assert rows == want and len(rows) > 0
+
+
+def test_in_exists_under_or_not(planner):
+    """Membership tests embedded under OR/NOT (r12): LEFT flag joins
+    against deduplicated subquery keys + isnotnull(probe) in the full
+    predicate — replayed imperatively."""
+    rows = {
+        r.c_custkey
+        for r in planner.sql(
+            "select c_custkey from customer "
+            "where c_acctbal < -900 "
+            "   or c_custkey in (select o_custkey from orders "
+            "                    where o_totalprice > 200000)"
+        ).collect()
+    }
+    bal = {
+        r.c_custkey: r.c_acctbal
+        for r in planner.sql(
+            "select c_custkey, c_acctbal from customer"
+        ).collect()
+    }
+    big = {
+        r.o_custkey
+        for r in planner.sql(
+            "select o_custkey from orders where o_totalprice > 200000"
+        ).collect()
+    }
+    want = {k for k, b in bal.items() if b < -900 or k in big}
+    assert rows == want and rows
+    # NOT-wrapped disjunction of a marker — De Morgan replay
+    rows2 = {
+        r.c_custkey
+        for r in planner.sql(
+            "select c_custkey from customer "
+            "where not (c_custkey in (select o_custkey from orders "
+            "                         where o_totalprice > 200000) "
+            "           or c_acctbal > 0)"
+        ).collect()
+    }
+    want2 = {k for k, b in bal.items() if k not in big and b <= 0}
+    assert rows2 == want2
+    # correlated EXISTS under OR
+    has_order = {
+        r.o_custkey
+        for r in planner.sql("select o_custkey from orders").collect()
+    }
+    rows3 = {
+        r.c_custkey
+        for r in planner.sql(
+            "select c_custkey from customer "
+            "where c_acctbal > 9900 or not exists "
+            "  (select 1 from orders where o_custkey = c_custkey)"
+        ).collect()
+    }
+    want3 = {
+        k for k, b in bal.items() if b > 9900 or k not in has_order
+    }
+    assert rows3 == want3
+    # SELECT * never sees the internal probe columns
+    cols = planner.sql(
+        "select * from nation where n_regionkey > 3 or "
+        "n_nationkey in (select c_nationkey from customer)"
+    ).columns
+    assert cols == ["n_nationkey", "n_name", "n_regionkey"]
+    # non-equality correlated EXISTS under OR: clean rejection
+    from datafusion_dolomite_spark.sql import SqlError
+
+    with pytest.raises(SqlError, match="inner_col = outer_col"):
+        planner.sql(
+            "select c_custkey from customer where c_acctbal < 0 or "
+            "exists (select 1 from orders where o_custkey = c_custkey "
+            "        and o_totalprice > c_acctbal)"
+        )
+
+
+def test_prefix_not(planner):
+    """Prefix NOT at standard precedence (r12): NOT a = 5 is
+    NOT (a = 5); NOT a AND b is (NOT a) AND b."""
+    got = {
+        r.n_nationkey
+        for r in planner.sql(
+            "select n_nationkey from nation where not n_regionkey = 2"
+        ).collect()
+    }
+    want = {
+        r.n_nationkey
+        for r in planner.sql(
+            "select n_nationkey from nation where n_regionkey <> 2"
+        ).collect()
+    }
+    assert got == want and got
+    dbl = planner.sql(
+        "select n_nationkey from nation "
+        "where not not n_nationkey < 5 and not n_regionkey = 0"
+    ).collect()
+    assert {r.n_nationkey for r in dbl} == {
+        r.n_nationkey
+        for r in planner.sql(
+            "select n_nationkey from nation "
+            "where n_nationkey < 5 and n_regionkey <> 0"
+        ).collect()
+    }
 
 
 def test_having_scalar_subquery(planner):
