@@ -2822,6 +2822,18 @@ _SQL_DISTINCT_ON = (
     "FROM orders ORDER BY o_custkey, cents DESC, o_orderkey"
 )
 
+_SQL_ROLLUP_SHARE = (
+    "SELECT o_orderstatus AS st, o_orderpriority AS pr, "
+    "       cast(grouping(o_orderstatus) + grouping(o_orderpriority) "
+    "            AS bigint) AS lvl, "
+    "       count(*) AS n, "
+    "       cast(floor(100.0 * count(*) / "
+    "            sum(count(*)) OVER (PARTITION BY o_orderstatus)) "
+    "            AS bigint) AS share "
+    "FROM orders "
+    "GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+)
+
 _SQL_IN_OR = (
     "SELECT c_custkey, c_name "
     "FROM customer "
@@ -4296,6 +4308,7 @@ EXTENSION_ORACLES = {
     "q_sql_date_arith": _SQL_DATE_ARITH,
     "q_sql_grouping_sets": _SQL_GROUPING_SETS,
     "q_sql_in_or": _SQL_IN_OR,
+    "q_sql_rollup_share": _SQL_ROLLUP_SHARE,
     "q_sql_lateral": _SQL_LATERAL,
     "q_sql_lateral_agg": _SQL_LATERAL_AGG,
     "q_sql_filter_agg": _SQL_FILTER_AGG,
@@ -6921,6 +6934,20 @@ def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).sql(_SQL_GROUPING_SETS)
 
 
+def q_sql_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions over ROLLUP output (r12, VERDICT r11 item 3):
+    share-of-total per rollup level — the standard reporting idiom
+    ``sql.py:888`` used to reject.  The lift-then-lower path that
+    already served plain GROUP BY extends to every grouping-set mode:
+    aggregates (and GROUPING() calls, which compute DURING aggregation)
+    lift into the rollup aggregate's output, then the windows lower
+    over that output — subtotal rows carry NULL keys and partition
+    like any other row, identically in DuckDB.  One rollup aggregate +
+    one window exchange; floor-before-cast keeps the percentage
+    integer-exact across engines."""
+    return _planner(spark, sf_dir).sql(_SQL_ROLLUP_SHARE)
+
+
 def q_sql_in_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN/EXISTS subqueries in ARBITRARY predicate positions (r12,
     VERDICT r11 item 2; ``sql.py::_lower_embedded_subqueries``): a
@@ -9181,6 +9208,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_date_arith": q_sql_date_arith,
         "q_sql_grouping_sets": q_sql_grouping_sets,
         "q_sql_in_or": q_sql_in_or,
+        "q_sql_rollup_share": q_sql_rollup_share,
         "q_sql_lateral": q_sql_lateral,
         "q_sql_lateral_agg": q_sql_lateral_agg,
         "q_sql_filter_agg": q_sql_filter_agg,

@@ -929,19 +929,23 @@ class _Parser:
         ) and (group_exprs or any(_contains_aggregate(e) for e in items)):
             if star:
                 raise SqlError("SELECT * cannot be combined with window functions")
-            if group_mode != "groupby" or grouping_sets:
-                raise SqlError(
-                    "window functions mix only with plain GROUP BY "
-                    "(not ROLLUP/CUBE/GROUPING SETS)"
-                )
             if not group_exprs:
                 raise SqlError(
                     "window functions over a global aggregate need GROUP BY"
                 )
+            # ROLLUP/CUBE/GROUPING SETS output feeds windows like plain
+            # GROUP BY output (r12, VERDICT r11 item 3): subtotal rows
+            # carry NULL keys and partition/order like any other row —
+            # identically in DuckDB.  GROUPING(k) lifts into the
+            # aggregate list (it computes DURING aggregation, like an
+            # aggregate call).
             aggs: List[Alias] = []
 
             def _lift(x):
-                if isinstance(x, Func) and x.is_aggregate:
+                if isinstance(x, Func) and (
+                    x.is_aggregate
+                    or (x.name == "grouping" and group_mode != "groupby")
+                ):
                     for a in aggs:
                         if a.expr == x:
                             return Col(a.name)
@@ -1002,7 +1006,12 @@ class _Parser:
                     raise SqlError("QUALIFY requires a window function")
             if qpred is not None:
                 qpred = _lift(qpred)
-            builder = builder.aggregate(list(group_exprs), tuple(aggs))
+            builder = builder.aggregate(
+                list(group_exprs),
+                tuple(aggs),
+                mode=group_mode,
+                grouping_sets=tuple(grouping_sets),
+            )
             if hpred is not None:
                 builder = builder.filter(hpred)
             defs: List[WindowExprDef] = []
@@ -1163,7 +1172,12 @@ class _Parser:
                         group_exprs.append(Col(alias))
             aggs, plain = [], []
             for e in items:
-                if _contains_aggregate(e):
+                # GROUPING(k) computes DURING aggregation (Spark and
+                # DuckDB agree) — classify it with the aggregates when
+                # the mode has grouping sets (r12)
+                if _contains_aggregate(e) or (
+                    group_mode != "groupby" and _contains_grouping_fn(e)
+                ):
                     if not isinstance(e, Alias):
                         e = Alias(e, e.pretty())
                     aggs.append(e)
@@ -3653,6 +3667,21 @@ def _single_output_col(plan: Plan) -> str:
     if name == "Aggregate" and not op.group_exprs and len(op.agg_exprs) == 1:
         return op.agg_exprs[0].name
     raise SqlError("subquery must produce exactly one named column")
+
+
+def _contains_grouping_fn(e) -> bool:
+    """Does the expression call ``GROUPING(...)``?  (Only meaningful
+    under ROLLUP/CUBE/GROUPING SETS — it computes during aggregation,
+    so classification treats it like an aggregate call.)"""
+    if isinstance(e, Func):
+        if e.name.lower() == "grouping":
+            return True
+        return any(_contains_grouping_fn(a) for a in e.args)
+    if isinstance(e, (Alias, Cast)):
+        return _contains_grouping_fn(e.expr)
+    if isinstance(e, BinOp):
+        return _contains_grouping_fn(e.left) or _contains_grouping_fn(e.right)
+    return False
 
 
 def _contains_aggregate(e: Expr) -> bool:

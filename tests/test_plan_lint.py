@@ -379,6 +379,9 @@ SHUFFLE_BUDGET = {
     # r11: date/interval arithmetic — one aggregate exchange; the
     # interval-derived bounds push into the parquet scan
     "q_sql_date_arith": 1,
+    # r12: window over ROLLUP output — the rollup aggregate exchange +
+    # the window's hash exchange on the partition key
+    "q_sql_rollup_share": 2,
     # r12: IN/EXISTS under OR/NOT — one dedup exchange per membership
     # flag side (two markers), each LEFT join broadcasts the deduped
     # keys; no NLJ, no cartesian

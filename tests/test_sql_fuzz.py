@@ -819,9 +819,12 @@ class Gen:
         wf = f"rank() OVER (ORDER BY {agg} {r.choice(['ASC', 'DESC'])})"
         where = f" WHERE {self._pred([t])}" if r.random() < 0.5 else ""
         having = f" HAVING count(*) > {r.randint(0, 2)}" if r.random() < 0.4 else ""
+        # r12: the lift-then-lower path also serves grouping-set modes —
+        # subtotal rows carry NULL keys and rank like any other row
+        gkey = r.choice([k, f"ROLLUP ({k})", f"CUBE ({k})"])
         sql = (
             f"SELECT {k} AS c0, {agg} AS c1, {wf} AS c2 "
-            f"FROM {t}{where} GROUP BY {k}{having}"
+            f"FROM {t}{where} GROUP BY {gkey}{having}"
         )
         if r.random() < 0.35:
             # QUALIFY over the aggregation (rank ties are stable, so a

@@ -41,6 +41,28 @@ CASES = [
     "GROUP BY c_nationkey, c_mktsegment "
     "QUALIFY row_number() OVER (PARTITION BY c_nationkey "
     "ORDER BY count(*) DESC, c_mktsegment) <= 3",
+    # -- r12: windows over ROLLUP/CUBE/GROUPING SETS output ---------
+    # share-of-total per rollup level (subtotal rows carry NULL keys
+    # and partition like any other row, identically in DuckDB)
+    "SELECT o_orderstatus AS st, o_orderpriority AS pr, count(*) AS n, "
+    "cast(floor(100.0 * count(*) / "
+    "     sum(count(*)) OVER (PARTITION BY o_orderstatus)) AS bigint) AS share "
+    "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)",
+    # rank over CUBE output
+    "SELECT o_orderstatus AS st, o_orderpriority AS pr, count(*) AS n, "
+    "rank() OVER (ORDER BY count(*) DESC) AS rnk "
+    "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+    # GROUPING() in select, window partition, and HAVING over sets
+    "SELECT o_orderstatus AS st, "
+    "cast(grouping(o_orderstatus) AS bigint) AS g, count(*) AS n, "
+    "rank() OVER (PARTITION BY grouping(o_orderstatus) "
+    "ORDER BY count(*) DESC, o_orderstatus NULLS LAST) AS rnk "
+    "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ())",
+    # plain GROUPING() select item over rollup (no window)
+    "SELECT o_orderstatus AS st, "
+    "cast(grouping(o_orderstatus) AS bigint) AS g, count(*) AS n "
+    "FROM orders GROUP BY ROLLUP (o_orderstatus) "
+    "HAVING grouping(o_orderstatus) = 0 OR count(*) > 10",
 ]
 
 
@@ -56,8 +78,12 @@ def ddb():
 
 @pytest.mark.parametrize("q", CASES, ids=range(len(CASES)))
 def test_window_over_group_by_matches_duckdb(planner, ddb, q):
-    got = sorted(map(tuple, planner.sql(q).collect()))
-    want = sorted(map(tuple, ddb.execute(q).fetchall()))
+    def _k(rows):
+        # rollup subtotal rows carry NULL keys — None-safe sort
+        return sorted(tuple((v is None, v) for v in r) for r in rows)
+
+    got = _k(map(tuple, planner.sql(q).collect()))
+    want = _k(ddb.execute(q).fetchall())
     assert got == want and got, q
 
 
@@ -67,11 +93,14 @@ def test_plan_shape_window_above_aggregate(planner, catalog):
     assert text.index("LogicalWindow") < text.index("LogicalAggregate"), text
 
 
-def test_rollup_with_window_rejected(catalog):
-    with pytest.raises(SqlError):
-        parse_sql(
-            "SELECT o_orderstatus, count(*) AS n, "
-            "rank() OVER (ORDER BY count(*)) AS r "
-            "FROM orders GROUP BY ROLLUP (o_orderstatus)",
-            catalog,
-        )
+def test_rollup_with_window_parses(catalog):
+    # rejected until r11; r12 extends lift-then-lower to grouping sets
+    plan = parse_sql(
+        "SELECT o_orderstatus, count(*) AS n, "
+        "rank() OVER (ORDER BY count(*)) AS r "
+        "FROM orders GROUP BY ROLLUP (o_orderstatus)",
+        catalog,
+    )
+    text = plan.explain()
+    assert text.index("LogicalWindow") < text.index("LogicalAggregate")
+    assert "rollup" in text.lower()
