@@ -48,6 +48,61 @@ def _canary_sec(spark) -> float:
     return round(best, 4)
 
 
+def _io_canary_sec(spark) -> float:
+    """DISK-speed canary (r12, VERDICT r11 item 4): warm wall-time of a
+    FIXED-work parquet write+read to a temp dir.  The CPU canary cannot
+    normalize I/O bursts — every round since r10 paid a manual
+    adjudication tax re-running disk-writing DML/streaming queries the
+    CPU canary co-flagged during co-tenant I/O load.  Same estimator
+    discipline as ``_canary_sec``: one warm-up, min of 2 timed runs;
+    sampled on the same interleave so the per-position interpolation
+    works for both families."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="bench_io_canary_")
+    path = os.path.join(d, "t")
+
+    def run():
+        spark.range(0, 1_000_000, 1, 8).select(
+            F.col("id"),
+            (F.col("id") % 1000).alias("k"),
+            F.sha1(F.col("id").cast("string")).alias("s"),
+        ).write.mode("overwrite").parquet(path)
+        spark.read.parquet(path).select(F.count("*")).collect()
+
+    try:
+        run()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return round(best, 4)
+
+
+#: queries whose TIMED passes write to disk (DML/versioned tables,
+#: materialized views, CDC exports, sinks) — normalized by the I/O
+#: canary in the regression gate; everything q_stream_* is included by
+#: prefix (micro-batch sinks + state stores).
+_IO_QUERIES = {
+    "q_sql_dv", "q_sql_merge", "q_sql_merge_multi", "q_sql_merge_nms",
+    "q_sql_merge_evolve", "q_sql_ctas", "q_sql_restore",
+    "q_sql_time_travel", "q_table_changes", "q_cdc_export",
+    "q_matview", "q_sql_create_mv", "q_mv_incremental", "q_mv_cdc",
+    "q_mv_sketch", "q_incremental_dedup", "q_csv_source",
+    "q_multiformat_union",
+}
+
+
+def _is_io_query(name: str) -> bool:
+    return name.startswith("q_stream") or name in _IO_QUERIES
+
+
 def _load_baseline(repo: str, out_path: str):
     """Previous round's committed full artifact, for the canary-
     normalized regression gate (r10, VERDICT item 5).  Preference
@@ -114,6 +169,7 @@ def main() -> None:
     # surrounding samples.  ~6 extra samples x ~1 s — noise next to the
     # run.
     canary_samples: list = [(0, canary_start)]
+    io_canary_samples: list = [(0, _io_canary_sec(spark))]
     _CANARY_EVERY = 32
 
     timings: dict[str, float] = {}
@@ -122,6 +178,7 @@ def main() -> None:
         positions[name] = qi
         if qi and qi % _CANARY_EVERY == 0:
             canary_samples.append((qi, _canary_sec(spark)))
+            io_canary_samples.append((qi, _io_canary_sec(spark)))
         try:
             # warm-up run (plan + execute once)
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -200,6 +257,7 @@ def main() -> None:
     # fairest normalizer for "how fast could this machine go today"
     canary_end = _canary_sec(spark)
     canary_samples.append((len(qs), canary_end))
+    io_canary_samples.append((len(qs), _io_canary_sec(spark)))
     doc = {
         "metric": "total warm wall-clock of headline queries (optimizer+execution)",
         "value": total,
@@ -253,10 +311,21 @@ def main() -> None:
     doc["canary_samples"] = [
         [i, round(c, 4)] for i, c in canary_samples
     ]
+    doc["io_canary_samples"] = [
+        [i, round(c, 4)] for i, c in io_canary_samples
+    ]
+    doc["io_canary_sec"] = round(min(c for _, c in io_canary_samples), 4)
     doc["normalized_queries"] = {
         q: round(t / _canary_at(canary_samples, positions[q]), 4)
         for q, t in timings.items()
         if t >= 0
+    }
+    # the disk-writing families normalize by the I/O canary instead —
+    # the regressions computation below picks the right one per family
+    doc["io_normalized_queries"] = {
+        q: round(t / _canary_at(io_canary_samples, positions[q]), 4)
+        for q, t in timings.items()
+        if t >= 0 and _is_io_query(q)
     }
     base, base_name = _load_baseline(
         os.path.dirname(os.path.abspath(__file__)), out
@@ -264,14 +333,22 @@ def main() -> None:
     regressions = []
     if base and base.get("canary_sec"):
         bnorm = base.get("normalized_queries") or {}
+        bnorm_io = base.get("io_normalized_queries") or {}
         bcanary = base["canary_sec"]
         canary = doc["canary_sec"]
         for q, t in sorted(timings.items()):
             bt = (base.get("queries") or {}).get(q)
             if t < 0 or bt is None or bt < 0:
                 continue
-            prev_n = bnorm.get(q, bt / bcanary)
-            cur_n = doc["normalized_queries"][q]
+            if _is_io_query(q) and q in bnorm_io:
+                # disk-writing family: both sides I/O-canary-normalized
+                # (falls through to the CPU canary until the baseline
+                # artifact carries io_normalized_queries)
+                prev_n = bnorm_io[q]
+                cur_n = doc["io_normalized_queries"][q]
+            else:
+                prev_n = bnorm.get(q, bt / bcanary)
+                cur_n = doc["normalized_queries"][q]
             # a flag needs BOTH the normalized AND the raw ratio past
             # 1.5x — a canary mis-estimate alone can then never create
             # one — and the query to be >=1 s now: this host's
