@@ -6934,6 +6934,81 @@ def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).sql(_SQL_GROUPING_SETS)
 
 
+def q_semdedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup through the PERSISTED ANN index's IVF cells + the
+    CC/keep-best pipeline (r12, VERDICT r11 item 5): the index's
+    TRAINED coarse quantizer (2-iteration Lloyd, the same artifact
+    q_knn_index_probe builds — shared signature-keyed dir, built once)
+    is exactly the bucketing a SemDeDup pass needs, so candidate pairs
+    are cell-confined by construction — never doc×doc.  Within-cell
+    exact ⌊1000·cos⌋ ≥ 300 pairs feed minimum-label connected
+    components; the kept representative per ε-neighborhood is the
+    lowest id (component == min id), singletons keep themselves.  The
+    oracle replays the trained-centroid cell assignment bit-for-bit
+    (the same ``_ivfpq_ctes`` machinery as the index probe) and closes
+    the pairs transitively with a RECURSIVE CTE (the q_dedup_clusters
+    discipline)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.functions.ann_index import ann_index_build
+    from datafusion_dolomite_spark.functions.similarity import semantic_dedup_cc
+    from datafusion_dolomite_spark.sources.signature import write_marker
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    dest, fresh, sig = _materialized_dir(sf_dir, "annindex_v1", src)
+    idx = os.path.join(dest, "index")
+    pl = _planner(spark, sf_dir)
+    if not fresh:
+        emb_full = pl.dataframe(LogicalPlanBuilder().scan("embeddings").build())
+        ann_index_build(
+            emb_full, idx, "vec_id", "embedding",
+            m=8, ksub=16, ncells=32, residual=True, kmeans_iters=2,
+        )
+        write_marker(dest, sig)
+    emb = pl.dataframe(
+        LogicalPlanBuilder()
+        .scan("embeddings", columns=["vec_id", "embedding"])
+        .build()
+    )
+    cells = spark.read.parquet(idx).select(
+        F.col("neighbor_id").alias("vec_id"), F.col("cell")
+    )
+    return semantic_dedup_cc(emb, cells, "vec_id", "embedding",
+                             threshold_1000=300)
+
+
+def _semdedup_index_oracle(ncells=32, cent_iters=2, thr=300) -> str:
+    """q_semdedup_index replayed exactly: the persisted index's cells
+    are the inline trained-centroid assignment (bit-equal by
+    construction), so the cell CTEs are the same ``_ivfpq_ctes`` replay
+    the index probe oracle uses; the CC closure + lowest-id keep rule
+    mirror the q_dedup_clusters/q_dedup_keep_best oracles."""
+    ctes, _ = _ivfpq_ctes(
+        "sd", 1, 1, 8, 16, 0, ncells, 1, 8,
+        residual=False, cent_iters=cent_iters,
+    )
+    return f"""
+WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+{ctes},
+sdpairs AS (SELECT x.vec_id AS lo, y.vec_id AS hi
+   FROM sdcells x JOIN sdcells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+   JOIN v vx ON vx.vec_id = x.vec_id JOIN v vy ON vy.vec_id = y.vec_id
+   WHERE floor(1000.0 * list_cosine_similarity(vx.ev, vy.ev))::BIGINT >= {thr}),
+sdedges AS (SELECT lo AS a, hi AS b FROM sdpairs UNION SELECT hi, lo FROM sdpairs),
+sdreach(a, b) AS (
+  SELECT a, b FROM sdedges
+  UNION
+  SELECT r.a, e2.b FROM sdreach r JOIN sdedges e2 ON r.b = e2.a WHERE e2.b != r.a
+),
+sdcomp AS (SELECT a AS node, least(a, min(b)) AS component FROM sdreach GROUP BY a)
+SELECT emb.vec_id, coalesce(sdcomp.component, emb.vec_id)::BIGINT AS component,
+       (emb.vec_id = coalesce(sdcomp.component, emb.vec_id)) AS kept
+FROM embeddings emb LEFT JOIN sdcomp ON sdcomp.node = emb.vec_id
+"""
+
+
 def q_sql_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions over ROLLUP output (r12, VERDICT r11 item 3):
     share-of-total per rollup level — the standard reporting idiom
@@ -9209,6 +9284,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_grouping_sets": q_sql_grouping_sets,
         "q_sql_in_or": q_sql_in_or,
         "q_sql_rollup_share": q_sql_rollup_share,
+        "q_semdedup_index": q_semdedup_index,
         "q_sql_lateral": q_sql_lateral,
         "q_sql_lateral_agg": q_sql_lateral_agg,
         "q_sql_filter_agg": q_sql_filter_agg,
@@ -9413,6 +9489,7 @@ SELECT component, count(*) AS csize FROM comp GROUP BY component
     # same join semantics, different sink — the file-sink variant must
     # produce byte-identical pairs to the memory-sink run
     out["q_stream_file_sink"] = out["q_stream_stream_join"]
+    out["q_semdedup_index"] = _semdedup_index_oracle()
     # canonical-representative selection composes the same transitive
     # closure, then arg_max per component (singletons keep themselves)
     out["q_dedup_keep_best"] = f"""

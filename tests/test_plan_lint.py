@@ -379,6 +379,11 @@ SHUFFLE_BUDGET = {
     # r11: date/interval arithmetic — one aggregate exchange; the
     # interval-derived bounds push into the parquet scan
     "q_sql_date_arith": 1,
+    # r12: SemDeDup via the persisted index's IVF cells — the in-cell
+    # pair join broadcasts the cell table; CC runs over cached
+    # pair-sized data (exchanges print from the cached subplan); final
+    # LEFT join back to ids (measured 2)
+    "q_semdedup_index": 2,
     # r12: window over ROLLUP output — the rollup aggregate exchange +
     # the window's hash exchange on the partition key
     "q_sql_rollup_share": 2,
