@@ -1497,7 +1497,7 @@ def q_knn_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_dolomite_spark.sources.signature import write_marker
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    dest, fresh, sig = _materialized_dir(sf_dir, "annindex_v1", src)
+    dest, fresh, sig = _materialized_dir(sf_dir, "annindex_v2", src)
     idx = os.path.join(dest, "index")
     pl = _planner(spark, sf_dir)
     if not fresh:
@@ -1531,6 +1531,82 @@ def q_knn_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .build()
     )
     return pl.dataframe(plan)
+
+
+def q_knn_adaptive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE nprobe from index stats (r12, VERDICT r11 item 6):
+    ``pq_nprobe=0`` asks the planner to pick the probe count from the
+    persisted index's cell-occupancy stats (``_meta.json``
+    cell_counts, written at build) — the smallest nprobe whose
+    WORST-CASE coverage (sum of the p smallest cells) reaches 25% of
+    the indexed rows.  On this corpus's near-balanced 32-cell index
+    that resolves to ~8-9 probes vs the fixed 3 of
+    q_knn_index_probe — more recall for a probe cost still bounded at
+    ~coverage of the codes (measured in scripts/ann_regime_bench.py's
+    nprobe sweep).  The oracle replays the CHOICE itself in SQL (the
+    same ascending-occupancy cumulative rule over the replayed cell
+    assignment), then the probe at that nprobe — so the adaptive rule,
+    not just its outcome, is cross-engine checked."""
+    import os
+
+    from datafusion_dolomite_spark.functions.ann_index import ann_index_build
+    from datafusion_dolomite_spark.sources.signature import write_marker
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    dest, fresh, sig = _materialized_dir(sf_dir, "annindex_v2", src)
+    idx = os.path.join(dest, "index")
+    pl = _planner(spark, sf_dir)
+    if not fresh:
+        emb = pl.dataframe(LogicalPlanBuilder().scan("embeddings").build())
+        ann_index_build(
+            emb, idx, "vec_id", "embedding",
+            m=8, ksub=16, ncells=32, residual=True, kmeans_iters=2,
+        )
+        write_marker(dest, sig)
+    plan = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .knn(
+            "vec_id", "embedding", n_queries=8, k=10, method="pq",
+            pq_m=8, pq_ksub=16, pq_refine=50, pq_ncells=32,
+            pq_nprobe=0,  # adaptive: resolved from _meta.json stats
+            pq_residual=True, kmeans_iters=2, index_dir=idx,
+        )
+        .build()
+    )
+    return pl.dataframe(plan)
+
+
+def _knn_adaptive_probe_oracle(nq=8, k=10, m=8, ksub=16, refine=50,
+                               ncells=32, sw=8, cent_iters=2,
+                               coverage=0.25) -> str:
+    """q_knn_adaptive_probe replayed exactly INCLUDING the nprobe
+    choice: over the replayed trained-centroid cell assignment, nprobe
+    = the smallest p whose ascending-occupancy cumulative sum reaches
+    ``coverage`` of the corpus (empty cells participate with n=0,
+    matching the Python cell_counts list), injected into the probe CTE
+    as a scalar subquery."""
+    np_sub = (
+        "(SELECT min(p) FROM ("
+        "  SELECT row_number() OVER (ORDER BY n, c) AS p,"
+        "         sum(n) OVER (ORDER BY n, c ROWS UNBOUNDED PRECEDING)"
+        "           AS cum"
+        f"  FROM (SELECT t.c, coalesce(cnt.n, 0) AS n"
+        f"        FROM range(0, {ncells}) t(c)"
+        "         LEFT JOIN (SELECT cell, count(*) AS n FROM pacells"
+        "                    GROUP BY cell) cnt ON cnt.cell = t.c))"
+        f" WHERE cum >= {coverage} * (SELECT count(*) FROM pacells))"
+    )
+    ctes, final = _ivfpq_ctes(
+        "pa", nq, k, m, ksub, refine, ncells, np_sub, sw,
+        residual=True, cent_iters=cent_iters,
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        {ctes}
+        SELECT qid AS query_id, nid AS neighbor_id, rnk::INTEGER AS "rank"
+        FROM {final} WHERE rnk <= {k}
+    """
 
 
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3734,6 +3810,7 @@ EXTENSION_ORACLES = {
     "q_knn_ivf_kmeans": _knn_ivf_kmeans_oracle(5, 10, _oracle_ncells(), 3),
     "q_knn_pq": _knn_pq_oracle(5, 10, 8, 16, 50),
     "q_knn_index_probe": _knn_index_probe_oracle(),
+    "q_knn_adaptive_probe": _knn_adaptive_probe_oracle(),
     "q_bpe_tokens": _bpe_oracle(16),
     "q_knn_ivfpq": _knn_ivfpq_oracle(5, 10, 8, 16, 50, _oracle_ncells(), 3,
                                      residual=True),
@@ -6957,7 +7034,7 @@ def q_semdedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_dolomite_spark.sources.signature import write_marker
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    dest, fresh, sig = _materialized_dir(sf_dir, "annindex_v1", src)
+    dest, fresh, sig = _materialized_dir(sf_dir, "annindex_v2", src)
     idx = os.path.join(dest, "index")
     pl = _planner(spark, sf_dir)
     if not fresh:
@@ -9353,6 +9430,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_range_between": q_sql_range_between,
         "q_knn_pq": q_knn_pq,
         "q_knn_index_probe": q_knn_index_probe,
+        "q_knn_adaptive_probe": q_knn_adaptive_probe,
         "q_bpe_tokens": q_bpe_tokens,
         "q_knn_ivfpq": q_knn_ivfpq,
         "q_sql_restore": q_sql_restore,

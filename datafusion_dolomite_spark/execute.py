@@ -934,14 +934,23 @@ class SparkExecutor:
     def _knn_index_probe(self, node: PlanNode):
         from pyspark.sql import functions as F
 
-        from .functions.ann_index import ann_index_probe
+        from .functions.ann_index import (
+            ann_adaptive_nprobe,
+            ann_index_probe,
+            read_ann_meta,
+        )
 
         op = node.operator
         base = self._node(node.inputs[0])
         q = base.filter(F.col(op.id_col) < op.n_queries)
+        nprobe = op.nprobe
+        if nprobe == 0:
+            # adaptive sentinel survived to execution (direct logical
+            # dispatch) — resolve the same way the impl rule does
+            nprobe = ann_adaptive_nprobe(read_ann_meta(op.index_dir))
         return ann_index_probe(
             q, op.index_dir, op.id_col, op.vec_col, k=op.k,
-            nprobe=op.nprobe, refine=op.pq_refine, corpus_df=base,
+            nprobe=nprobe, refine=op.pq_refine, corpus_df=base,
         )
 
     def _knn_logical(self, node: PlanNode):

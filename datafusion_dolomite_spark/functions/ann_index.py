@@ -38,6 +38,7 @@ from __future__ import annotations
 
 __all__ = [
     "ann_index_build",
+    "ann_adaptive_nprobe",
     "ann_index_add",
     "ann_index_probe",
     "ann_index_compact",
@@ -88,6 +89,44 @@ def ann_meta_matches(meta, m: int, ksub: int, ncells: int,
         and int(meta.get("kmeans_iters", 0)) == int(kmeans_iters)
         and int(meta.get("train_iters", 0)) == int(train_iters)
     )
+
+
+def ann_adaptive_nprobe(meta, coverage: float = 0.25) -> int:
+    """Pick nprobe from the index's CELL-OCCUPANCY stats (r12, VERDICT
+    r11 item 6): the smallest probe count whose WORST-CASE corpus
+    coverage — the sum of the ``p`` SMALLEST cell populations — reaches
+    ``coverage`` of the indexed rows.  On a balanced index this is
+    ⌈coverage·ncells⌉; occupancy skew pushes the answer UP (a query
+    landing in small cells must probe more of them to see the same
+    fraction of the corpus), never down — the conservative direction
+    for a recall target.  Deterministic from ``_meta.json`` alone, so
+    an oracle can replay the choice from the same cell assignment."""
+    ncells = int(meta["ncells"])
+    counts = meta.get("cell_counts")
+    if not counts or sum(counts) <= 0:
+        import math
+
+        return max(1, min(ncells, math.ceil(coverage * ncells)))
+    total = sum(counts)
+    acc = 0
+    for p, c in enumerate(sorted(counts), start=1):
+        acc += c
+        if acc >= coverage * total:
+            return p
+    return ncells
+
+
+def _cell_counts(codes_df, ncells: int):
+    """Occupancy list indexed by cell id (model-scale: ncells ints)."""
+    from pyspark.sql import functions as F
+
+    got = {
+        int(r["cell"]): int(r["n"])
+        for r in codes_df.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return [got.get(i, 0) for i in range(ncells)]
 
 
 def _model_from_meta(meta):
@@ -197,6 +236,9 @@ def ann_index_build(
     out.write.mode("overwrite").parquet(index_dir)
     if residual:
         a.unpersist()
+    cell_counts = _cell_counts(
+        corpus_df.sparkSession.read.parquet(index_dir), ncells
+    )
     meta = {
         "version": _META_VERSION,
         "dim": DIM,
@@ -211,6 +253,9 @@ def ann_index_build(
         "books": books,
         "scales": scales,
         "batches": [batch_label],
+        #: occupancy per cell (r12) — the adaptive-nprobe input; updated
+        #: by add()/compact() so the stats track the live code rows
+        "cell_counts": cell_counts,
     }
     path = _meta_path(index_dir)
     tmp = path + ".tmp"
@@ -267,6 +312,9 @@ def ann_index_add(batch_df, index_dir: str, id_col: str, vec_col: str,
     n = out.count()
     out.write.mode("append").parquet(index_dir)
     meta["batches"] = list(meta.get("batches", [])) + [batch_label]
+    meta["cell_counts"] = _cell_counts(
+        batch_df.sparkSession.read.parquet(index_dir), int(meta["ncells"])
+    )
     path = _meta_path(index_dir)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -314,6 +362,9 @@ def ann_index_compact(spark, index_dir: str, retain_batches: int) -> int:
         os.replace(os.path.join(tmp_dir, f), os.path.join(index_dir, f))
     shutil.rmtree(tmp_dir, ignore_errors=True)
     meta["batches"] = keep
+    meta["cell_counts"] = _cell_counts(
+        spark.read.parquet(index_dir), int(meta["ncells"])
+    )
     path = _meta_path(index_dir)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

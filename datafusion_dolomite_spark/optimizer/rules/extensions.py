@@ -296,11 +296,19 @@ class Knn2IndexProbeRule(Rule):
             getattr(op, "train_iters", 0),
         ):
             return
+        nprobe = op.pq_nprobe
+        if nprobe == 0:
+            # ADAPTIVE nprobe (r12, VERDICT r11 item 6): pick the probe
+            # count from the index's cell-occupancy stats — the
+            # smallest worst-case coverage of 25% of the indexed rows
+            from ...functions.ann_index import ann_adaptive_nprobe
+
+            nprobe = ann_adaptive_nprobe(meta)
         result.add(
             OptExpression.op(
                 X.PhysicalKnnIndexProbe(
                     op.id_col, op.vec_col, op.n_queries, op.k,
-                    op.pq_nprobe, op.pq_refine, op.index_dir,
+                    nprobe, op.pq_refine, op.index_dir,
                 ),
                 *input.root.inputs,
             )

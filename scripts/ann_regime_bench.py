@@ -350,6 +350,37 @@ def main():
         f"{code_bytes / vec_bytes:.4f}x the bytes"
     )
 
+    # ---- nprobe sweep + adaptive pick (r12, VERDICT r11 item 6) -------
+    # the persisted index makes probes cheap enough to spend more of
+    # them: sweep nprobe for recall vs probe cost, and mark the value
+    # ann_adaptive_nprobe picks from the index's cell-occupancy stats
+    # (_meta.json cell_counts) at the default 25% worst-case coverage.
+    from datafusion_dolomite_spark.functions.ann_index import (
+        ann_adaptive_nprobe,
+        read_ann_meta,
+    )
+
+    meta = read_ann_meta(idx_path)
+    auto_p = ann_adaptive_nprobe(meta)
+    print(f"\nnprobe sweep (recall@{K} vs brute ground truth | warm s); "
+          f"adaptive(coverage=0.25) -> {auto_p} of {ncells} cells:")
+    for p_ in sorted({1, 3, 5, 8, auto_p, min(ncells, 16)}):
+        def probe_p():
+            return ann_index_probe(
+                qdf, idx_path, "vec_id", "embedding", k=K, nprobe=p_,
+                refine=REFINE, corpus_df=corpus,
+            )
+
+        probe_p().count()  # warm
+        t0 = time.monotonic()
+        pairs = {
+            (r["query_id"], r["neighbor_id"]) for r in probe_p().collect()
+        }
+        tsec = time.monotonic() - t0
+        rc = len(pairs & gt) / max(1, len(gt))
+        tag = "  <- adaptive" if p_ == auto_p else ""
+        print(f"  nprobe={p_:3d}: recall {rc:.3f}, {tsec:6.2f} s{tag}")
+
 
 if __name__ == "__main__":
     main()

@@ -127,6 +127,56 @@ def test_probe_requires_index_and_matching_params(tmp_path, emb):
                             train_iters=0)
 
 
+def test_adaptive_nprobe(tmp_path, emb, planner):
+    """r12: pq_nprobe=0 resolves from the index's cell-occupancy stats
+    (ascending cumulative coverage, conservative under skew) and the
+    probe is bit-equal to an explicit probe at the resolved value."""
+    from datafusion_dolomite_spark.functions.ann_index import (
+        ann_adaptive_nprobe,
+        ann_index_build,
+        read_ann_meta,
+    )
+
+    # pure resolution rule: balanced → ceil(c·ncells); skew pushes UP
+    assert ann_adaptive_nprobe(
+        {"ncells": 32, "cell_counts": [10] * 32}
+    ) == 8
+    assert ann_adaptive_nprobe(
+        {"ncells": 4, "cell_counts": [97, 1, 1, 1]}, coverage=0.5
+    ) == 4  # three tiny cells + part of the big one
+    assert ann_adaptive_nprobe({"ncells": 32}) == 8  # no stats fallback
+    idx = str(tmp_path / "adidx")
+    meta = ann_index_build(
+        emb, idx, "vec_id", "embedding", m=8, ksub=16, ncells=16,
+        residual=True, kmeans_iters=1,
+    )
+    assert len(meta["cell_counts"]) == 16
+    assert sum(meta["cell_counts"]) == emb.count()
+    auto_p = ann_adaptive_nprobe(read_ann_meta(idx))
+    common = dict(
+        n_queries=4, k=5, method="pq", pq_m=8, pq_ksub=16,
+        pq_refine=30, pq_ncells=16, pq_residual=True, kmeans_iters=1,
+    )
+    auto_plan = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .knn("vec_id", "embedding", index_dir=idx, pq_nprobe=0, **common)
+        .build()
+    )
+    spine = planner.explain(auto_plan)
+    assert f"probe: {auto_p}" in spine and "PhysicalKnnIndexProbe" in spine
+    explicit = (
+        LogicalPlanBuilder()
+        .scan("embeddings")
+        .knn("vec_id", "embedding", index_dir=idx, pq_nprobe=auto_p,
+             **common)
+        .build()
+    )
+    assert _rows(planner.dataframe(auto_plan)) == _rows(
+        planner.dataframe(explicit)
+    )
+
+
 def test_auto_attach_requires_bare_scan(tmp_path, planner):
     """ADVICE r11: the persisted codes cover the FULL table — a knn
     over a filtered corpus must NOT probe them (it would return

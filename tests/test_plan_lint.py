@@ -400,6 +400,9 @@ SHUFFLE_BUDGET = {
     # persisted codes + two ranking windows (measured 1; headroom for
     # the re-rank window exchange printing separately under AQE)
     "q_knn_index_probe": 3,
+    # r12: same probe plan, nprobe resolved from _meta.json occupancy
+    # stats (measured 1; same AQE headroom)
+    "q_knn_adaptive_probe": 3,
     # r10: interval overlap join; r11: stats-gated — both sides are
     # proven short (constant-width affine bounds), so the plan is the
     # SINGLE fine leg: join + agg + ORDER BY exchanges (measured 4)
