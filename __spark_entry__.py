@@ -2898,6 +2898,51 @@ _SQL_DISTINCT_ON = (
     "FROM orders ORDER BY o_custkey, cents DESC, o_orderkey"
 )
 
+_SQL_INTERVAL_MERGE = (
+    "SELECT o_orderkey, "
+    "       o_orderdate + (INTERVAL 1 QUARTER + INTERVAL 1 MONTH) AS m4, "
+    "       o_orderdate - (INTERVAL 1 YEAR + INTERVAL 1 WEEK "
+    "                      + INTERVAL 36 HOUR) AS back, "
+    "       o_orderdate + (INTERVAL 2 MONTH - INTERVAL 40 DAY) AS mixed "
+    "FROM orders WHERE o_orderkey < 2000"
+)
+
+_SQL_LATERAL_DISTINCT = (
+    "SELECT n_nationkey, t.seg "
+    "FROM nation, LATERAL ("
+    "  SELECT DISTINCT c_mktsegment AS seg FROM customer "
+    "  WHERE c_nationkey = n_nationkey ORDER BY seg LIMIT 2) t"
+)
+
+_SQL_FULL_USING = (
+    "SELECT k, n_cust, n_ord "
+    "FROM (SELECT c_nationkey AS k, count(*) AS n_cust "
+    "      FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) a "
+    "FULL JOIN (SELECT n_nationkey AS k, count(*) AS n_ord "
+    "           FROM nation JOIN orders ON o_custkey % 25 = n_nationkey "
+    "           WHERE n_regionkey < 2 GROUP BY n_nationkey) b "
+    "USING (k)"
+)
+
+_SQL_TABLESAMPLE = (
+    "SELECT c.c_custkey, c.c_name, count(o_orderkey) AS n_orders "
+    "FROM customer c TABLESAMPLE (50 ROWS) "
+    "LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+    "GROUP BY c.c_custkey, c.c_name"
+)
+
+#: the deterministic-hash replay of _SQL_TABLESAMPLE — engine-native
+#: TABLESAMPLE is seed/layout-dependent, ours is a pure function of the
+#: data, so the oracle spells the rule out
+_SQL_TABLESAMPLE_ORACLE = (
+    "WITH c AS (SELECT * FROM customer "
+    "           ORDER BY ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))"
+    "                    ::BIGINT, c_custkey LIMIT 50) "
+    "SELECT c.c_custkey, c.c_name, count(o_orderkey) AS n_orders "
+    "FROM c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+    "GROUP BY c.c_custkey, c.c_name"
+)
+
 _SQL_ROLLUP_SHARE = (
     "SELECT o_orderstatus AS st, o_orderpriority AS pr, "
     "       cast(grouping(o_orderstatus) + grouping(o_orderpriority) "
@@ -4386,6 +4431,10 @@ EXTENSION_ORACLES = {
     "q_sql_grouping_sets": _SQL_GROUPING_SETS,
     "q_sql_in_or": _SQL_IN_OR,
     "q_sql_rollup_share": _SQL_ROLLUP_SHARE,
+    "q_sql_interval_merge": _SQL_INTERVAL_MERGE,
+    "q_sql_lateral_distinct": _SQL_LATERAL_DISTINCT,
+    "q_sql_full_using": _SQL_FULL_USING,
+    "q_sql_tablesample": _SQL_TABLESAMPLE_ORACLE,
     "q_sql_lateral": _SQL_LATERAL,
     "q_sql_lateral_agg": _SQL_LATERAL_AGG,
     "q_sql_filter_agg": _SQL_FILTER_AGG,
@@ -7086,6 +7135,49 @@ FROM embeddings emb LEFT JOIN sdcomp ON sdcomp.node = emb.vec_id
 """
 
 
+def q_sql_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL ± INTERVAL (r12, VERDICT r11 item 7): parenthesized
+    interval sums merge into DuckDB's (months, days, seconds) triple
+    and apply coarse-to-fine in ONE month-level add — two chained
+    clamping adds would diverge from DuckDB at month ends (2024-01-31
+    +1mo+1mo = 03-29 but +2mo = 03-31).  Same string runs natively on
+    DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_INTERVAL_MERGE)
+
+
+def q_sql_lateral_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL with DISTINCT and LIMIT together (r12): the per-key
+    dedup runs below the join over (outputs + correlation keys), then
+    the LIMIT ranks the deduped rows with a per-key row_number — SQL's
+    DISTINCT-before-LIMIT order, one window shuffle, no per-outer-row
+    re-execution.  (The r11 ADVICE dup-row shape — DISTINCT with
+    hidden non-output extras — now rejects at parse time.)  Same
+    string runs natively on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_LATERAL_DISTINCT)
+
+
+def q_sql_full_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL JOIN USING (r12): the USING column keeps ONE output copy =
+    COALESCE(left, right) — the standard rule INNER/LEFT degenerate to
+    the left copy of; RIGHT/FULL need the real coalesce because either
+    side can be NULL on non-matching rows.  Same string runs natively
+    on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_FULL_USING)
+
+
+def q_sql_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE (r12): ``t TABLESAMPLE (n ROWS)`` keeps the n rows
+    with the smallest md5-hash of the table's unique key (global
+    top-n — TakeOrdered, per-partition heaps); ``(p PERCENT)`` is a
+    map-only hash-bucket filter.  DETERMINISTIC by design — engine-
+    native TABLESAMPLE depends on partition layout and seeds, so
+    re-running on a different cluster yields a different corpus; this
+    one is a pure function of the data (functions/sampling.py's
+    argument), which is also what makes it oracle-able: the DuckDB
+    side replays the hash rule explicitly."""
+    return _planner(spark, sf_dir).sql(_SQL_TABLESAMPLE)
+
+
 def q_sql_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions over ROLLUP output (r12, VERDICT r11 item 3):
     share-of-total per rollup level — the standard reporting idiom
@@ -9361,6 +9453,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_grouping_sets": q_sql_grouping_sets,
         "q_sql_in_or": q_sql_in_or,
         "q_sql_rollup_share": q_sql_rollup_share,
+        "q_sql_interval_merge": q_sql_interval_merge,
+        "q_sql_lateral_distinct": q_sql_lateral_distinct,
+        "q_sql_full_using": q_sql_full_using,
+        "q_sql_tablesample": q_sql_tablesample,
         "q_semdedup_index": q_semdedup_index,
         "q_sql_lateral": q_sql_lateral,
         "q_sql_lateral_agg": q_sql_lateral_agg,

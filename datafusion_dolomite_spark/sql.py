@@ -614,22 +614,20 @@ class _Parser:
                 and t_u.value.lower() == "using"
             ):
                 # JOIN USING (c, ...) — both sides carry c; the output
-                # keeps ONE copy (the left's — correct for INNER/LEFT,
-                # the supported types; RIGHT/FULL would need COALESCE).
-                # The right side's copies rename to __using_<c> so the
-                # equality compiles against globally-unique names, then
-                # a post-join projection drops them.
+                # keeps ONE copy: the left's for INNER/LEFT, and
+                # COALESCE(left, right) for RIGHT/FULL (r12 — the
+                # standard USING output rule; on RIGHT the coalesce
+                # degenerates to the right's copy since matched rows
+                # agree).  The right side's copies rename to
+                # __using_<c> so the equality compiles against
+                # globally-unique names, then a post-join projection
+                # drops them.
                 self.next()
                 self.expect("op", "(")
                 ucols = [self.expect("ident").value]
                 while self.accept("op", ","):
                     ucols.append(self.expect("ident").value)
                 self.expect("op", ")")
-                if jt not in (JoinType.INNER, JoinType.LEFT):
-                    raise SqlError(
-                        "JOIN USING supports INNER and LEFT joins "
-                        f"(got {jt.name}; write ON with COALESCE instead)"
-                    )
                 lnames = self._schema_names(builder)
                 rnames = self._schema_names(right)
                 missing = [
@@ -655,8 +653,17 @@ class _Parser:
                         for c in ucols
                     ]
                 )
+                out_cols: List[Expr] = [
+                    Alias(
+                        Func("coalesce", (Col(c), Col(f"__using_{c}"))), c
+                    )
+                    if c in ucols
+                    and jt in (JoinType.RIGHT, JoinType.FULL)
+                    else Col(c)
+                    for c in lnames
+                ]
                 builder = builder.join(right, jt, cond).projection(
-                    [Col(c) for c in lnames]
+                    out_cols
                     + [Col(c) for c in rnames if c not in ucols]
                 )
                 continue
@@ -1672,6 +1679,21 @@ class _Parser:
         if t.kind != "ident" or t.value.lower() != word:
             raise SqlError(f"expected {word.upper()}, got {t!r}")
 
+    def _tablesample_ahead(self) -> bool:
+        """Lookahead: ``TABLESAMPLE (`` or ``USING (`` — contextual
+        like WINDOW/PIVOT, so these idents followed by ``(`` never
+        parse as a bare table alias (``JOIN region USING (k)`` must
+        not alias region to ``using`` — r12)."""
+        t = self.peek()
+        nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        return (
+            t.kind == "ident"
+            and t.value.lower() in ("tablesample", "using")
+            and nxt is not None
+            and nxt.kind == "op"
+            and nxt.value == "("
+        )
+
     def _table(self):
         """One FROM item → (builder, base_table_or_None, alias_or_None).
         A trailing bare identifier (or ``AS ident``) is a table alias."""
@@ -1688,7 +1710,11 @@ class _Parser:
             had_as = self.accept("kw", "as")
             if self.peek().kind == "ident" and (
                 had_as
-                or not (self._window_clause_ahead() or self._pivot_clause_ahead())
+                or not (
+                    self._window_clause_ahead()
+                    or self._pivot_clause_ahead()
+                    or self._tablesample_ahead()
+                )
             ):
                 alias = self.next().value
             return LogicalPlanBuilder(sub.root), None, alias
@@ -1697,7 +1723,11 @@ class _Parser:
         had_as = self.accept("kw", "as")
         if self.peek().kind == "ident" and (
             had_as
-            or not (self._window_clause_ahead() or self._pivot_clause_ahead())
+            or not (
+                self._window_clause_ahead()
+                or self._pivot_clause_ahead()
+                or self._tablesample_ahead()
+            )
         ):
             alias = self.next().value
         if name in self.ctes:
@@ -1983,6 +2013,53 @@ class _Parser:
             if base is not None:
                 frame.setdefault(base, "")
                 seen_bases.add(base)
+        # TABLESAMPLE (r12): DETERMINISTIC hash sampling in the FROM
+        # slot — ``t TABLESAMPLE (n ROWS)`` keeps the n rows with the
+        # smallest md5-hash of the table's unique key (global top-n →
+        # TakeOrdered, per-partition heaps); ``(p PERCENT)`` keeps the
+        # hash-bucket share (map-only filter, zero shuffles).  Unlike
+        # engine-native TABLESAMPLE (partition-layout- and
+        # seed-dependent), the selected set is a pure function of the
+        # DATA — reproducible across runs, clusters, and engines (the
+        # same functions/sampling.py argument; the DuckDB oracle
+        # computes the identical hash).
+        t_ts = self.peek()
+        if t_ts.kind == "ident" and t_ts.value.lower() == "tablesample":
+            self.next()
+            self.expect("op", "(")
+            n_ts = int(self.expect("number").value)
+            unit_t = self.next()
+            unit = (
+                unit_t.value.lower()
+                if unit_t.kind in ("ident", "kw")
+                else ""
+            )
+            if unit not in ("rows", "percent"):
+                raise SqlError(
+                    "TABLESAMPLE supports (n ROWS) or (n PERCENT), got "
+                    f"{unit_t.value!r}"
+                )
+            self.expect("op", ")")
+            names = self._schema_names(b)
+            key = None
+            if base is not None and self.catalog is not None:
+                uk = sorted(self.catalog.unique_keys(base))
+                key = uk[0] if uk else None
+            if key is None or key not in names:
+                # no declared unique key: the first column (the
+                # testdata convention — every table leads with its key)
+                key = names[0]
+            h = _hash60_expr(Col(key))
+            if unit == "percent":
+                if not 0 <= n_ts <= 100:
+                    raise SqlError("TABLESAMPLE percent must be 0..100")
+                b = b.filter(
+                    BinOp("<", BinOp("%", h, Lit(100)), Lit(n_ts))
+                )
+            else:
+                b = b.sort(
+                    [SortKey(h, True, False), SortKey(Col(key), True, False)]
+                ).limit(n_ts)
         return b
 
     def _lateral_ahead(self) -> bool:
@@ -3667,6 +3744,27 @@ def _single_output_col(plan: Plan) -> str:
     if name == "Aggregate" and not op.group_exprs and len(op.agg_exprs) == 1:
         return op.agg_exprs[0].name
     raise SqlError("subquery must produce exactly one named column")
+
+
+def _hash60_expr(e: Expr) -> Expr:
+    """The repo's shared 60-bit hash convention as IR: Spark
+    ``conv(substr(md5(cast(x as string)), 1, 15), 16, 10)`` ≡ DuckDB
+    ``('0x' || substr(md5(x::VARCHAR), 1, 15))::BIGINT`` (see
+    functions/sampling.py::_hash64)."""
+    return Cast(
+        Func(
+            "conv",
+            (
+                Func(
+                    "substring",
+                    (Func("md5", (Cast(e, "string"),)), Lit(1), Lit(15)),
+                ),
+                Lit(16),
+                Lit(10),
+            ),
+        ),
+        "bigint",
+    )
 
 
 def _contains_grouping_fn(e) -> bool:

@@ -365,14 +365,63 @@ def test_sql_idiom_batch(planner):
     assert all(row.s.endswith("-") for row in r)
 
 
-def test_join_using_right_rejected(planner):
+def test_full_right_join_using(planner):
+    """r12: RIGHT/FULL JOIN USING — the USING output column is
+    COALESCE(left, right), so non-matching rows from either side keep
+    their key."""
+    rows = planner.sql(
+        "select k, a, b from "
+        "(select n_nationkey as k, count(*) as a from nation "
+        " where n_nationkey < 10 group by n_nationkey) x "
+        "full join "
+        "(select n_nationkey as k, count(*) as b from nation "
+        " where n_nationkey >= 5 group by n_nationkey) y using (k)"
+    ).collect()
+    got = {r.k: (r.a, r.b) for r in rows}
+    assert set(got) == set(range(25))
+    assert got[3] == (1, None) and got[20] == (None, 1) and got[7] == (1, 1)
+    right = planner.sql(
+        "select k, a from "
+        "(select n_nationkey as k, count(*) as a from nation "
+        " where n_nationkey < 10 group by n_nationkey) x "
+        "right join "
+        "(select n_nationkey as k from nation "
+        " where n_nationkey >= 5) y using (k)"
+    ).collect()
+    assert {r.k for r in right} == set(range(5, 25))
+
+
+def test_tablesample_deterministic(planner):
+    """r12: TABLESAMPLE is a pure function of the data — the same n
+    rows on every run; PERCENT is the hash-bucket share."""
+    a = sorted(r.c_custkey for r in planner.sql(
+        "select c_custkey from customer tablesample (10 rows)"
+    ).collect())
+    b = sorted(r.c_custkey for r in planner.sql(
+        "select c_custkey from customer tablesample (10 rows)"
+    ).collect())
+    assert a == b and len(a) == 10
+    # the selected set is the smallest-hash prefix: 5 rows ⊂ 10 rows
+    c = sorted(r.c_custkey for r in planner.sql(
+        "select c_custkey from customer tablesample (5 rows)"
+    ).collect())
+    assert set(c) <= set(a)
+    n_all = planner.sql("select count(*) as n from customer").collect()[0].n
+    n_pct = planner.sql(
+        "select count(*) as n from customer tablesample (30 percent)"
+    ).collect()[0].n
+    assert 0 < n_pct < n_all
+    from datafusion_dolomite_spark.sql import SqlError
+    with pytest.raises(SqlError, match="ROWS|PERCENT"):
+        planner.sql("select 1 as x from customer tablesample (10 bananas)")
+
+
+def test_join_using_missing_column_rejected(planner):
     import pytest
 
     from datafusion_dolomite_spark.sql import SqlError
 
-    with pytest.raises(SqlError, match="USING"):
+    with pytest.raises(SqlError, match="both"):
         planner.sql(
-            "select n_name from nation right join "
-            "(select r_regionkey as n_regionkey from region) r "
-            "using (n_regionkey)"
+            "select n_name from nation join region using (n_regionkey)"
         )

@@ -379,6 +379,19 @@ SHUFFLE_BUDGET = {
     # r11: date/interval arithmetic — one aggregate exchange; the
     # interval-derived bounds push into the parquet scan
     "q_sql_date_arith": 1,
+    # r12 grammar batch: compound-interval arithmetic is pure map work
+    # over the pushed scan
+    "q_sql_interval_merge": 0,
+    # r12: LATERAL DISTINCT+LIMIT — the dedup aggregate + the per-key
+    # ranking window share the correlation-key hashing (measured 2)
+    "q_sql_lateral_distinct": 2,
+    # r12: FULL JOIN USING — one aggregate exchange per grouped side;
+    # the full join itself sort-merges on the already-hashed key
+    "q_sql_full_using": 2,
+    # r12: TABLESAMPLE (n ROWS) — global top-n by hash is
+    # TakeOrderedAndProject (per-partition heaps, no exchange); the
+    # LEFT join broadcasts the 50 sampled rows
+    "q_sql_tablesample": 0,
     # r12: SemDeDup via the persisted index's IVF cells — the in-cell
     # pair join broadcasts the cell table; CC runs over cached
     # pair-sized data (exchanges print from the cached subplan); final

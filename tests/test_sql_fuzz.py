@@ -1388,6 +1388,19 @@ class Gen:
             ipred = (
                 f" AND {self._atom_pred([inner_t])}" if r.random() < 0.4 else ""
             )
+            if r.random() < 0.3:
+                # r12: DISTINCT + LIMIT inside LATERAL — dedup below
+                # the join, then the per-key ranking (sort keys bind to
+                # the DISTINCT output; (x, y) is total, deterministic)
+                sql = (
+                    f"SELECT {opk} AS c0, t.x AS c1, t.y AS c2 "
+                    f"FROM {outer_t}, "
+                    f"LATERAL (SELECT DISTINCT {ipk} AS x, {oc} AS y "
+                    f"FROM {inner_t} "
+                    f"WHERE {inner_k} = {outer_k}{ipred} "
+                    f"ORDER BY y {d}, x LIMIT {n}{off}) t{where}"
+                )
+                return sql, sql
             sql = (
                 f"SELECT {opk} AS c0, t.x AS c1, t.y AS c2 FROM {outer_t}, "
                 f"LATERAL (SELECT {ipk} AS x, {oc} AS y FROM {inner_t} "
@@ -1487,6 +1500,16 @@ class Gen:
         quoted = f"'{n}'" if r.random() < 0.5 else str(n)
         sign = r.choice(["+", "-"])
         bound = f"{base} {sign} INTERVAL {quoted} {unit}"
+        if r.random() < 0.3:
+            # r12: compound INTERVAL ± INTERVAL merges into one
+            # (months, days, seconds) triple — DuckDB-identical
+            unit2 = r.choice(["day", "week", "month", "hour"])
+            n2 = r.randint(1, 30)
+            sign2 = r.choice(["+", "-"])
+            bound = (
+                f"{base} {sign} (INTERVAL {quoted} {unit} "
+                f"{sign2} INTERVAL {n2} {unit2})"
+            )
         ints = [c for c, ty in TABLES[t].items() if ty == INT]
         ic = r.choice(ints)
         op = r.choice(["<", "<=", ">", ">="])
@@ -1565,14 +1588,51 @@ class Gen:
         inner_t, inner_k, outer_t, outer_k = r.choice(JOIN_EDGES)
         ints = [c for c, ty in TABLES[inner_t].items() if ty == INT]
         ic = r.choice(ints)
-        jt = r.choice(["JOIN", "LEFT JOIN"])
+        # r12: all four join types — RIGHT/FULL exercise the
+        # COALESCE(left, right) output rule for the USING column
+        jt = r.choice(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+        filt = f" WHERE {self._atom_pred([outer_t])}" if r.random() < 0.5 else ""
         sql = (
-            f"SELECT count(*) AS c0, sum(u) AS c1 FROM "
-            f"(SELECT {outer_k} AS uk FROM {outer_t}) a {jt} "
+            f"SELECT count(*) AS c0, sum(u) AS c1, count(uk) AS c2 FROM "
+            f"(SELECT {outer_k} AS uk FROM {outer_t}{filt}) a {jt} "
             f"(SELECT {inner_k} AS uk, {ic}::bigint AS u "
             f" FROM {inner_t}) b USING (uk)"
         )
         return sql, sql
+
+    def _tablesample(self):
+        """r12: deterministic TABLESAMPLE — the oracle replays the
+        md5-priority rule explicitly (engine-native sampling is
+        seed/layout-dependent; ours is a pure function of the data)."""
+        r = self.rng
+        t = r.choice(list(TABLES))
+        key = next(iter(TABLES[t]))  # leading column is the key
+        items, names, has_float = [], [], False
+        for i in range(r.randint(1, 3)):
+            e, ty = self._value_expr([t])
+            items.append(f"{e} AS c{i}")
+            names.append(f"c{i}")
+            has_float = has_float or ty == FLT
+        h = f"('0x' || substr(md5({key}::VARCHAR), 1, 15))::BIGINT"
+        if r.random() < 0.5:
+            n = r.randint(1, 40)
+            sql = f"SELECT {', '.join(items)} FROM {t} TABLESAMPLE ({n} ROWS)"
+            osql = (
+                f"SELECT {', '.join(items)} FROM "
+                f"(SELECT * FROM {t} ORDER BY {h}, {key} LIMIT {n}) {t}"
+            )
+        else:
+            pct = r.randint(0, 100)
+            sql = (
+                f"SELECT {', '.join(items)} FROM {t} "
+                f"TABLESAMPLE ({pct} PERCENT)"
+            )
+            osql = (
+                f"SELECT {', '.join(items)} FROM "
+                f"(SELECT * FROM {t} WHERE {h} % 100 < {pct}) {t}"
+            )
+        ol, _ = self._order_limit(names, has_float)
+        return sql + ol, osql + ol
 
     SHAPES = (
         ("_simple", 14),
@@ -1607,6 +1667,7 @@ class Gen:
         ("_date_arith", 6),
         ("_idioms", 8),
         ("_in_or", 8),
+        ("_tablesample", 6),
     )
 
     def query(self):

@@ -393,14 +393,16 @@ def test_qualify_requires_window(catalog):
         )
 
 
-def test_window_with_rollup_rejected(catalog):
-    with pytest.raises(SqlError):
-        parse_sql(
-            "select c_mktsegment, count(*) as n, "
-            "rank() over (order by count(*)) as r "
-            "from customer group by cube (c_mktsegment)",
-            catalog,
-        )
+def test_window_with_cube_parses(catalog):
+    # rejected until r11; r12 extends lift-then-lower to grouping sets
+    plan = parse_sql(
+        "select c_mktsegment, count(*) as n, "
+        "rank() over (order by count(*)) as r "
+        "from customer group by cube (c_mktsegment)",
+        catalog,
+    )
+    text = plan.explain()
+    assert text.index("LogicalWindow") < text.index("LogicalAggregate")
 
 
 def test_create_only_table_or_mv(catalog):
