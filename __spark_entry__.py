@@ -9364,50 +9364,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head
 
 
-#: round-11 check priority: STALENESS rotation (VERDICT r5 item 2).
-#: New r11 queries first (LATERAL, persisted ANN index probe,
-#: explicit GROUPING SETS, BPE), then the queries whose
-#: IMPLEMENTATION changed this round (UNPIVOT NULL semantics, the
-#: overlap-join stats gate, basket-capped graph edge builds, the
-#: kmeans_iters threading through PhysicalKnnPq, the WINDOW-clause
-#: grammar reorder), then the stalest driver-green queries
-#: (unsampled in r10's 50).
+#: round-12 check priority: STALENESS rotation (VERDICT r5 item 2).
+#: New r12 queries first (IN/EXISTS under OR/NOT, windows over ROLLUP,
+#: SemDeDup via index cells, adaptive nprobe, the grammar batch), then
+#: queries whose IMPLEMENTATION changed this round (the persisted BPE
+#: tokenizer re-points q_bpe_tokens; the ANN index gained
+#: train_iters/cell_counts and the bare-scan attach guard — the whole
+#: index/PQ family re-proves; string_agg's comparator ordering;
+#: compound interval arithmetic through _date_arith; the LATERAL
+#:_decorrelation restructure; the IN/EXISTS splitter and star-through-
+#: join rework touch every subquery query), then the stalest
+#: driver-green queries (unsampled in r11's 50).
 _UNPROVEN_PREFIX = (
-    # new this round (r11) — never driver-checked, prove first
-    "q_sql_lateral", "q_sql_lateral_agg", "q_knn_index_probe",
-    "q_sql_grouping_sets", "q_bpe_tokens", "q_sql_date_arith",
-    "q_sql_union_by_name", "q_sql_string_agg", "q_sql_q6_dates",
-    # r11 CHANGED these queries' implementation — re-prove next:
-    # UNPIVOT now excludes NULL value rows (semantics change),
-    # q_sql_overlap plans fine-only via the stats gate, the graph
-    # queries build edges through the basket-capped helper, the PQ
-    # family threads kmeans_iters through the physical operator, and
-    # the WINDOW-clause grammar reorder touches every named-window /
-    # GROUP BY ALL / DISTINCT ON lowering
-    "q_sql_unpivot", "q_sql_overlap", "q_kcore", "q_triangle_count",
-    "q_knn_ivfpq", "q_knn_pq", "q_knn_residual", "q_knn_recall",
-    "q_knn_cents_trained",
-    "q_sql_named_window", "q_sql_group_all", "q_sql_distinct_on",
-    "q_sql_qualify", "q_sql_window", "q_sql_grouping", "q_cube",
-    "q_rollup", "q_sql_pivot",
-    # stalest driver-green queries (unsampled in the r10 rotation)
-    "q_sql_q3", "q_sql_q6", "q_tpch_q1", "q_tpch_q10", "q_tpch_q13",
-    "q_tpch_q14", "q_tpch_q19", "q_sql_scalar_subquery",
-    "q_sql_select_scalar", "q_sql_setop_all", "q_sql_values",
-    "q_sql_udf", "q_recursive_cte", "q_join_hint",
-    "q_window_lead_ntile", "q_window_rank", "q_window_running",
-    "q_topk", "q_transitive_pred", "q_time_weighted_avg",
-    "q_unnest", "q_zorder_scan", "q_string_functions",
-    "q_dedup_clusters", "q_dedup_keep_best", "q_decontaminate",
-    "q_dup_profile", "q_exact_dedup", "q_doc_chunks",
-    "q_quality_prune", "q_lang_id", "q_bm25_search",
-    "q_corpus_resample", "q_weighted_sample", "q_stratified_sample",
-    "q_knn_brute", "q_knn_pandas", "q_knn_ivf", "q_knn_ivf_kmeans",
-    "q_cosine_near_dup", "q_semantic_dedup", "q_embed_quantize",
-    "q_pagerank", "q_fuzzy_join",
-    # streaming: r10-green, one round old by check time
-    "q_stream_stateful", "q_stream_matview", "q_stream_upsert",
-    "q_stream_stream_join", "q_stream_outer_join", "q_stream_dedup",
+    # new this round (r12) — never driver-checked, prove first
+    "q_sql_in_or", "q_sql_rollup_share", "q_semdedup_index",
+    "q_knn_adaptive_probe", "q_sql_interval_merge",
+    "q_sql_lateral_distinct", "q_sql_full_using", "q_sql_tablesample",
+    # r12 CHANGED these queries' implementation — re-prove next
+    "q_bpe_tokens", "q_knn_index_probe", "q_knn_pq", "q_knn_ivfpq",
+    "q_knn_residual", "q_sql_string_agg", "q_sql_date_arith",
+    "q_sql_q6_dates", "q_sql_lateral", "q_sql_lateral_agg",
+    "q_sql_in_subquery", "q_sql_exists", "q_sql_scalar_subquery",
+    "q_sql_corr_scalar", "q_sql_grouping_sets", "q_rollup", "q_cube",
+    "q_sql_qualify", "q_sql_window_agg", "q_semantic_dedup",
+    # stalest driver-green queries (unsampled in the r11 rotation)
+    "q_sql_q1", "q_sql_q2", "q_sql_q4", "q_sql_q5", "q_sql_q8",
+    "q_sql_q10", "q_sql_q12", "q_sql_q15", "q_sql_q16", "q_sql_q17",
+    "q_sql_q18", "q_sql_q20", "q_sql_q21", "q_sql_q22",
+    "q_asof_join", "q_sql_asof_nearest", "q_range_join", "q_sql_overlap",
+    "q_sequence_pack", "q_doc_chunks", "q_term_stats", "q_text_stats",
+    "q_minhash_pairs", "q_simhash", "q_ngram_jaccard", "q_fuzzy_join",
+    # streaming: r11-green, one round old by check time
+    "q_stream_sessions", "q_stream_window_counts", "q_stream_enrich",
+    "q_stream_versioned",
 )
 
 
