@@ -1428,6 +1428,71 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.dataframe(plan)
 
 
+def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition the tokenizer exists for (r12): ``bpe_tokens``
+    → ``sequence_pack`` as ONE optimized plan — training-sequence
+    packs budgeted in real BPE subword tokens instead of whitespace
+    words.  The BPE stage auto-attaches the persisted tokenizer
+    (``AttachBpeTokenizerRule``; the same artifact q_bpe_tokens
+    builds), so the whole pipeline is the map-only replace-chain count
+    + ONE aggregate exchange + the shard-local packing window — zero
+    training jobs.  The oracle nests the full unrolled-CTE BPE replay
+    inside the packing-window replay."""
+    import os
+
+    from datafusion_dolomite_spark.sources.signature import write_marker
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    dest, fresh, sig = _materialized_dir(sf_dir, "bpetok_v1", src)
+    tok = os.path.join(dest, "tokenizer")
+    pl = _planner(spark, sf_dir)
+    if not fresh:
+        pl.sql(
+            "create or replace tokenizer on documents (text) with "
+            f"(merges=16, location='{tok}')"
+        ).collect()
+        write_marker(dest, sig)
+    else:
+        pl.catalog.register_bpe_tokenizer("documents", "text", tok)
+    plan = (
+        LogicalPlanBuilder()
+        .scan("documents")
+        .bpe_tokens("doc_id", "text", num_merges=16)
+        .sequence_pack("doc_id", "n_tokens", budget=512, n_shards=8)
+        .build()
+    )
+    return pl.dataframe(plan)
+
+
+def _bpe_pack_oracle(num_merges: int = 16, budget: int = 512,
+                     n_shards: int = 8) -> str:
+    """q_bpe_pack replayed exactly: the per-doc BPE token counts (the
+    same unrolled-CTE training + encoding replay as q_bpe_tokens,
+    nested as a CTE body) feed the deterministic md5-ordered
+    shard-local packing windows (the q_sequence_pack discipline), with
+    the budget in BPE tokens."""
+    bpe = _bpe_oracle(num_merges).strip()
+    return f"""
+WITH bpe AS ({bpe}),
+sharded AS (
+  SELECT doc_id, n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM bpe
+), s2 AS (
+  SELECT doc_id, n_tokens, h, (h % {n_shards})::INT AS shard FROM sharded
+), packed AS (
+  SELECT doc_id, n_tokens, shard,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s2
+)
+SELECT doc_id, n_tokens, shard,
+       ((cum - n_tokens) // {budget})::BIGINT AS pack_id,
+       ((cum - n_tokens) % {budget})::BIGINT AS pack_offset
+FROM packed
+"""
+
+
 def _bpe_oracle(num_merges: int = 16) -> str:
     """q_bpe_tokens replayed exactly in DuckDB: word-count vocab,
     ``num_merges`` unrolled most-frequent-pair iterations (MATERIALIZED
@@ -9377,7 +9442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: driver-green queries (unsampled in r11's 50).
 _UNPROVEN_PREFIX = (
     # new this round (r12) — never driver-checked, prove first
-    "q_sql_in_or", "q_sql_rollup_share", "q_semdedup_index",
+    "q_sql_in_or", "q_sql_rollup_share", "q_semdedup_index", "q_bpe_pack",
     "q_knn_adaptive_probe", "q_sql_interval_merge",
     "q_sql_lateral_distinct", "q_sql_full_using", "q_sql_tablesample",
     # r12 CHANGED these queries' implementation — re-prove next
@@ -9447,6 +9512,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_full_using": q_sql_full_using,
         "q_sql_tablesample": q_sql_tablesample,
         "q_semdedup_index": q_semdedup_index,
+        "q_bpe_pack": q_bpe_pack,
         "q_sql_lateral": q_sql_lateral,
         "q_sql_lateral_agg": q_sql_lateral_agg,
         "q_sql_filter_agg": q_sql_filter_agg,
@@ -9653,6 +9719,7 @@ SELECT component, count(*) AS csize FROM comp GROUP BY component
     # produce byte-identical pairs to the memory-sink run
     out["q_stream_file_sink"] = out["q_stream_stream_join"]
     out["q_semdedup_index"] = _semdedup_index_oracle()
+    out["q_bpe_pack"] = _bpe_pack_oracle()
     # canonical-representative selection composes the same transitive
     # closure, then arg_max per component (singletons keep themselves)
     out["q_dedup_keep_best"] = f"""

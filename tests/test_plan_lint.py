@@ -392,6 +392,10 @@ SHUFFLE_BUDGET = {
     # TakeOrderedAndProject (per-partition heaps, no exchange); the
     # LEFT join broadcasts the 50 sampled rows
     "q_sql_tablesample": 0,
+    # r12: bpe_tokens → sequence_pack as one plan — the per-doc count
+    # aggregate exchange + the shard-local packing window exchange; the
+    # BPE stage probes the persisted tokenizer (zero training jobs)
+    "q_bpe_pack": 2,
     # r12: SemDeDup via the persisted index's IVF cells — the in-cell
     # pair join broadcasts the cell table; CC runs over cached
     # pair-sized data (exchanges print from the cached subplan); final
