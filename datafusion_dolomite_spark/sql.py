@@ -2969,7 +2969,19 @@ def _lower_embedded_subqueries(conj, builder, catalog):
                 b, e = walk(a, b)
                 args.append(e)
             return b, Func(x.name, tuple(args))
+        if isinstance(x, CaseWhen):
+            branches = []
+            for c, v in x.branches:
+                b, c2 = walk(c, b)
+                b, v2 = walk(v, b)
+                branches.append((c2, v2))
+            oth = x.otherwise
+            if oth is not None:
+                b, oth = walk(oth, b)
+            return b, CaseWhen(tuple(branches), oth)
         return b, x
+
+    from .expr import CaseWhen
 
     builder, new_conj = walk(conj, builder)
     return builder, new_conj
@@ -2988,6 +3000,8 @@ def _contains_window(e) -> bool:
 
 
 def _contains_insub(e) -> bool:
+    from .expr import CaseWhen
+
     if isinstance(e, (_InSubquery, _ExistsSubquery)):
         return True
     if isinstance(e, BinOp):
@@ -2998,6 +3012,11 @@ def _contains_insub(e) -> bool:
         return _contains_insub(e.expr)
     if isinstance(e, Func):
         return any(_contains_insub(a) for a in e.args)
+    if isinstance(e, CaseWhen):
+        return any(
+            _contains_insub(c) or _contains_insub(v)
+            for c, v in e.branches
+        ) or (e.otherwise is not None and _contains_insub(e.otherwise))
     return False
 
 
@@ -3023,7 +3042,14 @@ def _extract_scalars(e):
             return Cast(walk(x.expr), x.to_type)
         if isinstance(x, Func):
             return Func(x.name, tuple(walk(a) for a in x.args))
+        if isinstance(x, CaseWhen):
+            return CaseWhen(
+                tuple((walk(c), walk(v)) for c, v in x.branches),
+                walk(x.otherwise) if x.otherwise is not None else None,
+            )
         return x
+
+    from .expr import CaseWhen
 
     return walk(e), found
 

@@ -650,6 +650,32 @@ def test_in_exists_under_or_not(planner):
             "exists (select 1 from orders where o_custkey = c_custkey "
             "        and o_totalprice > c_acctbal)"
         )
+    # markers (and scalar subqueries) inside CASE branches lower too
+    case_rows = {
+        r.n_nationkey
+        for r in planner.sql(
+            "select n_nationkey from nation where case when "
+            "n_nationkey in (select c_nationkey from customer "
+            "                where c_acctbal > 9000) "
+            "then true else n_regionkey > 3 end"
+        ).collect()
+    }
+    rich = {
+        r.c_nationkey
+        for r in planner.sql(
+            "select c_nationkey from customer where c_acctbal > 9000"
+        ).collect()
+    }
+    all_n = {
+        r.n_nationkey: r.n_regionkey
+        for r in planner.sql(
+            "select n_nationkey, n_regionkey from nation"
+        ).collect()
+    }
+    want_case = {
+        k for k, rk in all_n.items() if (k in rich) or (k not in rich and rk > 3)
+    }
+    assert case_rows == want_case
 
 
 def test_prefix_not(planner):
