@@ -3020,6 +3020,15 @@ _SQL_ROLLUP_SHARE = (
     "GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
 )
 
+_SQL_CORR_IN = (
+    "SELECT o_orderkey, o_totalprice "
+    "FROM orders "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+    "                     WHERE l_suppkey = o_custkey % 100 + 1) "
+    "  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem "
+    "                         WHERE l_quantity > o_totalprice / 10000)"
+)
+
 _SQL_IN_OR = (
     "SELECT c_custkey, c_name "
     "FROM customer "
@@ -4495,6 +4504,7 @@ EXTENSION_ORACLES = {
     "q_sql_date_arith": _SQL_DATE_ARITH,
     "q_sql_grouping_sets": _SQL_GROUPING_SETS,
     "q_sql_in_or": _SQL_IN_OR,
+    "q_sql_corr_in": _SQL_CORR_IN,
     "q_sql_rollup_share": _SQL_ROLLUP_SHARE,
     "q_sql_interval_merge": _SQL_INTERVAL_MERGE,
     "q_sql_lateral_distinct": _SQL_LATERAL_DISTINCT,
@@ -7257,6 +7267,18 @@ def q_sql_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).sql(_SQL_ROLLUP_SHARE)
 
 
+def q_sql_corr_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED IN subqueries (r12): outer-referencing WHERE
+    conjuncts lift into the semi/anti join condition exactly like
+    EXISTS decorrelation (``sql.py::_decorrelate_in``), with the
+    subquery's output expression re-projected as the join key — one
+    hash join per membership test, zero per-outer-row re-execution.
+    Covers both polarities: a correlated IN (semi) AND a correlated
+    NOT IN (anti) with a non-equality correlated conjunct riding the
+    join condition.  Same string runs natively on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_CORR_IN)
+
+
 def q_sql_in_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN/EXISTS subqueries in ARBITRARY predicate positions (r12,
     VERDICT r11 item 2; ``sql.py::_lower_embedded_subqueries``): a
@@ -9442,7 +9464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: driver-green queries (unsampled in r11's 50).
 _UNPROVEN_PREFIX = (
     # new this round (r12) — never driver-checked, prove first
-    "q_sql_in_or", "q_sql_rollup_share", "q_semdedup_index", "q_bpe_pack",
+    "q_sql_in_or", "q_sql_corr_in", "q_sql_rollup_share",
+    "q_semdedup_index", "q_bpe_pack",
     "q_knn_adaptive_probe", "q_sql_interval_merge",
     "q_sql_lateral_distinct", "q_sql_full_using", "q_sql_tablesample",
     # r12 CHANGED these queries' implementation — re-prove next
@@ -9506,6 +9529,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_date_arith": q_sql_date_arith,
         "q_sql_grouping_sets": q_sql_grouping_sets,
         "q_sql_in_or": q_sql_in_or,
+        "q_sql_corr_in": q_sql_corr_in,
         "q_sql_rollup_share": q_sql_rollup_share,
         "q_sql_interval_merge": q_sql_interval_merge,
         "q_sql_lateral_distinct": q_sql_lateral_distinct,

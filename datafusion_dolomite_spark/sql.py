@@ -769,11 +769,30 @@ class _Parser:
                     subplan, cond = _decorrelate_exists(s.subplan, self.catalog)
                     builder = builder.join(LogicalPlanBuilder(subplan.root), jt, cond)
                 else:
-                    builder = builder.join(
-                        LogicalPlanBuilder(s.subplan.root),
-                        jt,
-                        BinOp("=", s.expr, Col(_single_output_col(s.subplan))),
+                    db, iconds, key = _decorrelate_in(
+                        s.subplan, self.catalog
                     )
+                    if db is not None:
+                        # correlated IN (r12): lifted conjuncts join
+                        # alongside the key equality — the same
+                        # semi/anti lowering as EXISTS
+                        builder = builder.join(
+                            db,
+                            jt,
+                            _and_all(
+                                [BinOp("=", s.expr, Col(key))] + iconds
+                            ),
+                        )
+                    else:
+                        builder = builder.join(
+                            LogicalPlanBuilder(s.subplan.root),
+                            jt,
+                            BinOp(
+                                "=",
+                                s.expr,
+                                Col(_single_output_col(s.subplan)),
+                            ),
+                        )
             for conj in embedded:
                 # markers under OR/NOT: LEFT membership-flag joins +
                 # the full conjunct over isnotnull(probe) (r12)
@@ -2836,7 +2855,9 @@ class _Parser:
                 return [
                     c
                     for c in cols
-                    if not re.match(r"_scalar_\d+$|__m\d+_", c.name)
+                    if not re.match(
+                        r"_scalar_\d+$|__m\d+_|__in\d+_key$", c.name
+                    )
                 ]
             if name in ("Filter", "Limit", "Sort", "Distinct"):
                 return [c for ch in node.inputs for c in collect(ch)]
@@ -2936,6 +2957,65 @@ def _lower_embedded_subqueries(conj, builder, catalog):
             )
             probe = Col(renames[inner_cols[0]])
         else:
+            db, iconds, ikey = _decorrelate_in(s.subplan, catalog)
+            if db is not None:
+                # correlated IN under OR/NOT (r12): legal when every
+                # lifted conjunct is an equality (then dedup over the
+                # projected key + inner columns guarantees at most one
+                # match per outer row — the flag join cannot multiply)
+                for c in iconds:
+                    inner = (
+                        [
+                            x
+                            for x in (c.left, c.right)
+                            if isinstance(x, Col)
+                            and x.name.startswith("__sub_")
+                        ]
+                        if isinstance(c, BinOp) and c.op == "="
+                        else []
+                    )
+                    if len(inner) != 1:
+                        raise SqlError(
+                            "correlated IN inside OR/NOT supports only "
+                            "inner_col = outer_col correlation; got "
+                            f"{c.pretty()}"
+                        )
+                # uniquify the __sub_* passthroughs: unlike the
+                # semi/anti path, the LEFT join KEEPS the right side's
+                # columns in the row, so two markers touching the same
+                # inner column name would collide
+                sub_cols = sorted(
+                    {
+                        x.name
+                        for c in iconds
+                        for x in _cols_of(c)
+                        if x.name.startswith("__sub_")
+                    }
+                )
+                ren = {c: f"__m{n}{c[5:]}" for c in sub_cols}
+                side = db.projection(
+                    [Col(ikey)]
+                    + [Alias(Col(c), ren[c]) for c in sub_cols]
+                ).distinct()
+                iconds = [
+                    _rewrite_cols(
+                        c,
+                        lambda x: Col(ren[x.name])
+                        if x.name in ren
+                        else x,
+                    )
+                    for c in iconds
+                ]
+                probe = Col(ikey)
+                cond = _and_all(
+                    [BinOp("=", s.expr, probe)]
+                    + [_strip_outer(c) for c in iconds]
+                )
+                flag = Func("isnotnull", (probe,))
+                return (
+                    b.join(side, JoinType.LEFT, cond),
+                    Func("not", (flag,)) if s.negated else flag,
+                )
             key = _single_output_col(s.subplan)
             probe = Col(f"__m{n}_k")
             side = (
@@ -3116,6 +3196,114 @@ def _cols_of(e):
             out += _cols_of(e.otherwise)
         return out
     return []
+
+
+_in_key_counter = [0]
+
+
+def _decorrelate_in(sub: Plan, catalog):
+    """Rewrite a (possibly CORRELATED) IN subquery into
+    ``(subplan_root, cond_conjuncts, key_name)`` (r12): outer-
+    referencing WHERE conjuncts lift into the join condition exactly
+    like ``_decorrelate_exists``, and the subquery's single output
+    expression is re-projected as a uniquely-named key column the
+    caller equates with the probe expression.  Touched inner columns
+    rename to ``__sub_<c>`` (the exists convention) so self-join
+    correlation compiles unambiguously.  Returns ``(None, None, None)``
+    when the subquery is UNCORRELATED — the caller keeps the plain
+    single-column join path (plan shape unchanged for every existing
+    query).
+
+    Supported roots: Projection, Distinct(Projection) (dedup is
+    harmless under a semi/anti join).  A correlated aggregate-root IN
+    raises cleanly."""
+    from .plans.plan import PlanNode
+
+    avail: set = set()
+    for n in sub.nodes_bottom_up():
+        if n.operator.operator_name() == "Scan":
+            if catalog is None:
+                raise SqlError(
+                    "correlated IN subquery requires a catalog"
+                )
+            try:
+                avail |= set(catalog.schema(n.operator.table_name).names())
+            except KeyError:
+                raise SqlError(
+                    f"unknown table {n.operator.table_name!r} in IN "
+                    "subquery"
+                )
+    correlated = any(
+        _is_lifted(c, avail)
+        for n in sub.nodes_bottom_up()
+        if n.operator.operator_name() == "Filter"
+        for c in _conjuncts(n.operator.predicate)
+    )
+    if not correlated:
+        return None, None, None
+
+    lifted: list = []
+
+    def rebuild(node):
+        op = node.operator
+        if op.operator_name() == "Filter":
+            keep, lift = [], []
+            for c in _conjuncts(op.predicate):
+                (lift if _is_lifted(c, avail) else keep).append(c)
+            lifted.extend(lift)
+            child = rebuild(node.inputs[0])
+            if keep:
+                return PlanNode(
+                    LogicalFilter(_and_all(keep), op.projected_columns),
+                    [child],
+                )
+            return child
+        if node.inputs:
+            return PlanNode(op, [rebuild(c) for c in node.inputs])
+        return node
+
+    root = sub.root
+    want_distinct = False
+    if root.operator.operator_name() == "Distinct":
+        want_distinct = True
+        root = root.inputs[0]
+    if root.operator.operator_name() != "Projection":
+        raise SqlError(
+            "correlated IN supports a plain SELECT <expr> subquery "
+            "(no aggregation) — rewrite as EXISTS"
+        )
+    exprs = root.operator.exprs
+    if len(exprs) != 1:
+        raise SqlError("IN subquery must produce exactly one column")
+    key_expr = exprs[0].expr if isinstance(exprs[0], Alias) else exprs[0]
+    _no_outer_cols = [
+        x for x in _cols_of(key_expr) if x.qualifier == "@outer"
+    ]
+    if _no_outer_cols:
+        raise SqlError(
+            "IN subquery select list cannot reference the outer query"
+        )
+    new_root = rebuild(root.inputs[0])
+    inner = []
+    for c in lifted:
+        for x in _cols_of(c):
+            if (
+                x.qualifier != "@outer"
+                and x.name in avail
+                and x.name not in inner
+            ):
+                inner.append(x.name)
+    renames = {c: f"__sub_{c}" for c in inner}
+    _in_key_counter[0] += 1
+    key_name = f"__in{_in_key_counter[0]}_key"
+    b = LogicalPlanBuilder(new_root).projection(
+        [Alias(key_expr, key_name)]
+        + [Alias(Col(c), renames[c]) for c in inner]
+    )
+    if want_distinct:
+        b = b.distinct()
+    conds = [_rename_inner(c, renames) for c in lifted]
+    return b, conds, key_name
 
 
 def _is_lifted(c, avail) -> bool:

@@ -408,6 +408,9 @@ SHUFFLE_BUDGET = {
     # flag side (two markers), each LEFT join broadcasts the deduped
     # keys; no NLJ, no cartesian
     "q_sql_in_or": 2,
+    # r12: correlated IN/NOT IN — both membership tests broadcast-hash
+    # semi/anti join (no exchange at sf0.001)
+    "q_sql_corr_in": 0,
     # r11: BPE token counts — one aggregate exchange on doc_id.  r12:
     # the 16 training iterations moved into a build-once persisted
     # tokenizer (PhysicalBpeModelProbe); the probed plan is the same

@@ -620,6 +620,19 @@ class Gen:
         lt, lc, rt, rc = r.choice(JOIN_EDGES)
         neg = "NOT " if r.random() < 0.3 else ""
         subw = f" WHERE {self._pred([rt])}" if r.random() < 0.7 else ""
+        if r.random() < 0.3:
+            # r12: CORRELATED membership — an inner = outer equality
+            # along a second column pair lifts into the semi/anti join
+            o_ints = [c for c, ty in TABLES[lt].items() if ty == INT]
+            i_ints = [
+                c for c, ty in TABLES[rt].items()
+                if ty == INT and c != rc
+            ]
+            if o_ints and i_ints:
+                corr = f"{r.choice(i_ints)} = {r.choice(o_ints)}"
+                subw = (
+                    f"{subw} AND {corr}" if subw else f" WHERE {corr}"
+                )
         items, names, has_float = [], [], False
         for i in range(r.randint(1, 3)):
             e, ty = self._value_expr([lt])
