@@ -3219,20 +3219,42 @@ def _decorrelate_in(sub: Plan, catalog):
     raises cleanly."""
     from .plans.plan import PlanNode
 
+    if catalog is None:
+        # catalog-less parse (shape-only unit tests): correlation can't
+        # be resolved — keep the plain single-column path, exactly the
+        # pre-r12 behavior
+        return None, None, None
+    # inner-available names: scan schemas PLUS every derived output
+    # name (projections/aggregates/windows) — a HAVING conjunct over an
+    # aggregate alias (TPC-H Q20's ``qty > ...``) must NOT read as
+    # outer correlation (the same rule _decorrelate_lateral applies)
     avail: set = set()
     for n in sub.nodes_bottom_up():
-        if n.operator.operator_name() == "Scan":
-            if catalog is None:
-                raise SqlError(
-                    "correlated IN subquery requires a catalog"
-                )
+        op_n = n.operator
+        kind_n = op_n.operator_name()
+        if kind_n == "Scan":
             try:
-                avail |= set(catalog.schema(n.operator.table_name).names())
+                avail |= set(catalog.schema(op_n.table_name).names())
             except KeyError:
                 raise SqlError(
-                    f"unknown table {n.operator.table_name!r} in IN "
+                    f"unknown table {op_n.table_name!r} in IN "
                     "subquery"
                 )
+        elif kind_n in ("Projection", "Aggregate", "Window", "Values"):
+            try:
+                from .operators.logical import output_name as _on
+
+                if kind_n == "Projection":
+                    avail |= {_on(e) for e in op_n.exprs}
+                elif kind_n == "Aggregate":
+                    avail |= {_on(g) for g in op_n.group_exprs}
+                    avail |= {a.name for a in op_n.agg_exprs}
+                elif kind_n == "Window":
+                    avail |= {w.name for w in op_n.window_exprs}
+                else:
+                    avail |= set(op_n.names)
+            except Exception:
+                pass
     correlated = any(
         _is_lifted(c, avail)
         for n in sub.nodes_bottom_up()
@@ -3375,15 +3397,35 @@ def _decorrelate_exists(sub: Plan, catalog):
 
     if catalog is None:
         raise SqlError("EXISTS requires a catalog to resolve correlation")
+    # scan schemas PLUS derived output names — an aggregate/projection
+    # alias inside the subquery must not read as outer correlation
+    # (r12; the same rule _decorrelate_in/_decorrelate_lateral apply)
     avail: set = set()
     for n in sub.nodes_bottom_up():
-        if n.operator.operator_name() == "Scan":
+        op_n = n.operator
+        kind_n = op_n.operator_name()
+        if kind_n == "Scan":
             try:
-                avail |= set(catalog.schema(n.operator.table_name).names())
+                avail |= set(catalog.schema(op_n.table_name).names())
             except KeyError:
                 raise SqlError(
-                    f"unknown table {n.operator.table_name!r} in EXISTS subquery"
+                    f"unknown table {op_n.table_name!r} in EXISTS subquery"
                 )
+        elif kind_n in ("Projection", "Aggregate", "Window", "Values"):
+            try:
+                from .operators.logical import output_name as _on
+
+                if kind_n == "Projection":
+                    avail |= {_on(e) for e in op_n.exprs}
+                elif kind_n == "Aggregate":
+                    avail |= {_on(g) for g in op_n.group_exprs}
+                    avail |= {a.name for a in op_n.agg_exprs}
+                elif kind_n == "Window":
+                    avail |= {w.name for w in op_n.window_exprs}
+                else:
+                    avail |= set(op_n.names)
+            except Exception:
+                pass
     lifted: list = []
 
     def rebuild(node):

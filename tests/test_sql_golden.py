@@ -678,6 +678,72 @@ def test_in_exists_under_or_not(planner):
     assert case_rows == want_case
 
 
+def test_correlated_in_and_aggregate_aliases(planner):
+    """r12: correlated IN decorrelates like EXISTS; and an aggregate
+    alias inside an IN/EXISTS subquery (TPC-H Q20's HAVING ``qty``)
+    must NOT read as outer correlation."""
+    got = {
+        r.o_orderkey
+        for r in planner.sql(
+            "select o_orderkey from orders where o_orderkey in "
+            "(select l_orderkey from lineitem "
+            " where l_suppkey = o_custkey % 100 + 1)"
+        ).collect()
+    }
+    pairs = {
+        (r.l_orderkey, r.l_suppkey)
+        for r in planner.sql(
+            "select l_orderkey, l_suppkey from lineitem"
+        ).collect()
+    }
+    want = {
+        r.o_orderkey
+        for r in planner.sql(
+            "select o_orderkey, o_custkey from orders"
+        ).collect()
+        if False
+    }
+    orders = planner.sql(
+        "select o_orderkey, o_custkey from orders"
+    ).collect()
+    want = {
+        o.o_orderkey
+        for o in orders
+        if (o.o_orderkey, o.o_custkey % 100 + 1) in pairs
+    }
+    assert got == want and got
+    # aggregate-alias HAVING inside IN: uncorrelated, plain semi join
+    q20ish = planner.sql(
+        "select s_suppkey from supplier where s_suppkey in ("
+        "  select l_suppkey from lineitem group by l_suppkey"
+        "  having sum(l_quantity) > 50)"
+    ).collect()
+    hav = planner.sql(
+        "select l_suppkey from lineitem group by l_suppkey "
+        "having sum(l_quantity) > 50"
+    ).collect()
+    assert {r.s_suppkey for r in q20ish} == {
+        r.l_suppkey for r in hav
+    } & {
+        r.s_suppkey
+        for r in planner.sql("select s_suppkey from supplier").collect()
+    }
+    # ... and inside correlated EXISTS
+    eh = {
+        r.c_custkey
+        for r in planner.sql(
+            "select c_custkey from customer where exists ("
+            "  select o_custkey, count(*) as n from orders"
+            "  where o_custkey = c_custkey group by o_custkey"
+            "  having count(*) > 12)"
+        ).collect()
+    }
+    cnt = planner.sql(
+        "select o_custkey, count(*) as n from orders group by o_custkey"
+    ).collect()
+    assert eh == {r.o_custkey for r in cnt if r.n > 12}
+
+
 def test_prefix_not(planner):
     """Prefix NOT at standard precedence (r12): NOT a = 5 is
     NOT (a = 5); NOT a AND b is (NOT a) AND b."""
