@@ -3020,6 +3020,18 @@ _SQL_ROLLUP_SHARE = (
     "GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
 )
 
+_SQL_ANY_ALL = (
+    "SELECT c_custkey, "
+    "       cast(floor(c_acctbal * 100) AS bigint) AS bal_cents "
+    "FROM customer "
+    "WHERE c_acctbal < ANY (SELECT s_acctbal FROM supplier "
+    "                       WHERE s_nationkey = c_nationkey) "
+    "  AND c_acctbal <= ALL (SELECT s_acctbal + 10000 FROM supplier) "
+    "  AND (c_custkey = ANY (SELECT o_custkey FROM orders "
+    "                        WHERE o_totalprice > 400000) "
+    "       OR c_acctbal < -900)"
+)
+
 _SQL_CORR_IN = (
     "SELECT o_orderkey, o_totalprice "
     "FROM orders "
@@ -4505,6 +4517,7 @@ EXTENSION_ORACLES = {
     "q_sql_grouping_sets": _SQL_GROUPING_SETS,
     "q_sql_in_or": _SQL_IN_OR,
     "q_sql_corr_in": _SQL_CORR_IN,
+    "q_sql_any_all": _SQL_ANY_ALL,
     "q_sql_rollup_share": _SQL_ROLLUP_SHARE,
     "q_sql_interval_merge": _SQL_INTERVAL_MERGE,
     "q_sql_lateral_distinct": _SQL_LATERAL_DISTINCT,
@@ -7267,6 +7280,17 @@ def q_sql_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).sql(_SQL_ROLLUP_SHARE)
 
 
+def q_sql_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons (r12): ``x op ANY/ALL/SOME (subquery)``
+    rewrite into the EXISTS machinery — the injected ``x op y``
+    conjunct lifts onto the semi/anti join condition (ANY = semi,
+    ALL = anti over NOT(x op y)), so the lowering is one hash join
+    each, no per-row re-execution; ``= ANY`` under OR takes the
+    membership-flag path like IN.  Same string runs natively on
+    DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_ANY_ALL)
+
+
 def q_sql_corr_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORRELATED IN subqueries (r12): outer-referencing WHERE
     conjuncts lift into the semi/anti join condition exactly like
@@ -9464,7 +9488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: driver-green queries (unsampled in r11's 50).
 _UNPROVEN_PREFIX = (
     # new this round (r12) — never driver-checked, prove first
-    "q_sql_in_or", "q_sql_corr_in", "q_sql_rollup_share",
+    "q_sql_in_or", "q_sql_corr_in", "q_sql_any_all", "q_sql_rollup_share",
     "q_semdedup_index", "q_bpe_pack",
     "q_knn_adaptive_probe", "q_sql_interval_merge",
     "q_sql_lateral_distinct", "q_sql_full_using", "q_sql_tablesample",
@@ -9530,6 +9554,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_grouping_sets": q_sql_grouping_sets,
         "q_sql_in_or": q_sql_in_or,
         "q_sql_corr_in": q_sql_corr_in,
+        "q_sql_any_all": q_sql_any_all,
         "q_sql_rollup_share": q_sql_rollup_share,
         "q_sql_interval_merge": q_sql_interval_merge,
         "q_sql_lateral_distinct": q_sql_lateral_distinct,

@@ -2368,7 +2368,71 @@ class _Parser:
         t = self.peek()
         if t.kind == "op" and t.value in self._CMP:
             self.next()
-            return BinOp(self._CMP[t.value], e, self._add())
+            op = self._CMP[t.value]
+            tq = self.peek()
+            nq = (
+                self.toks[self.i + 1]
+                if self.i + 1 < len(self.toks)
+                else None
+            )
+            if (
+                tq.kind in ("ident", "kw")
+                and tq.value.lower() in ("any", "all", "some")
+                and nq is not None
+                and nq.kind == "op"
+                and nq.value == "("
+            ):
+                # QUANTIFIED comparison (r12): ``x op ANY (SELECT y)``
+                # rewrites to the EXISTS machinery — the injected
+                # conjunct references BOTH the subquery's output name
+                # (inner-available) and the outer expression, so the
+                # standard lift puts ``x op y`` on the semi/anti join
+                # condition.  ALL ≡ NOT EXISTS(NOT(x op y)) — the
+                # two-valued lowering (NULL rows on either side follow
+                # the engine's documented NOT IN convention).
+                quant = self.next().value.lower()
+                self.expect("op", "(")
+                if not (
+                    self.peek().kind == "kw"
+                    and self.peek().value in ("select", "with")
+                ):
+                    raise SqlError(
+                        f"{quant.upper()} requires a subquery"
+                    )
+                sub = self._query()
+                self.expect("op", ")")
+                from .plans.plan import PlanNode
+
+                # strip a Distinct/Projection root (quantifiers ignore
+                # duplicates and select lists — the same rule EXISTS
+                # decorrelation applies) so the injected conjunct binds
+                # the pre-projection expression and other inner columns
+                # stay reachable for correlation lifting
+                root = sub.root
+                if root.operator.operator_name() == "Distinct":
+                    root = root.inputs[0]
+                if root.operator.operator_name() == "Projection":
+                    exprs = root.operator.exprs
+                    if len(exprs) != 1:
+                        raise SqlError(
+                            f"{quant.upper()} subquery must produce "
+                            "exactly one column"
+                        )
+                    y = (
+                        exprs[0].expr
+                        if isinstance(exprs[0], Alias)
+                        else exprs[0]
+                    )
+                    below = root.inputs[0]
+                else:
+                    y = Col(_single_output_col(sub))
+                    below = root
+                pred = BinOp(op, e, y)
+                if quant == "all":
+                    pred = Func("not", (pred,))
+                filt = PlanNode(LogicalFilter(pred), [below])
+                return _ExistsSubquery(Plan(filt), quant == "all")
+            return BinOp(op, e, self._add())
         return e
 
     def _add(self, allow_interval: bool = False) -> Expr:

@@ -65,6 +65,10 @@ NLJ_ALLOWED = {
     "q_knn_residual": "broadcast query vectors (brute ground-truth twin)",
     "q_knn_cents_trained": "broadcast query vectors (brute ground-truth twin)",
     "q_range_join": "broadcast interval side",
+    # uncorrelated ALL: anti join on a pure inequality — broadcast of
+    # the (small, aggregable) subquery side is the right shape; a
+    # correlated ALL carries equality keys and hash-joins instead
+    "q_sql_any_all": "broadcast quantified-ALL side (uncorrelated inequality)",
     "q_sql_range_between": "broadcast interval side (25 price bands)",
     "q_sql_overlap": "broadcast interval side (25 nation bands)",
 }
@@ -411,6 +415,10 @@ SHUFFLE_BUDGET = {
     # r12: correlated IN/NOT IN — both membership tests broadcast-hash
     # semi/anti join (no exchange at sf0.001)
     "q_sql_corr_in": 0,
+    # r12: quantified comparisons — correlated ANY semi-joins on the
+    # lifted key; the uncorrelated ALL anti-NLJ broadcasts; the =ANY
+    # flag side dedups (1 exchange)
+    "q_sql_any_all": 1,
     # r11: BPE token counts — one aggregate exchange on doc_id.  r12:
     # the 16 training iterations moved into a build-once persisted
     # tokenizer (PhysicalBpeModelProbe); the probed plan is the same

@@ -683,6 +683,37 @@ class Gen:
         ol, _ = self._order_limit(names, has_float)
         return sql + ol, sql + ol
 
+    def _any_all(self):
+        """Quantified comparisons (r12): ``x op ANY/ALL (subquery)``,
+        optionally correlated along a join edge (equality correlation,
+        so ``= ANY`` under OR stays legal too)."""
+        r = self.rng
+        lt, lc, rt, rc = r.choice(JOIN_EDGES)
+        o_ints = [c for c, ty in TABLES[lt].items() if ty == INT]
+        i_ints = [c for c, ty in TABLES[rt].items() if ty == INT]
+        if not o_ints or not i_ints:
+            return self._simple()
+        x = r.choice(o_ints)
+        y = r.choice(i_ints)
+        op = r.choice(["<", "<=", ">", ">=", "=", "<>"])
+        quant = r.choice(["ANY", "ALL", "SOME"])
+        subw = f" WHERE {self._pred([rt])}" if r.random() < 0.6 else ""
+        if r.random() < 0.4:
+            corr = f"{rc} = {lc}"
+            subw = f"{subw} AND {corr}" if subw else f" WHERE {corr}"
+        member = f"{x} {op} {quant} (SELECT {y} FROM {rt}{subw})"
+        if op == "=" and quant in ("ANY", "SOME") and r.random() < 0.4:
+            member = f"({member} OR {self._atom_pred([lt])})"
+        items, names, has_float = [], [], False
+        for i in range(r.randint(1, 3)):
+            e, ty = self._value_expr([lt])
+            items.append(f"{e} AS c{i}")
+            names.append(f"c{i}")
+            has_float = has_float or ty == FLT
+        sql = f"SELECT {', '.join(items)} FROM {lt} WHERE {member}"
+        ol, _ = self._order_limit(names, has_float)
+        return sql + ol, sql + ol
+
     def _scalar_subquery(self):
         r = self.rng
         t = r.choice(list(TABLES))
@@ -1681,6 +1712,7 @@ class Gen:
         ("_idioms", 8),
         ("_in_or", 8),
         ("_tablesample", 6),
+        ("_any_all", 6),
     )
 
     def query(self):
