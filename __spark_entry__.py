@@ -3051,6 +3051,65 @@ _SQL_IN_OR = (
     "           OR c_acctbal > 2000)"
 )
 
+_SQL_NOTIN_NULL = (
+    "SELECT count(*) AS total, "
+    # nullable probe: NULL custkeys can never satisfy NOT IN
+    "       count(CASE WHEN (CASE WHEN c_custkey % 7 = 0 THEN NULL "
+    "                             ELSE c_custkey END) "
+    "                       NOT IN (SELECT o_custkey FROM orders "
+    "                               WHERE o_totalprice > 450000.0) "
+    "                  THEN 1 END) AS miss_probe_null, "
+    # NULL in the subquery output: NOT IN can never be TRUE -> 0
+    "       count(CASE WHEN c_custkey NOT IN "
+    "                       (SELECT CASE WHEN o_custkey % 31 = 0 THEN NULL "
+    "                                    ELSE o_custkey END AS k "
+    "                        FROM orders WHERE o_totalprice > 450000.0) "
+    "                  THEN 1 END) AS miss_sub_null, "
+    # empty subquery: NOT IN is TRUE for every row, even NULL probes
+    "       count(CASE WHEN (CASE WHEN c_custkey % 7 = 0 THEN NULL "
+    "                             ELSE c_custkey END) "
+    "                       NOT IN (SELECT o_custkey FROM orders "
+    "                               WHERE o_totalprice > 999999999.0) "
+    "                  THEN 1 END) AS miss_empty, "
+    # NOT over a conjunct containing IN: NOT(NULL AND TRUE) is NULL,
+    # so NULL probes drop — a two-valued flag would keep them
+    "       count(CASE WHEN NOT ((CASE WHEN c_custkey % 7 = 0 THEN NULL "
+    "                                  ELSE c_custkey END) "
+    "                            IN (SELECT o_custkey FROM orders "
+    "                                WHERE o_totalprice > 450000.0) "
+    "                            AND c_acctbal > -999999.0) "
+    "                  THEN 1 END) AS not_compound "
+    "FROM customer"
+)
+
+_SQL_CORR_NOTIN_NULL = (
+    "SELECT c_custkey "
+    "FROM customer "
+    "WHERE c_custkey NOT IN "
+    "      (SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL "
+    "                   ELSE o_custkey + 1 END AS k "
+    "       FROM orders "
+    "       WHERE o_custkey = c_custkey AND o_totalprice > 150000.0) "
+    "ORDER BY c_custkey"
+)
+
+_SQL_QUANT_NULL = (
+    "SELECT c_custkey, "
+    "       cast(floor(c_acctbal * 100) AS bigint) AS bal_cents "
+    "FROM customer "
+    # nullable subquery rows: ANY decides on the non-null max
+    "WHERE c_acctbal < ANY (SELECT CASE WHEN s_suppkey % 5 = 0 THEN NULL "
+    "                                   ELSE s_acctbal END AS a "
+    "                       FROM supplier) "
+    # empty subquery: ALL is vacuously TRUE
+    "  AND c_acctbal >= ALL (SELECT s_acctbal FROM supplier "
+    "                        WHERE s_acctbal < -999999.0) "
+    # nullable probe under ALL: NULL rows drop (never TRUE)
+    "  AND (CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_acctbal END) "
+    "      <= ALL (SELECT s_acctbal + 10000 FROM supplier) "
+    "ORDER BY c_custkey"
+)
+
 _SQL_LATERAL = (
     "SELECT nk, cnt, c_name, bal_cents "
     "FROM (SELECT c_nationkey AS nk, count(*) AS cnt "
@@ -4518,6 +4577,9 @@ EXTENSION_ORACLES = {
     "q_sql_in_or": _SQL_IN_OR,
     "q_sql_corr_in": _SQL_CORR_IN,
     "q_sql_any_all": _SQL_ANY_ALL,
+    "q_sql_notin_null": _SQL_NOTIN_NULL,
+    "q_sql_corr_notin_null": _SQL_CORR_NOTIN_NULL,
+    "q_sql_quant_null": _SQL_QUANT_NULL,
     "q_sql_rollup_share": _SQL_ROLLUP_SHARE,
     "q_sql_interval_merge": _SQL_INTERVAL_MERGE,
     "q_sql_lateral_distinct": _SQL_LATERAL_DISTINCT,
@@ -7281,13 +7343,17 @@ def q_sql_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sql_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantified comparisons (r12): ``x op ANY/ALL/SOME (subquery)``
-    rewrite into the EXISTS machinery — the injected ``x op y``
-    conjunct lifts onto the semi/anti join condition (ANY = semi,
-    ALL = anti over NOT(x op y)), so the lowering is one hash join
-    each, no per-row re-execution; ``= ANY`` under OR takes the
-    membership-flag path like IN.  Same string runs natively on
-    DuckDB."""
+    """Quantified comparisons: ``x op ANY/ALL/SOME (subquery)``.
+    CORRELATED quantifiers (the ``< ANY`` here) rewrite into the
+    EXISTS machinery — the injected ``x op y`` conjunct lifts onto
+    the semi/anti join condition, one hash join, no per-row
+    re-execution (r12).  UNCORRELATED quantifiers (the ``<= ALL``)
+    lower three-valued to a broadcast 1-row
+    ``struct(min, max, count(*), count(y))`` stats aggregate + CASE
+    (r13, ``sql.py::_QuantSubquery``) — standard NULL semantics and
+    an aggregate instead of a join at 100 TB; ``= ANY`` under OR
+    takes the (now null-aware) membership-flag path like IN.  Same
+    string runs natively on DuckDB."""
     return _planner(spark, sf_dir).sql(_SQL_ANY_ALL)
 
 
@@ -7317,6 +7383,53 @@ def q_sql_in_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     markers keep the semi/anti fast path.  Same string runs natively
     on DuckDB."""
     return _planner(spark, sf_dir).sql(_SQL_IN_OR)
+
+
+def q_sql_notin_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-VALUED NOT IN over nullable fixtures (r13, VERDICT r12
+    item 1 — the top-ranked gap).  Standard SQL's NOT IN is
+    three-valued: FALSE on a match, TRUE only when x is non-NULL and
+    the subquery is NULL-free-and-misses, NULL (row-dropping) when x
+    IS NULL or any subquery row is NULL, and TRUE for everything —
+    even NULL probes — when the subquery is empty.  The TPC-H fixtures
+    are non-null, so the facets here SYNTHESIZE the NULLs with CASE
+    and pin each frame as a count: ``miss_sub_null`` MUST be 0 (one
+    NULL in the subquery output poisons every row) and
+    ``miss_probe_null``/``not_compound`` MUST exclude the NULL-probe
+    rows — a two-valued anti join gets all three wrong.  Lowering
+    (``sql.py::_in_stats_join``): the anti/flag join is unchanged;
+    ONE broadcast 1-row aggregate ``(count(*), count(y))`` decides
+    empty/NULL-bearing — the 100 TB cost is a partial+final count, no
+    extra data movement.  Same string runs natively on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_NOTIN_NULL)
+
+
+def q_sql_corr_notin_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued CORRELATED NOT IN (r13): with pure-equality
+    correlation the null-aware counts group by the correlated inner
+    expressions and LEFT-join on the correlation keys — an outer row
+    with no matching group reads NULL counts, i.e. "subquery empty
+    for this row" = TRUE, while a group containing a NULL key poisons
+    exactly that group's outer rows.  One grouped count aggregate +
+    one LEFT join alongside the unchanged anti join; never a per-row
+    re-execution.  Same string runs natively on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_CORR_NOTIN_NULL)
+
+
+def q_sql_quant_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-VALUED quantified comparisons (r13): uncorrelated
+    ``x op ANY/ALL (sub)`` lowers to ONE broadcast stats row
+    ``struct(min(y), max(y), count(*), count(y))`` and a pure CASE
+    (``sql.py::_QuantSubquery``): the bound decides the witness (ANY)
+    or violation (ALL) among non-null rows; count(*)=0 decides the
+    vacuous frame; a NULL probe or leftover NULL row yields NULL.
+    Replaces the r12 EXISTS semi/anti rewrite for the uncorrelated
+    case — better semantics AND a better 100 TB shape (a partial+
+    final aggregate instead of a join).  Facets: nullable subquery
+    rows under ANY, an empty-subquery ALL (vacuous TRUE), and a
+    nullable probe under ALL (those rows drop — a two-valued anti
+    join keeps them).  Same string runs natively on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_QUANT_NULL)
 
 
 def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9487,21 +9600,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: join rework touch every subquery query), then the stalest
 #: driver-green queries (unsampled in r11's 50).
 _UNPROVEN_PREFIX = (
-    # new this round (r12) — never driver-checked, prove first
-    "q_sql_in_or", "q_sql_corr_in", "q_sql_any_all", "q_sql_rollup_share",
+    # new this round (r13) — never driver-checked, prove first
+    "q_sql_notin_null", "q_sql_corr_notin_null", "q_sql_quant_null",
+    # r13 CHANGED these queries' lowering (three-valued IN/NOT IN +
+    # quantifier stats rewrite) — re-prove next
+    "q_sql_in_or", "q_sql_corr_in", "q_sql_any_all", "q_sql_q16",
+    "q_anti_join", "q_sql_in_subquery", "q_sql_exists",
+    # r12-new queries, one driver check old
+    "q_sql_rollup_share",
     "q_semdedup_index", "q_bpe_pack",
     "q_knn_adaptive_probe", "q_sql_interval_merge",
     "q_sql_lateral_distinct", "q_sql_full_using", "q_sql_tablesample",
-    # r12 CHANGED these queries' implementation — re-prove next
+    # r12 changed-implementation queries — keep in rotation
     "q_bpe_tokens", "q_knn_index_probe", "q_knn_pq", "q_knn_ivfpq",
     "q_knn_residual", "q_sql_string_agg", "q_sql_date_arith",
     "q_sql_q6_dates", "q_sql_lateral", "q_sql_lateral_agg",
-    "q_sql_in_subquery", "q_sql_exists", "q_sql_scalar_subquery",
+    "q_sql_scalar_subquery",
     "q_sql_corr_scalar", "q_sql_grouping_sets", "q_rollup", "q_cube",
     "q_sql_qualify", "q_sql_window_agg", "q_semantic_dedup",
     # stalest driver-green queries (unsampled in the r11 rotation)
     "q_sql_q1", "q_sql_q2", "q_sql_q4", "q_sql_q5", "q_sql_q8",
-    "q_sql_q10", "q_sql_q12", "q_sql_q15", "q_sql_q16", "q_sql_q17",
+    "q_sql_q10", "q_sql_q12", "q_sql_q15", "q_sql_q17",
     "q_sql_q18", "q_sql_q20", "q_sql_q21", "q_sql_q22",
     "q_asof_join", "q_sql_asof_nearest", "q_range_join", "q_sql_overlap",
     "q_sequence_pack", "q_doc_chunks", "q_term_stats", "q_text_stats",
@@ -9555,6 +9674,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_in_or": q_sql_in_or,
         "q_sql_corr_in": q_sql_corr_in,
         "q_sql_any_all": q_sql_any_all,
+        "q_sql_notin_null": q_sql_notin_null,
+        "q_sql_corr_notin_null": q_sql_corr_notin_null,
+        "q_sql_quant_null": q_sql_quant_null,
         "q_sql_rollup_share": q_sql_rollup_share,
         "q_sql_interval_merge": q_sql_interval_merge,
         "q_sql_lateral_distinct": q_sql_lateral_distinct,

@@ -264,6 +264,12 @@ class Func(Expr):
         if self.name == "not":
             (c,) = cols
             return ~c
+        if self.name == "getfield":
+            # struct field access (no pyspark.sql.functions entry):
+            # args = (struct_expr, Lit(field_name))
+            if not isinstance(self.args[1], Lit):
+                raise ValueError("getfield field name must be a literal")
+            return cols[0][self.args[1].value]
         if self.name == "count_distinct":
             return F.count_distinct(*cols)
         if self.name == "string_agg_ord":

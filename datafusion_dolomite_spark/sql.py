@@ -98,6 +98,39 @@ class _ExistsSubquery:
         self.negated = negated
 
 
+class _QuantSubquery:
+    """Parser-internal marker: ``x op ANY|ALL (<select>)`` over an
+    UNCORRELATED subquery (r13).  Standard quantified comparisons are
+    three-valued (a NULL ``x`` or a NULL subquery row can only yield
+    NULL, never TRUE), so instead of the EXISTS rewrite — whose
+    semi/anti filter silently drops the NULL rows and goes two-valued —
+    the subquery reduces to ONE global aggregate row
+    ``struct(min(y), max(y), count(*), count(y))``, cross-joined like a
+    scalar subquery (1-row broadcast), and the comparison becomes a
+    pure three-valued CASE over those four numbers:
+
+      ``x < ALL(S)``  ≡  x < min(S)   (violation check via the bound)
+      ``x < ANY(S)``  ≡  x < max(S)   (witness check via the bound)
+      ``x = ALL(S)``  ≡  min = max = x;  ``x != ANY(S)`` ≡ min != x OR
+      max != x — with cnt=0 / x IS NULL / count(y) < count(*) deciding
+      the TRUE/FALSE/NULL frame exactly as the standard prescribes.
+
+    This is also the 100 TB shape: one partial+final aggregate over the
+    subquery instead of a join against it.  ``_extract_scalars``
+    expands the marker (the CASE itself is a plain Expr; the marker
+    exists only because a bare subplan cannot ride inside ``Func``
+    args).  Correlated quantifiers keep the r12 EXISTS machinery."""
+
+    __slots__ = ("expr", "op", "quant", "subplan", "negated")
+
+    def __init__(self, expr, op, quant, subplan, negated=False):
+        self.expr = expr
+        self.op = op
+        self.quant = quant
+        self.subplan = subplan  # stats plan: 1 row, 1 struct column
+        self.negated = negated
+
+
 class _IntervalLit:
     """Parser-internal marker: ``INTERVAL '90' DAY`` (r11).  Only legal
     directly under ``+``/``-`` — with a date/timestamp operand,
@@ -734,6 +767,13 @@ class _Parser:
             new_items = []
             for e in items:
                 ne, sc = _extract_scalars(e)
+                if _contains_insub(ne):
+                    # r13: IN/EXISTS markers as select-list VALUES
+                    # (``x IN (...) AS flag``) — the same three-valued
+                    # membership-flag lowering as markers under OR/NOT
+                    builder, ne = _lower_embedded_subqueries(
+                        ne, builder, self.catalog
+                    )
                 new_items.append(ne)
                 sel_scalars.extend(sc)
             items = new_items
@@ -772,6 +812,17 @@ class _Parser:
                     db, iconds, key = _decorrelate_in(
                         s.subplan, self.catalog
                     )
+                    cnt = nn = None
+                    if s.negated:
+                        # r13 (VERDICT r12 item 1): NOT IN goes three-
+                        # valued — the anti join still removes the
+                        # matches, and the null-aware counts decide
+                        # the rows the anti join wrongly KEEPS under
+                        # standard semantics (NULL probe, or a NULL
+                        # subquery row) in a post-filter
+                        builder, cnt, nn = _in_stats_join(
+                            builder, s.subplan, db, iconds, key
+                        )
                     if db is not None:
                         # correlated IN (r12): lifted conjuncts join
                         # alongside the key equality — the same
@@ -792,6 +843,26 @@ class _Parser:
                                 s.expr,
                                 Col(_single_output_col(s.subplan)),
                             ),
+                        )
+                    if cnt is not None:
+                        # keep a survivor iff the subquery was empty
+                        # for it (correlated miss reads NULL cnt) or
+                        # it is a genuine non-NULL miss of a NULL-free
+                        # subquery
+                        builder = builder.filter(
+                            BinOp(
+                                "or",
+                                BinOp(
+                                    "=",
+                                    Func("coalesce", (cnt, Lit(0))),
+                                    Lit(0),
+                                ),
+                                BinOp(
+                                    "and",
+                                    Func("isnotnull", (s.expr,)),
+                                    BinOp("=", nn, cnt),
+                                ),
+                            )
                         )
             for conj in embedded:
                 # markers under OR/NOT: LEFT membership-flag joins +
@@ -2202,6 +2273,10 @@ class _Parser:
             )
         if isinstance(e, _InSubquery):
             return _InSubquery(self._resolve(e.expr), e.subplan, e.negated)
+        if isinstance(e, _QuantSubquery):
+            return _QuantSubquery(
+                self._resolve(e.expr), e.op, e.quant, e.subplan, e.negated
+            )
         from .expr import CaseWhen
 
         if isinstance(e, CaseWhen):
@@ -2288,6 +2363,14 @@ class _Parser:
             if isinstance(inner, _InSubquery):
                 return _InSubquery(
                     inner.expr, inner.subplan, not inner.negated
+                )
+            if isinstance(inner, _QuantSubquery):
+                return _QuantSubquery(
+                    inner.expr,
+                    inner.op,
+                    inner.quant,
+                    inner.subplan,
+                    not inner.negated,
                 )
             return Func("not", (inner,))
         return self._cmp(allow_interval)
@@ -2427,6 +2510,52 @@ class _Parser:
                 else:
                     y = Col(_single_output_col(sub))
                     below = root
+                if self.catalog is not None and not _subquery_correlated(
+                    sub, self.catalog
+                ):
+                    # r13: uncorrelated quantifiers go three-valued via
+                    # a single stats row (see _QuantSubquery).  The
+                    # equality forms ARE the IN forms — route them to
+                    # the (now null-aware) IN machinery.
+                    if quant in ("any", "some") and op == "=":
+                        return _InSubquery(e, sub, False)
+                    if quant == "all" and op == "!=":
+                        return _InSubquery(e, sub, True)
+                    stats = (
+                        LogicalPlanBuilder(below)
+                        .aggregate(
+                            [],
+                            [
+                                Alias(Func("min", (y,)), "_q_mn"),
+                                Alias(Func("max", (y,)), "_q_mx"),
+                                Alias(Func("count"), "_q_cnt"),
+                                Alias(Func("count", (y,)), "_q_nn"),
+                            ],
+                        )
+                        .projection(
+                            [
+                                Alias(
+                                    Func(
+                                        "named_struct",
+                                        (
+                                            Lit("mn"), Col("_q_mn"),
+                                            Lit("mx"), Col("_q_mx"),
+                                            Lit("cnt"), Col("_q_cnt"),
+                                            Lit("nn"), Col("_q_nn"),
+                                        ),
+                                    ),
+                                    "_q",
+                                )
+                            ]
+                        )
+                        .build()
+                    )
+                    return _QuantSubquery(
+                        e,
+                        op,
+                        "all" if quant == "all" else "any",
+                        stats,
+                    )
                 pred = BinOp(op, e, y)
                 if quant == "all":
                     pred = Func("not", (pred,))
@@ -2920,7 +3049,8 @@ class _Parser:
                     c
                     for c in cols
                     if not re.match(
-                        r"_scalar_\d+$|__m\d+_|__in\d+_key$", c.name
+                        r"_scalar_\d+$|__m\d+_|__in\d+_key$|__na\d+_",
+                        c.name,
                     )
                 ]
             if name in ("Filter", "Limit", "Sort", "Distinct"):
@@ -2962,6 +3092,114 @@ def _split_in_conjuncts(pred):
 
 
 _insub_counter = [0]
+_na_counter = [0]
+
+
+def _in_stats_join(builder, subplan, db, iconds, ikey):
+    """Attach the null-aware statistics row(s) for a (NOT) IN subquery
+    (r13, VERDICT r12 item 1).  Standard SQL's NOT IN is three-valued:
+    ``x NOT IN (SELECT y …)`` is TRUE only when the subquery neither
+    matches x nor contains a NULL, FALSE on a match, and NULL — row-
+    dropping in WHERE — when x IS NULL or any subquery row is NULL.
+    The two facts an anti/flag join cannot observe — "is the subquery
+    empty" and "does it contain a NULL" — are counts:
+
+      uncorrelated (``db is None``): ONE global aggregate row
+        ``(count(*), count(y))`` cross-joined exactly like a scalar
+        subquery (1-row broadcast — the 100 TB shape is a partial+
+        final count, no data movement);
+      equality-correlated: the same counts grouped by the correlated
+        inner expressions, LEFT-joined on the correlation equalities —
+        an outer row with no matching group reads NULL counts, i.e.
+        "empty subquery for this row".
+
+    Returns ``(builder, cnt_col, nn_col)``, or ``(builder, None,
+    None)`` when a correlated conjunct is not a pure equality (that
+    path keeps the documented two-valued anti join — per-row counts
+    would need a row-id regroup of the whole outer table)."""
+    _na_counter[0] += 1
+    n = _na_counter[0]
+    cnt_name, nn_name = f"__na{n}_cnt", f"__na{n}_nn"
+    if db is None:
+        key = _single_output_col(subplan)
+        stats = LogicalPlanBuilder(subplan.root).aggregate(
+            [],
+            [
+                Alias(Func("count"), cnt_name),
+                Alias(Func("count", (Col(key),)), nn_name),
+            ],
+        )
+        return (
+            builder.join(stats, JoinType.INNER, Lit(True)),
+            Col(cnt_name),
+            Col(nn_name),
+        )
+    # correlated: every lifted conjunct must be inner_expr = outer_expr
+    group_exprs: list = []   # (inner_expr, group_name)
+    join_conds: list = []
+    for c in iconds:
+        if not (isinstance(c, BinOp) and c.op == "="):
+            return builder, None, None
+        sides = []
+        for x in (c.left, c.right):
+            has_sub = any(
+                col.name.startswith("__sub_") for col in _cols_of(x)
+            )
+            sides.append((x, has_sub))
+        inner = [x for x, h in sides if h]
+        outer = [x for x, h in sides if not h]
+        if len(inner) != 1 or len(outer) != 1:
+            return builder, None, None
+        gname = None
+        for ie, gn in group_exprs:
+            if ie == inner[0]:
+                gname = gn
+                break
+        if gname is None:
+            gname = f"__na{n}_g{len(group_exprs)}"
+            group_exprs.append((inner[0], gname))
+        join_conds.append(
+            BinOp("=", Col(gname), _strip_outer(outer[0]))
+        )
+    stats = db.aggregate(
+        [Alias(ie, gn) for ie, gn in group_exprs],
+        [
+            Alias(Func("count"), cnt_name),
+            Alias(Func("count", (Col(ikey),)), nn_name),
+        ],
+    )
+    return (
+        builder.join(stats, JoinType.LEFT, _and_all(join_conds)),
+        Col(cnt_name),
+        Col(nn_name),
+    )
+
+
+def _in_3vl(flag, cnt, nn, x):
+    """Three-valued value of ``x IN (subquery)`` given the membership
+    flag and the null-aware counts: TRUE on a match; FALSE when the
+    subquery is empty (or, correlated, has no group for this row);
+    NULL when x IS NULL or a NULL subquery row exists; else FALSE."""
+    from .expr import CaseWhen
+
+    return CaseWhen(
+        (
+            (flag, Lit(True)),
+            (
+                BinOp("=", Func("coalesce", (cnt, Lit(0))), Lit(0)),
+                Lit(False),
+            ),
+            (
+                BinOp(
+                    "or",
+                    Func("isnull", (x,)),
+                    BinOp("<", nn, cnt),
+                ),
+                Cast(Lit(None), "boolean"),
+            ),
+        ),
+        Lit(False),
+    )
 
 
 def _lower_embedded_subqueries(conj, builder, catalog):
@@ -3022,6 +3260,13 @@ def _lower_embedded_subqueries(conj, builder, catalog):
             probe = Col(renames[inner_cols[0]])
         else:
             db, iconds, ikey = _decorrelate_in(s.subplan, catalog)
+            # r13: embedded IN/NOT IN markers evaluate as genuine
+            # three-valued booleans (VERDICT r12 item 1) — the null-
+            # aware counts join BEFORE the membership join so the CASE
+            # can distinguish FALSE (empty subquery) from NULL (NULL
+            # probe or NULL subquery row), and the surrounding OR/NOT
+            # then composes under Spark's native 3VL
+            b, cnt, nn = _in_stats_join(b, s.subplan, db, iconds, ikey)
             if db is not None:
                 # correlated IN under OR/NOT (r12): legal when every
                 # lifted conjunct is an equality (then dedup over the
@@ -3075,10 +3320,12 @@ def _lower_embedded_subqueries(conj, builder, catalog):
                     [BinOp("=", s.expr, probe)]
                     + [_strip_outer(c) for c in iconds]
                 )
-                flag = Func("isnotnull", (probe,))
+                val = _in_3vl(
+                    Func("isnotnull", (probe,)), cnt, nn, s.expr
+                )
                 return (
                     b.join(side, JoinType.LEFT, cond),
-                    Func("not", (flag,)) if s.negated else flag,
+                    Func("not", (val,)) if s.negated else val,
                 )
             key = _single_output_col(s.subplan)
             probe = Col(f"__m{n}_k")
@@ -3089,9 +3336,14 @@ def _lower_embedded_subqueries(conj, builder, catalog):
             )
             cond = BinOp("=", s.expr, probe)
         flag = Func("isnotnull", (probe,))
+        val = (
+            _in_3vl(flag, cnt, nn, s.expr)
+            if isinstance(s, _InSubquery)
+            else flag  # EXISTS is always TRUE/FALSE — no NULL frame
+        )
         return (
             b.join(side, JoinType.LEFT, cond),
-            Func("not", (flag,)) if s.negated else flag,
+            Func("not", (val,)) if s.negated else val,
         )
 
     def walk(x, b):
@@ -3167,17 +3419,89 @@ def _contains_insub(e) -> bool:
 _scalar_counter = [0]
 
 
+def _quant_3vl(x, op, quant, stats_col):
+    """The three-valued CASE for an uncorrelated quantified comparison
+    (r13): ``stats_col`` is the joined 1-row
+    ``struct(mn, mx, cnt, nn)`` aggregate of the subquery.  TRUE /
+    FALSE / NULL exactly as standard SQL prescribes: an empty subquery
+    decides immediately, a NULL ``x`` yields NULL, the min/max bound
+    decides the witness (ANY) or violation (ALL) among the NON-NULL
+    rows, and a leftover NULL row (``nn < cnt``) yields NULL."""
+    from .expr import CaseWhen
+
+    mn = Func("getfield", (stats_col, Lit("mn")))
+    mx = Func("getfield", (stats_col, Lit("mx")))
+    cnt = Func("getfield", (stats_col, Lit("cnt")))
+    nn = Func("getfield", (stats_col, Lit("nn")))
+    null_b = Cast(Lit(None), "boolean")
+    if quant == "all":
+        if op in ("<", "<="):
+            sat = BinOp(op, x, mn)
+        elif op in (">", ">="):
+            sat = BinOp(op, x, mx)
+        else:  # "=" ALL: every non-null row equals x
+            sat = BinOp(
+                "and", BinOp("=", x, mn), BinOp("=", x, mx)
+            )
+        return CaseWhen(
+            (
+                (BinOp("=", cnt, Lit(0)), Lit(True)),
+                (Func("isnull", (x,)), null_b),
+                (Func("not", (sat,)), Lit(False)),
+                (BinOp("<", nn, cnt), null_b),
+            ),
+            Lit(True),
+        )
+    if op in ("<", "<="):
+        sat = BinOp(op, x, mx)
+    elif op in (">", ">="):
+        sat = BinOp(op, x, mn)
+    else:  # "!=" ANY: some non-null row differs from x
+        sat = BinOp(
+            "or", BinOp("!=", x, mn), BinOp("!=", x, mx)
+        )
+    return CaseWhen(
+        (
+            (BinOp("=", cnt, Lit(0)), Lit(False)),
+            (Func("isnull", (x,)), null_b),
+            (sat, Lit(True)),
+            (BinOp("<", nn, cnt), null_b),
+        ),
+        Lit(False),
+    )
+
+
 def _extract_scalars(e):
     """Replace every ``_ScalarSubquery`` in the expression tree with a
-    fresh column reference; return (new expr, [(alias, subplan)...])."""
+    fresh column reference — and every ``_QuantSubquery`` (r13) with
+    its three-valued CASE over the joined stats row; return
+    (new expr, [(alias, subplan)...]).  Markers are deduplicated by
+    identity so an expression referencing the same marker object
+    twice joins its subquery once."""
     found: list = []
+    seen: dict = {}
 
     def walk(x):
         if isinstance(x, _ScalarSubquery):
+            if id(x) in seen:
+                return Col(seen[id(x)])
             _scalar_counter[0] += 1
             alias = f"_scalar_{_scalar_counter[0]}"
+            seen[id(x)] = alias
             found.append((alias, x.subplan))
             return Col(alias)
+        if isinstance(x, _QuantSubquery):
+            if id(x) in seen:
+                alias = seen[id(x)]
+            else:
+                _scalar_counter[0] += 1
+                alias = f"_scalar_{_scalar_counter[0]}"
+                seen[id(x)] = alias
+                found.append((alias, x.subplan))
+            case = _quant_3vl(
+                walk(x.expr), x.op, x.quant, Col(alias)
+            )
+            return Func("not", (case,)) if x.negated else case
         if isinstance(x, BinOp):
             return BinOp(x.op, walk(x.left), walk(x.right))
         if isinstance(x, Alias):
@@ -3265,6 +3589,55 @@ def _cols_of(e):
 _in_key_counter = [0]
 
 
+def _inner_avail(sub: Plan, catalog) -> set:
+    """Names available INSIDE a subquery: scan schemas plus every
+    derived output name (projections/aggregates/windows) — a conjunct
+    over a derived alias must NOT read as outer correlation (the rule
+    ``_decorrelate_lateral`` and ``_decorrelate_in`` share; r13
+    factors it out so the quantified-comparison path can ask the same
+    question at parse time)."""
+    avail: set = set()
+    for n in sub.nodes_bottom_up():
+        op_n = n.operator
+        kind_n = op_n.operator_name()
+        if kind_n == "Scan":
+            try:
+                avail |= set(catalog.schema(op_n.table_name).names())
+            except KeyError:
+                raise SqlError(
+                    f"unknown table {op_n.table_name!r} in subquery"
+                )
+        elif kind_n in ("Projection", "Aggregate", "Window", "Values"):
+            try:
+                from .operators.logical import output_name as _on
+
+                if kind_n == "Projection":
+                    avail |= {_on(e) for e in op_n.exprs}
+                elif kind_n == "Aggregate":
+                    avail |= {_on(g) for g in op_n.group_exprs}
+                    avail |= {a.name for a in op_n.agg_exprs}
+                elif kind_n == "Window":
+                    avail |= {w.name for w in op_n.window_exprs}
+                else:
+                    avail |= set(op_n.names)
+            except Exception:
+                pass
+    return avail
+
+
+def _subquery_correlated(sub: Plan, catalog) -> bool:
+    """True when any Filter conjunct in ``sub`` references the outer
+    query (an ``@outer`` qualified ref or a name no inner source
+    provides)."""
+    avail = _inner_avail(sub, catalog)
+    return any(
+        _is_lifted(c, avail)
+        for n in sub.nodes_bottom_up()
+        if n.operator.operator_name() == "Filter"
+        for c in _conjuncts(n.operator.predicate)
+    )
+
+
 def _decorrelate_in(sub: Plan, catalog):
     """Rewrite a (possibly CORRELATED) IN subquery into
     ``(subplan_root, cond_conjuncts, key_name)`` (r12): outer-
@@ -3288,37 +3661,9 @@ def _decorrelate_in(sub: Plan, catalog):
         # be resolved — keep the plain single-column path, exactly the
         # pre-r12 behavior
         return None, None, None
-    # inner-available names: scan schemas PLUS every derived output
-    # name (projections/aggregates/windows) — a HAVING conjunct over an
-    # aggregate alias (TPC-H Q20's ``qty > ...``) must NOT read as
-    # outer correlation (the same rule _decorrelate_lateral applies)
-    avail: set = set()
-    for n in sub.nodes_bottom_up():
-        op_n = n.operator
-        kind_n = op_n.operator_name()
-        if kind_n == "Scan":
-            try:
-                avail |= set(catalog.schema(op_n.table_name).names())
-            except KeyError:
-                raise SqlError(
-                    f"unknown table {op_n.table_name!r} in IN "
-                    "subquery"
-                )
-        elif kind_n in ("Projection", "Aggregate", "Window", "Values"):
-            try:
-                from .operators.logical import output_name as _on
-
-                if kind_n == "Projection":
-                    avail |= {_on(e) for e in op_n.exprs}
-                elif kind_n == "Aggregate":
-                    avail |= {_on(g) for g in op_n.group_exprs}
-                    avail |= {a.name for a in op_n.agg_exprs}
-                elif kind_n == "Window":
-                    avail |= {w.name for w in op_n.window_exprs}
-                else:
-                    avail |= set(op_n.names)
-            except Exception:
-                pass
+    # inner-available names: a HAVING conjunct over an aggregate alias
+    # (TPC-H Q20's ``qty > ...``) must NOT read as outer correlation
+    avail = _inner_avail(sub, catalog)
     correlated = any(
         _is_lifted(c, avail)
         for n in sub.nodes_bottom_up()

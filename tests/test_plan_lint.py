@@ -68,7 +68,15 @@ NLJ_ALLOWED = {
     # uncorrelated ALL: anti join on a pure inequality — broadcast of
     # the (small, aggregable) subquery side is the right shape; a
     # correlated ALL carries equality keys and hash-joins instead
-    "q_sql_any_all": "broadcast quantified-ALL side (uncorrelated inequality)",
+    # r13: three-valued NOT IN / quantified comparisons join a 1-row
+    # null-aware stats aggregate (count(*), count(y) [, min/max]) —
+    # Catalyst folds the cross join + post-filter into a conditioned
+    # NLJ against the broadcast single row
+    "q_sql_q16": "1-row null-aware NOT IN stats broadcast",
+    "q_sql_in_or": "1-row null-aware IN stats broadcast",
+    "q_sql_any_all": "1-row quantifier stats broadcast (min/max/counts)",
+    "q_sql_notin_null": "1-row null-aware NOT IN stats broadcast",
+    "q_sql_quant_null": "1-row quantifier stats broadcast (min/max/counts)",
     "q_sql_range_between": "broadcast interval side (25 price bands)",
     "q_sql_overlap": "broadcast interval side (25 nation bands)",
 }
@@ -419,6 +427,14 @@ SHUFFLE_BUDGET = {
     # lifted key; the uncorrelated ALL anti-NLJ broadcasts; the =ANY
     # flag side dedups (1 exchange)
     "q_sql_any_all": 1,
+    # r13 three-valued subquery fixtures: the null-aware stats rows are
+    # 1-row broadcast aggregates (no exchange of data rows); the
+    # exchanges here are the flag-join dedups (notin_null: 3 embedded
+    # markers + final global agg) and the correlated grouped counts
+    # (corr_notin_null: stats agg + anti-side agg)
+    "q_sql_notin_null": 4,
+    "q_sql_corr_notin_null": 2,
+    "q_sql_quant_null": 1,
     # r11: BPE token counts — one aggregate exchange on doc_id.  r12:
     # the 16 training iterations moved into a build-once persisted
     # tokenizer (PhysicalBpeModelProbe); the probed plan is the same

@@ -155,7 +155,11 @@ def test_parse_in_subquery_rewrites_to_semi_join():
         "select c_custkey from customer where c_custkey not in "
         "(select o_custkey from orders)"
     )
-    join = plan.root.inputs[0].operator
+    # r13: NOT IN is three-valued — the anti join sits under the
+    # null-aware post-filter (empty-subquery / NULL-row counts)
+    filt = plan.root.inputs[0].operator
+    assert filt.operator_name() == "Filter"
+    join = plan.root.inputs[0].inputs[0].operator
     assert join.join_type is JoinType.LEFT_ANTI
 
 
