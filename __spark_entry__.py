@@ -3110,6 +3110,35 @@ _SQL_QUANT_NULL = (
     "ORDER BY c_custkey"
 )
 
+_SQL_EXISTS_OR_INEQ = (
+    "SELECT count(*) AS total, "
+    # EXISTS with a non-equality correlated conjunct under OR
+    "       count(CASE WHEN (EXISTS (SELECT 1 FROM orders "
+    "                         WHERE o_custkey = c_custkey "
+    "                           AND o_totalprice > c_acctbal * 50) "
+    "                        OR c_acctbal < -900.0) THEN 1 END) AS ex_or, "
+    # TWO inequality conjuncts under NOT — beyond the min/max trick,
+    # so this facet exercises the general rowid-aggregation lowering
+    # (the equality conjunct keeps the correlation join hash-based)
+    "       count(CASE WHEN NOT (EXISTS (SELECT 1 FROM orders "
+    "                             WHERE o_custkey = c_custkey "
+    "                               AND o_totalprice > c_acctbal * 50 "
+    "                               AND o_orderkey % 7 > c_nationkey % 5) "
+    "                            AND c_acctbal > 0) THEN 1 END) AS not_ex, "
+    # non-equality-correlated NOT IN with NULL subquery rows: 3VL per
+    # outer row (only rows whose correlated group holds a NULL drop).
+    # The constant conjunct stays INSIDE the subquery (only the
+    # correlated inequality lifts), bounding the inherent-NLJ build
+    # side — the shape every engine needs for keyless correlation
+    "       count(CASE WHEN (c_custkey NOT IN "
+    "                        (SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL "
+    "                                     ELSE o_custkey END "
+    "                         FROM orders WHERE o_totalprice > 450000.0 "
+    "                           AND o_totalprice > c_acctbal * 20) "
+    "                        OR c_acctbal < -900.0) THEN 1 END) AS ni_ineq "
+    "FROM customer"
+)
+
 _SQL_LATERAL = (
     "SELECT nk, cnt, c_name, bal_cents "
     "FROM (SELECT c_nationkey AS nk, count(*) AS cnt "
@@ -4579,6 +4608,7 @@ EXTENSION_ORACLES = {
     "q_sql_any_all": _SQL_ANY_ALL,
     "q_sql_notin_null": _SQL_NOTIN_NULL,
     "q_sql_corr_notin_null": _SQL_CORR_NOTIN_NULL,
+    "q_sql_exists_or_ineq": _SQL_EXISTS_OR_INEQ,
     "q_sql_quant_null": _SQL_QUANT_NULL,
     "q_sql_rollup_share": _SQL_ROLLUP_SHARE,
     "q_sql_interval_merge": _SQL_INTERVAL_MERGE,
@@ -7416,6 +7446,32 @@ def q_sql_corr_notin_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).sql(_SQL_CORR_NOTIN_NULL)
 
 
+def q_sql_exists_or_ineq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-EQUALITY correlation in embedded EXISTS/IN (r13, VERDICT
+    r12 item 2).  Dedup over inner key columns cannot bound matches at
+    one per outer row when a correlated conjunct is an inequality.
+    Two lowerings, exercised by one facet each:
+
+    * single ordering comparison (``ex_or``, ``ni_ineq``): the min/max
+      trick — ``EXISTS(ie > oe)`` over a group ⟺ ``max(ie) > oe`` —
+      turns the whole frame into GROUPED aggregates of the subquery
+      side + hash LEFT joins (``sql.py::_ineq_exists_flag`` /
+      ``_ineq_in_flag``); ≤1 row per outer row by grouping, no rowid
+      shuffle, no nested loop.  For IN, two aggregates (stats by eq
+      keys; hit by eq keys + membership key) give the full 3VL frame.
+    * anything else (``not_ex``, two inequalities): rowid aggregation
+      (``_agg_exists_flag`` / ``_agg_in_flag``) —
+      ``monotonically_increasing_id`` → LEFT join on the full lifted
+      condition → re-aggregate per rowid; one extra outer shuffle,
+      only on this shape.  A keyless version BNLJs with the stream
+      side explicitly re-hashed on the rowid
+      (``LogicalJoin.stream_repartition``) so AQE cannot collapse the
+      quadratic work to one task.
+
+    Same string runs natively on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_EXISTS_OR_INEQ)
+
+
 def q_sql_quant_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THREE-VALUED quantified comparisons (r13): uncorrelated
     ``x op ANY/ALL (sub)`` lowers to ONE broadcast stats row
@@ -9602,6 +9658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round (r13) — never driver-checked, prove first
     "q_sql_notin_null", "q_sql_corr_notin_null", "q_sql_quant_null",
+    "q_sql_exists_or_ineq",
     # r13 CHANGED these queries' lowering (three-valued IN/NOT IN +
     # quantifier stats rewrite) — re-prove next
     "q_sql_in_or", "q_sql_corr_in", "q_sql_any_all", "q_sql_q16",
@@ -9676,6 +9733,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_any_all": q_sql_any_all,
         "q_sql_notin_null": q_sql_notin_null,
         "q_sql_corr_notin_null": q_sql_corr_notin_null,
+        "q_sql_exists_or_ineq": q_sql_exists_or_ineq,
         "q_sql_quant_null": q_sql_quant_null,
         "q_sql_rollup_share": q_sql_rollup_share,
         "q_sql_interval_merge": q_sql_interval_merge,

@@ -555,6 +555,21 @@ class SparkExecutor:
                 left, right = self._node(lin), self._node(rin)
         else:
             left, right = self._node(lin), self._node(rin)
+        srp = getattr(op, "stream_repartition", "")
+        if srp and srp in left.columns:
+            # non-equi correlation join (rowid-agg lowering): Spark
+            # sizes the BNLJ stream side by bytes and AQE coalesces a
+            # small outer to ONE task while the compute is
+            # |outer|×|inner|; hashing on the unique rowid spreads the
+            # quadratic work and pre-satisfies the post-join rowid
+            # re-aggregation, so no net exchange is added.  The
+            # partition count must be EXPLICIT — a column-only
+            # repartition is user-unspecified, so AQE coalesces the
+            # small-by-bytes exchange right back to one task
+            n = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            left = left.repartition(n, F.col(srp))
         if broadcast:
             right = F.broadcast(right)
         elif hint:

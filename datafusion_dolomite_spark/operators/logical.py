@@ -206,6 +206,17 @@ class LogicalJoin(LogicalOperator):
 
     join_type: JoinType
     condition: Expr
+    #: non-empty → hash-repartition the LEFT (stream) side on this
+    #: column before executing.  Set by the rowid-aggregation subquery
+    #: lowering when the condition has no equality conjunct: Spark
+    #: plans a BroadcastNestedLoopJoin there and sizes the stream side
+    #: by BYTES (AQE coalesces a small-by-bytes outer to one task),
+    #: but the compute is |outer|×|inner| — quadratic.  Pre-hashing on
+    #: the unique rowid spreads that work evenly AND satisfies the
+    #: post-join rowid re-aggregation's distribution (BNLJ preserves
+    #: stream-side partitioning), so the exchange count is unchanged —
+    #: the aggregate's shuffle just moves before the join.
+    stream_repartition: str = ""
 
     def derive_logical_prop(self, input_props) -> LogicalProperty:
         left, right = input_props

@@ -143,6 +143,8 @@ class PhysicalHashJoin(PhysicalOperator):
     right_keys: Tuple[str, ...] = ()
     #: user hint pinned this strategy — the cost model lets it win
     forced: bool = False
+    #: see LogicalJoin.stream_repartition (carried through lowering)
+    stream_repartition: str = ""
 
     def derive_properties(self, children_props):
         if self.left_keys:
@@ -178,6 +180,8 @@ class PhysicalBroadcastHashJoin(PhysicalOperator):
     condition: Expr
     #: user hint pinned this strategy — the cost model lets it win
     forced: bool = False
+    #: see LogicalJoin.stream_repartition (carried through lowering)
+    stream_repartition: str = ""
 
     def derive_properties(self, children_props):
         # Probe side streams through unchanged; its distribution survives.

@@ -306,6 +306,7 @@ class Join2HashJoinRule(Rule):
         phys = PhysicalHashJoin(
             op.join_type, op.condition, lk or (), rk or (),
             forced=pin == "shuffle_hash",
+            stream_repartition=op.stream_repartition,
         )
         result.add(OptExpression.op(phys, *input.root.inputs))
 
@@ -333,7 +334,8 @@ class Join2BroadcastHashJoinRule(Rule):
         if pin not in (None, "broadcast"):
             return
         phys = PhysicalBroadcastHashJoin(
-            op.join_type, op.condition, forced=pin == "broadcast"
+            op.join_type, op.condition, forced=pin == "broadcast",
+            stream_repartition=op.stream_repartition,
         )
         result.add(OptExpression.op(phys, *input.root.inputs))
 

@@ -169,9 +169,10 @@ class LogicalPlanBuilder:
         other: "LogicalPlanBuilder | Plan | PlanNode",
         join_type: JoinType,
         condition: Expr,
+        stream_repartition: str = "",
     ) -> "LogicalPlanBuilder":
         return self._push(
-            LogicalJoin(join_type, condition),
+            LogicalJoin(join_type, condition, stream_repartition),
             [self._require_root(), _as_node(other)],
         )
 

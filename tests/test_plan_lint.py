@@ -73,9 +73,18 @@ NLJ_ALLOWED = {
     # Catalyst folds the cross join + post-filter into a conditioned
     # NLJ against the broadcast single row
     "q_sql_q16": "1-row null-aware NOT IN stats broadcast",
+    # keyless single-inequality NOT IN (r13 min/max path): the stats
+    # side is a GLOBAL 1-row aggregate LEFT-joined on true; the hit
+    # side hash-joins on the membership key
+    "q_sql_corr_in": "1-row min/max ineq-NOT-IN stats broadcast",
     "q_sql_in_or": "1-row null-aware IN stats broadcast",
     "q_sql_any_all": "1-row quantifier stats broadcast (min/max/counts)",
     "q_sql_notin_null": "1-row null-aware NOT IN stats broadcast",
+    # the NOT IN facet's only correlated conjunct is an inequality —
+    # no equi-key exists in the query itself, so every engine plans a
+    # nested loop for it (DuckDB included); the rowid re-aggregation
+    # bounds the blow-up to one row per outer row
+    "q_sql_exists_or_ineq": "pure-inequality correlation (no equi-key)",
     "q_sql_quant_null": "1-row quantifier stats broadcast (min/max/counts)",
     "q_sql_range_between": "broadcast interval side (25 price bands)",
     "q_sql_overlap": "broadcast interval side (25 nation bands)",
@@ -420,9 +429,11 @@ SHUFFLE_BUDGET = {
     # flag side (two markers), each LEFT join broadcasts the deduped
     # keys; no NLJ, no cartesian
     "q_sql_in_or": 2,
-    # r12: correlated IN/NOT IN — both membership tests broadcast-hash
-    # semi/anti join (no exchange at sf0.001)
-    "q_sql_corr_in": 0,
+    # r12: correlated IN — broadcast-hash semi join (no exchange at
+    # sf0.001).  r13: the non-equality NOT IN leg went three-valued
+    # via the min/max path — its hit side groups by the membership key
+    # (1 aggregate exchange; the global stats row broadcasts)
+    "q_sql_corr_in": 1,
     # r12: quantified comparisons — correlated ANY semi-joins on the
     # lifted key; the uncorrelated ALL anti-NLJ broadcasts; the =ANY
     # flag side dedups (1 exchange)
@@ -435,6 +446,11 @@ SHUFFLE_BUDGET = {
     "q_sql_notin_null": 4,
     "q_sql_corr_notin_null": 2,
     "q_sql_quant_null": 1,
+    # r13 non-equality correlation (rowid aggregation): each of the 3
+    # markers re-aggregates by rowid after its correlation join (3
+    # exchanges with map-side partial counts), + the correlated-EXISTS
+    # hash-join sides (the final global agg folds into them)
+    "q_sql_exists_or_ineq": 5,
     # r11: BPE token counts — one aggregate exchange on doc_id.  r12:
     # the 16 training iterations moved into a build-once persisted
     # tokenizer (PhysicalBpeModelProbe); the probed plan is the same

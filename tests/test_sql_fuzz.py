@@ -656,12 +656,40 @@ class Gen:
         neg = "NOT " if r.random() < 0.3 else ""
         subw = f" WHERE {self._pred([rt])}" if r.random() < 0.7 else ""
         if r.random() < 0.4:
-            # correlated EXISTS along the same edge (equality only —
-            # the flag join's dedup soundness requirement)
+            # correlated EXISTS along the same edge; r13 — sometimes
+            # with a NON-EQUALITY correlated conjunct, sampling the
+            # rowid-aggregation lowering (_agg_exists_flag)
             esubw = f" AND {self._atom_pred([rt])}" if r.random() < 0.5 else ""
+            ineq = ""
+            if r.random() < 0.4:
+                i_ints = [
+                    c for c, ty in TABLES[rt].items()
+                    if ty == INT and c != rc
+                ]
+                if i_ints:
+                    ineq = (
+                        f" AND {r.choice(i_ints)} "
+                        f"{r.choice(['<', '>='])} {lc} + {r.randrange(5)}"
+                    )
             member = (
                 f"{neg}EXISTS (SELECT {rc} FROM {rt} "
-                f"WHERE {rc} = {lc}{esubw})"
+                f"WHERE {rc} = {lc}{ineq}{esubw})"
+            )
+        elif r.random() < 0.3:
+            # r13: correlated IN/NOT IN with a non-equality conjunct —
+            # the _agg_in_flag three-valued path
+            i_ints = [
+                c for c, ty in TABLES[rt].items()
+                if ty == INT and c != rc
+            ]
+            corr = (
+                f"{r.choice(i_ints)} "
+                f"{r.choice(['<', '>='])} {lc} + {r.randrange(5)}"
+                if i_ints
+                else f"{rc} = {lc}"
+            )
+            member = (
+                f"{lc} {neg}IN (SELECT {rc} FROM {rt} WHERE {corr})"
             )
         else:
             member = f"{lc} {neg}IN (SELECT {rc} FROM {rt}{subw})"

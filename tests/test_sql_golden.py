@@ -645,15 +645,29 @@ def test_in_exists_under_or_not(planner):
         "n_nationkey in (select c_nationkey from customer)"
     ).columns
     assert cols == ["n_nationkey", "n_name", "n_regionkey"]
-    # non-equality correlated EXISTS under OR: clean rejection
-    from datafusion_dolomite_spark.sql import SqlError
-
-    with pytest.raises(SqlError, match="inner_col = outer_col"):
-        planner.sql(
+    # non-equality correlated EXISTS under OR (r13, VERDICT r12
+    # item 2): supported via the rowid-aggregation lowering (formerly
+    # a clean rejection) — cross-checked against a Python replay
+    max_tp = {}
+    for r in planner.sql(
+        "select o_custkey, max(o_totalprice) as m "
+        "from orders group by o_custkey"
+    ).collect():
+        max_tp[r.o_custkey] = r.m
+    rows4 = {
+        r.c_custkey
+        for r in planner.sql(
             "select c_custkey from customer where c_acctbal < 0 or "
             "exists (select 1 from orders where o_custkey = c_custkey "
             "        and o_totalprice > c_acctbal)"
-        )
+        ).collect()
+    }
+    want4 = {
+        k
+        for k, b in bal.items()
+        if b < 0 or max_tp.get(k, float("-inf")) > b
+    }
+    assert rows4 == want4 and rows4
     # markers (and scalar subqueries) inside CASE branches lower too
     case_rows = {
         r.n_nationkey

@@ -169,10 +169,9 @@ class TestCorrelatedNotIn:
             "ORDER BY c_custkey",
         )
 
-    def test_non_equality_correlation_keeps_anti_path(self, planner, duck):
-        # the documented two-valued residual: non-equality correlated
-        # conjuncts keep the plain anti join; with NULL-free data the
-        # result still matches the standard
+    def test_non_equality_correlation(self, planner, duck):
+        # r13 item 2: non-equality correlated conjuncts route to the
+        # rowid-aggregation lowering (no more two-valued residual)
         _check(
             planner,
             duck,
@@ -180,6 +179,140 @@ class TestCorrelatedNotIn:
             "(SELECT l_orderkey FROM lineitem "
             " WHERE l_quantity > o_totalprice / 10000) "
             "ORDER BY o_orderkey LIMIT 50",
+        )
+
+    def test_non_equality_correlation_with_nulls(self, planner, duck):
+        # NULL keys inside a non-equality-correlated NOT IN subquery:
+        # poisoning applies PER OUTER ROW (only rows whose correlated
+        # group contains a NULL drop)
+        _check(
+            planner,
+            duck,
+            "SELECT o_orderkey FROM orders WHERE o_orderkey NOT IN "
+            "(SELECT CASE WHEN l_linenumber = 3 THEN NULL "
+            "             ELSE l_orderkey END "
+            " FROM lineitem WHERE l_quantity > o_totalprice / 10000) "
+            "ORDER BY o_orderkey",
+        )
+
+
+class TestNonEqualityEmbedded:
+    """r13 item 2: EXISTS/IN with non-equality correlated conjuncts
+    embedded under OR/NOT — the rowid-aggregation lowering
+    (``sql.py::_agg_exists_flag`` / ``_agg_in_flag``)."""
+
+    def test_exists_or_inequality(self, planner, duck):
+        _check(
+            planner,
+            duck,
+            "SELECT c_custkey FROM customer WHERE (EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            " AND o_totalprice > c_acctbal * 50) "
+            "OR c_acctbal < -900.0) ORDER BY c_custkey",
+        )
+
+    def test_not_exists_inequality(self, planner, duck):
+        _check(
+            planner,
+            duck,
+            "SELECT c_custkey FROM customer WHERE NOT (EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            " AND o_totalprice > c_acctbal * 50) "
+            "AND c_acctbal > 0) ORDER BY c_custkey",
+        )
+
+    def test_exists_pure_inequality_correlation(self, planner, duck):
+        # no equality conjunct at all: the correlation join is a pure
+        # inequality (Spark plans a broadcast NLJ over the small side)
+        _check(
+            planner,
+            duck,
+            "SELECT n_nationkey FROM nation WHERE (EXISTS "
+            "(SELECT 1 FROM supplier WHERE s_acctbal > n_nationkey * 400) "
+            "OR n_nationkey = 0) ORDER BY n_nationkey",
+        )
+
+    def test_in_or_inequality(self, planner, duck):
+        _check(
+            planner,
+            duck,
+            "SELECT c_custkey FROM customer WHERE (c_custkey IN "
+            "(SELECT o_custkey FROM orders WHERE o_custkey = c_custkey "
+            " AND o_totalprice > c_acctbal * 20) OR c_acctbal < -900.0) "
+            "ORDER BY c_custkey",
+        )
+
+    def test_not_in_inequality_null_probe(self, planner, duck):
+        _check(
+            planner,
+            duck,
+            "SELECT c_custkey FROM customer WHERE "
+            "((CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END) "
+            "NOT IN (SELECT o_custkey FROM orders "
+            "        WHERE o_totalprice > c_acctbal * 20) "
+            "OR c_acctbal < -900.0) ORDER BY c_custkey",
+        )
+
+    def test_not_in_inequality_nullable_sub(self, planner, duck):
+        # per-row NULL poisoning through an embedded marker
+        _check(
+            planner,
+            duck,
+            "SELECT c_custkey FROM customer WHERE (c_custkey NOT IN "
+            "(SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL "
+            "             ELSE o_custkey END "
+            " FROM orders WHERE o_totalprice > c_acctbal * 20) "
+            "OR c_acctbal < -900.0) ORDER BY c_custkey",
+        )
+
+
+class TestRowidFallback:
+    """Shapes the min/max trick can't express — TWO inequalities or
+    ``<>`` — exercise the general rowid-aggregation lowering
+    (``sql.py::_agg_exists_flag`` / ``_agg_in_flag``)."""
+
+    def test_exists_two_inequalities(self, planner, duck):
+        _check(
+            planner,
+            duck,
+            "SELECT c_custkey FROM customer WHERE (EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            " AND o_totalprice > c_acctbal * 50 "
+            " AND o_orderkey % 7 > c_nationkey % 5) "
+            "OR c_acctbal < -900.0) ORDER BY c_custkey",
+        )
+
+    def test_exists_not_equal_correlation(self, planner, duck):
+        _check(
+            planner,
+            duck,
+            "SELECT c_custkey FROM customer WHERE (EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            " AND o_orderkey % 3 <> c_nationkey % 3) "
+            "OR c_acctbal < -900.0) ORDER BY c_custkey",
+        )
+
+    def test_not_in_two_inequalities_with_nulls(self, planner, duck):
+        _check(
+            planner,
+            duck,
+            "SELECT c_custkey FROM customer WHERE (c_custkey NOT IN "
+            "(SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL "
+            "             ELSE o_custkey END "
+            " FROM orders WHERE o_totalprice > c_acctbal * 20 "
+            "   AND o_orderkey % 7 > c_nationkey % 5) "
+            "OR c_acctbal < -900.0) ORDER BY c_custkey",
+        )
+
+    def test_in_two_inequalities(self, planner, duck):
+        _check(
+            planner,
+            duck,
+            "SELECT c_custkey FROM customer WHERE (c_custkey IN "
+            "(SELECT o_custkey FROM orders "
+            " WHERE o_totalprice > c_acctbal * 20 "
+            "   AND o_orderkey % 7 > c_nationkey % 5) "
+            "OR c_acctbal < -900.0) ORDER BY c_custkey",
         )
 
 
