@@ -2979,6 +2979,16 @@ _SQL_LATERAL_DISTINCT = (
     "  WHERE c_nationkey = n_nationkey ORDER BY seg LIMIT 2) t"
 )
 
+_SQL_LATERAL_POST_DEDUP = (
+    # the ADVICE r11 repro shape: DISTINCT whose correlated inequality
+    # references a non-output inner column (c_acctbal)
+    "SELECT n_nationkey, t.seg "
+    "FROM nation, LATERAL ("
+    "  SELECT DISTINCT c_mktsegment AS seg FROM customer "
+    "  WHERE c_nationkey = n_nationkey "
+    "    AND c_acctbal > n_nationkey * 100) t"
+)
+
 _SQL_FULL_USING = (
     "SELECT k, n_cust, n_ord "
     "FROM (SELECT c_nationkey AS k, count(*) AS n_cust "
@@ -4613,6 +4623,7 @@ EXTENSION_ORACLES = {
     "q_sql_rollup_share": _SQL_ROLLUP_SHARE,
     "q_sql_interval_merge": _SQL_INTERVAL_MERGE,
     "q_sql_lateral_distinct": _SQL_LATERAL_DISTINCT,
+    "q_sql_lateral_post_dedup": _SQL_LATERAL_POST_DEDUP,
     "q_sql_full_using": _SQL_FULL_USING,
     "q_sql_tablesample": _SQL_TABLESAMPLE_ORACLE,
     "q_sql_lateral": _SQL_LATERAL,
@@ -7330,10 +7341,23 @@ def q_sql_lateral_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup runs below the join over (outputs + correlation keys), then
     the LIMIT ranks the deduped rows with a per-key row_number — SQL's
     DISTINCT-before-LIMIT order, one window shuffle, no per-outer-row
-    re-execution.  (The r11 ADVICE dup-row shape — DISTINCT with
-    hidden non-output extras — now rejects at parse time.)  Same
-    string runs natively on DuckDB."""
+    re-execution.  Same string runs natively on DuckDB."""
     return _planner(spark, sf_dir).sql(_SQL_LATERAL_DISTINCT)
+
+
+def q_sql_lateral_post_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL DISTINCT whose correlated non-equality conjunct
+    references a NON-OUTPUT inner column (r13, VERDICT r12 item 3 —
+    the r11 ADVICE repro, formerly a clean rejection).  A pre-join
+    dedup is unsound here (one visible tuple per distinct hidden
+    value would survive), so the lowering dedups AFTER the join over
+    (outer rowid, visible outputs): ``monotonically_increasing_id``
+    on the outer side names each outer row, the correlation join runs
+    on the full condition (hash on the equality key), and a
+    distinct-over-subset keeps one row per (rowid, output tuple).
+    One dedup exchange; no per-outer-row re-execution.  Same string
+    runs natively on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_LATERAL_POST_DEDUP)
 
 
 def q_sql_full_using(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9658,7 +9682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _UNPROVEN_PREFIX = (
     # new this round (r13) — never driver-checked, prove first
     "q_sql_notin_null", "q_sql_corr_notin_null", "q_sql_quant_null",
-    "q_sql_exists_or_ineq",
+    "q_sql_exists_or_ineq", "q_sql_lateral_post_dedup",
     # r13 CHANGED these queries' lowering (three-valued IN/NOT IN +
     # quantifier stats rewrite) — re-prove next
     "q_sql_in_or", "q_sql_corr_in", "q_sql_any_all", "q_sql_q16",
@@ -9738,6 +9762,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_rollup_share": q_sql_rollup_share,
         "q_sql_interval_merge": q_sql_interval_merge,
         "q_sql_lateral_distinct": q_sql_lateral_distinct,
+        "q_sql_lateral_post_dedup": q_sql_lateral_post_dedup,
         "q_sql_full_using": q_sql_full_using,
         "q_sql_tablesample": q_sql_tablesample,
         "q_semdedup_index": q_semdedup_index,

@@ -446,6 +446,10 @@ SHUFFLE_BUDGET = {
     "q_sql_notin_null": 4,
     "q_sql_corr_notin_null": 2,
     "q_sql_quant_null": 1,
+    # r13 LATERAL DISTINCT post-join dedup: the correlation join hash-
+    # joins on the equality key (broadcast at sf0.001); the only
+    # exchange is the distinct-over-(rowid, outputs)
+    "q_sql_lateral_post_dedup": 1,
     # r13 non-equality correlation (rowid aggregation): each of the 3
     # markers re-aggregates by rowid after its correlation join (3
     # exchanges with map-side partial counts), + the correlated-EXISTS

@@ -1507,6 +1507,23 @@ class Gen:
                 f"WHERE {inner_k} = {outer_k} GROUP BY {g}) s{where}"
             )
             return sql, sql
+        if roll < 0.9 and strs and ints:
+            # r13: DISTINCT whose correlated inequality references a
+            # NON-OUTPUT inner column — the post-join dedup lowering
+            # (dedup over outer rowid + visible outputs)
+            g = r.choice(strs)
+            ic = r.choice(ints)
+            o_ints = [
+                c for c, ty in TABLES[outer_t].items() if ty == INT
+            ]
+            ok2 = r.choice(o_ints) if o_ints else outer_k
+            sql = (
+                f"SELECT {opk} AS c0, t.s AS c1 FROM {outer_t}, "
+                f"LATERAL (SELECT DISTINCT {g} AS s FROM {inner_t} "
+                f"WHERE {inner_k} = {outer_k} "
+                f"AND {ic} > {ok2} % 50) t{where}"
+            )
+            return sql, sql
         # LEFT JOIN LATERAL ON TRUE — unmatched outer rows keep NULLs
         oc = r.choice(ints) if ints else ipk
         sql = (
