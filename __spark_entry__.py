@@ -3149,6 +3149,51 @@ _SQL_EXISTS_OR_INEQ = (
     "FROM customer"
 )
 
+_SQL_IGNORE_NULLS = (
+    # gap-filling: carry the last/previous "big order" price forward
+    # per customer; the CASE makes 2 of 3 rows NULL
+    "SELECT o_orderkey, "
+    "       cast(floor(coalesce("
+    "           last_value(CASE WHEN o_totalprice > 300000.0 "
+    "                           THEN o_totalprice END IGNORE NULLS) "
+    "           OVER (PARTITION BY o_custkey ORDER BY o_orderkey), "
+    "           0.0) * 100) AS bigint) AS carry_cents, "
+    "       cast(floor(coalesce("
+    "           lag(CASE WHEN o_totalprice > 300000.0 "
+    "                    THEN o_totalprice END IGNORE NULLS) "
+    "           OVER (PARTITION BY o_custkey ORDER BY o_orderkey), "
+    "           0.0) * 100) AS bigint) AS prev_cents "
+    "FROM orders ORDER BY o_orderkey"
+)
+
+_SQL_WITHIN_GROUP = (
+    "SELECT c_nationkey, "
+    "       cast(floor(percentile_cont(0.5) WITHIN GROUP "
+    "                  (ORDER BY c_acctbal) * 100) AS bigint) AS med_cents, "
+    "       cast(floor(percentile_disc(0.25) WITHIN GROUP "
+    "                  (ORDER BY c_acctbal) * 100) AS bigint) AS q1_cents, "
+    "       cast(floor(percentile_disc(0.75) WITHIN GROUP "
+    "                  (ORDER BY c_acctbal DESC) * 100) AS bigint) "
+    "           AS q3d_cents "
+    "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"
+)
+
+_SQL_FETCH_FIRST = (
+    "SELECT o_orderkey, o_custkey "
+    "FROM orders ORDER BY o_totalprice DESC, o_orderkey "
+    "OFFSET 10 ROWS FETCH FIRST 25 ROWS ONLY"
+)
+
+_SQL_TRY_CAST = (
+    # c_name is 'Customer#000000001': the whole name never parses, the
+    # digit tail always does
+    "SELECT count(TRY_CAST(c_name AS int)) AS bad, "
+    "       count(TRY_CAST(substring(c_name, 10) AS bigint)) AS good, "
+    "       cast(sum(TRY_CAST(substring(c_name, 10) AS bigint)) "
+    "            AS bigint) AS total "
+    "FROM customer"
+)
+
 _SQL_LATERAL = (
     "SELECT nk, cnt, c_name, bal_cents "
     "FROM (SELECT c_nationkey AS nk, count(*) AS cnt "
@@ -4619,6 +4664,10 @@ EXTENSION_ORACLES = {
     "q_sql_notin_null": _SQL_NOTIN_NULL,
     "q_sql_corr_notin_null": _SQL_CORR_NOTIN_NULL,
     "q_sql_exists_or_ineq": _SQL_EXISTS_OR_INEQ,
+    "q_sql_ignore_nulls": _SQL_IGNORE_NULLS,
+    "q_sql_within_group": _SQL_WITHIN_GROUP,
+    "q_sql_fetch_first": _SQL_FETCH_FIRST,
+    "q_sql_try_cast": _SQL_TRY_CAST,
     "q_sql_quant_null": _SQL_QUANT_NULL,
     "q_sql_rollup_share": _SQL_ROLLUP_SHARE,
     "q_sql_interval_merge": _SQL_INTERVAL_MERGE,
@@ -7496,6 +7545,48 @@ def q_sql_exists_or_ineq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _planner(spark, sf_dir).sql(_SQL_EXISTS_OR_INEQ)
 
 
+def q_sql_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IGNORE NULLS`` window idioms (r13, VERDICT r12 item 6 — the
+    standard gap-filling pattern).  ``last_value(x IGNORE NULLS)``
+    lowers to Spark's native ``F.last(x, ignorenulls=True)``;
+    ``lag(x IGNORE NULLS)`` has no pyspark.sql.functions form, so it
+    rewrites to ``last_value IGNORE NULLS`` over ROWS(unbounded
+    preceding, 1 preceding) — a running aggregate, O(1) state, same
+    window shuffle (``sql.py::_expand_ign_window``; offsets > 1 index
+    ``collect_list`` from the frame edge).  Same string runs natively
+    on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_IGNORE_NULLS)
+
+
+def q_sql_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITHIN GROUP (ORDER BY …)`` ordered-set aggregates (r13):
+    ``percentile_cont`` maps to Spark's exact interpolating
+    ``percentile`` (DESC = the (1-p) ascending quantile — same
+    interpolation); ``percentile_disc`` (smallest value whose
+    cume_dist ≥ p) is sorted-array indexing over ``collect_list``
+    (NULL-skipping, NULL-safe ``get`` — empty group → NULL), one
+    aggregate exchange like any grouped agg.  Same string runs
+    natively on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_WITHIN_GROUP)
+
+
+def q_sql_fetch_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``OFFSET n ROWS FETCH FIRST m ROWS ONLY`` (r13): the standard-
+    SQL LIMIT spelling parses to the same LogicalLimit(+offset) the
+    LIMIT branch builds — TopK under the hood (sort fused with the
+    fetch bound).  Same string runs natively on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_FETCH_FIRST)
+
+
+def q_sql_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TRY_CAST(x AS t)`` (r13): NULL on conversion failure instead
+    of an ANSI error — ``Column.try_cast`` on Spark, ``TRY_CAST`` on
+    DuckDB, bit-identical semantics.  The facets count a column that
+    never parses, one that always does, and sum the parsed values.
+    Same string runs natively on DuckDB."""
+    return _planner(spark, sf_dir).sql(_SQL_TRY_CAST)
+
+
 def q_sql_quant_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THREE-VALUED quantified comparisons (r13): uncorrelated
     ``x op ANY/ALL (sub)`` lowers to ONE broadcast stats row
@@ -9683,6 +9774,8 @@ _UNPROVEN_PREFIX = (
     # new this round (r13) — never driver-checked, prove first
     "q_sql_notin_null", "q_sql_corr_notin_null", "q_sql_quant_null",
     "q_sql_exists_or_ineq", "q_sql_lateral_post_dedup",
+    "q_sql_ignore_nulls", "q_sql_within_group", "q_sql_fetch_first",
+    "q_sql_try_cast",
     # r13 CHANGED these queries' lowering (three-valued IN/NOT IN +
     # quantifier stats rewrite) — re-prove next
     "q_sql_in_or", "q_sql_corr_in", "q_sql_any_all", "q_sql_q16",
@@ -9758,6 +9851,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_notin_null": q_sql_notin_null,
         "q_sql_corr_notin_null": q_sql_corr_notin_null,
         "q_sql_exists_or_ineq": q_sql_exists_or_ineq,
+        "q_sql_ignore_nulls": q_sql_ignore_nulls,
+        "q_sql_within_group": q_sql_within_group,
+        "q_sql_fetch_first": q_sql_fetch_first,
+        "q_sql_try_cast": q_sql_try_cast,
         "q_sql_quant_null": q_sql_quant_null,
         "q_sql_rollup_share": q_sql_rollup_share,
         "q_sql_interval_merge": q_sql_interval_merge,

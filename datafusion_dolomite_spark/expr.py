@@ -207,6 +207,9 @@ _AGG_FUNCS = {
     "sum", "avg", "count", "min", "max", "count_distinct", "sum_distinct",
     "max_by", "min_by", "string_agg_ord",
     "approx_count_distinct", "stddev", "first",
+    # ordered-set aggregates (r13): percentile_cont → Spark's exact
+    # interpolating percentile; percentile_disc via sorted-array index
+    "percentile", "percentile_disc_ord",
     # mergeable-sketch aggregates (re-aggregable rollups, mv.py)
     "hll_sketch_agg", "hll_union_agg",
 }
@@ -236,6 +239,8 @@ class Func(Expr):
         "lag": (1,),
         "lead": (1,),
         "ntile": (0,),
+        "nth_value": (1,),
+        "nth_value_ign": (1,),
         "array_join": (1,),
         "from_json": (1,),
         "element_at": (1,),
@@ -272,6 +277,30 @@ class Func(Expr):
             return cols[0][self.args[1].value]
         if self.name == "count_distinct":
             return F.count_distinct(*cols)
+        if self.name == "last_value_ign":
+            return F.last(cols[0], ignorenulls=True)
+        if self.name == "first_value_ign":
+            return F.first(cols[0], ignorenulls=True)
+        if self.name == "nth_value_ign":
+            return F.nth_value(cols[0], cols[1], True)
+        if self.name == "percentile_disc_ord":
+            # percentile_disc(p) WITHIN GROUP (ORDER BY x [DESC]):
+            # smallest x (in the requested direction) whose cume_dist
+            # reaches p — sorted-array indexing over the non-null
+            # values (collect_list skips NULLs; empty group → NULL via
+            # NULL-safe get).  args = (x, Lit(p), Lit(asc)).
+            p, asc = self.args[1], self.args[2]
+            if not isinstance(p, Lit) or not isinstance(asc, Lit):
+                raise ValueError(
+                    "percentile_disc fraction/direction must be literals"
+                )
+            arr = F.array_sort(F.collect_list(cols[0]))
+            nsz = F.size(arr)
+            k = F.greatest(
+                F.ceil(F.lit(float(p.value)) * nsz), F.lit(1)
+            ).cast("int")
+            idx = k if asc.value else nsz - k + F.lit(1)
+            return F.get(arr, idx - F.lit(1))
         if self.name == "string_agg_ord":
             # string_agg(x, sep ORDER BY k [DESC]) — deterministic
             # ordered concatenation: collect (k, v) structs, sort with
@@ -327,6 +356,9 @@ class Func(Expr):
             return F.array_join(F.transform(arr, lambda s_: s_["_v"]), sep.value)
         if self.name == "count" and not cols:
             return F.count(F.lit(1))
+        if self.name == "substring" and len(cols) == 2:
+            # two-arg form (DuckDB/standard): from pos to end of string
+            return F.substring(cols[0], cols[1], 2**31 - 1)
         if self.name == "mod":
             a, b = cols
             return a % b
@@ -349,15 +381,20 @@ class Func(Expr):
 class Cast(Expr):
     expr: Expr = field(default=None)  # type: ignore[assignment]
     to_type: str = "string"
+    #: TRY_CAST semantics — NULL on conversion failure instead of an
+    #: ANSI error (Spark ``Column.try_cast``; DuckDB ``TRY_CAST``)
+    safe: bool = False
 
     def to_column(self):
-        return self.expr.to_column().cast(self.to_type)
+        c = self.expr.to_column()
+        return c.try_cast(self.to_type) if self.safe else c.cast(self.to_type)
 
     def columns(self) -> Tuple[str, ...]:
         return self.expr.columns()
 
     def pretty(self) -> str:
-        return f"cast({self.expr.pretty()} as {self.to_type})"
+        fn = "try_cast" if self.safe else "cast"
+        return f"{fn}({self.expr.pretty()} as {self.to_type})"
 
 
 @dataclass(frozen=True)

@@ -867,7 +867,7 @@ def _fold_expr(e):
         return (Alias(inner, e.name) if c else e), c
     if isinstance(e, Cast):
         inner, c = _fold_expr(e.expr)
-        return (Cast(inner, e.to_type) if c else e), c
+        return (Cast(inner, e.to_type, e.safe) if c else e), c
     if isinstance(e, Func):
         args = [_fold_expr(a) for a in e.args]
         if any(c for _, c in args):

@@ -193,11 +193,18 @@ class _IntervalLit:
         return ps or [(0, "DAY")]
 
 
-class _WindowExpr:
+class _WindowExpr(Expr):
     """Parser-internal marker: ``func OVER (...)``.  Never enters the
     plan — ``_select`` lowers each into a ``WindowExprDef`` on a
     ``LogicalWindow`` node (window evaluation sits between WHERE and the
-    final projection, matching SQL semantics)."""
+    final projection, matching SQL semantics).
+
+    Subclasses ``Expr`` (r13) so it can sit INSIDE a ``Func`` argument
+    list without ``_wrap`` turning it into a ``Lit`` — the lag/lead
+    IGNORE-NULLS rewrite (``_expand_ign_window``) builds
+    ``get(collect_list(x) OVER w, …)`` composites, and the select-list
+    window lowering substitutes each occurrence with its hidden window
+    column before any ``to_column`` call."""
 
     __slots__ = ("func", "partition_by", "order_by", "frame", "ref")
 
@@ -209,6 +216,64 @@ class _WindowExpr:
         self.order_by = order_by
         self.frame = frame
         self.ref = ref
+
+    def to_column(self):  # pragma: no cover - lowering bug guard
+        raise SqlError(
+            "window expression was not lowered — OVER is only valid in "
+            "the select list / QUALIFY"
+        )
+
+    def columns(self):
+        return self.func.columns()
+
+    def pretty(self) -> str:
+        return f"{self.func.pretty()} over (...)"
+
+
+def _expand_ign_window(func, partition_by, order_by, frame):
+    """Post-parse window normalization (r13): ``lag/lead … IGNORE
+    NULLS`` has no direct ``pyspark.sql.functions`` form, so it
+    rewrites into frame arithmetic over the SAME window —
+
+    * offset 1 (the gap-filling idiom): ``last_value IGNORE NULLS``
+      over ROWS(unbounded, 1 preceding) / ``first_value`` over
+      ROWS(1 following, unbounded) — a running aggregate, O(1) state;
+    * offset n > 1: the n-th-from-the-frame-edge element of
+      ``collect_list`` (which skips NULLs and preserves frame order)
+      via NULL-safe ``get`` — O(frame) state, documented cost of the
+      rare general case.
+
+    Everything else passes through unchanged."""
+    if not (
+        isinstance(func, Func) and func.name in ("lag_ign", "lead_ign")
+    ):
+        return _WindowExpr(func, tuple(partition_by), tuple(order_by), frame)
+    if frame is not None:
+        raise SqlError("lag/lead take no frame clause")
+    if not order_by:
+        raise SqlError("lag/lead IGNORE NULLS require ORDER BY in the window")
+    x = func.args[0]
+    n = 1
+    if len(func.args) > 1:
+        if not isinstance(func.args[1], Lit):
+            raise SqlError("lag/lead offset must be a literal")
+        n = int(func.args[1].value)
+    if len(func.args) > 2:
+        raise SqlError("lag/lead IGNORE NULLS do not take a default value")
+    if n < 1:
+        raise SqlError("lag/lead IGNORE NULLS offset must be >= 1")
+    pb, ob = tuple(partition_by), tuple(order_by)
+    if func.name == "lag_ign":
+        f = ("rows", None, -1)
+        if n == 1:
+            return _WindowExpr(Func("last_value_ign", (x,)), pb, ob, f)
+        arr = _WindowExpr(Func("collect_list", (x,)), pb, ob, f)
+        return Func("get", (arr, BinOp("-", Func("size", (arr,)), Lit(n))))
+    f = ("rows", 1, None)
+    if n == 1:
+        return _WindowExpr(Func("first_value_ign", (x,)), pb, ob, f)
+    arr = _WindowExpr(Func("collect_list", (x,)), pb, ob, f)
+    return Func("get", (arr, Lit(n - 1)))
 
 
 class _Tok:
@@ -1083,7 +1148,7 @@ class _Parser:
                 if isinstance(x, BinOp):
                     return BinOp(x.op, _lift(x.left), _lift(x.right))
                 if isinstance(x, Cast):
-                    return Cast(_lift(x.expr), x.to_type)
+                    return Cast(_lift(x.expr), x.to_type, x.safe)
                 if isinstance(x, Func):
                     return Func(x.name, tuple(_lift(a) for a in x.args))
                 return x
@@ -1148,7 +1213,7 @@ class _Parser:
                 if isinstance(x, BinOp):
                     return BinOp(x.op, _lower_w(x.left), _lower_w(x.right))
                 if isinstance(x, Cast):
-                    return Cast(_lower_w(x.expr), x.to_type)
+                    return Cast(_lower_w(x.expr), x.to_type, x.safe)
                 if isinstance(x, Func):
                     return Func(x.name, tuple(_lower_w(a) for a in x.args))
                 return x
@@ -1172,7 +1237,7 @@ class _Parser:
                     if isinstance(x, Func):
                         return Func(x.name, tuple(_subst_a(a) for a in x.args))
                     if isinstance(x, Cast):
-                        return Cast(_subst_a(x.expr), x.to_type)
+                        return Cast(_subst_a(x.expr), x.to_type, x.safe)
                     if isinstance(x, Alias):
                         return Alias(_subst_a(x.expr), x.name)
                     return x
@@ -1225,7 +1290,7 @@ class _Parser:
                 if isinstance(x, BinOp):
                     return BinOp(x.op, _lower_window(x.left), _lower_window(x.right))
                 if isinstance(x, Cast):
-                    return Cast(_lower_window(x.expr), x.to_type)
+                    return Cast(_lower_window(x.expr), x.to_type, x.safe)
                 if isinstance(x, Func):
                     return Func(x.name, tuple(_lower_window(a) for a in x.args))
                 return x
@@ -1251,7 +1316,7 @@ class _Parser:
                     if isinstance(x, Func):
                         return Func(x.name, tuple(_subst(a) for a in x.args))
                     if isinstance(x, Cast):
-                        return Cast(_subst(x.expr), x.to_type)
+                        return Cast(_subst(x.expr), x.to_type, x.safe)
                     if isinstance(x, Alias):
                         return Alias(_subst(x.expr), x.name)
                     return x
@@ -1319,7 +1384,7 @@ class _Parser:
                     if isinstance(x, BinOp):
                         return BinOp(x.op, _lift_aggs(x.left), _lift_aggs(x.right))
                     if isinstance(x, Cast):
-                        return Cast(_lift_aggs(x.expr), x.to_type)
+                        return Cast(_lift_aggs(x.expr), x.to_type, x.safe)
                     if isinstance(x, Alias):
                         return Alias(_lift_aggs(x.expr), x.name)
                     return x
@@ -1644,9 +1709,67 @@ class _Parser:
             if self.accept("kw", "offset"):
                 offset = int(self.expect("number").value)
             builder = builder.limit(int(n.value), offset)
+        elif self._fetch_or_offset_ahead():
+            # standard-SQL spelling (r13):
+            #   [OFFSET n {ROW|ROWS}] FETCH {FIRST|NEXT} [n] {ROW|ROWS} ONLY
+            offset = 0
+            if self.accept("kw", "offset"):
+                offset = int(self.expect("number").value)
+                if not (self.accept("kw", "row") or self.accept("kw", "rows")):
+                    raise SqlError("expected ROW or ROWS after OFFSET n")
+            n = 1
+            if self._peek_ident("fetch"):
+                self.next()
+                if not (
+                    self.accept("kw", "first") or self._accept_ident("next")
+                ):
+                    raise SqlError("expected FIRST or NEXT after FETCH")
+                if self.peek().kind == "number":
+                    n = int(self.next().value)
+                if not (self.accept("kw", "row") or self.accept("kw", "rows")):
+                    raise SqlError("expected ROW or ROWS in FETCH clause")
+                if not self._accept_ident("only"):
+                    raise SqlError("expected ONLY to close the FETCH clause")
+                builder = builder.limit(n, offset)
+            elif offset:
+                # bare OFFSET n ROWS without FETCH: skip-only — lower
+                # as a limit with the max JVM-int n (both engines cap
+                # at the row count; Spark requires limit+offset to fit
+                # a 32-bit int)
+                builder = builder.limit(2**31 - 1 - offset, offset)
 
         self.frames.pop()
         return builder.build()
+
+    def _peek_ident(self, word: str) -> bool:
+        t = self.peek()
+        return t.kind == "ident" and t.value.lower() == word
+
+    def _accept_ident(self, word: str) -> bool:
+        if self._peek_ident(word):
+            self.next()
+            return True
+        return False
+
+    def _fetch_or_offset_ahead(self) -> bool:
+        """FETCH FIRST/NEXT … or OFFSET n ROW[S] (the standard-SQL
+        LIMIT spelling) starts here.  OFFSET is only consumed when ROW/
+        ROWS follows the count — a bare ``LIMIT n OFFSET m`` is handled
+        by the LIMIT branch, and OFFSET in any other position is not
+        valid SQL anyway."""
+        if self._peek_ident("fetch"):
+            return True
+        if self.peek().kind == "kw" and self.peek().value == "offset":
+            n1 = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+            n2 = self.toks[self.i + 2] if self.i + 2 < len(self.toks) else None
+            return (
+                n1 is not None
+                and n1.kind == "number"
+                and n2 is not None
+                and n2.kind == "kw"
+                and n2.value in ("row", "rows")
+            )
+        return False
 
     def _join_type(self) -> Optional[JoinType]:
         if self.accept("kw", "join"):
@@ -2300,7 +2423,7 @@ class _Parser:
         if isinstance(e, Alias):
             return Alias(self._resolve(e.expr), e.name)
         if isinstance(e, Cast):
-            return Cast(self._resolve(e.expr), e.to_type)
+            return Cast(self._resolve(e.expr), e.to_type, e.safe)
         if isinstance(e, Func):
             return Func(e.name, tuple(self._resolve(a) for a in e.args))
         if isinstance(e, SortKey):
@@ -2688,6 +2811,10 @@ class _Parser:
                 args.append(self.expect("number").value)
             self.expect("op", ")")
             ty = f"{ty}({','.join(args)})"
+        elif ty.lower() in ("varchar", "text"):
+            # DuckDB's unbounded string types; Spark's CAST needs the
+            # length-free spelling
+            ty = "string"
         return ty
 
     def _primary(self) -> Expr:
@@ -2776,6 +2903,16 @@ class _Parser:
                 return Cast(Lit(s[1:-1].replace("''", "'")), low)
             # INTERVAL '90' DAY / INTERVAL 3 MONTH — a marker only
             # ``_add`` may consume (see _IntervalLit)
+            if low == "try_cast" and nt.kind == "op" and nt.value == "(":
+                # TRY_CAST(x AS t) — NULL on conversion failure (r13);
+                # identical semantics on Spark (Column.try_cast) and
+                # DuckDB (TRY_CAST)
+                self.next()
+                e = self._expr()
+                self.expect("kw", "as")
+                ty = self._type_name()
+                self.expect("op", ")")
+                return Cast(e, ty, safe=True)
             if low == "interval" and nt.kind in ("string", "number"):
                 tok = self.next()
                 raw = tok.value if tok.kind == "number" else tok.value[1:-1]
@@ -2872,6 +3009,21 @@ class _Parser:
                 return Func("substring", tuple(args))
             while self.accept("op", ","):
                 args.append(self._expr())
+            # IGNORE/RESPECT NULLS inside the parens (DuckDB placement,
+            # r13): last_value(x IGNORE NULLS), lag(x, 2 IGNORE NULLS)
+            if self._peek_ident("ignore") or self._peek_ident("respect"):
+                word = self.next().value.lower()
+                self.expect("kw", "nulls")
+                allowed = (
+                    "first_value", "last_value", "nth_value", "lag", "lead",
+                )
+                if fname not in allowed:
+                    raise SqlError(
+                        f"{word.upper()} NULLS is supported for "
+                        f"{'/'.join(allowed)}, not {fname}"
+                    )
+                if word == "ignore":
+                    fname += "_ign"
             # ORDER BY inside an aggregate call (DuckDB):
             # string_agg(x, sep ORDER BY k [DESC]) — the only aggregate
             # whose result depends on input order, so the only one that
@@ -2908,6 +3060,32 @@ class _Parser:
         if fname in ("arg_max", "arg_min"):
             # DuckDB names for Spark's max_by/min_by
             fname = "max_by" if fname == "arg_max" else "min_by"
+        if fname in ("percentile_cont", "percentile_disc"):
+            # ordered-set aggregates (r13): p WITHIN GROUP (ORDER BY x
+            # [ASC|DESC]).  cont → Spark's exact interpolating
+            # ``percentile`` (DESC = the (1-p) ascending quantile);
+            # disc → the smallest value whose cume_dist ≥ p, computed
+            # as sorted-array indexing (``percentile_disc_ord``)
+            if len(args) != 1 or not isinstance(args[0], Lit):
+                raise SqlError(f"{fname} takes one literal fraction")
+            p = float(args[0].value)
+            if not 0.0 <= p <= 1.0:
+                raise SqlError(f"{fname} fraction must be in [0, 1]")
+            if not self._accept_ident("within"):
+                raise SqlError(
+                    f"{fname} requires WITHIN GROUP (ORDER BY ...)"
+                )
+            self.expect("kw", "group")
+            self.expect("op", "(")
+            self.expect("kw", "order")
+            self.expect("kw", "by")
+            x = self._expr()
+            asc = not self.accept("kw", "desc")
+            self.accept("kw", "asc")
+            self.expect("op", ")")
+            if fname == "percentile_cont":
+                return Func("percentile", (x, Lit(p if asc else 1.0 - p)))
+            return Func("percentile_disc_ord", (x, Lit(p), Lit(asc)))
         mac = self.macros.get(fname)
         if mac is not None and len(mac[0]) == len(args):
             # SQL macro call: substitute the parsed argument exprs for
@@ -2974,7 +3152,7 @@ class _Parser:
                     raise SqlError(
                         f"OVER {e.ref} references no WINDOW-clause spec"
                     )
-                return _WindowExpr(
+                return _expand_ign_window(
                     b(e.func), spec.partition_by, spec.order_by, spec.frame
                 )
             return _WindowExpr(b(e.func), e.partition_by, e.order_by, e.frame)
@@ -2983,7 +3161,7 @@ class _Parser:
         if isinstance(e, BinOp):
             return BinOp(e.op, b(e.left), b(e.right))
         if isinstance(e, Cast):
-            return Cast(b(e.expr), e.to_type)
+            return Cast(b(e.expr), e.to_type, e.safe)
         if isinstance(e, Func):
             return Func(e.name, tuple(b(a) for a in e.args))
         if isinstance(e, SortKey):
@@ -3026,7 +3204,7 @@ class _Parser:
             end = self._frame_bound()
             frame = (kind, start, end)
         self.expect("op", ")")
-        return _WindowExpr(func, tuple(partition_by), tuple(order_by), frame)
+        return _expand_ign_window(func, partition_by, order_by, frame)
 
     def _frame_bound(self) -> Optional[int]:
         """UNBOUNDED PRECEDING/FOLLOWING | CURRENT ROW | n PRECEDING |
@@ -3742,7 +3920,7 @@ def _lower_embedded_subqueries(conj, builder, catalog):
             return b, Alias(e, x.name)
         if isinstance(x, Cast):
             b, e = walk(x.expr, b)
-            return b, Cast(e, x.to_type)
+            return b, Cast(e, x.to_type, x.safe)
         if isinstance(x, Func):
             args = []
             for a in x.args:
@@ -3891,7 +4069,7 @@ def _extract_scalars(e):
         if isinstance(x, Alias):
             return Alias(walk(x.expr), x.name)
         if isinstance(x, Cast):
-            return Cast(walk(x.expr), x.to_type)
+            return Cast(walk(x.expr), x.to_type, x.safe)
         if isinstance(x, Func):
             return Func(x.name, tuple(walk(a) for a in x.args))
         if isinstance(x, CaseWhen):
@@ -4144,7 +4322,7 @@ def _strip_outer(e):
     if isinstance(e, Alias):
         return Alias(_strip_outer(e.expr), e.name)
     if isinstance(e, Cast):
-        return Cast(_strip_outer(e.expr), e.to_type)
+        return Cast(_strip_outer(e.expr), e.to_type, e.safe)
     if isinstance(e, Func):
         return Func(e.name, tuple(_strip_outer(a) for a in e.args))
     if isinstance(e, CaseWhen):
@@ -4167,7 +4345,7 @@ def _rename_inner(e, renames):
     if isinstance(e, Alias):
         return Alias(_rename_inner(e.expr, renames), e.name)
     if isinstance(e, Cast):
-        return Cast(_rename_inner(e.expr, renames), e.to_type)
+        return Cast(_rename_inner(e.expr, renames), e.to_type, e.safe)
     if isinstance(e, Func):
         return Func(e.name, tuple(_rename_inner(a, renames) for a in e.args))
     return e

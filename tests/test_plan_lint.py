@@ -450,6 +450,14 @@ SHUFFLE_BUDGET = {
     # joins on the equality key (broadcast at sf0.001); the only
     # exchange is the distinct-over-(rowid, outputs)
     "q_sql_lateral_post_dedup": 1,
+    # r13 grammar batch: ignore_nulls = window partition exchange +
+    # final ORDER BY range exchange; within_group = grouped-aggregate
+    # exchange + final ORDER BY; fetch_first = TopK, no exchange;
+    # try_cast = global agg, no exchange
+    "q_sql_ignore_nulls": 2,
+    "q_sql_within_group": 2,
+    "q_sql_fetch_first": 0,
+    "q_sql_try_cast": 0,
     # r13 non-equality correlation (rowid aggregation): each of the 3
     # markers re-aggregates by rowid after its correlation join (3
     # exchanges with map-side partial counts), + the correlated-EXISTS

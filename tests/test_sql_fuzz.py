@@ -845,7 +845,7 @@ class Gen:
         ints = [c for c, ty in TABLES[t].items() if ty == INT]
         part = r.choice(strs) if strs and r.random() < 0.8 else None
         over_part = f"PARTITION BY {part} " if part else ""
-        kind = r.randrange(4)
+        kind = r.randrange(5)
         if kind == 0:
             d = r.choice(["ASC", "DESC"])
             wf = f"row_number() OVER ({over_part}ORDER BY {pk} {d})"
@@ -859,12 +859,27 @@ class Gen:
                 f"sum({sc}) OVER ({over_part}ORDER BY {pk} "
                 f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
             )
-        else:
+        elif kind == 3:
             sc = r.choice(ints)
             wf = (
                 f"sum({sc}) OVER ({over_part}ORDER BY {pk} "
                 f"ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
             )
+        else:
+            # r13: IGNORE NULLS gap-filling (the CASE leaves ~1/3
+            # non-null; ordered by the unique pk → deterministic)
+            sc = r.choice(ints)
+            gap = f"CASE WHEN {pk} % 3 = 0 THEN {sc} END"
+            call = r.choice(
+                [
+                    f"lag({gap} IGNORE NULLS)",
+                    f"lag({gap}, 2 IGNORE NULLS)",
+                    f"lead({gap} IGNORE NULLS)",
+                    f"lead({gap}, 3 IGNORE NULLS)",
+                    f"last_value({gap} IGNORE NULLS)",
+                ]
+            )
+            wf = f"{call} OVER ({over_part}ORDER BY {pk})"
         cols = [f"{pk} AS c0"] + ([f"{part} AS c1"] if part else [])
         names = ["c0"] + (["c1"] if part else [])
         sql = f"SELECT {', '.join(cols)}, {wf} AS w0 FROM {t}"
@@ -1535,6 +1550,57 @@ class Gen:
         )
         return sql, sql
 
+    def _idioms13(self):
+        """r13 idioms — TRY_CAST (NULL on failure), WITHIN GROUP
+        percentiles (cents-cast keeps the interpolated doubles
+        hash-stable: TPC-H money columns are 2-decimal, so quantile
+        boundaries sit half-cents away from integer edges), and the
+        standard FETCH FIRST spelling."""
+        r = self.rng
+        t = r.choice(list(PK))
+        pk = PK[t]
+        strs = [c for c, ty in TABLES[t].items() if ty == STR]
+        ints = [c for c, ty in TABLES[t].items() if ty == INT]
+        flts = [c for c, ty in TABLES[t].items() if ty == FLT]
+        roll = r.random()
+        if roll < 0.35 and strs:
+            sc = r.choice(strs)
+            sql = (
+                f"SELECT count(TRY_CAST({sc} AS int)) AS c0, "
+                f"count(TRY_CAST({pk} AS varchar)) AS c1, "
+                f"count(TRY_CAST(substring({sc}, {r.randint(1, 12)}) "
+                f"AS bigint)) AS c2 FROM {t}"
+            )
+            return sql, sql
+        if roll < 0.7 and (flts or ints):
+            xc = r.choice(flts or ints)
+            p = r.choice([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0])
+            d = r.choice(["ASC", "DESC"])
+            cont = (
+                f"cast(floor(percentile_cont({p}) WITHIN GROUP "
+                f"(ORDER BY {xc} {d}) * 100) AS bigint)"
+            )
+            disc = (
+                f"cast(floor(percentile_disc({p}) WITHIN GROUP "
+                f"(ORDER BY {xc} {d}) * 100) AS bigint)"
+            )
+            if strs and r.random() < 0.6:
+                g = r.choice(strs)
+                sql = (
+                    f"SELECT {g} AS c0, {cont} AS c1, {disc} AS c2 "
+                    f"FROM {t} GROUP BY {g}"
+                )
+            else:
+                sql = f"SELECT {cont} AS c0, {disc} AS c1 FROM {t}"
+            return sql, sql
+        n, off = r.randint(1, 6), r.randint(0, 4)
+        d = r.choice(["ASC", "DESC"])
+        sql = (
+            f"SELECT {pk} AS c0 FROM {t} ORDER BY {pk} {d} "
+            f"OFFSET {off} ROWS FETCH FIRST {n} ROWS ONLY"
+        )
+        return sql, sql
+
     def _grouping_sets(self):
         """GROUP BY GROUPING SETS with 2-3 random set lists (r11 —
         VERDICT r10 item 2's fuzz shape).  Same empty-input caveat as
@@ -1755,6 +1821,7 @@ class Gen:
         ("_grouping_sets", 6),
         ("_date_arith", 6),
         ("_idioms", 8),
+        ("_idioms13", 6),
         ("_in_or", 8),
         ("_tablesample", 6),
         ("_any_all", 6),
