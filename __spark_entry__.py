@@ -1562,7 +1562,7 @@ def q_knn_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_dolomite_spark.sources.signature import write_marker
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    dest, fresh, sig = _materialized_dir(sf_dir, "annindex_v2", src)
+    dest, fresh, sig = _materialized_dir(sf_dir, "annindex_v3", src)
     idx = os.path.join(dest, "index")
     pl = _planner(spark, sf_dir)
     if not fresh:
@@ -1611,14 +1611,22 @@ def q_knn_adaptive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe sweep).  The oracle replays the CHOICE itself in SQL (the
     same ascending-occupancy cumulative rule over the replayed cell
     assignment), then the probe at that nprobe — so the adaptive rule,
-    not just its outcome, is cross-engine checked."""
+    not just its outcome, is cross-engine checked.
+
+    r13 (VERDICT r12 item 5): the exact re-rank pool widened 50 → 200
+    — ADC ranks with quantized distances, so the true neighbor is
+    often in the probed cells but below ADC rank k; re-ranking the
+    top-200 ADC candidates by exact cosine (an equi-join point-fetch
+    of queries × 200 vectors, never the corpus) lifts recall@10
+    0.35 → 0.55 at flat warm cost (refine sweep in
+    ann_regime_bench.py; the probe ceiling is the remaining cap)."""
     import os
 
     from datafusion_dolomite_spark.functions.ann_index import ann_index_build
     from datafusion_dolomite_spark.sources.signature import write_marker
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    dest, fresh, sig = _materialized_dir(sf_dir, "annindex_v2", src)
+    dest, fresh, sig = _materialized_dir(sf_dir, "annindex_v3", src)
     idx = os.path.join(dest, "index")
     pl = _planner(spark, sf_dir)
     if not fresh:
@@ -1633,7 +1641,7 @@ def q_knn_adaptive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .scan("embeddings")
         .knn(
             "vec_id", "embedding", n_queries=8, k=10, method="pq",
-            pq_m=8, pq_ksub=16, pq_refine=50, pq_ncells=32,
+            pq_m=8, pq_ksub=16, pq_refine=200, pq_ncells=32,
             pq_nprobe=0,  # adaptive: resolved from _meta.json stats
             pq_residual=True, kmeans_iters=2, index_dir=idx,
         )
@@ -1642,7 +1650,7 @@ def q_knn_adaptive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pl.dataframe(plan)
 
 
-def _knn_adaptive_probe_oracle(nq=8, k=10, m=8, ksub=16, refine=50,
+def _knn_adaptive_probe_oracle(nq=8, k=10, m=8, ksub=16, refine=200,
                                ncells=32, sw=8, cent_iters=2,
                                coverage=0.25) -> str:
     """q_knn_adaptive_probe replayed exactly INCLUDING the nprobe
@@ -7323,7 +7331,7 @@ def q_semdedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_dolomite_spark.sources.signature import write_marker
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    dest, fresh, sig = _materialized_dir(sf_dir, "annindex_v2", src)
+    dest, fresh, sig = _materialized_dir(sf_dir, "annindex_v3", src)
     idx = os.path.join(dest, "index")
     pl = _planner(spark, sf_dir)
     if not fresh:
@@ -7343,6 +7351,81 @@ def q_semdedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return semantic_dedup_cc(emb, cells, "vec_id", "embedding",
                              threshold_1000=300)
+
+
+def q_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with MULTI-PROBE candidate generation (r13, VERDICT
+    r12 item 4): each vector also participates via its RUNNER-UP
+    coarse cell — rank 2 of the same (sim DESC, cell ASC) centroid
+    ranking, persisted by the v2 index build as ``cell2`` (computed in
+    the same Arrow assignment pass; masked first-max argmax = the SQL
+    ``rc = 2``).  A candidate pair shares ANY of the two cells, which
+    recovers the boundary pairs single-cell confinement misses (sf0.1
+    regime: see semdedup_regime_bench's coverage rows); scoring,
+    threshold and CC are unchanged, and pair candidates stay
+    ∝ n²/ncells — never doc×doc.  The oracle replays the ranked cell
+    list at ``rc <= 2`` and DISTINCT-s the shared-cell pairs, then the
+    same RECURSIVE-CTE closure."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.functions.ann_index import ann_index_build
+    from datafusion_dolomite_spark.functions.similarity import semantic_dedup_cc
+    from datafusion_dolomite_spark.sources.signature import write_marker
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    dest, fresh, sig = _materialized_dir(sf_dir, "annindex_v3", src)
+    idx = os.path.join(dest, "index")
+    pl = _planner(spark, sf_dir)
+    if not fresh:
+        emb_full = pl.dataframe(LogicalPlanBuilder().scan("embeddings").build())
+        ann_index_build(
+            emb_full, idx, "vec_id", "embedding",
+            m=8, ksub=16, ncells=32, residual=True, kmeans_iters=2,
+        )
+        write_marker(dest, sig)
+    emb = pl.dataframe(
+        LogicalPlanBuilder()
+        .scan("embeddings", columns=["vec_id", "embedding"])
+        .build()
+    )
+    cells = spark.read.parquet(idx).select(
+        F.col("neighbor_id").alias("vec_id"), F.col("cell"), F.col("cell2")
+    )
+    return semantic_dedup_cc(emb, cells, "vec_id", "embedding",
+                             threshold_1000=300, multiprobe=2)
+
+
+def _semdedup_multiprobe_oracle(ncells=32, cent_iters=2, thr=300) -> str:
+    """q_semdedup_multiprobe replayed exactly: the ranked-cell CTE the
+    single-probe oracle already builds, read at ``rc <= 2`` (primary +
+    runner-up under the same (s DESC, c ASC) tie rule the Spark
+    masked-argmax reproduces), shared-cell pairs DISTINCT-ed, then the
+    identical closure."""
+    ctes, _ = _ivfpq_ctes(
+        "sd", 1, 1, 8, 16, 0, ncells, 1, 8,
+        residual=False, cent_iters=cent_iters,
+    )
+    return f"""
+WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+{ctes},
+sdmp AS (SELECT vec_id, c AS cell FROM sdcellr WHERE rc <= 2),
+sdpairs AS (SELECT DISTINCT x.vec_id AS lo, y.vec_id AS hi
+   FROM sdmp x JOIN sdmp y ON x.cell = y.cell AND x.vec_id < y.vec_id
+   JOIN v vx ON vx.vec_id = x.vec_id JOIN v vy ON vy.vec_id = y.vec_id
+   WHERE floor(1000.0 * list_cosine_similarity(vx.ev, vy.ev))::BIGINT >= {thr}),
+sdedges AS (SELECT lo AS a, hi AS b FROM sdpairs UNION SELECT hi, lo FROM sdpairs),
+sdreach(a, b) AS (
+  SELECT a, b FROM sdedges
+  UNION
+  SELECT r.a, e2.b FROM sdreach r JOIN sdedges e2 ON r.b = e2.a WHERE e2.b != r.a
+),
+sdcomp AS (SELECT a AS node, least(a, min(b)) AS component FROM sdreach GROUP BY a)
+SELECT emb.vec_id, coalesce(sdcomp.component, emb.vec_id)::BIGINT AS component,
+       (emb.vec_id = coalesce(sdcomp.component, emb.vec_id)) AS kept
+FROM embeddings emb LEFT JOIN sdcomp ON sdcomp.node = emb.vec_id
+"""
 
 
 def _semdedup_index_oracle(ncells=32, cent_iters=2, thr=300) -> str:
@@ -9775,7 +9858,7 @@ _UNPROVEN_PREFIX = (
     "q_sql_notin_null", "q_sql_corr_notin_null", "q_sql_quant_null",
     "q_sql_exists_or_ineq", "q_sql_lateral_post_dedup",
     "q_sql_ignore_nulls", "q_sql_within_group", "q_sql_fetch_first",
-    "q_sql_try_cast",
+    "q_sql_try_cast", "q_semdedup_multiprobe",
     # r13 CHANGED these queries' lowering (three-valued IN/NOT IN +
     # quantifier stats rewrite) — re-prove next
     "q_sql_in_or", "q_sql_corr_in", "q_sql_any_all", "q_sql_q16",
@@ -9863,6 +9946,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sql_full_using": q_sql_full_using,
         "q_sql_tablesample": q_sql_tablesample,
         "q_semdedup_index": q_semdedup_index,
+        "q_semdedup_multiprobe": q_semdedup_multiprobe,
         "q_bpe_pack": q_bpe_pack,
         "q_sql_lateral": q_sql_lateral,
         "q_sql_lateral_agg": q_sql_lateral_agg,
@@ -10070,6 +10154,7 @@ SELECT component, count(*) AS csize FROM comp GROUP BY component
     # produce byte-identical pairs to the memory-sink run
     out["q_stream_file_sink"] = out["q_stream_stream_join"]
     out["q_semdedup_index"] = _semdedup_index_oracle()
+    out["q_semdedup_multiprobe"] = _semdedup_multiprobe_oracle()
     out["q_bpe_pack"] = _bpe_pack_oracle()
     # canonical-representative selection composes the same transitive
     # closure, then arg_max per component (singletons keep themselves)

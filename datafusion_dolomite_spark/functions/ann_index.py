@@ -46,7 +46,10 @@ __all__ = [
     "ann_meta_matches",
 ]
 
-_META_VERSION = 1
+#: v2 (r13): codes carry `cell2` (runner-up coarse cell) for
+#: multi-probe candidate generation; a v1 index fails the meta
+#: guard and rebuilds idempotently
+_META_VERSION = 2
 
 
 def _meta_path(index_dir: str) -> str:
@@ -201,7 +204,9 @@ def ann_index_build(
     scales = None
     books = None
     if residual:
-        a = _assign_cells_pandas(c, "_cv", cents, resid_sq=(m, sw)).persist()
+        a = _assign_cells_pandas(
+            c, "_cv", cents, resid_sq=(m, sw), top2=True
+        ).persist()
         scales = _pq_residual_scales(a, m, sw)
         if train_iters:
             init = [
@@ -224,12 +229,13 @@ def ann_index_build(
                 a.drop("_sq"), "_cv", m, sw, ksub, cents=cents, scales=scales
             )
     else:
-        a = _assign_cells_pandas(c, "_cv", cents)
+        a = _assign_cells_pandas(c, "_cv", cents, top2=True)
         books = _pq_books(m, sw, ksub)
         codes = _pq_encode_pandas(a, "_cv", m, sw, ksub)
     out = codes.select(
         "neighbor_id",
         F.col("_cell").alias("cell"),
+        F.col("_cell2").alias("cell2"),
         F.col("_codes").alias("codes"),
         F.lit(batch_label).alias("_batch"),
     )
@@ -296,16 +302,17 @@ def ann_index_add(batch_df, index_dir: str, id_col: str, vec_col: str,
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
     if meta["residual"]:
-        a = _assign_cells_pandas(c, "_cv", cents)
+        a = _assign_cells_pandas(c, "_cv", cents, top2=True)
         codes = _pq_encode_pandas(
             a, "_cv", m, sw, ksub, cents=cents, books=books
         )
     else:
-        a = _assign_cells_pandas(c, "_cv", cents)
+        a = _assign_cells_pandas(c, "_cv", cents, top2=True)
         codes = _pq_encode_pandas(a, "_cv", m, sw, ksub, books=books)
     out = codes.select(
         "neighbor_id",
         F.col("_cell").alias("cell"),
+        F.col("_cell2").alias("cell2"),
         F.col("_codes").alias("codes"),
         F.lit(batch_label).alias("_batch"),
     )

@@ -186,17 +186,26 @@ def knn_pandas(df, id_col: str, vec_col: str, n_queries: int = 5, k: int = 10):
 def derive_ncells(n_rows, target_per_cell: int = 64) -> int:
     """STATS-DERIVED cell count for IVF / SemDeDup bucketing (VERDICT r6
     item 7): the nearest power of two to ``n_rows / target_per_cell``,
-    clamped to [4, 4096].  Keeps the per-cell population — and with it
+    clamped to [4, 65536].  Keeps the per-cell population — and with it
     the within-cell quadratic term of SemDeDup and the per-probe work of
     IVF — FLAT as the corpus grows, instead of letting a static 8-cell
     layout degrade to ~n²/8 pairwise work at 100 TB.  Pure integer
     function of the catalog row count, so the DuckDB oracle reproduces
-    the identical cell layout from the same count."""
+    the identical cell layout from the same count.
+
+    r13 (VERDICT r12 item 4): the cap was 4096, which held ~64
+    vectors/cell only to ~262k vectors — beyond that the within-cell
+    quadratic returned.  Raised to 2^16: the ~64/cell target now holds
+    to ~4M vectors, and everything ncells-sized stays model-sized (a
+    65536 × dim centroid collect is ~32 MB of doubles; the
+    ``cell_counts`` meta list is 65k ints).  ``scripts/
+    ncells_scale_bench.py`` measures the per-cell-work flatness at 1M+
+    synthetic vectors."""
     import math
 
     if not n_rows or n_rows <= 0:
         return 8
-    return 1 << max(2, min(12, round(math.log2(max(float(n_rows), 1.0) / target_per_cell))))
+    return 1 << max(2, min(16, round(math.log2(max(float(n_rows), 1.0) / target_per_cell))))
 
 
 def _with_cell_sims(df, vec_expr: str, ncells: int, prefix: str = "c"):
@@ -235,10 +244,18 @@ def _best_cell_pandas(df, vec_col: str, ncells: int, prefix: str = "c",
     return _assign_cells_pandas(df, vec_col, cents, resid_sq=resid_sq)
 
 
-def _assign_cells_pandas(df, vec_col: str, cents, resid_sq=None):
+def _assign_cells_pandas(df, vec_col: str, cents, resid_sq=None,
+                         top2: bool = False):
     """Shared Arrow assignment core: ``cents`` is [(cell_id, vector)]
     in (sim DESC, cell_id ASC) tie order — i.e. sorted by cell_id, so
-    numpy's first-max argmax reproduces the SQL ranking exactly."""
+    numpy's first-max argmax reproduces the SQL ranking exactly.
+
+    ``top2`` (r13, VERDICT r12 item 4) additionally emits ``_cell2``,
+    the RUNNER-UP cell — rank 2 of the same (sim DESC, cell ASC)
+    ordering, computed as first-max argmax after masking the winner,
+    so the DuckDB ``rc = 2`` replay is bit-identical.  Multi-probe
+    candidate generation (SemDeDup boundary-pair recovery) uses it;
+    the primary assignment is untouched."""
     import numpy as np
 
     cents = sorted(cents, key=lambda p: p[0])
@@ -253,10 +270,14 @@ def _assign_cells_pandas(df, vec_col: str, cents, resid_sq=None):
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", _cell int"
+    if top2:
+        schema += ", _cell2 int"
     if resid_sq is not None:
         schema += ", _sq array<bigint>"
     cols = [f.name for f in df.schema.fields]
     centarr = np.stack([np.asarray(cv, dtype=np.float64) for cv in cvecs])
+
+    cnorm_arr = np.asarray(cnorms, dtype=np.float64)
 
     def run(batches):
         for pdf in batches:
@@ -270,14 +291,32 @@ def _assign_cells_pandas(df, vec_col: str, cents, resid_sq=None):
                 acc = acc + m[:, j] * m[:, j]
             nx = np.sqrt(acc)
             sims = np.empty((len(m), len(cvecs)), dtype=np.float64)
-            for ci, (cv, nc_) in enumerate(zip(cvecs, cnorms)):
-                dot = np.zeros(len(m), dtype=np.float64)
+            # dimension-OUTER accumulation (r13): per (row, cell) the
+            # partial sums still add j = 0, 1, 2, … in order — bit-
+            # identical to the sequential per-centroid fold (and to
+            # the SQL) — but the python-level loop is dim iterations
+            # of (chunk × ncells) elementwise ops instead of
+            # ncells × dim vector ops: at the lifted 65536-cell clamp
+            # the old shape was the assignment bottleneck.  Chunk rows
+            # so the (chunk × ncells) accumulator stays ~4 MB — cache-
+            # resident across the dim passes (a larger chunk goes
+            # memory-bandwidth-bound: every dim pass re-streams it)
+            step = max(1, (1 << 19) // max(len(cvecs), 1))
+            for s0 in range(0, len(m), step):
+                mm = m[s0:s0 + step]
+                dot = np.zeros((len(mm), len(cvecs)), dtype=np.float64)
                 for j in range(m.shape[1]):
-                    dot = dot + m[:, j] * cv[j]
-                sims[:, ci] = dot / (nx * nc_)
+                    dot = dot + mm[:, j:j + 1] * centarr[:, j]
+                sims[s0:s0 + step] = dot / (
+                    nx[s0:s0 + step, None] * cnorm_arr[None, :]
+                )
             best = np.argmax(sims, axis=1)
             out = pdf[cols].copy()
             out["_cell"] = cids[best]
+            if top2:
+                masked = sims.copy()
+                masked[np.arange(len(m)), best] = -np.inf
+                out["_cell2"] = cids[np.argmax(masked, axis=1)]
             if resid_sq is not None:
                 pm, sw = resid_sq
                 resid = m - centarr[best]  # elementwise, exact IEEE
@@ -1020,6 +1059,7 @@ def cosine_near_dup(
 
 def semantic_dedup_cc(
     df, cells_df, id_col: str, vec_col: str, threshold_1000: int = 300,
+    multiprobe: int = 1,
 ):
     """SemDeDup via a PERSISTED index's IVF cells + the CC/keep-best
     pipeline (r12, VERDICT r11 item 5): ``cells_df`` (id, cell) comes
@@ -1037,22 +1077,44 @@ def semantic_dedup_cc(
     100 TB shape: cells bound the quadratic term (cell population ∝
     corpus/ncells); CC runs logarithmic pointer-jumping rounds over
     pair-sized data; the final verdict is one LEFT join back to the
-    corpus ids."""
+    corpus ids.
+
+    ``multiprobe=2`` (r13, VERDICT r12 item 4): each vector also
+    participates via its RUNNER-UP cell (``cells_df``'s third column,
+    persisted by the v2 index build) — a pair is a candidate when the
+    two vectors share ANY of their 2 cells, recovering boundary pairs
+    cell-confinement misses.  Candidate generation only: scoring,
+    threshold and CC are unchanged; pairs found in both shared cells
+    dedup before scoring.  ≤4× the cell-bucketed pair count — still
+    ∝ n²/ncells, never doc×doc."""
     from pyspark.sql import functions as F
 
     from ._parallel import ensure_min_parallelism
     from .graph import connected_components
 
+    if multiprobe not in (1, 2):
+        raise ValueError("semantic_dedup_cc supports multiprobe 1 or 2")
+    cell_cols = cells_df.columns
+    if multiprobe == 2 and len(cell_cols) < 3:
+        raise ValueError(
+            "multiprobe=2 needs (id, cell, cell2) — rebuild the index "
+            "(v2 persists the runner-up cell)"
+        )
+    cmap = cells_df.select(
+        F.col(cell_cols[0]).alias("_id"),
+        F.col(cell_cols[1]).alias("_cell"),
+    )
+    if multiprobe == 2:
+        cmap = cmap.unionAll(
+            cells_df.select(
+                F.col(cell_cols[0]).alias("_id"),
+                F.col(cell_cols[2]).alias("_cell"),
+            )
+        )
     c = (
         ensure_min_parallelism(df)
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .join(
-            cells_df.select(
-                F.col(cells_df.columns[0]).alias("_id"),
-                F.col(cells_df.columns[1]).alias("_cell"),
-            ),
-            "_id",
-        )
+        .join(cmap, "_id")
     )
     a = c.select(
         F.col("_id").alias("_lo"), F.col("_v").alias("_v1"),
@@ -1063,7 +1125,10 @@ def semantic_dedup_cc(
         F.col("_cell").alias("_c2"),
     )
     pairs = (
-        a.join(b, (F.col("_c1") == F.col("_c2")) & (F.col("_lo") < F.col("_hi")))
+        a.join(
+            b,
+            (F.col("_c1") == F.col("_c2")) & (F.col("_lo") < F.col("_hi")),
+        )
         .withColumn(
             "_cos_1000",
             F.floor(
@@ -1073,6 +1138,11 @@ def semantic_dedup_cc(
         .filter(F.col("_cos_1000") >= threshold_1000)
         .select("_lo", "_hi")
     )
+    if multiprobe == 2:
+        # a pair sharing BOTH of its cells scores twice (identical
+        # ⌊1000·cos⌋ on identical operands) — dedup the id pairs AFTER
+        # the threshold, where the rows are two ints, not two vectors
+        pairs = pairs.distinct()
     cc = connected_components(pairs, "_lo", "_hi")
     return (
         df.select(F.col(id_col).alias("_id"))

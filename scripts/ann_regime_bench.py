@@ -381,6 +381,34 @@ def main():
         tag = "  <- adaptive" if p_ == auto_p else ""
         print(f"  nprobe={p_:3d}: recall {rc:.3f}, {tsec:6.2f} s{tag}")
 
+    # ---- refine sweep at the adaptive nprobe (r13, VERDICT r12
+    # item 5): the exact re-rank pool is the OTHER recall lever — ADC
+    # ranks with quantized distances, so the true neighbor is often IN
+    # the probed cells but below rank k; re-ranking the top-``refine``
+    # ADC candidates by exact cosine (an equi-join point-fetch of just
+    # those vectors) recovers it.  Recall here is bounded by the probe
+    # ceiling (the fraction of true neighbors inside the probed
+    # cells) — refine→∞ converges to that ceiling, so read this sweep
+    # together with the nprobe sweep above.
+    print(f"\nrefine sweep at nprobe={auto_p} "
+          f"(exact re-rank pool | recall@{K} | warm s):")
+    for rf in (0, 3 * K, 5 * K, 10 * K, 20 * K, 40 * K):
+        def probe_r():
+            return ann_index_probe(
+                qdf, idx_path, "vec_id", "embedding", k=K,
+                nprobe=auto_p, refine=rf, corpus_df=corpus,
+            )
+
+        probe_r().count()  # warm
+        t0 = time.monotonic()
+        pairs = {
+            (r["query_id"], r["neighbor_id"]) for r in probe_r().collect()
+        }
+        tsec = time.monotonic() - t0
+        rc = len(pairs & gt) / max(1, len(gt))
+        tag = "  (ADC only)" if rf == 0 else ""
+        print(f"  refine={rf:4d}: recall {rc:.3f}, {tsec:6.2f} s{tag}")
+
 
 if __name__ == "__main__":
     main()

@@ -61,6 +61,11 @@ def main():
         F.col("neighbor_id").alias("vec_id"), F.col("cell")
     ).persist()
     cells.count()
+    # r13: multi-probe assignment (primary + runner-up cell)
+    cells_mp = spark.read.parquet(idx).select(
+        F.col("neighbor_id").alias("vec_id"), F.col("cell"), F.col("cell2")
+    ).persist()
+    cells_mp.count()
 
     # pair-count story (the scale argument)
     cell_pairs = (
@@ -86,17 +91,45 @@ def main():
         return semantic_dedup_cc(emb, cells, "vec_id", "embedding",
                                  threshold_1000=THR).filter("NOT kept").count()
 
+    def run_cells_mp2():
+        return semantic_dedup_cc(emb, cells_mp, "vec_id", "embedding",
+                                 threshold_1000=THR,
+                                 multiprobe=2).filter("NOT kept").count()
+
     brute_hits = run_brute()  # warm + the coverage denominator
     ac = a.join(cells.withColumnRenamed("vec_id", "_lo"), "_lo")
     bc = b.join(cells.withColumnRenamed("vec_id", "_hi").withColumnRenamed("cell", "cell2"), "_hi")
     cell_hits = scored(
         ac.join(bc, (F.col("cell") == F.col("cell2")) & (F.col("_lo") < F.col("_hi")))
     ).count()
+    # r13 multiprobe coverage: shared ANY-of-2-cells candidate pairs
+    mp = cells_mp.select(
+        "vec_id", F.explode(F.array("cell", "cell2")).alias("c")
+    )
+    amp = a.join(mp.withColumnRenamed("vec_id", "_lo"), "_lo")
+    bmp = b.join(
+        mp.withColumnRenamed("vec_id", "_hi").withColumnRenamed("c", "c2"),
+        "_hi",
+    )
+    cell_hits_mp2 = (
+        scored(
+            amp.join(
+                bmp,
+                (F.col("c") == F.col("c2")) & (F.col("_lo") < F.col("_hi")),
+            )
+        )
+        .select("_lo", "_hi")
+        .distinct()
+        .count()
+    )
     run_cells()  # warm
-    times = {"brute_all_pairs": [], "cell_bucketed_cc": []}
+    run_cells_mp2()
+    times = {"brute_all_pairs": [], "cell_bucketed_cc": [],
+             "cell_bucketed_cc_mp2": []}
     for _ in range(n_trials):
         for name, fn in (("brute_all_pairs", run_brute),
-                         ("cell_bucketed_cc", run_cells)):
+                         ("cell_bucketed_cc", run_cells),
+                         ("cell_bucketed_cc_mp2", run_cells_mp2)):
             t0 = time.monotonic()
             fn()
             times[name].append(time.monotonic() - t0)
@@ -114,8 +147,12 @@ def main():
         "pair_reduction_x": round(all_pairs / max(cell_pairs, 1), 1),
         "above_thr_pairs_all": brute_hits,
         "above_thr_pairs_in_cells": cell_hits,
+        "above_thr_pairs_mp2": cell_hits_mp2,
+        "coverage_1probe": round(cell_hits / max(brute_hits, 1), 4),
+        "coverage_mp2": round(cell_hits_mp2 / max(brute_hits, 1), 4),
         "brute_sec": round(med["brute_all_pairs"], 3),
         "cell_cc_sec": round(med["cell_bucketed_cc"], 3),
+        "cell_cc_mp2_sec": round(med["cell_bucketed_cc_mp2"], 3),
         "n_trials": n_trials,
     }, sort_keys=True))
     spark.stop()

@@ -365,3 +365,74 @@ def test_sql_ddl_and_auto_attach(tmp_path, planner, spark):
         .build()
     )
     assert "PhysicalKnnPq" in planner.explain(plan3)
+
+
+def test_cell2_runner_up_and_multiprobe(tmp_path, emb, planner):
+    """r13 (VERDICT r12 item 4): the v2 index persists ``cell2`` — the
+    RUNNER-UP coarse cell under the same (sim DESC, cell ASC) ranking —
+    and ``semantic_dedup_cc(multiprobe=2)`` recovers boundary pairs
+    single-cell confinement misses while staying cell-bucketed."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dolomite_spark.functions.ann_index import (
+        ann_index_build,
+        read_ann_meta,
+    )
+    from datafusion_dolomite_spark.functions.similarity import (
+        _assign_cells_pandas,
+        semantic_dedup_cc,
+    )
+
+    idx = str(tmp_path / "annidx_mp")
+    meta = ann_index_build(
+        emb, idx, "vec_id", "embedding",
+        m=8, ksub=16, ncells=16, residual=True, kmeans_iters=1,
+    )
+    codes = emb.sparkSession.read.parquet(idx)
+    assert "cell2" in codes.columns
+    rows = codes.select("neighbor_id", "cell", "cell2").collect()
+    # runner-up is always a DIFFERENT cell (ncells >= 2)
+    assert all(r.cell != r.cell2 for r in rows)
+    # cell2 == rank 2 of the full ranked assignment (reference replay
+    # via the shared Arrow core on the persisted centroids)
+    cents = [(int(c), list(map(float, v))) for c, v in meta["cents"]]
+    want2 = {
+        r.neighbor_id: (r._cell, r._cell2)
+        for r in _assign_cells_pandas(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("_cv"),
+            ),
+            "_cv", cents, top2=True,
+        ).collect()
+    }
+    assert {r.neighbor_id: (r.cell, r.cell2) for r in rows} == want2
+
+    cells = codes.select(
+        F.col("neighbor_id").alias("vec_id"), "cell", "cell2"
+    )
+    d1 = semantic_dedup_cc(
+        emb, cells.select("vec_id", "cell"), "vec_id", "embedding",
+        threshold_1000=300,
+    )
+    d2 = semantic_dedup_cc(
+        emb, cells, "vec_id", "embedding", threshold_1000=300,
+        multiprobe=2,
+    )
+    n1 = d1.filter("NOT kept").count()
+    n2 = d2.filter("NOT kept").count()
+    # multiprobe is a candidate SUPERSET: it can only drop more
+    assert n2 >= n1
+    # every mp1 drop stays dropped under mp2 (same threshold, more
+    # candidates -> components can only merge/grow)
+    dropped1 = {r.vec_id for r in d1.filter("NOT kept").collect()}
+    dropped2 = {r.vec_id for r in d2.filter("NOT kept").collect()}
+    assert dropped1 <= dropped2
+    # output stays one row per id
+    assert d2.count() == emb.count()
+    # multiprobe=2 against a 2-column cells_df is a clean error
+    with pytest.raises(ValueError, match="cell2"):
+        semantic_dedup_cc(
+            emb, cells.select("vec_id", "cell"), "vec_id", "embedding",
+            multiprobe=2,
+        )

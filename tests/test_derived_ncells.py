@@ -32,7 +32,10 @@ def test_derive_ncells_pure_function():
     assert derive_ncells(500) == 8
     assert derive_ncells(2000) == 32
     assert derive_ncells(64 * 1024) == 1024
-    assert derive_ncells(10**9) == 4096  # upper clamp
+    # r13: upper clamp lifted 4096 → 65536 (VERDICT r12 item 4) —
+    # ~64 vectors/cell now holds to ~4M vectors
+    assert derive_ncells(10**6) == 16384
+    assert derive_ncells(10**9) == 65536  # upper clamp
     # power of two, monotone non-decreasing
     prev = 0
     for n in (1, 100, 1000, 10_000, 10**6, 10**8):

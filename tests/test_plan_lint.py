@@ -422,6 +422,9 @@ SHUFFLE_BUDGET = {
     # pair-sized data (exchanges print from the cached subplan); final
     # LEFT join back to ids (measured 2)
     "q_semdedup_index": 2,
+    # r13 multiprobe: + the doubled cell-map union feeding the pair
+    # join and the post-threshold distinct over (lo, hi) int pairs
+    "q_semdedup_multiprobe": 4,
     # r12: window over ROLLUP output — the rollup aggregate exchange +
     # the window's hash exchange on the partition key
     "q_sql_rollup_share": 2,
