@@ -7529,17 +7529,18 @@ def q_sql_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sql_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantified comparisons: ``x op ANY/ALL/SOME (subquery)``.
-    CORRELATED quantifiers (the ``< ANY`` here) rewrite into the
-    EXISTS machinery — the injected ``x op y`` conjunct lifts onto
-    the semi/anti join condition, one hash join, no per-row
-    re-execution (r12).  UNCORRELATED quantifiers (the ``<= ALL``)
-    lower three-valued to a broadcast 1-row
+    """Quantified comparisons: ``x op ANY/ALL/SOME (subquery)`` —
+    three-valued on EVERY path (r13).  UNCORRELATED quantifiers (the
+    ``<= ALL``) lower to a broadcast 1-row
     ``struct(min, max, count(*), count(y))`` stats aggregate + CASE
-    (r13, ``sql.py::_QuantSubquery``) — standard NULL semantics and
-    an aggregate instead of a join at 100 TB; ``= ANY`` under OR
-    takes the (now null-aware) membership-flag path like IN.  Same
-    string runs natively on DuckDB."""
+    (``sql.py::_QuantSubquery``) — an aggregate instead of a join at
+    100 TB.  CORRELATED quantifiers (the ``< ANY``) lower to a CASE
+    over three EXISTS flags — witness/violation (a min/max grouped
+    hash join via the single-inequality path), group-nonempty, and
+    NULL-row-in-group — so a NULL probe or a NULL subquery row yields
+    NULL exactly as the standard prescribes; ``= ANY`` under OR takes
+    the null-aware membership-flag path like IN.  No per-outer-row
+    re-execution anywhere.  Same string runs natively on DuckDB."""
     return _planner(spark, sf_dir).sql(_SQL_ANY_ALL)
 
 

@@ -330,6 +330,24 @@ def main() -> None:
     base, base_name = _load_baseline(
         os.path.dirname(os.path.abspath(__file__)), out
     )
+    # BASELINE-DRIFT GUARD (r13, VERDICT r12 item 7): a registry query
+    # the committed baseline lacks has NO regression row — silently.
+    # r12 shipped exactly that (q_sql_any_all landed after the baseline
+    # refresh), so make the drift impossible to miss: list the missing
+    # keys in the artifact AND on stderr.  Not a hard assert — mid-
+    # round the baseline legitimately trails new queries, and killing
+    # the driver bench for that would cost the whole round's numbers;
+    # the round discipline is that this list must be EMPTY at the
+    # final (baseline-refresh) commit.
+    if base:
+        missing = sorted(set(timings) - set(base.get("queries") or {}))
+        doc["baseline_missing_queries"] = missing
+        if missing:
+            print(
+                f"WARNING: {len(missing)} queries have no baseline row "
+                f"in {base_name}: {missing}",
+                file=sys.stderr,
+            )
     regressions = []
     if base and base.get("canary_sec"):
         bnorm = base.get("normalized_queries") or {}

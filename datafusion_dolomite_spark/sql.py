@@ -119,7 +119,9 @@ class _QuantSubquery:
     subquery instead of a join against it.  ``_extract_scalars``
     expands the marker (the CASE itself is a plain Expr; the marker
     exists only because a bare subplan cannot ride inside ``Func``
-    args).  Correlated quantifiers keep the r12 EXISTS machinery."""
+    args).  CORRELATED quantifiers (r13) go three-valued through a
+    CASE over three EXISTS flags instead — see the quantifier branch
+    in ``_cmp``."""
 
     __slots__ = ("expr", "op", "quant", "subplan", "negated")
 
@@ -2723,6 +2725,74 @@ class _Parser:
                         "all" if quant == "all" else "any",
                         stats,
                     )
+                if self.catalog is not None:
+                    # r13: CORRELATED quantifiers go three-valued too —
+                    # a CASE over three EXISTS flags (each a hash flag
+                    # join through the r12/r13 machinery; the x-op-y
+                    # flag takes the min/max grouped-aggregate path):
+                    #   A: ∃ row deciding the answer (witness for ANY,
+                    #      violation for ALL) — both operands non-null
+                    #   B: group nonempty (a NULL x can only matter
+                    #      when there is something to compare against)
+                    #   C: ∃ NULL row in the group
+                    # ALL: A→FALSE; x NULL & B→NULL; C→NULL; else TRUE
+                    # ANY: A→TRUE;  x NULL & B→NULL; C→NULL; else FALSE
+                    from .expr import CaseWhen
+
+                    if quant == "all":
+                        # the violation test: NOT(x op y) as a FILTER
+                        # keeps rows where x op y is FALSE — exactly
+                        # the complement comparison (NULL comparisons
+                        # drop under both spellings), and the plain
+                        # BinOp form lets the min/max single-inequality
+                        # path take it (one grouped hash join)
+                        comp = {
+                            "<": ">=", "<=": ">", ">": "<=", ">=": "<",
+                            "=": "!=", "!=": "=",
+                        }
+                        sat = BinOp(comp[op], e, y)
+                    else:
+                        sat = BinOp(op, e, y)
+                    a_m = _ExistsSubquery(
+                        Plan(
+                            PlanNode(
+                                LogicalFilter(sat),
+                                [_clone_subtree(below)],
+                            )
+                        ),
+                        False,
+                    )
+                    b_m = _ExistsSubquery(
+                        Plan(_clone_subtree(below)), False
+                    )
+                    c_m = _ExistsSubquery(
+                        Plan(
+                            PlanNode(
+                                LogicalFilter(Func("isnull", (y,))),
+                                [_clone_subtree(below)],
+                            )
+                        ),
+                        False,
+                    )
+                    null_b = Cast(Lit(None), "boolean")
+                    decided = Lit(quant != "all")
+                    return CaseWhen(
+                        (
+                            (a_m, decided),
+                            (
+                                BinOp(
+                                    "and",
+                                    Func("isnull", (e,)),
+                                    b_m,
+                                ),
+                                null_b,
+                            ),
+                            (c_m, null_b),
+                        ),
+                        Lit(quant == "all"),
+                    )
+                # catalog-less parse (shape-only unit tests): keep the
+                # two-valued EXISTS rewrite
                 pred = BinOp(op, e, y)
                 if quant == "all":
                     pred = Func("not", (pred,))
@@ -4348,6 +4418,18 @@ def _rename_inner(e, renames):
         return Cast(_rename_inner(e.expr, renames), e.to_type, e.safe)
     if isinstance(e, Func):
         return Func(e.name, tuple(_rename_inner(a, renames) for a in e.args))
+    from .expr import CaseWhen
+
+    if isinstance(e, CaseWhen):
+        return CaseWhen(
+            tuple(
+                (_rename_inner(c, renames), _rename_inner(v, renames))
+                for c, v in e.branches
+            ),
+            None
+            if e.otherwise is None
+            else _rename_inner(e.otherwise, renames),
+        )
     return e
 
 

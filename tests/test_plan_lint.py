@@ -437,10 +437,11 @@ SHUFFLE_BUDGET = {
     # via the min/max path — its hit side groups by the membership key
     # (1 aggregate exchange; the global stats row broadcasts)
     "q_sql_corr_in": 1,
-    # r12: quantified comparisons — correlated ANY semi-joins on the
-    # lifted key; the uncorrelated ALL anti-NLJ broadcasts; the =ANY
-    # flag side dedups (1 exchange)
-    "q_sql_any_all": 1,
+    # r12: quantified comparisons.  r13: the CORRELATED `< ANY` went
+    # three-valued — a CASE over three EXISTS flags (witness via the
+    # min/max grouped aggregate, nonempty + NULL-row via dedup flag
+    # sides): 3 grouped/dedup exchanges + the =ANY flag dedup
+    "q_sql_any_all": 4,
     # r13 three-valued subquery fixtures: the null-aware stats rows are
     # 1-row broadcast aggregates (no exchange of data rows); the
     # exchanges here are the flag-join dedups (notin_null: 3 embedded

@@ -397,14 +397,75 @@ class TestQuantified3VL:
             " END AS a FROM supplier)) ORDER BY c_custkey",
         )
 
-    def test_correlated_quantifier_keeps_exists_path(self, planner, duck):
-        # correlated quantifiers stay on the r12 EXISTS machinery
+    def test_correlated_any_clean(self, planner, duck):
         _check(
             planner,
             duck,
             "SELECT c_custkey FROM customer WHERE c_acctbal < ANY "
             "(SELECT s_acctbal FROM supplier "
             " WHERE s_nationkey = c_nationkey) ORDER BY c_custkey",
+        )
+
+
+class TestCorrelatedQuantifier3VL:
+    """r13: CORRELATED quantifiers are three-valued too — a CASE over
+    three EXISTS flags (``sql.py`` quantifier branch): witness/
+    violation (min/max grouped hash join), group-nonempty, and
+    NULL-row-in-group."""
+
+    def test_all_with_null_rows_per_group(self, planner, duck):
+        # only rows whose correlated group holds a NULL get poisoned
+        _check(
+            planner,
+            duck,
+            "SELECT c_custkey FROM customer WHERE c_acctbal >= ALL "
+            "(SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL "
+            "             ELSE o_totalprice / 1000 END "
+            " FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+        )
+
+    def test_not_over_correlated_any_with_nulls(self, planner, duck):
+        # NOT(NULL) = NULL: rows whose group has a NULL and no witness
+        # must drop — the two-valued flag kept them
+        _check(
+            planner,
+            duck,
+            "SELECT c_custkey FROM customer WHERE NOT (c_acctbal < ANY "
+            "(SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL "
+            "             ELSE o_totalprice / 1000 END "
+            " FROM orders WHERE o_custkey = c_custkey)) ORDER BY c_custkey",
+        )
+
+    def test_null_probe_under_correlated_all(self, planner, duck):
+        # a NULL x is TRUE only against an EMPTY group
+        _check(
+            planner,
+            duck,
+            "SELECT c_custkey FROM customer WHERE "
+            "(CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END) "
+            ">= ALL (SELECT o_totalprice / 1000 FROM orders "
+            "        WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+        )
+
+    def test_correlated_all_under_or(self, planner, duck):
+        _check(
+            planner,
+            duck,
+            "SELECT c_custkey FROM customer WHERE (c_acctbal >= ALL "
+            "(SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL "
+            "             ELSE o_totalprice / 1000 END "
+            " FROM orders WHERE o_custkey = c_custkey) "
+            "OR c_acctbal < -900) ORDER BY c_custkey",
+        )
+
+    def test_correlated_neq_all(self, planner, duck):
+        # <> ALL: the = complement drives the violation flag
+        _check(
+            planner,
+            duck,
+            "SELECT c_custkey FROM customer WHERE c_custkey <> ALL "
+            "(SELECT o_custkey + 1 FROM orders WHERE o_custkey = c_custkey) "
+            "ORDER BY c_custkey",
         )
 
 
