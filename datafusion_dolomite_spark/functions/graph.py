@@ -250,15 +250,22 @@ def connected_components(edges, src: str, dst: str, max_iter: int = 25):
     from pyspark.sql import functions as F
 
     # the edge list feeds every iteration — materialize it ONCE (without
-    # this the whole upstream plan re-executes 2x per round)
+    # this the whole upstream plan re-executes 2x per round), PRE-HASHED
+    # on the probe key ``b`` (r13 optimization, guide §2.4): the cached
+    # InMemoryRelation keeps hashpartitioning(b), so the per-round
+    # neighbor join reads the cache WITHOUT re-shuffling the |E|-row
+    # side — previously the largest exchange of every round
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .repartition(F.col("b"))
         .cache()
     )
     sym.count()
     nodes = sym.select(F.col("a").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node")).cache()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
+        eager=False
+    )
     # min-label propagation strictly decreases sum(label) whenever any
     # label changes — ONE cheap agg per round replaces a join+filter
     # convergence check (decimal(38,0) so the sum can't overflow bigint
@@ -267,23 +274,29 @@ def connected_components(edges, src: str, dst: str, max_iter: int = 25):
     prev_sum = labels.agg(_label_sum).first()[0]
 
     for _ in range(max_iter):
-        neigh = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        prop = (
-            labels.join(neigh, labels.node == neigh.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-            )
-        )
-        # pointer jump: adopt your label's label
-        l2 = prop.select(
+        # ONE union + ONE min-aggregate per round (r13, guide §2.3/2.4):
+        # new_label(x) = min(label(x),            — keep-own branch
+        #                    label(label(x)),     — pointer jump
+        #                    min_{y∈N(x)} label(y))  — neighbor min
+        # Same monotone operator family as the previous
+        # neighbor-min → left-join → jump-join chain, hence the same
+        # unique fixpoint (labels only decrease, every label is a
+        # component-member id, and a stable labeling is component-
+        # constant at the component minimum) — but 2 exchanges per
+        # round instead of 4, one aggregate instead of two joins plus
+        # one, and NO duplicated subtree (the old self-join of the
+        # un-cached ``prop`` re-computed the propagation once per
+        # side).  ``labels`` is a materialized localCheckpoint, so all
+        # three branches re-read an RDD, never re-derive lineage.
+        l2 = labels.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        jump = (
+            labels.join(l2, labels.label == l2.pnode)
+            .select("node", F.col("plabel").alias("label"))
+        )
+        neigh = sym.join(labels, sym.b == labels.node).select(
+            F.col("a").alias("node"), "label"
         )
         # localCheckpoint TRUNCATES LINEAGE — without it the logical plan
         # triples every round and Catalyst re-analysis dominates (the
@@ -292,19 +305,14 @@ def connected_components(edges, src: str, dst: str, max_iter: int = 25):
         # materializes the checkpoint as a side effect — two jobs per
         # round would double the fixed scheduling cost.  On a cluster
         # swap for checkpoint() on reliable storage.
-        jumped = (
-            prop.join(l2, prop.label == l2.pnode, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
-                ).alias("label"),
-            )
+        new_labels = (
+            labels.unionAll(jump).unionAll(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)
         )
-        new_sum = jumped.agg(_label_sum).first()[0]
-        labels.unpersist()
-        labels = jumped
+        new_sum = new_labels.agg(_label_sum).first()[0]
+        labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

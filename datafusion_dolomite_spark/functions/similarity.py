@@ -51,6 +51,65 @@ def _cos_sql(a: str, b: str) -> str:
     return f"({dot}) / (({na}) * ({nb}))"
 
 
+def _pair_cos1000_pandas(pairs, v1_col: str, v2_col: str,
+                         keep_cols: list[str], threshold_1000: int,
+                         out_col: str | None = None):
+    """Arrow-vectorized PAIR verification (r13 optimization, guide §4.2):
+    score each row's two vectors with exact cosine, keep rows with
+    ⌊1000·cos⌋ ≥ threshold.  Returns ``keep_cols`` (+ ``out_col`` with
+    the quantized score when requested).
+
+    Why: the SQL fold (``_cos_sql``) evaluates interpreted HOF lambdas
+    per element — it dominated the verify stage of every pair pipeline
+    (SemDeDup within-cell pairs, LSH same-sketch pairs).  An unrolled
+    SQL form is WORSE (measured this round: 192-term trees stall
+    Catalyst analysis and bloat task binaries 3.8 MB).  One numpy pass
+    per Arrow batch is the ``_assign_cells_pandas`` discipline instead.
+
+    BIT-EXACT to the SQL fold: per row the dot and both norms accumulate
+    dimension-by-dimension in float64 (j = 0, 1, 2, … — the identical
+    IEEE add sequence, vectorized ACROSS rows), then
+    ``floor(1000.0 · dot / (√na · √nb))`` replays the SQL operation
+    order.  The DuckDB oracle (sequential scalar loop) is unchanged —
+    pinned by the oracle suite and the sf0.1 spot-checks this round.
+
+    Filtering INSIDE the worker also shrinks the Arrow return traffic
+    to the surviving pairs' ids — the vectors never cross back."""
+    import numpy as np
+
+    dtypes = {f.name: f.dataType.simpleString() for f in pairs.schema.fields}
+    schema = ", ".join(f"{c} {dtypes[c]}" for c in keep_cols)
+    if out_col:
+        schema += f", {out_col} bigint"
+    thr = int(threshold_1000)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[v1_col]])
+            b = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[v2_col]])
+            n = len(a)
+            dot = np.zeros(n, dtype=np.float64)
+            na = np.zeros(n, dtype=np.float64)
+            nb = np.zeros(n, dtype=np.float64)
+            for j in range(a.shape[1]):  # dim-ordered: the SQL fold order
+                x, y = a[:, j], b[:, j]
+                dot = dot + x * y
+                na = na + x * x
+                nb = nb + y * y
+            cos1000 = np.floor(
+                1000.0 * (dot / (np.sqrt(na) * np.sqrt(nb)))
+            ).astype(np.int64)
+            keep = cos1000 >= thr
+            out = pdf.loc[keep, keep_cols].copy()
+            if out_col:
+                out[out_col] = cos1000[keep]
+            yield out
+
+    return pairs.mapInPandas(run, schema=schema)
+
+
 def _hash_vec(prefix: str, dim: int = DIM) -> list[float]:
     """Deterministic pseudo-random unit-cube vector: coordinate d is
     (h60('{prefix}_d{d}') % 2001 - 1000)/1000 ∈ [-1, 1].
@@ -89,20 +148,74 @@ def knn_brute(df, id_col: str, vec_col: str, n_queries: int = 5, k: int = 10):
 
     from ._parallel import ensure_min_parallelism
 
-    q = df.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    import numpy as np
+
+    qrows = (
+        df.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col), F.col(vec_col))
+        .collect()
     )
-    c = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    )
-    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).withColumn(
-        "_sim", F.expr(_cos_sql(_dvec("_qv"), _dvec("_cv")))
-    )
+    qids_l = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qm = np.stack([np.asarray(list(r[1]), dtype=np.float64) for r in qrows])
+    # explicit broadcast: the (bounded) query matrix ships per executor
+    # once, not inside every task closure (same handoff as knn_pandas)
+    bq = df.sparkSession.sparkContext.broadcast((qids_l, qm))
+
+    def local_topk(batches):
+        # Arrow-vectorized scoring (r13 optimization): per partition,
+        # score every (corpus row × query) with the EXACT cosine fold —
+        # dot and norms accumulate dimension-by-dimension in float64
+        # (j = 0, 1, 2, …), the identical IEEE add sequence as the SQL
+        # fold the oracle replays (the _assign_cells_pandas discipline;
+        # NOT a BLAS matmul, whose pairwise summation could flip a
+        # last-ulp tie) — and emit only the local top-k per query.
+        # Replaces the broadcast-nested-loop join + per-row interpreted
+        # HOF fold + full N×Q window shuffle: the window below now sees
+        # partitions × queries × k rows instead of N × Q.
+        import pandas as pd
+
+        qids, Q = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n = len(C)
+            dots = np.zeros((n, len(qids)), dtype=np.float64)
+            cn = np.zeros(n, dtype=np.float64)
+            qn = np.zeros(len(qids), dtype=np.float64)
+            for j in range(C.shape[1]):  # dim-ordered: the SQL fold order
+                x = C[:, j]
+                y = Q[:, j]
+                dots = dots + x[:, None] * y[None, :]
+                cn = cn + x * x
+                qn = qn + y * y
+            sims = dots / (np.sqrt(qn)[None, :] * np.sqrt(cn)[:, None])
+            for qi, qid in enumerate(qids):
+                mask = ids != qid
+                cand_ids, cand_s = ids[mask], sims[mask, qi]
+                if not len(cand_ids):
+                    continue
+                take = min(k, len(cand_ids))
+                order = np.lexsort((cand_ids, -cand_s))[:take]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(take, qid, dtype=np.int64),
+                        "neighbor_id": cand_ids[order],
+                        "_sim": cand_s[order],
+                    }
+                )
+
+    local = ensure_min_parallelism(
+        df.select(F.col(id_col), F.col(vec_col))
+    ).mapInPandas(local_topk, schema="query_id bigint, neighbor_id bigint, _sim double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
@@ -1047,13 +1160,10 @@ def cosine_near_dup(
         F.col("_id").alias("id2"), F.col("_v").alias("_v2"), F.col("_sketch").alias("_s2")
     )
     pairs = a.join(b_, (F.col("_s1") == F.col("_s2")) & (F.col("id1") < F.col("id2")))
-    return (
-        pairs.withColumn(
-            "cos_1000",
-            F.floor(1000.0 * F.expr(_cos_sql(_dvec("_v1"), _dvec("_v2")))).cast("bigint"),
-        )
-        .filter(F.col("cos_1000") >= threshold_1000)
-        .select("id1", "id2", "cos_1000")
+    # Arrow-vectorized verify (r13, bit-exact — see _pair_cos1000_pandas)
+    return _pair_cos1000_pandas(
+        pairs.select("id1", "id2", "_v1", "_v2"),
+        "_v1", "_v2", ["id1", "id2"], threshold_1000, out_col="cos_1000",
     )
 
 
@@ -1124,19 +1234,15 @@ def semantic_dedup_cc(
         F.col("_id").alias("_hi"), F.col("_v").alias("_v2"),
         F.col("_cell").alias("_c2"),
     )
-    pairs = (
+    # Arrow-vectorized verify (r13): one numpy pass per batch replaces
+    # the per-pair interpreted HOF fold — bit-exact, see
+    # _pair_cos1000_pandas; only surviving (lo, hi) id pairs cross back
+    pairs = _pair_cos1000_pandas(
         a.join(
             b,
             (F.col("_c1") == F.col("_c2")) & (F.col("_lo") < F.col("_hi")),
-        )
-        .withColumn(
-            "_cos_1000",
-            F.floor(
-                1000.0 * F.expr(_cos_sql(_dvec("_v1"), _dvec("_v2")))
-            ).cast("bigint"),
-        )
-        .filter(F.col("_cos_1000") >= threshold_1000)
-        .select("_lo", "_hi")
+        ).select("_lo", "_hi", "_v1", "_v2"),
+        "_v1", "_v2", ["_lo", "_hi"], threshold_1000,
     )
     if multiprobe == 2:
         # a pair sharing BOTH of its cells scores twice (identical
@@ -1197,15 +1303,15 @@ def semantic_dedup(
     b = c.select(
         F.col("_id").alias("_hi"), F.col("_v").alias("_v2"), F.col("_cell").alias("_c2")
     )
+    # Arrow-vectorized verify (r13, bit-exact — see _pair_cos1000_pandas)
     close = (
-        a.join(b, (F.col("_c1") == F.col("_c2")) & (F.col("_lo") < F.col("_hi")))
-        .withColumn(
-            "_cos_1000",
-            F.floor(1000.0 * F.expr(_cos_sql(_dvec("_v1"), _dvec("_v2")))).cast(
-                "bigint"
-            ),
+        _pair_cos1000_pandas(
+            a.join(
+                b,
+                (F.col("_c1") == F.col("_c2")) & (F.col("_lo") < F.col("_hi")),
+            ).select("_hi", "_v1", "_v2"),
+            "_v1", "_v2", ["_hi"], threshold_1000,
         )
-        .filter(F.col("_cos_1000") >= threshold_1000)
         .groupBy("_hi")
         .agg(F.count(F.lit(1)).alias("_n_close"))
     )
