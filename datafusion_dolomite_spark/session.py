@@ -42,6 +42,23 @@ def configure_session(spark) -> None:
             # A conf unavailable on some Spark build must not take down
             # the query path; the read will surface any real problem.
             pass
+    # r13 optimization (guide §4, the Python boundary): PySpark 4's
+    # DataFrame-debugging call-site capture wraps EVERY DataFrame/Column
+    # API call with a conf.get + PySparkCurrentOrigin.set/clear — 2-3
+    # extra py4j round-trips per call (measured ~3 ms/call in the
+    # planning path; ~25% of a typical query's plan-construction time).
+    # Purely a debugging aid (call-site lines in error messages), and a
+    # STATIC conf, so on an externally-built session it cannot be set
+    # via spark.conf — our own builder sets it (get_spark below), and
+    # here we flip pyspark's process-wide cache directly so driver-built
+    # sessions get the same fast path.  Guarded: if a future pyspark
+    # renames the flag this silently degrades to the default behaviour.
+    try:
+        import pyspark.errors.utils as _eu
+
+        _eu._enable_debugging_cache = False
+    except Exception:
+        pass
 
 
 def get_spark(app_name: str = "datafusion-dolomite-spark", cpus: int | None = None):
@@ -72,6 +89,10 @@ def get_spark(app_name: str = "datafusion-dolomite-spark", cpus: int | None = No
         # to ~1.7x slower than solo)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # see _REQUIRED_RUNTIME_CONFS: the per-call call-site capture is
+        # pure py4j overhead for an engine; set at build time so the
+        # process-wide pyspark cache reads it before the first call
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
         # read as bigint (nanoseconds since epoch) and convert explicitly
