@@ -6132,13 +6132,13 @@ def q_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "create table bal_snap as select c_custkey, "
         "cast(floor(cast(c_acctbal as decimal(12,2)) * 100) as bigint) as cents, "
         "cast(0 as bigint) as n_upd from customer where c_custkey <= 1000"
-    ).count()
+    )
     pl.sql(
         "create table bal_chg as select ck as c_custkey, mx as cents, "
         "cast(0 as bigint) as n_upd from (select o_custkey as ck, "
         "cast(floor(cast(max(o_totalprice) as decimal(12,2)) * 100) as bigint) as mx "
         "from orders where o_custkey <= 1200 group by o_custkey)"
-    ).count()
+    )
     return pl.sql(
         "merge into bal_snap t using bal_chg s on t.c_custkey = s.c_custkey "
         "when matched then update set cents = s.cents, n_upd = t.n_upd + 1 "
@@ -6160,14 +6160,14 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pl.sql(
         "create or replace function cents(x) as "
         "cast(floor(cast(x as decimal(12,2)) * 100) as bigint)"
-    ).count()
+    )
     # integer permille/percent arithmetic keeps every step engine-exact
     # (a float product cast to decimal rounds differently across
     # engines); netc CALLS cents — macros expand recursively
     pl.sql(
         "create or replace function netc(p, d) as "
         "cast(floor((cents(p) * (100 - cents(d))) / 100) as bigint)"
-    ).count()
+    )
     return pl.sql(
         "select l_returnflag, sum(cents(l_extendedprice)) as gross_cents, "
         "sum(netc(l_extendedprice, l_discount)) as net_cents, "
@@ -6189,11 +6189,11 @@ def q_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "create table cust_work as select c_custkey, c_nationkey, "
         "cast(floor(cast(c_acctbal as decimal(12,2)) * 100) as bigint) as cents "
         "from customer where c_custkey <= 600"
-    ).count()
-    pl.sql("delete from cust_work where c_nationkey >= 20").count()
+    )
+    pl.sql("delete from cust_work where c_nationkey >= 20")
     pl.sql(
         "update cust_work set cents = cents + 5 where c_nationkey < 5"
-    ).count()
+    )
     return pl.sql(
         "insert into cust_work select c_custkey + 1000000 as c_custkey, "
         "c_nationkey, cast(0 as bigint) as cents "
@@ -6214,12 +6214,12 @@ def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pl.sql(
         "create table tt_work as select c_custkey, c_nationkey "
         "from customer where c_custkey <= 500"
-    ).count()
-    pl.sql("delete from tt_work where c_nationkey >= 10").count()
+    )
+    pl.sql("delete from tt_work where c_nationkey >= 10")
     pl.sql(
         "insert into tt_work select c_custkey + 1000000 as c_custkey, "
         "c_nationkey from tt_work where c_custkey <= 5"
-    ).count()
+    )
     return pl.sql("select * from tt_work version as of 1")
 
 
@@ -6237,13 +6237,13 @@ def q_sql_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pl.sql(
         "create table opt_work as select o_orderkey, o_custkey "
         "from orders where o_orderkey <= 2000"
-    ).count()
+    )
     pl.sql(
         "insert into opt_work select o_orderkey + 1000000 as o_orderkey, "
         "o_custkey from opt_work where o_orderkey <= 200"
-    ).count()
-    pl.sql("optimize table opt_work").count()
-    pl.sql("vacuum opt_work").count()
+    )
+    pl.sql("optimize table opt_work")
+    pl.sql("vacuum opt_work")
     return pl.sql(
         "select o_custkey, count(*) as n, "
         "cast(min(o_orderkey) as bigint) as min_k, "
@@ -6263,13 +6263,13 @@ def q_sql_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pl.sql(
         "create table res_work as select o_orderkey, o_custkey "
         "from orders where o_orderkey <= 1600"
-    ).count()
-    pl.sql("delete from res_work where o_custkey >= 100").count()
+    )
+    pl.sql("delete from res_work where o_custkey >= 100")
     pl.sql(
         "insert into res_work select o_orderkey + 1000000 as o_orderkey, "
         "o_custkey from res_work where o_orderkey <= 50"
-    ).count()
-    pl.sql("restore table res_work to version as of 1").count()
+    )
+    pl.sql("restore table res_work to version as of 1")
     return pl.sql(
         "select cast(count(*) as bigint) as n, "
         "cast(sum(o_orderkey) as bigint) as sum_k, "
@@ -6290,13 +6290,13 @@ def q_sql_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     pl.sql(
         "create table clone_src as select c_custkey, c_nationkey "
         "from customer where c_custkey <= 800"
-    ).count()
-    pl.sql("create table clone_dst shallow clone clone_src").count()
-    pl.sql("delete from clone_dst where c_nationkey >= 12").count()
+    )
+    pl.sql("create table clone_dst shallow clone clone_src")
+    pl.sql("delete from clone_dst where c_nationkey >= 12")
     pl.sql(
         "insert into clone_dst select c_custkey + 500000 as c_custkey, "
         "c_nationkey from clone_dst where c_custkey <= 20"
-    ).count()
+    )
     return pl.sql(
         "select 'src' as side, cast(count(*) as bigint) as n, "
         "cast(sum(c_custkey) as bigint) as sum_k from clone_src "
@@ -6318,17 +6318,17 @@ def q_sql_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     pl.sql(
         "create table con_work as select s_suppkey, s_nationkey "
         "from supplier"
-    ).count()
+    )
     pl.sql(
         "alter table con_work add constraint nat_range "
         "check (s_nationkey >= 0 and s_nationkey < 25)"
-    ).count()
+    )
     pl.sql(
         "insert into con_work select s_suppkey + 10000 as s_suppkey, "
         "s_nationkey from con_work where s_suppkey <= 5"
-    ).count()
+    )
     try:
-        pl.sql("insert into con_work values (99999, -1)").count()
+        pl.sql("insert into con_work values (99999, -1)")
         raise AssertionError("violating INSERT was not rejected")
     except ValueError:
         pass  # the atomic reject — no version written
@@ -6354,12 +6354,12 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pl.sql(
         "create table cdf_work as select p_partkey, p_size "
         "from part where p_partkey <= 1200"
-    ).count()
-    pl.sql("delete from cdf_work where p_size >= 30").count()
+    )
+    pl.sql("delete from cdf_work where p_size >= 30")
     pl.sql(
         "insert into cdf_work select p_partkey + 2000000 as p_partkey, "
         "p_size from cdf_work where p_partkey <= 40"
-    ).count()
+    )
     ch = pl.sql("select * from table_changes(cdf_work, 0, 2)")
     return (
         ch.groupBy("_change_type")
@@ -6390,15 +6390,15 @@ def q_sql_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "create table dv_work as select c_custkey, c_nationkey, "
         "cast(floor(cast(c_acctbal as decimal(12,2)) * 100) as bigint) "
         "as cents from customer"
-    ).count()
+    )
     pl.sql(
         "alter table dv_work set tblproperties "
         "('delete_mode'='merge-on-read', 'dv_max_fraction'='0.5')"
-    ).count()
-    pl.sql("delete from dv_work where c_custkey % 3 = 0").count()
+    )
+    pl.sql("delete from dv_work where c_custkey % 3 = 0")
     pl.sql(
         "update dv_work set cents = cents + 7 where c_nationkey < 5"
-    ).count()
+    )
     return pl.sql(
         "select c_nationkey, cast(count(*) as bigint) as n, "
         "cast(sum(cents) as bigint) as sum_cents "
@@ -6418,7 +6418,7 @@ def q_sql_merge_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     pl.sql(
         "create table mm_t as select c_custkey as k, "
         "cast(c_nationkey as bigint) as v from customer"
-    ).count()
+    )
     pl.sql(
         "create table mm_s as "
         "select c_custkey as k, cast(c_nationkey + 50 as bigint) as v "
@@ -6426,13 +6426,13 @@ def q_sql_merge_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "union all "
         "select c_custkey + 1000000 as k, cast(99 as bigint) as v "
         "from customer where mod(c_custkey, 25) = 0"
-    ).count()
+    )
     pl.sql(
         "merge into mm_t as a using mm_s as b on a.k = b.k "
         "when matched and a.v < 10 then update set v = b.v "
         "when matched then delete "
         "when not matched and b.v = 99 then insert *"
-    ).count()
+    )
     return pl.sql("select k, v from mm_t order by k")
 
 
@@ -6449,18 +6449,18 @@ def q_sql_merge_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
     pl.sql(
         "create table nms_t as select c_custkey as k, "
         "cast(c_nationkey as bigint) as v from customer"
-    ).count()
+    )
     pl.sql(
         "create table nms_s as "
         "select c_custkey as k, cast(c_nationkey + 50 as bigint) as v "
         "from customer where mod(c_custkey, 3) = 0"
-    ).count()
+    )
     pl.sql(
         "merge into nms_t as a using nms_s as b on a.k = b.k "
         "when matched then update set v = b.v "
         "when not matched by source and a.v < 12 then delete "
         "when not matched by source then update set v = -1"
-    ).count()
+    )
     return pl.sql("select k, v from nms_t order by k")
 
 
@@ -6584,16 +6584,16 @@ def q_sql_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "create table ev_t as select c_custkey as k, "
         "cast(c_nationkey as bigint) as v from customer "
         "where c_custkey <= 500"
-    ).count()
+    )
     pl.sql(
         "alter table ev_t set tblproperties ('schema_evolution'='auto')"
-    ).count()
+    )
     pl.sql(
         "insert into ev_t (k, v, src) "
         "select c_custkey + 1000000 as k, "
         "cast(c_nationkey as bigint) as v, 'new' as src "
         "from customer where c_custkey <= 100"
-    ).count()
+    )
     # coalesce: NULL-free output (pre-evolution rows read src as NULL;
     # a literal default keeps the hashed surface engine-agnostic, the
     # same discipline as q_stream_outer_join's -1)
@@ -6617,20 +6617,20 @@ def q_sql_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "create table me_t as select c_custkey as k, "
         "cast(c_nationkey as bigint) as v from customer "
         "where c_custkey <= 600"
-    ).count()
+    )
     pl.sql(
         "alter table me_t set tblproperties ('schema_evolution'='auto')"
-    ).count()
+    )
     pl.sql(
         "create table me_s as select c_custkey as k, "
         "cast(c_nationkey + 50 as bigint) as v, c_mktsegment as seg "
         "from customer where mod(c_custkey, 2) = 0 and c_custkey <= 900"
-    ).count()
+    )
     pl.sql(
         "merge into me_t as a using me_s as b on a.k = b.k "
         "when matched then update set * "
         "when not matched then insert *"
-    ).count()
+    )
     return pl.sql(
         "select k, v, coalesce(seg, 'old') as seg from me_t order by k"
     )
@@ -6652,18 +6652,18 @@ def q_cdc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     pl.sql(
         "create table cdc_src as select c_custkey, c_nationkey "
         "from customer"
-    ).count()
+    )
     # reset the log lineage too: re-running the query must re-export
     pl.sql(
         "create table cdc_log as select c_custkey, c_nationkey, "
         "'x' as _change_type, cast(0 as bigint) as _version "
         "from cdc_src where 1 = 0"
-    ).count()
-    pl.sql("delete from cdc_src where c_custkey % 5 = 0").count()
+    )
+    pl.sql("delete from cdc_src where c_custkey % 5 = 0")
     pl.sql(
         "update cdc_src set c_nationkey = c_nationkey + 100 "
         "where c_custkey % 7 = 1"
-    ).count()
+    )
     export_table_changes(pl, "cdc_src", "cdc_log")
     return pl.sql(
         "select _version, _change_type, cast(count(*) as bigint) as n, "
@@ -6683,12 +6683,12 @@ def q_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "create or replace view big_orders as "
         "select o_custkey, o_totalprice from orders "
         "where o_totalprice > 100000"
-    ).count()
+    )
     pl.sql(
         "create or replace view cust_rev as "
         "select c_custkey, c_nationkey, o_totalprice "
         "from customer join big_orders on c_custkey = o_custkey"
-    ).count()
+    )
     return pl.sql(
         "select c_nationkey, cast(count(*) as bigint) as n, "
         "cast(sum(o_totalprice) as double) as rev "
@@ -7089,7 +7089,7 @@ def q_sql_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum(cast(floor(o_totalprice) as bigint)) AS total "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "GROUP BY c_nationkey, o_orderstatus"
-    ).count()
+    )
     q = (
         "SELECT c_nationkey, count(*) AS n_orders, "
         "cast(sum(cast(floor(o_totalprice) as bigint)) as bigint) AS total "
@@ -7145,11 +7145,18 @@ def q_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     permille keeps both engines exact."""
     from pyspark.sql import functions as F
 
+    from datafusion_dolomite_spark.functions._parallel import (
+        ensure_min_parallelism,
+    )
+
     docs = _planner(spark, sf_dir).dataframe(
         LogicalPlanBuilder().scan("documents", columns=["doc_id", "text"]).build()
     )
     n = 12
-    pre = docs.select(
+    # r13: the single-row-group scan arrives as ONE partition, so the
+    # md5-per-gram map stage serialized on one core (guide §2.5 input
+    # skew); the guard is a no-op on already-parallel inputs
+    pre = ensure_min_parallelism(docs).select(
         F.col("doc_id"),
         F.expr("regexp_replace(lower(trim(text)), '\\\\s+', ' ')").alias("_t"),
     ).filter(F.expr(f"char_length(_t) >= {n}"))
@@ -7170,8 +7177,12 @@ def q_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_g"),
     )
     gfreq = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    # r13: without the hint Spark BROADCAST the full exploded gram table
+    # (1.4M rows at sf0.1 — and corpus-sized at scale) and re-derived the
+    # gram pipeline once per join side; a shuffled join lets both sides
+    # reuse ONE exchange of the gram subtree (guide §2.4, §3.1).
     return (
-        grams.join(gfreq, "_g")
+        grams.join(gfreq.hint("shuffle_hash"), "_g")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -8602,7 +8613,7 @@ def q_sql_create_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT event_type, user_id, count(*) AS n, "
         "sum(cast(floor(value * 100) as bigint)) AS sum_cents "
         "FROM events GROUP BY event_type, user_id"
-    ).count()
+    )
     q = (
         "SELECT event_type, count(*) AS n_events, "
         "cast(sum(cast(floor(value * 100) as bigint)) as bigint) AS cents "
