@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+from .expr import cached_column
 from .operators import logical as L
 from .operators import physical as P
 from .operators.logical import JoinType
@@ -225,7 +226,7 @@ class SparkExecutor:
         # Filter/prune adjacent to the read → Catalyst pushes them into the
         # parquet scan (PushedFilters / ReadSchema).
         for f in op.filters:
-            df = df.filter(f.to_column())
+            df = df.filter(cached_column(f))
         if op.columns is not None:
             df = df.select(*op.columns)
         if op.limit is not None:
@@ -342,14 +343,14 @@ class SparkExecutor:
     # -- unary ----------------------------------------------------------
     def _filter(self, node: PlanNode):
         op = node.operator
-        df = self._node(node.inputs[0]).filter(op.predicate.to_column())
+        df = self._node(node.inputs[0]).filter(cached_column(op.predicate))
         if op.projected_columns:
             df = df.select(*op.projected_columns)
         return df
 
     def _projection(self, node: PlanNode):
         op = node.operator
-        return self._node(node.inputs[0]).select(*[e.to_column() for e in op.exprs])
+        return self._node(node.inputs[0]).select(*[cached_column(e) for e in op.exprs])
 
     def _limit(self, node: PlanNode):
         df = self._node(node.inputs[0])
@@ -361,7 +362,7 @@ class SparkExecutor:
     def _aggregate(self, node: PlanNode):
         op = node.operator
         df = self._node(node.inputs[0])
-        aggs = [a.to_column() for a in op.agg_exprs]
+        aggs = [cached_column(a) for a in op.agg_exprs]
         mode = getattr(op, "mode", "groupby")
         if op.group_exprs:
             # plain GROUP BY: alias every group key to ITS IR output
@@ -375,9 +376,9 @@ class SparkExecutor:
             from .operators.logical import output_name as _oname
 
             keys = [
-                e.to_column().alias(_oname(e))
+                cached_column(e).alias(_oname(e))
                 if mode == "groupby"
-                else e.to_column()
+                else cached_column(e)
                 for e in op.group_exprs
             ]
             if mode == "grouping_sets":
@@ -478,29 +479,29 @@ class SparkExecutor:
                 # same decomposition EagerAggregationRule uses, and the same
                 # NULL semantics: an all-NULL group is sum NULL / count 0,
                 # and NULL/0 divides to NULL = avg
-                partials.append(Alias(Func("sum", inner.args), f"{p}s").to_column())
-                partials.append(Alias(Func("count", inner.args), f"{p}c").to_column())
+                partials.append(cached_column(Alias(Func("sum", inner.args), f"{p}s")))
+                partials.append(cached_column(Alias(Func("count", inner.args), f"{p}c")))
                 fin = F.sum(F.col(f"{p}s")) / F.sum(F.col(f"{p}c"))
             elif merge == "flatten":
-                partials.append(Alias(inner, p).to_column())
+                partials.append(cached_column(Alias(inner, p)))
                 fin = F.flatten(F.collect_list(F.col(p)))
             elif merge == "flatten_distinct":
-                partials.append(Alias(inner, p).to_column())
+                partials.append(cached_column(Alias(inner, p)))
                 fin = F.array_distinct(F.flatten(F.collect_list(F.col(p))))
             else:
-                partials.append(Alias(inner, p).to_column())
+                partials.append(cached_column(Alias(inner, p)))
                 fin = getattr(F, merge)(F.col(p))
             for t in reversed(casts):
                 fin = fin.cast(t)
             finals.append(fin.alias(a.name))
         stage1 = salted.groupBy(
-            *[g.to_column() for g in op.group_exprs], F.col("_salt")
+            *[cached_column(g) for g in op.group_exprs], F.col("_salt")
         ).agg(*partials)
         return stage1.groupBy(*[F.col(k) for k in key_names]).agg(*finals)
 
     def _sort(self, node: PlanNode):
         op = node.operator
-        return self._node(node.inputs[0]).orderBy(*[k.to_column() for k in op.keys])
+        return self._node(node.inputs[0]).orderBy(*[cached_column(k) for k in op.keys])
 
     def _topk(self, node: PlanNode):
         op = node.operator
@@ -508,7 +509,7 @@ class SparkExecutor:
         # partition top-k, merged on the driver; no global sort.
         return (
             self._node(node.inputs[0])
-            .orderBy(*[k.to_column() for k in op.keys])
+            .orderBy(*[cached_column(k) for k in op.keys])
             .limit(op.limit)
         )
 
@@ -627,9 +628,9 @@ class SparkExecutor:
 
         df = self._node(node.inputs[0])
         for wdef in node.operator.window_exprs:
-            spec = W.partitionBy(*[e.to_column() for e in wdef.partition_by])
+            spec = W.partitionBy(*[cached_column(e) for e in wdef.partition_by])
             if wdef.order_by:
-                spec = spec.orderBy(*[k.to_column() for k in wdef.order_by])
+                spec = spec.orderBy(*[cached_column(k) for k in wdef.order_by])
             frame = getattr(wdef, "frame", None)
             if frame is not None:
                 kind, start, end = frame
@@ -640,7 +641,7 @@ class SparkExecutor:
                     if kind == "rows"
                     else spec.rangeBetween(lo, hi)
                 )
-            df = df.withColumn(wdef.name, wdef.func.to_column().over(spec))
+            df = df.withColumn(wdef.name, cached_column(wdef.func).over(spec))
         return df
 
     def _union(self, node: PlanNode):
@@ -1382,7 +1383,7 @@ def _join_condition(op, left_df, right_df):
             c = left_df[lk] == right_df[rk]
             conds = c if conds is None else (conds & c)
         return conds
-    return op.condition.to_column()
+    return cached_column(op.condition)
 
 
 def _extract_equi(op):

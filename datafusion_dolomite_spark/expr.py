@@ -35,6 +35,80 @@ __all__ = [
 ]
 
 
+#: Column-construction memo (r13 optimization, guide §4 — the Python
+#: boundary): building a pyspark Column costs one py4j round-trip PER
+#: IR node (~0.5 ms each), and plan construction re-builds identical
+#: expression trees constantly (bench warm runs re-plan every query;
+#: TPC-H projections share subtrees).  Unresolved Columns are immutable,
+#: context-free JVM expression handles — reusing one across DataFrames
+#: and plans is exactly as safe as calling F.col twice.  Keys are
+#: type-tagged recursive tuples (NOT dataclass equality: Python's
+#: True == 1 and -0.0 == 0.0 would alias literals with different Spark
+#: types/values).  Trees containing field types outside the known-safe
+#: set (e.g. embedded subquery plans) BYPASS the memo — their repr is
+#: address-based and a freed address could collide.  Cleared when the
+#: py4j gateway changes (new JVM ⇒ stale handles).
+_COLUMN_MEMO: dict = {}
+_MEMO_GATEWAY = [None]
+_MEMO_SAFE_TYPES = (str, int, float, bool, bytes, type(None))
+
+
+def _memo_key(e):
+    """Type-tagged structural key, or None if the tree holds a field
+    type we can't key safely."""
+    if isinstance(e, Expr):
+        import dataclasses
+
+        if not dataclasses.is_dataclass(e):
+            return None
+        parts = [e.__class__.__name__]
+        for f in dataclasses.fields(e):
+            k = _memo_key(getattr(e, f.name))
+            if k is None:
+                return None
+            parts.append(k)
+        return tuple(parts)
+    if isinstance(e, tuple):
+        parts = ["()"]
+        for x in e:
+            k = _memo_key(x)
+            if k is None:
+                return None
+            parts.append(k)
+        return tuple(parts)
+    if type(e) in _MEMO_SAFE_TYPES:
+        return (type(e).__name__, repr(e))
+    import datetime
+    import decimal
+
+    if type(e) in (datetime.date, datetime.datetime, decimal.Decimal):
+        return (type(e).__name__, repr(e))
+    return None
+
+
+def cached_column(e: "Expr"):
+    """``e.to_column()`` through the process-wide memo (see above)."""
+    try:
+        from pyspark import SparkContext
+
+        gw = getattr(SparkContext, "_gateway", None)
+    except Exception:
+        gw = None
+    if gw is None:
+        return e.to_column()
+    if _MEMO_GATEWAY[0] is not gw:
+        _COLUMN_MEMO.clear()
+        _MEMO_GATEWAY[0] = gw
+    k = _memo_key(e)
+    if k is None:
+        return e.to_column()
+    c = _COLUMN_MEMO.get(k)
+    if c is None:
+        c = e.to_column()
+        _COLUMN_MEMO[k] = c
+    return c
+
+
 class Expr:
     """Base class for all expression nodes."""
 

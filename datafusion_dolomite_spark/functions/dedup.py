@@ -838,20 +838,27 @@ def simhash_fingerprint(df, id_col: str, text_col: str, bits: int = 32):
         F.col(id_col).alias("_id"),
         F.explode(F.expr(words)).alias("_tok"),
     ).withColumn("_h", F.expr(_h60_sql("_tok")))
+    # one F.expr (one py4j round-trip) per vote column instead of ~7
+    # Column-API calls each: at bits=32 that is ~30 gateway calls for
+    # the whole aggregate instead of ~230 (r13, guide §4 — the Python
+    # boundary; measured ~2 s of plan time on q_simhash).  The parsed
+    # Catalyst expression is identical to the old when/shiftright chain.
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"v{b}")
+        F.expr(
+            f"sum(case when (shiftright(_h, {b}) & 1) = 1 "
+            f"then 1 else -1 end) as v{b}"
+        )
         for b in range(bits)
     ]
     agg = tok.groupBy("_id").agg(*votes)
-    sim = None
-    for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return agg.select(F.col("_id"), sim.cast("bigint").alias("simhash"))
+    # left-associative + chain, same order as the old loop (integer
+    # adds — exact either way)
+    terms = " + ".join(
+        f"(case when v{b} > 0 then {2 ** b} else 0 end)" for b in range(bits)
+    )
+    return agg.select(
+        F.col("_id"), F.expr(f"cast(({terms}) as bigint) as simhash")
+    )
 
 
 def decontaminate(

@@ -1363,8 +1363,76 @@ class QueryPlanner:
         finally:
             self.ctx.hints = None
 
+    def _catalog_fingerprint(self):
+        """Cheap structural snapshot of every catalog input an
+        optimization decision can read (registrations, formats, schema
+        overrides, declared keys, ANN/BPE/MV registries, adaptive
+        selectivity corrections).  Computed per optimize() call — O(a
+        few dozen dict items) — so the prepared-plan cache can never
+        serve a plan across a catalog change; a fingerprint beats
+        instrumenting every mutator because a forgotten mutator is a
+        correctness bug, a changed fingerprint is just a cache miss."""
+        c = self.catalog
+        sch = tuple(
+            (t, tuple((f.name, f.dtype) for f in s.fields))
+            for t, s in sorted(getattr(c, "_schema_overrides", {}).items())
+        )
+        return (
+            tuple(sorted(getattr(c, "_paths", {}).items())),
+            tuple(sorted(getattr(c, "_formats", {}).items())),
+            sch,
+            tuple(
+                (t, tuple(sorted(v)))
+                for t, v in sorted(getattr(c, "_unique_keys", {}).items())
+            ),
+            tuple(sorted(map(repr, getattr(c, "_ann_indexes", {}).items()))),
+            tuple(
+                sorted(map(repr, getattr(c, "_bpe_tokenizers", {}).items()))
+            ),
+            tuple(getattr(m, "name", repr(m)) for m in getattr(c, "_mvs", [])),
+            tuple(sorted(getattr(c, "_sel_corrections", {}).items())),
+        )
+
+    #: prepared-plan cache size bound — entries are small IR trees, the
+    #: bound only guards a pathological generated-query storm
+    _PLAN_CACHE_MAX = 512
+
     def optimize(self, plan: Plan) -> Plan:
-        return self.optimize_physical(self.optimize_logical(plan))
+        """Optimize with a PREPARED-PLAN CACHE (r13 optimization): the
+        (logical plan, catalog state) → physical plan mapping is pure,
+        so re-optimizing a structurally identical plan (every warm
+        bench run; any repeated application query) returns the cached
+        physical plan instead of re-running Hep + Cascades (30-350 ms
+        on multi-join shapes).  This caches PLANS, never data or
+        results — execution below the plan always recomputes from the
+        inputs, and `to_spark` re-resolves table paths through the
+        catalog at conversion time.  Keyed on (catalog fingerprint,
+        per-node operator tuple, deterministic explain text): operators
+        hash structurally (the cascades-memo contract) and the explain
+        text disambiguates literal type/sign edge cases (True vs 1,
+        -0.0 vs 0.0) that Python equality folds.  Hinted plans bypass
+        the cache (hints ride on the plan OBJECT, not its structure)."""
+        hints = getattr(plan, "hints", None)
+        if hints and any(hints.values()):  # ACTIVE hints pin the plan
+            return self.optimize_physical(self.optimize_logical(plan))
+        try:
+            key = (
+                self._catalog_fingerprint(),
+                tuple(n.operator for n in plan.bfs_iterator()),
+                plan.explain(),
+            )
+            hash(key)
+        except Exception:
+            return self.optimize_physical(self.optimize_logical(plan))
+        cache = self.__dict__.setdefault("_prepared_plans", {})
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        out = self.optimize_physical(self.optimize_logical(plan))
+        if len(cache) >= self._PLAN_CACHE_MAX:
+            cache.clear()
+        cache[key] = out
+        return out
 
     def dataframe(self, plan: Plan):
         """Full pipeline: optimize then hand to Spark."""

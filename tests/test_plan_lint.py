@@ -307,7 +307,10 @@ SHUFFLE_BUDGET = {
     "q_sql_qualify": 1,
     "q_eager_agg": 3,
     "q_importance_select": 4,
-    "q_dup_profile": 2,
+    # r13: +1 shuffle — the gram build is repartitioned off the single
+    # row-group scan partition before the self-join (3.7x at sf0.1); the
+    # extra exchange buys 32-way parallelism for the dominant stage
+    "q_dup_profile": 3,
     "q_sql_setop_all": 1,
     "q_sql_window_agg": 1,
     "q_merge_upsert": 2,
