@@ -29,6 +29,32 @@ _REQUIRED_RUNTIME_CONFS = {
     "spark.sql.parquet.filterPushdown": "true",
 }
 
+#: r13 optimization (guide §2.2 — shuffle/compute fewer bytes): Catalyst's
+#: InferFiltersFromGenerate infers ``size(arr) > 0 AND isnotnull(arr)``
+#: below every explode().  When the array is COMPUTED (our shingle/gram/
+#: band pipelines: split + transform + array_distinct over text), the
+#: inferred filter re-materializes the whole array expression a second
+#: time — and after pushdown it lands BELOW the parallelism repartition,
+#: serializing the most expensive map work of the dedup family onto the
+#: single scan partition (measured: shingles-explode 4.05 s -> 0.37 s at
+#: sf0.1 with the rule excluded; q_incremental_dedup 6.3 s -> 1.3 s).
+#: Excluding the rule is results-identical by construction: Generate
+#: (outer=false) already drops null/empty arrays itself; the filter it
+#: infers is purely redundant work.  Stored-array explodes lose nothing:
+#: isnotnull/size on a parquet LIST column never reaches PushedFilters.
+_EXCLUDED_OPTIMIZER_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def _merge_excluded_rules(existing: str | None) -> str:
+    """Append our exclusions to whatever the session already excludes."""
+    have = [r.strip() for r in (existing or "").split(",") if r.strip()]
+    for r in _EXCLUDED_OPTIMIZER_RULES.split(","):
+        if r not in have:
+            have.append(r)
+    return ",".join(have)
+
 
 def configure_session(spark) -> None:
     """Pin the runtime SQL confs the engine requires on an arbitrary,
@@ -42,6 +68,16 @@ def configure_session(spark) -> None:
             # A conf unavailable on some Spark build must not take down
             # the query path; the read will surface any real problem.
             pass
+    # merge (never clobber) the explode-filter-inference exclusion into
+    # any exclusions the embedding application already set
+    try:
+        key = "spark.sql.optimizer.excludedRules"
+        cur = spark.conf.get(key, None)
+        merged = _merge_excluded_rules(cur)
+        if merged != (cur or ""):
+            spark.conf.set(key, merged)
+    except Exception:
+        pass
     # r13 optimization (guide §4, the Python boundary): PySpark 4's
     # DataFrame-debugging call-site capture wraps EVERY DataFrame/Column
     # API call with a conf.get + PySparkCurrentOrigin.set/clear — 2-3
@@ -93,6 +129,9 @@ def get_spark(app_name: str = "datafusion-dolomite-spark", cpus: int | None = No
         # pure py4j overhead for an engine; set at build time so the
         # process-wide pyspark cache reads it before the first call
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # see _EXCLUDED_OPTIMIZER_RULES: inferred explode-filters double
+        # the dedup family's gram computation on the scan partition
+        .config("spark.sql.optimizer.excludedRules", _EXCLUDED_OPTIMIZER_RULES)
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type —
         # read as bigint (nanoseconds since epoch) and convert explicitly
