@@ -102,6 +102,11 @@ def k_core(edges, src: str, dst: str, k: int, max_iter: int = 30, strict: bool =
     """
     from pyspark.sql import functions as F
 
+    # LAZY checkpoints throughout (r13, guide §2.4): the per-round count
+    # is the fixpoint test AND the action that materializes the round's
+    # checkpoint — eager checkpoints ran a second, redundant job per
+    # round (2 jobs/round -> 1; the fixed per-job scheduling cost is the
+    # dominant term once the peel is down to thousands of rows)
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -109,7 +114,7 @@ def k_core(edges, src: str, dst: str, k: int, max_iter: int = 30, strict: bool =
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_edges = e.count()
     converged = False
@@ -130,7 +135,7 @@ def k_core(edges, src: str, dst: str, k: int, max_iter: int = 30, strict: bool =
             e.join(alive.select(F.col("n").alias("u")), "u")
             .join(alive.select(F.col("n").alias("v")), "v")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n2 = e2.count()
         if n2 == n_edges:
@@ -353,7 +358,11 @@ def pagerank(edges, src: str, dst: str, iters: int = 3, damping_pct: int = 85):
     od = ed.groupBy("_src").agg(F.count(F.lit(1)).alias("_od"))
     ew = ed.join(od, "_src").cache()
     ew.count()
-    nodes = ed.select(F.col("_src").alias("node")).distinct().cache()
+    # node set from the CACHED ew, not from ed (r13): the inner join on
+    # od (an aggregate OF ed) preserves every ed row, so the _src sets
+    # are identical — but reading ew skips a third full re-run of the
+    # distinct pipeline (ed has no cache of its own; only ew does)
+    nodes = ew.select(F.col("_src").alias("node")).distinct().cache()
     n_nodes = nodes.count()  # one scalar — the bounded driver touch-point
     base = (100 - d) * _PR_SCALE // (100 * n_nodes)
     ranks = nodes.withColumn("_r", F.lit(_PR_SCALE // n_nodes).cast("bigint"))
