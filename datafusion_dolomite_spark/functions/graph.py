@@ -259,10 +259,23 @@ def connected_components(edges, src: str, dst: str, max_iter: int = 25):
     # on the probe key ``b`` (r13 optimization, guide §2.4): the cached
     # InMemoryRelation keeps hashpartitioning(b), so the per-round
     # neighbor join reads the cache WITHOUT re-shuffling the |E|-row
-    # side — previously the largest exchange of every round
+    # side — previously the largest exchange of every round.
+    # Symmetrize by EXPLODE, not a two-branch union (r13, guide §2.2):
+    # a union re-executes the whole upstream edge pipeline once per
+    # branch — for the semantic-dedup callers that upstream is the
+    # cell-bucketed pair join + Arrow cosine scoring, the most
+    # expensive stage of the query.  The explode emits the identical
+    # row multiset from ONE upstream pass.
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
         .repartition(F.col("b"))
         .cache()
     )

@@ -1221,10 +1221,13 @@ def semantic_dedup_cc(
                 F.col(cell_cols[2]).alias("_cell"),
             )
         )
+    # cached: both sides of the within-cell self-join below derive from
+    # this scan+join — uncached it executed twice per pass (r13)
     c = (
         ensure_min_parallelism(df)
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .join(cmap, "_id")
+        .cache()
     )
     a = c.select(
         F.col("_id").alias("_lo"), F.col("_v").alias("_v1"),
@@ -1296,7 +1299,12 @@ def semantic_dedup(
         ensure_min_parallelism(df)
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     )
-    c = _best_cell_pandas(c, "_v", ncells).select("_id", "_v", "_cell")
+    # cache the assigned table (r13, guide §2.2): it feeds the pair
+    # join's BOTH sides AND the final verdict join — uncached, the
+    # cell-assignment Arrow pass (a full corpus scan) executed 3x in
+    # the same job (plans/r13/q_semantic_dedup_before.txt shows three
+    # Scan+MapInPandas subtrees)
+    c = _best_cell_pandas(c, "_v", ncells).select("_id", "_v", "_cell").cache()
     a = c.select(
         F.col("_id").alias("_lo"), F.col("_v").alias("_v1"), F.col("_cell").alias("_c1")
     )
