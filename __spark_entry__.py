@@ -1265,6 +1265,7 @@ def q_knn_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hash_vec,
         knn_brute,
         knn_pq,
+        pq_residual_prep,
     )
 
     G, N = 8, 2048
@@ -1296,13 +1297,18 @@ def q_knn_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .withColumn("raw_hit", F.lit(1))
     )
+    # the res and trn chains need the IDENTICAL corpus assignment +
+    # residual scales (same hash centroids, same corpus) — build once,
+    # share (r13; pq_residual_prep, results bit-identical)
+    prep = pq_residual_prep(df, "vid", "vec", m=common["m"], ncells=G)
     res = (
-        knn_pq(df, "vid", "vec", residual=True, **common)
+        knn_pq(df, "vid", "vec", residual=True, _prep=prep, **common)
         .select("query_id", "neighbor_id")
         .withColumn("res_hit", F.lit(1))
     )
     trn = (
-        knn_pq(df, "vid", "vec", residual=True, train_iters=3, **common)
+        knn_pq(df, "vid", "vec", residual=True, train_iters=3, _prep=prep,
+               **common)
         .select("query_id", "neighbor_id")
         .withColumn("trn_hit", F.lit(1))
     )

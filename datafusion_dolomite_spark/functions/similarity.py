@@ -935,6 +935,31 @@ def _pq_residual_scales(assigned, m: int, sw: int) -> list:
     ]
 
 
+def pq_residual_prep(df, id_col: str, vec_col: str, m: int, ncells: int):
+    """Shared residual-PQ build-phase materialization (r13, guide §2.2):
+    the (persisted corpus assignment, residual scales) pair EVERY
+    residual ``knn_pq`` chain over the same corpus and the same hash
+    coarse quantizer recomputes identically — compute it once and pass
+    it as ``knn_pq``'s ``_prep`` so N variants share one assignment
+    pass and one scale aggregation instead of N.  Results are identical
+    by construction: the tuple holds exactly what each chain would have
+    computed (same centroids, same inputs, same fold orders).  Only
+    valid for hash centroids (``kmeans_iters=0``) with the same
+    (df, id_col, vec_col, m, ncells) the consuming chains use."""
+    from pyspark.sql import functions as F
+
+    from ._parallel import ensure_min_parallelism
+
+    sw = DIM // m
+    c = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    cents = [(i, _hash_vec(f"c{i}")) for i in range(ncells)]
+    c = _assign_cells_pandas(c, "_cv", cents, resid_sq=(m, sw)).persist()
+    scales = _pq_residual_scales(c, m, sw)
+    return c, scales
+
+
 def knn_pq(
     df,
     id_col: str,
@@ -949,6 +974,7 @@ def knn_pq(
     residual: bool = False,
     train_iters: int = 0,
     kmeans_iters: int = 0,
+    _prep=None,
 ):
     """PRODUCT-QUANTIZATION ANN (asymmetric distance computation): the
     corpus compresses to ``m`` small integer codes per vector (each
@@ -1002,10 +1028,18 @@ def knn_pq(
             # scale agg, then the encode in the result lineage) — the
             # persisted assignment is the IVF-PQ build-phase
             # materialization every real index build does (FAISS
-            # train+add); at 100 TB it's a written table, here a cache
-            c = _assign_cells_pandas(c, "_cv", cents, resid_sq=(m, sw))
-            c = c.persist()
-            scales = _pq_residual_scales(c, m, sw)
+            # train+add); at 100 TB it's a written table, here a cache.
+            # ``_prep`` (r13): a caller racing several residual
+            # variants over the SAME corpus passes the shared
+            # (assignment, scales) pair from ``pq_residual_prep``
+            # instead of paying the identical build per variant —
+            # hash-centroid chains only (trained cents differ).
+            if _prep is not None and not kmeans_iters:
+                c, scales = _prep
+            else:
+                c = _assign_cells_pandas(c, "_cv", cents, resid_sq=(m, sw))
+                c = c.persist()
+                scales = _pq_residual_scales(c, m, sw)
             if train_iters:
                 # r10: the scaled hash books are the k-means INIT;
                 # fixed-iteration Lloyd fits them to the residual

@@ -166,3 +166,27 @@ def test_trained_centroids_lift_probe_recall(spark):
         gt,
     )
     assert km > hsh, f"trained cents {km} should beat hash {hsh}"
+
+
+def test_shared_prep_identical_results(spark, clustered):
+    """r13 optimization: ``pq_residual_prep`` lets several residual
+    chains share ONE corpus assignment + scale aggregation.  The shared
+    path must be row-identical to the per-chain build for both the
+    plain-residual and the trained-codebook variants."""
+    from datafusion_dolomite_spark.functions.similarity import (
+        pq_residual_prep,
+    )
+
+    common = dict(n_queries=6, k=5, m=16, ksub=16, refine=20,
+                  ncells=8, nprobe=3)
+    prep = pq_residual_prep(clustered, "vid", "vec", m=16, ncells=8)
+    for extra in ({}, {"train_iters": 2}):
+        solo = sorted(
+            map(tuple, knn_pq(clustered, "vid", "vec", residual=True,
+                              **extra, **common).collect())
+        )
+        shared = sorted(
+            map(tuple, knn_pq(clustered, "vid", "vec", residual=True,
+                              _prep=prep, **extra, **common).collect())
+        )
+        assert solo == shared, f"extra={extra}"
