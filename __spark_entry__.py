@@ -1278,7 +1278,13 @@ def q_knn_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(d as string))), 1, 15), 16, 10) as bigint) % 2001 - 1000) "
         "/ 1000.0D)"
     )
-    df = spark.range(N).select(
+    # size-derived partitioning (r13, guide §2): a 2048-vector gate on
+    # default-parallelism partitions pays (cores × stages) task+Arrow
+    # round-trips for 64-row batches; ~512 rows/partition keeps batches
+    # vectorization-sized at ANY corpus scale (row values unchanged —
+    # range semantics don't depend on partition count)
+    nparts = max(1, min(spark.sparkContext.defaultParallelism, N // 512))
+    df = spark.range(0, N, 1, nparts).select(
         F.col("id").alias("vid"),
         F.expr(
             f"transform(sequence(0, {DIM - 1}), d -> "
@@ -1288,8 +1294,9 @@ def q_knn_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()  # four pipelines (gt + 3 PQ variants) share the corpus —
     # uncached, each action re-derives 64 md5s x 2048 rows
     common = dict(n_queries=20, k=10, m=16, ksub=16, refine=100,
-                  ncells=G, nprobe=3)
-    gt = knn_brute(df, "vid", "vec", n_queries=20, k=10).select(
+                  ncells=G, nprobe=3, corpus_rows=N)
+    gt = knn_brute(df, "vid", "vec", n_queries=20, k=10,
+                   corpus_rows=N).select(
         "query_id", "neighbor_id"
     )
     raw = (
@@ -1300,7 +1307,8 @@ def q_knn_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the res and trn chains need the IDENTICAL corpus assignment +
     # residual scales (same hash centroids, same corpus) — build once,
     # share (r13; pq_residual_prep, results bit-identical)
-    prep = pq_residual_prep(df, "vid", "vec", m=common["m"], ncells=G)
+    prep = pq_residual_prep(df, "vid", "vec", m=common["m"], ncells=G,
+                            corpus_rows=N)
     res = (
         knn_pq(df, "vid", "vec", residual=True, _prep=prep, **common)
         .select("query_id", "neighbor_id")
@@ -1352,12 +1360,14 @@ def q_knn_cents_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_pq,
     )
 
-    df = _planner(spark, sf_dir).dataframe(
-        LogicalPlanBuilder().scan("embeddings").build()
-    )
+    pl = _planner(spark, sf_dir)
+    df = pl.dataframe(LogicalPlanBuilder().scan("embeddings").build())
+    # catalog row stats → size-derived parallelism (r13, guide §2)
+    nrows = int(pl.catalog.statistics("embeddings").row_count)
     common = dict(n_queries=10, k=10, m=8, ksub=16, refine=50,
-                  ncells=32, nprobe=3)
-    gt = knn_brute(df, "vec_id", "embedding", n_queries=10, k=10).select(
+                  ncells=32, nprobe=3, corpus_rows=nrows)
+    gt = knn_brute(df, "vec_id", "embedding", n_queries=10, k=10,
+                   corpus_rows=nrows).select(
         "query_id", "neighbor_id"
     )
     hsh = (
@@ -7366,8 +7376,10 @@ def q_semdedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = spark.read.parquet(idx).select(
         F.col("neighbor_id").alias("vec_id"), F.col("cell")
     )
-    return semantic_dedup_cc(emb, cells, "vec_id", "embedding",
-                             threshold_1000=300)
+    return semantic_dedup_cc(
+        emb, cells, "vec_id", "embedding", threshold_1000=300,
+        corpus_rows=int(pl.catalog.statistics("embeddings").row_count),
+    )
 
 
 def q_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7410,8 +7422,10 @@ def q_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = spark.read.parquet(idx).select(
         F.col("neighbor_id").alias("vec_id"), F.col("cell"), F.col("cell2")
     )
-    return semantic_dedup_cc(emb, cells, "vec_id", "embedding",
-                             threshold_1000=300, multiprobe=2)
+    return semantic_dedup_cc(
+        emb, cells, "vec_id", "embedding", threshold_1000=300, multiprobe=2,
+        corpus_rows=int(pl.catalog.statistics("embeddings").row_count),
+    )
 
 
 def _semdedup_multiprobe_oracle(ncells=32, cent_iters=2, thr=300) -> str:
@@ -8096,7 +8110,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         LogicalPlanBuilder().scan("embeddings", columns=["vec_id", "embedding"]).build()
     )
     out = semantic_dedup(
-        emb, "vec_id", "embedding", ncells=_derived_ncells(pl), threshold_1000=300
+        emb, "vec_id", "embedding", ncells=_derived_ncells(pl), threshold_1000=300,
+        corpus_rows=int(pl.catalog.statistics("embeddings").row_count),
     )
     return out.withColumn("cell", F.col("cell").cast("bigint"))
 

@@ -896,12 +896,25 @@ class SparkExecutor:
         )
         return out.select(F.col("_id").alias(op.id_col), "simhash")
 
+    @staticmethod
+    def _input_rows(node: PlanNode):
+        """Optimizer-derived row estimate of the node's input — feeds
+        size-derived parallelism in the similarity functions (r13,
+        guide §2: partition count from data size, not a constant).
+        None when the stats pipeline didn't populate it."""
+        try:
+            rc = node.inputs[0].stats.row_count
+            return int(rc) if rc and rc > 0 else None
+        except Exception:
+            return None
+
     def _knn_brute(self, node: PlanNode):
         from .functions.similarity import knn_brute
 
         op = node.operator
         return knn_brute(
-            self._node(node.inputs[0]), op.id_col, op.vec_col, op.n_queries, op.k
+            self._node(node.inputs[0]), op.id_col, op.vec_col, op.n_queries, op.k,
+            corpus_rows=self._input_rows(node),
         )
 
     def _knn_pandas(self, node: PlanNode):
@@ -909,7 +922,8 @@ class SparkExecutor:
 
         op = node.operator
         return knn_pandas(
-            self._node(node.inputs[0]), op.id_col, op.vec_col, op.n_queries, op.k
+            self._node(node.inputs[0]), op.id_col, op.vec_col, op.n_queries, op.k,
+            corpus_rows=self._input_rows(node),
         )
 
     def _knn_ivf(self, node: PlanNode):
@@ -925,6 +939,7 @@ class SparkExecutor:
             op.ncells,
             op.nprobe,
             getattr(op, "kmeans_iters", 0),
+            corpus_rows=self._input_rows(node),
         )
 
     def _knn_pq(self, node: PlanNode):
@@ -945,6 +960,7 @@ class SparkExecutor:
             getattr(op, "pq_residual", False),
             kmeans_iters=getattr(op, "kmeans_iters", 0),
             train_iters=getattr(op, "train_iters", 0),
+            corpus_rows=self._input_rows(node),
         )
 
     def _knn_index_probe(self, node: PlanNode):

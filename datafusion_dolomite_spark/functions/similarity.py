@@ -138,11 +138,14 @@ def cosine_sim_col(a_col: str, b_col: str):
     return F.expr(_cos_sql(_dvec(a_col), _dvec(b_col)))
 
 
-def knn_brute(df, id_col: str, vec_col: str, n_queries: int = 5, k: int = 10):
+def knn_brute(df, id_col: str, vec_col: str, n_queries: int = 5, k: int = 10,
+              corpus_rows=None):
     """Exact cosine top-k.  Queries = rows with id < n_queries (a
     deterministic stand-in for a user-provided query set).  Output
     (query_id, neighbor_id, rank) — integer-only, so last-ulp float
-    disagreement between engines cannot flip the value hash."""
+    disagreement between engines cannot flip the value hash.
+    ``corpus_rows`` (r13): known corpus size → size-derived parallelism
+    (see ``ensure_min_parallelism``); results partition-independent."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -209,7 +212,7 @@ def knn_brute(df, id_col: str, vec_col: str, n_queries: int = 5, k: int = 10):
                 )
 
     local = ensure_min_parallelism(
-        df.select(F.col(id_col), F.col(vec_col))
+        df.select(F.col(id_col), F.col(vec_col)), rows=corpus_rows
     ).mapInPandas(local_topk, schema="query_id bigint, neighbor_id bigint, _sim double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col("neighbor_id").asc()
@@ -221,7 +224,8 @@ def knn_brute(df, id_col: str, vec_col: str, n_queries: int = 5, k: int = 10):
     )
 
 
-def knn_pandas(df, id_col: str, vec_col: str, n_queries: int = 5, k: int = 10):
+def knn_pandas(df, id_col: str, vec_col: str, n_queries: int = 5, k: int = 10,
+               corpus_rows=None):
     """Exact cosine top-k via the ARROW-VECTORIZED path: the (tiny) query
     matrix ships to every partition inside the mapInPandas closure; each
     partition runs ONE numpy matmul against its corpus block and emits
@@ -284,7 +288,7 @@ def knn_pandas(df, id_col: str, vec_col: str, n_queries: int = 5, k: int = 10):
                 )
 
     local = ensure_min_parallelism(
-        df.select(F.col(id_col), F.col(vec_col))
+        df.select(F.col(id_col), F.col(vec_col)), rows=corpus_rows
     ).mapInPandas(local_topk, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col("neighbor_id").asc()
@@ -600,6 +604,7 @@ def knn_ivf(
     ncells: int | None = None,
     nprobe: int = 3,
     kmeans_iters: int = 0,
+    corpus_rows=None,
 ):
     """IVF-bucketed ANN: corpus → nearest-centroid cell (one pass, one
     shuffle on the cell join), queries probe ``nprobe`` cells only.
@@ -620,7 +625,7 @@ def knn_ivf(
         # scalar (parquet count(*) folds to footer metadata).  Callers
         # with a catalog pass derive_ncells(stats.row_count) directly.
         ncells = derive_ncells(df.count())
-    c = ensure_min_parallelism(df).select(
+    c = ensure_min_parallelism(df, rows=corpus_rows).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).withColumn("_dv", F.expr(_dvec("_cv")))  # double-cast once per row
     # corpus assignment is the O(rows x ncells x dim) step — Arrow/numpy
@@ -935,7 +940,8 @@ def _pq_residual_scales(assigned, m: int, sw: int) -> list:
     ]
 
 
-def pq_residual_prep(df, id_col: str, vec_col: str, m: int, ncells: int):
+def pq_residual_prep(df, id_col: str, vec_col: str, m: int, ncells: int,
+                     corpus_rows=None):
     """Shared residual-PQ build-phase materialization (r13, guide §2.2):
     the (persisted corpus assignment, residual scales) pair EVERY
     residual ``knn_pq`` chain over the same corpus and the same hash
@@ -951,7 +957,7 @@ def pq_residual_prep(df, id_col: str, vec_col: str, m: int, ncells: int):
     from ._parallel import ensure_min_parallelism
 
     sw = DIM // m
-    c = ensure_min_parallelism(df).select(
+    c = ensure_min_parallelism(df, rows=corpus_rows).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
     cents = [(i, _hash_vec(f"c{i}")) for i in range(ncells)]
@@ -975,6 +981,7 @@ def knn_pq(
     train_iters: int = 0,
     kmeans_iters: int = 0,
     _prep=None,
+    corpus_rows=None,
 ):
     """PRODUCT-QUANTIZATION ANN (asymmetric distance computation): the
     corpus compresses to ``m`` small integer codes per vector (each
@@ -1008,7 +1015,7 @@ def knn_pq(
 
     sw = DIM // m
     use_residual = bool(ncells) and residual
-    c = ensure_min_parallelism(df).select(
+    c = ensure_min_parallelism(df, rows=corpus_rows).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
     scales = None
@@ -1164,7 +1171,8 @@ def knn_pq(
 
 
 def cosine_near_dup(
-    df, id_col: str, vec_col: str, nbits: int = 12, threshold_1000: int = 900
+    df, id_col: str, vec_col: str, nbits: int = 12, threshold_1000: int = 900,
+    corpus_rows=None,
 ):
     """Near-duplicate vectors by random-hyperplane LSH + exact verify.
 
@@ -1181,7 +1189,7 @@ def cosine_near_dup(
     from ._parallel import ensure_min_parallelism
 
     sk = (
-        ensure_min_parallelism(df)
+        ensure_min_parallelism(df, rows=corpus_rows)
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .withColumn("_dv", F.expr(_dvec("_v")))
         .withColumn("_sketch", F.expr(f"cast({bits} as bigint)"))
@@ -1203,7 +1211,7 @@ def cosine_near_dup(
 
 def semantic_dedup_cc(
     df, cells_df, id_col: str, vec_col: str, threshold_1000: int = 300,
-    multiprobe: int = 1,
+    multiprobe: int = 1, corpus_rows=None,
 ):
     """SemDeDup via a PERSISTED index's IVF cells + the CC/keep-best
     pipeline (r12, VERDICT r11 item 5): ``cells_df`` (id, cell) comes
@@ -1258,7 +1266,7 @@ def semantic_dedup_cc(
     # cached: both sides of the within-cell self-join below derive from
     # this scan+join — uncached it executed twice per pass (r13)
     c = (
-        ensure_min_parallelism(df)
+        ensure_min_parallelism(df, rows=corpus_rows)
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .join(cmap, "_id")
         .cache()
@@ -1305,7 +1313,7 @@ def semantic_dedup_cc(
 
 def semantic_dedup(
     df, id_col: str, vec_col: str, ncells: int | None = None,
-    threshold_1000: int = 850,
+    threshold_1000: int = 850, corpus_rows=None,
 ):
     """SemDeDup-style SEMANTIC dedup: cluster embeddings into ``ncells``
     centroid cells, then within each cell drop every vector that has a
@@ -1330,7 +1338,7 @@ def semantic_dedup(
     if ncells is None:
         ncells = derive_ncells(df.count())
     c = (
-        ensure_min_parallelism(df)
+        ensure_min_parallelism(df, rows=corpus_rows)
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     )
     # cache the assigned table (r13, guide §2.2): it feeds the pair
