@@ -370,11 +370,13 @@ def pagerank(edges, src: str, dst: str, iters: int = 3, damping_pct: int = 85):
     ed = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).distinct()
     od = ed.groupBy("_src").agg(F.count(F.lit(1)).alias("_od"))
     ew = ed.join(od, "_src").cache()
-    ew.count()
     # node set from the CACHED ew, not from ed (r13): the inner join on
     # od (an aggregate OF ed) preserves every ed row, so the _src sets
     # are identical — but reading ew skips a third full re-run of the
-    # distinct pipeline (ed has no cache of its own; only ew does)
+    # distinct pipeline (ed has no cache of its own; only ew does).
+    # The count below is the loop's ONE eager job: it reads through ew
+    # and populates BOTH caches — a separate ew.count() materialization
+    # pass was redundant (r13, guide §2.4).
     nodes = ew.select(F.col("_src").alias("node")).distinct().cache()
     n_nodes = nodes.count()  # one scalar — the bounded driver touch-point
     base = (100 - d) * _PR_SCALE // (100 * n_nodes)
