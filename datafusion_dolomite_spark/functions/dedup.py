@@ -668,15 +668,27 @@ def ngram_jaccard_pairs(
         .select("_id", F.expr(grams).alias("_garr"))
         .cache()
     )
+    # candidate generation in ONE aggregation (r13, guide §2.3/§2.4):
+    # the old shape computed the exploded gram table FOUR times (once
+    # per self-join side, plus once per side UNDER the re-joined
+    # df-frequency aggregate — the dfreq subtree itself executed twice)
+    # and shuffled it twice more through the join.  Because rare grams
+    # hold ≤ max_df docs BY DEFINITION, the per-gram sorted id list is
+    # bounded, and every candidate pair can be emitted directly from it
+    # — same pair set as the rare self-join (docs sharing ≥1 gram with
+    # df ≤ max_df, d1 < d2), one explode pass, one exchange, no join.
     g0 = garr.select("_id", F.explode("_garr").alias("_g"))
-    dfreq = g0.groupBy("_g").agg(F.count("*").alias("_df"))
-    rare = g0.join(dfreq.filter(F.col("_df") <= max_df), "_g").select("_id", "_g")
-    a = rare.select(F.col("_id").alias("d1"), "_g")
-    b = rare.select(F.col("_id").alias("d2"), "_g")
+    pair_expr = (
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids)), "
+        "y -> struct(x AS d1, y AS d2))))"
+    )
     cand = (
-        a.join(b, "_g")
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
+        g0.groupBy("_g")
+        .agg(F.expr("array_sort(collect_list(_id))").alias("_ids"))
+        .filter(F.size("_ids").between(2, max_df))
+        .select(F.explode(F.expr(pair_expr)).alias("_p"))
+        .select(F.col("_p.d1").alias("d1"), F.col("_p.d2").alias("d2"))
         .distinct()
     )
     # verification joins the (small) candidate set against whole gram
