@@ -361,6 +361,38 @@ def _best_cell_pandas(df, vec_col: str, ncells: int, prefix: str = "c",
     return _assign_cells_pandas(df, vec_col, cents, resid_sq=resid_sq)
 
 
+def _cell_sims_np(m, centarr, cnorm_arr):
+    """Shared numpy cosine-to-centroid scorer: the (rows × cells) sim
+    matrix with the EXACT SQL fold order.  Dimension-OUTER accumulation
+    (r13): per (row, cell) the partial sums still add j = 0, 1, 2, … in
+    order — bit-identical to the sequential per-centroid fold (and to
+    the SQL) — but the python-level loop is dim iterations of
+    (chunk × ncells) elementwise ops instead of ncells × dim vector
+    ops: at the lifted 65536-cell clamp the old shape was the
+    assignment bottleneck.  Chunk rows so the (chunk × ncells)
+    accumulator stays ~4 MB — cache-resident across the dim passes (a
+    larger chunk goes memory-bandwidth-bound: every dim pass re-streams
+    it)."""
+    import numpy as np
+
+    ncells = centarr.shape[0]
+    acc = np.zeros(len(m), dtype=np.float64)
+    for j in range(m.shape[1]):
+        acc = acc + m[:, j] * m[:, j]
+    nx = np.sqrt(acc)
+    sims = np.empty((len(m), ncells), dtype=np.float64)
+    step = max(1, (1 << 19) // max(ncells, 1))
+    for s0 in range(0, len(m), step):
+        mm = m[s0:s0 + step]
+        dot = np.zeros((len(mm), ncells), dtype=np.float64)
+        for j in range(m.shape[1]):
+            dot = dot + mm[:, j:j + 1] * centarr[:, j]
+        sims[s0:s0 + step] = dot / (
+            nx[s0:s0 + step, None] * cnorm_arr[None, :]
+        )
+    return sims
+
+
 def _assign_cells_pandas(df, vec_col: str, cents, resid_sq=None,
                          top2: bool = False):
     """Shared Arrow assignment core: ``cents`` is [(cell_id, vector)]
@@ -403,30 +435,7 @@ def _assign_cells_pandas(df, vec_col: str, cents, resid_sq=None,
             m = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            acc = np.zeros(len(m), dtype=np.float64)
-            for j in range(m.shape[1]):
-                acc = acc + m[:, j] * m[:, j]
-            nx = np.sqrt(acc)
-            sims = np.empty((len(m), len(cvecs)), dtype=np.float64)
-            # dimension-OUTER accumulation (r13): per (row, cell) the
-            # partial sums still add j = 0, 1, 2, … in order — bit-
-            # identical to the sequential per-centroid fold (and to
-            # the SQL) — but the python-level loop is dim iterations
-            # of (chunk × ncells) elementwise ops instead of
-            # ncells × dim vector ops: at the lifted 65536-cell clamp
-            # the old shape was the assignment bottleneck.  Chunk rows
-            # so the (chunk × ncells) accumulator stays ~4 MB — cache-
-            # resident across the dim passes (a larger chunk goes
-            # memory-bandwidth-bound: every dim pass re-streams it)
-            step = max(1, (1 << 19) // max(len(cvecs), 1))
-            for s0 in range(0, len(m), step):
-                mm = m[s0:s0 + step]
-                dot = np.zeros((len(mm), len(cvecs)), dtype=np.float64)
-                for j in range(m.shape[1]):
-                    dot = dot + mm[:, j:j + 1] * centarr[:, j]
-                sims[s0:s0 + step] = dot / (
-                    nx[s0:s0 + step, None] * cnorm_arr[None, :]
-                )
+            sims = _cell_sims_np(m, centarr, cnorm_arr)
             best = np.argmax(sims, axis=1)
             out = pdf[cols].copy()
             out["_cell"] = cids[best]
@@ -712,21 +721,65 @@ def _train_cents(c, vec_col: str, ncells: int, iters: int,
     iteration."""
     from pyspark.sql import functions as F
 
+    import numpy as np
+    import pandas as pd
+
     cents = [(i, _hash_vec(f"{prefix}{i}")) for i in range(ncells)]
+    src = c.select(F.col(vec_col).alias("_v"))
     for _ in range(iters):
-        a = _assign_cells_pandas(c, vec_col, cents)
-        qx = a.select(
-            "_cell",
-            F.posexplode(
-                F.expr(
-                    f"transform({_dvec(vec_col)}, "
-                    f"x -> cast(floor(x * {_KMEANS_SCALE}) as bigint))"
-                )
-            ).alias("_d", "_q"),
+        # ONE Arrow pass per iteration (r13, guide §2.3/§4.2): assign
+        # AND accumulate the per-(cell, dim) Σ floor(x·1e6) int64
+        # partials inside the same batch loop, emitting ncells × dim
+        # partial rows per PARTITION instead of posexploding
+        # rows × dim rows through the exchange.  Assignment is
+        # _cell_sims_np + first-max argmax — the identical scorer
+        # _assign_cells_pandas uses — and integer partial sums are
+        # commutative, so the collected totals (and therefore every
+        # trained centroid) are bit-equal to the old explode+agg path.
+        centarr = np.stack(
+            [np.asarray(v, dtype=np.float64) for _, v in cents]
         )
+        cnorms = []
+        for _, cv in cents:
+            acc = 0.0
+            for v in cv:  # sequential fold, same order as the SQL norm
+                acc += v * v
+            cnorms.append(acc ** 0.5)
+        cnorm_arr = np.asarray(cnorms, dtype=np.float64)
+
+        def part(batches, centarr=centarr, cnorm_arr=cnorm_arr):
+            dim = centarr.shape[1]
+            sums = np.zeros((ncells, dim), dtype=np.int64)
+            cnts = np.zeros(ncells, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+                )
+                best = np.argmax(_cell_sims_np(m, centarr, cnorm_arr), axis=1)
+                q = np.floor(m * float(_KMEANS_SCALE)).astype(np.int64)
+                for cell in np.unique(best):
+                    mask = best == cell
+                    sums[cell] += q[mask].sum(axis=0)
+                    cnts[cell] += int(mask.sum())
+            hit = np.flatnonzero(cnts)
+            if not len(hit):
+                return
+            dim = centarr.shape[1]
+            yield pd.DataFrame({
+                "_cell": np.repeat(hit, dim).astype(np.int32),
+                "_d": np.tile(np.arange(dim, dtype=np.int32), len(hit)),
+                "_s": sums[hit].reshape(-1),
+                "_n": np.repeat(cnts[hit], dim),
+            })
+
         rows = (
-            qx.groupBy("_cell", "_d")
-            .agg(F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            src.mapInPandas(
+                part, schema="_cell int, _d int, _s bigint, _n bigint"
+            )
+            .groupBy("_cell", "_d")
+            .agg(F.sum("_s").alias("_s"), F.sum("_n").alias("_n"))
             .collect()
         )
         by_cell: dict = {}
