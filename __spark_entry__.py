@@ -683,11 +683,16 @@ def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .build()
     )
+    # cached (r13, guide §2.4): v feeds the band-count aggregate, the
+    # ranked join AND the corpus count — uncached, the quality-score
+    # text expression (regex/token passes over every document) executes
+    # once per consumer.  Three small ints per doc, bench clears caches
+    # between runs.
     v = scored.select(
         "doc_id",
         "q1000",
         F.expr("cast((1000 - q1000) div 50 as bigint)").alias("_bkt"),
-    )
+    ).cache()
     counts = v.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
     w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(

@@ -66,6 +66,10 @@ def importance_resample(
             )
         ).alias("_g"),
     )
+    # cached (r13, guide §2.4): tf feeds BOTH the bucket-model aggregate
+    # and the scoring join's probe side — uncached, the explode + md5 +
+    # per-doc aggregate pipeline executes twice per query.  At warehouse
+    # scale this is the intermediate a real DSIR pass writes out once.
     tf = (
         grams.select(
             "_id",
@@ -77,6 +81,7 @@ def importance_resample(
         )
         .groupBy("_id", "_t", "_b")
         .agg(F.count(F.lit(1)).alias("_tf"))
+        .cache()
     )
     model = tf.groupBy("_b").agg(
         F.sum("_tf").alias("_raw"),
