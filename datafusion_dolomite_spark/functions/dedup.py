@@ -787,6 +787,11 @@ def set_sim_join_pairs(
     )
     # prefix_len = s − ceil(t·s/1000) + 1, clamped to [1, s]
     plen = f"greatest(1, _s - cast((_s * {t} + 999) div 1000 as int) + 1)"
+    # cached (r13, guide §2.4): BOTH candidate self-join sides read the
+    # prefix rows — uncached, the whole token/df-rank/sort/slice
+    # pipeline re-executed once per side (the plan showed the subtree
+    # twice).  Prefix rows are (id, size, token, side) — narrow, and a
+    # bounded slice of each doc's tokens.
     pfx = (
         ranked.groupBy("_id")
         .agg(
@@ -800,6 +805,7 @@ def set_sim_join_pairs(
         )
         .select("_id", "_s", F.col("_p._tok").alias("_tok"))
         .join(base.select("_id", "_side"), "_id")
+        .cache()
     )
     a = pfx.select(
         F.col("_id").alias("d1"), F.col("_s").alias("_sa"),
