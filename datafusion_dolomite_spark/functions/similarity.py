@@ -895,6 +895,76 @@ def _pq_train_books(assigned, vec_col: str, cell_col: str, m: int,
     return books
 
 
+def _encode_codes_np(mat, m: int, sw: int, ksub: int, books):
+    """Shared numpy PQ encoder: per subspace the L2²-nearest codebook
+    entry (ties → lower code) with the EXACT fold order of the SQL
+    replay — dimension-by-dimension float64 accumulation, and
+    ``np.argmin`` takes the FIRST min = the (dist ASC, code ASC)
+    ranking.  Extracted (r13) so ``_pq_encode_pandas`` and the fused
+    ``_assign_encode_pandas`` share one bit-exact implementation."""
+    import numpy as np
+
+    codes = np.empty((len(mat), m), dtype=np.int32)
+    for j in range(m):
+        sub = mat[:, j * sw:(j + 1) * sw]
+        dists = np.empty((len(mat), ksub), dtype=np.float64)
+        for c, bv in books[j]:
+            acc = np.zeros(len(mat), dtype=np.float64)
+            for d in range(sw):
+                diff = sub[:, d] - bv[d]
+                acc = acc + diff * diff
+            dists[:, c] = acc
+        codes[:, j] = np.argmin(dists, axis=1)
+    return codes
+
+
+def _assign_encode_pandas(df, vec_col: str, cents, m: int, sw: int,
+                          ksub: int):
+    """Fused non-residual IVF assignment + raw-PQ encode (r13, guide
+    §4): ONE Arrow pass appends both ``_cell`` and ``_codes`` where the
+    unfused pipeline ran two back-to-back ``mapInPandas`` nodes — the
+    rows cross the JVM↔Python boundary half as often and the float64
+    vector matrix is stacked once instead of twice.  Bit-identical by
+    construction: the assignment is the shared ``_cell_sims_np`` +
+    first-max argmax, the encode the shared ``_encode_codes_np`` — the
+    exact code the two separate passes run on the same matrix."""
+    import numpy as np
+
+    cents = sorted(cents, key=lambda p: p[0])
+    cids = np.asarray([p[0] for p in cents], dtype=np.int32)
+    cvecs = [p[1] for p in cents]
+    cnorms = []
+    for cv in cvecs:
+        acc = 0.0
+        for v in cv:  # sequential fold, same order as the SQL norm
+            acc += v * v
+        cnorms.append(acc ** 0.5)
+    centarr = np.stack([np.asarray(cv, dtype=np.float64) for cv in cvecs])
+    cnorm_arr = np.asarray(cnorms, dtype=np.float64)
+    books = _pq_books(m, sw, ksub)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", _cell int, _codes array<int>"
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            sims = _cell_sims_np(mat, centarr, cnorm_arr)
+            best = np.argmax(sims, axis=1)
+            codes = _encode_codes_np(mat, m, sw, ksub, books)
+            out = pdf[cols].copy()
+            out["_cell"] = cids[best]
+            out["_codes"] = [r.tolist() for r in codes]
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def _pq_encode_pandas(df, vec_col: str, m: int, sw: int, ksub: int,
                       cents=None, scales=None, cell_col: str = "_cell",
                       books=None):
@@ -946,17 +1016,7 @@ def _pq_encode_pandas(df, vec_col: str, m: int, sw: int, ksub: int,
             )
             if centarr is not None:
                 mat = mat - centarr[pdf[cell_col].to_numpy()]
-            codes = np.empty((len(mat), m), dtype=np.int32)
-            for j in range(m):
-                sub = mat[:, j * sw:(j + 1) * sw]
-                dists = np.empty((len(mat), ksub), dtype=np.float64)
-                for c, bv in books[j]:
-                    acc = np.zeros(len(mat), dtype=np.float64)
-                    for d in range(sw):
-                        diff = sub[:, d] - bv[d]
-                        acc = acc + diff * diff
-                    dists[:, c] = acc
-                codes[:, j] = np.argmin(dists, axis=1)
+            codes = _encode_codes_np(mat, m, sw, ksub, books)
             out = pdf[cols].copy()
             out["_codes"] = [r.tolist() for r in codes]
             yield out
@@ -1123,8 +1183,11 @@ def knn_pq(
                     cents=cents, scales=scales,
                 )
         else:
-            c = _assign_cells_pandas(c, "_cv", cents)
-            c = _pq_encode_pandas(c, "_cv", m, sw, ksub)
+            # fused assign+encode (r13, guide §4): one Arrow pass emits
+            # both _cell and _codes — half the Python boundary crossings
+            # of the former back-to-back mapInPandas pair, bit-identical
+            # (shared _cell_sims_np / _encode_codes_np helpers)
+            c = _assign_encode_pandas(c, "_cv", cents, m, sw, ksub)
     else:
         c = _pq_encode_pandas(c, "_cv", m, sw, ksub)
     if trained is not None:

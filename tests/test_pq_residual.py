@@ -190,3 +190,38 @@ def test_shared_prep_identical_results(spark, clustered):
                               _prep=prep, **extra, **common).collect())
         )
         assert solo == shared, f"extra={extra}"
+
+
+def test_fused_assign_encode_identical(spark, clustered):
+    """r13 optimization (guide §4): the fused ``_assign_encode_pandas``
+    Arrow pass must be row-for-row identical to the two-pass
+    ``_assign_cells_pandas`` → ``_pq_encode_pandas`` pipeline it
+    replaced in ``knn_pq``'s non-residual IVF branch."""
+    from datafusion_dolomite_spark.functions.similarity import (
+        DIM,
+        _assign_cells_pandas,
+        _assign_encode_pandas,
+        _hash_vec,
+        _pq_encode_pandas,
+    )
+
+    m, ksub, ncells = 16, 16, 8
+    sw = DIM // m
+    cents = [(i, _hash_vec(f"c{i}")) for i in range(ncells)]
+    small = clustered.filter(F.col("vid") < 256).select(
+        F.col("vid").alias("neighbor_id"), F.col("vec").alias("_cv")
+    )
+    two = _pq_encode_pandas(
+        _assign_cells_pandas(small, "_cv", cents), "_cv", m, sw, ksub
+    )
+    fused = _assign_encode_pandas(small, "_cv", cents, m, sw, ksub)
+    a = {
+        r["neighbor_id"]: (r["_cell"], tuple(r["_codes"]))
+        for r in two.collect()
+    }
+    b = {
+        r["neighbor_id"]: (r["_cell"], tuple(r["_codes"]))
+        for r in fused.collect()
+    }
+    assert len(a) == 256
+    assert a == b
