@@ -668,25 +668,45 @@ def ngram_jaccard_pairs(
         .select("_id", F.expr(grams).alias("_garr"))
         .cache()
     )
-    # candidate generation in ONE aggregation (r13, guide §2.3/§2.4):
-    # the old shape computed the exploded gram table FOUR times (once
-    # per self-join side, plus once per side UNDER the re-joined
-    # df-frequency aggregate — the dfreq subtree itself executed twice)
-    # and shuffled it twice more through the join.  Because rare grams
-    # hold ≤ max_df docs BY DEFINITION, the per-gram sorted id list is
-    # bounded, and every candidate pair can be emitted directly from it
-    # — same pair set as the rare self-join (docs sharing ≥1 gram with
-    # df ≤ max_df, d1 < d2), one explode pass, one exchange, no join.
+    # candidate generation from per-gram id lists (r13, guide §2.3):
+    # because rare grams hold ≤ max_df docs BY DEFINITION, the sorted
+    # per-gram id list is bounded and every candidate pair (docs
+    # sharing ≥1 rare gram, d1 < d2) falls out of one aggregation +
+    # a bounded in-row pair expansion — no doc×doc self-join.
+    #
+    # r13 session 4 (guide §2.3/§2.5): collect the lists ONLY for rare
+    # grams.  Measured at sf0.1, 95% of gram instances (1.35M of
+    # 1.42M) belong to grams with df > max_df — the old single
+    # aggregate shuffled them all and built collect_lists up to 778
+    # ids long just to discard them (an unbounded-list OOM hazard at
+    # scale: one hot gram = one reducer's whole memory).  A count
+    # aggregate first (map-side partials collapse hot grams to one row
+    # per partition — skew-free by construction), then a shuffle-hash
+    # join pre-filters the gram stream before the collect_list, which
+    # now aggregates rare-gram rows only.  The join and the list
+    # aggregate hash by the same key, so the filtered collect adds no
+    # exchange; shuffle-hash (not broadcast) because at 100 TB the
+    # rare-gram set is the heavy TAIL of the vocabulary — far too big
+    # to broadcast (same reasoning as dup_profile's gram join).
+    # Candidate set unchanged: grams with 2 ≤ df ≤ max_df and their
+    # full id lists are exactly the survivors of the old size filter
+    # (measured: 17437 identical pairs at sf0.1).
     g0 = garr.select("_id", F.explode("_garr").alias("_g"))
     pair_expr = (
         "flatten(transform(_ids, (x, i) -> "
         "transform(slice(_ids, i + 2, size(_ids)), "
         "y -> struct(x AS d1, y AS d2))))"
     )
-    cand = (
+    rare = (
         g0.groupBy("_g")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df").between(2, max_df))
+        .select("_g")
+    )
+    cand = (
+        g0.join(rare.hint("shuffle_hash"), "_g")
+        .groupBy("_g")
         .agg(F.expr("array_sort(collect_list(_id))").alias("_ids"))
-        .filter(F.size("_ids").between(2, max_df))
         .select(F.explode(F.expr(pair_expr)).alias("_p"))
         .select(F.col("_p.d1").alias("d1"), F.col("_p.d2").alias("d2"))
         .distinct()
