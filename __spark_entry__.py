@@ -1591,6 +1591,9 @@ def q_knn_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_index_build(
             emb, idx, "vec_id", "embedding",
             m=8, ksub=16, ncells=32, residual=True, kmeans_iters=2,
+            # size-derived build parallelism (r13): exact row count from
+            # the catalog's parquet footers — no extra job
+            corpus_rows=pl.catalog.statistics("embeddings").row_count,
         )
         write_marker(dest, sig)
     plan = (
@@ -1655,6 +1658,9 @@ def q_knn_adaptive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_index_build(
             emb, idx, "vec_id", "embedding",
             m=8, ksub=16, ncells=32, residual=True, kmeans_iters=2,
+            # size-derived build parallelism (r13): exact row count from
+            # the catalog's parquet footers — no extra job
+            corpus_rows=pl.catalog.statistics("embeddings").row_count,
         )
         write_marker(dest, sig)
     plan = (
@@ -7371,6 +7377,9 @@ def q_semdedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_index_build(
             emb_full, idx, "vec_id", "embedding",
             m=8, ksub=16, ncells=32, residual=True, kmeans_iters=2,
+            # size-derived build parallelism (r13): exact row count from
+            # the catalog's parquet footers — no extra job
+            corpus_rows=pl.catalog.statistics("embeddings").row_count,
         )
         write_marker(dest, sig)
     emb = pl.dataframe(
@@ -7417,6 +7426,9 @@ def q_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_index_build(
             emb_full, idx, "vec_id", "embedding",
             m=8, ksub=16, ncells=32, residual=True, kmeans_iters=2,
+            # size-derived build parallelism (r13): exact row count from
+            # the catalog's parquet footers — no extra job
+            corpus_rows=pl.catalog.statistics("embeddings").row_count,
         )
         write_marker(dest, sig)
     emb = pl.dataframe(

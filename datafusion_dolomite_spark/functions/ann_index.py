@@ -161,6 +161,7 @@ def ann_index_build(
     kmeans_iters: int = 2,
     train_iters: int = 0,
     batch_label: str = "base",
+    corpus_rows=None,
 ):
     """FAISS train()+add() as one job: fit the model on the corpus,
     encode it, persist codes + model.  Overwrites any existing index at
@@ -193,7 +194,15 @@ def ann_index_build(
     if ncells <= 0:
         raise ValueError("ann_index_build needs ncells > 0 (IVF-PQ)")
     sw = DIM // m
-    c = ensure_min_parallelism(corpus_df).select(
+    # corpus_rows (r13, guide §2 — size-derived parallelism, the batch-9
+    # discipline): callers that know the corpus row count (catalog
+    # parquet-footer statistics) pass it so a small corpus trains/encodes
+    # on ceil(rows/512) partitions instead of (session cores) × ~64-row
+    # Arrow batches; a billion-row corpus still fans out to every core.
+    # Row placement is never semantically visible (all folds keyed or
+    # order-independent) — index contents are bit-identical either way
+    # (test_build_rows_hint_identical).
+    c = ensure_min_parallelism(corpus_df, rows=corpus_rows).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
     cents = (
@@ -272,7 +281,7 @@ def ann_index_build(
 
 
 def ann_index_add(batch_df, index_dir: str, id_col: str, vec_col: str,
-                  batch_label: str) -> int:
+                  batch_label: str, corpus_rows=None) -> int:
     """FAISS add(): encode a new batch with the PERSISTED model — no
     retraining, the build-once contract — and append batch-labeled code
     rows.  A batch label already in the ingest history raises (the
@@ -298,7 +307,8 @@ def ann_index_add(batch_df, index_dir: str, id_col: str, vec_col: str,
     m, ksub = int(meta["m"]), int(meta["ksub"])
     sw = DIM // m
     cents, books, scales = _model_from_meta(meta)
-    c = ensure_min_parallelism(batch_df).select(
+    # corpus_rows: same size-derived parallelism as ann_index_build
+    c = ensure_min_parallelism(batch_df, rows=corpus_rows).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
     if meta["residual"]:

@@ -1573,12 +1573,20 @@ class QueryPlanner:
                     f"CREATE VECTOR INDEX needs a declared unique key "
                     f"on {table!r} (register_unique_key)"
                 )
+            # size-derived build parallelism (r13, guide §2): the exact
+            # corpus row count is free from the catalog's parquet-footer
+            # statistics — no job, no data read
+            try:
+                nrows = self.catalog.statistics(table).row_count or None
+            except Exception:
+                nrows = None
             ann_index_build(
                 df, idx, id_col, vec_col,
                 m=opts["m"], ksub=opts["ksub"], ncells=opts["ncells"],
                 residual=opts["residual"],
                 kmeans_iters=opts["kmeans_iters"],
                 train_iters=opts["train_iters"],
+                corpus_rows=nrows,
             )
             action = "replaced" if meta is not None else "built"
         self.catalog.register_ann_index(table, vec_col, idx)

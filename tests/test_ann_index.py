@@ -436,3 +436,25 @@ def test_cell2_runner_up_and_multiprobe(tmp_path, emb, planner):
             emb, cells.select("vec_id", "cell"), "vec_id", "embedding",
             multiprobe=2,
         )
+
+
+def test_build_rows_hint_identical(tmp_path, emb):
+    """r13 optimization (guide §2, batch-9 discipline): the size-derived
+    parallelism hint (``corpus_rows``) changes only the partition count of
+    the build — the persisted codes AND the persisted model must be
+    bit-identical with and without it."""
+    from datafusion_dolomite_spark.functions.ann_index import ann_index_build
+
+    spark = emb.sparkSession
+    params = dict(m=8, ksub=16, ncells=16, residual=True, kmeans_iters=2)
+    a = str(tmp_path / "no_hint")
+    b = str(tmp_path / "hinted")
+    meta_a = ann_index_build(emb, a, "vec_id", "embedding", **params)
+    meta_b = ann_index_build(
+        emb, b, "vec_id", "embedding", corpus_rows=emb.count(), **params
+    )
+    for key in ("cents", "books", "scales", "cell_counts"):
+        assert meta_a[key] == meta_b[key], key
+    ra = sorted(tuple(r) for r in spark.read.parquet(a).collect())
+    rb = sorted(tuple(r) for r in spark.read.parquet(b).collect())
+    assert ra == rb
