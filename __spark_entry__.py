@@ -56,6 +56,18 @@ def _planner(spark: SparkSession, sf_dir: str) -> QueryPlanner:
     return pl
 
 
+def _emb_rows(pl) -> float | None:
+    """Best-effort ``embeddings`` row count from the catalog's parquet-
+    footer statistics, used ONLY as a size-derived-parallelism hint
+    (ADVICE r13): a stats failure (unreadable footer) must degrade the
+    build/probe to default parallelism, never abort it — mirrors the
+    planner's CREATE VECTOR INDEX try/except-to-None guard."""
+    try:
+        return pl.catalog.statistics("embeddings").row_count or None
+    except Exception:
+        return None
+
+
 #: events.ts physical type per sf_dir — the driver has shipped both
 #: int64-nanos (rounds 1-2) and timestamp[us] (round 3+) encodings.
 _TS_KIND: dict = {}
@@ -1367,8 +1379,10 @@ def q_knn_cents_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pl = _planner(spark, sf_dir)
     df = pl.dataframe(LogicalPlanBuilder().scan("embeddings").build())
-    # catalog row stats → size-derived parallelism (r13, guide §2)
-    nrows = int(pl.catalog.statistics("embeddings").row_count)
+    # catalog row stats → size-derived parallelism (r13, guide §2);
+    # best-effort (ADVICE r13): a stats failure degrades to default
+    # parallelism, never aborts the query
+    nrows = _emb_rows(pl)
     common = dict(n_queries=10, k=10, m=8, ksub=16, refine=50,
                   ncells=32, nprobe=3, corpus_rows=nrows)
     gt = knn_brute(df, "vec_id", "embedding", n_queries=10, k=10,
@@ -1593,7 +1607,7 @@ def q_knn_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             m=8, ksub=16, ncells=32, residual=True, kmeans_iters=2,
             # size-derived build parallelism (r13): exact row count from
             # the catalog's parquet footers — no extra job
-            corpus_rows=pl.catalog.statistics("embeddings").row_count,
+            corpus_rows=_emb_rows(pl),
         )
         write_marker(dest, sig)
     plan = (
@@ -1660,7 +1674,7 @@ def q_knn_adaptive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             m=8, ksub=16, ncells=32, residual=True, kmeans_iters=2,
             # size-derived build parallelism (r13): exact row count from
             # the catalog's parquet footers — no extra job
-            corpus_rows=pl.catalog.statistics("embeddings").row_count,
+            corpus_rows=_emb_rows(pl),
         )
         write_marker(dest, sig)
     plan = (
@@ -7379,7 +7393,7 @@ def q_semdedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             m=8, ksub=16, ncells=32, residual=True, kmeans_iters=2,
             # size-derived build parallelism (r13): exact row count from
             # the catalog's parquet footers — no extra job
-            corpus_rows=pl.catalog.statistics("embeddings").row_count,
+            corpus_rows=_emb_rows(pl),
         )
         write_marker(dest, sig)
     emb = pl.dataframe(
@@ -7392,7 +7406,7 @@ def q_semdedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return semantic_dedup_cc(
         emb, cells, "vec_id", "embedding", threshold_1000=300,
-        corpus_rows=int(pl.catalog.statistics("embeddings").row_count),
+        corpus_rows=_emb_rows(pl),
     )
 
 
@@ -7428,7 +7442,7 @@ def q_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             m=8, ksub=16, ncells=32, residual=True, kmeans_iters=2,
             # size-derived build parallelism (r13): exact row count from
             # the catalog's parquet footers — no extra job
-            corpus_rows=pl.catalog.statistics("embeddings").row_count,
+            corpus_rows=_emb_rows(pl),
         )
         write_marker(dest, sig)
     emb = pl.dataframe(
@@ -7441,7 +7455,7 @@ def q_semdedup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return semantic_dedup_cc(
         emb, cells, "vec_id", "embedding", threshold_1000=300, multiprobe=2,
-        corpus_rows=int(pl.catalog.statistics("embeddings").row_count),
+        corpus_rows=_emb_rows(pl),
     )
 
 
@@ -8128,7 +8142,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = semantic_dedup(
         emb, "vec_id", "embedding", ncells=_derived_ncells(pl), threshold_1000=300,
-        corpus_rows=int(pl.catalog.statistics("embeddings").row_count),
+        corpus_rows=_emb_rows(pl),
     )
     return out.withColumn("cell", F.col("cell").cast("bigint"))
 

@@ -161,7 +161,7 @@ def ann_index_build(
     kmeans_iters: int = 2,
     train_iters: int = 0,
     batch_label: str = "base",
-    corpus_rows=None,
+    corpus_rows: float | int | None = None,
 ):
     """FAISS train()+add() as one job: fit the model on the corpus,
     encode it, persist codes + model.  Overwrites any existing index at
@@ -281,7 +281,7 @@ def ann_index_build(
 
 
 def ann_index_add(batch_df, index_dir: str, id_col: str, vec_col: str,
-                  batch_label: str, corpus_rows=None) -> int:
+                  batch_label: str, batch_rows: float | int | None = None) -> int:
     """FAISS add(): encode a new batch with the PERSISTED model — no
     retraining, the build-once contract — and append batch-labeled code
     rows.  A batch label already in the ingest history raises (the
@@ -307,8 +307,10 @@ def ann_index_add(batch_df, index_dir: str, id_col: str, vec_col: str,
     m, ksub = int(meta["m"]), int(meta["ksub"])
     sw = DIM // m
     cents, books, scales = _model_from_meta(meta)
-    # corpus_rows: same size-derived parallelism as ann_index_build
-    c = ensure_min_parallelism(batch_df, rows=corpus_rows).select(
+    # batch_rows (ADVICE r13): the INCREMENTAL batch's own row count —
+    # not the indexed table's total — same size-derived parallelism as
+    # ann_index_build but sized to what this add() actually encodes
+    c = ensure_min_parallelism(batch_df, rows=batch_rows).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
     if meta["residual"]:
