@@ -1380,6 +1380,10 @@ class QueryPlanner:
         return (
             tuple(sorted(getattr(c, "_paths", {}).items())),
             tuple(sorted(getattr(c, "_formats", {}).items())),
+            tuple(
+                (t, tuple(sorted(o.items())))
+                for t, o in sorted(getattr(c, "_options", {}).items())
+            ),
             sch,
             tuple(
                 (t, tuple(sorted(v)))
@@ -1434,9 +1438,123 @@ class QueryPlanner:
         cache[key] = out
         return out
 
+    #: physical operator types whose ``to_spark`` lowering is a PURE
+    #: DataFrame build — no jobs, no writes, no ``cache()``/``persist``
+    #: marks, no driver collects, no executor state (``execute.py``
+    #: handlers that only compose DataFrame expressions).  Plans made of
+    #: these are safe to serve from the prepared-DataFrame cache below;
+    #: anything else (sinks, recursive CTEs, model-fitting kNN/BPE
+    #: chains, index probes, the cache-marking dedup family) bypasses.
+    _PURE_SPARK_LOWERING = None  # built lazily (avoids import at load)
+
+    @classmethod
+    def _pure_lowering_types(cls):
+        if cls._PURE_SPARK_LOWERING is None:
+            from .operators import extensions as X
+            from .operators import physical as P
+
+            cls._PURE_SPARK_LOWERING = frozenset(
+                {
+                    P.PhysicalTableScan,
+                    P.PhysicalValues,
+                    P.PhysicalFilter,
+                    P.PhysicalProjection,
+                    P.PhysicalLimit,
+                    P.PhysicalHashAggregate,
+                    P.PhysicalSaltedHashAggregate,
+                    P.PhysicalSort,
+                    P.PhysicalTopK,
+                    P.PhysicalDistinct,
+                    P.PhysicalHashJoin,
+                    P.PhysicalSaltedReplicateJoin,
+                    P.PhysicalBroadcastHashJoin,
+                    P.PhysicalSortMergeJoin,
+                    P.PhysicalWindow,
+                    P.PhysicalUnion,
+                    P.PhysicalIntersect,
+                    P.PhysicalExcept,
+                    P.Exchange,
+                    X.PhysicalExactDedup,
+                    X.PhysicalGenerate,
+                    X.PhysicalUnpivot,
+                    X.PhysicalDocChunk,
+                    X.PhysicalStratifiedSample,
+                    X.PhysicalSequencePack,
+                    X.PhysicalEmbedQuantizeSql,
+                    X.PhysicalEmbedQuantizePandas,
+                    X.PhysicalAsofJoinUnion,
+                    X.PhysicalBucketedRangeJoin,
+                    X.PhysicalBroadcastRangeJoin,
+                    X.PhysicalOverlapJoin,
+                    X.PhysicalBroadcastOverlapJoin,
+                }
+            )
+        return cls._PURE_SPARK_LOWERING
+
+    def _scan_stamp(self, table_name: str):
+        """Per-table staleness stamp — the exact invalidation contract
+        ``execute._base_scan``'s scan cache uses (path + fmt + ns-mtime
+        + size): any rewrite of the backing files changes the stamp."""
+        import os
+
+        path = self.catalog.path(table_name)
+        fmt = self.catalog.format(table_name)
+        try:
+            st = os.stat(path)
+            return (table_name, path, fmt, st.st_mtime_ns, st.st_size)
+        except OSError:
+            return (table_name, path, fmt, -1, -1)
+
     def dataframe(self, plan: Plan):
-        """Full pipeline: optimize then hand to Spark."""
-        return to_spark(self.optimize(plan), self.spark, self.catalog)
+        """Full pipeline: optimize then hand to Spark — through a
+        PREPARED-DATAFRAME CACHE (r14, guide §4 — the Python boundary).
+
+        ``to_spark`` costs ~30-40 py4j round-trips + one Spark analysis
+        pass per DataFrame operation, every time the same query is
+        re-planned (warm bench runs, repeated application queries).  An
+        unresolved DataFrame is an immutable PLAN HANDLE — executing it
+        always recomputes from the parquet inputs, so reusing one is
+        exactly as safe as rebuilding the identical plan: no data, no
+        results, no intermediates are cached.  Guards:
+
+        * only plans made ENTIRELY of pure-lowering operators are
+          cached (``_pure_lowering_types``) — any operator whose
+          lowering runs jobs, writes, collects model state, or marks
+          ``cache()`` bypasses, so eager work is never skipped;
+        * the key carries the catalog fingerprint (every registration /
+          DDL / correction mutation misses) AND a per-scanned-table
+          file stamp (any rewrite of backing files misses — the same
+          invalidation contract as ``execute._base_scan``);
+        * entries are per-SparkSession (a restarted session misses).
+        """
+        phys = self.optimize(plan)
+        pure = self._pure_lowering_types()
+        tables = []
+        for n in phys.bfs_iterator():
+            op = n.operator
+            if type(op) not in pure:
+                return to_spark(phys, self.spark, self.catalog)
+            if type(op).__name__ == "PhysicalTableScan":
+                tables.append(op.table_name)
+        try:
+            key = (
+                self._catalog_fingerprint(),
+                tuple(self._scan_stamp(t) for t in tables),
+                tuple(n.operator for n in phys.bfs_iterator()),
+                phys.explain(),
+            )
+            hash(key)
+        except Exception:
+            return to_spark(phys, self.spark, self.catalog)
+        cache = self.__dict__.setdefault("_prepared_dfs", {})
+        hit = cache.get(key)
+        if hit is not None and hit[0] is self.spark:
+            return hit[1]
+        df = to_spark(phys, self.spark, self.catalog)
+        if len(cache) >= self._PLAN_CACHE_MAX:
+            cache.clear()
+        cache[key] = (self.spark, df)
+        return df
 
     def _version_path(self, table: str, ver: int) -> str:
         """Validated version-dir path for time travel (shared by the

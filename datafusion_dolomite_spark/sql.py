@@ -5166,7 +5166,19 @@ def parse_sql(sql: str, catalog=None, macros=None, views=None) -> Plan:
     Expr)), expanded at each call site inside the parser; ``views`` is
     its CREATE VIEW registry (lowercase name → SQL text), expanded late
     at each relation reference."""
-    _scalar_counter[0] = 0  # aliases only need uniqueness within a query
+    # Internal gensym'd names (scalar-subquery aliases, IN/EXISTS flag
+    # keys, null-aware branch tags, LATERAL row ids) only need
+    # uniqueness WITHIN one top-level parse: nested view/CTE expansion
+    # goes through ``_Parser`` directly (never back through here), so
+    # resetting at this entry keeps every name in one plan distinct
+    # while making repeated parses of the same text produce IDENTICAL
+    # plans — without this, every subquery-bearing query misses the
+    # prepared-plan and prepared-DataFrame caches (r14, guide §4).
+    _scalar_counter[0] = 0
+    _insub_counter[0] = 0
+    _na_counter[0] = 0
+    _lat_rid_counter[0] = 0
+    _in_key_counter[0] = 0
     p = _Parser(sql, catalog, macros=macros, views=views)
     plan = p.parse()
     plan.hints = p.hints
