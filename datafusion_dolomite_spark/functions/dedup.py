@@ -999,13 +999,18 @@ def line_dedup(df, id_col: str, text_col: str, sep: str = ". "):
     )
     # min over a (doc, pos) STRUCT — lexicographic, exact for any id /
     # segment count (an arithmetic id*1e6+pos pack would mis-elect past
-    # 1M segments and overflow for 64-bit-hash doc ids)
-    keeper = packed.groupBy("_sh").agg(
-        F.min(F.struct("_id", "_pos")).alias("_keep")
-    )
-    kept = (
-        packed.join(keeper, "_sh")
-        .withColumn("_is_kept", F.struct("_id", "_pos") == F.col("_keep"))
+    # 1M segments and overflow for 64-bit-hash doc ids).  r14 (guide
+    # §2.4): elect the keeper with an unbounded window over _sh instead
+    # of a groupBy + join-back — the old shape shuffled the exploded
+    # segment table TWICE (agg side + join probe side) and re-ran the
+    # split/explode/md5 pipeline once per consumer; the window shuffles
+    # it once and reads it once, with identical (min-struct) election.
+    from pyspark.sql import Window as _W
+
+    kept = packed.withColumn(
+        "_is_kept",
+        F.struct("_id", "_pos")
+        == F.min(F.struct("_id", "_pos")).over(_W.partitionBy("_sh")),
     )
     rebuilt = F.expr(
         "concat_ws('"

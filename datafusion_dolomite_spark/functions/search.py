@@ -49,7 +49,27 @@ def bm25_topk(
     from ._parallel import ensure_min_parallelism
 
     terms = sorted(set(query_terms))
-    base = (
+    # r14 restructure (guide §2.3/§2.4): the query's terms are LITERALS,
+    # so each per-doc term frequency is a map-side
+    # ``size(filter(_arr, x -> x = term))`` — the token explode, the
+    # (doc, term) postings shuffle, the df aggregate and its broadcast
+    # join all disappear.  ONE tokenize pass emits the narrow per-doc
+    # row (id, dl, tf per term, ~(2+|q|)×8 bytes); ONE single-row
+    # aggregate over it yields N, avgdl and every term's df together
+    # (df(t) = count of docs with tf_t ≥ 1 — exactly the old postings
+    # count); scoring is then a pure map over the cached narrow rows.
+    # Same integer-exact weights term by term, summed in the same
+    # bigint arithmetic, so results are bit-identical.
+    def _esc(t: str) -> str:
+        return t.replace("'", "''")
+
+    tf_exprs = [
+        F.expr(
+            f"cast(size(filter(_arr, x -> x = '{_esc(t)}')) as bigint)"
+        ).alias(f"_tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    p1 = (
         ensure_min_parallelism(df)
         .select(
             F.col(id_col).alias("_id"),
@@ -58,40 +78,38 @@ def bm25_topk(
                 "x -> x <> '')"
             ).alias("_arr"),
         )
-        .withColumn("_dl", F.size("_arr").cast("bigint"))
+        .select(
+            "_id",
+            F.size("_arr").cast("bigint").alias("_dl"),
+            *tf_exprs,
+        )
+        # narrow (a few bigints per doc) and consumed twice (corpus
+        # stats + scoring): cache the tokenize pass, not the tokens
+        .cache()
     )
-    # corpus stats: one row, broadcast — avgdl as integer floor division
-    stats = base.agg(
+    stats = p1.agg(
         F.count(F.lit(1)).cast("bigint").alias("_n"),
         F.expr("cast(sum(_dl) div count(1) as bigint)").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("bigint")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
     )
-    lit_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
-    postings = (
-        base.select("_id", "_dl", F.explode("_arr").alias("_term"))
-        # the inverted-index probe: only the query's postings survive the
-        # explode — the tf shuffle moves matching (doc, term) rows only
-        .filter(F.expr(f"_term in ({lit_list})"))
+    w_terms = " + ".join(
+        f"(CASE WHEN _tf{i} > 0L THEN "
+        f"((_n - _df{i}) * 1000L div (_df{i} + 1) + 1L)"
+        f" * 44L * _tf{i} * _avgdl"
+        f" div (20L * _tf{i} * _avgdl + 6L * _avgdl + 18L * _dl)"
+        f" ELSE 0L END)"
+        for i in range(len(terms))
     )
-    tf = postings.groupBy("_id", "_dl", "_term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_tf")
-    )
-    dfreq = tf.groupBy("_term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_df")
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "_term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "_w",
-            F.expr(
-                "((_n - _df) * 1000L div (_df + 1) + 1L) * 44L * _tf * _avgdl"
-                " div (20L * _tf * _avgdl + 6L * _avgdl + 18L * _dl)"
-            ),
-        )
-    )
+    match_any = " OR ".join(f"_tf{i} > 0L" for i in range(len(terms)))
     return (
-        scored.groupBy("_id")
-        .agg(F.sum("_w").cast("bigint").alias("score"))
+        p1.crossJoin(F.broadcast(stats))
+        # only docs with ≥1 matching term existed in the old postings
+        # pipeline — keep the result set identical
+        .filter(F.expr(match_any))
+        .select("_id", F.expr(w_terms).cast("bigint").alias("score"))
         .orderBy(F.col("score").desc(), F.col("_id").asc())
         .limit(k)
         .select(F.col("_id").alias(id_col), "score")

@@ -51,7 +51,7 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
 
-    plans_dir = os.path.join(repo, "plans", "r13")
+    plans_dir = os.path.join(repo, "plans", os.environ.get("PLANS_ROUND", "r14"))
     if plans_tag:
         os.makedirs(plans_dir, exist_ok=True)
 
