@@ -266,7 +266,7 @@ def connected_components(edges, src: str, dst: str, max_iter: int = 25):
     # cell-bucketed pair join + Arrow cosine scoring, the most
     # expensive stage of the query.  The explode emits the identical
     # row multiset from ONE upstream pass.
-    sym = (
+    sym_plan = (
         edges.select(
             F.explode(
                 F.array(
@@ -277,8 +277,41 @@ def connected_components(edges, src: str, dst: str, max_iter: int = 25):
         )
         .select("_e.a", "_e.b")
         .repartition(F.col("b"))
-        .cache()
     )
+    # r14 (guide §2.2): let AQE right-size the CACHED edge layout from
+    # the DATA.  With the conf at its default (false) the cache pins
+    # the full shuffle-partition count, and every fixpoint round pays
+    # (partitions × subtree reads) of near-empty tasks on a small pair
+    # graph; with AQE allowed, a tiny frame coalesces to a few
+    # partitions and a billion-edge frame still fans out
+    # (advisoryPartitionSizeInBytes decides) — scale-adaptive either
+    # way.  The conf is consulted when ``.cache()`` registers the plan
+    # (verified: setting it after cache() has no effect), so the scope
+    # wraps exactly that call.  Scoped, not session-wide: the same conf
+    # applied globally serialized the CPU-heavy text caches (measured:
+    # q_minhash_pairs 1.8 s → 7.8 s — the r13 shingle lesson); sym's
+    # downstream is join traffic, not per-row compute.  Paired A/B
+    # (3 sessions/mode, min estimator): CC 0.79×, dedup keep-best
+    # 0.76×, dedup clusters 0.80×, semdedup 0.91× — all via this loop.
+    _aqe_cache_key = (
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    )
+    _conf = edges.sparkSession.conf
+    try:
+        _prev = _conf.get(_aqe_cache_key)
+    except Exception:
+        _prev = None
+    try:
+        _conf.set(_aqe_cache_key, "true")
+        sym = sym_plan.cache()
+    finally:
+        try:
+            if _prev is None:
+                _conf.unset(_aqe_cache_key)
+            else:
+                _conf.set(_aqe_cache_key, _prev)
+        except Exception:
+            pass
     sym.count()
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(
