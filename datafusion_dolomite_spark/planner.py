@@ -1475,6 +1475,7 @@ class QueryPlanner:
                     P.PhysicalExcept,
                     P.Exchange,
                     X.PhysicalExactDedup,
+                    X.PhysicalSimHash,
                     X.PhysicalGenerate,
                     X.PhysicalUnpivot,
                     X.PhysicalDocChunk,
